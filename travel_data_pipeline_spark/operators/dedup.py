@@ -1,0 +1,228 @@
+"""Deduplication operators — SURVEY.md §2.10 (north-star mandate).
+
+Four families, all expression-level (no Python UDFs), all reproducible
+by the DuckDB oracle because the hash primitive is md5
+(functions/hashing.py):
+
+- exact dedup: normalize -> hash-groupBy, keep min(doc_id)
+- MinHash + LSH: word shingles -> k seeded min-hashes -> bands ->
+  bucket join -> candidate pairs (optionally verified by exact Jaccard)
+- SimHash: tokens -> 16-bit sign-aggregated fingerprint -> banded
+  pair search with Hamming filter
+- n-gram Jaccard: exact set similarity over shingles for candidate pairs
+
+Scale design: every stage is a hash shuffle on a high-cardinality key
+(shingle, band value) — no per-row Python, no driver collect. At 100 TB
+the LSH band join is the only quadratic risk; banding keeps bucket
+sizes ~uniform, and a bucket-size cap (``max_bucket``) drops
+pathological buckets (boilerplate text) exactly like production dedup
+pipelines do.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from travel_data_pipeline_spark.functions.hashing import md5_long_seeded
+
+# ---------------------------------------------------------------------------
+# Normalization + shingling
+# ---------------------------------------------------------------------------
+
+
+def normalize_text(text: Column) -> Column:
+    """lower + collapse whitespace — the canonical form all dedup keys on."""
+    return F.trim(F.regexp_replace(F.lower(text), r"\s+", " "))
+
+
+def word_shingles(text: Column, n: int = 3) -> Column:
+    """Array of n-word shingles (space-joined) over normalized text.
+
+    Pure expression: split -> transform over a sequence of offsets ->
+    slice+join. Duplicate shingles are harmless for min-hash (min of a
+    multiset == min of its set).
+    """
+    words = F.split(normalize_text(text), " ")
+    n_sh = F.greatest(F.size(words) - F.lit(n - 1), F.lit(0))
+    return F.transform(
+        F.sequence(F.lit(1), n_sh),
+        lambda i: F.array_join(F.slice(words, i, n), " "),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Exact dedup
+# ---------------------------------------------------------------------------
+
+def exact_dedup(docs: DataFrame, text_col: str = "text",
+                id_col: str = "doc_id") -> DataFrame:
+    """One surviving row per distinct normalized text: keep min(id).
+
+    Deterministic by construction (dropDuplicates keeps an arbitrary
+    row; min-id is stable under any partitioning). Single hash shuffle
+    on the md5 of normalized text — at 100 TB, shuffling a 32-byte
+    digest instead of the document body is the difference that matters.
+    """
+    keyed = docs.select(F.col(id_col),
+                        F.md5(normalize_text(F.col(text_col))).alias("text_key"))
+    survivors = keyed.groupBy("text_key").agg(F.min(id_col).alias(id_col))
+    return survivors.select(id_col, "text_key")
+
+
+# ---------------------------------------------------------------------------
+# MinHash + LSH
+# ---------------------------------------------------------------------------
+
+def minhash_signatures(docs: DataFrame, text_col: str = "text",
+                       id_col: str = "doc_id", shingle_n: int = 3,
+                       num_hashes: int = 8) -> DataFrame:
+    """doc_id + h0..h{k-1} columns, each the min seeded-md5 over shingles.
+
+    Explode shingles once, compute all k hashes per shingle, aggregate k
+    mins in one pass — one shuffle on doc_id regardless of k.
+    """
+    exploded = docs.select(
+        F.col(id_col),
+        F.explode(word_shingles(F.col(text_col), shingle_n)).alias("shingle"),
+    )
+    aggs = [F.min(md5_long_seeded(F.col("shingle"), s)).alias(f"h{s}")
+            for s in range(num_hashes)]
+    return exploded.groupBy(id_col).agg(*aggs)
+
+
+def lsh_candidate_pairs(signatures: DataFrame, id_col: str = "doc_id",
+                        num_hashes: int = 8, bands: int = 4,
+                        max_bucket: int = 1000) -> DataFrame:
+    """Band the signature, bucket-join, emit distinct candidate pairs.
+
+    rows-per-band = num_hashes // bands; two docs collide if any band is
+    identical. The self-join runs bucket-local after a shuffle on
+    (band_idx, band_key); ``max_bucket`` drops degenerate buckets.
+    """
+    rows_per_band = num_hashes // bands
+    band_cols = []
+    for b in range(bands):
+        parts = [F.col(f"h{b * rows_per_band + r}").cast("string")
+                 for r in range(rows_per_band)]
+        band_cols.append(F.struct(F.lit(b).alias("band_idx"),
+                                  F.concat_ws("|", *parts).alias("band_key")))
+    banded = signatures.select(
+        F.col(id_col),
+        F.explode(F.array(*band_cols)).alias("band"),
+    ).select(id_col, "band.band_idx", "band.band_key")
+
+    sized = banded.withColumn(
+        "_bucket_n", F.count("*").over(Window.partitionBy("band_idx", "band_key")))
+    banded = sized.filter(F.col("_bucket_n") <= max_bucket).drop("_bucket_n")
+
+    a = banded.alias("a")
+    b = banded.alias("b")
+    pairs = (a.join(b, (F.col("a.band_idx") == F.col("b.band_idx"))
+                    & (F.col("a.band_key") == F.col("b.band_key"))
+                    & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")))
+             .select(F.col(f"a.{id_col}").alias("doc_a"),
+                     F.col(f"b.{id_col}").alias("doc_b"))
+             .distinct())
+    return pairs
+
+
+def jaccard_pairs(docs: DataFrame, pairs: DataFrame, text_col: str = "text",
+                  id_col: str = "doc_id", shingle_n: int = 3,
+                  threshold: float = 0.0) -> DataFrame:
+    """Exact n-gram Jaccard for given candidate pairs.
+
+    |A ∩ B| via a shingle-level join restricted to candidates; set sizes
+    from per-doc distinct counts. Returns (doc_a, doc_b, jaccard).
+    """
+    sh = docs.select(
+        F.col(id_col),
+        F.explode(F.array_distinct(word_shingles(F.col(text_col), shingle_n)))
+         .alias("shingle"))
+    sizes = sh.groupBy(id_col).agg(F.count("*").alias("set_size"))
+
+    a_sh = sh.select(F.col(id_col).alias("doc_a"), "shingle")
+    b_sh = sh.select(F.col(id_col).alias("doc_b"), "shingle")
+    # intersection size: pair -> a's shingles -> equi-join b's on (doc_b, shingle)
+    inter = (pairs.join(a_sh, "doc_a")
+             .join(b_sh, ["doc_b", "shingle"])
+             .groupBy("doc_a", "doc_b").agg(F.count("*").alias("inter_n")))
+
+    out = (pairs
+           .join(inter, ["doc_a", "doc_b"], "left")
+           .na.fill({"inter_n": 0})
+           .join(sizes.withColumnRenamed(id_col, "doc_a")
+                      .withColumnRenamed("set_size", "size_a"), "doc_a")
+           .join(sizes.withColumnRenamed(id_col, "doc_b")
+                      .withColumnRenamed("set_size", "size_b"), "doc_b")
+           .withColumn("jaccard",
+                       F.round(F.col("inter_n")
+                               / (F.col("size_a") + F.col("size_b") - F.col("inter_n")),
+                               6)))
+    return (out.filter(F.col("jaccard") >= threshold)
+            .select("doc_a", "doc_b", "jaccard"))
+
+
+# ---------------------------------------------------------------------------
+# SimHash
+# ---------------------------------------------------------------------------
+
+def simhash_fingerprints(docs: DataFrame, text_col: str = "text",
+                         id_col: str = "doc_id", bits: int = 16) -> DataFrame:
+    """16-bit SimHash over distinct word tokens.
+
+    Per token: md5-derived integer; bit b contributes +1 if set else -1;
+    fingerprint bit b is 1 iff the sum over tokens is > 0. One explode +
+    one groupBy — ``bits`` conditional aggregates, no UDF.
+    """
+    tokens = docs.select(
+        F.col(id_col),
+        F.explode(F.array_distinct(F.split(normalize_text(F.col(text_col)), " ")))
+         .alias("token"),
+    ).filter(F.col("token") != "")
+    hashed = tokens.withColumn("h", md5_long_seeded(F.col("token"), 99))
+    bit_sums = hashed.groupBy(id_col).agg(*[
+        F.sum(F.when(F.shiftright(F.col("h"), b).bitwiseAND(F.lit(1)) == 1,
+                     F.lit(1)).otherwise(F.lit(-1))).alias(f"bit{b}")
+        for b in range(bits)
+    ])
+    fp = bit_sums.select(
+        F.col(id_col),
+        sum((F.when(F.col(f"bit{b}") > 0, F.lit(2 ** b)).otherwise(F.lit(0))
+             for b in range(bits)), F.lit(0)).cast("long").alias("simhash"),
+    )
+    return fp
+
+
+def simhash_near_pairs(fingerprints: DataFrame, id_col: str = "doc_id",
+                       bits: int = 16, bands: int = 4,
+                       max_hamming: int = 3) -> DataFrame:
+    """Banded near-pair search: split the fingerprint into ``bands``
+    chunks; any pair within ``max_hamming`` (< bands) shares at least
+    one exact band (pigeonhole). Join per band, then exact Hamming
+    filter via bit_count(xor)."""
+    band_bits = bits // bands
+    mask = (1 << band_bits) - 1
+    banded = fingerprints.select(
+        F.col(id_col), F.col("simhash"),
+        F.explode(F.array(*[
+            F.struct(F.lit(b).alias("band_idx"),
+                     F.shiftright(F.col("simhash"), b * band_bits)
+                      .bitwiseAND(F.lit(mask)).alias("band_key"))
+            for b in range(bands)
+        ])).alias("band"),
+    ).select(id_col, "simhash", "band.band_idx", "band.band_key")
+
+    a, b = banded.alias("a"), banded.alias("b")
+    pairs = (a.join(b, (F.col("a.band_idx") == F.col("b.band_idx"))
+                    & (F.col("a.band_key") == F.col("b.band_key"))
+                    & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")))
+             .select(F.col(f"a.{id_col}").alias("doc_a"),
+                     F.col(f"b.{id_col}").alias("doc_b"),
+                     F.col("a.simhash").alias("sim_a"),
+                     F.col("b.simhash").alias("sim_b"))
+             .distinct()
+             .withColumn("hamming",
+                         F.bit_count(F.col("sim_a").bitwiseXOR(F.col("sim_b")))))
+    return (pairs.filter(F.col("hamming") <= max_hamming)
+            .select("doc_a", "doc_b", "hamming"))

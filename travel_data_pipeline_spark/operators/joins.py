@@ -1,0 +1,158 @@
+"""Join operators — SURVEY.md §2.3 (J1-J9).
+
+All reference joins are equi-joins done as dict lookups / pd.merge; here
+they are DataFrame joins with an explicit policy layer:
+
+- **J8 LEFT-JOIN coverage policy**: dimension joins default to
+  ``how='left'`` with an explicit null-audit helper, never a silent
+  inner join (README.md:119 — the reference's "90% of discarded data
+  recovered" lesson).
+- **Broadcast by declaration**: dimensions are small by contract
+  (59-739 rows in the reference; any true dim at 100 TB scale is still
+  MBs) so every dim join takes the ``F.broadcast`` hint — no shuffle of
+  the fact side. J1's hand-built lookup index is exactly the hash-join
+  build side we get for free.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def broadcast_left(fact: DataFrame, dim: DataFrame,
+                   on: str | Sequence[str] | Column,
+                   how: str = "left") -> DataFrame:
+    """The engine's standard dimension join (J2/J3/J5/J6 share it)."""
+    return fact.join(F.broadcast(dim), on, how)
+
+
+def null_audit(joined: DataFrame, dim_col: str) -> DataFrame:
+    """J8's audit arm: rows the dimension failed to cover.
+
+    The reference silently dropped these (F4/F5,
+    exchage_rate_crawler.py:363-367, 596-602) until the LEFT-JOIN
+    redesign; the engine keeps them queryable.
+    """
+    return joined.filter(F.col(dim_col).isNull())
+
+
+def currency_fanout(rates: DataFrame, master: DataFrame,
+                    key: str = "currency_code") -> DataFrame:
+    """J2 — currency -> country fan-out join.
+
+    One rate row joins to ALL countries using that currency; the
+    reference special-cases EUR against a precomputed Eurozone list
+    (exchage_rate_crawler.py:349-380, EUR at :52-59, 358-360). Here the
+    1:N multiplicity of the join reproduces the fan-out with no special
+    case, because every Eurozone master row carries currency_code='EUR'.
+    """
+    return broadcast_left(rates, master, key, "inner")
+
+
+def standardize_join(facts: DataFrame, alias_dim: DataFrame,
+                     raw_col: str, alias_col: str = "alias",
+                     suffix: str = " 여행",
+                     defaults: dict[str, str] | None = None) -> DataFrame:
+    """J3 — keyword -> standard-country join with default fill.
+
+    Strips the keyword suffix, left-joins the alias dimension, and
+    coalesces misses to Unknown_* defaults
+    (google_trends_processor.py:141-160).
+    """
+    defaults = defaults or {}
+    cleaned = facts.withColumn("_std_key",
+                               F.regexp_replace(F.col(raw_col), suffix + "$", ""))
+    joined = cleaned.join(F.broadcast(alias_dim),
+                          cleaned["_std_key"] == alias_dim[alias_col], "left")
+    out = joined.drop(alias_col)
+    for col_name, default in defaults.items():
+        out = out.withColumn(col_name, F.coalesce(F.col(col_name), F.lit(default)))
+    return out.drop("_std_key")
+
+
+def multikey_left(fact: DataFrame, agg: DataFrame,
+                  on: Sequence[str]) -> DataFrame:
+    """J4 — multi-key left equi-join (flight x monthly-avg,
+    _archive/flight_avg_merge.py:29-34). Catalyst picks broadcast vs
+    sort-merge by size; AQE converts at runtime if stats allow."""
+    return fact.join(agg, list(on), "left")
+
+
+def explode_join(fact: DataFrame, dim: DataFrame, dim_list_col: str,
+                 fact_key: str, exploded_name: str | None = None,
+                 how: str = "left") -> DataFrame:
+    """J5 + X4 — explode a code-list column of the dimension, then join
+    the fact on the exploded code (_archive/flight_avg_merge.py:94-106).
+    The exploded dim stays tiny -> still broadcast."""
+    exploded_name = exploded_name or fact_key
+    dim_exploded = dim.withColumn(
+        exploded_name,
+        F.explode(F.split(F.regexp_replace(F.col(dim_list_col), r"[\[\]' ]", ""), ",")),
+    ).drop(dim_list_col)
+    return fact.join(F.broadcast(dim_exploded), exploded_name if exploded_name == fact_key
+                     else fact[fact_key] == dim_exploded[exploded_name], how)
+
+
+def map_literal_join(df: DataFrame, out_col: str, key_col: str,
+                     mapping: dict[str, str]) -> Column | DataFrame:
+    """J6 — dict-map join (ISO2 -> ISO3, _archive/flight_avg_merge.py:82-87).
+
+    For truly tiny maps a map literal beats even a broadcast join: it is
+    a pure expression, constant-folded, zero build side.
+    """
+    entries = [x for kv in mapping.items() for x in (F.lit(kv[0]), F.lit(kv[1]))]
+    return df.withColumn(out_col, F.element_at(F.create_map(*entries), F.col(key_col)))
+
+
+def semi(fact: DataFrame, other: DataFrame, on: str | Sequence[str]) -> DataFrame:
+    """left_semi — EXISTS. (Capability-matrix op: absent in reference,
+    free in Spark; powers F4's audit variant.)"""
+    return fact.join(other, on, "left_semi")
+
+
+def anti(fact: DataFrame, other: DataFrame, on: str | Sequence[str]) -> DataFrame:
+    """left_anti — NOT EXISTS."""
+    return fact.join(other, on, "left_anti")
+
+
+def asof_join(fact: DataFrame, quotes: DataFrame, key: str,
+              fact_ts: str, quote_ts: str,
+              quote_cols: Sequence[str]) -> DataFrame:
+    """As-of join — nearest quote at-or-before each fact timestamp.
+
+    Natural extension flagged in SURVEY.md §2.3 ("nearest
+    exchange-rate-at-time lookups"). Spark lacks a native as-of join;
+    the scalable composition is union + window ``last(ignorenulls)``
+    partitioned by key — one shuffle on (key), no range explosion:
+
+    tag both sides, union, sort by ts within key, carry the last quote
+    value forward onto fact rows.
+    """
+    from pyspark.sql import Window
+
+    quote_types = dict(quotes.dtypes)
+    fact_types = dict(fact.dtypes)
+    fact_cols = list(fact.columns)
+
+    f_side = fact.withColumn("_ts", F.col(fact_ts)).withColumn("_is_quote", F.lit(0))
+    for c in quote_cols:
+        f_side = f_side.withColumn(c, F.lit(None).cast(quote_types[c]))
+
+    q_side = quotes.withColumn("_ts", F.col(quote_ts)).withColumn("_is_quote", F.lit(1))
+    for c in fact_cols:
+        if c not in q_side.columns:
+            q_side = q_side.withColumn(c, F.lit(None).cast(fact_types[c]))
+
+    merged = f_side.select(*fact_cols, "_ts", "_is_quote", *quote_cols).unionByName(
+        q_side.select(*fact_cols, "_ts", "_is_quote", *quote_cols))
+    w = (Window.partitionBy(key).orderBy(F.col("_ts").asc(), F.col("_is_quote").desc())
+         .rowsBetween(Window.unboundedPreceding, 0))
+    carried = merged.select(
+        *fact_cols, "_is_quote",
+        *[F.last(F.when(F.col("_is_quote") == 1, F.col(c)), ignorenulls=True)
+           .over(w).alias(c) for c in quote_cols],
+    )
+    return carried.filter(F.col("_is_quote") == 0).drop("_is_quote")

@@ -1,0 +1,130 @@
+"""Multimodal column plumbing — SURVEY.md §2.10.
+
+Image/audio/video payloads are opaque ``binary`` columns with a typed
+metadata struct. The Spark-side plumbing is real and tested: schema,
+partition-friendly batch shape, Arrow-batched ``mapInPandas`` UDFs with
+bounded batch sizes. The actual media decode is STUBBED (the container
+ships no image/audio libs): ``decode_image_meta`` uses a deterministic
+fake decoder over the byte content so tests and the oracle can verify
+the plumbing end-to-end; ``decode_image_real`` raises
+NotImplementedError where PIL/libav would be called.
+
+Scale notes: binary payloads ride in parquet as-is; metadata predicates
+(mime, width) prune BEFORE any decode UDF runs; ``mapInPandas`` holds
+one Arrow batch (not one partition) in memory, so executor memory is
+bounded by ``spark.sql.execution.arrow.maxRecordsPerBatch`` x max blob
+size — set that down for video-sized blobs.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+MEDIA_SCHEMA = T.StructType([
+    T.StructField("media_id", T.LongType()),
+    T.StructField("payload", T.BinaryType()),
+    T.StructField("meta", T.StructType([
+        T.StructField("mime", T.StringType()),
+        T.StructField("source_uri", T.StringType()),
+        T.StructField("bytes", T.LongType()),
+    ])),
+])
+
+IMAGE_META_SCHEMA = T.StructType([
+    T.StructField("media_id", T.LongType()),
+    T.StructField("mime", T.StringType()),
+    T.StructField("n_bytes", T.LongType()),
+    T.StructField("width", T.IntegerType()),
+    T.StructField("height", T.IntegerType()),
+    T.StructField("checksum", T.StringType()),
+])
+
+
+def documents_as_media(docs: DataFrame) -> DataFrame:
+    """Synthesize a media table from ``documents`` (the container has no
+    real blobs): payload = utf-8 bytes of the text, typed metadata."""
+    return docs.select(
+        F.col("doc_id").alias("media_id"),
+        F.encode("text", "utf-8").alias("payload"),
+        F.struct(
+            F.lit("application/fake-image").alias("mime"),
+            F.concat(F.lit("synthetic://doc/"), F.col("doc_id")).alias("source_uri"),
+            F.length(F.encode("text", "utf-8")).cast("long").alias("bytes"),
+        ).alias("meta"),
+    )
+
+
+def _fake_decode(payload: bytes) -> tuple[int, int]:
+    """Deterministic fake 'image decode': dimensions derived from the
+    byte length. Replace with PIL.Image.open in a real deployment."""
+    n = len(payload)
+    return (n % 640) + 1, (n % 480) + 1
+
+
+def decode_image_meta(media: DataFrame, batch_size: int = 256) -> DataFrame:
+    """Arrow-batched metadata extraction over binary payloads.
+
+    The UDF signature / batch shape is the production one; only the
+    pixel decode inside is the deterministic fake.
+    """
+
+    def decode_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import hashlib
+
+        for pdf in batches:
+            payloads = pdf["payload"]
+            dims = [_fake_decode(bytes(p)) for p in payloads]
+            yield pd.DataFrame({
+                "media_id": pdf["media_id"],
+                "mime": [m["mime"] for m in pdf["meta"]],
+                "n_bytes": [len(bytes(p)) for p in payloads],
+                "width": [w for w, _ in dims],
+                "height": [h for _, h in dims],
+                "checksum": [hashlib.md5(bytes(p)).hexdigest() for p in payloads],
+            })
+
+    spark = media.sparkSession
+    spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", str(batch_size))
+    return media.mapInPandas(decode_batches, IMAGE_META_SCHEMA)
+
+
+def decode_image_real(media: DataFrame) -> DataFrame:
+    """Real decoder entry point — requires PIL, absent in this container."""
+    raise NotImplementedError(
+        "media decode requires pillow/libav; not shipped in this container. "
+        "Swap _fake_decode for PIL.Image.open(BytesIO(payload)).size and "
+        "reuse decode_image_meta's mapInPandas plumbing.")
+
+
+def frame_sample_stub(media: DataFrame, every_n: int = 30) -> DataFrame:
+    """Video frame-sampling plumbing: one output row per sampled frame.
+
+    The frame extraction is stubbed to deterministic frame indices from
+    byte length (a real build calls libav in the same mapInPandas)."""
+    out_schema = T.StructType([
+        T.StructField("media_id", T.LongType()),
+        T.StructField("frame_idx", T.IntegerType()),
+        T.StructField("frame_checksum", T.StringType()),
+    ])
+
+    def sample(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import hashlib
+
+        for pdf in batches:
+            rows = {"media_id": [], "frame_idx": [], "frame_checksum": []}
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                b = bytes(payload)
+                n_frames = max(len(b) // 100, 1)  # fake: 1 frame per 100 bytes
+                for idx in range(0, n_frames, every_n):
+                    rows["media_id"].append(mid)
+                    rows["frame_idx"].append(idx)
+                    rows["frame_checksum"].append(
+                        hashlib.md5(b + idx.to_bytes(4, "little")).hexdigest())
+            yield pd.DataFrame(rows)
+
+    return media.mapInPandas(sample, out_schema)

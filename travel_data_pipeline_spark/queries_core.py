@@ -1,0 +1,592 @@
+"""Core relational queries — SURVEY.md §2.2-§2.7 coverage on the driver
+star schema, each with a DuckDB oracle.
+
+Naming: keys carry the SURVEY operator ids they exercise.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from travel_data_pipeline_spark.functions import scalars as X
+from travel_data_pipeline_spark.operators.aggregates import (
+    dec_avg,
+    dec_sum,
+    last_value_per_key,
+    recent_vs_prior_mean,
+)
+from travel_data_pipeline_spark.operators.joins import anti, broadcast_left, semi
+from travel_data_pipeline_spark.operators.windows import sessionize, topk_per_group
+from travel_data_pipeline_spark.plans.flights import (
+    FLIGHT_VALUE_ORACLE,
+    flight_value_query,
+)
+from travel_data_pipeline_spark.registry import register
+from travel_data_pipeline_spark.sources.readers import load_table
+
+# ---------------------------------------------------------------------------
+# Flagship (§7 minimum slice): A3 + J4 + X13/X15 + W2
+# ---------------------------------------------------------------------------
+
+register("flight_value_w2_j4", FLIGHT_VALUE_ORACLE)(flight_value_query)
+
+
+# ---------------------------------------------------------------------------
+# A3/A6 + X14 — pricing summary (TPC-H Q1 shape; grouped aggs galore)
+# ---------------------------------------------------------------------------
+
+@register("a3_pricing_summary", """
+SELECT l_returnflag, l_linestatus,
+       CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+                * (1 - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE) AS sum_disc_price,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+                * (1 - CAST(l_discount AS DECIMAL(4,2)))
+                * (1 + CAST(l_tax AS DECIMAL(4,2)))) AS DOUBLE) AS sum_charge,
+       CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)
+         / COUNT(l_quantity) AS avg_qty,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+         / COUNT(l_extendedprice) AS avg_price,
+       CAST(SUM(CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE)
+         / COUNT(l_discount) AS avg_disc,
+       COUNT(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+GROUP BY l_returnflag, l_linestatus
+""")
+def a3_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    price = F.col("l_extendedprice").cast("decimal(12,2)")
+    disc = F.col("l_discount").cast("decimal(4,2)")
+    tax = F.col("l_tax").cast("decimal(4,2)")
+    return (li.filter(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
+            .groupBy("l_returnflag", "l_linestatus")
+            .agg(dec_sum("l_quantity", "sum_qty"),
+                 dec_sum("l_extendedprice", "sum_base_price"),
+                 F.sum(price * (F.lit(1) - disc)).cast("double")
+                  .alias("sum_disc_price"),
+                 F.sum(price * (F.lit(1) - disc) * (F.lit(1) + tax)).cast("double")
+                  .alias("sum_charge"),
+                 dec_avg("l_quantity", "avg_qty"),
+                 dec_avg("l_extendedprice", "avg_price"),
+                 dec_avg("l_discount", "avg_disc"),
+                 F.count("*").alias("count_order")))
+
+
+# ---------------------------------------------------------------------------
+# J2 — dimension fan-out join (1:N multiplicity; broadcast)
+# ---------------------------------------------------------------------------
+
+@register("j2_dim_fanout", """
+SELECT r.r_name, n.n_name,
+       CAST(SUM(CAST(c.c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS nation_acctbal,
+       COUNT(*) AS n_customers
+FROM customer c
+JOIN nation n ON c.c_nationkey = n.n_nationkey
+JOIN region r ON n.n_regionkey = r.r_regionkey
+GROUP BY r.r_name, n.n_name
+""")
+def j2_dim_fanout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Customer fact fans through nation -> region (both broadcast).
+    Reproduces J2's 1:N semantics: every fact row multiplies into its
+    dimension's hierarchy (exchage_rate_crawler.py:349-380 analogue)."""
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region")
+    joined = broadcast_left(
+        broadcast_left(c, n, c["c_nationkey"] == n["n_nationkey"], "inner"),
+        r, F.col("n_regionkey") == r["r_regionkey"], "inner")
+    return (joined.groupBy("r_name", "n_name")
+            .agg(dec_sum("c_acctbal", "nation_acctbal"),
+                 F.count("*").alias("n_customers")))
+
+
+# ---------------------------------------------------------------------------
+# J3 + X16 — standardization join with default fill (left join + coalesce)
+# ---------------------------------------------------------------------------
+
+@register("j3_standardize_defaults", """
+SELECT e.user_id,
+       COALESCE(c.c_name, 'Unknown_Customer') AS customer_name,
+       COALESCE(c.c_mktsegment, 'N/A') AS segment,
+       COUNT(*) AS n_events,
+       CAST(SUM(CAST(e.value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+FROM events e LEFT JOIN customer c ON e.user_id = c.c_custkey
+GROUP BY e.user_id, COALESCE(c.c_name, 'Unknown_Customer'),
+         COALESCE(c.c_mktsegment, 'N/A')
+""")
+def j3_standardize_defaults(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J8 LEFT-JOIN policy + X16 default fill
+    (google_trends_processor.py:154-159 analogue)."""
+    e = load_table(spark, sf_dir, "events")
+    c = load_table(spark, sf_dir, "customer")
+    joined = broadcast_left(e, c, e["user_id"] == c["c_custkey"], "left")
+    return (joined
+            .withColumn("customer_name",
+                        X.with_default(F.col("c_name"), "Unknown_Customer"))
+            .withColumn("segment", X.with_default(F.col("c_mktsegment"), "N/A"))
+            .groupBy("user_id", "customer_name", "segment")
+            .agg(F.count("*").alias("n_events"),
+                 dec_sum("value", "total_value")))
+
+
+# ---------------------------------------------------------------------------
+# J5 + X4 — explode a packed code-list column, then join through it
+# ---------------------------------------------------------------------------
+
+@register("j5_explode_join", """
+WITH dim AS (
+    SELECT r_regionkey,
+           concat('[''', r_name, ''', ''', upper(r_name), '_X'']') AS packed
+    FROM region
+), exploded AS (
+    SELECT r_regionkey, unnest(string_split(
+        regexp_replace(packed, '[\\[\\]'' ]', '', 'g'), ',')) AS code
+    FROM dim
+)
+SELECT e.code, COUNT(n.n_nationkey) AS n_nations
+FROM exploded e LEFT JOIN nation n ON e.r_regionkey = n.n_regionkey
+GROUP BY e.code
+""")
+def j5_explode_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X4's bracket-noise cleanup + explode + join
+    (_archive/flight_avg_merge.py:94-106). The packed column is
+    synthesized from region so the driver tables stay the only input."""
+    r = load_table(spark, sf_dir, "region")
+    n = load_table(spark, sf_dir, "nation")
+    dim = r.select(
+        "r_regionkey",
+        F.concat(F.lit("['"), F.col("r_name"), F.lit("', '"),
+                 F.upper(F.col("r_name")), F.lit("_X']")).alias("packed"))
+    exploded = dim.select(
+        "r_regionkey", F.explode(X.split_code_list(F.col("packed"))).alias("code"))
+    joined = exploded.join(n, exploded["r_regionkey"] == n["n_regionkey"], "left")
+    return joined.groupBy("code").agg(F.count("n_nationkey").alias("n_nations"))
+
+
+# ---------------------------------------------------------------------------
+# J6 — tiny-map join as a constant-folded map literal
+# ---------------------------------------------------------------------------
+
+_REGION_CODE = {"AFRICA": "AF", "AMERICA": "AM", "ASIA": "AS",
+                "EUROPE": "EU", "MIDDLE EAST": "ME"}
+
+@register("j6_map_literal", """
+SELECT n_name,
+       CASE r_name WHEN 'AFRICA' THEN 'AF' WHEN 'AMERICA' THEN 'AM'
+                   WHEN 'ASIA' THEN 'AS' WHEN 'EUROPE' THEN 'EU'
+                   WHEN 'MIDDLE EAST' THEN 'ME' END AS region_code
+FROM nation JOIN region ON n_regionkey = r_regionkey
+""")
+def j6_map_literal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ISO-style code mapping via map literal (J6,
+    _archive/flight_avg_merge.py:82-87) — zero build side, folded by
+    Catalyst."""
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region")
+    joined = broadcast_left(n, r, n["n_regionkey"] == r["r_regionkey"], "inner")
+    entries = [x for kv in _REGION_CODE.items() for x in (F.lit(kv[0]), F.lit(kv[1]))]
+    return joined.select(
+        "n_name", F.element_at(F.create_map(*entries), F.col("r_name"))
+        .alias("region_code"))
+
+
+# ---------------------------------------------------------------------------
+# Semi / anti joins (F4 audit variant; capability-matrix ops)
+# ---------------------------------------------------------------------------
+
+@register("semi_join_active_customers", """
+SELECT c_custkey, c_name FROM customer c
+WHERE EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+""")
+def semi_join_active_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    return semi(c, o.select(F.col("o_custkey").alias("c_custkey")),
+                "c_custkey").select("c_custkey", "c_name")
+
+
+@register("anti_join_idle_customers", """
+SELECT c_custkey, c_name FROM customer c
+WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+""")
+def anti_join_idle_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    return anti(c, o.select(F.col("o_custkey").alias("c_custkey")),
+                "c_custkey").select("c_custkey", "c_name")
+
+
+# ---------------------------------------------------------------------------
+# A1 — recent-vs-prior conditional aggregation (trends window means)
+# ---------------------------------------------------------------------------
+
+@register("a1_recent_prior_means", """
+WITH bounds AS (
+    SELECT max(ts) AS max_ts,
+           max(ts) - INTERVAL 15 DAY AS recent_lo,
+           max(ts) - INTERVAL 30 DAY AS prior_lo
+    FROM events
+)
+SELECT e.event_type,
+       CAST(SUM(CASE WHEN e.ts > b.recent_lo
+                     THEN CAST(e.value AS DECIMAL(18,2)) END) AS DOUBLE)
+         / COUNT(CASE WHEN e.ts > b.recent_lo THEN e.value END) AS recent_mean,
+       CAST(SUM(CASE WHEN e.ts > b.prior_lo AND e.ts <= b.recent_lo
+                     THEN CAST(e.value AS DECIMAL(18,2)) END) AS DOUBLE)
+         / COUNT(CASE WHEN e.ts > b.prior_lo AND e.ts <= b.recent_lo
+                      THEN e.value END) AS prior_mean
+FROM events e CROSS JOIN bounds b
+GROUP BY e.event_type
+""")
+def a1_recent_prior_means(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """google_trends_crawler.py:71-72's iloc window means as conditional
+    aggregation over time bounds (A1). AVG of doubles is order-dependent
+    in theory; groups here are small — the domain-pipeline variant uses
+    decimal. Bounds use timestamp arithmetic to match DuckDB INTERVAL."""
+    e = load_table(spark, sf_dir, "events")
+    bounds = e.agg(F.max("ts").alias("max_ts")).select(
+        "max_ts",
+        (F.col("max_ts") - F.expr("INTERVAL 15 DAYS")).alias("recent_lo"),
+        (F.col("max_ts") - F.expr("INTERVAL 30 DAYS")).alias("prior_lo"))
+    v, t = F.col("value"), F.col("ts")
+    dec = v.cast("decimal(18,2)")
+    return (e.crossJoin(F.broadcast(bounds))
+            .groupBy("event_type")
+            .agg((F.sum(F.when(t > F.col("recent_lo"), dec)).cast("double")
+                  / F.count(F.when(t > F.col("recent_lo"), v))).alias("recent_mean"),
+                 (F.sum(F.when((t > F.col("prior_lo")) & (t <= F.col("recent_lo")),
+                               dec)).cast("double")
+                  / F.count(F.when((t > F.col("prior_lo")) & (t <= F.col("recent_lo")),
+                                   v))).alias("prior_mean")))
+
+
+# ---------------------------------------------------------------------------
+# A2 — last value per key via max_by (no window sort)
+# ---------------------------------------------------------------------------
+
+@register("a2_last_value", """
+SELECT user_id, max_by(value, ts) AS last_value, max(ts) AS last_ts
+FROM events GROUP BY user_id
+""")
+def a2_last_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """iloc[-1] per series (google_trends_crawler.py:94) — a single hash
+    aggregate. ts is unique per user in the data; max_by is therefore
+    deterministic."""
+    e = load_table(spark, sf_dir, "events")
+    return (e.groupBy("user_id")
+            .agg(F.max_by("value", "ts").alias("last_value"),
+                 F.max("ts").alias("last_ts")))
+
+
+# ---------------------------------------------------------------------------
+# A5 — pivot to wide per-key record (explicit pivot values)
+# ---------------------------------------------------------------------------
+
+_EVENT_TYPES = ["click", "error", "purchase", "signup", "view"]
+
+@register("a5_pivot_wide", f"""
+SELECT user_id,
+       {', '.join(
+           f'''CAST(SUM(CAST(value AS DECIMAL(18,2)))
+               FILTER (WHERE event_type = '{t}') AS DOUBLE) AS {t}_value'''
+           for t in _EVENT_TYPES)}
+FROM events GROUP BY user_id
+""")
+def a5_pivot_wide(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A5's accumulate-by-key fold (exchage_rate_crawler.py:386-426) as
+    groupBy().pivot() with explicit values — one pass, map-side partial
+    aggregation intact."""
+    e = load_table(spark, sf_dir, "events")
+    wide = (e.groupBy("user_id")
+            .pivot("event_type", _EVENT_TYPES)
+            .agg(F.sum(F.col("value").cast("decimal(18,2)")).cast("double")))
+    renames = {t: f"{t}_value" for t in _EVENT_TYPES}
+    return wide.withColumnsRenamed(renames)
+
+
+# ---------------------------------------------------------------------------
+# W2/O1 — top-k per group (k=3) with total ordering
+# ---------------------------------------------------------------------------
+
+@register("w2_top3_orders_per_customer", """
+WITH ranked AS (
+    SELECT o_custkey, o_orderkey, o_totalprice,
+           ROW_NUMBER() OVER (PARTITION BY o_custkey
+                              ORDER BY o_totalprice DESC, o_orderkey ASC) AS rn
+    FROM orders
+)
+SELECT o_custkey, o_orderkey, o_totalprice, rn FROM ranked WHERE rn <= 3
+""")
+def w2_top3_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    return topk_per_group(
+        o.select("o_custkey", "o_orderkey", "o_totalprice"),
+        ["o_custkey"],
+        [F.col("o_totalprice").desc(), F.col("o_orderkey").asc()],
+        k=3).select("o_custkey", "o_orderkey", "o_totalprice", "rn")
+
+
+# ---------------------------------------------------------------------------
+# W3 — period-over-period growth with the reference's epsilon semantics
+# ---------------------------------------------------------------------------
+
+@register("w3_growth_epsilon", """
+WITH monthly AS (
+    SELECT event_type, date_trunc('month', ts) AS month_start,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS cur
+    FROM events GROUP BY event_type, date_trunc('month', ts)
+), with_prev AS (
+    SELECT event_type, strftime(month_start, '%Y-%m') AS month,
+           cur,
+           lag(cur) OVER (PARTITION BY event_type ORDER BY month_start) AS prev
+    FROM monthly
+)
+SELECT event_type, month, cur, prev,
+       CASE WHEN prev > 0 THEN (cur - prev) / prev
+            WHEN cur > 0 THEN cur / 0.000001
+            ELSE 0.0 END AS growth
+FROM with_prev
+""")
+def w3_growth_epsilon(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W3: (cur-prev)/prev with the epsilon fallback (prev==0, cur>0 ->
+    cur/1e-6) from google_trends_crawler.py:91-92. NULL prev (first
+    month) -> 0.0 via the otherwise branch, matching the reference's
+    'no prior data' path."""
+    e = load_table(spark, sf_dir, "events")
+    monthly = (e.groupBy("event_type", F.date_trunc("month", "ts").alias("month_start"))
+               .agg(F.sum(F.col("value").cast("decimal(18,2)")).cast("double")
+                    .alias("cur")))
+    w = Window.partitionBy("event_type").orderBy("month_start")
+    with_prev = monthly.select(
+        "event_type", F.date_format("month_start", "yyyy-MM").alias("month"),
+        "cur", F.lag("cur").over(w).alias("prev"))
+    growth = (F.when(F.col("prev") > 0,
+                     (F.col("cur") - F.col("prev")) / F.col("prev"))
+              .when(F.col("cur") > 0, F.col("cur") / F.lit(1e-6))
+              .otherwise(F.lit(0.0)))
+    return with_prev.withColumn("growth", growth)
+
+
+# ---------------------------------------------------------------------------
+# W4 — unpivot wide -> long
+# ---------------------------------------------------------------------------
+
+@register("w4_unpivot", """
+SELECT l_orderkey, l_linenumber, measure, value FROM (
+    SELECT l_orderkey, l_linenumber, 'quantity' AS measure, l_quantity AS value
+    FROM lineitem
+    UNION ALL
+    SELECT l_orderkey, l_linenumber, 'extendedprice', l_extendedprice FROM lineitem
+    UNION ALL
+    SELECT l_orderkey, l_linenumber, 'discount', l_discount FROM lineitem
+)
+""")
+def w4_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W4 (google_trends_crawler.py:77-124's wide->long loop) via the
+    native unpivot — no shuffle, a generate-only plan."""
+    li = load_table(spark, sf_dir, "lineitem")
+    longf = li.unpivot(
+        ["l_orderkey", "l_linenumber"],
+        ["l_quantity", "l_extendedprice", "l_discount"],
+        "measure", "value")
+    return longf.withColumn(
+        "measure", F.regexp_replace("measure", "^l_", ""))
+
+
+# ---------------------------------------------------------------------------
+# O2 — union-all of per-source frames (+ distinct survivors)
+# ---------------------------------------------------------------------------
+
+@register("o2_union_all", """
+SELECT event_type, COUNT(*) AS n FROM (
+    SELECT event_type FROM events WHERE event_type IN ('click', 'view')
+    UNION ALL
+    SELECT event_type FROM events WHERE value > 100
+) GROUP BY event_type
+""")
+def o2_union_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """pd.concat analogue (O2, _archive/function_app.py:182-183):
+    unionByName of independently-filtered frames."""
+    e = load_table(spark, sf_dir, "events")
+    a = e.filter(F.col("event_type").isin("click", "view")).select("event_type")
+    b = e.filter(F.col("value") > 100).select("event_type")
+    return a.unionByName(b).groupBy("event_type").agg(F.count("*").alias("n"))
+
+
+# ---------------------------------------------------------------------------
+# Set ops — intersect / except (capability matrix §2.6)
+# ---------------------------------------------------------------------------
+
+@register("setop_intersect_except", """
+SELECT 'both' AS side, n_nationkey FROM (
+    SELECT c_nationkey AS n_nationkey FROM customer
+    INTERSECT
+    SELECT s_nationkey FROM supplier
+)
+UNION ALL
+SELECT 'customer_only', n_nationkey FROM (
+    SELECT c_nationkey AS n_nationkey FROM customer
+    EXCEPT
+    SELECT s_nationkey FROM supplier
+)
+""")
+def setop_intersect_except(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer").select(
+        F.col("c_nationkey").alias("n_nationkey"))
+    s = load_table(spark, sf_dir, "supplier").select(
+        F.col("s_nationkey").alias("n_nationkey"))
+    both = c.intersect(s).withColumn("side", F.lit("both"))
+    only = c.subtract(s).withColumn("side", F.lit("customer_only"))
+    return both.unionByName(only).select("side", "n_nationkey")
+
+
+# ---------------------------------------------------------------------------
+# Rollup (capability matrix §2.4 — grouping sets family)
+# ---------------------------------------------------------------------------
+
+@register("rollup_revenue", """
+SELECT l_returnflag, l_linestatus,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
+       COUNT(*) AS n
+FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+""")
+def rollup_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return (li.rollup("l_returnflag", "l_linestatus")
+            .agg(dec_sum("l_extendedprice", "revenue"),
+                 F.count("*").alias("n")))
+
+
+# ---------------------------------------------------------------------------
+# Ranking family — lag / lead / rank over per-customer order history
+# ---------------------------------------------------------------------------
+
+@register("w_rank_lag_lead", """
+SELECT o_custkey, o_orderkey, o_totalprice,
+       lag(o_totalprice) OVER w AS prev_price,
+       lead(o_totalprice) OVER w AS next_price,
+       rank() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC,
+                    o_orderkey ASC) AS price_rank
+FROM orders
+WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate ASC, o_orderkey ASC)
+""")
+def w_rank_lag_lead(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    seq = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_orderdate").asc(), F.col("o_orderkey").asc())
+    rnk = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey").asc())
+    return o.select(
+        "o_custkey", "o_orderkey", "o_totalprice",
+        F.lag("o_totalprice").over(seq).alias("prev_price"),
+        F.lead("o_totalprice").over(seq).alias("next_price"),
+        F.rank().over(rnk).alias("price_rank"))
+
+
+# ---------------------------------------------------------------------------
+# Sessionization (batch twin of streaming session_window)
+# ---------------------------------------------------------------------------
+
+@register("sessionize_events", """
+WITH flagged AS (
+    SELECT user_id, ts,
+           CASE WHEN epoch(ts) - epoch(lag(ts) OVER w) > 1800
+                THEN 1 ELSE 0 END AS new_session
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+), numbered AS (
+    SELECT user_id, ts,
+           CAST(SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                                       ROWS UNBOUNDED PRECEDING) AS BIGINT)
+             AS session_seq
+    FROM flagged
+)
+SELECT user_id, session_seq,
+       CAST(floor(epoch(min(ts))) AS BIGINT) AS session_start_epoch,
+       CAST(floor(epoch(max(ts))) + 1800 AS BIGINT) AS session_end_epoch,
+       COUNT(*) AS n_events
+FROM numbered GROUP BY user_id, session_seq
+""")
+def sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch sessionization (gap 30 min). Epoch seconds (truncated) keep
+    the oracle hash clean of timestamp-rendering differences."""
+    e = load_table(spark, sf_dir, "events")
+    sessions = sessionize(e, "user_id", "ts", gap_minutes=30)
+    return sessions.select(
+        "user_id", "session_seq",
+        F.col("session_start").cast("long").alias("session_start_epoch"),
+        F.col("session_end").cast("long").alias("session_end_epoch"),
+        "n_events")
+
+
+# ---------------------------------------------------------------------------
+# Tumbling time-window aggregation (batch form of T1/T5 windows)
+# ---------------------------------------------------------------------------
+
+@register("tumbling_hourly", """
+SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:00') AS hour_bucket,
+       event_type, COUNT(*) AS n,
+       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+FROM events GROUP BY 1, 2
+""")
+def tumbling_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch spelling of the streaming tumbling window (window(ts,'1
+    hour')); streaming/jobs.py runs the same agg with a watermark."""
+    e = load_table(spark, sf_dir, "events")
+    return (e.groupBy(
+                F.date_format(F.date_trunc("hour", "ts"), "yyyy-MM-dd HH:00")
+                 .alias("hour_bucket"),
+                "event_type")
+            .agg(F.count("*").alias("n"),
+                 dec_sum("value", "total_value")))
+
+
+# ---------------------------------------------------------------------------
+# X19 — JSON decode of the props column (from_json on an event stream hop)
+# ---------------------------------------------------------------------------
+
+@register("x19_json_extract", """
+SELECT event_id, CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_value
+FROM events WHERE json_extract_string(props, '$.k') IS NOT NULL
+""")
+def x19_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X19 (json.loads on consume, google_trends_processor.py:109-110):
+    schema'd from_json so violations become nulls, not KeyErrors."""
+    e = load_table(spark, sf_dir, "events")
+    parsed = e.select(
+        "event_id",
+        F.from_json("props", "struct<k:bigint>").getField("k").alias("k_value"))
+    return parsed.filter(F.col("k_value").isNotNull())
+
+
+# ---------------------------------------------------------------------------
+# X5-X8 — date/time helper suite
+# ---------------------------------------------------------------------------
+
+@register("x_date_suite", """
+SELECT o_orderkey,
+       strftime(o_orderdate, '%Y%m%d') AS yyyymmdd,
+       strftime(o_orderdate, '%Y-%m-%d') AS iso_date,
+       strftime(date_trunc('month', o_orderdate), '%Y-%m-%d') AS month_start,
+       strftime(date_trunc('year', o_orderdate), '%Y-%m-%d') AS year_start,
+       strftime(last_day(CAST(o_orderdate AS DATE)), '%Y-%m-%d') AS month_end,
+       CAST(EXTRACT(month FROM o_orderdate) AS INT) AS order_month,
+       strftime(CAST(o_orderdate AS DATE) + INTERVAL 3 MONTH, '%Y-%m-%d')
+         AS plus_3m
+FROM orders
+""")
+def x_date_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    d = F.col("o_orderdate")
+    return o.select(
+        "o_orderkey",
+        X.fmt_yyyymmdd(d).alias("yyyymmdd"),
+        X.fmt_iso_date(d).alias("iso_date"),
+        X.fmt_iso_date(X.first_day_of_month(d)).alias("month_start"),
+        X.fmt_iso_date(X.first_day_of_year(d)).alias("year_start"),
+        X.fmt_iso_date(X.last_day_of_month(d)).alias("month_end"),
+        X.month_of(d).alias("order_month"),
+        X.fmt_iso_date(F.add_months(d, 3)).alias("plus_3m"))

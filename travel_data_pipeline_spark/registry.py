@@ -1,0 +1,42 @@
+"""Query registry — the driver-facing inventory.
+
+Every implemented operator from SURVEY.md §2 registers here as a
+(PySpark callable, DuckDB oracle SQL) pair. ``__spark_entry__.py``
+re-exports this. Column names are aliased identically on both sides
+(the driver sorts columns by name before value-hashing).
+
+Float-determinism rules used throughout (see operators/aggregates.py):
+- money sums/avgs go through DECIMAL(18,2) (order-independent), cast
+  back to double;
+- derived ratios are computed with the same expression tree on both
+  sides (per-row IEEE double ops are deterministic);
+- scores from iterative/array folds are ROUND(x, 6) on both sides.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+
+QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
+ORACLES: dict[str, str] = {}
+
+
+def register(name: str, oracle: str | None = None):
+    """Decorator: add a (spark, sf_dir) -> DataFrame query, optionally
+    with its DuckDB oracle SQL."""
+
+    def deco(fn: Callable[[SparkSession, str], DataFrame]):
+        QUERIES[name] = fn
+        if oracle is not None:
+            ORACLES[name] = oracle
+        return fn
+
+    return deco
+
+
+# --- import side-effect registration (each module calls register()) -------
+from travel_data_pipeline_spark import queries_core  # noqa: E402,F401
+from travel_data_pipeline_spark import queries_domain  # noqa: E402,F401
+from travel_data_pipeline_spark import queries_northstar  # noqa: E402,F401

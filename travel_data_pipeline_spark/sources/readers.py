@@ -1,0 +1,78 @@
+"""Typed readers for the engine's sources.
+
+Reference source inventory (SURVEY.md §2.1): the crawlers/REST/pytrends
+sources (S1-S3) are external to the engine — data lands raw and enters
+through these schema'd readers, so the positional-cell HTML parse of
+exchage_rate_crawler.py:158-180 becomes a fixed-schema scan. S4 (CSV),
+S5 (JSON dims) and the parquet test tables are first-class here.
+
+All readers return plain DataFrames; column pruning and predicate
+pushdown stay with Catalyst (verify with .explain — PushedFilters /
+ReadSchema must show the pruned set).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import types as T
+
+from travel_data_pipeline_spark import schemas
+
+TABLE_NAMES = tuple(schemas.TABLES)
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Read one driver parquet table with its registered schema.
+
+    Parquet footers carry the authoritative schema; we read without an
+    enforced schema (so the scan keeps parquet statistics + pushdown)
+    but the registry in ``schemas.TABLES`` documents the contract.
+
+    events.ts is stored as TIMESTAMP(NANOS), which Spark reads as a
+    nanos long (legacy.parquet.nanosAsLong); floor to micros exactly as
+    DuckDB truncates, so both engines see identical timestamps.
+    """
+    df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    if name == "events" and dict(df.dtypes).get("ts") == "bigint":
+        from pyspark.sql import functions as F
+
+        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return df
+
+
+def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    """Load the full driver star schema + events/documents/embeddings."""
+    return {name: load_table(spark, sf_dir, name) for name in TABLE_NAMES}
+
+
+def register_temp_views(spark: SparkSession, sf_dir: str) -> None:
+    """Expose all tables as temp views for the SQL API surface."""
+    for name, df in load_tables(spark, sf_dir).items():
+        df.createOrReplaceTempView(name)
+
+
+def read_csv(spark: SparkSession, path: str, schema: T.StructType) -> DataFrame:
+    """S4 — CSV scan with explicit schema (never inferSchema in prod;
+    reference: pd.read_csv at _archive/flight_avg_merge.py:22-23)."""
+    return spark.read.csv(path, header=True, schema=schema)
+
+
+def read_json_dim(spark: SparkSession, path: str, schema: T.StructType) -> DataFrame:
+    """S5 — JSON config dimension scan (multiLine for config-style files;
+    reference: module-level json.load at exchage_rate_crawler.py:45-47).
+    Dimension frames are small by contract — join them with
+    F.broadcast() (operators/joins.py)."""
+    return spark.read.json(path, schema=schema, multiLine=True)
+
+
+def read_json_events(spark: SparkSession, path: str,
+                     schema: T.StructType) -> DataFrame:
+    """S1/S3 analogue — landed raw JSON with a nested schema, PERMISSIVE
+    mode so malformed rows surface in ``_corrupt_record`` (the engine
+    version of the reference's skip-and-log at
+    exchage_rate_crawler.py:190-197, F3)."""
+    full = T.StructType(schema.fields + [T.StructField("_corrupt_record", T.StringType())])
+    return spark.read.json(path, schema=full, mode="PERMISSIVE",
+                           columnNameOfCorruptRecord="_corrupt_record")
