@@ -1,0 +1,75 @@
+"""Benchmark harness — one JSON line on stdout.
+
+Runs the engine's headline queries at $SPARK_GRAFT_SF_DIR (default
+/root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS]. Each query executes
+fully via the noop sink (no collect cost, no result pruning — every
+computed column materializes).
+
+Output: {"metric": "...", "value": <total sec>, "unit": "sec",
+         "queries": {"<name>": sec, ...}, "sf": <sf>}
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+REPO_ROOT = os.path.dirname(os.path.abspath(__file__))
+if REPO_ROOT not in sys.path:
+    sys.path.insert(0, REPO_ROOT)
+
+# Headline set: one per operator family — join-heavy, agg-heavy, window,
+# pivot, sessionize, plus the north-star dedup/similarity/text path.
+HEADLINE = [
+    "flight_value_w2_j4",
+    "a3_pricing_summary",
+    "j2_dim_fanout",
+    "a5_pivot_wide",
+    "w2_top3_orders_per_customer",
+    "sessionize_events",
+    "dedup_minhash_lsh",
+    "simhash_near_pairs",
+    "embedding_cosine_topk",
+    "text_quality_scores",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    os.environ.setdefault("SPARK_GRAFT_CPUS", "32")
+
+    from travel_data_pipeline_spark import registry
+    from travel_data_pipeline_spark.session import get_spark
+
+    spark = get_spark("tdp-bench")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    # JVM/codegen warmup outside the measured window
+    spark.range(1_000_000).selectExpr("sum(id)").collect()
+
+    names = [n for n in HEADLINE if n in registry.QUERIES]
+    timings: dict[str, float] = {}
+    for name in names:
+        df = registry.QUERIES[name](spark, sf_dir)
+        t0 = time.perf_counter()
+        df.write.format("noop").mode("overwrite").save()
+        timings[name] = round(time.perf_counter() - t0, 3)
+
+    sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "")
+    try:
+        sf_val: float | str = float(sf)
+    except ValueError:
+        sf_val = sf
+    print(json.dumps({
+        "metric": "headline-suite-wall-sec",
+        "value": round(sum(timings.values()), 3),
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf_val,
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -30,12 +30,18 @@ from travel_data_pipeline_spark.sources.readers import load_table
 def flight_value_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Flagship: cheapest offer per part + deviation from monthly mean.
 
-    Plan shape at scale: fact-fact join on l_orderkey (both sides big ->
-    sort-merge, AQE-skew-safe), monthly-avg agg is a map-side-partial
-    hash agg, the avg join is on (l_partkey, month) — co-keyed with the
-    final window partition, so the sort for row_number reuses the
-    shuffle. No Python UDFs anywhere.
+    Plan shape at scale (verified with .explain("formatted")): ONE
+    fact-fact sort-merge join on l_orderkey (AQE-skew-safe), then ONE
+    exchange on l_partkey that serves BOTH window passes — the monthly
+    mean runs as a window aggregate over (l_partkey, o_month) instead
+    of groupBy + join-back (which would scan and join the fact twice),
+    and HashPartitioning(l_partkey) satisfies the (l_partkey, o_month)
+    clustering, so the row_number pass reuses the same shuffle. Decimal
+    accumulation keeps the mean order-independent (oracle parity). No
+    Python UDFs anywhere.
     """
+    from pyspark.sql import Window
+
     lineitem = load_table(spark, sf_dir, "lineitem")
     orders = load_table(spark, sf_dir, "orders")
 
@@ -44,12 +50,16 @@ def flight_value_query(spark: SparkSession, sf_dir: str) -> DataFrame:
                   lineitem["l_orderkey"] == orders["o_orderkey"])
             .select("l_orderkey", "l_linenumber", "l_partkey",
                     "l_extendedprice",
-                    F.month("o_orderdate").alias("o_month")))
+                    F.month("o_orderdate").alias("o_month"))
+            .repartition("l_partkey"))
 
-    monthly_avg = (fact.groupBy("l_partkey", "o_month")
-                   .agg(dec_avg("l_extendedprice", "avg_price")))
+    w_month = Window.partitionBy("l_partkey", "o_month")
+    avg_price = (F.sum(F.col("l_extendedprice").cast("decimal(18,2)")).over(w_month)
+                 .cast("double")
+                 / F.count("l_extendedprice").over(w_month))
 
-    joined = (fact.join(monthly_avg, ["l_partkey", "o_month"], "left")
+    joined = (fact
+              .withColumn("avg_price", avg_price)
               .withColumn("pct_diff",
                           scores.flight_price_pct_diff(F.col("l_extendedprice"),
                                                        F.col("avg_price")))
