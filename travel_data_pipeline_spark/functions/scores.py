@@ -58,17 +58,24 @@ def trend_score(raw_growth: Column, interest: Column) -> Column:
 # ---------------------------------------------------------------------------
 
 def exchange_change_pct(realtime: Column, yearly_avg: Column) -> Column:
-    """(realtime - yearly)/yearly*100, gated: NULL inputs or yearly<=0 -> 0.0
-    (exchage_rate_crawler.py:610-619, F6)."""
+    """(realtime - yearly)/yearly*100, gated: NULL inputs or yearly<=0 ->
+    NULL change (the reference keeps exchange_rate_change_percent=None,
+    exchage_rate_crawler.py:606-646), rounded to 2 dp."""
     ok = realtime.isNotNull() & yearly_avg.isNotNull() & (yearly_avg > 0)
-    return F.when(ok, X.pct_change(realtime, yearly_avg)).otherwise(F.lit(0.0))
+    return F.when(ok, F.round(X.pct_change(realtime, yearly_avg), 2))
 
 
-def exchange_score(change_pct: Column,
+def exchange_score(realtime: Column, yearly_avg: Column,
                    min_change: float = -10.0, max_change: float = 10.0) -> Column:
     """Linear rescale of change% over the +-10% band to [0,100]; cheaper
-    currency (negative change) scores high (exchage_rate_crawler.py:621-636)."""
-    return X.minmax_rescale(change_pct, F.lit(min_change), F.lit(max_change))
+    currency (negative change) scores high; gated inputs score 0.0;
+    rounded to 2 dp (exchage_rate_crawler.py:604-649)."""
+    ok = realtime.isNotNull() & yearly_avg.isNotNull() & (yearly_avg > 0)
+    change = X.pct_change(realtime, yearly_avg)
+    rng = max_change - min_change
+    scaled = (F.lit(max_change) - change) / F.lit(rng) * F.lit(100.0)
+    return F.round(
+        F.when(ok, X.clamp(scaled, 0.0, 100.0)).otherwise(F.lit(0.0)), 2)
 
 
 # ---------------------------------------------------------------------------
