@@ -73,12 +73,20 @@ def decode_image_meta(media: DataFrame, batch_size: int = 256) -> DataFrame:
     pixel decode inside is the deterministic fake.
     """
 
+    # NOTE: the closure must be self-contained (no references to this
+    # package): cloudpickle serializes module-level functions by
+    # reference, and executor workers need not have the repo on their
+    # import path. Hence the decode logic is inlined, not _fake_decode.
     def decode_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import hashlib
 
+        def fake_decode(payload: bytes) -> tuple[int, int]:
+            n = len(payload)
+            return (n % 640) + 1, (n % 480) + 1
+
         for pdf in batches:
             payloads = pdf["payload"]
-            dims = [_fake_decode(bytes(p)) for p in payloads]
+            dims = [fake_decode(bytes(p)) for p in payloads]
             yield pd.DataFrame({
                 "media_id": pdf["media_id"],
                 "mime": [m["mime"] for m in pdf["meta"]],

@@ -87,15 +87,20 @@ def quality_features(docs: DataFrame, text_col: str = "text",
     punct_chars = F.length(t) - F.length(F.regexp_replace(t, r"[.,;:!?'\"()\[\]{}]", ""))
     en_hits = stopword_hits(t, "en")
 
+    alpha_ratio_raw = alpha_chars / F.greatest(n_chars, F.lit(1))
+    punct_ratio_raw = punct_chars / F.greatest(n_chars, F.lit(1))
+    stop_ratio_raw = en_hits / F.greatest(n_tokens, F.lit(1))
     mean_word_len = F.round(alpha_chars / F.greatest(n_tokens, F.lit(1)), 6)
-    alpha_ratio = F.round(alpha_chars / F.greatest(n_chars, F.lit(1)), 6)
-    punct_ratio = F.round(punct_chars / F.greatest(n_chars, F.lit(1)), 6)
-    stop_ratio = F.round(en_hits / F.greatest(n_tokens, F.lit(1)), 6)
+    alpha_ratio = F.round(alpha_ratio_raw, 6)
+    punct_ratio = F.round(punct_ratio_raw, 6)
+    stop_ratio = F.round(stop_ratio_raw, 6)
 
     # Blend: reward length (log-saturated), alpha text, some stopwords;
-    # punish extreme punctuation. Clamped [0, 100].
+    # punish extreme punctuation. Clamped [0, 100]. Uses the UNROUNDED
+    # ratios (the rounded forms are display columns only).
     raw = (F.least(F.log10(n_chars.cast("double") + 1.0) * 25.0, F.lit(60.0))
-           + alpha_ratio * 20.0 + stop_ratio * 30.0 - punct_ratio * 40.0)
+           + alpha_ratio_raw * 20.0 + stop_ratio_raw * 30.0
+           - punct_ratio_raw * 40.0)
     score = F.round(F.greatest(F.lit(0.0), F.least(F.lit(100.0), raw)), 6)
 
     return docs.select(

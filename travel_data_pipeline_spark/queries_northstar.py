@@ -1,2 +1,472 @@
 """North-star queries: dedup, similarity search, text analysis,
-multimodal plumbing (SURVEY.md §2.10)."""
+multimodal plumbing (SURVEY.md §2.10) — each with a DuckDB oracle that
+replays the same algorithm (md5-based hashing is identical in both
+engines; see functions/hashing.py).
+
+The documents table has no natural duplicates (synthetic distinct
+texts), so dedup queries run on ``documents ∪ exact copies of doc_id<5``
+(same augmentation in both engines) — the planted pairs make the
+candidate-generation paths observable.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from travel_data_pipeline_spark.functions.hashing import HEX_CHARS
+from travel_data_pipeline_spark.operators import dedup, similarity, text
+from travel_data_pipeline_spark.operators.multimodal import (
+    decode_image_meta,
+    documents_as_media,
+    frame_sample_stub,
+)
+from travel_data_pipeline_spark.registry import register
+from travel_data_pipeline_spark.sources.readers import load_table
+
+NUM_HASHES, BANDS = 8, 4
+PLANT_OFFSET = 100000
+
+# ---------------------------------------------------------------------------
+# shared SQL fragments
+# ---------------------------------------------------------------------------
+
+_AUG_DOCS = f"""
+docs AS (
+    SELECT doc_id, text FROM documents
+    UNION ALL
+    SELECT doc_id + {PLANT_OFFSET}, text FROM documents WHERE doc_id < 5
+)"""
+
+_NORMED = """
+normed AS (
+    SELECT doc_id,
+           trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS norm
+    FROM docs
+)"""
+
+
+def _md5_long_sql(expr: str) -> str:
+    return f"CAST(('0x' || substr(md5({expr}), 1, {HEX_CHARS})) AS BIGINT)"
+
+
+_SHINGLED = """
+shingled AS (
+    SELECT w.doc_id, array_to_string(w.words[i.i:i.i+2], ' ') AS shingle
+    FROM (SELECT doc_id, string_split(norm, ' ') AS words FROM normed) w,
+         unnest(generate_series(1, greatest(len(w.words) - 2, 0))) AS i(i)
+)"""
+
+_SIG_COLS = ", ".join(
+    "min(" + _md5_long_sql(f"'s{s}:' || shingle") + f") AS h{s}"
+    for s in range(NUM_HASHES))
+
+_SIGS = f"""
+sigs AS (
+    SELECT doc_id, {_SIG_COLS}
+    FROM shingled GROUP BY doc_id
+)"""
+
+
+def _augmented_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    planted = (d.filter(F.col("doc_id") < 5)
+               .select((F.col("doc_id") + PLANT_OFFSET).alias("doc_id"), "text"))
+    return d.unionByName(planted)
+
+
+# ---------------------------------------------------------------------------
+# exact dedup
+# ---------------------------------------------------------------------------
+
+@register("dedup_exact", f"""
+WITH {_AUG_DOCS},
+{_NORMED}
+SELECT md5(norm) AS text_key, MIN(doc_id) AS doc_id
+FROM normed GROUP BY md5(norm)
+""")
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _augmented_docs(spark, sf_dir)
+    return dedup.exact_dedup(docs).select("text_key", "doc_id")
+
+
+# ---------------------------------------------------------------------------
+# MinHash + LSH candidate pairs (+ exact-Jaccard verification)
+# ---------------------------------------------------------------------------
+
+def _banded_sql() -> str:
+    rows_per_band = NUM_HASHES // BANDS
+    selects = []
+    for b in range(BANDS):
+        parts = " || '|' || ".join(
+            f"CAST(h{b * rows_per_band + r} AS VARCHAR)"
+            for r in range(rows_per_band))
+        selects.append(
+            f"SELECT doc_id, {b} AS band_idx, {parts} AS band_key FROM sigs")
+    return "banded AS (\n" + "\nUNION ALL\n".join(selects) + "\n)"
+
+
+_LSH_PAIRS_SQL = f"""
+WITH {_AUG_DOCS},
+{_NORMED},
+{_SHINGLED},
+{_SIGS},
+{_banded_sql()}
+SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+FROM banded a JOIN banded b
+  ON a.band_idx = b.band_idx AND a.band_key = b.band_key
+ AND a.doc_id < b.doc_id
+"""
+
+
+@register("dedup_minhash_lsh", _LSH_PAIRS_SQL)
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _augmented_docs(spark, sf_dir)
+    sigs = dedup.minhash_signatures(docs, num_hashes=NUM_HASHES)
+    return dedup.lsh_candidate_pairs(sigs, num_hashes=NUM_HASHES, bands=BANDS)
+
+
+@register("dedup_minhash_jaccard", f"""
+WITH {_AUG_DOCS},
+{_NORMED},
+{_SHINGLED},
+{_SIGS},
+{_banded_sql()},
+pairs AS (
+    SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+    FROM banded a JOIN banded b
+      ON a.band_idx = b.band_idx AND a.band_key = b.band_key
+     AND a.doc_id < b.doc_id
+),
+sets AS (SELECT DISTINCT doc_id, shingle FROM shingled),
+sizes AS (SELECT doc_id, COUNT(*) AS set_size FROM sets GROUP BY doc_id),
+inter AS (
+    SELECT p.doc_a, p.doc_b, COUNT(*) AS inter_n
+    FROM pairs p
+    JOIN sets sa ON sa.doc_id = p.doc_a
+    JOIN sets sb ON sb.doc_id = p.doc_b AND sb.shingle = sa.shingle
+    GROUP BY p.doc_a, p.doc_b
+)
+SELECT p.doc_a, p.doc_b,
+       ROUND(COALESCE(i.inter_n, 0)
+             / (za.set_size + zb.set_size - COALESCE(i.inter_n, 0)), 6)
+         AS jaccard
+FROM pairs p
+LEFT JOIN inter i ON i.doc_a = p.doc_a AND i.doc_b = p.doc_b
+JOIN sizes za ON za.doc_id = p.doc_a
+JOIN sizes zb ON zb.doc_id = p.doc_b
+WHERE ROUND(COALESCE(i.inter_n, 0)
+            / (za.set_size + zb.set_size - COALESCE(i.inter_n, 0)), 6) >= 0.5
+""")
+def dedup_minhash_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The production dedup pipeline: LSH candidates -> exact Jaccard
+    verify at 0.5 — plausible-but-different pairs die here."""
+    docs = _augmented_docs(spark, sf_dir)
+    sigs = dedup.minhash_signatures(docs, num_hashes=NUM_HASHES)
+    pairs = dedup.lsh_candidate_pairs(sigs, num_hashes=NUM_HASHES, bands=BANDS)
+    return dedup.jaccard_pairs(docs, pairs, threshold=0.5)
+
+
+# ---------------------------------------------------------------------------
+# SimHash
+# ---------------------------------------------------------------------------
+
+def _simhash_sql(bits: int = 16) -> str:
+    bit_sums = ", ".join(
+        f"SUM(CASE WHEN (h >> {b}) & 1 = 1 THEN 1 ELSE -1 END) AS bit{b}"
+        for b in range(bits))
+    fp = " + ".join(
+        f"(CASE WHEN bit{b} > 0 THEN {1 << b} ELSE 0 END)" for b in range(bits))
+    return f"""
+tokens AS (
+    SELECT DISTINCT doc_id, t FROM (
+        SELECT doc_id, unnest(string_split(norm, ' ')) AS t FROM normed
+    ) WHERE t <> ''
+),
+hashed AS (SELECT doc_id, {_md5_long_sql("'s99:' || t")} AS h FROM tokens),
+bitsums AS (SELECT doc_id, {bit_sums} FROM hashed GROUP BY doc_id),
+fp AS (SELECT doc_id, CAST({fp} AS BIGINT) AS simhash FROM bitsums)"""
+
+
+@register("dedup_simhash_fingerprints", f"""
+WITH {_AUG_DOCS},
+{_NORMED},
+{_simhash_sql()}
+SELECT doc_id, simhash FROM fp
+""")
+def dedup_simhash_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _augmented_docs(spark, sf_dir)
+    return dedup.simhash_fingerprints(docs)
+
+
+def _simhash_bands_sql(bits: int = 16, bands: int = 4) -> str:
+    band_bits = bits // bands
+    mask = (1 << band_bits) - 1
+    selects = [
+        f"SELECT doc_id, simhash, {b} AS band_idx, "
+        f"(simhash >> {b * band_bits}) & {mask} AS band_key FROM fp"
+        for b in range(bands)
+    ]
+    return "sbanded AS (\n" + "\nUNION ALL\n".join(selects) + "\n)"
+
+
+@register("simhash_near_pairs", f"""
+WITH {_AUG_DOCS},
+{_NORMED},
+{_simhash_sql()},
+{_simhash_bands_sql()}
+SELECT doc_a, doc_b, hamming FROM (
+    SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           bit_count(CAST(xor(a.simhash, b.simhash) AS BIGINT)) AS hamming
+    FROM sbanded a JOIN sbanded b
+      ON a.band_idx = b.band_idx AND a.band_key = b.band_key
+     AND a.doc_id < b.doc_id
+) WHERE hamming <= 3
+""")
+def simhash_near_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _augmented_docs(spark, sf_dir)
+    fp = dedup.simhash_fingerprints(docs)
+    return dedup.simhash_near_pairs(fp)
+
+
+# ---------------------------------------------------------------------------
+# Similarity search over embeddings
+# ---------------------------------------------------------------------------
+
+_COSINE_SQL = ("ROUND(list_dot_product(q.qv, n.nv) / "
+               "(sqrt(list_dot_product(q.qv, q.qv)) * "
+               "sqrt(list_dot_product(n.nv, n.nv))), 6)")
+
+
+@register("embedding_cosine_topk", f"""
+WITH q AS (
+    SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
+    FROM embeddings WHERE vec_id < 5
+),
+base AS (
+    SELECT vec_id AS neighbor_id, CAST(embedding AS DOUBLE[]) AS nv
+    FROM embeddings
+),
+scored AS (
+    SELECT q.query_id, n.neighbor_id, {_COSINE_SQL} AS cosine_sim
+    FROM base n CROSS JOIN q WHERE q.query_id <> n.neighbor_id
+),
+ranked AS (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+        ORDER BY cosine_sim DESC, neighbor_id ASC) AS rnk
+    FROM scored
+)
+SELECT query_id, neighbor_id, cosine_sim, CAST(rnk AS INT) AS rnk
+FROM ranked WHERE rnk <= 5
+""")
+def embedding_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force exact top-5 cosine neighbors for 5 query vectors —
+    the correctness baseline for ANN."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = (emb.filter(F.col("vec_id") < 5)
+               .select(F.col("vec_id").alias("query_id"), "embedding"))
+    out = similarity.brute_force_topk(emb, queries, k=5)
+    return out.withColumn("rnk", F.col("rnk").cast("int"))
+
+
+@register("embedding_ivf_topk", f"""
+WITH cent AS (
+    SELECT vec_id AS centroid_id, CAST(embedding AS DOUBLE[]) AS cv
+    FROM embeddings WHERE vec_id % 50 = 0
+),
+base AS (
+    SELECT vec_id, CAST(embedding AS DOUBLE[]) AS nv FROM embeddings
+),
+assigned AS (
+    SELECT vec_id, centroid_id FROM (
+        SELECT b.vec_id, c.centroid_id,
+               ROW_NUMBER() OVER (PARTITION BY b.vec_id ORDER BY
+                   ROUND(list_dot_product(c.cv, b.nv) /
+                         (sqrt(list_dot_product(c.cv, c.cv)) *
+                          sqrt(list_dot_product(b.nv, b.nv))), 6) DESC,
+                   c.centroid_id ASC) AS rnk
+        FROM base b CROSS JOIN cent c
+    ) WHERE rnk = 1
+),
+q AS (
+    SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
+    FROM embeddings WHERE vec_id < 5
+),
+probes AS (
+    SELECT query_id, centroid_id FROM (
+        SELECT q.query_id, c.centroid_id,
+               ROW_NUMBER() OVER (PARTITION BY q.query_id ORDER BY
+                   ROUND(list_dot_product(q.qv, c.cv) /
+                         (sqrt(list_dot_product(q.qv, q.qv)) *
+                          sqrt(list_dot_product(c.cv, c.cv))), 6) DESC,
+                   c.centroid_id ASC) AS rnk
+        FROM q CROSS JOIN cent c
+    ) WHERE rnk <= 2
+),
+cand AS (
+    SELECT p.query_id, a.vec_id AS neighbor_id
+    FROM probes p JOIN assigned a ON a.centroid_id = p.centroid_id
+),
+scored AS (
+    SELECT c.query_id, c.neighbor_id, {_COSINE_SQL} AS cosine_sim
+    FROM cand c
+    JOIN (SELECT vec_id AS neighbor_id, CAST(embedding AS DOUBLE[]) AS nv
+          FROM embeddings) n USING (neighbor_id)
+    JOIN q ON q.query_id = c.query_id
+    WHERE c.neighbor_id <> c.query_id
+)
+SELECT query_id, neighbor_id, cosine_sim, CAST(rnk AS INT) AS rnk FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+        ORDER BY cosine_sim DESC, neighbor_id ASC) AS rnk
+    FROM scored
+) WHERE rnk <= 5
+""")
+def embedding_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF approximate top-k: 10 fixed centroids (vec_id % 50 == 0),
+    probe the 2 nearest clusters — the 100 TB scan-pruning path."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    centroids = (emb.filter(F.col("vec_id") % 50 == 0)
+                 .select(F.col("vec_id").alias("centroid_id"), "embedding"))
+    queries = (emb.filter(F.col("vec_id") < 5)
+               .select(F.col("vec_id").alias("query_id"), "embedding"))
+    out = similarity.ivf_topk(emb, centroids, queries, k=5, n_probe=2)
+    return out.withColumn("rnk", F.col("rnk").cast("int"))
+
+
+# ---------------------------------------------------------------------------
+# Text analysis
+# ---------------------------------------------------------------------------
+
+def _stop_list_sql(lang: str) -> str:
+    return "[" + ", ".join(f"'{w}'" for w in text.STOPWORDS[lang]) + "]"
+
+
+def _lang_sql() -> str:
+    hits = {lang: f"len(list_filter(toks, x -> list_contains({_stop_list_sql(lang)}, x)))"
+            for lang in text.STOPWORDS}
+    best = "GREATEST(" + ", ".join(hits.values()) + ")"
+    case = "CASE " + " ".join(
+        f"WHEN {best} > 0 AND {h} = {best} THEN '{lang}'"
+        for lang, h in hits.items()) + " ELSE 'und' END"
+    return f"""
+WITH toked AS (
+    SELECT doc_id, text,
+           list_filter(string_split(
+               trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' '),
+               x -> x <> '') AS toks
+    FROM documents
+)
+SELECT doc_id, text, {case} AS pred_lang,
+       ROUND({best} / GREATEST(len(toks), 1), 6) AS stopword_ratio
+FROM toked
+"""
+
+
+@register("text_lang_id", _lang_sql())
+def text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return text.language_id(docs)
+
+
+@register("text_quality_scores", f"""
+WITH toked AS (
+    SELECT doc_id, text,
+           length(text) AS n_chars,
+           list_filter(string_split(
+               trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' '),
+               x -> x <> '') AS toks,
+           length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS alpha_chars,
+           length(text) - length(regexp_replace(text,
+               '[.,;:!?''"()\\[\\]{{}}]', '', 'g')) AS punct_chars
+    FROM documents
+),
+feats AS (
+    SELECT doc_id,
+           n_chars AS n_chars_engine,
+           len(toks) AS n_tokens,
+           ROUND(alpha_chars / GREATEST(len(toks), 1), 6) AS mean_word_len,
+           ROUND(alpha_chars / GREATEST(n_chars, 1), 6) AS alpha_ratio,
+           ROUND(punct_chars / GREATEST(n_chars, 1), 6) AS punct_ratio,
+           ROUND(len(list_filter(toks,
+               x -> list_contains({_stop_list_sql('en')}, x)))
+               / GREATEST(len(toks), 1), 6) AS stopword_ratio,
+           LEAST(log10(CAST(n_chars AS DOUBLE) + 1.0) * 25.0, 60.0)
+             + (alpha_chars / GREATEST(n_chars, 1)) * 20.0
+             + (len(list_filter(toks,
+                    x -> list_contains({_stop_list_sql('en')}, x)))
+                / GREATEST(len(toks), 1)) * 30.0
+             - (punct_chars / GREATEST(n_chars, 1)) * 40.0 AS raw
+    FROM toked
+)
+SELECT doc_id, n_chars_engine, n_tokens, mean_word_len, alpha_ratio,
+       punct_ratio, stopword_ratio,
+       ROUND(GREATEST(0.0, LEAST(100.0, raw)), 6) AS quality_score
+FROM feats
+""")
+def text_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return text.quality_features(docs)
+
+
+@register("text_token_stats", """
+SELECT doc_id,
+       len(list_filter(string_split(
+           trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' '),
+           x -> x <> '')) AS ws_tokens,
+       len(regexp_extract_all(text, '[A-Za-z]+|[0-9]|[^A-Za-z0-9\\s]'))
+         AS bpe_tokens,
+       ROUND(length(text) / GREATEST(
+           len(regexp_extract_all(text, '[A-Za-z]+|[0-9]|[^A-Za-z0-9\\s]')),
+           1), 6) AS chars_per_token
+FROM documents
+""")
+def text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return text.token_stats(docs)
+
+
+@register("text_fingerprints", """
+WITH normed AS (
+    SELECT doc_id,
+           trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS norm
+    FROM documents
+),
+chunks AS (
+    SELECT n.doc_id, n.norm,
+           md5(substr(n.norm, (i.i - 1) * 32 + 1, 64)) AS chunk_md5
+    FROM normed n,
+         unnest(generate_series(1,
+             GREATEST(CAST(floor((length(n.norm) - 64) / 32.0) AS INT) + 1, 1)
+         )) AS i(i)
+)
+SELECT doc_id, md5(norm) AS full_md5, MIN(chunk_md5) AS winnow_fp
+FROM chunks GROUP BY doc_id, md5(norm)
+""")
+def text_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return text.fingerprints(docs)
+
+
+# ---------------------------------------------------------------------------
+# Multimodal plumbing (mapInPandas; fake decode is SQL-expressible so the
+# metadata path gets a real oracle; frame sampling is rows-only)
+# ---------------------------------------------------------------------------
+
+@register("multimodal_decode_meta", """
+SELECT doc_id AS media_id,
+       'application/fake-image' AS mime,
+       CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+       CAST(octet_length(encode(text)) % 640 + 1 AS INT) AS width,
+       CAST(octet_length(encode(text)) % 480 + 1 AS INT) AS height,
+       md5(text) AS checksum
+FROM documents
+""")
+def multimodal_decode_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return decode_image_meta(documents_as_media(docs))
+
+
+@register("multimodal_frame_sample")  # rows-only (stub decode, no SQL twin)
+def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return frame_sample_stub(documents_as_media(docs), every_n=3)
