@@ -89,6 +89,6 @@ def sessionize(df: DataFrame, key: str, ts: str,
         F.sum("_new_session").over(w.rowsBetween(Window.unboundedPreceding, 0)))
     return (sessions.groupBy(key, "session_seq")
             .agg(F.min(ts).alias("session_start"),
-                 (F.max(F.col(ts).cast("long")) + gap).cast("timestamp")
+                 (F.max(ts) + F.expr(f"INTERVAL {gap_minutes * 60} SECONDS"))
                   .alias("session_end"),
                  F.count("*").alias("n_events")))

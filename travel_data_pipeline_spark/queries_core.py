@@ -563,6 +563,46 @@ def x19_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# As-of join — nearest order at-or-before each event (SURVEY.md §2.3's
+# flagged natural extension; scalable union+window form, no range blowup)
+# ---------------------------------------------------------------------------
+
+@register("asof_last_order", """
+WITH quotes AS (
+    SELECT o_custkey, o_orderdate,
+           MAX(o_orderkey) AS last_orderkey,
+           MAX_BY(o_totalprice, o_orderkey) AS last_totalprice
+    FROM orders GROUP BY o_custkey, o_orderdate
+)
+SELECT e.event_id, e.user_id, q.last_orderkey, q.last_totalprice
+FROM events e LEFT JOIN LATERAL (
+    SELECT last_orderkey, last_totalprice
+    FROM quotes q
+    WHERE q.o_custkey = e.user_id AND q.o_orderdate <= e.ts
+    ORDER BY q.o_orderdate DESC LIMIT 1
+) q ON TRUE
+""")
+def asof_last_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of semantics via union + last(ignorenulls) window — one shuffle
+    on the key, versus the oracle's per-row LATERAL probe. Quotes are
+    pre-deduped to one per (custkey, orderdate) so the at-or-before pick
+    is total-ordered and deterministic."""
+    from travel_data_pipeline_spark.operators.joins import asof_join
+
+    e = load_table(spark, sf_dir, "events").select(
+        "event_id", F.col("user_id"), "ts")
+    quotes = (load_table(spark, sf_dir, "orders")
+              .groupBy(F.col("o_custkey").alias("user_id"),
+                       F.col("o_orderdate"))
+              .agg(F.max("o_orderkey").alias("last_orderkey"),
+                   F.max_by("o_totalprice", "o_orderkey")
+                    .alias("last_totalprice")))
+    out = asof_join(e, quotes, "user_id", "ts", "o_orderdate",
+                    ["last_orderkey", "last_totalprice"])
+    return out.select("event_id", "user_id", "last_orderkey", "last_totalprice")
+
+
+# ---------------------------------------------------------------------------
 # X5-X8 — date/time helper suite
 # ---------------------------------------------------------------------------
 

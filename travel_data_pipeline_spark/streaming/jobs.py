@@ -1,0 +1,200 @@
+"""Structured Streaming jobs — SURVEY.md §2.8 (T1-T6 upgrades).
+
+The reference's "streaming" is externally-timed batch: cron triggers
+(T1), queue fan-out (T2), at-least-once with idempotent overwrite (T3),
+an ASA hot/cold split (T4), and `past_due` logging instead of late-data
+semantics (T5). This module is the idiomatic Structured Streaming
+re-expression, plus the principled upgrades the reference lacks:
+real watermarks, tumbling/sliding/session windows, and an idempotent
+foreachBatch merge sink.
+
+Delta is not on this container's classpath (pyspark_guide.md), so merge
+sinks are emulated with parquet + key-dedup in foreachBatch; the API
+surface is the same and swaps to `MERGE INTO` when Delta is present.
+
+All jobs read the driver's `events` table as a file stream; `ts` is
+TIMESTAMP(NANOS) in the parquet, so the stream schema takes it as
+LongType nanos and converts (same floor-to-micros as the batch reader).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+from pyspark.sql.streaming import StreamingQuery
+
+EVENTS_STREAM_SCHEMA = T.StructType([
+    T.StructField("event_id", T.LongType()),
+    T.StructField("ts", T.LongType()),  # nanos (TIMESTAMP(NANOS) physical)
+    T.StructField("user_id", T.LongType()),
+    T.StructField("event_type", T.StringType()),
+    T.StructField("value", T.DoubleType()),
+    T.StructField("props", T.StringType()),
+])
+
+
+def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S6/S7 — file-source stream over the events table (one micro-batch
+    per file batch; in production this is the Kafka/Event Hub source K1
+    consumes from)."""
+    # file-stream sources require a directory: point at sf_dir and
+    # glob-filter to the events file
+    raw = (spark.readStream.format("parquet")
+           .schema(EVENTS_STREAM_SCHEMA)
+           .option("pathGlobFilter", "events.parquet")
+           .load(sf_dir))
+    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+
+
+def bronze_passthrough(events: DataFrame, out_dir: str,
+                       checkpoint: str) -> StreamingQuery:
+    """K6 — raw-layer passthrough (Stream Analytics -> Blob raw,
+    README.md:80-81): no transform, append-only bronze sink."""
+    return (events.writeStream.format("parquet")
+            .option("path", out_dir)
+            .option("checkpointLocation", checkpoint)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start())
+
+
+def tumbling_counts(events: DataFrame, window: str = "1 hour",
+                    watermark: str = "2 hours") -> DataFrame:
+    """T5 upgrade — watermarked tumbling-window aggregation. Late rows
+    beyond the watermark are dropped instead of logged (the reference
+    only logs `past_due`, exchange_rate_trigger.py:32-34)."""
+    return (events
+            .withWatermark("ts", watermark)
+            .groupBy(F.window("ts", window), "event_type")
+            .agg(F.count("*").alias("n"),
+                 F.sum(F.col("value").cast("decimal(18,2)")).cast("double")
+                  .alias("total_value"))
+            .select(F.col("window.start").alias("window_start"),
+                    F.col("window.end").alias("window_end"),
+                    "event_type", "n", "total_value"))
+
+
+def sliding_means(events: DataFrame, window: str = "30 minutes",
+                  slide: str = "10 minutes",
+                  watermark: str = "1 hour") -> DataFrame:
+    """Sliding-window mean per event_type (capability the reference's
+    5-min cron only approximates)."""
+    return (events
+            .withWatermark("ts", watermark)
+            .groupBy(F.window("ts", window, slide), "event_type")
+            .agg(F.avg("value").alias("mean_value"),
+                 F.count("*").alias("n"))
+            .select(F.col("window.start").alias("window_start"),
+                    "event_type", "mean_value", "n"))
+
+
+def session_counts(events: DataFrame, gap: str = "30 minutes",
+                   watermark: str = "2 hours") -> DataFrame:
+    """session_window — streaming twin of operators.windows.sessionize
+    (same start=min(ts), end=max(ts)+gap semantics)."""
+    return (events
+            .withWatermark("ts", watermark)
+            .groupBy(F.session_window("ts", gap), "user_id")
+            .agg(F.count("*").alias("n_events"))
+            .select(F.col("session_window.start").alias("session_start"),
+                    F.col("session_window.end").alias("session_end"),
+                    "user_id", "n_events"))
+
+
+def hot_cold_split(events: DataFrame, hot_dir: str, cold_dir: str,
+                   hot_checkpoint: str, cold_checkpoint: str,
+                   hot_types: tuple[str, ...] = ("purchase", "error"),
+                   ) -> tuple[StreamingQuery, StreamingQuery]:
+    """T4 — two sinks off one source: the ASA hot-path (Power BI) /
+    cold-path (Blob raw) split (README.md:80-83)."""
+    hot = (events.filter(F.col("event_type").isin(*hot_types))
+           .writeStream.format("parquet")
+           .option("path", hot_dir).option("checkpointLocation", hot_checkpoint)
+           .outputMode("append").trigger(availableNow=True).start())
+    cold = (events.writeStream.format("parquet")
+            .option("path", cold_dir).option("checkpointLocation", cold_checkpoint)
+            .outputMode("append").trigger(availableNow=True).start())
+    return hot, cold
+
+
+def foreach_batch_upsert(agg: DataFrame, target_dir: str, checkpoint: str,
+                         keys: tuple[str, ...]) -> StreamingQuery:
+    """T3 — idempotent merge sink: each micro-batch upserts into the
+    target keyed table (Delta MERGE INTO semantics emulated on parquet:
+    read target, anti-join on keys, union, rewrite). At-least-once
+    redelivery therefore converges to the same state the reference got
+    from its overwrite-by-name blob sink (_archive/function_app.py:203).
+    """
+    key_list = list(keys)
+
+    def upsert(batch_df: DataFrame, epoch_id: int) -> None:
+        spark = batch_df.sparkSession
+        batch = batch_df.dropDuplicates(key_list)
+        try:
+            current = spark.read.parquet(target_dir)
+            kept = current.join(batch.select(*key_list), key_list, "left_anti")
+            merged = kept.unionByName(batch)
+        except Exception:
+            merged = batch
+        merged.write.mode("overwrite").parquet(target_dir + "_next")
+        # atomic-ish swap: rewrite target from _next (local-FS emulation)
+        spark.read.parquet(target_dir + "_next").write.mode("overwrite") \
+             .parquet(target_dir)
+
+    return (agg.writeStream.foreachBatch(upsert)
+            .option("checkpointLocation", checkpoint)
+            .outputMode("update")
+            .trigger(availableNow=True)
+            .start())
+
+
+def to_json_sink(events: DataFrame, out_dir: str,
+                 checkpoint: str) -> StreamingQuery:
+    """K1 — Event Hub/Kafka-shaped sink: to_json(struct(*)) payloads
+    (exchange_rate_trigger.py:45-52). Without a Kafka broker on the
+    container the payload lands as text files; the payload column is
+    what `writeStream.format('kafka')` would take as `value`."""
+    payload = events.select(F.to_json(F.struct("*")).alias("value"))
+    return (payload.writeStream.format("text")
+            .option("path", out_dir)
+            .option("checkpointLocation", checkpoint)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start())
+
+
+def running_totals_stateful(events: DataFrame) -> DataFrame:
+    """Custom stateful operator via applyInPandasWithState: per-user
+    running value total + event count across micro-batches (the
+    sanctioned surface for per-group Python state, SURVEY.md §2.9)."""
+    import pandas as pd  # noqa: F401
+
+    out_schema = T.StructType([
+        T.StructField("user_id", T.LongType()),
+        T.StructField("total_value", T.DoubleType()),
+        T.StructField("n_events", T.LongType()),
+    ])
+    state_schema = T.StructType([
+        T.StructField("total_value", T.DoubleType()),
+        T.StructField("n_events", T.LongType()),
+    ])
+
+    # self-contained closure: executors may not have this repo on path
+    def update(key, pdfs, state):
+        import pandas as pd
+
+        if state.exists:
+            total, n = state.get
+        else:
+            total, n = 0.0, 0
+        for pdf in pdfs:
+            total += float(pdf["value"].sum())
+            n += int(len(pdf))
+        state.update((total, n))
+        yield pd.DataFrame({"user_id": [key[0]], "total_value": [total],
+                            "n_events": [n]})
+
+    return (events.groupBy("user_id")
+            .applyInPandasWithState(update, out_schema, state_schema,
+                                    "update", "NoTimeout"))
