@@ -77,28 +77,66 @@ def exact_dedup(docs: DataFrame, text_col: str = "text",
 def minhash_signatures(docs: DataFrame, text_col: str = "text",
                        id_col: str = "doc_id", shingle_n: int = 3,
                        num_hashes: int = 8) -> DataFrame:
-    """doc_id + h0..h{k-1} columns, each the min seeded-md5 over shingles.
+    """doc_id + h0..h{k-1} columns: min over shingles of k affine
+    universal hashes derived from ONE md5 per shingle
+    (functions.hashing.affine_params — k x cheaper than k md5s).
 
-    Explode shingles once, compute all k hashes per shingle, aggregate k
+    Explode shingles once, derive all k hashes per shingle, aggregate k
     mins in one pass — one shuffle on doc_id regardless of k.
     """
+    from travel_data_pipeline_spark.functions.hashing import (
+        affine_hash,
+        affine_params,
+        minhash_base,
+    )
+
+    # single-file parquet scans arrive as one partition; spread the
+    # CPU-heavy shingling/hashing across cores by pre-partitioning on
+    # the aggregation key (the groupBy below then needs no new shuffle)
+    docs = docs.repartition(docs.sparkSession.sparkContext.defaultParallelism,
+                            id_col)
     exploded = docs.select(
         F.col(id_col),
         F.explode(word_shingles(F.col(text_col), shingle_n)).alias("shingle"),
-    )
-    aggs = [F.min(md5_long_seeded(F.col("shingle"), s)).alias(f"h{s}")
-            for s in range(num_hashes)]
+    ).select(F.col(id_col), minhash_base(F.col("shingle")).alias("base"))
+    aggs = [F.min(affine_hash(F.col("base"), a, b)).alias(f"h{s}")
+            for s, (a, b) in enumerate(affine_params(num_hashes))]
     return exploded.groupBy(id_col).agg(*aggs)
+
+
+def _bucket_pairs(banded: DataFrame, key_cols: list[str], payload: Column,
+                  max_bucket: int) -> DataFrame:
+    """Bucket-local pair generation WITHOUT a self-join.
+
+    A self-join would recompute the (expensive) upstream signature plan
+    twice and shuffle it twice; instead groupBy the bucket once,
+    collect the (small, capped) member list, and expand i<j pairs with
+    a pure array expression. ``max_bucket`` drops degenerate buckets
+    (boilerplate text) — the standard production guard.
+
+    payload is a struct column; emits (pair.a, pair.b) structs.
+    """
+    grouped = (banded.groupBy(*key_cols)
+               .agg(F.sort_array(F.collect_list(payload)).alias("ids"))
+               .filter((F.size("ids") >= 2) & (F.size("ids") <= max_bucket)))
+    n = F.size("ids")
+    combos = F.flatten(F.transform(
+        F.sequence(F.lit(1), n - 1),
+        lambda i: F.transform(
+            F.sequence(i + 1, n),
+            lambda j: F.struct(F.element_at("ids", i).alias("a"),
+                               F.element_at("ids", j).alias("b")))))
+    return grouped.select(F.explode(combos).alias("pair"))
 
 
 def lsh_candidate_pairs(signatures: DataFrame, id_col: str = "doc_id",
                         num_hashes: int = 8, bands: int = 4,
                         max_bucket: int = 1000) -> DataFrame:
-    """Band the signature, bucket-join, emit distinct candidate pairs.
+    """Band the signature, bucket, emit distinct candidate pairs.
 
     rows-per-band = num_hashes // bands; two docs collide if any band is
-    identical. The self-join runs bucket-local after a shuffle on
-    (band_idx, band_key); ``max_bucket`` drops degenerate buckets.
+    identical. Pairs are generated bucket-locally (one shuffle on
+    (band_idx, band_key), no self-join — see _bucket_pairs).
     """
     rows_per_band = num_hashes // bands
     band_cols = []
@@ -112,19 +150,11 @@ def lsh_candidate_pairs(signatures: DataFrame, id_col: str = "doc_id",
         F.explode(F.array(*band_cols)).alias("band"),
     ).select(id_col, "band.band_idx", "band.band_key")
 
-    sized = banded.withColumn(
-        "_bucket_n", F.count("*").over(Window.partitionBy("band_idx", "band_key")))
-    banded = sized.filter(F.col("_bucket_n") <= max_bucket).drop("_bucket_n")
-
-    a = banded.alias("a")
-    b = banded.alias("b")
-    pairs = (a.join(b, (F.col("a.band_idx") == F.col("b.band_idx"))
-                    & (F.col("a.band_key") == F.col("b.band_key"))
-                    & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")))
-             .select(F.col(f"a.{id_col}").alias("doc_a"),
-                     F.col(f"b.{id_col}").alias("doc_b"))
-             .distinct())
-    return pairs
+    pairs = _bucket_pairs(banded, ["band_idx", "band_key"],
+                          F.col(id_col), max_bucket)
+    return (pairs.select(F.col("pair.a").alias("doc_a"),
+                         F.col("pair.b").alias("doc_b"))
+            .distinct())
 
 
 def jaccard_pairs(docs: DataFrame, pairs: DataFrame, text_col: str = "text",
@@ -168,13 +198,15 @@ def jaccard_pairs(docs: DataFrame, pairs: DataFrame, text_col: str = "text",
 # ---------------------------------------------------------------------------
 
 def simhash_fingerprints(docs: DataFrame, text_col: str = "text",
-                         id_col: str = "doc_id", bits: int = 16) -> DataFrame:
-    """16-bit SimHash over distinct word tokens.
+                         id_col: str = "doc_id", bits: int = 32) -> DataFrame:
+    """SimHash over distinct word tokens (default 32-bit).
 
     Per token: md5-derived integer; bit b contributes +1 if set else -1;
     fingerprint bit b is 1 iff the sum over tokens is > 0. One explode +
     one groupBy — ``bits`` conditional aggregates, no UDF.
     """
+    docs = docs.repartition(docs.sparkSession.sparkContext.defaultParallelism,
+                            id_col)
     tokens = docs.select(
         F.col(id_col),
         F.explode(F.array_distinct(F.split(normalize_text(F.col(text_col)), " ")))
@@ -195,12 +227,17 @@ def simhash_fingerprints(docs: DataFrame, text_col: str = "text",
 
 
 def simhash_near_pairs(fingerprints: DataFrame, id_col: str = "doc_id",
-                       bits: int = 16, bands: int = 4,
-                       max_hamming: int = 3) -> DataFrame:
+                       bits: int = 32, bands: int = 4,
+                       max_hamming: int = 3,
+                       max_bucket: int = 1000) -> DataFrame:
     """Banded near-pair search: split the fingerprint into ``bands``
     chunks; any pair within ``max_hamming`` (< bands) shares at least
-    one exact band (pigeonhole). Join per band, then exact Hamming
-    filter via bit_count(xor)."""
+    one exact band (pigeonhole). Bucket-local pair generation (no
+    self-join), then exact Hamming filter via bit_count(xor).
+
+    Band width = bits/bands controls bucket sizes: 8-bit bands over a
+    32-bit fingerprint keep random collisions ~1/256 per band — the
+    knob that prevents quadratic bucket blowup at scale."""
     band_bits = bits // bands
     mask = (1 << band_bits) - 1
     banded = fingerprints.select(
@@ -213,16 +250,16 @@ def simhash_near_pairs(fingerprints: DataFrame, id_col: str = "doc_id",
         ])).alias("band"),
     ).select(id_col, "simhash", "band.band_idx", "band.band_key")
 
-    a, b = banded.alias("a"), banded.alias("b")
-    pairs = (a.join(b, (F.col("a.band_idx") == F.col("b.band_idx"))
-                    & (F.col("a.band_key") == F.col("b.band_key"))
-                    & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")))
-             .select(F.col(f"a.{id_col}").alias("doc_a"),
-                     F.col(f"b.{id_col}").alias("doc_b"),
-                     F.col("a.simhash").alias("sim_a"),
-                     F.col("b.simhash").alias("sim_b"))
-             .distinct()
-             .withColumn("hamming",
-                         F.bit_count(F.col("sim_a").bitwiseXOR(F.col("sim_b")))))
-    return (pairs.filter(F.col("hamming") <= max_hamming)
+    pairs = _bucket_pairs(
+        banded, ["band_idx", "band_key"],
+        F.struct(F.col(id_col).alias("id"), F.col("simhash").alias("sh")),
+        max_bucket)
+    uniq = (pairs.select(F.col("pair.a.id").alias("doc_a"),
+                         F.col("pair.b.id").alias("doc_b"),
+                         F.col("pair.a.sh").alias("sim_a"),
+                         F.col("pair.b.sh").alias("sim_b"))
+            .distinct()
+            .withColumn("hamming",
+                        F.bit_count(F.col("sim_a").bitwiseXOR(F.col("sim_b")))))
+    return (uniq.filter(F.col("hamming") <= max_hamming)
             .select("doc_a", "doc_b", "hamming"))

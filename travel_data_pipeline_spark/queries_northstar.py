@@ -57,14 +57,23 @@ shingled AS (
          unnest(generate_series(1, greatest(len(w.words) - 2, 0))) AS i(i)
 )"""
 
+from travel_data_pipeline_spark.functions.hashing import (  # noqa: E402
+    affine_hash_sql,
+    affine_params,
+    minhash_base_sql,
+)
+
 _SIG_COLS = ", ".join(
-    "min(" + _md5_long_sql(f"'s{s}:' || shingle") + f") AS h{s}"
-    for s in range(NUM_HASHES))
+    "min(" + affine_hash_sql("base", a, b) + f") AS h{s}"
+    for s, (a, b) in enumerate(affine_params(NUM_HASHES)))
 
 _SIGS = f"""
+based AS (
+    SELECT doc_id, {minhash_base_sql('shingle')} AS base FROM shingled
+),
 sigs AS (
     SELECT doc_id, {_SIG_COLS}
-    FROM shingled GROUP BY doc_id
+    FROM based GROUP BY doc_id
 )"""
 
 
@@ -171,7 +180,7 @@ def dedup_minhash_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 # SimHash
 # ---------------------------------------------------------------------------
 
-def _simhash_sql(bits: int = 16) -> str:
+def _simhash_sql(bits: int = 32) -> str:
     bit_sums = ", ".join(
         f"SUM(CASE WHEN (h >> {b}) & 1 = 1 THEN 1 ELSE -1 END) AS bit{b}"
         for b in range(bits))
@@ -199,7 +208,7 @@ def dedup_simhash_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.simhash_fingerprints(docs)
 
 
-def _simhash_bands_sql(bits: int = 16, bands: int = 4) -> str:
+def _simhash_bands_sql(bits: int = 32, bands: int = 4) -> str:
     band_bits = bits // bands
     mask = (1 << band_bits) - 1
     selects = [
