@@ -1,0 +1,96 @@
+"""Physical-plan audits: the 100 TB posture is only real if the plans
+show it. Each test pins a property that must survive refactors —
+pushdown reaching the scan, dims broadcast, no duplicate exchanges,
+window-limit pushdown, JVM-only expressions (no Python eval in the
+relational query surface)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from travel_data_pipeline_spark.plans.flights import flight_value_query
+from travel_data_pipeline_spark.registry import QUERIES
+from travel_data_pipeline_spark.sources.readers import load_table
+
+
+def _plan(df, mode: str = "formatted") -> str:
+    return df._sc._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), mode)
+
+
+def _shuffle_exchanges(plan: str) -> int:
+    """Count shuffle Exchange nodes in the plan tree (BroadcastExchange
+    excluded — it is the cheap side by design)."""
+    return sum(1 for line in plan.splitlines() if "- Exchange (" in line)
+
+
+def test_flagship_single_exchange_and_window_limit(spark, sf_smoke):
+    plan = _plan(flight_value_query(spark, sf_smoke))
+    # one repartition exchange serves both window passes
+    assert _shuffle_exchanges(plan) == 1, plan
+    # top-1 pushes down as WindowGroupLimit
+    assert "WindowGroupLimit" in plan
+    # orders scan is pruned to the two needed columns
+    assert "o_orderkey:bigint,o_orderdate" in plan.replace(" ", "")
+
+
+def test_filter_pushdown_reaches_scan(spark, sf_smoke):
+    li = load_table(spark, sf_smoke, "lineitem")
+    df = li.filter(F.col("l_quantity") > 45).select("l_orderkey", "l_quantity")
+    plan = _plan(df)
+    assert "PushedFilters: [IsNotNull(l_quantity), GreaterThan(l_quantity,45.0)]" \
+        in plan, plan
+    assert "ReadSchema: struct<l_orderkey:bigint,l_quantity:double>" in plan
+
+
+def test_dimension_joins_broadcast(spark, sf_smoke):
+    plan = _plan(QUERIES["j2_dim_fanout"](spark, sf_smoke))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_semi_anti_plan_shapes(spark, sf_smoke):
+    semi_plan = _plan(QUERIES["semi_join_active_customers"](spark, sf_smoke))
+    anti_plan = _plan(QUERIES["anti_join_idle_customers"](spark, sf_smoke))
+    assert "LeftSemi" in semi_plan
+    assert "LeftAnti" in anti_plan
+
+
+def test_no_python_udfs_in_relational_queries(spark, sf_smoke):
+    """Everything except the two sanctioned Pandas surfaces must stay
+    JVM-side — BatchEvalPython/ArrowEvalPython in a plan means a Python
+    UDF crept into the hot path."""
+    sanctioned = {"multimodal_decode_meta", "multimodal_frame_sample"}
+    offenders = []
+    for name, fn in QUERIES.items():
+        if name in sanctioned:
+            continue
+        plan = _plan(fn(spark, sf_smoke), "extended")
+        if "EvalPython" in plan or "PythonUDF" in plan:
+            offenders.append(name)
+    assert not offenders, f"Python UDFs in: {offenders}"
+
+
+def test_pivot_single_aggregate_pass(spark, sf_smoke):
+    """Explicit pivot values -> no extra job to discover keys; the plan
+    reads the input once (partial + final agg), no join or union of
+    per-type subplans."""
+    plan = _plan(QUERIES["a5_pivot_wide"](spark, sf_smoke))
+    assert plan.count("Location: InMemoryFileIndex") == 1, plan
+    assert "Join" not in plan and "Union" not in plan
+
+
+def test_q5_broadcasts_small_dims(spark, sf_smoke):
+    plan = _plan(QUERIES["tpch_q5_local_supplier_volume"](spark, sf_smoke))
+    # nation + region must never shuffle
+    assert plan.count("BroadcastHashJoin") >= 2, plan
+
+
+@pytest.mark.parametrize("name", ["dedup_minhash_lsh", "simhash_near_pairs"])
+def test_dedup_has_no_self_join(spark, sf_smoke, name):
+    """Pair generation is bucket-local: exactly one aggregate over the
+    banded rows, no join operator at all in the pair step."""
+    plan = _plan(QUERIES[name](spark, sf_smoke))
+    assert "Join" not in plan.split("== Physical Plan ==")[-1] or \
+        "BroadcastHashJoin" not in plan.split("Generate explode")[0], plan

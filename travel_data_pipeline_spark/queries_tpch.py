@@ -1,0 +1,334 @@
+"""TPC-H-shaped structural coverage (SURVEY.md §5.3) — the join/agg/
+window shapes a 100 TB engine must get right, on the driver star schema.
+
+These go beyond the reference's own surface (its capability ceiling is
+Spark's, SURVEY.md §2.4/§2.5 'absent' notes) and are the queries whose
+physical plans the perf pass audits: join order, broadcast choices,
+partial aggregation, window-limit pushdown.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from travel_data_pipeline_spark.operators.aggregates import dec_avg, dec_sum
+from travel_data_pipeline_spark.registry import register
+from travel_data_pipeline_spark.sources.readers import load_table
+
+
+# ---------------------------------------------------------------------------
+# Q3-shape: 3-way join, filtered both sides, agg + top-10
+# ---------------------------------------------------------------------------
+
+@register("tpch_q3_shipping_priority", """
+SELECT l.l_orderkey,
+       CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(12,2))
+                * (1 - CAST(l.l_discount AS DECIMAL(4,2)))) AS DOUBLE)
+         AS revenue,
+       strftime(o.o_orderdate, '%Y-%m-%d') AS orderdate,
+       o.o_orderpriority
+FROM customer c
+JOIN orders o ON c.c_custkey = o.o_custkey
+JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+WHERE c.c_mktsegment = 'BUILDING'
+  AND o.o_orderdate < TIMESTAMP '1998-03-15'
+  AND l.l_shipdate > TIMESTAMP '1998-03-15'
+GROUP BY l.l_orderkey, o.o_orderdate, o.o_orderpriority
+ORDER BY revenue DESC, l_orderkey ASC
+LIMIT 10
+""")
+def tpch_q3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer").filter(
+        F.col("c_mktsegment") == "BUILDING")
+    o = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") < F.lit("1998-03-15").cast("timestamp"))
+    l = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") > F.lit("1998-03-15").cast("timestamp"))
+    price = F.col("l_extendedprice").cast("decimal(12,2)")
+    disc = F.col("l_discount").cast("decimal(4,2)")
+    return (c.join(o, c["c_custkey"] == o["o_custkey"])
+            .join(l, l["l_orderkey"] == o["o_orderkey"])
+            .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+            .agg(F.sum(price * (F.lit(1) - disc)).cast("double").alias("revenue"))
+            .select("l_orderkey", "revenue",
+                    F.date_format("o_orderdate", "yyyy-MM-dd").alias("orderdate"),
+                    "o_orderpriority")
+            .orderBy(F.col("revenue").desc(), F.col("l_orderkey").asc())
+            .limit(10))
+
+
+# ---------------------------------------------------------------------------
+# Q5-shape: 6-way snowflake join with dim filters
+# ---------------------------------------------------------------------------
+
+@register("tpch_q5_local_supplier_volume", """
+SELECT n.n_name,
+       CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(12,2))
+                * (1 - CAST(l.l_discount AS DECIMAL(4,2)))) AS DOUBLE)
+         AS revenue
+FROM customer c
+JOIN orders o ON c.c_custkey = o.o_custkey
+JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+JOIN supplier s ON l.l_suppkey = s.s_suppkey AND c.c_nationkey = s.s_nationkey
+JOIN nation n ON s.s_nationkey = n.n_nationkey
+JOIN region r ON n.n_regionkey = r.r_regionkey
+WHERE r.r_name = 'ASIA'
+  AND o.o_orderdate >= TIMESTAMP '1996-01-01'
+  AND o.o_orderdate < TIMESTAMP '1998-01-01'
+GROUP BY n.n_name
+""")
+def tpch_q5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp")))
+    l = load_table(spark, sf_dir, "lineitem")
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    price = F.col("l_extendedprice").cast("decimal(12,2)")
+    disc = F.col("l_discount").cast("decimal(4,2)")
+    return (c.join(o, c["c_custkey"] == o["o_custkey"])
+            .join(l, l["l_orderkey"] == o["o_orderkey"])
+            .join(s, (l["l_suppkey"] == s["s_suppkey"])
+                  & (c["c_nationkey"] == s["s_nationkey"]))
+            .join(F.broadcast(n), s["s_nationkey"] == n["n_nationkey"])
+            .join(F.broadcast(r), n["n_regionkey"] == r["r_regionkey"])
+            .groupBy("n_name")
+            .agg(F.sum(price * (F.lit(1) - disc)).cast("double").alias("revenue")))
+
+
+# ---------------------------------------------------------------------------
+# Q18-shape: having-style semi join on an aggregate
+# ---------------------------------------------------------------------------
+
+@register("tpch_q18_large_orders", """
+WITH big AS (
+    SELECT l_orderkey FROM lineitem
+    GROUP BY l_orderkey
+    HAVING SUM(CAST(l_quantity AS DECIMAL(18,2))) > 150
+)
+SELECT o.o_orderkey, o.o_custkey, o.o_totalprice,
+       CAST(SUM(CAST(l.l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS total_qty
+FROM orders o
+JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+WHERE o.o_orderkey IN (SELECT l_orderkey FROM big)
+GROUP BY o.o_orderkey, o.o_custkey, o.o_totalprice
+""")
+def tpch_q18(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    big = (l.groupBy("l_orderkey")
+           .agg(F.sum(F.col("l_quantity").cast("decimal(18,2)")).alias("q"))
+           .filter(F.col("q") > 150)
+           .select("l_orderkey"))
+    return (o.join(big.withColumnRenamed("l_orderkey", "o_orderkey"),
+                   "o_orderkey", "left_semi")
+            .join(l, o["o_orderkey"] == l["l_orderkey"])
+            .groupBy("o_orderkey", "o_custkey", "o_totalprice")
+            .agg(dec_sum("l_quantity", "total_qty")))
+
+
+# ---------------------------------------------------------------------------
+# Grouping sets (beyond rollup) + grouping() disambiguation
+# ---------------------------------------------------------------------------
+
+@register("grouping_sets_revenue", """
+SELECT l_returnflag, l_linestatus,
+       CAST(GROUPING(l_returnflag) AS INT) AS g_flag,
+       CAST(GROUPING(l_linestatus) AS INT) AS g_status,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+FROM lineitem
+GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+""")
+def grouping_sets_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    li.createOrReplaceTempView("_gs_lineitem")
+    return spark.sql("""
+        SELECT l_returnflag, l_linestatus,
+               CAST(GROUPING(l_returnflag) AS INT) AS g_flag,
+               CAST(GROUPING(l_linestatus) AS INT) AS g_status,
+               CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+                 AS revenue
+        FROM _gs_lineitem
+        GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+    """)
+
+
+# ---------------------------------------------------------------------------
+# Exact percentiles (continuous interpolation) + median
+# ---------------------------------------------------------------------------
+
+@register("percentiles_order_value", """
+SELECT o_orderpriority,
+       ROUND(quantile_cont(o_totalprice, 0.25), 4) AS p25,
+       ROUND(quantile_cont(o_totalprice, 0.50), 4) AS p50,
+       ROUND(quantile_cont(o_totalprice, 0.75), 4) AS p75,
+       ROUND(quantile_cont(o_totalprice, 0.95), 4) AS p95
+FROM orders GROUP BY o_orderpriority
+""")
+def percentiles_order_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    return (o.groupBy("o_orderpriority")
+            .agg(*[F.round(F.percentile("o_totalprice", F.lit(p)), 4)
+                   .alias(f"p{int(p * 100)}")
+                   for p in (0.25, 0.50, 0.75, 0.95)]))
+
+
+# ---------------------------------------------------------------------------
+# Distinct aggregation + conditional distinct
+# ---------------------------------------------------------------------------
+
+@register("distinct_aggregates", """
+SELECT l_returnflag,
+       COUNT(DISTINCT l_partkey) AS n_parts,
+       COUNT(DISTINCT l_suppkey) AS n_supps,
+       COUNT(DISTINCT CASE WHEN l_discount > 0.05 THEN l_orderkey END)
+         AS n_discounted_orders
+FROM lineitem GROUP BY l_returnflag
+""")
+def distinct_aggregates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return (li.groupBy("l_returnflag")
+            .agg(F.countDistinct("l_partkey").alias("n_parts"),
+                 F.countDistinct("l_suppkey").alias("n_supps"),
+                 F.countDistinct(
+                     F.when(F.col("l_discount") > 0.05, F.col("l_orderkey")))
+                  .alias("n_discounted_orders")))
+
+
+# ---------------------------------------------------------------------------
+# Window range frames + running aggregates + ntile
+# ---------------------------------------------------------------------------
+
+@register("window_running_frames", """
+SELECT o_custkey, o_orderkey,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)))
+            OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                  ROWS UNBOUNDED PRECEDING) AS DOUBLE) AS running_total,
+       CAST(AVG(o_totalprice)
+            OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                  ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS DOUBLE)
+         AS moving_avg_3,
+       NTILE(4) OVER (PARTITION BY o_custkey
+                      ORDER BY o_totalprice DESC, o_orderkey) AS price_quartile,
+       FIRST_VALUE(o_orderkey)
+         OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+         AS first_order
+FROM orders
+""")
+def window_running_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    seq = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    return o.select(
+        "o_custkey", "o_orderkey",
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+         .over(seq.rowsBetween(Window.unboundedPreceding, 0))
+         .cast("double").alias("running_total"),
+        F.avg("o_totalprice").over(seq.rowsBetween(-2, 0))
+         .cast("double").alias("moving_avg_3"),
+        F.ntile(4).over(
+            Window.partitionBy("o_custkey")
+            .orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey")))
+         .alias("price_quartile"),
+        F.first("o_orderkey").over(seq).alias("first_order"))
+
+
+# ---------------------------------------------------------------------------
+# Correlated EXISTS subquery (decorrelated by Catalyst)
+# ---------------------------------------------------------------------------
+
+@register("exists_subquery_parts", """
+SELECT p.p_partkey, p.p_brand
+FROM part p
+WHERE EXISTS (
+    SELECT 1 FROM lineitem l
+    WHERE l.l_partkey = p.p_partkey AND l.l_quantity > 45
+)
+""")
+def exists_subquery_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = load_table(spark, sf_dir, "part")
+    l = load_table(spark, sf_dir, "lineitem")
+    p.createOrReplaceTempView("_eq_part")
+    l.createOrReplaceTempView("_eq_lineitem")
+    return spark.sql("""
+        SELECT p.p_partkey, p.p_brand FROM _eq_part p
+        WHERE EXISTS (SELECT 1 FROM _eq_lineitem l
+                      WHERE l.l_partkey = p.p_partkey AND l.l_quantity > 45)
+    """)
+
+
+# ---------------------------------------------------------------------------
+# X7/X8 — trailing-month generation + dual-timezone rendering
+# ---------------------------------------------------------------------------
+
+@register("x7_x8_time_suite", """
+WITH months AS (
+    SELECT o_orderkey, o_orderdate,
+           unnest(generate_series(
+               date_trunc('month', CAST(o_orderdate AS DATE)) - INTERVAL 2 MONTH,
+               date_trunc('month', CAST(o_orderdate AS DATE)),
+               INTERVAL 1 MONTH)) AS month_start
+    FROM orders WHERE o_orderkey < 100
+)
+SELECT o_orderkey,
+       strftime(CAST(month_start AS DATE), '%Y-%m-%d') AS trailing_month,
+       strftime(o_orderdate, '%Y-%m-%dT%H:%M:%S+00:00') AS utc_iso,
+       strftime(o_orderdate + INTERVAL 9 HOUR, '%Y-%m-%dT%H:%M:%S+09:00')
+         AS kst_iso
+FROM months
+""")
+def x7_x8_time_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X7 trailing-month sequence (exchage_rate_crawler.py:503-515's
+    year-borrow loop as sequence()) + X8 dual-timezone ISO rendering
+    (:256-264; KST = UTC+9, no DST)."""
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_orderkey") < 100)
+    months = o.select(
+        "o_orderkey", "o_orderdate",
+        F.explode(F.sequence(
+            F.add_months(F.trunc("o_orderdate", "month"), -2),
+            F.trunc("o_orderdate", "month"),
+            F.expr("interval 1 month"))).alias("month_start"))
+    return months.select(
+        "o_orderkey",
+        F.date_format("month_start", "yyyy-MM-dd").alias("trailing_month"),
+        F.concat(F.date_format("o_orderdate", "yyyy-MM-dd'T'HH:mm:ss"),
+                 F.lit("+00:00")).alias("utc_iso"),
+        F.concat(F.date_format(
+            F.from_utc_timestamp("o_orderdate", "Asia/Seoul"),
+            "yyyy-MM-dd'T'HH:mm:ss"), F.lit("+09:00")).alias("kst_iso"))
+
+
+# ---------------------------------------------------------------------------
+# T2 — producer fan-out: keyword batching into task messages (K2/X19)
+# ---------------------------------------------------------------------------
+
+@register("t2_task_messages", """
+WITH keywords AS (
+    SELECT n_name || ' travel' AS kw,
+           ROW_NUMBER() OVER (ORDER BY n_name) - 1 AS idx
+    FROM nation
+),
+grouped AS (
+    SELECT CAST(idx // 4 AS INT) AS group_id, kw, idx
+    FROM keywords
+)
+SELECT group_id,
+       list_aggregate(list_sort(list(kw)), 'string_agg', '|') AS keywords,
+       CAST(COUNT(*) + 1 AS BIGINT) AS batch_size_with_anchor
+FROM grouped GROUP BY group_id
+""")
+def t2_task_messages(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T2 (google_trends_trigger.py:106-127): chunk keywords 4-per-task,
+    +1 anchor per batch. The queue hop becomes a task table keyed by
+    group_id — parallelism by partition, not process fan-out."""
+    n = load_table(spark, sf_dir, "nation")
+    kws = n.select(
+        F.concat("n_name", F.lit(" travel")).alias("kw"),
+        (F.row_number().over(Window.orderBy("n_name")) - 1).alias("idx"))
+    grouped = kws.withColumn("group_id", (F.col("idx") / 4).cast("int"))
+    return (grouped.groupBy("group_id")
+            .agg(F.array_join(F.sort_array(F.collect_list("kw")), "|")
+                  .alias("keywords"),
+                 (F.count("*") + 1).alias("batch_size_with_anchor")))

@@ -40,3 +40,4 @@ def register(name: str, oracle: str | None = None):
 from travel_data_pipeline_spark import queries_core  # noqa: E402,F401
 from travel_data_pipeline_spark import queries_domain  # noqa: E402,F401
 from travel_data_pipeline_spark import queries_northstar  # noqa: E402,F401
+from travel_data_pipeline_spark import queries_tpch  # noqa: E402,F401
