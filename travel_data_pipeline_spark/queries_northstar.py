@@ -479,3 +479,90 @@ def multimodal_decode_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
 def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     return frame_sample_stub(documents_as_media(docs), every_n=3)
+
+
+# ---------------------------------------------------------------------------
+# The composed training-data curation pipeline: quality filter -> lang
+# filter -> exact dedup -> near-dup removal -> token accounting. One
+# declarative plan, every stage reused from the operators above.
+# ---------------------------------------------------------------------------
+
+@register("pipeline_training_data", f"""
+WITH {_AUG_DOCS},
+{_NORMED},
+{_SHINGLED},
+{_SIGS},
+{_banded_sql()},
+pairs AS (
+    SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+    FROM banded a JOIN banded b
+      ON a.band_idx = b.band_idx AND a.band_key = b.band_key
+     AND a.doc_id < b.doc_id
+),
+sets AS (SELECT DISTINCT doc_id, shingle FROM shingled),
+sizes AS (SELECT doc_id, COUNT(*) AS set_size FROM sets GROUP BY doc_id),
+inter AS (
+    SELECT p.doc_a, p.doc_b, COUNT(*) AS inter_n
+    FROM pairs p
+    JOIN sets sa ON sa.doc_id = p.doc_a
+    JOIN sets sb ON sb.doc_id = p.doc_b AND sb.shingle = sa.shingle
+    GROUP BY p.doc_a, p.doc_b
+),
+neardups AS (
+    SELECT i.doc_b AS dropped
+    FROM inter i
+    JOIN sizes za ON za.doc_id = i.doc_a
+    JOIN sizes zb ON zb.doc_id = i.doc_b
+    WHERE ROUND(i.inter_n / (za.set_size + zb.set_size - i.inter_n), 6) >= 0.8
+),
+exact_survivors AS (
+    SELECT MIN(doc_id) AS doc_id FROM normed GROUP BY md5(norm)
+),
+quality AS (
+    SELECT d.doc_id, d.norm,
+           length(d.norm) AS n_chars,
+           list_filter(string_split(d.norm, ' '), x -> x <> '') AS toks
+    FROM normed d
+)
+SELECT q.doc_id,
+       CAST(len(q.toks) AS INT) AS n_tokens,
+       CAST(n_chars AS BIGINT) AS n_chars
+FROM quality q
+JOIN exact_survivors e USING (doc_id)
+WHERE q.doc_id NOT IN (SELECT dropped FROM neardups)
+  AND len(q.toks) >= 10
+  AND len(list_filter(q.toks,
+        x -> list_contains({_stop_list_sql('en')}, x))) > 0
+""")
+def pipeline_training_data(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end curation: exact dedup (keep min id) -> MinHash-LSH
+    candidates -> Jaccard >= 0.8 near-dup removal (drop the larger id)
+    -> length + english-stopword quality gate -> token accounting.
+
+    At 100 TB each stage is a bounded-shuffle operator from
+    operators/dedup.py; nothing collects to the driver.
+    """
+    docs = _augmented_docs(spark, sf_dir)
+
+    sigs = dedup.minhash_signatures(docs, num_hashes=NUM_HASHES)
+    pairs = dedup.lsh_candidate_pairs(sigs, num_hashes=NUM_HASHES, bands=BANDS)
+    verified = dedup.jaccard_pairs(docs, pairs, threshold=0.8)
+    dropped = verified.select(F.col("doc_b").alias("doc_id")).distinct()
+
+    survivors = dedup.exact_dedup(docs).select("doc_id")
+
+    normed = docs.select(
+        "doc_id", dedup.normalize_text(F.col("text")).alias("norm"))
+    toks = text.token_array(F.col("norm"))
+    quality = normed.select(
+        "doc_id",
+        F.size(toks).cast("int").alias("n_tokens"),
+        F.length("norm").cast("long").alias("n_chars"),
+        F.size(F.filter(toks, lambda t: t.isin(
+            *[F.lit(w) for w in text.STOPWORDS["en"]]))).alias("_en_hits"))
+
+    return (quality
+            .join(survivors, "doc_id", "left_semi")
+            .join(dropped, "doc_id", "left_anti")
+            .filter((F.col("n_tokens") >= 10) & (F.col("_en_hits") > 0))
+            .select("doc_id", "n_tokens", "n_chars"))

@@ -72,7 +72,11 @@ def read_json_events(spark: SparkSession, path: str,
     """S1/S3 analogue — landed raw JSON with a nested schema, PERMISSIVE
     mode so malformed rows surface in ``_corrupt_record`` (the engine
     version of the reference's skip-and-log at
-    exchage_rate_crawler.py:190-197, F3)."""
+    exchage_rate_crawler.py:190-197, F3).
+
+    Note: Spark refuses queries that reference ONLY ``_corrupt_record``
+    on a raw scan — ``.cache()`` the frame before auditing it.
+    """
     full = T.StructType(schema.fields + [T.StructField("_corrupt_record", T.StringType())])
     return spark.read.json(path, schema=full, mode="PERMISSIVE",
                            columnNameOfCorruptRecord="_corrupt_record")
