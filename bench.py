@@ -25,14 +25,17 @@ if REPO_ROOT not in sys.path:
 HEADLINE = [
     "flight_value_w2_j4",
     "a3_pricing_summary",
+    "tpch_q5_local_supplier_volume",
     "j2_dim_fanout",
     "a5_pivot_wide",
     "w2_top3_orders_per_customer",
     "sessionize_events",
+    "asof_last_order",
     "dedup_minhash_lsh",
     "simhash_near_pairs",
     "embedding_cosine_topk",
     "text_quality_scores",
+    "pipeline_training_data",
 ]
 
 

@@ -205,6 +205,23 @@ def test_clamp_always_in_range(spark):
     assert lo >= 0.0 and hi <= 100.0
 
 
+def test_approximate_aggregates_bounds(spark, sf_smoke):
+    """Approximate aggregates (SURVEY.md §2.4 'absent in reference',
+    engine exposes Spark's): approx_count_distinct within its published
+    rsd, percentile_approx close to the exact interpolated percentile."""
+    from travel_data_pipeline_spark.sources.readers import load_table
+
+    li = load_table(spark, sf_smoke, "lineitem")
+    row = li.agg(
+        F.countDistinct("l_partkey").alias("exact"),
+        F.approx_count_distinct("l_partkey", rsd=0.02).alias("approx"),
+        F.percentile(F.col("l_extendedprice"), F.lit(0.5)).alias("p50_exact"),
+        F.percentile_approx("l_extendedprice", 0.5, 10000).alias("p50_approx"),
+    ).first()
+    assert abs(row.approx - row.exact) / row.exact < 0.05
+    assert abs(row.p50_approx - row.p50_exact) / row.p50_exact < 0.02
+
+
 def test_unpivot_roundtrip_count(spark, sf_smoke):
     from travel_data_pipeline_spark.sources.readers import load_table
 

@@ -540,7 +540,11 @@ def pipeline_training_data(spark: SparkSession, sf_dir: str) -> DataFrame:
     -> length + english-stopword quality gate -> token accounting.
 
     At 100 TB each stage is a bounded-shuffle operator from
-    operators/dedup.py; nothing collects to the driver.
+    operators/dedup.py; nothing collects to the driver. The input is
+    consumed by four independent subplans (signatures, shingle sets,
+    exact-dedup keys, quality gate) — measured here, re-scanning the
+    parquet beats .cache(): the in-memory relation breaks whole-stage
+    codegen over the explode-heavy paths and costs more than the scan.
     """
     docs = _augmented_docs(spark, sf_dir)
 
