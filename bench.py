@@ -55,10 +55,13 @@ def main() -> None:
     names = [n for n in HEADLINE if n in registry.QUERIES]
     timings: dict[str, float] = {}
     for name in names:
-        df = registry.QUERIES[name](spark, sf_dir)
-        t0 = time.perf_counter()
-        df.write.format("noop").mode("overwrite").save()
-        timings[name] = round(time.perf_counter() - t0, 3)
+        best = float("inf")
+        for _ in range(2):  # best-of-2: damps scan-cache/JIT variance
+            df = registry.QUERIES[name](spark, sf_dir)
+            t0 = time.perf_counter()
+            df.write.format("noop").mode("overwrite").save()
+            best = min(best, time.perf_counter() - t0)
+        timings[name] = round(best, 3)
 
     sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "")
     try:
