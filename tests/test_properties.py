@@ -1,0 +1,118 @@
+"""Property-based checks (SURVEY.md §5.4) via hypothesis.
+
+Each property evaluates a BATCH of generated examples in one Spark job
+(hypothesis drives the data generation; Spark evaluates vectorized) —
+one JVM round-trip per property, not per example.
+"""
+
+from __future__ import annotations
+
+import math
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+
+from travel_data_pipeline_spark.functions import scalars as X
+from travel_data_pipeline_spark.functions import scores
+
+finite = st.floats(allow_nan=False, allow_infinity=False,
+                   min_value=-1e12, max_value=1e12)
+small = st.floats(allow_nan=False, allow_infinity=False,
+                  min_value=-1e6, max_value=1e6)
+
+
+def _eval_batch(spark, rows, schema, col):
+    df = spark.createDataFrame(rows, schema)
+    return [r.v for r in df.select(col.alias("v")).collect()]
+
+
+@settings(max_examples=1, deadline=None)
+@given(st.lists(finite, min_size=50, max_size=50))
+def test_clamp_bounds_property(spark, xs):
+    got = _eval_batch(spark, [(x,) for x in xs], "x double",
+                      X.clamp(F.col("x"), 0.0, 100.0))
+    for x, v in zip(xs, got):
+        assert 0.0 <= v <= 100.0
+        if 0.0 <= x <= 100.0:
+            assert v == x
+
+
+@settings(max_examples=1, deadline=None)
+@given(st.lists(st.tuples(small, small), min_size=50, max_size=50))
+def test_growth_rate_total_function(spark, pairs):
+    """growth_rate never yields NULL/NaN for finite inputs, and matches
+    the reference's three-branch definition."""
+    got = _eval_batch(spark, list(pairs), "recent double, prior double",
+                      scores.growth_rate(F.col("recent"), F.col("prior")))
+    for (recent, prior), v in zip(pairs, got):
+        assert v is not None and not math.isnan(v)
+        if prior > 0:
+            assert v == (recent - prior) / prior
+        elif recent > 0:
+            assert v == recent / 1e-6
+        else:
+            assert v == 0.0
+
+
+@settings(max_examples=1, deadline=None)
+@given(st.lists(st.tuples(small, st.floats(min_value=0, max_value=100)),
+                min_size=50, max_size=50))
+def test_trend_score_range_property(spark, pairs):
+    got = _eval_batch(spark, list(pairs), "g double, i double",
+                      scores.trend_score(F.col("g"), F.col("i")))
+    assert all(0.0 <= v <= 100.0 for v in got)
+
+
+@settings(max_examples=1, deadline=None)
+@given(st.lists(st.tuples(
+    st.one_of(st.none(), st.floats(min_value=0, max_value=1e9,
+                                   allow_nan=False)),
+    st.one_of(st.none(), st.floats(min_value=-10, max_value=1e9,
+                                   allow_nan=False))),
+    min_size=50, max_size=50))
+def test_exchange_score_gate_property(spark, pairs):
+    """Score is 0.0 exactly when gated (null input or yearly<=0), else
+    in [0,100] — F6's contract for every input combination."""
+    got = _eval_batch(spark, list(pairs), "rt double, yr double",
+                      scores.exchange_score(F.col("rt"), F.col("yr")))
+    for (rt, yr), v in zip(pairs, got):
+        valid = rt is not None and yr is not None and yr > 0
+        if not valid:
+            assert v == 0.0
+        else:
+            assert 0.0 <= v <= 100.0
+
+
+@settings(max_examples=1, deadline=None)
+@given(st.lists(st.integers(min_value=-10**9, max_value=10**9),
+                min_size=30, max_size=30))
+def test_parse_rate_thousands_roundtrip(spark, vals):
+    """parse_rate inverts thousands-separator formatting for any value
+    (X2's contract beyond the fixture cases)."""
+    rows = [(f"{v:,}",) for v in vals]
+    got = _eval_batch(spark, rows, "c string", X.parse_rate("c"))
+    assert got == [float(v) for v in vals]
+
+
+@settings(max_examples=1, deadline=None)
+@given(st.lists(st.text(
+    alphabet=st.characters(whitelist_categories=("Ll", "Lu", "Nd", "Zs")),
+    min_size=0, max_size=200), min_size=20, max_size=20))
+def test_shingles_count_property(spark, texts):
+    """word_shingles yields max(0, n_words - 2) shingles of exactly 3
+    words each, for arbitrary unicode word-soup."""
+    from travel_data_pipeline_spark.operators.dedup import (
+        normalize_text,
+        word_shingles,
+    )
+
+    rows = [(t,) for t in texts]
+    df = spark.createDataFrame(rows, "t string")
+    got = df.select(
+        F.size(F.split(normalize_text(F.col("t")), " ")).alias("n_words"),
+        F.size(word_shingles(F.col("t"))).alias("n_shingles"),
+        F.col("t")).collect()
+    for r in got:
+        expected = max(0, r.n_words - 2)
+        assert r.n_shingles == expected, r.t

@@ -42,13 +42,20 @@ def word_shingles(text: Column, n: int = 3) -> Column:
     Pure expression: split -> transform over a sequence of offsets ->
     slice+join. Duplicate shingles are harmless for min-hash (min of a
     multiset == min of its set).
+
+    Texts with fewer than n words yield an empty array: Spark's
+    sequence(1, 0) is DESCENDING [1, 0] (not empty like DuckDB's
+    generate_series), so the short case takes an explicit empty branch
+    (CASE WHEN evaluates branches lazily — no invalid slice runs).
     """
     words = F.split(normalize_text(text), " ")
-    n_sh = F.greatest(F.size(words) - F.lit(n - 1), F.lit(0))
-    return F.transform(
+    n_sh = F.size(words) - F.lit(n - 1)
+    shingles = F.transform(
         F.sequence(F.lit(1), n_sh),
         lambda i: F.array_join(F.slice(words, i, n), " "),
     )
+    return F.when(n_sh >= 1, shingles).otherwise(
+        F.array().cast("array<string>"))
 
 
 # ---------------------------------------------------------------------------
