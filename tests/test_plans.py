@@ -87,6 +87,20 @@ def test_q5_broadcasts_small_dims(spark, sf_smoke):
     assert plan.count("BroadcastHashJoin") >= 2, plan
 
 
+def test_join_hints_respected(spark, sf_smoke):
+    """Strategy hints must survive to the physical plan — at 100 TB the
+    one place the optimizer needs a human override is a dim that is
+    small in stats but large in reality (or vice versa)."""
+    li = load_table(spark, sf_smoke, "lineitem")
+    o = load_table(spark, sf_smoke, "orders")
+    merged = li.join(o.hint("merge"), li["l_orderkey"] == o["o_orderkey"])
+    assert "SortMergeJoin" in _plan(merged)
+    shuffled = li.join(o.hint("shuffle_hash"), li["l_orderkey"] == o["o_orderkey"])
+    assert "ShuffledHashJoin" in _plan(shuffled)
+    bcast = li.join(F.broadcast(o), li["l_orderkey"] == o["o_orderkey"])
+    assert "BroadcastHashJoin" in _plan(bcast)
+
+
 @pytest.mark.parametrize("name", ["dedup_minhash_lsh", "simhash_near_pairs"])
 def test_dedup_has_no_self_join(spark, sf_smoke, name):
     """Pair generation is bucket-local: exactly one aggregate over the

@@ -136,6 +136,47 @@ def test_stateful_running_totals(spark, sf_smoke, events_batch):
     assert got == batch
 
 
+def test_exchange_stream_matches_batch(spark, tmp_path):
+    """SURVEY.md §3.1 streaming leg: stream the raw exchange cells as
+    JSON micro-batches through the SAME parse/score expressions and
+    land on the batch pipeline's exact country-grain scores."""
+    import json
+
+    from travel_data_pipeline_spark import fixtures as FX
+    from travel_data_pipeline_spark.plans.exchange import (
+        exchange_scores,
+        exchange_scores_stream,
+    )
+
+    src = tmp_path / "cells"
+    src.mkdir()
+    # two micro-batch files: realtime/daily first, the rest later —
+    # the conditional-agg fold accumulates across batches (A5 semantics)
+    rows = [dict(zip(FX.EXCHANGE_CELLS_COLS, r)) for r in FX.EXCHANGE_CELLS_ROWS]
+    first = [r for r in rows if r["rate_type"] == "realtime"]
+    rest = [r for r in rows if r["rate_type"] != "realtime"]
+    (src / "b1.jsonl").write_text("\n".join(json.dumps(r) for r in first))
+    (src / "b2.jsonl").write_text("\n".join(json.dumps(r) for r in rest))
+
+    stream = (spark.readStream
+              .schema("currency_cell string, rate_type string, "
+                      "period string, rate_cell string")
+              .option("maxFilesPerTrigger", 1)
+              .json(str(src)))
+    out = exchange_scores_stream(spark, stream)
+    q = (out.writeStream.format("memory").queryName("ex_stream")
+         .outputMode("complete").trigger(availableNow=True).start())
+    q.awaitTermination(120)
+
+    got = {r.country_code_3: (r.exchange_rate_change_percent,
+                              r.exchange_rate_score)
+           for r in spark.table("ex_stream").collect()}
+    batch = {r.country_code_3: (r.exchange_rate_change_percent,
+                                r.exchange_rate_score)
+             for r in exchange_scores(spark).collect()}
+    assert got == batch
+
+
 def test_late_data_dropped_by_watermark(spark, tmp_path):
     """Inject late rows behind the watermark via two ordered files and
     assert the watermark semantics path runs (T5 upgrade)."""

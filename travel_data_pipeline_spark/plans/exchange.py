@@ -129,3 +129,32 @@ SELECT m.country_code_3, p.currency_code, p.period, p.rate AS monthly_rate
 FROM parsed p JOIN master m ON p.currency_code = m.currency_code
 WHERE p.rate_type = 'monthly_avg'
 """
+
+
+# ---------------------------------------------------------------------------
+# Streaming leg — SURVEY.md §3.1: the 5-min crawl cadence becomes a
+# micro-batched stream of raw cell JSON; the SAME parse/score
+# expressions run incrementally. Streaming can't pivot(), so the A5
+# fold is spelled as conditional aggregation (update/complete mode);
+# the master join is a stream-static broadcast join.
+# ---------------------------------------------------------------------------
+
+def exchange_scores_stream(spark: SparkSession, cells_stream: DataFrame) -> DataFrame:
+    """cells_stream: streaming DF with the EXCHANGE_CELLS schema."""
+    parsed = cells_stream.select(
+        X.extract_currency_code("currency_cell").alias("currency_code"),
+        "rate_type",
+        X.parse_rate("rate_cell").alias("rate"))
+    wide = (parsed.filter(F.col("rate_type").isin(*RATE_TYPES))
+            .groupBy("currency_code")
+            .agg(*[F.max(F.when(F.col("rate_type") == rt, F.col("rate")))
+                   .alias(rt) for rt in RATE_TYPES]))
+    master = FX.to_spark(spark, FX.COUNTRY_MASTER_ROWS, FX.COUNTRY_MASTER_SCHEMA)
+    joined = wide.join(F.broadcast(master), "currency_code", "inner")
+    rt, yr = F.col("realtime"), F.col("yearly_avg")
+    return joined.select(
+        "country_code_3", "currency_code",
+        F.col("realtime").alias("realtime_rate"),
+        F.col("yearly_avg").alias("yearly_avg_rate"),
+        scores.exchange_change_pct(rt, yr).alias("exchange_rate_change_percent"),
+        scores.exchange_score(rt, yr).alias("exchange_rate_score"))

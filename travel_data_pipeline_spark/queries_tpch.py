@@ -157,6 +157,23 @@ def grouping_sets_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# CUBE — all grouping combinations (completes the rollup/sets family)
+# ---------------------------------------------------------------------------
+
+@register("cube_order_priorities", """
+SELECT o_orderstatus, o_orderpriority,
+       COUNT(*) AS n,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)
+""")
+def cube_order_priorities(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    return (o.cube("o_orderstatus", "o_orderpriority")
+            .agg(F.count("*").alias("n"),
+                 dec_sum("o_totalprice", "total")))
+
+
+# ---------------------------------------------------------------------------
 # Exact percentiles (continuous interpolation) + median
 # ---------------------------------------------------------------------------
 
