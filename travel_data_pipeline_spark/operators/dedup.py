@@ -21,7 +21,7 @@ pipelines do.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from travel_data_pipeline_spark.functions.hashing import md5_long_seeded

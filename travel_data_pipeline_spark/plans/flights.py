@@ -22,7 +22,6 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from travel_data_pipeline_spark.functions import scores
-from travel_data_pipeline_spark.operators.aggregates import dec_avg
 from travel_data_pipeline_spark.operators.windows import topk_per_group
 from travel_data_pipeline_spark.sources.readers import load_table
 

@@ -10,12 +10,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from travel_data_pipeline_spark.functions import scalars as X
-from travel_data_pipeline_spark.operators.aggregates import (
-    dec_avg,
-    dec_sum,
-    last_value_per_key,
-    recent_vs_prior_mean,
-)
+from travel_data_pipeline_spark.operators.aggregates import dec_avg, dec_sum
 from travel_data_pipeline_spark.operators.joins import anti, broadcast_left, semi
 from travel_data_pipeline_spark.operators.windows import sessionize, topk_per_group
 from travel_data_pipeline_spark.plans.flights import (

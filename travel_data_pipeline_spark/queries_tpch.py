@@ -12,7 +12,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from travel_data_pipeline_spark.operators.aggregates import dec_avg, dec_sum
+from travel_data_pipeline_spark.operators.aggregates import dec_sum
 from travel_data_pipeline_spark.registry import register
 from travel_data_pipeline_spark.sources.readers import load_table
 
