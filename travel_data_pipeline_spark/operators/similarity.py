@@ -64,6 +64,69 @@ def brute_force_topk(embeddings: DataFrame, queries: DataFrame, k: int = 5,
             .select(query_id, "neighbor_id", "cosine_sim", "rnk"))
 
 
+def random_planes(n_planes: int, dim: int, seed: int = 13) -> list[list[float]]:
+    """Deterministic pseudo-random hyperplanes for sign-LSH, generated
+    driver-side and embedded as LITERALS in both the Spark expression
+    and the oracle SQL — bit-identical by construction."""
+    import random
+
+    rng = random.Random(seed)
+    return [[round(rng.uniform(-1.0, 1.0), 6) for _ in range(dim)]
+            for _ in range(n_planes)]
+
+
+def signature_bits(vec: Column, planes: list[list[float]]) -> Column:
+    """Sign-LSH bucket key: bit p = (dot(vec, plane_p) >= 0)."""
+    total = F.lit(0).cast("long")
+    for p, plane in enumerate(planes):
+        lit_plane = F.array(*[F.lit(x) for x in plane])
+        bit = F.when(_dot(vec, lit_plane) >= 0, F.lit(1 << p)).otherwise(F.lit(0))
+        total = total + bit
+    return total
+
+
+def cosine_near_dup_lsh(embeddings: DataFrame, planes: list[list[float]],
+                        bands: int = 2, threshold: float = 0.99,
+                        id_col: str = "vec_id", vec_col: str = "embedding",
+                        max_bucket: int = 1000) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs, sign-LSH bucketed.
+
+    Same scale shape as the text dedup family: signature -> banded
+    bucket keys -> bucket-local pair expansion (no self-join) -> exact
+    cosine verify. A pair survives if ANY band matches and cosine >=
+    threshold. Bits-per-band = len(planes)//bands controls collision
+    rate exactly like SimHash band width.
+    """
+    from travel_data_pipeline_spark.operators.dedup import _bucket_pairs
+
+    n_planes = len(planes)
+    band_bits = n_planes // bands
+    mask = (1 << band_bits) - 1
+    sigged = embeddings.select(
+        F.col(id_col), as_double(F.col(vec_col)).alias("v"),
+        signature_bits(as_double(F.col(vec_col)), planes).alias("sig"))
+    banded = sigged.select(
+        id_col, "v",
+        F.explode(F.array(*[
+            F.struct(F.lit(b).alias("band_idx"),
+                     F.shiftright(F.col("sig"), b * band_bits)
+                      .bitwiseAND(F.lit(mask)).alias("band_key"))
+            for b in range(bands)
+        ])).alias("band"),
+    ).select(id_col, "v", "band.band_idx", "band.band_key")
+
+    pairs = _bucket_pairs(
+        banded, ["band_idx", "band_key"],
+        F.struct(F.col(id_col).alias("id"), F.col("v").alias("v")),
+        max_bucket)
+    scored = (pairs.select(
+        F.col("pair.a.id").alias("vec_a"), F.col("pair.b.id").alias("vec_b"),
+        F.round(cosine(F.col("pair.a.v"), F.col("pair.b.v")), 6)
+         .alias("cosine_sim"))
+        .distinct())
+    return scored.filter(F.col("cosine_sim") >= threshold)
+
+
 def assign_clusters(embeddings: DataFrame, centroids: DataFrame,
                     id_col: str = "vec_id", vec_col: str = "embedding",
                     centroid_id: str = "centroid_id") -> DataFrame:

@@ -343,6 +343,60 @@ def embedding_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Embedding-cosine near-dup (sign-LSH bucketed; planted scaled copies —
+# cosine is scale-invariant, so a 1.5x copy is an exact near-dup)
+# ---------------------------------------------------------------------------
+
+_PLANES = similarity.random_planes(16, 64)
+
+
+def _near_dup_oracle() -> str:
+    bands, band_bits = 2, 8
+    mask = (1 << band_bits) - 1
+    plane_lits = ["[" + ", ".join(repr(x) for x in p) + "]" for p in _PLANES]
+    sig = " + ".join(
+        f"(CASE WHEN list_dot_product(v, {pl}) >= 0 THEN {1 << i} ELSE 0 END)"
+        for i, pl in enumerate(plane_lits))
+    band_rows = "\nUNION ALL\n".join(
+        f"SELECT vec_id, v, {b} AS band_idx, (sig >> {b * band_bits}) & {mask}"
+        f" AS band_key FROM sigged" for b in range(bands))
+    return f"""
+WITH aug AS (
+    SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+    UNION ALL
+    SELECT vec_id + {PLANT_OFFSET},
+           list_transform(CAST(embedding AS DOUBLE[]), x -> x * 1.5)
+    FROM embeddings WHERE vec_id < 5
+),
+sigged AS (SELECT vec_id, v, CAST({sig} AS BIGINT) AS sig FROM aug),
+banded AS ({band_rows}),
+pairs AS (
+    SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b,
+           ROUND(list_dot_product(a.v, b.v)
+                 / (sqrt(list_dot_product(a.v, a.v))
+                    * sqrt(list_dot_product(b.v, b.v))), 6) AS cosine_sim
+    FROM banded a JOIN banded b
+      ON a.band_idx = b.band_idx AND a.band_key = b.band_key
+     AND a.vec_id < b.vec_id
+)
+SELECT vec_a, vec_b, cosine_sim FROM pairs WHERE cosine_sim >= 0.99
+"""
+
+
+@register("dedup_embedding_cosine", _near_dup_oracle())
+def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    planted = (emb.filter(F.col("vec_id") < 5)
+               .select((F.col("vec_id") + PLANT_OFFSET).alias("vec_id"),
+                       F.transform(F.col("embedding").cast("array<double>"),
+                                   lambda x: x * 1.5).alias("embedding")))
+    aug = emb.select("vec_id",
+                     F.col("embedding").cast("array<double>").alias("embedding")) \
+             .unionByName(planted)
+    return similarity.cosine_near_dup_lsh(aug, _PLANES, bands=2, threshold=0.99)
+
+
+# ---------------------------------------------------------------------------
 # Text analysis
 # ---------------------------------------------------------------------------
 

@@ -318,6 +318,66 @@ def x7_x8_time_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Range join — value-band lookup (SURVEY.md §2.3's flagged extension
+# family). The tier dim is tiny -> broadcast nested-loop with a BETWEEN
+# predicate, the correct plan for band joins at any fact scale.
+# ---------------------------------------------------------------------------
+
+_TIERS = [("bronze", 0.0, 50.0), ("silver", 50.0, 150.0),
+          ("gold", 150.0, 250.0), ("platinum", 250.0, 1e9)]
+
+@register("range_join_value_tiers", f"""
+WITH tiers AS (
+    SELECT * FROM (VALUES
+        {', '.join(f"('{n}', {lo}, {hi})" for n, lo, hi in _TIERS)}
+    ) AS t(tier, lo, hi)
+)
+SELECT t.tier, COUNT(*) AS n,
+       CAST(SUM(CAST(e.value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+FROM events e JOIN tiers t ON e.value >= t.lo AND e.value < t.hi
+GROUP BY t.tier
+""")
+def range_join_value_tiers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    tiers = spark.createDataFrame(_TIERS, "tier string, lo double, hi double")
+    joined = e.join(F.broadcast(tiers),
+                    (e["value"] >= tiers["lo"]) & (e["value"] < tiers["hi"]))
+    return (joined.groupBy("tier")
+            .agg(F.count("*").alias("n"),
+                 dec_sum("value", "total_value")))
+
+
+# ---------------------------------------------------------------------------
+# Statistical aggregates — corr / covar / stddev / regr_slope family
+# (absent in reference; engine exposes Spark's built-ins; rounded 6 dp
+# because sum-of-squares accumulation order differs across engines)
+# ---------------------------------------------------------------------------
+
+@register("stats_aggregates", """
+SELECT e.event_type,
+       ROUND(corr(e.value, CAST(json_extract_string(e.props, '$.k') AS DOUBLE)),
+             6) AS corr_vk,
+       ROUND(covar_samp(e.value,
+             CAST(json_extract_string(e.props, '$.k') AS DOUBLE)), 6) AS covar_vk,
+       ROUND(stddev_samp(e.value), 6) AS sd_value,
+       ROUND(var_samp(e.value), 6) AS var_value,
+       ROUND(regr_slope(e.value,
+             CAST(json_extract_string(e.props, '$.k') AS DOUBLE)), 6) AS slope_vk
+FROM events e GROUP BY e.event_type
+""")
+def stats_aggregates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("double")
+    v = F.col("value")
+    return (e.groupBy("event_type")
+            .agg(F.round(F.corr(v, k), 6).alias("corr_vk"),
+                 F.round(F.covar_samp(v, k), 6).alias("covar_vk"),
+                 F.round(F.stddev_samp(v), 6).alias("sd_value"),
+                 F.round(F.var_samp(v), 6).alias("var_value"),
+                 F.round(F.regr_slope(v, k), 6).alias("slope_vk")))
+
+
+# ---------------------------------------------------------------------------
 # T2 — producer fan-out: keyword batching into task messages (K2/X19)
 # ---------------------------------------------------------------------------
 
