@@ -136,6 +136,84 @@ def test_stateful_running_totals(spark, sf_smoke, events_batch):
     assert got == batch
 
 
+def test_checkpoint_restart_exactly_once(spark, tmp_path):
+    """T3 — restarting a checkpointed stream after new data arrives
+    processes ONLY the new files: no duplicates, no gaps."""
+    src = tmp_path / "src"
+    src.mkdir()
+    out, ckpt = str(tmp_path / "out"), str(tmp_path / "ckpt")
+    schema = "event_id long, value double"
+
+    spark.createDataFrame([(1, 1.0), (2, 2.0)], schema) \
+         .coalesce(1).write.parquet(str(src / "f1"))
+    stream = (spark.readStream.schema(schema)
+              .option("recursiveFileLookup", "true").parquet(str(src)))
+    q = (stream.writeStream.format("parquet").option("path", out)
+         .option("checkpointLocation", ckpt)
+         .trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    assert spark.read.parquet(out).count() == 2
+
+    spark.createDataFrame([(3, 3.0)], schema) \
+         .coalesce(1).write.parquet(str(src / "f2"))
+    stream2 = (spark.readStream.schema(schema)
+               .option("recursiveFileLookup", "true").parquet(str(src)))
+    q2 = (stream2.writeStream.format("parquet").option("path", out)
+          .option("checkpointLocation", ckpt)
+          .trigger(availableNow=True).start())
+    q2.awaitTermination(120)
+    got = sorted(r.event_id for r in spark.read.parquet(out).collect())
+    assert got == [1, 2, 3]  # exactly once: no re-processing of f1
+
+
+def test_trends_stateful_growth_matches_batch(spark, tmp_path):
+    """The stateful trends operator converges to the batch pipeline's
+    recent/prior means + epsilon growth after consuming the same rows
+    across two micro-batches (SURVEY.md §3.2 streaming twin)."""
+    import math
+
+    from pyspark.sql import Window
+
+    from travel_data_pipeline_spark import fixtures as FX
+    from travel_data_pipeline_spark.plans.trends import keyword_stats
+
+    src = tmp_path / "trends"
+    src.mkdir()
+    schema = "group_id int, keyword string, ts timestamp, interest int"
+    rows = sorted(FX.TRENDS_ROWS, key=lambda r: r[2])
+    half = len(rows) // 2
+    spark.createDataFrame(rows[:half], schema).coalesce(1) \
+         .write.parquet(str(src / "b1"))
+    spark.createDataFrame(rows[half:], schema).coalesce(1) \
+         .write.parquet(str(src / "b2"))
+
+    stream = (spark.readStream.schema(schema)
+              .option("maxFilesPerTrigger", 1)
+              .option("recursiveFileLookup", "true")
+              .parquet(str(src)))
+    out = jobs.trends_growth_stateful(stream)
+    q = (out.writeStream.format("memory").queryName("trend_state")
+         .outputMode("update").trigger(availableNow=True).start())
+    q.awaitTermination(120)
+
+    # last update per key == full-history stats
+    got_df = spark.table("trend_state")
+    w = Window.partitionBy("group_id", "keyword").orderBy(F.col("n_obs").desc())
+    latest = (got_df.withColumn("rn", F.row_number().over(w))
+              .filter(F.col("rn") == 1))
+    got = {(r.group_id, r.keyword): (r.recent_mean, r.prior_mean)
+           for r in latest.collect()}
+
+    batch = {(r.group_id, r.keyword): (r.recent_mean, r.prior_mean)
+             for r in keyword_stats(spark).collect()}
+    assert set(got) == set(batch)
+    for k, (rm, pm) in batch.items():
+        grm, gpm = got[k]
+        assert math.isclose(grm, rm, rel_tol=1e-9), (k, grm, rm)
+        assert (pm is None and math.isnan(gpm)) or \
+            math.isclose(gpm, pm, rel_tol=1e-9), (k, gpm, pm)
+
+
 def test_exchange_stream_matches_batch(spark, tmp_path):
     """SURVEY.md §3.1 streaming leg: stream the raw exchange cells as
     JSON micro-batches through the SAME parse/score expressions and

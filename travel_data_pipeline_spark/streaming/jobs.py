@@ -164,6 +164,77 @@ def to_json_sink(events: DataFrame, out_dir: str,
             .start())
 
 
+def trends_growth_stateful(trends: DataFrame, window: int = 15) -> DataFrame:
+    """The trends pipeline's streaming twin: per (group_id, keyword),
+    keep the most recent 2*window observations in state and emit the
+    reference's recent/prior means + epsilon growth each micro-batch
+    (google_trends_crawler.py:71-92 semantics, incremental).
+
+    State is two bounded parallel arrays (ts micros, interest) — memory
+    per key is O(2*window), so 100k keywords cost ~100 MB of state.
+    """
+    import pandas as pd  # noqa: F401
+
+    out_schema = T.StructType([
+        T.StructField("group_id", T.IntegerType()),
+        T.StructField("keyword", T.StringType()),
+        T.StructField("recent_mean", T.DoubleType()),
+        T.StructField("prior_mean", T.DoubleType()),
+        T.StructField("raw_growth", T.DoubleType()),
+        T.StructField("last_interest", T.DoubleType()),
+        T.StructField("n_obs", T.LongType()),
+    ])
+    state_schema = T.StructType([
+        T.StructField("ts", T.ArrayType(T.LongType())),
+        T.StructField("interest", T.ArrayType(T.DoubleType())),
+    ])
+    cap = 2 * window
+
+    # self-contained closure (executors may lack this repo on sys.path)
+    def update(key, pdfs, state):
+        import math
+
+        import pandas as pd
+
+        ts, vals = state.get if state.exists else ([], [])
+        ts, vals = list(ts), list(vals)
+        for pdf in pdfs:
+            for t, v in zip(pdf["ts"], pdf["interest"]):
+                micros = int(t.value // 1000)  # pandas Timestamp ns -> us
+                ts.append(micros)
+                vals.append(float(v) if v is not None and not (
+                    isinstance(v, float) and math.isnan(v)) else float("nan"))
+        order = sorted(range(len(ts)), key=lambda i: ts[i])[-cap:]
+        ts = [ts[i] for i in order]
+        vals = [vals[i] for i in order]
+        state.update((ts, vals))
+
+        def mean(xs):
+            xs = [x for x in xs if not math.isnan(x)]
+            return sum(xs) / len(xs) if xs else float("nan")
+
+        recent = mean(vals[-window:])
+        prior = mean(vals[-2 * window:-window])
+        if not math.isnan(prior) and prior > 0:
+            growth = (recent - prior) / prior
+        elif not math.isnan(recent) and recent > 0:
+            growth = recent / 1e-6
+        else:
+            growth = 0.0
+        last = vals[-1] if vals else float("nan")
+        yield pd.DataFrame({
+            "group_id": [key[0]], "keyword": [key[1]],
+            "recent_mean": [recent], "prior_mean": [prior],
+            "raw_growth": [growth],
+            "last_interest": [0.0 if math.isnan(last) else last],
+            "n_obs": [len(vals)],
+        })
+
+    return (trends.groupBy("group_id", "keyword")
+            .applyInPandasWithState(update, out_schema, state_schema,
+                                    "update", "NoTimeout"))
+
+
 def running_totals_stateful(events: DataFrame) -> DataFrame:
     """Custom stateful operator via applyInPandasWithState: per-user
     running value total + event count across micro-batches (the
