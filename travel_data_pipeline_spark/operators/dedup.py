@@ -171,7 +171,16 @@ def jaccard_pairs(docs: DataFrame, pairs: DataFrame, text_col: str = "text",
 
     |A ∩ B| via a shingle-level join restricted to candidates; set sizes
     from per-doc distinct counts. Returns (doc_a, doc_b, jaccard).
+
+    Scale note: shingle sets are built ONLY for docs that appear in a
+    candidate pair (semi-join first) — after LSH, candidates are a tiny
+    fraction of the corpus, so this avoids exploding shingles for
+    everything a second time.
     """
+    candidate_ids = (pairs.select(F.col("doc_a").alias(id_col))
+                     .unionByName(pairs.select(F.col("doc_b").alias(id_col)))
+                     .distinct())
+    docs = docs.join(candidate_ids, id_col, "left_semi")
     sh = docs.select(
         F.col(id_col),
         F.explode(F.array_distinct(word_shingles(F.col(text_col), shingle_n)))
