@@ -1,0 +1,70 @@
+"""Scale-pattern demonstrations: AQE skew-join splitting and the
+Python UDTF surface (SURVEY.md §2.9's row-expanding shape).
+
+These pin behaviors that only matter at cluster scale but must be
+provably wired locally: a skewed join partition gets split by AQE, and
+the sanctioned UDF surfaces work end-to-end.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+
+@pytest.fixture()
+def restore_confs(spark):
+    keys = ["spark.sql.autoBroadcastJoinThreshold",
+            "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+            "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+            "spark.sql.adaptive.skewJoin.skewedPartitionFactor"]
+    saved = {k: spark.conf.get(k) for k in keys}
+    yield
+    for k, v in saved.items():
+        spark.conf.set(k, v)
+
+
+def test_aqe_splits_skewed_join(spark, restore_confs):
+    """One hot key holding ~90% of rows: AQE's skew-join must split the
+    oversized partition (final adaptive plan carries the skew marker).
+    This is the runtime answer to SURVEY.md §4's low-cardinality-key
+    risk when salting isn't applied."""
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    spark.conf.set(
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "16KB")
+    spark.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "8KB")
+    spark.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "2")
+
+    left = spark.range(200_000).select(
+        F.when(F.col("id") % 10 < 9, F.lit(7)).otherwise(F.col("id"))
+         .alias("key"),
+        F.col("id").alias("payload"))
+    right = spark.range(1000).select(
+        F.col("id").alias("key"), (F.col("id") * 2).alias("rv"))
+    # collect THIS DataFrame (df.count() would spawn a separate
+    # execution and leave this one's adaptive plan unfinalized)
+    joined = left.join(right, "key").groupBy().count()
+    assert joined.collect()[0]["count"] == 180_100
+    final_plan = joined._jdf.queryExecution().executedPlan().toString()
+    assert "isFinalPlan=true" in final_plan
+    assert "SortMergeJoin(skew=true)" in final_plan, final_plan
+
+
+def test_python_udtf_surface(spark):
+    """Spark 4 Python UDTF — the row-expanding shape the reference's
+    extract_flight_info has (_archive/flight_price_preprocessing.py:3-49).
+    The engine solves that one with explode (X20, zero Python); this
+    pins that the UDTF escape hatch works when semantics ever demand it.
+    """
+    from pyspark.sql.functions import lit, udtf
+
+    @udtf(returnType="pos: int, token: string")
+    class Tokenize:
+        def eval(self, text: str):
+            for i, tok in enumerate(text.split(" ")):
+                if tok:
+                    yield i, tok
+
+    rows = Tokenize(lit("big data on spark")).collect()
+    assert [(r.pos, r.token) for r in rows] == [
+        (0, "big"), (1, "data"), (2, "on"), (3, "spark")]
