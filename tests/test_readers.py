@@ -63,6 +63,23 @@ def test_json_dim_reader_multiline(spark, tmp_path):
     assert rows["DEU"].google_trend_keyword_kor is None
 
 
+def test_schema_evolution_merge(spark, tmp_path):
+    """Schema evolution across landed batches: a later batch adds a
+    column; mergeSchema unifies, old rows read NULL. At 100 TB, raw
+    layers accrete columns over months — this is the contract that
+    keeps old partitions readable."""
+    p = str(tmp_path / "evolving")
+    spark.createDataFrame([(1, "a")], "id long, name string") \
+         .write.mode("append").parquet(p)
+    spark.createDataFrame([(2, "b", 9.5)],
+                          "id long, name string, score double") \
+         .write.mode("append").parquet(p)
+    merged = spark.read.option("mergeSchema", "true").parquet(p)
+    rows = {r.id: (r.name, r.score) for r in merged.collect()}
+    assert rows == {1: ("a", None), 2: ("b", 9.5)}
+    assert set(merged.columns) == {"id", "name", "score"}
+
+
 def test_null_audit_surfaces_uncovered_rows(spark, sf_smoke):
     """J8 — rows the dimension fails to cover stay queryable instead of
     being silently inner-joined away."""

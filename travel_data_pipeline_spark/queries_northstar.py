@@ -343,6 +343,89 @@ def embedding_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Standalone character-n-gram Jaccard with blocking (the classic
+# "blocked pairwise" dedup: candidates = same (lang, length-bucket),
+# not LSH — completes the dedup-method family)
+# ---------------------------------------------------------------------------
+
+@register("dedup_ngram_jaccard_blocked", """
+WITH blocked AS (
+    SELECT doc_id, lang, CAST(n_chars // 100 AS INT) AS len_bucket,
+           trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS norm
+    FROM documents
+),
+pairs AS (
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           a.norm AS norm_a, b.norm AS norm_b
+    FROM blocked a JOIN blocked b
+      ON a.lang = b.lang AND a.len_bucket = b.len_bucket
+     AND a.doc_id < b.doc_id
+),
+grams AS (
+    SELECT doc_id, substr(norm, i.i, 5) AS g
+    FROM blocked, unnest(generate_series(1, greatest(length(norm) - 4, 0)))
+         AS i(i)
+),
+sets AS (SELECT DISTINCT doc_id, g FROM grams),
+sizes AS (SELECT doc_id, COUNT(*) AS n FROM sets GROUP BY doc_id),
+inter AS (
+    SELECT p.doc_a, p.doc_b, COUNT(*) AS inter_n
+    FROM (SELECT doc_a, doc_b FROM pairs) p
+    JOIN sets sa ON sa.doc_id = p.doc_a
+    JOIN sets sb ON sb.doc_id = p.doc_b AND sb.g = sa.g
+    GROUP BY p.doc_a, p.doc_b
+)
+SELECT i.doc_a, i.doc_b,
+       ROUND(i.inter_n / (za.n + zb.n - i.inter_n), 6) AS char_jaccard
+FROM inter i
+JOIN sizes za ON za.doc_id = i.doc_a
+JOIN sizes zb ON zb.doc_id = i.doc_b
+WHERE ROUND(i.inter_n / (za.n + zb.n - i.inter_n), 6) >= 0.5
+""")
+def dedup_ngram_jaccard_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Character-5-gram Jaccard over blocked candidates (same lang and
+    100-char length bucket). Blocking bounds the quadratic term the way
+    production blocked-dedup does when no LSH index exists; the n-gram
+    intersection is an equi-join on (doc_b, gram) — no theta join."""
+    docs = load_table(spark, sf_dir, "documents")
+    blocked = docs.select(
+        "doc_id", "lang",
+        (F.col("n_chars") / 100).cast("int").alias("len_bucket"),
+        dedup.normalize_text(F.col("text")).alias("norm"))
+
+    a = blocked.select(F.col("doc_id").alias("doc_a"), "lang", "len_bucket")
+    b = blocked.select(F.col("doc_id").alias("doc_b"), "lang", "len_bucket")
+    pairs = (a.join(b, ["lang", "len_bucket"])
+             .filter(F.col("doc_a") < F.col("doc_b"))
+             .select("doc_a", "doc_b"))
+
+    n_grams = F.greatest(F.length("norm") - F.lit(4), F.lit(0))
+    grams = blocked.select(
+        "doc_id",
+        F.explode(F.when(n_grams >= 1, F.transform(
+            F.sequence(F.lit(1), n_grams),
+            lambda i: F.col("norm").substr(i, F.lit(5))))
+            .otherwise(F.array().cast("array<string>"))).alias("g"))
+    sets = grams.distinct()
+    sizes = sets.groupBy("doc_id").agg(F.count("*").alias("n"))
+
+    sa = sets.select(F.col("doc_id").alias("doc_a"), "g")
+    sb = sets.select(F.col("doc_id").alias("doc_b"), "g")
+    inter = (pairs.join(sa, "doc_a").join(sb, ["doc_b", "g"])
+             .groupBy("doc_a", "doc_b").agg(F.count("*").alias("inter_n")))
+
+    out = (inter
+           .join(sizes.withColumnsRenamed({"doc_id": "doc_a", "n": "n_a"}), "doc_a")
+           .join(sizes.withColumnsRenamed({"doc_id": "doc_b", "n": "n_b"}), "doc_b")
+           .withColumn("char_jaccard",
+                       F.round(F.col("inter_n")
+                               / (F.col("n_a") + F.col("n_b") - F.col("inter_n")),
+                               6)))
+    return (out.filter(F.col("char_jaccard") >= 0.5)
+            .select("doc_a", "doc_b", "char_jaccard"))
+
+
+# ---------------------------------------------------------------------------
 # Embedding-cosine near-dup (sign-LSH bucketed; planted scaled copies —
 # cosine is scale-invariant, so a 1.5x copy is an exact near-dup)
 # ---------------------------------------------------------------------------
