@@ -35,6 +35,17 @@ def test_flagship_single_exchange_and_window_limit(spark, sf_smoke):
     assert "o_orderkey:bigint,o_orderdate" in plan.replace(" ", "")
 
 
+def test_flagship_agg_variant_has_no_window(spark, sf_smoke):
+    from travel_data_pipeline_spark.plans.flights import flight_value_agg_query
+
+    plan = _plan(flight_value_agg_query(spark, sf_smoke))
+    # the cluster-scale form: pure two-stage aggregation, zero sorts
+    # of the fact; both exchanges sit above partial aggregates
+    assert "Window" not in plan, plan
+    assert _shuffle_exchanges(plan) == 2, plan
+    assert "Aggregate" in plan
+
+
 def test_filter_pushdown_reaches_scan(spark, sf_smoke):
     li = load_table(spark, sf_smoke, "lineitem")
     df = li.filter(F.col("l_quantity") > 45).select("l_orderkey", "l_quantity")

@@ -26,6 +26,11 @@ from travel_data_pipeline_spark.sources.readers import load_table
 
 register("flight_value_w2_j4", FLIGHT_VALUE_ORACLE)(flight_value_query)
 
+# cluster-scale two-stage-aggregation formulation, same oracle
+from travel_data_pipeline_spark.plans.flights import flight_value_agg_query  # noqa: E402
+
+register("flight_value_agg_variant", FLIGHT_VALUE_ORACLE)(flight_value_agg_query)
+
 
 # ---------------------------------------------------------------------------
 # A3/A6 + X14 — pricing summary (TPC-H Q1 shape; grouped aggs galore)
