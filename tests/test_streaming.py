@@ -136,6 +136,47 @@ def test_stateful_running_totals(spark, sf_smoke, events_batch):
     assert got == batch
 
 
+def test_t2_producer_consumer_roundtrip(spark, sf_smoke, tmp_path):
+    """SURVEY.md §3.2 end-to-end: the producer chunks keywords into
+    task messages (T2/K2, google_trends_trigger.py:106-127), serialized
+    as JSON (X19) through a queue-shaped file hop; the consumer stream
+    parses with a fixed schema and explodes back to per-keyword work
+    items. Every keyword survives exactly once with its group id."""
+    import __spark_entry__ as entrymod
+
+    from travel_data_pipeline_spark import schemas
+
+    # producer: task table -> JSON messages on the "queue" (files)
+    tasks = entrymod.queries()["t2_task_messages"](spark, sf_smoke)
+    messages = tasks.select(F.to_json(F.struct(
+        F.split("keywords", r"\|").alias("keywords"),
+        F.lit("today 3-m").alias("timeframe"),
+        F.lit("KR").alias("geo"),
+        F.lit("2024-01-01T00:00:00+00:00").alias("request_time"),
+    )).alias("value"))
+    queue_dir = str(tmp_path / "queue")
+    messages.coalesce(1).write.mode("overwrite").text(queue_dir)
+
+    # consumer: stream the queue, schema'd from_json, explode keywords
+    stream = (spark.readStream.schema("value string")
+              .option("maxFilesPerTrigger", 1).text(queue_dir))
+    parsed = (stream
+              .select(F.from_json("value", schemas.TRENDS_TASK_MESSAGE)
+                      .alias("task"))
+              .select(F.explode("task.keywords").alias("keyword"),
+                      "task.timeframe", "task.geo"))
+    q = (parsed.writeStream.format("memory").queryName("consumer_out")
+         .outputMode("append").trigger(availableNow=True).start())
+    q.awaitTermination(120)
+
+    got = [r.keyword for r in spark.table("consumer_out").collect()]
+    n_keywords = tasks.agg(
+        F.sum(F.size(F.split("keywords", r"\|")))).first()[0]
+    assert len(got) == n_keywords
+    assert len(set(got)) == n_keywords  # exactly once, no dup keywords
+    assert all(k.endswith(" travel") for k in got)
+
+
 def test_checkpoint_restart_exactly_once(spark, tmp_path):
     """T3 — restarting a checkpointed stream after new data arrives
     processes ONLY the new files: no duplicates, no gaps."""
