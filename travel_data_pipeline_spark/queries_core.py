@@ -563,6 +563,30 @@ def x19_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# W1 — rolling row-frame mean (the reference's trailing-observation
+# window in its rolling form, google_trends_crawler.py:71-72)
+# ---------------------------------------------------------------------------
+
+@register("w1_rolling_mean", """
+SELECT user_id, event_id,
+       CAST(SUM(CAST(value AS DECIMAL(18,2)))
+            OVER w AS DOUBLE) / COUNT(value) OVER w AS rolling_mean_15,
+       COUNT(value) OVER w AS window_n
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY ts
+             ROWS BETWEEN 14 PRECEDING AND CURRENT ROW)
+""")
+def w1_rolling_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    w = (Window.partitionBy("user_id").orderBy("ts").rowsBetween(-14, 0))
+    return e.select(
+        "user_id", "event_id",
+        (F.sum(F.col("value").cast("decimal(18,2)")).over(w).cast("double")
+         / F.count("value").over(w)).alias("rolling_mean_15"),
+        F.count("value").over(w).alias("window_n"))
+
+
+# ---------------------------------------------------------------------------
 # As-of join — nearest order at-or-before each event (SURVEY.md §2.3's
 # flagged natural extension; scalable union+window form, no range blowup)
 # ---------------------------------------------------------------------------

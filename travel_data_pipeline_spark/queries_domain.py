@@ -104,6 +104,24 @@ def flight_nested_flatten(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# F9 — the reference's commented-out route filter, made real:
+# ICN-departure economy segments only (_archive/flight_avg_merge.py:67-74)
+# ---------------------------------------------------------------------------
+
+_F9_ORACLE = _flight_flatten_oracle().replace(
+    "FROM seg\n",
+    "FROM seg\nWHERE s.segment.source.station.code = 'ICN'"
+    " AND s.segment.cabinClass = 'ECONOMY'\n")
+
+
+@register("f9_route_filter", _F9_ORACLE)
+def f9_route_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    flat = flight_nested_flatten(spark, sf_dir)
+    return flat.filter((F.col("src_airport") == "ICN")
+                       & (F.col("cabin_class") == "ECONOMY"))
+
+
+# ---------------------------------------------------------------------------
 # J9 — final destination-attractiveness join (README.md:80-87 [prose-only])
 # ---------------------------------------------------------------------------
 
