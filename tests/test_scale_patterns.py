@@ -50,6 +50,31 @@ def test_aqe_splits_skewed_join(spark, restore_confs):
     assert "SortMergeJoin(skew=true)" in final_plan, final_plan
 
 
+def test_salted_join_equals_plain_join(spark, restore_confs):
+    """Explicit salt-and-replicate join is row-identical to the plain
+    join on skewed data, and its plan hash-partitions on (key, salt) —
+    each hot key spread over B reducers."""
+    from travel_data_pipeline_spark.operators.joins import salted_join
+
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    left = spark.range(100_000).select(
+        F.when(F.col("id") % 10 < 9, F.lit(3)).otherwise(F.col("id"))
+         .alias("key"),
+        F.col("id").alias("payload"))
+    right = spark.range(500).select(
+        F.col("id").alias("key"), (F.col("id") * 7).alias("rv"))
+
+    plain = left.join(right, "key")
+    salted = salted_join(left, right, "key", salt_buckets=8)
+    assert salted.count() == plain.count()
+    p_sum = plain.agg(F.sum("payload"), F.sum("rv")).first()
+    s_sum = salted.agg(F.sum("payload"), F.sum("rv")).first()
+    assert tuple(p_sum) == tuple(s_sum)
+
+    plan = salted._jdf.queryExecution().executedPlan().toString()
+    assert "_salt" in plan
+
+
 def test_python_udtf_surface(spark):
     """Spark 4 Python UDTF — the row-expanding shape the reference's
     extract_flight_info has (_archive/flight_price_preprocessing.py:3-49).

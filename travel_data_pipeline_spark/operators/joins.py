@@ -118,6 +118,29 @@ def anti(fact: DataFrame, other: DataFrame, on: str | Sequence[str]) -> DataFram
     return fact.join(other, on, "left_anti")
 
 
+def salted_join(skewed: DataFrame, other: DataFrame, on: str,
+                salt_buckets: int = 16, how: str = "inner") -> DataFrame:
+    """Explicit salt-and-replicate equi-join for skewed keys.
+
+    The skewed side gets a random salt in [0, B); the other side is
+    replicated B times with every salt value; the join runs on
+    (key, salt), spreading each hot key over B reducers. Result is
+    row-identical to the plain join. Use when AQE is unavailable or the
+    skew lives in an aggregation-feeding join AQE won't split; AQE's
+    runtime path is tests/test_scale_patterns.py.
+
+    Cost model: replicates ``other`` B times — only worth it when
+    ``other`` is much smaller than the skewed side's hot partitions
+    (the usual case: dim or pre-aggregated side).
+    """
+    salted = skewed.withColumn("_salt", (F.rand(seed=11) * salt_buckets)
+                               .cast("int"))
+    replicated = other.withColumn(
+        "_salt", F.explode(F.array(*[F.lit(i) for i in range(salt_buckets)])))
+    out = salted.join(replicated, [on, "_salt"], how)
+    return out.drop("_salt")
+
+
 def asof_join(fact: DataFrame, quotes: DataFrame, key: str,
               fact_ts: str, quote_ts: str,
               quote_cols: Sequence[str]) -> DataFrame:

@@ -131,6 +131,121 @@ def tpch_q18(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Q2-shape: correlated min-subquery (cheapest supplier per part)
+# ---------------------------------------------------------------------------
+
+@register("tpch_q2_min_supplier", """
+WITH costs AS (
+    SELECT l.l_partkey, l.l_suppkey,
+           CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+             / CAST(SUM(CAST(l.l_quantity AS DECIMAL(18,2))) AS DOUBLE)
+             AS unit_cost
+    FROM lineitem l GROUP BY l.l_partkey, l.l_suppkey
+)
+SELECT c.l_partkey, c.l_suppkey, c.unit_cost, s.s_name
+FROM costs c JOIN supplier s ON c.l_suppkey = s.s_suppkey
+WHERE c.unit_cost = (SELECT MIN(c2.unit_cost) FROM costs c2
+                     WHERE c2.l_partkey = c.l_partkey)
+""")
+def tpch_q2_min_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated min-subquery, decorrelated by Catalyst into an
+    aggregate + join (exactly what the hand-written plan would be)."""
+    l = load_table(spark, sf_dir, "lineitem")
+    s = load_table(spark, sf_dir, "supplier")
+    l.createOrReplaceTempView("_q2_lineitem")
+    s.createOrReplaceTempView("_q2_supplier")
+    return spark.sql("""
+        WITH costs AS (
+            SELECT l_partkey, l_suppkey,
+                   CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+                     / CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)
+                     AS unit_cost
+            FROM _q2_lineitem GROUP BY l_partkey, l_suppkey
+        )
+        SELECT c.l_partkey, c.l_suppkey, c.unit_cost, s.s_name
+        FROM costs c JOIN _q2_supplier s ON c.l_suppkey = s.s_suppkey
+        WHERE c.unit_cost = (SELECT MIN(c2.unit_cost) FROM costs c2
+                             WHERE c2.l_partkey = c.l_partkey)
+    """)
+
+
+# ---------------------------------------------------------------------------
+# Q11-shape: HAVING against a global-aggregate scalar subquery
+# ---------------------------------------------------------------------------
+
+@register("tpch_q11_important_stock", """
+SELECT l_partkey,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS part_value
+FROM lineitem
+GROUP BY l_partkey
+HAVING SUM(CAST(l_extendedprice AS DECIMAL(18,2))) >
+       (SELECT SUM(CAST(l_extendedprice AS DECIMAL(18,2))) * 0.001
+        FROM lineitem)
+""")
+def tpch_q11_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Group filter against a fraction of the GLOBAL total — the scalar
+    subquery broadcasts as a one-row literal, no re-scan join."""
+    li = load_table(spark, sf_dir, "lineitem")
+    li.createOrReplaceTempView("_q11_lineitem")
+    return spark.sql("""
+        SELECT l_partkey,
+               CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+                 AS part_value
+        FROM _q11_lineitem
+        GROUP BY l_partkey
+        HAVING SUM(CAST(l_extendedprice AS DECIMAL(18,2))) >
+               (SELECT SUM(CAST(l_extendedprice AS DECIMAL(18,2))) * 0.001
+                FROM _q11_lineitem)
+    """)
+
+
+# ---------------------------------------------------------------------------
+# Q21-shape: stacked semi + anti joins (suppliers who kept orders
+# waiting where no other supplier on the same order also shipped late)
+# ---------------------------------------------------------------------------
+
+@register("tpch_q21_waiting_suppliers", """
+WITH late AS (
+    SELECT DISTINCT l_orderkey, l_suppkey FROM lineitem
+    WHERE l_shipdate > TIMESTAMP '2000-01-01'
+),
+all_supp AS (SELECT DISTINCT l_orderkey, l_suppkey FROM lineitem)
+SELECT s.s_name, COUNT(*) AS numwait
+FROM late l1
+JOIN supplier s ON l1.l_suppkey = s.s_suppkey
+WHERE EXISTS (SELECT 1 FROM all_supp a
+              WHERE a.l_orderkey = l1.l_orderkey
+                AND a.l_suppkey <> l1.l_suppkey)
+  AND NOT EXISTS (SELECT 1 FROM late l2
+                  WHERE l2.l_orderkey = l1.l_orderkey
+                    AND l2.l_suppkey <> l1.l_suppkey)
+GROUP BY s.s_name
+""")
+def tpch_q21_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    s = load_table(spark, sf_dir, "supplier")
+    li.createOrReplaceTempView("_q21_lineitem")
+    s.createOrReplaceTempView("_q21_supplier")
+    return spark.sql("""
+        WITH late AS (
+            SELECT DISTINCT l_orderkey, l_suppkey FROM _q21_lineitem
+            WHERE l_shipdate > TIMESTAMP '2000-01-01'
+        ),
+        all_supp AS (SELECT DISTINCT l_orderkey, l_suppkey FROM _q21_lineitem)
+        SELECT s.s_name, COUNT(*) AS numwait
+        FROM late l1
+        JOIN _q21_supplier s ON l1.l_suppkey = s.s_suppkey
+        WHERE EXISTS (SELECT 1 FROM all_supp a
+                      WHERE a.l_orderkey = l1.l_orderkey
+                        AND a.l_suppkey <> l1.l_suppkey)
+          AND NOT EXISTS (SELECT 1 FROM late l2
+                          WHERE l2.l_orderkey = l1.l_orderkey
+                            AND l2.l_suppkey <> l1.l_suppkey)
+        GROUP BY s.s_name
+    """)
+
+
+# ---------------------------------------------------------------------------
 # Grouping sets (beyond rollup) + grouping() disambiguation
 # ---------------------------------------------------------------------------
 
