@@ -296,6 +296,59 @@ def test_exchange_stream_matches_batch(spark, tmp_path):
     assert got == batch
 
 
+def test_watermark_exact_emission_and_late_drop(spark, tmp_path):
+    """Watermark accuracy, multi-batch: a row arriving behind the
+    watermark is excluded from its (already-closed) window, and
+    append-mode emits exactly the windows the watermark has passed.
+
+    batch 1: events at 09:10 (x2), 10:10, 12:00  -> max ts 12:00,
+             watermark after batch = 10:00 (2h delay)
+    batch 2: LATE 09:30 (behind watermark -> dropped) + 13:00
+             -> watermark 11:00; windows ending <= 11:00 emit:
+             [09:00) n=2 (late row NOT counted), [10:00) n=1
+    """
+    import datetime as dt
+
+    src = tmp_path / "wm_src"
+    src.mkdir()
+    schema = "event_id long, ts timestamp, value double"
+    d = dt.datetime
+    b1 = [(1, d(2024, 1, 1, 9, 10), 1.0), (2, d(2024, 1, 1, 9, 20), 1.0),
+          (3, d(2024, 1, 1, 10, 10), 1.0), (4, d(2024, 1, 1, 12, 0), 1.0)]
+    b2 = [(5, d(2024, 1, 1, 9, 30), 1.0),   # late, behind watermark
+          (6, d(2024, 1, 1, 13, 0), 1.0)]
+    out_dir, ckpt = str(tmp_path / "wm_sink"), str(tmp_path / "wm_ckpt")
+
+    def run_batch():
+        stream = (spark.readStream.schema(schema)
+                  .option("recursiveFileLookup", "true").parquet(str(src)))
+        agg = (stream.withWatermark("ts", "2 hours")
+               .groupBy(F.window("ts", "1 hour"))
+               .agg(F.count("*").alias("n"))
+               .select(F.col("window.start").alias("ws"), "n"))
+        q = (agg.writeStream.format("parquet").option("path", out_dir)
+             .option("checkpointLocation", ckpt)
+             .outputMode("append").trigger(availableNow=True).start())
+        q.awaitTermination(120)
+
+    # batch 1: watermark advances to 10:00 AFTER this run (persisted
+    # in the checkpoint); nothing emitted yet (no window end <= wm 0)
+    spark.createDataFrame(b1, schema).coalesce(1) \
+         .write.parquet(str(src / "f1"))
+    run_batch()
+    # batch 2 (restart from checkpoint, wm=10:00): the 09:30 row is
+    # behind the watermark -> dropped; wm then advances to 11:00 and
+    # the 09:00/10:00 windows emit
+    spark.createDataFrame(b2, schema).coalesce(1) \
+         .write.parquet(str(src / "f2"))
+    run_batch()
+
+    got = {r.ws.hour: r.n for r in spark.read.parquet(out_dir).collect()}
+    # exactly the 09:00 and 10:00 windows; the late 09:30 row did NOT
+    # reopen or increment the closed 09:00 window
+    assert got == {9: 2, 10: 1}, got
+
+
 def test_late_data_dropped_by_watermark(spark, tmp_path):
     """Inject late rows behind the watermark via two ordered files and
     assert the watermark semantics path runs (T5 upgrade)."""
