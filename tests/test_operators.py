@@ -1,0 +1,121 @@
+"""Unit tests for operator-library functions whose registered queries
+use inline equivalents — the library surface itself must stay correct
+(a reference user imports these directly)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from travel_data_pipeline_spark import fixtures as FX
+from travel_data_pipeline_spark.operators import aggregates, joins
+from travel_data_pipeline_spark.sources.readers import load_table
+
+
+def _master(spark):
+    return FX.to_spark(spark, FX.COUNTRY_MASTER_ROWS, FX.COUNTRY_MASTER_SCHEMA)
+
+
+def test_currency_fanout_multiplicity(spark):
+    """J2: one EUR rate row fans out to every Eurozone master row; an
+    unknown currency drops (F4)."""
+    rates = spark.createDataFrame(
+        [("EUR", 1450.0), ("USD", 1350.0), ("ZWL", 3.0)],
+        "currency_code string, rate double")
+    out = joins.currency_fanout(rates, _master(spark))
+    by_ccy = {r.currency_code: r.n for r in
+              out.groupBy("currency_code").agg(F.count("*").alias("n")).collect()}
+    assert by_ccy == {"EUR": 3, "USD": 1}  # 3 eurozone rows; ZWL dropped
+
+
+def test_standardize_join_defaults(spark):
+    """J3: suffix strip + alias lookup; misses fill Unknown defaults."""
+    facts = spark.createDataFrame(
+        [("미국 여행",), ("무명국 여행",)], "keyword string")
+    alias_dim = FX.to_spark(spark, FX.COUNTRY_ALIAS_ROWS, FX.COUNTRY_ALIAS_SCHEMA)
+    out = joins.standardize_join(
+        facts, alias_dim, "keyword",
+        defaults={"korean_name": "Unknown_Korean", "country_code_3": "N/A"})
+    rows = {r.keyword: (r.korean_name, r.country_code_3) for r in out.collect()}
+    assert rows["미국 여행"] == ("미국", "USA")
+    assert rows["무명국 여행"] == ("Unknown_Korean", "N/A")
+
+
+def test_explode_join_code_lists(spark):
+    """J5+X4: bracket-noise cleanup, explode, join through the code."""
+    dim = spark.createDataFrame(
+        [("SEL", "['ICN','GMP']"), ("TYO", "['NRT', 'HND']")],
+        "city string, airports string")
+    fact = spark.createDataFrame(
+        [("ICN", 10.0), ("HND", 20.0), ("XXX", 30.0)],
+        "airport string, v double")
+    out = joins.explode_join(fact, dim, "airports", "airport",
+                             exploded_name="airport", how="left")
+    rows = {r.airport: r.city for r in out.collect()}
+    assert rows == {"ICN": "SEL", "HND": "TYO", "XXX": None}
+
+
+def test_map_literal_join(spark):
+    df = spark.createDataFrame([("US",), ("JP",), ("??",)], "c2 string")
+    out = joins.map_literal_join(df, "c3", "c2", {"US": "USA", "JP": "JPN"})
+    rows = {r.c2: r.c3 for r in out.collect()}
+    assert rows == {"US": "USA", "JP": "JPN", "??": None}
+
+
+def test_pivot_rates_and_monthly_map(spark):
+    """A5: wide record per currency + sorted monthly MapType; X21's
+    exploded long form round-trips."""
+    rates = spark.createDataFrame(
+        [("USD", "realtime", None, 1350.0),
+         ("USD", "yearly_avg", None, 1250.0),
+         ("USD", "monthly_avg", "202402", 1330.0),
+         ("USD", "monthly_avg", "202401", 1320.0)],
+        "currency_code string, rate_type string, period string, standard_rate double")
+    wide = aggregates.pivot_rates(rates)
+    row = wide.filter(F.col("currency_code") == "USD").first()
+    assert row.realtime == 1350.0 and row.yearly_avg == 1250.0
+    assert row.daily_avg is None
+    assert row.monthly_avg_rates == {"202401": 1320.0, "202402": 1330.0}
+
+    longf = aggregates.explode_monthly_map(wide)
+    got = sorted((r.period, r.rate) for r in longf.collect())
+    assert got == [("202401", 1320.0), ("202402", 1330.0)]
+
+
+def test_grouped_stats(spark, sf_smoke):
+    li = load_table(spark, sf_smoke, "lineitem")
+    out = aggregates.grouped_stats(li, ["l_returnflag"], "l_extendedprice")
+    r = out.filter(F.col("l_returnflag") == "N").first()
+    assert r.min_price <= r.avg_price <= r.max_price
+    assert r.n > 0
+
+
+def test_recent_vs_prior_mean_time_form(spark, sf_smoke):
+    """A1 (time-bounded form): windows partition the last 30 days of
+    data; non-null means, and manually-computed bounds agree."""
+    e = load_table(spark, sf_smoke, "events")
+    out = aggregates.recent_vs_prior_mean(e, ["event_type"], "ts", "value")
+    rows = out.collect()
+    assert len(rows) == 5
+    assert all(r.recent_mean is not None and r.prior_mean is not None
+               for r in rows)
+
+
+def test_last_value_per_key(spark, sf_smoke):
+    e = load_table(spark, sf_smoke, "events")
+    out = aggregates.last_value_per_key(e, ["user_id"], "ts", "value")
+    # cross-check one user against an orderBy/limit pull
+    u0 = out.filter(F.col("user_id") == 0).first()
+    expect = (e.filter(F.col("user_id") == 0)
+              .orderBy(F.col("ts").desc()).limit(1).first())
+    assert u0.last_value == expect.value
+
+
+def test_rolling_mean_operator(spark, sf_smoke):
+    from travel_data_pipeline_spark.operators.windows import rolling_mean
+
+    e = load_table(spark, sf_smoke, "events")
+    out = rolling_mean(e, ["user_id"], "ts", "value", n=5)
+    first = (out.filter(F.col("user_id") == 0)
+             .orderBy("ts").limit(1).first())
+    # first row's rolling mean over a 5-row trailing frame is itself
+    assert abs(first.rolling_mean - first.value) < 1e-9
