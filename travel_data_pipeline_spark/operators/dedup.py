@@ -111,15 +111,17 @@ def minhash_signatures(docs: DataFrame, text_col: str = "text",
     return exploded.groupBy(id_col).agg(*aggs)
 
 
-def _bucket_pairs(banded: DataFrame, key_cols: list[str], payload: Column,
-                  max_bucket: int) -> DataFrame:
+def bucket_pairs(banded: DataFrame, key_cols: list[str], payload: Column,
+                 max_bucket: int) -> DataFrame:
     """Bucket-local pair generation WITHOUT a self-join.
 
     A self-join would recompute the (expensive) upstream signature plan
     twice and shuffle it twice; instead groupBy the bucket once,
     collect the (small, capped) member list, and expand i<j pairs with
     a pure array expression. ``max_bucket`` drops degenerate buckets
-    (boilerplate text) — the standard production guard.
+    (boilerplate text) — the standard production guard. Oracles must
+    replicate the cap (COUNT(*) OVER the bucket key <= max_bucket) or
+    they emit pairs the engine correctly drops.
 
     payload is a struct column; emits (pair.a, pair.b) structs.
     """
@@ -143,7 +145,7 @@ def lsh_candidate_pairs(signatures: DataFrame, id_col: str = "doc_id",
 
     rows-per-band = num_hashes // bands; two docs collide if any band is
     identical. Pairs are generated bucket-locally (one shuffle on
-    (band_idx, band_key), no self-join — see _bucket_pairs).
+    (band_idx, band_key), no self-join — see bucket_pairs).
     """
     rows_per_band = num_hashes // bands
     band_cols = []
@@ -157,7 +159,7 @@ def lsh_candidate_pairs(signatures: DataFrame, id_col: str = "doc_id",
         F.explode(F.array(*band_cols)).alias("band"),
     ).select(id_col, "band.band_idx", "band.band_key")
 
-    pairs = _bucket_pairs(banded, ["band_idx", "band_key"],
+    pairs = bucket_pairs(banded, ["band_idx", "band_key"],
                           F.col(id_col), max_bucket)
     return (pairs.select(F.col("pair.a").alias("doc_a"),
                          F.col("pair.b").alias("doc_b"))
@@ -266,7 +268,7 @@ def simhash_near_pairs(fingerprints: DataFrame, id_col: str = "doc_id",
         ])).alias("band"),
     ).select(id_col, "simhash", "band.band_idx", "band.band_key")
 
-    pairs = _bucket_pairs(
+    pairs = bucket_pairs(
         banded, ["band_idx", "band_key"],
         F.struct(F.col(id_col).alias("id"), F.col("simhash").alias("sh")),
         max_bucket)

@@ -61,10 +61,17 @@ def standardize_join(facts: DataFrame, alias_dim: DataFrame,
     Strips the keyword suffix, left-joins the alias dimension, and
     coalesces misses to Unknown_* defaults
     (google_trends_processor.py:141-160).
+
+    Suffix strip is the SAME replace-all spelling as
+    scalars.keyword_to_name — the reference uses str.replace (all
+    occurrences, un-anchored), and one engine-wide spelling keeps
+    Spark/oracle agreement by construction, not by fixture luck.
     """
+    from travel_data_pipeline_spark.functions.scalars import keyword_to_name
+
     defaults = defaults or {}
     cleaned = facts.withColumn("_std_key",
-                               F.regexp_replace(F.col(raw_col), suffix + "$", ""))
+                               keyword_to_name(F.col(raw_col), suffix))
     joined = cleaned.join(F.broadcast(alias_dim),
                           cleaned["_std_key"] == alias_dim[alias_col], "left")
     out = joined.drop(alias_col)

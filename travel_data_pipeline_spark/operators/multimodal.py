@@ -66,11 +66,18 @@ def _fake_decode(payload: bytes) -> tuple[int, int]:
     return (n % 640) + 1, (n % 480) + 1
 
 
-def decode_image_meta(media: DataFrame, batch_size: int = 256) -> DataFrame:
+def decode_image_meta(media: DataFrame) -> DataFrame:
     """Arrow-batched metadata extraction over binary payloads.
 
     The UDF signature / batch shape is the production one; only the
     pixel decode inside is the deterministic fake.
+
+    Arrow batch sizing is deliberately NOT set here — mutating
+    ``spark.sql.execution.arrow.maxRecordsPerBatch`` inside a plan
+    builder would silently shrink batches for every later pandas-UDF op
+    in the session. For blob-sized payloads set that conf at session
+    build time (session.py) so executor memory stays bounded by
+    batch_records x max blob size.
     """
 
     # NOTE: the closure must be self-contained (no references to this
@@ -96,8 +103,6 @@ def decode_image_meta(media: DataFrame, batch_size: int = 256) -> DataFrame:
                 "checksum": [hashlib.md5(bytes(p)).hexdigest() for p in payloads],
             })
 
-    spark = media.sparkSession
-    spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", str(batch_size))
     return media.mapInPandas(decode_batches, IMAGE_META_SCHEMA)
 
 

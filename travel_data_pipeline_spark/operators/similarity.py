@@ -97,7 +97,7 @@ def cosine_near_dup_lsh(embeddings: DataFrame, planes: list[list[float]],
     threshold. Bits-per-band = len(planes)//bands controls collision
     rate exactly like SimHash band width.
     """
-    from travel_data_pipeline_spark.operators.dedup import _bucket_pairs
+    from travel_data_pipeline_spark.operators.dedup import bucket_pairs
 
     n_planes = len(planes)
     band_bits = n_planes // bands
@@ -115,7 +115,7 @@ def cosine_near_dup_lsh(embeddings: DataFrame, planes: list[list[float]],
         ])).alias("band"),
     ).select(id_col, "v", "band.band_idx", "band.band_key")
 
-    pairs = _bucket_pairs(
+    pairs = bucket_pairs(
         banded, ["band_idx", "band_key"],
         F.struct(F.col(id_col).alias("id"), F.col("v").alias("v")),
         max_bucket)

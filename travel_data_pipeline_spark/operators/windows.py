@@ -79,10 +79,14 @@ def sessionize(df: DataFrame, key: str, ts: str,
     end, and event count. Matches Structured Streaming's
     session_window(start=min(ts), end=max(ts)+gap) semantics."""
     w = Window.partitionBy(key).orderBy(F.col(ts))
-    gap = F.lit(gap_minutes * 60)
+    # Exact microsecond integer comparison: cast('long') would floor to whole
+    # seconds and disagree with a fractional-precision oracle for true gaps
+    # within ~1s of the threshold.
+    gap_us = F.lit(gap_minutes * 60 * 1_000_000)
+    micros = F.unix_micros(F.col(ts))
     flagged = df.withColumn(
         "_new_session",
-        F.when(F.col(ts).cast("long") - F.lag(F.col(ts).cast("long")).over(w) > gap,
+        F.when(micros - F.lag(micros).over(w) > gap_us,
                F.lit(1)).otherwise(F.lit(0)))
     sessions = flagged.withColumn(
         "session_seq",

@@ -83,7 +83,7 @@ def _parse_sql() -> str:
     return f"""
 parsed AS (
     SELECT trim(regexp_replace(split_part(currency_cell, ' ', 2),
-                               '\\((100|10)\\)', '')) AS currency_code,
+                               '\\((100|10)\\)', '', 'g')) AS currency_code,
            rate_type, period,
            CASE WHEN trim(rate_cell) IN ('-', '') OR rate_cell IS NULL THEN 0.0
                 ELSE CAST(replace(trim(rate_cell), ',', '') AS DOUBLE)

@@ -493,7 +493,7 @@ def w_rank_lag_lead(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register("sessionize_events", """
 WITH flagged AS (
     SELECT user_id, ts,
-           CASE WHEN epoch(ts) - epoch(lag(ts) OVER w) > 1800
+           CASE WHEN epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800000000
                 THEN 1 ELSE 0 END AS new_session
     FROM events
     WINDOW w AS (PARTITION BY user_id ORDER BY ts)

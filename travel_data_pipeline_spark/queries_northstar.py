@@ -26,6 +26,22 @@ from travel_data_pipeline_spark.sources.readers import load_table
 
 NUM_HASHES, BANDS = 8, 4
 PLANT_OFFSET = 100000
+# engine-side bucket cap (operators/dedup.py bucket_pairs) — every
+# banded oracle below replicates it so both engines drop the same
+# degenerate buckets. Unreachable at driver scale; the parity is what
+# matters.
+MAX_BUCKET = 1000
+
+
+def _capped_sql(src: str, keys: str, name: str) -> str:
+    """CTE mirroring bucket_pairs' max_bucket guard: keep only rows of
+    buckets with <= MAX_BUCKET members (>= 2 is implicit in the pair
+    self-join)."""
+    return f"""{name} AS (
+    SELECT * EXCLUDE (_bsz) FROM (
+        SELECT *, COUNT(*) OVER (PARTITION BY {keys}) AS _bsz FROM {src})
+    WHERE _bsz <= {MAX_BUCKET}
+)"""
 
 # ---------------------------------------------------------------------------
 # shared SQL fragments
@@ -115,16 +131,22 @@ def _banded_sql() -> str:
     return "banded AS (\n" + "\nUNION ALL\n".join(selects) + "\n)"
 
 
+_PAIRS_CTE = """pairs AS (
+    SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+    FROM bcap a JOIN bcap b
+      ON a.band_idx = b.band_idx AND a.band_key = b.band_key
+     AND a.doc_id < b.doc_id
+)"""
+
 _LSH_PAIRS_SQL = f"""
 WITH {_AUG_DOCS},
 {_NORMED},
 {_SHINGLED},
 {_SIGS},
-{_banded_sql()}
-SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-FROM banded a JOIN banded b
-  ON a.band_idx = b.band_idx AND a.band_key = b.band_key
- AND a.doc_id < b.doc_id
+{_banded_sql()},
+{_capped_sql('banded', 'band_idx, band_key', 'bcap')},
+{_PAIRS_CTE}
+SELECT doc_a, doc_b FROM pairs
 """
 
 
@@ -132,7 +154,8 @@ FROM banded a JOIN banded b
 def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _augmented_docs(spark, sf_dir)
     sigs = dedup.minhash_signatures(docs, num_hashes=NUM_HASHES)
-    return dedup.lsh_candidate_pairs(sigs, num_hashes=NUM_HASHES, bands=BANDS)
+    return dedup.lsh_candidate_pairs(sigs, num_hashes=NUM_HASHES, bands=BANDS,
+                                     max_bucket=MAX_BUCKET)
 
 
 @register("dedup_minhash_jaccard", f"""
@@ -141,12 +164,8 @@ WITH {_AUG_DOCS},
 {_SHINGLED},
 {_SIGS},
 {_banded_sql()},
-pairs AS (
-    SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-    FROM banded a JOIN banded b
-      ON a.band_idx = b.band_idx AND a.band_key = b.band_key
-     AND a.doc_id < b.doc_id
-),
+{_capped_sql('banded', 'band_idx, band_key', 'bcap')},
+{_PAIRS_CTE},
 sets AS (SELECT DISTINCT doc_id, shingle FROM shingled),
 sizes AS (SELECT doc_id, COUNT(*) AS set_size FROM sets GROUP BY doc_id),
 inter AS (
@@ -175,8 +194,9 @@ def dedup_minhash_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the candidate-pair set is consumed three times downstream
     # (id semi-join, intersection join, final select) — materialize it
     # once; post-LSH it is tiny relative to the corpus
-    pairs = dedup.lsh_candidate_pairs(sigs, num_hashes=NUM_HASHES,
-                                      bands=BANDS).localCheckpoint(eager=True)
+    pairs = dedup.lsh_candidate_pairs(
+        sigs, num_hashes=NUM_HASHES, bands=BANDS,
+        max_bucket=MAX_BUCKET).localCheckpoint(eager=True)
     return dedup.jaccard_pairs(docs, pairs, threshold=0.5)
 
 
@@ -227,11 +247,12 @@ def _simhash_bands_sql(bits: int = 32, bands: int = 4) -> str:
 WITH {_AUG_DOCS},
 {_NORMED},
 {_simhash_sql()},
-{_simhash_bands_sql()}
+{_simhash_bands_sql()},
+{_capped_sql('sbanded', 'band_idx, band_key', 'scap')}
 SELECT doc_a, doc_b, hamming FROM (
     SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
            bit_count(CAST(xor(a.simhash, b.simhash) AS BIGINT)) AS hamming
-    FROM sbanded a JOIN sbanded b
+    FROM scap a JOIN scap b
       ON a.band_idx = b.band_idx AND a.band_key = b.band_key
      AND a.doc_id < b.doc_id
 ) WHERE hamming <= 3
@@ -239,7 +260,7 @@ SELECT doc_a, doc_b, hamming FROM (
 def simhash_near_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _augmented_docs(spark, sf_dir)
     fp = dedup.simhash_fingerprints(docs)
-    return dedup.simhash_near_pairs(fp)
+    return dedup.simhash_near_pairs(fp, max_bucket=MAX_BUCKET)
 
 
 # ---------------------------------------------------------------------------
@@ -352,16 +373,16 @@ def embedding_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 # not LSH — completes the dedup-method family)
 # ---------------------------------------------------------------------------
 
-@register("dedup_ngram_jaccard_blocked", """
+@register("dedup_ngram_jaccard_blocked", f"""
 WITH blocked AS (
     SELECT doc_id, lang, CAST(n_chars // 100 AS INT) AS len_bucket,
            trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS norm
     FROM documents
 ),
+{_capped_sql('blocked', 'lang, len_bucket', 'blkcap')},
 pairs AS (
-    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-           a.norm AS norm_a, b.norm AS norm_b
-    FROM blocked a JOIN blocked b
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+    FROM blkcap a JOIN blkcap b
       ON a.lang = b.lang AND a.len_bucket = b.len_bucket
      AND a.doc_id < b.doc_id
 ),
@@ -390,18 +411,23 @@ def dedup_ngram_jaccard_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Character-5-gram Jaccard over blocked candidates (same lang and
     100-char length bucket). Blocking bounds the quadratic term the way
     production blocked-dedup does when no LSH index exists; the n-gram
-    intersection is an equi-join on (doc_b, gram) — no theta join."""
+    intersection is an equi-join on (doc_b, gram) — no theta join.
+
+    Pair generation goes through bucket_pairs: one shuffle on the block
+    key, no self-join, and the max_bucket cap drops hot blocks (all
+    English docs of 100-200 chars in a web corpus would otherwise be
+    O(n^2)) — same guard, same oracle spelling as the LSH paths."""
     docs = load_table(spark, sf_dir, "documents")
     blocked = docs.select(
         "doc_id", "lang",
         (F.col("n_chars") / 100).cast("int").alias("len_bucket"),
         dedup.normalize_text(F.col("text")).alias("norm"))
 
-    a = blocked.select(F.col("doc_id").alias("doc_a"), "lang", "len_bucket")
-    b = blocked.select(F.col("doc_id").alias("doc_b"), "lang", "len_bucket")
-    pairs = (a.join(b, ["lang", "len_bucket"])
-             .filter(F.col("doc_a") < F.col("doc_b"))
-             .select("doc_a", "doc_b"))
+    pairs = (dedup.bucket_pairs(blocked.select("doc_id", "lang", "len_bucket"),
+                                ["lang", "len_bucket"], F.col("doc_id"),
+                                max_bucket=MAX_BUCKET)
+             .select(F.col("pair.a").alias("doc_a"),
+                     F.col("pair.b").alias("doc_b")))
 
     n_grams = F.greatest(F.length("norm") - F.lit(4), F.lit(0))
     grams = blocked.select(
@@ -457,12 +483,13 @@ WITH aug AS (
 ),
 sigged AS (SELECT vec_id, v, CAST({sig} AS BIGINT) AS sig FROM aug),
 banded AS ({band_rows}),
+{_capped_sql('banded', 'band_idx, band_key', 'bcap')},
 pairs AS (
     SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b,
            ROUND(list_dot_product(a.v, b.v)
                  / (sqrt(list_dot_product(a.v, a.v))
                     * sqrt(list_dot_product(b.v, b.v))), 6) AS cosine_sim
-    FROM banded a JOIN banded b
+    FROM bcap a JOIN bcap b
       ON a.band_idx = b.band_idx AND a.band_key = b.band_key
      AND a.vec_id < b.vec_id
 )
@@ -480,7 +507,8 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     aug = emb.select("vec_id",
                      F.col("embedding").cast("array<double>").alias("embedding")) \
              .unionByName(planted)
-    return similarity.cosine_near_dup_lsh(aug, _PLANES, bands=2, threshold=0.99)
+    return similarity.cosine_near_dup_lsh(aug, _PLANES, bands=2, threshold=0.99,
+                                          max_bucket=MAX_BUCKET)
 
 
 # ---------------------------------------------------------------------------
@@ -634,12 +662,8 @@ WITH {_AUG_DOCS},
 {_SHINGLED},
 {_SIGS},
 {_banded_sql()},
-pairs AS (
-    SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-    FROM banded a JOIN banded b
-      ON a.band_idx = b.band_idx AND a.band_key = b.band_key
-     AND a.doc_id < b.doc_id
-),
+{_capped_sql('banded', 'band_idx, band_key', 'bcap')},
+{_PAIRS_CTE},
 sets AS (SELECT DISTINCT doc_id, shingle FROM shingled),
 sizes AS (SELECT doc_id, COUNT(*) AS set_size FROM sets GROUP BY doc_id),
 inter AS (
@@ -692,8 +716,9 @@ def pipeline_training_data(spark: SparkSession, sf_dir: str) -> DataFrame:
     sigs = dedup.minhash_signatures(docs, num_hashes=NUM_HASHES)
     # materialized once — consumed three times by the Jaccard stage
     # (measured 16% off the whole pipeline at sf0.1)
-    pairs = dedup.lsh_candidate_pairs(sigs, num_hashes=NUM_HASHES,
-                                      bands=BANDS).localCheckpoint(eager=True)
+    pairs = dedup.lsh_candidate_pairs(
+        sigs, num_hashes=NUM_HASHES, bands=BANDS,
+        max_bucket=MAX_BUCKET).localCheckpoint(eager=True)
     verified = dedup.jaccard_pairs(docs, pairs, threshold=0.8)
     dropped = verified.select(F.col("doc_b").alias("doc_id")).distinct()
 

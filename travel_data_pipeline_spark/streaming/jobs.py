@@ -118,6 +118,15 @@ def hot_cold_split(events: DataFrame, hot_dir: str, cold_dir: str,
     return hot, cold
 
 
+def _hadoop_fs(spark: SparkSession, path: str):
+    """(FileSystem, Path) for `path` via the session's Hadoop conf —
+    works on any Hadoop-supported FS, not just local disk."""
+    jvm = spark._jvm
+    jpath = jvm.org.apache.hadoop.fs.Path(path)
+    fs = jpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    return fs, jpath
+
+
 def foreach_batch_upsert(agg: DataFrame, target_dir: str, checkpoint: str,
                          keys: tuple[str, ...]) -> StreamingQuery:
     """T3 — idempotent merge sink: each micro-batch upserts into the
@@ -125,22 +134,37 @@ def foreach_batch_upsert(agg: DataFrame, target_dir: str, checkpoint: str,
     read target, anti-join on keys, union, rewrite). At-least-once
     redelivery therefore converges to the same state the reference got
     from its overwrite-by-name blob sink (_archive/function_app.py:203).
+
+    The empty-target case is an explicit FS existence check — a read
+    failure on an existing target (transient FS error, corrupt files)
+    propagates instead of silently restarting the table from one batch.
+    The swap is rename-based: a crash mid-swap leaves either the old
+    target or the complete `_next` on disk, never a half-written target.
+
+    Scale note: rewrites the whole target per micro-batch — O(table).
+    Fine as a declared Delta-MERGE emulation; swap to `MERGE INTO` when
+    Delta is on the classpath, or partition the target by a
+    batch-derivable key and rewrite only touched partitions.
     """
     key_list = list(keys)
 
     def upsert(batch_df: DataFrame, epoch_id: int) -> None:
         spark = batch_df.sparkSession
         batch = batch_df.dropDuplicates(key_list)
-        try:
+        fs, target_path = _hadoop_fs(spark, target_dir)
+        if fs.exists(target_path):
             current = spark.read.parquet(target_dir)
             kept = current.join(batch.select(*key_list), key_list, "left_anti")
             merged = kept.unionByName(batch)
-        except Exception:
+        else:
             merged = batch
-        merged.write.mode("overwrite").parquet(target_dir + "_next")
-        # atomic-ish swap: rewrite target from _next (local-FS emulation)
-        spark.read.parquet(target_dir + "_next").write.mode("overwrite") \
-             .parquet(target_dir)
+        next_dir = target_dir + "_next"
+        merged.write.mode("overwrite").parquet(next_dir)
+        # rename-based swap: old target fully replaced or untouched
+        _, next_path = _hadoop_fs(spark, next_dir)
+        if fs.exists(target_path):
+            fs.delete(target_path, True)
+        fs.rename(next_path, target_path)
 
     return (agg.writeStream.foreachBatch(upsert)
             .option("checkpointLocation", checkpoint)
