@@ -16,6 +16,7 @@ from __future__ import annotations
 import os
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from travel_data_pipeline_spark import schemas
@@ -65,6 +66,27 @@ def read_json_dim(spark: SparkSession, path: str, schema: T.StructType) -> DataF
     Dimension frames are small by contract — join them with
     F.broadcast() (operators/joins.py)."""
     return spark.read.json(path, schema=schema, multiLine=True)
+
+
+def read_keyed_json_dim(spark: SparkSession, path: str,
+                        value_schema: T.StructType,
+                        key_col: str = "key") -> DataFrame:
+    """S5 — config dimension stored as ONE top-level JSON object keyed
+    by code (the reference's exact shape: ``{"ARG": {...}, ...}`` in
+    config/master_country_crawler.json, loaded via json.load at
+    exchage_rate_crawler.py:45-47 / google_trends_processor.py:32-34).
+
+    A keyed object is not row-oriented, so ``spark.read.json`` would
+    produce one 59-field row. Instead: read wholetext, parse with
+    ``from_json`` into MAP<STRING, value_schema>, ``explode`` to
+    (key, struct) rows, flatten. Config dims are small by contract
+    (<100 KB) — one wholetext row then an explode is the right shape;
+    the result broadcasts into every downstream join."""
+    m = F.from_json(F.col("value"),
+                    T.MapType(T.StringType(), value_schema))
+    return (spark.read.text(path, wholetext=True)
+            .select(F.explode(m).alias(key_col, "_v"))
+            .select(key_col, "_v.*"))
 
 
 def read_json_events(spark: SparkSession, path: str,
