@@ -30,22 +30,28 @@ from travel_data_pipeline_spark.functions import scores
 RATE_TYPES = ["realtime", "daily_avg", "yearly_avg"]
 
 
-def parsed_cells(spark: SparkSession) -> DataFrame:
-    cells = FX.to_spark(spark, FX.EXCHANGE_CELLS_ROWS, FX.EXCHANGE_CELLS_SCHEMA)
+def parse_cells(cells: DataFrame) -> DataFrame:
+    """X1/X2 parse over any raw-cells relation (fixture, landed JSON,
+    or stream) — one spelling for every entry path."""
     return cells.select(
         X.extract_currency_code("currency_cell").alias("currency_code"),
         "rate_type", "period",
         X.parse_rate("rate_cell").alias("rate"))
 
 
-def exchange_scores(spark: SparkSession, sf_dir: str = "") -> DataFrame:
-    """Country-grain exchange records with change% + score."""
-    parsed = parsed_cells(spark)
+def parsed_cells(spark: SparkSession) -> DataFrame:
+    return parse_cells(
+        FX.to_spark(spark, FX.EXCHANGE_CELLS_ROWS, FX.EXCHANGE_CELLS_SCHEMA))
+
+
+def exchange_scores_from(cells: DataFrame, master: DataFrame) -> DataFrame:
+    """Core plan over caller-supplied raw cells + master dim (the
+    landed-raw entry path reuses this with the same expressions)."""
+    parsed = parse_cells(cells)
     wide = (parsed.filter(F.col("rate_type").isin(*RATE_TYPES))
             .groupBy("currency_code")
             .pivot("rate_type", RATE_TYPES)
             .agg(F.max("rate")))
-    master = FX.to_spark(spark, FX.COUNTRY_MASTER_ROWS, FX.COUNTRY_MASTER_SCHEMA)
 
     joined = wide.join(F.broadcast(master), "currency_code", "inner")
     rt, yr = F.col("realtime"), F.col("yearly_avg")
@@ -61,21 +67,33 @@ def exchange_scores(spark: SparkSession, sf_dir: str = "") -> DataFrame:
     )
 
 
-def monthly_map_long(spark: SparkSession, sf_dir: str = "") -> DataFrame:
+def exchange_scores(spark: SparkSession, sf_dir: str = "") -> DataFrame:
+    """Country-grain exchange records with change% + score."""
+    cells = FX.to_spark(spark, FX.EXCHANGE_CELLS_ROWS, FX.EXCHANGE_CELLS_SCHEMA)
+    master = FX.to_spark(spark, FX.COUNTRY_MASTER_ROWS, FX.COUNTRY_MASTER_SCHEMA)
+    return exchange_scores_from(cells, master)
+
+
+def monthly_map_from(cells: DataFrame, master: DataFrame) -> DataFrame:
     """A5's MapType monthly column, exploded to the oracle-friendly long
     form (SURVEY.md §7 hard part (c)): build the map (X21 upserts become
     map_from_entries) then explode — the round-trip exercises both."""
-    parsed = parsed_cells(spark)
+    parsed = parse_cells(cells)
     monthly = (parsed.filter(F.col("rate_type") == "monthly_avg")
                .groupBy("currency_code")
                .agg(F.map_from_entries(
                    F.sort_array(F.collect_list(F.struct("period", "rate"))))
                     .alias("monthly_avg_rates")))
-    master = FX.to_spark(spark, FX.COUNTRY_MASTER_ROWS, FX.COUNTRY_MASTER_SCHEMA)
     fanned = monthly.join(F.broadcast(master), "currency_code", "inner")
     return fanned.select(
         "country_code_3", "currency_code",
         F.explode("monthly_avg_rates").alias("period", "monthly_rate"))
+
+
+def monthly_map_long(spark: SparkSession, sf_dir: str = "") -> DataFrame:
+    cells = FX.to_spark(spark, FX.EXCHANGE_CELLS_ROWS, FX.EXCHANGE_CELLS_SCHEMA)
+    master = FX.to_spark(spark, FX.COUNTRY_MASTER_ROWS, FX.COUNTRY_MASTER_SCHEMA)
+    return monthly_map_from(cells, master)
 
 
 def _parse_sql() -> str:

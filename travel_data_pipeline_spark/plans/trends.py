@@ -33,9 +33,9 @@ from pyspark.sql import functions as F
 from travel_data_pipeline_spark import fixtures as FX
 
 
-def keyword_stats(spark: SparkSession) -> DataFrame:
-    """Per (group, keyword): recent/prior means over row windows + last value."""
-    t = FX.to_spark(spark, FX.TRENDS_ROWS, FX.TRENDS_SCHEMA)
+def keyword_stats_from(t: DataFrame) -> DataFrame:
+    """Per (group, keyword): recent/prior means over row windows + last
+    value — over any long-format interest relation (fixture or landed)."""
     w = Window.partitionBy("group_id", "keyword").orderBy(F.col("ts").desc())
     ranked = t.withColumn("rn", F.row_number().over(w))
     i, rn = F.col("interest"), F.col("rn")
@@ -47,6 +47,11 @@ def keyword_stats(spark: SparkSession) -> DataFrame:
         F.max(F.when(rn == 1, i)).alias("last_interest"))
 
 
+def keyword_stats(spark: SparkSession) -> DataFrame:
+    return keyword_stats_from(
+        FX.to_spark(spark, FX.TRENDS_ROWS, FX.TRENDS_SCHEMA))
+
+
 def _growth(recent, prior, anchor: bool):
     base = F.when(prior > 0, (recent - prior) / prior)
     if anchor:
@@ -54,8 +59,10 @@ def _growth(recent, prior, anchor: bool):
     return base.when(recent > 0, recent / F.lit(1e-6)).otherwise(F.lit(0.0))
 
 
-def trend_scores(spark: SparkSession, sf_dir: str = "") -> DataFrame:
-    stats = keyword_stats(spark)
+def trend_scores_from(trends_long: DataFrame,
+                      alias_dim: DataFrame) -> DataFrame:
+    """Core plan over caller-supplied long interest rows + alias dim."""
+    stats = keyword_stats_from(trends_long)
     anchor = (stats.filter(F.col("keyword") == FX.ANCHOR_KEYWORD)
               .select("group_id",
                       F.col("recent_mean").alias("a_recent"),
@@ -90,7 +97,6 @@ def trend_scores(spark: SparkSession, sf_dir: str = "") -> DataFrame:
     scored = scored.withColumn("final_trend_score", final)
 
     # J3 standardization join
-    alias_dim = FX.to_spark(spark, FX.COUNTRY_ALIAS_ROWS, FX.COUNTRY_ALIAS_SCHEMA)
     named = scored.withColumn(
         "_name", F.regexp_replace("keyword", " 여행", ""))
     joined = named.join(F.broadcast(alias_dim),
@@ -108,6 +114,13 @@ def trend_scores(spark: SparkSession, sf_dir: str = "") -> DataFrame:
         F.col("_interest").cast("int").alias("trend_score_current_interest"),
         "anchor_growth",
         F.col("anchor_interest").cast("int").alias("anchor_interest"))
+
+
+def trend_scores(spark: SparkSession, sf_dir: str = "") -> DataFrame:
+    trends_long = FX.to_spark(spark, FX.TRENDS_ROWS, FX.TRENDS_SCHEMA)
+    alias_dim = FX.to_spark(spark, FX.COUNTRY_ALIAS_ROWS,
+                            FX.COUNTRY_ALIAS_SCHEMA)
+    return trend_scores_from(trends_long, alias_dim)
 
 
 def _stats_sql() -> str:

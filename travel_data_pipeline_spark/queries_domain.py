@@ -75,13 +75,12 @@ FROM seg
 """
 
 
-@register("flight_nested_flatten", _flight_flatten_oracle())
-def flight_nested_flatten(spark: SparkSession, sf_dir: str) -> DataFrame:
+def flatten_flights(raw: DataFrame) -> DataFrame:
     """X20 — the reference's itinerary->segment dict walk
     (_archive/flight_price_preprocessing.py:3-49) as explode + dotted
     selects; missing nested levels become NULLs for free. X18 discount
-    flag with priceBeforeDiscount defaulting to price (:8-10)."""
-    raw = spark.createDataFrame(FX.FLIGHT_ROWS, FX.FLIGHT_SCHEMA)
+    flag with priceBeforeDiscount defaulting to price (:8-10). Works on
+    any relation with the nested offer schema (fixture or landed)."""
     itins = raw.select(F.explode("itineraries").alias("itin"))
     segs = itins.select(
         "itin", F.posexplode("itin.sector.sectorSegments")
@@ -101,6 +100,12 @@ def flight_nested_flatten(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("s.segment.carrier.name").alias("carrier"),
         F.col("s.segment.cabinClass").alias("cabin_class"),
         F.col("s.segment.duration").alias("duration_min"))
+
+
+@register("flight_nested_flatten", _flight_flatten_oracle())
+def flight_nested_flatten(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return flatten_flights(
+        spark.createDataFrame(FX.FLIGHT_ROWS, FX.FLIGHT_SCHEMA))
 
 
 # ---------------------------------------------------------------------------
