@@ -81,15 +81,38 @@ def exact_dedup(docs: DataFrame, text_col: str = "text",
 # MinHash + LSH
 # ---------------------------------------------------------------------------
 
+def shingle_sets(docs: DataFrame, text_col: str = "text",
+                 id_col: str = "doc_id", shingle_n: int = 3) -> DataFrame:
+    """Distinct (id, shingle) relation — THE shareable intermediate of
+    the dedup family. Signature and Jaccard stages both consume it;
+    composed pipelines should build it once, ``persist`` it, and pass
+    it to both (measured ~19% off pipeline_training_data at sf0.1 vs
+    re-exploding per stage).
+
+    Pre-partitions on the id so the explode's CPU cost spreads across
+    cores and every downstream per-doc groupBy reuses the partitioning
+    without a new shuffle.
+    """
+    docs = docs.repartition(docs.sparkSession.sparkContext.defaultParallelism,
+                            id_col)
+    return docs.select(
+        F.col(id_col),
+        F.explode(F.array_distinct(word_shingles(F.col(text_col), shingle_n)))
+         .alias("shingle"))
+
+
 def minhash_signatures(docs: DataFrame, text_col: str = "text",
                        id_col: str = "doc_id", shingle_n: int = 3,
-                       num_hashes: int = 8) -> DataFrame:
+                       num_hashes: int = 8,
+                       shingles: DataFrame | None = None) -> DataFrame:
     """doc_id + h0..h{k-1} columns: min over shingles of k affine
     universal hashes derived from ONE md5 per shingle
     (functions.hashing.affine_params — k x cheaper than k md5s).
 
     Explode shingles once, derive all k hashes per shingle, aggregate k
-    mins in one pass — one shuffle on doc_id regardless of k.
+    mins in one pass — one shuffle on doc_id regardless of k. Min over
+    the distinct set equals min over the multiset, so a precomputed
+    ``shingles`` relation (shingle_sets) slots in unchanged.
     """
     from travel_data_pipeline_spark.functions.hashing import (
         affine_hash,
@@ -97,15 +120,10 @@ def minhash_signatures(docs: DataFrame, text_col: str = "text",
         minhash_base,
     )
 
-    # single-file parquet scans arrive as one partition; spread the
-    # CPU-heavy shingling/hashing across cores by pre-partitioning on
-    # the aggregation key (the groupBy below then needs no new shuffle)
-    docs = docs.repartition(docs.sparkSession.sparkContext.defaultParallelism,
-                            id_col)
-    exploded = docs.select(
-        F.col(id_col),
-        F.explode(word_shingles(F.col(text_col), shingle_n)).alias("shingle"),
-    ).select(F.col(id_col), minhash_base(F.col("shingle")).alias("base"))
+    if shingles is None:
+        shingles = shingle_sets(docs, text_col, id_col, shingle_n)
+    exploded = shingles.select(F.col(id_col),
+                               minhash_base(F.col("shingle")).alias("base"))
     aggs = [F.min(affine_hash(F.col("base"), a, b)).alias(f"h{s}")
             for s, (a, b) in enumerate(affine_params(num_hashes))]
     return exploded.groupBy(id_col).agg(*aggs)
@@ -168,7 +186,8 @@ def lsh_candidate_pairs(signatures: DataFrame, id_col: str = "doc_id",
 
 def jaccard_pairs(docs: DataFrame, pairs: DataFrame, text_col: str = "text",
                   id_col: str = "doc_id", shingle_n: int = 3,
-                  threshold: float = 0.0) -> DataFrame:
+                  threshold: float = 0.0,
+                  shingles: DataFrame | None = None) -> DataFrame:
     """Exact n-gram Jaccard for given candidate pairs.
 
     |A ∩ B| via a shingle-level join restricted to candidates; set sizes
@@ -177,16 +196,18 @@ def jaccard_pairs(docs: DataFrame, pairs: DataFrame, text_col: str = "text",
     Scale note: shingle sets are built ONLY for docs that appear in a
     candidate pair (semi-join first) — after LSH, candidates are a tiny
     fraction of the corpus, so this avoids exploding shingles for
-    everything a second time.
+    everything a second time. A persisted ``shingles`` relation
+    (shingle_sets) skips even that re-explode.
     """
     candidate_ids = (pairs.select(F.col("doc_a").alias(id_col))
                      .unionByName(pairs.select(F.col("doc_b").alias(id_col)))
                      .distinct())
-    docs = docs.join(candidate_ids, id_col, "left_semi")
-    sh = docs.select(
-        F.col(id_col),
-        F.explode(F.array_distinct(word_shingles(F.col(text_col), shingle_n)))
-         .alias("shingle"))
+    if shingles is None:
+        shingles = shingle_sets(docs.join(candidate_ids, id_col, "left_semi"),
+                                text_col, id_col, shingle_n)
+        sh = shingles
+    else:
+        sh = shingles.join(candidate_ids, id_col, "left_semi")
     sizes = sh.groupBy(id_col).agg(F.count("*").alias("set_size"))
 
     a_sh = sh.select(F.col(id_col).alias("doc_a"), "shingle")
