@@ -96,3 +96,39 @@ def sessionize(df: DataFrame, key: str, ts: str,
                  (F.max(ts) + F.expr(f"INTERVAL {gap_minutes * 60} SECONDS"))
                   .alias("session_end"),
                  F.count("*").alias("n_events")))
+
+
+# ---------------------------------------------------------------------------
+# SCD2 — collapse an ordered change stream into type-2 validity ranges
+# (gaps-and-islands). The reference's gold layer stores history in
+# Delta (README.md:109-112 [prose-only]); this is the transformation
+# that produces it, independent of the storage (sources/versioned.py
+# provides the MERGE/time-travel storage side).
+# ---------------------------------------------------------------------------
+
+def scd2_collapse(df: DataFrame, entity: str, attr: str, ts: str,
+                  tiebreak: Sequence[str] = ()) -> DataFrame:
+    """(entity, attr, valid_from, valid_to, is_current): consecutive
+    runs of the same ``attr`` value per entity merge into one validity
+    range; ``valid_to`` is the next range's start (NULL = current).
+
+    One shuffle on entity; both window passes reuse the partitioning.
+    ``tiebreak`` must make the order total or ranges are
+    nondeterministic.
+    """
+    order = [F.col(ts)] + [F.col(c) for c in tiebreak]
+    w = Window.partitionBy(entity).orderBy(*order)
+    prev = F.lag(F.col(attr)).over(w)
+    changed = (~prev.eqNullSafe(F.col(attr))).cast("int")
+    islands = (df.withColumn("_chg", changed)
+               .withColumn("_island", F.sum("_chg").over(
+                   w.rowsBetween(Window.unboundedPreceding,
+                                 Window.currentRow))))
+    ranges = (islands.groupBy(entity, "_island")
+              .agg(F.max(attr).alias(attr),
+                   F.min(ts).alias("valid_from")))
+    w2 = Window.partitionBy(entity).orderBy("valid_from")
+    return (ranges
+            .withColumn("valid_to", F.lead("valid_from").over(w2))
+            .withColumn("is_current", F.col("valid_to").isNull())
+            .select(entity, attr, "valid_from", "valid_to", "is_current"))

@@ -523,6 +523,55 @@ def sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# SCD2 — type-2 history of each user's event_type (gaps-and-islands;
+# the transformation behind the versioned gold layer,
+# sources/versioned.py + operators/windows.scd2_collapse)
+# ---------------------------------------------------------------------------
+
+@register("scd2_event_type_history", """
+WITH flagged AS (
+    SELECT user_id, event_type, ts, event_id,
+           CASE WHEN lag(event_type) OVER w IS DISTINCT FROM event_type
+                THEN 1 ELSE 0 END AS chg
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+), islands AS (
+    SELECT user_id, event_type, ts,
+           SUM(chg) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                          ROWS UNBOUNDED PRECEDING) AS island
+    FROM flagged
+), ranges AS (
+    SELECT user_id, MAX(event_type) AS event_type,
+           MIN(ts) AS valid_from
+    FROM islands GROUP BY user_id, island
+)
+SELECT user_id, event_type,
+       CAST(epoch_us(valid_from) AS BIGINT) AS valid_from_us,
+       CAST(epoch_us(lead(valid_from)
+            OVER (PARTITION BY user_id ORDER BY valid_from)) AS BIGINT)
+         AS valid_to_us,
+       lead(valid_from) OVER (PARTITION BY user_id ORDER BY valid_from)
+         IS NULL AS is_current
+FROM ranges
+""")
+def scd2_event_type_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD2 collapse of each user's event_type stream into validity
+    ranges — the transformation that feeds the versioned gold table
+    (K5; storage side tested in tests/test_versioned.py). Micros keep
+    the hash clean of timestamp rendering."""
+    from travel_data_pipeline_spark.operators.windows import scd2_collapse
+
+    e = load_table(spark, sf_dir, "events")
+    out = scd2_collapse(e, "user_id", "event_type", "ts",
+                        tiebreak=("event_id",))
+    return out.select(
+        "user_id", "event_type",
+        F.unix_micros("valid_from").alias("valid_from_us"),
+        F.unix_micros("valid_to").alias("valid_to_us"),
+        "is_current")
+
+
+# ---------------------------------------------------------------------------
 # Tumbling time-window aggregation (batch form of T1/T5 windows)
 # ---------------------------------------------------------------------------
 

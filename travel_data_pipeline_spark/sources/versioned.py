@@ -1,0 +1,204 @@
+"""K5 — versioned table on plain parquet: MERGE, time travel, SCD2.
+
+The reference's gold layer is Delta + Unity Catalog (README.md:86-87,
+109-112 [prose-only]). Delta jars are not on this container's
+classpath, so this module provides the same *semantics* Spark-first on
+parquet + a JSON manifest — and becomes a thin shim the day
+``format("delta")`` loads:
+
+- **Snapshot isolation / atomic commit**: data files land first, the
+  manifest for the new version lands second, and a tiny ``_latest``
+  pointer is swapped last via an atomic rename. A crash at any point
+  leaves readers on the previous version (orphan files are invisible).
+- **MERGE INTO**: copy-on-write at PARTITION granularity — only
+  partitions present in the source batch are rewritten; untouched
+  partitions are carried forward by manifest reference. This is what
+  keeps a streaming upsert sink O(touched-partitions) per micro-batch
+  instead of O(table) (the round-1 advisor's scale concern).
+- **Time travel**: every version's manifest is retained;
+  ``read_table(..., version=N)`` reads the table as of N.
+
+Layout::
+
+    table/
+      _latest                # text: current version (atomic swap)
+      _manifests/v00003.json # {"version","op","partitions":{pval:ver}}
+      data/tdpv=3/<part=...> # snapshot data, hive-partitioned
+
+Scale notes: the manifest maps partition-value -> version, so its size
+is O(partitions), not O(files) — the operational knob is partition
+granularity, exactly as with any lakehouse table. Reads pass explicit
+partition dirs with a shared basePath, so Spark restores partition
+columns and still prunes/pushes down within each dir.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+
+VERSION_DIR_COL = "tdpv"  # internal hive key for snapshot dirs
+_NO_PART = "__all__"
+
+
+def _manifest_dir(path: str) -> str:
+    return os.path.join(path, "_manifests")
+
+
+def _data_dir(path: str) -> str:
+    return os.path.join(path, "data")
+
+
+def _manifest_path(path: str, version: int) -> str:
+    return os.path.join(_manifest_dir(path), f"v{version:05d}.json")
+
+
+def _latest_path(path: str) -> str:
+    return os.path.join(path, "_latest")
+
+
+def current_version(path: str) -> int:
+    """0 if the table does not exist yet."""
+    try:
+        with open(_latest_path(path), encoding="utf-8") as fh:
+            return int(fh.read().strip())
+    except FileNotFoundError:
+        return 0
+
+
+def _read_manifest(path: str, version: int) -> dict:
+    with open(_manifest_path(path, version), encoding="utf-8") as fh:
+        return json.load(fh)
+
+
+def _commit(path: str, manifest: dict) -> int:
+    """Write manifest, then atomically swap the _latest pointer —
+    the commit point. Everything before is invisible to readers."""
+    os.makedirs(_manifest_dir(path), exist_ok=True)
+    version = manifest["version"]
+    with open(_manifest_path(path, version), "w", encoding="utf-8") as fh:
+        json.dump(manifest, fh)
+    fd, tmp = tempfile.mkstemp(dir=path, prefix="_latest")
+    with os.fdopen(fd, "w", encoding="utf-8") as fh:
+        fh.write(str(version))
+    os.replace(tmp, _latest_path(path))  # atomic on POSIX
+    return version
+
+
+def _write_snapshot(df: DataFrame, path: str, version: int,
+                    partition_col: str | None) -> list[str]:
+    """Write df under data/tdpv=<version>/, hive-partitioned if asked.
+    Returns the partition values written."""
+    out = os.path.join(_data_dir(path), f"{VERSION_DIR_COL}={version}")
+    writer = df.write.mode("overwrite")
+    if partition_col:
+        writer = writer.partitionBy(partition_col)
+        parts = [r[0] for r in df.select(partition_col).distinct().collect()]
+    else:
+        parts = [_NO_PART]
+    writer.parquet(out)
+    return [str(p) for p in parts]
+
+
+def write_table(df: DataFrame, path: str,
+                partition_col: str | None = None) -> int:
+    """Create or fully overwrite: a complete new snapshot."""
+    version = current_version(path) + 1
+    parts = _write_snapshot(df, path, version, partition_col)
+    return _commit(path, {
+        "version": version, "op": "overwrite" if version > 1 else "create",
+        "partition_col": partition_col,
+        "partitions": {p: version for p in parts},
+    })
+
+
+def read_table(spark: SparkSession, path: str,
+               version: int | None = None) -> DataFrame:
+    """The table as of ``version`` (default: latest). Partition dirs
+    are passed explicitly with a shared basePath, so partition columns
+    come back and scans prune per-dir."""
+    v = version if version is not None else current_version(path)
+    if v < 1:
+        raise FileNotFoundError(f"no committed version at {path}")
+    man = _read_manifest(path, v)
+    pcol, base = man["partition_col"], _data_dir(path)
+    if pcol is None:
+        dirs = sorted({os.path.join(base, f"{VERSION_DIR_COL}={sv}")
+                       for sv in man["partitions"].values()})
+    else:
+        dirs = sorted(
+            os.path.join(base, f"{VERSION_DIR_COL}={sv}", f"{pcol}={pval}")
+            for pval, sv in man["partitions"].items())
+    return (spark.read.option("basePath", base).parquet(*dirs)
+            .drop(VERSION_DIR_COL))
+
+
+def merge_into(source: DataFrame, path: str, keys: list[str],
+               delete_condition: str | None = None) -> int:
+    """Delta ``MERGE INTO`` semantics: matched target rows are replaced
+    by source rows, unmatched source rows are inserted; rows matching
+    ``delete_condition`` (SQL over the merged relation) are dropped.
+
+    Copy-on-write at partition granularity: only partitions that occur
+    in ``source`` are rewritten; the rest carry forward by reference.
+    The touched-partition list is collected driver-side — it is
+    O(partition values in the batch), the same listing cost every
+    lakehouse MERGE pays.
+    """
+    spark = source.sparkSession
+    base_version = current_version(path)
+    if base_version < 1:
+        raise FileNotFoundError(
+            f"merge_into target {path} does not exist; write_table first")
+    man = _read_manifest(path, base_version)
+    pcol = man["partition_col"]
+    version = base_version + 1
+
+    if pcol is None:
+        touched = [_NO_PART]
+        current = read_table(spark, path)
+        relevant = source
+    else:
+        touched = [str(r[0]) for r in
+                   source.select(pcol).distinct().collect()]
+        existing = [p for p in touched if p in man["partitions"]]
+        if existing:
+            dirs = [os.path.join(_data_dir(path),
+                                 f"{VERSION_DIR_COL}={man['partitions'][p]}",
+                                 f"{pcol}={p}")
+                    for p in existing]
+            current = (spark.read.option("basePath", _data_dir(path))
+                       .parquet(*dirs).drop(VERSION_DIR_COL))
+        else:
+            current = source.limit(0)
+        relevant = source
+
+    kept = current.join(relevant.select(*keys).distinct(), keys, "left_anti")
+    merged = kept.unionByName(relevant.select(*current.columns))
+    if delete_condition:
+        merged = merged.filter(f"NOT ({delete_condition})")
+
+    written = _write_snapshot(merged, path, version, pcol)
+    partitions = dict(man["partitions"])
+    for p in touched:       # fully-deleted partitions leave the manifest
+        partitions.pop(p, None)
+    for p in written:
+        partitions[p] = version
+    return _commit(path, {
+        "version": version, "op": "merge", "partition_col": pcol,
+        "partitions": partitions,
+    })
+
+
+def history(path: str) -> list[dict]:
+    """Commit log, oldest first: version, op, partitions touched."""
+    out = []
+    for v in range(1, current_version(path) + 1):
+        man = _read_manifest(path, v)
+        out.append({"version": man["version"], "op": man["op"],
+                    "touched": [p for p, sv in man["partitions"].items()
+                                if sv == man["version"]]})
+    return out

@@ -293,3 +293,37 @@ def running_totals_stateful(events: DataFrame) -> DataFrame:
     return (events.groupBy("user_id")
             .applyInPandasWithState(update, out_schema, state_schema,
                                     "update", "NoTimeout"))
+
+
+def foreach_batch_merge_versioned(stream: DataFrame, table_path: str,
+                                  checkpoint: str, keys: tuple[str, ...],
+                                  attempts: int = 3) -> StreamingQuery:
+    """T3/K5 — micro-batch MERGE into the versioned parquet table
+    (sources/versioned.py): copy-on-write of only the partitions the
+    batch touches (O(touched), not O(table) — the scale fix for the
+    plain-parquet upsert above), atomic pointer-swap commit, and every
+    batch's state time-travelable. Wrapped in the T6 retry policy.
+
+    The table must exist (versioned.write_table) so the partition
+    layout is declared before streaming starts — same contract as
+    Delta's MERGE. Replays after a crash re-merge the same keys:
+    idempotent by the MERGE semantics."""
+    from travel_data_pipeline_spark.sources import versioned
+    from travel_data_pipeline_spark.streaming.retry import (
+        retrying_foreach_batch,
+    )
+
+    def merge_batch(batch_df: DataFrame, epoch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        versioned.merge_into(batch_df.dropDuplicates(list(keys)),
+                             table_path, keys=list(keys))
+
+    return (stream.writeStream
+            .foreachBatch(retrying_foreach_batch(merge_batch,
+                                                 attempts=attempts,
+                                                 jitter_s=0.0))
+            .option("checkpointLocation", checkpoint)
+            .outputMode("update")
+            .trigger(availableNow=True)
+            .start())
