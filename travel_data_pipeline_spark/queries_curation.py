@@ -1,0 +1,237 @@
+"""Training-data curation operators beyond dedup — the rest of what a
+large-scale LLM data pipeline runs over a corpus (north-star mandate,
+SURVEY.md §2.10 family): deterministic splits, benchmark-contamination
+checks, stratified sampling, PII redaction, vocabulary statistics.
+
+Everything is expression-level (md5-keyed determinism, regexp, window
+top-k) with an exact DuckDB twin. Scale notes per query; none of them
+collects to the driver or self-joins the corpus.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from travel_data_pipeline_spark.functions.hashing import (
+    md5_long,
+    md5_long_sql,
+)
+from travel_data_pipeline_spark.operators import dedup, text
+from travel_data_pipeline_spark.registry import register
+from travel_data_pipeline_spark.sources.readers import load_table
+
+# ---------------------------------------------------------------------------
+# Deterministic train/valid/test split — hash the id, not rand(): the
+# assignment must survive reruns, repartitioning, and engine changes
+# (rand() is none of those). 80/10/10 on a 0..99 bucket.
+# ---------------------------------------------------------------------------
+
+_split_hash = md5_long_sql("'split:' || CAST(doc_id AS VARCHAR)")
+_SPLIT_BUCKET = f"({_split_hash} % 100)"
+
+
+@register("split_train_valid_test", f"""
+SELECT doc_id,
+       CAST({_SPLIT_BUCKET} AS INT) AS bucket,
+       CASE WHEN {_SPLIT_BUCKET} < 80 THEN 'train'
+            WHEN {_SPLIT_BUCKET} < 90 THEN 'valid'
+            ELSE 'test' END AS split
+FROM documents
+""")
+def split_train_valid_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pure map — no shuffle at any scale; the split column then serves
+    as a partition key for the writer."""
+    docs = load_table(spark, sf_dir, "documents")
+    bucket = (md5_long(F.concat(F.lit("split:"),
+                                F.col("doc_id").cast("string"))) % 100)
+    return docs.select(
+        "doc_id", bucket.cast("int").alias("bucket"),
+        F.when(bucket < 80, "train").when(bucket < 90, "valid")
+         .otherwise("test").alias("split"))
+
+
+# ---------------------------------------------------------------------------
+# Benchmark-contamination check: fraction of each training doc's
+# 5-gram shingles that appear in ANY eval doc (doc_id < 10 plays the
+# benchmark set). The eval shingle set is corpus-independent-small ->
+# broadcast; the train side streams through one semi-joinable pass.
+# ---------------------------------------------------------------------------
+
+@register("contamination_ngram_overlap", """
+WITH normed AS (
+    SELECT doc_id,
+           trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS norm
+    FROM documents
+),
+shingled AS (
+    SELECT DISTINCT w.doc_id, array_to_string(w.words[i.i:i.i+4], ' ') AS g
+    FROM (SELECT doc_id, string_split(norm, ' ') AS words FROM normed) w,
+         unnest(generate_series(1, greatest(len(w.words) - 4, 0))) AS i(i)
+),
+eval_grams AS (SELECT DISTINCT g FROM shingled WHERE doc_id < 10),
+train AS (SELECT doc_id, g FROM shingled WHERE doc_id >= 10),
+scored AS (
+    SELECT t.doc_id,
+           COUNT(*) AS n_grams,
+           SUM(CASE WHEN e.g IS NOT NULL THEN 1 ELSE 0 END) AS n_hit
+    FROM train t LEFT JOIN eval_grams e ON t.g = e.g
+    GROUP BY t.doc_id
+)
+SELECT doc_id, CAST(n_grams AS BIGINT) AS n_grams,
+       CAST(n_hit AS BIGINT) AS n_hit,
+       ROUND(n_hit / n_grams, 6) AS contamination
+FROM scored WHERE n_hit > 0
+""")
+def contamination_ngram_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train/eval decontamination, the n-gram way. At 100 TB the eval
+    side is a benchmark suite (MBs) — broadcast it; one pass over the
+    training shingles, no corpus self-join."""
+    docs = load_table(spark, sf_dir, "documents")
+    sh = dedup.shingle_sets(docs, shingle_n=5).withColumnRenamed("shingle", "g")
+    eval_grams = sh.filter(F.col("doc_id") < 10).select("g").distinct()
+    train = sh.filter(F.col("doc_id") >= 10)
+    scored = (train.join(F.broadcast(eval_grams.withColumn("_hit", F.lit(1))),
+                         "g", "left")
+              .groupBy("doc_id")
+              .agg(F.count("*").alias("n_grams"),
+                   F.sum(F.coalesce(F.col("_hit"), F.lit(0))).alias("n_hit")))
+    return (scored.filter(F.col("n_hit") > 0)
+            .select("doc_id", "n_grams", "n_hit",
+                    F.round(F.col("n_hit") / F.col("n_grams"), 6)
+                     .alias("contamination")))
+
+
+# ---------------------------------------------------------------------------
+# Stratified sampling: per-language keep-rates, hash-thresholded so the
+# sample is deterministic and rerun-stable (the curation analogue of
+# TABLESAMPLE ... REPEATABLE, but portable).
+# ---------------------------------------------------------------------------
+
+_RATES = {"en": 200, "de": 100, "fr": 100}  # out of 1000
+_samp_hash = md5_long_sql("'samp:' || CAST(doc_id AS VARCHAR)")
+_SAMP_HASH = f"({_samp_hash} % 1000)"
+_RATE_SQL = ("CASE " + " ".join(
+    f"WHEN lang = '{lg}' THEN {r}" for lg, r in _RATES.items()) +
+    " ELSE 50 END")
+
+
+@register("sample_stratified_by_lang", f"""
+SELECT doc_id, lang
+FROM documents
+WHERE {_SAMP_HASH} < {_RATE_SQL}
+""")
+def sample_stratified_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pure filter — predicate-pushdown-friendly, no shuffle."""
+    docs = load_table(spark, sf_dir, "documents")
+    h = md5_long(F.concat(F.lit("samp:"),
+                          F.col("doc_id").cast("string"))) % 1000
+    rate = F.lit(50)
+    for lg, r in _RATES.items():
+        rate = F.when(F.col("lang") == lg, F.lit(r)).otherwise(rate)
+    return docs.filter(h < rate).select("doc_id", "lang")
+
+
+# ---------------------------------------------------------------------------
+# PII redaction: mask emails/phone-shaped substrings, count what was
+# masked. The corpus has no planted PII, so both engines augment
+# deterministically (doc_id % 7 == 0 gets a synthetic contact line) —
+# the observable is the redaction arithmetic, not the data.
+# ---------------------------------------------------------------------------
+
+_EMAIL_RE = "[a-z0-9._%+-]+@[a-z0-9.-]+[.][a-z]{2,}"
+_PHONE_RE = "[+][0-9]{2}[- ][0-9]{3,4}[- ][0-9]{4}"
+
+
+@register("pii_redaction", f"""
+WITH augmented AS (
+    SELECT doc_id,
+           CASE WHEN doc_id % 7 = 0
+                THEN text || ' contact user' || CAST(doc_id AS VARCHAR)
+                     || '@example.com or +82 10-' ||
+                     lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') || '-1234'
+                ELSE text END AS text
+    FROM documents
+),
+redacted AS (
+    SELECT doc_id,
+           regexp_replace(regexp_replace(lower(text),
+               '{_EMAIL_RE}', '[EMAIL]', 'g'),
+               '{_PHONE_RE}', '[PHONE]', 'g') AS clean
+    FROM augmented
+)
+SELECT doc_id,
+       CAST(len(regexp_extract_all(clean, '\\[EMAIL\\]')) AS INT)
+         AS n_emails,
+       CAST(len(regexp_extract_all(clean, '\\[PHONE\\]')) AS INT)
+         AS n_phones,
+       md5(clean) AS clean_md5
+FROM redacted
+WHERE doc_id % 7 = 0
+""")
+def pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Masking is regexp_replace — JVM-side, streaming-friendly, no
+    shuffle. Counts come from the redacted text so the query also
+    proves the masks landed (md5 pins the exact output)."""
+    docs = load_table(spark, sf_dir, "documents")
+    aug = docs.select(
+        "doc_id",
+        F.when(F.col("doc_id") % 7 == 0,
+               F.concat(F.col("text"),
+                        F.lit(" contact user"),
+                        F.col("doc_id").cast("string"),
+                        F.lit("@example.com or +82 10-"),
+                        F.lpad((F.col("doc_id") % 10000).cast("string"),
+                               4, "0"),
+                        F.lit("-1234")))
+         .otherwise(F.col("text")).alias("text"))
+    clean = F.regexp_replace(
+        F.regexp_replace(F.lower("text"), _EMAIL_RE, "[EMAIL]"),
+        _PHONE_RE, "[PHONE]")
+    return (aug.filter(F.col("doc_id") % 7 == 0)
+            .select("doc_id",
+                    F.size(F.regexp_extract_all(clean, F.lit(r"\[EMAIL\]"), 0))
+                     .alias("n_emails"),
+                    F.size(F.regexp_extract_all(clean, F.lit(r"\[PHONE\]"), 0))
+                     .alias("n_phones"),
+                    F.md5(clean).alias("clean_md5")))
+
+
+# ---------------------------------------------------------------------------
+# Vocabulary statistics: top-5 tokens per language by frequency — the
+# W2 pattern over an exploded token relation (corpus token histogram).
+# ---------------------------------------------------------------------------
+
+@register("corpus_vocab_topk", """
+WITH toks AS (
+    SELECT lang, unnest(list_filter(string_split(
+               trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' '),
+               x -> x <> '')) AS token
+    FROM documents
+),
+counted AS (
+    SELECT lang, token, COUNT(*) AS n
+    FROM toks GROUP BY lang, token
+)
+SELECT lang, token, n, CAST(rnk AS INT) AS rnk FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY lang
+        ORDER BY n DESC, token ASC) AS rnk
+    FROM counted
+) WHERE rnk <= 5
+""")
+def corpus_vocab_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two shuffles ((lang, token) count, then lang top-k) — the
+    second operates on the already-aggregated histogram, which is
+    vocabulary-sized, not corpus-sized."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "lang",
+        F.explode(F.filter(text.token_array(
+            dedup.normalize_text(F.col("text"))),
+            lambda t: t != "")).alias("token"))
+    counted = toks.groupBy("lang", "token").agg(F.count("*").alias("n"))
+    w = Window.partitionBy("lang").orderBy(F.col("n").desc(),
+                                           F.col("token").asc())
+    return (counted.withColumn("rnk", F.row_number().over(w))
+            .filter(F.col("rnk") <= 5)
+            .select("lang", "token", "n", F.col("rnk").cast("int")))

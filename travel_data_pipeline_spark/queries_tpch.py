@@ -514,11 +514,28 @@ FROM grouped GROUP BY group_id
 def t2_task_messages(spark: SparkSession, sf_dir: str) -> DataFrame:
     """T2 (google_trends_trigger.py:106-127): chunk keywords 4-per-task,
     +1 anchor per batch. The queue hop becomes a task table keyed by
-    group_id — parallelism by partition, not process fan-out."""
+    group_id — parallelism by partition, not process fan-out.
+
+    The global sequence number is a two-stage rank (rank within a
+    prefix partition + broadcast cumulative offset of smaller
+    prefixes), NOT a partitionless window — a global row_number
+    funnels every row through one reducer once the keyword universe
+    grows past toy size. The offset window runs over <= |prefixes|
+    rows, which stays driver-tiny by construction."""
     n = load_table(spark, sf_dir, "nation")
-    kws = n.select(
-        F.concat("n_name", F.lit(" travel")).alias("kw"),
-        (F.row_number().over(Window.orderBy("n_name")) - 1).alias("idx"))
+    pfx = n.select(F.col("n_name"),
+                   F.substring("n_name", 1, 1).alias("_pfx"))
+    local = F.row_number().over(
+        Window.partitionBy("_pfx").orderBy("n_name"))
+    counts = pfx.groupBy("_pfx").agg(F.count("*").alias("_n"))
+    off_w = (Window.orderBy("_pfx")
+             .rowsBetween(Window.unboundedPreceding, -1))
+    offsets = counts.select(
+        "_pfx", F.coalesce(F.sum("_n").over(off_w), F.lit(0)).alias("_off"))
+    kws = (pfx.withColumn("_local", local)
+           .join(F.broadcast(offsets), "_pfx")
+           .select(F.concat("n_name", F.lit(" travel")).alias("kw"),
+                   (F.col("_off") + F.col("_local") - 1).alias("idx")))
     grouped = kws.withColumn("group_id", (F.col("idx") / 4).cast("int"))
     return (grouped.groupBy("group_id")
             .agg(F.array_join(F.sort_array(F.collect_list("kw")), "|")
