@@ -327,3 +327,36 @@ def foreach_batch_merge_versioned(stream: DataFrame, table_path: str,
             .outputMode("update")
             .trigger(availableNow=True)
             .start())
+
+
+def streaming_exact_dedup(docs_stream: DataFrame, out_dir: str,
+                          checkpoint: str,
+                          ts_col: str = "ingest_ts",
+                          text_col: str = "text",
+                          watermark: str = "1 hour") -> StreamingQuery:
+    """Streaming exact dedup for a training-data ingest stream: key on
+    the md5 of normalized text, keep exactly ONE representative per
+    key, drop redelivered or duplicate documents. (Across micro-batches
+    the earlier batch's row survives; within one micro-batch the
+    representative is partition-order-dependent — same contract as
+    Spark's own dropDuplicates.)
+
+    ``dropDuplicatesWithinWatermark`` bounds the dedup state: keys
+    older than the watermark are evicted, so state is
+    O(throughput x watermark), not O(corpus) — the only shape that
+    survives an unbounded ingest stream. Cross-watermark duplicates
+    are the batch dedup's job (operators/dedup.exact_dedup over the
+    landed bronze), exactly how production pipelines split the two.
+    """
+    from travel_data_pipeline_spark.operators.dedup import normalize_text
+
+    keyed = docs_stream.withColumn(
+        "text_key", F.md5(normalize_text(F.col(text_col))))
+    deduped = (keyed.withWatermark(ts_col, watermark)
+               .dropDuplicatesWithinWatermark(["text_key"]))
+    return (deduped.writeStream.format("parquet")
+            .option("path", out_dir)
+            .option("checkpointLocation", checkpoint)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start())
