@@ -1,0 +1,136 @@
+"""Time-series operators: gap-fill + interpolation (the hypertable /
+continuous-aggregate class of custom operator) and sketch-based
+approximate aggregation with a verified error bound.
+
+Both are pure window/sequence expressions with exact DuckDB twins;
+the approximate query certifies its own error bound so the oracle can
+hash-check the certification without replaying the sketch.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from travel_data_pipeline_spark.operators.aggregates import dec_sum
+from travel_data_pipeline_spark.registry import register
+from travel_data_pipeline_spark.sources.readers import load_table
+
+# ---------------------------------------------------------------------------
+# Hourly gap-fill + linear interpolation. The spine is generated per
+# event_type from its own min/max hour (sequence + explode — no
+# driver-side range), missing hours join as NULL, and interpolation is
+# two ignore-nulls window passes (last-before / first-after). One
+# shuffle on event_type; both window passes reuse it.
+# ---------------------------------------------------------------------------
+
+_PREV_W = ("PARTITION BY event_type ORDER BY h ROWS BETWEEN UNBOUNDED "
+           "PRECEDING AND CURRENT ROW")
+_NEXT_W = ("PARTITION BY event_type ORDER BY h ROWS BETWEEN CURRENT ROW "
+           "AND UNBOUNDED FOLLOWING")
+
+
+@register("gapfill_hourly_interpolate", f"""
+WITH hourly AS (
+    SELECT event_type, date_trunc('hour', ts) AS h,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS hour_sum
+    FROM events GROUP BY 1, 2
+),
+bounds AS (
+    SELECT event_type, MIN(h) AS h0, MAX(h) AS h1 FROM hourly GROUP BY 1
+),
+spine AS (
+    SELECT event_type, unnest(generate_series(h0, h1, INTERVAL 1 HOUR)) AS h
+    FROM bounds
+),
+joined AS (
+    SELECT s.event_type, s.h, hr.hour_sum,
+           CAST(epoch(s.h) AS BIGINT) // 3600 AS pos
+    FROM spine s LEFT JOIN hourly hr
+      ON hr.event_type = s.event_type AND hr.h = s.h
+),
+framed AS (
+    SELECT *,
+           last_value(hour_sum IGNORE NULLS) OVER ({_PREV_W}) AS prev_v,
+           last_value(CASE WHEN hour_sum IS NOT NULL THEN pos END
+                      IGNORE NULLS) OVER ({_PREV_W}) AS prev_p,
+           first_value(hour_sum IGNORE NULLS) OVER ({_NEXT_W}) AS next_v,
+           first_value(CASE WHEN hour_sum IS NOT NULL THEN pos END
+                       IGNORE NULLS) OVER ({_NEXT_W}) AS next_p
+    FROM joined
+)
+SELECT event_type, CAST(epoch(h) AS BIGINT) AS hour_epoch,
+       hour_sum IS NULL AS is_gap,
+       CASE WHEN hour_sum IS NOT NULL THEN hour_sum
+            ELSE ROUND(prev_v + (next_v - prev_v) * (pos - prev_p)
+                       / (next_p - prev_p), 6)
+       END AS filled_sum
+FROM framed
+""")
+def gapfill_hourly_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Continuous-aggregate gap-fill: hourly sums per event_type with
+    empty hours linearly interpolated between their non-null
+    neighbors. Spine edges are always observed hours (min/max come
+    from the data), so prev/next never dangle."""
+    e = load_table(spark, sf_dir, "events")
+    hourly = (e.groupBy("event_type",
+                        F.date_trunc("hour", "ts").alias("h"))
+              .agg(dec_sum("value", "hour_sum")))
+    bounds = hourly.groupBy("event_type").agg(F.min("h").alias("h0"),
+                                              F.max("h").alias("h1"))
+    spine = bounds.select(
+        "event_type",
+        F.explode(F.sequence("h0", "h1", F.expr("interval 1 hour")))
+         .alias("h"))
+    joined = (spine.join(hourly, ["event_type", "h"], "left")
+              .withColumn("pos", F.unix_timestamp("h") / F.lit(3600))
+              .withColumn("pos", F.col("pos").cast("long")))
+    w_prev = (Window.partitionBy("event_type").orderBy("h")
+              .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    w_next = (Window.partitionBy("event_type").orderBy("h")
+              .rowsBetween(Window.currentRow, Window.unboundedFollowing))
+    obs_pos = F.when(F.col("hour_sum").isNotNull(), F.col("pos"))
+    framed = (joined
+              .withColumn("prev_v", F.last("hour_sum", True).over(w_prev))
+              .withColumn("prev_p", F.last(obs_pos, True).over(w_prev))
+              .withColumn("next_v", F.first("hour_sum", True).over(w_next))
+              .withColumn("next_p", F.first(obs_pos, True).over(w_next)))
+    interp = F.round(
+        F.col("prev_v") + (F.col("next_v") - F.col("prev_v"))
+        * (F.col("pos") - F.col("prev_p"))
+        / (F.col("next_p") - F.col("prev_p")), 6)
+    return framed.select(
+        "event_type",
+        F.unix_timestamp("h").alias("hour_epoch"),
+        F.col("hour_sum").isNull().alias("is_gap"),
+        F.when(F.col("hour_sum").isNotNull(), F.col("hour_sum"))
+         .otherwise(interp).alias("filled_sum"))
+
+
+# ---------------------------------------------------------------------------
+# Sketch-based approximate distinct with a certified bound: the engine
+# computes BOTH the HLL++ approximation (rsd=0.01) and the exact
+# count, and certifies |approx - exact| / exact <= 5%. The oracle
+# can't replay the sketch, but it CAN hash-check the certification —
+# exact counts must match and every bound flag must be true.
+# ---------------------------------------------------------------------------
+
+@register("approx_distinct_daily_users", """
+SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
+       COUNT(DISTINCT user_id) AS exact_users,
+       TRUE AS approx_within_5pct
+FROM events GROUP BY 1
+""")
+def approx_distinct_daily_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """At 100 TB the exact count is the expensive path (full shuffle of
+    distinct keys) and the sketch is the default; here both run so the
+    error bound is *measured*, per group, inside the query."""
+    e = load_table(spark, sf_dir, "events")
+    agg = (e.groupBy(F.date_format(F.date_trunc("day", "ts"), "yyyy-MM-dd")
+                     .alias("day"))
+           .agg(F.countDistinct("user_id").alias("exact_users"),
+                F.approx_count_distinct("user_id", 0.01).alias("_approx")))
+    return agg.select(
+        "day", "exact_users",
+        (F.abs(F.col("_approx") - F.col("exact_users"))
+         / F.col("exact_users") <= 0.05).alias("approx_within_5pct"))
