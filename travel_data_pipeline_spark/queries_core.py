@@ -523,6 +523,48 @@ def sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Recursive CTE (Spark 4.x WITH RECURSIVE): hierarchy walk with
+# root/depth/path over a deterministic forest on nation keys
+# (parent(n) = n DIV 2 — synthetic edges, real table).
+# ---------------------------------------------------------------------------
+
+@register("recursive_nation_hierarchy", """
+WITH RECURSIVE tree(n_nationkey, n_name, root, depth, path) AS (
+    SELECT n_nationkey, n_name, n_nationkey AS root, 0 AS depth,
+           CAST(n_name AS VARCHAR) AS path
+    FROM nation WHERE n_nationkey < 2
+    UNION ALL
+    SELECT c.n_nationkey, c.n_name, t.root, t.depth + 1,
+           t.path || '>' || c.n_name
+    FROM nation c JOIN tree t ON c.n_nationkey // 2 = t.n_nationkey
+    WHERE c.n_nationkey >= 2
+)
+SELECT n_nationkey, n_name, root, CAST(depth AS INT) AS depth, path
+FROM tree
+""")
+def recursive_nation_hierarchy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Transitive hierarchy walk via WITH RECURSIVE (iterative in both
+    engines — Spark unions per-level frames under AQE, no driver loop).
+    The capability the reference's per-row dict walks could never
+    express declaratively."""
+    load_table(spark, sf_dir, "nation").createOrReplaceTempView("nation")
+    return spark.sql("""
+    WITH RECURSIVE tree(n_nationkey, n_name, root, depth, path) AS (
+        SELECT n_nationkey, n_name, n_nationkey AS root, 0 AS depth,
+               CAST(n_name AS STRING) AS path
+        FROM nation WHERE n_nationkey < 2
+        UNION ALL
+        SELECT c.n_nationkey, c.n_name, t.root, t.depth + 1,
+               CONCAT(t.path, '>', c.n_name)
+        FROM nation c JOIN tree t ON c.n_nationkey DIV 2 = t.n_nationkey
+        WHERE c.n_nationkey >= 2
+    )
+    SELECT n_nationkey, n_name, root, CAST(depth AS INT) AS depth, path
+    FROM tree
+    """)
+
+
+# ---------------------------------------------------------------------------
 # SCD2 — type-2 history of each user's event_type (gaps-and-islands;
 # the transformation behind the versioned gold layer,
 # sources/versioned.py + operators/windows.scd2_collapse)
