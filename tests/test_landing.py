@@ -58,3 +58,31 @@ def test_online_crawl_is_guarded(tmp_path):
         landing.land_trends_rows(str(tmp_path / "y.jsonl"), online=True)
     with pytest.raises(NotImplementedError):
         landing.land_flight_offers(str(tmp_path / "z.jsonl"), online=True)
+
+
+def test_landed_raw_feeds_streaming_leg(spark, raw_dir, tmp_path):
+    """ROADMAP splice: the LANDED raw exchange cells, streamed as
+    micro-batches through exchange_scores_stream, land on the batch
+    pipeline's exact scores — the full crawl-shaped entry to the
+    streaming engine without network."""
+    from travel_data_pipeline_spark.plans.exchange import (
+        exchange_scores,
+        exchange_scores_stream,
+    )
+
+    stream = (spark.readStream
+              .schema(FX.EXCHANGE_CELLS_SCHEMA)
+              .option("pathGlobFilter", "cells.jsonl")
+              .json(str(raw_dir)))
+    out = exchange_scores_stream(spark, stream)
+    q = (out.writeStream.format("memory").queryName("landed_ex_stream")
+         .outputMode("complete").trigger(availableNow=True).start())
+    q.awaitTermination(120)
+
+    got = {r.country_code_3: (r.exchange_rate_change_percent,
+                              r.exchange_rate_score)
+           for r in spark.table("landed_ex_stream").collect()}
+    batch = {r.country_code_3: (r.exchange_rate_change_percent,
+                                r.exchange_rate_score)
+             for r in exchange_scores(spark).collect()}
+    assert got == batch
