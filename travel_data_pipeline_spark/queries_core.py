@@ -523,6 +523,78 @@ def sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# RANGE window frame — trailing ONE HOUR of events per user (value-
+# range frame over epoch seconds, peers included): the time-window
+# analytic that needs no explode and no self-join.
+# ---------------------------------------------------------------------------
+
+@register("trailing_hour_range_window", """
+WITH base AS (
+    SELECT event_id, user_id, value,
+           CAST(floor(epoch(ts)) AS BIGINT) AS sec
+    FROM events
+)
+SELECT event_id, user_id,
+       CAST(COUNT(*) OVER w AS BIGINT) AS n_events_1h,
+       CAST(SUM(CAST(value AS DECIMAL(18,2))) OVER w AS DOUBLE) AS sum_1h
+FROM base
+WINDOW w AS (PARTITION BY user_id ORDER BY sec
+             RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW)
+""")
+def trailing_hour_range_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per event: count/sum of the same user's events in the trailing
+    hour — a RANGE frame over epoch seconds. One shuffle on user_id;
+    state per partition is the frame, not the history."""
+    e = load_table(spark, sf_dir, "events")
+    base = e.select("event_id", "user_id", "value",
+                    F.floor(F.unix_timestamp("ts")).cast("long").alias("sec"))
+    w = (Window.partitionBy("user_id").orderBy("sec")
+         .rangeBetween(-3600, Window.currentRow))
+    return base.select(
+        "event_id", "user_id",
+        F.count("*").over(w).alias("n_events_1h"),
+        F.sum(F.col("value").cast("decimal(18,2)")).over(w)
+         .cast("double").alias("sum_1h"))
+
+
+# ---------------------------------------------------------------------------
+# FULL OUTER reconciliation — hourly click vs purchase activity;
+# one-sided hours surface with nulls on the absent side (the ledger-
+# reconciliation join shape).
+# ---------------------------------------------------------------------------
+
+@register("full_outer_hourly_reconciliation", """
+WITH clicks AS (
+    SELECT date_trunc('hour', ts) AS h, COUNT(*) AS n_clicks
+    FROM events WHERE event_type = 'click' GROUP BY 1
+),
+purchases AS (
+    SELECT date_trunc('hour', ts) AS h, COUNT(*) AS n_purchases
+    FROM events WHERE event_type = 'purchase' GROUP BY 1
+)
+SELECT CAST(epoch(COALESCE(c.h, p.h)) AS BIGINT) AS hour_epoch,
+       c.n_clicks, p.n_purchases,
+       (c.h IS NULL OR p.h IS NULL) AS one_sided
+FROM clicks c FULL OUTER JOIN purchases p ON c.h = p.h
+""")
+def full_outer_hourly_reconciliation(spark: SparkSession,
+                                     sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    hourly = lambda t, alias: (  # noqa: E731
+        e.filter(F.col("event_type") == t)
+        .groupBy(F.date_trunc("hour", "ts").alias("h"))
+        .agg(F.count("*").alias(alias)))
+    c, p = hourly("click", "n_clicks"), hourly("purchase", "n_purchases")
+    joined = c.withColumnRenamed("h", "ch").join(
+        p.withColumnRenamed("h", "ph"),
+        F.col("ch") == F.col("ph"), "full_outer")
+    return joined.select(
+        F.unix_timestamp(F.coalesce("ch", "ph")).alias("hour_epoch"),
+        "n_clicks", "n_purchases",
+        (F.col("ch").isNull() | F.col("ph").isNull()).alias("one_sided"))
+
+
+# ---------------------------------------------------------------------------
 # Recursive CTE (Spark 4.x WITH RECURSIVE): hierarchy walk with
 # root/depth/path over a deterministic forest on nation keys
 # (parent(n) = n DIV 2 — synthetic edges, real table).
