@@ -423,3 +423,42 @@ def test_streaming_exact_dedup(spark, tmp_path):
     # both distinct texts untouched
     assert len(got & {1, 2, 4}) == 1
     assert {3, 5} <= got and len(rows_out) == 3
+
+
+def test_stream_stream_interval_join_matches_batch(spark, tmp_path):
+    """Purchases attribute to same-user clicks within the preceding
+    hour; the streaming interval join emits exactly the batch join's
+    result set."""
+    import travel_data_pipeline_spark.streaming.jobs as J
+
+    rows = [
+        # user 1: click 10:00 -> purchases 10:30 (in) and 11:30 (out)
+        (100, "2024-01-01 10:00:00", 1, "click", 0.0),
+        (101, "2024-01-01 10:30:00", 1, "purchase", 30.0),
+        (102, "2024-01-01 11:30:00", 1, "purchase", 70.0),
+        # user 2: purchase before any click -> no attribution
+        (200, "2024-01-01 09:00:00", 2, "purchase", 10.0),
+        (201, "2024-01-01 09:30:00", 2, "click", 0.0),
+        # user 2: second click + in-window purchase
+        (202, "2024-01-01 09:45:00", 2, "purchase", 20.0),
+    ]
+    schema = "event_id long, ts string, user_id long, event_type string, value double"
+    df = (spark.createDataFrame(rows, schema)
+          .withColumn("ts", F.to_timestamp("ts")))
+    src = str(tmp_path / "events")
+    df.write.parquet(src)
+
+    stream = (spark.readStream
+              .schema("event_id long, ts timestamp, user_id long, "
+                      "event_type string, value double")
+              .parquet(src))
+    out = J.attribute_purchases_stream(
+        stream.filter(F.col("event_type") == "click"),
+        stream.filter(F.col("event_type") == "purchase"))
+    q = (out.writeStream.format("memory").queryName("attrib")
+         .outputMode("append").trigger(availableNow=True).start())
+    q.awaitTermination(120)
+
+    got = {(r.click_id, r.purchase_id, r.amount)
+           for r in spark.table("attrib").collect()}
+    assert got == {(100, 101, 30.0), (201, 202, 20.0)}

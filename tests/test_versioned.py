@@ -122,3 +122,22 @@ def test_streaming_upsert_through_versioned_table(spark, tmp_path):
         [(1, 1.0), (2, 22.0), (3, 3.0)]
     ops = [h["op"] for h in V.history(tbl)]
     assert ops[0] == "create" and "merge" in ops
+
+
+def test_merge_schema_evolution(spark, seeded):
+    """Additive evolution: a batch with a new column merges in; rows
+    from older snapshots read the column as NULL."""
+    batch = spark.createDataFrame(
+        [(2, "A", 99.0, "eur")],
+        "id long, seg string, val double, ccy string")
+    V.merge_into(batch, seeded, keys=["id"], merge_schema=True)
+    now = _rows(V.read_table(spark, seeded)
+                .select("id", "val", "ccy"))
+    assert now == [(1, 10.0, None), (2, 99.0, "eur"),
+                   (3, 30.0, None), (4, 40.0, None)]
+    # strict mode drops unknown columns instead
+    batch2 = spark.createDataFrame(
+        [(3, "B", 33.0, "usd")],
+        "id long, seg string, val double, extra string")
+    V.merge_into(batch2, seeded, keys=["id"])
+    assert "extra" not in V.read_table(spark, seeded).columns

@@ -132,12 +132,16 @@ def read_table(spark: SparkSession, path: str,
         dirs = sorted(
             os.path.join(base, f"{VERSION_DIR_COL}={sv}", f"{pcol}={pval}")
             for pval, sv in man["partitions"].items())
-    return (spark.read.option("basePath", base).parquet(*dirs)
+    # mergeSchema: snapshots written before an additive schema change
+    # surface the new columns as NULL
+    return (spark.read.option("basePath", base)
+            .option("mergeSchema", "true").parquet(*dirs)
             .drop(VERSION_DIR_COL))
 
 
 def merge_into(source: DataFrame, path: str, keys: list[str],
-               delete_condition: str | None = None) -> int:
+               delete_condition: str | None = None,
+               merge_schema: bool = False) -> int:
     """Delta ``MERGE INTO`` semantics: matched target rows are replaced
     by source rows, unmatched source rows are inserted; rows matching
     ``delete_condition`` (SQL over the merged relation) are dropped.
@@ -147,6 +151,11 @@ def merge_into(source: DataFrame, path: str, keys: list[str],
     The touched-partition list is collected driver-side — it is
     O(partition values in the batch), the same listing cost every
     lakehouse MERGE pays.
+
+    ``merge_schema=True`` allows additive schema evolution: new source
+    columns are kept (old rows read them as NULL via parquet
+    mergeSchema); by default unknown columns are dropped, matching
+    Delta's strict-schema default.
     """
     spark = source.sparkSession
     base_version = current_version(path)
@@ -177,7 +186,10 @@ def merge_into(source: DataFrame, path: str, keys: list[str],
         relevant = source
 
     kept = current.join(relevant.select(*keys).distinct(), keys, "left_anti")
-    merged = kept.unionByName(relevant.select(*current.columns))
+    if merge_schema:
+        merged = kept.unionByName(relevant, allowMissingColumns=True)
+    else:
+        merged = kept.unionByName(relevant.select(*current.columns))
     if delete_condition:
         merged = merged.filter(f"NOT ({delete_condition})")
 

@@ -360,3 +360,32 @@ def streaming_exact_dedup(docs_stream: DataFrame, out_dir: str,
             .outputMode("append")
             .trigger(availableNow=True)
             .start())
+
+
+def attribute_purchases_stream(clicks: DataFrame, purchases: DataFrame,
+                               within: str = "1 hour") -> DataFrame:
+    """Stream-stream interval join: each purchase joins the same
+    user's clicks from the preceding ``within`` interval (ad-style
+    attribution). Watermarks on BOTH sides plus the time-range
+    predicate let Spark expire join state — without them a
+    stream-stream join buffers forever. State is
+    O(throughput x within), the only shape that survives unbounded
+    streams.
+    """
+    c = (clicks.select(F.col("user_id").alias("c_user"),
+                       F.col("event_id").alias("click_id"),
+                       F.col("ts").alias("click_ts"))
+         .withWatermark("click_ts", within))
+    p = (purchases.select(F.col("user_id").alias("p_user"),
+                          F.col("event_id").alias("purchase_id"),
+                          F.col("value").alias("amount"),
+                          F.col("ts").alias("purchase_ts"))
+         .withWatermark("purchase_ts", within))
+    cond = F.expr(f"""
+        c_user = p_user AND
+        purchase_ts >= click_ts AND
+        purchase_ts <= click_ts + interval {within}""")
+    return (c.join(p, cond, "inner")
+            .select(F.col("p_user").alias("user_id"),
+                    "click_id", "purchase_id", "amount",
+                    "click_ts", "purchase_ts"))
