@@ -541,3 +541,119 @@ def t2_task_messages(spark: SparkSession, sf_dir: str) -> DataFrame:
             .agg(F.array_join(F.sort_array(F.collect_list("kw")), "|")
                   .alias("keywords"),
                  (F.count("*") + 1).alias("batch_size_with_anchor")))
+
+
+# ---------------------------------------------------------------------------
+# Q10-shape: returned-item revenue ranking (fact-fact join + dim,
+# top-20 by aggregated revenue)
+# ---------------------------------------------------------------------------
+
+@register("tpch_q10_returned_items", """
+SELECT c.c_custkey, c.c_name, n.n_name,
+       CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(12,2))
+                * (1 - CAST(l.l_discount AS DECIMAL(4,2)))) AS DOUBLE)
+         AS revenue
+FROM customer c
+JOIN orders o ON c.c_custkey = o.o_custkey
+JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+JOIN nation n ON c.c_nationkey = n.n_nationkey
+WHERE l.l_returnflag = 'R'
+  AND o.o_orderdate >= TIMESTAMP '1996-10-01'
+  AND o.o_orderdate < TIMESTAMP '1997-01-01'
+GROUP BY c.c_custkey, c.c_name, n.n_name
+ORDER BY revenue DESC, c_custkey ASC
+LIMIT 20
+""")
+def tpch_q10(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lost-revenue ranking: returned lineitems joined back to their
+    quarter's orders; nation broadcast; TopK via sort+limit (Spark
+    plans TakeOrderedAndProject — no full sort materialization)."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-10-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp")))
+    l = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_returnflag") == "R")
+    n = load_table(spark, sf_dir, "nation")
+    price = F.col("l_extendedprice").cast("decimal(12,2)")
+    disc = F.col("l_discount").cast("decimal(4,2)")
+    return (c.join(o, c["c_custkey"] == o["o_custkey"])
+            .join(l, l["l_orderkey"] == o["o_orderkey"])
+            .join(F.broadcast(n), c["c_nationkey"] == n["n_nationkey"])
+            .groupBy("c_custkey", "c_name", "n_name")
+            .agg(F.sum(price * (F.lit(1) - disc)).cast("double")
+                 .alias("revenue"))
+            .orderBy(F.col("revenue").desc(), F.col("c_custkey").asc())
+            .limit(20))
+
+
+# ---------------------------------------------------------------------------
+# Q14-shape: promo revenue share (conditional aggregation over a join)
+# ---------------------------------------------------------------------------
+
+@register("tpch_q14_promo_revenue", """
+SELECT CAST(100.00 * SUM(CASE WHEN p.p_type = 'PROMO'
+                THEN CAST(l.l_extendedprice AS DECIMAL(12,2))
+                     * (1 - CAST(l.l_discount AS DECIMAL(4,2))) END)
+            AS DOUBLE)
+       / CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(12,2))
+                  * (1 - CAST(l.l_discount AS DECIMAL(4,2)))) AS DOUBLE)
+         AS promo_revenue_pct
+FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+WHERE l.l_shipdate >= TIMESTAMP '1997-09-01'
+  AND l.l_shipdate < TIMESTAMP '1997-10-01'
+""")
+def tpch_q14(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One month of lineitems, part broadcast, two decimal sums in a
+    single pass, one double division at the end (oracle-stable)."""
+    l = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1997-09-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-10-01").cast("timestamp")))
+    p = load_table(spark, sf_dir, "part")
+    price = F.col("l_extendedprice").cast("decimal(12,2)")
+    disc = F.col("l_discount").cast("decimal(4,2)")
+    rev = price * (F.lit(1) - disc)
+    joined = l.join(F.broadcast(p), l["l_partkey"] == p["p_partkey"])
+    return joined.agg(
+        ((F.lit(100.00)
+          * F.sum(F.when(F.col("p_type") == "PROMO", rev)).cast("double"))
+         / F.sum(rev).cast("double")).alias("promo_revenue_pct"))
+
+
+# ---------------------------------------------------------------------------
+# Q19-shape: disjunctive multi-attribute predicate (OR of ANDs) — the
+# classic pushdown/CNF-conversion stressor
+# ---------------------------------------------------------------------------
+
+@register("tpch_q19_disjunctive_filters", """
+SELECT CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(12,2))
+                * (1 - CAST(l.l_discount AS DECIMAL(4,2)))) AS DOUBLE)
+         AS revenue,
+       CAST(COUNT(*) AS BIGINT) AS n_lines
+FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+WHERE (p.p_brand = 'Brand#12' AND p.p_size BETWEEN 1 AND 5
+       AND l.l_quantity >= 1 AND l.l_quantity <= 11)
+   OR (p.p_brand = 'Brand#23' AND p.p_size BETWEEN 1 AND 10
+       AND l.l_quantity >= 10 AND l.l_quantity <= 20)
+   OR (p.p_brand = 'Brand#34' AND p.p_size BETWEEN 1 AND 15
+       AND l.l_quantity >= 20 AND l.l_quantity <= 30)
+""")
+def tpch_q19(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OR-of-ANDs across both join sides: Catalyst extracts the
+    common single-side conjuncts (brand/size union, quantity range)
+    below the join while the residual disjunction stays on top —
+    the pushdown shape Q19 exists to test."""
+    l = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part")
+    j = l.join(F.broadcast(p), l["l_partkey"] == p["p_partkey"])
+    b = lambda br, smax, qlo, qhi: (  # noqa: E731
+        (F.col("p_brand") == br) & F.col("p_size").between(1, smax)
+        & (F.col("l_quantity") >= qlo) & (F.col("l_quantity") <= qhi))
+    filt = (b("Brand#12", 5, 1, 11) | b("Brand#23", 10, 10, 20)
+            | b("Brand#34", 15, 20, 30))
+    price = F.col("l_extendedprice").cast("decimal(12,2)")
+    disc = F.col("l_discount").cast("decimal(4,2)")
+    return (j.filter(filt)
+            .agg(F.sum(price * (F.lit(1) - disc)).cast("double")
+                 .alias("revenue"),
+                 F.count("*").alias("n_lines")))
