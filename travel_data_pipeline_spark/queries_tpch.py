@@ -657,3 +657,455 @@ def tpch_q19(spark: SparkSession, sf_dir: str) -> DataFrame:
             .agg(F.sum(price * (F.lit(1) - disc)).cast("double")
                  .alias("revenue"),
                  F.count("*").alias("n_lines")))
+
+
+# ---------------------------------------------------------------------------
+# Q4-shape: EXISTS over late shipments (commitdate/receiptdate absent in
+# the driver schema -> "late" = shipped >90 days after order date)
+# ---------------------------------------------------------------------------
+
+@register("tpch_q4_order_priority", """
+SELECT o.o_orderpriority, CAST(COUNT(*) AS BIGINT) AS order_count
+FROM orders o
+WHERE o.o_orderdate >= TIMESTAMP '1997-01-01'
+  AND o.o_orderdate < TIMESTAMP '1997-04-01'
+  AND EXISTS (SELECT 1 FROM lineitem l
+              WHERE l.l_orderkey = o.o_orderkey
+                AND l.l_shipdate > o.o_orderdate + INTERVAL 90 DAY)
+GROUP BY o.o_orderpriority
+""")
+def tpch_q4(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXISTS decorrelates to a LEFT SEMI join with a non-equi residual
+    on top of the orderkey equi-pair — no row multiplication, lineitem
+    never leaves the join as output columns."""
+    o = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-04-01").cast("timestamp")))
+    l = load_table(spark, sf_dir, "lineitem")
+    cond = ((l["l_orderkey"] == o["o_orderkey"])
+            & (l["l_shipdate"] > o["o_orderdate"] + F.expr("INTERVAL 90 DAY")))
+    return (o.join(l, cond, "left_semi")
+            .groupBy("o_orderpriority")
+            .agg(F.count("*").alias("order_count")))
+
+
+# ---------------------------------------------------------------------------
+# Q6-shape: pure scan-predicate aggregate (no join) — the pushdown floor
+# ---------------------------------------------------------------------------
+
+@register("tpch_q6_forecast_revenue", """
+SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+               * CAST(l_discount AS DECIMAL(4,2))) AS DOUBLE) AS revenue
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+  AND l_shipdate < TIMESTAMP '1998-01-01'
+  AND l_discount >= 0.05 AND l_discount <= 0.07
+  AND l_quantity < 24
+""")
+def tpch_q6(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Every predicate is scan-pushable (PushedFilters shows all four);
+    the whole query is one codegen stage with a partial+final agg."""
+    li = load_table(spark, sf_dir, "lineitem")
+    price = F.col("l_extendedprice").cast("decimal(12,2)")
+    disc = F.col("l_discount").cast("decimal(4,2)")
+    return (li.filter(
+                (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+                & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
+                & (F.col("l_discount") >= 0.05) & (F.col("l_discount") <= 0.07)
+                & (F.col("l_quantity") < 24))
+            .agg(F.sum(price * disc).cast("double").alias("revenue")))
+
+
+# ---------------------------------------------------------------------------
+# Q7-shape: bidirectional nation-pair volume, nation dim joined twice
+# ---------------------------------------------------------------------------
+
+@register("tpch_q7_volume_shipping", """
+SELECT supp_nation, cust_nation, l_year,
+       CAST(SUM(volume) AS DOUBLE) AS revenue
+FROM (SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+             CAST(EXTRACT(YEAR FROM l.l_shipdate) AS INTEGER) AS l_year,
+             CAST(l.l_extendedprice AS DECIMAL(12,2))
+               * (1 - CAST(l.l_discount AS DECIMAL(4,2))) AS volume
+      FROM supplier s
+      JOIN lineitem l ON s.s_suppkey = l.l_suppkey
+      JOIN orders o ON o.o_orderkey = l.l_orderkey
+      JOIN customer c ON c.c_custkey = o.o_custkey
+      JOIN nation n1 ON s.s_nationkey = n1.n_nationkey
+      JOIN nation n2 ON c.c_nationkey = n2.n_nationkey
+      WHERE ((n1.n_name = 'NATION_3' AND n2.n_name = 'NATION_7')
+          OR (n1.n_name = 'NATION_7' AND n2.n_name = 'NATION_3'))
+        AND l.l_shipdate >= TIMESTAMP '1996-01-01'
+        AND l.l_shipdate < TIMESTAMP '1998-01-01') shipping
+GROUP BY supp_nation, cust_nation, l_year
+""")
+def tpch_q7(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The nation dim participates twice (supplier side + customer
+    side) under different aliases, both broadcast; the OR-pair filter
+    sits above both joins and prunes to two nation combinations."""
+    s = load_table(spark, sf_dir, "supplier")
+    l = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp")))
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    n1 = load_table(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("n1_key"), F.col("n_name").alias("supp_nation"))
+    n2 = load_table(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("n2_key"), F.col("n_name").alias("cust_nation"))
+    price = F.col("l_extendedprice").cast("decimal(12,2)")
+    disc = F.col("l_discount").cast("decimal(4,2)")
+    pair = (((F.col("supp_nation") == "NATION_3") & (F.col("cust_nation") == "NATION_7"))
+            | ((F.col("supp_nation") == "NATION_7") & (F.col("cust_nation") == "NATION_3")))
+    return (s.join(l, s["s_suppkey"] == l["l_suppkey"])
+            .join(o, o["o_orderkey"] == l["l_orderkey"])
+            .join(c, c["c_custkey"] == o["o_custkey"])
+            .join(F.broadcast(n1), F.col("s_nationkey") == F.col("n1_key"))
+            .join(F.broadcast(n2), F.col("c_nationkey") == F.col("n2_key"))
+            .filter(pair)
+            .withColumn("l_year", F.year("l_shipdate"))
+            .groupBy("supp_nation", "cust_nation", "l_year")
+            .agg(F.sum(price * (F.lit(1) - disc)).cast("double").alias("revenue")))
+
+
+# ---------------------------------------------------------------------------
+# Q8-shape: market share — conditional share of a decimal volume
+# ---------------------------------------------------------------------------
+
+@register("tpch_q8_market_share", """
+SELECT o_year,
+       CAST(COALESCE(SUM(CASE WHEN nation = 'NATION_5' THEN volume END), 0)
+            AS DOUBLE)
+         / CAST(SUM(volume) AS DOUBLE) AS mkt_share
+FROM (SELECT CAST(EXTRACT(YEAR FROM o.o_orderdate) AS INTEGER) AS o_year,
+             CAST(l.l_extendedprice AS DECIMAL(12,2))
+               * (1 - CAST(l.l_discount AS DECIMAL(4,2))) AS volume,
+             n2.n_name AS nation
+      FROM part p
+      JOIN lineitem l ON p.p_partkey = l.l_partkey
+      JOIN supplier s ON s.s_suppkey = l.l_suppkey
+      JOIN orders o ON o.o_orderkey = l.l_orderkey
+      JOIN customer c ON o.o_custkey = c.c_custkey
+      JOIN nation n1 ON c.c_nationkey = n1.n_nationkey
+      JOIN region r ON n1.n_regionkey = r.r_regionkey
+      JOIN nation n2 ON s.s_nationkey = n2.n_nationkey
+      WHERE r.r_name = 'AMERICA'
+        AND o.o_orderdate >= TIMESTAMP '1996-01-01'
+        AND o.o_orderdate < TIMESTAMP '1998-01-01'
+        AND p.p_type = 'ECONOMY') all_nations
+GROUP BY o_year
+""")
+def tpch_q8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seven-table snowflake with nation twice; numerator and
+    denominator accumulate the same exact decimal volume, divided once
+    as doubles (order-independent)."""
+    p = load_table(spark, sf_dir, "part").filter(F.col("p_type") == "ECONOMY")
+    l = load_table(spark, sf_dir, "lineitem")
+    s = load_table(spark, sf_dir, "supplier")
+    o = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp")))
+    c = load_table(spark, sf_dir, "customer")
+    n1 = load_table(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("n1_key"), F.col("n_regionkey").alias("n1_region"))
+    r = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "AMERICA")
+    n2 = load_table(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("n2_key"), F.col("n_name").alias("nation"))
+    price = F.col("l_extendedprice").cast("decimal(12,2)")
+    disc = F.col("l_discount").cast("decimal(4,2)")
+    vol = (price * (F.lit(1) - disc)).alias("volume")
+    base = (F.broadcast(p).join(l, p["p_partkey"] == l["l_partkey"])
+            .join(s, s["s_suppkey"] == l["l_suppkey"])
+            .join(o, o["o_orderkey"] == l["l_orderkey"])
+            .join(c, o["o_custkey"] == c["c_custkey"])
+            .join(F.broadcast(n1), F.col("c_nationkey") == F.col("n1_key"))
+            .join(F.broadcast(r), F.col("n1_region") == F.col("r_regionkey"))
+            .join(F.broadcast(n2), F.col("s_nationkey") == F.col("n2_key"))
+            .select(F.year("o_orderdate").alias("o_year"), vol, F.col("nation")))
+    num = F.coalesce(
+        F.sum(F.when(F.col("nation") == "NATION_5", F.col("volume"))),
+        F.lit(0)).cast("double")
+    return (base.groupBy("o_year")
+            .agg((num / F.sum("volume").cast("double")).alias("mkt_share")))
+
+
+# ---------------------------------------------------------------------------
+# Q9-shape: product profit by nation/year (partsupp absent -> cost
+# proxied as 10% of retail price per unit, spelled identically both sides)
+# ---------------------------------------------------------------------------
+
+@register("tpch_q9_product_profit", """
+SELECT nation, o_year, CAST(SUM(amount) AS DOUBLE) AS sum_profit
+FROM (SELECT n.n_name AS nation,
+             CAST(EXTRACT(YEAR FROM o.o_orderdate) AS INTEGER) AS o_year,
+             CAST(l.l_extendedprice AS DECIMAL(12,2))
+               * (1 - CAST(l.l_discount AS DECIMAL(4,2)))
+             - CAST(p.p_retailprice AS DECIMAL(12,2))
+               * CAST(l.l_quantity AS DECIMAL(12,2))
+               * CAST(0.10 AS DECIMAL(3,2)) AS amount
+      FROM part p
+      JOIN lineitem l ON p.p_partkey = l.l_partkey
+      JOIN supplier s ON s.s_suppkey = l.l_suppkey
+      JOIN orders o ON o.o_orderkey = l.l_orderkey
+      JOIN nation n ON s.s_nationkey = n.n_nationkey
+      WHERE p.p_name LIKE '%red%') profit
+GROUP BY nation, o_year
+""")
+def tpch_q9(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LIKE filter prunes part before the fact join; profit stays exact
+    decimal until the final cast. Reference has no partsupp, so unit
+    cost is a fixed retail fraction — the join/agg shape is Q9's."""
+    p = load_table(spark, sf_dir, "part").filter(F.col("p_name").like("%red%"))
+    l = load_table(spark, sf_dir, "lineitem")
+    s = load_table(spark, sf_dir, "supplier")
+    o = load_table(spark, sf_dir, "orders")
+    n = load_table(spark, sf_dir, "nation")
+    price = F.col("l_extendedprice").cast("decimal(12,2)")
+    disc = F.col("l_discount").cast("decimal(4,2)")
+    cost = (F.col("p_retailprice").cast("decimal(12,2)")
+            * F.col("l_quantity").cast("decimal(12,2)")
+            * F.lit(0.10).cast("decimal(3,2)"))
+    return (F.broadcast(p).join(l, p["p_partkey"] == l["l_partkey"])
+            .join(s, s["s_suppkey"] == l["l_suppkey"])
+            .join(o, o["o_orderkey"] == l["l_orderkey"])
+            .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
+            .select(F.col("n_name").alias("nation"),
+                    F.year("o_orderdate").alias("o_year"),
+                    (price * (F.lit(1) - disc) - cost).alias("amount"))
+            .groupBy("nation", "o_year")
+            .agg(F.sum("amount").cast("double").alias("sum_profit")))
+
+
+# ---------------------------------------------------------------------------
+# Q12-shape: late-shipment priority counts (shipmode absent -> group by
+# l_linestatus; "late" = shipped >30 days after order date)
+# ---------------------------------------------------------------------------
+
+@register("tpch_q12_late_priority_counts", """
+SELECT l.l_linestatus,
+       CAST(SUM(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+                     THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+       CAST(SUM(CASE WHEN o.o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                     THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+WHERE l.l_shipdate >= TIMESTAMP '1997-01-01'
+  AND l.l_shipdate < TIMESTAMP '1998-01-01'
+  AND l.l_shipdate > o.o_orderdate + INTERVAL 30 DAY
+GROUP BY l.l_linestatus
+""")
+def tpch_q12(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-join with a non-equi residual (late-shipment window);
+    conditional counts fold into one aggregate pass."""
+    o = load_table(spark, sf_dir, "orders")
+    l = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp")))
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (o.join(l, (o["o_orderkey"] == l["l_orderkey"])
+                   & (l["l_shipdate"] > o["o_orderdate"] + F.expr("INTERVAL 30 DAY")))
+            .groupBy("l_linestatus")
+            .agg(F.sum(F.when(high, 1).otherwise(0)).alias("high_line_count"),
+                 F.sum(F.when(~high, 1).otherwise(0)).alias("low_line_count")))
+
+
+# ---------------------------------------------------------------------------
+# Q13-shape: customer order-count distribution (left join preserved zeros)
+# ---------------------------------------------------------------------------
+
+@register("tpch_q13_customer_distribution", """
+SELECT c_count, CAST(COUNT(*) AS BIGINT) AS custdist
+FROM (SELECT c.c_custkey, COUNT(o.o_orderkey) AS c_count
+      FROM customer c
+      LEFT JOIN orders o ON c.c_custkey = o.o_custkey
+                        AND o.o_orderpriority <> '5-LOW'
+      GROUP BY c.c_custkey) c_orders
+GROUP BY c_count
+""")
+def tpch_q13(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two stacked aggregations; the join predicate lives in the LEFT
+    JOIN's ON clause (not WHERE) so zero-order customers survive with
+    c_count = 0 — the classic outer-join-filter placement trap."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    cond = ((c["c_custkey"] == o["o_custkey"])
+            & (o["o_orderpriority"] != "5-LOW"))
+    return (c.join(o, cond, "left")
+            .groupBy("c_custkey")
+            .agg(F.count("o_orderkey").alias("c_count"))
+            .groupBy("c_count")
+            .agg(F.count("*").alias("custdist")))
+
+
+# ---------------------------------------------------------------------------
+# Q15-shape: top supplier by quarterly revenue (scalar MAX subquery)
+# ---------------------------------------------------------------------------
+
+@register("tpch_q15_top_supplier", """
+WITH revenue AS (
+    SELECT l_suppkey AS supplier_no,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+                    * (1 - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE)
+             AS total_revenue
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+      AND l_shipdate < TIMESTAMP '1997-04-01'
+    GROUP BY l_suppkey)
+SELECT s.s_suppkey, s.s_name, r.total_revenue
+FROM supplier s JOIN revenue r ON s.s_suppkey = r.supplier_no
+WHERE r.total_revenue = (SELECT MAX(total_revenue) FROM revenue)
+""")
+def tpch_q15(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The revenue relation is computed once and compared against its
+    own broadcast 1-row MAX — equality on doubles is safe because both
+    sides derive the value from the same exact decimal sum."""
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-04-01").cast("timestamp")))
+    price = F.col("l_extendedprice").cast("decimal(12,2)")
+    disc = F.col("l_discount").cast("decimal(4,2)")
+    rev = (li.groupBy(F.col("l_suppkey").alias("supplier_no"))
+           .agg(F.sum(price * (F.lit(1) - disc)).cast("double")
+                .alias("total_revenue")))
+    mx = rev.agg(F.max("total_revenue").alias("mx"))
+    s = load_table(spark, sf_dir, "supplier")
+    return (rev.join(F.broadcast(mx), F.col("total_revenue") == F.col("mx"))
+            .join(s, F.col("supplier_no") == F.col("s_suppkey"))
+            .select("s_suppkey", "s_name", "total_revenue"))
+
+
+# ---------------------------------------------------------------------------
+# Q16-shape: supplier count per part attribute with NOT IN exclusion
+# (partsupp absent -> lineitem is the part-supplier relation)
+# ---------------------------------------------------------------------------
+
+@register("tpch_q16_parts_supplier_cnt", """
+SELECT p.p_brand, p.p_type, p.p_size,
+       CAST(COUNT(DISTINCT l.l_suppkey) AS BIGINT) AS supplier_cnt
+FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+WHERE p.p_brand <> 'Brand#1' AND p.p_type <> 'PROMO'
+  AND p.p_size IN (1, 4, 9, 14, 19, 23, 36, 45)
+  AND l.l_suppkey NOT IN (SELECT s_suppkey FROM supplier
+                          WHERE s_acctbal < 0)
+GROUP BY p.p_brand, p.p_type, p.p_size
+""")
+def tpch_q16(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NOT IN over a non-null key plans as a broadcast anti join;
+    COUNT(DISTINCT) expands then de-dups map-side."""
+    p = load_table(spark, sf_dir, "part").filter(
+        (F.col("p_brand") != "Brand#1") & (F.col("p_type") != "PROMO")
+        & F.col("p_size").isin(1, 4, 9, 14, 19, 23, 36, 45))
+    l = load_table(spark, sf_dir, "lineitem")
+    bad = load_table(spark, sf_dir, "supplier").filter(
+        F.col("s_acctbal") < 0).select("s_suppkey")
+    return (l.join(F.broadcast(bad), l["l_suppkey"] == bad["s_suppkey"],
+                   "left_anti")
+            .join(F.broadcast(p), F.col("l_partkey") == p["p_partkey"])
+            .groupBy("p_brand", "p_type", "p_size")
+            .agg(F.countDistinct("l_suppkey").alias("supplier_cnt")))
+
+
+# ---------------------------------------------------------------------------
+# Q17-shape: small-quantity revenue vs per-part average (correlated
+# scalar subquery -> grouped average joined back)
+# ---------------------------------------------------------------------------
+
+@register("tpch_q17_small_quantity_revenue", """
+SELECT CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / 7.0
+         AS avg_yearly
+FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+WHERE p.p_brand = 'Brand#23' AND p.p_type = 'MEDIUM'
+  AND l.l_quantity < (SELECT 0.2 * (SUM(l2.l_quantity) / COUNT(*))
+                      FROM lineitem l2
+                      WHERE l2.l_partkey = l.l_partkey)
+""")
+def tpch_q17(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated average decorrelated by hand into a groupBy + join —
+    the same plan Catalyst produces for the subquery form. Quantities
+    are integral doubles, so SUM/COUNT is order-exact in both engines."""
+    li = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part").filter(
+        (F.col("p_brand") == "Brand#23") & (F.col("p_type") == "MEDIUM"))
+    avg_q = (li.groupBy(F.col("l_partkey").alias("aq_partkey"))
+             .agg((F.sum("l_quantity") / F.count("*")).alias("aq")))
+    return (li.join(F.broadcast(p), li["l_partkey"] == p["p_partkey"])
+            .join(avg_q, F.col("l_partkey") == F.col("aq_partkey"))
+            .filter(F.col("l_quantity") < F.lit(0.2) * F.col("aq"))
+            .agg((F.sum(F.col("l_extendedprice").cast("decimal(18,2)"))
+                  .cast("double") / F.lit(7.0)).alias("avg_yearly")))
+
+
+# ---------------------------------------------------------------------------
+# Q20-shape: suppliers with heavy shipments of a part family
+# (partsupp availqty absent -> shipped-quantity threshold)
+# ---------------------------------------------------------------------------
+
+@register("tpch_q20_heavy_part_suppliers", """
+SELECT s.s_suppkey, s.s_name
+FROM supplier s
+JOIN nation n ON s.s_nationkey = n.n_nationkey
+WHERE n.n_name IN ('NATION_3', 'NATION_8', 'NATION_13')
+  AND s.s_suppkey IN (SELECT l.l_suppkey
+                      FROM lineitem l
+                      JOIN part p ON l.l_partkey = p.p_partkey
+                      WHERE p.p_name LIKE 'red%'
+                      GROUP BY l.l_suppkey, l.l_partkey
+                      HAVING SUM(l.l_quantity) > 100)
+""")
+def tpch_q20(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IN-subquery chain: part-family filter -> per (supplier, part)
+    shipped-quantity aggregate -> semi join into the supplier dim."""
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation").filter(
+        F.col("n_name").isin("NATION_3", "NATION_8", "NATION_13"))
+    l = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part").filter(F.col("p_name").like("red%"))
+    heavy = (l.join(F.broadcast(p), l["l_partkey"] == p["p_partkey"])
+             .groupBy("l_suppkey", "l_partkey")
+             .agg(F.sum("l_quantity").alias("shipped"))
+             .filter(F.col("shipped") > 100)
+             .select("l_suppkey"))
+    return (s.join(F.broadcast(n), s["s_nationkey"] == n["n_nationkey"],
+                   "left_semi")
+            .join(heavy, s["s_suppkey"] == heavy["l_suppkey"], "left_semi")
+            .select("s_suppkey", "s_name"))
+
+
+# ---------------------------------------------------------------------------
+# Q22-shape: dormant high-balance customers by name-code (phone absent
+# -> code = last two digits of c_name)
+# ---------------------------------------------------------------------------
+
+@register("tpch_q22_dormant_customers", """
+WITH avg_bal AS (
+    SELECT CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*)
+             AS ab
+    FROM customer WHERE c_acctbal > 0.00)
+SELECT cntrycode, CAST(COUNT(*) AS BIGINT) AS numcust,
+       CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS totacctbal
+FROM (SELECT right(c.c_name, 2) AS cntrycode, c.c_acctbal
+      FROM customer c
+      WHERE c.c_acctbal > (SELECT ab FROM avg_bal)
+        AND NOT EXISTS (SELECT 1 FROM orders o
+                        WHERE o.o_custkey = c.c_custkey
+                          AND o.o_orderdate >= TIMESTAMP '1999-01-01')) custsale
+GROUP BY cntrycode
+""")
+def tpch_q22(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar-average broadcast + anti join against recent orders; the
+    average is a decimal sum over count so the cutoff is bit-identical
+    in both engines."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") >= F.lit("1999-01-01").cast("timestamp"))
+    ab = (c.filter(F.col("c_acctbal") > 0.00)
+          .agg((F.sum(F.col("c_acctbal").cast("decimal(18,2)")).cast("double")
+                / F.count("*")).alias("ab")))
+    return (c.crossJoin(F.broadcast(ab))
+            .filter(F.col("c_acctbal") > F.col("ab"))
+            .join(o, c["c_custkey"] == o["o_custkey"], "left_anti")
+            .select(F.expr("right(c_name, 2)").alias("cntrycode"),
+                    "c_acctbal")
+            .groupBy("cntrycode")
+            .agg(F.count("*").alias("numcust"),
+                 F.sum(F.col("c_acctbal").cast("decimal(18,2)"))
+                  .cast("double").alias("totacctbal")))
