@@ -119,3 +119,29 @@ def test_rolling_mean_operator(spark, sf_smoke):
              .orderBy("ts").limit(1).first())
     # first row's rolling mean over a 5-row trailing frame is itself
     assert abs(first.rolling_mean - first.value) < 1e-9
+
+
+def test_connected_components_chain(spark):
+    from travel_data_pipeline_spark.operators import graph
+
+    # two clusters: a 4-chain (1-2-3-4, diameter 3 -> needs >1 round)
+    # and a pair (10-11); vertex 4 only reaches 1 transitively
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (10, 11)], ["doc_a", "doc_b"])
+    got = {r.doc_id: r.component
+           for r in graph.connected_components(edges).collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10}
+
+
+def test_canonical_map_full_corpus(spark):
+    from pyspark.sql import functions as F
+
+    from travel_data_pipeline_spark.operators import graph
+
+    corpus = spark.range(6).select(F.col("id").alias("doc_id"))
+    edges = spark.createDataFrame([(1, 3), (3, 5)], ["doc_a", "doc_b"])
+    comps = graph.connected_components(edges)
+    out = {r.doc_id: (r.keep_id, r.is_duplicate)
+           for r in graph.canonical_map(corpus, comps).collect()}
+    assert out == {0: (0, 0), 1: (1, 0), 2: (2, 0),
+                   3: (1, 1), 4: (4, 0), 5: (1, 1)}

@@ -746,3 +746,86 @@ def pipeline_training_data(spark: SparkSession, sf_dir: str) -> DataFrame:
             .join(dropped, "doc_id", "left_anti")
             .filter((F.col("n_tokens") >= 10) & (F.col("_en_hits") > 0))
             .select("doc_id", "n_tokens", "n_chars"))
+
+
+# ---------------------------------------------------------------------------
+# Connected-components dedup clustering: LSH pairs -> Jaccard verify ->
+# min-label clusters -> full-corpus keep/drop map
+# ---------------------------------------------------------------------------
+
+from travel_data_pipeline_spark.operators import graph  # noqa: E402
+
+_CC_CTES = f"""{_AUG_DOCS},
+{_NORMED},
+{_SHINGLED},
+{_SIGS},
+{_banded_sql()},
+{_capped_sql('banded', 'band_idx, band_key', 'bcap')},
+{_PAIRS_CTE},
+sets AS (SELECT DISTINCT doc_id, shingle FROM shingled),
+sizes AS (SELECT doc_id, COUNT(*) AS set_size FROM sets GROUP BY doc_id),
+inter AS (
+    SELECT p.doc_a, p.doc_b, COUNT(*) AS inter_n
+    FROM pairs p
+    JOIN sets sa ON sa.doc_id = p.doc_a
+    JOIN sets sb ON sb.doc_id = p.doc_b AND sb.shingle = sa.shingle
+    GROUP BY p.doc_a, p.doc_b
+),
+jpairs AS (
+    SELECT p.doc_a, p.doc_b
+    FROM pairs p
+    LEFT JOIN inter i ON i.doc_a = p.doc_a AND i.doc_b = p.doc_b
+    JOIN sizes za ON za.doc_id = p.doc_a
+    JOIN sizes zb ON zb.doc_id = p.doc_b
+    WHERE ROUND(COALESCE(i.inter_n, 0)
+                / (za.set_size + zb.set_size - COALESCE(i.inter_n, 0)), 6)
+          >= 0.5
+),
+sym AS (SELECT doc_a AS u, doc_b AS v FROM jpairs
+        UNION SELECT doc_b AS u, doc_a AS v FROM jpairs),
+reach AS (
+    SELECT u AS id, v AS r FROM sym
+    UNION
+    SELECT re.id, s.v FROM reach re JOIN sym s ON s.u = re.r
+),
+comp AS (SELECT id AS doc_id, LEAST(id, MIN(r)) AS component
+         FROM reach GROUP BY id)"""
+
+
+def _jaccard_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _augmented_docs(spark, sf_dir)
+    sigs = dedup.minhash_signatures(docs, num_hashes=NUM_HASHES)
+    pairs = dedup.lsh_candidate_pairs(
+        sigs, num_hashes=NUM_HASHES, bands=BANDS,
+        max_bucket=MAX_BUCKET).localCheckpoint(eager=True)
+    return (dedup.jaccard_pairs(docs, pairs, threshold=0.5)
+            .select("doc_a", "doc_b"))
+
+
+@register("dedup_cluster_components", f"""
+WITH RECURSIVE {_CC_CTES}
+SELECT doc_id, component FROM comp
+""")
+def dedup_cluster_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Clusters of verified near-duplicates (component = min doc_id
+    reachable): min-label propagation in Spark, min-reachable-id
+    recursive CTE in DuckDB — both are the same fixpoint, so parity
+    holds no matter how many rounds each engine needs."""
+    return graph.connected_components(_jaccard_edges(spark, sf_dir))
+
+
+@register("dedup_canonical_map", f"""
+WITH RECURSIVE {_CC_CTES}
+SELECT d.doc_id,
+       COALESCE(c.component, d.doc_id) AS keep_id,
+       CAST(CASE WHEN COALESCE(c.component, d.doc_id) <> d.doc_id
+                 THEN 1 ELSE 0 END AS INTEGER) AS is_duplicate
+FROM docs d LEFT JOIN comp c ON c.doc_id = d.doc_id
+""")
+def dedup_canonical_map(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full-corpus keep/drop decision: every doc points at its cluster
+    canonical (or itself). This is the artifact a curation pipeline
+    actually persists — the pair list is evidence, this is the verdict."""
+    docs = _augmented_docs(spark, sf_dir)
+    comps = graph.connected_components(_jaccard_edges(spark, sf_dir))
+    return graph.canonical_map(docs, comps)
