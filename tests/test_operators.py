@@ -145,3 +145,41 @@ def test_canonical_map_full_corpus(spark):
            for r in graph.canonical_map(corpus, comps).collect()}
     assert out == {0: (0, 0), 1: (1, 0), 2: (2, 0),
                    3: (1, 1), 4: (4, 0), 5: (1, 1)}
+
+
+def test_repetition_signals_edges(spark):
+    from travel_data_pipeline_spark.operators.text import repetition_signals
+
+    docs = spark.createDataFrame(
+        [(1, ""),                       # empty -> no tokens, no grams
+         (2, "solo"),                   # 1 token -> no bigrams
+         (3, "a b a b a b"),            # one bigram dominates
+         (4, "w x y z")],               # all bigrams unique
+        "doc_id long, text string")
+    rows = {r["doc_id"]: r for r in repetition_signals(docs).collect()}
+    assert rows[1]["n_tokens"] == 0 and rows[1]["top_2gram_frac"] == 0.0
+    assert rows[2]["n_tokens"] == 1 and rows[2]["dup_2gram_frac"] == 0.0
+    # "a b a b a b": grams = [ab, ba, ab, ba, ab] -> top "a b" 3/5
+    assert rows[3]["top_2gram_frac"] == 0.6
+    assert rows[3]["dup_2gram_frac"] == 1.0   # every gram repeats
+    assert rows[3]["ttr"] == round(2 / 6, 6)
+    assert rows[4]["top_2gram_frac"] == round(1 / 3, 6)
+    assert rows[4]["dup_2gram_frac"] == 0.0 and rows[4]["ttr"] == 1.0
+
+
+def test_curation_flags_keep_logic(spark):
+    from travel_data_pipeline_spark.operators.text import curation_flags
+
+    docs = spark.createDataFrame(
+        [(1, "the quick brown fox jumps over the lazy dog today"),
+         (2, "too short"),
+         (3, "pneumonoultramicroscopic silicovolcanoconiosis " * 3),
+         (4, "function foo() { return 1; } " * 3),
+         (5, "Lorem ipsum dolor sit amet consectetur adipiscing elit now")],
+        "doc_id long, text string")
+    rows = {r["doc_id"]: r for r in curation_flags(docs).collect()}
+    assert rows[1]["keep"] is True
+    assert rows[2]["flag_too_short"] and not rows[2]["keep"]
+    assert rows[3]["flag_word_len"] and not rows[3]["keep"]
+    assert rows[4]["flag_brace"] and not rows[4]["keep"]
+    assert rows[5]["flag_lorem"] and not rows[5]["keep"]

@@ -129,6 +129,98 @@ def token_stats(docs: DataFrame, text_col: str = "text",
     )
 
 
+def repetition_signals(docs: DataFrame, text_col: str = "text",
+                       id_col: str = "doc_id", n: int = 2) -> DataFrame:
+    """Gopher-style repetition statistics per document (public filter
+    family: Rae et al. 2021 "Scaling Language Models", table A1).
+
+    - ``ttr``             type-token ratio (distinct/total tokens)
+    - ``top_ngram_frac``  share of n-gram occurrences taken by the most
+                          frequent n-gram of the document
+    - ``dup_ngram_frac``  share of n-gram occurrences whose n-gram
+                          appears more than once
+
+    Scale shape: ttr is a pure array expression (no shuffle). The
+    n-gram stats are word-count-shaped — explode (id, gram) pairs,
+    aggregate on (id, gram) then (id); both keys are fine-grained and
+    skew-free, and the wide text column is dropped BEFORE the explode
+    so only small pairs shuffle. One per-document join attaches the
+    n-gram stats back; a doc's grams never meet another doc's, so
+    nothing is quadratic — this survives a 100 TB corpus.
+    """
+    did = F.col(id_col)
+    base = docs.select(
+        did,
+        token_array(F.col(text_col)).alias("toks"),
+    ).select(
+        did,
+        F.size("toks").alias("n_tokens"),
+        F.size(F.array_distinct("toks")).alias("n_types"),
+        F.when(
+            F.size("toks") >= n,
+            F.transform(
+                F.sequence(F.lit(1), F.size("toks") - (n - 1)),
+                lambda i: F.concat_ws(
+                    " ", *[F.element_at(F.col("toks"), i + j)
+                           for j in range(n)])),
+        ).otherwise(F.array().cast("array<string>")).alias("grams"),
+    )
+    gram_counts = (base.select(did, F.explode("grams").alias("gram"))
+                   .groupBy(id_col, "gram").agg(F.count("*").alias("c")))
+    rep = gram_counts.groupBy(id_col).agg(
+        F.max("c").alias("top_c"),
+        F.sum("c").alias("total_grams"),
+        F.sum(F.when(F.col("c") > 1, F.col("c")).otherwise(F.lit(0)))
+         .alias("dup_occ"),
+    )
+    denom = F.greatest(F.coalesce(F.col("total_grams"), F.lit(0)), F.lit(1))
+    return (base.drop("grams").join(rep, id_col, "left").select(
+        did,
+        F.col("n_tokens"),
+        F.col("n_types"),
+        F.round(F.col("n_types") / F.greatest(F.col("n_tokens"), F.lit(1)), 6)
+         .alias("ttr"),
+        F.round(F.coalesce(F.col("top_c"), F.lit(0)) / denom, 6)
+         .alias(f"top_{n}gram_frac"),
+        F.round(F.coalesce(F.col("dup_occ"), F.lit(0)) / denom, 6)
+         .alias(f"dup_{n}gram_frac"),
+    ))
+
+
+def curation_flags(docs: DataFrame, text_col: str = "text",
+                   id_col: str = "doc_id") -> DataFrame:
+    """C4/Gopher-style document filter flags + keep decision (public
+    filter family: Raffel et al. 2020 C4 §2.2, Rae et al. 2021 A1).
+
+    Row-local expressions only — no shuffle, fully codegen'd: word
+    count bounds, mean-word-length window, symbol-to-word ratio,
+    boilerplate markers (lorem ipsum / curly brace)."""
+    t = F.col(text_col)
+    toks = token_array(t)
+    n_tokens = F.size(toks)
+    alpha_chars = F.length(F.regexp_replace(t, r"[^A-Za-z]", ""))
+    mean_wl = alpha_chars / F.greatest(n_tokens, F.lit(1))
+    symbols = F.length(t) - F.length(F.regexp_replace(t, r"[#{}\|]", ""))
+    low = F.lower(t)
+    flag_short = n_tokens < 5
+    flag_word_len = (mean_wl < 3.0) | (mean_wl > 10.0)
+    flag_symbols = (symbols / F.greatest(n_tokens, F.lit(1))) > 0.1
+    flag_lorem = low.contains("lorem ipsum")
+    flag_brace = low.contains("{")
+    return docs.select(
+        F.col(id_col),
+        n_tokens.alias("n_tokens"),
+        F.round(mean_wl, 6).alias("mean_word_len"),
+        flag_short.alias("flag_too_short"),
+        flag_word_len.alias("flag_word_len"),
+        flag_symbols.alias("flag_symbol_ratio"),
+        flag_lorem.alias("flag_lorem"),
+        flag_brace.alias("flag_brace"),
+        (~(flag_short | flag_word_len | flag_symbols | flag_lorem
+           | flag_brace)).alias("keep"),
+    )
+
+
 def fingerprints(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id",
                  window: int = 64, stride: int = 32) -> DataFrame:
     """Content fingerprints: full-text md5 + winnowed rolling fingerprint.

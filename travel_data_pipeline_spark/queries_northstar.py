@@ -829,3 +829,84 @@ def dedup_canonical_map(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _augmented_docs(spark, sf_dir)
     comps = graph.connected_components(_jaccard_edges(spark, sf_dir))
     return graph.canonical_map(docs, comps)
+
+
+@register("text_repetition_signals", """
+WITH toked AS (
+    SELECT doc_id,
+           list_filter(string_split(
+               trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' '),
+               x -> x <> '') AS toks
+    FROM documents
+),
+base AS (
+    SELECT doc_id, len(toks) AS n_tokens,
+           len(list_distinct(toks)) AS n_types, toks
+    FROM toked
+),
+grams AS (
+    SELECT doc_id, toks[i.i] || ' ' || toks[i.i + 1] AS gram
+    FROM base, unnest(generate_series(1, len(toks) - 1)) AS i(i)
+    WHERE len(toks) >= 2
+),
+gram_counts AS (
+    SELECT doc_id, gram, COUNT(*) AS c FROM grams GROUP BY 1, 2
+),
+rep AS (
+    SELECT doc_id, MAX(c) AS top_c, SUM(c) AS total_grams,
+           SUM(CASE WHEN c > 1 THEN c ELSE 0 END) AS dup_occ
+    FROM gram_counts GROUP BY 1
+)
+SELECT b.doc_id, b.n_tokens, b.n_types,
+       ROUND(b.n_types / GREATEST(b.n_tokens, 1), 6) AS ttr,
+       ROUND(COALESCE(r.top_c, 0)
+             / GREATEST(COALESCE(r.total_grams, 0), 1), 6) AS top_2gram_frac,
+       ROUND(COALESCE(r.dup_occ, 0)
+             / GREATEST(COALESCE(r.total_grams, 0), 1), 6) AS dup_2gram_frac
+FROM base b LEFT JOIN rep r USING (doc_id)
+""")
+def text_repetition_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition filters (Rae et al. 2021 table A1):
+    type-token ratio, top-bigram share, duplicate-bigram share. The
+    reference has no analogue; this is north-star curation surface.
+    Word-count-shaped — see operators/text.repetition_signals."""
+    docs = load_table(spark, sf_dir, "documents")
+    return text.repetition_signals(docs)
+
+
+@register("text_curation_flags", """
+WITH toked AS (
+    SELECT doc_id, text, lower(text) AS low,
+           list_filter(string_split(
+               trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' '),
+               x -> x <> '') AS toks,
+           length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS alpha_chars,
+           length(text) - length(regexp_replace(text, '[#{}|]', '', 'g'))
+             AS symbols
+    FROM documents
+),
+flags AS (
+    SELECT doc_id,
+           len(toks) AS n_tokens,
+           alpha_chars / GREATEST(len(toks), 1) AS mean_wl,
+           len(toks) < 5 AS flag_too_short,
+           (alpha_chars / GREATEST(len(toks), 1) < 3.0
+            OR alpha_chars / GREATEST(len(toks), 1) > 10.0) AS flag_word_len,
+           symbols / GREATEST(len(toks), 1) > 0.1 AS flag_symbol_ratio,
+           contains(low, 'lorem ipsum') AS flag_lorem,
+           contains(low, '{') AS flag_brace
+    FROM toked
+)
+SELECT doc_id, n_tokens, ROUND(mean_wl, 6) AS mean_word_len,
+       flag_too_short, flag_word_len, flag_symbol_ratio, flag_lorem,
+       flag_brace,
+       NOT (flag_too_short OR flag_word_len OR flag_symbol_ratio
+            OR flag_lorem OR flag_brace) AS keep
+FROM flags
+""")
+def text_curation_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4/Gopher-style keep/drop flags (Raffel et al. 2020 C4 section 2.2;
+    Rae et al. 2021 A1): shuffle-free row-local expressions, the form a
+    100 TB pre-filter pass wants."""
+    docs = load_table(spark, sf_dir, "documents")
+    return text.curation_flags(docs)
