@@ -183,3 +183,20 @@ def test_curation_flags_keep_logic(spark):
     assert rows[3]["flag_word_len"] and not rows[3]["keep"]
     assert rows[4]["flag_brace"] and not rows[4]["keep"]
     assert rows[5]["flag_lorem"] and not rows[5]["keep"]
+
+
+def test_pack_token_shards_boundary_rule(spark):
+    from travel_data_pipeline_spark.queries_curation import TOKEN_BUDGET
+    from travel_data_pipeline_spark import registry
+
+    df = registry.QUERIES["pack_token_shards"](
+        spark, "/root/testdata/sf0.001").collect()
+    assert len(df) > 0
+    seen_multi = set()
+    for r in df:
+        start = r["cum_tokens"] - r["n_tokens"]
+        # shard derives from the pre-doc cumsum -> stable greedy rule
+        assert r["shard_id"] == start // TOKEN_BUDGET
+        seen_multi.add((r["source"], r["lang"], r["shard_id"]))
+    # the budget actually splits streams at this scale
+    assert len(seen_multi) > len({(s, l) for s, l, _ in seen_multi})

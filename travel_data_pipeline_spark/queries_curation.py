@@ -235,3 +235,56 @@ def corpus_vocab_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (counted.withColumn("rnk", F.row_number().over(w))
             .filter(F.col("rnk") <= 5)
             .select("lang", "token", "n", F.col("rnk").cast("int")))
+
+
+# ---------------------------------------------------------------------------
+# Token-budget shard packing: assign each doc to a ~TOKEN_BUDGET-token
+# shard, the precursor of sequence packing for LLM training. The
+# running sum is windowed WITHIN (source, lang) streams — each stream
+# sorts independently (sessionize shape), so no global single-reducer
+# sort; a corpus writer then writes one file set per
+# (source, lang, shard). Deterministic order (doc_id) keeps the
+# assignment stable across reruns and repartitioning.
+# ---------------------------------------------------------------------------
+
+TOKEN_BUDGET = 120
+
+
+@register("pack_token_shards", f"""
+WITH toked AS (
+    SELECT doc_id, source, lang,
+           len(list_filter(string_split(
+               trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' '),
+               x -> x <> '')) AS n_tokens
+    FROM documents
+),
+packed AS (
+    SELECT doc_id, source, lang, n_tokens,
+           SUM(n_tokens) OVER (PARTITION BY source, lang ORDER BY doc_id
+                               ROWS UNBOUNDED PRECEDING) AS cum_tokens
+    FROM toked
+)
+SELECT doc_id, source, lang, n_tokens,
+       CAST(cum_tokens AS BIGINT) AS cum_tokens,
+       CAST(floor((cum_tokens - n_tokens) / {TOKEN_BUDGET}.0) AS BIGINT)
+         AS shard_id
+FROM packed
+""")
+def pack_token_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greedy shard assignment: a doc opens a new shard when the
+    running token count crosses the budget. ``shard_id`` derives from
+    the cumsum BEFORE adding the current doc, so every shard holds at
+    least one doc and overruns by at most one doc — the standard
+    streaming-packing rule."""
+    docs = load_table(spark, sf_dir, "documents")
+    w = (Window.partitionBy("source", "lang").orderBy("doc_id")
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    toked = docs.select(
+        "doc_id", "source", "lang",
+        text.whitespace_token_count(F.col("text")).alias("n_tokens"))
+    cum = F.sum("n_tokens").over(w)
+    return toked.select(
+        "doc_id", "source", "lang", "n_tokens",
+        cum.cast("long").alias("cum_tokens"),
+        F.floor((cum - F.col("n_tokens")) / float(TOKEN_BUDGET))
+         .cast("long").alias("shard_id"))
