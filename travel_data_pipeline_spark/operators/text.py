@@ -140,13 +140,14 @@ def repetition_signals(docs: DataFrame, text_col: str = "text",
     - ``dup_ngram_frac``  share of n-gram occurrences whose n-gram
                           appears more than once
 
-    Scale shape: ttr is a pure array expression (no shuffle). The
-    n-gram stats are word-count-shaped — explode (id, gram) pairs,
-    aggregate on (id, gram) then (id); both keys are fine-grained and
-    skew-free, and the wide text column is dropped BEFORE the explode
-    so only small pairs shuffle. One per-document join attaches the
-    n-gram stats back; a doc's grams never meet another doc's, so
-    nothing is quadratic — this survives a 100 TB corpus.
+    Scale shape: ONE corpus scan. ttr inputs are computed as array
+    expressions before the explode; the per-doc constants ride along
+    the exploded (id, gram) rows (two ints — negligible shuffle
+    weight), so no second scan or join-back is needed. Aggregation is
+    word-count-shaped — (id, gram) then (id); both keys fine-grained
+    and skew-free, the wide text column is dropped before the explode,
+    and a doc's grams never meet another doc's, so nothing is
+    quadratic — this survives a 100 TB corpus.
     """
     did = F.col(id_col)
     base = docs.select(
@@ -165,16 +166,26 @@ def repetition_signals(docs: DataFrame, text_col: str = "text",
                            for j in range(n)])),
         ).otherwise(F.array().cast("array<string>")).alias("grams"),
     )
-    gram_counts = (base.select(did, F.explode("grams").alias("gram"))
-                   .groupBy(id_col, "gram").agg(F.count("*").alias("c")))
+    # explode_outer keeps gram-less docs (empty / single-token) as one
+    # null-gram row, so they survive to the final result without a join
+    gram_counts = (base.select(did, "n_tokens", "n_types",
+                               F.explode_outer("grams").alias("gram"))
+                   .groupBy(id_col, "gram")
+                   .agg(F.count("*").alias("c"),
+                        F.first("n_tokens").alias("n_tokens"),
+                        F.first("n_types").alias("n_types")))
+    real = F.col("gram").isNotNull()
     rep = gram_counts.groupBy(id_col).agg(
-        F.max("c").alias("top_c"),
-        F.sum("c").alias("total_grams"),
-        F.sum(F.when(F.col("c") > 1, F.col("c")).otherwise(F.lit(0)))
+        F.first("n_tokens").alias("n_tokens"),
+        F.first("n_types").alias("n_types"),
+        F.max(F.when(real, F.col("c"))).alias("top_c"),
+        F.sum(F.when(real, F.col("c")).otherwise(F.lit(0)))
+         .alias("total_grams"),
+        F.sum(F.when(real & (F.col("c") > 1), F.col("c")).otherwise(F.lit(0)))
          .alias("dup_occ"),
     )
-    denom = F.greatest(F.coalesce(F.col("total_grams"), F.lit(0)), F.lit(1))
-    return (base.drop("grams").join(rep, id_col, "left").select(
+    denom = F.greatest(F.col("total_grams"), F.lit(1))
+    return rep.select(
         did,
         F.col("n_tokens"),
         F.col("n_types"),
@@ -182,9 +193,9 @@ def repetition_signals(docs: DataFrame, text_col: str = "text",
          .alias("ttr"),
         F.round(F.coalesce(F.col("top_c"), F.lit(0)) / denom, 6)
          .alias(f"top_{n}gram_frac"),
-        F.round(F.coalesce(F.col("dup_occ"), F.lit(0)) / denom, 6)
+        F.round(F.col("dup_occ") / denom, 6)
          .alias(f"dup_{n}gram_frac"),
-    ))
+    )
 
 
 def curation_flags(docs: DataFrame, text_col: str = "text",
