@@ -288,3 +288,64 @@ def pack_token_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
         cum.cast("long").alias("cum_tokens"),
         F.floor((cum - F.col("n_tokens")) / float(TOKEN_BUDGET))
          .cast("long").alias("shard_id"))
+
+
+# ---------------------------------------------------------------------------
+# Source-mixture weighting — the "data mixing" step: given a target
+# share per source (uniform here), compute the capped sampling rate
+# that moves the corpus toward it (public recipe: The Pile /
+# Dolma-style source reweighting). Shape: one full-scan token count ->
+# per-source aggregate (tiny) -> 1-row total broadcast — the scalar-
+# subquery pattern; nothing wide ever re-shuffles.
+# ---------------------------------------------------------------------------
+
+@register("mixture_weights_by_source", """
+WITH toked AS (
+    SELECT source,
+           len(list_filter(string_split(
+               trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' '),
+               x -> x <> '')) AS n_tokens
+    FROM documents
+),
+per AS (
+    SELECT source, COUNT(*) AS n_docs,
+           CAST(SUM(n_tokens) AS BIGINT) AS n_tokens
+    FROM toked GROUP BY 1
+),
+tot AS (
+    SELECT CAST(SUM(n_tokens) AS BIGINT) AS tot_tokens, COUNT(*) AS k
+    FROM per
+)
+SELECT p.source, p.n_docs, p.n_tokens,
+       ROUND(p.n_tokens / t.tot_tokens, 6) AS token_share,
+       ROUND(1.0 / t.k, 6) AS target_share,
+       ROUND(LEAST(1.0, (t.tot_tokens / t.k) / p.n_tokens), 6)
+         AS sampling_rate,
+       CAST(floor(p.n_tokens
+                  * LEAST(1.0, (t.tot_tokens / t.k) / p.n_tokens))
+            AS BIGINT) AS sampled_tokens
+FROM per p, tot t
+""")
+def mixture_weights_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Uniform-target mixture weights per source. Oversized sources get
+    rate < 1 (downsample); undersized keep rate 1.0 (no upsampling —
+    repetition policy belongs to the trainer, not the curator)."""
+    docs = load_table(spark, sf_dir, "documents")
+    per = (docs
+           .select("source",
+                   text.whitespace_token_count(F.col("text")).alias("n_tokens"))
+           .groupBy("source")
+           .agg(F.count("*").alias("n_docs"),
+                F.sum("n_tokens").alias("n_tokens")))
+    tot = per.agg(F.sum("n_tokens").alias("tot_tokens"),
+                  F.count("*").alias("k"))
+    rate = F.least(F.lit(1.0),
+                   (F.col("tot_tokens") / F.col("k")) / F.col("n_tokens"))
+    return per.crossJoin(F.broadcast(tot)).select(
+        "source", "n_docs", "n_tokens",
+        F.round(F.col("n_tokens") / F.col("tot_tokens"), 6)
+         .alias("token_share"),
+        F.round(F.lit(1.0) / F.col("k"), 6).alias("target_share"),
+        F.round(rate, 6).alias("sampling_rate"),
+        F.floor(F.col("n_tokens") * rate).cast("long")
+         .alias("sampled_tokens"))
