@@ -150,6 +150,11 @@ def repetition_signals(docs: DataFrame, text_col: str = "text",
     quadratic — this survives a 100 TB corpus.
     """
     did = F.col(id_col)
+    # spread the CPU-heavy tokenize/gram expressions across cores when
+    # the input arrives in few partitions (single-file scan); same
+    # pattern as dedup's shingle explode
+    docs = docs.repartition(
+        docs.sparkSession.sparkContext.defaultParallelism, id_col)
     base = docs.select(
         did,
         token_array(F.col(text_col)).alias("toks"),
