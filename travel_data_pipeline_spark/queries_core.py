@@ -817,3 +817,77 @@ def x_date_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         X.fmt_iso_date(X.last_day_of_month(d)).alias("month_end"),
         X.month_of(d).alias("order_month"),
         X.fmt_iso_date(F.add_months(d, 3)).alias("plus_3m"))
+
+
+# ---------------------------------------------------------------------------
+# Equi-width histogram via width_bucket — distribution reporting with
+# ONE aggregation pass (bucket id is a row-local expression; the
+# groupBy key is a small int, perfectly distributable). Bounds are
+# fixed by contract (not a pre-scan), the form a monitoring job wants.
+# ---------------------------------------------------------------------------
+
+@register("histogram_order_values", """
+SELECT CASE WHEN o_totalprice < 0.0 THEN 0
+            WHEN o_totalprice >= 600000.0 THEN 13
+            ELSE CAST(floor((o_totalprice - 0.0)
+                            / ((600000.0 - 0.0) / 12)) AS INT) + 1
+       END AS bucket,
+       CAST(COUNT(*) AS BIGINT) AS n_orders,
+       ROUND(CAST(MIN(o_totalprice) AS DOUBLE), 2) AS lo,
+       ROUND(CAST(MAX(o_totalprice) AS DOUBLE), 2) AS hi,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+FROM orders
+GROUP BY 1
+""")
+def histogram_order_values(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-bound 12-bucket histogram of order values. width_bucket is
+    identical in Spark and DuckDB (ANSI); out-of-range rows land in the
+    0 / n+1 overflow buckets by the same rule."""
+    o = load_table(spark, sf_dir, "orders")
+    return (o.groupBy(F.width_bucket("o_totalprice", F.lit(0.0),
+                                     F.lit(600000.0), F.lit(12))
+                       .cast("int").alias("bucket"))
+            .agg(F.count("*").alias("n_orders"),
+                 F.round(F.min("o_totalprice").cast("double"), 2).alias("lo"),
+                 F.round(F.max("o_totalprice").cast("double"), 2).alias("hi"),
+                 dec_sum("o_totalprice", "total")))
+
+
+# ---------------------------------------------------------------------------
+# Null-safe equality join (<=> / IS NOT DISTINCT FROM) — the semantic
+# corner where NULL keys MATCH each other instead of dropping. Built
+# over events' nullable json props key so real NULLs participate.
+# ---------------------------------------------------------------------------
+
+@register("nullsafe_join_props", """
+WITH keyed AS (
+    SELECT event_id, user_id,
+           CASE WHEN CAST(json_extract_string(props, '$.k') AS INT) % 10 = 0
+                THEN NULL
+                ELSE CAST(json_extract_string(props, '$.k') AS INT) % 3
+           END AS k
+    FROM events
+),
+dim AS (
+    SELECT * FROM (VALUES (0, 'zero'), (1, 'one'), (2, 'two'),
+                          (NULL, 'missing')) AS t(k, label)
+)
+SELECT e.event_id, e.user_id, e.k, d.label
+FROM keyed e JOIN dim d ON e.k IS NOT DISTINCT FROM d.k
+""")
+def nullsafe_join_props(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """eqNullSafe join: rows whose extracted key is NULL still match the
+    NULL dim row (the 'missing' label) — a plain equi-join silently
+    drops them. Dim is a 3-row literal -> broadcast."""
+    ev = load_table(spark, sf_dir, "events")
+    raw_k = F.get_json_object("props", "$.k").cast("int")
+    keyed = ev.select(
+        "event_id", "user_id",
+        F.when(raw_k % 10 == 0, F.lit(None)).otherwise(raw_k % 3)
+         .cast("int").alias("k"))
+    dim = ev.sparkSession.createDataFrame(
+        [(0, "zero"), (1, "one"), (2, "two"), (None, "missing")],
+        "k int, label string")
+    return (keyed.join(F.broadcast(dim),
+                       keyed["k"].eqNullSafe(dim["k"]))
+            .select("event_id", "user_id", keyed["k"].alias("k"), "label"))
