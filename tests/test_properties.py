@@ -116,3 +116,61 @@ def test_shingles_count_property(spark, texts):
     for r in got:
         expected = max(0, r.n_words - 2)
         assert r.n_shingles == expected, r.t
+
+
+_words = st.lists(st.sampled_from(["a", "b", "cat", "dog", "fish", "x"]),
+                  min_size=0, max_size=30)
+
+
+@settings(max_examples=1, deadline=None)
+@given(st.lists(_words, min_size=20, max_size=20))
+def test_repetition_signal_invariants(spark, docs):
+    from travel_data_pipeline_spark.operators.text import repetition_signals
+
+    df = spark.createDataFrame(
+        [(i, " ".join(ws)) for i, ws in enumerate(docs)],
+        "doc_id long, text string")
+    for r in repetition_signals(df).collect():
+        ws = docs[r["doc_id"]]
+        assert r["n_tokens"] == len(ws)
+        assert r["n_types"] == len(set(ws)) <= max(len(ws), 1)
+        assert 0.0 <= r["ttr"] <= 1.0
+        assert 0.0 <= r["top_2gram_frac"] <= 1.0
+        assert 0.0 <= r["dup_2gram_frac"] <= 1.0
+        # a doc of all-identical tokens is maximally repetitive
+        if len(ws) >= 2 and len(set(ws)) == 1:
+            assert r["top_2gram_frac"] == 1.0 and r["dup_2gram_frac"] == 1.0
+        # no bigram repeats -> dup share is zero
+        grams = [" ".join(ws[i:i + 2]) for i in range(len(ws) - 1)]
+        if grams and len(set(grams)) == len(grams):
+            assert r["dup_2gram_frac"] == 0.0
+
+
+@settings(max_examples=1, deadline=None)
+@given(st.lists(st.integers(min_value=1, max_value=120),
+                min_size=30, max_size=30))
+def test_pack_shards_monotone_property(spark, token_counts):
+    # one synthetic stream; shard ids must be nondecreasing in doc order.
+    # Contiguity additionally needs every doc <= budget (an oversized
+    # doc legitimately skips shard ids), so the generator caps at the
+    # budget (TOKEN_BUDGET = 120).
+    from pyspark.sql import Window
+    from travel_data_pipeline_spark.queries_curation import TOKEN_BUDGET
+
+    rows = [(i, "s", "en", n) for i, n in enumerate(token_counts)]
+    df = spark.createDataFrame(
+        rows, "doc_id long, source string, lang string, n_tokens int")
+    w = (Window.partitionBy("source", "lang").orderBy("doc_id")
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    cum = F.sum("n_tokens").over(w)
+    got = (df.select("doc_id", "n_tokens", cum.alias("cum"),
+                     F.floor((cum - F.col("n_tokens")) / float(TOKEN_BUDGET))
+                      .cast("long").alias("shard"))
+           .orderBy("doc_id").collect())
+    prev_shard = 0
+    for r in got:
+        assert r["shard"] >= prev_shard
+        prev_shard = r["shard"]
+    # shards partition the stream: every doc assigned, ids contiguous
+    shards = sorted({r["shard"] for r in got})
+    assert shards == list(range(len(shards)))
