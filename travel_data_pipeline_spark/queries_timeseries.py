@@ -134,3 +134,39 @@ def approx_distinct_daily_users(spark: SparkSession, sf_dir: str) -> DataFrame:
         "day", "exact_users",
         (F.abs(F.col("_approx") - F.col("exact_users"))
          / F.col("exact_users") <= 0.05).alias("approx_within_5pct"))
+
+
+# ---------------------------------------------------------------------------
+# Certified approximate percentiles — same contract as the certified
+# approx-distinct above: at 100 TB percentile_approx (a mergeable
+# KLL-style sketch, rank error <= n/accuracy) is the default path and
+# the exact sort-based percentile is the luxury; here both run and the
+# query certifies the measured relative error per group. The oracle
+# hash-checks the exact values and every certification flag.
+# ---------------------------------------------------------------------------
+
+@register("approx_percentile_certified", """
+SELECT o_orderpriority,
+       ROUND(quantile_cont(o_totalprice, 0.50), 4) AS exact_p50,
+       ROUND(quantile_cont(o_totalprice, 0.95), 4) AS exact_p95,
+       TRUE AS p50_within_1pct,
+       TRUE AS p95_within_1pct
+FROM orders GROUP BY o_orderpriority
+""")
+def approx_percentile_certified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    agg = (o.groupBy("o_orderpriority")
+           .agg(F.percentile("o_totalprice", F.lit(0.5)).alias("_ex50"),
+                F.percentile("o_totalprice", F.lit(0.95)).alias("_ex95"),
+                F.percentile_approx("o_totalprice", F.lit(0.5), F.lit(10000))
+                 .alias("_ap50"),
+                F.percentile_approx("o_totalprice", F.lit(0.95), F.lit(10000))
+                 .alias("_ap95")))
+    return agg.select(
+        "o_orderpriority",
+        F.round("_ex50", 4).alias("exact_p50"),
+        F.round("_ex95", 4).alias("exact_p95"),
+        (F.abs(F.col("_ap50") - F.col("_ex50")) / F.col("_ex50") <= 0.01)
+         .alias("p50_within_1pct"),
+        (F.abs(F.col("_ap95") - F.col("_ex95")) / F.col("_ex95") <= 0.01)
+         .alias("p95_within_1pct"))
