@@ -891,3 +891,44 @@ def nullsafe_join_props(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (keyed.join(F.broadcast(dim),
                        keyed["k"].eqNullSafe(dim["k"]))
             .select("event_id", "user_id", keyed["k"].alias("k"), "label"))
+
+
+# ---------------------------------------------------------------------------
+# Join-key skew report — the diagnostic that decides whether a join
+# needs salting/AQE-skew handling: heaviest keys with their share of
+# all rows and skew factor vs the mean group size. Global top-k uses
+# orderBy+limit (Spark plans TakeOrderedAndProject: per-partition
+# partial top-k merged on one tiny reduce — NOT a single-reducer
+# global window sort). Totals ride a 1-row broadcast.
+# ---------------------------------------------------------------------------
+
+@register("skew_report_partkeys", """
+WITH counts AS (
+    SELECT l_partkey, CAST(COUNT(*) AS BIGINT) AS n
+    FROM lineitem GROUP BY 1
+),
+tot AS (
+    SELECT CAST(SUM(n) AS BIGINT) AS tot_rows,
+           CAST(COUNT(*) AS BIGINT) AS n_keys
+    FROM counts
+),
+top AS (
+    SELECT l_partkey, n FROM counts
+    ORDER BY n DESC, l_partkey LIMIT 10
+)
+SELECT t.l_partkey, t.n,
+       ROUND(t.n / x.tot_rows, 6) AS row_share,
+       ROUND(t.n / (x.tot_rows / x.n_keys), 4) AS skew_factor
+FROM top t, tot x
+""")
+def skew_report_partkeys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    counts = li.groupBy("l_partkey").agg(F.count("*").alias("n"))
+    tot = counts.agg(F.sum("n").alias("tot_rows"),
+                     F.count("*").alias("n_keys"))
+    top = counts.orderBy(F.desc("n"), "l_partkey").limit(10)
+    return top.crossJoin(F.broadcast(tot)).select(
+        "l_partkey", "n",
+        F.round(F.col("n") / F.col("tot_rows"), 6).alias("row_share"),
+        F.round(F.col("n") / (F.col("tot_rows") / F.col("n_keys")), 4)
+         .alias("skew_factor"))
