@@ -932,3 +932,66 @@ def skew_report_partkeys(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.col("n") / F.col("tot_rows"), 6).alias("row_share"),
         F.round(F.col("n") / (F.col("tot_rows") / F.col("n_keys")), 4)
          .alias("skew_factor"))
+
+
+# ---------------------------------------------------------------------------
+# Strictly-ordered funnel: first view -> first click within 1 day AFTER
+# it -> first purchase within 1 day after THAT, per user; one summary
+# row of stage counts +
+# conversion rates. Three word-count-shaped aggregations on user_id —
+# after the first shuffle the later groupBys and same-key joins reuse
+# the hash partitioning (no re-exchange); the stage summaries are
+# 1-row broadcasts. No per-user event arrays are ever materialized.
+# ---------------------------------------------------------------------------
+
+@register("funnel_view_click_purchase", """
+WITH v AS (
+    SELECT user_id, MIN(ts) AS t1 FROM events
+    WHERE event_type = 'view' GROUP BY 1
+),
+c AS (
+    SELECT e.user_id, MIN(e.ts) AS t2
+    FROM events e JOIN v ON e.user_id = v.user_id
+    WHERE e.event_type = 'click' AND e.ts > v.t1
+      AND e.ts <= v.t1 + INTERVAL 1 DAY GROUP BY 1
+),
+p AS (
+    SELECT e.user_id, MIN(e.ts) AS t3
+    FROM events e JOIN c ON e.user_id = c.user_id
+    WHERE e.event_type = 'purchase' AND e.ts > c.t2
+      AND e.ts <= c.t2 + INTERVAL 1 DAY GROUP BY 1
+)
+SELECT vv.viewed, cc.clicked, pp.purchased,
+       ROUND(cc.clicked / vv.viewed, 6) AS view_to_click,
+       ROUND(pp.purchased / cc.clicked, 6) AS click_to_purchase,
+       ROUND(pp.purchased / vv.viewed, 6) AS full_funnel
+FROM (SELECT CAST(COUNT(*) AS BIGINT) AS viewed FROM v) vv,
+     (SELECT CAST(COUNT(*) AS BIGINT) AS clicked FROM c) cc,
+     (SELECT CAST(COUNT(*) AS BIGINT) AS purchased FROM p) pp
+""")
+def funnel_view_click_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    v = (e.filter(F.col("event_type") == "view")
+         .groupBy("user_id").agg(F.min("ts").alias("t1")))
+    c = (e.filter(F.col("event_type") == "click")
+         .join(v, "user_id")
+         .filter((F.col("ts") > F.col("t1"))
+                 & (F.col("ts") <= F.col("t1") + F.expr("INTERVAL 1 DAY")))
+         .groupBy("user_id").agg(F.min("ts").alias("t2")))
+    p = (e.filter(F.col("event_type") == "purchase")
+         .join(c, "user_id")
+         .filter((F.col("ts") > F.col("t2"))
+                 & (F.col("ts") <= F.col("t2") + F.expr("INTERVAL 1 DAY")))
+         .groupBy("user_id").agg(F.min("ts").alias("t3")))
+    vv = v.agg(F.count("*").alias("viewed"))
+    cc = c.agg(F.count("*").alias("clicked"))
+    pp = p.agg(F.count("*").alias("purchased"))
+    return (vv.crossJoin(F.broadcast(cc)).crossJoin(F.broadcast(pp))
+            .select(
+                "viewed", "clicked", "purchased",
+                F.round(F.col("clicked") / F.col("viewed"), 6)
+                 .alias("view_to_click"),
+                F.round(F.col("purchased") / F.col("clicked"), 6)
+                 .alias("click_to_purchase"),
+                F.round(F.col("purchased") / F.col("viewed"), 6)
+                 .alias("full_funnel")))
