@@ -1,0 +1,424 @@
+"""ML-adjacent corpus analytics — k-means clustering, int8 vector
+quantization, TF-IDF, PMI co-occurrence, context-window chunking,
+token-entropy quality, robust (MAD) outlier detection, fixed-size
+deterministic sampling.
+
+These extend the north-star training-data mandate (SURVEY.md §2.10):
+everything a curation pipeline runs after dedup — clustering for
+topic balance, quantization for embedding storage, TF-IDF/PMI for
+corpus statistics, chunking for context-window packing, entropy and
+robust outliers for quality gates.
+
+All queries are expression-level with exact DuckDB twins. Floating
+determinism follows the registry rules: sequential per-row folds
+(`aggregate`/`list_reduce` match bit-for-bit), order-dependent
+aggregations rounded on both sides before further use.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from travel_data_pipeline_spark.functions.hashing import md5_long, md5_long_sql
+from travel_data_pipeline_spark.operators import ml
+from travel_data_pipeline_spark.operators.text import token_array
+from travel_data_pipeline_spark.registry import register
+from travel_data_pipeline_spark.sources.readers import load_table
+
+_DIM = 64
+_K = 8
+_ITERS = 3
+
+# DuckDB twin of the normalized-token relation (operators/text.py
+# token_array): lower + collapse whitespace + split + drop empties.
+_NORM = "trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))"
+_TOKS = (f"list_filter(string_split({_NORM}, ' '), t -> t <> '')")
+
+
+# ---------------------------------------------------------------------------
+# K-means over embeddings — Lloyd's, unrolled declarative DAG.
+# ---------------------------------------------------------------------------
+
+def _kmeans_oracle(k: int, iters: int, dim: int) -> str:
+    """Unrolled Lloyd's in DuckDB CTEs mirroring operators/ml.kmeans:
+    same deterministic init (k smallest ids), same sequential-fold
+    distance, same (dist, cid) tie-break, same 6-dp centroid round."""
+    dist = (f"sqrt(list_reduce(list_transform(generate_series(1, {dim}), "
+            "i -> (e.v[i] - c.v[i]) * (e.v[i] - c.v[i])), (x, y) -> x + y))")
+    ctes = [
+        "emb AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)",
+        ("c0 AS (SELECT CAST(row_number() OVER (ORDER BY vec_id) AS INT) - 1 "
+         "AS cid, v FROM (SELECT vec_id, v FROM emb ORDER BY vec_id "
+         f"LIMIT {k}))"),
+    ]
+    for i in range(1, iters + 1):
+        ctes.append(
+            f"a{i} AS (SELECT e.vec_id, e.v, c.cid, {dist} AS d, "
+            f"row_number() OVER (PARTITION BY e.vec_id ORDER BY {dist}, c.cid) "
+            f"AS rn FROM emb e CROSS JOIN c{i - 1} c)")
+        ctes.append(
+            f"s{i} AS (SELECT vec_id, v, cid, d FROM a{i} WHERE rn = 1)")
+        if i < iters:
+            ctes.append(
+                f"c{i} AS (SELECT cid, list(val ORDER BY i) AS v FROM ("
+                f"SELECT s.cid, i.i AS i, round(avg(s.v[i.i]), 6) AS val "
+                f"FROM s{i} s CROSS JOIN generate_series(1, {dim}) i(i) "
+                f"GROUP BY s.cid, i.i) GROUP BY cid)")
+    return ("WITH " + ",\n".join(ctes) +
+            f"\nSELECT vec_id, cid AS cluster, round(d, 6) AS dist FROM s{iters}")
+
+
+@register("kmeans_embeddings", _kmeans_oracle(_K, _ITERS, _DIM))
+def kmeans_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K-means topic/balance clustering of the embedding corpus.
+
+    Scale shape (operators/ml.py): per iteration one broadcast of k
+    centroids + one corpus pass + one (k x dim)-row shuffle for the
+    update — never a point-to-point join, never a driver collect.
+    """
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", ml.as_double_vec(F.col("embedding")).alias("v"))
+    assigned = ml.kmeans(emb, k=_K, iterations=_ITERS)
+    return assigned.select(
+        "vec_id", F.col("cid").alias("cluster"),
+        F.round("d", 6).alias("dist"))
+
+
+# ---------------------------------------------------------------------------
+# Int8 symmetric quantization — embedding storage for the scale path.
+# ---------------------------------------------------------------------------
+
+@register("embedding_quantize_int8", """
+WITH emb AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+q AS (
+    SELECT vec_id, v,
+           CASE WHEN list_max(list_transform(v, x -> abs(x))) / 127.0 = 0.0
+                THEN 1.0
+                ELSE list_max(list_transform(v, x -> abs(x))) / 127.0
+           END AS scale
+    FROM emb
+),
+enc AS (
+    SELECT vec_id, v, scale,
+           list_transform(v, x -> CAST(greatest(-127.0,
+               least(127.0, round(x / scale, 0))) AS INT)) AS qv,
+           len(list_filter(v, x -> abs(round(x / scale, 0)) > 127.0))
+               AS n_clipped
+    FROM q
+)
+SELECT vec_id,
+       round(scale, 9) AS scale,
+       array_to_string(qv, ',') AS q_str,
+       CAST(n_clipped AS INT) AS n_clipped,
+       round(list_reduce(list_transform(generate_series(1, 64),
+             i -> abs(v[i] - CAST(qv[i] AS DOUBLE) * scale)),
+             (x, y) -> x + y) / len(v), 9) AS mean_abs_err
+FROM enc
+""")
+def embedding_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Symmetric per-vector int8 quantization + reconstruction error.
+
+    Pure projection — zero shuffle at any scale; the int8 payload is
+    4x smaller on the wire and in the ANN index."""
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", ml.as_double_vec(F.col("embedding")).alias("v"))
+    scale, q, n_clipped, err = ml.quantize_int8(F.col("v"))
+    return emb.select(
+        "vec_id",
+        F.round(scale, 9).alias("scale"),
+        F.array_join(q.cast("array<string>"), ",").alias("q_str"),
+        n_clipped.alias("n_clipped"),
+        F.round(err, 9).alias("mean_abs_err"))
+
+
+# ---------------------------------------------------------------------------
+# TF-IDF top terms per document.
+# ---------------------------------------------------------------------------
+
+@register("tfidf_top_terms", f"""
+WITH tok AS (
+    SELECT doc_id, t AS term
+    FROM (SELECT doc_id, unnest({_TOKS}) AS t FROM documents)
+    WHERE length(t) >= 3
+),
+tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM tok GROUP BY 1, 2),
+dfreq AS (SELECT term, COUNT(*) AS dfreq FROM tf GROUP BY 1),
+n AS (SELECT COUNT(*) AS n_docs FROM documents),
+scored AS (
+    SELECT tf.doc_id, tf.term, tf.tf,
+           round(tf.tf * (ln((1.0 + n.n_docs) / (1.0 + dfreq.dfreq)) + 1.0), 6)
+               AS score
+    FROM tf CROSS JOIN n JOIN dfreq USING (term)
+),
+ranked AS (
+    SELECT doc_id, term, tf, score,
+           row_number() OVER (PARTITION BY doc_id
+                              ORDER BY score DESC, term) AS rank
+    FROM scored
+)
+SELECT doc_id, term, CAST(tf AS BIGINT) AS tf, score, CAST(rank AS INT) AS rank
+FROM ranked WHERE rank <= 3
+""")
+def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 TF-IDF terms per document (sklearn-style smoothed idf).
+
+    Scale: tf is one explode + map-side-combined agg keyed on
+    (doc_id, term); document frequency reuses the tf relation (already
+    distinct per doc-term). The per-doc top-k window partitions by
+    doc_id — no global sort. The corpus count joins in as a broadcast
+    1-row aggregate (the scalar-subquery pattern)."""
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select(
+        "doc_id", F.explode(token_array(F.col("text"))).alias("term"))
+    tok = tok.filter(F.length("term") >= 3)
+    tf = tok.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
+    dfreq = tf.groupBy("term").agg(F.count("*").alias("dfreq"))
+    n = docs.agg(F.count("*").alias("n_docs"))
+    scored = (tf.join(dfreq, "term").crossJoin(F.broadcast(n))
+              .select("doc_id", "term", "tf",
+                      F.round(F.col("tf") * (F.log((1.0 + F.col("n_docs"))
+                                                   / (1.0 + F.col("dfreq")))
+                                             + 1.0), 6).alias("score")))
+    w = Window.partitionBy("doc_id").orderBy(F.desc("score"), F.asc("term"))
+    return (scored.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= 3)
+            .select("doc_id", "term", "tf", "score", "rank"))
+
+
+# ---------------------------------------------------------------------------
+# PMI co-occurrence pairs over a df-banded vocabulary.
+# ---------------------------------------------------------------------------
+
+@register("pmi_term_pairs", f"""
+WITH tok AS (
+    SELECT doc_id, t AS term
+    FROM (SELECT doc_id, unnest({_TOKS}) AS t FROM documents)
+    WHERE length(t) >= 3
+),
+dt AS (SELECT DISTINCT doc_id, term FROM tok),
+n AS (SELECT COUNT(*) AS n_docs FROM documents),
+vocab AS (
+    SELECT term, COUNT(*) AS dfreq FROM dt
+    GROUP BY term
+    HAVING COUNT(*) * 10 <= (SELECT 9 * n_docs FROM n)
+       AND COUNT(*) * 50 >= (SELECT n_docs FROM n)
+),
+vdt AS (SELECT dt.doc_id, dt.term, v.dfreq FROM dt JOIN vocab v USING (term)),
+pairs AS (
+    SELECT a.term AS term_a, b.term AS term_b,
+           any_value(a.dfreq) AS df_a, any_value(b.dfreq) AS df_b,
+           COUNT(*) AS n_ab
+    FROM vdt a JOIN vdt b
+      ON a.doc_id = b.doc_id AND a.term < b.term
+    GROUP BY a.term, b.term
+)
+SELECT term_a, term_b, n_ab,
+       round(ln(n_ab * n.n_docs / (1.0 * df_a * df_b)), 6) AS pmi
+FROM pairs CROSS JOIN n
+WHERE n_ab >= 5
+""")
+def pmi_term_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pointwise mutual information of co-occurring vocabulary terms.
+
+    The quadratic step (terms x terms within a doc) is bounded by the
+    vocabulary band: only terms whose document frequency is between 2%
+    and 90% of the corpus participate (integer arithmetic, so the band
+    is exact on both engines and scale-relative). The df ceiling is
+    the blow-up knob — the same role max_bucket plays in the LSH
+    paths: ubiquitous boilerplate terms can't explode the per-doc pair
+    count. The equi-join key is doc_id, so pair expansion is
+    co-partitioned, never a global cross join."""
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select(
+        "doc_id", F.explode(token_array(F.col("text"))).alias("term"))
+    dt = tok.filter(F.length("term") >= 3).distinct()
+    n = docs.agg(F.count("*").alias("n_docs"))
+    vocab = (dt.groupBy("term").agg(F.count("*").alias("dfreq"))
+             .crossJoin(F.broadcast(n))
+             .filter((F.col("dfreq") * 10 <= 9 * F.col("n_docs"))
+                     & (F.col("dfreq") * 50 >= F.col("n_docs")))
+             .select("term", "dfreq"))
+    vdt = dt.join(F.broadcast(vocab), "term")
+    a = vdt.select(F.col("doc_id"), F.col("term").alias("term_a"),
+                   F.col("dfreq").alias("df_a"))
+    b = vdt.select(F.col("doc_id"), F.col("term").alias("term_b"),
+                   F.col("dfreq").alias("df_b"))
+    pairs = (a.join(b, ["doc_id"])
+             .filter(F.col("term_a") < F.col("term_b"))
+             .groupBy("term_a", "term_b")
+             .agg(F.any_value("df_a").alias("df_a"),
+                  F.any_value("df_b").alias("df_b"),
+                  F.count("*").alias("n_ab"))
+             .filter(F.col("n_ab") >= 5))
+    n = docs.agg(F.count("*").alias("n_docs"))
+    return (pairs.crossJoin(F.broadcast(n))
+            .select("term_a", "term_b", "n_ab",
+                    F.round(F.log(F.col("n_ab") * F.col("n_docs")
+                                  / (1.0 * F.col("df_a") * F.col("df_b"))), 6)
+                    .alias("pmi")))
+
+
+# ---------------------------------------------------------------------------
+# Context-window chunking — pack docs into overlapping token windows.
+# ---------------------------------------------------------------------------
+
+_CHUNK_W = 40
+_CHUNK_S = 30
+
+
+@register("doc_chunks_overlap", f"""
+WITH toks AS (
+    SELECT doc_id, {_TOKS} AS words, len({_TOKS}) AS n
+    FROM documents
+),
+chunks AS (
+    SELECT t.doc_id, s.s AS start, t.words[s.s : s.s + {_CHUNK_W - 1}] AS chunk
+    FROM toks t, unnest(generate_series(1, t.n, {_CHUNK_S})) s(s)
+    WHERE t.n >= 1
+)
+SELECT doc_id,
+       CAST((start - 1) // {_CHUNK_S} AS INT) AS chunk_idx,
+       CAST(len(chunk) AS INT) AS n_chunk_tokens,
+       md5(array_to_string(chunk, ' ')) AS chunk_md5
+FROM chunks
+""")
+def doc_chunks_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overlapping context-window chunks (window 40, stride 30) — the
+    packing step before training-sequence assembly. Pure per-row
+    explode: no shuffle; chunk payloads here hash to md5 so the
+    correctness check stays compact."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", token_array(F.col("text")).alias("words"))
+    toks = toks.withColumn("n", F.size("words")).filter(F.col("n") >= 1)
+    chunks = toks.select(
+        "doc_id", "words",
+        F.explode(F.sequence(F.lit(1), F.col("n"),
+                             F.lit(_CHUNK_S))).alias("start"))
+    chunk = F.slice(F.col("words"), F.col("start"), _CHUNK_W)
+    return chunks.select(
+        "doc_id",
+        F.expr(f"CAST((start - 1) DIV {_CHUNK_S} AS INT)").alias("chunk_idx"),
+        F.size(chunk).alias("n_chunk_tokens"),
+        F.md5(F.array_join(chunk, " ")).alias("chunk_md5"))
+
+
+# ---------------------------------------------------------------------------
+# Token-entropy quality signal.
+# ---------------------------------------------------------------------------
+
+@register("token_entropy_quality", f"""
+WITH tok AS (
+    SELECT doc_id, t AS term
+    FROM (SELECT doc_id, unnest({_TOKS}) AS t FROM documents)
+),
+tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM tok GROUP BY 1, 2),
+agg AS (
+    SELECT doc_id,
+           SUM(tf) AS n_tokens,
+           COUNT(*) AS n_terms,
+           SUM(tf * ln(tf)) AS s
+    FROM tf GROUP BY doc_id
+)
+SELECT doc_id,
+       CAST(n_tokens AS BIGINT) AS n_tokens,
+       CAST(n_terms AS BIGINT) AS n_terms,
+       round(ln(n_tokens) - s / n_tokens, 6) AS entropy,
+       round(1.0 * n_terms / n_tokens, 6) AS ttr
+FROM agg WHERE n_tokens >= 1
+""")
+def token_entropy_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shannon entropy of each doc's token distribution + type-token
+    ratio — low entropy flags repetitive/boilerplate docs (a Gopher-
+    style quality gate). H = ln(n) - sum(tf*ln(tf))/n, computed from
+    the same (doc, term, tf) relation TF-IDF uses; one explode + two
+    hash aggs, both map-side combined."""
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select(
+        "doc_id", F.explode(token_array(F.col("text"))).alias("term"))
+    tf = tok.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
+    agg = tf.groupBy("doc_id").agg(
+        F.sum("tf").alias("n_tokens"),
+        F.count("*").alias("n_terms"),
+        F.sum(F.col("tf") * F.log("tf")).alias("s"))
+    return (agg.filter(F.col("n_tokens") >= 1)
+            .select("doc_id", "n_tokens", "n_terms",
+                    F.round(F.log("n_tokens") - F.col("s") / F.col("n_tokens"),
+                            6).alias("entropy"),
+                    F.round(1.0 * F.col("n_terms") / F.col("n_tokens"), 6)
+                    .alias("ttr")))
+
+
+# ---------------------------------------------------------------------------
+# Robust (median/MAD) outlier detection per event type.
+# ---------------------------------------------------------------------------
+
+@register("mad_outliers_events", """
+WITH med AS (
+    SELECT event_type, quantile_cont(value, 0.5) AS med
+    FROM events GROUP BY event_type
+),
+dev AS (
+    SELECT e.event_id, e.event_type, e.value, e.value - m.med AS dev
+    FROM events e JOIN med m USING (event_type)
+),
+mad AS (
+    SELECT event_type, quantile_cont(abs(dev), 0.5) AS mad
+    FROM dev GROUP BY event_type
+)
+SELECT d.event_id, d.event_type, d.value,
+       round(d.dev / (1.4826 * m.mad), 4) AS robust_z
+FROM dev d JOIN mad m USING (event_type)
+WHERE abs(d.dev) > 3 * 1.4826 * m.mad
+""")
+def mad_outliers_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Median/MAD robust outliers per event type (|dev| > 3 sigma-hat,
+    sigma-hat = 1.4826 * MAD). Two grouped exact percentiles over the
+    handful of event types, joined back as broadcasts — the fact table
+    is scanned twice but never shuffled on a wide key."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "event_type", "value")
+    med = ev.groupBy("event_type").agg(
+        F.percentile("value", F.lit(0.5)).alias("med"))
+    dev = (ev.join(F.broadcast(med), "event_type")
+           .withColumn("dev", F.col("value") - F.col("med")))
+    mad = dev.groupBy("event_type").agg(
+        F.percentile(F.abs(F.col("dev")), F.lit(0.5)).alias("mad"))
+    return (dev.join(F.broadcast(mad), "event_type")
+            .filter(F.abs(F.col("dev")) > 3 * 1.4826 * F.col("mad"))
+            .select("event_id", "event_type", "value",
+                    F.round(F.col("dev") / (1.4826 * F.col("mad")), 4)
+                    .alias("robust_z")))
+
+
+# ---------------------------------------------------------------------------
+# Fixed-size deterministic per-group sample (reservoir analogue).
+# ---------------------------------------------------------------------------
+
+_rsv_hash = md5_long_sql("'rsv:' || CAST(doc_id AS VARCHAR)")
+
+
+@register("reservoir_sample_per_lang", f"""
+SELECT doc_id, lang, CAST(rk AS INT) AS rk
+FROM (
+    SELECT doc_id, lang,
+           row_number() OVER (PARTITION BY lang
+                              ORDER BY {_rsv_hash}, doc_id) AS rk
+    FROM documents
+)
+WHERE rk <= 5
+""")
+def reservoir_sample_per_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-size (k=5) uniform sample per language — the reservoir-
+    sampling contract (exactly k per group, uniform, rerun-stable) via
+    hash-rank instead of stateful reservoirs: deterministic across
+    reruns, partitionings, and engines. One shuffle keyed on lang; at
+    scale swap the full sort for a per-partition top-k (Spark's window
+    TopK pushdown already does this via WindowGroupLimit)."""
+    docs = load_table(spark, sf_dir, "documents")
+    h = md5_long(F.concat(F.lit("rsv:"), F.col("doc_id").cast("string")))
+    w = Window.partitionBy("lang").orderBy(h.asc(), F.col("doc_id").asc())
+    return (docs.select("doc_id", "lang",
+                        F.row_number().over(w).alias("rk"))
+            .filter(F.col("rk") <= 5))

@@ -40,6 +40,7 @@ def register(name: str, oracle: str | None = None):
 from travel_data_pipeline_spark import queries_core  # noqa: E402,F401
 from travel_data_pipeline_spark import queries_curation  # noqa: E402,F401
 from travel_data_pipeline_spark import queries_dims  # noqa: E402,F401
+from travel_data_pipeline_spark import queries_ml  # noqa: E402,F401
 from travel_data_pipeline_spark import queries_domain  # noqa: E402,F401
 from travel_data_pipeline_spark import queries_northstar  # noqa: E402,F401
 from travel_data_pipeline_spark import queries_timeseries  # noqa: E402,F401
