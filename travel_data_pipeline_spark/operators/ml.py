@@ -52,15 +52,24 @@ def kmeans_init(points: DataFrame, k: int,
 
 def kmeans_assign(points: DataFrame, centroids: DataFrame,
                   id_col: str = "vec_id", vec_col: str = "v") -> DataFrame:
-    """One assignment pass: broadcast the k centroids, keep the argmin
-    (ties broken by smallest cid). Returns id, vector, cid, dist."""
-    d = F.sqrt(squared_l2(F.col(vec_col), F.col("cv")))
-    w = Window.partitionBy(id_col).orderBy("d", "cid")
-    return (points.crossJoin(F.broadcast(centroids))
-            .select(id_col, vec_col, "cid", d.alias("d"))
-            .withColumn("rn", F.row_number().over(w))
-            .filter(F.col("rn") == 1)
-            .drop("rn"))
+    """One assignment pass with ZERO shuffle: the k centroids collapse
+    into a single 1-row array (collect_list of (cid, vector) structs),
+    broadcast to every task; the argmin is then a per-row array_min
+    over (dist, cid) structs — lexicographic struct comparison gives
+    the min distance with ties broken by smallest cid, independent of
+    the collect_list order. No row expansion, no window sort: at
+    cluster scale each Lloyd assignment is a pure projection over the
+    points. Returns id, vector, cid, dist."""
+    carr = centroids.agg(
+        F.collect_list(F.struct("cid", "cv")).alias("cs"))
+    best = F.array_min(F.transform(
+        F.col("cs"),
+        lambda c: F.struct(
+            F.sqrt(squared_l2(F.col(vec_col), c["cv"])).alias("d"),
+            c["cid"].alias("cid"))))
+    return (points.crossJoin(F.broadcast(carr))
+            .select(id_col, vec_col,
+                    best["cid"].alias("cid"), best["d"].alias("d")))
 
 
 def kmeans_update(assigned: DataFrame, vec_col: str = "v",
