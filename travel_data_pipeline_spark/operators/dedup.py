@@ -184,14 +184,12 @@ def lsh_candidate_pairs(signatures: DataFrame, id_col: str = "doc_id",
             .distinct())
 
 
-def jaccard_pairs(docs: DataFrame, pairs: DataFrame, text_col: str = "text",
+def overlap_pairs(docs: DataFrame, pairs: DataFrame, text_col: str = "text",
                   id_col: str = "doc_id", shingle_n: int = 3,
-                  threshold: float = 0.0,
                   shingles: DataFrame | None = None) -> DataFrame:
-    """Exact n-gram Jaccard for given candidate pairs.
-
-    |A ∩ B| via a shingle-level join restricted to candidates; set sizes
-    from per-doc distinct counts. Returns (doc_a, doc_b, jaccard).
+    """Exact shingle-set overlap for given candidate pairs: returns
+    (doc_a, doc_b, inter_n, size_a, size_b) — the raw counts both
+    Jaccard and containment derive from.
 
     Scale note: shingle sets are built ONLY for docs that appear in a
     candidate pair (semi-join first) — after LSH, candidates are a tiny
@@ -217,17 +215,28 @@ def jaccard_pairs(docs: DataFrame, pairs: DataFrame, text_col: str = "text",
              .join(b_sh, ["doc_b", "shingle"])
              .groupBy("doc_a", "doc_b").agg(F.count("*").alias("inter_n")))
 
-    out = (pairs
-           .join(inter, ["doc_a", "doc_b"], "left")
-           .na.fill({"inter_n": 0})
-           .join(sizes.withColumnRenamed(id_col, "doc_a")
-                      .withColumnRenamed("set_size", "size_a"), "doc_a")
-           .join(sizes.withColumnRenamed(id_col, "doc_b")
-                      .withColumnRenamed("set_size", "size_b"), "doc_b")
-           .withColumn("jaccard",
-                       F.round(F.col("inter_n")
-                               / (F.col("size_a") + F.col("size_b") - F.col("inter_n")),
-                               6)))
+    return (pairs
+            .join(inter, ["doc_a", "doc_b"], "left")
+            .na.fill({"inter_n": 0})
+            .join(sizes.withColumnRenamed(id_col, "doc_a")
+                       .withColumnRenamed("set_size", "size_a"), "doc_a")
+            .join(sizes.withColumnRenamed(id_col, "doc_b")
+                       .withColumnRenamed("set_size", "size_b"), "doc_b")
+            .select("doc_a", "doc_b", "inter_n", "size_a", "size_b"))
+
+
+def jaccard_pairs(docs: DataFrame, pairs: DataFrame, text_col: str = "text",
+                  id_col: str = "doc_id", shingle_n: int = 3,
+                  threshold: float = 0.0,
+                  shingles: DataFrame | None = None) -> DataFrame:
+    """Exact n-gram Jaccard for given candidate pairs (see
+    overlap_pairs for the scale shape). Returns (doc_a, doc_b,
+    jaccard) at or above ``threshold``."""
+    out = overlap_pairs(docs, pairs, text_col, id_col, shingle_n, shingles)
+    out = out.withColumn(
+        "jaccard",
+        F.round(F.col("inter_n")
+                / (F.col("size_a") + F.col("size_b") - F.col("inter_n")), 6))
     return (out.filter(F.col("jaccard") >= threshold)
             .select("doc_a", "doc_b", "jaccard"))
 

@@ -200,6 +200,55 @@ def dedup_minhash_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.jaccard_pairs(docs, pairs, threshold=0.5)
 
 
+@register("containment_pairs", f"""
+WITH {_AUG_DOCS},
+{_NORMED},
+{_SHINGLED},
+{_SIGS},
+{_banded_sql()},
+{_capped_sql('banded', 'band_idx, band_key', 'bcap')},
+{_PAIRS_CTE},
+sets AS (SELECT DISTINCT doc_id, shingle FROM shingled),
+sizes AS (SELECT doc_id, COUNT(*) AS set_size FROM sets GROUP BY doc_id),
+inter AS (
+    SELECT p.doc_a, p.doc_b, COUNT(*) AS inter_n
+    FROM pairs p
+    JOIN sets sa ON sa.doc_id = p.doc_a
+    JOIN sets sb ON sb.doc_id = p.doc_b AND sb.shingle = sa.shingle
+    GROUP BY p.doc_a, p.doc_b
+)
+SELECT doc_a, doc_b, contain_a, contain_b FROM (
+    SELECT p.doc_a, p.doc_b,
+           ROUND(COALESCE(i.inter_n, 0) / za.set_size, 6) AS contain_a,
+           ROUND(COALESCE(i.inter_n, 0) / zb.set_size, 6) AS contain_b
+    FROM pairs p
+    LEFT JOIN inter i ON i.doc_a = p.doc_a AND i.doc_b = p.doc_b
+    JOIN sizes za ON za.doc_id = p.doc_a
+    JOIN sizes zb ON zb.doc_id = p.doc_b
+)
+WHERE greatest(contain_a, contain_b) >= 0.8
+""")
+def containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Asymmetric Jaccard containment (|A∩B|/|A| and |A∩B|/|B|) over
+    LSH candidates — catches near-SUBSET duplication (a doc embedded
+    in a longer one) that symmetric Jaccard under-scores: a 100-shingle
+    doc fully inside a 1000-shingle doc has jaccard 0.1 but
+    containment 1.0. Same candidate generation + overlap counting as
+    the Jaccard verify (operators/dedup.py overlap_pairs), one extra
+    projection."""
+    docs = _augmented_docs(spark, sf_dir)
+    sigs = dedup.minhash_signatures(docs, num_hashes=NUM_HASHES)
+    pairs = dedup.lsh_candidate_pairs(
+        sigs, num_hashes=NUM_HASHES, bands=BANDS,
+        max_bucket=MAX_BUCKET).localCheckpoint(eager=True)
+    ov = dedup.overlap_pairs(docs, pairs)
+    out = ov.select(
+        "doc_a", "doc_b",
+        F.round(F.col("inter_n") / F.col("size_a"), 6).alias("contain_a"),
+        F.round(F.col("inter_n") / F.col("size_b"), 6).alias("contain_b"))
+    return out.filter(F.greatest("contain_a", "contain_b") >= 0.8)
+
+
 # ---------------------------------------------------------------------------
 # SimHash
 # ---------------------------------------------------------------------------

@@ -1,0 +1,297 @@
+"""Distributed statistics operators — exact-moment correlation,
+per-group trend fitting, sequential EWMA smoothing, skew-salted joins,
+and sort-free percentile binning.
+
+Float-determinism strategy for the moment-based stats (Pearson, OLS
+slope): raw sums are accumulated in DECIMAL (the inputs are 2-dp
+money/quantity values, so decimal sums are EXACT and order-independent
+— no floating summation-order drift between engines); the final
+statistic is then one deterministic per-row double expression over
+those exact sums, spelled identically in both engines.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from travel_data_pipeline_spark.registry import register
+from travel_data_pipeline_spark.sources.readers import load_table
+
+_DEC = "decimal(18,4)"
+
+
+def _corr_expr(n: Column, sx: Column, sy: Column, sxx: Column,
+               syy: Column, sxy: Column) -> Column:
+    """Pearson r from exact sums, computed in double at the very end.
+    Parenthesization matches the oracle spelling token-for-token."""
+    n, sx, sy = n.cast("double"), sx.cast("double"), sy.cast("double")
+    sxx, syy, sxy = sxx.cast("double"), syy.cast("double"), sxy.cast("double")
+    return ((n * sxy - sx * sy)
+            / (F.sqrt(n * sxx - sx * sx) * F.sqrt(n * syy - sy * sy)))
+
+
+# ---------------------------------------------------------------------------
+# Pearson correlation matrix over lineitem measures.
+# ---------------------------------------------------------------------------
+
+_CORR_SQL_PAIR = """
+       round((n * s{a}{b} - s{a} * s{b})
+             / (sqrt(n * s{a}{a} - s{a} * s{a})
+                * sqrt(n * s{b}{b} - s{b} * s{b})), 6)"""
+
+
+@register("corr_matrix_lineitem", f"""
+WITH sums AS (
+    SELECT CAST(COUNT(*) AS DOUBLE) AS n,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sq,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) AS sp,
+           CAST(SUM(CAST(l_discount AS DECIMAL(18,4))) AS DOUBLE) AS sd,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(28,4))
+                    * CAST(l_quantity AS DECIMAL(28,4))) AS DOUBLE) AS sqq,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(28,4))
+                    * CAST(l_extendedprice AS DECIMAL(28,4))) AS DOUBLE) AS spp,
+           CAST(SUM(CAST(l_discount AS DECIMAL(28,4))
+                    * CAST(l_discount AS DECIMAL(28,4))) AS DOUBLE) AS sdd,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(28,4))
+                    * CAST(l_extendedprice AS DECIMAL(28,4))) AS DOUBLE) AS sqp,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(28,4))
+                    * CAST(l_discount AS DECIMAL(28,4))) AS DOUBLE) AS sqd,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(28,4))
+                    * CAST(l_discount AS DECIMAL(28,4))) AS DOUBLE) AS spd
+    FROM lineitem
+)
+SELECT 'l_quantity' AS var_a, 'l_extendedprice' AS var_b,
+       CAST(n AS BIGINT) AS n,
+{_CORR_SQL_PAIR.format(a='q', b='p')} AS corr
+FROM sums
+UNION ALL
+SELECT 'l_quantity', 'l_discount', CAST(n AS BIGINT),
+{_CORR_SQL_PAIR.format(a='q', b='d')}
+FROM sums
+UNION ALL
+SELECT 'l_extendedprice', 'l_discount', CAST(n AS BIGINT),
+{_CORR_SQL_PAIR.format(a='p', b='d')}
+FROM sums
+""")
+def corr_matrix_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise Pearson correlation of quantity / price / discount.
+
+    One corpus pass, one map-side-combined global aggregate producing
+    nine exact decimal moments (a few hundred bytes per partition
+    regardless of data size); the 3x3 matrix unpivots from that single
+    row. Never uses F.corr — its streaming co-moment accumulation is
+    summation-order-dependent and would diverge from any oracle."""
+    li = load_table(spark, sf_dir, "lineitem")
+    q = F.col("l_quantity").cast(_DEC)
+    p = F.col("l_extendedprice").cast(_DEC)
+    d = F.col("l_discount").cast(_DEC)
+    sums = li.agg(
+        F.count("*").alias("n"),
+        F.sum(q).alias("sq"), F.sum(p).alias("sp"), F.sum(d).alias("sd"),
+        F.sum(q * q).alias("sqq"), F.sum(p * p).alias("spp"),
+        F.sum(d * d).alias("sdd"),
+        F.sum(q * p).alias("sqp"), F.sum(q * d).alias("sqd"),
+        F.sum(p * d).alias("spd"))
+
+    def pair(va: str, vb: str, sa: str, sb: str, saa: str, sbb: str,
+             sab: str) -> Column:
+        return F.struct(
+            F.lit(va).alias("var_a"), F.lit(vb).alias("var_b"),
+            F.col("n").alias("n"),
+            F.round(_corr_expr(F.col("n"), F.col(sa), F.col(sb),
+                               F.col(saa), F.col(sbb), F.col(sab)),
+                    6).alias("corr"))
+
+    return (sums.select(F.explode(F.array(
+        pair("l_quantity", "l_extendedprice", "sq", "sp", "sqq", "spp", "sqp"),
+        pair("l_quantity", "l_discount", "sq", "sd", "sqq", "sdd", "sqd"),
+        pair("l_extendedprice", "l_discount", "sp", "sd", "spp", "sdd", "spd"),
+    )).alias("e")).select("e.var_a", "e.var_b", "e.n", "e.corr"))
+
+
+# ---------------------------------------------------------------------------
+# OLS trend slope per nation (order value vs order date).
+# ---------------------------------------------------------------------------
+
+@register("trend_slope_by_nation", """
+WITH fact AS (
+    SELECT n.n_name,
+           date_diff('day', DATE '1992-01-01', CAST(o.o_orderdate AS DATE)) AS x,
+           CAST(o.o_totalprice AS DECIMAL(18,4)) AS y
+    FROM orders o
+    JOIN customer c ON c.c_custkey = o.o_custkey
+    JOIN nation n ON n.n_nationkey = c.c_nationkey
+),
+sums AS (
+    SELECT n_name,
+           CAST(COUNT(*) AS DOUBLE) AS n,
+           CAST(SUM(x) AS DOUBLE) AS sx,
+           CAST(SUM(y) AS DOUBLE) AS sy,
+           CAST(SUM(CAST(x AS BIGINT) * CAST(x AS BIGINT)) AS DOUBLE) AS sxx,
+           CAST(SUM(x * y) AS DOUBLE) AS sxy,
+           COUNT(*) AS n_orders
+    FROM fact GROUP BY n_name
+)
+SELECT n_name, CAST(n_orders AS BIGINT) AS n_orders,
+       round((n * sxy - sx * sy) / (n * sxx - sx * sx), 6) AS slope,
+       round((sy - ((n * sxy - sx * sy) / (n * sxx - sx * sx)) * sx) / n, 6)
+           AS intercept
+FROM sums
+""")
+def trend_slope_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-nation OLS trend of order value over time — grouped linear
+    regression from exact sums (x: integer day offsets, y: decimal
+    money; every accumulated moment is exact, so the slope is engine-
+    independent). Dims broadcast onto the fact; one grouped aggregate
+    keyed on the 25-nation key carries five narrow moments."""
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    x = F.datediff(F.col("o_orderdate").cast("date"),
+                   F.lit("1992-01-01").cast("date"))
+    y = F.col("o_totalprice").cast(_DEC)
+    fact = (o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+            .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+            .select("n_name", x.alias("x"), y.alias("y")))
+    sums = fact.groupBy("n_name").agg(
+        F.count("*").alias("n_orders"),
+        F.sum("x").alias("sx_i"),
+        F.sum("y").alias("sy_d"),
+        F.sum(F.col("x").cast("bigint") * F.col("x").cast("bigint")).alias("sxx_i"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy_d"))
+    nd = F.col("n_orders").cast("double")
+    sx, sy = F.col("sx_i").cast("double"), F.col("sy_d").cast("double")
+    sxx, sxy = F.col("sxx_i").cast("double"), F.col("sxy_d").cast("double")
+    slope = (nd * sxy - sx * sy) / (nd * sxx - sx * sx)
+    return sums.select(
+        "n_name", "n_orders",
+        F.round(slope, 6).alias("slope"),
+        F.round((sy - slope * sx) / nd, 6).alias("intercept"))
+
+
+# ---------------------------------------------------------------------------
+# EWMA smoothing per user — sequential stateful semantics, expression-level.
+# ---------------------------------------------------------------------------
+
+@register("ewma_values_per_user", """
+WITH RECURSIVE seq AS (
+    SELECT user_id, event_id, value,
+           row_number() OVER (PARTITION BY user_id
+                              ORDER BY ts, event_id) AS rn
+    FROM events
+),
+walk AS (
+    SELECT user_id, event_id, rn, CAST(value AS DOUBLE) AS ewma
+    FROM seq WHERE rn = 1
+    UNION ALL
+    SELECT s.user_id, s.event_id, s.rn, 0.3 * s.value + 0.7 * w.ewma
+    FROM seq s JOIN walk w
+      ON s.user_id = w.user_id AND s.rn = w.rn + 1
+)
+SELECT user_id, event_id, CAST(rn AS INT) AS rn, round(ewma, 6) AS ewma
+FROM walk
+""")
+def ewma_values_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exponentially-weighted moving average (alpha=0.3) of each user's
+    event values in time order — a genuinely sequential recurrence
+    (E_t = a*v_t + (1-a)*E_{t-1}) expressed as a per-group array fold:
+    sort_array(collect_list) -> aggregate, all JVM expressions. The
+    fold is sequential on both engines (oracle: recursive CTE), so the
+    doubles match bit-for-bit before rounding.
+
+    Scale: state per group = that user's history (bounded per-entity,
+    like sessionization); the shuffle is one groupBy on user_id. For
+    unbounded histories the streaming analogue is
+    applyInPandasWithState (streaming/jobs.py)."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_id", "ts", "value")
+    g = ev.groupBy("user_id").agg(
+        F.sort_array(F.collect_list(
+            F.struct("ts", "event_id", "value"))).alias("s"))
+    folded = F.aggregate(
+        F.col("s"),
+        F.array().cast("array<struct<event_id:bigint,ewma:double>>"),
+        lambda acc, x: F.array_append(acc, F.struct(
+            x["event_id"].alias("event_id"),
+            F.when(F.size(acc) == 0, x["value"].cast("double"))
+             .otherwise(F.lit(0.3) * x["value"]
+                        + F.lit(0.7) * F.element_at(acc, -1)["ewma"])
+             .alias("ewma"))))
+    return (g.select("user_id", F.posexplode(folded).alias("pos", "e"))
+            .select("user_id", F.col("e.event_id").alias("event_id"),
+                    (F.col("pos") + 1).cast("int").alias("rn"),
+                    F.round(F.col("e.ewma"), 6).alias("ewma")))
+
+
+# ---------------------------------------------------------------------------
+# Skew-salted join — the salting pattern with a semantics-equality oracle.
+# ---------------------------------------------------------------------------
+
+_SALT = 8
+
+
+@register("salted_join_orders_customers", """
+SELECT o.o_orderkey, c.c_custkey, c.c_name, o.o_totalprice
+FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+""")
+def salted_join_orders_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-salted shuffle join, proven semantics-preserving: the fact
+    side gets a deterministic salt in [0, 8), the build side is
+    replicated once per salt value, and the join key becomes
+    (custkey, salt) — a hot customer's rows now spread over 8 reducer
+    partitions instead of one. The oracle is the PLAIN join: salting
+    must not change the result, only the partition histogram.
+    shuffle_hash hint keeps the demo on the shuffled path (a broadcast
+    would hide the skew problem salting solves)."""
+    o = load_table(spark, sf_dir, "orders").withColumn(
+        "salt", (F.col("o_orderkey") % _SALT).cast("int"))
+    c = (load_table(spark, sf_dir, "customer")
+         .select("c_custkey", "c_name")
+         .withColumn("salt", F.explode(F.sequence(
+             F.lit(0), F.lit(_SALT - 1)).cast("array<int>"))))
+    return (o.join(c.hint("shuffle_hash"),
+                   (o.o_custkey == c.c_custkey) & (o.salt == c.salt))
+            .select("o_orderkey", "c_custkey", "c_name", "o_totalprice"))
+
+
+# ---------------------------------------------------------------------------
+# Sort-free decile binning via broadcast percentile cut points.
+# ---------------------------------------------------------------------------
+
+@register("decile_bins_order_value", """
+WITH cuts AS (
+    SELECT [round(quantile_cont(o_totalprice, 0.1), 6),
+            round(quantile_cont(o_totalprice, 0.2), 6),
+            round(quantile_cont(o_totalprice, 0.3), 6),
+            round(quantile_cont(o_totalprice, 0.4), 6),
+            round(quantile_cont(o_totalprice, 0.5), 6),
+            round(quantile_cont(o_totalprice, 0.6), 6),
+            round(quantile_cont(o_totalprice, 0.7), 6),
+            round(quantile_cont(o_totalprice, 0.8), 6),
+            round(quantile_cont(o_totalprice, 0.9), 6)] AS cs
+    FROM orders
+)
+SELECT o.o_orderkey, o.o_totalprice,
+       CAST(len(list_filter(c.cs, x -> o.o_totalprice > x)) + 1 AS INT)
+           AS decile
+FROM orders o CROSS JOIN cuts c
+""")
+def decile_bins_order_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equal-frequency decile assignment WITHOUT a global sort: nine
+    exact percentile cut points (one aggregate, broadcast back as a
+    1-row array) and a per-row count of cuts below the value. The
+    ntile() spelling of this is a single-reducer global sort — this
+    shape scans once, aggregates once, and assigns map-side. Cut
+    points are rounded to 6 dp on both engines before comparison so
+    boundary rows bucket identically."""
+    o = load_table(spark, sf_dir, "orders")
+    cuts = o.agg(F.array(*[
+        F.round(F.percentile("o_totalprice", F.lit(q / 10)), 6)
+        for q in range(1, 10)]).alias("cs"))
+    return (o.crossJoin(F.broadcast(cuts))
+            .select("o_orderkey", "o_totalprice",
+                    (F.size(F.filter(
+                        F.col("cs"),
+                        lambda x: F.col("o_totalprice") > x)) + 1)
+                    .cast("int").alias("decile")))
