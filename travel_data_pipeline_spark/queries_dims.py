@@ -182,3 +182,53 @@ def alias_standardize_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
     return std.select(
         "keyword", "korean_name", "english_name", "country_code_3",
         F.coalesce(F.col("_alias_hit"), F.lit(False)).alias("matched"))
+
+
+@register("fuzzy_alias_levenshtein", f"""
+WITH {_MASTER_ENTRIES_SQL},
+{_ALIAS_ENTRIES_SQL},
+names AS (SELECT DISTINCT lower(english_name) AS alias_name FROM aliases
+          WHERE english_name IS NOT NULL),
+mnames AS (SELECT DISTINCT lower(country_name_eng) AS master_name
+           FROM masters WHERE country_name_eng IS NOT NULL),
+scored AS (
+    SELECT n.alias_name, m.master_name,
+           levenshtein(n.alias_name, m.master_name) AS dist,
+           row_number() OVER (
+               PARTITION BY n.alias_name
+               ORDER BY levenshtein(n.alias_name, m.master_name),
+                        m.master_name) AS rn
+    FROM names n CROSS JOIN mnames m
+)
+SELECT alias_name, master_name, CAST(dist AS INT) AS dist
+FROM scored WHERE rn = 1 AND dist BETWEEN 1 AND 3
+""")
+def fuzzy_alias_levenshtein(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fuzzy entity resolution: each distinct alias English name maps
+    to its nearest master country name by edit distance; emitted rows
+    are the NEAR-misses (distance 1-3) — the typo'd aliases a strict
+    equi-join (alias_standardize_keywords) silently defaults to
+    Unknown_*. The reference resolves these by hand-maintaining 739
+    aliases; a fuzzy pass generates candidate additions instead.
+
+    Scale: both sides are config dims (739 x 59 after distinct) — the
+    cross product is broadcast-bounded by contract. For a fact-sized
+    probe side the same shape holds: broadcast the 59-name master,
+    keep the cross join dim-side only."""
+    master = load_master_dim(spark)
+    aliases = load_alias_dim(spark)
+    names = (aliases.filter(F.col("english_name").isNotNull())
+             .select(F.lower("english_name").alias("alias_name")).distinct())
+    mnames = (master.filter(F.col("country_name_eng").isNotNull())
+              .select(F.lower("country_name_eng").alias("master_name"))
+              .distinct())
+    from pyspark.sql import Window
+    dist = F.levenshtein("alias_name", "master_name")
+    w = Window.partitionBy("alias_name").orderBy(dist.asc(),
+                                                 F.col("master_name").asc())
+    return (names.crossJoin(F.broadcast(mnames))
+            .select("alias_name", "master_name",
+                    dist.cast("int").alias("dist"),
+                    F.row_number().over(w).alias("rn"))
+            .filter((F.col("rn") == 1) & F.col("dist").between(1, 3))
+            .drop("rn"))

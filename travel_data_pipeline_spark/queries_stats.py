@@ -295,3 +295,117 @@ def decile_bins_order_value(spark: SparkSession, sf_dir: str) -> DataFrame:
                         F.col("cs"),
                         lambda x: F.col("o_totalprice") > x)) + 1)
                     .cast("int").alias("decile")))
+
+
+# ---------------------------------------------------------------------------
+# Chi-square independence test — order-controlled double summation.
+# ---------------------------------------------------------------------------
+
+@register("chi2_event_type_by_dow", """
+WITH obs AS (
+    SELECT event_type, dayofweek(ts) AS dow, COUNT(*) AS o
+    FROM events GROUP BY 1, 2
+),
+rt AS (SELECT event_type, SUM(o) AS rt FROM obs GROUP BY 1),
+ct AS (SELECT dow, SUM(o) AS ct FROM obs GROUP BY 1),
+n AS (SELECT SUM(o) AS n FROM obs),
+cells AS (
+    SELECT obs.event_type, obs.dow, obs.o, rt.rt, ct.ct, n.n
+    FROM obs JOIN rt USING (event_type) JOIN ct USING (dow) CROSS JOIN n
+),
+folded AS (
+    SELECT COUNT(*) AS n_cells,
+           COUNT(DISTINCT event_type) AS r,
+           COUNT(DISTINCT dow) AS c,
+           list(
+               (CAST(o AS DOUBLE)
+                - (rt * ct) / CAST(n AS DOUBLE))
+               * (CAST(o AS DOUBLE)
+                  - (rt * ct) / CAST(n AS DOUBLE))
+               / ((rt * ct) / CAST(n AS DOUBLE))
+               ORDER BY event_type, dow) AS terms
+    FROM cells
+)
+SELECT CAST(n_cells AS BIGINT) AS n_cells,
+       CAST((r - 1) * (c - 1) AS INT) AS dof,
+       round(list_reduce(terms, (x, y) -> x + y), 6) AS chi2
+FROM folded
+""")
+def chi2_event_type_by_dow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chi-square independence statistic for event_type x day-of-week.
+
+    All inputs to the statistic are exact integer counts; the only
+    floating sum (over the ~35 (observed-expected)^2/expected terms)
+    runs as a SORTED array fold — collect_list(struct) -> array_sort ->
+    aggregate — so the summation ORDER is pinned and both engines fold
+    the same doubles in the same sequence. This is the general recipe
+    for order-controlled double reduction when decimal accumulation
+    doesn't apply (the terms are already irrational).
+
+    Scale: the contingency table is |types| x 7 cells regardless of
+    corpus size; everything after the first grouped count is
+    effectively free."""
+    ev = load_table(spark, sf_dir, "events")
+    obs = (ev.select("event_type", F.dayofweek("ts").alias("dow"))
+           .groupBy("event_type", "dow").agg(F.count("*").alias("o")))
+    rt = obs.groupBy("event_type").agg(F.sum("o").alias("rt"))
+    ct = obs.groupBy("dow").agg(F.sum("o").alias("ct"))
+    n = obs.agg(F.sum("o").alias("n"))
+    exp = (F.col("rt") * F.col("ct")) / F.col("n").cast("double")
+    term = ((F.col("o").cast("double") - exp)
+            * (F.col("o").cast("double") - exp) / exp)
+    cells = (obs.join(F.broadcast(rt), "event_type")
+             .join(F.broadcast(ct), "dow")
+             .crossJoin(F.broadcast(n))
+             .select("event_type", "dow", term.alias("term")))
+    folded = cells.agg(
+        F.count("*").alias("n_cells"),
+        F.countDistinct("event_type").alias("r"),
+        F.countDistinct("dow").alias("c"),
+        F.array_sort(F.collect_list(
+            F.struct("event_type", "dow", "term"))).alias("ts"))
+    return folded.select(
+        F.col("n_cells"),
+        ((F.col("r") - 1) * (F.col("c") - 1)).cast("int").alias("dof"),
+        F.round(F.aggregate(F.transform("ts", lambda t: t["term"]),
+                            F.lit(0.0), lambda a, x: a + x), 6).alias("chi2"))
+
+
+# ---------------------------------------------------------------------------
+# Window distribution functions — percent_rank / cume_dist / nth_value.
+# ---------------------------------------------------------------------------
+
+@register("window_distribution_suite", """
+SELECT o_orderkey, o_orderpriority,
+       round(percent_rank() OVER w, 6) AS pr,
+       round(cume_dist() OVER w, 6) AS cd,
+       nth_value(o_orderkey, 3) OVER (w ROWS BETWEEN UNBOUNDED PRECEDING
+                                      AND UNBOUNDED FOLLOWING) AS third_key,
+       first_value(o_orderkey) OVER (w ROWS BETWEEN UNBOUNDED PRECEDING
+                                     AND UNBOUNDED FOLLOWING) AS cheapest_key,
+       last_value(o_orderkey) OVER (w ROWS BETWEEN UNBOUNDED PRECEDING
+                                    AND UNBOUNDED FOLLOWING) AS priciest_key
+FROM orders
+WINDOW w AS (PARTITION BY o_orderpriority
+             ORDER BY o_totalprice, o_orderkey)
+""")
+def window_distribution_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution window functions per priority class: percent_rank,
+    cume_dist, and frame-pinned nth/first/last value. The ORDER BY is
+    a total order (price, key), so rank fractions are tie-free and the
+    frame endpoints deterministic. One shuffle on the 5-value priority
+    key; skew-safe only because the key universe is tiny — for a
+    high-cardinality partition key this same shape is the scalable
+    form."""
+    from pyspark.sql import Window
+    o = load_table(spark, sf_dir, "orders")
+    w = (Window.partitionBy("o_orderpriority")
+         .orderBy("o_totalprice", "o_orderkey"))
+    wf = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    return o.select(
+        "o_orderkey", "o_orderpriority",
+        F.round(F.percent_rank().over(w), 6).alias("pr"),
+        F.round(F.cume_dist().over(w), 6).alias("cd"),
+        F.nth_value("o_orderkey", 3).over(wf).alias("third_key"),
+        F.first("o_orderkey").over(wf).alias("cheapest_key"),
+        F.last("o_orderkey").over(wf).alias("priciest_key"))
