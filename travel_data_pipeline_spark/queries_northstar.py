@@ -959,3 +959,85 @@ def text_curation_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
     100 TB pre-filter pass wants."""
     docs = load_table(spark, sf_dir, "documents")
     return text.curation_flags(docs)
+
+
+_SIG_EQ_SUM = " + ".join(
+    f"(CASE WHEN sa.h{s} = sb.h{s} THEN 1 ELSE 0 END)"
+    for s in range(NUM_HASHES))
+
+
+@register("minhash_estimate_error", f"""
+WITH {_AUG_DOCS},
+{_NORMED},
+{_SHINGLED},
+{_SIGS},
+{_banded_sql()},
+{_capped_sql('banded', 'band_idx, band_key', 'bcap')},
+{_PAIRS_CTE},
+est AS (
+    SELECT p.doc_a, p.doc_b,
+           ({_SIG_EQ_SUM}) / {NUM_HASHES}.0 AS est_j
+    FROM pairs p
+    JOIN sigs sa ON sa.doc_id = p.doc_a
+    JOIN sigs sb ON sb.doc_id = p.doc_b
+),
+sets AS (SELECT DISTINCT doc_id, shingle FROM shingled),
+sizes AS (SELECT doc_id, COUNT(*) AS set_size FROM sets GROUP BY doc_id),
+inter AS (
+    SELECT p.doc_a, p.doc_b, COUNT(*) AS inter_n
+    FROM pairs p
+    JOIN sets sa ON sa.doc_id = p.doc_a
+    JOIN sets sb ON sb.doc_id = p.doc_b AND sb.shingle = sa.shingle
+    GROUP BY p.doc_a, p.doc_b
+)
+SELECT e.doc_a, e.doc_b,
+       ROUND(e.est_j, 6) AS est_j,
+       ROUND(COALESCE(i.inter_n, 0)
+             / (za.set_size + zb.set_size - COALESCE(i.inter_n, 0)), 6)
+           AS exact_j,
+       ROUND(abs(e.est_j
+                 - COALESCE(i.inter_n, 0)
+                   / (za.set_size + zb.set_size - COALESCE(i.inter_n, 0))), 6)
+           AS abs_err
+FROM est e
+LEFT JOIN inter i ON i.doc_a = e.doc_a AND i.doc_b = e.doc_b
+JOIN sizes za ON za.doc_id = e.doc_a
+JOIN sizes zb ON zb.doc_id = e.doc_b
+""")
+def minhash_estimate_error(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch calibration: for every LSH candidate pair, the MinHash
+    signature-agreement estimate of Jaccard vs the exact value, with
+    the absolute error — the measurement that justifies (or indicts)
+    the signature width k=8 before scaling a dedup run. Candidates
+    only — the estimate is free (signatures already exist); the exact
+    side reuses overlap_pairs' semi-joined shingle counting."""
+    docs = _augmented_docs(spark, sf_dir)
+    sigs = dedup.minhash_signatures(docs, num_hashes=NUM_HASHES)
+    pairs = dedup.lsh_candidate_pairs(
+        sigs, num_hashes=NUM_HASHES, bands=BANDS,
+        max_bucket=MAX_BUCKET).localCheckpoint(eager=True)
+    sa = sigs.select(F.col("doc_id").alias("doc_a"),
+                     *[F.col(f"h{s}").alias(f"a{s}")
+                       for s in range(NUM_HASHES)])
+    sb = sigs.select(F.col("doc_id").alias("doc_b"),
+                     *[F.col(f"h{s}").alias(f"b{s}")
+                       for s in range(NUM_HASHES)])
+    eq_sum = None
+    for s in range(NUM_HASHES):
+        t = F.when(F.col(f"a{s}") == F.col(f"b{s}"), 1).otherwise(0)
+        eq_sum = t if eq_sum is None else eq_sum + t
+    est = (pairs.join(sa, "doc_a").join(sb, "doc_b")
+           .select("doc_a", "doc_b",
+                   (eq_sum / float(NUM_HASHES)).alias("est_j")))
+    ov = dedup.overlap_pairs(docs, pairs)
+    exact = ov.select(
+        "doc_a", "doc_b",
+        (F.col("inter_n")
+         / (F.col("size_a") + F.col("size_b") - F.col("inter_n")))
+        .alias("exact_raw"))
+    return (est.join(exact, ["doc_a", "doc_b"])
+            .select("doc_a", "doc_b",
+                    F.round("est_j", 6).alias("est_j"),
+                    F.round("exact_raw", 6).alias("exact_j"),
+                    F.round(F.abs(F.col("est_j") - F.col("exact_raw")), 6)
+                    .alias("abs_err")))

@@ -409,3 +409,54 @@ def window_distribution_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.nth_value("o_orderkey", 3).over(wf).alias("third_key"),
         F.first("o_orderkey").over(wf).alias("cheapest_key"),
         F.last("o_orderkey").over(wf).alias("priciest_key"))
+
+
+# ---------------------------------------------------------------------------
+# Table content fingerprints — order-independent integrity hashes.
+# ---------------------------------------------------------------------------
+
+def _fp_cols(table: str) -> list[str]:
+    # stable (int/string) columns only: float->string formatting is the
+    # one cast whose spelling differs between engines, so floats are
+    # excluded from fingerprints by design.
+    return {
+        "orders": ["o_orderkey", "o_custkey", "o_orderstatus",
+                   "o_orderpriority"],
+        "customer": ["c_custkey", "c_name", "c_nationkey"],
+        "nation": ["n_nationkey", "n_name", "n_regionkey"],
+    }[table]
+
+
+def _fp_sql(table: str) -> str:
+    from travel_data_pipeline_spark.functions.hashing import md5_long_sql
+    concat = " || '|' || ".join(f"CAST({c} AS VARCHAR)"
+                                for c in _fp_cols(table))
+    h = md5_long_sql(f"({concat})")
+    return (f"SELECT '{table}' AS table_name, COUNT(*) AS n_rows, "
+            f"bit_xor({h}) AS fingerprint FROM {table}")
+
+
+@register("table_fingerprints",
+          " UNION ALL ".join(_fp_sql(t)
+                             for t in ("orders", "customer", "nation")))
+def table_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-independent content fingerprint per table: bit_xor of a
+    per-row md5 over the stable key/text columns. The pipeline-
+    validation primitive — two runs (or two engines, or two replicas)
+    agree iff their fingerprints agree, with no sort and no transfer
+    beyond one 8-byte value per partition. XOR is commutative/
+    associative and exact, so the result is partitioning-independent."""
+    from travel_data_pipeline_spark.functions.hashing import md5_long
+    parts = []
+    for t in ("orders", "customer", "nation"):
+        df = load_table(spark, sf_dir, t)
+        row = F.concat_ws("|", *[F.col(c).cast("string")
+                                 for c in _fp_cols(t)])
+        parts.append(df.agg(
+            F.count("*").alias("n_rows"),
+            F.bit_xor(md5_long(row)).alias("fingerprint"))
+            .select(F.lit(t).alias("table_name"), "n_rows", "fingerprint"))
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out

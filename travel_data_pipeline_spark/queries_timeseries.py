@@ -170,3 +170,52 @@ def approx_percentile_certified(spark: SparkSession, sf_dir: str) -> DataFrame:
          .alias("p50_within_1pct"),
         (F.abs(F.col("_ap95") - F.col("_ex95")) / F.col("_ex95") <= 0.01)
          .alias("p95_within_1pct"))
+
+
+# ---------------------------------------------------------------------------
+# Built-in session_window aggregation, oracle'd by gaps-and-islands.
+# ---------------------------------------------------------------------------
+
+@register("session_window_builtin", """
+WITH seq AS (
+    SELECT user_id, ts, CAST(value AS DECIMAL(18,2)) AS v,
+           CASE WHEN epoch(ts) - epoch(lag(ts) OVER
+                    (PARTITION BY user_id ORDER BY ts)) >= 1800
+                 OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+                THEN 1 ELSE 0 END AS is_new
+    FROM events
+),
+tagged AS (
+    SELECT user_id, ts, v,
+           SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts
+                             ROWS BETWEEN UNBOUNDED PRECEDING
+                             AND CURRENT ROW) AS session_id
+    FROM seq
+)
+SELECT user_id,
+       MIN(ts) AS session_start,
+       MAX(ts) + INTERVAL 30 MINUTE AS session_end,
+       COUNT(*) AS n_events,
+       CAST(SUM(v) AS DOUBLE) AS sum_value
+FROM tagged
+GROUP BY user_id, session_id
+""")
+def session_window_builtin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark's native session_window (30-minute gap) — the streaming-
+    capable sessionization operator — proven equivalent to the
+    gaps-and-islands formulation the oracle runs. Boundary semantics:
+    session_window's interval is [start, last+gap), so an event at
+    EXACTLY gap seconds starts a new session — the oracle's >= 1800
+    mirrors that (the older sessionize_events query uses > on purpose
+    and documents the difference). One shuffle on user_id; the windowed
+    session merge is Spark-internal and watermark-compatible in
+    streaming."""
+    ev = load_table(spark, sf_dir, "events")
+    return (ev.groupBy("user_id",
+                       F.session_window("ts", "30 minutes").alias("w"))
+            .agg(F.count("*").alias("n_events"),
+                 dec_sum(F.col("value"), "sum_value"))
+            .select("user_id",
+                    F.col("w.start").alias("session_start"),
+                    F.col("w.end").alias("session_end"),
+                    "n_events", "sum_value"))
