@@ -462,3 +462,23 @@ def test_stream_stream_interval_join_matches_batch(spark, tmp_path):
     got = {(r.click_id, r.purchase_id, r.amount)
            for r in spark.table("attrib").collect()}
     assert got == {(100, 101, 30.0), (201, 202, 20.0)}
+
+
+def test_stateful_ewma_matches_batch_fold(spark, sf_smoke):
+    """Streaming EWMA (applyInPandasWithState) must reproduce the batch
+    sorted-array fold (queries_stats.ewma_values_per_user) exactly —
+    same recurrence, same per-user order, same doubles."""
+    from travel_data_pipeline_spark.queries_stats import ewma_values_per_user
+
+    stream = jobs.read_events_stream(spark, sf_smoke)
+    out = jobs.ewma_stateful(stream)
+    q = (out.writeStream.format("memory").queryName("ewma_out")
+         .outputMode("append").trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    got = {(r.user_id, r.event_id): r.ewma
+           for r in spark.table("ewma_out").collect()}
+    want = {(r.user_id, r.event_id): r.ewma
+            for r in ewma_values_per_user(spark, sf_smoke).collect()}
+    assert len(got) == len(want)
+    assert all(abs(got[k] - round(want[k], 6)) < 1e-6 or
+               abs(got[k] - want[k]) < 1e-9 for k in want)

@@ -389,3 +389,45 @@ def attribute_purchases_stream(clicks: DataFrame, purchases: DataFrame,
             .select(F.col("p_user").alias("user_id"),
                     "click_id", "purchase_id", "amount",
                     "click_ts", "purchase_ts"))
+
+
+def ewma_stateful(events: DataFrame, alpha: float = 0.3) -> DataFrame:
+    """Streaming EWMA per user via applyInPandasWithState — the
+    streaming twin of queries_stats.ewma_values_per_user: state is one
+    double (the last smoothed value) per user; each micro-batch sorts
+    its rows by (ts, event_id) and continues the recurrence
+    E = alpha*v + (1-alpha)*E from state. Emits one row per event
+    (append mode). With the same arrival order, the doubles match the
+    batch fold exactly — asserted in tests/test_streaming.py."""
+    import pandas as pd  # noqa: F401
+
+    out_schema = T.StructType([
+        T.StructField("user_id", T.LongType()),
+        T.StructField("event_id", T.LongType()),
+        T.StructField("ewma", T.DoubleType()),
+    ])
+    state_schema = T.StructType([
+        T.StructField("last_ewma", T.DoubleType()),
+    ])
+
+    # self-contained closure: executors may not have this repo on path
+    def update(key, pdfs, state):
+        import pandas as pd
+
+        prev = state.get[0] if state.exists else None
+        out_ids, out_vals = [], []
+        for pdf in pdfs:
+            pdf = pdf.sort_values(["ts", "event_id"])
+            for eid, v in zip(pdf["event_id"], pdf["value"]):
+                prev = (float(v) if prev is None
+                        else alpha * float(v) + (1.0 - alpha) * prev)
+                out_ids.append(int(eid))
+                out_vals.append(prev)
+        if prev is not None:
+            state.update((prev,))
+        yield pd.DataFrame({"user_id": [key[0]] * len(out_ids),
+                            "event_id": out_ids, "ewma": out_vals})
+
+    return (events.groupBy("user_id")
+            .applyInPandasWithState(update, out_schema, state_schema,
+                                    "append", "NoTimeout"))
