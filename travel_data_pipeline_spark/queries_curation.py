@@ -349,3 +349,104 @@ def mixture_weights_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(rate, 6).alias("sampling_rate"),
         F.floor(F.col("n_tokens") * rate).cast("long")
          .alias("sampled_tokens"))
+
+
+# ---------------------------------------------------------------------------
+# Flagship curation v2: entropy-gate -> context-window chunk -> shard
+# packing — the assembly line from raw docs to training-ready shards.
+# ---------------------------------------------------------------------------
+
+_V2_TOKS = ("list_filter(string_split(trim(regexp_replace(lower(text), "
+            "'\\s+', ' ', 'g')), ' '), t -> t <> '')")
+_V2_BUDGET = 1000
+
+
+@register("pipeline_chunked_shards", f"""
+WITH tok AS (
+    SELECT doc_id, lang, t AS term
+    FROM (SELECT doc_id, lang, unnest({_V2_TOKS}) AS t FROM documents)
+),
+tf AS (SELECT doc_id, lang, term, COUNT(*) AS tf FROM tok GROUP BY 1, 2, 3),
+stats AS (
+    SELECT doc_id, lang,
+           SUM(tf) AS n_tokens, COUNT(*) AS n_terms,
+           round(ln(SUM(tf)) - SUM(tf * ln(tf)) / SUM(tf), 6) AS entropy
+    FROM tf GROUP BY doc_id, lang
+),
+gated AS (
+    SELECT doc_id, lang FROM stats
+    WHERE n_tokens >= 20 AND 1.0 * n_terms / n_tokens >= 0.2
+      AND entropy >= 2.0
+),
+words AS (
+    SELECT d.doc_id, g.lang, {_V2_TOKS} AS ws, len({_V2_TOKS}) AS n
+    FROM documents d JOIN gated g USING (doc_id)
+),
+chunks AS (
+    SELECT w.doc_id, w.lang,
+           CAST((s.s - 1) // 30 AS INT) AS chunk_idx,
+           len(w.ws[s.s : s.s + 39]) AS n_chunk
+    FROM words w, unnest(generate_series(1, w.n, 30)) s(s)
+),
+packed AS (
+    SELECT lang, doc_id, chunk_idx, n_chunk,
+           SUM(n_chunk) OVER (PARTITION BY lang
+                              ORDER BY doc_id, chunk_idx
+                              ROWS UNBOUNDED PRECEDING) AS cum
+    FROM chunks
+)
+SELECT lang,
+       CAST(floor((cum - n_chunk) / {_V2_BUDGET}.0) AS BIGINT) AS shard_id,
+       COUNT(*) AS n_chunks,
+       CAST(SUM(n_chunk) AS BIGINT) AS n_tokens,
+       COUNT(DISTINCT doc_id) AS n_docs
+FROM packed
+GROUP BY lang, floor((cum - n_chunk) / {_V2_BUDGET}.0)
+""")
+def pipeline_chunked_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Curation assembly line v2: token-entropy quality gate ->
+    overlapping context-window chunking (40/30) -> greedy token-budget
+    shard packing per language -> per-shard accounting.
+
+    Scale shape: the gate and chunker are one explode + grouped agg
+    and one pure projection; packing reuses pack_token_shards' running
+    cumsum rule (per-stream window ordered by (doc_id, chunk_idx) —
+    each language is an independent packing stream, so parallelism =
+    |langs|; for more streams the partition key widens to
+    (lang, doc_id bucket) exactly as in pack_token_shards). Everything
+    stays integer arithmetic — no float drift anywhere."""
+    from travel_data_pipeline_spark.operators.text import token_array
+
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select("doc_id", "lang",
+                      F.explode(token_array(F.col("text"))).alias("term"))
+    tf = tok.groupBy("doc_id", "lang", "term").agg(F.count("*").alias("tf"))
+    stats = tf.groupBy("doc_id", "lang").agg(
+        F.sum("tf").alias("n_tokens"),
+        F.count("*").alias("n_terms"),
+        F.round(F.log(F.sum("tf"))
+                - F.sum(F.col("tf") * F.log("tf")) / F.sum("tf"), 6)
+         .alias("entropy"))
+    gated = stats.filter(
+        (F.col("n_tokens") >= 20)
+        & (1.0 * F.col("n_terms") / F.col("n_tokens") >= 0.2)
+        & (F.col("entropy") >= 2.0)).select("doc_id", "lang")
+    words = (docs.join(gated.select("doc_id"), "doc_id")
+             .select("doc_id", "lang", token_array(F.col("text")).alias("ws")))
+    words = words.withColumn("n", F.size("ws")).filter(F.col("n") >= 1)
+    chunks = (words.select(
+        "doc_id", "lang",
+        F.explode(F.sequence(F.lit(1), F.col("n"), F.lit(30))).alias("s"),
+        "ws")
+        .select("doc_id", "lang",
+                F.expr("CAST((s - 1) DIV 30 AS INT)").alias("chunk_idx"),
+                F.size(F.slice(F.col("ws"), F.col("s"), 40)).alias("n_chunk")))
+    w = (Window.partitionBy("lang").orderBy("doc_id", "chunk_idx")
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    packed = chunks.withColumn("cum", F.sum("n_chunk").over(w))
+    shard = F.floor((F.col("cum") - F.col("n_chunk")) / float(_V2_BUDGET))
+    return (packed
+            .groupBy("lang", shard.cast("long").alias("shard_id"))
+            .agg(F.count("*").alias("n_chunks"),
+                 F.sum("n_chunk").alias("n_tokens"),
+                 F.countDistinct("doc_id").alias("n_docs")))

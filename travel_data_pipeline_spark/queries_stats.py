@@ -460,3 +460,136 @@ def table_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     for p in parts[1:]:
         out = out.unionByName(p)
     return out
+
+
+# ---------------------------------------------------------------------------
+# RFM customer segmentation — quintile scores without a global sort.
+# ---------------------------------------------------------------------------
+
+_RFM_CUTS = ("[{qs}]".format(qs=", ".join(
+    f"round(quantile_cont({{col}}, {q / 10}), 6)" for q in (2, 4, 6, 8))))
+
+
+@register("rfm_customer_segments", f"""
+WITH rfm AS (
+    SELECT o_custkey AS c_custkey,
+           date_diff('day', CAST(MAX(o_orderdate) AS DATE),
+                     (SELECT CAST(MAX(o_orderdate) AS DATE) FROM orders))
+               AS recency,
+           COUNT(*) AS frequency,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+               AS monetary
+    FROM orders GROUP BY o_custkey
+),
+cuts AS (
+    SELECT {_RFM_CUTS.format(col='recency')} AS rc,
+           {_RFM_CUTS.format(col='frequency')} AS fc,
+           {_RFM_CUTS.format(col='monetary')} AS mc
+    FROM rfm
+)
+SELECT r.c_custkey, CAST(r.recency AS INT) AS recency,
+       CAST(r.frequency AS BIGINT) AS frequency, r.monetary,
+       CAST(5 - len(list_filter(c.rc, x -> r.recency > x)) AS INT) AS r_score,
+       CAST(1 + len(list_filter(c.fc, x -> r.frequency > x)) AS INT) AS f_score,
+       CAST(1 + len(list_filter(c.mc, x -> r.monetary > x)) AS INT) AS m_score
+FROM rfm r CROSS JOIN cuts c
+""")
+def rfm_customer_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recency/Frequency/Monetary segmentation: one grouped pass builds
+    the per-customer triple (recency vs the table's max date via a
+    broadcast scalar subquery; monetary as an exact decimal sum), one
+    aggregate derives the 4 quintile cut points per dimension (rounded
+    identically on both engines), and scoring is a per-row cut-count —
+    the same sort-free binning shape as decile_bins_order_value.
+    Recency scores invert (recent = 5)."""
+    o = load_table(spark, sf_dir, "orders")
+    ref = o.agg(F.max(F.col("o_orderdate").cast("date")).alias("ref_date"))
+    rfm = (o.groupBy(F.col("o_custkey").alias("c_custkey"))
+           .agg(F.max(F.col("o_orderdate").cast("date")).alias("last_date"),
+                F.count("*").alias("frequency"),
+                F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+                 .cast("double").alias("monetary"))
+           .crossJoin(F.broadcast(ref))
+           .select("c_custkey",
+                   F.datediff("ref_date", "last_date").alias("recency"),
+                   "frequency", "monetary"))
+
+    def qcuts(col: str) -> Column:
+        return F.array(*[F.round(F.percentile(col, F.lit(q / 10)), 6)
+                         for q in (2, 4, 6, 8)])
+
+    cuts = rfm.agg(qcuts("recency").alias("rc"),
+                   qcuts("frequency").alias("fc"),
+                   qcuts("monetary").alias("mc"))
+
+    def score(cut_col: str, val_col: str) -> Column:
+        return F.size(F.filter(F.col(cut_col),
+                               lambda x: F.col(val_col) > x))
+
+    return (rfm.crossJoin(F.broadcast(cuts))
+            .select("c_custkey",
+                    F.col("recency").cast("int").alias("recency"),
+                    "frequency", "monetary",
+                    (5 - score("rc", "recency")).cast("int").alias("r_score"),
+                    (1 + score("fc", "frequency")).cast("int").alias("f_score"),
+                    (1 + score("mc", "monetary")).cast("int").alias("m_score")))
+
+
+# ---------------------------------------------------------------------------
+# Deterministic grouped mode.
+# ---------------------------------------------------------------------------
+
+@register("mode_priority_by_status", """
+SELECT o_orderstatus, o_orderpriority AS mode_priority, n
+FROM (
+    SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n,
+           row_number() OVER (PARTITION BY o_orderstatus
+                              ORDER BY COUNT(*) DESC, o_orderpriority) AS rn
+    FROM orders GROUP BY o_orderstatus, o_orderpriority
+)
+WHERE rn = 1
+""")
+def mode_priority_by_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped mode with an EXPLICIT tie-break (count desc, value asc)
+    — the built-in mode() leaves ties engine-defined, which can never
+    hash-match across engines; this spelling is deterministic and is
+    one grouped count plus a tiny window over |statuses x priorities|
+    rows."""
+    from pyspark.sql import Window
+    o = load_table(spark, sf_dir, "orders")
+    counts = (o.groupBy("o_orderstatus", "o_orderpriority")
+              .agg(F.count("*").alias("n")))
+    w = Window.partitionBy("o_orderstatus").orderBy(
+        F.desc("n"), F.asc("o_orderpriority"))
+    return (counts.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .select("o_orderstatus",
+                    F.col("o_orderpriority").alias("mode_priority"), "n"))
+
+
+# ---------------------------------------------------------------------------
+# Partition statistics report (pruning metadata, month grain).
+# ---------------------------------------------------------------------------
+
+@register("partition_stats_orders", """
+SELECT strftime(date_trunc('month', o_orderdate), '%Y-%m') AS month,
+       COUNT(*) AS n_rows,
+       MIN(o_totalprice) AS min_price,
+       MAX(o_totalprice) AS max_price,
+       COUNT(DISTINCT o_custkey) AS n_custs
+FROM orders GROUP BY 1
+""")
+def partition_stats_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-month partition statistics (row count, min/max zone-map
+    bounds, customer cardinality) — what a writer partitioned by month
+    would register in the catalog for partition pruning and what an
+    ops check reads to find skewed or empty partitions. min/max are
+    exact order-independent aggregates; one shuffle on the month
+    key."""
+    o = load_table(spark, sf_dir, "orders")
+    return (o.groupBy(F.date_format(F.date_trunc("month", "o_orderdate"),
+                                    "yyyy-MM").alias("month"))
+            .agg(F.count("*").alias("n_rows"),
+                 F.min("o_totalprice").alias("min_price"),
+                 F.max("o_totalprice").alias("max_price"),
+                 F.countDistinct("o_custkey").alias("n_custs")))
