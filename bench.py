@@ -36,6 +36,13 @@ HEADLINE = [
     "embedding_cosine_topk",
     "text_quality_scores",
     "pipeline_training_data",
+    # round-3 flagships: iterative ML, corpus stats, sequential state,
+    # and the chunk->pack curation assembly line
+    "kmeans_embeddings",
+    "tfidf_top_terms",
+    "ewma_values_per_user",
+    "rfm_customer_segments",
+    "pipeline_chunked_shards",
 ]
 
 

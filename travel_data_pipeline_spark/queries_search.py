@@ -1,0 +1,198 @@
+"""Retrieval operators — BM25 lexical scoring and hybrid
+(lexical + vector) search with reciprocal-rank fusion.
+
+The search side of a training-data platform: BM25 powers corpus
+probes ("which docs match this benchmark query"), and RRF is the
+standard zero-tuning fusion of a lexical ranking with an
+embedding-cosine ranking.
+
+Determinism: tf/df/dl are exact integers; avgdl is one double
+division; each per-(doc, term) BM25 term is a deterministic per-row
+expression; the per-doc total folds over a SORTED (term, score) array
+so the summation order is pinned. Rankings sort on values rounded to
+6 dp with id tie-breaks, so ranks are stable across engines.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from travel_data_pipeline_spark.operators.similarity import as_double, cosine
+from travel_data_pipeline_spark.operators.text import token_array
+from travel_data_pipeline_spark.registry import register
+from travel_data_pipeline_spark.sources.readers import load_table
+
+_K1, _B = 1.2, 0.75
+_QUERY_TERMS = ("vector", "stream", "window", "dup", "fast")
+_TERMS_SQL = ", ".join(f"'{t}'" for t in _QUERY_TERMS)
+
+_TOKS = ("list_filter(string_split(trim(regexp_replace(lower(text), "
+         "'\\s+', ' ', 'g')), ' '), t -> t <> '')")
+
+# per-(doc, term) BM25 contribution — identical spelling both engines:
+#   idf = ln((N - df + 0.5) / (df + 0.5) + 1.0)
+#   tfn = tf * (k1 + 1) / (tf + k1 * (1 - b + b * dl / avgdl))
+_BM25_SQL = (f"ln((n_docs - dfreq + 0.5) / (dfreq + 0.5) + 1.0) * "
+             f"(tf * ({_K1} + 1.0) / "
+             f"(tf + {_K1} * (1.0 - {_B} + {_B} * dl / avgdl)))")
+
+
+@register("bm25_scores", f"""
+WITH tok AS (
+    SELECT doc_id, t AS term
+    FROM (SELECT doc_id, unnest({_TOKS}) AS t FROM documents)
+),
+dls AS (SELECT doc_id, COUNT(*) AS dl FROM tok GROUP BY doc_id),
+stats AS (
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+           SUM(dl) / CAST(COUNT(*) AS DOUBLE) AS avgdl
+    FROM dls
+),
+tf AS (
+    SELECT doc_id, term, COUNT(*) AS tf FROM tok
+    WHERE term IN ({_TERMS_SQL}) GROUP BY doc_id, term
+),
+dfreq AS (SELECT term, COUNT(*) AS dfreq FROM tf GROUP BY term),
+scored AS (
+    SELECT tf.doc_id, tf.term, {_BM25_SQL} AS s
+    FROM tf
+    JOIN dfreq USING (term)
+    JOIN dls USING (doc_id)
+    CROSS JOIN stats
+),
+folded AS (
+    SELECT doc_id, COUNT(*) AS n_terms,
+           list(s ORDER BY term) AS ss
+    FROM scored GROUP BY doc_id
+)
+SELECT doc_id, CAST(n_terms AS INT) AS n_terms,
+       round(list_reduce(ss, (x, y) -> x + y), 6) AS bm25
+FROM folded
+""")
+def bm25_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 (k1=1.2, b=0.75) of a fixed 5-term query against every
+    document. One explode builds (doc, term) tokens; doc lengths and
+    the corpus avgdl come from the same relation (avgdl broadcasts as
+    a 1-row aggregate); the query-term filter lands INSIDE the explode
+    pipeline so only matching tokens survive to the shuffle. Per-doc
+    totals fold a sorted (term, score) array — order-pinned double
+    summation over at most |query| elements."""
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select("doc_id",
+                      F.explode(token_array(F.col("text"))).alias("term"))
+    dls = tok.groupBy("doc_id").agg(F.count("*").alias("dl"))
+    stats = dls.agg(
+        F.count("*").alias("n_docs"),
+        (F.sum("dl") / F.count("*").cast("double")).alias("avgdl"))
+    tf = (tok.filter(F.col("term").isin(*_QUERY_TERMS))
+          .groupBy("doc_id", "term").agg(F.count("*").alias("tf")))
+    dfreq = tf.groupBy("term").agg(F.count("*").alias("dfreq"))
+    idf = F.log((F.col("n_docs") - F.col("dfreq") + 0.5)
+                / (F.col("dfreq") + 0.5) + 1.0)
+    tfn = (F.col("tf") * (_K1 + 1.0)
+           / (F.col("tf") + _K1 * (1.0 - _B + _B * F.col("dl")
+                                   / F.col("avgdl"))))
+    scored = (tf.join(F.broadcast(dfreq), "term")
+              .join(dls, "doc_id")
+              .crossJoin(F.broadcast(stats))
+              .select("doc_id", "term", (idf * tfn).alias("s")))
+    folded = (scored.groupBy("doc_id")
+              .agg(F.count("*").alias("n_terms"),
+                   F.array_sort(F.collect_list(
+                       F.struct("term", "s"))).alias("ss")))
+    return folded.select(
+        "doc_id", F.col("n_terms").cast("int").alias("n_terms"),
+        F.round(F.aggregate(F.transform("ss", lambda e: e["s"]),
+                            F.lit(0.0), lambda a, x: a + x), 6).alias("bm25"))
+
+
+@register("hybrid_search_rrf", f"""
+WITH tok AS (
+    SELECT doc_id, t AS term
+    FROM (SELECT doc_id, unnest({_TOKS}) AS t FROM documents)
+),
+dls AS (SELECT doc_id, COUNT(*) AS dl FROM tok GROUP BY doc_id),
+stats AS (
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+           SUM(dl) / CAST(COUNT(*) AS DOUBLE) AS avgdl
+    FROM dls
+),
+tf AS (
+    SELECT doc_id, term, COUNT(*) AS tf FROM tok
+    WHERE term IN ({_TERMS_SQL}) GROUP BY doc_id, term
+),
+dfreq AS (SELECT term, COUNT(*) AS dfreq FROM tf GROUP BY term),
+scored AS (
+    SELECT tf.doc_id, tf.term, {_BM25_SQL} AS s
+    FROM tf JOIN dfreq USING (term) JOIN dls USING (doc_id)
+    CROSS JOIN stats
+),
+bm AS (
+    SELECT doc_id, round(list_reduce(list(s ORDER BY term),
+                                     (x, y) -> x + y), 6) AS bm25
+    FROM scored GROUP BY doc_id
+),
+lex_rank AS (
+    SELECT doc_id,
+           row_number() OVER (ORDER BY bm25 DESC, doc_id) AS lex_rk
+    FROM bm
+),
+qv AS (SELECT CAST(embedding AS DOUBLE[]) AS qv FROM embeddings
+       WHERE vec_id = 0),
+cos AS (
+    SELECT e.vec_id AS doc_id,
+           ROUND(list_dot_product(q.qv, CAST(e.embedding AS DOUBLE[])) /
+                 (sqrt(list_dot_product(q.qv, q.qv)) *
+                  sqrt(list_dot_product(CAST(e.embedding AS DOUBLE[]),
+                                        CAST(e.embedding AS DOUBLE[])))), 6)
+               AS cos_sim
+    FROM embeddings e CROSS JOIN qv q WHERE e.vec_id <> 0
+),
+vec_rank AS (
+    SELECT doc_id,
+           row_number() OVER (ORDER BY cos_sim DESC, doc_id) AS vec_rk
+    FROM cos
+)
+SELECT l.doc_id, CAST(l.lex_rk AS INT) AS lex_rk,
+       CAST(v.vec_rk AS INT) AS vec_rk,
+       round(1.0 / (60 + l.lex_rk) + 1.0 / (60 + v.vec_rk), 9) AS rrf
+FROM lex_rank l JOIN vec_rank v USING (doc_id)
+WHERE l.lex_rk <= 50 AND v.vec_rk <= 50
+""")
+def hybrid_search_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid retrieval: fuse the BM25 ranking with an embedding-cosine
+    ranking (query = vector 0; vec_id keys the same corpus ids here)
+    via reciprocal-rank fusion, rrf = sum 1/(60+rank). Both rankings
+    sort on 6-dp-rounded scores with id tie-breaks, so ranks — and
+    therefore the fused score, a pure function of two integers — are
+    engine-stable. Docs must sit in both top-50 lists.
+
+    Scale note: the global row_number is bounded by a top-50 cut on
+    each side — at cluster scale both rankings become TakeOrderedAnd-
+    Project (top-k pushdown) before the single-partition rank, so the
+    global window never sees more than k rows per side."""
+    docs = load_table(spark, sf_dir, "documents")
+    emb = load_table(spark, sf_dir, "embeddings")
+    bm = bm25_scores(spark, sf_dir).select("doc_id", "bm25")
+    lex_rank = bm.select(
+        "doc_id", F.row_number().over(
+            Window.orderBy(F.desc("bm25"), F.asc("doc_id"))).alias("lex_rk"))
+    qv = (emb.filter(F.col("vec_id") == 0)
+          .select(as_double(F.col("embedding")).alias("qv")))
+    cos = (emb.filter(F.col("vec_id") != 0)
+           .crossJoin(F.broadcast(qv))
+           .select(F.col("vec_id").alias("doc_id"),
+                   F.round(cosine(F.col("qv"),
+                                  as_double(F.col("embedding"))), 6)
+                   .alias("cos_sim")))
+    vec_rank = cos.select(
+        "doc_id", F.row_number().over(
+            Window.orderBy(F.desc("cos_sim"), F.asc("doc_id"))).alias("vec_rk"))
+    return (lex_rank.join(vec_rank, "doc_id")
+            .filter((F.col("lex_rk") <= 50) & (F.col("vec_rk") <= 50))
+            .select("doc_id",
+                    F.col("lex_rk").cast("int").alias("lex_rk"),
+                    F.col("vec_rk").cast("int").alias("vec_rk"),
+                    F.round(1.0 / (60 + F.col("lex_rk"))
+                            + 1.0 / (60 + F.col("vec_rk")), 9).alias("rrf")))
