@@ -593,3 +593,57 @@ def partition_stats_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
                  F.min("o_totalprice").alias("min_price"),
                  F.max("o_totalprice").alias("max_price"),
                  F.countDistinct("o_custkey").alias("n_custs")))
+
+
+# ---------------------------------------------------------------------------
+# Z-order (Morton) interleaved sort key — 2-D data-skipping layout.
+# ---------------------------------------------------------------------------
+
+def _morton_sql(x: str, y: str, bits: int = 16) -> str:
+    terms = []
+    for b in range(bits):
+        terms.append(f"((({x} >> {b}) & 1) * {1 << (2 * b)})")
+        terms.append(f"((({y} >> {b}) & 1) * {1 << (2 * b + 1)})")
+    return " + ".join(terms)
+
+
+def _morton_expr(x: str, y: str, bits: int = 16) -> str:
+    terms = []
+    for b in range(bits):
+        terms.append(f"((shiftright({x}, {b}) & 1) * {1 << (2 * b)})")
+        terms.append(f"((shiftright({y}, {b}) & 1) * {1 << (2 * b + 1)})")
+    return " + ".join(terms)
+
+
+@register("zorder_interleaved_key", f"""
+WITH coords AS (
+    SELECT o_orderkey,
+           o_custkey & 65535 AS xk,
+           date_diff('day', DATE '1992-01-01', CAST(o_orderdate AS DATE))
+               & 65535 AS yk
+    FROM orders
+)
+SELECT o_orderkey, CAST(xk AS BIGINT) AS xk, CAST(yk AS BIGINT) AS yk,
+       CAST({_morton_sql('xk', 'yk')} AS BIGINT) AS zkey
+FROM coords
+""")
+def zorder_interleaved_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Morton (Z-order) key interleaving the low 16 bits of customer
+    key and day offset — the space-filling-curve layout primitive: a
+    writer that range-partitions and sorts by zkey gives parquet
+    zone maps locality in BOTH dimensions, so filters on either column
+    (or both) prune files. This is what Delta's OPTIMIZE ZORDER BY
+    computes; here it is 64 pure integer bit ops per row, fully
+    codegen'd, zero shuffle (the write-side repartitionByRange(zkey)
+    is the only exchange, and it replaces the sort a 1-D layout needs
+    anyway)."""
+    o = load_table(spark, sf_dir, "orders")
+    coords = o.select(
+        "o_orderkey",
+        F.expr("o_custkey & 65535").alias("xk"),
+        F.expr("datediff(CAST(o_orderdate AS DATE), DATE '1992-01-01') "
+               "& 65535").alias("yk"))
+    return coords.select(
+        "o_orderkey", F.col("xk").cast("long").alias("xk"),
+        F.col("yk").cast("long").alias("yk"),
+        F.expr(_morton_expr("xk", "yk")).cast("long").alias("zkey"))
