@@ -995,3 +995,132 @@ def funnel_view_click_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
                  .alias("click_to_purchase"),
                 F.round(F.col("purchased") / F.col("viewed"), 6)
                  .alias("full_funnel")))
+
+
+# ---------------------------------------------------------------------------
+# Sliding (overlapping) time windows — batch spelling of the streaming
+# sliding aggregate; each event lands in ceil(window/slide) = 2 buckets.
+# ---------------------------------------------------------------------------
+
+@register("sliding_hourly_counts", """
+WITH buckets AS (
+    SELECT e.event_type, e.value,
+           (epoch_us(e.ts) // 1800000000 - s.s) * 1800 AS start_s
+    FROM events e, unnest([0, 1]) s(s)
+    WHERE epoch_us(e.ts) // 1800000000 - s.s >= 0
+)
+SELECT strftime(to_timestamp(start_s), '%Y-%m-%d %H:%M') AS window_start,
+       event_type, COUNT(*) AS n,
+       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+FROM buckets GROUP BY 1, 2
+""")
+def sliding_hourly_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """1-hour windows sliding every 30 minutes (window/slide = 2
+    buckets per event). Spark's window() replicates each row into its
+    overlapping windows BEFORE the shuffle — the oracle spells the
+    same replication with integer epoch arithmetic (floor to the
+    30-minute grid, minus 0 or 1 slide steps), so bucket membership is
+    exact on both engines. Streaming twin: jobs.sliding_means."""
+    e = load_table(spark, sf_dir, "events")
+    return (e.groupBy(F.window("ts", "1 hour", "30 minutes").alias("w"),
+                      "event_type")
+            .agg(F.count("*").alias("n"),
+                 dec_sum("value", "total_value"))
+            .select(F.date_format("w.start", "yyyy-MM-dd HH:mm")
+                    .alias("window_start"),
+                    "event_type", "n", "total_value"))
+
+
+# ---------------------------------------------------------------------------
+# posexplode_outer null semantics — empty collections keep their row.
+# ---------------------------------------------------------------------------
+
+@register("sentence_explode_outer", """
+WITH sents AS (
+    SELECT doc_id,
+           list_filter(string_split(text, '. '), s -> trim(s) <> '')
+               AS ss
+    FROM documents
+),
+padded AS (
+    SELECT doc_id,
+           CASE WHEN len(ss) = 0
+                THEN [{'i': CAST(NULL AS INT), 's': CAST(NULL AS VARCHAR)}]
+                ELSE list_transform(generate_series(1, len(ss)),
+                                    i -> {'i': CAST(i - 1 AS INT),
+                                          's': ss[i]})
+           END AS entries
+    FROM sents
+)
+SELECT doc_id, e.i AS sentence_idx,
+       CAST(length(e.s) AS INT) AS n_chars
+FROM (SELECT doc_id, unnest(entries) AS e FROM padded)
+""")
+def sentence_explode_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """posexplode_outer over per-doc sentence lists: docs whose split
+    yields nothing still emit one (doc_id, NULL, NULL) row — the outer
+    explode contract that keeps empty parents visible to downstream
+    LEFT-join accounting (losing them is the classic silent-drop bug
+    explode() invites). The oracle pads empty lists with a NULL entry
+    to express the same semantics relationally."""
+    docs = load_table(spark, sf_dir, "documents")
+    sents = docs.select(
+        "doc_id",
+        F.filter(F.split(F.col("text"), r"\. "),
+                 lambda s: F.trim(s) != "").alias("ss"))
+    return (sents.select(
+        "doc_id", F.posexplode_outer("ss").alias("sentence_idx", "s"))
+        .select("doc_id",
+                F.col("sentence_idx").cast("int").alias("sentence_idx"),
+                F.length("s").cast("int").alias("n_chars")))
+
+
+# ---------------------------------------------------------------------------
+# Winsorized means — percentile clipping, decimal-exact after the clip.
+# ---------------------------------------------------------------------------
+
+@register("winsorized_mean_by_type", """
+WITH cuts AS (
+    SELECT event_type,
+           round(quantile_cont(value, 0.05), 6) AS lo,
+           round(quantile_cont(value, 0.95), 6) AS hi
+    FROM events GROUP BY event_type
+),
+clipped AS (
+    SELECT e.event_type,
+           CAST(greatest(c.lo, least(c.hi, e.value)) AS DECIMAL(18,6)) AS v,
+           CASE WHEN e.value < c.lo THEN 1 ELSE 0 END AS clip_lo,
+           CASE WHEN e.value > c.hi THEN 1 ELSE 0 END AS clip_hi
+    FROM events e JOIN cuts c USING (event_type)
+)
+SELECT event_type, COUNT(*) AS n,
+       round(CAST(SUM(v) AS DOUBLE) / COUNT(*), 6) AS win_mean,
+       CAST(SUM(clip_lo) AS BIGINT) AS n_clip_lo,
+       CAST(SUM(clip_hi) AS BIGINT) AS n_clip_hi
+FROM clipped GROUP BY event_type
+""")
+def winsorized_mean_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winsorized (5%/95%-clipped) mean per event type — the robust
+    alternative to trimming that keeps n constant. Cut points round to
+    6 dp on both engines; every clipped value then has <= 6 decimals,
+    so the sum accumulates EXACTLY in DECIMAL(18,6) — the decimal-
+    exactness discipline survives percentile clipping. Two grouped
+    aggregates over the tiny type key, cuts broadcast back."""
+    e = load_table(spark, sf_dir, "events")
+    cuts = e.groupBy("event_type").agg(
+        F.round(F.percentile("value", F.lit(0.05)), 6).alias("lo"),
+        F.round(F.percentile("value", F.lit(0.95)), 6).alias("hi"))
+    clipped = (e.join(F.broadcast(cuts), "event_type")
+               .select("event_type",
+                       F.greatest("lo", F.least("hi", F.col("value")))
+                        .cast("decimal(18,6)").alias("v"),
+                       F.when(F.col("value") < F.col("lo"), 1).otherwise(0)
+                        .alias("clip_lo"),
+                       F.when(F.col("value") > F.col("hi"), 1).otherwise(0)
+                        .alias("clip_hi")))
+    return (clipped.groupBy("event_type")
+            .agg(F.count("*").alias("n"),
+                 F.round(F.sum("v").cast("double") / F.count("*"), 6)
+                  .alias("win_mean"),
+                 F.sum("clip_lo").alias("n_clip_lo"),
+                 F.sum("clip_hi").alias("n_clip_hi")))
