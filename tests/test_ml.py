@@ -85,3 +85,27 @@ def test_chunks_cover_every_token(spark, sf_smoke):
     # total chunk tokens >= n (overlap duplicates some)
     short = per_doc.filter(F.col("sum_tokens") < F.col("n")).count()
     assert short == 0
+
+
+def test_pca_matches_numpy(spark, sf_smoke):
+    """Grouped applyInPandas PCA must equal numpy run directly on the
+    same per-label vectors."""
+    import numpy as np
+
+    from travel_data_pipeline_spark.queries_ml import pca_embeddings_by_label
+
+    out = {r.label: r for r in
+           pca_embeddings_by_label(spark, sf_smoke).collect()}
+    emb = load_table(spark, sf_smoke, "embeddings").select(
+        "label", ml.as_double_vec(F.col("embedding")).alias("v")).collect()
+    by_label: dict[int, list] = {}
+    for r in emb:
+        by_label.setdefault(r.label, []).append(r.v)
+    assert set(out) == set(by_label)
+    for label, vecs in by_label.items():
+        x = np.vstack(vecs)
+        vals, vecs_m = np.linalg.eigh(np.cov(x, rowvar=False, bias=False))
+        assert out[label].n_vecs == len(vecs)
+        assert abs(out[label].top_eigenvalue - round(vals[-1], 6)) < 1e-6
+        assert abs(out[label].explained_ratio
+                   - round(vals[-1] / vals.sum(), 6)) < 1e-6

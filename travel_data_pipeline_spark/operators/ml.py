@@ -121,3 +121,57 @@ def quantize_int8(vec: Column) -> tuple[Column, Column, Column, Column]:
         F.zip_with(vec, q, lambda x, qi: F.abs(x - qi.cast("double") * scale)),
         F.lit(0.0), lambda acc, x: acc + x) / F.size(vec)
     return scale, q, n_clipped, err
+
+
+def pca_top_component_by_label(emb: DataFrame, dim: int,
+                               id_col: str = "vec_id",
+                               vec_col: str = "v",
+                               label_col: str = "label") -> DataFrame:
+    """Per-label top principal component of the embedding cloud via
+    grouped applyInPandas — the batch half of the sanctioned pandas
+    surface (SURVEY.md §2.9; the streaming half is
+    applyInPandasWithState). Eigen-decomposition is genuinely
+    non-SQL-expressible, so this query carries a rows-only driver
+    check; tests/test_ml.py asserts the numbers against numpy run
+    directly on the same vectors.
+
+    Scale: one shuffle on the label key; each group's work is
+    O(n_label * dim^2) covariance + one O(dim^3) eig in C (numpy),
+    with Arrow moving columnar batches. Output is dim+2 doubles per
+    label. Sign convention: each eigenvector is flipped so its
+    largest-|coordinate| entry is positive (eigenvectors are
+    sign-ambiguous; pinning it makes results rerun-stable).
+    """
+    import pandas as pd  # noqa: F401
+    from pyspark.sql import types as T
+
+    out_schema = T.StructType([
+        T.StructField(label_col, T.IntegerType()),
+        T.StructField("n_vecs", T.LongType()),
+        T.StructField("top_eigenvalue", T.DoubleType()),
+        T.StructField("explained_ratio", T.DoubleType()),
+        T.StructField("component_head", T.ArrayType(T.DoubleType())),
+    ])
+
+    # self-contained closure: executors may not have this repo on path
+    def pca(pdf):
+        import numpy as np
+        import pandas as pd
+
+        x = np.vstack(pdf[vec_col].to_numpy())
+        n = x.shape[0]
+        c = np.cov(x, rowvar=False, bias=False)
+        vals, vecs = np.linalg.eigh(c)
+        top = vals[-1]
+        comp = vecs[:, -1]
+        if comp[np.argmax(np.abs(comp))] < 0:
+            comp = -comp
+        return pd.DataFrame({
+            label_col: [int(pdf[label_col].iloc[0])],
+            "n_vecs": [n],
+            "top_eigenvalue": [float(top)],
+            "explained_ratio": [float(top / vals.sum())],
+            "component_head": [[float(v) for v in comp[:8]]],
+        })
+
+    return emb.groupBy(label_col).applyInPandas(pca, out_schema)

@@ -422,3 +422,23 @@ def reservoir_sample_per_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (docs.select("doc_id", "lang",
                         F.row_number().over(w).alias("rk"))
             .filter(F.col("rk") <= 5))
+
+
+@register("pca_embeddings_by_label")  # rows-only: eig is not SQL-expressible
+def pca_embeddings_by_label(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top principal component per embedding label via grouped
+    applyInPandas (operators/ml.pca_top_component_by_label) — the
+    variance-structure probe a curation pipeline runs before choosing
+    cluster counts or projection dims. No DuckDB oracle (eigen-
+    decomposition); the driver records a rows-only check and
+    tests/test_ml.py asserts values against numpy directly."""
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", "label", ml.as_double_vec(F.col("embedding")).alias("v"))
+    out = ml.pca_top_component_by_label(emb, dim=_DIM)
+    return out.select(
+        "label", "n_vecs",
+        F.round("top_eigenvalue", 6).alias("top_eigenvalue"),
+        F.round("explained_ratio", 6).alias("explained_ratio"),
+        F.array_join(F.transform("component_head",
+                                 lambda x: F.round(x, 6).cast("string")),
+                     ",").alias("component_head"))
