@@ -56,3 +56,38 @@ def test_write_bronze_append(spark, sf_smoke, tmp_path):
     sinks.write_bronze(e, out)
     sinks.write_bronze(e, out)
     assert spark.read.parquet(out).count() == 2 * e.count()
+
+
+def test_write_curated_dataset_layout(spark, sf_smoke, tmp_path):
+    """Partitioned+sorted curated write: hive dirs per (split, lang),
+    one file per partition, rows inside each file sorted by doc_id,
+    lossless round trip."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from travel_data_pipeline_spark.queries_curation import (
+        split_train_valid_test,
+    )
+    from travel_data_pipeline_spark.sources.readers import load_table
+    from travel_data_pipeline_spark.sources.sinks import write_curated_dataset
+
+    docs = load_table(spark, sf_smoke, "documents")
+    split = split_train_valid_test(spark, sf_smoke).select("doc_id", "split")
+    curated = docs.join(split, "doc_id")
+    out = str(tmp_path / "curated")
+    write_curated_dataset(curated, out)
+
+    dirs = {d for d in os.listdir(out) if d.startswith("split=")}
+    assert dirs == {"split=train", "split=valid", "split=test"}
+    back = spark.read.parquet(out)
+    assert back.count() == curated.count()
+    # one data file per (split, lang) leaf
+    for split_dir in dirs:
+        for lang_dir in os.listdir(os.path.join(out, split_dir)):
+            leaf = os.path.join(out, split_dir, lang_dir)
+            files = [f for f in os.listdir(leaf) if f.endswith(".parquet")]
+            assert len(files) == 1, (leaf, files)
+            pdf = spark.read.parquet(leaf).select("doc_id").toPandas()
+            ids = pdf["doc_id"].tolist()
+            assert ids == sorted(ids)

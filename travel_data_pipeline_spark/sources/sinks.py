@@ -56,3 +56,24 @@ def write_bronze(df: DataFrame, path: str) -> None:
     """K6 — raw-layer passthrough landing (medallion bronze): append-only
     parquet, no transform (streaming twin: jobs.bronze_passthrough)."""
     df.write.mode("append").parquet(path)
+
+
+def write_curated_dataset(df: DataFrame, path: str,
+                          partition_cols: tuple[str, ...] = ("split", "lang"),
+                          sort_col: str = "doc_id") -> None:
+    """Training-data write path: hive-partition by (split, lang) and
+    sort rows within each file by ``sort_col`` so parquet zone maps
+    (row-group min/max) prune id-range reads.
+
+    The repartition on the partition columns routes each output
+    partition to ONE task — one file per (split, lang) instead of
+    tasks x partitions small files (the classic small-files failure).
+    At 100 TB the same shape holds with repartition(N, cols) for N
+    files per partition, or repartitionByRange(sort_col) inside hot
+    partitions; sortWithinPartitions is a per-task sort, never a
+    global one."""
+    (df.repartition(*[F.col(c) for c in partition_cols])
+       .sortWithinPartitions(sort_col)
+       .write.mode("overwrite")
+       .partitionBy(*partition_cols)
+       .parquet(path))
