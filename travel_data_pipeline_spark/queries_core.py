@@ -1124,3 +1124,107 @@ def winsorized_mean_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
                   .alias("win_mean"),
                  F.sum("clip_lo").alias("n_clip_lo"),
                  F.sum("clip_hi").alias("n_clip_hi")))
+
+
+# ---------------------------------------------------------------------------
+# Data-quality constraint suite — dbt-style checks as one relation.
+# ---------------------------------------------------------------------------
+
+@register("dq_constraint_violations", """
+SELECT 'orders_pk_unique' AS check_name,
+       CAST(COUNT(*) - COUNT(DISTINCT o_orderkey) AS BIGINT) AS n_violations
+FROM orders
+UNION ALL
+SELECT 'orders_fk_customer',
+       CAST(COUNT(*) AS BIGINT)
+FROM orders o ANTI JOIN customer c ON o.o_custkey = c.c_custkey
+UNION ALL
+SELECT 'orders_totalprice_not_null',
+       CAST(SUM(CASE WHEN o_totalprice IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+FROM orders
+UNION ALL
+SELECT 'orders_totalprice_positive',
+       CAST(SUM(CASE WHEN o_totalprice <= 0 THEN 1 ELSE 0 END) AS BIGINT)
+FROM orders
+UNION ALL
+SELECT 'lineitem_fk_orders',
+       CAST(COUNT(*) AS BIGINT)
+FROM lineitem l ANTI JOIN orders o ON l.l_orderkey = o.o_orderkey
+""")
+def dq_constraint_violations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Constraint suite as data: primary-key uniqueness, two foreign
+    keys (broadcast anti joins), not-null and range checks — one row
+    per check with its violation count, the relation a pipeline gate
+    alerts on. Each check is a single aggregate or anti-join count; at
+    scale the FK anti joins broadcast the dim side and the rest are
+    map-side counters."""
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    li = load_table(spark, sf_dir, "lineitem")
+
+    def one(name: str, cnt: DataFrame) -> DataFrame:
+        return cnt.select(F.lit(name).alias("check_name"),
+                          F.col("n").cast("long").alias("n_violations"))
+
+    checks = [
+        one("orders_pk_unique",
+            o.agg((F.count("*") - F.countDistinct("o_orderkey")).alias("n"))),
+        one("orders_fk_customer",
+            anti(o, F.broadcast(c), o.o_custkey == c.c_custkey)
+            .agg(F.count("*").alias("n"))),
+        one("orders_totalprice_not_null",
+            o.agg(F.sum(F.when(F.col("o_totalprice").isNull(), 1)
+                        .otherwise(0)).alias("n"))),
+        one("orders_totalprice_positive",
+            o.agg(F.sum(F.when(F.col("o_totalprice") <= 0, 1)
+                        .otherwise(0)).alias("n"))),
+        one("lineitem_fk_orders",
+            anti(li, o, li.l_orderkey == o.o_orderkey)
+            .agg(F.count("*").alias("n"))),
+    ]
+    out = checks[0]
+    for ch in checks[1:]:
+        out = out.unionByName(ch)
+    return out
+
+
+# ---------------------------------------------------------------------------
+# Percent-of-total (ratio_to_report) via partitioned window sums.
+# ---------------------------------------------------------------------------
+
+@register("revenue_share_within_region", """
+WITH nat AS (
+    SELECT r.r_name, n.n_name,
+           CAST(SUM(CAST(o.o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+               AS nation_rev
+    FROM orders o
+    JOIN customer c ON c.c_custkey = o.o_custkey
+    JOIN nation n ON n.n_nationkey = c.c_nationkey
+    JOIN region r ON r.r_regionkey = n.n_regionkey
+    GROUP BY r.r_name, n.n_name
+)
+SELECT r_name, n_name, nation_rev,
+       round(nation_rev / SUM(nation_rev) OVER (PARTITION BY r_name), 6)
+           AS region_share
+FROM nat
+""")
+def revenue_share_within_region(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ratio_to_report: each nation's share of its region's revenue.
+    The grouped decimal sum is exact, so the window denominator (a sum
+    of a few already-exact doubles per region — 25 nations max) is
+    deterministic; one shuffle for the group-by, the window reuses the
+    region grain without re-shuffling the fact."""
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region")
+    nat = (o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+           .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+           .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+           .groupBy("r_name", "n_name")
+           .agg(dec_sum("o_totalprice", "nation_rev")))
+    w = Window.partitionBy("r_name")
+    return nat.select(
+        "r_name", "n_name", "nation_rev",
+        F.round(F.col("nation_rev") / F.sum("nation_rev").over(w), 6)
+         .alias("region_share"))
