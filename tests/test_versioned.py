@@ -141,3 +141,47 @@ def test_merge_schema_evolution(spark, seeded):
         "id long, seg string, val double, extra string")
     V.merge_into(batch2, seeded, keys=["id"])
     assert "extra" not in V.read_table(spark, seeded).columns
+
+
+def test_incremental_rollup_equals_recompute(spark, sf_smoke, tmp_path):
+    """Two incremental maintenance batches over a time-split event
+    stream must produce exactly the rollup a full recompute gives —
+    grain counts and decimal sums bit-equal."""
+    from pyspark.sql import functions as F
+
+    from travel_data_pipeline_spark.sources.readers import load_table
+    from travel_data_pipeline_spark.sources.versioned import (
+        maintain_hourly_rollup,
+        read_table,
+        write_table,
+    )
+
+    ev = load_table(spark, sf_smoke, "events")
+    cut = ev.agg(F.percentile(F.unix_micros("ts"), F.lit(0.5))
+                 .alias("c")).first().c
+    first = ev.filter(F.unix_micros("ts") <= cut)
+    second = ev.filter(F.unix_micros("ts") > cut)
+    assert first.count() > 0 and second.count() > 0
+
+    path = str(tmp_path / "rollup")
+    empty = spark.createDataFrame(
+        [], "day string, hour_bucket string, event_type string, "
+            "n long, total_value decimal(18,2)")
+    write_table(empty, path, partition_col="day")
+    maintain_hourly_rollup(first, path)
+    maintain_hourly_rollup(second, path)
+
+    got = read_table(spark, path)
+    hour = F.date_trunc("hour", "ts")
+    want = (ev.groupBy(
+                F.date_format(hour, "yyyy-MM-dd").alias("day"),
+                F.date_format(hour, "yyyy-MM-dd HH:00").alias("hour_bucket"),
+                "event_type")
+            .agg(F.count("*").alias("n"),
+                 F.sum(F.col("value").cast("decimal(18,2)"))
+                  .alias("total_value")))
+    assert got.count() == want.count()
+    diff = (got.join(want, ["day", "hour_bucket", "event_type", "n",
+                            "total_value"], "full_outer")
+            .filter(F.col("n").isNull() | F.col("total_value").isNull()))
+    assert got.unionByName(want).distinct().count() == want.count()

@@ -214,3 +214,49 @@ def history(path: str) -> list[dict]:
                     "touched": [p for p, sv in man["partitions"].items()
                                 if sv == man["version"]]})
     return out
+
+
+def maintain_hourly_rollup(batch: DataFrame, path: str) -> int:
+    """Incremental continuous-aggregate maintenance (the hypertable /
+    materialized-rollup pattern): aggregate the incoming event batch to
+    (day, hour_bucket, event_type) grain, combine it with the CURRENT
+    rollup rows for exactly those keys, and MERGE the refreshed rows
+    back — matched grains are replaced with updated sums, new grains
+    insert, untouched partitions carry forward by reference
+    (merge_into's copy-on-write).
+
+    Cost per batch is O(grains touched by the batch), not O(table):
+    the combine reads only the affected day partitions (partition-
+    column filter prunes the snapshot scan) and the MERGE rewrites only
+    those partitions. Counts and DECIMAL sums are exact, so
+    incremental == full recompute bit-for-bit (asserted in
+    tests/test_versioned.py).
+
+    First call may target an empty table created via
+    ``write_table(empty_rollup, path, partition_col='day')``.
+    """
+    from pyspark.sql import functions as F
+
+    hour = F.date_trunc("hour", "ts")
+    delta = (batch.groupBy(
+                F.date_format(hour, "yyyy-MM-dd").alias("day"),
+                F.date_format(hour, "yyyy-MM-dd HH:00").alias("hour_bucket"),
+                "event_type")
+             .agg(F.count("*").alias("n"),
+                  F.sum(F.col("value").cast("decimal(18,2)"))
+                   .alias("total_value")))
+    spark = batch.sparkSession
+    days = [r.day for r in delta.select("day").distinct().collect()]
+    # a freshly-created rollup has a manifest but zero partitions —
+    # there is nothing to read (and no parquet dirs to infer from)
+    man = _read_manifest(path, current_version(path))
+    if man["partitions"]:
+        current = read_table(spark, path).filter(F.col("day").isin(days))
+    else:
+        current = delta.limit(0)
+    combined = (current.unionByName(delta)
+                .groupBy("day", "hour_bucket", "event_type")
+                .agg(F.sum("n").cast("long").alias("n"),
+                     F.sum("total_value").cast("decimal(18,2)")
+                      .alias("total_value")))
+    return merge_into(combined, path, keys=["hour_bucket", "event_type"])
