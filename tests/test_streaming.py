@@ -482,3 +482,35 @@ def test_stateful_ewma_matches_batch_fold(spark, sf_smoke):
     assert len(got) == len(want)
     assert all(abs(got[k] - round(want[k], 6)) < 1e-6 or
                abs(got[k] - want[k]) < 1e-9 for k in want)
+
+
+def test_rollup_maintenance_stream_matches_batch(spark, sf_smoke, tmp_path):
+    """The streamed continuous aggregate equals the batch recompute."""
+    from pyspark.sql import functions as F
+
+    from travel_data_pipeline_spark.sources.versioned import (
+        read_table,
+        write_table,
+    )
+
+    path, ckpt = str(tmp_path / "roll"), str(tmp_path / "ckpt")
+    empty = spark.createDataFrame(
+        [], "day string, hour_bucket string, event_type string, "
+            "n long, total_value decimal(18,2)")
+    write_table(empty, path, partition_col="day")
+    q = jobs.rollup_maintenance_stream(
+        jobs.read_events_stream(spark, sf_smoke), path, ckpt)
+    q.awaitTermination(120)
+
+    ev = load_table(spark, sf_smoke, "events")
+    hour = F.date_trunc("hour", "ts")
+    want = (ev.groupBy(
+                F.date_format(hour, "yyyy-MM-dd").alias("day"),
+                F.date_format(hour, "yyyy-MM-dd HH:00").alias("hour_bucket"),
+                "event_type")
+            .agg(F.count("*").alias("n"),
+                 F.sum(F.col("value").cast("decimal(18,2)"))
+                  .alias("total_value")))
+    got = read_table(spark, path)
+    assert got.count() == want.count()
+    assert got.unionByName(want).distinct().count() == want.count()

@@ -431,3 +431,25 @@ def ewma_stateful(events: DataFrame, alpha: float = 0.3) -> DataFrame:
     return (events.groupBy("user_id")
             .applyInPandasWithState(update, out_schema, state_schema,
                                     "append", "NoTimeout"))
+
+
+def rollup_maintenance_stream(events: DataFrame, table_path: str,
+                              checkpoint: str):
+    """Streaming continuous aggregate: every micro-batch folds into the
+    versioned hourly rollup via maintain_hourly_rollup — the streaming
+    producer of the same table the batch path maintains. foreachBatch
+    + the MERGE's copy-on-write gives effectively-once grain updates
+    on at-least-once redelivery (a replayed batch re-derives the same
+    grain values)."""
+    from travel_data_pipeline_spark.sources.versioned import (
+        maintain_hourly_rollup,
+    )
+
+    def fold(batch_df: DataFrame, epoch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        maintain_hourly_rollup(batch_df, table_path)
+
+    return (events.writeStream.foreachBatch(fold)
+            .option("checkpointLocation", checkpoint)
+            .trigger(availableNow=True).start())
