@@ -11,7 +11,7 @@ candidate-generation paths observable.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from travel_data_pipeline_spark.functions.hashing import HEX_CHARS
@@ -1041,3 +1041,192 @@ def minhash_estimate_error(spark: SparkSession, sf_dir: str) -> DataFrame:
                     F.round("exact_raw", 6).alias("exact_j"),
                     F.round(F.abs(F.col("est_j") - F.col("exact_raw")), 6)
                     .alias("abs_err")))
+
+
+@register("dedup_rate_by_source", """
+WITH normed_src AS (
+    SELECT source,
+           md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')))
+               AS text_key
+    FROM documents
+)
+SELECT source,
+       COUNT(*) AS n_docs,
+       COUNT(DISTINCT text_key) AS n_unique,
+       CAST(COUNT(*) - COUNT(DISTINCT text_key) AS BIGINT) AS n_dups,
+       round(1.0 - COUNT(DISTINCT text_key) / COUNT(*), 6) AS dup_rate
+FROM normed_src GROUP BY source
+""")
+def dedup_rate_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source duplication accounting — the dashboard number a
+    curation run reports before and after dedup (which sources are
+    boilerplate-heavy, which are clean). One grouped pass over md5
+    text keys; COUNT(DISTINCT) shuffles 32-byte digests per source,
+    never documents."""
+    docs = load_table(spark, sf_dir, "documents")
+    keyed = docs.select(
+        "source", F.md5(dedup.normalize_text(F.col("text"))).alias("text_key"))
+    return (keyed.groupBy("source")
+            .agg(F.count("*").alias("n_docs"),
+                 F.countDistinct("text_key").alias("n_unique"))
+            .select("source", "n_docs", "n_unique",
+                    (F.col("n_docs") - F.col("n_unique")).alias("n_dups"),
+                    F.round(1.0 - F.col("n_unique") / F.col("n_docs"), 6)
+                    .alias("dup_rate")))
+
+
+# ---------------------------------------------------------------------------
+# Two-stage ANN: int8-quantized IVF candidate scan + full-precision rerank.
+# ---------------------------------------------------------------------------
+
+_Q8_CTE = """
+q8 AS (
+    SELECT vec_id, v,
+           CASE WHEN list_max(list_transform(v, x -> abs(x))) / 127.0 = 0.0
+                THEN 1.0
+                ELSE list_max(list_transform(v, x -> abs(x))) / 127.0
+           END AS scale
+    FROM (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)
+),
+quant AS (
+    SELECT vec_id, v, scale,
+           list_transform(v, x -> CAST(greatest(-127.0,
+               least(127.0, round(x / scale, 0))) AS INT)) AS qv
+    FROM q8
+)"""
+
+_INT_DOT = ("list_reduce(list_transform(generate_series(1, 64), "
+            "i -> CAST(a.qv[i] AS BIGINT) * b.qv[i]), (x, y) -> x + y)")
+
+
+@register("ivf_quantized_rerank", f"""
+WITH cent AS (
+    SELECT vec_id AS centroid_id, CAST(embedding AS DOUBLE[]) AS cv
+    FROM embeddings WHERE vec_id % 50 = 0
+),
+{_Q8_CTE.strip()},
+assigned AS (
+    SELECT vec_id, centroid_id FROM (
+        SELECT b.vec_id, c.centroid_id,
+               ROW_NUMBER() OVER (PARTITION BY b.vec_id ORDER BY
+                   ROUND(list_dot_product(c.cv, b.v) /
+                         (sqrt(list_dot_product(c.cv, c.cv)) *
+                          sqrt(list_dot_product(b.v, b.v))), 6) DESC,
+                   c.centroid_id ASC) AS rnk
+        FROM quant b CROSS JOIN cent c
+    ) WHERE rnk = 1
+),
+q AS (SELECT vec_id AS query_id, v AS qv_full, qv, scale FROM quant
+      WHERE vec_id < 5),
+probes AS (
+    SELECT query_id, centroid_id FROM (
+        SELECT q.query_id, c.centroid_id,
+               ROW_NUMBER() OVER (PARTITION BY q.query_id ORDER BY
+                   ROUND(list_dot_product(q.qv_full, c.cv) /
+                         (sqrt(list_dot_product(q.qv_full, q.qv_full)) *
+                          sqrt(list_dot_product(c.cv, c.cv))), 6) DESC,
+                   c.centroid_id ASC) AS rnk
+        FROM q CROSS JOIN cent c
+    ) WHERE rnk <= 2
+),
+cand AS (
+    SELECT p.query_id, x.vec_id AS neighbor_id
+    FROM probes p JOIN assigned x ON x.centroid_id = p.centroid_id
+),
+stage1 AS (
+    SELECT c.query_id, c.neighbor_id,
+           ROUND(CAST({_INT_DOT} AS DOUBLE) * a.scale * b.scale, 6)
+               AS approx_dot,
+           ROW_NUMBER() OVER (PARTITION BY c.query_id ORDER BY
+               ROUND(CAST({_INT_DOT} AS DOUBLE) * a.scale * b.scale, 6) DESC,
+               c.neighbor_id ASC) AS rnk1
+    FROM cand c
+    JOIN q a ON a.query_id = c.query_id
+    JOIN quant b ON b.vec_id = c.neighbor_id
+    WHERE c.neighbor_id <> c.query_id
+),
+rerank AS (
+    SELECT s.query_id, s.neighbor_id, s.approx_dot,
+           ROUND(list_dot_product(a.qv_full, b.v) /
+                 (sqrt(list_dot_product(a.qv_full, a.qv_full)) *
+                  sqrt(list_dot_product(b.v, b.v))), 6) AS cosine_sim
+    FROM stage1 s
+    JOIN q a ON a.query_id = s.query_id
+    JOIN quant b ON b.vec_id = s.neighbor_id
+    WHERE s.rnk1 <= 20
+)
+SELECT query_id, neighbor_id, approx_dot, cosine_sim,
+       CAST(rnk AS INT) AS rnk
+FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+        ORDER BY cosine_sim DESC, neighbor_id ASC) AS rnk
+    FROM rerank
+) WHERE rnk <= 5
+""")
+def ivf_quantized_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Production two-stage ANN: the IVF probe scan scores candidates
+    with the int8-quantized dot product (exact integer arithmetic
+    times two scales — 4x less memory traffic, engine-deterministic),
+    keeps the top 20 per query, and reranks ONLY those with the
+    full-precision cosine. At 100 TB the quantized stage is the one
+    touching the big index; full vectors load for ~20 rows per query.
+
+    Determinism: the integer dot is exact regardless of order; both
+    ranking stages sort on 6-dp-rounded scores with id tie-breaks."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    from travel_data_pipeline_spark.operators import ml
+
+    v = ml.as_double_vec(F.col("embedding"))
+    scale_c, q_c, _, _ = ml.quantize_int8(v)
+    quant = emb.select("vec_id", v.alias("v"), scale_c.alias("scale"),
+                       q_c.alias("qv"))
+    cent = (emb.filter(F.col("vec_id") % 50 == 0)
+            .select(F.col("vec_id").alias("centroid_id"), "embedding"))
+    assigned = similarity.assign_clusters(emb, cent)
+
+    queries = quant.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("v").alias("qv_full"), F.col("qv").alias("qa"),
+        F.col("scale").alias("scale_a"))
+
+    cq = cent.select("centroid_id",
+                     ml.as_double_vec(F.col("embedding")).alias("c_vec"))
+    probes = (queries.crossJoin(F.broadcast(cq))
+              .select("query_id", "centroid_id",
+                      F.round(similarity.cosine(F.col("qv_full"),
+                                                F.col("c_vec")), 6)
+                      .alias("sim")))
+    wp = Window.partitionBy("query_id").orderBy(F.desc("sim"),
+                                                F.asc("centroid_id"))
+    probed = (probes.withColumn("rnk", F.row_number().over(wp))
+              .filter(F.col("rnk") <= 2).select("query_id", "centroid_id"))
+
+    indexed = quant.join(assigned.select("vec_id", "centroid_id"), "vec_id")
+    cand = (indexed.join(probed.hint("broadcast"), "centroid_id")
+            .select("query_id", F.col("vec_id").alias("neighbor_id"),
+                    F.col("v").alias("nv"), F.col("qv").alias("qb"),
+                    F.col("scale").alias("scale_b")))
+
+    int_dot = F.aggregate(
+        F.zip_with("qa", "qb", lambda x, y: (x.cast("long") * y)),
+        F.lit(0).cast("long"), lambda acc, x: acc + x)
+    stage1 = (cand.join(F.broadcast(queries), "query_id")
+              .filter(F.col("neighbor_id") != F.col("query_id"))
+              .select("query_id", "neighbor_id", "nv", "qv_full",
+                      F.round(int_dot.cast("double")
+                              * F.col("scale_a") * F.col("scale_b"), 6)
+                      .alias("approx_dot")))
+    w1 = Window.partitionBy("query_id").orderBy(F.desc("approx_dot"),
+                                                F.asc("neighbor_id"))
+    kept = (stage1.withColumn("rnk1", F.row_number().over(w1))
+            .filter(F.col("rnk1") <= 20))
+    rerank = kept.select(
+        "query_id", "neighbor_id", "approx_dot",
+        F.round(similarity.cosine(F.col("qv_full"), F.col("nv")), 6)
+         .alias("cosine_sim"))
+    w2 = Window.partitionBy("query_id").orderBy(F.desc("cosine_sim"),
+                                                F.asc("neighbor_id"))
+    return (rerank.withColumn("rnk", F.row_number().over(w2))
+            .filter(F.col("rnk") <= 5)
+            .select("query_id", "neighbor_id", "approx_dot", "cosine_sim",
+                    F.col("rnk").cast("int").alias("rnk")))
