@@ -1228,3 +1228,83 @@ def revenue_share_within_region(spark: SparkSession, sf_dir: str) -> DataFrame:
         "r_name", "n_name", "nation_rev",
         F.round(F.col("nation_rev") / F.sum("nation_rev").over(w), 6)
          .alias("region_share"))
+
+
+# ---------------------------------------------------------------------------
+# Retention cohorts — first-seen week x activity-week offsets.
+# ---------------------------------------------------------------------------
+
+@register("retention_cohorts", """
+WITH firsts AS (
+    SELECT user_id, date_trunc('week', MIN(ts)) AS cohort_week
+    FROM events GROUP BY user_id
+),
+activity AS (
+    SELECT DISTINCT e.user_id, f.cohort_week,
+           CAST(date_diff('week', f.cohort_week,
+                          date_trunc('week', e.ts)) AS INT) AS week_offset
+    FROM events e JOIN firsts f USING (user_id)
+)
+SELECT strftime(cohort_week, '%Y-%m-%d') AS cohort_week,
+       week_offset,
+       COUNT(*) AS n_active_users
+FROM activity GROUP BY 1, 2
+""")
+def retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly retention triangle: users grouped by first-seen week,
+    counted once per (cohort, week-offset) they were active in — the
+    product-analytics staple. Two grouped aggregates on user_id (the
+    firsts relation broadcasts back onto the fact); offsets are exact
+    integer week diffs."""
+    e = load_table(spark, sf_dir, "events")
+    firsts = (e.groupBy("user_id")
+              .agg(F.date_trunc("week", F.min("ts")).alias("cohort_week")))
+    activity = (e.join(F.broadcast(firsts), "user_id")
+                .select("user_id", "cohort_week",
+                        (F.datediff(F.date_trunc("week", "ts"),
+                                    F.col("cohort_week")) / 7)
+                        .cast("int").alias("week_offset"))
+                .distinct())
+    return (activity.groupBy(
+                F.date_format("cohort_week", "yyyy-MM-dd")
+                 .alias("cohort_week"), "week_offset")
+            .agg(F.count("*").alias("n_active_users")))
+
+
+# ---------------------------------------------------------------------------
+# Event-transition matrix — per-user Markov transition counts.
+# ---------------------------------------------------------------------------
+
+@register("event_transition_matrix", """
+WITH seq AS (
+    SELECT user_id, event_type,
+           lead(event_type) OVER (PARTITION BY user_id
+                                  ORDER BY ts, event_id) AS next_type
+    FROM events
+)
+SELECT event_type AS from_type, next_type AS to_type,
+       COUNT(*) AS n,
+       round(COUNT(*) / SUM(COUNT(*)) OVER (PARTITION BY event_type), 6)
+           AS p
+FROM seq WHERE next_type IS NOT NULL
+GROUP BY event_type, next_type
+""")
+def event_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition counts and probabilities between
+    consecutive event types per user (lead over the (ts, event_id)
+    total order). One shuffle on user_id for the sequence window; the
+    |types|^2 transition matrix and its row-normalizing window are
+    effectively free. The probability denominator sums exact integer
+    counts, so p is deterministic."""
+    e = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = e.select("user_id", "event_type",
+                   F.lead("event_type").over(w).alias("next_type"))
+    counts = (seq.filter(F.col("next_type").isNotNull())
+              .groupBy(F.col("event_type").alias("from_type"),
+                       F.col("next_type").alias("to_type"))
+              .agg(F.count("*").alias("n")))
+    wt = Window.partitionBy("from_type")
+    return counts.select(
+        "from_type", "to_type", "n",
+        F.round(F.col("n") / F.sum("n").over(wt), 6).alias("p"))
