@@ -1,0 +1,218 @@
+"""Corpus-cleaning operators: line-level boilerplate removal and
+n-gram language-model scoring (north-star family, SURVEY.md §2.10).
+
+These are the two classic web-corpus cleanup passes the dedup family
+does not cover:
+
+- C4/RefinedWeb-style BOILERPLATE REMOVAL — drop the *lines* (here:
+  fixed 3-token segments, since the synthetic corpus has no newlines)
+  that repeat across many documents (nav bars, cookie banners,
+  footers), keeping each document's residual text.
+- KenLM-style PERPLEXITY FILTERING — score every document under an
+  add-one-smoothed bigram model trained on the corpus itself; high
+  perplexity flags gibberish, low flags degenerate repetition
+  (CCNet uses exactly this signal for quality bucketing).
+
+Both are pure expression pipelines with exact DuckDB twins; no UDFs,
+no driver collects, no corpus self-joins.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from travel_data_pipeline_spark.functions.hashing import (
+    md5_long,
+    md5_long_sql,
+)
+from travel_data_pipeline_spark.registry import register
+from travel_data_pipeline_spark.sources.readers import load_table
+
+# ---------------------------------------------------------------------------
+# Boilerplate line removal.
+#
+# "Line" = aligned non-overlapping 3-token segment of the normalized
+# text (the corpus is single-line word soup; with real web text the
+# split would be on '\n' and the rest of the pipeline is unchanged).
+# A line is boilerplate when it appears in >= DF_DROP distinct docs.
+#
+# Scale shape (100 TB): the line-frequency aggregation shuffles 60-bit
+# hashes (not line text); the drop set (df >= DF_DROP) is a tiny
+# fraction of distinct lines -> broadcast to flag rows, so the corpus
+# is read once, shuffled once for the frequency count and once for the
+# per-doc reassembly. No self-join anywhere.
+# ---------------------------------------------------------------------------
+
+LINE_TOKENS = 3
+DF_DROP = 3
+
+_NORM = "trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))"
+_LINE_HASH = md5_long_sql("'line:' || line")
+
+
+@register("boilerplate_line_removal", f"""
+WITH normed AS (
+    SELECT doc_id, string_split({_NORM}, ' ') AS words FROM documents
+),
+chunked AS (
+    SELECT n.doc_id, i.i AS idx,
+           array_to_string(
+             n.words[(i.i*{LINE_TOKENS}+1):(i.i*{LINE_TOKENS}+{LINE_TOKENS})],
+             ' ') AS line
+    FROM normed n,
+         unnest(generate_series(
+             0, CAST(ceil(len(n.words) / {LINE_TOKENS}.0) AS INT) - 1)) AS i(i)
+),
+hashed AS (SELECT doc_id, idx, line, {_LINE_HASH} AS lh FROM chunked),
+dropped AS (
+    SELECT lh FROM hashed GROUP BY lh
+    HAVING COUNT(DISTINCT doc_id) >= {DF_DROP}
+),
+flagged AS (
+    SELECT h.doc_id, h.idx, h.line, (d.lh IS NOT NULL) AS is_drop
+    FROM hashed h LEFT JOIN dropped d ON h.lh = d.lh
+)
+SELECT doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_lines,
+       CAST(SUM(CASE WHEN is_drop THEN 1 ELSE 0 END) AS BIGINT) AS n_dropped,
+       COALESCE(string_agg(CASE WHEN NOT is_drop THEN line END,
+                           ' ' ORDER BY idx), '') AS clean_text,
+       CAST(COALESCE(SUM(CASE WHEN NOT is_drop
+                          THEN len(string_split(line, ' ')) END), 0)
+            AS BIGINT) AS n_tokens_clean
+FROM flagged
+GROUP BY doc_id
+""")
+def boilerplate_line_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Drop cross-document repeated lines, keep per-doc residual text.
+
+    Reference has no corpus ops (its filters are row-level,
+    google_trends_processor.py:60-88); this is the north-star family.
+    """
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    words = F.split(
+        F.trim(F.regexp_replace(F.lower("text"), r"\s+", " ")), " ")
+    n_chunks = F.ceil(F.size(words) / F.lit(float(LINE_TOKENS))).cast("int")
+    chunks = F.transform(
+        F.sequence(F.lit(0), n_chunks - 1),
+        lambda i: F.array_join(
+            F.slice(words, i * LINE_TOKENS + 1, LINE_TOKENS), " "))
+    hashed = (docs.select("doc_id", F.posexplode(chunks).alias("idx", "line"))
+              .withColumn("lh", md5_long(F.concat(F.lit("line:"),
+                                                  F.col("line")))))
+    dropped = (hashed.groupBy("lh")
+               .agg(F.countDistinct("doc_id").alias("df"))
+               .filter(F.col("df") >= DF_DROP)
+               .select("lh", F.lit(True).alias("is_drop")))
+    flagged = (hashed.join(F.broadcast(dropped), "lh", "left")
+               .withColumn("is_drop",
+                           F.coalesce(F.col("is_drop"), F.lit(False))))
+    kept_struct = F.when(~F.col("is_drop"), F.struct("idx", "line"))
+    return (flagged.groupBy("doc_id")
+            .agg(F.count("*").alias("n_lines"),
+                 F.sum(F.col("is_drop").cast("long")).alias("n_dropped"),
+                 F.array_join(
+                     F.transform(
+                         F.array_sort(F.collect_list(kept_struct)),
+                         lambda s: s["line"]), " ").alias("clean_text"),
+                 F.coalesce(
+                     F.sum(F.when(~F.col("is_drop"),
+                                  F.size(F.split(F.col("line"), " ")))),
+                     F.lit(0)).cast("long").alias("n_tokens_clean")))
+
+
+# ---------------------------------------------------------------------------
+# Bigram language-model perplexity.
+#
+# Model: p(w2 | w1) = (c(w1 w2) + 1) / (ctx(w1) + V)   (add-one
+# smoothing; V = corpus vocabulary size). Document score =
+# exp(mean over its bigrams of -ln p)  — standard per-token perplexity.
+#
+# Float determinism: each -ln p is a per-row IEEE op on exact integer
+# inputs; the per-doc sum is an ORDER-PINNED array fold (position-
+# sorted collect_list -> aggregate vs list(... ORDER BY) ->
+# list_reduce with a prepended 0.0), so both engines add in the same
+# order; final round(6).
+#
+# Scale shape: the bigram/context/vocab model tables are vocabulary-
+# sized (tiny vs corpus) — the occurrence->model join broadcasts the
+# model at any corpus scale; one shuffle for the model build, one for
+# the per-doc fold.
+# ---------------------------------------------------------------------------
+
+_BIGRAM_SQL = f"""
+    SELECT doc_id, i.i AS pos,
+           words[i.i] || ' ' || words[i.i+1] AS bg,
+           words[i.i] AS w1
+    FROM (SELECT doc_id, string_split({_NORM}, ' ') AS words
+          FROM documents) t,
+         unnest(generate_series(1, len(words) - 1)) AS i(i)
+"""
+
+
+@register("bigram_lm_perplexity", f"""
+WITH occ AS ({_BIGRAM_SQL}),
+bg_counts AS (SELECT bg, COUNT(*) AS c FROM occ GROUP BY bg),
+ctx_counts AS (SELECT w1, COUNT(*) AS ctx FROM occ GROUP BY w1),
+vocab AS (
+    SELECT COUNT(DISTINCT w) AS v
+    FROM (SELECT unnest(string_split({_NORM}, ' ')) AS w FROM documents)
+),
+scored AS (
+    SELECT o.doc_id, o.pos,
+           -ln((b.c + 1) / CAST(x.ctx + vocab.v AS DOUBLE)) AS nll
+    FROM occ o
+    JOIN bg_counts b ON o.bg = b.bg
+    JOIN ctx_counts x ON o.w1 = x.w1
+    CROSS JOIN vocab
+),
+folded AS (
+    SELECT doc_id, COUNT(*) AS n_bigrams,
+           list_reduce(list_prepend(0.0, list(nll ORDER BY pos)),
+                       (a, b) -> a + b) AS total
+    FROM scored GROUP BY doc_id
+)
+SELECT doc_id, CAST(n_bigrams AS BIGINT) AS n_bigrams,
+       round(exp(total / n_bigrams), 6) AS ppl
+FROM folded
+""")
+def bigram_lm_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document perplexity under a corpus-trained smoothed bigram
+    LM — the CCNet quality signal, as three hash aggregations and one
+    model-broadcast join."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    words = F.split(
+        F.trim(F.regexp_replace(F.lower("text"), r"\s+", " ")), " ")
+    toks = docs.select("doc_id", words.alias("words"))
+    occ = (toks.select(
+        "doc_id",
+        F.explode(F.transform(
+            F.sequence(F.lit(1), F.size("words") - 1),
+            lambda i: F.struct(
+                i.alias("pos"),
+                F.concat(F.element_at("words", i), F.lit(" "),
+                         F.element_at("words", i + 1)).alias("bg"),
+                F.element_at("words", i).alias("w1")))).alias("o"))
+        .select("doc_id", "o.pos", "o.bg", "o.w1"))
+    bg_counts = occ.groupBy("bg").agg(F.count("*").alias("c"))
+    ctx_counts = occ.groupBy("w1").agg(F.count("*").alias("ctx"))
+    vocab = (toks.select(F.explode("words").alias("w"))
+             .agg(F.countDistinct("w").alias("v")))
+    scored = (occ
+              .join(F.broadcast(bg_counts), "bg")
+              .join(F.broadcast(ctx_counts), "w1")
+              .crossJoin(F.broadcast(vocab))
+              .select("doc_id", "pos",
+                      (-F.log((F.col("c") + 1)
+                              / (F.col("ctx") + F.col("v"))
+                              .cast("double"))).alias("nll")))
+    folded = (scored.groupBy("doc_id")
+              .agg(F.count("*").alias("n_bigrams"),
+                   F.aggregate(
+                       F.array_sort(F.collect_list(F.struct("pos", "nll"))),
+                       F.lit(0.0),
+                       lambda a, x: a + x["nll"]).alias("total")))
+    return folded.select(
+        "doc_id", "n_bigrams",
+        F.round(F.exp(F.col("total") / F.col("n_bigrams")), 6).alias("ppl"))
