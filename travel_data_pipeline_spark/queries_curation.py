@@ -450,3 +450,56 @@ def pipeline_chunked_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
             .agg(F.count("*").alias("n_chunks"),
                  F.sum("n_chunk").alias("n_tokens"),
                  F.countDistinct("doc_id").alias("n_docs")))
+
+
+# ---------------------------------------------------------------------------
+# Weighted sampling without replacement (A-ES / Efraimidis-Spirakis):
+# each row draws a deterministic hash-uniform u in (0, 1] and competes
+# on key = ln(u) / weight; the top-k keys per group ARE a weighted
+# sample without replacement. Hash-derived u (not rand()) keeps the
+# sample rerun- and partitioning-stable — same contract as
+# split_train_valid_test / sample_stratified_by_lang, but with
+# per-row weights (here n_chars: longer docs proportionally likelier).
+# Scale: one window top-k per group, no global sort, no driver state.
+# ---------------------------------------------------------------------------
+
+_WS_K = 5
+_ws_hash = md5_long_sql("'wsamp:' || CAST(doc_id AS VARCHAR)")
+_ws_u = f"((({_ws_hash}) % 1000000) + 1) / 1000000.0"
+
+
+@register("weighted_sample_docs", f"""
+WITH keyed AS (
+    SELECT lang, doc_id, n_chars,
+           ln({_ws_u}) / n_chars AS k
+    FROM documents
+),
+ranked AS (
+    SELECT lang, doc_id, n_chars, k,
+           row_number() OVER (PARTITION BY lang
+                              ORDER BY k DESC, doc_id) AS rn
+    FROM keyed
+)
+SELECT lang, doc_id, n_chars, round(k, 6) AS sample_key,
+       CAST(rn AS INT) AS rn
+FROM ranked WHERE rn <= {_WS_K}
+""")
+def weighted_sample_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic weighted sample (k=5 per language), weight =
+    n_chars. The ln(u)/w keys are bit-identical in both engines (u is
+    integer-derived), so the rank order — and therefore the sample —
+    matches exactly."""
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    u = ((md5_long(F.concat(F.lit("wsamp:"),
+                            F.col("doc_id").cast("string")))
+          % 1000000 + 1) / F.lit(1000000.0))
+    keyed = docs.select("lang", "doc_id", "n_chars",
+                        (F.log(u) / F.col("n_chars")).alias("k"))
+    w = Window.partitionBy("lang").orderBy(F.col("k").desc(), F.col("doc_id"))
+    return (keyed.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") <= _WS_K)
+            .select("lang", "doc_id", "n_chars",
+                    F.round("k", 6).alias("sample_key"),
+                    F.col("rn").cast("int").alias("rn")))

@@ -219,3 +219,97 @@ def session_window_builtin(spark: SparkSession, sf_dir: str) -> DataFrame:
                     F.col("w.start").alias("session_start"),
                     F.col("w.end").alias("session_end"),
                     "n_events", "sum_value"))
+
+
+# ---------------------------------------------------------------------------
+# Temporal dimension join — facts joined to the SCD2 range valid AT
+# FACT TIME (the "late-arriving dimension" / point-in-time lookup every
+# warehouse needs once a dim is versioned). The dim here is derived:
+# each part's monthly price tier, collapsed to validity ranges by
+# scd2_collapse. The join is an equi-join on the entity key with a
+# bounded range predicate (ranges per part <= #months), so Catalyst
+# runs a hash join + filter — no BNLJ, no interval explosion needed
+# (per-entity range counts are small; contrast interval_overlap_join
+# where neither side is entity-keyed).
+# ---------------------------------------------------------------------------
+
+_TIER_SQL = """
+monthly AS (
+    SELECT l_partkey, date_trunc('month', l_shipdate) AS m,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+             / COUNT(*) AS avg_price
+    FROM lineitem GROUP BY 1, 2
+),
+tiered AS (
+    SELECT l_partkey, m,
+           CASE WHEN avg_price < 25000 THEN 'low'
+                WHEN avg_price < 45000 THEN 'mid'
+                ELSE 'high' END AS tier
+    FROM monthly
+),
+flagged AS (
+    SELECT l_partkey, m, tier,
+           CASE WHEN lag(tier) OVER w IS DISTINCT FROM tier
+                THEN 1 ELSE 0 END AS chg
+    FROM tiered WINDOW w AS (PARTITION BY l_partkey ORDER BY m)
+),
+islands AS (
+    SELECT l_partkey, tier, m,
+           SUM(chg) OVER (PARTITION BY l_partkey ORDER BY m
+                          ROWS UNBOUNDED PRECEDING) AS island
+    FROM flagged
+),
+ranges AS (
+    SELECT l_partkey, MAX(tier) AS tier, MIN(m) AS valid_from
+    FROM islands GROUP BY l_partkey, island
+),
+dim AS (
+    SELECT l_partkey, tier, valid_from,
+           lead(valid_from) OVER (PARTITION BY l_partkey
+                                  ORDER BY valid_from) AS valid_to
+    FROM ranges
+)
+"""
+
+
+@register("temporal_tier_join", f"""
+WITH {_TIER_SQL}
+SELECT strftime(l.l_shipdate, '%Y-%m') AS ship_month, d.tier,
+       COUNT(*) AS n_items,
+       CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+         AS revenue
+FROM lineitem l
+JOIN dim d ON d.l_partkey = l.l_partkey
+          AND l.l_shipdate >= d.valid_from
+          AND (d.valid_to IS NULL OR l.l_shipdate < d.valid_to)
+GROUP BY 1, 2
+""")
+def temporal_tier_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time join: every lineitem row picks up the price tier
+    its part had IN ITS SHIP MONTH (SCD2 semantics), then revenue rolls
+    up by (ship month, tier)."""
+    from travel_data_pipeline_spark.operators.windows import scd2_collapse
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_shipdate", "l_extendedprice")
+    monthly = (li.groupBy("l_partkey",
+                          F.date_trunc("month", "l_shipdate").alias("m"))
+               .agg((F.sum(F.col("l_extendedprice").cast("decimal(18,2)"))
+                     .cast("double") / F.count("*")).alias("avg_price")))
+    tiered = monthly.select(
+        "l_partkey", "m",
+        F.when(F.col("avg_price") < 25000, "low")
+         .when(F.col("avg_price") < 45000, "mid")
+         .otherwise("high").alias("tier"))
+    dim = (scd2_collapse(tiered, "l_partkey", "tier", "m")
+           .withColumnRenamed("l_partkey", "d_partkey"))
+    return (li.join(dim,
+                    (li.l_partkey == dim.d_partkey)
+                    & (li.l_shipdate >= dim.valid_from)
+                    & (dim.valid_to.isNull()
+                       | (li.l_shipdate < dim.valid_to)))
+            .groupBy(F.date_format("l_shipdate", "yyyy-MM")
+                     .alias("ship_month"), "tier")
+            .agg(F.count("*").alias("n_items"),
+                 F.sum(F.col("l_extendedprice").cast("decimal(18,2)"))
+                  .cast("double").alias("revenue")))

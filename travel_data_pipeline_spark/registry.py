@@ -37,6 +37,7 @@ def register(name: str, oracle: str | None = None):
 
 
 # --- import side-effect registration (each module calls register()) -------
+from travel_data_pipeline_spark import queries_affinity  # noqa: E402,F401
 from travel_data_pipeline_spark import queries_cleaning  # noqa: E402,F401
 from travel_data_pipeline_spark import queries_core  # noqa: E402,F401
 from travel_data_pipeline_spark import queries_curation  # noqa: E402,F401
