@@ -156,15 +156,13 @@ def bucket_pairs(banded: DataFrame, key_cols: list[str], payload: Column,
     return grouped.select(F.explode(combos).alias("pair"))
 
 
-def lsh_candidate_pairs(signatures: DataFrame, id_col: str = "doc_id",
-                        num_hashes: int = 8, bands: int = 4,
-                        max_bucket: int = 1000) -> DataFrame:
-    """Band the signature, bucket, emit distinct candidate pairs.
-
-    rows-per-band = num_hashes // bands; two docs collide if any band is
-    identical. Pairs are generated bucket-locally (one shuffle on
-    (band_idx, band_key), no self-join — see bucket_pairs).
-    """
+def band_explode(signatures: DataFrame, id_col: str = "doc_id",
+                 num_hashes: int = 8, bands: int = 4) -> DataFrame:
+    """(id, band_idx, band_key) relation of an h0..h{k-1} signature —
+    rows-per-band = num_hashes // bands; two docs collide if any band
+    key matches. Shared by same-corpus pair generation
+    (lsh_candidate_pairs) and cross-corpus probing (incremental
+    dedup: band the incoming batch, equi-join the corpus bands)."""
     rows_per_band = num_hashes // bands
     band_cols = []
     for b in range(bands):
@@ -172,11 +170,21 @@ def lsh_candidate_pairs(signatures: DataFrame, id_col: str = "doc_id",
                  for r in range(rows_per_band)]
         band_cols.append(F.struct(F.lit(b).alias("band_idx"),
                                   F.concat_ws("|", *parts).alias("band_key")))
-    banded = signatures.select(
+    return signatures.select(
         F.col(id_col),
         F.explode(F.array(*band_cols)).alias("band"),
     ).select(id_col, "band.band_idx", "band.band_key")
 
+
+def lsh_candidate_pairs(signatures: DataFrame, id_col: str = "doc_id",
+                        num_hashes: int = 8, bands: int = 4,
+                        max_bucket: int = 1000) -> DataFrame:
+    """Band the signature, bucket, emit distinct candidate pairs.
+
+    Pairs are generated bucket-locally (one shuffle on
+    (band_idx, band_key), no self-join — see bucket_pairs).
+    """
+    banded = band_explode(signatures, id_col, num_hashes, bands)
     pairs = bucket_pairs(banded, ["band_idx", "band_key"],
                           F.col(id_col), max_bucket)
     return (pairs.select(F.col("pair.a").alias("doc_a"),

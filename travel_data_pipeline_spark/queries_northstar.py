@@ -1230,3 +1230,81 @@ def ivf_quantized_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
             .filter(F.col("rnk") <= 5)
             .select("query_id", "neighbor_id", "approx_dot", "cosine_sim",
                     F.col("rnk").cast("int").alias("rnk")))
+
+
+# ---------------------------------------------------------------------------
+# Incremental dedup — a NEW batch probed against the EXISTING corpus.
+#
+# The production shape for continuously-arriving data: never re-pair
+# the corpus against itself, only band the incoming batch and
+# equi-join the (pre-computed, stored) corpus band index. Pairs are
+# strictly cross-side (existing x incoming): no incoming-incoming, no
+# existing-existing work. At 100 TB the corpus band index is a table
+# maintained by the versioned sink; the incoming side is small enough
+# to BROADCAST against it — the whole probe is then shuffle-free.
+#
+# Batch split here: doc_id < 400 plays the corpus, >= 400 the incoming
+# batch, plus exact copies of 3 corpus docs planted INTO the batch so
+# the cross-probe provably catches arriving duplicates.
+# ---------------------------------------------------------------------------
+
+INC_BOUNDARY = 400
+_INC_DOCS = f"""
+docs AS (
+    SELECT doc_id, text FROM documents
+    UNION ALL
+    SELECT doc_id + {PLANT_OFFSET}, text FROM documents WHERE doc_id < 3
+)"""
+
+
+@register("dedup_incremental_lsh", f"""
+WITH {_INC_DOCS},
+{_NORMED},
+{_SHINGLED},
+{_SIGS},
+{_banded_sql()},
+pairs AS (
+    SELECT DISTINCT e.doc_id AS doc_a, i.doc_id AS doc_b
+    FROM banded e JOIN banded i
+      ON e.band_idx = i.band_idx AND e.band_key = i.band_key
+     AND e.doc_id < {INC_BOUNDARY} AND i.doc_id >= {INC_BOUNDARY}
+),
+sets AS (SELECT DISTINCT doc_id, shingle FROM shingled),
+sizes AS (SELECT doc_id, COUNT(*) AS set_size FROM sets GROUP BY doc_id),
+inter AS (
+    SELECT p.doc_a, p.doc_b, COUNT(*) AS inter_n
+    FROM pairs p
+    JOIN sets sa ON sa.doc_id = p.doc_a
+    JOIN sets sb ON sb.doc_id = p.doc_b AND sb.shingle = sa.shingle
+    GROUP BY p.doc_a, p.doc_b
+)
+SELECT p.doc_a, p.doc_b,
+       ROUND(COALESCE(i.inter_n, 0)
+             / (za.set_size + zb.set_size - COALESCE(i.inter_n, 0)), 6)
+         AS jaccard
+FROM pairs p
+LEFT JOIN inter i ON i.doc_a = p.doc_a AND i.doc_b = p.doc_b
+JOIN sizes za ON za.doc_id = p.doc_a
+JOIN sizes zb ON zb.doc_id = p.doc_b
+WHERE ROUND(COALESCE(i.inter_n, 0)
+            / (za.set_size + zb.set_size - COALESCE(i.inter_n, 0)), 6) >= 0.5
+""")
+def dedup_incremental_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup pairs between the incoming batch (doc_id >= 400, plus 3
+    planted corpus copies) and the existing corpus (doc_id < 400) —
+    banded cross-probe, exact-Jaccard verified at 0.5."""
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    planted = (d.filter(F.col("doc_id") < 3)
+               .select((F.col("doc_id") + PLANT_OFFSET).alias("doc_id"),
+                       "text"))
+    docs = d.unionByName(planted)
+    sigs = dedup.minhash_signatures(docs, num_hashes=NUM_HASHES)
+    banded = dedup.band_explode(sigs, num_hashes=NUM_HASHES, bands=BANDS)
+    existing = (banded.filter(F.col("doc_id") < INC_BOUNDARY)
+                .withColumnRenamed("doc_id", "doc_a"))
+    incoming = (banded.filter(F.col("doc_id") >= INC_BOUNDARY)
+                .withColumnRenamed("doc_id", "doc_b"))
+    pairs = (existing.join(F.broadcast(incoming),
+                           ["band_idx", "band_key"])
+             .select("doc_a", "doc_b").distinct())
+    return dedup.jaccard_pairs(docs, pairs, threshold=0.5)
