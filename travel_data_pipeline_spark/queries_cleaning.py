@@ -90,7 +90,12 @@ def boilerplate_line_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
     Reference has no corpus ops (its filters are row-level,
     google_trends_processor.py:60-88); this is the north-star family.
     """
-    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    # Pre-partition on doc_id: the doc parquet arrives in O(1) splits,
+    # and the chunk explode + md5 are interpreted higher-order-function
+    # work that must spread across cores (same rationale as
+    # dedup.shingle_sets). The downstream per-doc groupBy reuses it.
+    docs = (load_table(spark, sf_dir, "documents").select("doc_id", "text")
+            .repartition(spark.sparkContext.defaultParallelism, "doc_id"))
     words = F.split(
         F.trim(F.regexp_replace(F.lower("text"), r"\s+", " ")), " ")
     n_chunks = F.ceil(F.size(words) / F.lit(float(LINE_TOKENS))).cast("int")
@@ -181,7 +186,8 @@ def bigram_lm_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-document perplexity under a corpus-trained smoothed bigram
     LM — the CCNet quality signal, as three hash aggregations and one
     model-broadcast join."""
-    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    docs = (load_table(spark, sf_dir, "documents").select("doc_id", "text")
+            .repartition(spark.sparkContext.defaultParallelism, "doc_id"))
     words = F.split(
         F.trim(F.regexp_replace(F.lower("text"), r"\s+", " ")), " ")
     toks = docs.select("doc_id", words.alias("words"))

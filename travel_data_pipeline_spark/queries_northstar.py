@@ -1304,7 +1304,12 @@ def dedup_incremental_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
                 .withColumnRenamed("doc_id", "doc_a"))
     incoming = (banded.filter(F.col("doc_id") >= INC_BOUNDARY)
                 .withColumnRenamed("doc_id", "doc_b"))
+    # jaccard_pairs consumes the pair set three times (id semi-join,
+    # intersection join, final join) — materialize the tiny post-LSH
+    # relation once instead of replaying the signature build per
+    # consumer (same measured pattern as dedup_minhash_jaccard).
     pairs = (existing.join(F.broadcast(incoming),
                            ["band_idx", "band_key"])
-             .select("doc_a", "doc_b").distinct())
+             .select("doc_a", "doc_b").distinct()
+             .localCheckpoint(eager=True))
     return dedup.jaccard_pairs(docs, pairs, threshold=0.5)

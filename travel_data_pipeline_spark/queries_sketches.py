@@ -25,8 +25,11 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from travel_data_pipeline_spark.functions.hashing import (
-    md5_long_seeded,
-    md5_long_seeded_sql,
+    affine_hash,
+    affine_hash_sql,
+    affine_params,
+    minhash_base,
+    minhash_base_sql,
 )
 from travel_data_pipeline_spark.operators.windows import sessionize
 from travel_data_pipeline_spark.registry import register
@@ -169,27 +172,32 @@ def bloom_candidate_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _CMS_D = 4
 _CMS_W = 256
-_CMS_SEED0 = 300
 _CMS_TOPK = 20
+# ONE md5 per row + d affine derivations (pairwise-independent family),
+# exactly the MinHash cost trick (functions/hashing.py) — d x cheaper
+# than d md5s on the hot 4x-exploded path.
+_CMS_PARAMS = affine_params(_CMS_D)
 
 
 def _cms_sql() -> str:
-    key = "CAST(l_partkey AS VARCHAR)"
+    base = minhash_base_sql("CAST(l_partkey AS VARCHAR)")
     pos_rows = "\nUNION ALL\n".join(
-        f"SELECT {s} AS s, ({md5_long_seeded_sql(key, _CMS_SEED0 + s)}"
-        f" % {_CMS_W}) AS p, l_partkey FROM lineitem"
-        for s in range(_CMS_D))
+        f"SELECT {s} AS s, ({affine_hash_sql('base', a, b)} % {_CMS_W}) AS p"
+        f" FROM based"
+        for s, (a, b) in enumerate(_CMS_PARAMS))
     est_joins = "\n".join(
         f"JOIN sketch s{s} ON s{s}.s = {s} AND s{s}.p = "
-        f"({md5_long_seeded_sql('CAST(e.l_partkey AS VARCHAR)', _CMS_SEED0 + s)}"
-        f" % {_CMS_W})"
-        for s in range(_CMS_D))
+        f"({affine_hash_sql('e.base', a, b)} % {_CMS_W})"
+        for s, (a, b) in enumerate(_CMS_PARAMS))
     least = ", ".join(f"s{s}.c" for s in range(_CMS_D))
     return f"""
-WITH pos AS ({pos_rows}),
+WITH based AS (SELECT {base} AS base FROM lineitem),
+pos AS ({pos_rows}),
 sketch AS (SELECT s, p, COUNT(*) AS c FROM pos GROUP BY s, p),
 exact AS (
-    SELECT l_partkey, COUNT(*) AS exact_cnt FROM lineitem
+    SELECT l_partkey, COUNT(*) AS exact_cnt,
+           {base} AS base
+    FROM lineitem
     GROUP BY l_partkey ORDER BY exact_cnt DESC, l_partkey LIMIT {_CMS_TOPK}
 )
 SELECT e.l_partkey, e.exact_cnt,
@@ -206,12 +214,12 @@ def cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     reported next to the exact counts (overcount >= 0 certifies the
     one-sided CMS error)."""
     li = load_table(spark, sf_dir, "lineitem").select("l_partkey")
-    key = F.col("l_partkey").cast("string")
+    base = minhash_base(F.col("l_partkey").cast("string"))
 
     cells = li.select(F.explode(F.array(*[
         F.struct(F.lit(s).alias("s"),
-                 (md5_long_seeded(key, _CMS_SEED0 + s) % _CMS_W).alias("p"))
-        for s in range(_CMS_D)])).alias("sp"))
+                 (affine_hash(base, a, b) % _CMS_W).alias("p"))
+        for s, (a, b) in enumerate(_CMS_PARAMS)])).alias("sp"))
     sketch = (cells.select("sp.s", "sp.p")
               .groupBy("s", "p").agg(F.count("*").alias("c")))
 
@@ -220,13 +228,13 @@ def cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
              .limit(_CMS_TOPK))
 
     est = exact
-    ekey = F.col("l_partkey").cast("string")
-    for s in range(_CMS_D):
+    ebase = minhash_base(F.col("l_partkey").cast("string"))
+    for s, (a, b) in enumerate(_CMS_PARAMS):
         sk = (sketch.filter(F.col("s") == s)
               .select(F.col("p").alias(f"p{s}"), F.col("c").alias(f"c{s}")))
         est = est.join(
             F.broadcast(sk),
-            (md5_long_seeded(ekey, _CMS_SEED0 + s) % _CMS_W) == F.col(f"p{s}"))
+            (affine_hash(ebase, a, b) % _CMS_W) == F.col(f"p{s}"))
     least = F.least(*[F.col(f"c{s}") for s in range(_CMS_D)])
     return est.select(
         "l_partkey", "exact_cnt",
