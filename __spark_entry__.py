@@ -34,7 +34,13 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2."""
+    """One entry per implemented operator from SURVEY.md §2.
+
+    Order matters: the driver's correctness harness samples the first
+    50 entries per round, so verification.ordered_names puts
+    not-yet-driver-verified queries first (see that module's docs).
+    """
+    from travel_data_pipeline_spark.verification import ordered_names
 
     def wrap(fn):
         def run(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -42,7 +48,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             return fn(spark, sf_dir)
         return run
 
-    return {name: wrap(fn) for name, fn in registry.QUERIES.items()}
+    return {name: wrap(registry.QUERIES[name])
+            for name in ordered_names(list(registry.QUERIES))}
 
 
 def oracle_sql() -> dict[str, str]:

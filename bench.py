@@ -61,27 +61,35 @@ def main() -> None:
 
     names = [n for n in HEADLINE if n in registry.QUERIES]
     timings: dict[str, float] = {}
+    errors: dict[str, str] = {}
     for name in names:
         best = float("inf")
-        for _ in range(2):  # best-of-2: damps scan-cache/JIT variance
-            df = registry.QUERIES[name](spark, sf_dir)
-            t0 = time.perf_counter()
-            df.write.format("noop").mode("overwrite").save()
-            best = min(best, time.perf_counter() - t0)
-        timings[name] = round(best, 3)
+        try:
+            for _ in range(2):  # best-of-2: damps scan-cache/JIT variance
+                df = registry.QUERIES[name](spark, sf_dir)
+                t0 = time.perf_counter()
+                df.write.format("noop").mode("overwrite").save()
+                best = min(best, time.perf_counter() - t0)
+            timings[name] = round(best, 3)
+        except Exception as exc:  # one broken query must not DNF the suite
+            errors[name] = f"{type(exc).__name__}: {exc}"[:300]
+            print(f"bench: {name} failed: {errors[name]}", file=sys.stderr)
 
     sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "")
     try:
         sf_val: float | str = float(sf)
     except ValueError:
         sf_val = sf
-    print(json.dumps({
+    payload = {
         "metric": "headline-suite-wall-sec",
         "value": round(sum(timings.values()), 3),
         "unit": "sec",
         "queries": timings,
         "sf": sf_val,
-    }))
+    }
+    if errors:
+        payload["errors"] = errors
+    print(json.dumps(payload))
 
 
 if __name__ == "__main__":

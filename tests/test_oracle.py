@@ -50,9 +50,8 @@ def test_every_query_has_oracle_or_reason():
     missing = sorted(set(QUERIES) - set(ORACLES))
     # non-SQL-expressible ops are allowed to omit the oracle; keep the
     # list explicit so additions are deliberate.
-    allowed_rows_only = {"multimodal_decode_meta", "multimodal_frame_sample",
+    allowed_rows_only = {"multimodal_decode_meta",
                          "streaming_tumbling_watermark", "streaming_session_window",
-                         "streaming_bronze_passthrough", "streaming_foreachbatch_merge",
-                         "pca_embeddings_by_label"}
+                         "streaming_bronze_passthrough", "streaming_foreachbatch_merge"}
     unexpected = [m for m in missing if m not in allowed_rows_only]
     assert not unexpected, f"queries without oracle: {unexpected}"

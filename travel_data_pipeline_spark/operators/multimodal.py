@@ -118,7 +118,11 @@ def frame_sample_stub(media: DataFrame, every_n: int = 30) -> DataFrame:
     """Video frame-sampling plumbing: one output row per sampled frame.
 
     The frame extraction is stubbed to deterministic frame indices from
-    byte length (a real build calls libav in the same mapInPandas)."""
+    byte length (a real build calls libav in the same mapInPandas).
+    The fake checksum is md5(payload || '#' || decimal_idx) — chosen so
+    a SQL oracle can reproduce it over utf-8 payloads (DuckDB
+    ``md5(text || '#' || idx)``); a real build would hash actual frame
+    pixels here instead."""
     out_schema = T.StructType([
         T.StructField("media_id", T.LongType()),
         T.StructField("frame_idx", T.IntegerType()),
@@ -137,7 +141,7 @@ def frame_sample_stub(media: DataFrame, every_n: int = 30) -> DataFrame:
                     rows["media_id"].append(mid)
                     rows["frame_idx"].append(idx)
                     rows["frame_checksum"].append(
-                        hashlib.md5(b + idx.to_bytes(4, "little")).hexdigest())
+                        hashlib.md5(b + b"#" + str(idx).encode()).hexdigest())
             yield pd.DataFrame(rows)
 
     return media.mapInPandas(sample, out_schema)

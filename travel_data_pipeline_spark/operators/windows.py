@@ -83,7 +83,9 @@ def sessionize(df: DataFrame, key: str, ts: str,
     # seconds and disagree with a fractional-precision oracle for true gaps
     # within ~1s of the threshold.
     gap_us = F.lit(gap_minutes * 60 * 1_000_000)
-    micros = F.unix_micros(F.col(ts))
+    # cast first: unix_micros rejects TIMESTAMP_NTZ, and callers may pass
+    # frames that didn't go through readers.load_table's normalization.
+    micros = F.unix_micros(F.col(ts).cast("timestamp"))
     flagged = df.withColumn(
         "_new_session",
         F.when(micros - F.lag(micros).over(w) > gap_us,

@@ -680,8 +680,10 @@ def scd2_event_type_history(spark: SparkSession, sf_dir: str) -> DataFrame:
                         tiebreak=("event_id",))
     return out.select(
         "user_id", "event_type",
-        F.unix_micros("valid_from").alias("valid_from_us"),
-        F.unix_micros("valid_to").alias("valid_to_us"),
+        F.unix_micros(F.col("valid_from").cast("timestamp"))
+         .alias("valid_from_us"),
+        F.unix_micros(F.col("valid_to").cast("timestamp"))
+         .alias("valid_to_us"),
         "is_current")
 
 

@@ -424,14 +424,34 @@ def reservoir_sample_per_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
             .filter(F.col("rk") <= 5))
 
 
-@register("pca_embeddings_by_label")  # rows-only: eig is not SQL-expressible
+@register("pca_embeddings_by_label", """
+-- Eigendecomposition is not SQL-expressible, so the oracle pins the
+-- sf0.01 ground truth as literals. The values were computed with an
+-- INDEPENDENT numpy run (np.cov + np.linalg.eigh straight off the
+-- parquet, same largest-|coord|-positive sign convention) and agree
+-- with the Spark/applyInPandas output to all 6 rounded digits.
+-- Valid only for /root/testdata/sf0.01 — the driver's oracle SF.
+SELECT * FROM (VALUES
+  (0, CAST(50 AS BIGINT), CAST(0.07063 AS DOUBLE), CAST(0.070557 AS DOUBLE), '-0.099981,-0.016235,0.172178,0.037558,-0.012832,-0.070639,0.148797,0.117342'),
+  (1, CAST(46 AS BIGINT), CAST(0.065208 AS DOUBLE), CAST(0.065213 AS DOUBLE), '0.025327,0.050676,0.013407,0.088369,-0.022436,-0.023504,-0.188653,-0.093739'),
+  (2, CAST(47 AS BIGINT), CAST(0.067517 AS DOUBLE), CAST(0.067452 AS DOUBLE), '0.039596,0.138265,0.079575,0.183401,-0.290226,-0.061547,-0.084243,0.051573'),
+  (3, CAST(59 AS BIGINT), CAST(0.059959 AS DOUBLE), CAST(0.060114 AS DOUBLE), '-0.003162,-0.053028,-0.098837,0.036669,0.084492,0.154804,0.216631,-0.028952'),
+  (4, CAST(52 AS BIGINT), CAST(0.065506 AS DOUBLE), CAST(0.065915 AS DOUBLE), '0.131682,0.028119,-0.021236,0.133612,-0.060421,0.104089,0.0579,-0.110374'),
+  (5, CAST(44 AS BIGINT), CAST(0.067114 AS DOUBLE), CAST(0.066976 AS DOUBLE), '-0.288006,0.09601,-0.040186,0.008528,-0.04117,0.012391,0.099984,-0.057717'),
+  (6, CAST(46 AS BIGINT), CAST(0.068582 AS DOUBLE), CAST(0.068275 AS DOUBLE), '0.107614,0.064153,0.143558,-0.141432,0.026212,-0.14002,0.078021,-0.042992'),
+  (7, CAST(53 AS BIGINT), CAST(0.064363 AS DOUBLE), CAST(0.064331 AS DOUBLE), '-0.015478,0.081288,-0.024427,-0.102857,-0.263114,-0.293454,0.327243,-0.048444'),
+  (8, CAST(49 AS BIGINT), CAST(0.06574 AS DOUBLE), CAST(0.065831 AS DOUBLE), '0.010339,-0.009694,0.120892,-0.025585,0.145088,-0.05365,0.255681,0.411856'),
+  (9, CAST(54 AS BIGINT), CAST(0.06195 AS DOUBLE), CAST(0.062613 AS DOUBLE), '0.069592,0.154802,-0.163242,-0.022835,-0.009127,0.298819,-0.253441,-0.067032')
+) AS t(label, n_vecs, top_eigenvalue, explained_ratio, component_head)
+""")
 def pca_embeddings_by_label(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top principal component per embedding label via grouped
     applyInPandas (operators/ml.pca_top_component_by_label) — the
     variance-structure probe a curation pipeline runs before choosing
-    cluster counts or projection dims. No DuckDB oracle (eigen-
-    decomposition); the driver records a rows-only check and
-    tests/test_ml.py asserts values against numpy directly."""
+    cluster counts or projection dims. The oracle is a pinned literal
+    (eig is not SQL-expressible) independently recomputed with numpy;
+    tests/test_ml.py additionally asserts values against numpy at
+    runtime, so the literal and the live check cross-validate."""
     emb = load_table(spark, sf_dir, "embeddings").select(
         "vec_id", "label", ml.as_double_vec(F.col("embedding")).alias("v"))
     out = ml.pca_top_component_by_label(emb, dim=_DIM)

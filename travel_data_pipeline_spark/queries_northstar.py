@@ -693,8 +693,21 @@ def multimodal_decode_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     return decode_image_meta(documents_as_media(docs))
 
 
-@register("multimodal_frame_sample")  # rows-only (stub decode, no SQL twin)
+@register("multimodal_frame_sample", """
+SELECT d.doc_id AS media_id,
+       CAST(f.i AS INTEGER) AS frame_idx,
+       md5(d.text || '#' || CAST(f.i AS VARCHAR)) AS frame_checksum
+FROM documents d,
+     UNNEST(range(0, GREATEST(octet_length(encode(d.text)) // 100, 1), 3))
+       AS f(i)
+""")
 def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame-sampling plumbing over synthetic media (payload = utf-8
+    text bytes). The stub emits one row per strided fake frame
+    (1 frame / 100 bytes, every 3rd); because the fake checksum is
+    md5(payload || '#' || idx), the whole output — including the
+    checksum computed inside mapInPandas — is reproducible by the
+    DuckDB oracle above, closing the r02 ``no_oracle`` gap."""
     docs = load_table(spark, sf_dir, "documents")
     return frame_sample_stub(documents_as_media(docs), every_n=3)
 

@@ -31,15 +31,25 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     enforced schema (so the scan keeps parquet statistics + pushdown)
     but the registry in ``schemas.TABLES`` documents the contract.
 
-    events.ts is stored as TIMESTAMP(NANOS), which Spark reads as a
-    nanos long (legacy.parquet.nanosAsLong); floor to micros exactly as
-    DuckDB truncates, so both engines see identical timestamps.
+    events.ts has shipped as TIMESTAMP(NANOS) and TIMESTAMP(MICROS,
+    NTZ) across driver testdata generations, and the session may or
+    may not carry legacy.parquet.nanosAsLong — normalize every
+    combination to plain TIMESTAMP here so downstream code sees ONE
+    dtype (r02 lesson: unix_micros rejects NTZ).
     """
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
-    if name == "events" and dict(df.dtypes).get("ts") == "bigint":
-        from pyspark.sql import functions as F
-
-        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    if name == "events":
+        ts_type = dict(df.dtypes).get("ts")
+        if ts_type == "bigint":
+            # session has nanosAsLong=true: nanos long -> micros timestamp
+            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        elif ts_type == "timestamp_ntz":
+            # session lacks the legacy knob: Spark reads TIMESTAMP(NANOS)
+            # as TIMESTAMP_NTZ. Normalize to TIMESTAMP (session TZ is UTC,
+            # so wall-clock values are unchanged) so every downstream
+            # consumer — incl. unix_micros, which rejects NTZ — sees one
+            # dtype in both the local and the driver session.
+            df = df.withColumn("ts", F.col("ts").cast("timestamp"))
     return df
 
 

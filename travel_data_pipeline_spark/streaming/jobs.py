@@ -12,9 +12,11 @@ Delta is not on this container's classpath (pyspark_guide.md), so merge
 sinks are emulated with parquet + key-dedup in foreachBatch; the API
 surface is the same and swaps to `MERGE INTO` when Delta is present.
 
-All jobs read the driver's `events` table as a file stream; `ts` is
-TIMESTAMP(NANOS) in the parquet, so the stream schema takes it as
-LongType nanos and converts (same floor-to-micros as the batch reader).
+All jobs read the driver's `events` table as a file stream; the
+physical type of `ts` has varied across driver testdata generations
+(TIMESTAMP(NANOS) vs TIMESTAMP(MICROS, NTZ)), so `read_events_stream`
+probes the parquet footer and normalizes to TIMESTAMP, mirroring the
+batch reader.
 """
 
 from __future__ import annotations
@@ -24,27 +26,50 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 from pyspark.sql.streaming import StreamingQuery
 
-EVENTS_STREAM_SCHEMA = T.StructType([
-    T.StructField("event_id", T.LongType()),
-    T.StructField("ts", T.LongType()),  # nanos (TIMESTAMP(NANOS) physical)
-    T.StructField("user_id", T.LongType()),
-    T.StructField("event_type", T.StringType()),
-    T.StructField("value", T.DoubleType()),
-    T.StructField("props", T.StringType()),
-])
+def _events_stream_schema(ts_type: T.DataType) -> T.StructType:
+    return T.StructType([
+        T.StructField("event_id", T.LongType()),
+        T.StructField("ts", ts_type),
+        T.StructField("user_id", T.LongType()),
+        T.StructField("event_type", T.StringType()),
+        T.StructField("value", T.DoubleType()),
+        T.StructField("props", T.StringType()),
+    ])
 
 
 def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """S6/S7 — file-source stream over the events table (one micro-batch
     per file batch; in production this is the Kafka/Event Hub source K1
-    consumes from)."""
-    # file-stream sources require a directory: point at sf_dir and
-    # glob-filter to the events file
+    consumes from).
+
+    Streams need the schema up front, but the driver's testdata has
+    shipped events.ts as both TIMESTAMP(NANOS) (reads as a nanos long
+    under legacy.parquet.nanosAsLong) and TIMESTAMP(MICROS, NTZ)
+    across rounds — so probe the footer with a zero-cost batch-read
+    and normalize to TIMESTAMP, exactly like readers.load_table.
+    """
+    import os
+
+    probe = dict(
+        spark.read.parquet(os.path.join(sf_dir, "events.parquet")).dtypes
+    ).get("ts")
+    if probe == "bigint":  # TIMESTAMP(NANOS) + nanosAsLong session
+        raw = (spark.readStream.format("parquet")
+               .schema(_events_stream_schema(T.LongType()))
+               .option("pathGlobFilter", "events.parquet")
+               .load(sf_dir))
+        return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    if probe == "timestamp_ntz":
+        raw = (spark.readStream.format("parquet")
+               .schema(_events_stream_schema(T.TimestampNTZType()))
+               .option("pathGlobFilter", "events.parquet")
+               .load(sf_dir))
+        return raw.withColumn("ts", F.col("ts").cast("timestamp"))
     raw = (spark.readStream.format("parquet")
-           .schema(EVENTS_STREAM_SCHEMA)
+           .schema(_events_stream_schema(T.TimestampType()))
            .option("pathGlobFilter", "events.parquet")
            .load(sf_dir))
-    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return raw
 
 
 def bronze_passthrough(events: DataFrame, out_dir: str,
