@@ -93,3 +93,31 @@ def test_python_udtf_surface(spark):
     rows = Tokenize(lit("big data on spark")).collect()
     assert [(r.pos, r.token) for r in rows] == [
         (0, "big"), (1, "data"), (2, "on"), (3, "spark")]
+
+
+def test_basket_cap_bounds_pair_expansion(spark):
+    """market_basket's pair expansion is quadratic in basket size; the
+    MAX_BASKET cap must bound one pathological 1k-item order to
+    MAX_BASKET*(MAX_BASKET-1)/2 pairs instead of ~500k, while leaving
+    normal (< cap) baskets untouched."""
+    from travel_data_pipeline_spark.queries_affinity import (
+        MAX_BASKET, _pair_counts)
+
+    pathological = spark.range(1000).select(
+        F.lit(1).alias("l_orderkey"), F.col("id").alias("l_partkey"))
+    normal = spark.range(5).select(
+        (F.col("id") % 3 + 2).alias("l_orderkey"),
+        F.col("id").alias("l_partkey"))
+    items = pathological.unionAll(normal)
+
+    # support threshold 1 view: count raw pairs before the MINSUP filter
+    # by duplicating every basket into two orders (pair_cnt == 2 >= MINSUP)
+    twice = items.unionAll(items.withColumn(
+        "l_orderkey", F.col("l_orderkey") + 100))
+    pairs = _pair_counts(twice.distinct())
+    from_pathological = pairs.filter(F.col("part_a") < 1000).count()
+    cap_pairs = MAX_BASKET * (MAX_BASKET - 1) // 2
+    assert from_pathological <= cap_pairs, (
+        f"pathological basket emitted {from_pathological} pairs; "
+        f"cap should bound it at {cap_pairs}")
+    assert from_pathological == cap_pairs  # cap keeps first 64 by partkey

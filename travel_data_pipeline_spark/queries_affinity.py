@@ -30,13 +30,22 @@ from travel_data_pipeline_spark.sources.readers import load_table
 MINSUP = 2          # pair support threshold (distinct orders)
 DAMPING = 0.85
 N_ITER = 3
+MAX_BASKET = 64     # per-order item cap before pair expansion
 
 _PAIRS_SQL = f"""
 items AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+capped AS (
+    SELECT l_orderkey, l_partkey FROM (
+        SELECT l_orderkey, l_partkey,
+               row_number() OVER (PARTITION BY l_orderkey
+                                  ORDER BY l_partkey) AS rn
+        FROM items)
+    WHERE rn <= {MAX_BASKET}
+),
 pair_counts AS (
     SELECT a.l_partkey AS part_a, b.l_partkey AS part_b,
            COUNT(*) AS pair_cnt
-    FROM items a JOIN items b
+    FROM capped a JOIN capped b
       ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
     GROUP BY 1, 2
     HAVING COUNT(*) >= {MINSUP}
@@ -50,8 +59,24 @@ def _order_items(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _pair_counts(items: DataFrame) -> DataFrame:
-    a = items.alias("a")
-    b = items.alias("b")
+    """Per-order pair expansion with a basket-size cap.
+
+    The order-key self-join is quadratic in basket size — one 10k-item
+    pathological order would emit 50M pairs. Capping each basket to
+    its first MAX_BASKET items (deterministic: ordered by l_partkey,
+    the same pattern as operators/dedup's LSH ``max_bucket``) bounds
+    the blow-up at MAX_BASKET^2/2 pairs per order while leaving TPC-H
+    baskets (~7 items) untouched. The cap is mirrored in _PAIRS_SQL so
+    the oracle sees identical semantics.
+    """
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("l_orderkey").orderBy("l_partkey")
+    capped = (items.withColumn("rn", F.row_number().over(w))
+              .filter(F.col("rn") <= MAX_BASKET)
+              .drop("rn"))
+    a = capped.alias("a")
+    b = capped.alias("b")
     return (a.join(b, (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
                    & (F.col("a.l_partkey") < F.col("b.l_partkey")))
             .groupBy(F.col("a.l_partkey").alias("part_a"),
@@ -156,11 +181,13 @@ def copurchase_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     # scalar must derive from the CHECKPOINTED relation too — they are
     # referenced inside every iteration, and deriving them upstream
     # re-runs the whole pair build per step (measured: 6.5s -> 3.1s
-    # warm at sf0.1). Pregel's "load the graph once" shape; 8
-    # partitions because the support-filtered graph is tiny next to
-    # the fact table (scale the count with edge cardinality).
+    # warm at sf0.1). Pregel's "load the graph once" shape; partition
+    # count follows the session's parallelism so the iteration isn't
+    # serialized on a hardcoded task count at cluster scale (AQE can
+    # still coalesce if the filtered graph is tiny).
+    n_part = spark.sparkContext.defaultParallelism
     edges_n = (edges.join(strength, "s")
-               .repartition(8, "s").localCheckpoint(eager=True))
+               .repartition(n_part, "s").localCheckpoint(eager=True))
     nodes = edges_n.select(F.col("s").alias("node")).distinct()
     nn = nodes.agg(F.count("*").cast("double").alias("n"))
 

@@ -127,6 +127,50 @@ def f9_route_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# F8 — dropna(subset=...) after the flight x meta LEFT join
+# (_archive/flight_avg_merge.py:95: df.dropna(subset=[...]) drops rows
+# whose REQUIRED fields are null while tolerating nulls elsewhere)
+# ---------------------------------------------------------------------------
+
+# partial-coverage destination meta: BKK/HKG deliberately absent, so the
+# LEFT join manufactures the nulls dropna must act on
+_DST_REGION_COLS = ("dst_airport", "dst_region")
+_DST_REGION_ROWS = [("NRT", "East Asia"), ("CDG", "Europe")]
+
+_F8_ORACLE = f"""
+WITH flat AS ({_flight_flatten_oracle()}),
+meta AS (SELECT * FROM {FX.values_cte(_DST_REGION_ROWS, _DST_REGION_COLS)}),
+joined AS (
+    SELECT f.itinerary_id, f.segment_idx, f.dst_airport, m.dst_region,
+           CASE WHEN f.price_before_discount - f.price <> 0.0
+                THEN f.price_before_discount - f.price END AS discount_amt
+    FROM flat f LEFT JOIN meta m USING (dst_airport)
+)
+SELECT * FROM joined
+WHERE itinerary_id IS NOT NULL AND dst_region IS NOT NULL
+"""
+
+
+@register("f8_dropna_meta_join", _F8_ORACLE)
+def f8_dropna_meta_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F8 — ``na.drop(subset=...)`` spelled as the real DataFrame op:
+    flight segments LEFT-joined to a partial destination-meta dim, then
+    rows lacking the REQUIRED fields (itinerary_id, dst_region) are
+    dropped while a null in the non-subset ``discount_amt`` column
+    survives — the exact pandas-dropna(subset=...) semantics of
+    _archive/flight_avg_merge.py:95."""
+    flat = flight_nested_flatten(spark, sf_dir)
+    meta = spark.createDataFrame(_DST_REGION_ROWS, list(_DST_REGION_COLS))
+    joined = (flat.join(F.broadcast(meta), "dst_airport", "left")
+              .select("itinerary_id", "segment_idx", "dst_airport",
+                      "dst_region",
+                      F.nullif(F.col("price_before_discount")
+                               - F.col("price"), F.lit(0.0))
+                       .alias("discount_amt")))
+    return joined.na.drop(subset=["itinerary_id", "dst_region"])
+
+
+# ---------------------------------------------------------------------------
 # J9 — final destination-attractiveness join (README.md:80-87 [prose-only])
 # ---------------------------------------------------------------------------
 

@@ -96,10 +96,21 @@ def _write_snapshot(df: DataFrame, path: str, version: int,
     writer = df.write.mode("overwrite")
     if partition_col:
         writer = writer.partitionBy(partition_col)
-        parts = [r[0] for r in df.select(partition_col).distinct().collect()]
+    writer.parquet(out)
+    if partition_col:
+        # Learn the written partitions from the committed directory
+        # layout — one filesystem metadata listing, O(partitions).
+        # The previous distinct().collect() re-ran df's ENTIRE lineage
+        # a second time just to learn these values (2x every versioned
+        # write); the post-write listing is how real commit protocols
+        # (Delta, Hive dynamic-partition overwrite) learn them too.
+        # (Hive-escaping of exotic partition values is out of scope:
+        # this table's partition values are dates/plain strings.)
+        prefix = f"{partition_col}="
+        parts = sorted(d[len(prefix):] for d in os.listdir(out)
+                       if d.startswith(prefix))
     else:
         parts = [_NO_PART]
-    writer.parquet(out)
     return [str(p) for p in parts]
 
 
@@ -171,8 +182,15 @@ def merge_into(source: DataFrame, path: str, keys: list[str],
         current = read_table(spark, path)
         relevant = source
     else:
-        touched = [str(r[0]) for r in
-                   source.select(pcol).distinct().collect()]
+        # The manifest is keyed by partition value, so the commit needs
+        # the touched set driver-side — the same O(touched-partitions)
+        # metadata every lakehouse MERGE commit carries. One single-row
+        # action (set aggregated executor-side), not a row collect.
+        from pyspark.sql import functions as F
+
+        touched = sorted(
+            str(v) for v in source.agg(
+                F.collect_set(F.col(pcol).cast("string"))).first()[0])
         existing = [p for p in touched if p in man["partitions"]]
         if existing:
             dirs = [os.path.join(_data_dir(path),
@@ -246,12 +264,15 @@ def maintain_hourly_rollup(batch: DataFrame, path: str) -> int:
                   F.sum(F.col("value").cast("decimal(18,2)"))
                    .alias("total_value")))
     spark = batch.sparkSession
-    days = [r.day for r in delta.select("day").distinct().collect()]
     # a freshly-created rollup has a manifest but zero partitions —
     # there is nothing to read (and no parquet dirs to infer from)
     man = _read_manifest(path, current_version(path))
     if man["partitions"]:
-        current = read_table(spark, path).filter(F.col("day").isin(days))
+        # affected-day set as a JOIN, not a driver collect: the day
+        # list broadcasts and dynamic partition pruning skips the
+        # untouched day dirs at scan time.
+        current = read_table(spark, path).join(
+            F.broadcast(delta.select("day").distinct()), "day", "semi")
     else:
         current = delta.limit(0)
     combined = (current.unionByName(delta)

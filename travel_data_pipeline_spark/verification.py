@@ -57,6 +57,7 @@ GREEN: frozenset[str] = frozenset({
 PRIORITY_HEAD: tuple[str, ...] = (
     # regression re-proofs (unix_micros/TIMESTAMP_NTZ fix)
     "sessionize_events", "scd2_event_type_history", "interval_overlap_join",
+    "f8_dropna_meta_join",
     # 100 TB dedup story: clustering + canonical map + incremental
     "dedup_cluster_components", "dedup_canonical_map", "dedup_incremental_lsh",
     "containment_pairs", "dedup_rate_by_source",
