@@ -222,3 +222,83 @@ def bigram_lm_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
     return folded.select(
         "doc_id", "n_bigrams",
         F.round(F.exp(F.col("total") / F.col("n_bigrams")), 6).alias("ppl"))
+
+
+# ---------------------------------------------------------------------------
+# Linear quality classifier — the fasttext/DCLM-style learned filter
+# shape: a fixed-weight logistic model over cheap text features, with
+# a keep/drop decision at p >= 0.5. (Weights are frozen literals —
+# training happens offline; serving the model IS the engine's job, and
+# a linear scorer lowers to a pure projection: zero shuffle at any
+# corpus size.)
+# ---------------------------------------------------------------------------
+
+# (bias, alpha_ratio, punct_ratio, mean_word_len, log10(n_chars+1))
+_QC_W = ("-2.0", "3.5", "-6.0", "0.08", "0.9")
+
+
+@register("quality_classifier_logistic", f"""
+WITH feats AS (
+    SELECT doc_id,
+           length(text) AS n_chars,
+           length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS alpha_chars,
+           length(text) - length(regexp_replace(text,
+               '[.,;:!?''"()\\[\\]{{}}]', '', 'g')) AS punct_chars,
+           len(list_filter(string_split({_NORM}, ' '), x -> x <> ''))
+               AS n_tokens
+    FROM documents
+),
+x AS (
+    SELECT doc_id,
+           ROUND(alpha_chars / GREATEST(n_chars, 1), 6) AS alpha_ratio,
+           ROUND(punct_chars / GREATEST(n_chars, 1), 6) AS punct_ratio,
+           ROUND(alpha_chars / GREATEST(n_tokens, 1), 6) AS mean_word_len,
+           ROUND(log10(CAST(n_chars AS DOUBLE) + 1.0), 6) AS log_len
+    FROM feats
+),
+z AS (
+    SELECT doc_id, alpha_ratio, punct_ratio, mean_word_len, log_len,
+           ROUND({_QC_W[0]} + {_QC_W[1]} * alpha_ratio
+                 + {_QC_W[2]} * punct_ratio
+                 + {_QC_W[3]} * mean_word_len
+                 + {_QC_W[4]} * log_len, 6) AS logit
+    FROM x
+)
+SELECT doc_id, alpha_ratio, punct_ratio, mean_word_len, log_len, logit,
+       ROUND(1.0 / (1.0 + exp(-logit)), 4) AS p_keep,
+       logit >= 0.0 AS keep
+FROM z
+""")
+def quality_classifier_logistic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-weight logistic quality filter over cheap per-doc features.
+
+    Determinism: features and the logit are rounded to 6 dp before the
+    sigmoid, the probability to 4 dp (libm exp may differ in the last
+    ulp across engines), and the keep decision tests the exact rounded
+    logit — so the filter bit is ulp-proof."""
+    docs = load_table(spark, sf_dir, "documents")
+    norm = F.trim(F.regexp_replace(F.lower("text"), r"\s+", " "))
+    toks = F.filter(F.split(norm, " "), lambda x: x != "")
+    n_chars = F.length("text")
+    alpha = F.length(F.regexp_replace("text", "[^A-Za-z]", ""))
+    punct = n_chars - F.length(
+        F.regexp_replace("text", r"""[.,;:!?'"()\[\]{}]""", ""))
+    feats = docs.select(
+        "doc_id",
+        F.round(alpha / F.greatest(n_chars, F.lit(1)), 6).alias("alpha_ratio"),
+        F.round(punct / F.greatest(n_chars, F.lit(1)), 6).alias("punct_ratio"),
+        F.round(alpha / F.greatest(F.size(toks), F.lit(1)), 6)
+         .alias("mean_word_len"),
+        F.round(F.log10(n_chars.cast("double") + F.lit(1.0)), 6)
+         .alias("log_len"))
+    b, w1, w2, w3, w4 = (float(w) for w in _QC_W)
+    logit = F.round(F.lit(b)
+                    + F.lit(w1) * F.col("alpha_ratio")
+                    + F.lit(w2) * F.col("punct_ratio")
+                    + F.lit(w3) * F.col("mean_word_len")
+                    + F.lit(w4) * F.col("log_len"), 6)
+    return (feats.withColumn("logit", logit)
+            .withColumn("p_keep",
+                        F.round(F.lit(1.0)
+                                / (F.lit(1.0) + F.exp(-F.col("logit"))), 4))
+            .withColumn("keep", F.col("logit") >= 0.0))

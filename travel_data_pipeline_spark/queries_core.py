@@ -1310,3 +1310,58 @@ def event_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     return counts.select(
         "from_type", "to_type", "n",
         F.round(F.col("n") / F.sum("n").over(wt), 6).alias("p"))
+
+
+# ---------------------------------------------------------------------------
+# MATCH_RECOGNIZE-style sequence detection: every CONSECUTIVE
+# view -> click -> purchase run per user (adjacent in the user's
+# ordered stream, completing within 7 days). The funnel above
+# counts stage survivors; this emits each concrete match — the
+# ROW_PATTERN shape Flink CEP / Snowflake MATCH_RECOGNIZE cover and
+# Spark spells as lead() over a per-key window.
+# ---------------------------------------------------------------------------
+
+@register("event_pattern_match", """
+WITH seq AS (
+    SELECT user_id, event_id, ts, event_type,
+           lead(event_type, 1) OVER w AS t1,
+           lead(event_type, 2) OVER w AS t2,
+           lead(ts, 2) OVER w AS ts2
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+)
+SELECT user_id, event_id AS start_event_id,
+       CAST(epoch_us(ts) AS BIGINT) AS start_us,
+       CAST(epoch_us(ts2) AS BIGINT) AS end_us,
+       CAST(epoch_us(ts2) - epoch_us(ts) AS BIGINT) AS duration_us
+FROM seq
+WHERE event_type = 'view' AND t1 = 'click' AND t2 = 'purchase'
+  AND epoch_us(ts2) - epoch_us(ts) <= 604800000000
+""")
+def event_pattern_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Consecutive view->click->purchase runs per user within 7 days
+    (the synthetic stream is sparse: per-user inter-event gaps are hours).
+
+    Scale shape: ONE shuffle on user_id, then a single window pass
+    computing two leads — no self-joins, no per-user arrays; the
+    pattern predicate is a plain filter, so at 100 TB this is a sort
+    within partitions plus a streaming scan (same cost class as
+    sessionize)."""
+    e = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    us2 = F.unix_micros(F.col("ts2").cast("timestamp"))
+    seq = e.select(
+        "user_id", "event_id", "ts", "event_type",
+        F.lead("event_type", 1).over(w).alias("t1"),
+        F.lead("event_type", 2).over(w).alias("t2"),
+        F.lead("ts", 2).over(w).alias("ts2"))
+    return (seq.filter((F.col("event_type") == "view")
+                       & (F.col("t1") == "click")
+                       & (F.col("t2") == "purchase")
+                       & (us2 - us <= 7 * 86400 * 1_000_000))
+            .select("user_id",
+                    F.col("event_id").alias("start_event_id"),
+                    us.alias("start_us"),
+                    us2.alias("end_us"),
+                    (us2 - us).alias("duration_us")))

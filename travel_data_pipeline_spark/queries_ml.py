@@ -40,10 +40,12 @@ _TOKS = (f"list_filter(string_split({_NORM}, ' '), t -> t <> '')")
 # K-means over embeddings — Lloyd's, unrolled declarative DAG.
 # ---------------------------------------------------------------------------
 
-def _kmeans_oracle(k: int, iters: int, dim: int) -> str:
-    """Unrolled Lloyd's in DuckDB CTEs mirroring operators/ml.kmeans:
+def _kmeans_ctes(k: int, iters: int, dim: int) -> tuple[str, str]:
+    """Unrolled Lloyd's as DuckDB CTEs mirroring operators/ml.kmeans:
     same deterministic init (k smallest ids), same sequential-fold
-    distance, same (dist, cid) tie-break, same 6-dp centroid round."""
+    distance, same (dist, cid) tie-break, same 6-dp centroid round.
+    Returns (cte_block, final_assignment_relation) so other oracles —
+    e.g. semantic_dedup — can build on the assignment."""
     dist = (f"sqrt(list_reduce(list_transform(generate_series(1, {dim}), "
             "i -> (e.v[i] - c.v[i]) * (e.v[i] - c.v[i])), (x, y) -> x + y))")
     ctes = [
@@ -65,8 +67,13 @@ def _kmeans_oracle(k: int, iters: int, dim: int) -> str:
                 f"SELECT s.cid, i.i AS i, round(avg(s.v[i.i]), 6) AS val "
                 f"FROM s{i} s CROSS JOIN generate_series(1, {dim}) i(i) "
                 f"GROUP BY s.cid, i.i) GROUP BY cid)")
-    return ("WITH " + ",\n".join(ctes) +
-            f"\nSELECT vec_id, cid AS cluster, round(d, 6) AS dist FROM s{iters}")
+    return ",\n".join(ctes), f"s{iters}"
+
+
+def _kmeans_oracle(k: int, iters: int, dim: int) -> str:
+    ctes, final = _kmeans_ctes(k, iters, dim)
+    return (f"WITH {ctes}\n"
+            f"SELECT vec_id, cid AS cluster, round(d, 6) AS dist FROM {final}")
 
 
 @register("kmeans_embeddings", _kmeans_oracle(_K, _ITERS, _DIM))
@@ -462,3 +469,72 @@ def pca_embeddings_by_label(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.array_join(F.transform("component_head",
                                  lambda x: F.round(x, 6).cast("string")),
                      ",").alias("component_head"))
+
+
+# ---------------------------------------------------------------------------
+# SemDeDup — semantic dedup via cluster-then-compare (Abbas et al. 2023
+# shape): k-means buckets the corpus, exact cosine pairs are generated
+# ONLY within clusters, and each vector with an earlier (smaller-id)
+# similar neighbor in its cluster is dropped.
+# ---------------------------------------------------------------------------
+
+_SEM_TAU = 0.35  # synthetic embeddings are near-orthogonal; real corpora ~0.95
+
+_SEM_CTES, _SEM_FINAL = _kmeans_ctes(_K, _ITERS, _DIM)
+
+_SEM_COS = ("round(list_dot_product(a.v, b.v) / "
+            "(sqrt(list_dot_product(a.v, a.v)) * "
+            "sqrt(list_dot_product(b.v, b.v))), 6)")
+
+
+@register("semantic_dedup", f"""
+WITH {_SEM_CTES},
+pairs AS (
+    SELECT a.vec_id AS keep_id, b.vec_id AS drop_id, {_SEM_COS} AS cos
+    FROM {_SEM_FINAL} a JOIN {_SEM_FINAL} b
+      ON a.cid = b.cid AND a.vec_id < b.vec_id
+    WHERE {_SEM_COS} >= {_SEM_TAU}
+),
+dropped AS (
+    SELECT drop_id, MIN(keep_id) AS keeper, MAX(cos) AS max_cos
+    FROM pairs GROUP BY drop_id
+)
+SELECT s.vec_id, s.cid AS cluster,
+       d.drop_id IS NULL AS kept,
+       d.keeper, d.max_cos
+FROM {_SEM_FINAL} s LEFT JOIN dropped d ON d.drop_id = s.vec_id
+""")
+def semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup: drop vectors that have an earlier similar neighbor in
+    their k-means cluster (cosine >= tau on 6-dp rounded values, both
+    engines).
+
+    Scale shape: the within-cluster self-join is the whole point — at
+    corpus scale k grows with n so cluster size stays bounded (SemDeDup
+    uses k ~ n/1000), making pair generation O(n * cluster_size)
+    instead of O(n^2); the cluster id is the equi-join key, so Spark
+    shuffles each side once on cid and never broadcasts the corpus.
+    """
+    from travel_data_pipeline_spark.operators.similarity import cosine
+
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", ml.as_double_vec(F.col("embedding")).alias("v"))
+    assigned = ml.kmeans(emb, k=_K, iterations=_ITERS)
+
+    a = assigned.select(F.col("vec_id").alias("keep_id"),
+                        F.col("cid"), F.col("v").alias("av"))
+    b = assigned.select(F.col("vec_id").alias("drop_id"),
+                        F.col("cid"), F.col("v").alias("bv"))
+    pairs = (a.join(b, ["cid"])
+             .filter(F.col("keep_id") < F.col("drop_id"))
+             .select("keep_id", "drop_id",
+                     F.round(cosine(F.col("av"), F.col("bv")), 6)
+                      .alias("cos"))
+             .filter(F.col("cos") >= _SEM_TAU))
+    dropped = pairs.groupBy("drop_id").agg(
+        F.min("keep_id").alias("keeper"), F.max("cos").alias("max_cos"))
+    return (assigned
+            .join(dropped, assigned.vec_id == dropped.drop_id, "left")
+            .select(assigned.vec_id, F.col("cid").alias("cluster"),
+                    F.col("drop_id").isNull().alias("kept"),
+                    "keeper", "max_cos"))

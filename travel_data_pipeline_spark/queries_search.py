@@ -196,3 +196,109 @@ def hybrid_search_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
                     F.col("vec_rk").cast("int").alias("vec_rk"),
                     F.round(1.0 / (60 + F.col("lex_rk"))
                             + 1.0 / (60 + F.col("vec_rk")), 9).alias("rrf")))
+
+
+# ---------------------------------------------------------------------------
+# MMR — maximal-marginal-relevance diversification of a cosine top-k
+# (Carbonell & Goldstein 1998): greedily pick the candidate maximizing
+# lam*rel - (1-lam)*max_sim_to_already_picked. The k greedy steps are
+# inherently sequential, so they unroll into the plan exactly like the
+# kmeans iterations (tiny relations: the candidate pool is bounded).
+# ---------------------------------------------------------------------------
+
+_MMR_K = 5          # picks
+_MMR_POOL = 20      # candidate pool (the heavy part is the ANN top-k)
+_MMR_LAM = "0.7"    # literal strings so both engines parse identical doubles
+_MMR_PEN = "0.3"
+
+_MMR_COS = ("round(list_dot_product({a}, {b}) / "
+            "(sqrt(list_dot_product({a}, {a})) * "
+            "sqrt(list_dot_product({b}, {b}))), 6)")
+
+
+def _mmr_oracle() -> str:
+    ctes = [
+        ("q AS (SELECT CAST(embedding AS DOUBLE[]) AS qv "
+         "FROM embeddings WHERE vec_id = 0)"),
+        ("base AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v "
+         "FROM embeddings WHERE vec_id <> 0)"),
+        (f"scored0 AS (SELECT vec_id, v, "
+         f"{_MMR_COS.format(a='v', b='qv')} AS rel "
+         "FROM base CROSS JOIN q)"),
+        (f"cand AS (SELECT * FROM scored0 "
+         f"ORDER BY rel DESC, vec_id LIMIT {_MMR_POOL})"),
+        ("sel1 AS (SELECT vec_id, v, rel, 1 AS pick_rank, rel AS mmr "
+         "FROM cand ORDER BY rel DESC, vec_id LIMIT 1)"),
+    ]
+    pair = _MMR_COS.format(a="r.v", b="s.v")
+    for k in range(2, _MMR_K + 1):
+        p = k - 1
+        ctes.append(
+            f"rem{k} AS (SELECT c.* FROM cand c "
+            f"WHERE c.vec_id NOT IN (SELECT vec_id FROM sel{p}))")
+        ctes.append(
+            f"pen{k} AS (SELECT r.vec_id, r.v, r.rel, "
+            f"MAX({pair}) AS max_sim "
+            f"FROM rem{k} r CROSS JOIN sel{p} s "
+            f"GROUP BY r.vec_id, r.v, r.rel)")
+        ctes.append(
+            f"pick{k} AS (SELECT vec_id, v, rel, {k} AS pick_rank, "
+            f"round({_MMR_LAM} * rel - {_MMR_PEN} * max_sim, 6) AS mmr "
+            f"FROM pen{k} ORDER BY mmr DESC, vec_id LIMIT 1)")
+        ctes.append(
+            f"sel{k} AS (SELECT * FROM sel{p} "
+            f"UNION ALL SELECT * FROM pick{k})")
+    return ("WITH " + ",\n".join(ctes) +
+            f"\nSELECT vec_id, CAST(pick_rank AS INT) AS pick_rank, "
+            f"rel, mmr FROM sel{_MMR_K}")
+
+
+@register("mmr_diversified_topk", _mmr_oracle())
+def mmr_diversified_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MMR re-ranking of the cosine top-20 for query vec_id=0 into 5
+    diverse picks.
+
+    Scale shape: candidate generation is the existing ANN/brute top-k
+    (corpus-sized, one pass); the greedy MMR loop then runs on a
+    POOL-sized relation (20 rows) — each unrolled step is an anti-join
+    + a pool x picked cross join, all broadcast-tiny regardless of
+    corpus size. Determinism: every cosine and every mmr score is
+    rounded to 6 dp before comparison, ties break on vec_id.
+    """
+    lam, pen = float(_MMR_LAM), float(_MMR_PEN)
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = (emb.filter(F.col("vec_id") == 0)
+         .select(as_double(F.col("embedding")).alias("qv")))
+    base = (emb.filter(F.col("vec_id") != 0)
+            .select("vec_id", as_double(F.col("embedding")).alias("v")))
+    scored = (base.crossJoin(F.broadcast(q))
+              .select("vec_id", "v",
+                      F.round(cosine(F.col("v"), F.col("qv")), 6)
+                       .alias("rel")))
+    cand = (scored.orderBy(F.col("rel").desc(), F.col("vec_id"))
+            .limit(_MMR_POOL).localCheckpoint(eager=False))
+
+    selected = (cand.orderBy(F.col("rel").desc(), F.col("vec_id")).limit(1)
+                .select("vec_id", "v", "rel",
+                        F.lit(1).alias("pick_rank"),
+                        F.col("rel").alias("mmr")))
+    for k in range(2, _MMR_K + 1):
+        rem = cand.join(selected.select("vec_id"), "vec_id", "anti")
+        pen_df = (rem.crossJoin(F.broadcast(
+                      selected.select(F.col("v").alias("sv"))))
+                  .select("vec_id", "rel",
+                          F.round(cosine(F.col("v"), F.col("sv")), 6)
+                           .alias("sim"))
+                  .groupBy("vec_id", "rel")
+                  .agg(F.max("sim").alias("max_sim")))
+        pick = (pen_df
+                .select("vec_id", "rel",
+                        F.round(F.lit(lam) * F.col("rel")
+                                - F.lit(pen) * F.col("max_sim"), 6)
+                         .alias("mmr"))
+                .orderBy(F.col("mmr").desc(), F.col("vec_id")).limit(1)
+                .join(cand.select("vec_id", "v"), "vec_id")
+                .select("vec_id", "v", "rel",
+                        F.lit(k).alias("pick_rank"), "mmr"))
+        selected = selected.unionByName(pick)
+    return selected.select("vec_id", "pick_rank", "rel", "mmr")

@@ -69,6 +69,9 @@ PRIORITY_HEAD: tuple[str, ...] = (
     "table_fingerprints",
     # formerly oracle-less, now driver-checkable
     "multimodal_frame_sample", "pca_embeddings_by_label",
+    # round-3 additions (new operators, never sampled by definition)
+    "semantic_dedup", "mmr_diversified_topk",
+    "quality_classifier_logistic", "event_pattern_match",
     # bench headliners without a green row
     "kmeans_embeddings", "tfidf_top_terms", "ewma_values_per_user",
     "rfm_customer_segments", "pipeline_chunked_shards",
