@@ -431,34 +431,77 @@ def reservoir_sample_per_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
             .filter(F.col("rk") <= 5))
 
 
-@register("pca_embeddings_by_label", """
--- Eigendecomposition is not SQL-expressible, so the oracle pins the
--- sf0.01 ground truth as literals. The values were computed with an
--- INDEPENDENT numpy run (np.cov + np.linalg.eigh straight off the
--- parquet, same largest-|coord|-positive sign convention) and agree
--- with the Spark/applyInPandas output to all 6 rounded digits.
--- Valid only for /root/testdata/sf0.01 — the driver's oracle SF.
-SELECT * FROM (VALUES
-  (0, CAST(50 AS BIGINT), CAST(0.07063 AS DOUBLE), CAST(0.070557 AS DOUBLE), '-0.099981,-0.016235,0.172178,0.037558,-0.012832,-0.070639,0.148797,0.117342'),
-  (1, CAST(46 AS BIGINT), CAST(0.065208 AS DOUBLE), CAST(0.065213 AS DOUBLE), '0.025327,0.050676,0.013407,0.088369,-0.022436,-0.023504,-0.188653,-0.093739'),
-  (2, CAST(47 AS BIGINT), CAST(0.067517 AS DOUBLE), CAST(0.067452 AS DOUBLE), '0.039596,0.138265,0.079575,0.183401,-0.290226,-0.061547,-0.084243,0.051573'),
-  (3, CAST(59 AS BIGINT), CAST(0.059959 AS DOUBLE), CAST(0.060114 AS DOUBLE), '-0.003162,-0.053028,-0.098837,0.036669,0.084492,0.154804,0.216631,-0.028952'),
-  (4, CAST(52 AS BIGINT), CAST(0.065506 AS DOUBLE), CAST(0.065915 AS DOUBLE), '0.131682,0.028119,-0.021236,0.133612,-0.060421,0.104089,0.0579,-0.110374'),
-  (5, CAST(44 AS BIGINT), CAST(0.067114 AS DOUBLE), CAST(0.066976 AS DOUBLE), '-0.288006,0.09601,-0.040186,0.008528,-0.04117,0.012391,0.099984,-0.057717'),
-  (6, CAST(46 AS BIGINT), CAST(0.068582 AS DOUBLE), CAST(0.068275 AS DOUBLE), '0.107614,0.064153,0.143558,-0.141432,0.026212,-0.14002,0.078021,-0.042992'),
-  (7, CAST(53 AS BIGINT), CAST(0.064363 AS DOUBLE), CAST(0.064331 AS DOUBLE), '-0.015478,0.081288,-0.024427,-0.102857,-0.263114,-0.293454,0.327243,-0.048444'),
-  (8, CAST(49 AS BIGINT), CAST(0.06574 AS DOUBLE), CAST(0.065831 AS DOUBLE), '0.010339,-0.009694,0.120892,-0.025585,0.145088,-0.05365,0.255681,0.411856'),
-  (9, CAST(54 AS BIGINT), CAST(0.06195 AS DOUBLE), CAST(0.062613 AS DOUBLE), '0.069592,0.154802,-0.163242,-0.022835,-0.009127,0.298819,-0.253441,-0.067032')
-) AS t(label, n_vecs, top_eigenvalue, explained_ratio, component_head)
-""")
+def _pca_oracle() -> str:
+    """LAZY oracle: eigendecomposition is not SQL-expressible, so the
+    ground truth is computed here with an INDEPENDENT numpy pass
+    straight off the oracle-SF parquet (np.cov + np.linalg.eigh, same
+    largest-|coord|-positive sign convention as operators/ml) and
+    rendered as a VALUES literal at oracle_sql() access time. Lazy
+    because the driver REGENERATES testdata between rounds — a pinned
+    literal would silently go stale (the r02->r03 events.ts dtype flip
+    proved regeneration happens).
+
+    Rounding mirrors Spark exactly: F.round on doubles is
+    BigDecimal.valueOf(d).setScale(6, HALF_UP), i.e. HALF_UP on the
+    SHORTEST decimal rendering — Decimal(repr(x)) reproduces that.
+    component_head is integer micro-units, so no float-to-string
+    rendering is compared across engines.
+    """
+    import os
+    from decimal import ROUND_HALF_UP, Decimal
+
+    import duckdb
+    import numpy as np
+
+    sf_dir = os.environ.get("SPARK_GRAFT_ORACLE_SF", "/root/testdata/sf0.01")
+
+    def r6(x: float) -> float:
+        return float(Decimal(repr(float(x)))
+                     .quantize(Decimal("0.000001"), ROUND_HALF_UP))
+
+    def micro(x: float) -> int:
+        return int(Decimal(repr(float(x)))
+                   .quantize(Decimal("1"), ROUND_HALF_UP))
+
+    con = duckdb.connect()
+    rows = con.execute(
+        "SELECT label, CAST(embedding AS DOUBLE[]) FROM "
+        f"read_parquet('{sf_dir}/embeddings.parquet') ORDER BY vec_id"
+    ).fetchall()
+    con.close()
+    by_label: dict[int, list] = {}
+    for lab, vec in rows:
+        by_label.setdefault(int(lab), []).append(vec)
+    values = []
+    for lab in sorted(by_label):
+        x = np.array(by_label[lab], dtype=np.float64)
+        c = np.cov(x, rowvar=False, bias=False)
+        vals, vecs = np.linalg.eigh(c)
+        top, comp = float(vals[-1]), vecs[:, -1]
+        if comp[np.argmax(np.abs(comp))] < 0:
+            comp = -comp
+        head = ",".join(str(micro(v * 1e6)) for v in comp[:8])
+        values.append(
+            f"  ({lab}, CAST({x.shape[0]} AS BIGINT), "
+            f"CAST({r6(top)!r} AS DOUBLE), "
+            f"CAST({r6(top / float(vals.sum()))!r} AS DOUBLE), '{head}')")
+    return ("SELECT * FROM (VALUES\n" + ",\n".join(values) +
+            "\n) AS t(label, n_vecs, top_eigenvalue, explained_ratio, "
+            "component_head)")
+
+
+@register("pca_embeddings_by_label", _pca_oracle)
 def pca_embeddings_by_label(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top principal component per embedding label via grouped
     applyInPandas (operators/ml.pca_top_component_by_label) — the
     variance-structure probe a curation pipeline runs before choosing
-    cluster counts or projection dims. The oracle is a pinned literal
-    (eig is not SQL-expressible) independently recomputed with numpy;
+    cluster counts or projection dims. The oracle is a lazily-rendered
+    literal independently computed with numpy (see _pca_oracle);
     tests/test_ml.py additionally asserts values against numpy at
-    runtime, so the literal and the live check cross-validate."""
+    runtime, so the literal and the live check cross-validate.
+    component_head is emitted as integer micro-units (round(x*1e6)) so
+    the cross-engine comparison never depends on double->string
+    rendering."""
     emb = load_table(spark, sf_dir, "embeddings").select(
         "vec_id", "label", ml.as_double_vec(F.col("embedding")).alias("v"))
     out = ml.pca_top_component_by_label(emb, dim=_DIM)
@@ -467,7 +510,8 @@ def pca_embeddings_by_label(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("top_eigenvalue", 6).alias("top_eigenvalue"),
         F.round("explained_ratio", 6).alias("explained_ratio"),
         F.array_join(F.transform("component_head",
-                                 lambda x: F.round(x, 6).cast("string")),
+                                 lambda x: F.round(x * 1e6)
+                                            .cast("long").cast("string")),
                      ",").alias("component_head"))
 
 

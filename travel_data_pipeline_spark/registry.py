@@ -20,12 +20,16 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession
 
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
-ORACLES: dict[str, str] = {}
+# values: oracle SQL, or a zero-arg callable producing it (lazy oracles
+# regenerate data-dependent literals at access time, so driver testdata
+# regeneration between rounds can't strand a stale pinned value)
+ORACLES: dict[str, str | Callable[[], str]] = {}
 
 
-def register(name: str, oracle: str | None = None):
+def register(name: str, oracle: str | Callable[[], str] | None = None):
     """Decorator: add a (spark, sf_dir) -> DataFrame query, optionally
-    with its DuckDB oracle SQL."""
+    with its DuckDB oracle SQL (a string, or a zero-arg callable that
+    renders it on demand)."""
 
     def deco(fn: Callable[[SparkSession, str], DataFrame]):
         QUERIES[name] = fn
@@ -34,6 +38,12 @@ def register(name: str, oracle: str | None = None):
         return fn
 
     return deco
+
+
+def resolved_oracles() -> dict[str, str]:
+    """ORACLES with lazy entries rendered to SQL strings."""
+    return {name: sql() if callable(sql) else sql
+            for name, sql in ORACLES.items()}
 
 
 # --- import side-effect registration (each module calls register()) -------
