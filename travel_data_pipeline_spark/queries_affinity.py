@@ -210,3 +210,54 @@ def copurchase_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
                           + F.lit(DAMPING) * F.col("nsum")).alias("r")))
     return ranks.select(F.col("node").alias("l_partkey"),
                         F.round("r", 6).alias("pagerank"))
+
+
+# ---------------------------------------------------------------------------
+# Triangle counting on the support-filtered co-purchase graph — the
+# classic graph-analytics kernel (clustering-coefficient numerator).
+# Canonical a<b<c orientation: every pair relation already stores
+# part_a < part_b, so each triangle is counted exactly once and the
+# heaviest join is edges x edges pruned by the a<b<c wedge condition.
+# ---------------------------------------------------------------------------
+
+@register("copurchase_triangles", f"""
+WITH {_PAIRS_SQL},
+e AS (SELECT part_a AS a, part_b AS b FROM pair_counts),
+tri AS (
+    SELECT e1.a, e1.b, e2.b AS c
+    FROM e e1
+    JOIN e e2 ON e2.a = e1.b          -- wedge a<b, b<c
+    JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b   -- closing edge a<c
+)
+SELECT node, CAST(COUNT(*) AS BIGINT) AS tri_cnt
+FROM (
+    SELECT a AS node FROM tri
+    UNION ALL SELECT b FROM tri
+    UNION ALL SELECT c FROM tri
+)
+GROUP BY node
+""")
+def copurchase_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-node triangle counts over the capped, support-filtered
+    co-purchase graph.
+
+    Scale shape: edges are canonically oriented (a<b), so the wedge
+    join e1.b=e2.a enumerates each open triangle once and the closing
+    semi-equi-join checks (a,c); both joins are equi-joins Catalyst can
+    shuffle-partition on the shared key, and the wedge relation is
+    support-pruned BEFORE expansion (MINSUP + MAX_BASKET bound the
+    degree). This is the node-iterator++ layout GraphX/Spark graph
+    libraries lower to."""
+    items = _order_items(spark, sf_dir)
+    e = _pair_counts(items).select(F.col("part_a").alias("a"),
+                                   F.col("part_b").alias("b"))
+    e1, e2, e3 = e.alias("e1"), e.alias("e2"), e.alias("e3")
+    tri = (e1.join(e2, F.col("e2.a") == F.col("e1.b"))
+           .join(e3, (F.col("e3.a") == F.col("e1.a"))
+                 & (F.col("e3.b") == F.col("e2.b")))
+           .select(F.col("e1.a").alias("a"), F.col("e1.b").alias("b"),
+                   F.col("e2.b").alias("c")))
+    nodes = (tri.select(F.col("a").alias("node"))
+             .unionAll(tri.select(F.col("b").alias("node")))
+             .unionAll(tri.select(F.col("c").alias("node"))))
+    return nodes.groupBy("node").agg(F.count("*").alias("tri_cnt"))

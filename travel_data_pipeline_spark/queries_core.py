@@ -1365,3 +1365,53 @@ def event_pattern_match(spark: SparkSession, sf_dir: str) -> DataFrame:
                     us.alias("start_us"),
                     us2.alias("end_us"),
                     (us2 - us).alias("duration_us")))
+
+
+# ---------------------------------------------------------------------------
+# Last-click attribution — every purchase attributed to the user's most
+# recent PRIOR click within 7 days, spelled as a single window pass
+# (the as-of-join semantics without a join: running max of click-time
+# over the interleaved per-user stream).
+# ---------------------------------------------------------------------------
+
+@register("attribution_last_click", """
+WITH stream AS (
+    SELECT user_id, event_id, ts, event_type,
+           MAX(CASE WHEN event_type = 'click' THEN epoch_us(ts) END)
+             OVER (PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+             AS last_click_us
+    FROM events
+)
+SELECT user_id, event_id AS purchase_event_id,
+       CAST(epoch_us(ts) AS BIGINT) AS purchase_us,
+       CAST(last_click_us AS BIGINT) AS click_us,
+       CAST(epoch_us(ts) - last_click_us AS BIGINT) AS lag_us
+FROM stream
+WHERE event_type = 'purchase' AND last_click_us IS NOT NULL
+  AND epoch_us(ts) - last_click_us <= 604800000000
+""")
+def attribution_last_click(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Purchases attributed to the latest prior click within 7 days.
+
+    Scale shape: the naive spelling is an as-of self-join of purchases
+    against clicks; this one is a SINGLE window pass over the
+    interleaved per-user stream (running conditional max), so the cost
+    is one user_id shuffle + an in-partition sort — the same class as
+    sessionize, with no second events scan and no join at all."""
+    e = load_table(spark, sf_dir, "events")
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    w = (Window.partitionBy("user_id").orderBy("ts", "event_id")
+         .rowsBetween(Window.unboundedPreceding, -1))
+    stream = e.select(
+        "user_id", "event_id", "ts", "event_type",
+        F.max(F.when(F.col("event_type") == "click", us)).over(w)
+         .alias("click_us"))
+    return (stream.filter((F.col("event_type") == "purchase")
+                          & F.col("click_us").isNotNull()
+                          & (us - F.col("click_us") <= 604_800_000_000))
+            .select("user_id",
+                    F.col("event_id").alias("purchase_event_id"),
+                    us.alias("purchase_us"),
+                    "click_us",
+                    (us - F.col("click_us")).alias("lag_us")))
