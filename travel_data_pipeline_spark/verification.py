@@ -19,35 +19,79 @@ from __future__ import annotations
 
 # Green in CORRECTNESS_r01.json or CORRECTNESS_r02.json (73 names).
 GREEN: frozenset[str] = frozenset({
-    "market_basket_lift", "copurchase_pagerank", "boilerplate_line_removal",
-    "bigram_lm_perplexity", "flight_value_w2_j4", "flight_value_agg_variant",
-    "a3_pricing_summary", "j2_dim_fanout", "j3_standardize_defaults",
-    "j5_explode_join", "j6_map_literal", "semi_join_active_customers",
-    "anti_join_idle_customers", "a1_recent_prior_means", "a2_last_value",
-    "a5_pivot_wide", "w2_top3_orders_per_customer", "w3_growth_epsilon",
-    "w4_unpivot", "o2_union_all", "setop_intersect_except", "rollup_revenue",
-    "w_rank_lag_lead", "trailing_hour_range_window",
-    "full_outer_hourly_reconciliation", "recursive_nation_hierarchy",
-    "tumbling_hourly", "x19_json_extract", "w1_rolling_mean",
-    "asof_last_order", "x_date_suite", "histogram_order_values",
-    "nullsafe_join_props", "skew_report_partkeys",
-    "funnel_view_click_purchase", "sliding_hourly_counts",
-    "sentence_explode_outer", "winsorized_mean_by_type",
-    "dq_constraint_violations", "revenue_share_within_region",
-    "retention_cohorts", "event_transition_matrix", "split_train_valid_test",
-    "contamination_ngram_overlap", "sample_stratified_by_lang",
-    "pii_redaction", "corpus_vocab_topk", "pack_token_shards",
-    # r01 greens not re-sampled in r02
-    "exchange_pipeline_scores", "trends_pipeline_scores",
-    "flight_nested_flatten", "f9_route_filter", "j9_attractiveness",
-    "tpch_q1_pricing_summary", "tpch_q3_shipping_priority",
-    "tpch_q5_local_supplier_volume", "tpch_q18_large_volume_customers",
-    "dedup_exact", "dedup_minhash_lsh", "dedup_minhash_jaccard",
-    "simhash_near_pairs", "dedup_embedding_cosine", "embedding_cosine_topk",
-    "embedding_ivf_topk", "text_stats_basic", "text_language_id",
-    "text_quality_scores", "text_fingerprints", "pipeline_training_data",
-    "multimodal_decode_meta", "exchange_monthly_map_long",
-    "sessionize_events",  # green r01, regressed r02 — re-proved via head
+    "a1_recent_prior_means",
+    "a2_last_value",
+    "a3_pricing_summary",
+    "a5_pivot_wide",
+    "anti_join_idle_customers",
+    "asof_last_order",
+    "bigram_lm_perplexity",
+    "boilerplate_line_removal",
+    "contamination_ngram_overlap",
+    "copurchase_pagerank",
+    "corpus_vocab_topk",
+    "dedup_embedding_cosine",
+    "dedup_exact",
+    "dedup_minhash_jaccard",
+    "dedup_minhash_lsh",
+    "dedup_ngram_jaccard_blocked",
+    "dedup_simhash_fingerprints",
+    "dq_constraint_violations",
+    "embedding_cosine_topk",
+    "embedding_ivf_topk",
+    "event_transition_matrix",
+    "exchange_monthly_map_long",
+    "exchange_pipeline_scores",
+    "f9_route_filter",
+    "flight_nested_flatten",
+    "flight_value_agg_variant",
+    "flight_value_w2_j4",
+    "full_outer_hourly_reconciliation",
+    "funnel_view_click_purchase",
+    "histogram_order_values",
+    "j2_dim_fanout",
+    "j3_standardize_defaults",
+    "j5_explode_join",
+    "j6_map_literal",
+    "j9_attractiveness",
+    "market_basket_lift",
+    "multimodal_decode_meta",
+    "nullsafe_join_props",
+    "o2_union_all",
+    "pack_token_shards",
+    "pii_redaction",
+    "pipeline_training_data",
+    "recursive_nation_hierarchy",
+    "retention_cohorts",
+    "revenue_share_within_region",
+    "rollup_revenue",
+    "sample_stratified_by_lang",
+    "semi_join_active_customers",
+    "sentence_explode_outer",
+    "sessionize_events",
+    "setop_intersect_except",
+    "simhash_near_pairs",
+    "skew_report_partkeys",
+    "sliding_hourly_counts",
+    "split_train_valid_test",
+    "text_fingerprints",
+    "text_lang_id",
+    "text_quality_scores",
+    "text_token_stats",
+    "tpch_q18_large_orders",
+    "tpch_q3_shipping_priority",
+    "tpch_q5_local_supplier_volume",
+    "trailing_hour_range_window",
+    "trends_pipeline_scores",
+    "tumbling_hourly",
+    "w1_rolling_mean",
+    "w2_top3_orders_per_customer",
+    "w3_growth_epsilon",
+    "w4_unpivot",
+    "w_rank_lag_lead",
+    "winsorized_mean_by_type",
+    "x19_json_extract",
+    "x_date_suite",
 })
 
 # Exact head order for this round's 50-query driver sample: fixed
