@@ -119,3 +119,34 @@ def test_dedup_has_no_self_join(spark, sf_smoke, name):
     plan = _plan(QUERIES[name](spark, sf_smoke))
     assert "Join" not in plan.split("== Physical Plan ==")[-1] or \
         "BroadcastHashJoin" not in plan.split("Generate explode")[0], plan
+
+
+@pytest.mark.parametrize("name", ["attribution_last_click",
+                                  "event_pattern_match",
+                                  "sessionize_events"])
+def test_stream_shaped_window_ops_single_shuffle(spark, sf_smoke, name):
+    """The per-user window family must stay ONE user_id shuffle — a
+    second exchange would mean someone re-introduced a self-join or
+    broke window-partitioning reuse."""
+    plan = _plan(QUERIES[name](spark, sf_smoke))
+    assert _shuffle_exchanges(plan) <= 2, plan  # sessionize: window + groupBy reuse
+    if name in ("attribution_last_click", "event_pattern_match"):
+        assert _shuffle_exchanges(plan) == 1, plan
+
+
+def test_mmr_candidate_relations_broadcast(spark, sf_smoke):
+    """Every post-candidate MMR step must broadcast the picked set —
+    a shuffle join there would scale with corpus size instead of
+    pool size."""
+    plan = _plan(QUERIES["mmr_diversified_topk"](spark, sf_smoke))
+    assert "BroadcastExchange" in plan
+    # the greedy steps must not sort-merge-join the tiny relations
+    assert "SortMergeJoin" not in plan, plan
+
+
+def test_semantic_dedup_pair_join_on_cluster_key(spark, sf_smoke):
+    """SemDeDup's pair generation must be an equi-join on cid (the
+    cluster-bounded expansion), never a broadcast nested loop over the
+    corpus."""
+    plan = _plan(QUERIES["semantic_dedup"](spark, sf_smoke))
+    assert "CartesianProduct" not in plan, plan
