@@ -264,7 +264,8 @@ z AS (
                  + {_QC_W[4]} * log_len, 6) AS logit
     FROM x
 )
-SELECT doc_id, alpha_ratio, punct_ratio, mean_word_len, log_len, logit,
+SELECT doc_id, alpha_ratio, punct_ratio, mean_word_len, log_len,
+       logit + 0.0 AS logit,
        ROUND(1.0 / (1.0 + exp(-logit)), 4) AS p_keep,
        logit >= 0.0 AS keep
 FROM z
@@ -297,7 +298,7 @@ def quality_classifier_logistic(spark: SparkSession, sf_dir: str) -> DataFrame:
                     + F.lit(w2) * F.col("punct_ratio")
                     + F.lit(w3) * F.col("mean_word_len")
                     + F.lit(w4) * F.col("log_len"), 6)
-    return (feats.withColumn("logit", logit)
+    return (feats.withColumn("logit", logit + F.lit(0.0))
             .withColumn("p_keep",
                         F.round(F.lit(1.0)
                                 / (F.lit(1.0) + F.exp(-F.col("logit"))), 4))

@@ -480,8 +480,9 @@ ranked AS (
                               ORDER BY k DESC, doc_id) AS rn
     FROM keyed
 )
-SELECT lang, doc_id, n_chars, round(k, 6) AS sample_key,
-       CAST(rn AS INT) AS rn
+SELECT lang, doc_id, n_chars,
+       round(k, 6) + 0.0 AS sample_key,   -- +0.0: u=1 gives k=-0.0 in one
+       CAST(rn AS INT) AS rn              -- engine, +0.0 in the other
 FROM ranked WHERE rn <= {_WS_K}
 """)
 def weighted_sample_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -501,5 +502,5 @@ def weighted_sample_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (keyed.withColumn("rn", F.row_number().over(w))
             .filter(F.col("rn") <= _WS_K)
             .select("lang", "doc_id", "n_chars",
-                    F.round("k", 6).alias("sample_key"),
+                    (F.round("k", 6) + F.lit(0.0)).alias("sample_key"),
                     F.col("rn").cast("int").alias("rn")))

@@ -250,7 +250,7 @@ def _mmr_oracle() -> str:
             f"UNION ALL SELECT * FROM pick{k})")
     return ("WITH " + ",\n".join(ctes) +
             f"\nSELECT vec_id, CAST(pick_rank AS INT) AS pick_rank, "
-            f"rel, mmr FROM sel{_MMR_K}")
+            f"rel + 0.0 AS rel, mmr + 0.0 AS mmr FROM sel{_MMR_K}")
 
 
 @register("mmr_diversified_topk", _mmr_oracle())
@@ -301,4 +301,7 @@ def mmr_diversified_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
                 .select("vec_id", "v", "rel",
                         F.lit(k).alias("pick_rank"), "mmr"))
         selected = selected.unionByName(pick)
-    return selected.select("vec_id", "pick_rank", "rel", "mmr")
+    return selected.select(
+        "vec_id", "pick_rank",
+        (F.col("rel") + F.lit(0.0)).alias("rel"),      # +0.0 kills -0.0
+        (F.col("mmr") + F.lit(0.0)).alias("mmr"))

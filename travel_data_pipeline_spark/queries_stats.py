@@ -38,7 +38,7 @@ def _corr_expr(n: Column, sx: Column, sy: Column, sxx: Column,
 _CORR_SQL_PAIR = """
        round((n * s{a}{b} - s{a} * s{b})
              / (sqrt(n * s{a}{a} - s{a} * s{a})
-                * sqrt(n * s{b}{b} - s{b} * s{b})), 6)"""
+                * sqrt(n * s{b}{b} - s{b} * s{b})), 6) + 0.0"""
 
 
 @register("corr_matrix_lineitem", f"""
@@ -99,9 +99,9 @@ def corr_matrix_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
         return F.struct(
             F.lit(va).alias("var_a"), F.lit(vb).alias("var_b"),
             F.col("n").alias("n"),
-            F.round(_corr_expr(F.col("n"), F.col(sa), F.col(sb),
-                               F.col(saa), F.col(sbb), F.col(sab)),
-                    6).alias("corr"))
+            (F.round(_corr_expr(F.col("n"), F.col(sa), F.col(sb),
+                                F.col(saa), F.col(sbb), F.col(sab)),
+                     6) + F.lit(0.0)).alias("corr"))
 
     return (sums.select(F.explode(F.array(
         pair("l_quantity", "l_extendedprice", "sq", "sp", "sqq", "spp", "sqp"),
@@ -134,9 +134,9 @@ sums AS (
     FROM fact GROUP BY n_name
 )
 SELECT n_name, CAST(n_orders AS BIGINT) AS n_orders,
-       round((n * sxy - sx * sy) / (n * sxx - sx * sx), 6) AS slope,
+       round((n * sxy - sx * sy) / (n * sxx - sx * sx), 6) + 0.0 AS slope,
        round((sy - ((n * sxy - sx * sy) / (n * sxx - sx * sx)) * sx) / n, 6)
-           AS intercept
+           + 0.0 AS intercept
 FROM sums
 """)
 def trend_slope_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -166,8 +166,8 @@ def trend_slope_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
     slope = (nd * sxy - sx * sy) / (nd * sxx - sx * sx)
     return sums.select(
         "n_name", "n_orders",
-        F.round(slope, 6).alias("slope"),
-        F.round((sy - slope * sx) / nd, 6).alias("intercept"))
+        (F.round(slope, 6) + F.lit(0.0)).alias("slope"),
+        (F.round((sy - slope * sx) / nd, 6) + F.lit(0.0)).alias("intercept"))
 
 
 # ---------------------------------------------------------------------------
@@ -189,7 +189,15 @@ walk AS (
     FROM seq s JOIN walk w
       ON s.user_id = w.user_id AND s.rn = w.rn + 1
 )
-SELECT user_id, event_id, CAST(rn AS INT) AS rn, round(ewma, 6) AS ewma
+-- Spark-parity rounding: DuckDB's round(DOUBLE, 6) scales by 1e6 in
+-- binary (the multiply can cross a .5 boundary the true value is
+-- under: observed at sf0.1, 37.164888499999996 -> .164889), while
+-- Spark rounds the SHORTEST decimal rendering (BigDecimal.valueOf)
+-- HALF_UP. format('{}') is DuckDB's shortest-roundtrip formatter, so
+-- parse-then-decimal-round reproduces Spark exactly.
+SELECT user_id, event_id, CAST(rn AS INT) AS rn,
+       CAST(round(CAST(format('{}', ewma) AS DECIMAL(38,18)), 6)
+            AS DOUBLE) AS ewma
 FROM walk
 """)
 def ewma_values_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:

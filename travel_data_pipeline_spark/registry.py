@@ -10,7 +10,17 @@ Float-determinism rules used throughout (see operators/aggregates.py):
   back to double;
 - derived ratios are computed with the same expression tree on both
   sides (per-row IEEE double ops are deterministic);
-- scores from iterative/array folds are ROUND(x, 6) on both sides.
+- scores from iterative/array folds are ROUND(x, 6) on both sides;
+- any rounded column that can land near zero from a NEGATIVE value
+  gets `+ 0.0` on BOTH sides — the engines disagree on -0.0 vs 0.0
+  and the value-hash compares strings (found at sf0.1:
+  weighted_sample_docs);
+- deep-recurrence outputs (EWMA-style folds) use the Spark-parity
+  rounding spelling in the ORACLE:
+  `round(CAST(format('{}', x) AS DECIMAL(38,18)), 6)` — DuckDB's
+  plain round() scales by 1e6 in binary and can cross a .5 boundary
+  the true value is under, while Spark HALF_UPs the shortest decimal
+  rendering (found at sf0.1: ewma_values_per_user, 6/100k rows).
 """
 
 from __future__ import annotations
