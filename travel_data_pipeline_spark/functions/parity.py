@@ -1,0 +1,27 @@
+"""Spark-parity rounding spelling for DuckDB oracles.
+
+DuckDB's ``round(DOUBLE, n)`` scales by 10^n in BINARY; the multiply
+error can carry a value across a .5 boundary its true decimal
+expansion is under (observed: round(37.164888499999996, 6) ->
+37.164889). Spark's ``F.round`` is ``BigDecimal.valueOf(x)`` — the
+SHORTEST roundtrip decimal rendering — ``.setScale(n, HALF_UP)``,
+which respects the true expansion (-> 37.164888).
+
+``format('{}', x)`` is DuckDB's shortest-roundtrip formatter (matching
+Java's Double.toString), so parsing it into a DECIMAL and rounding
+there reproduces Spark bit-for-bit: DuckDB's decimal round is
+half-away-from-zero == Java HALF_UP on both signs.
+
+Use for oracle OUTPUT columns whose doubles are "dirty" (recurrence
+folds, integer/decimal ratios — values that land near x.5*10^-n far
+more often than uniform doubles). Bounded to |x| < 1e20 by the
+DECIMAL(38,18) parse — fine for every value this engine rounds.
+"""
+
+from __future__ import annotations
+
+
+def round_sql(expr: str, n: int = 6) -> str:
+    """Spark-parity ROUND(expr, n) for DuckDB oracle SQL."""
+    return (f"CAST(round(CAST(format('{{}}', {expr}) AS DECIMAL(38,18)), "
+            f"{n}) AS DOUBLE)")

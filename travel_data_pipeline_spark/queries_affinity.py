@@ -156,7 +156,7 @@ nn AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM nodes),
 strength AS (SELECT s, SUM(w) AS st FROM edges GROUP BY s),
 r0 AS (SELECT node, 1.0 / nn.n AS r FROM nodes CROSS JOIN nn),
 {','.join(iters)}
-SELECT node AS l_partkey, round(r, 6) AS pagerank FROM r{N_ITER}
+SELECT node AS l_partkey, CAST(round(CAST(format('{{}}', r) AS DECIMAL(38,18)), 6) AS DOUBLE) AS pagerank FROM r{N_ITER}
 """
 
 

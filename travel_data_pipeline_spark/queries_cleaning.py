@@ -179,7 +179,7 @@ folded AS (
     FROM scored GROUP BY doc_id
 )
 SELECT doc_id, CAST(n_bigrams AS BIGINT) AS n_bigrams,
-       round(exp(total / n_bigrams), 6) AS ppl
+       CAST(round(CAST(format('{{}}', exp(total / n_bigrams)) AS DECIMAL(38,18)), 6) AS DOUBLE) AS ppl
 FROM folded
 """)
 def bigram_lm_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:

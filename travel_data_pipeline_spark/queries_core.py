@@ -964,9 +964,9 @@ p AS (
       AND e.ts <= c.t2 + INTERVAL 1 DAY GROUP BY 1
 )
 SELECT vv.viewed, cc.clicked, pp.purchased,
-       ROUND(cc.clicked / vv.viewed, 6) AS view_to_click,
-       ROUND(pp.purchased / cc.clicked, 6) AS click_to_purchase,
-       ROUND(pp.purchased / vv.viewed, 6) AS full_funnel
+       CAST(round(CAST(format('{}', cc.clicked / vv.viewed) AS DECIMAL(38,18)), 6) AS DOUBLE) AS view_to_click,
+       CAST(round(CAST(format('{}', pp.purchased / cc.clicked) AS DECIMAL(38,18)), 6) AS DOUBLE) AS click_to_purchase,
+       CAST(round(CAST(format('{}', pp.purchased / vv.viewed) AS DECIMAL(38,18)), 6) AS DOUBLE) AS full_funnel
 FROM (SELECT CAST(COUNT(*) AS BIGINT) AS viewed FROM v) vv,
      (SELECT CAST(COUNT(*) AS BIGINT) AS clicked FROM c) cc,
      (SELECT CAST(COUNT(*) AS BIGINT) AS purchased FROM p) pp
@@ -1206,7 +1206,7 @@ WITH nat AS (
     GROUP BY r.r_name, n.n_name
 )
 SELECT r_name, n_name, nation_rev,
-       round(nation_rev / SUM(nation_rev) OVER (PARTITION BY r_name), 6)
+       CAST(round(CAST(format('{}', nation_rev / SUM(nation_rev) OVER (PARTITION BY r_name)) AS DECIMAL(38,18)), 6) AS DOUBLE)
            AS region_share
 FROM nat
 """)
@@ -1286,7 +1286,7 @@ WITH seq AS (
 )
 SELECT event_type AS from_type, next_type AS to_type,
        COUNT(*) AS n,
-       round(COUNT(*) / SUM(COUNT(*)) OVER (PARTITION BY event_type), 6)
+       CAST(round(CAST(format('{}', COUNT(*) / SUM(COUNT(*)) OVER (PARTITION BY event_type)) AS DECIMAL(38,18)), 6) AS DOUBLE)
            AS p
 FROM seq WHERE next_type IS NOT NULL
 GROUP BY event_type, next_type

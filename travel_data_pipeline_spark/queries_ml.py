@@ -154,7 +154,7 @@ dfreq AS (SELECT term, COUNT(*) AS dfreq FROM tf GROUP BY 1),
 n AS (SELECT COUNT(*) AS n_docs FROM documents),
 scored AS (
     SELECT tf.doc_id, tf.term, tf.tf,
-           round(tf.tf * (ln((1.0 + n.n_docs) / (1.0 + dfreq.dfreq)) + 1.0), 6)
+           CAST(round(CAST(format('{{}}', tf.tf * (ln((1.0 + n.n_docs) / (1.0 + dfreq.dfreq)) + 1.0)) AS DECIMAL(38,18)), 6) AS DOUBLE)
                AS score
     FROM tf CROSS JOIN n JOIN dfreq USING (term)
 ),

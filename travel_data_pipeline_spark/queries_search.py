@@ -67,7 +67,8 @@ folded AS (
     FROM scored GROUP BY doc_id
 )
 SELECT doc_id, CAST(n_terms AS INT) AS n_terms,
-       round(list_reduce(ss, (x, y) -> x + y), 6) AS bm25
+       CAST(round(CAST(format('{{}}', list_reduce(ss, (x, y) -> x + y))
+                       AS DECIMAL(38,18)), 6) AS DOUBLE) AS bm25
 FROM folded
 """)
 def bm25_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -129,8 +130,7 @@ scored AS (
     CROSS JOIN stats
 ),
 bm AS (
-    SELECT doc_id, round(list_reduce(list(s ORDER BY term),
-                                     (x, y) -> x + y), 6) AS bm25
+    SELECT doc_id, CAST(round(CAST(format('{{}}', list_reduce(list(s ORDER BY term), (x, y) -> x + y)) AS DECIMAL(38,18)), 6) AS DOUBLE) AS bm25
     FROM scored GROUP BY doc_id
 ),
 lex_rank AS (
@@ -156,7 +156,7 @@ vec_rank AS (
 )
 SELECT l.doc_id, CAST(l.lex_rk AS INT) AS lex_rk,
        CAST(v.vec_rk AS INT) AS vec_rk,
-       round(1.0 / (60 + l.lex_rk) + 1.0 / (60 + v.vec_rk), 9) AS rrf
+       CAST(round(CAST(format('{{}}', 1.0 / (60 + l.lex_rk) + 1.0 / (60 + v.vec_rk)) AS DECIMAL(38,18)), 9) AS DOUBLE) AS rrf
 FROM lex_rank l JOIN vec_rank v USING (doc_id)
 WHERE l.lex_rk <= 50 AND v.vec_rk <= 50
 """)

@@ -336,7 +336,7 @@ folded AS (
 )
 SELECT CAST(n_cells AS BIGINT) AS n_cells,
        CAST((r - 1) * (c - 1) AS INT) AS dof,
-       round(list_reduce(terms, (x, y) -> x + y), 6) AS chi2
+       CAST(round(CAST(format('{}', list_reduce(terms, (x, y) -> x + y)) AS DECIMAL(38,18)), 6) AS DOUBLE) AS chi2
 FROM folded
 """)
 def chi2_event_type_by_dow(spark: SparkSession, sf_dir: str) -> DataFrame:
