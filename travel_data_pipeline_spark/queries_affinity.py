@@ -249,8 +249,14 @@ def copurchase_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     degree). This is the node-iterator++ layout GraphX/Spark graph
     libraries lower to."""
     items = _order_items(spark, sf_dir)
-    e = _pair_counts(items).select(F.col("part_a").alias("a"),
-                                   F.col("part_b").alias("b"))
+    # materialize the edge relation once: the triangle join references
+    # it THREE times, and without a checkpoint each leg replays the
+    # whole items->cap->pair pipeline (plan audit showed 64 shuffle
+    # exchanges; with it the pair build runs once — same reasoning as
+    # pagerank's checkpointed graph load)
+    e = (_pair_counts(items).select(F.col("part_a").alias("a"),
+                                    F.col("part_b").alias("b"))
+         .localCheckpoint(eager=True))
     e1, e2, e3 = e.alias("e1"), e.alias("e2"), e.alias("e3")
     tri = (e1.join(e2, F.col("e2.a") == F.col("e1.b"))
            .join(e3, (F.col("e3.a") == F.col("e1.a"))
