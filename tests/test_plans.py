@@ -134,13 +134,15 @@ def test_stream_shaped_window_ops_single_shuffle(spark, sf_smoke, name):
         assert _shuffle_exchanges(plan) == 1, plan
 
 
-def test_mmr_candidate_relations_broadcast(spark, sf_smoke):
-    """Every post-candidate MMR step must broadcast the picked set —
-    a shuffle join there would scale with corpus size instead of
-    pool size."""
+def test_mmr_final_plan_corpus_free(spark, sf_smoke):
+    """The greedy MMR steps materialize eagerly (pool-sized
+    checkpoints), so the FINAL plan must be corpus-free: no parquet
+    scan, no shuffle, no sort-merge join — a regression here means a
+    step re-acquired corpus lineage and would rescan at every
+    reference on a real cluster."""
     plan = _plan(QUERIES["mmr_diversified_topk"](spark, sf_smoke))
-    assert "BroadcastExchange" in plan
-    # the greedy steps must not sort-merge-join the tiny relations
+    assert "Scan parquet" not in plan, plan
+    assert _shuffle_exchanges(plan) == 0, plan
     assert "SortMergeJoin" not in plan, plan
 
 

@@ -563,7 +563,11 @@ def semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = load_table(spark, sf_dir, "embeddings").select(
         "vec_id", ml.as_double_vec(F.col("embedding")).alias("v"))
-    assigned = ml.kmeans(emb, k=_K, iterations=_ITERS)
+    # the assignment feeds BOTH pair-join sides and the final output
+    # join — materialize it once or the whole unrolled Lloyd's DAG
+    # replays three times (plan audit: 30 -> ~10 shuffle exchanges)
+    assigned = (ml.kmeans(emb, k=_K, iterations=_ITERS)
+                .localCheckpoint(eager=True))
 
     a = assigned.select(F.col("vec_id").alias("keep_id"),
                         F.col("cid"), F.col("v").alias("av"))

@@ -275,8 +275,13 @@ def mmr_diversified_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
               .select("vec_id", "v",
                       F.round(cosine(F.col("v"), F.col("qv")), 6)
                        .alias("rel")))
+    # EAGER checkpoint: the greedy loop references cand in every step
+    # (directly and through the accumulated selected set); lazily each
+    # reference would replay the corpus scan + top-k sort — the plan
+    # audit showed 160 shuffle exchanges. Materializing the 20-row
+    # pool once makes every later step corpus-independent.
     cand = (scored.orderBy(F.col("rel").desc(), F.col("vec_id"))
-            .limit(_MMR_POOL).localCheckpoint(eager=False))
+            .limit(_MMR_POOL).localCheckpoint(eager=True))
 
     selected = (cand.orderBy(F.col("rel").desc(), F.col("vec_id")).limit(1)
                 .select("vec_id", "v", "rel",
@@ -300,7 +305,10 @@ def mmr_diversified_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
                 .join(cand.select("vec_id", "v"), "vec_id")
                 .select("vec_id", "v", "rel",
                         F.lit(k).alias("pick_rank"), "mmr"))
-        selected = selected.unionByName(pick)
+        # checkpoint the accumulated picks: each is <= _MMR_K rows and
+        # every later step references the whole set — without this the
+        # per-step lineage compounds (plan audit: 160 -> ~10 exchanges)
+        selected = selected.unionByName(pick).localCheckpoint(eager=True)
     return selected.select(
         "vec_id", "pick_rank",
         (F.col("rel") + F.lit(0.0)).alias("rel"),      # +0.0 kills -0.0
