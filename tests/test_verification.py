@@ -36,6 +36,8 @@ def test_regression_proofs_lead_the_sample():
                    "semantic_dedup", "mmr_diversified_topk",
                    "quality_classifier_logistic", "event_pattern_match",
                    "copurchase_triangles", "attribution_last_click",
+                   "embedding_random_projection",
+                   "dedup_canonical_by_quality",
                    "f8_dropna_meta_join", "multimodal_frame_sample",
                    "pca_embeddings_by_label"}
     out = sorted(must_sample - sample)

@@ -586,3 +586,56 @@ def semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select(assigned.vec_id, F.col("cid").alias("cluster"),
                     F.col("drop_id").isNull().alias("kept"),
                     "keeper", "max_cos"))
+
+
+# ---------------------------------------------------------------------------
+# Johnson-Lindenstrauss random projection — 64-dim embeddings down to
+# 8 dims via a fixed seeded plane matrix (the cheap-ANN / clustering
+# preprocessing step: distances are approximately preserved, storage
+# and every downstream distance computation shrink 8x).
+# ---------------------------------------------------------------------------
+
+_JL_OUT = 8
+_JL_PLANES = None  # filled lazily to avoid import cycle
+
+
+def _jl_planes() -> list[list[float]]:
+    global _JL_PLANES
+    if _JL_PLANES is None:
+        from travel_data_pipeline_spark.operators.similarity import (
+            random_planes,
+        )
+        _JL_PLANES = random_planes(_JL_OUT, _DIM, seed=29)
+    return _JL_PLANES
+
+
+def _jl_oracle() -> str:
+    cols = []
+    for j, plane in enumerate(_jl_planes()):
+        lit = "[" + ", ".join(repr(x) for x in plane) + "]"
+        dot = (f"list_reduce(list_transform(generate_series(1, {_DIM}), "
+               f"i -> v[i] * ({lit})[i]), (x, y) -> x + y)")
+        cols.append(
+            f"       CAST(round(CAST(format('{{}}', {dot}) "
+            f"AS DECIMAL(38,18)), 6) AS DOUBLE) + 0.0 AS p{j}")
+    return ("WITH emb AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v "
+            "FROM embeddings)\nSELECT vec_id,\n" + ",\n".join(cols) +
+            "\nFROM emb")
+
+
+@register("embedding_random_projection", _jl_oracle)
+def embedding_random_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JL projection to 8 dims: each output coordinate is a sequential
+    dot-product fold against a literal seeded plane (bit-identical in
+    both engines — the sign-LSH discipline), parity-rounded with the
+    -0.0 guard. Pure projection: zero shuffle at any corpus size."""
+    from travel_data_pipeline_spark.operators.similarity import _dot
+
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", ml.as_double_vec(F.col("embedding")).alias("v"))
+    cols = []
+    for j, plane in enumerate(_jl_planes()):
+        lit = F.array(*[F.lit(x) for x in plane])
+        cols.append((F.round(_dot(F.col("v"), lit), 6)
+                     + F.lit(0.0)).alias(f"p{j}"))
+    return emb.select("vec_id", *cols)

@@ -117,6 +117,7 @@ PRIORITY_HEAD: tuple[str, ...] = (
     "semantic_dedup", "mmr_diversified_topk",
     "quality_classifier_logistic", "event_pattern_match",
     "copurchase_triangles", "attribution_last_click",
+    "embedding_random_projection", "dedup_canonical_by_quality",
     # bench headliners without a green row
     "kmeans_embeddings", "tfidf_top_terms", "ewma_values_per_user",
     "rfm_customer_segments", "pipeline_chunked_shards",
