@@ -133,6 +133,49 @@ def test_connected_components_chain(spark):
     assert got == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10}
 
 
+def test_connected_components_star_chain_adversarial(spark):
+    """Diameter-proof path: a 200-vertex chain (diameter 199) must
+    converge within the default 25 alternating star rounds — the
+    propagation loop would need 199 rounds on this graph."""
+    from travel_data_pipeline_spark.operators import graph
+
+    n = 200
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(1, n)], ["doc_a", "doc_b"])
+    got = {r.doc_id: r.component
+           for r in graph.connected_components_star(edges).collect()}
+    assert got == {i: 1 for i in range(1, n + 1)}
+
+
+def test_connected_components_star_matches_propagation(spark):
+    """Both engines compute min-reachable-id; on a seeded random graph
+    (multiple components, cycles, hubs) the labelings must be equal."""
+    import random
+
+    from travel_data_pipeline_spark.operators import graph
+
+    rng = random.Random(42)
+    edges_py = [(rng.randrange(120), rng.randrange(120)) for _ in range(150)]
+    edges_py = [(a, b) for a, b in edges_py if a != b]
+    edges = spark.createDataFrame(edges_py, ["doc_a", "doc_b"])
+    star = {r.doc_id: r.component
+            for r in graph.connected_components_star(edges).collect()}
+    prop = {r.doc_id: r.component
+            for r in graph.connected_components_propagation(edges).collect()}
+    assert star == prop and len(star) > 50
+
+
+def test_connected_components_star_empty_and_pair(spark):
+    from travel_data_pipeline_spark.operators import graph
+
+    empty = spark.createDataFrame([], "doc_a bigint, doc_b bigint")
+    assert graph.connected_components_star(empty).count() == 0
+    pair = spark.createDataFrame([(7, 3)], ["doc_a", "doc_b"])
+    got = {r.doc_id: r.component
+           for r in graph.connected_components_star(pair).collect()}
+    assert got == {3: 3, 7: 3}
+
+
 def test_canonical_map_full_corpus(spark):
     from pyspark.sql import functions as F
 

@@ -870,10 +870,13 @@ SELECT doc_id, component FROM comp
 """)
 def dedup_cluster_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Clusters of verified near-duplicates (component = min doc_id
-    reachable): min-label propagation in Spark, min-reachable-id
-    recursive CTE in DuckDB — both are the same fixpoint, so parity
-    holds no matter how many rounds each engine needs."""
-    return graph.connected_components(_jaccard_edges(spark, sf_dir))
+    reachable): large-star/small-star contraction in Spark (the
+    diameter-proof 100 TB path — pinned here so the driver certifies
+    it against the oracle; auto would pick propagation at this SF),
+    min-reachable-id recursive CTE in DuckDB — both are the same
+    fixpoint, so parity holds no matter how many rounds each needs."""
+    return graph.connected_components(_jaccard_edges(spark, sf_dir),
+                                      algorithm="star")
 
 
 @register("dedup_canonical_map", f"""
