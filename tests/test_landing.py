@@ -51,6 +51,23 @@ def test_landed_flights_equals_fixture_path(spark, raw_dir):
     assert _rows(flatten_flights(raw)) == _rows(flight_nested_flatten(spark, ""))
 
 
+def test_landed_trends_ispartial_marker_dropped_on_read(spark, raw_dir):
+    """P1: the raw JSONL carries pytrends' isPartial marker (one true
+    row per series, on the max ts); the reader drops the column and
+    keeps every row."""
+    import json
+
+    with open(raw_dir / "trends.jsonl", encoding="utf-8") as fh:
+        raw_rows = [json.loads(line) for line in fh]
+    assert all("isPartial" in r for r in raw_rows)
+    n_series = len({(r["group_id"], r["keyword"]) for r in raw_rows})
+    assert sum(r["isPartial"] for r in raw_rows) == n_series
+
+    trends = landing.read_trends_raw(spark, str(raw_dir / "trends.jsonl"))
+    assert "isPartial" not in trends.columns
+    assert trends.count() == len(raw_rows)
+
+
 def test_online_crawl_is_guarded(tmp_path):
     with pytest.raises(NotImplementedError):
         landing.land_exchange_cells(str(tmp_path / "x.jsonl"), online=True)

@@ -146,6 +146,25 @@ TRENDS_SCHEMA = "group_id int, keyword string, ts timestamp, interest int"
 
 ANCHOR_KEYWORD = "해외여행"
 
+# F7 — the keyword sets the crawler REQUESTED per group
+# (google_trends_crawler.py:125-128 warns + skips any requested keyword
+# the API frame came back without). Two planted keywords per the
+# reference's failure mode: requested but never returned.
+TRENDS_REQUESTED_COLS = ("group_id", "keyword")
+TRENDS_REQUESTED_ROWS = [
+    (1, "미국 여행"),
+    (1, "일본 여행"),
+    (1, "독일 여행"),
+    (1, "무명국 여행"),
+    (1, "아틀란티스 여행"),   # requested, API returned no column
+    (1, "해외여행"),
+    (2, "프랑스 여행"),
+    (2, "영국 여행"),
+    (2, "엘도라도 여행"),     # requested, API returned no column
+    (2, "해외여행"),
+]
+TRENDS_REQUESTED_SCHEMA = "group_id int, keyword string"
+
 # ---------------------------------------------------------------------------
 # B5 — nested flight itineraries (X20 double-explode; X18 discount flag)
 # ---------------------------------------------------------------------------

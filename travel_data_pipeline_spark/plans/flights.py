@@ -131,6 +131,59 @@ def flight_value_agg_query(spark: SparkSession, sf_dir: str) -> DataFrame:
         scores.flight_score(pct_diff).alias("value_score"))
 
 
+# P4 — the reference's Korean display-name dictionary, applied at the
+# output EDGE only (_archive/flight_avg_merge.py:59-64 renames
+# city_code/month/avg_price; :109 renames final_city_code). Internal
+# plan columns stay ASCII everywhere; display names exist solely in
+# the final projection, so no join key or filter ever sees one.
+DISPLAY_RENAMES = {
+    "l_partkey": "도착_도시코드",
+    "o_month": "월",
+    "avg_price": "평균가격",
+    "final_city_code": "도착_도시코드_3자리",
+}
+
+
+def edge_rename(df: DataFrame,
+                mapping: dict[str, str] | None = None) -> DataFrame:
+    """Rename internal columns to display names at the output edge.
+    Missing columns are skipped (the reference's rename_dict behaves
+    the same way — pandas.rename ignores absent keys)."""
+    mapping = DISPLAY_RENAMES if mapping is None else mapping
+    cols = set(df.columns)
+    return df.select(*[
+        F.col(c).alias(mapping[c]) if c in mapping else F.col(c)
+        for c in df.columns if c in cols])
+
+
+def flight_monthly_display(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A3 monthly mean + the P4 edge rename layer: the per-destination
+    monthly average price table the reference publishes, with its
+    Korean display headers. Decimal accumulation keeps the mean
+    order-independent (oracle parity)."""
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    monthly = (lineitem
+               .join(orders.select("o_orderkey", "o_orderdate"),
+                     lineitem["l_orderkey"] == orders["o_orderkey"])
+               .groupBy(F.col("l_partkey"),
+                        F.month("o_orderdate").alias("o_month"))
+               .agg((F.sum(F.col("l_extendedprice").cast("decimal(18,2)"))
+                     .cast("double") / F.count("l_extendedprice"))
+                    .alias("avg_price")))
+    return edge_rename(monthly)
+
+
+FLIGHT_MONTHLY_DISPLAY_ORACLE = """
+SELECT l.l_partkey AS "도착_도시코드",
+       CAST(EXTRACT(month FROM o.o_orderdate) AS INT) AS "월",
+       CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+         / COUNT(l.l_extendedprice) AS "평균가격"
+FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+GROUP BY 1, 2
+"""
+
+
 FLIGHT_VALUE_ORACLE = """
 WITH fact AS (
     SELECT l.l_orderkey, l.l_linenumber, l.l_partkey, l.l_extendedprice,

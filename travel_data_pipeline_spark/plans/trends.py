@@ -123,6 +123,83 @@ def trend_scores(spark: SparkSession, sf_dir: str = "") -> DataFrame:
     return trend_scores_from(trends_long, alias_dim)
 
 
+def drop_is_partial(df: DataFrame) -> DataFrame:
+    """P1 — google_trends_crawler.py:66-67: pytrends appends an
+    ``isPartial`` marker column (the trailing bucket is still
+    accumulating when fetched); the reference drops the COLUMN and
+    keeps the rows. Conditional exactly like the reference's
+    ``if "isPartial" in columns`` guard, so already-clean frames pass
+    through untouched."""
+    return df.drop("isPartial") if "isPartial" in df.columns else df
+
+
+def marked_trends(spark: SparkSession) -> DataFrame:
+    """The fixture series with the pytrends-shaped isPartial marker:
+    the last observation of each (group, keyword) series is the
+    still-accumulating partial bucket."""
+    t = FX.to_spark(spark, FX.TRENDS_ROWS, FX.TRENDS_SCHEMA)
+    w = Window.partitionBy("group_id", "keyword")
+    return t.withColumn("isPartial",
+                        F.col("ts") == F.max("ts").over(w))
+
+
+def ispartial_drop(spark: SparkSession, sf_dir: str = "") -> DataFrame:
+    """P1 as a registered query: mark -> explicit drop. The schema
+    check proves the marker is gone; the value hash proves every row
+    (including the partial trailing bucket) survived — the reference
+    drops the column, never the rows."""
+    return drop_is_partial(marked_trends(spark)).select(
+        "group_id", "keyword", "ts", "interest")
+
+
+def keyword_coverage(spark: SparkSession, sf_dir: str = "") -> DataFrame:
+    """F7 — google_trends_crawler.py:81,125-128: any keyword the crawl
+    REQUESTED but the API frame came back without is warned about and
+    skipped. Expressed as a left join of the requested sets against
+    the returned series, with the warn+skip policy as a status column
+    (an audit relation instead of a log line)."""
+    requested = FX.to_spark(spark, FX.TRENDS_REQUESTED_ROWS,
+                            FX.TRENDS_REQUESTED_SCHEMA)
+    t = FX.to_spark(spark, FX.TRENDS_ROWS, FX.TRENDS_SCHEMA)
+    returned = (t.groupBy("group_id", "keyword")
+                .agg(F.count("interest").cast("int").alias("n_obs")))
+    return (requested.join(F.broadcast(returned),
+                           ["group_id", "keyword"], "left")
+            .select("group_id", "keyword",
+                    F.col("n_obs").isNotNull().alias("returned"),
+                    F.coalesce("n_obs", F.lit(0)).cast("int").alias("n_obs"),
+                    F.when(F.col("n_obs").isNotNull(), F.lit("ok"))
+                     .otherwise(F.lit("missing_skip")).alias("status")))
+
+
+ISPARTIAL_DROP_ORACLE = f"""
+WITH marked AS (
+    SELECT group_id, keyword, ts, interest,
+           ts = MAX(ts) OVER (PARTITION BY group_id, keyword) AS isPartial
+    FROM {FX.values_cte(FX.TRENDS_ROWS, FX.TRENDS_COLS)}
+)
+SELECT group_id, keyword, ts, interest FROM marked
+"""
+
+KEYWORD_COVERAGE_ORACLE = f"""
+WITH requested AS (
+    SELECT * FROM {FX.values_cte(FX.TRENDS_REQUESTED_ROWS,
+                                 FX.TRENDS_REQUESTED_COLS)}
+),
+returned AS (
+    SELECT group_id, keyword, CAST(COUNT(interest) AS INT) AS n_obs
+    FROM {FX.values_cte(FX.TRENDS_ROWS, FX.TRENDS_COLS)}
+    GROUP BY group_id, keyword
+)
+SELECT r.group_id, r.keyword,
+       t.n_obs IS NOT NULL AS returned,
+       COALESCE(t.n_obs, 0) AS n_obs,
+       CASE WHEN t.n_obs IS NOT NULL THEN 'ok'
+            ELSE 'missing_skip' END AS status
+FROM requested r LEFT JOIN returned t USING (group_id, keyword)
+"""
+
+
 def _stats_sql() -> str:
     data = FX.values_cte(FX.TRENDS_ROWS, FX.TRENDS_COLS)
     return f"""

@@ -37,6 +37,27 @@ register("exchange_monthly_map_long", MONTHLY_MAP_ORACLE)(monthly_map_long)
 
 register("trends_pipeline_scores", TREND_SCORES_ORACLE)(trend_scores)
 
+# P1 / F7 closures (VERDICT r03 "What's missing" #3/#4): the explicit
+# isPartial column drop and the requested-vs-returned keyword audit.
+from travel_data_pipeline_spark.plans.trends import (  # noqa: E402
+    ISPARTIAL_DROP_ORACLE,
+    KEYWORD_COVERAGE_ORACLE,
+    ispartial_drop,
+    keyword_coverage,
+)
+
+register("trends_ispartial_drop", ISPARTIAL_DROP_ORACLE)(ispartial_drop)
+register("keyword_coverage_audit", KEYWORD_COVERAGE_ORACLE)(keyword_coverage)
+
+# P4 closure: the Korean display-name edge rename layer.
+from travel_data_pipeline_spark.plans.flights import (  # noqa: E402
+    FLIGHT_MONTHLY_DISPLAY_ORACLE,
+    flight_monthly_display,
+)
+
+register("flight_display_renames",
+         FLIGHT_MONTHLY_DISPLAY_ORACLE)(flight_monthly_display)
+
 
 # ---------------------------------------------------------------------------
 # Flight nested flatten (X20 double explode + X18 discount flag)

@@ -70,12 +70,21 @@ def land_exchange_cells(out_path: str, online: bool = False) -> str:
 def land_trends_rows(out_path: str, online: bool = False) -> str:
     """S2 — land the long-format interest series as JSONL (the shape
     pytrends' interest_over_time yields after melt,
-    google_trends_crawler.py:60-75)."""
+    google_trends_crawler.py:60-75), INCLUDING pytrends' isPartial
+    marker on the trailing (still-accumulating) observation of each
+    series — the raw layer keeps what the API sent; the drop happens
+    on read (P1, crawler :66-67)."""
     if online:
         raise NotImplementedError(
             "online crawl needs pytrends; land offline instead")
+    last_ts: dict[tuple, object] = {}
+    for (g, k, ts, _v) in FX.TRENDS_ROWS:
+        cur = last_ts.get((g, k))
+        if cur is None or ts > cur:
+            last_ts[(g, k)] = ts
     rows = [{"group_id": g, "keyword": k,
-             "ts": ts.strftime("%Y-%m-%dT%H:%M:%S"), "interest": v}
+             "ts": ts.strftime("%Y-%m-%dT%H:%M:%S"), "interest": v,
+             "isPartial": ts == last_ts[(g, k)]}
             for (g, k, ts, v) in FX.TRENDS_ROWS]
     return _write_jsonl(out_path, rows)
 
@@ -99,7 +108,14 @@ def read_exchange_cells_raw(spark: SparkSession, path: str) -> DataFrame:
 
 
 def read_trends_raw(spark: SparkSession, path: str) -> DataFrame:
-    return spark.read.json(path, schema=FX.TRENDS_SCHEMA)
+    """Read the landed series and apply the explicit P1 isPartial drop
+    (google_trends_crawler.py:66-67) — rows are kept, only the marker
+    column goes."""
+    from travel_data_pipeline_spark.plans.trends import drop_is_partial
+
+    raw = spark.read.json(
+        path, schema=FX.TRENDS_SCHEMA + ", isPartial boolean")
+    return drop_is_partial(raw)
 
 
 def read_flight_offers_raw(spark: SparkSession, path: str) -> DataFrame:
