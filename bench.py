@@ -80,15 +80,20 @@ def main() -> None:
         sf_val: float | str = float(sf)
     except ValueError:
         sf_val = sf
+    # a failed query must read as a DNF, not a faster suite: with any
+    # error the headline value is null so metric-only consumers can't
+    # mistake a partial sum for a better time
     payload = {
         "metric": "headline-suite-wall-sec",
-        "value": round(sum(timings.values()), 3),
+        "value": None if errors else round(sum(timings.values()), 3),
         "unit": "sec",
         "queries": timings,
         "sf": sf_val,
     }
     if errors:
         payload["errors"] = errors
+        payload["dnf"] = True
+        payload["partial_sum_sec"] = round(sum(timings.values()), 3)
     print(json.dumps(payload))
 
 

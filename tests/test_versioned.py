@@ -69,6 +69,21 @@ def test_merge_delete_condition_and_partition_drop(spark, seeded):
     assert "C" not in V._read_manifest(seeded, 2)["partitions"]
 
 
+def test_merge_null_partition_bucket_dedups(spark, tmp_path):
+    """A NULL partition value must participate in the touched-partition
+    read (collect_set drops NULLs — the null bucket is probed
+    separately), or a re-merged null-partition key duplicates."""
+    path = str(tmp_path / "nulltbl")
+    base = spark.createDataFrame(
+        [(1, None, 10.0), (2, "A", 20.0)], "id long, seg string, val double")
+    V.write_table(base, path, partition_col="seg")
+    batch = spark.createDataFrame(
+        [(1, None, 99.0)], "id long, seg string, val double")
+    V.merge_into(batch, path, keys=["id"])
+    now = _rows(V.read_table(spark, path).select("id", "seg", "val"))
+    assert now == [(1, None, 99.0), (2, "A", 20.0)]
+
+
 def test_crash_before_pointer_swap_is_invisible(spark, seeded):
     # simulate a crash: v2 data + manifest written, _latest not swapped
     batch = spark.createDataFrame([(9, "A", 9.0)],

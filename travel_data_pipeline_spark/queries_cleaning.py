@@ -26,6 +26,7 @@ from travel_data_pipeline_spark.functions.hashing import (
     md5_long,
     md5_long_sql,
 )
+from travel_data_pipeline_spark.functions.parity import round_sql
 from travel_data_pipeline_spark.registry import register
 from travel_data_pipeline_spark.sources.readers import load_table
 
@@ -250,23 +251,24 @@ WITH feats AS (
 ),
 x AS (
     SELECT doc_id,
-           ROUND(alpha_chars / GREATEST(n_chars, 1), 6) AS alpha_ratio,
-           ROUND(punct_chars / GREATEST(n_chars, 1), 6) AS punct_ratio,
-           ROUND(alpha_chars / GREATEST(n_tokens, 1), 6) AS mean_word_len,
-           ROUND(log10(CAST(n_chars AS DOUBLE) + 1.0), 6) AS log_len
+           {round_sql("alpha_chars / GREATEST(n_chars, 1)")} AS alpha_ratio,
+           {round_sql("punct_chars / GREATEST(n_chars, 1)")} AS punct_ratio,
+           {round_sql("alpha_chars / GREATEST(n_tokens, 1)")}
+               AS mean_word_len,
+           {round_sql("log10(CAST(n_chars AS DOUBLE) + 1.0)")} AS log_len
     FROM feats
 ),
 z AS (
     SELECT doc_id, alpha_ratio, punct_ratio, mean_word_len, log_len,
-           ROUND({_QC_W[0]} + {_QC_W[1]} * alpha_ratio
-                 + {_QC_W[2]} * punct_ratio
-                 + {_QC_W[3]} * mean_word_len
-                 + {_QC_W[4]} * log_len, 6) AS logit
+           {round_sql(f"{_QC_W[0]} + {_QC_W[1]} * alpha_ratio"
+                      f" + {_QC_W[2]} * punct_ratio"
+                      f" + {_QC_W[3]} * mean_word_len"
+                      f" + {_QC_W[4]} * log_len")} AS logit
     FROM x
 )
 SELECT doc_id, alpha_ratio, punct_ratio, mean_word_len, log_len,
        logit + 0.0 AS logit,
-       ROUND(1.0 / (1.0 + exp(-logit)), 4) AS p_keep,
+       {round_sql("1.0 / (1.0 + exp(-logit))", 4)} AS p_keep,
        logit >= 0.0 AS keep
 FROM z
 """)

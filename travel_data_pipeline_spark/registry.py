@@ -51,9 +51,26 @@ def register(name: str, oracle: str | Callable[[], str] | None = None):
 
 
 def resolved_oracles() -> dict[str, str]:
-    """ORACLES with lazy entries rendered to SQL strings."""
-    return {name: sql() if callable(sql) else sql
-            for name, sql in ORACLES.items()}
+    """ORACLES with lazy entries rendered to SQL strings.
+
+    A lazy oracle can touch the filesystem or optional imports at
+    render time (e.g. the PCA oracle reads $SPARK_GRAFT_ORACLE_SF); a
+    single failing render must cost only ITS entry (that query falls
+    back to the driver's rows-only check), never the whole map."""
+    out: dict[str, str] = {}
+    for name, sql in ORACLES.items():
+        if callable(sql):
+            try:
+                out[name] = sql()
+            except Exception as exc:  # noqa: BLE001 - deliberate isolation
+                import sys
+
+                print(f"registry: oracle for {name!r} failed to render, "
+                      f"dropping it: {type(exc).__name__}: {exc}",
+                      file=sys.stderr)
+        else:
+            out[name] = sql
+    return out
 
 
 # --- import side-effect registration (each module calls register()) -------

@@ -42,6 +42,10 @@ from pyspark.sql import DataFrame, SparkSession
 
 VERSION_DIR_COL = "tdpv"  # internal hive key for snapshot dirs
 _NO_PART = "__all__"
+# Spark/Hive's directory name for a NULL partition value — what
+# partitionBy() writes and what the post-write listing records in the
+# manifest, so the merge path must speak the same name.
+_NULL_PART = "__HIVE_DEFAULT_PARTITION__"
 
 
 def _manifest_dir(path: str) -> str:
@@ -188,9 +192,16 @@ def merge_into(source: DataFrame, path: str, keys: list[str],
         # action (set aggregated executor-side), not a row collect.
         from pyspark.sql import functions as F
 
-        touched = sorted(
-            str(v) for v in source.agg(
-                F.collect_set(F.col(pcol).cast("string"))).first()[0])
+        row = source.agg(
+            F.collect_set(F.col(pcol).cast("string")).alias("vals"),
+            # collect_set drops NULLs — probe the null bucket explicitly
+            # in the SAME single-row action, or null-partition source
+            # rows bypass the existing-partition dedup read below and
+            # duplicate their keys
+            F.max(F.col(pcol).isNull()).alias("has_null")).first()
+        touched = sorted(str(v) for v in row["vals"])
+        if row["has_null"]:
+            touched.append(_NULL_PART)
         existing = [p for p in touched if p in man["partitions"]]
         if existing:
             dirs = [os.path.join(_data_dir(path),
