@@ -43,6 +43,10 @@ HEADLINE = [
     "ewma_values_per_user",
     "rfm_customer_segments",
     "pipeline_chunked_shards",
+    # round-4: the two most scale-sensitive dedup components get a
+    # timed record — iterative clustering and batch-vs-corpus LSH
+    "dedup_cluster_components",
+    "dedup_incremental_lsh",
 ]
 
 

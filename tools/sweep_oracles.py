@@ -5,12 +5,11 @@ claim that the numeric discipline holds at 10x that scale:
 
     python tools/sweep_oracles.py [sf_dir]
 
-Prints one line per query (OK / MISMATCH / ERROR / SKIP) and a final
-FAILED list. Queries in SKIP_AT_SCALE have DuckDB oracles that are
-deliberately super-linear (unrolled iterative CTEs over the full
-corpus, corpus-pair cross products) — the SPARK side scales; the
-ORACLE is the bottleneck, so they stay validated at the driver's gate
-scale only.
+Prints one line per query (OK / MISMATCH / ERROR) and a final FAILED
+list. The skip set is EMPTY since round 4: the former skips
+(semantic_dedup, kmeans_embeddings, pca_embeddings_by_label) validate
+fine at sf0.1 — lazy oracles render against this sweep's sf_dir via
+$SPARK_GRAFT_ORACLE_SF, set below before the registry import.
 """
 
 from __future__ import annotations
@@ -22,16 +21,14 @@ import time
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, REPO)
 
-# DuckDB-oracle cost, not engine cost:
-SKIP_AT_SCALE = {
-    "semantic_dedup",          # within-cluster pair cross product in SQL
-    "kmeans_embeddings",       # unrolled Lloyd's CROSS JOIN per iteration
-    "pca_embeddings_by_label", # lazy literal is pinned to the oracle SF
-}
+SKIP_AT_SCALE: set[str] = set()
 
 
 def main() -> None:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
+    # lazy oracles (pca) compute ground truth off the oracle SF — point
+    # them at the swept SF before anything renders
+    os.environ["SPARK_GRAFT_ORACLE_SF"] = sf_dir
 
     import duckdb
 
