@@ -28,20 +28,23 @@ def test_ordered_names_is_permutation():
 
 
 def test_regression_proofs_lead_the_sample():
-    """The r02 regressions must be re-proved: they and every round-3
-    addition must sit inside the driver's 50-query window."""
+    """Round-4 policy: every never-green query (incl. this round's new
+    registrations) AND every changed-code re-proof must sit inside the
+    driver's 50-query window."""
     ordered = verification.ordered_names(list(registry.QUERIES))
     sample = set(ordered[:50])
-    must_sample = {"sessionize_events", "scd2_event_type_history",
-                   "semantic_dedup", "mmr_diversified_topk",
-                   "quality_classifier_logistic", "event_pattern_match",
-                   "copurchase_triangles", "attribution_last_click",
-                   "embedding_random_projection",
-                   "dedup_canonical_by_quality",
-                   "f8_dropna_meta_join", "multimodal_frame_sample",
-                   "pca_embeddings_by_label"}
-    out = sorted(must_sample - sample)
-    assert not out, f"must-verify queries outside the 50-sample: {out}"
+    never_green = {n for n in registry.QUERIES
+                   if n not in verification.GREEN}
+    assert len(never_green) <= 50, "backlog outgrew the sample again"
+    out = sorted(never_green - sample)
+    assert not out, f"unverified queries outside the 50-sample: {out}"
+    reproofs = {"dedup_cluster_components", "semantic_dedup",
+                "kmeans_embeddings", "pca_embeddings_by_label",
+                "quality_classifier_logistic", "market_basket_lift",
+                "copurchase_pagerank", "dedup_minhash_lsh",
+                "pipeline_training_data", "flight_value_w2_j4"}
+    out = sorted(reproofs - sample)
+    assert not out, f"changed-code re-proofs outside the 50-sample: {out}"
 
 
 def test_unverified_fill_the_sample_before_green():

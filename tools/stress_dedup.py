@@ -61,6 +61,20 @@ def main(amplify: int = 20) -> None:
     n_exact = survivors.count()
     t_exact = time.perf_counter() - t0
 
+    # star CC on an adversarial 1M-vertex chain (diameter 10^6): the
+    # propagation engine would need 10^6 rounds; the alternating
+    # large/small-star contraction must finish in ~log^2 rounds
+    from travel_data_pipeline_spark.operators import graph
+
+    n_chain = 1_000_000
+    chain = (spark.range(1, n_chain)
+             .select(F.col("id").alias("doc_a"),
+                     (F.col("id") + 1).alias("doc_b")))
+    t0 = time.perf_counter()
+    comps = graph.connected_components_star(chain, max_iter=40)
+    one_comp = comps.agg(F.countDistinct("component")).first()[0]
+    t_star = time.perf_counter() - t0
+
     print(json.dumps({
         "n_base": n_base, "amplify": amplify, "n_docs": n_docs,
         "minhash_signatures_sec": round(t_sig, 2),
@@ -68,6 +82,9 @@ def main(amplify: int = 20) -> None:
         "simhash_pairs_sec": round(t_sim, 2), "simhash_pairs": n_near,
         "exact_dedup_sec": round(t_exact, 2), "exact_survivors": n_exact,
         "docs_per_sec_minhash": round(n_docs / t_sig),
+        "star_cc_chain_vertices": n_chain,
+        "star_cc_components": one_comp,
+        "star_cc_sec": round(t_star, 2),
     }))
 
 
