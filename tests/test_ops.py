@@ -1,0 +1,91 @@
+"""Semantic pins for the operational-platform layer (queries_ops +
+inverted_index_postings) — the oracle differential in test_oracle.py
+proves engine parity; these prove the SEMANTICS are the intended ones
+(planted linkage truth, bin-packing invariants, z-score gating,
+posting-list caps)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from travel_data_pipeline_spark import queries_ops
+from travel_data_pipeline_spark.queries_ops import (
+    _BIN_TARGET,
+    _DIRTY_OFFSET,
+    anomaly_event_rate,
+    compaction_bin_packing,
+    record_linkage_blocked,
+)
+from travel_data_pipeline_spark.queries_search import (
+    _POST_K,
+    inverted_index_postings,
+)
+
+
+def test_record_linkage_planted_truth(spark, sf_dir):
+    rows = {r["dirty_id"] - _DIRTY_OFFSET: r
+            for r in record_linkage_blocked(spark, sf_dir).collect()}
+    assert set(rows) == set(range(50))
+    for k, r in rows.items():
+        if k < 25:   # one-char overwrite -> exact-distance-1 fuzzy match
+            assert (r["matched_custkey"], r["lev_distance"],
+                    r["decision"]) == (k, 1, "fuzzy")
+        elif k < 40:  # two-char overwrite -> distance-2 fuzzy match
+            assert (r["matched_custkey"], r["lev_distance"],
+                    r["decision"]) == (k, 2, "fuzzy")
+        else:         # 'ZZZ' prefix -> distance 3 > threshold -> no match
+            assert (r["matched_custkey"], r["lev_distance"],
+                    r["decision"]) == (-1, -1, "no_match")
+
+
+def test_compaction_bins_partition_the_month(spark, sf_dir):
+    from travel_data_pipeline_spark.sources.readers import load_table
+
+    plan = compaction_bin_packing(spark, sf_dir).collect()
+    orders = load_table(spark, sf_dir, "orders")
+    totals = {r["month"]: r["n"] for r in orders.groupBy(
+        F.date_format(F.date_trunc("month", "o_orderdate"), "yyyy-MM")
+        .alias("month")).agg(F.count("*").alias("n")).collect()}
+
+    by_month: dict[str, list] = {}
+    for r in plan:
+        by_month.setdefault(r["month"], []).append(r)
+    assert set(by_month) == set(totals)
+    for month, bins in by_month.items():
+        bins.sort(key=lambda r: r["bin_id"])
+        # bins are contiguously numbered from 0 and partition the rows
+        assert [b["bin_id"] for b in bins] == list(range(len(bins)))
+        assert sum(b["bin_rows"] for b in bins) == totals[month]
+        # greedy in-order packing: bins cover disjoint date ranges in order
+        for a, b in zip(bins, bins[1:]):
+            assert a["last_date"] < b["first_date"]
+        # every bin but the last reached the target (greedy never opens
+        # a new bin while the current one is under target)
+        for b in bins[:-1]:
+            assert b["bin_rows"] >= _BIN_TARGET
+
+
+def test_anomaly_rows_are_true_outliers(spark, sf_dir):
+    out = anomaly_event_rate(spark, sf_dir).collect()
+    assert out, "expected at least one >=2-sigma day in the fixture"
+    assert all(abs(r["zscore"]) >= queries_ops._Z_CUT - 1e-9 for r in out)
+    # flagged days must carry their true daily count
+    from travel_data_pipeline_spark.sources.readers import load_table
+    events = load_table(spark, sf_dir, "events")
+    daily = {(r["event_type"], r["day"]): r["cnt"]
+             for r in events.groupBy(
+                 "event_type",
+                 F.date_format(F.date_trunc("day", "ts"), "yyyy-MM-dd")
+                 .alias("day")).agg(F.count("*").alias("cnt")).collect()}
+    for r in out:
+        assert daily[(r["event_type"], r["day"])] == r["cnt"]
+
+
+def test_inverted_index_caps_and_sorts_postings(spark, sf_dir):
+    rows = inverted_index_postings(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        ids = [int(x) for x in r["postings"].split(",")]
+        assert ids == sorted(ids)
+        assert len(ids) == min(r["dfreq"], _POST_K)
+        assert len(set(ids)) == len(ids)

@@ -39,10 +39,9 @@ def test_regression_proofs_lead_the_sample():
     out = sorted(never_green - sample)
     assert not out, f"unverified queries outside the 50-sample: {out}"
     reproofs = {"dedup_cluster_components", "semantic_dedup",
-                "kmeans_embeddings", "pca_embeddings_by_label",
+                "pca_embeddings_by_label",
                 "quality_classifier_logistic", "market_basket_lift",
-                "copurchase_pagerank", "dedup_minhash_lsh",
-                "pipeline_training_data", "flight_value_w2_j4"}
+                "copurchase_pagerank"}
     out = sorted(reproofs - sample)
     assert not out, f"changed-code re-proofs outside the 50-sample: {out}"
 

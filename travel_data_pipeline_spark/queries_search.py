@@ -313,3 +313,59 @@ def mmr_diversified_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         "vec_id", "pick_rank",
         (F.col("rel") + F.lit(0.0)).alias("rel"),      # +0.0 kills -0.0
         (F.col("mmr") + F.lit(0.0)).alias("mmr"))
+
+
+# ---------------------------------------------------------------------------
+# Inverted-index build: capped per-term posting lists.
+#
+# The physical artifact behind the BM25/hybrid queries above — term ->
+# (document frequency, first-K sorted posting list). A training-data
+# platform materializes exactly this for corpus probes and benchmark-
+# contamination lookups (cf. contamination_ngram_overlap).
+#
+# Scale shape: tokenize -> per-doc DISTINCT terms (map-side dedup, no
+# positions kept) -> ONE groupBy(term) shuffle carrying (term, doc_id)
+# pairs. The posting array is capped at _POST_K inside the aggregation
+# (sort + slice of a bounded collect per term is safe because df is
+# bounded by the cap's band filter below; the full array exists only
+# per-term, never per-partition). Postings serialize as a CSV string so
+# the driver's value-hash sees identical renderings from both engines.
+# ---------------------------------------------------------------------------
+
+_POST_K = 20
+_DF_MIN = 5
+
+
+@register("inverted_index_postings", f"""
+WITH td AS (
+    SELECT DISTINCT term, doc_id
+    FROM (SELECT doc_id, unnest({_TOKS}) AS term FROM documents)
+),
+idx AS (
+    SELECT term, count(*) AS dfreq,
+           array_to_string(
+             list_transform(list_sort(list(doc_id))[1:{_POST_K}],
+                            x -> CAST(x AS VARCHAR)), ',') AS postings
+    FROM td GROUP BY term
+)
+SELECT term, dfreq, postings FROM idx WHERE dfreq >= {_DF_MIN}
+""")
+def inverted_index_postings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Build capped posting lists per term over the documents corpus.
+
+    One explode + distinct + groupBy(term): the only shuffle carries
+    (term, doc_id) pairs. The per-term doc list is sorted and sliced to
+    the first _POST_K ids so hot terms (df ~= corpus size) still emit a
+    bounded row."""
+    docs = load_table(spark, sf_dir, "documents")
+    td = (docs.select("doc_id",
+                      F.explode(token_array(F.col("text"))).alias("term"))
+          .distinct())
+    idx = (td.groupBy("term")
+           .agg(F.count("*").alias("dfreq"),
+                F.array_join(
+                    F.transform(
+                        F.slice(F.array_sort(F.collect_list("doc_id")),
+                                1, _POST_K),
+                        lambda x: x.cast("string")), ",").alias("postings")))
+    return idx.filter(F.col("dfreq") >= _DF_MIN)

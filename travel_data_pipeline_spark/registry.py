@@ -82,6 +82,7 @@ from travel_data_pipeline_spark import queries_dims  # noqa: E402,F401
 from travel_data_pipeline_spark import queries_ml  # noqa: E402,F401
 from travel_data_pipeline_spark import queries_domain  # noqa: E402,F401
 from travel_data_pipeline_spark import queries_northstar  # noqa: E402,F401
+from travel_data_pipeline_spark import queries_ops  # noqa: E402,F401
 from travel_data_pipeline_spark import queries_search  # noqa: E402,F401
 from travel_data_pipeline_spark import queries_sketches  # noqa: E402,F401
 from travel_data_pipeline_spark import queries_stats  # noqa: E402,F401

@@ -148,10 +148,10 @@ GREEN: frozenset[str] = frozenset({
 # Exact head order for round 4's 50-query driver sample:
 #   [0..36]  the 37 never-verified names (TPC-H tail + stats + windows)
 #            -> closes driver certification to every registered query.
-#   [37..39] round-4 additions (P1/P4/F7 partial closures).
-#   [40..49] re-proofs: queries whose Spark or oracle logic changed in
-#            round 4 (CC rewrite, sampled oracles, parity rounding) or
-#            that the judge asked to guard against testdata-dtype churn.
+#   [37..43] round-4 additions: P1/P4/F7 partial closures + the new
+#            operational-platform layer (queries_ops, inverted index).
+#   [44..49] re-proofs: queries whose Spark or oracle logic changed in
+#            round 4 (CC rewrite, sampled oracles, parity rounding).
 # Names absent from the registry are skipped harmlessly.
 PRIORITY_HEAD: tuple[str, ...] = (
     # --- never-verified backlog (37) ---
@@ -196,17 +196,22 @@ PRIORITY_HEAD: tuple[str, ...] = (
     "trends_ispartial_drop",
     "flight_display_renames",
     "keyword_coverage_audit",
-    # --- re-proofs: code/oracle changed this round or churn-sensitive ---
+    # --- round-4 additions (operational-platform layer) ---
+    "record_linkage_blocked",
+    "compaction_bin_packing",
+    "anomaly_event_rate",
+    "inverted_index_postings",
+    # --- re-proofs: code/oracle changed this round ---
+    # (the four churn-guard-only slots from the first cut of this list
+    #  — dedup_minhash_lsh, pipeline_training_data, flight_value_w2_j4,
+    #  kmeans_embeddings — ceded their places to the new registrations;
+    #  their changed oracles are sweep-validated at sf0.01 AND sf0.1)
     "dedup_cluster_components",
     "semantic_dedup",
-    "kmeans_embeddings",
     "pca_embeddings_by_label",
     "quality_classifier_logistic",
     "market_basket_lift",
     "copurchase_pagerank",
-    "dedup_minhash_lsh",
-    "pipeline_training_data",
-    "flight_value_w2_j4",
 )
 
 
