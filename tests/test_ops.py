@@ -89,3 +89,40 @@ def test_inverted_index_caps_and_sorts_postings(spark, sf_dir):
         assert ids == sorted(ids)
         assert len(ids) == min(r["dfreq"], _POST_K)
         assert len(set(ids)) == len(ids)
+
+
+# --- governance layer (queries_curation round-4 additions) -----------------
+
+
+def test_split_leakage_finds_planted_cross_split_dups(spark, sf_dir):
+    from travel_data_pipeline_spark.queries_curation import (
+        split_leakage_check,
+    )
+
+    rows = split_leakage_check(spark, sf_dir).collect()
+    assert rows, "planted duplicates must surface at least one leak"
+    for r in rows:
+        assert r["n_splits"] > 1
+        assert len(r["splits"].split(",")) == r["n_splits"]
+
+
+def test_negative_sampling_contract(spark, sf_dir):
+    from travel_data_pipeline_spark.queries_curation import (
+        _NEG_K,
+        negative_sample_pairs,
+    )
+    from travel_data_pipeline_spark.sources.readers import load_table
+
+    out = negative_sample_pairs(spark, sf_dir).collect()
+    src = {r["doc_id"]: r["source"]
+           for r in load_table(spark, sf_dir, "documents")
+           .select("doc_id", "source").collect()}
+    per_anchor: dict[int, list] = {}
+    for r in out:
+        per_anchor.setdefault(r["anchor_id"], []).append(r)
+        # a negative never shares the anchor's source
+        assert src[r["neg_id"]] != src[r["anchor_id"]]
+    for pairs in per_anchor.values():
+        assert sorted(p["neg_rank"] for p in pairs) == list(
+            range(1, _NEG_K + 1))
+        assert len({p["neg_id"] for p in pairs}) == _NEG_K

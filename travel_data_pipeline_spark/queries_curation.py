@@ -504,3 +504,208 @@ def weighted_sample_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select("lang", "doc_id", "n_chars",
                     (F.round("k", 6) + F.lit(0.0)).alias("sample_key"),
                     F.col("rn").cast("int").alias("rn")))
+
+
+# ---------------------------------------------------------------------------
+# Governance layer: the checks a training-data platform runs BEFORE a
+# corpus ships — split-leakage detection, per-source datasheet stats,
+# deterministic contrastive negatives, and tokenizer-fertility audits.
+# ---------------------------------------------------------------------------
+
+_LEAK_OFFSET = 100000  # planted-copy id space (cf. queries_northstar)
+_leak_hash = md5_long_sql("'split:' || CAST(doc_id AS VARCHAR)")
+_LEAK_BUCKET = f"({_leak_hash} % 100)"
+_LEAK_SPLIT = (f"CASE WHEN {_LEAK_BUCKET} < 80 THEN 'train' "
+               f"WHEN {_LEAK_BUCKET} < 90 THEN 'valid' ELSE 'test' END")
+
+
+@register("split_leakage_check", f"""
+WITH docs AS (
+    SELECT doc_id, text FROM documents
+    UNION ALL
+    SELECT doc_id + {_LEAK_OFFSET}, text FROM documents WHERE doc_id < 10
+),
+assigned AS (
+    SELECT doc_id, md5(text) AS content_hash, {_LEAK_SPLIT} AS split
+    FROM docs
+),
+leaks AS (
+    SELECT content_hash,
+           count(*) AS n_docs,
+           count(DISTINCT split) AS n_splits,
+           array_to_string(list_sort(list(DISTINCT split)), ',') AS splits
+    FROM assigned GROUP BY content_hash
+)
+SELECT content_hash, n_docs, n_splits, splits
+FROM leaks WHERE n_splits > 1
+""")
+def split_leakage_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Detect identical documents assigned to different train/valid/test
+    splits — the eval-leakage bug class the split must be audited for
+    whenever dedup runs AFTER splitting.
+
+    Same hash-bucket assignment as split_train_valid_test; the corpus
+    is augmented with exact copies of doc_id < 10 (the synthetic corpus
+    has no natural duplicates) so the leak path is observable. One
+    groupBy(content_hash) shuffle carrying a 32-byte hash per doc —
+    never the text."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    planted = (docs.filter(F.col("doc_id") < 10)
+               .select((F.col("doc_id") + _LEAK_OFFSET).alias("doc_id"),
+                       "text"))
+    aug = docs.unionByName(planted)
+    bucket = (md5_long(F.concat(F.lit("split:"),
+                                F.col("doc_id").cast("string"))) % 100)
+    assigned = aug.select(
+        F.md5("text").alias("content_hash"),
+        F.when(bucket < 80, "train").when(bucket < 90, "valid")
+         .otherwise("test").alias("split"))
+    return (assigned.groupBy("content_hash")
+            .agg(F.count("*").alias("n_docs"),
+                 F.countDistinct("split").alias("n_splits"),
+                 F.array_join(F.array_sort(F.collect_set("split")), ",")
+                  .alias("splits"))
+            .filter(F.col("n_splits") > 1))
+
+
+@register("dataset_card_stats", """
+WITH toked AS (
+    SELECT source, lang, n_chars,
+           len(list_filter(string_split(trim(regexp_replace(lower(text),
+               '\\s+', ' ', 'g')), ' '), t -> t <> '')) AS ws_toks
+    FROM documents
+)
+SELECT source,
+       count(*) AS n_docs,
+       count(DISTINCT lang) AS n_langs,
+       CAST(sum(ws_toks) AS BIGINT) AS tok_total,
+       CAST(sum(n_chars) AS BIGINT) AS chars_total,
+       round(CAST(sum(ws_toks) AS DOUBLE) / CAST(count(*) AS DOUBLE), 6)
+         AS mean_toks,
+       round(CAST(sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS DOUBLE)
+             / CAST(count(*) AS DOUBLE), 6) + 0.0 AS en_share
+FROM toked GROUP BY source
+""")
+def dataset_card_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source datasheet rollup (docs, langs, token/char volume,
+    language share) — the 'data card' table published with a corpus
+    release. One map-side-combinable groupBy over exact integer
+    accumulators; the two ratios are single deterministic double
+    divisions at the end."""
+    docs = load_table(spark, sf_dir, "documents")
+    toked = docs.select(
+        "source", "lang", "n_chars",
+        text.whitespace_token_count(F.col("text")).alias("ws_toks"))
+    n = F.count("*")
+    return (toked.groupBy("source")
+            .agg(n.alias("n_docs"),
+                 F.countDistinct("lang").alias("n_langs"),
+                 F.sum("ws_toks").alias("tok_total"),
+                 F.sum("n_chars").alias("chars_total"),
+                 F.round(F.sum("ws_toks").cast("double")
+                         / n.cast("double"), 6).alias("mean_toks"),
+                 (F.round(F.sum(F.when(F.col("lang") == "en", 1)
+                                .otherwise(0)).cast("double")
+                          / n.cast("double"), 6) + 0.0).alias("en_share")))
+
+
+_NEG_K = 5          # negatives per anchor
+_NEG_POOL = 50      # candidate-pool rate, out of 1000 (5% of corpus)
+_neg_pool_hash = md5_long_sql("'pool:' || CAST(doc_id AS VARCHAR)")
+_neg_rank_hash = md5_long_sql(
+    "'neg:' || CAST(anchor_id AS VARCHAR) || ':' || CAST(doc_id AS VARCHAR)")
+
+
+@register("negative_sample_pairs", f"""
+WITH anchors AS (
+    SELECT doc_id AS anchor_id, source AS anchor_source
+    FROM documents WHERE doc_id < 20
+),
+pool AS (
+    SELECT doc_id, source FROM documents
+    WHERE ({_neg_pool_hash} % 1000) < {_NEG_POOL}
+),
+scored AS (
+    SELECT a.anchor_id, p.doc_id,
+           {_neg_rank_hash} AS rk
+    FROM anchors a JOIN pool p ON p.source <> a.anchor_source
+),
+ranked AS (
+    SELECT anchor_id, doc_id, rk,
+           row_number() OVER (PARTITION BY anchor_id
+                              ORDER BY rk, doc_id) AS neg_rank
+    FROM scored
+)
+SELECT anchor_id, doc_id AS neg_id, CAST(neg_rank AS INT) AS neg_rank
+FROM ranked WHERE neg_rank <= {_NEG_K}
+""")
+def negative_sample_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic contrastive negatives: for each anchor doc, the
+    _NEG_K pseudo-random corpus docs (different source) ranked by a
+    seeded hash — reproducible across reruns, engines, and partitioning,
+    unlike rand()-based sampling.
+
+    Scale shape: the corpus is FIRST thinned to a ~5% hash-gated
+    candidate pool (a pushed-down scan filter), so the anchor x pool
+    join and the per-anchor top-k window run over a bounded relation —
+    never anchors x full-corpus."""
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    anchors = (docs.filter(F.col("doc_id") < 20)
+               .select(F.col("doc_id").alias("anchor_id"),
+                       F.col("source").alias("anchor_source")))
+    pool_gate = (md5_long(F.concat(F.lit("pool:"),
+                                   F.col("doc_id").cast("string"))) % 1000)
+    pool = (docs.filter(pool_gate < _NEG_POOL).select("doc_id", "source"))
+    scored = (pool.join(F.broadcast(anchors),
+                        F.col("source") != F.col("anchor_source"))
+              .select("anchor_id", "doc_id",
+                      md5_long(F.concat(
+                          F.lit("neg:"),
+                          F.col("anchor_id").cast("string"), F.lit(":"),
+                          F.col("doc_id").cast("string"))).alias("rk")))
+    w = Window.partitionBy("anchor_id").orderBy("rk", "doc_id")
+    return (scored.withColumn("neg_rank", F.row_number().over(w))
+            .filter(F.col("neg_rank") <= _NEG_K)
+            .select("anchor_id", F.col("doc_id").alias("neg_id"),
+                    F.col("neg_rank").cast("int").alias("neg_rank")))
+
+
+_BPE_RE = "[A-Za-z]+|[0-9]|[^A-Za-z0-9\\s]"
+
+
+@register("tokenizer_fertility_by_lang", f"""
+WITH toked AS (
+    SELECT lang,
+           len(list_filter(string_split(trim(regexp_replace(lower(text),
+               '\\s+', ' ', 'g')), ' '), t -> t <> '')) AS ws_toks,
+           len(regexp_extract_all(text, '{_BPE_RE}')) AS bpe_toks
+    FROM documents
+)
+SELECT lang,
+       count(*) AS n_docs,
+       CAST(sum(ws_toks) AS BIGINT) AS ws_total,
+       CAST(sum(bpe_toks) AS BIGINT) AS bpe_total,
+       round(CAST(sum(bpe_toks) AS DOUBLE) / CAST(sum(ws_toks) AS DOUBLE), 6)
+         AS fertility
+FROM toked GROUP BY lang
+""")
+def tokenizer_fertility_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer-fertility audit: BPE-ish pieces per whitespace word,
+    by language — the standard check that a tokenizer doesn't tax some
+    languages with far more pieces per word than others. Both token
+    counts are exact integers (sum-combinable); the fertility ratio is
+    one double division per output row."""
+    docs = load_table(spark, sf_dir, "documents")
+    toked = docs.select(
+        "lang",
+        text.whitespace_token_count(F.col("text")).alias("ws_toks"),
+        text.bpe_ish_token_count(F.col("text")).alias("bpe_toks"))
+    return (toked.groupBy("lang")
+            .agg(F.count("*").alias("n_docs"),
+                 F.sum("ws_toks").alias("ws_total"),
+                 F.sum("bpe_toks").alias("bpe_total"),
+                 F.round(F.sum("bpe_toks").cast("double")
+                         / F.sum("ws_toks").cast("double"), 6)
+                  .alias("fertility")))
