@@ -47,6 +47,9 @@ HEADLINE = [
     # timed record — iterative clustering and batch-vs-corpus LSH
     "dedup_cluster_components",
     "dedup_incremental_lsh",
+    # round-4: flagships of the operational + governance layers
+    "record_linkage_blocked",
+    "inverted_index_postings",
 ]
 
 

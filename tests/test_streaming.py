@@ -514,3 +514,36 @@ def test_rollup_maintenance_stream_matches_batch(spark, sf_smoke, tmp_path):
     got = read_table(spark, path)
     assert got.count() == want.count()
     assert got.unionByName(want).distinct().count() == want.count()
+
+
+def test_stateful_anomaly_matches_batch_prequential(spark, sf_smoke, tmp_path):
+    """Streaming prequential anomaly monitor (applyInPandasWithState
+    over a daily-counts feed) must reproduce the batch expanding-window
+    z-scores (queries_ops.anomaly_prequential) exactly — same moment
+    recurrence, same double spelling, same rounding."""
+    from travel_data_pipeline_spark.queries_ops import anomaly_prequential
+
+    ev = load_table(spark, sf_smoke, "events")
+    daily = (ev.groupBy(
+        "event_type",
+        F.date_format(F.date_trunc("day", "ts"), "yyyy-MM-dd").alias("day"))
+        .agg(F.count("*").alias("cnt")))
+    feed = str(tmp_path / "daily_feed")
+    daily.write.parquet(feed)
+
+    stream = (spark.readStream
+              .schema("event_type string, day string, cnt long")
+              .parquet(feed))
+    out = jobs.anomaly_stateful(stream)
+    q = (out.writeStream.format("memory").queryName("anom_out")
+         .outputMode("append").trigger(availableNow=True).start())
+    q.awaitTermination(120)
+
+    got = {(r.event_type, r.day): (r.cnt, r.zscore)
+           for r in spark.table("anom_out").collect()}
+    want = {(r.event_type, r.day): (r.cnt, r.zscore)
+            for r in anomaly_prequential(spark, sf_smoke).collect()}
+    assert set(got) == set(want)
+    for k, (cnt, z) in want.items():
+        assert got[k][0] == cnt
+        assert abs(got[k][1] - z) < 1e-9

@@ -478,3 +478,59 @@ def rollup_maintenance_stream(events: DataFrame, table_path: str,
     return (events.writeStream.foreachBatch(fold)
             .option("checkpointLocation", checkpoint)
             .trigger(availableNow=True).start())
+
+
+def anomaly_stateful(daily_counts: DataFrame,
+                     min_n: int = 7) -> DataFrame:
+    """Streaming prequential anomaly monitor via applyInPandasWithState
+    — the streaming twin of queries_ops.anomaly_prequential: state is
+    the exact integer moment triple (n, s, ss) per event_type; each
+    day's count is z-scored against the history accumulated so far,
+    THEN folded into the moments. Emits one row per scored day (append
+    mode). With days arriving in order, the doubles match the batch
+    expanding-window spelling exactly — asserted in
+    tests/test_streaming.py."""
+    import pandas as pd  # noqa: F401
+
+    out_schema = T.StructType([
+        T.StructField("event_type", T.StringType()),
+        T.StructField("day", T.StringType()),
+        T.StructField("cnt", T.LongType()),
+        T.StructField("zscore", T.DoubleType()),
+    ])
+    state_schema = T.StructType([
+        T.StructField("n", T.LongType()),
+        T.StructField("s", T.LongType()),
+        T.StructField("ss", T.LongType()),
+    ])
+
+    # self-contained closure: executors may not have this repo on path
+    def update(key, pdfs, state):
+        import math
+
+        import pandas as pd
+
+        n, s, ss = state.get if state.exists else (0, 0, 0)
+        days, cnts, zs = [], [], []
+        for pdf in pdfs:
+            pdf = pdf.sort_values("day")
+            for day, cnt in zip(pdf["day"], pdf["cnt"]):
+                cnt = int(cnt)
+                if n >= min_n:
+                    # identical spelling to _Z_SQL: all-double over
+                    # exact integer moments
+                    mean = float(s) / float(n)
+                    var = (float(ss) - (float(s) * float(s)) / float(n)) \
+                        / (float(n) - 1.0)
+                    z = (float(cnt) - mean) / math.sqrt(var)
+                    days.append(str(day))
+                    cnts.append(cnt)
+                    zs.append(round(z, 6) + 0.0)
+                n, s, ss = n + 1, s + cnt, ss + cnt * cnt
+        state.update((n, s, ss))
+        yield pd.DataFrame({"event_type": [key[0]] * len(days),
+                            "day": days, "cnt": cnts, "zscore": zs})
+
+    return (daily_counts.groupBy("event_type")
+            .applyInPandasWithState(update, out_schema, state_schema,
+                                    "append", "NoTimeout"))
