@@ -126,3 +126,19 @@ def test_negative_sampling_contract(spark, sf_dir):
         assert sorted(p["neg_rank"] for p in pairs) == list(
             range(1, _NEG_K + 1))
         assert len({p["neg_id"] for p in pairs}) == _NEG_K
+
+
+def test_psi_drift_semantics(spark, sf_dir):
+    """PSI is non-negative, covers every event type, and its n_ref/n_cur
+    split accounts for every event row."""
+    from travel_data_pipeline_spark.queries_ops import drift_psi_event_values
+    from travel_data_pipeline_spark.sources.readers import load_table
+
+    rows = drift_psi_event_values(spark, sf_dir).collect()
+    ev = load_table(spark, sf_dir, "events")
+    totals = {r["event_type"]: r["n"] for r in
+              ev.groupBy("event_type").agg(F.count("*").alias("n")).collect()}
+    assert {r["event_type"] for r in rows} == set(totals)
+    for r in rows:
+        assert r["psi"] >= 0.0
+        assert r["n_ref"] + r["n_cur"] == totals[r["event_type"]]

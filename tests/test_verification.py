@@ -38,9 +38,6 @@ def test_regression_proofs_lead_the_sample():
     assert len(never_green) <= 50, "backlog outgrew the sample again"
     out = sorted(never_green - sample)
     assert not out, f"unverified queries outside the 50-sample: {out}"
-    reproofs = {"dedup_cluster_components"}
-    out = sorted(reproofs - sample)
-    assert not out, f"changed-code re-proofs outside the 50-sample: {out}"
 
 
 def test_unverified_fill_the_sample_before_green():

@@ -148,12 +148,11 @@ GREEN: frozenset[str] = frozenset({
 # Exact head order for round 4's 50-query driver sample:
 #   [0..36]  the 37 never-verified names (TPC-H tail + stats + windows)
 #            -> closes driver certification to every registered query.
-#   [37..48] round-4 additions: P1/P4/F7 partial closures, the
-#            operational-platform layer (queries_ops, inverted index,
-#            prequential anomaly), and the governance layer (leakage/
-#            datasheet/negatives/fertility in queries_curation).
-#   [49]     re-proof: the riskiest changed-code query (see the inline
-#            note below).
+#   [37..49] round-4 additions: P1/P4/F7 partial closures, the
+#            operational-platform layer (queries_ops: linkage,
+#            compaction, anomaly x2, PSI drift; inverted index), and
+#            the governance layer (leakage/datasheet/negatives/
+#            fertility in queries_curation).
 # Names absent from the registry are skipped harmlessly.
 PRIORITY_HEAD: tuple[str, ...] = (
     # --- never-verified backlog (37) ---
@@ -209,13 +208,15 @@ PRIORITY_HEAD: tuple[str, ...] = (
     "negative_sample_pairs",
     "tokenizer_fertility_by_lang",
     "anomaly_prequential",
-    # --- re-proof: never-green names fill 49 of the 50 slots, so only
-    # the single riskiest changed-code query fits — the CC rewrite (new
-    # algorithm this round). The remaining changed queries
-    # (market_basket_lift, semantic_dedup, pca_embeddings_by_label,
-    # quality_classifier_logistic, copurchase_pagerank) overflow to the
-    # round-5 head; all are sweep-validated at sf0.01 AND sf0.1 locally.
-    "dedup_cluster_components",
+    "drift_psi_event_values",
+    # --- re-proofs: none fit — the 50 never-green names fill every
+    # slot. The changed-code queries that wanted re-proof seats
+    # (dedup_cluster_components, market_basket_lift, semantic_dedup,
+    # pca_embeddings_by_label, quality_classifier_logistic,
+    # copurchase_pagerank) overflow to the round-5 head; every one is
+    # sweep-validated at sf0.01 AND sf0.1 locally, and the CC rewrite
+    # is additionally pinned by an equivalence test against the old
+    # propagation path plus the 1M-chain stress stage.
 )
 
 
