@@ -142,3 +142,21 @@ def test_psi_drift_semantics(spark, sf_dir):
     for r in rows:
         assert r["psi"] >= 0.0
         assert r["n_ref"] + r["n_cur"] == totals[r["event_type"]]
+
+
+def test_ab_assignment_deterministic_and_consistent(spark, sf_dir):
+    """Arms partition the user set; the z-stat is identical on both
+    rows; rerunning yields the same assignment."""
+    from travel_data_pipeline_spark.queries_ops import ab_assignment_outcomes
+    from travel_data_pipeline_spark.sources.readers import load_table
+
+    rows = {r["arm"]: r for r in
+            ab_assignment_outcomes(spark, sf_dir).collect()}
+    assert set(rows) == {"control", "treatment"}
+    n_users = load_table(spark, sf_dir, "events") \
+        .select("user_id").distinct().count()
+    assert rows["control"]["n_users"] + rows["treatment"]["n_users"] == n_users
+    assert rows["control"]["z_two_prop"] == rows["treatment"]["z_two_prop"]
+    again = {r["arm"]: r for r in
+             ab_assignment_outcomes(spark, sf_dir).collect()}
+    assert again == rows
