@@ -160,3 +160,21 @@ def test_ab_assignment_deterministic_and_consistent(spark, sf_dir):
     again = {r["arm"]: r for r in
              ab_assignment_outcomes(spark, sf_dir).collect()}
     assert again == rows
+
+
+def test_referential_integrity_clean_star_schema(spark, sf_dir):
+    """The synthetic star schema is referentially clean: every edge
+    reports zero orphans and the true child row count."""
+    from travel_data_pipeline_spark.queries_ops import (
+        _FK_EDGES,
+        referential_integrity_audit,
+    )
+    from travel_data_pipeline_spark.sources.readers import load_table
+
+    rows = {r["edge"]: r for r in
+            referential_integrity_audit(spark, sf_dir).collect()}
+    assert set(rows) == {f"{c}.{fk}" for c, fk, _, _ in _FK_EDGES}
+    for child, fk, _, _ in _FK_EDGES:
+        r = rows[f"{child}.{fk}"]
+        assert r["n_orphans"] == 0
+        assert r["n_rows"] == load_table(spark, sf_dir, child).count()
