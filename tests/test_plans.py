@@ -152,3 +152,28 @@ def test_semantic_dedup_pair_join_on_cluster_key(spark, sf_smoke):
     corpus."""
     plan = _plan(QUERIES["semantic_dedup"](spark, sf_smoke))
     assert "CartesianProduct" not in plan, plan
+
+
+def test_round4_ops_plan_shapes(spark, sf_smoke):
+    """Round-4 operational/governance layer: no cartesian products
+    anywhere (the only BNLJs allowed are scalar-bound broadcasts), and
+    the single-shuffle operators stay single-shuffle."""
+    for name in ("record_linkage_blocked", "compaction_bin_packing",
+                 "anomaly_event_rate", "anomaly_prequential",
+                 "inverted_index_postings", "split_leakage_check",
+                 "dataset_card_stats", "negative_sample_pairs",
+                 "tokenizer_fertility_by_lang", "drift_psi_event_values",
+                 "ab_assignment_outcomes", "referential_integrity_audit"):
+        plan = _plan(QUERIES[name](spark, sf_smoke))
+        assert "CartesianProduct" not in plan, f"{name}:\n{plan}"
+        assert "BatchEvalPython" not in plan, f"{name}:\n{plan}"
+    # anti joins in the RI audit must not shuffle the dimension side
+    plan = _plan(QUERIES["referential_integrity_audit"](spark, sf_smoke))
+    assert "BroadcastHashJoin" in plan and "LeftAnti" in plan, plan
+    # fertility is a pure one-shuffle grouped aggregation
+    plan = _plan(QUERIES["tokenizer_fertility_by_lang"](spark, sf_smoke))
+    assert _shuffle_exchanges(plan) <= 1, plan
+    # compaction: stats agg + one window pass, never a data shuffle per row
+    plan = _plan(QUERIES["compaction_bin_packing"](spark, sf_smoke))
+    assert _shuffle_exchanges(plan) <= 2, plan
+    assert "WindowGroupLimit" in plan or "Window" in plan
