@@ -178,3 +178,31 @@ def test_referential_integrity_clean_star_schema(spark, sf_dir):
         r = rows[f"{child}.{fk}"]
         assert r["n_orphans"] == 0
         assert r["n_rows"] == load_table(spark, sf_dir, child).count()
+
+
+def test_multimodal_resize_aspect_fit(spark, sf_dir):
+    """Resize preserves aspect within the 256x256 box and never
+    upscales past the box or below 1px."""
+    from travel_data_pipeline_spark.queries_northstar import (
+        multimodal_resize_meta,
+    )
+
+    for r in multimodal_resize_meta(spark, sf_dir).collect():
+        assert 1 <= r["dst_w"] <= 256 and 1 <= r["dst_h"] <= 256
+        # the binding dimension hits the box (floor of s*(256/s) can
+        # land on 255 when the division is inexact)
+        assert r["dst_w"] >= 255 or r["dst_h"] >= 255 or (
+            r["src_w"] <= 256 and r["src_h"] <= 256)
+
+
+def test_multimodal_feature_extract_shape(spark, sf_dir):
+    from travel_data_pipeline_spark.queries_northstar import (
+        multimodal_feature_extract,
+    )
+    from travel_data_pipeline_spark.sources.readers import load_table
+
+    n_docs = load_table(spark, sf_dir, "documents").count()
+    rows = multimodal_feature_extract(spark, sf_dir).collect()
+    assert len(rows) == n_docs * 8
+    assert all(0.0 <= r["value"] < 1.0 for r in rows)
+    assert {r["dim_idx"] for r in rows} == set(range(8))

@@ -145,3 +145,80 @@ def frame_sample_stub(media: DataFrame, every_n: int = 30) -> DataFrame:
             yield pd.DataFrame(rows)
 
     return media.mapInPandas(sample, out_schema)
+
+
+def resize_stub(media: DataFrame, target_w: int = 256,
+                target_h: int = 256) -> DataFrame:
+    """Image-resize plumbing: aspect-preserving fit into a target box.
+
+    Source dimensions come from the same deterministic fake decode as
+    ``decode_image_meta``; the scale/floor arithmetic is plain IEEE
+    double math spelled identically in the SQL oracle, and the
+    'resized' checksum is md5(payload || '@' || w || 'x' || h) so the
+    whole output is SQL-reproducible. A real build swaps the body for
+    PIL ``Image.resize`` inside the same mapInPandas batch loop."""
+    out_schema = T.StructType([
+        T.StructField("media_id", T.LongType()),
+        T.StructField("src_w", T.IntegerType()),
+        T.StructField("src_h", T.IntegerType()),
+        T.StructField("dst_w", T.IntegerType()),
+        T.StructField("dst_h", T.IntegerType()),
+        T.StructField("resized_checksum", T.StringType()),
+    ])
+
+    def resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import hashlib
+        import math
+
+        rows_cols = ("media_id", "src_w", "src_h", "dst_w", "dst_h",
+                     "resized_checksum")
+        for pdf in batches:
+            rows = {c: [] for c in rows_cols}
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                b = bytes(payload)
+                n = len(b)
+                sw, sh = (n % 640) + 1, (n % 480) + 1
+                scale = min(float(target_w) / sw, float(target_h) / sh)
+                dw = max(1, math.floor(sw * scale))
+                dh = max(1, math.floor(sh * scale))
+                rows["media_id"].append(mid)
+                rows["src_w"].append(sw)
+                rows["src_h"].append(sh)
+                rows["dst_w"].append(dw)
+                rows["dst_h"].append(dh)
+                rows["resized_checksum"].append(hashlib.md5(
+                    b + b"@" + f"{dw}x{dh}".encode()).hexdigest())
+            yield pd.DataFrame(rows)
+
+    return media.mapInPandas(resize, out_schema)
+
+
+def feature_extract_stub(media: DataFrame, dim: int = 8) -> DataFrame:
+    """Feature-extraction plumbing: one (media_id, dim_idx, value) row
+    per feature dimension, long format so the doubles compare cleanly.
+
+    The fake feature is hash-derived — value_i = int(md5(payload ||
+    ':' || i)[:8], 16) / 2^32 — uniform in [0, 1) and reproducible by
+    the SQL oracle. A real build computes CLIP/ResNet embeddings in the
+    same batch loop and emits the same long-format rows."""
+    out_schema = T.StructType([
+        T.StructField("media_id", T.LongType()),
+        T.StructField("dim_idx", T.IntegerType()),
+        T.StructField("value", T.DoubleType()),
+    ])
+
+    def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import hashlib
+
+        for pdf in batches:
+            rows = {"media_id": [], "dim_idx": [], "value": []}
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                b = bytes(payload)
+                for i in range(dim):
+                    h = hashlib.md5(b + b":" + str(i).encode()).hexdigest()
+                    rows["media_id"].append(mid)
+                    rows["dim_idx"].append(i)
+                    rows["value"].append(int(h[:8], 16) / 4294967296.0)
+            yield pd.DataFrame(rows)
+
+    return media.mapInPandas(extract, out_schema)

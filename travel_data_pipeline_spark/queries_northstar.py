@@ -15,6 +15,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from travel_data_pipeline_spark.functions.hashing import HEX_CHARS
+from travel_data_pipeline_spark.functions.parity import round_sql
 from travel_data_pipeline_spark.operators import dedup, similarity, text
 from travel_data_pipeline_spark.operators.multimodal import (
     decode_image_meta,
@@ -1384,3 +1385,58 @@ def dedup_canonical_by_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select("doc_id", "component", "n_chars", "keep_id",
                     (F.col("doc_id") != F.col("keep_id"))
                     .cast("int").alias("is_duplicate")))
+
+
+@register("multimodal_resize_meta", """
+WITH src AS (
+    SELECT doc_id AS media_id, text,
+           CAST(octet_length(encode(text)) % 640 + 1 AS INT) AS src_w,
+           CAST(octet_length(encode(text)) % 480 + 1 AS INT) AS src_h
+    FROM documents
+),
+scaled AS (
+    SELECT media_id, text, src_w, src_h,
+           GREATEST(1, CAST(floor(src_w * least(256.0 / src_w,
+                                                256.0 / src_h)) AS INT))
+             AS dst_w,
+           GREATEST(1, CAST(floor(src_h * least(256.0 / src_w,
+                                                256.0 / src_h)) AS INT))
+             AS dst_h
+    FROM src
+)
+SELECT media_id, src_w, src_h, dst_w, dst_h,
+       md5(text || '@' || CAST(dst_w AS VARCHAR) || 'x'
+           || CAST(dst_h AS VARCHAR)) AS resized_checksum
+FROM scaled
+""")
+def multimodal_resize_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Aspect-fit resize plumbing over synthetic media (payload = utf-8
+    text bytes). The scale math is plain double arithmetic spelled
+    identically in the oracle, and the fake resized checksum is
+    md5(payload || '@' || WxH) — fully SQL-reproducible."""
+    from travel_data_pipeline_spark.operators.multimodal import resize_stub
+
+    docs = load_table(spark, sf_dir, "documents")
+    return resize_stub(documents_as_media(docs))
+
+
+@register("multimodal_feature_extract", f"""
+SELECT doc_id AS media_id,
+       CAST(f.i AS INTEGER) AS dim_idx,
+       {round_sql("CAST(('0x' || substr(md5(text || ':' "
+                  "|| CAST(f.i AS VARCHAR)), 1, 8)) AS BIGINT)"
+                  " / 4294967296.0")} AS value
+FROM documents, UNNEST(range(0, 8)) AS f(i)
+""")
+def multimodal_feature_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hash-derived fake feature vectors in long format (8 dims per
+    media row), Arrow-batched; values round(6) with the parity spelling
+    in the oracle (hash/2^32 quotients can graze the .5 boundary)."""
+    from travel_data_pipeline_spark.operators.multimodal import (
+        feature_extract_stub,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    feats = feature_extract_stub(documents_as_media(docs))
+    return feats.select("media_id", "dim_idx",
+                        F.round("value", 6).alias("value"))
