@@ -32,6 +32,15 @@ def main(sf_dir: str = "/root/testdata/sf0.01",
         pipeline_training_data,
         text_quality_scores,
     )
+    from travel_data_pipeline_spark.queries_curation import (
+        dataset_card_stats,
+        split_leakage_check,
+    )
+    from travel_data_pipeline_spark.queries_ops import (
+        anomaly_prequential,
+        record_linkage_blocked,
+        referential_integrity_audit,
+    )
     from travel_data_pipeline_spark.session import get_spark
 
     spark = get_spark("quickstart")
@@ -47,6 +56,12 @@ def main(sf_dir: str = "/root/testdata/sf0.01",
         "doc_quality": text_quality_scores(spark, sf_dir),
         "similar_vectors": embedding_cosine_topk(spark, sf_dir),
         "curated_corpus": pipeline_training_data(spark, sf_dir),
+        # round-4 operational/governance layer
+        "entity_links": record_linkage_blocked(spark, sf_dir),
+        "rate_anomalies": anomaly_prequential(spark, sf_dir),
+        "dq_integrity": referential_integrity_audit(spark, sf_dir),
+        "dataset_cards": dataset_card_stats(spark, sf_dir),
+        "split_leaks": split_leakage_check(spark, sf_dir),
     }
     for name, df in outputs.items():
         path = os.path.join(out_dir, name)
