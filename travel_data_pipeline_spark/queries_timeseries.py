@@ -313,3 +313,87 @@ def temporal_tier_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             .agg(F.count("*").alias("n_items"),
                  F.sum(F.col("l_extendedprice").cast("decimal(18,2)"))
                   .cast("double").alias("revenue")))
+
+
+# ---------------------------------------------------------------------------
+# Holt double-exponential smoothing (level + trend) over each event
+# type's daily count series — the trend-aware big sibling of the EWMA
+# fold (queries_stats.ewma_values_per_user), same sequential-recurrence
+# discipline: sorted-array fold == recursive-CTE oracle, bit-equal
+# doubles before parity rounding.
+#   l_t = a*x_t + (1-a)*(l_{t-1} + b_{t-1})
+#   b_t = g*(l_t - l_{t-1}) + (1-g)*b_{t-1}        (l_1=x_1, b_1=0)
+# ---------------------------------------------------------------------------
+
+_HOLT_A, _HOLT_G = 0.3, 0.1
+
+
+@register("holt_linear_daily", f"""
+WITH RECURSIVE daily AS (
+    SELECT event_type, strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
+           count(*) AS cnt
+    FROM events GROUP BY 1, 2
+),
+seq AS (
+    SELECT event_type, day, cnt,
+           row_number() OVER (PARTITION BY event_type ORDER BY day) AS rn
+    FROM daily
+),
+walk AS (
+    SELECT event_type, day, cnt, rn,
+           CAST(cnt AS DOUBLE) AS lvl, CAST(0 AS DOUBLE) AS trd
+    FROM seq WHERE rn = 1
+    UNION ALL
+    SELECT s.event_type, s.day, s.cnt, s.rn,
+           {_HOLT_A} * s.cnt + {1 - _HOLT_A} * (w.lvl + w.trd),
+           {_HOLT_G} * (({_HOLT_A} * s.cnt
+                         + {1 - _HOLT_A} * (w.lvl + w.trd)) - w.lvl)
+             + {1 - _HOLT_G} * w.trd
+    FROM seq s JOIN walk w
+      ON s.event_type = w.event_type AND s.rn = w.rn + 1
+)
+SELECT event_type, day, cnt,
+       CAST(round(CAST(format('{{}}', lvl) AS DECIMAL(38,18)), 6)
+            AS DOUBLE) AS level,
+       CAST(round(CAST(format('{{}}', trd) AS DECIMAL(38,18)), 6)
+            AS DOUBLE) + 0.0 AS trend
+FROM walk
+""")
+def holt_linear_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Holt linear smoothing of daily arrival counts per event type.
+
+    Sequential two-state recurrence as a per-group sorted-array fold —
+    all JVM expressions, one groupBy(event_type) shuffle of the tiny
+    daily relation; state per group is that type's day count (bounded).
+    The recursive-CTE oracle walks the identical doubles."""
+    ev = load_table(spark, sf_dir, "events")
+    daily = (ev.groupBy(
+        "event_type",
+        F.date_format(F.date_trunc("day", "ts"), "yyyy-MM-dd").alias("day"))
+        .agg(F.count("*").alias("cnt")))
+    g = daily.groupBy("event_type").agg(
+        F.sort_array(F.collect_list(F.struct("day", "cnt"))).alias("s"))
+    a, gm = _HOLT_A, _HOLT_G
+    new_lvl = lambda acc, x: (
+        F.lit(a) * x["cnt"]
+        + F.lit(1 - a) * (F.element_at(acc, -1)["lvl"]
+                          + F.element_at(acc, -1)["trd"]))
+    folded = F.aggregate(
+        F.col("s"),
+        F.array().cast(
+            "array<struct<day:string,cnt:bigint,lvl:double,trd:double>>"),
+        lambda acc, x: F.array_append(acc, F.struct(
+            x["day"].alias("day"),
+            x["cnt"].alias("cnt"),
+            F.when(F.size(acc) == 0, x["cnt"].cast("double"))
+             .otherwise(new_lvl(acc, x)).alias("lvl"),
+            F.when(F.size(acc) == 0, F.lit(0.0))
+             .otherwise(F.lit(gm) * (new_lvl(acc, x)
+                                     - F.element_at(acc, -1)["lvl"])
+                        + F.lit(1 - gm) * F.element_at(acc, -1)["trd"])
+             .alias("trd"))))
+    return (g.select("event_type", F.explode(folded).alias("e"))
+            .select("event_type", F.col("e.day").alias("day"),
+                    F.col("e.cnt").alias("cnt"),
+                    F.round(F.col("e.lvl"), 6).alias("level"),
+                    (F.round(F.col("e.trd"), 6) + 0.0).alias("trend")))
