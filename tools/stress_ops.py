@@ -1,0 +1,139 @@
+"""Operational-layer scale stress: amplify inputs far past the driver
+SFs and time the round-4 operators end-to-end — inverted-index build,
+blocked record linkage, compaction planning over a large file listing,
+and prequential anomaly scoring over many series.
+
+Run: python tools/stress_ops.py [amplification]   (default 20)
+Prints one JSON line.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+
+def main(amplify: int = 20) -> None:
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from travel_data_pipeline_spark.operators.text import token_array
+    from travel_data_pipeline_spark.session import get_spark
+    from travel_data_pipeline_spark.sources.readers import load_table
+
+    spark = get_spark("stress-ops")
+    spark.sparkContext.setLogLevel("ERROR")
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+    # --- inverted index over an amplified corpus -------------------------
+    base = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    copies = spark.range(amplify).withColumnRenamed("id", "copy")
+    docs = (base.crossJoin(copies)
+            .select((F.col("doc_id") + F.col("copy") * 1_000_000)
+                    .alias("doc_id"),
+                    F.concat("text", F.lit(" c"), F.col("copy"))
+                    .alias("text")))
+    n_docs = docs.count()
+
+    t0 = time.perf_counter()
+    td = (docs.select("doc_id", F.explode(token_array(F.col("text")))
+                      .alias("term")).distinct())
+    idx = (td.groupBy("term")
+           .agg(F.count("*").alias("dfreq"),
+                F.slice(F.array_sort(F.collect_list("doc_id")), 1, 20)
+                 .alias("postings")))
+    n_terms = idx.count()
+    t_idx = time.perf_counter() - t0
+
+    # --- blocked record linkage over an amplified master -----------------
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_name", "c_nationkey")
+    master = (cust.crossJoin(copies)
+              .select((F.col("c_custkey") + F.col("copy") * 1_000_000)
+                      .alias("c_custkey"),
+                      F.concat("c_name", F.lit("#"), F.col("copy"))
+                      .alias("c_name"),
+                      "c_nationkey")
+              .withColumn("blk_sfx", F.expr("right(c_name, 2)")))
+    # every 30th master row arrives dirty (one mid-char overwritten)
+    dirty = (master.filter(F.col("c_custkey") % 30 == 0)
+             .select((F.col("c_custkey") + 500_000_000).alias("dirty_id"),
+                     F.concat(F.substring("c_name", 1, 10), F.lit("X"),
+                              F.expr("substr(c_name, 12)")).alias("d_name"),
+                     F.col("c_nationkey").alias("d_nationkey"),
+                     F.col("blk_sfx")))
+    n_master, n_dirty = master.count(), dirty.count()
+
+    t0 = time.perf_counter()
+    cand = (dirty.join(master,
+                       (dirty.d_nationkey == master.c_nationkey)
+                       & (dirty.blk_sfx == master.blk_sfx))
+            .select("dirty_id",
+                    F.levenshtein("d_name", "c_name").alias("lev"),
+                    "c_custkey")
+            .filter(F.col("lev") <= 2))
+    w = Window.partitionBy("dirty_id").orderBy("lev", "c_custkey")
+    best = (cand.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1))
+    n_matched = best.count()
+    t_link = time.perf_counter() - t0
+
+    # --- compaction planning over a synthetic 100k-file listing ----------
+    n_files = 100_000
+    files = (spark.range(n_files)
+             .select((F.col("id") % 1000).alias("partition_id"),
+                     F.col("id").alias("file_id"),
+                     (F.abs(F.hash("id")) % 10_000 + 100).alias("size_kb")))
+    t0 = time.perf_counter()
+    wf = (Window.partitionBy("partition_id").orderBy("file_id")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    packed = files.withColumn(
+        "bin_id", F.floor((F.sum("size_kb").over(wf) - F.col("size_kb"))
+                          .cast("double") / 131_072))
+    n_bins = packed.groupBy("partition_id", "bin_id").count().count()
+    t_pack = time.perf_counter() - t0
+
+    # --- prequential anomaly over 100k series x 64 points ----------------
+    n_series, n_points = 100_000, 64
+    series = (spark.range(n_series)
+              .crossJoin(spark.range(n_points).withColumnRenamed("id", "t"))
+              .select(F.col("id").alias("series_id"), "t",
+                      (F.abs(F.hash("id", "t")) % 100).alias("cnt")))
+    t0 = time.perf_counter()
+    wp = (Window.partitionBy("series_id").orderBy("t")
+          .rowsBetween(Window.unboundedPreceding, -1))
+    scored = (series
+              .withColumn("n", F.count("*").over(wp))
+              .withColumn("s", F.sum("cnt").over(wp))
+              .withColumn("ss", F.sum(F.col("cnt") * F.col("cnt")).over(wp))
+              .filter(F.col("n") >= 7)
+              .withColumn("z", (F.col("cnt") - F.col("s") / F.col("n"))
+                          / F.sqrt((F.col("ss")
+                                    - F.col("s") * F.col("s") / F.col("n"))
+                                   / (F.col("n") - 1))))
+    n_anom = scored.filter(F.abs("z") >= 3.0).count()
+    t_anom = time.perf_counter() - t0
+
+    print(json.dumps({
+        "amplify": amplify,
+        "idx_docs": n_docs, "idx_terms": n_terms,
+        "idx_sec": round(t_idx, 2),
+        "idx_docs_per_sec": round(n_docs / t_idx),
+        "link_master": n_master, "link_dirty": n_dirty,
+        "link_matched": n_matched, "link_sec": round(t_link, 2),
+        "link_dirty_per_sec": round(n_dirty / t_link),
+        "pack_files": n_files, "pack_bins": n_bins,
+        "pack_sec": round(t_pack, 2),
+        "anom_points": n_series * n_points, "anom_flagged": n_anom,
+        "anom_sec": round(t_anom, 2),
+        "anom_points_per_sec": round(n_series * n_points / t_anom),
+    }))
+
+
+if __name__ == "__main__":
+    main(int(sys.argv[1]) if len(sys.argv) > 1 else 20)
