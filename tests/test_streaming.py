@@ -547,3 +547,38 @@ def test_stateful_anomaly_matches_batch_prequential(spark, sf_smoke, tmp_path):
     for k, (cnt, z) in want.items():
         assert got[k][0] == cnt
         assert abs(got[k][1] - z) < 1e-9
+
+
+def test_stateful_holt_matches_batch_fold(spark, sf_smoke, tmp_path):
+    """Streaming Holt smoothing (applyInPandasWithState over the daily
+    feed) must reproduce the batch sorted-array fold
+    (queries_timeseries.holt_linear_daily) exactly."""
+    from travel_data_pipeline_spark.queries_timeseries import (
+        holt_linear_daily,
+    )
+
+    ev = load_table(spark, sf_smoke, "events")
+    daily = (ev.groupBy(
+        "event_type",
+        F.date_format(F.date_trunc("day", "ts"), "yyyy-MM-dd").alias("day"))
+        .agg(F.count("*").alias("cnt")))
+    feed = str(tmp_path / "holt_feed")
+    daily.write.parquet(feed)
+
+    stream = (spark.readStream
+              .schema("event_type string, day string, cnt long")
+              .parquet(feed))
+    out = jobs.holt_stateful(stream)
+    q = (out.writeStream.format("memory").queryName("holt_out")
+         .outputMode("append").trigger(availableNow=True).start())
+    q.awaitTermination(120)
+
+    got = {(r.event_type, r.day): (r.cnt, r.level, r.trend)
+           for r in spark.table("holt_out").collect()}
+    want = {(r.event_type, r.day): (r.cnt, r.level, r.trend)
+            for r in holt_linear_daily(spark, sf_smoke).collect()}
+    assert set(got) == set(want)
+    for k, (cnt, lvl, trd) in want.items():
+        assert got[k][0] == cnt
+        assert abs(got[k][1] - lvl) < 1e-9
+        assert abs(got[k][2] - trd) < 1e-9

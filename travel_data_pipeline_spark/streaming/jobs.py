@@ -534,3 +534,57 @@ def anomaly_stateful(daily_counts: DataFrame,
     return (daily_counts.groupBy("event_type")
             .applyInPandasWithState(update, out_schema, state_schema,
                                     "append", "NoTimeout"))
+
+
+def holt_stateful(daily_counts: DataFrame, alpha: float = 0.3,
+                  gamma: float = 0.1) -> DataFrame:
+    """Streaming Holt linear smoothing via applyInPandasWithState — the
+    streaming twin of queries_timeseries.holt_linear_daily: state is
+    the (level, trend) double pair per event_type; each day's count
+    continues the two-state recurrence
+        l' = a*x + (1-a)*(l + b);  b' = g*(l' - l) + (1-g)*b
+    with the identical double spelling, so the outputs match the batch
+    sorted-array fold exactly — asserted in tests/test_streaming.py."""
+    import pandas as pd  # noqa: F401
+
+    out_schema = T.StructType([
+        T.StructField("event_type", T.StringType()),
+        T.StructField("day", T.StringType()),
+        T.StructField("cnt", T.LongType()),
+        T.StructField("level", T.DoubleType()),
+        T.StructField("trend", T.DoubleType()),
+    ])
+    state_schema = T.StructType([
+        T.StructField("lvl", T.DoubleType()),
+        T.StructField("trd", T.DoubleType()),
+    ])
+
+    # self-contained closure: executors may not have this repo on path
+    def update(key, pdfs, state):
+        import pandas as pd
+
+        lvl, trd = state.get if state.exists else (None, None)
+        days, cnts, lvls, trds = [], [], [], []
+        for pdf in pdfs:
+            pdf = pdf.sort_values("day")
+            for day, cnt in zip(pdf["day"], pdf["cnt"]):
+                x = int(cnt)
+                if lvl is None:
+                    lvl, trd = float(x), 0.0
+                else:
+                    new_lvl = alpha * x + (1.0 - alpha) * (lvl + trd)
+                    trd = gamma * (new_lvl - lvl) + (1.0 - gamma) * trd
+                    lvl = new_lvl
+                days.append(str(day))
+                cnts.append(x)
+                lvls.append(round(lvl, 6))
+                trds.append(round(trd, 6) + 0.0)
+        if lvl is not None:
+            state.update((lvl, trd))
+        yield pd.DataFrame({"event_type": [key[0]] * len(days),
+                            "day": days, "cnt": cnts,
+                            "level": lvls, "trend": trds})
+
+    return (daily_counts.groupBy("event_type")
+            .applyInPandasWithState(update, out_schema, state_schema,
+                                    "append", "NoTimeout"))
