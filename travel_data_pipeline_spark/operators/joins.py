@@ -150,8 +150,11 @@ def salted_join(skewed: DataFrame, other: DataFrame, on: str,
 
 def asof_join(fact: DataFrame, quotes: DataFrame, key: str,
               fact_ts: str, quote_ts: str,
-              quote_cols: Sequence[str]) -> DataFrame:
-    """As-of join — nearest quote at-or-before each fact timestamp.
+              quote_cols: Sequence[str],
+              strict: bool = False) -> DataFrame:
+    """As-of join — nearest quote at-or-before each fact timestamp
+    (strictly-before when ``strict``; equal-timestamp quotes are then
+    invisible to the fact row, the self-join spelling of "previous").
 
     Natural extension flagged in SURVEY.md §2.3 ("nearest
     exchange-rate-at-time lookups"). Spark lacks a native as-of join;
@@ -178,7 +181,10 @@ def asof_join(fact: DataFrame, quotes: DataFrame, key: str,
 
     merged = f_side.select(*fact_cols, "_ts", "_is_quote", *quote_cols).unionByName(
         q_side.select(*fact_cols, "_ts", "_is_quote", *quote_cols))
-    w = (Window.partitionBy(key).orderBy(F.col("_ts").asc(), F.col("_is_quote").desc())
+    # at equal _ts: quote-first (desc) makes the join at-or-before;
+    # fact-first (asc) hides the same-instant quote -> strictly-before
+    tie = F.col("_is_quote").asc() if strict else F.col("_is_quote").desc()
+    w = (Window.partitionBy(key).orderBy(F.col("_ts").asc(), tie)
          .rowsBetween(Window.unboundedPreceding, 0))
     carried = merged.select(
         *fact_cols, "_is_quote",

@@ -792,6 +792,65 @@ def asof_last_order(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Tolerance-bounded as-of: previous order of the SAME customer within
+# 180 days (strictly before). The named variant pandas spells
+# merge_asof(tolerance=...) / kdb spells wj with a window — nearest
+# match discarded when staler than the bound. Equivalence note: the
+# overall nearest-before either satisfies the bound (keep) or nothing
+# closer exists (null), so post-filtering the asof pick == probing with
+# the bound, and the oracle probes while the engine post-filters.
+# ---------------------------------------------------------------------------
+
+_ASOF_TOL_DAYS = 180
+
+
+@register("asof_prev_order_tolerance", f"""
+WITH days AS (
+    SELECT o_custkey, CAST(o_orderdate AS DATE) AS day,
+           MAX(o_orderkey) AS day_orderkey
+    FROM orders GROUP BY 1, 2
+)
+SELECT d.o_custkey, d.day_orderkey AS o_orderkey,
+       COALESCE(p.day_orderkey, -1) AS prev_orderkey,
+       COALESCE(CAST(date_diff('day', p.day, d.day) AS BIGINT), -1)
+         AS gap_days
+FROM days d LEFT JOIN LATERAL (
+    SELECT day, day_orderkey
+    FROM days p
+    WHERE p.o_custkey = d.o_custkey AND p.day < d.day
+      AND p.day >= d.day - INTERVAL {_ASOF_TOL_DAYS} DAY
+    ORDER BY p.day DESC LIMIT 1
+) p ON TRUE
+""")
+def asof_prev_order_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Strictly-before as-of self-join with a 180-day tolerance: each
+    order day finds the customer's previous order day, nulled (-1)
+    when the gap exceeds the bound.
+
+    One shuffle on the customer key (union + window carry-forward; the
+    quote side is the same deduped relation) and a post-filter for the
+    bound — no range-join explosion at any scale."""
+    from travel_data_pipeline_spark.operators.joins import asof_join
+
+    days = (load_table(spark, sf_dir, "orders")
+            .groupBy("o_custkey",
+                     F.col("o_orderdate").cast("date").alias("day"))
+            .agg(F.max("o_orderkey").alias("day_orderkey")))
+    quotes = days.select("o_custkey",
+                         F.col("day").alias("q_day"),
+                         F.col("day_orderkey").alias("q_orderkey"))
+    picked = asof_join(days, quotes, "o_custkey", "day", "q_day",
+                       ["q_day", "q_orderkey"], strict=True)
+    gap = F.datediff(F.col("day"), F.col("q_day"))
+    in_tol = F.col("q_day").isNotNull() & (gap <= _ASOF_TOL_DAYS)
+    return picked.select(
+        "o_custkey", F.col("day_orderkey").alias("o_orderkey"),
+        F.when(in_tol, F.col("q_orderkey")).otherwise(-1)
+         .alias("prev_orderkey"),
+        F.when(in_tol, gap.cast("long")).otherwise(-1).alias("gap_days"))
+
+
+# ---------------------------------------------------------------------------
 # X5-X8 — date/time helper suite
 # ---------------------------------------------------------------------------
 
