@@ -655,3 +655,127 @@ def zorder_interleaved_key(spark: SparkSession, sf_dir: str) -> DataFrame:
         "o_orderkey", F.col("xk").cast("long").alias("xk"),
         F.col("yk").cast("long").alias("yk"),
         F.expr(_morton_expr("xk", "yk")).cast("long").alias("zkey"))
+
+
+# ---------------------------------------------------------------------------
+# Exact global median WITHOUT a global sort — the two-pass histogram
+# localization pattern: pass 1 bins the column and finds which bin
+# holds the k-th value (k = lower-median rank); pass 2 ranks only
+# inside that one bin. At 100 TB the expensive global Sort/OFFSET never
+# happens — the second pass touches one bin's rows. The oracle IS the
+# naive global sort, proving the two-pass answer exact.
+# ---------------------------------------------------------------------------
+
+_MEDIAN_BIN = 1000.0
+
+
+@register("median_two_pass_orders", """
+WITH s AS (
+    SELECT o_totalprice,
+           row_number() OVER (ORDER BY o_totalprice, o_orderkey) AS rn,
+           count(*) OVER () AS n
+    FROM orders
+)
+SELECT CAST(n AS BIGINT) AS n, CAST((n + 1) // 2 AS BIGINT) AS k,
+       o_totalprice AS median_price
+FROM s WHERE rn = (n + 1) // 2
+""")
+def median_two_pass_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact lower-median of o_totalprice via histogram localization.
+
+    Pass 1: one grouped count per 1000-wide bin + a cumulative window
+    over the (tiny) bin relation locates the bin holding rank
+    k = (n+1)//2. Pass 2: rank rows of THAT bin only (window over one
+    bin's rows after a pushed-down range filter). No global sort at any
+    scale; everything is declarative — scalar relations ride along as
+    broadcast cross joins, never driver collects."""
+    from pyspark.sql import Window
+
+    orders = load_table(spark, sf_dir, "orders")
+    binned = orders.select(
+        "o_orderkey", "o_totalprice",
+        F.floor(F.col("o_totalprice") / _MEDIAN_BIN).alias("bin"))
+    hist = binned.groupBy("bin").agg(F.count("*").alias("cnt"))
+    wb = Window.orderBy("bin").rowsBetween(Window.unboundedPreceding, 0)
+    cum = hist.withColumn("cum", F.sum("cnt").over(wb))
+    tot = cum.agg(F.max("cum").alias("n"),
+                  ((F.max("cum") + 1) / 2).cast("long").alias("k"))
+    target = (cum.crossJoin(F.broadcast(tot))
+              .filter(F.col("cum") >= F.col("k"))
+              .orderBy("bin").limit(1)
+              .select("bin", (F.col("cum") - F.col("cnt")).alias("before"),
+                      "n", "k"))
+    inbin = binned.join(F.broadcast(target), "bin")
+    wr = Window.partitionBy("bin").orderBy("o_totalprice", "o_orderkey")
+    return (inbin.withColumn("rn", F.row_number().over(wr))
+            .filter(F.col("rn") == F.col("k") - F.col("before"))
+            .select("n", "k", F.col("o_totalprice").alias("median_price")))
+
+
+# ---------------------------------------------------------------------------
+# Rolling correlation between two arrival series (purchase vs error
+# daily counts) over a 15-day window — the moment-based Pearson recipe
+# (exact integer window sums, one double expression at the end) applied
+# to a sliding frame instead of a group.
+# ---------------------------------------------------------------------------
+
+_ROLL_CORR_W = 15
+
+
+@register("rolling_corr_purchase_error", f"""
+WITH daily AS (
+    SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
+           SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS x,
+           SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS y
+    FROM events GROUP BY 1
+),
+win AS (
+    SELECT day,
+           count(*)    OVER w AS n,
+           sum(x)      OVER w AS sx,  sum(y)     OVER w AS sy,
+           sum(x * x)  OVER w AS sxx, sum(y * y) OVER w AS syy,
+           sum(x * y)  OVER w AS sxy
+    FROM daily
+    WINDOW w AS (ORDER BY day ROWS BETWEEN {_ROLL_CORR_W - 1} PRECEDING
+                 AND CURRENT ROW)
+)
+SELECT day, CAST(n AS BIGINT) AS n_window,
+       round((CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)
+             / (sqrt(CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx)
+                * sqrt(CAST(n AS DOUBLE) * syy
+                       - CAST(sy AS DOUBLE) * sy)), 6) + 0.0 AS r
+FROM win WHERE n = {_ROLL_CORR_W}
+""")
+def rolling_corr_purchase_error(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """15-day rolling Pearson r between purchase and error daily counts.
+
+    One conditional-sum pass builds both series from a single scan;
+    the six window sums are exact integers over a 15-row frame; r is
+    one deterministic double expression, spelled identically in the
+    oracle. Output only full windows."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    daily = (ev.groupBy(
+        F.date_format(F.date_trunc("day", "ts"), "yyyy-MM-dd").alias("day"))
+        .agg(F.sum(F.when(F.col("event_type") == "purchase", 1).otherwise(0))
+             .alias("x"),
+             F.sum(F.when(F.col("event_type") == "error", 1).otherwise(0))
+             .alias("y")))
+    w = Window.orderBy("day").rowsBetween(-(_ROLL_CORR_W - 1), 0)
+    win = (daily
+           .withColumn("n", F.count("*").over(w))
+           .withColumn("sx", F.sum("x").over(w))
+           .withColumn("sy", F.sum("y").over(w))
+           .withColumn("sxx", F.sum(F.col("x") * F.col("x")).over(w))
+           .withColumn("syy", F.sum(F.col("y") * F.col("y")).over(w))
+           .withColumn("sxy", F.sum(F.col("x") * F.col("y")).over(w)))
+    n = F.col("n").cast("double")
+    sx, sy = F.col("sx").cast("double"), F.col("sy").cast("double")
+    sxx, syy = F.col("sxx").cast("double"), F.col("syy").cast("double")
+    sxy = F.col("sxy").cast("double")
+    r = ((n * sxy - sx * sy)
+         / (F.sqrt(n * sxx - sx * sx) * F.sqrt(n * syy - sy * sy)))
+    return (win.filter(F.col("n") == _ROLL_CORR_W)
+            .select("day", F.col("n").alias("n_window"),
+                    (F.round(r, 6) + 0.0).alias("r")))
