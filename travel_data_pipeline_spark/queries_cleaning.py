@@ -305,3 +305,100 @@ def quality_classifier_logistic(spark: SparkSession, sf_dir: str) -> DataFrame:
                         F.round(F.lit(1.0)
                                 / (F.lit(1.0) + F.exp(-F.col("logit"))), 4))
             .withColumn("keep", F.col("logit") >= 0.0))
+
+
+# ---------------------------------------------------------------------------
+# WITHIN-document repeated-segment removal — the intra-doc complement
+# of the cross-doc boilerplate pass above: keep the FIRST occurrence of
+# each aligned 3-token segment inside a document, drop later repeats,
+# and reassemble the residual text in original order. (Scraped pages
+# repeat nav blocks within one page, not just across pages.)
+#
+# The corpus is augmented with a re-appended first segment for
+# doc_id < 5 (same planting convention as the dedup family) so the
+# removal path is observable at every SF; 3 natural repeats exist too.
+#
+# Scale shape: explode to (doc, seg_idx, seg) -> ONE groupBy(doc, seg)
+# keeps min idx -> ONE groupBy(doc) reassembles via a sorted collect.
+# Per-doc state is that document's own segments — bounded like
+# sessionization, never corpus-sized.
+# ---------------------------------------------------------------------------
+
+_SEG_W = 3
+
+
+@register("intradoc_segment_dedup", f"""
+WITH aug AS (
+    SELECT doc_id, text FROM documents WHERE doc_id >= 5
+    UNION ALL
+    SELECT doc_id,
+           text || ' ' || array_to_string(
+             list_filter(string_split(trim(regexp_replace(lower(text),
+                 '\\s+', ' ', 'g')), ' '), t -> t <> '')[1:{_SEG_W}], ' ')
+    FROM documents WHERE doc_id < 5
+),
+toked AS (
+    SELECT doc_id,
+           list_filter(string_split(trim(regexp_replace(lower(text),
+               '\\s+', ' ', 'g')), ' '), t -> t <> '') AS toks
+    FROM aug
+),
+segs AS (
+    SELECT doc_id, CAST(i AS BIGINT) AS seg_idx,
+           array_to_string(toks[(i*{_SEG_W}+1):(i*{_SEG_W}+{_SEG_W})], ' ')
+             AS seg
+    FROM toked,
+         UNNEST(range(0, CAST(floor(len(toks) / {_SEG_W}) AS BIGINT)))
+           AS t(i)
+),
+firsts AS (
+    SELECT doc_id, seg, min(seg_idx) AS k
+    FROM segs GROUP BY doc_id, seg
+),
+rebuilt AS (
+    SELECT doc_id, count(*) AS n_kept,
+           md5(array_to_string(list(seg ORDER BY k), ' ')) AS clean_hash
+    FROM firsts GROUP BY doc_id
+),
+totals AS (
+    SELECT doc_id, count(*) AS n_segs FROM segs GROUP BY doc_id
+)
+SELECT t.doc_id, t.n_segs, r.n_kept, r.clean_hash
+FROM totals t JOIN rebuilt r ON t.doc_id = r.doc_id
+""")
+def intradoc_segment_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Drop repeated 3-token segments within each document, keeping the
+    first occurrence; emit per-doc segment counts and the md5 of the
+    reassembled residual text (order-preserving proof)."""
+    from travel_data_pipeline_spark.operators.text import token_array
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    first_seg = F.array_join(
+        F.slice(token_array(F.col("text")), 1, _SEG_W), " ")
+    aug = (docs.filter(F.col("doc_id") >= 5)
+           .unionByName(docs.filter(F.col("doc_id") < 5)
+                        .select("doc_id",
+                                F.concat("text", F.lit(" "), first_seg)
+                                .alias("text"))))
+    toked = aug.select("doc_id", token_array(F.col("text")).alias("toks"))
+    n_seg = F.floor(F.size("toks") / _SEG_W).cast("long")
+    segs = (toked
+            .select("doc_id", "toks",
+                    F.explode(F.sequence(F.lit(0), n_seg - 1)).alias("i"))
+            .select("doc_id", F.col("i").cast("long").alias("seg_idx"),
+                    F.array_join(
+                        F.slice("toks",
+                                (F.col("i") * _SEG_W + 1).cast("int"),
+                                _SEG_W), " ").alias("seg")))
+    firsts = (segs.groupBy("doc_id", "seg")
+              .agg(F.min("seg_idx").alias("k")))
+    rebuilt = (firsts.groupBy("doc_id")
+               .agg(F.count("*").alias("n_kept"),
+                    F.md5(F.array_join(
+                        F.transform(
+                            F.array_sort(F.collect_list(
+                                F.struct("k", "seg"))),
+                            lambda x: x["seg"]), " ")).alias("clean_hash")))
+    totals = segs.groupBy("doc_id").agg(F.count("*").alias("n_segs"))
+    return totals.join(rebuilt, "doc_id").select(
+        "doc_id", "n_segs", "n_kept", "clean_hash")
