@@ -1474,3 +1474,64 @@ def attribution_last_click(spark: SparkSession, sf_dir: str) -> DataFrame:
                     us.alias("purchase_us"),
                     "click_us",
                     (us - F.col("click_us")).alias("lag_us")))
+
+
+# ---------------------------------------------------------------------------
+# Top-N + OTHER rollup — the reporting classic: name the top-5 nations
+# by revenue, collapse the long tail into one OTHER row so the output
+# is fixed-size no matter how many categories exist. Rank ties break
+# on the nation name so the grouping is deterministic.
+# ---------------------------------------------------------------------------
+
+_TOPN_OTHER = 5
+
+
+@register("topn_other_nations_revenue", f"""
+WITH rev AS (
+    SELECT n.n_name,
+           CAST(SUM(CAST(o.o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+             AS revenue
+    FROM orders o
+    JOIN customer c ON c.c_custkey = o.o_custkey
+    JOIN nation n ON n.n_nationkey = c.c_nationkey
+    GROUP BY n.n_name
+),
+ranked AS (
+    SELECT n_name, revenue,
+           row_number() OVER (ORDER BY revenue DESC, n_name) AS rk
+    FROM rev
+)
+SELECT CASE WHEN rk <= {_TOPN_OTHER} THEN n_name ELSE 'OTHER' END AS label,
+       CAST(SUM(CAST(revenue AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
+       COUNT(*) AS n_nations
+FROM ranked
+GROUP BY 1
+""")
+def topn_other_nations_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-5 nations by order revenue plus a single OTHER tail row.
+
+    The heavy work is one fact aggregation (decimal, exact); ranking
+    and the OTHER collapse run on the 25-row nation rollup — free at
+    any scale."""
+    from pyspark.sql import Window
+
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_nationkey")
+    nation = load_table(spark, sf_dir, "nation").select(
+        "n_nationkey", "n_name")
+    rev = (orders.join(F.broadcast(cust),
+                       orders.o_custkey == cust.c_custkey)
+           .join(F.broadcast(nation),
+                 F.col("c_nationkey") == F.col("n_nationkey"))
+           .groupBy("n_name")
+           .agg(F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+                .cast("double").alias("revenue")))
+    w = Window.orderBy(F.col("revenue").desc(), "n_name")
+    ranked = rev.withColumn("rk", F.row_number().over(w))
+    return (ranked.groupBy(
+        F.when(F.col("rk") <= _TOPN_OTHER, F.col("n_name"))
+         .otherwise("OTHER").alias("label"))
+        .agg(F.sum(F.col("revenue").cast("decimal(18,2)"))
+             .cast("double").alias("revenue"),
+             F.count("*").alias("n_nations")))

@@ -639,3 +639,56 @@ def embedding_random_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
         cols.append((F.round(_dot(F.col("v"), lit), 6)
                      + F.lit(0.0)).alias(f"p{j}"))
     return emb.select("vec_id", *cols)
+
+
+# ---------------------------------------------------------------------------
+# Leave-one-out target encoding — the standard high-cardinality
+# categorical encoder for tabular models: each row's category value is
+# replaced by the mean target of the OTHER rows in its category
+# (leakage-free spelling of mean-target encoding). Exact decimal sums
+# per category broadcast back onto the fact; the per-row encode is one
+# deterministic double expression shared with the oracle.
+# ---------------------------------------------------------------------------
+
+@register("target_encode_loo_segment", """
+WITH fact AS (
+    SELECT o.o_orderkey, c.c_mktsegment AS segment, o.o_totalprice
+    FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+),
+stats AS (
+    SELECT segment,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS s,
+           COUNT(*) AS n
+    FROM fact GROUP BY segment
+)
+SELECT f.o_orderkey, f.segment,
+       CASE WHEN st.n > 1 THEN
+         round((st.s - f.o_totalprice) / (CAST(st.n AS DOUBLE) - 1.0), 6)
+       END AS loo_encoding
+FROM fact f JOIN stats st ON f.segment = st.segment
+""")
+def target_encode_loo_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leave-one-out mean-target encoding of the customer market
+    segment against order value.
+
+    One broadcast dim join + one grouped pass for the category stats
+    (decimal sums — exact and order-independent), broadcast back; the
+    encode itself never shuffles the fact a second time."""
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_mktsegment")
+    fact = (orders.join(F.broadcast(cust),
+                        orders.o_custkey == cust.c_custkey)
+            .select("o_orderkey",
+                    F.col("c_mktsegment").alias("segment"),
+                    "o_totalprice"))
+    stats = (fact.groupBy("segment")
+             .agg(F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+                  .cast("double").alias("s"),
+                  F.count("*").alias("n")))
+    return (fact.join(F.broadcast(stats), "segment")
+            .select("o_orderkey", "segment",
+                    F.when(F.col("n") > 1,
+                           F.round((F.col("s") - F.col("o_totalprice"))
+                                   / (F.col("n").cast("double") - 1.0), 6))
+                    .alias("loo_encoding")))
