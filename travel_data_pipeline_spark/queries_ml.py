@@ -692,3 +692,51 @@ def target_encode_loo_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
                            F.round((F.col("s") - F.col("o_totalprice"))
                                    / (F.col("n").cast("double") - 1.0), 6))
                     .alias("loo_encoding")))
+
+
+# ---------------------------------------------------------------------------
+# Per-label embedding centroids — the cluster-health readout for a
+# labeled embedding corpus (label drift / centroid monitoring). The
+# per-(label, dim) mean folds over a vec_id-SORTED value list so the
+# float summation order is pinned (same recipe as chi2/PSI); the
+# float32 -> double widening is exact in both engines.
+# ---------------------------------------------------------------------------
+
+@register("embedding_label_centroids", """
+WITH vals AS (
+    SELECT label, CAST(t.i AS INT) AS dim_idx, vec_id,
+           CAST(embedding AS DOUBLE[])[t.i + 1] AS v
+    FROM embeddings, UNNEST(range(0, 64)) AS t(i)
+),
+folded AS (
+    SELECT label, dim_idx, count(*) AS n,
+           list(v ORDER BY vec_id) AS vs
+    FROM vals GROUP BY label, dim_idx
+)
+SELECT label, dim_idx, CAST(n AS BIGINT) AS n,
+       round(list_reduce(vs, (x, y) -> x + y) / CAST(n AS DOUBLE), 6) + 0.0
+         AS centroid
+FROM folded
+""")
+def embedding_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mean embedding per (label, dimension) with order-pinned float
+    summation.
+
+    One posexplode + one groupBy((label, dim)) shuffle carrying
+    (vec_id, value) pairs; per-group state is that label's values for
+    one dimension — bounded by label size, never corpus x dims."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    vals = emb.select(
+        "label", "vec_id",
+        F.posexplode(F.col("embedding").cast("array<double>"))
+         .alias("dim_idx", "v"))
+    folded = (vals.groupBy("label", "dim_idx")
+              .agg(F.count("*").alias("n"),
+                   F.array_sort(F.collect_list(F.struct("vec_id", "v")))
+                    .alias("vs")))
+    total = F.aggregate(F.transform("vs", lambda s: s["v"]),
+                        F.lit(0.0), lambda a, x: a + x)
+    return folded.select(
+        "label", "dim_idx", "n",
+        (F.round(total / F.col("n").cast("double"), 6) + 0.0)
+         .alias("centroid"))
