@@ -21,6 +21,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from travel_data_pipeline_spark.functions.hashing import md5_long, md5_long_sql
+from travel_data_pipeline_spark.functions.parity import round_sql
 from travel_data_pipeline_spark.operators import ml
 from travel_data_pipeline_spark.operators.text import token_array
 from travel_data_pipeline_spark.registry import register
@@ -740,3 +741,89 @@ def embedding_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
         "label", "dim_idx", "n",
         (F.round(total / F.col("n").cast("double"), 6) + 0.0)
          .alias("centroid"))
+
+
+# ---------------------------------------------------------------------------
+# Zipf slope of the corpus vocabulary — fit ln(freq) ~ ln(rank) by OLS
+# over the full term-frequency table; natural text sits near slope -1,
+# so the fit is a one-number corpus-health check (degenerate/generated
+# corpora drift off). Term counts are exact integers; each of the four
+# OLS sums folds over a rank-SORTED array so the double summation
+# order is pinned (chi2/PSI recipe), and the final slope/intercept are
+# single expressions with the parity rounding spelling in the oracle.
+# ---------------------------------------------------------------------------
+
+def _rank_fold(value_expr: str) -> str:
+    return (f"list_reduce(list({value_expr} ORDER BY rk), "
+            "(x, y) -> x + y)")
+
+
+@register("zipf_slope_vocab", f"""
+WITH tf AS (
+    SELECT t AS term, count(*) AS freq
+    FROM (SELECT unnest(list_filter(string_split(trim(regexp_replace(
+              lower(text), '\\s+', ' ', 'g')), ' '), x -> x <> '')) AS t
+          FROM documents)
+    GROUP BY t
+),
+ranked AS (
+    SELECT term, freq,
+           row_number() OVER (ORDER BY freq DESC, term) AS rk
+    FROM tf
+),
+folded AS (
+    SELECT count(*) AS n,
+           {_rank_fold('ln(CAST(rk AS DOUBLE))')} AS sx,
+           {_rank_fold('ln(CAST(freq AS DOUBLE))')} AS sy,
+           {_rank_fold('ln(CAST(rk AS DOUBLE)) * ln(CAST(rk AS DOUBLE))')}
+             AS sxx,
+           {_rank_fold('ln(CAST(rk AS DOUBLE)) * ln(CAST(freq AS DOUBLE))')}
+             AS sxy
+    FROM ranked
+)
+SELECT CAST(n AS BIGINT) AS n_terms,
+       {round_sql('(CAST(n AS DOUBLE) * sxy - sx * sy)'
+                  ' / (CAST(n AS DOUBLE) * sxx - sx * sx)')} + 0.0
+         AS zipf_slope,
+       {round_sql('(sy - ((CAST(n AS DOUBLE) * sxy - sx * sy)'
+                  ' / (CAST(n AS DOUBLE) * sxx - sx * sx)) * sx)'
+                  ' / CAST(n AS DOUBLE)')} + 0.0 AS intercept
+FROM folded
+""")
+def zipf_slope_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OLS fit of ln(freq) against ln(rank) over the vocabulary.
+
+    One explode + one groupBy(term) shuffle builds the tf table; the
+    regression runs on the (tiny) vocabulary relation with rank-sorted
+    array folds for all four sums."""
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    tf = (docs.select(F.explode(token_array(F.col("text"))).alias("term"))
+          .groupBy("term").agg(F.count("*").alias("freq")))
+    w = Window.orderBy(F.col("freq").desc(), "term")
+    ranked = (tf.withColumn("rk", F.row_number().over(w))
+              .select("rk",
+                      F.log(F.col("rk").cast("double")).alias("lx"),
+                      F.log(F.col("freq").cast("double")).alias("ly")))
+
+    def fold(col):
+        arr = F.transform(
+            F.array_sort(F.collect_list(F.struct("rk", col.alias("v")))),
+            lambda s: s["v"])
+        return F.aggregate(arr, F.lit(0.0), lambda a, x: a + x)
+
+    folded = ranked.agg(
+        F.count("*").alias("n"),
+        fold(F.col("lx")).alias("sx"),
+        fold(F.col("ly")).alias("sy"),
+        fold(F.col("lx") * F.col("lx")).alias("sxx"),
+        fold(F.col("lx") * F.col("ly")).alias("sxy"))
+    n = F.col("n").cast("double")
+    slope = ((n * F.col("sxy") - F.col("sx") * F.col("sy"))
+             / (n * F.col("sxx") - F.col("sx") * F.col("sx")))
+    intercept = (F.col("sy") - slope * F.col("sx")) / n
+    return folded.select(
+        F.col("n").alias("n_terms"),
+        (F.round(slope, 6) + 0.0).alias("zipf_slope"),
+        (F.round(intercept, 6) + 0.0).alias("intercept"))

@@ -397,3 +397,47 @@ def holt_linear_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
                     F.col("e.cnt").alias("cnt"),
                     F.round(F.col("e.lvl"), 6).alias("level"),
                     (F.round(F.col("e.trd"), 6) + 0.0).alias("trend")))
+
+
+# ---------------------------------------------------------------------------
+# New vs returning users per day — the growth-analytics daily split:
+# a user counts as NEW on their first-ever active day, RETURNING on
+# every later active day. First-day per user is one grouped min; the
+# daily split is one more grouped pass — both map-side combinable.
+# ---------------------------------------------------------------------------
+
+@register("daily_new_returning_users", """
+WITH activity AS (
+    SELECT DISTINCT user_id,
+           strftime(date_trunc('day', ts), '%Y-%m-%d') AS day
+    FROM events
+),
+firsts AS (
+    SELECT user_id, min(day) AS first_day FROM activity GROUP BY user_id
+)
+SELECT a.day,
+       CAST(SUM(CASE WHEN a.day = f.first_day THEN 1 ELSE 0 END)
+            AS BIGINT) AS new_users,
+       CAST(SUM(CASE WHEN a.day <> f.first_day THEN 1 ELSE 0 END)
+            AS BIGINT) AS returning_users
+FROM activity a JOIN firsts f ON a.user_id = f.user_id
+GROUP BY a.day
+""")
+def daily_new_returning_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily active users split into first-ever-day (new) vs returning.
+
+    distinct (user, day) -> min day per user (broadcast back onto the
+    activity relation) -> one grouped conditional count per day. Every
+    aggregation is exact integers; no window over full history."""
+    ev = load_table(spark, sf_dir, "events")
+    activity = (ev.select(
+        "user_id",
+        F.date_format(F.date_trunc("day", "ts"), "yyyy-MM-dd").alias("day"))
+        .distinct())
+    firsts = activity.groupBy("user_id").agg(F.min("day").alias("first_day"))
+    return (activity.join(F.broadcast(firsts), "user_id")
+            .groupBy("day")
+            .agg(F.sum(F.when(F.col("day") == F.col("first_day"), 1)
+                       .otherwise(0)).alias("new_users"),
+                 F.sum(F.when(F.col("day") != F.col("first_day"), 1)
+                       .otherwise(0)).alias("returning_users")))
