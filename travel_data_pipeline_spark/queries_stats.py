@@ -779,3 +779,104 @@ def rolling_corr_purchase_error(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (win.filter(F.col("n") == _ROLL_CORR_W)
             .select("day", F.col("n").alias("n_window"),
                     (F.round(r, 6) + 0.0).alias("r")))
+
+
+# ---------------------------------------------------------------------------
+# Kaplan-Meier survival over user lifetimes — the product-limit
+# estimator, fully deterministic: lifetimes are integer day spans,
+# deaths/at-risk are exact counts, and the survival product folds over
+# time-SORTED steps (oracle: recursive CTE walking the identical
+# doubles). Users still active on the corpus' final day are censored.
+# ---------------------------------------------------------------------------
+
+@register("kaplan_meier_lifetime", """
+WITH RECURSIVE life AS (
+    SELECT user_id,
+           date_diff('day', min(date_trunc('day', ts)),
+                     max(date_trunc('day', ts))) AS t,
+           CASE WHEN max(date_trunc('day', ts))
+                     = (SELECT max(date_trunc('day', ts)) FROM events)
+                THEN 1 ELSE 0 END AS censored
+    FROM events GROUP BY user_id
+),
+byt AS (
+    SELECT t,
+           CAST(SUM(1 - censored) AS BIGINT) AS d,
+           CAST(SUM(censored) AS BIGINT) AS c
+    FROM life GROUP BY t
+),
+risk AS (
+    SELECT t, d, c,
+           (SELECT count(*) FROM life)
+             - COALESCE(SUM(d + c) OVER (ORDER BY t
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+             AS n_risk
+    FROM byt
+),
+steps AS (
+    SELECT t, d, CAST(n_risk AS BIGINT) AS n_risk,
+           row_number() OVER (ORDER BY t) AS rn
+    FROM risk WHERE d > 0
+),
+walk AS (
+    SELECT t, d, n_risk, rn,
+           1.0 * (1.0 - CAST(d AS DOUBLE) / CAST(n_risk AS DOUBLE)) AS s
+    FROM steps WHERE rn = 1
+    UNION ALL
+    SELECT st.t, st.d, st.n_risk, st.rn,
+           w.s * (1.0 - CAST(st.d AS DOUBLE) / CAST(st.n_risk AS DOUBLE))
+    FROM steps st JOIN walk w ON st.rn = w.rn + 1
+)
+SELECT CAST(t AS BIGINT) AS t, d, n_risk,
+       CAST(round(CAST(format('{}', s) AS DECIMAL(38,18)), 6) AS DOUBLE)
+         AS survival
+FROM walk
+""")
+def kaplan_meier_lifetime(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-limit survival curve of user activity lifetimes
+    (last active day minus first), censoring users active on the final
+    corpus day.
+
+    Two grouped passes (per-user span, per-time deaths) + one window
+    over the tiny step relation; the survival product is a sorted
+    array fold, bit-equal to the oracle's recursive walk."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    day = F.date_trunc("day", "ts")
+    life = (ev.groupBy("user_id")
+            .agg(F.min(day).alias("first_d"), F.max(day).alias("last_d")))
+    max_day = ev.agg(F.max(day).alias("max_d"))
+    life = (life.crossJoin(F.broadcast(max_day))
+            .select(F.datediff("last_d", "first_d").cast("long").alias("t"),
+                    F.when(F.col("last_d") == F.col("max_d"), 1)
+                     .otherwise(0).alias("censored")))
+    byt = (life.groupBy("t")
+           .agg(F.sum(1 - F.col("censored")).alias("d"),
+                F.sum("censored").alias("c")))
+    total = life.agg(F.count("*").alias("n_total"))
+    w = Window.orderBy("t").rowsBetween(Window.unboundedPreceding, -1)
+    risk = (byt.crossJoin(F.broadcast(total))
+            .withColumn("removed",
+                        F.coalesce(F.sum(F.col("d") + F.col("c")).over(w),
+                                   F.lit(0)))
+            .withColumn("n_risk", F.col("n_total") - F.col("removed")))
+    steps = (risk.filter(F.col("d") > 0)
+             .select("t", "d", F.col("n_risk").cast("long").alias("n_risk")))
+    folded = steps.agg(F.array_sort(F.collect_list(
+        F.struct("t", "d", "n_risk"))).alias("ss"))
+    walk = F.aggregate(
+        F.col("ss"),
+        F.array().cast("array<struct<t:bigint,d:bigint,n_risk:bigint,"
+                       "s:double>>"),
+        lambda acc, x: F.array_append(acc, F.struct(
+            x["t"].alias("t"), x["d"].alias("d"),
+            x["n_risk"].alias("n_risk"),
+            (F.when(F.size(acc) == 0, F.lit(1.0))
+              .otherwise(F.element_at(acc, -1)["s"])
+             * (F.lit(1.0) - x["d"].cast("double")
+                / x["n_risk"].cast("double"))).alias("s"))))
+    return (folded.select(F.explode(walk).alias("e"))
+            .select(F.col("e.t").alias("t"), F.col("e.d").alias("d"),
+                    F.col("e.n_risk").alias("n_risk"),
+                    F.round(F.col("e.s"), 6).alias("survival")))
