@@ -174,3 +174,116 @@ def test_pack_shards_monotone_property(spark, token_counts):
     # shards partition the stream: every doc assigned, ids contiguous
     shards = sorted({r["shard"] for r in got})
     assert shards == list(range(len(shards)))
+
+
+@settings(max_examples=1, deadline=None)
+@given(st.lists(st.integers(min_value=1, max_value=2000),
+                min_size=30, max_size=60))
+def test_bin_packing_matches_python_model(spark, sizes):
+    """Greedy in-order bin packing (compaction planner's window form)
+    equals the sequential python reference on random file sizes."""
+    from pyspark.sql import Window
+
+    target = 500
+    rows = [(i, s) for i, s in enumerate(sizes)]
+    df = spark.createDataFrame(rows, "file_id long, size long")
+    w = (Window.orderBy("file_id")
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    got = {r.file_id: r.bin for r in df.withColumn(
+        "bin", F.floor((F.sum("size").over(w) - F.col("size"))
+                       .cast("double") / target)).collect()}
+
+    prefix, want = 0, {}
+    for i, s in enumerate(sizes):
+        want[i] = prefix // target
+        prefix += s
+    assert got == want
+
+
+@settings(max_examples=1, deadline=None)
+@given(st.lists(st.tuples(st.integers(0, 1), st.integers(0, 100)),
+                min_size=20, max_size=60))
+def test_asof_strict_matches_python_model(spark, rows):
+    """asof_join(strict=True) returns the latest quote strictly before
+    each fact ts, exactly as the naive python scan does — including
+    equal-timestamp collisions."""
+    from travel_data_pipeline_spark.operators.joins import asof_join
+
+    facts = [(i, ts) for i, (side, ts) in enumerate(rows) if side == 0]
+    quotes = {}
+    for i, (side, ts) in enumerate(rows):
+        if side == 1:
+            # one quote per ts: keep max id (mirrors the dedup the
+            # engine queries apply before as-of)
+            quotes[ts] = max(quotes.get(ts, -1), i)
+    if not facts or not quotes:
+        return
+    f = spark.createDataFrame(facts, "fact_id long, ts long")
+    qdf = spark.createDataFrame(
+        [(ts, qid) for ts, qid in quotes.items()], "q_ts long, q_id long") \
+        .withColumn("key", F.lit(1))
+    f = f.withColumn("key", F.lit(1))
+    out = asof_join(f, qdf, "key", "ts", "q_ts", ["q_id"], strict=True)
+    got = {r.fact_id: r.q_id for r in out.collect()}
+
+    for fid, fts in facts:
+        prior = [qid for ts, qid in quotes.items() if ts < fts]
+        best = None
+        if prior:
+            best_ts = max(ts for ts in quotes if ts < fts)
+            best = quotes[best_ts]
+        assert got[fid] == best, (fid, fts, got[fid], best)
+
+
+@settings(max_examples=1, deadline=None)
+@given(st.lists(st.tuples(st.integers(0, 10), st.integers(0, 1)),
+                min_size=10, max_size=40))
+def test_kaplan_meier_matches_python_model(spark, rows):
+    """The sorted-fold KM survival product equals the classical
+    sequential product-limit computation on random (lifetime,
+    censored) pairs."""
+    from pyspark.sql import Window
+
+    df = spark.createDataFrame(rows, "t long, censored int")
+    byt = (df.groupBy("t")
+           .agg(F.sum(1 - F.col("censored")).alias("d"),
+                F.sum("censored").alias("c")))
+    total = len(rows)
+    w = Window.orderBy("t").rowsBetween(Window.unboundedPreceding, -1)
+    risk = (byt.withColumn(
+        "n_risk", F.lit(total)
+        - F.coalesce(F.sum(F.col("d") + F.col("c")).over(w), F.lit(0)))
+        .filter(F.col("d") > 0))
+    folded = risk.agg(F.array_sort(F.collect_list(
+        F.struct("t", "d", "n_risk"))).alias("ss"))
+    walk = F.aggregate(
+        F.col("ss"),
+        F.array().cast("array<struct<t:bigint,d:bigint,n_risk:bigint,"
+                       "s:double>>"),
+        lambda acc, x: F.array_append(acc, F.struct(
+            x["t"].alias("t"), x["d"].alias("d"),
+            x["n_risk"].alias("n_risk"),
+            (F.when(F.size(acc) == 0, F.lit(1.0))
+              .otherwise(F.element_at(acc, -1)["s"])
+             * (F.lit(1.0) - x["d"].cast("double")
+                / x["n_risk"].cast("double"))).alias("s"))))
+    got = {r.e.t: r.e.s for r in
+           folded.select(F.explode(walk).alias("e")).collect()}
+
+    # python reference: classical sequential product-limit
+    from collections import Counter
+
+    deaths, removed = Counter(), Counter()
+    for t, cen in rows:
+        removed[t] += 1
+        if cen == 0:
+            deaths[t] += 1
+    s, n, want = 1.0, total, {}
+    for t in sorted(removed):
+        if deaths[t] > 0:
+            s *= 1.0 - deaths[t] / n
+            want[t] = s
+        n -= removed[t]
+    assert set(got) == set(want)
+    for t in want:
+        assert abs(got[t] - want[t]) < 1e-12
