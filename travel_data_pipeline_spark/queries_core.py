@@ -1535,3 +1535,84 @@ def topn_other_nations_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.sum(F.col("revenue").cast("decimal(18,2)"))
              .cast("double").alias("revenue"),
              F.count("*").alias("n_nations")))
+
+
+# ---------------------------------------------------------------------------
+# Top-k movers — week-over-week heavy-hitter change detection: rank
+# parts by revenue in the first and second half of the order history
+# and report the largest rank climbs/falls among parts that are top-50
+# in either half. The reporting twin of drift detection: PSI says THE
+# DISTRIBUTION moved, this names WHO moved.
+# ---------------------------------------------------------------------------
+
+_MOVER_TOPK = 50
+
+
+@register("topk_movers_parts", f"""
+WITH halves AS (
+    SELECT l_partkey,
+           CASE WHEN o.o_orderdate < TIMESTAMP '1998-05-01'
+                THEN 'h1' ELSE 'h2' END AS half,
+           CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+             AS revenue
+    FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
+    GROUP BY 1, 2
+),
+ranked AS (
+    SELECT l_partkey, half, revenue,
+           row_number() OVER (PARTITION BY half
+                              ORDER BY revenue DESC, l_partkey) AS rk
+    FROM halves
+),
+wide AS (
+    SELECT l_partkey,
+           min(CASE WHEN half = 'h1' THEN rk END) AS rk1,
+           min(CASE WHEN half = 'h2' THEN rk END) AS rk2
+    FROM ranked GROUP BY l_partkey
+)
+SELECT l_partkey,
+       CAST(COALESCE(rk1, -1) AS BIGINT) AS rank_h1,
+       CAST(COALESCE(rk2, -1) AS BIGINT) AS rank_h2,
+       CAST(CASE WHEN rk1 IS NULL OR rk2 IS NULL THEN NULL
+                 ELSE rk1 - rk2 END AS BIGINT) AS rank_climb
+FROM wide
+WHERE COALESCE(rk1, 999999999) <= {_MOVER_TOPK}
+   OR COALESCE(rk2, 999999999) <= {_MOVER_TOPK}
+""")
+def topk_movers_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rank delta of part revenue between the two halves of the order
+    history, restricted to parts top-50 in either half.
+
+    One fact aggregation per (part, half) — a single shuffle on the
+    part key — then ranking and the movers filter run on the rollup.
+    Rank ties break on the part key so both engines agree."""
+    from pyspark.sql import Window
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey", "l_extendedprice")
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderdate")
+    halves = (li.join(orders, li.l_orderkey == orders.o_orderkey)
+              .groupBy("l_partkey",
+                       F.when(F.col("o_orderdate")
+                              < F.lit("1998-05-01").cast("timestamp"), "h1")
+                        .otherwise("h2").alias("half"))
+              .agg(F.sum(F.col("l_extendedprice").cast("decimal(18,2)"))
+                   .cast("double").alias("revenue")))
+    w = Window.partitionBy("half").orderBy(F.col("revenue").desc(),
+                                           "l_partkey")
+    ranked = halves.withColumn("rk", F.row_number().over(w))
+    wide = (ranked.groupBy("l_partkey")
+            .agg(F.min(F.when(F.col("half") == "h1", F.col("rk")))
+                 .alias("rk1"),
+                 F.min(F.when(F.col("half") == "h2", F.col("rk")))
+                 .alias("rk2")))
+    return (wide.filter(
+        (F.coalesce("rk1", F.lit(999999999)) <= _MOVER_TOPK)
+        | (F.coalesce("rk2", F.lit(999999999)) <= _MOVER_TOPK))
+        .select("l_partkey",
+                F.coalesce("rk1", F.lit(-1)).cast("long").alias("rank_h1"),
+                F.coalesce("rk2", F.lit(-1)).cast("long").alias("rank_h2"),
+                F.when(F.col("rk1").isNotNull() & F.col("rk2").isNotNull(),
+                       F.col("rk1") - F.col("rk2"))
+                 .cast("long").alias("rank_climb")))
