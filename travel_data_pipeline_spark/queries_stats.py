@@ -880,3 +880,173 @@ def kaplan_meier_lifetime(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select(F.col("e.t").alias("t"), F.col("e.d").alias("d"),
                     F.col("e.n_risk").alias("n_risk"),
                     F.round(F.col("e.s"), 6).alias("survival")))
+
+
+# ---------------------------------------------------------------------------
+# Forensic / concentration indicators — three classical one-number
+# screens over money columns, all exactly deterministic:
+#   Benford first-digit chi-square (fraud screening),
+#   Gini coefficient (revenue inequality across customers),
+#   Herfindahl-Hirschman index (market concentration per region).
+# Counts and money sums are exact integers/decimals; each final
+# statistic is one double expression (Benford's 9-term sum folds in
+# digit order via list_reduce — order-pinned).
+# ---------------------------------------------------------------------------
+
+@register("benford_first_digit", """
+WITH digits AS (
+    SELECT CAST(substr(CAST(CAST(floor(o_totalprice) AS BIGINT) AS VARCHAR),
+                1, 1) AS INT) AS d
+    FROM orders WHERE o_totalprice >= 1
+),
+obs AS (
+    SELECT d, count(*) AS n FROM digits GROUP BY d
+),
+tot AS (SELECT CAST(sum(n) AS BIGINT) AS total FROM obs),
+terms AS (
+    SELECT o.d, o.n, t.total,
+           ln(1.0 + 1.0 / CAST(o.d AS DOUBLE)) / ln(10.0) AS p,
+           round(CAST(o.n AS DOUBLE) / CAST(t.total AS DOUBLE), 6) + 0.0
+             AS observed_share
+    FROM obs o CROSS JOIN tot t
+)
+SELECT d, CAST(n AS BIGINT) AS n, observed_share,
+       round(p, 6) + 0.0 AS benford_share,
+       round((CAST(n AS DOUBLE) - total * p) * (CAST(n AS DOUBLE) - total * p)
+             / (total * p), 6) + 0.0 AS chi2_term
+FROM terms
+""")
+def benford_first_digit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-digit distribution of order values vs Benford's law, with
+    the per-digit chi-square contribution. One grouped count over the
+    scan; the 9-row comparison is free."""
+    orders = load_table(spark, sf_dir, "orders")
+    d = F.substring(F.floor("o_totalprice").cast("long").cast("string"),
+                    1, 1).cast("int")
+    obs = (orders.filter(F.col("o_totalprice") >= 1)
+           .select(d.alias("d")).groupBy("d").agg(F.count("*").alias("n")))
+    tot = obs.agg(F.sum("n").alias("total"))
+    p = F.log(F.lit(1.0) + F.lit(1.0) / F.col("d").cast("double")) \
+        / F.log(F.lit(10.0))
+    nd, totd = F.col("n").cast("double"), F.col("total").cast("double")
+    return (obs.crossJoin(F.broadcast(tot))
+            .select("d", F.col("n").cast("long").alias("n"),
+                    (F.round(nd / totd, 6) + 0.0).alias("observed_share"),
+                    (F.round(p, 6) + 0.0).alias("benford_share"),
+                    (F.round((nd - totd * p) * (nd - totd * p)
+                             / (totd * p), 6) + 0.0).alias("chi2_term")))
+
+
+@register("gini_customer_revenue", """
+WITH rev AS (
+    SELECT o_custkey,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(18,2))
+             AS r
+    FROM orders GROUP BY o_custkey
+),
+ranked AS (
+    SELECT r, row_number() OVER (ORDER BY r, o_custkey) AS i,
+           count(*) OVER () AS n
+    FROM rev
+),
+sums AS (
+    SELECT CAST(max(n) AS BIGINT) AS n,
+           CAST(SUM(CAST(i AS DECIMAL(28,2)) * CAST(r AS DECIMAL(28,2)))
+                AS DOUBLE) AS swx,
+           CAST(SUM(CAST(r AS DECIMAL(28,2))) AS DOUBLE) AS sx
+    FROM ranked
+)
+SELECT n,
+       round(2.0 * swx / (CAST(n AS DOUBLE) * sx)
+             - (CAST(n AS DOUBLE) + 1.0) / CAST(n AS DOUBLE), 6) + 0.0
+         AS gini
+FROM sums
+""")
+def gini_customer_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gini coefficient of per-customer order revenue via the exact
+    rank formula G = 2*sum(i*x_i)/(n*sum(x)) - (n+1)/n over ascending
+    ranks (ties broken on the key). All sums are decimal-exact; the
+    statistic is one double expression."""
+    from pyspark.sql import Window
+
+    orders = load_table(spark, sf_dir, "orders")
+    rev = (orders.groupBy("o_custkey")
+           .agg(F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+                .cast("decimal(18,2)").alias("r")))
+    w = Window.orderBy("r", "o_custkey")
+    ranked = rev.withColumn("i", F.row_number().over(w))
+    sums = ranked.agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum(F.col("i").cast("decimal(28,2)")
+              * F.col("r").cast("decimal(28,2)")).cast("double").alias("swx"),
+        F.sum(F.col("r").cast("decimal(28,2)")).cast("double").alias("sx"))
+    n = F.col("n").cast("double")
+    return sums.select(
+        "n",
+        (F.round(F.lit(2.0) * F.col("swx") / (n * F.col("sx"))
+                 - (n + 1.0) / n, 6) + 0.0).alias("gini"))
+
+
+@register("hhi_market_concentration", """
+WITH rev AS (
+    SELECT r.r_name AS region,
+           n.n_name AS nation,
+           CAST(SUM(CAST(o.o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS v
+    FROM orders o
+    JOIN customer c ON c.c_custkey = o.o_custkey
+    JOIN nation n ON n.n_nationkey = c.c_nationkey
+    JOIN region r ON r.r_regionkey = n.n_regionkey
+    GROUP BY 1, 2
+),
+tot AS (
+    SELECT region, CAST(SUM(CAST(v AS DECIMAL(18,2))) AS DOUBLE) AS tv
+    FROM rev GROUP BY region
+),
+shares AS (
+    SELECT rev.region, (v / tv) * (v / tv) AS sq,
+           rev.nation
+    FROM rev JOIN tot USING (region)
+)
+SELECT region, CAST(count(*) AS BIGINT) AS n_nations,
+       round(list_reduce(list(sq ORDER BY nation), (x, y) -> x + y) * 10000,
+             6) + 0.0 AS hhi
+FROM shares GROUP BY region
+""")
+def hhi_market_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Herfindahl-Hirschman index (x10000) of nation revenue shares
+    within each region. Decimal revenue sums are exact; the per-region
+    sum of squared shares folds in nation order so both engines add
+    identical doubles identically."""
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_nationkey")
+    nation = load_table(spark, sf_dir, "nation").select(
+        "n_nationkey", "n_regionkey", "n_name")
+    region = load_table(spark, sf_dir, "region").select(
+        "r_regionkey", "r_name")
+    rev = (orders.join(F.broadcast(cust),
+                       orders.o_custkey == cust.c_custkey)
+           .join(F.broadcast(nation),
+                 F.col("c_nationkey") == F.col("n_nationkey"))
+           .join(F.broadcast(region),
+                 F.col("n_regionkey") == F.col("r_regionkey"))
+           .groupBy(F.col("r_name").alias("region"),
+                    F.col("n_name").alias("nation"))
+           .agg(F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+                .cast("double").alias("v")))
+    tot = (rev.groupBy("region")
+           .agg(F.sum(F.col("v").cast("decimal(18,2)")).cast("double")
+                .alias("tv")))
+    shares = (rev.join(F.broadcast(tot), "region")
+              .select("region", "nation",
+                      ((F.col("v") / F.col("tv"))
+                       * (F.col("v") / F.col("tv"))).alias("sq")))
+    folded = (shares.groupBy("region")
+              .agg(F.count("*").cast("long").alias("n_nations"),
+                   F.array_sort(F.collect_list(F.struct("nation", "sq")))
+                    .alias("ss")))
+    total = F.aggregate(F.transform("ss", lambda s: s["sq"]),
+                        F.lit(0.0), lambda a, x: a + x)
+    return folded.select(
+        "region", "n_nations",
+        (F.round(total * 10000, 6) + 0.0).alias("hhi"))
