@@ -50,6 +50,8 @@ HEADLINE = [
     # round-4: flagships of the operational + governance layers
     "record_linkage_blocked",
     "inverted_index_postings",
+    # round-4 late: the composed observability report (4 checks, one plan)
+    "pipeline_data_health",
 ]
 
 
