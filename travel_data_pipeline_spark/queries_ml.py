@@ -827,3 +827,130 @@ def zipf_slope_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n").alias("n_terms"),
         (F.round(slope, 6) + 0.0).alias("zipf_slope"),
         (F.round(intercept, 6) + 0.0).alias("intercept"))
+
+
+# ---------------------------------------------------------------------------
+# RAKE keyword extraction (Rose et al. 2010) — corpus-level: split
+# token streams into candidate phrases at stopword boundaries, score
+# words by degree/frequency over all phrases, score a phrase as the
+# sum of its word scores, report the top-20 phrases.
+#
+# Determinism: phrase segmentation is a cumulative stopword count
+# (window over integer positions); word freq/degree are exact integer
+# counts; word scores are single double divisions; each phrase score
+# folds its word scores in POSITION order (the chi2/PSI recipe); the
+# top-20 ranks on (score rounded to 6dp, phrase) so ordering is stable
+# across engines.
+# ---------------------------------------------------------------------------
+
+_RAKE_STOPS = ("the", "a", "and", "of", "to", "in", "is", "it", "that",
+               "for")
+_RAKE_STOPS_SQL = "[" + ", ".join(f"'{w}'" for w in _RAKE_STOPS) + "]"
+_RAKE_TOPK = 20
+
+
+@register("rake_keyword_extraction", f"""
+WITH toked AS (
+    SELECT doc_id, t.i AS pos, toks[t.i + 1] AS token
+    FROM (SELECT doc_id,
+                 list_filter(string_split(trim(regexp_replace(lower(text),
+                     '\\s+', ' ', 'g')), ' '), x -> x <> '') AS toks
+          FROM documents),
+         UNNEST(range(0, len(toks))) AS t(i)
+),
+marked AS (
+    SELECT doc_id, pos, token,
+           CASE WHEN list_contains({_RAKE_STOPS_SQL}, token)
+                THEN 1 ELSE 0 END AS is_stop
+    FROM toked
+),
+pids AS (
+    SELECT doc_id, pos, token, is_stop,
+           SUM(is_stop) OVER (PARTITION BY doc_id ORDER BY pos
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pid
+    FROM marked
+),
+pw AS (
+    SELECT doc_id, pid, pos, token FROM pids WHERE is_stop = 0
+),
+plens AS (
+    SELECT doc_id, pid, count(*) AS plen FROM pw GROUP BY doc_id, pid
+),
+wstats AS (
+    SELECT token,
+           CAST(count(*) AS BIGINT) AS freq,
+           CAST(SUM(plen) AS BIGINT) AS deg
+    FROM pw JOIN plens USING (doc_id, pid)
+    GROUP BY token
+),
+scored_words AS (
+    SELECT pw.doc_id, pw.pid, pw.pos, pw.token,
+           CAST(w.deg AS DOUBLE) / CAST(w.freq AS DOUBLE) AS wscore
+    FROM pw JOIN wstats w ON w.token = pw.token
+),
+phrases AS (
+    SELECT doc_id, pid,
+           array_to_string(list(token ORDER BY pos), ' ') AS phrase,
+           list_reduce(list(wscore ORDER BY pos), (x, y) -> x + y)
+             AS pscore
+    FROM scored_words GROUP BY doc_id, pid
+),
+agg AS (
+    SELECT phrase, CAST(count(*) AS BIGINT) AS n_occur,
+           round(min(pscore), 6) + 0.0 AS score
+    FROM phrases GROUP BY phrase
+),
+ranked AS (
+    SELECT phrase, n_occur, score,
+           row_number() OVER (ORDER BY score DESC, phrase) AS rk
+    FROM agg
+)
+SELECT phrase, n_occur, score, CAST(rk AS INT) AS rk
+FROM ranked WHERE rk <= {_RAKE_TOPK}
+""")
+def rake_keyword_extraction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 RAKE phrases over the corpus.
+
+    Three shuffles total: the (doc, phrase) grouping, the corpus word
+    stats (map-side combinable integer counts broadcast back), and the
+    phrase aggregation; the final rank runs on the small distinct-
+    phrase relation."""
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    toked = docs.select(
+        "doc_id", F.posexplode(token_array(F.col("text")))
+        .alias("pos", "token"))
+    marked = toked.withColumn(
+        "is_stop",
+        F.when(F.col("token").isin(*_RAKE_STOPS), 1).otherwise(0))
+    wp = (Window.partitionBy("doc_id").orderBy("pos")
+          .rowsBetween(Window.unboundedPreceding, 0))
+    pw = (marked.withColumn("pid", F.sum("is_stop").over(wp))
+          .filter(F.col("is_stop") == 0)
+          .select("doc_id", "pid", "pos", "token"))
+    plens = pw.groupBy("doc_id", "pid").agg(F.count("*").alias("plen"))
+    wstats = (pw.join(plens, ["doc_id", "pid"])
+              .groupBy("token")
+              .agg(F.count("*").cast("long").alias("freq"),
+                   F.sum("plen").cast("long").alias("deg")))
+    scored = (pw.join(F.broadcast(wstats), "token")
+              .select("doc_id", "pid", "pos", "token",
+                      (F.col("deg").cast("double")
+                       / F.col("freq").cast("double")).alias("wscore")))
+    folded = (scored.groupBy("doc_id", "pid")
+              .agg(F.array_sort(F.collect_list(
+                  F.struct("pos", "token", "wscore"))).alias("ws")))
+    phrase = F.array_join(
+        F.transform("ws", lambda s: s["token"]), " ")
+    pscore = F.aggregate(F.transform("ws", lambda s: s["wscore"]),
+                         F.lit(0.0), lambda a, x: a + x)
+    phrases = folded.select(phrase.alias("phrase"),
+                            pscore.alias("pscore"))
+    agg = (phrases.groupBy("phrase")
+           .agg(F.count("*").cast("long").alias("n_occur"),
+                (F.round(F.min("pscore"), 6) + 0.0).alias("score")))
+    w = Window.orderBy(F.col("score").desc(), "phrase")
+    return (agg.withColumn("rk", F.row_number().over(w))
+            .filter(F.col("rk") <= _RAKE_TOPK)
+            .withColumn("rk", F.col("rk").cast("int")))
