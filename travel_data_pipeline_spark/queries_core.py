@@ -1616,3 +1616,115 @@ def topk_movers_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.when(F.col("rk1").isNotNull() & F.col("rk2").isNotNull(),
                        F.col("rk1") - F.col("rk2"))
                  .cast("long").alias("rank_climb")))
+
+
+# ---------------------------------------------------------------------------
+# Seasonality index — average order value per calendar month divided by
+# the overall average: the classical ratio-to-moving-average seasonal
+# index in its simplest exact form. Decimal sums keep both averages
+# exact; the index is one double division with identical spelling.
+# ---------------------------------------------------------------------------
+
+@register("seasonality_monthly_index", """
+WITH m AS (
+    SELECT CAST(EXTRACT(month FROM o_orderdate) AS INT) AS month,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS s,
+           COUNT(*) AS n
+    FROM orders GROUP BY 1
+),
+o AS (
+    SELECT CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS st,
+           COUNT(*) AS nt
+    FROM orders
+)
+SELECT m.month, CAST(m.n AS BIGINT) AS n_orders,
+       round(m.s / CAST(m.n AS DOUBLE), 6) AS month_avg,
+       round((m.s / CAST(m.n AS DOUBLE))
+             / (o.st / CAST(o.nt AS DOUBLE)), 6) AS seasonal_index
+FROM m CROSS JOIN o
+""")
+def seasonality_monthly_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Average order value per calendar month relative to the overall
+    average — one grouped pass plus a broadcast scalar."""
+    orders = load_table(spark, sf_dir, "orders")
+    m = (orders.groupBy(F.month("o_orderdate").alias("month"))
+         .agg(F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+              .cast("double").alias("s"),
+              F.count("*").alias("n")))
+    o = orders.agg(
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+         .cast("double").alias("st"),
+        F.count("*").alias("nt"))
+    return (m.crossJoin(F.broadcast(o))
+            .select("month", F.col("n").cast("long").alias("n_orders"),
+                    F.round(F.col("s") / F.col("n").cast("double"), 6)
+                     .alias("month_avg"),
+                    F.round((F.col("s") / F.col("n").cast("double"))
+                            / (F.col("st") / F.col("nt").cast("double")), 6)
+                     .alias("seasonal_index")))
+
+
+# ---------------------------------------------------------------------------
+# Cohort LTV curve — cumulative average revenue per customer by cohort
+# age: cohort = a customer's first-order year, age = years since; the
+# curve is a cumulative window over the (cohort, age) rollup. Money
+# stays decimal through the cumulative sum so the running totals are
+# exact; the per-customer normalization is the final double division.
+# ---------------------------------------------------------------------------
+
+@register("cohort_ltv_curve", """
+WITH firsts AS (
+    SELECT o_custkey,
+           CAST(EXTRACT(year FROM min(o_orderdate)) AS INT) AS cohort
+    FROM orders GROUP BY o_custkey
+),
+sized AS (
+    SELECT cohort, CAST(count(*) AS BIGINT) AS cohort_users
+    FROM firsts GROUP BY cohort
+),
+rev AS (
+    SELECT f.cohort,
+           CAST(EXTRACT(year FROM o.o_orderdate) AS INT) - f.cohort AS age,
+           SUM(CAST(o.o_totalprice AS DECIMAL(18,2))) AS r
+    FROM orders o JOIN firsts f ON f.o_custkey = o.o_custkey
+    GROUP BY 1, 2
+),
+cum AS (
+    SELECT cohort, age,
+           CAST(SUM(r) OVER (PARTITION BY cohort ORDER BY age
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS DECIMAL(18,2)) AS cum_rev
+    FROM rev
+)
+SELECT c.cohort, c.age, s.cohort_users,
+       CAST(c.cum_rev AS DOUBLE) AS cum_revenue,
+       round(CAST(c.cum_rev AS DOUBLE) / CAST(s.cohort_users AS DOUBLE), 6)
+         AS ltv_per_user
+FROM cum c JOIN sized s ON s.cohort = c.cohort
+""")
+def cohort_ltv_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cumulative revenue per user by (first-order-year cohort, age in
+    years). Two grouped passes (first order per customer, revenue per
+    cohort-age) and one cumulative window over the tiny rollup."""
+    from pyspark.sql import Window
+
+    orders = load_table(spark, sf_dir, "orders")
+    firsts = (orders.groupBy("o_custkey")
+              .agg(F.year(F.min("o_orderdate")).alias("cohort")))
+    sized = (firsts.groupBy("cohort")
+             .agg(F.count("*").cast("long").alias("cohort_users")))
+    rev = (orders.join(F.broadcast(firsts), "o_custkey")
+           .groupBy("cohort",
+                    (F.year("o_orderdate") - F.col("cohort")).alias("age"))
+           .agg(F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+                .alias("r")))
+    w = (Window.partitionBy("cohort").orderBy("age")
+         .rowsBetween(Window.unboundedPreceding, 0))
+    cum = rev.withColumn("cum_rev",
+                         F.sum("r").over(w).cast("decimal(18,2)"))
+    return (cum.join(F.broadcast(sized), "cohort")
+            .select("cohort", "age", "cohort_users",
+                    F.col("cum_rev").cast("double").alias("cum_revenue"),
+                    F.round(F.col("cum_rev").cast("double")
+                            / F.col("cohort_users").cast("double"), 6)
+                     .alias("ltv_per_user")))
