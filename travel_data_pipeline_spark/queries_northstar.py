@@ -1440,3 +1440,105 @@ def multimodal_feature_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     feats = feature_extract_stub(documents_as_media(docs))
     return feats.select("media_id", "dim_idx",
                         F.round("value", 6).alias("value"))
+
+
+# ---------------------------------------------------------------------------
+# PPJoin-style prefix-filtered set-similarity self-join (Xiao et al.
+# 2008) — the THIRD candidate-generation strategy in the dedup family,
+# alongside MinHash-LSH banding and SimHash Hamming blocks: for
+# Jaccard >= t, two shingle sets ordered by global rarity MUST share a
+# token inside their first (|s| - ceil(t*|s|) + 1) rarest tokens, so
+# the self-join touches only those short prefixes. Prefix tokens are
+# by construction the LOW-df shingles, so bucket fan-out stays small;
+# the established MAX_BUCKET cap guards adversarial skew.
+# ---------------------------------------------------------------------------
+
+_PP_T = 0.8
+
+
+@register("ppjoin_prefix_candidates", f"""
+WITH {_AUG_DOCS},
+{_NORMED},
+{_SHINGLED},
+ss AS (SELECT DISTINCT doc_id, shingle FROM shingled),
+sdf AS (SELECT shingle, count(*) AS dfreq FROM ss GROUP BY shingle),
+srank AS (
+    SELECT shingle, row_number() OVER (ORDER BY dfreq, shingle) AS srk
+    FROM sdf
+),
+sets AS (
+    SELECT doc_id, list(srk ORDER BY srk) AS toks,
+           CAST(count(*) AS BIGINT) AS sz
+    FROM ss JOIN srank USING (shingle) GROUP BY doc_id
+),
+prefixes AS (
+    SELECT doc_id,
+           unnest(toks[1:CAST(sz - ceil({_PP_T} * sz) + 1 AS BIGINT)])
+             AS srk
+    FROM sets
+),
+{_capped_sql('prefixes', 'srk', 'pcap')},
+cand AS (
+    SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+    FROM pcap a JOIN pcap b ON a.srk = b.srk AND a.doc_id < b.doc_id
+),
+verified AS (
+    SELECT c.doc_a, c.doc_b,
+           CAST(len(list_intersect(sa.toks, sb.toks)) AS BIGINT) AS inter,
+           sa.sz + sb.sz - len(list_intersect(sa.toks, sb.toks)) AS uni
+    FROM cand c
+    JOIN sets sa ON sa.doc_id = c.doc_a
+    JOIN sets sb ON sb.doc_id = c.doc_b
+)
+SELECT doc_a, doc_b,
+       round(CAST(inter AS DOUBLE) / CAST(uni AS DOUBLE), 6) AS jaccard
+FROM verified
+WHERE CAST(inter AS DOUBLE) / CAST(uni AS DOUBLE) >= {_PP_T}
+""")
+def ppjoin_prefix_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Prefix-filtered exact Jaccard self-join at t=0.8 over shingle
+    sets (corpus augmented with the planted exact copies).
+
+    The global rarity ranking is one window over the shingle
+    VOCABULARY (not the corpus); prefixes are ~20% of each set's
+    rarest shingles; candidates come only from equality joins on those
+    rare tokens, capped per bucket. Verification is an array intersect
+    over the two candidate sets — never a corpus-wide pair join."""
+    from pyspark.sql import Window
+
+    aug = _augmented_docs(spark, sf_dir)
+    ss = dedup.shingle_sets(aug)
+    sdf = ss.groupBy("shingle").agg(F.count("*").alias("dfreq"))
+    wr = Window.orderBy("dfreq", "shingle")
+    srank = sdf.withColumn("srk", F.row_number().over(wr))
+    sets = (ss.join(srank.select("shingle", "srk"), "shingle")
+            .groupBy("doc_id")
+            .agg(F.sort_array(F.collect_list("srk")).alias("toks"),
+                 F.count("*").cast("long").alias("sz")))
+    plen = (F.col("sz") - F.ceil(F.lit(_PP_T) * F.col("sz")) + 1) \
+        .cast("int")
+    prefixes = sets.select(
+        "doc_id", F.explode(F.slice("toks", 1, plen)).alias("srk"))
+    wb = Window.partitionBy("srk")
+    pcap = (prefixes.withColumn("_bsz", F.count("*").over(wb))
+            .filter(F.col("_bsz") <= MAX_BUCKET).drop("_bsz"))
+    a = pcap.select(F.col("doc_id").alias("doc_a"), "srk")
+    b = pcap.select(F.col("doc_id").alias("doc_b"), "srk")
+    cand = (a.join(b, "srk")
+            .filter(F.col("doc_a") < F.col("doc_b"))
+            .select("doc_a", "doc_b").distinct())
+    sa = sets.select(F.col("doc_id").alias("doc_a"),
+                     F.col("toks").alias("toks_a"),
+                     F.col("sz").alias("sz_a"))
+    sb = sets.select(F.col("doc_id").alias("doc_b"),
+                     F.col("toks").alias("toks_b"),
+                     F.col("sz").alias("sz_b"))
+    inter = F.size(F.array_intersect("toks_a", "toks_b")).cast("long")
+    verified = (cand.join(sa, "doc_a").join(sb, "doc_b")
+                .select("doc_a", "doc_b", inter.alias("inter"),
+                        (F.col("sz_a") + F.col("sz_b") - inter)
+                        .alias("uni")))
+    jac = F.col("inter").cast("double") / F.col("uni").cast("double")
+    return (verified.filter(jac >= _PP_T)
+            .select("doc_a", "doc_b",
+                    F.round(jac, 6).alias("jaccard")))
