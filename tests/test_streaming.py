@@ -582,3 +582,30 @@ def test_stateful_holt_matches_batch_fold(spark, sf_smoke, tmp_path):
         assert got[k][0] == cnt
         assert abs(got[k][1] - lvl) < 1e-9
         assert abs(got[k][2] - trd) < 1e-9
+
+
+def test_stream_static_enrichment(spark, sf_smoke):
+    """Stream-static broadcast join: every streamed event row is
+    enriched with its user's segment; unknown users keep the row with
+    a null segment (J8 LEFT policy)."""
+    stream = jobs.read_events_stream(spark, sf_smoke)
+    # static dim: segment for even user ids only -> odd ids exercise
+    # the LEFT-join null path
+    users = (load_table(spark, sf_smoke, "events")
+             .select("user_id").distinct()
+             .filter(F.col("user_id") % 2 == 0)
+             .withColumn("segment", F.lit("even")))
+    out = jobs.enrich_stream_static(stream, users)
+    q = (out.select("event_id", "user_id", "segment")
+         .writeStream.format("memory").queryName("enriched")
+         .outputMode("append").trigger(availableNow=True).start())
+    q.awaitTermination(120)
+
+    got = spark.table("enriched").collect()
+    n_events = load_table(spark, sf_smoke, "events").count()
+    assert len(got) == n_events  # LEFT join never drops stream rows
+    for r in got:
+        if r.user_id % 2 == 0:
+            assert r.segment == "even"
+        else:
+            assert r.segment is None

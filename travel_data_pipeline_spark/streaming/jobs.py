@@ -588,3 +588,16 @@ def holt_stateful(daily_counts: DataFrame, alpha: float = 0.3,
     return (daily_counts.groupBy("event_type")
             .applyInPandasWithState(update, out_schema, state_schema,
                                     "append", "NoTimeout"))
+
+
+def enrich_stream_static(events: DataFrame, dim: DataFrame,
+                         key: str = "user_id") -> DataFrame:
+    """Stream-static enrichment — the canonical dimension join shape in
+    Structured Streaming: the static side is broadcast into every
+    micro-batch (no state store, no watermark needed; Spark re-plans
+    the static side per batch, so a refreshed dim table is picked up
+    on the next trigger). LEFT join per the engine-wide J8 coverage
+    policy — an unknown key must not drop the fact row."""
+    from pyspark.sql import functions as F
+
+    return events.join(F.broadcast(dim), on=key, how="left")
