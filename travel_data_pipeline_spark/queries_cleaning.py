@@ -402,3 +402,138 @@ def intradoc_segment_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     totals = segs.groupBy("doc_id").agg(F.count("*").alias("n_segs"))
     return totals.join(rebuilt, "doc_id").select(
         "doc_id", "n_segs", "n_kept", "clean_hash")
+
+
+# ---------------------------------------------------------------------------
+# Classifier evaluation — precision/recall/F1 of the logistic quality
+# filter against the heuristic curation gate, on a corpus augmented
+# with three planted degenerate-document classes (symbol soup, too
+# short, extreme word length) so both negatives and positives exist at
+# every SF. The filters and the planted texts are spelled identically
+# in both engines; every confusion cell is an exact count and the
+# three metrics are single double divisions.
+# ---------------------------------------------------------------------------
+
+_EVAL_OFFSET = 9_000_000
+# planted texts, chosen to trip (respectively) the symbol-ratio /
+# too-short / word-length gates in BOTH filters
+_EVAL_PLANTS = (
+    "@#$% &*()! @#$% &*()! @#$% &*()! @#$% &*()! @#$% &*()! @#$% &*()!",
+    "tiny doc",
+    "supercalifragilisticexpialidociousxx " * 8,
+)
+_EVAL_PLANTS_SQL = "CASE doc_id % 3 " + " ".join(
+    f"WHEN {i} THEN '{t.strip()}'" for i, t in enumerate(_EVAL_PLANTS)
+) + " END"
+
+
+@register("classifier_eval_metrics", f"""
+WITH aug AS (
+    SELECT doc_id, text FROM documents
+    UNION ALL
+    SELECT doc_id + {_EVAL_OFFSET}, {_EVAL_PLANTS_SQL}
+    FROM documents WHERE doc_id < 12
+),
+feats AS (
+    SELECT doc_id,
+           length(text) AS n_chars,
+           length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS alpha_chars,
+           len(list_filter(string_split({_NORM}, ' '), x -> x <> ''))
+               AS n_tokens
+    FROM aug
+),
+x AS (
+    SELECT doc_id,
+           {round_sql("alpha_chars / GREATEST(n_chars, 1)")} AS alpha_ratio,
+           {round_sql("(n_chars - alpha_chars) / GREATEST(n_chars, 1)")}
+             AS sym_ratio,
+           {round_sql("alpha_chars / GREATEST(n_tokens, 1)")}
+             AS mean_word_len,
+           {round_sql("log10(CAST(n_chars AS DOUBLE) + 1.0)")} AS log_len,
+           n_tokens
+    FROM feats
+),
+judged AS (
+    SELECT doc_id,
+           ({round_sql(f"{_QC_W[0]} + {_QC_W[1]} * alpha_ratio"
+                       f" + {_QC_W[2]} * (1.0 - alpha_ratio)"
+                       f" + {_QC_W[3]} * mean_word_len"
+                       f" + {_QC_W[4]} * log_len")}) >= 0.0 AS pred_keep,
+           (n_tokens >= 10 AND mean_word_len <= 12.0
+            AND sym_ratio <= 0.35) AS true_keep
+    FROM x
+),
+cells AS (
+    SELECT
+      CAST(SUM(CASE WHEN pred_keep AND true_keep THEN 1 ELSE 0 END)
+           AS BIGINT) AS tp,
+      CAST(SUM(CASE WHEN pred_keep AND NOT true_keep THEN 1 ELSE 0 END)
+           AS BIGINT) AS fp,
+      CAST(SUM(CASE WHEN NOT pred_keep AND true_keep THEN 1 ELSE 0 END)
+           AS BIGINT) AS fn,
+      CAST(SUM(CASE WHEN NOT pred_keep AND NOT true_keep THEN 1 ELSE 0 END)
+           AS BIGINT) AS tn
+    FROM judged
+)
+SELECT tp, fp, fn, tn,
+       round(CAST(tp AS DOUBLE) / CAST(tp + fp AS DOUBLE), 6) AS precision,
+       round(CAST(tp AS DOUBLE) / CAST(tp + fn AS DOUBLE), 6) AS recall,
+       round(2.0 * tp / CAST(2 * tp + fp + fn AS DOUBLE), 6) AS f1
+FROM cells
+""")
+def classifier_eval_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Precision/recall/F1 of the logistic filter vs the heuristic gate
+    on the plant-augmented corpus. Exact confusion counts from one
+    grouped pass; a variant of the registered classifier reusing the
+    same weights/feature spellings (the sym-ratio term replaces the
+    punct term so the symbol-soup plant is separable)."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    plant_txt = (F.when(F.col("doc_id") % 3 == 0,
+                        _EVAL_PLANTS[0].strip())
+                 .when(F.col("doc_id") % 3 == 1, _EVAL_PLANTS[1].strip())
+                 .otherwise(_EVAL_PLANTS[2].strip()))
+    aug = docs.unionByName(
+        docs.filter(F.col("doc_id") < 12)
+        .select((F.col("doc_id") + _EVAL_OFFSET).alias("doc_id"),
+                plant_txt.alias("text")))
+    norm = F.trim(F.regexp_replace(F.lower("text"), r"\s+", " "))
+    toks = F.filter(F.split(norm, " "), lambda x: x != "")
+    n_chars = F.length("text")
+    alpha = F.length(F.regexp_replace("text", "[^A-Za-z]", ""))
+    x = aug.select(
+        "doc_id",
+        F.round(alpha / F.greatest(n_chars, F.lit(1)), 6)
+         .alias("alpha_ratio"),
+        F.round((n_chars - alpha) / F.greatest(n_chars, F.lit(1)), 6)
+         .alias("sym_ratio"),
+        F.round(alpha / F.greatest(F.size(toks), F.lit(1)), 6)
+         .alias("mean_word_len"),
+        F.round(F.log10(n_chars.cast("double") + F.lit(1.0)), 6)
+         .alias("log_len"),
+        F.size(toks).alias("n_tokens"))
+    b, w1, w2, w3, w4 = (float(w) for w in _QC_W)
+    logit = F.round(F.lit(b)
+                    + F.lit(w1) * F.col("alpha_ratio")
+                    + F.lit(w2) * (F.lit(1.0) - F.col("alpha_ratio"))
+                    + F.lit(w3) * F.col("mean_word_len")
+                    + F.lit(w4) * F.col("log_len"), 6)
+    judged = x.select(
+        (logit >= 0.0).alias("pred_keep"),
+        ((F.col("n_tokens") >= 10) & (F.col("mean_word_len") <= 12.0)
+         & (F.col("sym_ratio") <= 0.35)).alias("true_keep"))
+    cells = judged.agg(
+        F.sum(F.when(F.col("pred_keep") & F.col("true_keep"), 1)
+              .otherwise(0)).cast("long").alias("tp"),
+        F.sum(F.when(F.col("pred_keep") & ~F.col("true_keep"), 1)
+              .otherwise(0)).cast("long").alias("fp"),
+        F.sum(F.when(~F.col("pred_keep") & F.col("true_keep"), 1)
+              .otherwise(0)).cast("long").alias("fn"),
+        F.sum(F.when(~F.col("pred_keep") & ~F.col("true_keep"), 1)
+              .otherwise(0)).cast("long").alias("tn"))
+    tp, fp, fn = (F.col(c).cast("double") for c in ("tp", "fp", "fn"))
+    return cells.select(
+        "tp", "fp", "fn", "tn",
+        F.round(tp / (tp + fp), 6).alias("precision"),
+        F.round(tp / (tp + fn), 6).alias("recall"),
+        F.round(F.lit(2.0) * tp / (F.lit(2.0) * tp + fp + fn), 6)
+         .alias("f1"))
