@@ -15,6 +15,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from travel_data_pipeline_spark.functions.parity import round_sql
 from travel_data_pipeline_spark.registry import register
 from travel_data_pipeline_spark.sources.readers import load_table
 
@@ -1050,3 +1051,138 @@ def hhi_market_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
     return folded.select(
         "region", "n_nations",
         (F.round(total * 10000, 6) + 0.0).alias("hhi"))
+
+
+# ---------------------------------------------------------------------------
+# Mutual information of event_type x day-of-week — the information-
+# theoretic twin of chi2_event_type_by_dow on the same contingency
+# table: MI = sum_ij p_ij * ln(p_ij / (p_i * p_j)). All probabilities
+# come from exact integer counts; the cell-term sum folds in
+# (type, dow) order; nats, rounded with the parity spelling.
+# ---------------------------------------------------------------------------
+
+@register("mutual_info_event_dow", f"""
+WITH obs AS (
+    SELECT event_type, dayofweek(ts) AS dow, COUNT(*) AS o
+    FROM events GROUP BY 1, 2
+),
+rt AS (SELECT event_type, SUM(o) AS rt FROM obs GROUP BY 1),
+ct AS (SELECT dow, SUM(o) AS ct FROM obs GROUP BY 1),
+n AS (SELECT SUM(o) AS n FROM obs),
+terms AS (
+    SELECT obs.event_type, obs.dow,
+           (CAST(o AS DOUBLE) / CAST(n.n AS DOUBLE))
+           * ln((CAST(o AS DOUBLE) * CAST(n.n AS DOUBLE))
+                / (CAST(rt.rt AS DOUBLE) * CAST(ct.ct AS DOUBLE))) AS term
+    FROM obs JOIN rt USING (event_type) JOIN ct USING (dow) CROSS JOIN n
+),
+folded AS (
+    SELECT count(*) AS n_cells,
+           list(term ORDER BY event_type, dow) AS ts
+    FROM terms
+)
+SELECT CAST(n_cells AS BIGINT) AS n_cells,
+       {round_sql('list_reduce(ts, (x, y) -> x + y)')} + 0.0 AS mi_nats
+FROM folded
+""")
+def mutual_info_event_dow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mutual information (nats) between event type and day of week
+    from the exact contingency counts — cell terms folded in pinned
+    (type, dow) order like the chi-square twin."""
+    ev = load_table(spark, sf_dir, "events")
+    obs = (ev.select("event_type", F.dayofweek("ts").alias("dow"))
+           .groupBy("event_type", "dow").agg(F.count("*").alias("o")))
+    rt = obs.groupBy("event_type").agg(F.sum("o").alias("rt"))
+    ct = obs.groupBy("dow").agg(F.sum("o").alias("ct"))
+    n = obs.agg(F.sum("o").alias("n"))
+    od, nd = F.col("o").cast("double"), F.col("n").cast("double")
+    rtd, ctd = F.col("rt").cast("double"), F.col("ct").cast("double")
+    term = (od / nd) * F.log((od * nd) / (rtd * ctd))
+    cells = (obs.join(F.broadcast(rt), "event_type")
+             .join(F.broadcast(ct), "dow")
+             .crossJoin(F.broadcast(n))
+             .select("event_type", "dow", term.alias("term")))
+    folded = cells.agg(
+        F.count("*").cast("long").alias("n_cells"),
+        F.array_sort(F.collect_list(
+            F.struct("event_type", "dow", "term"))).alias("ts"))
+    total = F.aggregate(F.transform("ts", lambda t: t["term"]),
+                        F.lit(0.0), lambda a, x: a + x)
+    return folded.select("n_cells",
+                         (F.round(total, 6) + 0.0).alias("mi_nats"))
+
+
+# ---------------------------------------------------------------------------
+# Autocorrelation function of the total daily arrival series, lags
+# 1..7 — the standard time-series diagnostic, computed per lag from
+# exact integer sums over the lag-joined pairs:
+#   r_k = (m*sxy - sx*sy) / (sqrt(m*sxx - sx^2) * sqrt(m*syy - sy^2))
+# (the sample cross-correlation of the series with its k-shift; pair
+# sums are integers, so the per-lag statistic is one deterministic
+# double expression).
+# ---------------------------------------------------------------------------
+
+_ACF_MAX_LAG = 7
+
+
+@register("acf_daily_counts", f"""
+WITH daily AS (
+    SELECT date_diff('day', TIMESTAMP '2024-01-01', date_trunc('day', ts))
+             AS t,
+           count(*) AS cnt
+    FROM events GROUP BY 1
+),
+lags AS (SELECT unnest(generate_series(1, {_ACF_MAX_LAG})) AS lag),
+pairs AS (
+    SELECT l.lag, a.cnt AS x, b.cnt AS y
+    FROM lags l
+    JOIN daily a ON TRUE
+    JOIN daily b ON b.t = a.t + l.lag
+),
+sums AS (
+    SELECT lag, CAST(count(*) AS BIGINT) AS m,
+           CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+           CAST(sum(x * x) AS BIGINT) AS sxx,
+           CAST(sum(y * y) AS BIGINT) AS syy,
+           CAST(sum(x * y) AS BIGINT) AS sxy
+    FROM pairs GROUP BY lag
+)
+SELECT CAST(lag AS INT) AS lag, m,
+       round((CAST(m AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)
+             / (sqrt(CAST(m AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx)
+                * sqrt(CAST(m AS DOUBLE) * syy
+                       - CAST(sy AS DOUBLE) * sy)), 6) + 0.0 AS acf
+FROM sums
+""")
+def acf_daily_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lag-1..7 autocorrelation of the total daily count series.
+
+    The daily relation is tiny (one row per day), so the lag join is a
+    broadcast self-join over it; every sum is an exact integer and the
+    per-lag statistic one shared-spelling double expression."""
+    ev = load_table(spark, sf_dir, "events")
+    daily = (ev.groupBy(
+        F.datediff(F.date_trunc("day", "ts"),
+                   F.lit("2024-01-01").cast("timestamp")).alias("t"))
+        .agg(F.count("*").alias("cnt")))
+    lags = spark.range(1, _ACF_MAX_LAG + 1).select(
+        F.col("id").cast("int").alias("lag"))
+    a = daily.select(F.col("t").alias("ta"), F.col("cnt").alias("x"))
+    b = daily.select(F.col("t").alias("tb"), F.col("cnt").alias("y"))
+    pairs = (lags.crossJoin(F.broadcast(a))
+             .join(F.broadcast(b),
+                   F.col("tb") == F.col("ta") + F.col("lag")))
+    sums = (pairs.groupBy("lag")
+            .agg(F.count("*").cast("long").alias("m"),
+                 F.sum("x").cast("long").alias("sx"),
+                 F.sum("y").cast("long").alias("sy"),
+                 F.sum(F.col("x") * F.col("x")).cast("long").alias("sxx"),
+                 F.sum(F.col("y") * F.col("y")).cast("long").alias("syy"),
+                 F.sum(F.col("x") * F.col("y")).cast("long").alias("sxy")))
+    m = F.col("m").cast("double")
+    sx, sy = F.col("sx").cast("double"), F.col("sy").cast("double")
+    sxx, syy = F.col("sxx").cast("double"), F.col("syy").cast("double")
+    sxy = F.col("sxy").cast("double")
+    r = ((m * sxy - sx * sy)
+         / (F.sqrt(m * sxx - sx * sx) * F.sqrt(m * syy - sy * sy)))
+    return sums.select("lag", "m", (F.round(r, 6) + 0.0).alias("acf"))
