@@ -441,3 +441,142 @@ def daily_new_returning_users(spark: SparkSession, sf_dir: str) -> DataFrame:
                        .otherwise(0)).alias("new_users"),
                  F.sum(F.when(F.col("day") != F.col("first_day"), 1)
                        .otherwise(0)).alias("returning_users")))
+
+
+# ---------------------------------------------------------------------------
+# CUSUM change-point monitor over the total daily series (Page 1954):
+# c_t = max(0, c_{t-1} + z_t - k) with z from exact global moments,
+# flagged when c_t > h. Same sequential-recurrence discipline as the
+# EWMA/Holt folds: sorted-array fold == recursive-CTE oracle.
+# ---------------------------------------------------------------------------
+
+_CUSUM_K, _CUSUM_H = 0.5, 4.0
+_CUSUM_Z = ("(CAST(cnt AS DOUBLE) - CAST(s AS DOUBLE) / CAST(n AS DOUBLE))"
+            " / sqrt((CAST(ss AS DOUBLE)"
+            " - (CAST(s AS DOUBLE) * CAST(s AS DOUBLE)) / CAST(n AS DOUBLE))"
+            " / (CAST(n AS DOUBLE) - 1.0))")
+
+
+@register("cusum_changepoint_daily", f"""
+WITH RECURSIVE daily AS (
+    SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
+           count(*) AS cnt
+    FROM events GROUP BY 1
+),
+mom AS (
+    SELECT count(*) AS n, sum(cnt) AS s, sum(cnt * cnt) AS ss FROM daily
+),
+seq AS (
+    SELECT day, cnt, {_CUSUM_Z} AS z,
+           row_number() OVER (ORDER BY day) AS rn
+    FROM daily CROSS JOIN mom
+),
+walk AS (
+    SELECT day, cnt, z, rn,
+           greatest(0.0, z - {_CUSUM_K}) AS c
+    FROM seq WHERE rn = 1
+    UNION ALL
+    SELECT s.day, s.cnt, s.z, s.rn,
+           greatest(0.0, w.c + s.z - {_CUSUM_K})
+    FROM seq s JOIN walk w ON s.rn = w.rn + 1
+)
+SELECT day, cnt,
+       CAST(round(CAST(format('{{}}', c) AS DECIMAL(38,18)), 6) AS DOUBLE)
+         + 0.0 AS cusum,
+       c > {_CUSUM_H} AS alarm
+FROM walk
+""")
+def cusum_changepoint_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-sided CUSUM statistic per day over the standardized total
+    daily series, with the alarm flag at h=4.
+
+    The standardization uses exact integer global moments (broadcast
+    scalar); the recurrence folds over the day-sorted array — bit-equal
+    to the recursive oracle before parity rounding."""
+    ev = load_table(spark, sf_dir, "events")
+    daily = (ev.groupBy(
+        F.date_format(F.date_trunc("day", "ts"), "yyyy-MM-dd").alias("day"))
+        .agg(F.count("*").alias("cnt")))
+    mom = daily.agg(F.count("*").alias("n"), F.sum("cnt").alias("s"),
+                    F.sum(F.col("cnt") * F.col("cnt")).alias("ss"))
+    seq = (daily.crossJoin(F.broadcast(mom))
+           .withColumn("z", F.expr(_CUSUM_Z))
+           .select("day", "cnt", "z"))
+    folded = seq.agg(F.array_sort(F.collect_list(
+        F.struct("day", "cnt", "z"))).alias("ds"))
+    walk = F.aggregate(
+        F.col("ds"),
+        F.array().cast("array<struct<day:string,cnt:bigint,c:double>>"),
+        lambda acc, x: F.array_append(acc, F.struct(
+            x["day"].alias("day"), x["cnt"].alias("cnt"),
+            F.greatest(
+                F.lit(0.0),
+                F.when(F.size(acc) == 0, F.lit(0.0))
+                 .otherwise(F.element_at(acc, -1)["c"])
+                + x["z"] - F.lit(_CUSUM_K)).alias("c"))))
+    return (folded.select(F.explode(walk).alias("e"))
+            .select(F.col("e.day").alias("day"),
+                    F.col("e.cnt").alias("cnt"),
+                    (F.round(F.col("e.c"), 6) + 0.0).alias("cusum"),
+                    (F.col("e.c") > _CUSUM_H).alias("alarm")))
+
+
+# ---------------------------------------------------------------------------
+# Theil-Sen robust trend of the total daily series — the median of all
+# pairwise slopes. The pair set is over DAYS (a fixed-size relation at
+# any SF: amplifying the corpus adds rows per day, not days), so the
+# O(days^2) join is a broadcast self-join over ~30 rows; the median is
+# the exact lower median with a (slope, i, j) tie order.
+# ---------------------------------------------------------------------------
+
+@register("theil_sen_daily_trend", """
+WITH daily AS (
+    SELECT date_diff('day', TIMESTAMP '2024-01-01', date_trunc('day', ts))
+             AS t,
+           count(*) AS cnt
+    FROM events GROUP BY 1
+),
+slopes AS (
+    SELECT a.t AS i, b.t AS j,
+           (CAST(b.cnt AS DOUBLE) - CAST(a.cnt AS DOUBLE))
+             / (CAST(b.t AS DOUBLE) - CAST(a.t AS DOUBLE)) AS sl
+    FROM daily a JOIN daily b ON b.t > a.t
+),
+ranked AS (
+    SELECT sl, row_number() OVER (ORDER BY sl, i, j) AS rn,
+           count(*) OVER () AS np
+    FROM slopes
+)
+SELECT CAST(np AS BIGINT) AS n_pairs,
+       round(sl, 6) + 0.0 AS theil_sen_slope
+FROM ranked WHERE rn = (np + 1) // 2
+""")
+def theil_sen_daily_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact lower-median of pairwise daily-count slopes (Theil-Sen).
+
+    Day pairs are SF-invariant (~30 choose 2); counts are exact ints
+    and each slope one double division, so the median pick is
+    deterministic under the (slope, i, j) order."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    daily = (ev.groupBy(
+        F.datediff(F.date_trunc("day", "ts"),
+                   F.lit("2024-01-01").cast("timestamp")).alias("t"))
+        .agg(F.count("*").alias("cnt")))
+    a = daily.select(F.col("t").alias("i"), F.col("cnt").alias("ca"))
+    b = daily.select(F.col("t").alias("j"), F.col("cnt").alias("cb"))
+    slopes = (a.join(F.broadcast(b), F.col("j") > F.col("i"))
+              .select("i", "j",
+                      ((F.col("cb").cast("double")
+                        - F.col("ca").cast("double"))
+                       / (F.col("j").cast("double")
+                          - F.col("i").cast("double"))).alias("sl")))
+    w = Window.orderBy("sl", "i", "j")
+    ranked = (slopes.withColumn("rn", F.row_number().over(w))
+              .withColumn("np", F.count("*").over(
+                  Window.rowsBetween(Window.unboundedPreceding,
+                                     Window.unboundedFollowing))))
+    return (ranked.filter(F.col("rn") == F.floor((F.col("np") + 1) / 2))
+            .select(F.col("np").cast("long").alias("n_pairs"),
+                    (F.round("sl", 6) + 0.0).alias("theil_sen_slope")))
