@@ -537,3 +537,135 @@ def classifier_eval_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(tp / (tp + fn), 6).alias("recall"),
         F.round(F.lit(2.0) * tp / (F.lit(2.0) * tp + fp + fn), 6)
          .alias("f1"))
+
+
+# ---------------------------------------------------------------------------
+# Classifier AUC — the Mann-Whitney rank formulation with average-rank
+# ties over the same plant-augmented corpus as classifier_eval_metrics:
+#   AUC = (R_pos - n_pos(n_pos+1)/2) / (n_pos * n_neg)
+# Ranks come from exact integer counts per distinct (rounded) logit
+# value (cum-less + (eq+1)/2), so the statistic is a ratio of exact
+# rationals evaluated once in double.
+# ---------------------------------------------------------------------------
+
+@register("classifier_auc_rank", f"""
+WITH aug AS (
+    SELECT doc_id, text FROM documents
+    UNION ALL
+    SELECT doc_id + {_EVAL_OFFSET}, {_EVAL_PLANTS_SQL}
+    FROM documents WHERE doc_id < 12
+),
+feats AS (
+    SELECT doc_id,
+           length(text) AS n_chars,
+           length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS alpha_chars,
+           len(list_filter(string_split({_NORM}, ' '), x -> x <> ''))
+               AS n_tokens
+    FROM aug
+),
+x AS (
+    SELECT doc_id,
+           {round_sql("alpha_chars / GREATEST(n_chars, 1)")} AS alpha_ratio,
+           {round_sql("(n_chars - alpha_chars) / GREATEST(n_chars, 1)")}
+             AS sym_ratio,
+           {round_sql("alpha_chars / GREATEST(n_tokens, 1)")}
+             AS mean_word_len,
+           {round_sql("log10(CAST(n_chars AS DOUBLE) + 1.0)")} AS log_len,
+           n_tokens
+    FROM feats
+),
+judged AS (
+    SELECT {round_sql(f"{_QC_W[0]} + {_QC_W[1]} * alpha_ratio"
+                      f" + {_QC_W[2]} * (1.0 - alpha_ratio)"
+                      f" + {_QC_W[3]} * mean_word_len"
+                      f" + {_QC_W[4]} * log_len")} + 0.0 AS score,
+           (n_tokens >= 10 AND mean_word_len <= 12.0
+            AND sym_ratio <= 0.35) AS truth
+    FROM x
+),
+grp AS (
+    SELECT score,
+           CAST(count(*) AS BIGINT) AS eq,
+           CAST(SUM(CASE WHEN truth THEN 1 ELSE 0 END) AS BIGINT) AS pos
+    FROM judged GROUP BY score
+),
+ranked AS (
+    SELECT score, eq, pos,
+           COALESCE(CAST(SUM(eq) OVER (ORDER BY score
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+               AS BIGINT), 0) AS less
+    FROM grp
+),
+sums AS (
+    SELECT CAST(SUM(pos) AS BIGINT) AS n_pos,
+           CAST(SUM(eq - pos) AS BIGINT) AS n_neg,
+           CAST(SUM(CAST(pos AS DOUBLE)
+                    * (CAST(less AS DOUBLE)
+                       + (CAST(eq AS DOUBLE) + 1.0) / 2.0)) AS DOUBLE)
+             AS r_pos
+    FROM ranked
+)
+SELECT n_pos, n_neg,
+       round((r_pos - CAST(n_pos AS DOUBLE)
+              * (CAST(n_pos AS DOUBLE) + 1.0) / 2.0)
+             / (CAST(n_pos AS DOUBLE) * CAST(n_neg AS DOUBLE)), 6)
+         AS auc
+FROM sums
+""")
+def classifier_auc_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """AUC of the logistic score against the heuristic gate via the
+    tie-aware Mann-Whitney rank sum. The only shuffles are the
+    distinct-score grouping and one window over that tiny relation."""
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    plant_txt = (F.when(F.col("doc_id") % 3 == 0, _EVAL_PLANTS[0].strip())
+                 .when(F.col("doc_id") % 3 == 1, _EVAL_PLANTS[1].strip())
+                 .otherwise(_EVAL_PLANTS[2].strip()))
+    aug = docs.unionByName(
+        docs.filter(F.col("doc_id") < 12)
+        .select((F.col("doc_id") + _EVAL_OFFSET).alias("doc_id"),
+                plant_txt.alias("text")))
+    norm = F.trim(F.regexp_replace(F.lower("text"), r"\s+", " "))
+    toks = F.filter(F.split(norm, " "), lambda x: x != "")
+    n_chars = F.length("text")
+    alpha = F.length(F.regexp_replace("text", "[^A-Za-z]", ""))
+    x = aug.select(
+        F.round(alpha / F.greatest(n_chars, F.lit(1)), 6)
+         .alias("alpha_ratio"),
+        F.round((n_chars - alpha) / F.greatest(n_chars, F.lit(1)), 6)
+         .alias("sym_ratio"),
+        F.round(alpha / F.greatest(F.size(toks), F.lit(1)), 6)
+         .alias("mean_word_len"),
+        F.round(F.log10(n_chars.cast("double") + F.lit(1.0)), 6)
+         .alias("log_len"),
+        F.size(toks).alias("n_tokens"))
+    b, w1, w2, w3, w4 = (float(w) for w in _QC_W)
+    score = (F.round(F.lit(b)
+                     + F.lit(w1) * F.col("alpha_ratio")
+                     + F.lit(w2) * (F.lit(1.0) - F.col("alpha_ratio"))
+                     + F.lit(w3) * F.col("mean_word_len")
+                     + F.lit(w4) * F.col("log_len"), 6) + 0.0)
+    judged = x.select(
+        score.alias("score"),
+        ((F.col("n_tokens") >= 10) & (F.col("mean_word_len") <= 12.0)
+         & (F.col("sym_ratio") <= 0.35)).alias("truth"))
+    grp = (judged.groupBy("score")
+           .agg(F.count("*").cast("long").alias("eq"),
+                F.sum(F.when(F.col("truth"), 1).otherwise(0))
+                 .cast("long").alias("pos")))
+    w = Window.orderBy("score").rowsBetween(Window.unboundedPreceding, -1)
+    ranked = grp.withColumn(
+        "less", F.coalesce(F.sum("eq").over(w), F.lit(0)).cast("long"))
+    sums = ranked.agg(
+        F.sum("pos").cast("long").alias("n_pos"),
+        F.sum(F.col("eq") - F.col("pos")).cast("long").alias("n_neg"),
+        F.sum(F.col("pos").cast("double")
+              * (F.col("less").cast("double")
+                 + (F.col("eq").cast("double") + 1.0) / 2.0))
+         .cast("double").alias("r_pos"))
+    np, nn = F.col("n_pos").cast("double"), F.col("n_neg").cast("double")
+    return sums.select(
+        "n_pos", "n_neg",
+        F.round((F.col("r_pos") - np * (np + 1.0) / 2.0) / (np * nn), 6)
+         .alias("auc"))

@@ -954,3 +954,57 @@ def rake_keyword_extraction(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (agg.withColumn("rk", F.row_number().over(w))
             .filter(F.col("rk") <= _RAKE_TOPK)
             .withColumn("rk", F.col("rk").cast("int")))
+
+
+# ---------------------------------------------------------------------------
+# Heaps'-law vocabulary growth — distinct vocabulary size after the
+# first k documents, for a ladder of prefix sizes: the standard
+# corpus-scaling diagnostic (V ~ k^beta). Each term contributes its
+# FIRST document id (one grouped min); every ladder point is then a
+# count over that tiny (term, first_doc) relation — the corpus is
+# scanned exactly once no matter how many steps.
+# ---------------------------------------------------------------------------
+
+_HEAPS_STEPS = (25, 50, 100, 200, 400)
+
+
+@register("heaps_law_vocab_growth", f"""
+WITH firsts AS (
+    SELECT t AS term, min(doc_id) AS first_doc
+    FROM (SELECT doc_id,
+                 unnest(list_filter(string_split(trim(regexp_replace(
+                     lower(text), '\\s+', ' ', 'g')), ' '), x -> x <> ''))
+                   AS t
+          FROM documents)
+    GROUP BY t
+),
+steps AS (SELECT unnest(ARRAY{list(_HEAPS_STEPS)}) AS k),
+tok_prefix AS (
+    SELECT doc_id FROM documents
+)
+SELECT s.k,
+       CAST((SELECT count(*) FROM tok_prefix WHERE doc_id < s.k)
+            AS BIGINT) AS n_docs,
+       CAST(count(f.term) AS BIGINT) AS vocab_size
+FROM steps s LEFT JOIN firsts f ON f.first_doc < s.k
+GROUP BY s.k
+""")
+def heaps_law_vocab_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary size after the first k documents for a fixed ladder
+    of k. One tokenize + one grouped min(doc_id) per term; the ladder
+    join runs over the vocabulary relation only."""
+    docs = load_table(spark, sf_dir, "documents")
+    firsts = (docs.select(
+        "doc_id", F.explode(token_array(F.col("text"))).alias("term"))
+        .groupBy("term").agg(F.min("doc_id").alias("first_doc")))
+    steps = spark.createDataFrame([(k,) for k in _HEAPS_STEPS], "k int")
+    ndocs = (docs.select("doc_id").crossJoin(F.broadcast(steps))
+             .filter(F.col("doc_id") < F.col("k"))
+             .groupBy("k").agg(F.count("*").cast("long").alias("n_docs")))
+    vocab = (firsts.crossJoin(F.broadcast(steps))
+             .filter(F.col("first_doc") < F.col("k"))
+             .groupBy("k").agg(F.count("*").cast("long").alias("vocab_size")))
+    return (steps.join(ndocs, "k", "left").join(vocab, "k", "left")
+            .select("k",
+                    F.coalesce("n_docs", F.lit(0)).alias("n_docs"),
+                    F.coalesce("vocab_size", F.lit(0)).alias("vocab_size")))
