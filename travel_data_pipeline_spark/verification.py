@@ -2,30 +2,37 @@
 
 The driver's correctness harness verifies the FIRST 50 entries of
 ``__spark_entry__.queries()`` each round (CORRECTNESS_r02.json is
-exactly registry positions 0-49). The registry (160+ queries) has
-outgrown that budget ~3x, so we rotate deliberately: queries with no
+exactly registry positions 0-49). The registry (200+ queries) has
+outgrown that budget ~4x, so we rotate deliberately: queries with no
 green CORRECTNESS row yet are listed first, in priority order, so
 every round's sample maximizes newly-verified coverage.
 
 ``GREEN`` records names with a green row in any prior round's
 CORRECTNESS_r{N}.json; update it each round from the driver output
-(tools/update_green.py). ``PRIORITY_HEAD`` pins the exact head order:
-the never-verified backlog first (round 4: the 37 TPC-H/stats tail),
-then this round's new queries, then re-proof slots for every query
-whose Spark or oracle logic changed this round (ADVICE r03: changed
-queries must re-enter the sample, the way sessionize_events/scd2 did).
+(tools/update_green.py). ``PRIORITY_HEAD`` pins the exact head order.
+
+Re-proof policy (stated r03, amended r04): every query whose Spark or
+oracle logic changed in a round gets a re-proof seat in the NEXT
+round's head — unless never-green names saturate all 50 slots, in
+which case changed queries are sweep-validated locally
+(tools/sweep_oracles.py at sf0.01 and sf0.1) and overflow to the
+following round's head. Round 4 hit that exception (50 never-green
+names); round 5's head therefore carries both the 32 remaining
+never-green names and the 6 overflowed round-4 re-proofs.
 """
 
 from __future__ import annotations
 
-# Green in CORRECTNESS_r01/r02/r03.json (122 names, all three rounds
-# fully green — regenerate with tools/update_green.py).
+# Green in CORRECTNESS_r01-r04.json (172 names, all four rounds fully
+# green — regenerate with tools/update_green.py).
 GREEN: frozenset[str] = frozenset({
     "a1_recent_prior_means",
     "a2_last_value",
     "a3_pricing_summary",
     "a5_pivot_wide",
     "alias_standardize_keywords",
+    "anomaly_event_rate",
+    "anomaly_prequential",
     "anti_join_idle_customers",
     "approx_distinct_daily_users",
     "approx_percentile_certified",
@@ -35,13 +42,18 @@ GREEN: frozenset[str] = frozenset({
     "bloom_prefilter_join",
     "bm25_scores",
     "boilerplate_line_removal",
+    "chi2_event_type_by_dow",
     "cms_heavy_hitters",
+    "compaction_bin_packing",
     "containment_pairs",
     "contamination_ngram_overlap",
     "copurchase_pagerank",
     "copurchase_triangles",
     "corpus_vocab_topk",
     "corr_matrix_lineitem",
+    "cube_order_priorities",
+    "dataset_card_stats",
+    "decile_bins_order_value",
     "dedup_canonical_by_quality",
     "dedup_canonical_map",
     "dedup_cluster_components",
@@ -53,8 +65,10 @@ GREEN: frozenset[str] = frozenset({
     "dedup_ngram_jaccard_blocked",
     "dedup_rate_by_source",
     "dedup_simhash_fingerprints",
+    "distinct_aggregates",
     "doc_chunks_overlap",
     "dq_constraint_violations",
+    "drift_psi_event_values",
     "embedding_cosine_topk",
     "embedding_ivf_topk",
     "embedding_quantize_int8",
@@ -64,23 +78,29 @@ GREEN: frozenset[str] = frozenset({
     "ewma_values_per_user",
     "exchange_monthly_map_long",
     "exchange_pipeline_scores",
+    "exists_subquery_parts",
     "f8_dropna_meta_join",
     "f9_route_filter",
+    "flight_display_renames",
     "flight_nested_flatten",
     "flight_value_agg_variant",
     "flight_value_w2_j4",
     "full_outer_hourly_reconciliation",
     "funnel_view_click_purchase",
     "fuzzy_alias_levenshtein",
+    "gapfill_hourly_interpolate",
+    "grouping_sets_revenue",
     "histogram_order_values",
     "hybrid_search_rrf",
     "interval_overlap_join",
+    "inverted_index_postings",
     "ivf_quantized_rerank",
     "j2_dim_fanout",
     "j3_standardize_defaults",
     "j5_explode_join",
     "j6_map_literal",
     "j9_attractiveness",
+    "keyword_coverage_audit",
     "kmeans_embeddings",
     "mad_outliers_events",
     "market_basket_lift",
@@ -89,36 +109,47 @@ GREEN: frozenset[str] = frozenset({
     "minhash_estimate_error",
     "mixture_weights_by_source",
     "mmr_diversified_topk",
+    "mode_priority_by_status",
     "multimodal_decode_meta",
     "multimodal_frame_sample",
+    "negative_sample_pairs",
     "nullsafe_join_props",
     "o2_union_all",
     "pack_token_shards",
+    "partition_stats_orders",
     "pca_embeddings_by_label",
+    "percentiles_order_value",
     "pii_redaction",
     "pipeline_chunked_shards",
     "pipeline_training_data",
     "pmi_term_pairs",
     "quality_classifier_logistic",
+    "range_join_value_tiers",
+    "record_linkage_blocked",
     "recursive_nation_hierarchy",
     "reservoir_sample_per_lang",
     "retention_cohorts",
     "revenue_share_within_region",
     "rfm_customer_segments",
     "rollup_revenue",
+    "salted_join_orders_customers",
     "sample_stratified_by_lang",
     "scd2_event_type_history",
     "semantic_dedup",
     "semi_join_active_customers",
     "sentence_explode_outer",
+    "session_window_builtin",
     "sessionize_events",
     "setop_intersect_except",
     "simhash_near_pairs",
     "skew_report_partkeys",
     "sliding_hourly_counts",
+    "split_leakage_check",
     "split_train_valid_test",
+    "stats_aggregates",
     "t2_task_messages",
     "table_fingerprints",
+    "temporal_tier_join",
     "text_curation_flags",
     "text_fingerprints",
     "text_lang_id",
@@ -127,41 +158,7 @@ GREEN: frozenset[str] = frozenset({
     "text_token_stats",
     "tfidf_top_terms",
     "token_entropy_quality",
-    "tpch_q18_large_orders",
-    "tpch_q3_shipping_priority",
-    "tpch_q5_local_supplier_volume",
-    "trailing_hour_range_window",
-    "trends_pipeline_scores",
-    "tumbling_hourly",
-    "w1_rolling_mean",
-    "w2_top3_orders_per_customer",
-    "w3_growth_epsilon",
-    "w4_unpivot",
-    "w_rank_lag_lead",
-    "weighted_sample_docs",
-    "winsorized_mean_by_type",
-    "x19_json_extract",
-    "x7_x8_time_suite",
-    "x_date_suite",
-})
-
-# Exact head order for round 4's 50-query driver sample:
-#   [0..36]  the 37 never-verified names (TPC-H tail + stats + windows)
-#            -> closes driver certification to every registered query.
-#   [37..49] round-4 additions: P1/P4/F7 partial closures, the
-#            operational-platform layer (queries_ops: linkage,
-#            compaction, anomaly x2, PSI drift; inverted index), and
-#            the governance layer (leakage/datasheet/negatives/
-#            fertility in queries_curation).
-# Names absent from the registry are skipped harmlessly.
-PRIORITY_HEAD: tuple[str, ...] = (
-    # --- never-verified backlog (37) ---
-    "tpch_q2_min_supplier",
-    "tpch_q4_order_priority",
-    "tpch_q6_forecast_revenue",
-    "tpch_q7_volume_shipping",
-    "tpch_q8_market_share",
-    "tpch_q9_product_profit",
+    "tokenizer_fertility_by_lang",
     "tpch_q10_returned_items",
     "tpch_q11_important_stock",
     "tpch_q12_late_priority_counts",
@@ -170,53 +167,97 @@ PRIORITY_HEAD: tuple[str, ...] = (
     "tpch_q15_top_supplier",
     "tpch_q16_parts_supplier_cnt",
     "tpch_q17_small_quantity_revenue",
+    "tpch_q18_large_orders",
     "tpch_q19_disjunctive_filters",
     "tpch_q20_heavy_part_suppliers",
     "tpch_q21_waiting_suppliers",
     "tpch_q22_dormant_customers",
-    "grouping_sets_revenue",
-    "cube_order_priorities",
-    "percentiles_order_value",
-    "distinct_aggregates",
-    "window_running_frames",
-    "window_distribution_suite",
-    "exists_subquery_parts",
-    "range_join_value_tiers",
-    "stats_aggregates",
+    "tpch_q2_min_supplier",
+    "tpch_q3_shipping_priority",
+    "tpch_q4_order_priority",
+    "tpch_q5_local_supplier_volume",
+    "tpch_q6_forecast_revenue",
+    "tpch_q7_volume_shipping",
+    "tpch_q8_market_share",
+    "tpch_q9_product_profit",
+    "trailing_hour_range_window",
     "trend_slope_by_nation",
-    "salted_join_orders_customers",
-    "decile_bins_order_value",
-    "chi2_event_type_by_dow",
-    "mode_priority_by_status",
-    "partition_stats_orders",
-    "zorder_interleaved_key",
-    "gapfill_hourly_interpolate",
-    "session_window_builtin",
-    "temporal_tier_join",
-    # --- round-4 additions (P1 / P4 / F7 closures) ---
     "trends_ispartial_drop",
-    "flight_display_renames",
-    "keyword_coverage_audit",
-    # --- round-4 additions (operational-platform layer) ---
-    "record_linkage_blocked",
-    "compaction_bin_packing",
+    "trends_pipeline_scores",
+    "tumbling_hourly",
+    "w1_rolling_mean",
+    "w2_top3_orders_per_customer",
+    "w3_growth_epsilon",
+    "w4_unpivot",
+    "w_rank_lag_lead",
+    "weighted_sample_docs",
+    "window_distribution_suite",
+    "window_running_frames",
+    "winsorized_mean_by_type",
+    "x19_json_extract",
+    "x7_x8_time_suite",
+    "x_date_suite",
+    "zorder_interleaved_key",
+})
+
+# Exact head order for round 5's 50-query driver sample:
+#   [0..31]  the 32 never-driver-verified round-4 additions
+#            -> closes driver certification to 204/204: every
+#            registered query will have a green row in some
+#            CORRECTNESS_r*.json.
+#   [32..33] re-proof seats for the two r04-green queries whose shared
+#            z-score SQL changed this round (zero-variance guard,
+#            ADVICE r04 #1).
+#   [34..39] the 6 overflowed round-4 re-proof seats (changed code in
+#            r04, sweep-validated locally, never re-driver-proved):
+#            CC rewrite + its dependents and the ML re-spellings.
+#   [40..49] round-5 additions (new queries registered this round).
+# Names absent from the registry are skipped harmlessly.
+PRIORITY_HEAD: tuple[str, ...] = (
+    # --- never-verified backlog (32) ---
+    "intradoc_segment_dedup",
+    "classifier_eval_metrics",
+    "classifier_auc_rank",
+    "asof_prev_order_tolerance",
+    "topn_other_nations_revenue",
+    "topk_movers_parts",
+    "seasonality_monthly_index",
+    "cohort_ltv_curve",
+    "target_encode_loo_segment",
+    "embedding_label_centroids",
+    "zipf_slope_vocab",
+    "rake_keyword_extraction",
+    "heaps_law_vocab_growth",
+    "multimodal_resize_meta",
+    "multimodal_feature_extract",
+    "ppjoin_prefix_candidates",
+    "ab_assignment_outcomes",
+    "referential_integrity_audit",
+    "json_quarantine_split",
+    "pipeline_data_health",
+    "median_two_pass_orders",
+    "rolling_corr_purchase_error",
+    "kaplan_meier_lifetime",
+    "benford_first_digit",
+    "gini_customer_revenue",
+    "hhi_market_concentration",
+    "mutual_info_event_dow",
+    "acf_daily_counts",
+    "holt_linear_daily",
+    "daily_new_returning_users",
+    "cusum_changepoint_daily",
+    "theil_sen_daily_trend",
+    # --- re-proofs: z-score guard changed this round (r05) ---
     "anomaly_event_rate",
-    "inverted_index_postings",
-    # --- round-4 additions (governance layer) ---
-    "split_leakage_check",
-    "dataset_card_stats",
-    "negative_sample_pairs",
-    "tokenizer_fertility_by_lang",
     "anomaly_prequential",
-    "drift_psi_event_values",
-    # --- re-proofs: none fit — the 50 never-green names fill every
-    # slot. The changed-code queries that wanted re-proof seats
-    # (dedup_cluster_components, market_basket_lift, semantic_dedup,
-    # pca_embeddings_by_label, quality_classifier_logistic,
-    # copurchase_pagerank) overflow to the round-5 head; every one is
-    # sweep-validated at sf0.01 AND sf0.1 locally, and the CC rewrite
-    # is additionally pinned by an equivalence test against the old
-    # propagation path plus the 1M-chain stress stage.
+    # --- re-proofs: overflowed from round 4 (changed code in r04) ---
+    "dedup_cluster_components",
+    "market_basket_lift",
+    "semantic_dedup",
+    "pca_embeddings_by_label",
+    "quality_classifier_logistic",
+    "copurchase_pagerank",
+    # --- round-5 additions (filled as queries land this round) ---
 )
 
 
