@@ -39,30 +39,55 @@ def test_record_linkage_planted_truth(spark, sf_dir):
 
 
 def test_compaction_bins_partition_the_month(spark, sf_dir):
+    """Pin the operator's TRUE invariant (ADVICE r04): bin_id =
+    floor(exclusive-prefix-rows / target) per month in file_date order,
+    bins partition the rows, and date ranges are disjoint and ordered.
+    (The old contiguous-from-0 / every-bin-reaches-target assertions
+    were fixture-scale assumptions that break once a single day exceeds
+    ~2x the target.)"""
     from travel_data_pipeline_spark.sources.readers import load_table
 
     plan = compaction_bin_packing(spark, sf_dir).collect()
     orders = load_table(spark, sf_dir, "orders")
-    totals = {r["month"]: r["n"] for r in orders.groupBy(
+    files = orders.groupBy(
         F.date_format(F.date_trunc("month", "o_orderdate"), "yyyy-MM")
-        .alias("month")).agg(F.count("*").alias("n")).collect()}
+        .alias("month"),
+        F.date_format("o_orderdate", "yyyy-MM-dd").alias("file_date"),
+    ).agg(F.count("*").alias("n")).collect()
 
-    by_month: dict[str, list] = {}
+    # recompute the exclusive-prefix bin assignment independently
+    sizes: dict[str, list] = {}
+    for r in files:
+        sizes.setdefault(r["month"], []).append((r["file_date"], r["n"]))
+    expect: dict[str, dict[int, list]] = {}
+    for month, fs in sizes.items():
+        fs.sort()
+        prefix = 0
+        for d, n in fs:
+            expect.setdefault(month, {}).setdefault(
+                prefix // _BIN_TARGET, []).append((d, n))
+            prefix += n
+
+    by_month: dict[str, dict[int, object]] = {}
     for r in plan:
-        by_month.setdefault(r["month"], []).append(r)
-    assert set(by_month) == set(totals)
+        by_month.setdefault(r["month"], {})[r["bin_id"]] = r
+    assert set(by_month) == set(expect)
     for month, bins in by_month.items():
-        bins.sort(key=lambda r: r["bin_id"])
-        # bins are contiguously numbered from 0 and partition the rows
-        assert [b["bin_id"] for b in bins] == list(range(len(bins)))
-        assert sum(b["bin_rows"] for b in bins) == totals[month]
-        # greedy in-order packing: bins cover disjoint date ranges in order
-        for a, b in zip(bins, bins[1:]):
+        assert set(bins) == set(expect[month])
+        # bins partition the month's rows
+        assert (sum(b["bin_rows"] for b in bins.values())
+                == sum(n for _, n in sizes[month]))
+        # disjoint, ordered date ranges across ascending bin ids
+        ordered = [bins[b] for b in sorted(bins)]
+        for a, b in zip(ordered, ordered[1:]):
             assert a["last_date"] < b["first_date"]
-        # every bin but the last reached the target (greedy never opens
-        # a new bin while the current one is under target)
-        for b in bins[:-1]:
-            assert b["bin_rows"] >= _BIN_TARGET
+        # every bin matches the independently recomputed assignment
+        for bid, r in bins.items():
+            exp = expect[month][bid]
+            assert r["n_files"] == len(exp)
+            assert r["bin_rows"] == sum(n for _, n in exp)
+            assert r["first_date"] == min(d for d, _ in exp)
+            assert r["last_date"] == max(d for d, _ in exp)
 
 
 def test_anomaly_rows_are_true_outliers(spark, sf_dir):
@@ -79,6 +104,42 @@ def test_anomaly_rows_are_true_outliers(spark, sf_dir):
                  .alias("day")).agg(F.count("*").alias("cnt")).collect()}
     for r in out:
         assert daily[(r["event_type"], r["day"])] == r["cnt"]
+
+
+def test_z_guard_degenerate_constant_history(spark):
+    """ADVICE r04: a zero-variance history must z-score to NULL in BOTH
+    engines — without the CASE guard Spark (non-ANSI) divides to NULL
+    while DuckDB yields IEEE +-inf/NaN (ordered above all values), so
+    abs(z) >= cut would diverge on a constant daily-count series."""
+    import duckdb
+    import pandas as pd
+
+    const = pd.DataFrame({"cnt": [5, 5, 5, 5], "n": [4] * 4,
+                          "s": [20] * 4, "ss": [100] * 4})
+    sp = (spark.createDataFrame(const)
+          .select(F.expr(queries_ops._Z_SQL).alias("z")).collect())
+    assert all(r["z"] is None for r in sp)
+    con = duckdb.connect()
+    con.register("t", const)
+    du = con.execute(f"SELECT {queries_ops._Z_SQL} AS z FROM t").fetchall()
+    assert all(v is None for (v,) in du)
+    # single-day history (n=1) is equally degenerate in both engines
+    one = pd.DataFrame({"cnt": [5], "n": [1], "s": [5], "ss": [25]})
+    assert (spark.createDataFrame(one)
+            .select(F.expr(queries_ops._Z_SQL).alias("z"))
+            .collect()[0]["z"] is None)
+    con.register("t1", one)
+    assert con.execute(
+        f"SELECT {queries_ops._Z_SQL} AS z FROM t1").fetchone()[0] is None
+    # a non-degenerate history still scores (guard must not over-fire)
+    var = pd.DataFrame({"cnt": [9], "n": [3], "s": [12], "ss": [66]})
+    z_sp = (spark.createDataFrame(var)
+            .select(F.expr(queries_ops._Z_SQL).alias("z"))
+            .collect()[0]["z"])
+    con.register("t2", var)
+    z_du = con.execute(
+        f"SELECT {queries_ops._Z_SQL} AS z FROM t2").fetchone()[0]
+    assert z_sp == z_du and z_sp is not None
 
 
 def test_inverted_index_caps_and_sorts_postings(spark, sf_dir):

@@ -609,3 +609,82 @@ def test_stream_static_enrichment(spark, sf_smoke):
             assert r.segment == "even"
         else:
             assert r.segment is None
+
+
+def test_stateful_monotone_contract_drops_late_days(spark, tmp_path):
+    """ADVICE r04: cross-batch disorder must be deterministic. Two
+    micro-batches (maxFilesPerTrigger=1) where batch 2 replays an old
+    day with a poisoned count: the replay is dropped, the in-order days
+    keep matching the pure-python recurrence over the monotone
+    subsequence — for both stateful twins."""
+    import os
+    import math
+
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    feed = tmp_path / "ooo_feed"
+    feed.mkdir()
+    in_order = [(f"2024-01-{d:02d}", 10 * d) for d in range(1, 11)]
+    b1 = pd.DataFrame([("t", d, c) for d, c in in_order],
+                      columns=["event_type", "day", "cnt"])
+    # batch 2: a poisoned replay of day 05 + two genuine new days
+    b2_new = [("2024-01-11", 110), ("2024-01-12", 120)]
+    b2 = pd.DataFrame([("t", "2024-01-05", 999)]
+                      + [("t", d, c) for d, c in b2_new],
+                      columns=["event_type", "day", "cnt"])
+    for i, pdf in enumerate([b1, b2]):
+        p = str(feed / f"b{i}.parquet")
+        pq.write_table(pa.Table.from_pandas(pdf), p)
+        os.utime(p, (1700000000 + i * 60, 1700000000 + i * 60))
+
+    def make_stream():
+        return (spark.readStream
+                .schema("event_type string, day string, cnt long")
+                .option("maxFilesPerTrigger", 1)
+                .parquet(str(feed)))
+
+    # --- anomaly twin ---
+    out = jobs.anomaly_stateful(make_stream(), min_n=3)
+    q = (out.writeStream.format("memory").queryName("ooo_anom")
+         .outputMode("append").trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    got = {r.day: (r.cnt, r.zscore)
+           for r in spark.table("ooo_anom").collect()}
+    # reference: the batch recurrence over the monotone subsequence
+    want = {}
+    n, s, ss = 0, 0, 0
+    for day, cnt in in_order + b2_new:
+        if n >= 3:
+            var = (float(ss) - float(s) * float(s) / float(n)) \
+                / (float(n) - 1.0)
+            z = (float(cnt) - float(s) / float(n)) / math.sqrt(var)
+            want[day] = (cnt, round(z, 6) + 0.0)
+        n, s, ss = n + 1, s + cnt, ss + cnt * cnt
+    assert set(got) == set(want)
+    for day, (cnt, z) in want.items():
+        assert got[day][0] == cnt          # never the poisoned 999
+        assert abs(got[day][1] - z) < 1e-9
+
+    # --- holt twin ---
+    out = jobs.holt_stateful(make_stream(), alpha=0.3, gamma=0.1)
+    q = (out.writeStream.format("memory").queryName("ooo_holt")
+         .outputMode("append").trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    got_h = {r.day: (r.cnt, r.level, r.trend)
+             for r in spark.table("ooo_holt").collect()}
+    lvl, trd, want_h = None, None, {}
+    for day, cnt in in_order + b2_new:
+        if lvl is None:
+            lvl, trd = float(cnt), 0.0
+        else:
+            new_lvl = 0.3 * cnt + 0.7 * (lvl + trd)
+            trd = 0.1 * (new_lvl - lvl) + 0.9 * trd
+            lvl = new_lvl
+        want_h[day] = (cnt, round(lvl, 6), round(trd, 6) + 0.0)
+    assert set(got_h) == set(want_h)
+    for day, (cnt, lv, tr) in want_h.items():
+        assert got_h[day][0] == cnt
+        assert abs(got_h[day][1] - lv) < 1e-9
+        assert abs(got_h[day][2] - tr) < 1e-9

@@ -705,9 +705,13 @@ def target_encode_loo_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register("embedding_label_centroids", """
 WITH vals AS (
+    -- range bound derives from each row's actual embedding length
+    -- (ADVICE r04: a hardcoded dim would silently desynchronize the
+    -- engines if the fixture dimension ever changed)
     SELECT label, CAST(t.i AS INT) AS dim_idx, vec_id,
            CAST(embedding AS DOUBLE[])[t.i + 1] AS v
-    FROM embeddings, UNNEST(range(0, 64)) AS t(i)
+    FROM embeddings,
+         UNNEST(range(0, len(CAST(embedding AS DOUBLE[])))) AS t(i)
 ),
 folded AS (
     SELECT label, dim_idx, count(*) AS n,

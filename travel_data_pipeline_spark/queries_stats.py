@@ -741,10 +741,15 @@ win AS (
                  AND CURRENT ROW)
 )
 SELECT day, CAST(n AS BIGINT) AS n_window,
-       round((CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)
-             / (sqrt(CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx)
-                * sqrt(CAST(n AS DOUBLE) * syy
-                       - CAST(sy AS DOUBLE) * sy)), 6) + 0.0 AS r
+       round(CASE WHEN CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx <= 0.0
+                    OR CAST(n AS DOUBLE) * syy - CAST(sy AS DOUBLE) * sy <= 0.0
+                  THEN NULL
+                  ELSE (CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)
+                       / (sqrt(CAST(n AS DOUBLE) * sxx
+                               - CAST(sx AS DOUBLE) * sx)
+                          * sqrt(CAST(n AS DOUBLE) * syy
+                                 - CAST(sy AS DOUBLE) * sy))
+             END, 6) + 0.0 AS r
 FROM win WHERE n = {_ROLL_CORR_W}
 """)
 def rolling_corr_purchase_error(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -775,8 +780,15 @@ def rolling_corr_purchase_error(spark: SparkSession, sf_dir: str) -> DataFrame:
     sx, sy = F.col("sx").cast("double"), F.col("sy").cast("double")
     sxx, syy = F.col("sxx").cast("double"), F.col("syy").cast("double")
     sxy = F.col("sxy").cast("double")
-    r = ((n * sxy - sx * sy)
-         / (F.sqrt(n * sxx - sx * sx) * F.sqrt(n * syy - sy * sy)))
+    # Degenerate guard (ADVICE r04): a constant series inside the
+    # window zeroes a variance term — Spark (non-ANSI) yields NULL on
+    # the divide while DuckDB yields IEEE inf/NaN, so both engines must
+    # branch on the SAME double-precision variance terms.
+    r = F.when((n * sxx - sx * sx <= 0.0) | (n * syy - sy * sy <= 0.0),
+               F.lit(None).cast("double")
+               ).otherwise(
+        (n * sxy - sx * sy)
+        / (F.sqrt(n * sxx - sx * sx) * F.sqrt(n * syy - sy * sy)))
     return (win.filter(F.col("n") == _ROLL_CORR_W)
             .select("day", F.col("n").alias("n_window"),
                     (F.round(r, 6) + 0.0).alias("r")))
@@ -1148,10 +1160,15 @@ sums AS (
     FROM pairs GROUP BY lag
 )
 SELECT CAST(lag AS INT) AS lag, m,
-       round((CAST(m AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)
-             / (sqrt(CAST(m AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx)
-                * sqrt(CAST(m AS DOUBLE) * syy
-                       - CAST(sy AS DOUBLE) * sy)), 6) + 0.0 AS acf
+       round(CASE WHEN CAST(m AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx <= 0.0
+                    OR CAST(m AS DOUBLE) * syy - CAST(sy AS DOUBLE) * sy <= 0.0
+                  THEN NULL
+                  ELSE (CAST(m AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)
+                       / (sqrt(CAST(m AS DOUBLE) * sxx
+                               - CAST(sx AS DOUBLE) * sx)
+                          * sqrt(CAST(m AS DOUBLE) * syy
+                                 - CAST(sy AS DOUBLE) * sy))
+             END, 6) + 0.0 AS acf
 FROM sums
 """)
 def acf_daily_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1183,6 +1200,12 @@ def acf_daily_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     sx, sy = F.col("sx").cast("double"), F.col("sy").cast("double")
     sxx, syy = F.col("sxx").cast("double"), F.col("syy").cast("double")
     sxy = F.col("sxy").cast("double")
-    r = ((m * sxy - sx * sy)
-         / (F.sqrt(m * sxx - sx * sx) * F.sqrt(m * syy - sy * sy)))
+    # Degenerate guard (ADVICE r04): constant series -> zero variance
+    # term -> Spark NULL vs DuckDB inf/NaN without an explicit branch
+    # on the same double-precision terms in both engines.
+    r = F.when((m * sxx - sx * sx <= 0.0) | (m * syy - sy * sy <= 0.0),
+               F.lit(None).cast("double")
+               ).otherwise(
+        (m * sxy - sx * sy)
+        / (F.sqrt(m * sxx - sx * sx) * F.sqrt(m * syy - sy * sy)))
     return sums.select("lag", "m", (F.round(r, 6) + 0.0).alias("acf"))

@@ -484,11 +484,19 @@ def anomaly_stateful(daily_counts: DataFrame,
                      min_n: int = 7) -> DataFrame:
     """Streaming prequential anomaly monitor via applyInPandasWithState
     — the streaming twin of queries_ops.anomaly_prequential: state is
-    the exact integer moment triple (n, s, ss) per event_type; each
-    day's count is z-scored against the history accumulated so far,
-    THEN folded into the moments. Emits one row per scored day (append
-    mode). With days arriving in order, the doubles match the batch
-    expanding-window spelling exactly — asserted in
+    the exact integer moment triple (n, s, ss) per event_type plus the
+    last folded day; each day's count is z-scored against the history
+    accumulated so far, THEN folded into the moments. Emits one row per
+    scored day (append mode).
+
+    Ordering contract (ADVICE r04): within a micro-batch rows are
+    sorted by day; ACROSS micro-batches a day at or before the last
+    folded day (a late arrival or an at-least-once replay) is DROPPED
+    deterministically rather than folded into the moments out of order
+    — the monitor scores the monotone subsequence of arrivals, exactly
+    what a watermark would admit. On an in-order feed the doubles match
+    the batch expanding-window spelling bit-for-bit; both the in-order
+    equality and the late-day drop are asserted in
     tests/test_streaming.py."""
     import pandas as pd  # noqa: F401
 
@@ -502,6 +510,7 @@ def anomaly_stateful(daily_counts: DataFrame,
         T.StructField("n", T.LongType()),
         T.StructField("s", T.LongType()),
         T.StructField("ss", T.LongType()),
+        T.StructField("last_day", T.StringType()),
     ])
 
     # self-contained closure: executors may not have this repo on path
@@ -510,24 +519,34 @@ def anomaly_stateful(daily_counts: DataFrame,
 
         import pandas as pd
 
-        n, s, ss = state.get if state.exists else (0, 0, 0)
+        n, s, ss, last_day = (state.get if state.exists
+                              else (0, 0, 0, None))
         days, cnts, zs = [], [], []
         for pdf in pdfs:
             pdf = pdf.sort_values("day")
             for day, cnt in zip(pdf["day"], pdf["cnt"]):
-                cnt = int(cnt)
+                day, cnt = str(day), int(cnt)
+                if last_day is not None and day <= last_day:
+                    continue  # late cross-batch arrival / replay: drop
                 if n >= min_n:
                     # identical spelling to _Z_SQL: all-double over
-                    # exact integer moments
-                    mean = float(s) / float(n)
-                    var = (float(ss) - (float(s) * float(s)) / float(n)) \
-                        / (float(n) - 1.0)
-                    z = (float(cnt) - mean) / math.sqrt(var)
-                    days.append(str(day))
+                    # exact integer moments, with the same degenerate
+                    # guard (zero-variance history -> NULL zscore)
+                    var_num = (float(ss)
+                               - (float(s) * float(s)) / float(n))
+                    if var_num <= 0.0:
+                        z = None
+                    else:
+                        mean = float(s) / float(n)
+                        var = var_num / (float(n) - 1.0)
+                        z = round((float(cnt) - mean)
+                                  / math.sqrt(var), 6) + 0.0
+                    days.append(day)
                     cnts.append(cnt)
-                    zs.append(round(z, 6) + 0.0)
+                    zs.append(z)
                 n, s, ss = n + 1, s + cnt, ss + cnt * cnt
-        state.update((n, s, ss))
+                last_day = day
+        state.update((n, s, ss, last_day))
         yield pd.DataFrame({"event_type": [key[0]] * len(days),
                             "day": days, "cnt": cnts, "zscore": zs})
 
@@ -544,7 +563,13 @@ def holt_stateful(daily_counts: DataFrame, alpha: float = 0.3,
     continues the two-state recurrence
         l' = a*x + (1-a)*(l + b);  b' = g*(l' - l) + (1-g)*b
     with the identical double spelling, so the outputs match the batch
-    sorted-array fold exactly — asserted in tests/test_streaming.py."""
+    sorted-array fold exactly — asserted in tests/test_streaming.py.
+
+    Ordering contract (ADVICE r04): same as anomaly_stateful — rows
+    are sorted by day within a micro-batch, and a cross-batch day at or
+    before the last folded day (late arrival / replay) is DROPPED
+    deterministically instead of perturbing the (level, trend)
+    recurrence out of order."""
     import pandas as pd  # noqa: F401
 
     out_schema = T.StructType([
@@ -557,30 +582,35 @@ def holt_stateful(daily_counts: DataFrame, alpha: float = 0.3,
     state_schema = T.StructType([
         T.StructField("lvl", T.DoubleType()),
         T.StructField("trd", T.DoubleType()),
+        T.StructField("last_day", T.StringType()),
     ])
 
     # self-contained closure: executors may not have this repo on path
     def update(key, pdfs, state):
         import pandas as pd
 
-        lvl, trd = state.get if state.exists else (None, None)
+        lvl, trd, last_day = (state.get if state.exists
+                              else (None, None, None))
         days, cnts, lvls, trds = [], [], [], []
         for pdf in pdfs:
             pdf = pdf.sort_values("day")
             for day, cnt in zip(pdf["day"], pdf["cnt"]):
-                x = int(cnt)
+                day, x = str(day), int(cnt)
+                if last_day is not None and day <= last_day:
+                    continue  # late cross-batch arrival / replay: drop
                 if lvl is None:
                     lvl, trd = float(x), 0.0
                 else:
                     new_lvl = alpha * x + (1.0 - alpha) * (lvl + trd)
                     trd = gamma * (new_lvl - lvl) + (1.0 - gamma) * trd
                     lvl = new_lvl
-                days.append(str(day))
+                last_day = day
+                days.append(day)
                 cnts.append(x)
                 lvls.append(round(lvl, 6))
                 trds.append(round(trd, 6) + 0.0)
         if lvl is not None:
-            state.update((lvl, trd))
+            state.update((lvl, trd, last_day))
         yield pd.DataFrame({"event_type": [key[0]] * len(days),
                             "day": days, "cnt": cnts,
                             "level": lvls, "trend": trds})
