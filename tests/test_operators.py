@@ -243,3 +243,38 @@ def test_pack_token_shards_boundary_rule(spark):
         seen_multi.add((r["source"], r["lang"], r["shard_id"]))
     # the budget actually splits streams at this scale
     assert len(seen_multi) > len({(s, l) for s, l, _ in seen_multi})
+
+
+def test_ppjoin_routing_bound_and_fallback(spark):
+    """VERDICT r04 #3: ppjoin_routed_pairs must route by the exact
+    candidate bound — PPJoin on a benign corpus, banded-LSH fallback on
+    a duplicate-heavy one — and both paths must verify with exact
+    Jaccard at the threshold."""
+    from travel_data_pipeline_spark.operators import dedup
+
+    # benign corpus: two exact near-dup pairs + distinct filler
+    texts = []
+    for i in range(20):
+        texts.append((i, f"alpha beta gamma delta epsilon zeta {i} "
+                         f"eta theta iota kappa word{i} tail{i}"))
+    texts.append((100, texts[0][1]))       # exact dup of doc 0
+    docs = spark.createDataFrame(texts, "doc_id long, text string")
+    pairs, strategy = dedup.ppjoin_routed_pairs(docs, threshold=0.8)
+    assert strategy == "ppjoin"
+    got = {(r.doc_a, r.doc_b): r.jaccard for r in pairs.collect()}
+    assert got.get((0, 100)) == 1.0
+    assert all(j >= 0.8 for j in got.values())
+
+    # duplicate-heavy corpus: one 40-copy group -> every prefix token
+    # bucket holds all 40 copies, bound ~ C(40,2) * prefix_len >> 50
+    heavy = [(i, "lorem ipsum dolor sit amet consectetur adipiscing "
+                 "elit sed do eiusmod tempor")
+             for i in range(40)]
+    hdocs = spark.createDataFrame(heavy, "doc_id long, text string")
+    hpairs, hstrategy = dedup.ppjoin_routed_pairs(
+        hdocs, threshold=0.8, max_candidates=50)
+    assert hstrategy == "lsh"
+    hgot = {(r.doc_a, r.doc_b): r.jaccard for r in hpairs.collect()}
+    # identical texts share every band -> LSH recall is exact here
+    assert len(hgot) == 40 * 39 // 2
+    assert all(j == 1.0 for j in hgot.values())

@@ -98,33 +98,19 @@ def main(amplify: int = 20) -> None:
     n_bins = packed.groupBy("partition_id", "bin_id").count().count()
     t_pack = time.perf_counter() - t0
 
-    # --- PPJoin prefix-filtered similarity self-join over the corpus -----
-    from pyspark.sql import functions as _F
-
+    # --- PPJoin/LSH routed similarity self-join over the corpus ----------
+    # This amplified corpus is duplicate-heavy by construction (copies
+    # differ only in a suffix token), the exact shape whose candidate
+    # count grows with sum(dup-group-size^2): the r04 inline PPJoin
+    # measured 44M candidates in 33.5 s here. The routed operator
+    # computes the exact candidate bound from the prefix relation and
+    # must fall back to banded LSH, keeping the stage bounded.
     from travel_data_pipeline_spark.operators import dedup as _dedup
 
     t0 = time.perf_counter()
-    ss = _dedup.shingle_sets(docs)
-    sdf = ss.groupBy("shingle").agg(_F.count("*").alias("dfreq"))
-    wr = Window.orderBy("dfreq", "shingle")
-    srank = sdf.withColumn("srk", _F.row_number().over(wr))
-    sets = (ss.join(srank.select("shingle", "srk"), "shingle")
-            .groupBy("doc_id")
-            .agg(_F.sort_array(_F.collect_list("srk")).alias("toks"),
-                 _F.count("*").cast("long").alias("sz")))
-    plen = (_F.col("sz") - _F.ceil(_F.lit(0.8) * _F.col("sz")) + 1) \
-        .cast("int")
-    prefixes = sets.select(
-        "doc_id", _F.explode(_F.slice("toks", 1, plen)).alias("srk"))
-    wb = Window.partitionBy("srk")
-    pcap = (prefixes.withColumn("_bsz", _F.count("*").over(wb))
-            .filter(_F.col("_bsz") <= 1000).drop("_bsz"))
-    a = pcap.select(_F.col("doc_id").alias("doc_a"), "srk")
-    bb = pcap.select(_F.col("doc_id").alias("doc_b"), "srk")
-    cand = (a.join(bb, "srk")
-            .filter(_F.col("doc_a") < _F.col("doc_b"))
-            .select("doc_a", "doc_b").distinct())
-    n_ppjoin_cand = cand.count()
+    pairs, ppjoin_strategy = _dedup.ppjoin_routed_pairs(
+        docs, threshold=0.8, max_candidates=5_000_000)
+    n_ppjoin_pairs = pairs.count()
     t_ppjoin = time.perf_counter() - t0
 
     # --- prequential anomaly over 100k series x 64 points ----------------
@@ -158,7 +144,8 @@ def main(amplify: int = 20) -> None:
         "link_dirty_per_sec": round(n_dirty / t_link),
         "pack_files": n_files, "pack_bins": n_bins,
         "pack_sec": round(t_pack, 2),
-        "ppjoin_docs": n_docs, "ppjoin_candidates": n_ppjoin_cand,
+        "ppjoin_docs": n_docs, "ppjoin_strategy": ppjoin_strategy,
+        "ppjoin_verified_pairs": n_ppjoin_pairs,
         "ppjoin_sec": round(t_ppjoin, 2),
         "anom_points": n_series * n_points, "anom_flagged": n_anom,
         "anom_sec": round(t_anom, 2),

@@ -319,3 +319,93 @@ def simhash_near_pairs(fingerprints: DataFrame, id_col: str = "doc_id",
                         F.bit_count(F.col("sim_a").bitwiseXOR(F.col("sim_b")))))
     return (uniq.filter(F.col("hamming") <= max_hamming)
             .select("doc_a", "doc_b", "hamming"))
+
+
+# ---------------------------------------------------------------------------
+# PPJoin prefix filtering with automatic LSH fallback
+# ---------------------------------------------------------------------------
+
+def ppjoin_candidate_bound(prefixes: DataFrame, key: str = "srk") -> int:
+    """Exact candidate-pair bound of the prefix equality join:
+    sum over prefix buckets of c*(c-1)/2.
+
+    One cheap aggregation over the (id, prefix-token) relation — a
+    planning decision in the AQE spirit (runtime stats steer the
+    physical strategy), costing one extra pass over the prefixes, not
+    the corpus. The bound is EXACT for the uncapped join and an upper
+    bound for the capped one, so routing on it is always safe."""
+    row = (prefixes.groupBy(key).agg(F.count("*").alias("c"))
+           .agg(F.sum((F.col("c") * (F.col("c") - F.lit(1))) / 2)
+                .alias("bound")).first())
+    return int(row["bound"] or 0)
+
+
+def ppjoin_routed_pairs(docs: DataFrame, text_col: str = "text",
+                        id_col: str = "doc_id", shingle_n: int = 3,
+                        threshold: float = 0.8,
+                        max_candidates: int = 5_000_000,
+                        max_bucket: int = 1000,
+                        num_hashes: int = 8, bands: int = 4,
+                        shingles: DataFrame | None = None,
+                        ) -> tuple[DataFrame, str]:
+    """Set-similarity self-join at ``threshold`` with automatic
+    strategy routing (VERDICT r04 #3): prefix-filtered PPJoin (Xiao et
+    al. 2008) when the exact candidate bound stays under
+    ``max_candidates``, banded MinHash-LSH candidate generation when it
+    explodes (duplicate-heavy corpora grow PPJoin candidates with
+    sum(dup-group-size^2) — measured 44M candidates on a 100k-doc
+    duplicate-heavy corpus, tools/stress_ops.py).
+
+    Both paths verify candidates with EXACT Jaccard >= threshold over
+    the same shingle sets, so they differ only in candidate recall:
+    PPJoin is exact (modulo the bucket cap), LSH is the probabilistic
+    scale path. Returns (pairs_df(doc_a, doc_b, jaccard), strategy).
+    """
+    from pyspark.sql import Window
+
+    ss = shingles if shingles is not None \
+        else shingle_sets(docs, text_col, id_col, shingle_n)
+    sdf = ss.groupBy("shingle").agg(F.count("*").alias("dfreq"))
+    wr = Window.orderBy("dfreq", "shingle")
+    srank = sdf.withColumn("srk", F.row_number().over(wr))
+    sets = (ss.join(srank.select("shingle", "srk"), "shingle")
+            .groupBy(id_col)
+            .agg(F.sort_array(F.collect_list("srk")).alias("toks"),
+                 F.count("*").cast("long").alias("sz")))
+    plen = (F.col("sz") - F.ceil(F.lit(threshold) * F.col("sz")) + 1) \
+        .cast("int")
+    prefixes = sets.select(
+        id_col, F.explode(F.slice("toks", 1, plen)).alias("srk"))
+
+    if ppjoin_candidate_bound(prefixes) > max_candidates:
+        sigs = minhash_signatures(docs, text_col, id_col, shingle_n,
+                                  num_hashes, shingles=ss)
+        cand = lsh_candidate_pairs(sigs, id_col, num_hashes, bands,
+                                   max_bucket)
+        pairs = jaccard_pairs(docs, cand, text_col, id_col, shingle_n,
+                              threshold, shingles=ss)
+        return pairs, "lsh"
+
+    wb = Window.partitionBy("srk")
+    pcap = (prefixes.withColumn("_bsz", F.count("*").over(wb))
+            .filter(F.col("_bsz") <= max_bucket).drop("_bsz"))
+    a = pcap.select(F.col(id_col).alias("doc_a"), "srk")
+    b = pcap.select(F.col(id_col).alias("doc_b"), "srk")
+    cand = (a.join(b, "srk")
+            .filter(F.col("doc_a") < F.col("doc_b"))
+            .select("doc_a", "doc_b").distinct())
+    sa = sets.select(F.col(id_col).alias("doc_a"),
+                     F.col("toks").alias("toks_a"),
+                     F.col("sz").alias("sz_a"))
+    sb = sets.select(F.col(id_col).alias("doc_b"),
+                     F.col("toks").alias("toks_b"),
+                     F.col("sz").alias("sz_b"))
+    inter = F.size(F.array_intersect("toks_a", "toks_b")).cast("long")
+    verified = (cand.join(sa, "doc_a").join(sb, "doc_b")
+                .select("doc_a", "doc_b", inter.alias("inter"),
+                        (F.col("sz_a") + F.col("sz_b") - inter)
+                        .alias("uni")))
+    jac = F.col("inter").cast("double") / F.col("uni").cast("double")
+    pairs = (verified.filter(jac >= threshold)
+             .select("doc_a", "doc_b", F.round(jac, 6).alias("jaccard")))
+    return pairs, "ppjoin"

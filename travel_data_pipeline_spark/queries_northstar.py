@@ -189,16 +189,25 @@ WHERE ROUND(COALESCE(i.inter_n, 0)
 """)
 def dedup_minhash_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The production dedup pipeline: LSH candidates -> exact Jaccard
-    verify at 0.5 — plausible-but-different pairs die here."""
+    verify at 0.5 — plausible-but-different pairs die here.
+
+    The shingle relation is persisted and shared by the signature and
+    verify stages (the pipeline_training_data pattern, VERDICT r04 #4)
+    so the corpus is exploded once, not once per stage."""
+    from pyspark.storagelevel import StorageLevel
+
     docs = _augmented_docs(spark, sf_dir)
-    sigs = dedup.minhash_signatures(docs, num_hashes=NUM_HASHES)
+    shingles = dedup.shingle_sets(docs).persist(StorageLevel.MEMORY_AND_DISK)
+    sigs = dedup.minhash_signatures(docs, num_hashes=NUM_HASHES,
+                                    shingles=shingles)
     # the candidate-pair set is consumed three times downstream
     # (id semi-join, intersection join, final select) — materialize it
     # once; post-LSH it is tiny relative to the corpus
     pairs = dedup.lsh_candidate_pairs(
         sigs, num_hashes=NUM_HASHES, bands=BANDS,
         max_bucket=MAX_BUCKET).localCheckpoint(eager=True)
-    return dedup.jaccard_pairs(docs, pairs, threshold=0.5)
+    return dedup.jaccard_pairs(docs, pairs, threshold=0.5,
+                               shingles=shingles)
 
 
 @register("containment_pairs", f"""
@@ -236,13 +245,18 @@ def containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc fully inside a 1000-shingle doc has jaccard 0.1 but
     containment 1.0. Same candidate generation + overlap counting as
     the Jaccard verify (operators/dedup.py overlap_pairs), one extra
-    projection."""
+    projection. Shares one persisted shingle relation across the
+    signature and overlap stages (VERDICT r04 #4)."""
+    from pyspark.storagelevel import StorageLevel
+
     docs = _augmented_docs(spark, sf_dir)
-    sigs = dedup.minhash_signatures(docs, num_hashes=NUM_HASHES)
+    shingles = dedup.shingle_sets(docs).persist(StorageLevel.MEMORY_AND_DISK)
+    sigs = dedup.minhash_signatures(docs, num_hashes=NUM_HASHES,
+                                    shingles=shingles)
     pairs = dedup.lsh_candidate_pairs(
         sigs, num_hashes=NUM_HASHES, bands=BANDS,
         max_bucket=MAX_BUCKET).localCheckpoint(eager=True)
-    ov = dedup.overlap_pairs(docs, pairs)
+    ov = dedup.overlap_pairs(docs, pairs, shingles=shingles)
     out = ov.select(
         "doc_a", "doc_b",
         F.round(F.col("inter_n") / F.col("size_a"), 6).alias("contain_a"),
@@ -1309,7 +1323,14 @@ WHERE ROUND(COALESCE(i.inter_n, 0)
 def dedup_incremental_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-dup pairs between the incoming batch (doc_id >= 400, plus 3
     planted corpus copies) and the existing corpus (doc_id < 400) —
-    banded cross-probe, exact-Jaccard verified at 0.5."""
+    banded cross-probe, exact-Jaccard verified at 0.5.
+
+    Deliberately NOT on the shared-persisted-shingle pattern (VERDICT
+    r04 #4): measured best-of-3 at sf0.1 shows the persist costs 36%
+    here (1.37 s vs 1.01 s) because the verify stage only ever explodes
+    the few candidate docs (semi-join first), so caching the full
+    corpus explode is pure overhead — and this query's incremental
+    corpus shares no shingle plan with the augmented-corpus family."""
     d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
     planted = (d.filter(F.col("doc_id") < 3)
                .select((F.col("doc_id") + PLANT_OFFSET).alias("doc_id"),
@@ -1503,42 +1524,18 @@ def ppjoin_prefix_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
     VOCABULARY (not the corpus); prefixes are ~20% of each set's
     rarest shingles; candidates come only from equality joins on those
     rare tokens, capped per bucket. Verification is an array intersect
-    over the two candidate sets — never a corpus-wide pair join."""
-    from pyspark.sql import Window
+    over the two candidate sets — never a corpus-wide pair join.
 
+    Routing (VERDICT r04 #3): dedup.ppjoin_routed_pairs computes the
+    exact candidate bound from the prefix relation and falls back to
+    banded-LSH candidate generation when it exceeds 5M — on this
+    fixture the bound is tiny, so the oracle mirrors the PPJoin path;
+    the duplicate-heavy fallback is exercised by tools/stress_ops.py
+    and tests/test_cleaning.py."""
     aug = _augmented_docs(spark, sf_dir)
-    ss = dedup.shingle_sets(aug)
-    sdf = ss.groupBy("shingle").agg(F.count("*").alias("dfreq"))
-    wr = Window.orderBy("dfreq", "shingle")
-    srank = sdf.withColumn("srk", F.row_number().over(wr))
-    sets = (ss.join(srank.select("shingle", "srk"), "shingle")
-            .groupBy("doc_id")
-            .agg(F.sort_array(F.collect_list("srk")).alias("toks"),
-                 F.count("*").cast("long").alias("sz")))
-    plen = (F.col("sz") - F.ceil(F.lit(_PP_T) * F.col("sz")) + 1) \
-        .cast("int")
-    prefixes = sets.select(
-        "doc_id", F.explode(F.slice("toks", 1, plen)).alias("srk"))
-    wb = Window.partitionBy("srk")
-    pcap = (prefixes.withColumn("_bsz", F.count("*").over(wb))
-            .filter(F.col("_bsz") <= MAX_BUCKET).drop("_bsz"))
-    a = pcap.select(F.col("doc_id").alias("doc_a"), "srk")
-    b = pcap.select(F.col("doc_id").alias("doc_b"), "srk")
-    cand = (a.join(b, "srk")
-            .filter(F.col("doc_a") < F.col("doc_b"))
-            .select("doc_a", "doc_b").distinct())
-    sa = sets.select(F.col("doc_id").alias("doc_a"),
-                     F.col("toks").alias("toks_a"),
-                     F.col("sz").alias("sz_a"))
-    sb = sets.select(F.col("doc_id").alias("doc_b"),
-                     F.col("toks").alias("toks_b"),
-                     F.col("sz").alias("sz_b"))
-    inter = F.size(F.array_intersect("toks_a", "toks_b")).cast("long")
-    verified = (cand.join(sa, "doc_a").join(sb, "doc_b")
-                .select("doc_a", "doc_b", inter.alias("inter"),
-                        (F.col("sz_a") + F.col("sz_b") - inter)
-                        .alias("uni")))
-    jac = F.col("inter").cast("double") / F.col("uni").cast("double")
-    return (verified.filter(jac >= _PP_T)
-            .select("doc_a", "doc_b",
-                    F.round(jac, 6).alias("jaccard")))
+    pairs, strategy = dedup.ppjoin_routed_pairs(
+        aug, threshold=_PP_T, max_bucket=MAX_BUCKET)
+    assert strategy == "ppjoin", (
+        "fixture corpus unexpectedly routed to the LSH fallback — "
+        "the oracle mirrors the PPJoin path")
+    return pairs
