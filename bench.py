@@ -52,6 +52,11 @@ HEADLINE = [
     "inverted_index_postings",
     # round-4 late: the composed observability report (4 checks, one plan)
     "pipeline_data_health",
+    # round-5: the bidirectional nearest as-of (two ordered window
+    # scans, no range join) and interval-union coverage (islands over
+    # a running max) — the new window-state-heavy shapes
+    "nearest_error_event",
+    "interval_union_coverage",
 ]
 
 

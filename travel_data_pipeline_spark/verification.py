@@ -257,7 +257,17 @@ PRIORITY_HEAD: tuple[str, ...] = (
     "pca_embeddings_by_label",
     "quality_classifier_logistic",
     "copurchase_pagerank",
-    # --- round-5 additions (filled as queries land this round) ---
+    # --- round-5 additions (queries_round5.py) ---
+    "lsh_scurve_audit",
+    "mixture_rebalance_plan",
+    "column_profile_stats",
+    "stratified_kfold_assign",
+    "active_day_streaks",
+    "funnel_time_to_convert",
+    "embedding_norm_stats",
+    "source_lang_entropy",
+    "nearest_error_event",
+    "interval_union_coverage",
 )
 
 
