@@ -287,3 +287,70 @@ def test_kaplan_meier_matches_python_model(spark, rows):
     assert set(got) == set(want)
     for t in want:
         assert abs(got[t] - want[t]) < 1e-12
+
+
+@settings(max_examples=1, deadline=None)
+@given(st.lists(st.tuples(st.integers(0, 2), st.integers(0, 50)),
+                min_size=40, max_size=80))
+def test_merge_intervals_matches_python_model(spark, rows):
+    """merge_intervals unions arbitrary overlapping/touching/nested
+    intervals per key exactly as the classic python sweep does."""
+    from travel_data_pipeline_spark.operators.windows import (
+        merge_intervals,
+    )
+
+    data = [(k, s, s + 1 + (i % 7)) for i, (k, s) in enumerate(rows)]
+    df = spark.createDataFrame(data, "k int, s long, e long")
+    got = sorted((r.k, r.s, r.e)
+                 for r in merge_intervals(df, "k", "s", "e").collect())
+
+    by_key: dict[int, list] = {}
+    for k, s, e in data:
+        by_key.setdefault(k, []).append((s, e))
+    want = []
+    for k, ivs in by_key.items():
+        merged: list[list[int]] = []
+        for s, e in sorted(ivs):
+            if merged and s <= merged[-1][1]:
+                merged[-1][1] = max(merged[-1][1], e)
+            else:
+                merged.append([s, e])
+        want += [(k, s, e) for s, e in merged]
+    assert got == sorted(want)
+
+
+@settings(max_examples=1, deadline=None)
+@given(st.lists(st.tuples(st.integers(0, 1), st.integers(0, 60)),
+                min_size=20, max_size=60))
+def test_nearest_join_matches_python_model(spark, rows):
+    """nearest_join picks the quote with the smallest |delta| within
+    tolerance, preferring the at-or-before side on equal distance and
+    resolving equal-timestamp quotes by id — exactly as the naive
+    python scan does, including same-instant collisions."""
+    from travel_data_pipeline_spark.operators.joins import nearest_join
+
+    facts = [(i, 1, ts) for i, (side, ts) in enumerate(rows) if side == 0]
+    quotes = [(i, 1, ts) for i, (side, ts) in enumerate(rows) if side == 1]
+    if not facts or not quotes:
+        return
+    f = spark.createDataFrame(facts, "fact_id long, k int, ts long")
+    q = spark.createDataFrame(quotes, "q_id long, k int, q_ts long")
+    tol = 10
+    out = nearest_join(f, q, "k", "ts", "q_ts", "q_id", tolerance=tol)
+    got = {r.fact_id: (r.nearest_id, r.nearest_ts)
+           for r in out.collect()}
+
+    for fid, _, fts in facts:
+        back = max(((ts, qid) for qid, _, ts in quotes if ts <= fts),
+                   key=lambda t: (t[0], t[1]), default=None)
+        fwd = min(((ts, qid) for qid, _, ts in quotes if ts >= fts),
+                  key=lambda t: (t[0], t[1]), default=None)
+        if back is not None and (fwd is None
+                                 or fts - back[0] <= fwd[0] - fts):
+            pick = back
+        else:
+            pick = fwd
+        if pick is not None and abs(pick[0] - fts) <= tol:
+            assert got[fid] == (pick[1], pick[0]), (fid, fts)
+        else:
+            assert got[fid] == (None, None), (fid, fts)

@@ -134,6 +134,26 @@ def main(amplify: int = 20) -> None:
     n_anom = scored.filter(F.abs("z") >= 3.0).count()
     t_anom = time.perf_counter() - t0
 
+    # --- interval-union islands over 10M synthetic events ----------------
+    # The round-5 interval/island shape at scale: per-key window state
+    # is one running max, so the cost is one key shuffle + ordered
+    # scan regardless of how many events a key holds.
+    n_iv_events, n_iv_users = 10_000_000, 200_000
+    # xxhash64, not hash: the 32-bit murmur range (~2.1e9 us = 36 min)
+    # would collapse every user's intervals into one trivial island
+    iv = (spark.range(n_iv_events)
+          .select((F.col("id") % n_iv_users).alias("user_id"),
+                  (F.abs(F.xxhash64("id")) % 2_592_000_000_000)
+                  .alias("s"))
+          .withColumn("e", F.col("s") + 900_000_000))
+    from travel_data_pipeline_spark.operators.windows import (
+        merge_intervals,
+    )
+
+    t0 = time.perf_counter()
+    n_islands = merge_intervals(iv, "user_id", "s", "e").count()
+    t_iv = time.perf_counter() - t0
+
     print(json.dumps({
         "amplify": amplify,
         "idx_docs": n_docs, "idx_terms": n_terms,
@@ -150,6 +170,9 @@ def main(amplify: int = 20) -> None:
         "anom_points": n_series * n_points, "anom_flagged": n_anom,
         "anom_sec": round(t_anom, 2),
         "anom_points_per_sec": round(n_series * n_points / t_anom),
+        "island_events": n_iv_events, "island_merged": n_islands,
+        "island_sec": round(t_iv, 2),
+        "island_events_per_sec": round(n_iv_events / t_iv),
     }))
 
 

@@ -192,3 +192,84 @@ def asof_join(fact: DataFrame, quotes: DataFrame, key: str,
            .over(w).alias(c) for c in quote_cols],
     )
     return carried.filter(F.col("_is_quote") == 0).drop("_is_quote")
+
+
+def nearest_join(fact: DataFrame, quotes: DataFrame, key: str,
+                 fact_ts: str, quote_ts: str, quote_id: str,
+                 tolerance: int | None = None) -> DataFrame:
+    """Nearest-timestamp join — pandas ``merge_asof`` with
+    ``direction='nearest'`` (+ optional ``tolerance``), the
+    bidirectional sibling of :func:`asof_join`.
+
+    Each fact row matches the quote with the smallest
+    ``|quote_ts - fact_ts|`` (same units both sides); when no quote is
+    within ``tolerance`` the match columns are null (LEFT semantics —
+    the J8 coverage policy). Ties are total-ordered so the result is
+    deterministic under any partitioning: equal distance prefers the
+    at-or-before quote; equal-timestamp quotes resolve to the max
+    ``quote_id`` backward and the min ``quote_id`` forward.
+
+    Scale shape: ONE union relation, two ordered window scans per key
+    (backward + forward carry of the last quote seen) and a per-row
+    CASE — one shuffle on ``key``, per-key window state of one struct,
+    no range join and no per-row probe at any scale.
+
+    Returns the fact columns + ``nearest_id`` / ``nearest_ts``.
+    """
+    from pyspark.sql import Window
+
+    fact_cols = list(fact.columns)
+    fact_types = dict(fact.dtypes)
+    qid_type = dict(quotes.dtypes)[quote_id]
+    qts_type = dict(quotes.dtypes)[quote_ts]
+
+    f_side = (fact
+              .withColumn("_ts", F.col(fact_ts))
+              .withColumn("_is_quote", F.lit(0))
+              .withColumn("_qid", F.lit(None).cast(qid_type)))
+    q_side = quotes.select(
+        F.col(key), F.col(quote_ts).cast(qts_type).alias("_ts"),
+        F.lit(1).alias("_is_quote"), F.col(quote_id).alias("_qid"))
+    for c in fact_cols:
+        if c not in q_side.columns:
+            q_side = q_side.withColumn(c, F.lit(None).cast(fact_types[c]))
+    cols = [*fact_cols, "_ts", "_is_quote", "_qid"]
+    merged = f_side.select(*cols).unionByName(q_side.select(*cols))
+
+    qstruct = F.when(F.col("_is_quote") == 1,
+                     F.struct(F.col("_ts").alias("q_ts"),
+                              F.col("_qid").alias("q_id")))
+    # equal-_ts rows: quotes first (_is_quote desc) so a same-instant
+    # quote is visible to the fact in BOTH scans; _qid direction picks
+    # the max id backward / min id forward as the "last seen"
+    wback = (Window.partitionBy(key)
+             .orderBy(F.col("_ts").asc(), F.col("_is_quote").desc(),
+                      F.col("_qid").asc())
+             .rowsBetween(Window.unboundedPreceding, 0))
+    wfwd = (Window.partitionBy(key)
+            .orderBy(F.col("_ts").desc(), F.col("_is_quote").desc(),
+                     F.col("_qid").desc())
+            .rowsBetween(Window.unboundedPreceding, 0))
+    scanned = (merged
+               .withColumn("_b", F.last(qstruct, ignorenulls=True).over(wback))
+               .withColumn("_f", F.last(qstruct, ignorenulls=True).over(wfwd))
+               .filter(F.col("_is_quote") == 0))
+
+    b_ts, f_ts = F.col("_b.q_ts"), F.col("_f.q_ts")
+    take_back = F.col("_b").isNotNull() & (
+        F.col("_f").isNull()
+        | (F.col("_ts") - b_ts <= f_ts - F.col("_ts")))
+    chosen = scanned.select(
+        *fact_cols,
+        F.when(take_back, F.col("_b.q_id")).otherwise(F.col("_f.q_id"))
+        .alias("nearest_id"),
+        F.when(take_back, b_ts).otherwise(f_ts).alias("nearest_ts"))
+    if tolerance is not None:
+        in_tol = (F.col("nearest_id").isNotNull()
+                  & (F.abs(F.col("nearest_ts") - F.col(fact_ts))
+                     <= tolerance))
+        chosen = chosen.select(
+            *fact_cols,
+            F.when(in_tol, F.col("nearest_id")).alias("nearest_id"),
+            F.when(in_tol, F.col("nearest_ts")).alias("nearest_ts"))
+    return chosen

@@ -134,3 +134,30 @@ def scd2_collapse(df: DataFrame, entity: str, attr: str, ts: str,
             .withColumn("valid_to", F.lead("valid_from").over(w2))
             .withColumn("is_current", F.col("valid_to").isNull())
             .select(entity, attr, "valid_from", "valid_to", "is_current"))
+
+
+def merge_intervals(df: DataFrame, key: str, start: str,
+                    end: str) -> DataFrame:
+    """Merge overlapping-or-touching ``[start, end]`` intervals per
+    key — the gaps-and-islands union (coverage, session stitching,
+    blackout windows).
+
+    An interval starts a new island iff its start exceeds the running
+    max of every PRIOR interval's end (exclusive-preceding frame);
+    the island id is the running count of such starts. Per-key window
+    state is one running max + one counter, so the cost is one key
+    shuffle + an ordered scan regardless of per-key row counts.
+
+    Returns one row per merged interval: (key, island, start, end).
+    """
+    wprev = (Window.partitionBy(key).orderBy(start, end)
+             .rowsBetween(Window.unboundedPreceding, -1))
+    wcum = (Window.partitionBy(key).orderBy(start, end)
+            .rowsBetween(Window.unboundedPreceding, 0))
+    return (df
+            .withColumn("_new",
+                        F.when(F.max(end).over(wprev) >= F.col(start), 0)
+                        .otherwise(1))
+            .withColumn("island", F.sum("_new").over(wcum).cast("long"))
+            .groupBy(key, "island")
+            .agg(F.min(start).alias(start), F.max(end).alias(end)))

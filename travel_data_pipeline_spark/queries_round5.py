@@ -493,42 +493,21 @@ WHERE err_event_id IS NOT NULL
   AND abs(err_us - p_us) <= {_NEAREST_TOL_US}
 """)
 def nearest_error_event(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from travel_data_pipeline_spark.operators.joins import nearest_join
+
     ev = load_table(spark, sf_dir, "events").select(
         "event_id", "user_id", "event_type",
         F.unix_micros("ts").alias("tus"))
-    pe = ev.filter(F.col("event_type").isin("purchase", "error"))
-
-    err = F.when(F.col("event_type") == "error",
-                 F.struct(F.col("tus").alias("e_us"),
-                          F.col("event_id").alias("e_id")))
-    wback = (Window.partitionBy("user_id")
-             .orderBy(F.col("tus").asc(), F.col("event_type").asc(),
-                      F.col("event_id").asc())
-             .rowsBetween(Window.unboundedPreceding, 0))
-    wfwd = (Window.partitionBy("user_id")
-            .orderBy(F.col("tus").desc(), F.col("event_type").asc(),
-                     F.col("event_id").desc())
-            .rowsBetween(Window.unboundedPreceding, 0))
-    scanned = (pe
-               .withColumn("b", F.last(err, ignorenulls=True).over(wback))
-               .withColumn("f", F.last(err, ignorenulls=True).over(wfwd))
-               .filter(F.col("event_type") == "purchase"))
-
-    b_us, f_us = F.col("b.e_us"), F.col("f.e_us")
-    take_back = F.col("b").isNotNull() & (
-        F.col("f").isNull()
-        | (F.col("tus") - b_us <= f_us - F.col("tus")))
-    chosen = scanned.select(
-        "event_id", "user_id", F.col("tus").alias("p_us"),
-        F.when(take_back, F.col("b.e_id")).otherwise(F.col("f.e_id"))
-        .alias("err_event_id"),
-        F.when(take_back, b_us).otherwise(f_us).alias("err_us"))
-    return (chosen
-            .filter(F.col("err_event_id").isNotNull()
-                    & (F.abs(F.col("err_us") - F.col("p_us"))
-                       <= _NEAREST_TOL_US))
-            .select("event_id", "user_id", "err_event_id",
-                    ((F.col("err_us") - F.col("p_us")).cast("double")
+    purchases = (ev.filter(F.col("event_type") == "purchase")
+                 .select("event_id", "user_id", "tus"))
+    errs = (ev.filter(F.col("event_type") == "error")
+            .select("event_id", "user_id", "tus"))
+    matched = nearest_join(purchases, errs, "user_id", "tus", "tus",
+                           "event_id", tolerance=_NEAREST_TOL_US)
+    return (matched.filter(F.col("nearest_id").isNotNull())
+            .select("event_id", "user_id",
+                    F.col("nearest_id").alias("err_event_id"),
+                    ((F.col("nearest_ts") - F.col("tus")).cast("double")
                      / 1000000.0).alias("diff_sec")))
 
 
@@ -573,22 +552,16 @@ SELECT user_id, CAST(count(*) AS BIGINT) AS n_intervals,
 FROM merged GROUP BY user_id
 """)
 def interval_union_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from travel_data_pipeline_spark.operators.windows import (
+        merge_intervals,
+    )
+
     ev = load_table(spark, sf_dir, "events")
     iv = ev.select("user_id",
                    (F.unix_micros("ts") - _PAD_US).alias("s"),
                    (F.unix_micros("ts") + _PAD_US).alias("e"))
-    wprev = (Window.partitionBy("user_id").orderBy("s", "e")
-             .rowsBetween(Window.unboundedPreceding, -1))
-    flagged = iv.withColumn(
-        "new_island",
-        F.when(F.max("e").over(wprev) >= F.col("s"), 0).otherwise(1))
-    wcum = (Window.partitionBy("user_id").orderBy("s", "e")
-            .rowsBetween(Window.unboundedPreceding, 0))
-    islands = flagged.withColumn(
-        "island", F.sum("new_island").over(wcum).cast("long"))
-    merged = (islands.groupBy("user_id", "island")
-              .agg(F.min("s").alias("ms"), F.max("e").alias("me")))
+    merged = merge_intervals(iv, "user_id", "s", "e")
     return (merged.groupBy("user_id")
             .agg(F.count("*").cast("long").alias("n_intervals"),
-                 (F.sum(F.col("me") - F.col("ms")).cast("double")
+                 (F.sum(F.col("e") - F.col("s")).cast("double")
                   / 1000000.0).alias("covered_sec")))

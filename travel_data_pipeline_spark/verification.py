@@ -257,6 +257,13 @@ PRIORITY_HEAD: tuple[str, ...] = (
     "pca_embeddings_by_label",
     "quality_classifier_logistic",
     "copurchase_pagerank",
+    # Round-6 re-proof seats (changed code in r5, green in r01-r04,
+    # no slot left this round; each sweep-validated at sf0.01 AND
+    # sf0.1 locally): simhash_near_pairs (filter-before-distinct),
+    # dedup_minhash_jaccard + containment_pairs (shared persisted
+    # shingles), dedup_incremental_lsh (persist reverted, back to the
+    # r04 shape). Every OTHER query whose code changed this round is
+    # already in this head and gets driver-certified with the new code.
     # --- round-5 additions (queries_round5.py) ---
     "lsh_scurve_audit",
     "mixture_rebalance_plan",
