@@ -688,3 +688,94 @@ def test_stateful_monotone_contract_drops_late_days(spark, tmp_path):
         assert got_h[day][0] == cnt
         assert abs(got_h[day][1] - lv) < 1e-9
         assert abs(got_h[day][2] - tr) < 1e-9
+
+
+def test_incremental_lsh_stream_matches_batch_anchor(spark, sf_smoke,
+                                                     tmp_path):
+    """incremental_lsh_stream (pure-probe mode) over the incoming docs
+    split across TWO micro-batches must emit exactly the pairs the
+    batch query (dedup_incremental_lsh) computes in one shot — same
+    banding, same exact-Jaccard verify."""
+    import os
+
+    from travel_data_pipeline_spark.queries_northstar import (
+        INC_BOUNDARY,
+        PLANT_OFFSET,
+        dedup_incremental_lsh,
+    )
+
+    d = load_table(spark, sf_smoke, "documents").select("doc_id", "text")
+    planted = (d.filter(F.col("doc_id") < 3)
+               .select((F.col("doc_id") + PLANT_OFFSET).alias("doc_id"),
+                       "text"))
+    existing = d.filter(F.col("doc_id") < INC_BOUNDARY)
+    incoming = (d.filter(F.col("doc_id") >= INC_BOUNDARY)
+                .unionByName(planted))
+
+    docs_p = str(tmp_path / "corpus_docs")
+    bands_p = str(tmp_path / "corpus_bands")
+    jobs.seed_incremental_corpus(existing, docs_p, bands_p)
+
+    feed = tmp_path / "inc_feed"
+    feed.mkdir()
+    half = incoming.filter(F.col("doc_id") % 2 == 0)
+    other = incoming.filter(F.col("doc_id") % 2 == 1)
+    for i, part in enumerate([half, other]):
+        p = str(feed / f"b{i}.parquet")
+        part.toPandas().to_parquet(p)
+        os.utime(p, (1700000000 + i * 60, 1700000000 + i * 60))
+
+    stream = (spark.readStream.schema("doc_id long, text string")
+              .option("maxFilesPerTrigger", 1).parquet(str(feed)))
+    pairs_out = str(tmp_path / "pairs_out")
+    q = jobs.incremental_lsh_stream(
+        stream, docs_p, bands_p, pairs_out,
+        str(tmp_path / "ckpt"), grow_corpus=False)
+    q.awaitTermination(180)
+
+    got = {(r.doc_a, r.doc_b): r.jaccard
+           for r in spark.read.parquet(pairs_out).collect()}
+    want = {(r.doc_a, r.doc_b): r.jaccard
+            for r in dedup_incremental_lsh(spark, sf_smoke).collect()}
+    assert got == want and want  # non-trivial: planted copies match
+
+
+def test_incremental_lsh_stream_grows_corpus(spark, sf_smoke, tmp_path):
+    """With grow_corpus on, a batch-2 duplicate of a batch-1 arrival is
+    caught — the corpus band table really accretes between batches."""
+    import os
+
+    d = load_table(spark, sf_smoke, "documents").select("doc_id", "text")
+    seed = d.filter(F.col("doc_id") < 10)
+    docs_p = str(tmp_path / "gdocs")
+    bands_p = str(tmp_path / "gbands")
+    jobs.seed_incremental_corpus(seed, docs_p, bands_p)
+
+    # batch 1: one brand-new doc (id 900k, text of doc 50 — matches
+    # nothing in the 10-doc corpus); batch 2: its exact copy (id 901k)
+    src = {r["doc_id"]: r["text"] for r in
+           d.filter(F.col("doc_id") == 50).collect()}
+    feed = tmp_path / "gfeed"
+    feed.mkdir()
+    import pandas as pd
+
+    for i, doc_id in enumerate([900_000, 901_000]):
+        p = str(feed / f"b{i}.parquet")
+        pd.DataFrame({"doc_id": [doc_id],
+                      "text": [src[50]]}).to_parquet(p)
+        os.utime(p, (1700000000 + i * 60, 1700000000 + i * 60))
+
+    stream = (spark.readStream.schema("doc_id long, text string")
+              .option("maxFilesPerTrigger", 1).parquet(str(feed)))
+    pairs_out = str(tmp_path / "gpairs")
+    q = jobs.incremental_lsh_stream(
+        stream, docs_p, bands_p, pairs_out,
+        str(tmp_path / "gckpt"), grow_corpus=True)
+    q.awaitTermination(180)
+
+    got = {(r.doc_a, r.doc_b): r.jaccard
+           for r in spark.read.parquet(pairs_out).collect()}
+    assert got.get((900_000, 901_000)) == 1.0  # cross-batch catch
+    # and the corpus tables accreted both arrivals
+    n_docs = spark.read.parquet(docs_p).count()
+    assert n_docs == 10 + 2

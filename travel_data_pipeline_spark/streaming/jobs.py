@@ -631,3 +631,75 @@ def enrich_stream_static(events: DataFrame, dim: DataFrame,
     from pyspark.sql import functions as F
 
     return events.join(F.broadcast(dim), on=key, how="left")
+
+
+def seed_incremental_corpus(docs: DataFrame, docs_path: str,
+                            bands_path: str, num_hashes: int = 8,
+                            bands: int = 4) -> None:
+    """Land the existing corpus for incremental_lsh_stream: the raw
+    (doc_id, text) relation plus its precomputed LSH band table, so the
+    per-batch probe never re-signatures the corpus."""
+    from travel_data_pipeline_spark.operators import dedup
+
+    docs.select("doc_id", "text").write.mode("overwrite").parquet(docs_path)
+    sigs = dedup.minhash_signatures(docs, num_hashes=num_hashes)
+    (dedup.band_explode(sigs, num_hashes=num_hashes, bands=bands)
+     .write.mode("overwrite").parquet(bands_path))
+
+
+def incremental_lsh_stream(incoming: DataFrame, docs_path: str,
+                           bands_path: str, pairs_out: str,
+                           checkpoint: str, num_hashes: int = 8,
+                           bands: int = 4, threshold: float = 0.5,
+                           grow_corpus: bool = True) -> StreamingQuery:
+    """Streaming near-duplicate detection — the streaming twin of
+    queries_northstar.dedup_incremental_lsh: every micro-batch of
+    incoming documents is MinHash-banded and equi-joined against the
+    PERSISTED corpus band table, candidates are exact-Jaccard verified
+    (shingles built only for candidate docs), and verified
+    (corpus doc_a, incoming doc_b, jaccard) pairs append to
+    ``pairs_out``.
+
+    With ``grow_corpus`` the batch's docs and bands append to the
+    corpus tables, so later batches also dedup against earlier
+    arrivals — at-least-once redelivery re-emits the same pairs
+    (idempotent downstream consumers dedup on the pair key, the
+    foreach_batch_upsert pattern). With it off, the job is a pure
+    probe whose emitted pairs are bit-equal to the batch query on any
+    batch split — asserted in tests/test_streaming.py.
+
+    Scale shape: the corpus side stays landed (never re-signatured);
+    the per-batch work is one signature pass over the BATCH, a
+    broadcast of the batch's bands into the corpus band scan, and a
+    semi-joined verify — state is a parquet table, not executor
+    memory, so an unbounded corpus cannot OOM the stream."""
+    from travel_data_pipeline_spark.operators import dedup
+
+    def fold(batch_df: DataFrame, epoch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        spark = batch_df.sparkSession
+        batch_docs = batch_df.select("doc_id", "text")
+        corpus_docs = spark.read.parquet(docs_path)
+        corpus_bands = spark.read.parquet(bands_path)
+        inc_sigs = dedup.minhash_signatures(batch_docs,
+                                            num_hashes=num_hashes)
+        inc_bands = dedup.band_explode(inc_sigs, num_hashes=num_hashes,
+                                       bands=bands)
+        pairs = (corpus_bands.withColumnRenamed("doc_id", "doc_a")
+                 .join(F.broadcast(
+                     inc_bands.withColumnRenamed("doc_id", "doc_b")),
+                     ["band_idx", "band_key"])
+                 .select("doc_a", "doc_b").distinct()
+                 .localCheckpoint(eager=True))
+        docs_all = corpus_docs.unionByName(batch_docs)
+        verified = dedup.jaccard_pairs(docs_all, pairs,
+                                       threshold=threshold)
+        verified.write.mode("append").parquet(pairs_out)
+        if grow_corpus:
+            batch_docs.write.mode("append").parquet(docs_path)
+            inc_bands.write.mode("append").parquet(bands_path)
+
+    return (incoming.writeStream.foreachBatch(fold)
+            .option("checkpointLocation", checkpoint)
+            .trigger(availableNow=True).start())
