@@ -267,3 +267,50 @@ def test_multimodal_feature_extract_shape(spark, sf_dir):
     assert len(rows) == n_docs * 8
     assert all(0.0 <= r["value"] < 1.0 for r in rows)
     assert {r["dim_idx"] for r in rows} == set(range(8))
+
+
+def test_corr_and_slope_guards_degenerate_in_both_engines(spark):
+    """ADVICE-r04 discipline extended (r5): the corr-matrix, OLS-slope
+    and CUSUM-z spellings must branch identically in both engines on
+    zero-variance input — NULL for corr/slope, 0.0 for the CUSUM z
+    (keeps the recurrence total)."""
+    import duckdb
+    import pandas as pd
+
+    from travel_data_pipeline_spark import queries_stats
+    from travel_data_pipeline_spark.queries_stats import _corr_expr
+    from travel_data_pipeline_spark.queries_timeseries import _CUSUM_Z
+
+    con = duckdb.connect()
+
+    # constant x -> zero x-variance: corr NULL in both engines
+    moments = pd.DataFrame({"n": [4.0], "sa": [8.0], "sb": [10.0],
+                            "saa": [16.0], "sbb": [30.0], "sab": [20.0]})
+    sp = (spark.createDataFrame(moments)
+          .select(_corr_expr(F.col("n"), F.col("sa"), F.col("sb"),
+                             F.col("saa"), F.col("sbb"), F.col("sab"))
+                  .alias("r")).collect()[0]["r"])
+    assert sp is None
+    con.register("m", moments.rename(columns={
+        "sa": "sq", "sb": "sp", "saa": "sqq", "sbb": "spp",
+        "sab": "sqp"}))
+    du = con.execute(
+        "SELECT " + queries_stats._CORR_SQL_PAIR.format(a="q", b="p")
+        + " FROM m").fetchone()[0]
+    assert du is None
+
+    # constant daily series -> CUSUM z must be 0.0 in both engines
+    cz = pd.DataFrame({"cnt": [7], "n": [5], "s": [35], "ss": [245]})
+    sp_z = (spark.createDataFrame(cz)
+            .select(F.expr(_CUSUM_Z).alias("z")).collect()[0]["z"])
+    assert sp_z == 0.0
+    con.register("cz", cz)
+    assert con.execute(f"SELECT {_CUSUM_Z} AS z FROM cz").fetchone()[0] \
+        == 0.0
+    # and a varying series still scores through the same spelling
+    cz2 = pd.DataFrame({"cnt": [9], "n": [3], "s": [12], "ss": [66]})
+    sp_z2 = (spark.createDataFrame(cz2)
+             .select(F.expr(_CUSUM_Z).alias("z")).collect()[0]["z"])
+    con.register("cz2", cz2)
+    du_z2 = con.execute(f"SELECT {_CUSUM_Z} AS z FROM cz2").fetchone()[0]
+    assert sp_z2 == du_z2 and sp_z2 != 0.0

@@ -786,12 +786,15 @@ folded AS (
     FROM ranked
 )
 SELECT CAST(n AS BIGINT) AS n_terms,
-       {round_sql('(CAST(n AS DOUBLE) * sxy - sx * sy)'
-                  ' / (CAST(n AS DOUBLE) * sxx - sx * sx)')} + 0.0
-         AS zipf_slope,
-       {round_sql('(sy - ((CAST(n AS DOUBLE) * sxy - sx * sy)'
-                  ' / (CAST(n AS DOUBLE) * sxx - sx * sx)) * sx)'
-                  ' / CAST(n AS DOUBLE)')} + 0.0 AS intercept
+       CASE WHEN CAST(n AS DOUBLE) * sxx - sx * sx <= 0.0 THEN NULL
+            ELSE {round_sql('(CAST(n AS DOUBLE) * sxy - sx * sy)'
+                            ' / (CAST(n AS DOUBLE) * sxx - sx * sx)')} + 0.0
+       END AS zipf_slope,
+       CASE WHEN CAST(n AS DOUBLE) * sxx - sx * sx <= 0.0 THEN NULL
+            ELSE {round_sql('(sy - ((CAST(n AS DOUBLE) * sxy - sx * sy)'
+                            ' / (CAST(n AS DOUBLE) * sxx - sx * sx)) * sx)'
+                            ' / CAST(n AS DOUBLE)')} + 0.0
+       END AS intercept
 FROM folded
 """)
 def zipf_slope_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -824,13 +827,18 @@ def zipf_slope_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
         fold(F.col("lx") * F.col("lx")).alias("sxx"),
         fold(F.col("lx") * F.col("ly")).alias("sxy"))
     n = F.col("n").cast("double")
+    # degenerate guard (ADVICE-r04 discipline): a single-term
+    # vocabulary has zero ln(rank) variance -> NULL in both engines
+    degen = n * F.col("sxx") - F.col("sx") * F.col("sx") <= 0.0
     slope = ((n * F.col("sxy") - F.col("sx") * F.col("sy"))
              / (n * F.col("sxx") - F.col("sx") * F.col("sx")))
     intercept = (F.col("sy") - slope * F.col("sx")) / n
     return folded.select(
         F.col("n").alias("n_terms"),
-        (F.round(slope, 6) + 0.0).alias("zipf_slope"),
-        (F.round(intercept, 6) + 0.0).alias("intercept"))
+        F.when(degen, F.lit(None).cast("double"))
+        .otherwise(F.round(slope, 6) + 0.0).alias("zipf_slope"),
+        F.when(degen, F.lit(None).cast("double"))
+        .otherwise(F.round(intercept, 6) + 0.0).alias("intercept"))
 
 
 # ---------------------------------------------------------------------------

@@ -25,11 +25,17 @@ _DEC = "decimal(18,4)"
 def _corr_expr(n: Column, sx: Column, sy: Column, sxx: Column,
                syy: Column, sxy: Column) -> Column:
     """Pearson r from exact sums, computed in double at the very end.
-    Parenthesization matches the oracle spelling token-for-token."""
+    Parenthesization matches the oracle spelling token-for-token.
+    Zero-variance inputs yield NULL in BOTH engines (the ADVICE-r04
+    degenerate-guard discipline: Spark's non-ANSI x/0 is NULL, DuckDB's
+    is IEEE inf/NaN, so the branch must be explicit and shared)."""
     n, sx, sy = n.cast("double"), sx.cast("double"), sy.cast("double")
     sxx, syy, sxy = sxx.cast("double"), syy.cast("double"), sxy.cast("double")
-    return ((n * sxy - sx * sy)
-            / (F.sqrt(n * sxx - sx * sx) * F.sqrt(n * syy - sy * sy)))
+    return F.when((n * sxx - sx * sx <= 0.0) | (n * syy - sy * sy <= 0.0),
+                  F.lit(None).cast("double")
+                  ).otherwise(
+        (n * sxy - sx * sy)
+        / (F.sqrt(n * sxx - sx * sx) * F.sqrt(n * syy - sy * sy)))
 
 
 # ---------------------------------------------------------------------------
@@ -37,9 +43,11 @@ def _corr_expr(n: Column, sx: Column, sy: Column, sxx: Column,
 # ---------------------------------------------------------------------------
 
 _CORR_SQL_PAIR = """
-       round((n * s{a}{b} - s{a} * s{b})
-             / (sqrt(n * s{a}{a} - s{a} * s{a})
-                * sqrt(n * s{b}{b} - s{b} * s{b})), 6) + 0.0"""
+       round(CASE WHEN n * s{a}{a} - s{a} * s{a} <= 0.0
+                    OR n * s{b}{b} - s{b} * s{b} <= 0.0 THEN NULL
+             ELSE (n * s{a}{b} - s{a} * s{b})
+                  / (sqrt(n * s{a}{a} - s{a} * s{a})
+                     * sqrt(n * s{b}{b} - s{b} * s{b})) END, 6) + 0.0"""
 
 
 @register("corr_matrix_lineitem", f"""
@@ -135,9 +143,12 @@ sums AS (
     FROM fact GROUP BY n_name
 )
 SELECT n_name, CAST(n_orders AS BIGINT) AS n_orders,
-       round((n * sxy - sx * sy) / (n * sxx - sx * sx), 6) + 0.0 AS slope,
-       round((sy - ((n * sxy - sx * sy) / (n * sxx - sx * sx)) * sx) / n, 6)
-           + 0.0 AS intercept
+       round(CASE WHEN n * sxx - sx * sx <= 0.0 THEN NULL
+             ELSE (n * sxy - sx * sy) / (n * sxx - sx * sx) END, 6) + 0.0
+         AS slope,
+       round(CASE WHEN n * sxx - sx * sx <= 0.0 THEN NULL
+             ELSE (sy - ((n * sxy - sx * sy) / (n * sxx - sx * sx)) * sx)
+                  / n END, 6) + 0.0 AS intercept
 FROM sums
 """)
 def trend_slope_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -164,7 +175,12 @@ def trend_slope_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
     nd = F.col("n_orders").cast("double")
     sx, sy = F.col("sx_i").cast("double"), F.col("sy_d").cast("double")
     sxx, sxy = F.col("sxx_i").cast("double"), F.col("sxy_d").cast("double")
-    slope = (nd * sxy - sx * sy) / (nd * sxx - sx * sx)
+    # degenerate guard (ADVICE-r04 discipline): a nation whose orders
+    # all share one day has zero x-variance -> NULL, not engine-
+    # dependent inf/NaN; the intercept inherits NULL by propagation
+    slope = F.when(nd * sxx - sx * sx <= 0.0,
+                   F.lit(None).cast("double")
+                   ).otherwise((nd * sxy - sx * sy) / (nd * sxx - sx * sx))
     return sums.select(
         "n_name", "n_orders",
         (F.round(slope, 6) + F.lit(0.0)).alias("slope"),

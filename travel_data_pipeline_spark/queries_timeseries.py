@@ -451,10 +451,19 @@ def daily_new_returning_users(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 _CUSUM_K, _CUSUM_H = 0.5, 4.0
-_CUSUM_Z = ("(CAST(cnt AS DOUBLE) - CAST(s AS DOUBLE) / CAST(n AS DOUBLE))"
-            " / sqrt((CAST(ss AS DOUBLE)"
-            " - (CAST(s AS DOUBLE) * CAST(s AS DOUBLE)) / CAST(n AS DOUBLE))"
-            " / (CAST(n AS DOUBLE) - 1.0))")
+# Degenerate guard (ADVICE-r04 discipline): a constant daily series
+# has zero variance; z := 0.0 keeps the CUSUM recurrence total (the
+# statistic stays 0, no alarms) and IDENTICAL in both engines, instead
+# of Spark NULL vs DuckDB IEEE inf diverging through the fold. The
+# spelling is shared by the oracle and F.expr below.
+_CUSUM_VAR = ("(CAST(ss AS DOUBLE)"
+              " - (CAST(s AS DOUBLE) * CAST(s AS DOUBLE))"
+              " / CAST(n AS DOUBLE))")
+_CUSUM_Z = (f"CASE WHEN CAST(n AS DOUBLE) <= 1.0"
+            f" OR {_CUSUM_VAR} <= 0.0 THEN 0.0"
+            f" ELSE (CAST(cnt AS DOUBLE)"
+            f" - CAST(s AS DOUBLE) / CAST(n AS DOUBLE))"
+            f" / sqrt({_CUSUM_VAR} / (CAST(n AS DOUBLE) - 1.0)) END")
 
 
 @register("cusum_changepoint_daily", f"""

@@ -262,8 +262,10 @@ PRIORITY_HEAD: tuple[str, ...] = (
     # sf0.1 locally): simhash_near_pairs (filter-before-distinct),
     # dedup_minhash_jaccard + containment_pairs (shared persisted
     # shingles), dedup_incremental_lsh (persist reverted, back to the
-    # r04 shape). Every OTHER query whose code changed this round is
-    # already in this head and gets driver-certified with the new code.
+    # r04 shape), corr_matrix_lineitem + trend_slope_by_nation
+    # (degenerate-variance guards). Every OTHER query whose code
+    # changed this round is already in this head and gets
+    # driver-certified with the new code.
     # --- round-5 additions (queries_round5.py) ---
     "lsh_scurve_audit",
     "mixture_rebalance_plan",
