@@ -200,18 +200,27 @@ GREEN: frozenset[str] = frozenset({
     "zorder_interleaved_key",
 })
 
-# Exact head order for round 5's 50-query driver sample:
-#   [0..31]  the 32 never-driver-verified round-4 additions
-#            -> closes driver certification to 204/204: every
-#            registered query will have a green row in some
-#            CORRECTNESS_r*.json.
-#   [32..33] re-proof seats for the two r04-green queries whose shared
-#            z-score SQL changed this round (zero-variance guard,
-#            ADVICE r04 #1).
-#   [34..39] the 6 overflowed round-4 re-proof seats (changed code in
-#            r04, sweep-validated locally, never re-driver-proved):
-#            CC rewrite + its dependents and the ML re-spellings.
-#   [40..49] round-5 additions (new queries registered this round).
+# Exact head order for round 5's 50-query driver sample — exactly the
+# 50 never-driver-verified names (the round-4 saturation exception
+# applies again: never-green names fill every slot, so changed-code
+# re-proofs overflow to the round-6 head):
+#   [0..31]  the 32 never-driver-verified round-4 additions.
+#   [32..41] the 10 round-5 platform-layer queries (queries_round5).
+#   [42..49] the 8 round-6 candidates (queries_round6).
+# -> closes driver certification to 222/222: every registered query
+#    will have a green row in some CORRECTNESS_r*.json.
+#
+# ROUND-6 RE-PROOF SEATS (changed code in r5, green in r01-r04, no
+# slot left this round; each sweep-validated at sf0.01 AND sf0.1
+# locally — place these at the round-6 head after rotation):
+#   anomaly_event_rate, anomaly_prequential (zero-variance z guard),
+#   dedup_cluster_components, market_basket_lift, semantic_dedup,
+#   pca_embeddings_by_label, quality_classifier_logistic,
+#   copurchase_pagerank (r04 overflow, still never re-driver-proved),
+#   simhash_near_pairs (filter-before-distinct),
+#   dedup_minhash_jaccard + containment_pairs (shared persisted
+#   shingles), dedup_incremental_lsh (persist reverted),
+#   corr_matrix_lineitem + trend_slope_by_nation (variance guards).
 # Names absent from the registry are skipped harmlessly.
 PRIORITY_HEAD: tuple[str, ...] = (
     # --- never-verified backlog (32) ---
@@ -247,25 +256,6 @@ PRIORITY_HEAD: tuple[str, ...] = (
     "daily_new_returning_users",
     "cusum_changepoint_daily",
     "theil_sen_daily_trend",
-    # --- re-proofs: z-score guard changed this round (r05) ---
-    "anomaly_event_rate",
-    "anomaly_prequential",
-    # --- re-proofs: overflowed from round 4 (changed code in r04) ---
-    "dedup_cluster_components",
-    "market_basket_lift",
-    "semantic_dedup",
-    "pca_embeddings_by_label",
-    "quality_classifier_logistic",
-    "copurchase_pagerank",
-    # Round-6 re-proof seats (changed code in r5, green in r01-r04,
-    # no slot left this round; each sweep-validated at sf0.01 AND
-    # sf0.1 locally): simhash_near_pairs (filter-before-distinct),
-    # dedup_minhash_jaccard + containment_pairs (shared persisted
-    # shingles), dedup_incremental_lsh (persist reverted, back to the
-    # r04 shape), corr_matrix_lineitem + trend_slope_by_nation
-    # (degenerate-variance guards). Every OTHER query whose code
-    # changed this round is already in this head and gets
-    # driver-certified with the new code.
     # --- round-5 additions (queries_round5.py) ---
     "lsh_scurve_audit",
     "mixture_rebalance_plan",
@@ -277,6 +267,15 @@ PRIORITY_HEAD: tuple[str, ...] = (
     "source_lang_entropy",
     "nearest_error_event",
     "interval_union_coverage",
+    # --- round-6 candidates (queries_round6.py, written in r5) ---
+    "copurchase_bfs_hops",
+    "abc_pareto_classes",
+    "session_top_paths",
+    "dau_wau_mau",
+    "text_readability_scores",
+    "funnel_windowed_stages",
+    "source_term_log_odds",
+    "user_lifecycle_states",
 )
 
 
