@@ -16,13 +16,13 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from travel_data_pipeline_spark.functions.parity import round_sql
-from travel_data_pipeline_spark.queries_affinity import (
-    _PAIRS_SQL,
-    _order_items,
-    _pair_counts,
-)
 from travel_data_pipeline_spark.registry import register
 from travel_data_pipeline_spark.sources.readers import load_table
+
+# NOTE: queries_affinity is imported lazily (inside the BFS oracle
+# lambda and query body) — an eager module-level import would be
+# circular whenever queries_affinity itself is the entry module
+# (affinity -> registry -> round6 -> partially-initialized affinity).
 
 # ---------------------------------------------------------------------------
 # BFS hop distance over the co-purchase graph: the classic bounded
@@ -35,7 +35,12 @@ from travel_data_pipeline_spark.sources.readers import load_table
 _BFS_HOPS = 3
 
 
-@register("copurchase_bfs_hops", f"""
+def _bfs_oracle() -> str:
+    from travel_data_pipeline_spark.queries_affinity import (
+        _PAIRS_SQL,
+    )
+
+    return f"""
 WITH RECURSIVE {_PAIRS_SQL},
 edges AS (
     SELECT part_a AS s, part_b AS d FROM pair_counts
@@ -55,7 +60,10 @@ walk(part, hop) AS (
 )
 SELECT part AS l_partkey, CAST(min(hop) AS INT) AS hop
 FROM walk GROUP BY part
-""")
+"""
+
+
+@register("copurchase_bfs_hops", _bfs_oracle)
 def copurchase_bfs_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Minimum hop count from the highest-degree part to every part
     within 3 hops of the support-filtered co-purchase graph.
@@ -64,6 +72,11 @@ def copurchase_bfs_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
     graph once"); each of the 3 unrolled steps is one frontier join +
     one min-hop aggregate keyed on the vertex — the shuffle count is
     the hop bound, independent of graph size."""
+    from travel_data_pipeline_spark.queries_affinity import (
+        _order_items,
+        _pair_counts,
+    )
+
     items = _order_items(spark, sf_dir)
     pairs = _pair_counts(items)
     edges = (pairs.select(F.col("part_a").alias("s"),
