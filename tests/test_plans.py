@@ -112,13 +112,25 @@ def test_join_hints_respected(spark, sf_smoke):
     assert "BroadcastHashJoin" in _plan(bcast)
 
 
-@pytest.mark.parametrize("name", ["dedup_minhash_lsh", "simhash_near_pairs"])
+@pytest.mark.parametrize("name", ["dedup_minhash_lsh"])
 def test_dedup_has_no_self_join(spark, sf_smoke, name):
-    """Pair generation is bucket-local: exactly one aggregate over the
-    banded rows, no join operator at all in the pair step."""
+    """MinHash pair generation is bucket-local: exactly one aggregate
+    over the banded rows, no join operator at all in the pair step."""
     plan = _plan(QUERIES[name](spark, sf_smoke))
     assert "Join" not in plan.split("== Physical Plan ==")[-1] or \
         "BroadcastHashJoin" not in plan.split("Generate explode")[0], plan
+
+
+def test_simhash_pair_join_reads_only_the_checkpoint(spark, sf_smoke):
+    """SimHash pair generation (r5 shape) is a self-join ON THE
+    CHECKPOINTED band relation: the join inputs must be ExistingRDD
+    scans and the plan must contain NO explode — i.e. the fingerprint
+    build ran once at checkpoint time and is never recomputed by the
+    pair step (the failure mode bucket_pairs existed to prevent)."""
+    plan = _plan(QUERIES["simhash_near_pairs"](spark, sf_smoke))
+    phys = plan.split("== Physical Plan ==")[-1]
+    assert phys.count("Scan ExistingRDD") >= 2, plan
+    assert "Generate explode" not in phys, plan
 
 
 @pytest.mark.parametrize("name", ["attribution_last_click",
