@@ -278,3 +278,128 @@ def test_ppjoin_routing_bound_and_fallback(spark):
     # identical texts share every band -> LSH recall is exact here
     assert len(hgot) == 40 * 39 // 2
     assert all(j == 1.0 for j in hgot.values())
+
+
+# ---------------------------------------------------------------------------
+# two_phase_ordered — must be bit-identical to the single-partition
+# global window it replaces (VERDICT r05: gini / abc_pareto / auc /
+# ppjoin-srk rework).
+# ---------------------------------------------------------------------------
+
+def _global_window_truth(df, order_cols, cumsum_src):
+    from pyspark.sql import Window
+    w = Window.orderBy(*order_cols)
+    ws = w.rowsBetween(Window.unboundedPreceding, 0)
+    return (df.withColumn("rk", F.row_number().over(w).cast("long"))
+            .withColumn("cum", F.sum(cumsum_src).over(ws)))
+
+
+def test_two_phase_ordered_matches_global_window(spark):
+    """Random-ish data with heavy ties on the numeric head: rank and
+    inclusive cumsum must equal the naive global window exactly."""
+    from travel_data_pipeline_spark.operators import windows as W
+
+    rows = [(i, (i * 37) % 11, float((i * 53) % 7)) for i in range(500)]
+    df = spark.createDataFrame(rows, "id long, grp int, v double")
+    order = [F.col("grp").asc(), F.col("id").asc()]
+    got = W.two_phase_ordered(
+        df, order, F.col("grp") + F.col("id") / 1e9,
+        rank_col="rk", cumsum_cols={"v": "cum"}, num_buckets=8)
+    truth = _global_window_truth(df, order, "v")
+    g = {r.id: (r.rk, r.cum) for r in got.collect()}
+    t = {r.id: (r.rk, r.cum) for r in truth.collect()}
+    assert g == t
+
+
+def test_two_phase_ordered_desc_and_prefix_code(spark):
+    """DESC head via negation + string tie-break via prefix_code —
+    the zipf/ppjoin shape (freq desc / (dfreq, term) asc)."""
+    from travel_data_pipeline_spark.operators import windows as W
+
+    terms = [(f"term{i:03d}", 1 if i % 3 else 5) for i in range(120)]
+    df = spark.createDataFrame(terms, "term string, freq long")
+    order = [F.col("freq").desc(), F.col("term").asc()]
+    got = W.two_phase_ordered(
+        df, order, -F.col("freq") + W.prefix_code(F.col("term"), 6),
+        rank_col="rk", num_buckets=6)
+    truth = _global_window_truth(df, order, "freq")
+    g = {r.term: r.rk for r in got.collect()}
+    t = {r.term: r.rk for r in truth.collect()}
+    assert g == t
+
+
+def test_two_phase_ordered_no_global_sort_in_plan(spark):
+    """The physical plan must contain no SinglePartition global sort
+    over the data relation — the whole point of the operator. The
+    only partitionless window is the <=num_buckets offsets pass."""
+    from travel_data_pipeline_spark.operators import windows as W
+
+    df = spark.range(1000).select(
+        F.col("id"), (F.col("id") % 13).alias("k"),
+        (F.col("id") % 7).cast("double").alias("v"))
+    got = W.two_phase_ordered(
+        df, [F.col("k").asc(), F.col("id").asc()],
+        F.col("k") + F.col("id") / 1e9,
+        rank_col="rk", cumsum_cols={"v": "cum"}, num_buckets=8)
+    plan = got._jdf.queryExecution().executedPlan().toString()
+    # exactly one SinglePartition exchange: the offsets relation
+    # (bounded by num_buckets), nothing over the main data path
+    assert plan.count("SinglePartition") <= 1
+
+
+def test_ppjoin_dfreq_bound_dominates_exact(spark):
+    """Routing rework (VERDICT r05 #3): the rank-free dfreq bound must
+    dominate the exact prefix bound on both routing fixtures, so the
+    new probe can only push corpora TOWARD the LSH scale path."""
+    from pyspark.sql import Window
+
+    from travel_data_pipeline_spark.operators import dedup
+
+    def exact_and_dfreq(docs, threshold=0.8, max_bucket=1000):
+        ss = dedup.shingle_sets(docs)
+        sdf = ss.groupBy("shingle").agg(F.count("*").alias("dfreq"))
+        srank = sdf.withColumn(
+            "srk", F.row_number().over(Window.orderBy("dfreq", "shingle")))
+        sets = (ss.join(srank.select("shingle", "srk"), "shingle")
+                .groupBy("doc_id")
+                .agg(F.sort_array(F.collect_list("srk")).alias("toks"),
+                     F.count("*").cast("long").alias("sz")))
+        plen = (F.col("sz") - F.ceil(F.lit(threshold) * F.col("sz")) + 1) \
+            .cast("int")
+        prefixes = sets.select(
+            "doc_id", F.explode(F.slice("toks", 1, plen)).alias("srk"))
+        return (dedup.ppjoin_candidate_bound(prefixes),
+                dedup.ppjoin_dfreq_bound(sdf, max_bucket))
+
+    benign = spark.createDataFrame(
+        [(i, f"alpha beta gamma delta epsilon zeta {i} "
+             f"eta theta iota kappa word{i} tail{i}") for i in range(20)],
+        "doc_id long, text string")
+    heavy = spark.createDataFrame(
+        [(i, "lorem ipsum dolor sit amet consectetur adipiscing "
+             "elit sed do eiusmod tempor") for i in range(40)],
+        "doc_id long, text string")
+    for docs in (benign, heavy):
+        exact, loose = exact_and_dfreq(docs)
+        assert loose >= exact, (exact, loose)
+
+
+def test_ppjoin_lsh_route_never_builds_the_rank(spark, monkeypatch):
+    """LSH-routed corpora must not pay ANY vocabulary ranking work
+    (VERDICT r05 #3). Poison two_phase_ordered: the LSH route must
+    succeed without touching it, and the PPJoin route must use it."""
+    from travel_data_pipeline_spark.operators import dedup
+    from travel_data_pipeline_spark.operators import windows as W
+
+    def boom(*a, **k):
+        raise AssertionError("vocabulary rank built on the LSH route")
+
+    monkeypatch.setattr(W, "two_phase_ordered", boom)
+    heavy = spark.createDataFrame(
+        [(i, "lorem ipsum dolor sit amet consectetur adipiscing "
+             "elit sed do eiusmod tempor") for i in range(40)],
+        "doc_id long, text string")
+    pairs, strategy = dedup.ppjoin_routed_pairs(
+        heavy, threshold=0.8, max_candidates=50)
+    assert strategy == "lsh"
+    assert pairs.count() == 40 * 39 // 2

@@ -48,6 +48,9 @@ def main() -> None:
         return sorted(map(tuple, p[cols].astype(str).values.tolist()))
 
     q, o = E.queries(), E.oracle_sql()
+    only = {n for n in os.environ.get("SPARK_GRAFT_ONLY", "").split(",") if n}
+    if only:
+        q = {n: q[n] for n in q if n in only}
     failed = []
     for i, name in enumerate(q):
         if name in SKIP_AT_SCALE:

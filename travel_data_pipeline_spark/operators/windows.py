@@ -161,3 +161,97 @@ def merge_intervals(df: DataFrame, key: str, start: str,
             .withColumn("island", F.sum("_new").over(wcum).cast("long"))
             .groupBy(key, "island")
             .agg(F.min(start).alias(start), F.max(end).alias(end)))
+
+
+# ---------------------------------------------------------------------------
+# Two-phase global ordering (rank / running sums) — the scale-safe
+# replacement for ``Window.orderBy(...)`` with no partitionBy, which
+# Spark executes as a SINGLE-partition sort: correct at sf0.1, a
+# one-reducer funnel at 100 TB. Generalizes the prefix-offset pattern
+# first used in queries_tpch.t2_task_messages.
+# ---------------------------------------------------------------------------
+
+def two_phase_ordered(df: DataFrame, order_cols: Sequence[Column | str],
+                      bucket_on: Column, *, rank_col: str | None = None,
+                      cumsum_cols: dict[str, str] | None = None,
+                      num_buckets: int = 64,
+                      rel_err: float = 0.001) -> DataFrame:
+    """Global ``row_number()`` and/or inclusive running ``sum()`` over
+    ``ORDER BY order_cols`` without a single-partition sort.
+
+    Phase 1 buckets rows by approximate quantiles of ``bucket_on``
+    (boundaries become literals, so both passes below assign buckets
+    identically — no reliance on exchange reuse or sampling seeds);
+    phase 2 ranks/accumulates WITHIN each bucket in parallel and adds
+    broadcast per-bucket offsets (count / sum of all lower buckets).
+    Bit-identical to the global window when:
+
+    * ``order_cols`` is a TOTAL order (include tie-break keys), and
+    * ``bucket_on`` is numeric, null-free, and non-decreasing along
+      that order — negate for DESC heads; for tie-heavy heads fold a
+      fractional tie-break term (see ``prefix_code`` /
+      dedup.ppjoin_routed_pairs) so quantiles can actually split.
+
+    Cost: one ``approxQuantile`` action (a planning probe, same
+    discipline as dedup.ppjoin_candidate_bound), two passes over
+    ``df`` (per-bucket stats + the windowed pass), and one broadcast
+    join. The offsets window runs over <= num_buckets rows — a
+    CONSTANT, never data-scaled; every data-scaled sort happens
+    inside buckets of ~1/num_buckets of the rows.
+
+    ``cumsum_cols`` maps source column -> output alias (inclusive
+    frame, ``ROWS UNBOUNDED PRECEDING``); exclusive variants are
+    ``alias - source`` at the call site.
+    """
+    cumsum_cols = dict(cumsum_cols or {})
+    probs = [i / num_buckets for i in range(1, num_buckets)]
+    probe = df.select(bucket_on.cast("double").alias("_tpk"))
+    bounds = sorted(set(probe.approxQuantile("_tpk", probs, rel_err)))
+    if bounds:
+        barr = F.array(*[F.lit(float(b)) for b in bounds])
+        key = bucket_on.cast("double")
+        bucket = F.size(F.filter(barr, lambda b: b < key)).cast("int")
+    else:  # empty input — one bucket, degenerate but correct
+        bucket = F.lit(0)
+    tagged = df.withColumn("_tpb", bucket)
+
+    aggs = [F.count("*").alias("_tpn")]
+    aggs += [F.sum(src).alias(f"_tps_{src}") for src in cumsum_cols]
+    stats = tagged.groupBy("_tpb").agg(*aggs)
+    w_off = Window.orderBy("_tpb").rowsBetween(Window.unboundedPreceding, -1)
+    off_sel = [F.col("_tpb"),
+               F.coalesce(F.sum("_tpn").over(w_off), F.lit(0))
+                .alias("_tpoff_n")]
+    off_sel += [F.coalesce(F.sum(f"_tps_{src}").over(w_off), F.lit(0))
+                .alias(f"_tpoff_{src}") for src in cumsum_cols]
+    offsets = stats.select(*off_sel)
+
+    out = tagged.join(F.broadcast(offsets), "_tpb")
+    w_rank = Window.partitionBy("_tpb").orderBy(*order_cols)
+    w_sum = w_rank.rowsBetween(Window.unboundedPreceding, 0)
+    if rank_col is not None:
+        out = out.withColumn(
+            rank_col,
+            (F.col("_tpoff_n") + F.row_number().over(w_rank)).cast("long"))
+    for src, alias in cumsum_cols.items():
+        out = out.withColumn(
+            alias, F.col(f"_tpoff_{src}") + F.sum(src).over(w_sum))
+    drop = ["_tpb", "_tpoff_n"] + [f"_tpoff_{src}" for src in cumsum_cols]
+    return out.drop(*drop)
+
+
+def prefix_code(col: Column, chars: int = 2) -> Column:
+    """Numeric code in [0, 1) monotone in the first ``chars`` ASCII
+    characters of a string — the fractional tie-break term for
+    ``two_phase_ordered``'s ``bucket_on`` when the numeric head is
+    tie-heavy (vocabulary dfreq, term freq): ``head + prefix_code(s)``
+    still orders by (head, s-prefix) yet gives approxQuantile real
+    spread to cut boundaries through the ties."""
+    code = F.lit(0.0)
+    for i in range(1, chars + 1):
+        cp = F.least(F.coalesce(F.ascii(F.substring(col, i, 1)), F.lit(0)),
+                     F.lit(127))  # clamp non-ASCII: ties are safe,
+        #                           a fraction >= 1 would break the
+        #                           "head step dominates" monotonicity
+        code = code + cp / float(128 ** i)
+    return code

@@ -614,9 +614,17 @@ FROM sums
 """)
 def classifier_auc_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
     """AUC of the logistic score against the heuristic gate via the
-    tie-aware Mann-Whitney rank sum. The only shuffles are the
-    distinct-score grouping and one window over that tiny relation."""
-    from pyspark.sql import Window
+    tie-aware Mann-Whitney rank sum.
+
+    The cumulative below-count is TWO-PHASE (two_phase_ordered,
+    VERDICT r05 #2): score is a computed double, so the distinct-score
+    relation grows ~linearly with docs — a partitionless cumulative
+    window would single-partition-sort it at 100 TB. The grouped
+    relation's scores are distinct by construction, so ORDER BY score
+    alone is total; ``less`` (strictly-below count) is the inclusive
+    two-phase cumsum minus the row's own ``eq``."""
+    from travel_data_pipeline_spark.operators.windows import (
+        two_phase_ordered)
 
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
     plant_txt = (F.when(F.col("doc_id") % 3 == 0, _EVAL_PLANTS[0].strip())
@@ -654,9 +662,11 @@ def classifier_auc_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
            .agg(F.count("*").cast("long").alias("eq"),
                 F.sum(F.when(F.col("truth"), 1).otherwise(0))
                  .cast("long").alias("pos")))
-    w = Window.orderBy("score").rowsBetween(Window.unboundedPreceding, -1)
-    ranked = grp.withColumn(
-        "less", F.coalesce(F.sum("eq").over(w), F.lit(0)).cast("long"))
+    ranked = (two_phase_ordered(grp, [F.col("score").asc()],
+                                F.col("score"),
+                                cumsum_cols={"eq": "_cum_eq"})
+              .withColumn("less",
+                          (F.col("_cum_eq") - F.col("eq")).cast("long")))
     sums = ranked.agg(
         F.sum("pos").cast("long").alias("n_pos"),
         F.sum(F.col("eq") - F.col("pos")).cast("long").alias("n_neg"),

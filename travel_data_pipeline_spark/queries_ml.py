@@ -801,15 +801,22 @@ def zipf_slope_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
     """OLS fit of ln(freq) against ln(rank) over the vocabulary.
 
     One explode + one groupBy(term) shuffle builds the tf table; the
-    regression runs on the (tiny) vocabulary relation with rank-sorted
-    array folds for all four sums."""
-    from pyspark.sql import Window
+    regression runs on the vocabulary relation with rank-sorted array
+    folds for all four sums. Vocabulary growth is sublinear (Heaps)
+    but unbounded, so the global rank is TWO-PHASE
+    (two_phase_ordered): -freq quantile buckets with a prefix_code
+    tie-break term (the freq=1 long tail would otherwise land in one
+    bucket), bucket-local row_number, broadcast offsets."""
+    from travel_data_pipeline_spark.operators.windows import (
+        prefix_code, two_phase_ordered)
 
     docs = load_table(spark, sf_dir, "documents")
     tf = (docs.select(F.explode(token_array(F.col("text"))).alias("term"))
           .groupBy("term").agg(F.count("*").alias("freq")))
-    w = Window.orderBy(F.col("freq").desc(), "term")
-    ranked = (tf.withColumn("rk", F.row_number().over(w))
+    ranked = (two_phase_ordered(
+                  tf, [F.col("freq").desc(), F.col("term").asc()],
+                  -F.col("freq") + prefix_code(F.col("term"), 4),
+                  rank_col="rk")
               .select("rk",
                       F.log(F.col("rk").cast("double")).alias("lx"),
                       F.log(F.col("freq").cast("double")).alias("ly")))

@@ -145,22 +145,30 @@ def abc_pareto_classes(spark: SparkSession, sf_dir: str) -> DataFrame:
     B: to 95%, C: tail).
 
     Revenue and the running total are exact DECIMAL sums (order-
-    independent, then a deterministic (revenue DESC, partkey) window);
-    the only doubles are the two threshold comparisons, spelled
-    identically in the oracle. The global-order window is one
-    SinglePartition pass over the PART aggregate (|parts| rows, not
-    |lineitem|) — at 100 TB that relation is still small."""
+    independent, then a deterministic (revenue DESC, partkey)
+    cumulative order); the only doubles are the two threshold
+    comparisons, spelled identically in the oracle.
+
+    The running revenue is TWO-PHASE (two_phase_ordered, VERDICT r05
+    #2 — the earlier docstring's "still small at 100 TB" was wrong:
+    |part| = SF x 200k, ~20B rows at the 100 TB design point):
+    quantile buckets on -revenue, bucket-local cumsum, broadcast
+    per-bucket sum offsets — no SinglePartition sort anywhere."""
+    from travel_data_pipeline_spark.operators.windows import (
+        two_phase_ordered)
+
     li = load_table(spark, sf_dir, "lineitem")
     rev = (li.groupBy("l_partkey")
            .agg(F.sum(F.col("l_extendedprice").cast("decimal(18,2)")
                       * (1 - F.col("l_discount").cast("decimal(18,2)")))
                 .alias("revenue")))
     tot = rev.agg(F.sum("revenue").alias("total"))
-    w = (Window.orderBy(F.col("revenue").desc(), "l_partkey")
-         .rowsBetween(Window.unboundedPreceding, 0))
-    share = (F.sum("revenue").over(w).cast("double")
-             / F.col("total").cast("double"))
-    classed = (rev.crossJoin(F.broadcast(tot))
+    cum = two_phase_ordered(
+        rev, [F.col("revenue").desc(), F.col("l_partkey").asc()],
+        -F.col("revenue").cast("double") + F.col("l_partkey") / F.lit(1e18),
+        cumsum_cols={"revenue": "cum"})
+    share = F.col("cum").cast("double") / F.col("total").cast("double")
+    classed = (cum.crossJoin(F.broadcast(tot))
                .select("l_partkey", "revenue",
                        F.when(share <= 0.80, "A")
                        .when(share <= 0.95, "B")

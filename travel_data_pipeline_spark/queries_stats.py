@@ -995,15 +995,24 @@ def gini_customer_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gini coefficient of per-customer order revenue via the exact
     rank formula G = 2*sum(i*x_i)/(n*sum(x)) - (n+1)/n over ascending
     ranks (ties broken on the key). All sums are decimal-exact; the
-    statistic is one double expression."""
-    from pyspark.sql import Window
+    statistic is one double expression.
+
+    The global rank is TWO-PHASE (operators.windows.two_phase_ordered,
+    VERDICT r05 #2): the per-customer relation is |customers| rows —
+    billions at 100 TB — so a partitionless row_number would funnel it
+    through one reducer; quantile buckets on revenue + broadcast
+    offsets keep every sort partition-local."""
+    from travel_data_pipeline_spark.operators.windows import (
+        two_phase_ordered)
 
     orders = load_table(spark, sf_dir, "orders")
     rev = (orders.groupBy("o_custkey")
            .agg(F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
                 .cast("decimal(18,2)").alias("r")))
-    w = Window.orderBy("r", "o_custkey")
-    ranked = rev.withColumn("i", F.row_number().over(w))
+    ranked = two_phase_ordered(
+        rev, [F.col("r").asc(), F.col("o_custkey").asc()],
+        F.col("r").cast("double") + F.col("o_custkey") / F.lit(1e18),
+        rank_col="i")
     sums = ranked.agg(
         F.count("*").cast("long").alias("n"),
         F.sum(F.col("i").cast("decimal(28,2)")
