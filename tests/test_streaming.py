@@ -779,3 +779,41 @@ def test_incremental_lsh_stream_grows_corpus(spark, sf_smoke, tmp_path):
     # and the corpus tables accreted both arrivals
     n_docs = spark.read.parquet(docs_p).count()
     assert n_docs == 10 + 2
+
+
+def test_incremental_lsh_stream_same_batch_pairs(spark, sf_smoke, tmp_path):
+    """ADVICE r05: two near-dups arriving in the SAME micro-batch must
+    be caught in grow mode via the banded self-probe — and the emitted
+    pair must not be joined by any (X, X) self-pair."""
+    import os
+
+    import pandas as pd
+
+    d = load_table(spark, sf_smoke, "documents").select("doc_id", "text")
+    seed = d.filter(F.col("doc_id") < 10)
+    docs_p = str(tmp_path / "sdocs")
+    bands_p = str(tmp_path / "sbands")
+    jobs.seed_incremental_corpus(seed, docs_p, bands_p)
+
+    novel = ("quixotic zephyr brambles jettison overt crag mumble "
+             "plinth gargoyle wisp ferrule dapple onyx trellis")
+    feed = tmp_path / "sfeed"
+    feed.mkdir()
+    # ONE batch holding both copies (matches nothing in the corpus)
+    p = str(feed / "b0.parquet")
+    pd.DataFrame({"doc_id": [910_000, 911_000],
+                  "text": [novel, novel]}).to_parquet(p)
+    os.utime(p, (1700000000, 1700000000))
+
+    stream = (spark.readStream.schema("doc_id long, text string")
+              .option("maxFilesPerTrigger", 1).parquet(str(feed)))
+    pairs_out = str(tmp_path / "spairs")
+    q = jobs.incremental_lsh_stream(
+        stream, docs_p, bands_p, pairs_out,
+        str(tmp_path / "sckpt"), grow_corpus=True)
+    q.awaitTermination(180)
+
+    got = {(r.doc_a, r.doc_b): r.jaccard
+           for r in spark.read.parquet(pairs_out).collect()}
+    assert got == {(910_000, 911_000): 1.0}
+    assert all(a != b for a, b in got)

@@ -221,14 +221,17 @@ def nearest_join(fact: DataFrame, quotes: DataFrame, key: str,
     fact_cols = list(fact.columns)
     fact_types = dict(fact.dtypes)
     qid_type = dict(quotes.dtypes)[quote_id]
-    qts_type = dict(quotes.dtypes)[quote_ts]
+    # both _ts legs cast to the FACT timestamp type (ADVICE r05: the
+    # old cast-to-own-type was a no-op; a type mismatch would silently
+    # widen the union column and break the delta arithmetic contract)
+    ts_type = fact_types[fact_ts]
 
     f_side = (fact
-              .withColumn("_ts", F.col(fact_ts))
+              .withColumn("_ts", F.col(fact_ts).cast(ts_type))
               .withColumn("_is_quote", F.lit(0))
               .withColumn("_qid", F.lit(None).cast(qid_type)))
     q_side = quotes.select(
-        F.col(key), F.col(quote_ts).cast(qts_type).alias("_ts"),
+        F.col(key), F.col(quote_ts).cast(ts_type).alias("_ts"),
         F.lit(1).alias("_is_quote"), F.col(quote_id).alias("_qid"))
     for c in fact_cols:
         if c not in q_side.columns:

@@ -40,26 +40,46 @@ from travel_data_pipeline_spark.sources.readers import load_table
 # ---------------------------------------------------------------------------
 
 
-@register("lsh_scurve_audit", lambda: f"""
-SELECT doc_a, doc_b, jaccard,
-       {round_sql("1.0 - ((1.0 - jaccard * jaccard)"
-                  " * (1.0 - jaccard * jaccard))"
-                  " * ((1.0 - jaccard * jaccard)"
-                  " * (1.0 - jaccard * jaccard))")} AS p_collide
-FROM ({ORACLES["dedup_minhash_jaccard"]})
-""")
-def lsh_scurve_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Collision probability of the engine's (b=4, r=2) banding for
-    each verified near-dup pair — composes directly on the registered
-    dedup_minhash_jaccard result, adding one per-row expression."""
-    from travel_data_pipeline_spark.queries_northstar import (
-        dedup_minhash_jaccard,
-    )
+def _mul_chain_sql(base: str, n: int) -> str:
+    """base * base * ... (n times) — left-associated in both engines,
+    so the IEEE rounding sequence is identical."""
+    return "(" + " * ".join([base] * n) + ")"
 
+
+def _scurve_oracle() -> str:
+    # r and b DERIVED from the engine's actual banding constants
+    # (ADVICE r05: hardcoding b=4, r=2 here would silently desync the
+    # audit from a banding config change while still passing parity)
+    from travel_data_pipeline_spark.queries_northstar import (
+        BANDS, NUM_HASHES)
+
+    r, b = NUM_HASHES // BANDS, BANDS
+    q = f"(1.0 - {_mul_chain_sql('jaccard', r)})"
+    return f"""
+SELECT doc_a, doc_b, jaccard,
+       {round_sql(f"1.0 - {_mul_chain_sql(q, b)}")} AS p_collide
+FROM ({ORACLES["dedup_minhash_jaccard"]})
+"""
+
+
+@register("lsh_scurve_audit", _scurve_oracle)
+def lsh_scurve_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Collision probability p = 1 - (1 - j^r)^b of the engine's
+    actual banding (r = NUM_HASHES // BANDS rows, b = BANDS bands) for
+    each verified near-dup pair — composes directly on the registered
+    dedup_minhash_jaccard result, adding one per-row expression. Both
+    the Spark expression and the oracle build their multiply chains
+    from the same constants, so a banding change cannot desync them."""
+    from functools import reduce
+
+    from travel_data_pipeline_spark.queries_northstar import (
+        BANDS, NUM_HASHES, dedup_minhash_jaccard)
+
+    r, b = NUM_HASHES // BANDS, BANDS
     pairs = dedup_minhash_jaccard(spark, sf_dir)
     j = F.col("jaccard")
-    q = 1.0 - j * j          # (1 - j^r) with r = 2
-    p = 1.0 - (q * q) * (q * q)  # 1 - q^b with b = 4, as multiplies
+    q = 1.0 - reduce(lambda acc, _: acc * j, range(r - 1), j)
+    p = 1.0 - reduce(lambda acc, _: acc * q, range(b - 1), q)
     return pairs.select("doc_a", "doc_b", "jaccard",
                         F.round(p, 6).alias("p_collide"))
 

@@ -660,13 +660,21 @@ def incremental_lsh_stream(incoming: DataFrame, docs_path: str,
     (corpus doc_a, incoming doc_b, jaccard) pairs append to
     ``pairs_out``.
 
-    With ``grow_corpus`` the batch's docs and bands append to the
-    corpus tables, so later batches also dedup against earlier
-    arrivals — at-least-once redelivery re-emits the same pairs
+    In grow mode pairs come from TWO probes per batch: the corpus
+    join (earlier arrivals / seeded corpus) and a banded self-join of
+    the batch's own bands (doc_a < doc_b), so two near-dups landing in
+    the same micro-batch are caught too (ADVICE r05 — previously a
+    permanent recall gap). A doc_a != doc_b guard makes at-least-once replay
+    safe with ``grow_corpus``: if the corpus append committed but the
+    checkpoint did not, the replayed batch probes a corpus containing
+    its own docs, and without the guard would emit novel (X, X)
+    self-pair keys; with it, redelivery only re-emits identical pairs
     (idempotent downstream consumers dedup on the pair key, the
-    foreach_batch_upsert pattern). With it off, the job is a pure
-    probe whose emitted pairs are bit-equal to the batch query on any
-    batch split — asserted in tests/test_streaming.py.
+    foreach_batch_upsert pattern). Replayed appends can still leave
+    duplicate corpus/band ROWS — those only re-yield the same pair
+    keys, never new ones. With ``grow_corpus`` off, the job is a pure
+    probe whose cross-batch pairs are bit-equal to the batch query on
+    any batch split — asserted in tests/test_streaming.py.
 
     Scale shape: the corpus side stays landed (never re-signatured);
     the per-batch work is one signature pass over the BATCH, a
@@ -686,12 +694,34 @@ def incremental_lsh_stream(incoming: DataFrame, docs_path: str,
                                             num_hashes=num_hashes)
         inc_bands = dedup.band_explode(inc_sigs, num_hashes=num_hashes,
                                        bands=bands)
-        pairs = (corpus_bands.withColumnRenamed("doc_id", "doc_a")
+        # doc_a != doc_b (ADVICE r05): under at-least-once replay with
+        # grow_corpus, the corpus may already hold this batch's own
+        # docs (append succeeded, checkpoint commit did not) — without
+        # the guard the probe emits NEW (X, X) self-pair keys that no
+        # downstream pair-key dedup can remove.
+        cross = (corpus_bands.withColumnRenamed("doc_id", "doc_a")
                  .join(F.broadcast(
                      inc_bands.withColumnRenamed("doc_id", "doc_b")),
                      ["band_idx", "band_key"])
-                 .select("doc_a", "doc_b").distinct()
-                 .localCheckpoint(eager=True))
+                 .filter(F.col("doc_a") != F.col("doc_b"))
+                 .select("doc_a", "doc_b"))
+        # within-batch self-probe (ADVICE r05), grow mode only: two
+        # near-dups arriving in the SAME micro-batch share inc bands
+        # but neither is in the corpus yet — the banded self-join
+        # (doc_a < doc_b keys each unordered pair once) closes that
+        # permanent recall gap. Pure-probe mode stays incoming-vs-
+        # corpus ONLY: its contract is bit-equality with the batch
+        # query on any split, which has no within-batch notion.
+        cand = cross
+        if grow_corpus:
+            ib = inc_bands.withColumnRenamed("doc_id", "doc_a")
+            within = (ib.join(F.broadcast(
+                          inc_bands.withColumnRenamed("doc_id", "doc_b")),
+                          ["band_idx", "band_key"])
+                      .filter(F.col("doc_a") < F.col("doc_b"))
+                      .select("doc_a", "doc_b"))
+            cand = cand.unionByName(within)
+        pairs = cand.distinct().localCheckpoint(eager=True)
         docs_all = corpus_docs.unionByName(batch_docs)
         verified = dedup.jaccard_pairs(docs_all, pairs,
                                        threshold=threshold)
