@@ -116,3 +116,32 @@ def test_lifecycle_states_account_for_every_active_user(spark, sf_dir):
             new_total += r["n_users"]
     assert by_day == daily  # states partition each day's actives
     assert new_total == ev.select("user_id").distinct().count()
+
+
+def test_bfs_hops_deep_chain_and_convergence(spark):
+    """VERDICT r05 #4: the iterative bfs_hops must traverse chains
+    DEEPER than the registered query's 3-hop anchor, stop at
+    max_hops when bounded, and converge (stop issuing rounds) on its
+    own when unbounded."""
+    from travel_data_pipeline_spark.operators.graph import bfs_hops
+
+    # undirected 8-node chain 0-1-2-...-7 (diameter 7 > 3)
+    chain = [(i, i + 1) for i in range(7)]
+    edges = spark.createDataFrame(
+        chain + [(b, a) for a, b in chain], "s long, d long")
+    src = spark.createDataFrame([(0, 0)], "vertex long, hop long")
+
+    full = {r.vertex: r.hop for r in bfs_hops(edges, src).collect()}
+    assert full == {i: i for i in range(8)}  # converged past depth 3
+
+    capped = {r.vertex: r.hop
+              for r in bfs_hops(edges, src, max_hops=3).collect()}
+    assert capped == {i: i for i in range(4)}
+
+    # min-hop invariant on a graph with a shortcut: 0->1->2->3 chain
+    # plus a direct 0->3 edge — hop(3) must be 1, not 3
+    sc = [(0, 1), (1, 2), (2, 3), (0, 3)]
+    edges2 = spark.createDataFrame(
+        sc + [(b, a) for a, b in sc], "s long, d long")
+    got = {r.vertex: r.hop for r in bfs_hops(edges2, src).collect()}
+    assert got == {0: 0, 1: 1, 2: 2, 3: 1}

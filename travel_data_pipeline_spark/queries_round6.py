@@ -69,9 +69,15 @@ def copurchase_bfs_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
     within 3 hops of the support-filtered co-purchase graph.
 
     The edge relation is localCheckpointed once (Pregel's "load the
-    graph once"); each of the 3 unrolled steps is one frontier join +
-    one min-hop aggregate keyed on the vertex — the shuffle count is
-    the hop bound, independent of graph size."""
+    graph once"); each hop is one frontier join + one min-hop
+    aggregate + one anti-join keyed on the vertex — the shuffle count
+    is the hop bound, independent of graph size. The traversal itself
+    is the general operators.graph.bfs_hops iterative loop (VERDICT
+    r05 #4: convergence check + periodic lineage checkpoint, depth a
+    parameter); this query pins it at max_hops=3 as the recursive-CTE
+    oracle anchor, and the unbounded/deep form is pytest-pinned in
+    tests/test_round6.py."""
+    from travel_data_pipeline_spark.operators.graph import bfs_hops
     from travel_data_pipeline_spark.queries_affinity import (
         _order_items,
         _pair_counts,
@@ -86,23 +92,10 @@ def copurchase_bfs_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
              .localCheckpoint(eager=True))
     deg = edges.groupBy("s").agg(F.count("*").alias("degree"))
     src = (deg.orderBy(F.col("degree").desc(), "s").limit(1)
-           .select(F.col("s").alias("part"), F.lit(0).alias("hop")))
+           .select(F.col("s").alias("vertex"), F.lit(0).alias("hop")))
 
-    reached = src.localCheckpoint(eager=True)
-    frontier = reached
-    for _ in range(_BFS_HOPS):
-        step = (frontier.join(edges, frontier.part == edges.s)
-                .select(F.col("d").alias("part"),
-                        (F.col("hop") + 1).alias("hop")))
-        # new minimum per vertex; keep only strictly-new vertices as
-        # the next frontier (BFS invariant: first visit = min hop)
-        new = (step.join(reached.select("part"), "part", "left_anti")
-               .groupBy("part").agg(F.min("hop").alias("hop"))
-               .localCheckpoint(eager=True))
-        reached = reached.unionByName(new).localCheckpoint(eager=True)
-        frontier = new
-
-    return reached.select(F.col("part").alias("l_partkey"),
+    reached = bfs_hops(edges, src, max_hops=_BFS_HOPS)
+    return reached.select(F.col("vertex").alias("l_partkey"),
                           F.col("hop").cast("int").alias("hop"))
 
 
