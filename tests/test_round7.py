@@ -1,0 +1,100 @@
+"""Round-7 candidate queries (authored round 6) — invariants the
+oracle comparison can't see: budget respect, bloom bit-equality with
+the exact query, journey weight algebra, and plan shape."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from travel_data_pipeline_spark.queries_curation import (
+    contamination_ngram_overlap,
+)
+from travel_data_pipeline_spark.queries_round7 import (
+    _SHARD_CHARS,
+    _SHARD_TOKENS,
+    attribution_multi_touch,
+    contamination_bloom_prefilter,
+    shard_writer_manifest,
+)
+
+
+def test_shard_manifest_budget_and_contiguity(spark, sf_smoke):
+    """Every shard respects BOTH budgets modulo the standard one-doc
+    overflow, and shard ids are contiguous from 0 per stream."""
+    rows = shard_writer_manifest(spark, sf_smoke).collect()
+    assert rows
+    max_tok_doc = {}
+    max_chr_doc = {}
+    by_stream: dict[tuple, list] = {}
+    for r in rows:
+        by_stream.setdefault((r.source, r.lang), []).append(r)
+    for (src, lang), shards in by_stream.items():
+        ids = sorted(s.shard_id for s in shards)
+        assert ids == list(range(len(ids))), (src, lang, ids)
+        for s in shards:
+            # overflow bound: the closing doc may exceed the budget,
+            # but the shard EXCLUDING it must have fit
+            assert s.n_docs >= 1
+            if s.n_docs > 1:
+                # any proper prefix was under budget when the last doc
+                # arrived -> total <= budget + that doc's size; bound
+                # loosely by 2x budget which the rule guarantees for
+                # this corpus (docs are far smaller than the budgets)
+                assert s.tokens <= 2 * _SHARD_TOKENS, s
+                assert s.chars <= 2 * _SHARD_CHARS, s
+
+
+def test_bloom_contamination_bit_equal_to_exact(spark, sf_smoke):
+    """The Bloom gate must not change the answer: no false negatives,
+    false positives removed by the exact verify join."""
+    exact = {r.doc_id: (r.n_grams, r.n_hit, r.contamination)
+             for r in contamination_ngram_overlap(spark, sf_smoke).collect()}
+    bloom = {r.doc_id: (r.n_grams, r.n_hit, r.contamination)
+             for r in contamination_bloom_prefilter(spark,
+                                                    sf_smoke).collect()}
+    assert bloom == exact and exact
+
+
+def test_multi_touch_weight_algebra(spark, tmp_path, sf_smoke):
+    """Synthetic journeys: weights sum to the purchase value, U-shape
+    for n>=3, the 7-day cutoff drops stale touches, and touches after
+    the last purchase credit nothing."""
+    import pandas as pd
+
+    day = 86_400_000_000
+    t0 = 1_700_000_000_000_000
+    rows = []
+    # user 1: 4 touches then purchase(value=10) -> 4,2,2,4 split
+    for i in range(4):
+        rows.append((100 + i, t0 + i * day, 1, "click", 0.0))
+    rows.append((104, t0 + 4 * day, 1, "purchase", 10.0))
+    # user 2: one touch 8 days before purchase (dropped), one within
+    rows.append((200, t0 - 8 * day, 2, "view", 0.0))
+    rows.append((201, t0 - day, 2, "view", 0.0))
+    rows.append((202, t0, 2, "purchase", 5.0))
+    # user 2 post-purchase orphan touch: no credit
+    rows.append((203, t0 + day, 2, "click", 0.0))
+    pdf = pd.DataFrame(rows, columns=["event_id", "us", "user_id",
+                                      "event_type", "value"])
+    pdf["ts"] = pd.to_datetime(pdf.pop("us"), unit="us")
+    path = str(tmp_path / "events.parquet")
+    pdf[["event_id", "ts", "user_id", "event_type", "value"]] \
+        .to_parquet(path)
+
+    out = {r.event_type: (r.n_touches, r.credited_value)
+           for r in attribution_multi_touch(spark, str(tmp_path)).collect()}
+    # user1: 0.4*10 + 0.2/2*10 *2 + 0.4*10 = 4+1+1+4 = 10 (clicks)
+    assert out["click"] == (4, 10.0)
+    # user2: single in-window view gets full 5.0
+    assert out["view"] == (1, 5.0)
+    assert set(out) == {"click", "view"}
+
+
+def test_multi_touch_plan_shuffles(spark, sf_smoke):
+    """Two shuffles (user_id, then (user_id, journey)) — a third means
+    someone re-introduced a purchases x touches self-join."""
+    df = attribution_multi_touch(spark, sf_smoke)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange hashpartitioning") <= 3  # + final agg
+    assert "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan

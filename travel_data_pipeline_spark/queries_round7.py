@@ -1,0 +1,320 @@
+"""Round-7 candidate queries (written in round 6) — the next platform
+gaps per VERDICT r05 #5, continuing the LLM-pipeline mandate:
+
+- shard_writer_manifest: shard-writer PLANNING under dual size
+  targets (tokens AND chars) — the training-shard sibling of the
+  compaction bin-packing planner; emits the shard-level manifest a
+  distributed writer would execute.
+- contamination_bloom_prefilter: train/eval n-gram decontamination
+  at corpus scale — the eval gram set compressed to a fixed-size
+  Bloom bitmap (extending bloom_prefilter_join to the documents
+  pipeline), probed JVM-side, exact-verified so the result is
+  bit-identical to the exact join.
+- attribution_multi_touch: U-shaped (position-based) multi-touch
+  attribution — the journey-credit twin of attribution_last_click,
+  expressed as per-user window passes, never a purchases x touches
+  self-join.
+
+Same discipline as every other module: exact integer/decimal moments,
+order-pinned folds for float sums, shared per-row double spellings,
+Spark-parity rounding (functions/parity.round_sql) on rounded oracle
+doubles, broadcast for every dimension-sized side.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from travel_data_pipeline_spark.functions.parity import round_sql
+from travel_data_pipeline_spark.operators import text
+from travel_data_pipeline_spark.registry import ORACLES, register
+from travel_data_pipeline_spark.sources.readers import load_table
+
+# ---------------------------------------------------------------------------
+# Shard-writer manifest under DUAL budgets (tokens + chars).
+#
+# pack_token_shards assigns docs to shards under one token budget via
+# the floor-of-exclusive-cumsum rule; a real shard writer also caps
+# the byte size of a file. Two independent single-budget packings give
+# two non-decreasing bin sequences per (source, lang) stream; a shard
+# closes when EITHER bin increments, i.e. shard_id = dense_rank over
+# the (token_bin, char_bin) pair. Every shard then respects BOTH
+# budgets modulo the standard one-doc overflow, and the rule stays a
+# pure window expression — no per-shard reset state, so it scales as
+# one (source, lang) shuffle with two ordered scans.
+#
+# The manifest (not the per-doc assignment) is the deliverable: what a
+# distributed writer needs to open files and what an auditor needs to
+# see fill ratios.
+# ---------------------------------------------------------------------------
+
+_SHARD_TOKENS = 400          # token budget per shard
+_SHARD_CHARS = 2400          # char budget per shard
+
+_TOKED_SQL = """
+    SELECT doc_id, source, lang,
+           len(list_filter(string_split(
+               trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' '),
+               x -> x <> '')) AS n_tokens,
+           n_chars
+    FROM documents
+"""
+
+
+@register("shard_writer_manifest", f"""
+WITH toked AS ({_TOKED_SQL}),
+binned AS (
+    SELECT doc_id, source, lang, n_tokens, n_chars,
+           CAST(floor((SUM(n_tokens) OVER w - n_tokens)
+                      / {_SHARD_TOKENS}.0) AS BIGINT) AS tok_bin,
+           CAST(floor((SUM(n_chars) OVER w - n_chars)
+                      / {_SHARD_CHARS}.0) AS BIGINT) AS chr_bin
+    FROM toked
+    WINDOW w AS (PARTITION BY source, lang ORDER BY doc_id
+                 ROWS UNBOUNDED PRECEDING)
+),
+sharded AS (
+    SELECT *,
+           CAST(dense_rank() OVER (PARTITION BY source, lang
+                                   ORDER BY tok_bin, chr_bin) AS BIGINT)
+             - 1 AS shard_id
+    FROM binned
+)
+SELECT source, lang, shard_id,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(SUM(n_tokens) AS BIGINT) AS tokens,
+       CAST(SUM(n_chars) AS BIGINT) AS chars,
+       CAST(min(doc_id) AS BIGINT) AS first_doc,
+       CAST(max(doc_id) AS BIGINT) AS last_doc,
+       {round_sql(f"SUM(n_tokens) / {_SHARD_TOKENS}.0")} AS token_fill,
+       {round_sql(f"SUM(n_chars) / {_SHARD_CHARS}.0")} AS char_fill
+FROM sharded
+GROUP BY source, lang, shard_id
+""")
+def shard_writer_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shard-level writer plan per (source, lang) stream under BOTH a
+    token and a char budget. One shuffle on (source, lang); the two
+    cumsum scans and the dense_rank reuse the same partitioning (one
+    exchange feeds all three window passes); the manifest aggregate is
+    a map-side-combinable groupBy over per-doc rows."""
+    docs = load_table(spark, sf_dir, "documents")
+    w = (Window.partitionBy("source", "lang").orderBy("doc_id")
+         .rowsBetween(Window.unboundedPreceding, 0))
+    toked = docs.select(
+        "doc_id", "source", "lang", "n_chars",
+        text.whitespace_token_count(F.col("text")).alias("n_tokens"))
+    binned = toked.select(
+        "doc_id", "source", "lang", "n_tokens", "n_chars",
+        F.floor((F.sum("n_tokens").over(w) - F.col("n_tokens"))
+                / float(_SHARD_TOKENS)).alias("tok_bin"),
+        F.floor((F.sum("n_chars").over(w) - F.col("n_chars"))
+                / float(_SHARD_CHARS)).alias("chr_bin"))
+    wd = Window.partitionBy("source", "lang").orderBy("tok_bin", "chr_bin")
+    sharded = binned.withColumn(
+        "shard_id", (F.dense_rank().over(wd) - 1).cast("long"))
+    return (sharded.groupBy("source", "lang", "shard_id")
+            .agg(F.count("*").alias("n_docs"),
+                 F.sum("n_tokens").cast("long").alias("tokens"),
+                 F.sum("n_chars").cast("long").alias("chars"),
+                 F.min("doc_id").alias("first_doc"),
+                 F.max("doc_id").alias("last_doc"),
+                 F.round(F.sum("n_tokens") / float(_SHARD_TOKENS), 6)
+                  .alias("token_fill"),
+                 F.round(F.sum("n_chars") / float(_SHARD_CHARS), 6)
+                  .alias("char_fill")))
+
+
+# ---------------------------------------------------------------------------
+# Bloom-prefiltered n-gram decontamination.
+#
+# contamination_ngram_overlap broadcasts the exact eval gram SET; at
+# corpus scale the right shape compresses it to a fixed-size Bloom
+# bitmap (queries_sketches.bloom_prefilter_join's build/probe, applied
+# to the documents pipeline): the training-side shingle stream is
+# gated by k JVM xxhash probes against a broadcast bitmap BEFORE the
+# exact membership join, so only candidate grams (true hits + the
+# bitmap's few false positives) ever reach the join. The exact verify
+# join removes false positives, so the output is bit-identical to the
+# exact query — the oracle IS contamination_ngram_overlap's.
+# ---------------------------------------------------------------------------
+
+
+@register("contamination_bloom_prefilter",
+          lambda: ORACLES["contamination_ngram_overlap"])
+def contamination_bloom_prefilter(spark: SparkSession,
+                                  sf_dir: str) -> DataFrame:
+    """Per-train-doc eval contamination via a Bloom-gated gram join.
+
+    Scale shape: the eval suite is MBs, its bitmap KBs — broadcast
+    both; the corpus-sized train side is filtered by pure JVM hash
+    expressions; per-doc totals (n_grams) come from the UNfiltered
+    stream in the same pass as the shingle groupBy. Bit-identical to
+    the exact oracle: the bitmap has no false negatives and the exact
+    join drops its false positives."""
+    from travel_data_pipeline_spark.operators import dedup
+    from travel_data_pipeline_spark.queries_sketches import (
+        _BLOOM_K,
+        _WORD,
+        _bloom_pos,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    sh = (dedup.shingle_sets(docs, shingle_n=5)
+          .withColumnRenamed("shingle", "g"))
+    eval_grams = sh.filter(F.col("doc_id") < 10).select("g").distinct()
+    train = sh.filter(F.col("doc_id") >= 10)
+
+    positions = F.array(*[_bloom_pos(F.col("g"), s)
+                          for s in range(_BLOOM_K)])
+    bloom = (eval_grams.select(F.explode(positions).alias("pos"))
+             .select((F.col("pos") / _WORD).cast("int").alias("word_idx"),
+                     F.expr(f"shiftleft(CAST(1 AS BIGINT), "
+                            f"CAST(pos % {_WORD} AS INT))").alias("mask"))
+             .groupBy("word_idx").agg(F.bit_or("mask").alias("word")))
+
+    probe = train
+    for s in range(_BLOOM_K):
+        pos = _bloom_pos(F.col("g"), s)
+        w = bloom.select(F.col("word_idx").alias(f"wi{s}"),
+                         F.col("word").alias(f"w{s}"))
+        probe = (probe
+                 .withColumn(f"p{s}", pos)
+                 .join(F.broadcast(w),
+                       (F.col(f"p{s}") / _WORD).cast("int") == F.col(f"wi{s}"),
+                       "left")
+                 .filter(F.col(f"w{s}").isNotNull()
+                         & (F.col(f"w{s}").bitwiseAND(F.expr(
+                             f"shiftleft(CAST(1 AS BIGINT), "
+                             f"CAST(p{s} % {_WORD} AS INT))")) != 0)))
+    candidates = probe.select("doc_id", "g")
+
+    totals = train.groupBy("doc_id").agg(F.count("*").alias("n_grams"))
+    hits = (candidates
+            .join(F.broadcast(eval_grams), "g", "left_semi")
+            .groupBy("doc_id").agg(F.count("*").alias("n_hit")))
+    return (totals.join(hits, "doc_id")
+            .filter(F.col("n_hit") > 0)
+            .select("doc_id", "n_grams", "n_hit",
+                    F.round(F.col("n_hit") / F.col("n_grams"), 6)
+                     .alias("contamination")))
+
+
+# ---------------------------------------------------------------------------
+# U-shaped multi-touch attribution.
+#
+# Journey model: every touch (click/view/signup) belongs to the NEXT
+# purchase in its user's (ts, event_id) order; a purchase's journey is
+# the touches since the previous purchase that fall within 7 days of
+# it. Credit: 1.0 to a lone touch, 0.5/0.5 for two, else 0.4 to first
+# and last and 0.2/(n-2) spread over the middle — the standard
+# position-based recipe.
+#
+# Scale shape: journey assignment is a REVERSE cumulative purchase
+# count (one user_id window — no purchases x touches join, the same
+# argument as attribution_last_click); per-journey rank/size is one
+# (user_id, journey) window; the final per-type credit sums are
+# order-pinned folds over per-row ROUNDED credits so both engines add
+# identical doubles identically.
+# ---------------------------------------------------------------------------
+
+_MT_WINDOW_US = 604_800_000_000  # 7 days
+
+_MT_CREDIT_SQL = round_sql(
+    "(CASE WHEN n = 1 THEN 1.0"
+    " WHEN n = 2 THEN 0.5"
+    " WHEN rn = 1 OR rn = n THEN 0.4"
+    " ELSE 0.2 / (CAST(n AS DOUBLE) - 2.0) END) * p_value")
+
+
+@register("attribution_multi_touch", f"""
+WITH stream AS (
+    SELECT user_id, event_id, event_type, value,
+           epoch_us(ts) AS us,
+           CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS is_p
+    FROM events
+    WHERE event_type IN ('purchase', 'click', 'view', 'signup')
+),
+grouped AS (
+    SELECT *,
+           SUM(is_p) OVER (PARTITION BY user_id ORDER BY us, event_id
+                           ROWS BETWEEN CURRENT ROW
+                           AND UNBOUNDED FOLLOWING) AS jny
+    FROM stream
+),
+journeys AS (
+    SELECT *,
+           MAX(CASE WHEN is_p = 1 THEN us END) OVER j AS p_us,
+           MAX(CASE WHEN is_p = 1 THEN event_id END) OVER j AS p_id,
+           MAX(CASE WHEN is_p = 1 THEN value END) OVER j AS p_value
+    FROM grouped
+    WINDOW j AS (PARTITION BY user_id, jny)
+),
+touches AS (
+    SELECT user_id, event_id, event_type, p_id, p_value,
+           row_number() OVER w AS rn,
+           count(*) OVER (PARTITION BY user_id, jny) AS n
+    FROM journeys
+    WHERE is_p = 0 AND p_us IS NOT NULL
+      AND p_us - us <= {_MT_WINDOW_US}
+    WINDOW w AS (PARTITION BY user_id, jny ORDER BY us, event_id)
+),
+credited AS (
+    SELECT event_type, event_id,
+           {_MT_CREDIT_SQL} AS credit
+    FROM touches
+)
+SELECT event_type,
+       CAST(count(*) AS BIGINT) AS n_touches,
+       {round_sql("list_reduce(list(credit ORDER BY event_id),"
+                  " (x, y) -> x + y)")} + 0.0 AS credited_value
+FROM credited
+GROUP BY event_type
+""")
+def attribution_multi_touch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Position-based multi-touch credit per touch type over purchase
+    journeys. Two shuffles total (user_id, then (user_id, journey)) —
+    never a self-join — and the credit sums fold in event_id order for
+    cross-engine float determinism."""
+    e = load_table(spark, sf_dir, "events")
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    stream = (e.filter(F.col("event_type")
+                       .isin("purchase", "click", "view", "signup"))
+              .select("user_id", "event_id", "event_type", "value",
+                      us.alias("us"),
+                      F.when(F.col("event_type") == "purchase", 1)
+                       .otherwise(0).alias("is_p")))
+    wrev = (Window.partitionBy("user_id").orderBy("us", "event_id")
+            .rowsBetween(Window.currentRow, Window.unboundedFollowing))
+    grouped = stream.withColumn("jny", F.sum("is_p").over(wrev))
+    wj = Window.partitionBy("user_id", "jny")
+    p_of = lambda c: F.max(F.when(F.col("is_p") == 1, F.col(c))).over(wj)
+    journeys = (grouped
+                .withColumn("p_us", p_of("us"))
+                .withColumn("p_id", p_of("event_id"))
+                .withColumn("p_value", p_of("value")))
+    wo = Window.partitionBy("user_id", "jny").orderBy("us", "event_id")
+    touches = (journeys
+               .filter((F.col("is_p") == 0) & F.col("p_us").isNotNull()
+                       & (F.col("p_us") - F.col("us") <= _MT_WINDOW_US))
+               .withColumn("rn", F.row_number().over(wo))
+               .withColumn("n", F.count("*").over(wj)))
+    n_d = F.col("n").cast("double")
+    weight = (F.when(F.col("n") == 1, F.lit(1.0))
+              .when(F.col("n") == 2, F.lit(0.5))
+              .when((F.col("rn") == 1) | (F.col("rn") == F.col("n")),
+                    F.lit(0.4))
+              .otherwise(F.lit(0.2) / (n_d - 2.0)))
+    credited = touches.select(
+        "event_type", "event_id",
+        F.round(weight * F.col("p_value"), 6).alias("credit"))
+    fold = F.aggregate(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("event_id",
+                                                 F.col("credit")
+                                                 .alias("v")))),
+            lambda s: s["v"]),
+        F.lit(0.0), lambda a, x: a + x)
+    return (credited.groupBy("event_type")
+            .agg(F.count("*").cast("long").alias("n_touches"),
+                 (F.round(fold, 6) + 0.0).alias("credited_value")))
