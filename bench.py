@@ -57,6 +57,11 @@ HEADLINE = [
     # a running max) — the new window-state-heavy shapes
     "nearest_error_event",
     "interval_union_coverage",
+    # round-6: the two-phase global-order shape (quantile probe +
+    # bucket-local cumsum) and the new platform flagships
+    "abc_pareto_classes",
+    "attribution_multi_touch",
+    "contamination_bloom_prefilter",
 ]
 
 
@@ -83,8 +88,12 @@ def main() -> None:
             # scan-cache/JIT variance AND the co-tenant noise that made
             # the committed r04 artifact disagree with the day's bests
             for _ in range(3):
-                df = registry.QUERIES[name](spark, sf_dir)
+                # time build + execute: some builders run planning
+                # actions (two_phase_ordered's quantile probe, PPJoin's
+                # routing bound) or eager checkpoints — starting the
+                # clock after build would hide that work
                 t0 = time.perf_counter()
+                df = registry.QUERIES[name](spark, sf_dir)
                 df.write.format("noop").mode("overwrite").save()
                 best = min(best, time.perf_counter() - t0)
             timings[name] = round(best, 3)

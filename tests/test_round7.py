@@ -23,8 +23,6 @@ def test_shard_manifest_budget_and_contiguity(spark, sf_smoke):
     overflow, and shard ids are contiguous from 0 per stream."""
     rows = shard_writer_manifest(spark, sf_smoke).collect()
     assert rows
-    max_tok_doc = {}
-    max_chr_doc = {}
     by_stream: dict[tuple, list] = {}
     for r in rows:
         by_stream.setdefault((r.source, r.lang), []).append(r)
@@ -98,3 +96,39 @@ def test_multi_touch_plan_shuffles(spark, sf_smoke):
     assert plan.count("Exchange hashpartitioning") <= 3  # + final agg
     assert "CartesianProduct" not in plan
     assert "BatchEvalPython" not in plan
+
+
+def test_snapshot_diff_statuses_complete(spark, sf_smoke):
+    """All four statuses present with the simulated edits, and counts
+    reconcile against the snapshot construction rules."""
+    from travel_data_pipeline_spark.queries_round7 import (
+        dataset_snapshot_diff,
+    )
+    from travel_data_pipeline_spark.sources.readers import load_table
+
+    got = {r.status: r.n_docs
+           for r in dataset_snapshot_diff(spark, sf_smoke).collect()}
+    docs = load_table(spark, sf_smoke, "documents")
+    n = docs.count()
+    added = docs.filter(F.col("doc_id") % 11 == 3).count()
+    removed = docs.filter(F.col("doc_id") % 17 == 2).count()
+    changed = docs.filter((F.col("doc_id") % 13 == 1)
+                          & (F.col("doc_id") % 11 != 3)).count()
+    assert got == {"added": added, "removed": removed,
+                   "changed": changed,
+                   "unchanged": n - added - changed}
+
+
+def test_k_anonymity_rowcounts_reconcile(spark, sf_smoke):
+    """Per-lang rows sum to the corpus; risky rows live in risky
+    groups; shares are within [0, 1]."""
+    from travel_data_pipeline_spark.queries_round7 import k_anonymity_audit
+    from travel_data_pipeline_spark.sources.readers import load_table
+
+    rows = k_anonymity_audit(spark, sf_smoke).collect()
+    total = load_table(spark, sf_smoke, "documents").count()
+    assert sum(r.n_rows for r in rows) == total
+    for r in rows:
+        assert 0 <= r.risky_rows <= r.n_rows
+        assert r.risky_groups <= r.n_groups
+        assert 0.0 <= r.risky_share <= 1.0

@@ -154,6 +154,30 @@ def main(amplify: int = 20) -> None:
     n_islands = merge_intervals(iv, "user_id", "s", "e").count()
     t_iv = time.perf_counter() - t0
 
+    # --- two-phase global rank over 20M rows -----------------------------
+    # The round-6 replacement for partitionless Window.orderBy: rank +
+    # running sum over a relation 3 orders of magnitude past the
+    # registered queries' inputs, with a tie-heavy key. Validates both
+    # throughput and exactness (spot-check ranks at the extremes).
+    from travel_data_pipeline_spark.operators.windows import (
+        two_phase_ordered,
+    )
+
+    n_rank = 20_000_000
+    rdf = (spark.range(n_rank)
+           .select(F.col("id"),
+                   (F.abs(F.xxhash64("id")) % 1_000).alias("v")))
+    t0 = time.perf_counter()
+    ranked = two_phase_ordered(
+        rdf, [F.col("v").asc(), F.col("id").asc()],
+        F.col("v") + F.col("id") / 1e9,
+        rank_col="rk", cumsum_cols={"v": "cum"}, num_buckets=256)
+    agg = ranked.agg(F.count("*").alias("n"), F.min("rk").alias("lo"),
+                     F.max("rk").alias("hi"),
+                     F.max("cum").alias("total")).first()
+    t_rank = time.perf_counter() - t0
+    assert (agg["n"], agg["lo"], agg["hi"]) == (n_rank, 1, n_rank), agg
+
     print(json.dumps({
         "amplify": amplify,
         "idx_docs": n_docs, "idx_terms": n_terms,
@@ -173,6 +197,8 @@ def main(amplify: int = 20) -> None:
         "island_events": n_iv_events, "island_merged": n_islands,
         "island_sec": round(t_iv, 2),
         "island_events_per_sec": round(n_iv_events / t_iv),
+        "rank_rows": n_rank, "rank_sec": round(t_rank, 2),
+        "rank_rows_per_sec": round(n_rank / t_rank),
     }))
 
 

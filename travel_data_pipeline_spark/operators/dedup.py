@@ -426,7 +426,16 @@ def ppjoin_routed_pairs(docs: DataFrame, text_col: str = "text",
     owns_ss = shingles is None
     ss = shingles if shingles is not None \
         else shingle_sets(docs, text_col, id_col, shingle_n).persist()
+    # the vocabulary feeds the routing probe AND (on the PPJoin path)
+    # the two-phase rank's quantile probe + stats + ranked passes —
+    # persist it so each is one cached scan, not a repeated groupBy.
+    # Only when we own the lifecycle (we eagerly checkpoint pairs and
+    # can unpersist safely before returning); a caller-supplied
+    # shingle frame means lazy output, where an early unpersist would
+    # silently void the cache.
     sdf = ss.groupBy("shingle").agg(F.count("*").alias("dfreq"))
+    if owns_ss:
+        sdf = sdf.persist()
 
     if ppjoin_dfreq_bound(sdf, max_bucket) > max_candidates:
         sigs = minhash_signatures(docs, text_col, id_col, shingle_n,
@@ -476,4 +485,5 @@ def ppjoin_routed_pairs(docs: DataFrame, text_col: str = "text",
     if owns_ss:
         pairs = pairs.localCheckpoint(eager=True)
         ss.unpersist()
+        sdf.unpersist()
     return pairs, strategy

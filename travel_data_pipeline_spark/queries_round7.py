@@ -318,3 +318,121 @@ def attribution_multi_touch(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (credited.groupBy("event_type")
             .agg(F.count("*").cast("long").alias("n_touches"),
                  (F.round(fold, 6) + 0.0).alias("credited_value")))
+
+
+# ---------------------------------------------------------------------------
+# Dataset snapshot diff — the data-versioning primitive: given two
+# snapshots of a keyed table, classify every key as added / removed /
+# changed / unchanged and report the counts. The scale shape is the
+# only one that survives 100 TB: project each side to (key, md5) FIRST
+# so the full-outer join shuffles 32-byte digests, never the payloads
+# (the exact_dedup argument, operators/dedup.py:66).
+#
+# Snapshots are simulated deterministically from the documents table:
+# v2 is the table as-is; v1 drops doc_id % 11 == 3 ("added" in v2),
+# rewrites text for doc_id % 13 == 1 ("changed"), and carries a
+# shifted +9M tail ("removed").
+# ---------------------------------------------------------------------------
+
+
+@register("dataset_snapshot_diff", """
+WITH v2 AS (
+    SELECT doc_id, md5(text) AS h FROM documents
+),
+v1 AS (
+    SELECT doc_id,
+           md5(CASE WHEN doc_id % 13 = 1 THEN text || ' [v1]'
+                    ELSE text END) AS h
+    FROM documents WHERE doc_id % 11 <> 3
+    UNION ALL
+    SELECT doc_id + 9000000 AS doc_id, md5(text) AS h
+    FROM documents WHERE doc_id % 17 = 2
+),
+diff AS (
+    SELECT CASE WHEN v1.doc_id IS NULL THEN 'added'
+                WHEN v2.doc_id IS NULL THEN 'removed'
+                WHEN v1.h <> v2.h THEN 'changed'
+                ELSE 'unchanged' END AS status
+    FROM v1 FULL OUTER JOIN v2 USING (doc_id)
+)
+SELECT status, CAST(count(*) AS BIGINT) AS n_docs
+FROM diff GROUP BY status
+""")
+def dataset_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Added/removed/changed/unchanged counts between two simulated
+    snapshots, joined on (key, content-hash) projections only."""
+    docs = load_table(spark, sf_dir, "documents")
+    v2 = docs.select("doc_id", F.md5("text").alias("h"))
+    v1_kept = (docs.filter(F.col("doc_id") % 11 != 3)
+               .select("doc_id",
+                       F.md5(F.when(F.col("doc_id") % 13 == 1,
+                                    F.concat("text", F.lit(" [v1]")))
+                             .otherwise(F.col("text"))).alias("h")))
+    v1_tail = (docs.filter(F.col("doc_id") % 17 == 2)
+               .select((F.col("doc_id") + 9_000_000).alias("doc_id"),
+                       F.md5("text").alias("h")))
+    v1 = v1_kept.unionAll(v1_tail)
+    joined = v1.withColumnRenamed("h", "h1").join(
+        v2.withColumnRenamed("h", "h2"), "doc_id", "full_outer")
+    status = (F.when(F.col("h1").isNull(), "added")
+              .when(F.col("h2").isNull(), "removed")
+              .when(F.col("h1") != F.col("h2"), "changed")
+              .otherwise("unchanged"))
+    return (joined.select(status.alias("status"))
+            .groupBy("status").agg(F.count("*").cast("long")
+                                   .alias("n_docs")))
+
+
+# ---------------------------------------------------------------------------
+# k-anonymity audit over quasi-identifiers — the privacy gate of a
+# training-data release: rows whose (lang, source, length-bucket)
+# combination identifies fewer than k documents are re-identification
+# risks. Reported per lang (bounded output), never as the raw risky-
+# group listing (which scales with data).
+# ---------------------------------------------------------------------------
+
+_KANON_K = 5
+_KANON_BUCKET = 200
+
+
+@register("k_anonymity_audit", f"""
+WITH qi AS (
+    SELECT lang, source,
+           CAST(n_chars // {_KANON_BUCKET} AS BIGINT) AS len_bucket
+    FROM documents
+),
+groups AS (
+    SELECT lang, source, len_bucket, count(*) AS sz
+    FROM qi GROUP BY lang, source, len_bucket
+)
+SELECT lang,
+       CAST(count(*) AS BIGINT) AS n_groups,
+       CAST(SUM(sz) AS BIGINT) AS n_rows,
+       CAST(SUM(CASE WHEN sz < {_KANON_K} THEN 1 ELSE 0 END) AS BIGINT)
+         AS risky_groups,
+       CAST(SUM(CASE WHEN sz < {_KANON_K} THEN sz ELSE 0 END) AS BIGINT)
+         AS risky_rows,
+       {round_sql(f"SUM(CASE WHEN sz < {_KANON_K} THEN sz ELSE 0 END)"
+                  " / CAST(SUM(sz) AS DOUBLE)")} AS risky_share
+FROM groups GROUP BY lang
+""")
+def k_anonymity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language k-anonymity readout (k=5) over the
+    (lang, source, 200-char length bucket) quasi-identifier. Two
+    map-side-combinable aggregations; output bounded by |langs|."""
+    docs = load_table(spark, sf_dir, "documents")
+    qi = docs.select(
+        "lang", "source",
+        F.floor(F.col("n_chars") / _KANON_BUCKET).alias("len_bucket"))
+    groups = (qi.groupBy("lang", "source", "len_bucket")
+              .agg(F.count("*").alias("sz")))
+    risky = F.when(F.col("sz") < _KANON_K, F.col("sz")).otherwise(0)
+    return (groups.groupBy("lang")
+            .agg(F.count("*").cast("long").alias("n_groups"),
+                 F.sum("sz").cast("long").alias("n_rows"),
+                 F.sum(F.when(F.col("sz") < _KANON_K, 1).otherwise(0))
+                  .cast("long").alias("risky_groups"),
+                 F.sum(risky).cast("long").alias("risky_rows"),
+                 F.round(F.sum(risky)
+                         / F.sum("sz").cast("double"), 6)
+                  .alias("risky_share")))
