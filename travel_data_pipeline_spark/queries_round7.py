@@ -436,3 +436,61 @@ def k_anonymity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
                  F.round(F.sum(risky)
                          / F.sum("sz").cast("double"), 6)
                   .alias("risky_share")))
+
+
+# ---------------------------------------------------------------------------
+# Revenue decile bands — global ntile over a data-scaled relation,
+# done right: the decile of a customer derives from the TWO-PHASE
+# global rank (operators/windows.two_phase_ordered), never a
+# partitionless ntile()/row_number() window. floor((rank-1) * 10 / n)
+# is the exact rank-based ntile when n % 10 == 0 and a deterministic
+# near-ntile otherwise — spelled identically in both engines (exact
+# integer arithmetic, no doubles until the band aggregates).
+# ---------------------------------------------------------------------------
+
+
+@register("revenue_decile_bands", """
+WITH rev AS (
+    SELECT o_custkey,
+           SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS r
+    FROM orders GROUP BY o_custkey
+),
+ranked AS (
+    SELECT r,
+           row_number() OVER (ORDER BY r, o_custkey) AS i,
+           count(*) OVER () AS n
+    FROM rev
+)
+SELECT CAST((i - 1) * 10 // n AS BIGINT) AS decile,
+       CAST(count(*) AS BIGINT) AS n_customers,
+       CAST(min(r) AS DOUBLE) AS lo,
+       CAST(max(r) AS DOUBLE) AS hi,
+       CAST(SUM(r) AS DOUBLE) AS revenue
+FROM ranked GROUP BY 1
+""")
+def revenue_decile_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-decile customer-revenue bands (count, lo/hi boundary,
+    total). The rank is two-phase (quantile buckets + broadcast
+    offsets); the only global single-partition work is the
+    <=num_buckets offsets pass."""
+    from travel_data_pipeline_spark.operators.windows import (
+        two_phase_ordered,
+    )
+
+    orders = load_table(spark, sf_dir, "orders")
+    rev = (orders.groupBy("o_custkey")
+           .agg(F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+                .alias("r")))
+    ranked = two_phase_ordered(
+        rev, [F.col("r").asc(), F.col("o_custkey").asc()],
+        F.col("r").cast("double") + F.col("o_custkey") / F.lit(1e18),
+        rank_col="i")
+    n = rev.agg(F.count("*").alias("n"))
+    banded = (ranked.crossJoin(F.broadcast(n))
+              .select(F.expr("((i - 1) * 10) div n")  # exact integer
+                      .cast("long").alias("decile"), "r"))
+    return (banded.groupBy("decile")
+            .agg(F.count("*").cast("long").alias("n_customers"),
+                 F.min("r").cast("double").alias("lo"),
+                 F.max("r").cast("double").alias("hi"),
+                 F.sum("r").cast("double").alias("revenue")))
