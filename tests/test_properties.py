@@ -354,3 +354,32 @@ def test_nearest_join_matches_python_model(spark, rows):
             assert got[fid] == (pick[1], pick[0]), (fid, fts)
         else:
             assert got[fid] == (None, None), (fid, fts)
+
+
+@settings(max_examples=3, deadline=None)
+@given(st.lists(st.tuples(st.integers(min_value=0, max_value=30),
+                          st.floats(min_value=0, max_value=100,
+                                    allow_nan=False)),
+                min_size=1, max_size=300),
+       st.integers(min_value=2, max_value=17))
+def test_two_phase_ordered_property(spark, pairs, buckets):
+    """For ANY data (heavy ties included) and ANY bucket count, the
+    two-phase rank and inclusive cumsum equal the naive global
+    window's, exactly."""
+    from pyspark.sql import Window
+
+    from travel_data_pipeline_spark.operators import windows as W
+
+    rows = [(i, k, float(v)) for i, (k, v) in enumerate(pairs)]
+    df = spark.createDataFrame(rows, "id long, k long, v double")
+    order = [F.col("k").asc(), F.col("id").asc()]
+    got = {r.id: (r.rk, r.cum) for r in W.two_phase_ordered(
+        df, order, F.col("k") + F.col("id") / 1e9,
+        rank_col="rk", cumsum_cols={"v": "cum"},
+        num_buckets=buckets).collect()}
+    w = Window.orderBy(*order)
+    truth = {r.id: (r.rk, r.cum) for r in df.select(
+        "id", F.row_number().over(w).cast("long").alias("rk"),
+        F.sum("v").over(w.rowsBetween(Window.unboundedPreceding, 0))
+         .alias("cum")).collect()}
+    assert got == truth
