@@ -817,3 +817,69 @@ def test_incremental_lsh_stream_same_batch_pairs(spark, sf_smoke, tmp_path):
            for r in spark.read.parquet(pairs_out).collect()}
     assert got == {(910_000, 911_000): 1.0}
     assert all(a != b for a, b in got)
+
+
+def test_token_shard_stream_matches_batch_and_replay_noop(spark, sf_smoke,
+                                                          tmp_path):
+    """token_shard_stream over a monotone 2-batch doc_id split must
+    emit EXACTLY the batch pack_token_shards assignment (same budget),
+    and re-feeding batch 1's file (simulated replay with a stale
+    epoch) must not double-advance the offsets."""
+    import os
+
+    from travel_data_pipeline_spark.queries_curation import (
+        TOKEN_BUDGET,
+        pack_token_shards,
+    )
+    from travel_data_pipeline_spark.sources import versioned
+
+    d = load_table(spark, sf_smoke, "documents").select(
+        "doc_id", "text", "source", "lang")
+    lo = d.filter(F.col("doc_id") < 250)
+    hi = d.filter(F.col("doc_id") >= 250)
+
+    feed = tmp_path / "tfeed"
+    feed.mkdir()
+    for i, part in enumerate([lo, hi]):
+        p = str(feed / f"b{i}.parquet")
+        part.toPandas().to_parquet(p)
+        os.utime(p, (1700000000 + i * 60, 1700000000 + i * 60))
+
+    stream = (spark.readStream
+              .schema("doc_id long, text string, source string, lang string")
+              .option("maxFilesPerTrigger", 1).parquet(str(feed)))
+    out_p = str(tmp_path / "tout")
+    state_p = str(tmp_path / "tstate")
+    q = jobs.token_shard_stream(stream, state_p, out_p,
+                                str(tmp_path / "tckpt"),
+                                token_budget=TOKEN_BUDGET)
+    q.awaitTermination(180)
+
+    got = {r.doc_id: (r.source, r.lang, r.n_tokens, r.cum_tokens,
+                      r.shard_id)
+           for r in spark.read.parquet(out_p).collect()}
+    want = {r.doc_id: (r.source, r.lang, r.n_tokens, r.cum_tokens,
+                       r.shard_id)
+            for r in pack_token_shards(spark, sf_smoke).collect()}
+    assert got == want and want
+
+    # replay: epoch watermark makes a stale batch a strict no-op.
+    # Restarting the same source from a FRESH checkpoint re-delivers
+    # both files with epochs restarting at 0 <= the stored max epoch,
+    # so every redelivered batch must no-op.
+    state_before = {(r.source, r.lang): r.base_tokens
+                    for r in versioned.read_table(spark,
+                                                  state_p).collect()}
+    stream2 = (spark.readStream
+               .schema("doc_id long, text string, source string, "
+                       "lang string")
+               .option("maxFilesPerTrigger", 1).parquet(str(feed)))
+    q2 = jobs.token_shard_stream(stream2, state_p, out_p,
+                                 str(tmp_path / "tckpt2"),
+                                 token_budget=TOKEN_BUDGET)
+    q2.awaitTermination(180)
+    state_after = {(r.source, r.lang): r.base_tokens
+                   for r in versioned.read_table(spark,
+                                                 state_p).collect()}
+    assert state_after == state_before
+    assert spark.read.parquet(out_p).count() == len(want)

@@ -733,3 +733,86 @@ def incremental_lsh_stream(incoming: DataFrame, docs_path: str,
     return (incoming.writeStream.foreachBatch(fold)
             .option("checkpointLocation", checkpoint)
             .trigger(availableNow=True).start())
+
+
+def token_shard_stream(incoming: DataFrame, state_path: str,
+                       out_path: str, checkpoint: str,
+                       token_budget: int = 120) -> StreamingQuery:
+    """Streaming shard packer — the stateful twin of
+    queries_curation.pack_token_shards: micro-batches of documents get
+    shard assignments that CONTINUE each (source, lang) stream's
+    running token total across batches, so a shard writer can run
+    forever without re-scanning history.
+
+    State is a versioned table of per-(source, lang) token offsets
+    plus the last applied epoch_id; a replayed micro-batch
+    (at-least-once delivery) compares its epoch against the state and
+    becomes a NO-OP — offsets never double-advance and assignments are
+    never re-appended, i.e. effectively-once without any external
+    coordinator (same discipline as foreach_batch_upsert, but via the
+    epoch high-watermark because offset accumulation is not naturally
+    idempotent the way grain MERGE is).
+
+    Under the monotone-ingestion contract (later batches carry higher
+    doc_ids per stream — the stateful-twin contract of the Holt /
+    anomaly twins), the union of emitted assignments is bit-equal to
+    the batch query over the union of batches — asserted in
+    tests/test_streaming.py on a 2-batch split.
+
+    Scale shape per batch: one (source, lang) shuffle for the batch's
+    local cumsum, one broadcast join against the (tiny,
+    |sources x langs|-bounded) offsets state, one append. Nothing ever
+    re-reads or rewrites prior assignments.
+    """
+    from pyspark.sql import Window
+
+    from travel_data_pipeline_spark.operators import text
+    from travel_data_pipeline_spark.sources import versioned
+
+    def fold(batch_df: DataFrame, epoch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        spark = batch_df.sparkSession
+        try:
+            state = versioned.read_table(spark, state_path)
+            applied = state.agg(F.max("epoch")).first()[0]
+            if applied is not None and epoch_id <= applied:
+                return  # replayed batch: a strict no-op
+            offsets = state.select("source", "lang", "base_tokens")
+        except FileNotFoundError:
+            offsets = spark.createDataFrame(
+                [], "source string, lang string, base_tokens long")
+
+        w = (Window.partitionBy("source", "lang").orderBy("doc_id")
+             .rowsBetween(Window.unboundedPreceding, 0))
+        toked = batch_df.select(
+            "doc_id", "source", "lang",
+            text.whitespace_token_count(F.col("text")).alias("n_tokens"))
+        local = toked.withColumn("_cum", F.sum("n_tokens").over(w))
+        assigned = (local.join(F.broadcast(offsets), ["source", "lang"],
+                               "left")
+                    .withColumn("_base", F.coalesce("base_tokens",
+                                                    F.lit(0)))
+                    .select("doc_id", "source", "lang", "n_tokens",
+                            (F.col("_base") + F.col("_cum")).cast("long")
+                            .alias("cum_tokens"),
+                            F.floor((F.col("_base") + F.col("_cum")
+                                     - F.col("n_tokens"))
+                                    / float(token_budget))
+                            .cast("long").alias("shard_id")))
+        assigned.write.mode("append").parquet(out_path)
+
+        batch_totals = (toked.groupBy("source", "lang")
+                        .agg(F.sum("n_tokens").cast("long").alias("_add")))
+        new_state = (offsets.join(batch_totals, ["source", "lang"],
+                                  "full_outer")
+                     .select("source", "lang",
+                             (F.coalesce("base_tokens", F.lit(0))
+                              + F.coalesce("_add", F.lit(0))).cast("long")
+                             .alias("base_tokens"),
+                             F.lit(epoch_id).cast("long").alias("epoch")))
+        versioned.write_table(new_state, state_path)
+
+    return (incoming.writeStream.foreachBatch(fold)
+            .option("checkpointLocation", checkpoint)
+            .trigger(availableNow=True).start())
