@@ -80,6 +80,7 @@ def main() -> None:
 
     names = [n for n in HEADLINE if n in registry.QUERIES]
     timings: dict[str, float] = {}
+    builds: dict[str, float] = {}
     errors: dict[str, str] = {}
     for name in names:
         best = float("inf")
@@ -88,14 +89,19 @@ def main() -> None:
             # scan-cache/JIT variance AND the co-tenant noise that made
             # the committed r04 artifact disagree with the day's bests
             for _ in range(3):
-                # time build + execute: some builders run planning
-                # actions (two_phase_ordered's quantile probe, PPJoin's
-                # routing bound) or eager checkpoints — starting the
-                # clock after build would hide that work
-                t0 = time.perf_counter()
+                # the timed window stays execute-only for artifact
+                # comparability with BENCH_r01-r05; build time is
+                # recorded SEPARATELY because some builders now run
+                # planning actions (two_phase_ordered's quantile
+                # probe, PPJoin's routing bound) or eager checkpoints
+                # that would otherwise escape measurement
+                tb = time.perf_counter()
                 df = registry.QUERIES[name](spark, sf_dir)
+                build = time.perf_counter() - tb
+                t0 = time.perf_counter()
                 df.write.format("noop").mode("overwrite").save()
                 best = min(best, time.perf_counter() - t0)
+                builds[name] = round(min(builds.get(name, build), build), 3)
             timings[name] = round(best, 3)
         except Exception as exc:  # one broken query must not DNF the suite
             errors[name] = f"{type(exc).__name__}: {exc}"[:300]
@@ -114,6 +120,7 @@ def main() -> None:
         "value": None if errors else round(sum(timings.values()), 3),
         "unit": "sec",
         "queries": timings,
+        "build_sec": builds,
         "sf": sf_val,
     }
     if errors:
