@@ -119,6 +119,72 @@ def test_snapshot_diff_statuses_complete(spark, sf_smoke):
                    "unchanged": n - added - changed}
 
 
+def test_epoch_replication_invariants(spark, sf_smoke):
+    """Every doc appears exactly once; n_copies is floor(rate) or
+    floor(rate)+1; the realized per-source copy total tracks the
+    uniform target within the hash-sampling tolerance."""
+    from travel_data_pipeline_spark.queries_round7 import (
+        epoch_replication_plan,
+    )
+    from travel_data_pipeline_spark.sources.readers import load_table
+
+    rows = epoch_replication_plan(spark, sf_smoke).collect()
+    docs = load_table(spark, sf_smoke, "documents")
+    n = docs.count()
+    assert len(rows) == n
+    assert len({r.doc_id for r in rows}) == n
+    per = {}
+    for r in rows:
+        per.setdefault(r.source, []).append(r.n_copies)
+    k = len(per)
+    target = n / k
+    for src, copies in per.items():
+        rate = target / len(copies)
+        lo, hi = int(rate // 1), int(rate // 1) + 1
+        assert set(copies) <= {lo, hi}, (src, rate, set(copies))
+        # realized mean within +-0.15 of the fractional rate (hash
+        # sampling over >=100 docs per source at sf0.001)
+        assert abs(sum(copies) / len(copies) - rate) < 0.15, (src, rate)
+
+
+def test_epoch_replication_plan_shape(spark, sf_smoke):
+    """The rate table joins back by broadcast — the doc side must not
+    shuffle."""
+    from travel_data_pipeline_spark.queries_round7 import (
+        epoch_replication_plan,
+    )
+
+    plan = epoch_replication_plan(spark, sf_smoke) \
+        ._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    assert "BatchEvalPython" not in plan
+
+
+def test_padding_waste_audit_invariants(spark, sf_smoke):
+    """Buckets are 32-multiples capped at 256; bucketed padding never
+    exceeds naive padding; doc counts reconcile with the corpus."""
+    from travel_data_pipeline_spark.queries_round7 import (
+        _PAD_BUCKET,
+        _PAD_MAX_SEQ,
+        padding_waste_audit,
+    )
+    from travel_data_pipeline_spark.sources.readers import load_table
+
+    rows = padding_waste_audit(spark, sf_smoke).collect()
+    assert rows
+    total = load_table(spark, sf_smoke, "documents").count()
+    assert sum(r.n_docs for r in rows) == total
+    for r in rows:
+        assert r.bucket_top % _PAD_BUCKET == 0
+        assert 0 < r.bucket_top <= _PAD_MAX_SEQ
+        assert 0 <= r.tokens <= r.n_docs * r.bucket_top
+        assert r.bucketed_pad == r.n_docs * r.bucket_top - r.tokens
+        assert r.naive_pad == r.n_docs * _PAD_MAX_SEQ - r.tokens
+        assert r.bucketed_pad <= r.naive_pad
+        assert 0.0 <= r.bucketed_waste <= r.naive_waste < 1.0
+
+
 def test_k_anonymity_rowcounts_reconcile(spark, sf_smoke):
     """Per-lang rows sum to the corpus; risky rows live in risky
     groups; shares are within [0, 1]."""

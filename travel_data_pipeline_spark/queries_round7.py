@@ -26,6 +26,10 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from travel_data_pipeline_spark.functions.hashing import (
+    md5_long,
+    md5_long_sql,
+)
 from travel_data_pipeline_spark.functions.parity import round_sql
 from travel_data_pipeline_spark.operators import text
 from travel_data_pipeline_spark.registry import ORACLES, register
@@ -494,3 +498,127 @@ def revenue_decile_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
                  F.min("r").cast("double").alias("lo"),
                  F.max("r").cast("double").alias("hi"),
                  F.sum("r").cast("double").alias("revenue")))
+
+
+# ---------------------------------------------------------------------------
+# Epoch replication plan — the UPSAMPLING dual of
+# queries_round5.mixture_rebalance_plan: sources below the uniform
+# target get rate > 1, realized as floor(rate) full copies per doc
+# plus one extra copy for the md5-thresholded fraction of docs
+# (deterministic, rerun-stable — the sample_stratified_by_lang hash
+# discipline). Per-doc output so a writer can materialize epochs by
+# exploding n_copies; the fractional threshold is exact integer
+# arithmetic off an identically-spelled double rate.
+# ---------------------------------------------------------------------------
+
+_REP_HASH_SQL = md5_long_sql("'rep:' || CAST(doc_id AS VARCHAR)")
+
+
+@register("epoch_replication_plan", f"""
+WITH per_source AS (
+    SELECT source, count(*) AS n_docs FROM documents GROUP BY source
+),
+tot AS (
+    SELECT CAST(sum(n_docs) AS BIGINT) AS total,
+           CAST(count(*) AS BIGINT) AS k
+    FROM per_source
+),
+rated AS (
+    SELECT source, n_docs,
+           (CAST(total AS DOUBLE) / CAST(k AS DOUBLE))
+             / CAST(n_docs AS DOUBLE) AS rate
+    FROM per_source CROSS JOIN tot
+)
+SELECT d.doc_id, d.source,
+       CAST(floor(r.rate) +
+            CASE WHEN ({_REP_HASH_SQL} % 1000000)
+                      < CAST(floor((r.rate - floor(r.rate)) * 1000000)
+                             AS BIGINT)
+                 THEN 1 ELSE 0 END AS BIGINT) AS n_copies
+FROM documents d JOIN rated r USING (source)
+""")
+def epoch_replication_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc replication counts toward a uniform source mixture.
+    One grouped count + a broadcast of the (|sources|-row) rate table
+    back onto the corpus — the doc-side work is pure expressions."""
+    docs = load_table(spark, sf_dir, "documents")
+    per_source = docs.groupBy("source").agg(F.count("*").alias("n_docs"))
+    tot = per_source.agg(F.sum("n_docs").cast("long").alias("total"),
+                         F.count("*").cast("long").alias("k"))
+    rate = ((F.col("total").cast("double") / F.col("k").cast("double"))
+            / F.col("n_docs").cast("double"))
+    rated = (per_source.crossJoin(F.broadcast(tot))
+             .select("source", rate.alias("rate")))
+    h = md5_long(F.concat(F.lit("rep:"),
+                          F.col("doc_id").cast("string"))) % 1_000_000
+    frac_thresh = F.floor((F.col("rate") - F.floor("rate")) * 1_000_000) \
+        .cast("long")
+    n_copies = (F.floor("rate")
+                + F.when(h < frac_thresh, 1).otherwise(0)).cast("long")
+    return (docs.select("doc_id", "source")
+            .join(F.broadcast(rated), "source")
+            .select("doc_id", "source", n_copies.alias("n_copies")))
+
+
+# ---------------------------------------------------------------------------
+# Padding-waste audit — the training-efficiency readout: with a fixed
+# max sequence length, how many pad tokens does naive batching burn vs
+# length-bucketed batching (bucket width 32)? All integer token
+# arithmetic; the only doubles are the two waste shares.
+# ---------------------------------------------------------------------------
+
+_PAD_MAX_SEQ = 256
+_PAD_BUCKET = 32
+
+
+@register("padding_waste_audit", f"""
+WITH toked AS (
+    SELECT least(len(list_filter(string_split(
+               trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' '),
+               x -> x <> '')), {_PAD_MAX_SEQ}) AS n_tokens
+    FROM documents
+),
+bucketed AS (
+    SELECT n_tokens,
+           least(CAST(ceil(CAST(n_tokens AS DOUBLE) / {_PAD_BUCKET})
+                      AS BIGINT) * {_PAD_BUCKET}, {_PAD_MAX_SEQ})
+             AS bucket_top
+    FROM toked
+)
+SELECT bucket_top,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(SUM(n_tokens) AS BIGINT) AS tokens,
+       CAST(count(*) * {_PAD_MAX_SEQ} - SUM(n_tokens) AS BIGINT)
+         AS naive_pad,
+       CAST(count(*) * bucket_top - SUM(n_tokens) AS BIGINT)
+         AS bucketed_pad,
+       {round_sql(f"1.0 - CAST(SUM(n_tokens) AS DOUBLE)"
+                  f" / (count(*) * {_PAD_MAX_SEQ}.0)")} AS naive_waste,
+       {round_sql("1.0 - CAST(SUM(n_tokens) AS DOUBLE)"
+                  " / (count(*) * CAST(bucket_top AS DOUBLE))")}
+         AS bucketed_waste
+FROM bucketed GROUP BY bucket_top
+""")
+def padding_waste_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pad-token waste per 32-token length bucket, naive (pad to 256)
+    vs length-bucketed batching. One scan + one small groupBy."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.least(text.whitespace_token_count(F.col("text")),
+                   F.lit(_PAD_MAX_SEQ))
+    bucket_top = F.least(
+        F.ceil(toks.cast("double") / _PAD_BUCKET).cast("long") * _PAD_BUCKET,
+        F.lit(_PAD_MAX_SEQ))
+    b = docs.select(toks.alias("n_tokens"), bucket_top.alias("bucket_top"))
+    n, s = F.count("*"), F.sum("n_tokens")
+    return (b.groupBy("bucket_top")
+            .agg(n.cast("long").alias("n_docs"),
+                 s.cast("long").alias("tokens"),
+                 (n * _PAD_MAX_SEQ - s).cast("long").alias("naive_pad"),
+                 (n * F.col("bucket_top") - s).cast("long")
+                  .alias("bucketed_pad"),
+                 F.round(F.lit(1.0) - s.cast("double")
+                         / (n * float(_PAD_MAX_SEQ)), 6)
+                  .alias("naive_waste"),
+                 F.round(F.lit(1.0) - s.cast("double")
+                         / (n * F.col("bucket_top").cast("double")), 6)
+                  .alias("bucketed_waste")))
