@@ -185,6 +185,93 @@ def test_padding_waste_audit_invariants(spark, sf_smoke):
         assert 0.0 <= r.bucketed_waste <= r.naive_waste < 1.0
 
 
+def test_bpe_merge_candidates_vs_python(spark, sf_smoke):
+    """Pure-python recount of adjacent pairs on the raw corpus must
+    reproduce the Spark top-20 exactly (counts AND tie order)."""
+    import re
+    from collections import Counter
+
+    from travel_data_pipeline_spark.queries_round7 import (
+        bpe_merge_candidates,
+    )
+    from travel_data_pipeline_spark.sources.readers import load_table
+
+    texts = [r.text for r in
+             load_table(spark, sf_smoke, "documents").select("text")
+             .collect()]
+    c: Counter = Counter()
+    for t in texts:
+        toks = [x for x in re.sub(r"\s+", " ", t.lower()).strip().split(" ")
+                if x]
+        c.update(f"{a} {b}" for a, b in zip(toks, toks[1:]))
+    want = sorted(c.items(), key=lambda kv: (-kv[1], kv[0]))[:20]
+    got = [(r.pair, r.n_pairs)
+           for r in bpe_merge_candidates(spark, sf_smoke).collect()]
+    assert got == want
+
+
+def test_source_quality_quartiles_reconcile(spark, sf_smoke):
+    """Quartile sizes differ by <= 1 globally; per-source shares sum
+    to 1; doc counts reconcile with the corpus."""
+    from travel_data_pipeline_spark.queries_round7 import (
+        source_quality_quartiles,
+    )
+    from travel_data_pipeline_spark.sources.readers import load_table
+
+    rows = source_quality_quartiles(spark, sf_smoke).collect()
+    total = load_table(spark, sf_smoke, "documents").count()
+    assert sum(r.n_docs for r in rows) == total
+    by_q: dict[int, int] = {}
+    by_src: dict[str, float] = {}
+    for r in rows:
+        assert r.quartile in (0, 1, 2, 3)
+        by_q[r.quartile] = by_q.get(r.quartile, 0) + r.n_docs
+        by_src[r.source] = by_src.get(r.source, 0.0) + r.share
+    assert max(by_q.values()) - min(by_q.values()) <= 1
+    for src, s in by_src.items():
+        assert abs(s - 1.0) < 1e-4, (src, s)
+
+
+def test_threshold_sweep_monotone(spark, sf_smoke):
+    """Raising the threshold can only shrink the kept set: tp and fp
+    are non-increasing in thr, fn non-decreasing; recall at the lowest
+    threshold is maximal."""
+    from travel_data_pipeline_spark.queries_round7 import (
+        classifier_threshold_sweep,
+    )
+
+    rows = sorted(classifier_threshold_sweep(spark, sf_smoke).collect(),
+                  key=lambda r: r.thr)
+    assert len(rows) == 7
+    for lo, hi in zip(rows, rows[1:]):
+        assert hi.tp <= lo.tp
+        assert hi.fp <= lo.fp
+        assert hi.fn >= lo.fn
+    n_true = rows[0].tp + rows[0].fn
+    for r in rows:
+        assert r.tp + r.fn == n_true  # truth is threshold-independent
+
+
+def test_shuffle_block_mixing_blocks_reconcile(spark, sf_smoke):
+    """Block sizes are exactly 100 except one remainder block; block
+    count reconciles with ceil(n/100)."""
+    import math
+
+    from travel_data_pipeline_spark.queries_round7 import (
+        _SHUF_BLOCK,
+        shuffle_block_mixing,
+    )
+    from travel_data_pipeline_spark.sources.readers import load_table
+
+    rows = shuffle_block_mixing(spark, sf_smoke).collect()
+    n = load_table(spark, sf_smoke, "documents").count()
+    assert sum(r.n_blocks for r in rows) == math.ceil(n / _SHUF_BLOCK)
+    assert max(r.max_docs for r in rows) <= _SHUF_BLOCK
+    # every full block holds _SHUF_BLOCK docs; at most one remainder
+    small = [r for r in rows if r.min_docs < _SHUF_BLOCK]
+    assert len(small) <= 1
+
+
 def test_k_anonymity_rowcounts_reconcile(spark, sf_smoke):
     """Per-lang rows sum to the corpus; risky rows live in risky
     groups; shares are within [0, 1]."""

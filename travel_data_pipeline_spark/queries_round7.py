@@ -622,3 +622,304 @@ def padding_waste_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
                  F.round(F.lit(1.0) - s.cast("double")
                          / (n * F.col("bucket_top").cast("double")), 6)
                   .alias("bucketed_waste")))
+
+
+# ---------------------------------------------------------------------------
+# BPE merge candidates — step 1 of tokenizer induction: the most
+# frequent ADJACENT token pairs across the corpus (the pair a BPE
+# trainer would merge next). Pairs come from zipping each token array
+# with its own tail — no self-join, no positional explode+rejoin; the
+# per-doc work is a single generator expression and the corpus-wide
+# work is one count aggregation + a TakeOrderedAndProject top-20
+# (total order: count DESC, pair ASC).
+# ---------------------------------------------------------------------------
+
+_NORM7 = "trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))"
+
+
+@register("bpe_merge_candidates", f"""
+WITH toks AS (
+    SELECT list_filter(string_split({_NORM7}, ' '), x -> x <> '') AS t
+    FROM documents
+),
+pairs AS (
+    SELECT unnest(list_transform(range(1, len(t)),
+                                 i -> t[i] || ' ' || t[i + 1])) AS pair
+    FROM toks WHERE len(t) >= 2
+)
+SELECT pair, CAST(count(*) AS BIGINT) AS n_pairs
+FROM pairs GROUP BY pair
+ORDER BY n_pairs DESC, pair
+LIMIT 20
+""")
+def bpe_merge_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 adjacent-token pairs by corpus frequency — the next-merge
+    ranking a BPE trainer computes each iteration. One scan, one
+    shuffle (pair counts), partial top-k on the way out."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = text.token_array(F.col("text"))
+    withp = (docs.select(toks.alias("t"))
+             .filter(F.size("t") >= 2)
+             .select(F.zip_with(
+                 F.slice("t", F.lit(1), F.size("t") - 1),
+                 F.slice("t", F.lit(2), F.size("t") - 1),
+                 lambda a, b: F.concat(a, F.lit(" "), b)).alias("pairs")))
+    return (withp.select(F.explode("pairs").alias("pair"))
+            .groupBy("pair").agg(F.count("*").cast("long").alias("n_pairs"))
+            .orderBy(F.desc("n_pairs"), F.asc("pair"))
+            .limit(20))
+
+
+# ---------------------------------------------------------------------------
+# Source quality quartiles — which sources contribute the good data:
+# each doc's GLOBAL quality quartile (by the frozen logistic logit of
+# quality_classifier_logistic), crossed with its source. The global
+# rank is two-phase (operators/windows.two_phase_ordered) — never a
+# partitionless window; quartile = exact integer (i-1)*4 div n.
+# ---------------------------------------------------------------------------
+
+_SQQ_FEATS_SQL = f"""
+feats AS (
+    SELECT doc_id, source,
+           length(text) AS n_chars,
+           length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS alpha_chars,
+           length(text) - length(regexp_replace(text,
+               '[.,;:!?''"()\\[\\]{{}}]', '', 'g')) AS punct_chars
+    FROM documents
+),
+scored AS (
+    SELECT doc_id, source,
+           {round_sql(f"-2.0 + 3.5 * round(alpha_chars / GREATEST(n_chars, 1), 6)"
+                      f" - 6.0 * round(punct_chars / GREATEST(n_chars, 1), 6)"
+                      f" + 0.9 * round(log10(CAST(n_chars AS DOUBLE) + 1.0), 6)")}
+             + 0.0 AS logit
+    FROM feats
+)"""
+
+
+@register("source_quality_quartiles", f"""
+WITH {_SQQ_FEATS_SQL},
+ranked AS (
+    SELECT source,
+           row_number() OVER (ORDER BY logit, doc_id) AS i,
+           count(*) OVER () AS n
+    FROM scored
+),
+g AS (
+    SELECT source, (i - 1) * 4 // n AS quartile, count(*) AS c
+    FROM ranked GROUP BY 1, 2
+),
+t AS (SELECT source, SUM(c) AS tot FROM g GROUP BY source)
+SELECT g.source, CAST(quartile AS BIGINT) AS quartile,
+       CAST(c AS BIGINT) AS n_docs,
+       {round_sql("c / CAST(tot AS DOUBLE)")} AS share
+FROM g JOIN t ON g.source = t.source
+""")
+def source_quality_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source mix of GLOBAL quality quartiles (3-feature frozen
+    logit, no-token variant — pure length/regexp projections). Rank is
+    two-phase; everything after is bounded by |sources| x 4."""
+    from travel_data_pipeline_spark.operators.windows import (
+        two_phase_ordered,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    n_chars = F.length("text")
+    alpha = F.length(F.regexp_replace("text", "[^A-Za-z]", ""))
+    punct = n_chars - F.length(
+        F.regexp_replace("text", r"""[.,;:!?'"()\[\]{}]""", ""))
+    logit = F.round(
+        F.lit(-2.0)
+        + F.lit(3.5) * F.round(alpha / F.greatest(n_chars, F.lit(1)), 6)
+        - F.lit(6.0) * F.round(punct / F.greatest(n_chars, F.lit(1)), 6)
+        + F.lit(0.9) * F.round(F.log10(n_chars.cast("double") + F.lit(1.0)),
+                               6), 6) + F.lit(0.0)
+    scored = docs.select("doc_id", "source", logit.alias("logit"))
+    ranked = two_phase_ordered(
+        scored, [F.col("logit").asc(), F.col("doc_id").asc()],
+        F.col("logit") + F.col("doc_id") / F.lit(1e18), rank_col="i")
+    n = scored.agg(F.count("*").alias("n"))
+    g = (ranked.crossJoin(F.broadcast(n))
+         .select("source",
+                 F.expr("((i - 1) * 4) div n").cast("long").alias("quartile"))
+         .groupBy("source", "quartile")
+         .agg(F.count("*").alias("c")))
+    tot = g.groupBy("source").agg(F.sum("c").alias("tot"))
+    return (g.join(F.broadcast(tot), "source")
+            .select("source", "quartile",
+                    F.col("c").cast("long").alias("n_docs"),
+                    F.round(F.col("c") / F.col("tot").cast("double"), 6)
+                     .alias("share")))
+
+
+# ---------------------------------------------------------------------------
+# Classifier threshold sweep — the operating-point table for the
+# quality filter: precision/recall/F1 at 7 fixed logit thresholds.
+# One corpus scan broadcast-crossed with the 7-row grid, then a
+# map-side-combinable conditional aggregation. Degenerate cells
+# (tp+fp = 0 or tp+fn = 0) branch to NULL EXPLICITLY in both engines
+# (Spark non-ANSI x/0 -> NULL vs DuckDB inf would otherwise diverge).
+# ---------------------------------------------------------------------------
+
+_THR = ("-1.5", "-1.0", "-0.5", "0.0", "0.5", "1.0", "1.5")
+
+
+@register("classifier_threshold_sweep", f"""
+WITH feats AS (
+    SELECT doc_id,
+           length(text) AS n_chars,
+           length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS alpha_chars,
+           len(list_filter(string_split({_NORM7}, ' '), x -> x <> ''))
+               AS n_tokens
+    FROM documents
+),
+x AS (
+    SELECT doc_id,
+           {round_sql("alpha_chars / GREATEST(n_chars, 1)")} AS alpha_ratio,
+           {round_sql("(n_chars - alpha_chars) / GREATEST(n_chars, 1)")}
+             AS sym_ratio,
+           {round_sql("alpha_chars / GREATEST(n_tokens, 1)")}
+             AS mean_word_len,
+           {round_sql("log10(CAST(n_chars AS DOUBLE) + 1.0)")} AS log_len,
+           n_tokens
+    FROM feats
+),
+judged AS (
+    SELECT {round_sql("-2.0 + 3.5 * alpha_ratio - 6.0 * (1.0 - alpha_ratio)"
+                      " + 0.08 * mean_word_len + 0.9 * log_len")} + 0.0
+             AS score,
+           (n_tokens >= 10 AND mean_word_len <= 12.0
+            AND sym_ratio <= 0.35) AS truth
+    FROM x
+),
+grid AS (SELECT unnest([{', '.join(_THR)}]) AS thr),
+cells AS (
+    SELECT thr,
+      CAST(SUM(CASE WHEN score >= thr AND truth THEN 1 ELSE 0 END)
+           AS BIGINT) AS tp,
+      CAST(SUM(CASE WHEN score >= thr AND NOT truth THEN 1 ELSE 0 END)
+           AS BIGINT) AS fp,
+      CAST(SUM(CASE WHEN score < thr AND truth THEN 1 ELSE 0 END)
+           AS BIGINT) AS fn
+    FROM judged CROSS JOIN grid GROUP BY thr
+)
+SELECT CAST(thr AS DOUBLE) AS thr, tp, fp, fn,
+       CASE WHEN tp + fp = 0 THEN NULL
+            ELSE {round_sql("CAST(tp AS DOUBLE) / (tp + fp)")} END
+         AS precision,
+       CASE WHEN tp + fn = 0 THEN NULL
+            ELSE {round_sql("CAST(tp AS DOUBLE) / (tp + fn)")} END
+         AS recall,
+       CASE WHEN 2 * tp + fp + fn = 0 THEN NULL
+            ELSE {round_sql("2.0 * tp / CAST(2 * tp + fp + fn AS DOUBLE)")}
+            END AS f1
+FROM cells
+""")
+def classifier_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Precision/recall/F1 of the frozen quality scorer at 7 logit
+    thresholds (the eval-score spelling of classifier_eval_metrics,
+    raw corpus). Broadcast 7-row grid x one scan; output is 7 rows."""
+    docs = load_table(spark, sf_dir, "documents")
+    norm = F.trim(F.regexp_replace(F.lower("text"), r"\s+", " "))
+    toks = F.filter(F.split(norm, " "), lambda x: x != "")
+    n_chars = F.length("text")
+    alpha = F.length(F.regexp_replace("text", "[^A-Za-z]", ""))
+    n_tokens = F.size(toks)
+    alpha_ratio = F.round(alpha / F.greatest(n_chars, F.lit(1)), 6)
+    sym_ratio = F.round((n_chars - alpha) / F.greatest(n_chars, F.lit(1)), 6)
+    mwl = F.round(alpha / F.greatest(n_tokens, F.lit(1)), 6)
+    log_len = F.round(F.log10(n_chars.cast("double") + F.lit(1.0)), 6)
+    score = F.round(F.lit(-2.0) + F.lit(3.5) * alpha_ratio
+                    - F.lit(6.0) * (F.lit(1.0) - alpha_ratio)
+                    + F.lit(0.08) * mwl + F.lit(0.9) * log_len, 6) \
+        + F.lit(0.0)
+    truth = (n_tokens >= 10) & (mwl <= 12.0) & (sym_ratio <= 0.35)
+    judged = docs.select(score.alias("score"), truth.alias("truth"))
+    grid = spark.createDataFrame([(float(t),) for t in _THR], ["thr"])
+    hit = F.col("score") >= F.col("thr")
+    cells = (judged.crossJoin(F.broadcast(grid))
+             .groupBy("thr")
+             .agg(F.sum(F.when(hit & F.col("truth"), 1).otherwise(0))
+                   .cast("long").alias("tp"),
+                  F.sum(F.when(hit & ~F.col("truth"), 1).otherwise(0))
+                   .cast("long").alias("fp"),
+                  F.sum(F.when(~hit & F.col("truth"), 1).otherwise(0))
+                   .cast("long").alias("fn")))
+    tp, fp, fn = F.col("tp"), F.col("fp"), F.col("fn")
+    return cells.select(
+        F.col("thr").cast("double"), "tp", "fp", "fn",
+        F.when(tp + fp == 0, F.lit(None).cast("double"))
+         .otherwise(F.round(tp.cast("double") / (tp + fp), 6))
+         .alias("precision"),
+        F.when(tp + fn == 0, F.lit(None).cast("double"))
+         .otherwise(F.round(tp.cast("double") / (tp + fn), 6))
+         .alias("recall"),
+        F.when(2 * tp + fp + fn == 0, F.lit(None).cast("double"))
+         .otherwise(F.round(F.lit(2.0) * tp
+                            / (2 * tp + fp + fn).cast("double"), 6))
+         .alias("f1"))
+
+
+# ---------------------------------------------------------------------------
+# Shuffle block mixing — audits the deterministic training-order
+# shuffle: docs ordered by md5('shuf:'||doc_id) are cut into
+# 100-doc blocks; a well-mixed shuffle gives every block many distinct
+# sources. Global order again via the two-phase rank (the md5 key cast
+# to double is monotone along the order, so it buckets exactly);
+# output is the tiny histogram blocks-per-distinct-source-count.
+# ---------------------------------------------------------------------------
+
+_SHUF_BLOCK = 100
+_SHUF_HASH_SQL = md5_long_sql("'shuf:' || CAST(doc_id AS VARCHAR)")
+
+
+@register("shuffle_block_mixing", f"""
+WITH h AS (
+    SELECT doc_id, source, {_SHUF_HASH_SQL} AS hk FROM documents
+),
+ranked AS (
+    SELECT source,
+           (row_number() OVER (ORDER BY hk, doc_id) - 1) // {_SHUF_BLOCK}
+             AS block
+    FROM h
+),
+per_block AS (
+    SELECT block, count(DISTINCT source) AS n_sources,
+           count(*) AS n_docs
+    FROM ranked GROUP BY block
+)
+SELECT CAST(n_sources AS BIGINT) AS n_sources,
+       CAST(count(*) AS BIGINT) AS n_blocks,
+       CAST(min(n_docs) AS BIGINT) AS min_docs,
+       CAST(max(n_docs) AS BIGINT) AS max_docs
+FROM per_block GROUP BY n_sources
+""")
+def shuffle_block_mixing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct-source histogram over 100-doc blocks of the
+    hash-shuffled training order. Two-phase global rank; per-block
+    distinct is bounded by |sources|."""
+    from travel_data_pipeline_spark.operators.windows import (
+        two_phase_ordered,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    h = docs.select(
+        "doc_id", "source",
+        md5_long(F.concat(F.lit("shuf:"),
+                          F.col("doc_id").cast("string"))).alias("hk"))
+    ranked = two_phase_ordered(
+        h, [F.col("hk").asc(), F.col("doc_id").asc()],
+        F.col("hk").cast("double"), rank_col="i")
+    per_block = (ranked
+                 .select("source",
+                         F.expr(f"((i - 1)) div {_SHUF_BLOCK}")
+                          .alias("block"))
+                 .groupBy("block")
+                 .agg(F.countDistinct("source").alias("n_sources"),
+                      F.count("*").alias("n_docs")))
+    return (per_block.groupBy("n_sources")
+            .agg(F.count("*").cast("long").alias("n_blocks"),
+                 F.min("n_docs").cast("long").alias("min_docs"),
+                 F.max("n_docs").cast("long").alias("max_docs"))
+            .select(F.col("n_sources").cast("long"), "n_blocks",
+                    "min_docs", "max_docs"))
