@@ -689,9 +689,10 @@ feats AS (
 ),
 scored AS (
     SELECT doc_id, source,
-           {round_sql(f"-2.0 + 3.5 * round(alpha_chars / GREATEST(n_chars, 1), 6)"
-                      f" - 6.0 * round(punct_chars / GREATEST(n_chars, 1), 6)"
-                      f" + 0.9 * round(log10(CAST(n_chars AS DOUBLE) + 1.0), 6)")}
+           {round_sql(
+               f"-2.0 + 3.5 * {round_sql('alpha_chars / GREATEST(n_chars, 1)')}"
+               f" - 6.0 * {round_sql('punct_chars / GREATEST(n_chars, 1)')}"
+               f" + 0.9 * {round_sql('log10(CAST(n_chars AS DOUBLE) + 1.0)')}")}
              + 0.0 AS logit
     FROM feats
 )"""
