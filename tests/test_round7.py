@@ -272,6 +272,31 @@ def test_shuffle_block_mixing_blocks_reconcile(spark, sf_smoke):
     assert len(small) <= 1
 
 
+def test_langid_confusion_reconciles_with_langid(spark, sf_smoke):
+    """Confusion cells must recount text_lang_id's per-doc predictions
+    joined to the truth label; per-truth shares sum to 1."""
+    from travel_data_pipeline_spark.operators import text
+    from travel_data_pipeline_spark.queries_round7 import (
+        langid_confusion_matrix,
+    )
+    from travel_data_pipeline_spark.sources.readers import load_table
+
+    docs = load_table(spark, sf_smoke, "documents")
+    per_doc = (text.language_id(docs)
+               .join(docs.select("doc_id", "lang"), "doc_id"))
+    want: dict[tuple, int] = {}
+    for r in per_doc.collect():
+        want[(r.lang, r.pred_lang)] = want.get((r.lang, r.pred_lang), 0) + 1
+    rows = langid_confusion_matrix(spark, sf_smoke).collect()
+    got = {(r.lang, r.pred_lang): r.n_docs for r in rows}
+    assert got == want
+    by_truth: dict[str, float] = {}
+    for r in rows:
+        by_truth[r.lang] = by_truth.get(r.lang, 0.0) + r.share
+    for lang, s in by_truth.items():
+        assert abs(s - 1.0) < 1e-4, (lang, s)
+
+
 def test_k_anonymity_rowcounts_reconcile(spark, sf_smoke):
     """Per-lang rows sum to the corpus; risky rows live in risky
     groups; shares are within [0, 1]."""

@@ -47,6 +47,21 @@ def stopword_hits(text: Column, lang: str) -> Column:
                            lambda t: t.isin(*[F.lit(w) for w in words])))
 
 
+def language_pred(t: Column) -> Column:
+    """The language-ID decision column: argmax of per-language
+    stopword hits ('und' when no list scores). First-declared language
+    wins ties — the when-chain mirrors the oracle CASE order."""
+    hits = [(lang, stopword_hits(t, lang)) for lang in STOPWORDS]
+    # argmax via greatest over structs (score, -lang ordinal) is clumsy;
+    # a when-chain over the 5 fixed languages stays a flat expression.
+    best_score = F.greatest(*[h for _, h in hits])
+    pred = F.lit("und")
+    for lang, h in reversed(list(hits)):
+        pred = F.when((best_score > 0) & (h == best_score),
+                      F.lit(lang)).otherwise(pred)
+    return pred
+
+
 def language_id(docs: DataFrame, text_col: str = "text",
                 id_col: str = "doc_id") -> DataFrame:
     """Heuristic language-ID: argmax of per-language stopword-hit ratio;
@@ -56,16 +71,10 @@ def language_id(docs: DataFrame, text_col: str = "text",
     """
     t = F.col(text_col)
     n_tokens = whitespace_token_count(t)
-    hits = [(lang, stopword_hits(t, lang)) for lang in STOPWORDS]
-    # argmax via greatest over structs (score, -lang ordinal) is clumsy;
-    # a when-chain over the 5 fixed languages stays a flat expression.
-    best_score = F.greatest(*[h for _, h in hits])
-    pred = F.lit("und")
-    for lang, h in reversed(list(hits)):
-        pred = F.when((best_score > 0) & (h == best_score), F.lit(lang)).otherwise(pred)
+    best_score = F.greatest(*[stopword_hits(t, lang) for lang in STOPWORDS])
     return docs.select(
         F.col(id_col), F.col(text_col),
-        pred.alias("pred_lang"),
+        language_pred(t).alias("pred_lang"),
         F.round(best_score / F.greatest(n_tokens, F.lit(1)), 6)
          .alias("stopword_ratio"),
     )

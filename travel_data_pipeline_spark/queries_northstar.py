@@ -583,13 +583,23 @@ def _stop_list_sql(lang: str) -> str:
     return "[" + ", ".join(f"'{w}'" for w in text.STOPWORDS[lang]) + "]"
 
 
+def lang_pred_case_sql() -> str:
+    """DuckDB spelling of operators/text.language_pred (argmax stopword
+    hits over a ``toks`` list column; same tie order as the Spark
+    when-chain)."""
+    hits = {lang: f"len(list_filter(toks, x -> list_contains({_stop_list_sql(lang)}, x)))"
+            for lang in text.STOPWORDS}
+    best = "GREATEST(" + ", ".join(hits.values()) + ")"
+    return "CASE " + " ".join(
+        f"WHEN {best} > 0 AND {h} = {best} THEN '{lang}'"
+        for lang, h in hits.items()) + " ELSE 'und' END"
+
+
 def _lang_sql() -> str:
     hits = {lang: f"len(list_filter(toks, x -> list_contains({_stop_list_sql(lang)}, x)))"
             for lang in text.STOPWORDS}
     best = "GREATEST(" + ", ".join(hits.values()) + ")"
-    case = "CASE " + " ".join(
-        f"WHEN {best} > 0 AND {h} = {best} THEN '{lang}'"
-        for lang, h in hits.items()) + " ELSE 'und' END"
+    case = lang_pred_case_sql()
     return f"""
 WITH toked AS (
     SELECT doc_id, text,

@@ -924,3 +924,57 @@ def shuffle_block_mixing(spark: SparkSession, sf_dir: str) -> DataFrame:
                  F.max("n_docs").cast("long").alias("max_docs"))
             .select(F.col("n_sources").cast("long"), "n_blocks",
                     "min_docs", "max_docs"))
+
+
+# ---------------------------------------------------------------------------
+# Language-ID confusion matrix — evaluates the stopword-argmax
+# language identifier against the corpus's ground-truth `lang` label:
+# (truth, prediction) counts plus per-truth recall shares. The
+# quality readout that decides whether the cheap heuristic is safe to
+# filter on. One projection pass + one bounded (|langs|^2) groupBy.
+# ---------------------------------------------------------------------------
+
+
+def _langid_confusion_sql() -> str:
+    from travel_data_pipeline_spark.queries_northstar import (
+        lang_pred_case_sql,
+    )
+    return f"""
+WITH toked AS (
+    SELECT lang,
+           list_filter(string_split(
+               trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' '),
+               x -> x <> '') AS toks
+    FROM documents
+),
+pred AS (
+    SELECT lang, {lang_pred_case_sql()} AS pred_lang FROM toked
+),
+cells AS (
+    SELECT lang, pred_lang, count(*) AS c
+    FROM pred GROUP BY lang, pred_lang
+),
+t AS (SELECT lang, SUM(c) AS tot FROM cells GROUP BY lang)
+SELECT cells.lang, pred_lang, CAST(c AS BIGINT) AS n_docs,
+       {round_sql("c / CAST(tot AS DOUBLE)")} AS share
+FROM cells JOIN t ON cells.lang = t.lang
+"""
+
+
+@register("langid_confusion_matrix", _langid_confusion_sql())
+def langid_confusion_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(truth lang, predicted lang) confusion cells with per-truth
+    recall shares. Pure-expression prediction; output bounded by
+    |langs|^2."""
+    docs = load_table(spark, sf_dir, "documents")
+    cells = (docs.select("lang",
+                         text.language_pred(F.col("text"))
+                          .alias("pred_lang"))
+             .groupBy("lang", "pred_lang")
+             .agg(F.count("*").alias("c")))
+    tot = cells.groupBy("lang").agg(F.sum("c").alias("tot"))
+    return (cells.join(F.broadcast(tot), "lang")
+            .select("lang", "pred_lang",
+                    F.col("c").cast("long").alias("n_docs"),
+                    F.round(F.col("c") / F.col("tot").cast("double"), 6)
+                     .alias("share")))
