@@ -62,6 +62,9 @@ HEADLINE = [
     "abc_pareto_classes",
     "attribution_multi_touch",
     "contamination_bloom_prefilter",
+    # round-6 late: two-phase global quartiles over the corpus-scaled
+    # documents relation (the doc-side sibling of abc_pareto's shape)
+    "source_quality_quartiles",
 ]
 
 

@@ -297,6 +297,34 @@ def test_langid_confusion_reconciles_with_langid(spark, sf_smoke):
         assert abs(s - 1.0) < 1e-4, (lang, s)
 
 
+def test_bpe_train_overlap_and_tiebreak(spark):
+    """Leftmost-greedy non-overlap: 'a a a' yields ONE merged pair +
+    one leftover; ties break on the pair string ascending; later
+    rounds count merged tokens as single units."""
+    from travel_data_pipeline_spark.queries_round7 import (
+        _BPE_SEP,
+        _bpe_train,
+    )
+
+    docs = spark.createDataFrame(
+        [(["a", "a", "a"],),          # (a,a) x2 raw adjacency
+         (["a", "a"],),               # (a,a)
+         (["b", "c"],), (["b", "c"],), (["b", "a"],)],
+        "t array<string>")
+    got = _bpe_train(docs, n_merges=3)
+    # round 1: raw counts (a,a)=3, (b,c)=2, (b,a)=1; the merge applied
+    # to 'a a a' is leftmost-greedy -> [a▁a, a], not a double merge
+    assert got[0] == (1, "a a", 3)
+    # round 2: docs now [[aa,a],[aa],[b,c],[b,c],[b,a]]:
+    # (b,c)=2 wins over (aa,a)=1 and (b,a)=1
+    assert got[1] == (2, "b c", 2)
+    # round 3: remaining pairs ('a▁a a')=1 and ('b a')=1 ->
+    # 'a▁a a' vs 'b a': '▁' sorts above ascii so 'b a' is smaller
+    aa = "a" + _BPE_SEP + "a"
+    assert got[2] == (3, min(f"{aa} a", "b a"), 1)
+    assert len(got) == 3
+
+
 def test_k_anonymity_rowcounts_reconcile(spark, sf_smoke):
     """Per-lang rows sum to the corpus; risky rows live in risky
     groups; shares are within [0, 1]."""

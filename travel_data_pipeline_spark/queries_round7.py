@@ -978,3 +978,141 @@ def langid_confusion_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
                     F.col("c").cast("long").alias("n_docs"),
                     F.round(F.col("c") / F.col("tot").cast("double"), 6)
                      .alias("share")))
+
+
+# ---------------------------------------------------------------------------
+# Iterative BPE merge training — the 5-round extension of
+# bpe_merge_candidates: each round counts adjacent pairs, takes the
+# global argmax (count DESC, pair ASC — a total order), and applies
+# the merge corpus-wide as a leftmost-greedy non-overlapping fold
+# (pure JVM higher-order aggregate, no UDF). The loop follows the
+# kmeans/connected-components driver-iteration discipline: persist the
+# current token relation, materialize the next via the round's count
+# action, unpersist with lag 1. Oracle is LAZY (iterative training is
+# not SQL-expressible): an independent pure-python BPE over the same
+# parquet rendered as a VALUES literal — exact integer counts and
+# strings, no float parity surface.
+# ---------------------------------------------------------------------------
+
+_BPE_TRAIN_MERGES = 5
+_BPE_SEP = "▁"
+
+
+def _adjacent_pairs(col):
+    """'a b' strings for each adjacent token pair (tokens are
+    space-free, so the join is unambiguous)."""
+    return F.zip_with(
+        F.slice(col, F.lit(1), F.size(col) - 1),
+        F.slice(col, F.lit(2), F.size(col) - 1),
+        lambda a, b: F.concat(a, F.lit(" "), b))
+
+
+def _merge_fold(arr, a: str, b: str):
+    """Leftmost-greedy non-overlapping merge of adjacent (a, b) into
+    a single token. try_element_at keeps the empty-accumulator probe
+    NULL-safe under ANSI mode."""
+    merged = F.lit(a + _BPE_SEP + b)
+    return F.aggregate(
+        arr, F.expr("cast(array() as array<string>)"),
+        lambda acc, t: F.when(
+            (F.try_element_at(acc, F.lit(-1)) == F.lit(a))
+            & (t == F.lit(b)),
+            F.concat(F.slice(acc, F.lit(1), F.size(acc) - 1),
+                     F.array(merged))
+        ).otherwise(F.concat(acc, F.array(t))))
+
+
+def _bpe_train(tokens_df: DataFrame,
+               n_merges: int = _BPE_TRAIN_MERGES) -> list[tuple]:
+    """Run the merge loop over a one-column ``t: array<string>`` frame;
+    returns [(rank, 'a b', count), ...]."""
+    cur = tokens_df.persist()
+    prev = None
+    out: list[tuple] = []
+    try:
+        for rank in range(1, n_merges + 1):
+            top = (cur.select(F.explode(_adjacent_pairs(F.col("t")))
+                              .alias("pair"))
+                   .groupBy("pair").agg(F.count("*").alias("n"))
+                   .orderBy(F.desc("n"), F.asc("pair")).limit(1).collect())
+            if prev is not None:
+                prev.unpersist()
+            if not top:
+                break
+            pair, n = top[0]["pair"], int(top[0]["n"])
+            out.append((rank, pair, n))
+            a, b = pair.split(" ")
+            prev, cur = cur, (cur.select(_merge_fold(F.col("t"), a, b)
+                                         .alias("t")).persist())
+    finally:
+        cur.unpersist()
+        if prev is not None:
+            prev.unpersist()
+    return out
+
+
+def _bpe_train_oracle() -> str:
+    """LAZY oracle: independent pure-python BPE straight off the
+    oracle-SF parquet (same normalize/tokenize, same greedy
+    non-overlapping merge, tie-break on the JOINED 'a b' string to
+    mirror Spark's pair-string ordering), rendered as VALUES."""
+    import os
+    import re
+    from collections import Counter
+
+    import duckdb
+
+    sf_dir = os.environ.get("SPARK_GRAFT_ORACLE_SF", "/root/testdata/sf0.01")
+    con = duckdb.connect()
+    texts = [t[0] for t in con.execute(
+        "SELECT text FROM "
+        f"read_parquet('{sf_dir}/documents.parquet')").fetchall()]
+    con.close()
+    docs = []
+    for t in texts:
+        toks = [x for x in
+                re.sub(r"\s+", " ", t.lower()).strip().split(" ") if x]
+        if len(toks) >= 2:
+            docs.append(toks)
+    values = []
+    for rank in range(1, _BPE_TRAIN_MERGES + 1):
+        c: Counter = Counter()
+        for toks in docs:
+            c.update(zip(toks, toks[1:]))
+        if not c:
+            break
+        (a, b), n = min(c.items(),
+                        key=lambda kv: (-kv[1], kv[0][0] + " " + kv[0][1]))
+        values.append((rank, (a + " " + b).replace("'", "''"), n))
+        m = a + _BPE_SEP + b
+        nxt = []
+        for toks in docs:
+            out: list = []
+            for t in toks:
+                if out and out[-1] == a and t == b:
+                    out[-1] = m
+                else:
+                    out.append(t)
+            nxt.append(out)
+        docs = nxt
+    if not values:
+        return ("SELECT CAST(0 AS BIGINT) AS merge_rank, '' AS pair, "
+                "CAST(0 AS BIGINT) AS n_pairs WHERE 1 = 0")
+    body = ",\n".join(f"(CAST({r} AS BIGINT), '{p}', CAST({n} AS BIGINT))"
+                      for r, p, n in values)
+    return (f"SELECT * FROM (VALUES\n{body}\n) "
+            "AS t(merge_rank, pair, n_pairs)")
+
+
+@register("bpe_train_merges", _bpe_train_oracle)
+def bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First 5 BPE merges learned from the corpus (pair, frequency at
+    merge time). Iterative driver loop — one pair-count shuffle per
+    round over the persisted token relation; the merge itself is a
+    per-row JVM fold, no shuffle."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = (docs.select(text.token_array(F.col("text")).alias("t"))
+            .filter(F.size("t") >= 2))
+    rows = _bpe_train(toks)
+    return spark.createDataFrame(
+        rows, "merge_rank long, pair string, n_pairs long")
