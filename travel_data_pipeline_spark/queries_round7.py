@@ -15,6 +15,14 @@ gaps per VERDICT r05 #5, continuing the LLM-pipeline mandate:
   expressed as per-user window passes, never a purchases x touches
   self-join.
 
+Later round-6 waves extend the batch with snapshot diffing,
+k-anonymity, two-phase global ntiles (revenue deciles, source quality
+quartiles, shuffle block mixing), mixture/epoch planning
+(epoch_replication_plan, padding_waste_audit), tokenizer induction
+(bpe_merge_candidates and the iterative bpe_train_merges), and filter
+evaluation (classifier_threshold_sweep, langid_confusion_matrix) —
+each section carries its own scale-shape note.
+
 Same discipline as every other module: exact integer/decimal moments,
 order-pinned folds for float sums, shared per-row double spellings,
 Spark-parity rounding (functions/parity.round_sql) on rounded oracle
