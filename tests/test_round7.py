@@ -325,6 +325,68 @@ def test_bpe_train_overlap_and_tiebreak(spark):
     assert len(got) == 3
 
 
+def test_zone_map_sorted_dominates(spark, sf_smoke):
+    """The length-sorted layout must skip at least as many blocks as
+    either unsorted layout, and its count must equal the order-
+    statistics formula recomputed in python."""
+    from travel_data_pipeline_spark.queries_round7 import (
+        _ZM_BLOCK,
+        _ZM_T,
+        zone_map_skip_audit,
+    )
+    from travel_data_pipeline_spark.sources.readers import load_table
+
+    rows = {r.layout: r for r in
+            zone_map_skip_audit(spark, sf_smoke).collect()}
+    assert set(rows) == {"natural", "hashed", "sorted"}
+    for r in rows.values():
+        assert 0 <= r.skippable <= r.blocks
+        assert 0.0 <= r.skip_share <= 1.0
+    assert rows["sorted"].skip_share >= rows["natural"].skip_share
+    assert rows["sorted"].skip_share >= rows["hashed"].skip_share
+    docs = load_table(spark, sf_smoke, "documents")
+    n = docs.count()
+    k = docs.filter(f"n_chars <= {_ZM_T}").count()
+    nblocks = (n + _ZM_BLOCK - 1) // _ZM_BLOCK
+    want = nblocks if k == n else k // _ZM_BLOCK
+    assert rows["sorted"].blocks == nblocks
+    assert rows["sorted"].skippable == want
+
+
+def test_vocab_oov_vs_python(spark, sf_smoke):
+    """Pure-python recount of the top-1000 vocabulary and per-source
+    OOV token totals must match exactly."""
+    import re
+    from collections import Counter
+
+    from travel_data_pipeline_spark.queries_round7 import (
+        _OOV_VOCAB_K,
+        vocab_oov_by_source,
+    )
+    from travel_data_pipeline_spark.sources.readers import load_table
+
+    rows = load_table(spark, sf_smoke, "documents") \
+        .select("source", "text").collect()
+    g: Counter = Counter()
+    per: dict[str, Counter] = {}
+    for r in rows:
+        toks = [x for x in
+                re.sub(r"\s+", " ", r.text.lower()).strip().split(" ") if x]
+        g.update(toks)
+        per.setdefault(r.source, Counter()).update(toks)
+    vocab = {t for t, _ in sorted(g.items(),
+                                  key=lambda kv: (-kv[1], kv[0]))
+             [:_OOV_VOCAB_K]}
+    want = {}
+    for src, c in per.items():
+        total = sum(c.values())
+        oov = sum(v for t, v in c.items() if t not in vocab)
+        want[src] = (total, oov)
+    got = {r.source: (r.total_tokens, r.oov_tokens)
+           for r in vocab_oov_by_source(spark, sf_smoke).collect()}
+    assert got == want
+
+
 def test_k_anonymity_rowcounts_reconcile(spark, sf_smoke):
     """Per-lang rows sum to the corpus; risky rows live in risky
     groups; shares are within [0, 1]."""

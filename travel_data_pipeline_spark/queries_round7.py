@@ -1124,3 +1124,159 @@ def bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     rows = _bpe_train(toks)
     return spark.createDataFrame(
         rows, "merge_rank long, pair string, n_pairs long")
+
+
+# ---------------------------------------------------------------------------
+# Zone-map skip audit — quantifies what data LAYOUT buys the scan
+# pruning a parquet reader does with per-block min/max: for the
+# predicate n_chars > 450 over 100-doc blocks, how many blocks are
+# skippable (block max <= 450) under (a) the natural doc_id layout,
+# (b) a hash-scattered layout, (c) a length-sorted layout. The sorted
+# case needs NO global sort: in sorted order the skippable blocks are
+# exactly the full blocks inside the <=T prefix, i.e. count(<=T) div
+# block — order statistics give the answer from one count.
+# ---------------------------------------------------------------------------
+
+_ZM_BLOCK = 100
+_ZM_T = 450
+_ZM_HASH_SQL = md5_long_sql("'zm:' || CAST(doc_id AS VARCHAR)")
+
+
+@register("zone_map_skip_audit", f"""
+WITH n AS (
+    SELECT CAST(count(*) AS BIGINT) AS n,
+           CAST(SUM(CASE WHEN n_chars <= {_ZM_T} THEN 1 ELSE 0 END)
+                AS BIGINT) AS k
+    FROM documents
+),
+nat AS (
+    SELECT doc_id // {_ZM_BLOCK} AS block, max(n_chars) AS mx
+    FROM documents GROUP BY 1
+),
+nat_s AS (
+    SELECT CAST(count(*) AS BIGINT) AS blocks,
+           CAST(SUM(CASE WHEN mx <= {_ZM_T} THEN 1 ELSE 0 END) AS BIGINT)
+             AS skippable
+    FROM nat
+),
+hsh AS (
+    SELECT ({_ZM_HASH_SQL}) % ((SELECT (n + {_ZM_BLOCK} - 1)
+                                 // {_ZM_BLOCK} FROM n)) AS block,
+           max(n_chars) AS mx
+    FROM documents GROUP BY 1
+),
+hsh_s AS (
+    SELECT CAST(count(*) AS BIGINT) AS blocks,
+           CAST(SUM(CASE WHEN mx <= {_ZM_T} THEN 1 ELSE 0 END) AS BIGINT)
+             AS skippable
+    FROM hsh
+),
+srt AS (
+    SELECT CAST((n + {_ZM_BLOCK} - 1) // {_ZM_BLOCK} AS BIGINT) AS blocks,
+           CAST(CASE WHEN k = n THEN (n + {_ZM_BLOCK} - 1) // {_ZM_BLOCK}
+                     ELSE k // {_ZM_BLOCK} END AS BIGINT) AS skippable
+    FROM n
+)
+SELECT layout, blocks, skippable,
+       {round_sql("skippable / CAST(blocks AS DOUBLE)")} AS skip_share
+FROM (
+    SELECT 'natural' AS layout, * FROM nat_s
+    UNION ALL SELECT 'hashed', * FROM hsh_s
+    UNION ALL SELECT 'sorted', * FROM srt
+)
+""")
+def zone_map_skip_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skippable-block share for n_chars > 450 under natural / hashed
+    / length-sorted 100-doc layouts. Two bounded groupBys + one count
+    — the sorted case is pure order-statistics arithmetic, no global
+    sort anywhere."""
+    docs = load_table(spark, sf_dir, "documents")
+    n_agg = docs.agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum(F.when(F.col("n_chars") <= _ZM_T, 1).otherwise(0))
+         .cast("long").alias("k"))
+    nat = (docs.groupBy((F.col("doc_id") / _ZM_BLOCK).cast("long")
+                        .alias("block"))
+           .agg(F.max("n_chars").alias("mx"))
+           .agg(F.count("*").cast("long").alias("blocks"),
+                F.sum(F.when(F.col("mx") <= _ZM_T, 1).otherwise(0))
+                 .cast("long").alias("skippable")))
+    nblocks = F.expr(f"(n + {_ZM_BLOCK} - 1) div {_ZM_BLOCK}")
+    hsh = (docs.crossJoin(F.broadcast(n_agg))
+           .select((md5_long(F.concat(F.lit("zm:"),
+                                      F.col("doc_id").cast("string")))
+                    % nblocks).alias("block"), "n_chars")
+           .groupBy("block").agg(F.max("n_chars").alias("mx"))
+           .agg(F.count("*").cast("long").alias("blocks"),
+                F.sum(F.when(F.col("mx") <= _ZM_T, 1).otherwise(0))
+                 .cast("long").alias("skippable")))
+    srt = n_agg.select(
+        nblocks.cast("long").alias("blocks"),
+        F.when(F.col("k") == F.col("n"), nblocks)
+         .otherwise(F.expr(f"k div {_ZM_BLOCK}")).cast("long")
+         .alias("skippable"))
+    u = (nat.select(F.lit("natural").alias("layout"), "blocks", "skippable")
+         .unionByName(hsh.select(F.lit("hashed").alias("layout"),
+                                 "blocks", "skippable"))
+         .unionByName(srt.select(F.lit("sorted").alias("layout"),
+                                 "blocks", "skippable")))
+    return u.select(
+        "layout", "blocks", "skippable",
+        F.round(F.col("skippable") / F.col("blocks").cast("double"), 6)
+         .alias("skip_share"))
+
+
+# ---------------------------------------------------------------------------
+# OOV rate by source — tokenizer-coverage planning: the share of each
+# source's token stream that falls outside the global top-1000
+# vocabulary (count DESC, token ASC — total order). The vocabulary is
+# a TakeOrdered top-k broadcast back onto the (source, token) count
+# relation — the corpus is never re-scanned for the join.
+# ---------------------------------------------------------------------------
+
+_OOV_VOCAB_K = 1000
+
+
+@register("vocab_oov_by_source", f"""
+WITH toks AS (
+    SELECT source, unnest(list_filter(string_split({_NORM7}, ' '),
+                                      x -> x <> '')) AS tok
+    FROM documents
+),
+tc AS (SELECT source, tok, count(*) AS c FROM toks GROUP BY 1, 2),
+g AS (SELECT tok, SUM(c) AS gc FROM tc GROUP BY tok),
+vocab AS (SELECT tok FROM g ORDER BY gc DESC, tok LIMIT {_OOV_VOCAB_K}),
+per AS (
+    SELECT source, SUM(c) AS total,
+           SUM(CASE WHEN tok IN (SELECT tok FROM vocab)
+               THEN c ELSE 0 END) AS iv
+    FROM tc GROUP BY source
+)
+SELECT source, CAST(total AS BIGINT) AS total_tokens,
+       CAST(total - iv AS BIGINT) AS oov_tokens,
+       {round_sql("(total - iv) / CAST(total AS DOUBLE)")} AS oov_share
+FROM per
+""")
+def vocab_oov_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Out-of-vocabulary token share per source against the global
+    top-1000 vocabulary. One explode + two grouped counts; the vocab
+    is a broadcast top-k (partial TakeOrdered), so the join adds no
+    corpus-side shuffle."""
+    docs = load_table(spark, sf_dir, "documents")
+    tc = (docs.select("source",
+                      F.explode(text.token_array(F.col("text")))
+                       .alias("tok"))
+          .groupBy("source", "tok").agg(F.count("*").alias("c")))
+    vocab = (tc.groupBy("tok").agg(F.sum("c").alias("gc"))
+             .orderBy(F.desc("gc"), F.asc("tok")).limit(_OOV_VOCAB_K)
+             .select("tok"))
+    iv = (tc.join(F.broadcast(vocab), "tok")
+          .groupBy("source").agg(F.sum("c").alias("iv")))
+    per = (tc.groupBy("source").agg(F.sum("c").alias("total"))
+           .join(iv, "source", "left")
+           .na.fill({"iv": 0}))
+    return per.select(
+        "source", F.col("total").cast("long").alias("total_tokens"),
+        (F.col("total") - F.col("iv")).cast("long").alias("oov_tokens"),
+        F.round((F.col("total") - F.col("iv"))
+                / F.col("total").cast("double"), 6).alias("oov_share"))
