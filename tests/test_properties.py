@@ -383,3 +383,47 @@ def test_two_phase_ordered_property(spark, pairs, buckets):
         F.sum("v").over(w.rowsBetween(Window.unboundedPreceding, 0))
          .alias("cum")).collect()}
     assert got == truth
+
+
+@settings(max_examples=3, deadline=None)
+@given(st.lists(st.lists(st.sampled_from(["a", "b", "c"]),
+                         min_size=2, max_size=8),
+                min_size=5, max_size=15))
+def test_bpe_train_matches_python_model(spark, corpora):
+    """Two BPE merge rounds over tiny 3-letter corpora equal a
+    sequential python reference: raw adjacent counts, argmax on
+    (count DESC, joined-pair-string ASC), leftmost-greedy
+    non-overlapping merge. Overlap runs ('a a a') and ties are the
+    interesting cases a fixed fixture misses."""
+    from travel_data_pipeline_spark.queries_round7 import (
+        _BPE_SEP,
+        _bpe_train,
+    )
+
+    df = spark.createDataFrame([(t,) for t in corpora], "t array<string>")
+    got = _bpe_train(df, n_merges=2)
+
+    docs = [list(t) for t in corpora]
+    want = []
+    for rank in range(1, 3):
+        counts: dict[tuple, int] = {}
+        for toks in docs:
+            for pair in zip(toks, toks[1:]):
+                counts[pair] = counts.get(pair, 0) + 1
+        if not counts:
+            break
+        (a, b), n = min(counts.items(),
+                        key=lambda kv: (-kv[1], kv[0][0] + " " + kv[0][1]))
+        want.append((rank, a + " " + b, n))
+        m = a + _BPE_SEP + b
+        nxt = []
+        for toks in docs:
+            out: list = []
+            for t in toks:
+                if out and out[-1] == a and t == b:
+                    out[-1] = m
+                else:
+                    out.append(t)
+            nxt.append(out)
+        docs = nxt
+    assert got == want
