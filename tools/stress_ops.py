@@ -178,6 +178,20 @@ def main(amplify: int = 20) -> None:
     t_rank = time.perf_counter() - t0
     assert (agg["n"], agg["lo"], agg["hi"]) == (n_rank, 1, n_rank), agg
 
+    # --- iterative BPE training over the amplified corpus ----------------
+    # 5 argmax+merge rounds over amplify x the sf corpus; the fold is
+    # per-row JVM work, the count is one shuffle per round. Token
+    # throughput = corpus tokens x 5 rounds / wall.
+    from travel_data_pipeline_spark.queries_round7 import _bpe_train
+
+    toks_df = (docs.select(token_array(F.col("text")).alias("t"))
+               .filter(F.size("t") >= 2))
+    n_bpe_tokens = int(toks_df.select(F.sum(F.size("t"))).first()[0])
+    t0 = time.perf_counter()
+    merges = _bpe_train(toks_df, n_merges=5)
+    t_bpe = time.perf_counter() - t0
+    assert len(merges) == 5 and all(m[2] > 0 for m in merges), merges
+
     print(json.dumps({
         "amplify": amplify,
         "idx_docs": n_docs, "idx_terms": n_terms,
@@ -199,6 +213,9 @@ def main(amplify: int = 20) -> None:
         "island_events_per_sec": round(n_iv_events / t_iv),
         "rank_rows": n_rank, "rank_sec": round(t_rank, 2),
         "rank_rows_per_sec": round(n_rank / t_rank),
+        "bpe_tokens": n_bpe_tokens, "bpe_rounds": 5,
+        "bpe_sec": round(t_bpe, 2),
+        "bpe_tokens_per_sec": round(n_bpe_tokens * 5 / t_bpe),
     }))
 
 
