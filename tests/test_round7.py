@@ -400,3 +400,24 @@ def test_k_anonymity_rowcounts_reconcile(spark, sf_smoke):
         assert 0 <= r.risky_rows <= r.n_rows
         assert r.risky_groups <= r.n_groups
         assert 0.0 <= r.risky_share <= 1.0
+
+
+def test_merge_linear_equals_fold(spark):
+    """The O(n) a != b merge path must be bit-equal to the fold on
+    boundary-heavy shapes (match at start, at end, back-to-back
+    disjoint matches, no match, repeated b's)."""
+    from travel_data_pipeline_spark.queries_round7 import (
+        _merge_fold,
+        _merge_linear,
+    )
+
+    cases = [["a", "b"], ["a", "b", "a", "b"], ["x", "a", "b"],
+             ["a", "b", "x"], ["b", "a"], ["a", "a", "b", "b"],
+             ["a", "b", "b"], ["x", "y", "z"], ["b", "b", "a"],
+             ["a", "x", "a", "b", "a"]]
+    df = spark.createDataFrame([(c,) for c in cases], "t array<string>")
+    out = df.select(
+        _merge_fold(F.col("t"), "a", "b").alias("f"),
+        _merge_linear(F.col("t"), "a", "b").alias("l")).collect()
+    for case, r in zip(cases, out):
+        assert r.f == r.l, (case, r.f, r.l)

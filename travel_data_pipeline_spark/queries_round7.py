@@ -1017,8 +1017,11 @@ def _adjacent_pairs(col):
 
 def _merge_fold(arr, a: str, b: str):
     """Leftmost-greedy non-overlapping merge of adjacent (a, b) into
-    a single token. try_element_at keeps the empty-accumulator probe
-    NULL-safe under ANSI mode."""
+    a single token, as an accumulator fold. try_element_at keeps the
+    empty-accumulator probe NULL-safe under ANSI mode. The repeated
+    array concat makes this O(len^2) per doc — used only for the
+    a == b case, where merge starts can chain and need the running
+    state; see _merge_linear for the a != b fast path."""
     merged = F.lit(a + _BPE_SEP + b)
     return F.aggregate(
         arr, F.expr("cast(array() as array<string>)"),
@@ -1028,6 +1031,36 @@ def _merge_fold(arr, a: str, b: str):
             F.concat(F.slice(acc, F.lit(1), F.size(acc) - 1),
                      F.array(merged))
         ).otherwise(F.concat(acc, F.array(t))))
+
+
+def _merge_linear(arr, a: str, b: str):
+    """O(len) merge for a != b: two DISTINCT tokens can't chain
+    (position i and i+1 both starting a merge would need t[i+1] to be
+    both b and a), so greedy-leftmost == merge EVERY (a, b) adjacency.
+    Each position maps to [merged], [] (consumed by the previous
+    start), or [t[i]], then one flatten. try_element_at turns the
+    boundary probes (index 0 / past-the-end) into NULLs under ANSI."""
+    assert a != b
+    merged = F.lit(a + _BPE_SEP + b)
+    idx = F.sequence(F.lit(1), F.size(arr))  # 1-based positions
+
+    def cell(i):
+        here = F.element_at(arr, i)
+        start = (here == F.lit(a)) & (F.try_element_at(arr, i + 1)
+                                      == F.lit(b))
+        # try_element_at(_, 0) is still INVALID_INDEX_OF_ZERO; the CASE
+        # branch keeps the i-1 probe unevaluated at the left boundary
+        prev = F.when(i > 1, F.element_at(arr, i - 1))
+        consumed = (prev == F.lit(a)) & (here == F.lit(b))
+        return (F.when(start, F.array(merged))
+                .when(consumed, F.expr("cast(array() as array<string>)"))
+                .otherwise(F.array(here)))
+
+    return F.flatten(F.transform(idx, cell))
+
+
+def _merge_tokens(arr, a: str, b: str):
+    return _merge_fold(arr, a, b) if a == b else _merge_linear(arr, a, b)
 
 
 def _bpe_train(tokens_df: DataFrame,
@@ -1050,7 +1083,7 @@ def _bpe_train(tokens_df: DataFrame,
             pair, n = top[0]["pair"], int(top[0]["n"])
             out.append((rank, pair, n))
             a, b = pair.split(" ")
-            prev, cur = cur, (cur.select(_merge_fold(F.col("t"), a, b)
+            prev, cur = cur, (cur.select(_merge_tokens(F.col("t"), a, b)
                                          .alias("t")).persist())
     finally:
         cur.unpersist()
