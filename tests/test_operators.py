@@ -403,3 +403,27 @@ def test_ppjoin_lsh_route_never_builds_the_rank(spark, monkeypatch):
         heavy, threshold=0.8, max_candidates=50)
     assert strategy == "lsh"
     assert pairs.count() == 40 * 39 // 2
+
+
+def test_two_phase_ordered_cummax_matches_global_window(spark):
+    """Running max with tie-heavy bucket keys must equal the naive
+    global window — including bucket-boundary carry (a max set early
+    must survive into later buckets where all local values are
+    smaller)."""
+    from pyspark.sql import Window
+
+    from travel_data_pipeline_spark.operators import windows as W
+
+    # v spikes early then decays: later buckets' local max < carried max
+    rows = [(i, (i * 37) % 11, float(1000 - i if i == 3 else (i * 53) % 97))
+            for i in range(500)]
+    df = spark.createDataFrame(rows, "id long, grp int, v double")
+    order = [F.col("grp").asc(), F.col("id").asc()]
+    got = W.two_phase_ordered(
+        df, order, F.col("grp") + F.col("id") / 1e9,
+        cummax_cols={"v": "rmax"}, num_buckets=8)
+    w = Window.orderBy(*order).rowsBetween(Window.unboundedPreceding, 0)
+    truth = df.select("id", F.max("v").over(w).alias("rmax"))
+    g = {r.id: r.rmax for r in got.collect()}
+    t = {r.id: r.rmax for r in truth.collect()}
+    assert g == t

@@ -174,6 +174,7 @@ def merge_intervals(df: DataFrame, key: str, start: str,
 def two_phase_ordered(df: DataFrame, order_cols: Sequence[Column | str],
                       bucket_on: Column, *, rank_col: str | None = None,
                       cumsum_cols: dict[str, str] | None = None,
+                      cummax_cols: dict[str, str] | None = None,
                       num_buckets: int = 64,
                       rel_err: float = 0.001) -> DataFrame:
     """Global ``row_number()`` and/or inclusive running ``sum()`` over
@@ -201,9 +202,13 @@ def two_phase_ordered(df: DataFrame, order_cols: Sequence[Column | str],
 
     ``cumsum_cols`` maps source column -> output alias (inclusive
     frame, ``ROWS UNBOUNDED PRECEDING``); exclusive variants are
-    ``alias - source`` at the call site.
+    ``alias - source`` at the call site. ``cummax_cols`` is the
+    running-``max()`` sibling (same inclusive frame): per-bucket max
+    offsets combine with the bucket-local running max via
+    ``greatest`` (null-skipping, so bucket 0 needs no sentinel).
     """
     cumsum_cols = dict(cumsum_cols or {})
+    cummax_cols = dict(cummax_cols or {})
     probs = [i / num_buckets for i in range(1, num_buckets)]
     probe = df.select(bucket_on.cast("double").alias("_tpk"))
     bounds = sorted(set(probe.approxQuantile("_tpk", probs, rel_err)))
@@ -226,6 +231,7 @@ def two_phase_ordered(df: DataFrame, order_cols: Sequence[Column | str],
 
     aggs = [F.count("*").alias("_tpn")]
     aggs += [F.sum(src).alias(f"_tps_{src}") for src in cumsum_cols]
+    aggs += [F.max(src).alias(f"_tpm_{src}") for src in cummax_cols]
     stats = tagged.groupBy("_tpb").agg(*aggs)
     w_off = Window.orderBy("_tpb").rowsBetween(Window.unboundedPreceding, -1)
     off_sel = [F.col("_tpb"),
@@ -233,6 +239,8 @@ def two_phase_ordered(df: DataFrame, order_cols: Sequence[Column | str],
                 .alias("_tpoff_n")]
     off_sel += [F.coalesce(F.sum(f"_tps_{src}").over(w_off), F.lit(0))
                 .alias(f"_tpoff_{src}") for src in cumsum_cols]
+    off_sel += [F.max(f"_tpm_{src}").over(w_off)  # NULL for bucket 0
+                .alias(f"_tpoffm_{src}") for src in cummax_cols]
     offsets = stats.select(*off_sel)
 
     out = tagged.join(F.broadcast(offsets), "_tpb")
@@ -245,7 +253,12 @@ def two_phase_ordered(df: DataFrame, order_cols: Sequence[Column | str],
     for src, alias in cumsum_cols.items():
         out = out.withColumn(
             alias, F.col(f"_tpoff_{src}") + F.sum(src).over(w_sum))
-    drop = ["_tpb", "_tpoff_n"] + [f"_tpoff_{src}" for src in cumsum_cols]
+    for src, alias in cummax_cols.items():
+        out = out.withColumn(
+            alias, F.greatest(F.col(f"_tpoffm_{src}"),
+                              F.max(src).over(w_sum)))
+    drop = ["_tpb", "_tpoff_n"] + [f"_tpoff_{src}" for src in cumsum_cols] \
+        + [f"_tpoffm_{src}" for src in cummax_cols]
     return out.drop(*drop)
 
 

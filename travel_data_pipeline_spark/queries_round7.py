@@ -1313,3 +1313,127 @@ def vocab_oov_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("total") - F.col("iv")).cast("long").alias("oov_tokens"),
         F.round((F.col("total") - F.col("iv"))
                 / F.col("total").cast("double"), 6).alias("oov_share"))
+
+
+# ---------------------------------------------------------------------------
+# Watermark lateness plan — streaming-deployment planning from the
+# batch log: with event_id as the arrival order (the repo's monotone-
+# ingestion contract for the stateful streaming twins), an event's
+# lateness is running_max(event time) - its own event time; a
+# watermark of W seconds would drop events with lateness > W. Reports
+# drop counts/shares at four candidate watermarks. The global running
+# max is two-phase (cummax over event_id buckets — event_id is unique
+# and monotone in the order, so quantile bucketing is exact).
+# ---------------------------------------------------------------------------
+
+_WM_THRESHOLDS = (60, 300, 900, 3600)   # seconds
+
+
+@register("watermark_lateness_plan", f"""
+WITH e AS (
+    SELECT event_id, epoch_us(ts) AS tus FROM events
+),
+rm AS (
+    SELECT event_id, tus,
+           max(tus) OVER (ORDER BY event_id
+                          ROWS UNBOUNDED PRECEDING) AS run_max
+    FROM e
+),
+late AS (SELECT run_max - tus AS lateness_us FROM rm),
+grid AS (SELECT unnest([{', '.join(map(str, _WM_THRESHOLDS))}])
+                AS thr_seconds),
+n AS (SELECT count(*) AS total FROM late)
+SELECT CAST(thr_seconds AS BIGINT) AS thr_seconds,
+       CAST(SUM(CASE WHEN lateness_us
+                     > CAST(thr_seconds AS BIGINT) * 1000000
+                THEN 1 ELSE 0 END) AS BIGINT) AS n_dropped,
+       {round_sql("SUM(CASE WHEN lateness_us"
+                  " > CAST(thr_seconds AS BIGINT) * 1000000"
+                  " THEN 1 ELSE 0 END) / CAST(max(total) AS DOUBLE)")}
+         AS drop_share
+FROM late CROSS JOIN grid CROSS JOIN n
+GROUP BY thr_seconds
+""")
+def watermark_lateness_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Events a W-second watermark would drop, for four candidate W.
+    One two-phase cummax pass + a broadcast 4-row grid; output is 4
+    rows."""
+    from travel_data_pipeline_spark.operators.windows import (
+        two_phase_ordered,
+    )
+
+    events = load_table(spark, sf_dir, "events")
+    e = events.select("event_id",
+                      F.unix_micros(F.col("ts")).alias("tus"))
+    rm = two_phase_ordered(
+        e, [F.col("event_id").asc()], F.col("event_id"),
+        cummax_cols={"tus": "run_max"})
+    late = rm.select((F.col("run_max") - F.col("tus"))
+                     .alias("lateness_us"))
+    grid = spark.createDataFrame([(t,) for t in _WM_THRESHOLDS],
+                                 "thr_seconds long")
+    n = late.agg(F.count("*").alias("total"))
+    dropped = F.sum(
+        F.when(F.col("lateness_us")
+               > F.col("thr_seconds") * 1_000_000, 1).otherwise(0))
+    return (late.crossJoin(F.broadcast(grid))
+            .crossJoin(F.broadcast(n))
+            .groupBy("thr_seconds")
+            .agg(dropped.cast("long").alias("n_dropped"),
+                 F.round(dropped / F.max("total").cast("double"), 6)
+                  .alias("drop_share"))
+            .select(F.col("thr_seconds").cast("long"),
+                    "n_dropped", "drop_share"))
+
+
+# ---------------------------------------------------------------------------
+# Session gap sensitivity — how the session count responds to the
+# inactivity threshold: total sessions at gap G = #users + #(per-user
+# ordered inter-event gaps > G). One per-user window pass computes the
+# gaps; the four thresholds are conditional aggregates over the same
+# relation.
+# ---------------------------------------------------------------------------
+
+_GAP_THRESHOLDS = (300, 900, 1800, 3600)   # seconds
+
+
+@register("session_gap_sensitivity", f"""
+WITH gaps AS (
+    SELECT user_id,
+           epoch_us(ts) - lag(epoch_us(ts)) OVER
+               (PARTITION BY user_id ORDER BY ts, event_id) AS gap_us
+    FROM events
+),
+grid AS (SELECT unnest([{', '.join(map(str, _GAP_THRESHOLDS))}])
+                AS gap_seconds),
+u AS (SELECT CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+      FROM events)
+SELECT CAST(gap_seconds AS BIGINT) AS gap_seconds,
+       CAST(max(n_users)
+            + SUM(CASE WHEN gap_us
+                       > CAST(gap_seconds AS BIGINT) * 1000000
+                  THEN 1 ELSE 0 END) AS BIGINT) AS n_sessions
+FROM gaps CROSS JOIN grid CROSS JOIN u
+GROUP BY gap_seconds
+""")
+def session_gap_sensitivity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session counts at four inactivity thresholds from ONE per-user
+    gap pass (no re-sessionization per threshold)."""
+    events = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    tus = F.unix_micros(F.col("ts"))
+    gaps = events.select(
+        "user_id", (tus - F.lag(tus).over(w)).alias("gap_us"))
+    grid = spark.createDataFrame([(t,) for t in _GAP_THRESHOLDS],
+                                 "gap_seconds long")
+    u = events.agg(F.countDistinct("user_id").cast("long")
+                   .alias("n_users"))
+    breaks = F.sum(
+        F.when(F.col("gap_us") > F.col("gap_seconds") * 1_000_000, 1)
+         .otherwise(0))
+    return (gaps.crossJoin(F.broadcast(grid))
+            .crossJoin(F.broadcast(u))
+            .groupBy("gap_seconds")
+            .agg((F.max("n_users") + breaks).cast("long")
+                 .alias("n_sessions"))
+            .select(F.col("gap_seconds").cast("long"), "n_sessions"))
