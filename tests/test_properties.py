@@ -427,3 +427,25 @@ def test_bpe_train_matches_python_model(spark, corpora):
             nxt.append(out)
         docs = nxt
     assert got == want
+
+
+@settings(max_examples=3, deadline=None)
+@given(st.lists(st.tuples(st.integers(0, 5), st.integers(-50, 50)),
+                min_size=10, max_size=80))
+def test_two_phase_cummax_matches_python_model(spark, rows):
+    """Two-phase running max over random tie-heavy (grp, v) rows must
+    equal the sequential python scan in (grp, id) order."""
+    from travel_data_pipeline_spark.operators import windows as W
+
+    data = [(i, g, float(v)) for i, (g, v) in enumerate(rows)]
+    df = spark.createDataFrame(data, "id long, grp int, v double")
+    got = {r.id: r.rmax for r in W.two_phase_ordered(
+        df, [F.col("grp").asc(), F.col("id").asc()],
+        F.col("grp") + F.col("id") / 1e9,
+        cummax_cols={"v": "rmax"}, num_buckets=4).collect()}
+    best = float("-inf")
+    want = {}
+    for i, g, v in sorted(data, key=lambda r: (r[1], r[0])):
+        best = max(best, v)
+        want[i] = best
+    assert got == want
