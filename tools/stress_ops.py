@@ -178,6 +178,38 @@ def main(amplify: int = 20) -> None:
     t_rank = time.perf_counter() - t0
     assert (agg["n"], agg["lo"], agg["hi"]) == (n_rank, 1, n_rank), agg
 
+    # --- Theil-Sen median over a multi-year day-pair relation ------------
+    # The day-pair relation is O(days^2) in the TIME SPAN: the
+    # registered query sees ~30 days (435 pairs), a multi-year log
+    # ~2k days (~2M pairs). The median must ride two_phase_ordered,
+    # never a single-partition sort; exactness is checked against a
+    # sequential numpy median of the same slopes.
+    n_days = 2_000
+    day = (spark.range(n_days)
+           .select(F.col("id").alias("t"),
+                   (F.abs(F.xxhash64("id")) % 10_000 + 100).alias("cnt")))
+    a = day.select(F.col("t").alias("i"), F.col("cnt").alias("ca"))
+    b = day.select(F.col("t").alias("j"), F.col("cnt").alias("cb"))
+    t0 = time.perf_counter()
+    sl = (a.join(F.broadcast(b), F.col("j") > F.col("i"))
+          .select("i", "j",
+                  ((F.col("cb").cast("double") - F.col("ca").cast("double"))
+                   / (F.col("j").cast("double") - F.col("i").cast("double")))
+                  .alias("sl")))
+    ts_ranked = two_phase_ordered(sl, ["sl", "i", "j"],
+                                  F.col("sl"), rank_col="rn",
+                                  num_buckets=256)
+    n_pairs = n_days * (n_days - 1) // 2
+    med = ts_ranked.filter(F.col("rn") == (n_pairs + 1) // 2).first()
+    t_ts = time.perf_counter() - t0
+    import numpy as _np
+
+    cnts = _np.array([r.cnt for r in day.orderBy("t").collect()],
+                     dtype=_np.float64)
+    ii, jj = _np.triu_indices(n_days, k=1)
+    ref = _np.sort((cnts[jj] - cnts[ii]) / (jj - ii))[(n_pairs + 1) // 2 - 1]
+    assert med is not None and abs(med.sl - ref) < 1e-12, (med, ref)
+
     # --- iterative BPE training over the amplified corpus ----------------
     # 5 argmax+merge rounds over amplify x the sf corpus; the fold is
     # per-row JVM work, the count is one shuffle per round. Token
@@ -213,6 +245,8 @@ def main(amplify: int = 20) -> None:
         "island_events_per_sec": round(n_iv_events / t_iv),
         "rank_rows": n_rank, "rank_sec": round(t_rank, 2),
         "rank_rows_per_sec": round(n_rank / t_rank),
+        "theilsen_days": n_days, "theilsen_pairs": n_pairs,
+        "theilsen_sec": round(t_ts, 2),
         "bpe_tokens": n_bpe_tokens, "bpe_rounds": 5,
         "bpe_sec": round(t_bpe, 2),
         "bpe_tokens_per_sec": round(n_bpe_tokens * 5 / t_bpe),

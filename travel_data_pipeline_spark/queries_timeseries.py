@@ -563,10 +563,21 @@ FROM ranked WHERE rn = (np + 1) // 2
 def theil_sen_daily_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact lower-median of pairwise daily-count slopes (Theil-Sen).
 
-    Day pairs are SF-invariant (~30 choose 2); counts are exact ints
-    and each slope one double division, so the median pick is
-    deterministic under the (slope, i, j) order."""
-    from pyspark.sql import Window
+    Day pairs are SF-invariant (~30 choose 2 here); counts are exact
+    ints and each slope one double division, so the median pick is
+    deterministic under the (slope, i, j) order.
+
+    Scale bound: the pair relation is O(days^2) in the TIME SPAN, not
+    the corpus — ~30 days -> 435 pairs, a multi-year log at ~2k days
+    -> ~2M pairs. The median therefore rides ``two_phase_ordered``
+    (bucket-parallel rank + broadcast offsets) instead of an
+    unpartitioned window, so even the multi-year shape never funnels
+    millions of rows through one reducer
+    (tools/stress_ops.py stresses exactly that: 2k synthetic days,
+    ~2M pairs, two-phase median == sequential python median)."""
+    from travel_data_pipeline_spark.operators.windows import (
+        two_phase_ordered,
+    )
 
     ev = load_table(spark, sf_dir, "events")
     daily = (ev.groupBy(
@@ -581,11 +592,10 @@ def theil_sen_daily_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
                         - F.col("ca").cast("double"))
                        / (F.col("j").cast("double")
                           - F.col("i").cast("double"))).alias("sl")))
-    w = Window.orderBy("sl", "i", "j")
-    ranked = (slopes.withColumn("rn", F.row_number().over(w))
-              .withColumn("np", F.count("*").over(
-                  Window.rowsBetween(Window.unboundedPreceding,
-                                     Window.unboundedFollowing))))
-    return (ranked.filter(F.col("rn") == F.floor((F.col("np") + 1) / 2))
+    np_agg = slopes.agg(F.count("*").alias("np"))
+    ranked = two_phase_ordered(slopes, ["sl", "i", "j"],
+                               bucket_on=F.col("sl"), rank_col="rn")
+    return (ranked.crossJoin(F.broadcast(np_agg))
+            .filter(F.col("rn") == F.floor((F.col("np") + 1) / 2))
             .select(F.col("np").cast("long").alias("n_pairs"),
                     (F.round("sl", 6) + 0.0).alias("theil_sen_slope")))
