@@ -35,3 +35,22 @@ def test_ivf_recall_monotone_in_n_probe(spark, sf_smoke):
     # degenerate and the query measures nothing
     assert any(ivf[(k, max(_RECALL_PROBES))] > ivf[(k, min(_RECALL_PROBES))]
                for k in _RECALL_KS)
+
+
+def test_bpe_apply_learned_totals_consistent(spark, sf_smoke):
+    """Application counts must reconcile exactly with the token-total
+    drops, counts are non-negative, and ranks are contiguous from 1
+    (the train loop's argmax always exists on this corpus)."""
+    from travel_data_pipeline_spark.queries_round8 import bpe_apply_learned
+
+    rows = sorted(bpe_apply_learned(spark, sf_smoke).collect(),
+                  key=lambda r: r.merge_rank)
+    assert [r.merge_rank for r in rows] == list(range(1, len(rows) + 1))
+    assert rows, "training corpus produced no merges"
+    for prev, cur in zip(rows, rows[1:]):
+        assert (prev.heldout_tokens_after - cur.n_applied_heldout
+                == cur.heldout_tokens_after)
+    for r in rows:
+        assert r.n_train_pairs > 0
+        assert r.n_applied_heldout >= 0
+        assert " " in r.pair and "▁" not in r.pair.split(" ")[0][:0]

@@ -291,3 +291,140 @@ def ivf_recall_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     return recall(ivf_rows, "ivf_exact").unionAll(recall(rr_rows,
                                                          "int8_rerank"))
+
+
+# ---------------------------------------------------------------------------
+# BPE induction -> application: tokenize a HELD-OUT slice with the
+# merge table learned on the training slice, closing the
+# bpe_train_merges loop (VERDICT r06 #4 — nothing consumed the learned
+# merges).
+#
+# Split: doc_id % 10 == 7 is held out; training runs the exact
+# bpe_train_merges loop on the other 90%. Application replays the
+# merges IN RANK ORDER over the held-out token arrays (the same
+# leftmost-greedy JVM fold/flatten the trainer uses — no UDF); the
+# per-rank application count is the token-count drop at that step, so
+# every output number is an exact integer (no float parity surface).
+# The 5 per-step actions mirror the training loop's lag-1 persist
+# discipline; each step is one linear pass over the 10% slice.
+# ---------------------------------------------------------------------------
+
+def _bpe_apply_oracle() -> str:
+    """LAZY oracle: independent pure-python train-on-90 / apply-on-10
+    off the oracle-SF parquet, rendered as VALUES. Same normalize /
+    tokenize / tie-break spellings as _bpe_train_oracle."""
+    import os
+    import re
+    from collections import Counter
+
+    import duckdb
+
+    from travel_data_pipeline_spark.queries_round7 import (
+        _BPE_SEP,
+        _BPE_TRAIN_MERGES,
+    )
+
+    sf_dir = os.environ.get("SPARK_GRAFT_ORACLE_SF", "/root/testdata/sf0.01")
+    con = duckdb.connect()
+    rows = con.execute(
+        "SELECT doc_id, text FROM "
+        f"read_parquet('{sf_dir}/documents.parquet')").fetchall()
+    con.close()
+
+    def toks(t: str) -> list[str]:
+        return [x for x in
+                re.sub(r"\s+", " ", t.lower()).strip().split(" ") if x]
+
+    train = [toks(t) for d, t in rows if d % 10 != 7]
+    train = [t for t in train if len(t) >= 2]
+    held = [toks(t) for d, t in rows if d % 10 == 7]
+    held = [t for t in held if len(t) >= 1]
+
+    def apply_merge(docs: list[list[str]], a: str, b: str) -> list[list[str]]:
+        m = a + _BPE_SEP + b
+        nxt = []
+        for tk in docs:
+            out: list[str] = []
+            for t in tk:
+                if out and out[-1] == a and t == b:
+                    out[-1] = m
+                else:
+                    out.append(t)
+            nxt.append(out)
+        return nxt
+
+    total = sum(len(t) for t in held)
+    values = []
+    for rank in range(1, _BPE_TRAIN_MERGES + 1):
+        c: Counter = Counter()
+        for tk in train:
+            c.update(zip(tk, tk[1:]))
+        if not c:
+            break
+        (a, b), n = min(c.items(),
+                        key=lambda kv: (-kv[1], kv[0][0] + " " + kv[0][1]))
+        train = apply_merge(train, a, b)
+        held = apply_merge(held, a, b)
+        new_total = sum(len(t) for t in held)
+        values.append((rank, (a + " " + b).replace("'", "''"), n,
+                       total - new_total, new_total))
+        total = new_total
+    if not values:
+        return ("SELECT CAST(0 AS BIGINT) AS merge_rank, '' AS pair, "
+                "CAST(0 AS BIGINT) AS n_train_pairs, "
+                "CAST(0 AS BIGINT) AS n_applied_heldout, "
+                "CAST(0 AS BIGINT) AS heldout_tokens_after WHERE 1 = 0")
+    body = ",\n".join(
+        f"(CAST({r} AS BIGINT), '{p}', CAST({n} AS BIGINT), "
+        f"CAST({ap} AS BIGINT), CAST({tot} AS BIGINT))"
+        for r, p, n, ap, tot in values)
+    return (f"SELECT * FROM (VALUES\n{body}\n) AS t(merge_rank, pair, "
+            "n_train_pairs, n_applied_heldout, heldout_tokens_after)")
+
+
+@register("bpe_apply_learned", _bpe_apply_oracle)
+def bpe_apply_learned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Apply merges learned on 90% of the corpus to the held-out 10%.
+
+    Output per merge rank: the training-time pair count and the
+    held-out application count + running held-out token total — the
+    fertility-improvement curve of the induced tokenizer on unseen
+    text (rank-0 baseline = the whitespace token count,
+    reconstructable as heldout_tokens_after + cumulative applied)."""
+    from travel_data_pipeline_spark.operators import text as _text
+    from travel_data_pipeline_spark.queries_round7 import (
+        _bpe_train,
+        _merge_tokens,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    train_toks = (docs.filter(F.col("doc_id") % 10 != 7)
+                  .select(_text.token_array(F.col("text")).alias("t"))
+                  .filter(F.size("t") >= 2))
+    merges = _bpe_train(train_toks)
+
+    cur = (docs.filter(F.col("doc_id") % 10 == 7)
+           .select(_text.token_array(F.col("text")).alias("t"))
+           .filter(F.size("t") >= 1).persist())
+    prev = None
+    rows: list[tuple] = []
+    try:
+        total = int(cur.select(F.coalesce(F.sum(F.size("t")), F.lit(0)))
+                    .first()[0])
+        for rank, pair, n_train in merges:
+            a, b = pair.split(" ")
+            prev, cur = cur, (cur.select(_merge_tokens(F.col("t"), a, b)
+                                         .alias("t")).persist())
+            new_total = int(cur.select(
+                F.coalesce(F.sum(F.size("t")), F.lit(0))).first()[0])
+            prev.unpersist()
+            prev = None
+            rows.append((rank, pair, n_train, total - new_total, new_total))
+            total = new_total
+    finally:
+        cur.unpersist()
+        if prev is not None:
+            prev.unpersist()
+    return spark.createDataFrame(
+        rows, "merge_rank long, pair string, n_train_pairs long, "
+              "n_applied_heldout long, heldout_tokens_after long")
