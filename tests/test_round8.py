@@ -54,3 +54,81 @@ def test_bpe_apply_learned_totals_consistent(spark, sf_smoke):
         assert r.n_train_pairs > 0
         assert r.n_applied_heldout >= 0
         assert " " in r.pair and "▁" not in r.pair.split(" ")[0][:0]
+
+
+def test_watermark_plan_matches_engine_drops(spark, tmp_path):
+    """VERDICT r06 #5 — pin watermark_lateness_plan's predicted drop
+    counts against REAL `withWatermark` Structured Streaming runs.
+
+    The plan charges each event a lateness of running_max(ts) - ts in
+    event_id (arrival) order; the engine drops a row when its event
+    time is behind the checkpointed watermark (prev-batch max - W).
+    The two agree exactly on a split where every late row's running
+    max was set in a PRIOR batch (the monotone-split discipline of the
+    stateful twins): batch 1 is monotone increasing, batch 2 leads
+    with stragglers below batch 1's max.
+
+      batch 1: ids 1..10, ts = 1100..2000 s   (max 2000)
+      batch 2: id 11 @1930 (late 70 s), id 12 @1600 (late 400 s),
+               id 13 @1000 (late 1000 s), then 14 @2100, 15 @2200
+
+    Expected drops: W=60 -> {11,12,13}; W=300 -> {12,13} (and the
+    plan additionally predicts 900 -> 1, 3600 -> 0)."""
+    import datetime as dt
+
+    from travel_data_pipeline_spark.queries_round7 import (
+        _WM_THRESHOLDS,
+        watermark_lateness_plan,
+    )
+
+    base = dt.datetime(2024, 1, 1, 0, 0, 0)
+    sec = dt.timedelta(seconds=1)
+    schema = ("event_id long, ts timestamp, user_id long, "
+              "event_type string, value double, props string")
+    b1 = [(i, base + (1000 + 100 * i) * sec, 1, "view", 1.0, "{}")
+          for i in range(1, 11)]
+    b2 = [(11, base + 1930 * sec, 1, "view", 1.0, "{}"),
+          (12, base + 1600 * sec, 1, "view", 1.0, "{}"),
+          (13, base + 1000 * sec, 1, "view", 1.0, "{}"),
+          (14, base + 2100 * sec, 1, "view", 1.0, "{}"),
+          (15, base + 2200 * sec, 1, "view", 1.0, "{}")]
+
+    # --- the plan's prediction over the full (batch) log -----------------
+    plan_sf = tmp_path / "plan_sf"
+    plan_sf.mkdir()
+    spark.createDataFrame(b1 + b2, schema).coalesce(1) \
+         .write.parquet(str(plan_sf / "events.parquet"))
+    plan = {r.thr_seconds: r.n_dropped
+            for r in watermark_lateness_plan(spark, str(plan_sf)).collect()}
+    assert plan == {60: 3, 300: 2, 900: 1, 3600: 0}, plan
+
+    # --- real withWatermark runs at two candidate thresholds -------------
+    for wm_s, expect_dropped in [(60, {11, 12, 13}), (300, {12, 13})]:
+        src = tmp_path / f"wm{wm_s}_src"
+        src.mkdir()
+        out = str(tmp_path / f"wm{wm_s}_sink")
+        ckpt = str(tmp_path / f"wm{wm_s}_ckpt")
+
+        def run():
+            stream = (spark.readStream.schema(schema)
+                      .option("recursiveFileLookup", "true")
+                      .parquet(str(src)))
+            dedup = (stream.withWatermark("ts", f"{wm_s} seconds")
+                     .dropDuplicates(["event_id", "ts"]))
+            q = (dedup.writeStream.format("parquet").option("path", out)
+                 .option("checkpointLocation", ckpt)
+                 .outputMode("append").trigger(availableNow=True).start())
+            q.awaitTermination(120)
+
+        spark.createDataFrame(b1, schema).coalesce(1) \
+             .write.parquet(str(src / "f1"))
+        run()
+        spark.createDataFrame(b2, schema).coalesce(1) \
+             .write.parquet(str(src / "f2"))
+        run()
+
+        kept = {r.event_id for r in spark.read.parquet(out).collect()}
+        dropped = set(range(1, 16)) - kept
+        assert dropped == expect_dropped, (wm_s, dropped)
+        assert len(dropped) == plan[wm_s], (wm_s, dropped, plan)
+    assert set(plan) == set(_WM_THRESHOLDS)
