@@ -863,19 +863,22 @@ def test_token_shard_stream_matches_batch_and_replay_noop(spark, sf_smoke,
             for r in pack_token_shards(spark, sf_smoke).collect()}
     assert got == want and want
 
-    # replay: epoch watermark makes a stale batch a strict no-op.
-    # Restarting the same source from a FRESH checkpoint re-delivers
-    # both files with epochs restarting at 0 <= the stored max epoch,
-    # so every redelivered batch must no-op.
+    # replay within the SAME checkpoint lineage: wipe the checkpoint
+    # but keep its PATH — redelivered epochs (restarting at 0) are
+    # behind the stored (ckpt, epoch) watermark, so every batch is a
+    # strict no-op and offsets never double-advance.
+    import shutil
+
     state_before = {(r.source, r.lang): r.base_tokens
                     for r in versioned.read_table(spark,
                                                   state_p).collect()}
+    shutil.rmtree(str(tmp_path / "tckpt"))
     stream2 = (spark.readStream
                .schema("doc_id long, text string, source string, "
                        "lang string")
                .option("maxFilesPerTrigger", 1).parquet(str(feed)))
     q2 = jobs.token_shard_stream(stream2, state_p, out_p,
-                                 str(tmp_path / "tckpt2"),
+                                 str(tmp_path / "tckpt"),
                                  token_budget=TOKEN_BUDGET)
     q2.awaitTermination(180)
     state_after = {(r.source, r.lang): r.base_tokens
@@ -883,3 +886,82 @@ def test_token_shard_stream_matches_batch_and_replay_noop(spark, sf_smoke,
                                                  state_p).collect()}
     assert state_after == state_before
     assert spark.read.parquet(out_p).count() == len(want)
+
+    # a genuinely NEW checkpoint is a new watermark lineage (ADVICE
+    # r06): its epochs also restart at 0, but they must NOT be
+    # silently no-op'd — new data arriving under the new checkpoint
+    # is applied (the price: already-applied files it re-reads are
+    # double-counted; state_path is coupled to one checkpoint).
+    extra = [(10_000 + i, "omega kappa sigma", "synthweb", "xx")
+             for i in range(3)]
+    import pandas as pd
+
+    p2 = str(feed / "b2.parquet")
+    pd.DataFrame(extra, columns=["doc_id", "text", "source",
+                                 "lang"]).to_parquet(p2)
+    os.utime(p2, (1700000000 + 180, 1700000000 + 180))
+    stream3 = (spark.readStream
+               .schema("doc_id long, text string, source string, "
+                       "lang string")
+               .option("maxFilesPerTrigger", 1).parquet(str(feed)))
+    q3 = jobs.token_shard_stream(stream3, state_p, out_p,
+                                 str(tmp_path / "tckpt_new"),
+                                 token_budget=TOKEN_BUDGET)
+    q3.awaitTermination(180)
+    out_docs = {r.doc_id for r in spark.read.parquet(out_p).collect()}
+    assert {d for d, *_ in extra} <= out_docs  # the new data landed
+    state_final = {(r.source, r.lang): r.base_tokens
+                   for r in versioned.read_table(spark,
+                                                 state_p).collect()}
+    # replayed streams double-counted, the new stream appended
+    assert state_final[("synthweb", "xx")] == 9  # 3 docs x 3 tokens
+    for k, v in state_before.items():
+        assert state_final[k] == 2 * v, (k, v, state_final[k])
+
+
+def test_incremental_lsh_replay_emits_no_novel_pair_keys(spark, sf_smoke,
+                                                         tmp_path):
+    """ADVICE r06: after a committed corpus append, a replayed batch's
+    corpus cross-probe sees the batch's own docs on BOTH sides and
+    (without canonicalization) would emit the REVERSED (Y, X) of a
+    pair the first delivery emitted as (X, Y) — a novel key that
+    defeats downstream pair-key dedup. Simulate redelivery by running
+    the same feed again under a fresh checkpoint (the corpus already
+    holds the docs): the pair KEY SET must not change."""
+    import os
+
+    import pandas as pd
+
+    d = load_table(spark, sf_smoke, "documents").select("doc_id", "text")
+    seed = d.filter(F.col("doc_id") < 10)
+    docs_p = str(tmp_path / "rdocs")
+    bands_p = str(tmp_path / "rbands")
+    jobs.seed_incremental_corpus(seed, docs_p, bands_p)
+
+    novel = ("parallax gantry sump flange oculus tessera wick "
+             "matte grommet vellum aspic quoin dado finial")
+    feed = tmp_path / "rfeed"
+    feed.mkdir()
+    p = str(feed / "b0.parquet")
+    pd.DataFrame({"doc_id": [920_000, 921_000],
+                  "text": [novel, novel]}).to_parquet(p)
+    os.utime(p, (1700000000, 1700000000))
+
+    pairs_out = str(tmp_path / "rpairs")
+
+    def run(ckpt: str) -> None:
+        stream = (spark.readStream.schema("doc_id long, text string")
+                  .option("maxFilesPerTrigger", 1).parquet(str(feed)))
+        q = jobs.incremental_lsh_stream(
+            stream, docs_p, bands_p, pairs_out, str(tmp_path / ckpt),
+            grow_corpus=True)
+        q.awaitTermination(180)
+
+    run("rckpt1")
+    first = {(r.doc_a, r.doc_b)
+             for r in spark.read.parquet(pairs_out).collect()}
+    assert first == {(920_000, 921_000)}
+    run("rckpt2")  # redelivery: corpus now holds 920k/921k already
+    replayed = {(r.doc_a, r.doc_b)
+                for r in spark.read.parquet(pairs_out).collect()}
+    assert replayed == first  # identical keys only — never (921k, 920k)

@@ -47,11 +47,22 @@ def stopword_hits(text: Column, lang: str) -> Column:
                            lambda t: t.isin(*[F.lit(w) for w in words])))
 
 
-def language_pred(t: Column) -> Column:
+def language_scores(t: Column) -> list[tuple[str, Column]]:
+    """Per-language stopword-hit columns, built ONCE — callers needing
+    both the argmax decision and the best score pass these to
+    ``language_pred`` instead of rebuilding the regex/array work per
+    use (higher-order filter expressions are not reliably
+    subexpression-eliminated by Catalyst)."""
+    return [(lang, stopword_hits(t, lang)) for lang in STOPWORDS]
+
+
+def language_pred(t: Column,
+                  hits: list[tuple[str, Column]] | None = None) -> Column:
     """The language-ID decision column: argmax of per-language
     stopword hits ('und' when no list scores). First-declared language
     wins ties — the when-chain mirrors the oracle CASE order."""
-    hits = [(lang, stopword_hits(t, lang)) for lang in STOPWORDS]
+    if hits is None:
+        hits = language_scores(t)
     # argmax via greatest over structs (score, -lang ordinal) is clumsy;
     # a when-chain over the 5 fixed languages stays a flat expression.
     best_score = F.greatest(*[h for _, h in hits])
@@ -67,14 +78,16 @@ def language_id(docs: DataFrame, text_col: str = "text",
     """Heuristic language-ID: argmax of per-language stopword-hit ratio;
     below ``min_ratio`` falls back to 'und' (undetermined).
 
-    One projection pass — |langs| countings per row, no shuffle at all.
+    One projection pass — |langs| countings per row, no shuffle at all;
+    the hit expressions are shared between the decision and the ratio.
     """
     t = F.col(text_col)
     n_tokens = whitespace_token_count(t)
-    best_score = F.greatest(*[stopword_hits(t, lang) for lang in STOPWORDS])
+    hits = language_scores(t)
+    best_score = F.greatest(*[h for _, h in hits])
     return docs.select(
         F.col(id_col), F.col(text_col),
-        language_pred(t).alias("pred_lang"),
+        language_pred(t, hits).alias("pred_lang"),
         F.round(best_score / F.greatest(n_tokens, F.lit(1)), 6)
          .alias("stopword_ratio"),
     )

@@ -1120,24 +1120,10 @@ def dedup_rate_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Two-stage ANN: int8-quantized IVF candidate scan + full-precision rerank.
 # ---------------------------------------------------------------------------
 
-_Q8_CTE = """
-q8 AS (
-    SELECT vec_id, v,
-           CASE WHEN list_max(list_transform(v, x -> abs(x))) / 127.0 = 0.0
-                THEN 1.0
-                ELSE list_max(list_transform(v, x -> abs(x))) / 127.0
-           END AS scale
-    FROM (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)
-),
-quant AS (
-    SELECT vec_id, v, scale,
-           list_transform(v, x -> CAST(greatest(-127.0,
-               least(127.0, round(x / scale, 0))) AS INT)) AS qv
-    FROM q8
-)"""
-
-_INT_DOT = ("list_reduce(list_transform(generate_series(1, 64), "
-            "i -> CAST(a.qv[i] AS BIGINT) * b.qv[i]), (x, y) -> x + y)")
+from travel_data_pipeline_spark.functions.oracle_fragments import (
+    INT_DOT as _INT_DOT,
+    Q8_CTE as _Q8_CTE,
+)
 
 
 @register("ivf_quantized_rerank", f"""

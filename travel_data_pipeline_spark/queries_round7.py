@@ -969,7 +969,12 @@ FROM cells JOIN t ON cells.lang = t.lang
 """
 
 
-@register("langid_confusion_matrix", _langid_confusion_sql())
+# lazy (the callable, not a rendered string): rendering at decoration
+# time imports queries_northstar, which breaks the direct
+# `import queries_round7` path while northstar is still initializing
+# (the registry import chain) — the latent circular-import seam the
+# round-5 memory note warned about
+@register("langid_confusion_matrix", _langid_confusion_sql)
 def langid_confusion_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(truth lang, predicted lang) confusion cells with per-truth
     recall shares. Pure-expression prediction; output bounded by

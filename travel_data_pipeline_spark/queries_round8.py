@@ -30,15 +30,11 @@ from travel_data_pipeline_spark.functions.hashing import (
     md5_long_sql,
 )
 from travel_data_pipeline_spark.functions.parity import round_sql
+from travel_data_pipeline_spark.functions.oracle_fragments import (
+    INT_DOT as _INT_DOT,
+    Q8_CTE as _Q8_CTE,
+)
 from travel_data_pipeline_spark.operators import similarity
-
-# Import the registry FIRST: its import side-effect runs every queries
-# module in dependency order, so the cross-module oracle-fragment
-# import below never observes a partially-initialized queries_northstar
-# (the direct `import queries_round8` path pytest collection takes).
-from travel_data_pipeline_spark import registry as _registry  # noqa: F401
-
-from travel_data_pipeline_spark.queries_northstar import _INT_DOT, _Q8_CTE
 from travel_data_pipeline_spark.registry import register
 from travel_data_pipeline_spark.sources.readers import load_table
 

@@ -720,9 +720,28 @@ def incremental_lsh_stream(incoming: DataFrame, docs_path: str,
                           ["band_idx", "band_key"])
                       .filter(F.col("doc_a") < F.col("doc_b"))
                       .select("doc_a", "doc_b"))
-            cand = cand.unionByName(within)
+            # canonicalize pair keys (ADVICE r06): on replay after a
+            # committed corpus append, the cross-probe sees the batch's
+            # own docs on BOTH sides and emits (X, Y) *and* (Y, X);
+            # the self-probe's first delivery emitted only X < Y, so
+            # the reversed key would be NOVEL and defeat downstream
+            # pair-key dedup. least/greatest folds both orientations
+            # onto the self-probe's X < Y form before distinct.
+            # Pure-probe mode keeps the corpus/incoming orientation —
+            # its contract is bit-equality with the batch query.
+            cand = (cand.unionByName(within)
+                    .select(F.least("doc_a", "doc_b").alias("doc_a"),
+                            F.greatest("doc_a", "doc_b").alias("doc_b")))
         pairs = cand.distinct().localCheckpoint(eager=True)
-        docs_all = corpus_docs.unionByName(batch_docs)
+        # dropDuplicates(doc_id): on replay after a committed corpus
+        # append the batch docs are ALSO in the corpus; duplicated doc
+        # rows would double every shingle row, making Jaccard's
+        # denominator size_a + size_b - inter_n collapse to ZERO for
+        # replayed pairs (ANSI divide-by-zero crash, found by
+        # tests/test_streaming.py::
+        # test_incremental_lsh_replay_emits_no_novel_pair_keys)
+        docs_all = (corpus_docs.unionByName(batch_docs)
+                    .dropDuplicates(["doc_id"]))
         verified = dedup.jaccard_pairs(docs_all, pairs,
                                        threshold=threshold)
         verified.write.mode("append").parquet(pairs_out)
@@ -745,13 +764,27 @@ def token_shard_stream(incoming: DataFrame, state_path: str,
     forever without re-scanning history.
 
     State is a versioned table of per-(source, lang) token offsets
-    plus the last applied epoch_id; a replayed micro-batch
-    (at-least-once delivery) compares its epoch against the state and
-    becomes a NO-OP — offsets never double-advance and assignments are
-    never re-appended, i.e. effectively-once without any external
-    coordinator (same discipline as foreach_batch_upsert, but via the
-    epoch high-watermark because offset accumulation is not naturally
-    idempotent the way grain MERGE is).
+    plus the last applied (checkpoint identity, epoch_id); a replayed
+    micro-batch (at-least-once delivery) from the SAME checkpoint
+    compares its epoch against the state and becomes a NO-OP —
+    offsets never double-advance (same discipline as
+    foreach_batch_upsert, but via the epoch high-watermark because
+    offset accumulation is not naturally idempotent the way grain
+    MERGE is). The watermark is bound to the checkpoint lifetime
+    (ADVICE r06): epochs restart at 0 under a FRESH checkpoint, so a
+    bare epoch comparison would silently no-op genuinely new batches;
+    storing the checkpoint identity alongside the epoch makes a new
+    checkpoint start a new watermark lineage instead of losing data.
+    Corollary: re-feeding ALREADY-APPLIED data under a fresh
+    checkpoint double-counts — state_path is coupled to one
+    checkpoint; point a new checkpoint at a new state/out path (or
+    accept the replay) when reprocessing.
+
+    Delivery contract: offsets never double-advance, but assignments
+    append BEFORE the state commit, so a crash in that window re-
+    appends the same rows on replay — the sink is at-least-once with
+    IDENTICAL rows (count-based consumers dedup on doc_id), not
+    effectively-once.
 
     Under the monotone-ingestion contract (later batches carry higher
     doc_ids per stream — the stateful-twin contract of the Holt /
@@ -769,14 +802,26 @@ def token_shard_stream(incoming: DataFrame, state_path: str,
     from travel_data_pipeline_spark.operators import text
     from travel_data_pipeline_spark.sources import versioned
 
+    import os as _os
+
+    ckpt_id = _os.path.abspath(checkpoint)
+
     def fold(batch_df: DataFrame, epoch_id: int) -> None:
         if batch_df.isEmpty():
             return
         spark = batch_df.sparkSession
         try:
             state = versioned.read_table(spark, state_path)
-            applied = state.agg(F.max("epoch")).first()[0]
-            if applied is not None and epoch_id <= applied:
+            head = (state.agg(F.max("epoch").alias("epoch"),
+                              F.max("ckpt").alias("ckpt")).first()
+                    if "ckpt" in state.columns
+                    else None)
+            # the epoch watermark only gates replays from the SAME
+            # checkpoint lineage; a fresh checkpoint restarts epochs
+            # at 0 and must NOT be silently no-op'd (ADVICE r06)
+            if (head is not None and head["epoch"] is not None
+                    and head["ckpt"] == ckpt_id
+                    and epoch_id <= head["epoch"]):
                 return  # replayed batch: a strict no-op
             offsets = state.select("source", "lang", "base_tokens")
         except FileNotFoundError:
@@ -810,7 +855,8 @@ def token_shard_stream(incoming: DataFrame, state_path: str,
                              (F.coalesce("base_tokens", F.lit(0))
                               + F.coalesce("_add", F.lit(0))).cast("long")
                              .alias("base_tokens"),
-                             F.lit(epoch_id).cast("long").alias("epoch")))
+                             F.lit(epoch_id).cast("long").alias("epoch"),
+                             F.lit(ckpt_id).alias("ckpt")))
         versioned.write_table(new_state, state_path)
 
     return (incoming.writeStream.foreachBatch(fold)
