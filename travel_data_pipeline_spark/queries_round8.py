@@ -424,3 +424,617 @@ def bpe_apply_learned(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(
         rows, "merge_rank long, pair string, n_train_pairs long, "
               "n_applied_heldout long, heldout_tokens_after long")
+
+
+# ---------------------------------------------------------------------------
+# Mergeable quantile sketch — the distributed-percentile mechanics a
+# 100 TB engine actually runs: every partition (order month here)
+# builds a fixed 128-bin equi-width histogram (a sketch that merges by
+# ADDITION — associative, commutative, constant size), the merged
+# histogram answers quantiles at bin-edge resolution, and the audit
+# reports the estimate against the EXACT rank statistic (two-phase
+# global rank, never a single-partition sort). Error is bounded by one
+# bin width by construction — the number this audit certifies.
+# ---------------------------------------------------------------------------
+
+_QSK_WIDTH = 4000.0          # bin width; prices live in [1e3, 5e5]
+_QSK_BINS = 128
+_QSK_QS = ("0.25", "0.5", "0.75", "0.9")
+
+
+@register("quantile_sketch_merge", f"""
+WITH o AS (
+    SELECT o_orderkey AS k, o_totalprice AS price,
+           CAST(date_part('year', o_orderdate) * 12
+                + date_part('month', o_orderdate) AS INT) AS part
+    FROM orders
+),
+sketch AS (   -- per-partition mergeable histogram
+    SELECT part, LEAST(CAST(floor(price / {_QSK_WIDTH}) AS INT),
+                       {_QSK_BINS - 1}) AS bin, count(*) AS cnt
+    FROM o GROUP BY part, bin
+),
+merged AS (   -- merge = sum per bin
+    SELECT bin, SUM(cnt) AS cnt FROM sketch GROUP BY bin
+),
+cdf AS (
+    SELECT bin, SUM(cnt) OVER (ORDER BY bin ROWS UNBOUNDED PRECEDING)
+           AS cum
+    FROM merged
+),
+n AS (SELECT count(*) AS n FROM o),
+grid AS (SELECT unnest([{', '.join(_QSK_QS)}]) AS q),
+est AS (
+    SELECT g.q, MIN(c.bin) AS est_bin
+    FROM grid g CROSS JOIN n JOIN cdf c
+      ON c.cum >= CAST(ceil(g.q * n.n) AS BIGINT)
+    GROUP BY g.q
+),
+ranked AS (
+    SELECT price, row_number() OVER (ORDER BY price, k) AS rn FROM o
+),
+exact AS (
+    SELECT g.q, r.price AS exact_value
+    FROM grid g CROSS JOIN n
+    JOIN ranked r ON r.rn = CAST(ceil(g.q * n.n) AS BIGINT)
+)
+SELECT e.q, CAST(n.n AS BIGINT) AS n,
+       (est_bin + 1) * {_QSK_WIDTH} AS est_upper_edge,
+       x.exact_value,
+       round((est_bin + 1) * {_QSK_WIDTH} - x.exact_value, 6) + 0.0
+           AS abs_err
+FROM est e JOIN exact x ON x.q = e.q CROSS JOIN n
+""")
+def quantile_sketch_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantiles from a merged per-partition histogram sketch, audited
+    against the exact rank statistic.
+
+    Scale shape: the sketch build is one map-side-combinable groupBy
+    over (partition, bin) with <= months x 128 groups; the merge is a
+    <= 128-group sum; the CDF window runs over <= 128 rows (bounded,
+    like two_phase_ordered's offsets). Only the AUDIT side touches a
+    global rank, and it rides two_phase_ordered."""
+    from travel_data_pipeline_spark.operators.windows import (
+        two_phase_ordered,
+    )
+
+    o = load_table(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("k"),
+        F.col("o_totalprice").alias("price"),
+        (F.year("o_orderdate") * 12 + F.month("o_orderdate"))
+        .cast("int").alias("part"))
+    bin_c = F.least(F.floor(F.col("price") / _QSK_WIDTH).cast("int"),
+                    F.lit(_QSK_BINS - 1))
+    sketch = (o.groupBy("part", bin_c.alias("bin"))
+              .agg(F.count("*").alias("cnt")))
+    merged = sketch.groupBy("bin").agg(F.sum("cnt").alias("cnt"))
+    w_cdf = Window.orderBy("bin").rowsBetween(Window.unboundedPreceding, 0)
+    cdf = merged.select("bin", F.sum("cnt").over(w_cdf).alias("cum"))
+    n = o.agg(F.count("*").alias("n"))
+    grid = spark.createDataFrame([(float(q),) for q in _QSK_QS], ["q"])
+    target = F.ceil(F.col("q") * F.col("n")).cast("long")
+    est = (cdf.crossJoin(F.broadcast(grid)).crossJoin(F.broadcast(n))
+           .filter(F.col("cum") >= target)
+           .groupBy("q").agg(F.min("bin").alias("est_bin")))
+    ranked = two_phase_ordered(o, ["price", "k"], F.col("price"),
+                               rank_col="rn")
+    exact = (ranked.crossJoin(F.broadcast(grid)).crossJoin(F.broadcast(n))
+             .filter(F.col("rn") == target)
+             .select("q", F.col("price").alias("exact_value")))
+    return (est.join(exact, "q").crossJoin(F.broadcast(n))
+            .select("q", F.col("n").cast("long").alias("n"),
+                    ((F.col("est_bin") + 1) * F.lit(_QSK_WIDTH))
+                    .alias("est_upper_edge"),
+                    "exact_value",
+                    (F.round((F.col("est_bin") + 1) * F.lit(_QSK_WIDTH)
+                             - F.col("exact_value"), 6) + 0.0)
+                    .alias("abs_err")))
+
+
+# ---------------------------------------------------------------------------
+# Incremental recompute planning — the compaction-planner sibling of
+# dataset_snapshot_diff (VERDICT r06 #6): given yesterday's snapshot
+# (simulated as orders minus the o_orderkey % 97 == 0 rows) and
+# today's, fingerprint each partition (order month) with an
+# order-independent bit_xor of row hashes, and emit per partition the
+# minimal recompute decision a mart scheduler needs: unchanged
+# partitions skip, changed/new ones recompute with their current row
+# counts. Only (month, fingerprint) projections ever shuffle — never
+# rows — exactly the dataset_snapshot_diff discipline.
+# ---------------------------------------------------------------------------
+
+@register("incremental_recompute_plan", f"""
+WITH cur AS (
+    SELECT CAST(date_part('year', o_orderdate) * 12
+                + date_part('month', o_orderdate) AS INT) AS part,
+           {md5_long_sql("o_orderkey || ':' || CAST(o_totalprice AS VARCHAR)"
+                         " || ':' || o_orderstatus")} AS h
+    FROM orders
+),
+prev AS (SELECT * FROM cur WHERE h % 97 <> 0),
+curfp AS (SELECT part, bit_xor(h) AS fp, count(*) AS n_rows
+          FROM cur GROUP BY part),
+prevfp AS (SELECT part, bit_xor(h) AS fp FROM prev GROUP BY part)
+SELECT COALESCE(c.part, p.part) AS part,
+       CASE WHEN p.part IS NULL THEN 'new'
+            WHEN c.part IS NULL THEN 'deleted'
+            WHEN c.fp = p.fp THEN 'unchanged'
+            ELSE 'changed' END AS status,
+       CAST(COALESCE(c.n_rows, 0) AS BIGINT) AS n_rows,
+       CAST(CASE WHEN p.part IS NULL OR c.part IS NULL OR c.fp <> p.fp
+                 THEN COALESCE(c.n_rows, 0) ELSE 0 END AS BIGINT)
+           AS rows_to_recompute
+FROM curfp c FULL OUTER JOIN prevfp p ON c.part = p.part
+""")
+def incremental_recompute_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Minimal per-partition recompute set between two snapshots.
+
+    The 'previous' snapshot drops rows whose row-hash % 97 == 0
+    (deterministic at any SF), so most months differ and a few are
+    unchanged — the plan marks exactly which months a downstream mart
+    must rebuild. Fingerprint = bit_xor of 60-bit md5 row hashes:
+    order-independent, mergeable, and 8 bytes per partition."""
+    o = load_table(spark, sf_dir, "orders")
+    part = (F.year("o_orderdate") * 12
+            + F.month("o_orderdate")).cast("int").alias("part")
+    h = md5_long(F.concat_ws(":", F.col("o_orderkey").cast("string"),
+                             F.col("o_totalprice").cast("string"),
+                             F.col("o_orderstatus")))
+    cur = o.select(part, h.alias("h"))
+    prev = cur.filter(F.col("h") % 97 != 0)
+    curfp = cur.groupBy("part").agg(
+        F.bit_xor("h").alias("fp"), F.count("*").alias("n_rows"))
+    prevfp = prev.groupBy("part").agg(F.bit_xor("h").alias("fp"))
+    c, p = curfp.alias("c"), prevfp.alias("p")
+    changed = (F.col("p.part").isNull() | F.col("c.part").isNull()
+               | (F.col("c.fp") != F.col("p.fp")))
+    return (c.join(p, F.col("c.part") == F.col("p.part"), "full_outer")
+            .select(
+                F.coalesce(F.col("c.part"), F.col("p.part")).alias("part"),
+                F.when(F.col("p.part").isNull(), "new")
+                 .when(F.col("c.part").isNull(), "deleted")
+                 .when(F.col("c.fp") == F.col("p.fp"), "unchanged")
+                 .otherwise("changed").alias("status"),
+                F.coalesce(F.col("c.n_rows"), F.lit(0)).cast("long")
+                 .alias("n_rows"),
+                F.when(changed, F.coalesce(F.col("c.n_rows"), F.lit(0)))
+                 .otherwise(0).cast("long").alias("rows_to_recompute")))
+
+
+# ---------------------------------------------------------------------------
+# Cross-source contamination matrix — which eval suite leaks into
+# which training source (VERDICT r06 #6): eval suites are the per-lang
+# held-out slices (doc_id % 10 == 3), training is everything else
+# keyed by source. A (source, suite) cell reports how many of the
+# suite's distinct 5-gram shingles appear anywhere in that source —
+# the matrix view of contamination_ngram_overlap. Scale shape: both
+# sides reduce to DISTINCT (key, shingle) projections; the suite side
+# is eval-sized (broadcast), the train side aggregates per shingle
+# BEFORE the join so the corpus never re-shuffles per suite.
+# ---------------------------------------------------------------------------
+
+@register("contamination_source_matrix", f"""
+WITH normed AS (
+    SELECT doc_id, source, lang,
+           trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS norm
+    FROM documents
+),
+grams AS (
+    SELECT w.doc_id, w.source, w.lang,
+           array_to_string(w.words[i.i:i.i+4], ' ') AS g
+    FROM (SELECT doc_id, source, lang, string_split(norm, ' ') AS words
+          FROM normed) w,
+         unnest(generate_series(1, greatest(len(w.words) - 4, 0))) AS i(i)
+),
+eval_grams AS (
+    SELECT DISTINCT lang AS suite, g FROM grams WHERE doc_id % 10 = 3
+),
+suite_sizes AS (
+    SELECT suite, count(*) AS n_suite_grams FROM eval_grams GROUP BY suite
+),
+train_grams AS (
+    SELECT DISTINCT source, g FROM grams WHERE doc_id % 10 <> 3
+),
+cells AS (
+    SELECT t.source, e.suite, count(*) AS n_hit
+    FROM train_grams t JOIN eval_grams e ON e.g = t.g
+    GROUP BY t.source, e.suite
+)
+SELECT s.suite, c.source, CAST(c.n_hit AS BIGINT) AS n_hit,
+       CAST(s.n_suite_grams AS BIGINT) AS n_suite_grams,
+       {round_sql("c.n_hit / CAST(s.n_suite_grams AS DOUBLE)")}
+           AS leak_share
+FROM cells c JOIN suite_sizes s ON s.suite = c.suite
+""")
+def contamination_source_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(training source x eval suite) 5-gram leakage matrix; only
+    cells with at least one hit are emitted."""
+    from travel_data_pipeline_spark.operators import dedup
+
+    docs = load_table(spark, sf_dir, "documents")
+    grams = docs.select("doc_id", "source", "lang",
+                        F.explode(dedup.word_shingles(F.col("text"), 5))
+                        .alias("g"))
+    eval_grams = (grams.filter(F.col("doc_id") % 10 == 3)
+                  .select(F.col("lang").alias("suite"), "g").distinct())
+    suite_sizes = eval_grams.groupBy("suite").agg(
+        F.count("*").alias("n_suite_grams"))
+    train_grams = (grams.filter(F.col("doc_id") % 10 != 3)
+                   .select("source", "g").distinct())
+    cells = (train_grams.join(F.broadcast(eval_grams), "g")
+             .groupBy("source", "suite").agg(F.count("*").alias("n_hit")))
+    return (cells.join(F.broadcast(suite_sizes), "suite")
+            .select("suite", "source",
+                    F.col("n_hit").cast("long").alias("n_hit"),
+                    F.col("n_suite_grams").cast("long")
+                    .alias("n_suite_grams"),
+                    F.round(F.col("n_hit")
+                            / F.col("n_suite_grams").cast("double"), 6)
+                    .alias("leak_share")))
+
+
+# ---------------------------------------------------------------------------
+# Stratified group-integral split — train/val/test assignment where
+# the unit is the USER (all of a user's events land in one split, so
+# no behavioral leakage across splits) and the assignment is a pure
+# md5 threshold (rerun-stable, cluster-size invariant, no shuffle to
+# assign). The audit reports the per-(split, event_type) composition a
+# dataset card needs. 80/10/10 by construction.
+# ---------------------------------------------------------------------------
+
+_SPLIT_SQL = f"""CASE WHEN {md5_long_sql("'sp:' || CAST(user_id AS VARCHAR)")}
+    % 10 < 8 THEN 'train'
+    WHEN {md5_long_sql("'sp:' || CAST(user_id AS VARCHAR)")} % 10 = 8
+    THEN 'val' ELSE 'test' END"""
+
+
+@register("stratified_group_split", f"""
+WITH assigned AS (
+    SELECT user_id, event_type, {_SPLIT_SQL} AS split FROM events
+),
+cells AS (
+    SELECT split, event_type, count(*) AS n_events,
+           count(DISTINCT user_id) AS n_users
+    FROM assigned GROUP BY split, event_type
+),
+t AS (SELECT event_type, SUM(n_events) AS tot FROM cells
+      GROUP BY event_type)
+SELECT c.split, c.event_type, CAST(n_events AS BIGINT) AS n_events,
+       CAST(n_users AS BIGINT) AS n_users,
+       {round_sql("n_events / CAST(tot AS DOUBLE)")} AS type_share
+FROM cells c JOIN t ON t.event_type = c.event_type
+""")
+def stratified_group_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leakage-free split audit: every user's events share one split
+    (hash-of-user assignment), and each (split, event_type) cell
+    reports its event/user counts and within-type share."""
+    ev = load_table(spark, sf_dir, "events")
+    hash10 = md5_long(
+        F.concat(F.lit("sp:"), F.col("user_id").cast("string"))) % 10
+    split = (F.when(hash10 < 8, "train")
+             .when(hash10 == 8, "val").otherwise("test"))
+    cells = (ev.select(split.alias("split"), "event_type", "user_id")
+             .groupBy("split", "event_type")
+             .agg(F.count("*").alias("n_events"),
+                  F.countDistinct("user_id").alias("n_users")))
+    t = cells.groupBy("event_type").agg(F.sum("n_events").alias("tot"))
+    return (cells.join(F.broadcast(t), "event_type")
+            .select("split", "event_type",
+                    F.col("n_events").cast("long").alias("n_events"),
+                    F.col("n_users").cast("long").alias("n_users"),
+                    F.round(F.col("n_events")
+                            / F.col("tot").cast("double"), 6)
+                    .alias("type_share")))
+
+
+# ---------------------------------------------------------------------------
+# N-gram novelty curve — how much genuinely NEW text each tranche of
+# the corpus contributes: a distinct 3-gram is credited to the FIRST
+# doc (min doc_id) containing it; per 25-doc tranche the novelty share
+# is new grams / distinct gram slots. The saturation readout that
+# tells a crawl when marginal data stops adding content (Heaps-law's
+# per-tranche sibling). Scale shape: one distinct (doc, gram)
+# projection, one gram-keyed min, one doc-keyed count — never a
+# corpus self-join.
+# ---------------------------------------------------------------------------
+
+@register("ngram_novelty_curve", """
+WITH normed AS (
+    SELECT doc_id,
+           trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS norm
+    FROM documents
+),
+grams AS (
+    SELECT DISTINCT w.doc_id, array_to_string(w.words[i.i:i.i+2], ' ') AS g
+    FROM (SELECT doc_id, string_split(norm, ' ') AS words FROM normed) w,
+         unnest(generate_series(1, greatest(len(w.words) - 2, 0))) AS i(i)
+),
+firsts AS (SELECT g, MIN(doc_id) AS first_doc FROM grams GROUP BY g),
+new_per_doc AS (
+    SELECT first_doc AS doc_id, count(*) AS n_new FROM firsts
+    GROUP BY first_doc
+),
+tot_per_doc AS (
+    SELECT doc_id, count(*) AS n_grams FROM grams GROUP BY doc_id
+)
+SELECT CAST(t.doc_id // 25 AS BIGINT) AS tranche,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(SUM(t.n_grams) AS BIGINT) AS n_grams,
+       CAST(SUM(COALESCE(n.n_new, 0)) AS BIGINT) AS n_new,
+       ROUND(SUM(COALESCE(n.n_new, 0)) / CAST(SUM(t.n_grams) AS DOUBLE),
+             6) AS novelty
+FROM tot_per_doc t LEFT JOIN new_per_doc n ON n.doc_id = t.doc_id
+GROUP BY tranche
+""")
+def ngram_novelty_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-25-doc-tranche share of 3-grams never seen in any earlier
+    doc. Docs with fewer than 3 words carry no gram slots and drop
+    out of the curve (same on both sides)."""
+    from travel_data_pipeline_spark.operators import dedup
+
+    docs = load_table(spark, sf_dir, "documents")
+    grams = (docs.select("doc_id",
+                         F.explode(dedup.word_shingles(F.col("text"), 3))
+                         .alias("g"))
+             .distinct())
+    firsts = grams.groupBy("g").agg(F.min("doc_id").alias("first_doc"))
+    new_per_doc = (firsts.groupBy(F.col("first_doc").alias("doc_id"))
+                   .agg(F.count("*").alias("n_new")))
+    tot_per_doc = grams.groupBy("doc_id").agg(
+        F.count("*").alias("n_grams"))
+    joined = tot_per_doc.join(new_per_doc, "doc_id", "left")
+    return (joined.groupBy((F.col("doc_id") / 25).cast("long")
+                           .alias("tranche"))
+            .agg(F.count("*").cast("long").alias("n_docs"),
+                 F.sum("n_grams").cast("long").alias("n_grams"),
+                 F.sum(F.coalesce("n_new", F.lit(0))).cast("long")
+                 .alias("n_new"))
+            .select("tranche", "n_docs", "n_grams", "n_new",
+                    F.round(F.col("n_new")
+                            / F.col("n_grams").cast("double"), 6)
+                    .alias("novelty")))
+
+
+# ---------------------------------------------------------------------------
+# Calibration reliability bins — is the frozen quality scorer's
+# confidence honest? The raw logit is min-max scaled to [0, 1] over
+# the corpus (a sigmoid squash would use exp(), which differs in the
+# last ulp across libm implementations — min-max is plain IEEE ops on
+# exact extrema and, unlike the squash, actually spreads this
+# corpus's narrow logit band across all 10 bins), binned into 10
+# equal-width probability bins, and each bin reports mean predicted p
+# vs empirical positive rate plus its weighted ECE contribution.
+# Exactness: p is 6-dp rounded, so per-bin sums ride DECIMAL(18,6)
+# (order-independent); every derived double is one shared expression.
+# One corpus scan, a <= 10-group aggregate.
+# ---------------------------------------------------------------------------
+
+_CAL_SCORE = ("-2.0 + 3.5 * alpha_ratio - 6.0 * (1.0 - alpha_ratio)"
+              " + 0.08 * mean_word_len + 0.9 * log_len")
+
+
+@register("cdf_calibration_bins", f"""
+WITH feats AS (
+    SELECT doc_id,
+           length(text) AS n_chars,
+           length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS alpha_chars,
+           len(list_filter(string_split(
+               trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' '),
+               x -> x <> '')) AS n_tokens
+    FROM documents
+),
+x AS (
+    SELECT doc_id,
+           {round_sql("alpha_chars / GREATEST(n_chars, 1)")} AS alpha_ratio,
+           {round_sql("(n_chars - alpha_chars) / GREATEST(n_chars, 1)")}
+             AS sym_ratio,
+           {round_sql("alpha_chars / GREATEST(n_tokens, 1)")}
+             AS mean_word_len,
+           {round_sql("log10(CAST(n_chars AS DOUBLE) + 1.0)")} AS log_len,
+           n_tokens
+    FROM feats
+),
+judged AS (
+    SELECT {round_sql(_CAL_SCORE)} + 0.0 AS score,
+           (n_tokens >= 10 AND mean_word_len <= 12.0
+            AND sym_ratio <= 0.35) AS truth
+    FROM x
+),
+mnmx AS (SELECT MIN(score) AS mn, MAX(score) AS mx FROM judged),
+probs AS (
+    SELECT CASE WHEN mx = mn THEN 0.5
+                ELSE {round_sql("(score - mn) / (mx - mn)")} END AS p,
+           truth
+    FROM judged CROSS JOIN mnmx
+),
+binned AS (
+    SELECT LEAST(CAST(floor(p * 10) AS INT), 9) AS bin,
+           count(*) AS n,
+           SUM(CAST(p AS DECIMAL(18,6))) AS sum_p,
+           SUM(CASE WHEN truth THEN 1 ELSE 0 END) AS n_pos
+    FROM probs GROUP BY bin
+),
+tot AS (SELECT SUM(n) AS total FROM binned)
+SELECT CAST(bin AS INT) AS bin, CAST(n AS BIGINT) AS n,
+       {round_sql("CAST(sum_p AS DOUBLE) / n")} AS mean_p,
+       {round_sql("n_pos / CAST(n AS DOUBLE)")} AS pos_rate,
+       {round_sql("abs(CAST(sum_p AS DOUBLE) / n"
+                  " - n_pos / CAST(n AS DOUBLE))"
+                  " * (n / CAST(total AS DOUBLE))")} AS ece_term
+FROM binned CROSS JOIN tot
+""")
+def cdf_calibration_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reliability-diagram bins + per-bin ECE contribution for the
+    frozen quality scorer (same score/truth spelling as
+    classifier_threshold_sweep)."""
+    docs = load_table(spark, sf_dir, "documents")
+    norm = F.trim(F.regexp_replace(F.lower("text"), r"\s+", " "))
+    toks = F.filter(F.split(norm, " "), lambda x: x != "")
+    n_chars = F.length("text")
+    alpha = F.length(F.regexp_replace("text", "[^A-Za-z]", ""))
+    n_tokens = F.size(toks)
+    alpha_ratio = F.round(alpha / F.greatest(n_chars, F.lit(1)), 6)
+    sym_ratio = F.round((n_chars - alpha)
+                        / F.greatest(n_chars, F.lit(1)), 6)
+    mwl = F.round(alpha / F.greatest(n_tokens, F.lit(1)), 6)
+    log_len = F.round(F.log10(n_chars.cast("double") + F.lit(1.0)), 6)
+    score = F.round(F.lit(-2.0) + F.lit(3.5) * alpha_ratio
+                    - F.lit(6.0) * (F.lit(1.0) - alpha_ratio)
+                    + F.lit(0.08) * mwl + F.lit(0.9) * log_len, 6) \
+        + F.lit(0.0)
+    truth = (n_tokens >= 10) & (mwl <= 12.0) & (sym_ratio <= 0.35)
+    judged = docs.select(score.alias("score"), truth.alias("truth"))
+    mnmx = judged.agg(F.min("score").alias("mn"),
+                      F.max("score").alias("mx"))
+    p = (F.when(F.col("mx") == F.col("mn"), F.lit(0.5))
+         .otherwise(F.round((F.col("score") - F.col("mn"))
+                            / (F.col("mx") - F.col("mn")), 6)))
+    probs = (judged.crossJoin(F.broadcast(mnmx))
+             .select(p.alias("p"), "truth"))
+    binned = (probs.groupBy(
+        F.least(F.floor(F.col("p") * 10).cast("int"), F.lit(9))
+        .alias("bin"))
+        .agg(F.count("*").alias("n"),
+             F.sum(F.col("p").cast("decimal(18,6)")).alias("sum_p"),
+             F.sum(F.when(F.col("truth"), 1).otherwise(0)).alias("n_pos")))
+    tot = binned.agg(F.sum("n").alias("total"))
+    mean_p = F.col("sum_p").cast("double") / F.col("n")
+    pos_rate = F.col("n_pos") / F.col("n").cast("double")
+    return (binned.crossJoin(F.broadcast(tot))
+            .select(F.col("bin").cast("int").alias("bin"),
+                    F.col("n").cast("long").alias("n"),
+                    F.round(mean_p, 6).alias("mean_p"),
+                    F.round(pos_rate, 6).alias("pos_rate"),
+                    F.round(F.abs(mean_p - pos_rate)
+                            * (F.col("n")
+                               / F.col("total").cast("double")), 6)
+                    .alias("ece_term")))
+
+
+# ---------------------------------------------------------------------------
+# HyperLogLog union audit — the mergeable distinct-count sketch from
+# first principles (md5-derived so both engines agree bit-for-bit):
+# per event_type, 64 registers hold max(rho) of each bucket's hashes;
+# the UNION across event types is the register-wise max — the property
+# that makes HLL the right distinct-user structure for a 1000-executor
+# fleet (registers merge like the histogram sketch's bins add). The
+# audit reports each type's estimate and the merged estimate against
+# exact distinct counts. Floats: 2^-M terms are exact dyadic doubles
+# but their SUM spans > 53 bits, so both engines fold over the
+# bucket-ORDERED list (the order-pinned-fold rule).
+# ---------------------------------------------------------------------------
+
+_HLL_M = 64
+_HLL_ALPHA = 0.709   # standard alpha for m = 64
+
+
+@register("hyperloglog_union_audit", f"""
+WITH hashed AS (
+    SELECT event_type,
+           {md5_long_sql("'hll:' || CAST(user_id AS VARCHAR)")} AS h
+    FROM events
+),
+rho AS (
+    SELECT event_type, CAST(h % {_HLL_M} AS INT) AS bucket,
+           CASE WHEN h // {_HLL_M} = 0 THEN 55
+                ELSE 55 - length(bin(h // {_HLL_M})) END AS r
+    FROM hashed
+),
+regs AS (
+    SELECT event_type, bucket, MAX(r) AS m
+    FROM rho GROUP BY event_type, bucket
+),
+keys AS (SELECT DISTINCT event_type FROM events
+         UNION ALL SELECT 'ALL'),
+merged AS (      -- union across types = register-wise max
+    SELECT 'ALL' AS event_type, bucket, MAX(m) AS m
+    FROM regs GROUP BY bucket
+),
+allregs AS (SELECT * FROM regs UNION ALL SELECT * FROM merged),
+full_regs AS (   -- absent buckets carry register value 0
+    SELECT k.event_type, b.bucket, COALESCE(a.m, 0) AS m
+    FROM keys k
+    CROSS JOIN (SELECT unnest(generate_series(0, {_HLL_M - 1})) AS bucket) b
+    LEFT JOIN allregs a
+      ON a.event_type = k.event_type AND a.bucket = b.bucket
+),
+est AS (
+    SELECT event_type,
+           {_HLL_ALPHA} * {_HLL_M} * {_HLL_M} / list_reduce(
+               list(1.0 / CAST(CAST(1 AS BIGINT) << m AS DOUBLE)
+                    ORDER BY bucket),
+               (x, y) -> x + y) AS raw_est
+    FROM full_regs GROUP BY event_type
+),
+exact AS (
+    SELECT event_type, count(DISTINCT user_id) AS exact_n FROM events
+    GROUP BY event_type
+    UNION ALL
+    SELECT 'ALL', count(DISTINCT user_id) FROM events
+)
+SELECT e.event_type,
+       CAST(x.exact_n AS BIGINT) AS exact_n,
+       {round_sql("e.raw_est")} AS hll_estimate,
+       {round_sql("(e.raw_est - x.exact_n) / CAST(x.exact_n AS DOUBLE)")}
+           AS rel_err
+FROM est e JOIN exact x ON x.event_type = e.event_type
+""")
+def hyperloglog_union_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event-type HLL(m=64) distinct-user estimates, the merged
+    union estimate, and relative error vs exact distincts. rho is
+    derived portably: 55 - len(bin(h div 64)) over the 60-bit md5
+    hash (bin() strips leading zeros in both engines)."""
+    ev = load_table(spark, sf_dir, "events")
+    h = md5_long(F.concat(F.lit("hll:"), F.col("user_id").cast("string")))
+    # h div 64 as INTEGER division (h spans 60 bits — floor(h / 64.0)
+    # would round through a 53-bit double and corrupt high hashes)
+    w = F.expr(f"h div {_HLL_M}")
+    rho = (ev.select("event_type", h.alias("h"))
+           .select("event_type",
+                   (F.col("h") % _HLL_M).cast("int").alias("bucket"),
+                   F.when(w == 0, 55)
+                   .otherwise(55 - F.length(F.bin(w))).alias("r")))
+    regs = rho.groupBy("event_type", "bucket").agg(F.max("r").alias("m"))
+    merged = (regs.groupBy("bucket").agg(F.max("m").alias("m"))
+              .select(F.lit("ALL").alias("event_type"), "bucket", "m"))
+    allregs = regs.unionByName(merged)
+    keys = (ev.select("event_type").distinct()
+            .unionByName(
+                ev.sparkSession.range(1)
+                .select(F.lit("ALL").alias("event_type"))))
+    buckets = ev.sparkSession.range(_HLL_M).select(
+        F.col("id").cast("int").alias("bucket"))
+    full_regs = (keys.crossJoin(F.broadcast(buckets))
+                 .join(allregs, ["event_type", "bucket"], "left")
+                 .na.fill({"m": 0}))
+    # 2^-m via an exact long shift (dyadic, bit-identical per term);
+    # shiftleft's python binding takes a literal, so spell it in SQL
+    term = F.expr("1.0 / CAST(shiftleft(CAST(1 AS BIGINT), s.m) "
+                  "AS DOUBLE)")
+    # order-pinned fold: collect (bucket, term) structs, sort by
+    # bucket, fold — matches DuckDB's list(... ORDER BY bucket)
+    folded = (full_regs.alias("s")
+              .select("s.event_type", F.struct(
+                  F.col("s.bucket").alias("bucket"),
+                  term.alias("t")).alias("bt"))
+              .groupBy("event_type")
+              .agg(F.aggregate(
+                  F.array_sort(F.collect_list("bt")),
+                  F.lit(0.0),
+                  lambda acc, x: acc + x["t"]).alias("denom")))
+    est = folded.select(
+        "event_type",
+        (F.lit(_HLL_ALPHA) * _HLL_M * _HLL_M / F.col("denom"))
+        .alias("raw_est"))
+    exact = (ev.groupBy("event_type")
+             .agg(F.countDistinct("user_id").alias("exact_n"))
+             .unionByName(ev.agg(
+                 F.countDistinct("user_id").alias("exact_n"))
+                 .select(F.lit("ALL").alias("event_type"), "exact_n")))
+    return (est.join(exact, "event_type")
+            .select("event_type",
+                    F.col("exact_n").cast("long").alias("exact_n"),
+                    F.round(F.col("raw_est"), 6).alias("hll_estimate"),
+                    F.round((F.col("raw_est") - F.col("exact_n"))
+                            / F.col("exact_n").cast("double"), 6)
+                    .alias("rel_err")))
