@@ -3,6 +3,8 @@ oracle comparison can't see: recall monotonicity, grid completeness."""
 
 from __future__ import annotations
 
+from pyspark.sql import functions as F
+
 from travel_data_pipeline_spark.queries_round8 import (
     _RECALL_KS,
     _RECALL_PROBES,
@@ -132,3 +134,137 @@ def test_watermark_plan_matches_engine_drops(spark, tmp_path):
         assert dropped == expect_dropped, (wm_s, dropped)
         assert len(dropped) == plan[wm_s], (wm_s, dropped, plan)
     assert set(plan) == set(_WM_THRESHOLDS)
+
+
+def test_quantile_sketch_error_bounded_by_bin_width(spark, sf_smoke):
+    """The merged-histogram estimate can never miss the exact rank
+    statistic by more than one bin width — the guarantee the sketch
+    sells."""
+    from travel_data_pipeline_spark.queries_round8 import (
+        _QSK_WIDTH,
+        quantile_sketch_merge,
+    )
+
+    rows = quantile_sketch_merge(spark, sf_smoke).collect()
+    assert {r.q for r in rows} == {0.25, 0.5, 0.75, 0.9}
+    for r in rows:
+        assert 0.0 <= r.abs_err <= _QSK_WIDTH, r
+        assert r.est_upper_edge >= r.exact_value, r
+
+
+def test_incremental_recompute_only_changed_partitions(spark, sf_smoke):
+    """Unchanged partitions must schedule ZERO recompute rows, changed
+    ones exactly their current count; the drop rule guarantees at
+    least one changed partition at any SF."""
+    from travel_data_pipeline_spark.queries_round8 import (
+        incremental_recompute_plan,
+    )
+
+    rows = incremental_recompute_plan(spark, sf_smoke).collect()
+    assert rows
+    assert any(r.status == "changed" for r in rows)
+    for r in rows:
+        if r.status == "unchanged":
+            assert r.rows_to_recompute == 0
+        elif r.status in ("changed", "new"):
+            assert r.rows_to_recompute == r.n_rows > 0
+        else:  # deleted
+            assert r.n_rows == 0
+
+
+def test_group_split_has_no_user_leakage(spark, sf_smoke):
+    """Every user must land in exactly one split — recompute the
+    assignment independently and cross-check the audit's user sums."""
+    from travel_data_pipeline_spark.queries_round8 import (
+        stratified_group_split,
+    )
+    from travel_data_pipeline_spark.sources.readers import load_table
+    from travel_data_pipeline_spark.functions.hashing import md5_long
+
+    rows = stratified_group_split(spark, sf_smoke).collect()
+    assert {r.split for r in rows} == {"train", "val", "test"}
+    ev = load_table(spark, sf_smoke, "events")
+    h10 = md5_long(
+        F.concat(F.lit("sp:"), F.col("user_id").cast("string"))) % 10
+    per_user = (ev.select("user_id", h10.alias("h")).distinct())
+    # one hash value per user -> one split per user by construction
+    assert per_user.groupBy("user_id").count() \
+        .filter(F.col("count") > 1).count() == 0
+    n_events = sum(r.n_events for r in rows)
+    assert n_events == ev.count()
+
+
+def test_hll_merged_union_dominates_each_type(spark, sf_smoke):
+    """Register-wise max merging: the ALL estimate must be >= every
+    per-type estimate, and every estimate lands within 40% of exact
+    (m=64 gives ~13% typical error; 40% is the sanity rail)."""
+    from travel_data_pipeline_spark.queries_round8 import (
+        hyperloglog_union_audit,
+    )
+
+    rows = {r.event_type: r for r in
+            hyperloglog_union_audit(spark, sf_smoke).collect()}
+    assert "ALL" in rows and len(rows) >= 3
+    for t, r in rows.items():
+        assert abs(r.rel_err) <= 0.4, (t, r)
+        if t != "ALL":
+            assert rows["ALL"].hll_estimate >= r.hll_estimate - 1e-9
+            assert rows["ALL"].exact_n >= r.exact_n
+
+
+def test_calibration_bins_reconcile(spark, sf_smoke):
+    """Bin populations sum to the corpus, ECE terms are non-negative
+    and each bounded by its bin's share."""
+    from travel_data_pipeline_spark.queries_round8 import (
+        cdf_calibration_bins,
+    )
+    from travel_data_pipeline_spark.sources.readers import load_table
+
+    rows = cdf_calibration_bins(spark, sf_smoke).collect()
+    n_docs = load_table(spark, sf_smoke, "documents").count()
+    assert sum(r.n for r in rows) == n_docs
+    for r in rows:
+        assert 0 <= r.bin <= 9
+        assert 0.0 <= r.mean_p <= 1.0 and 0.0 <= r.pos_rate <= 1.0
+        assert 0.0 <= r.ece_term <= r.n / n_docs + 1e-9
+
+
+def test_survivorship_rules(spark, sf_smoke):
+    """Each planted cluster: canonical is the ORIGINAL doc, lang tie
+    breaks to 'aa', n_chars comes from the planted copy (+7)."""
+    from travel_data_pipeline_spark.queries_round8 import (
+        dedup_survivorship_merge,
+    )
+    from travel_data_pipeline_spark.sources.readers import load_table
+
+    rows = dedup_survivorship_merge(spark, sf_smoke).collect()
+    assert len(rows) == 5
+    meta = {r.doc_id: r for r in
+            load_table(spark, sf_smoke, "documents")
+            .filter(F.col("doc_id") < 5).collect()}
+    for r in rows:
+        assert r.canonical_doc in meta and r.n_members == 2
+        m = meta[r.canonical_doc]
+        assert r.canonical_source == m.source
+        assert r.merged_lang == min("aa", m.lang)
+        assert r.merged_n_chars == m.n_chars + 7
+
+
+def test_salting_plan_accounts_every_row(spark, sf_smoke):
+    """Hot keys + the cold-tail row must partition the event count,
+    and every salt factor is consistent with its key's row count."""
+    from travel_data_pipeline_spark.queries_round8 import (
+        _SALT_SLOTS,
+        skew_key_salting_plan,
+    )
+    from travel_data_pipeline_spark.sources.readers import load_table
+
+    rows = skew_key_salting_plan(spark, sf_smoke).collect()
+    total = load_table(spark, sf_smoke, "events").count()
+    assert sum(r.n_rows for r in rows) == total
+    import math
+
+    target = math.ceil(total / _SALT_SLOTS)
+    for r in rows:
+        if r.key != "(unskewed)":
+            assert r.salt_factor == math.ceil(r.n_rows / target) > 1

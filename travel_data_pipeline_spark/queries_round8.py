@@ -958,13 +958,21 @@ full_regs AS (   -- absent buckets carry register value 0
     LEFT JOIN allregs a
       ON a.event_type = k.event_type AND a.bucket = b.bucket
 ),
-est AS (
+folded AS (
     SELECT event_type,
            {_HLL_ALPHA} * {_HLL_M} * {_HLL_M} / list_reduce(
                list(1.0 / CAST(CAST(1 AS BIGINT) << m AS DOUBLE)
                     ORDER BY bucket),
-               (x, y) -> x + y) AS raw_est
+               (x, y) -> x + y) AS harm_est,
+           SUM(CASE WHEN m = 0 THEN 1 ELSE 0 END) AS z
     FROM full_regs GROUP BY event_type
+),
+est AS (     -- small-range correction: linear counting below 2.5m
+    SELECT event_type,
+           CASE WHEN harm_est <= {2.5 * _HLL_M} AND z > 0
+                THEN {_HLL_M} * ln({_HLL_M} / CAST(z AS DOUBLE))
+                ELSE harm_est END AS raw_est
+    FROM folded
 ),
 exact AS (
     SELECT event_type, count(DISTINCT user_id) AS exact_n FROM events
@@ -1014,18 +1022,26 @@ def hyperloglog_union_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     # order-pinned fold: collect (bucket, term) structs, sort by
     # bucket, fold — matches DuckDB's list(... ORDER BY bucket)
     folded = (full_regs.alias("s")
-              .select("s.event_type", F.struct(
+              .select("s.event_type", F.col("s.m").alias("m"), F.struct(
                   F.col("s.bucket").alias("bucket"),
                   term.alias("t")).alias("bt"))
               .groupBy("event_type")
               .agg(F.aggregate(
                   F.array_sort(F.collect_list("bt")),
                   F.lit(0.0),
-                  lambda acc, x: acc + x["t"]).alias("denom")))
+                  lambda acc, x: acc + x["t"]).alias("denom"),
+                   F.sum(F.when(F.col("m") == 0, 1).otherwise(0))
+                   .alias("z")))
+    harm_est = F.lit(_HLL_ALPHA) * _HLL_M * _HLL_M / F.col("denom")
+    # small-range correction: below 2.5m with empty registers, linear
+    # counting m * ln(m / z) is the accurate estimator (same CASE in
+    # the oracle; the gate compares the identically-folded harm_est)
     est = folded.select(
         "event_type",
-        (F.lit(_HLL_ALPHA) * _HLL_M * _HLL_M / F.col("denom"))
-        .alias("raw_est"))
+        F.when((harm_est <= 2.5 * _HLL_M) & (F.col("z") > 0),
+               F.lit(float(_HLL_M))
+               * F.log(F.lit(float(_HLL_M)) / F.col("z").cast("double")))
+        .otherwise(harm_est).alias("raw_est"))
     exact = (ev.groupBy("event_type")
              .agg(F.countDistinct("user_id").alias("exact_n"))
              .unionByName(ev.agg(
@@ -1038,3 +1054,340 @@ def hyperloglog_union_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
                     F.round((F.col("raw_est") - F.col("exact_n"))
                             / F.col("exact_n").cast("double"), 6)
                     .alias("rel_err")))
+
+
+# ---------------------------------------------------------------------------
+# Rolling retention matrix — the cohort triangle: users grouped by
+# FIRST-active week, each cell = distinct users of that cohort active
+# at week offset 0..3, plus the retention share. Two shuffles total
+# (first-week per user, then cohort x offset distincts); the triangle
+# itself is bounded by weeks^2, never data-scaled.
+# ---------------------------------------------------------------------------
+
+@register("rolling_retention_matrix", """
+WITH act AS (
+    SELECT DISTINCT user_id,
+           CAST(date_diff('day', TIMESTAMP '2024-01-01',
+                          date_trunc('day', ts)) // 7 AS BIGINT) AS wk
+    FROM events
+),
+firsts AS (SELECT user_id, MIN(wk) AS cohort FROM act GROUP BY user_id),
+sizes AS (SELECT cohort, count(*) AS cohort_users FROM firsts
+          GROUP BY cohort),
+cells AS (
+    SELECT f.cohort, a.wk - f.cohort AS offset_wk,
+           count(DISTINCT a.user_id) AS active_users
+    FROM act a JOIN firsts f ON f.user_id = a.user_id
+    GROUP BY f.cohort, a.wk - f.cohort
+)
+SELECT c.cohort, c.offset_wk,
+       CAST(c.active_users AS BIGINT) AS active_users,
+       CAST(s.cohort_users AS BIGINT) AS cohort_users,
+       ROUND(c.active_users / CAST(s.cohort_users AS DOUBLE), 6)
+           AS retention
+FROM cells c JOIN sizes s ON s.cohort = c.cohort
+""")
+def rolling_retention_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly cohort retention triangle over the events log."""
+    ev = load_table(spark, sf_dir, "events")
+    # the event log starts 2024-01-01, so the day quotient is
+    # non-negative and floor matches DuckDB's // on every row
+    act = ev.select("user_id",
+                    F.floor(F.datediff(F.date_trunc("day", "ts"),
+                                       F.lit("2024-01-01")
+                                       .cast("timestamp")) / 7)
+                    .cast("long").alias("wk")).distinct()
+    firsts = act.groupBy("user_id").agg(F.min("wk").alias("cohort"))
+    sizes = firsts.groupBy("cohort").agg(
+        F.count("*").alias("cohort_users"))
+    cells = (act.join(firsts, "user_id")
+             .groupBy("cohort", (F.col("wk") - F.col("cohort"))
+                      .alias("offset_wk"))
+             .agg(F.countDistinct("user_id").alias("active_users")))
+    return (cells.join(F.broadcast(sizes), "cohort")
+            .select("cohort", "offset_wk",
+                    F.col("active_users").cast("long")
+                    .alias("active_users"),
+                    F.col("cohort_users").cast("long")
+                    .alias("cohort_users"),
+                    F.round(F.col("active_users")
+                            / F.col("cohort_users").cast("double"), 6)
+                    .alias("retention")))
+
+
+# ---------------------------------------------------------------------------
+# Log-scaled value histogram — the profiling primitive for skewed
+# money columns: power-of-two bins (floor(log2) via the bit length of
+# the integer part — exact integer arithmetic, no float log whose
+# boundary cases could disagree between engines). One
+# map-side-combinable groupBy, <= 64 groups.
+# ---------------------------------------------------------------------------
+
+@register("order_value_histogram_log", """
+WITH b AS (
+    SELECT length(bin(CAST(floor(o_totalprice) AS BIGINT))) - 1
+               AS log2_bin,
+           o_totalprice AS v
+    FROM orders
+),
+t AS (SELECT count(*) AS total FROM b)
+SELECT CAST(log2_bin AS INT) AS log2_bin,
+       CAST(count(*) AS BIGINT) AS n_orders,
+       CAST(min(v) AS DOUBLE) AS min_value,
+       CAST(max(v) AS DOUBLE) AS max_value,
+       ROUND(count(*) / CAST(max(total) AS DOUBLE), 6) AS share
+FROM b CROSS JOIN t
+GROUP BY log2_bin
+""")
+def order_value_histogram_log(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Power-of-two histogram of order values: bin = floor(log2(v)),
+    computed as bit_length(floor(v)) - 1 (prices are >= 1, so the
+    integer part is >= 1 and bin() is never '0')."""
+    o = load_table(spark, sf_dir, "orders")
+    log2_bin = (F.length(F.bin(F.floor("o_totalprice").cast("long")))
+                - 1).cast("int")
+    t = o.agg(F.count("*").alias("total"))
+    return (o.select(log2_bin.alias("log2_bin"),
+                     F.col("o_totalprice").alias("v"))
+            .crossJoin(F.broadcast(t))
+            .groupBy("log2_bin")
+            .agg(F.count("*").cast("long").alias("n_orders"),
+                 F.min("v").cast("double").alias("min_value"),
+                 F.max("v").cast("double").alias("max_value"),
+                 F.round(F.count("*") / F.max("total").cast("double"), 6)
+                 .alias("share")))
+
+
+# ---------------------------------------------------------------------------
+# Cluster-sampling design effect — when the sampling unit is the USER
+# (as in stratified_group_split), variance inflates by
+# deff = 1 + (m_bar - 1) * ICC. ICC via one-way ANOVA from EXACT
+# decimal moments of event `value` clustered by user: per-user
+# (n, sum, sum of squares) in DECIMAL — order-independent — then
+# between/within mean squares as shared double expressions. The
+# number that converts "we sampled 10% of users" into an effective
+# sample size.
+# ---------------------------------------------------------------------------
+
+@register("sampling_design_effect", f"""
+WITH per_user AS (
+    SELECT user_id, count(*) AS m,
+           SUM(CAST(value AS DECIMAL(18,6))) AS s,
+           SUM(CAST(value AS DECIMAL(18,6))
+               * CAST(value AS DECIMAL(18,6))) AS ss
+    FROM events GROUP BY user_id
+),
+g AS (
+    SELECT count(*) AS k, SUM(m) AS n,
+           SUM(s) AS gs, SUM(ss) AS gss,
+           SUM(CAST(s AS DECIMAL(38,12)) * CAST(s AS DECIMAL(38,12))
+               / m) AS sum_s2_over_m
+    FROM per_user
+),
+msq AS (
+    SELECT k, n,
+           (CAST(sum_s2_over_m AS DOUBLE)
+            - CAST(gs AS DOUBLE) * CAST(gs AS DOUBLE) / n)
+               / (k - 1) AS msb,
+           (CAST(gss AS DOUBLE) - CAST(sum_s2_over_m AS DOUBLE))
+               / (n - k) AS msw,
+           CAST(n AS DOUBLE) / k AS m_bar
+    FROM g
+)
+SELECT CAST(k AS BIGINT) AS n_users, CAST(n AS BIGINT) AS n_events,
+       {round_sql("m_bar")} AS mean_cluster_size,
+       {round_sql("(msb - msw) / (msb + (m_bar - 1) * msw)")} AS icc,
+       {round_sql("1.0 + (m_bar - 1) *"
+                  " ((msb - msw) / (msb + (m_bar - 1) * msw))")} AS deff
+FROM msq
+""")
+def sampling_design_effect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-row ANOVA-based ICC + design effect for user-clustered
+    sampling of event values. All sums are DECIMAL-exact; the ICC
+    uses the ANOVA estimator (msb - msw)/(msb + (m_bar-1) msw) with
+    m_bar = n/k (the equal-size approximation, reported alongside)."""
+    ev = load_table(spark, sf_dir, "events")
+    v = F.col("value").cast("decimal(18,6)")
+    per_user = (ev.groupBy("user_id")
+                .agg(F.count("*").alias("m"),
+                     F.sum(v).alias("s"),
+                     F.sum(v * v).alias("ss")))
+    g = per_user.agg(
+        F.count("*").alias("k"), F.sum("m").alias("n"),
+        F.sum("s").alias("gs"), F.sum("ss").alias("gss"),
+        F.sum(F.col("s").cast("decimal(38,12)")
+              * F.col("s").cast("decimal(38,12)")
+              / F.col("m")).alias("sum_s2_over_m"))
+    k, n = F.col("k"), F.col("n")
+    msb = ((F.col("sum_s2_over_m").cast("double")
+            - F.col("gs").cast("double") * F.col("gs").cast("double") / n)
+           / (k - 1))
+    msw = ((F.col("gss").cast("double")
+            - F.col("sum_s2_over_m").cast("double")) / (n - k))
+    m_bar = n.cast("double") / k
+    icc = (msb - msw) / (msb + (m_bar - 1) * msw)
+    return g.select(
+        k.cast("long").alias("n_users"),
+        n.cast("long").alias("n_events"),
+        F.round(m_bar, 6).alias("mean_cluster_size"),
+        F.round(icc, 6).alias("icc"),
+        F.round(F.lit(1.0) + (m_bar - 1) * icc, 6).alias("deff"))
+
+
+# ---------------------------------------------------------------------------
+# Survivorship merge (golden record) — after exact dedup finds
+# clusters of byte-identical text, merge each cluster's metadata into
+# ONE canonical record under explicit survivorship rules: canonical id
+# = min doc_id, lang = most frequent (ties -> lexicographic), source =
+# that of the canonical doc, n_chars = max. The record-linkage
+# counterpart of dedup_canonical_map: that picks a WINNER ROW, this
+# builds a MERGED row field by field. One text-key shuffle; the mode
+# is a bounded per-(cluster, lang) count + deterministic argmax.
+# ---------------------------------------------------------------------------
+
+@register("dedup_survivorship_merge", f"""
+WITH docs AS (     -- plant metadata-divergent copies of docs 0-4
+    SELECT doc_id, source, lang, n_chars, text FROM documents
+    UNION ALL
+    SELECT doc_id + 600000, 'replant', 'aa', n_chars + 7, text
+    FROM documents WHERE doc_id < 5
+),
+keyed AS (
+    SELECT doc_id, source, lang, n_chars,
+           md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')))
+               AS text_key
+    FROM docs
+),
+clusters AS (
+    SELECT text_key, MIN(doc_id) AS canonical_doc, count(*) AS n_members,
+           MAX(n_chars) AS max_chars
+    FROM keyed GROUP BY text_key HAVING count(*) > 1
+),
+lang_counts AS (
+    SELECT k.text_key, k.lang, count(*) AS c
+    FROM keyed k JOIN clusters c ON c.text_key = k.text_key
+    GROUP BY k.text_key, k.lang
+),
+lang_pick AS (
+    SELECT text_key, lang AS merged_lang FROM (
+        SELECT text_key, lang,
+               row_number() OVER (PARTITION BY text_key
+                   ORDER BY c DESC, lang ASC) AS rn
+        FROM lang_counts
+    ) WHERE rn = 1
+)
+SELECT c.text_key, CAST(c.canonical_doc AS BIGINT) AS canonical_doc,
+       CAST(c.n_members AS BIGINT) AS n_members,
+       k.source AS canonical_source,
+       l.merged_lang,
+       CAST(c.max_chars AS BIGINT) AS merged_n_chars
+FROM clusters c
+JOIN keyed k ON k.text_key = c.text_key AND k.doc_id = c.canonical_doc
+JOIN lang_pick l ON l.text_key = c.text_key
+""")
+def dedup_survivorship_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Field-level survivorship merge over exact-duplicate clusters
+    (>= 2 members): min-id canonical, mode lang (ties -> lex asc),
+    max n_chars. The corpus has no raw byte-dups, so metadata-
+    divergent copies of docs 0-4 are planted (the dedup-family
+    pattern) — each cluster then exercises every rule: canonical =
+    the original, lang a 1-1 tie broken lexicographically, n_chars
+    from the planted copy."""
+    from travel_data_pipeline_spark.operators import dedup
+
+    base = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "source", "lang", "n_chars", "text")
+    planted = (base.filter(F.col("doc_id") < 5)
+               .select((F.col("doc_id") + 600000).alias("doc_id"),
+                       F.lit("replant").alias("source"),
+                       F.lit("aa").alias("lang"),
+                       (F.col("n_chars") + 7).alias("n_chars"),
+                       "text"))
+    docs = base.unionByName(planted)
+    keyed = docs.select(
+        "doc_id", "source", "lang", "n_chars",
+        F.md5(dedup.normalize_text(F.col("text"))).alias("text_key"))
+    clusters = (keyed.groupBy("text_key")
+                .agg(F.min("doc_id").alias("canonical_doc"),
+                     F.count("*").alias("n_members"),
+                     F.max("n_chars").alias("max_chars"))
+                .filter(F.col("n_members") > 1))
+    lang_counts = (keyed.join(clusters.select("text_key"), "text_key")
+                   .groupBy("text_key", "lang")
+                   .agg(F.count("*").alias("c")))
+    w = Window.partitionBy("text_key").orderBy(F.desc("c"), F.asc("lang"))
+    lang_pick = (lang_counts.withColumn("rn", F.row_number().over(w))
+                 .filter(F.col("rn") == 1)
+                 .select("text_key", F.col("lang").alias("merged_lang")))
+    canon_src = keyed.select("text_key", "doc_id",
+                             F.col("source").alias("canonical_source"))
+    return (clusters
+            .join(canon_src,
+                  (clusters.text_key == canon_src.text_key)
+                  & (clusters.canonical_doc == canon_src.doc_id))
+            .drop(canon_src.text_key).drop("doc_id")
+            .join(lang_pick, "text_key")
+            .select("text_key",
+                    F.col("canonical_doc").cast("long")
+                    .alias("canonical_doc"),
+                    F.col("n_members").cast("long").alias("n_members"),
+                    "canonical_source", "merged_lang",
+                    F.col("max_chars").cast("long")
+                    .alias("merged_n_chars")))
+
+
+# ---------------------------------------------------------------------------
+# Skew salting plan — the shuffle-planning audit: for a target
+# cluster-side parallelism of 1000 reducer slots over the events
+# stream keyed by user, which keys exceed the per-slot row target and
+# what salt fan-out does each need? salt = ceil(cnt / target); keys at
+# salt 1 aggregate into one summary row so the output stays bounded by
+# the skew tail, not the key count. Pure integer planning arithmetic
+# off one key-count aggregate.
+# ---------------------------------------------------------------------------
+
+_SALT_SLOTS = 1000
+
+
+@register("skew_key_salting_plan", f"""
+WITH counts AS (
+    SELECT user_id, count(*) AS cnt FROM events GROUP BY user_id
+),
+t AS (SELECT CAST(ceil(SUM(cnt) / {_SALT_SLOTS}.0) AS BIGINT)
+          AS target FROM counts),
+salted AS (
+    SELECT user_id, cnt,
+           CAST(ceil(cnt / CAST(target AS DOUBLE)) AS BIGINT) AS salt
+    FROM counts CROSS JOIN t
+)
+SELECT CAST(user_id AS VARCHAR) AS key, CAST(cnt AS BIGINT) AS n_rows,
+       CAST(salt AS BIGINT) AS salt_factor
+FROM salted WHERE salt > 1
+UNION ALL
+SELECT '(unskewed)', CAST(COALESCE(SUM(cnt), 0) AS BIGINT),
+       CAST(1 AS BIGINT)
+FROM salted WHERE salt <= 1
+""")
+def skew_key_salting_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-key salt fan-out plan for a {_SALT_SLOTS}-slot shuffle of
+    events by user: hot keys (rows > total/{_SALT_SLOTS}) get their
+    ceil(cnt/target) factor; the cold tail collapses to one row."""
+    ev = load_table(spark, sf_dir, "events")
+    counts = ev.groupBy("user_id").agg(F.count("*").alias("cnt"))
+    t = counts.agg(F.ceil(F.sum("cnt") / float(_SALT_SLOTS))
+                   .cast("long").alias("target"))
+    salted = (counts.crossJoin(F.broadcast(t))
+              .select("user_id", "cnt",
+                      F.ceil(F.col("cnt")
+                             / F.col("target").cast("double"))
+                      .cast("long").alias("salt")))
+    hot = (salted.filter(F.col("salt") > 1)
+           .select(F.col("user_id").cast("string").alias("key"),
+                   F.col("cnt").cast("long").alias("n_rows"),
+                   F.col("salt").cast("long").alias("salt_factor")))
+    cold = (salted.filter(F.col("salt") <= 1)
+            .agg(F.coalesce(F.sum("cnt"), F.lit(0)).cast("long")
+                 .alias("n_rows"))
+            .select(F.lit("(unskewed)").alias("key"), "n_rows",
+                    F.lit(1).cast("long").alias("salt_factor")))
+    return hot.unionByName(cold)
