@@ -268,3 +268,146 @@ def test_salting_plan_accounts_every_row(spark, sf_smoke):
     for r in rows:
         if r.key != "(unskewed)":
             assert r.salt_factor == math.ceil(r.n_rows / target) > 1
+
+
+def test_count_min_never_underestimates(spark, sf_smoke):
+    """Collisions only add: every sketch estimate >= its exact count,
+    and the audited set is exactly the rank-1..20 heavy hitters (or
+    all keys when fewer)."""
+    from travel_data_pipeline_spark.queries_round8 import (
+        _CM_TOP,
+        count_min_heavy_hitters,
+    )
+
+    rows = count_min_heavy_hitters(spark, sf_smoke).collect()
+    assert 0 < len(rows) <= _CM_TOP
+    assert sorted(r.rank for r in rows) == list(range(1, len(rows) + 1))
+    for r in rows:
+        assert r.overestimate >= 0, r
+        assert r.cm_estimate == r.exact_n + r.overestimate
+
+
+def test_join_size_exact_vs_fk_invariants(spark, sf_smoke):
+    """q_error >= 1 by construction; the lineitem->orders edge is a
+    total FK, so its exact join size equals the lineitem row count."""
+    from travel_data_pipeline_spark.queries_round8 import (
+        join_size_estimation_audit,
+    )
+    from travel_data_pipeline_spark.sources.readers import load_table
+
+    rows = {r.edge: r for r in
+            join_size_estimation_audit(spark, sf_smoke).collect()}
+    assert set(rows) == {"orders_customer", "lineitem_orders",
+                         "lineitem_part"}
+    for r in rows.values():
+        assert r.q_error >= 1.0 - 1e-9, r
+    li = load_table(spark, sf_smoke, "lineitem").count()
+    assert rows["lineitem_orders"].exact_rows == li
+    assert rows["lineitem_part"].exact_rows == li
+
+
+def test_funnel_partitions_corpus(spark, sf_smoke):
+    """First-failing-gate stages partition the corpus; shares sum
+    to ~1."""
+    from travel_data_pipeline_spark.queries_round8 import (
+        quality_filter_funnel,
+    )
+    from travel_data_pipeline_spark.sources.readers import load_table
+
+    rows = quality_filter_funnel(spark, sf_smoke).collect()
+    total = load_table(spark, sf_smoke, "documents").count()
+    assert sum(r.n_docs for r in rows) == total
+    assert abs(sum(r.share for r in rows) - 1.0) < 1e-4
+    valid = {"1_too_short", "2_low_alpha", "3_low_stopword",
+             "4_repetition", "5_pass"}
+    assert {r.stage for r in rows} <= valid
+
+
+def test_kappa_bounds_and_confusion_consistency(spark, sf_smoke):
+    from travel_data_pipeline_spark.queries_round8 import (
+        classifier_agreement_kappa,
+    )
+
+    [r] = classifier_agreement_kappa(spark, sf_smoke).collect()
+    assert 0 <= r.both_pos <= min(r.pos_a, r.pos_b)
+    assert max(r.pos_a, r.pos_b) <= r.n_docs
+    assert 0.0 <= r.po <= 1.0 and 0.0 <= r.pe <= 1.0
+    if r.kappa is not None:
+        assert -1.0 - 1e-9 <= r.kappa <= 1.0 + 1e-9
+
+
+def test_hll_curve_monotone(spark, sf_smoke):
+    """Prefix-merged registers only grow, so the estimate curve is
+    non-decreasing day over day — as is the exact curve; the final
+    exact point equals the corpus distinct-user count."""
+    from travel_data_pipeline_spark.queries_round8 import (
+        hll_running_distinct_curve,
+    )
+    from travel_data_pipeline_spark.sources.readers import load_table
+
+    rows = sorted(hll_running_distinct_curve(spark, sf_smoke).collect(),
+                  key=lambda r: r.day_idx)
+    assert len(rows) >= 2
+    for a, b in zip(rows, rows[1:]):
+        assert b.hll_estimate >= a.hll_estimate - 1e-9
+        assert b.exact_cum_users >= a.exact_cum_users
+    n_users = (load_table(spark, sf_smoke, "events")
+               .select("user_id").distinct().count())
+    assert rows[-1].exact_cum_users == n_users
+
+
+def test_mixture_temperature_flattens(spark, sf_smoke):
+    """Each alpha's shares sum to 1; lower alpha flattens the mixture
+    (max share weakly decreases as alpha drops); epochs >= p * total
+    consistency on every row."""
+    from travel_data_pipeline_spark.queries_round8 import (
+        mixture_temperature_plan,
+    )
+
+    rows = mixture_temperature_plan(spark, sf_smoke).collect()
+    by_alpha: dict[str, list] = {}
+    for r in rows:
+        by_alpha.setdefault(r.alpha, []).append(r)
+    assert set(by_alpha) == {"1.0", "0.5", "0.25"}
+    for a, rs in by_alpha.items():
+        assert abs(sum(r.p for r in rs) - 1.0) < 1e-4, a
+    maxes = {a: max(r.p for r in rs) for a, rs in by_alpha.items()}
+    assert maxes["1.0"] >= maxes["0.5"] - 1e-9 >= maxes["0.25"] - 2e-9
+
+
+def test_scaling_ladder_nested(spark, sf_smoke):
+    """Rung subsets nest, so docs/tokens/vocab are non-decreasing and
+    the top rung covers the full corpus token count."""
+    from travel_data_pipeline_spark.queries_round8 import (
+        _LAD_RUNGS,
+        data_scaling_ladder,
+    )
+    from travel_data_pipeline_spark.operators.text import token_array
+    from travel_data_pipeline_spark.sources.readers import load_table
+
+    rows = sorted(data_scaling_ladder(spark, sf_smoke).collect(),
+                  key=lambda r: r.rung)
+    assert [r.rung for r in rows] == list(range(_LAD_RUNGS))
+    for a, b in zip(rows, rows[1:]):
+        assert b.n_docs >= a.n_docs
+        assert b.n_tokens >= a.n_tokens
+        assert b.vocab >= a.vocab
+    docs = load_table(spark, sf_smoke, "documents")
+    full_tokens = docs.select(
+        F.explode(token_array(F.col("text")))).count()
+    assert rows[-1].n_tokens == full_tokens
+    assert rows[-1].n_docs == docs.count()
+
+
+def test_recency_decay_bounds(spark, sf_smoke):
+    """0 < weighted_n <= n_rows (weights in (0,1]); effective sample
+    size is in (0, n_rows]."""
+    from travel_data_pipeline_spark.queries_round8 import (
+        recency_decay_weights,
+    )
+
+    rows = recency_decay_weights(spark, sf_smoke).collect()
+    assert rows
+    for r in rows:
+        assert 0.0 < r.weighted_n <= r.n_rows + 1e-9, r
+        assert 0.0 < r.effective_n <= r.n_rows + 1e-6, r

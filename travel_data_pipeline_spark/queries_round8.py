@@ -928,6 +928,56 @@ _HLL_M = 64
 _HLL_ALPHA = 0.709   # standard alpha for m = 64
 
 
+def _hll_fold_sql(key: str, src: str) -> str:
+    """Shared oracle spelling of the register fold + small-range
+    correction: ``src`` must expose (key..., bucket, m) over the FULL
+    {_HLL_M}-bucket grid. Yields two CTE bodies joined by the caller:
+    folded(key, harm_est, z) and est(key, raw_est)."""
+    return f"""
+folded AS (
+    SELECT {key},
+           {_HLL_ALPHA} * {_HLL_M} * {_HLL_M} / list_reduce(
+               list(1.0 / CAST(CAST(1 AS BIGINT) << m AS DOUBLE)
+                    ORDER BY bucket),
+               (x, y) -> x + y) AS harm_est,
+           SUM(CASE WHEN m = 0 THEN 1 ELSE 0 END) AS z
+    FROM {src} GROUP BY {key}
+),
+est AS (     -- small-range correction: linear counting below 2.5m
+    SELECT {key},
+           CASE WHEN harm_est <= {2.5 * _HLL_M} AND z > 0
+                THEN {_HLL_M} * ln({_HLL_M} / CAST(z AS DOUBLE))
+                ELSE harm_est END AS raw_est
+    FROM folded
+)"""
+
+
+def _hll_fold_spark(full_regs: DataFrame, key: str) -> DataFrame:
+    """Spark twin of ``_hll_fold_sql``: (key, bucket, m) full grid ->
+    (key, raw_est). Order-pinned fold (bucket-sorted structs); 2^-m
+    via an exact long shift; linear counting below 2.5m."""
+    term = F.expr("1.0 / CAST(shiftleft(CAST(1 AS BIGINT), s.m) "
+                  "AS DOUBLE)")
+    folded = (full_regs.alias("s")
+              .select(f"s.{key}", F.col("s.m").alias("m"), F.struct(
+                  F.col("s.bucket").alias("bucket"),
+                  term.alias("t")).alias("bt"))
+              .groupBy(key)
+              .agg(F.aggregate(
+                  F.array_sort(F.collect_list("bt")),
+                  F.lit(0.0),
+                  lambda acc, x: acc + x["t"]).alias("denom"),
+                   F.sum(F.when(F.col("m") == 0, 1).otherwise(0))
+                   .alias("z")))
+    harm_est = F.lit(_HLL_ALPHA) * _HLL_M * _HLL_M / F.col("denom")
+    return folded.select(
+        key,
+        F.when((harm_est <= 2.5 * _HLL_M) & (F.col("z") > 0),
+               F.lit(float(_HLL_M))
+               * F.log(F.lit(float(_HLL_M)) / F.col("z").cast("double")))
+        .otherwise(harm_est).alias("raw_est"))
+
+
 @register("hyperloglog_union_audit", f"""
 WITH hashed AS (
     SELECT event_type,
@@ -958,22 +1008,7 @@ full_regs AS (   -- absent buckets carry register value 0
     LEFT JOIN allregs a
       ON a.event_type = k.event_type AND a.bucket = b.bucket
 ),
-folded AS (
-    SELECT event_type,
-           {_HLL_ALPHA} * {_HLL_M} * {_HLL_M} / list_reduce(
-               list(1.0 / CAST(CAST(1 AS BIGINT) << m AS DOUBLE)
-                    ORDER BY bucket),
-               (x, y) -> x + y) AS harm_est,
-           SUM(CASE WHEN m = 0 THEN 1 ELSE 0 END) AS z
-    FROM full_regs GROUP BY event_type
-),
-est AS (     -- small-range correction: linear counting below 2.5m
-    SELECT event_type,
-           CASE WHEN harm_est <= {2.5 * _HLL_M} AND z > 0
-                THEN {_HLL_M} * ln({_HLL_M} / CAST(z AS DOUBLE))
-                ELSE harm_est END AS raw_est
-    FROM folded
-),
+{_hll_fold_sql("event_type", "full_regs")},
 exact AS (
     SELECT event_type, count(DISTINCT user_id) AS exact_n FROM events
     GROUP BY event_type
@@ -1015,33 +1050,7 @@ def hyperloglog_union_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     full_regs = (keys.crossJoin(F.broadcast(buckets))
                  .join(allregs, ["event_type", "bucket"], "left")
                  .na.fill({"m": 0}))
-    # 2^-m via an exact long shift (dyadic, bit-identical per term);
-    # shiftleft's python binding takes a literal, so spell it in SQL
-    term = F.expr("1.0 / CAST(shiftleft(CAST(1 AS BIGINT), s.m) "
-                  "AS DOUBLE)")
-    # order-pinned fold: collect (bucket, term) structs, sort by
-    # bucket, fold — matches DuckDB's list(... ORDER BY bucket)
-    folded = (full_regs.alias("s")
-              .select("s.event_type", F.col("s.m").alias("m"), F.struct(
-                  F.col("s.bucket").alias("bucket"),
-                  term.alias("t")).alias("bt"))
-              .groupBy("event_type")
-              .agg(F.aggregate(
-                  F.array_sort(F.collect_list("bt")),
-                  F.lit(0.0),
-                  lambda acc, x: acc + x["t"]).alias("denom"),
-                   F.sum(F.when(F.col("m") == 0, 1).otherwise(0))
-                   .alias("z")))
-    harm_est = F.lit(_HLL_ALPHA) * _HLL_M * _HLL_M / F.col("denom")
-    # small-range correction: below 2.5m with empty registers, linear
-    # counting m * ln(m / z) is the accurate estimator (same CASE in
-    # the oracle; the gate compares the identically-folded harm_est)
-    est = folded.select(
-        "event_type",
-        F.when((harm_est <= 2.5 * _HLL_M) & (F.col("z") > 0),
-               F.lit(float(_HLL_M))
-               * F.log(F.lit(float(_HLL_M)) / F.col("z").cast("double")))
-        .otherwise(harm_est).alias("raw_est"))
+    est = _hll_fold_spark(full_regs, "event_type")
     exact = (ev.groupBy("event_type")
              .agg(F.countDistinct("user_id").alias("exact_n"))
              .unionByName(ev.agg(
@@ -1391,3 +1400,646 @@ def skew_key_salting_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select(F.lit("(unskewed)").alias("key"), "n_rows",
                     F.lit(1).cast("long").alias("salt_factor")))
     return hot.unionByName(cold)
+
+
+# ---------------------------------------------------------------------------
+# Count-min sketch heavy hitters — the mergeable FREQUENCY sketch
+# sibling of hyperloglog_union_audit: d=4 md5 hash rows x w=256
+# counters estimate any key's event count as min over rows of its
+# bucket counter (always an OVERestimate — collisions only add). The
+# audit scores the top-20 exact heavy hitters against their sketch
+# estimates. Scale shape: the sketch is one Expand(x4) + a <=1024-row
+# groupBy (map-side combinable, broadcastable); counters from
+# different executors/days merge by plain addition — the property a
+# 1000-executor frequency monitor needs. Integer-only: no float
+# parity surface.
+# ---------------------------------------------------------------------------
+
+_CM_D = 4
+_CM_W = 256
+_CM_TOP = 20
+
+
+@register("count_min_heavy_hitters", f"""
+WITH seeds AS (SELECT unnest(generate_series(0, {_CM_D - 1})) AS seed),
+cells AS (
+    SELECT s.seed,
+           CAST({md5_long_sql("'cm' || CAST(s.seed AS VARCHAR) || ':' "
+                              "|| CAST(e.user_id AS VARCHAR)")}
+                % {_CM_W} AS INT) AS bucket,
+           count(*) AS c
+    FROM events e CROSS JOIN seeds s
+    GROUP BY 1, 2
+),
+exact AS (
+    SELECT user_id, count(*) AS exact_n FROM events GROUP BY user_id
+),
+top AS (
+    SELECT user_id, exact_n,
+           row_number() OVER (ORDER BY exact_n DESC, user_id ASC) AS rank
+    FROM exact QUALIFY rank <= {_CM_TOP}
+),
+probes AS (
+    SELECT t.user_id, t.exact_n, t.rank, s.seed,
+           CAST({md5_long_sql("'cm' || CAST(s.seed AS VARCHAR) || ':' "
+                              "|| CAST(t.user_id AS VARCHAR)")}
+                % {_CM_W} AS INT) AS bucket
+    FROM top t CROSS JOIN seeds s
+)
+SELECT p.user_id, CAST(p.rank AS INT) AS rank,
+       CAST(p.exact_n AS BIGINT) AS exact_n,
+       CAST(MIN(c.c) AS BIGINT) AS cm_estimate,
+       CAST(MIN(c.c) - p.exact_n AS BIGINT) AS overestimate
+FROM probes p JOIN cells c ON c.seed = p.seed AND c.bucket = p.bucket
+GROUP BY p.user_id, p.rank, p.exact_n
+""")
+def count_min_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-{_CM_TOP} exact heavy hitters (events by user) scored
+    against a d={_CM_D} x w={_CM_W} count-min sketch. The estimate is
+    min over the d rows of the key's bucket counter; overestimate is
+    always >= 0 (pytest-pinned)."""
+    ev = load_table(spark, sf_dir, "events")
+    key = F.col("user_id").cast("string")
+
+    def cm_pairs(k: F.Column) -> F.Column:
+        return F.array(*[
+            F.struct(F.lit(s).alias("seed"),
+                     (md5_long(F.concat(F.lit(f"cm{s}:"), k)) % _CM_W)
+                     .cast("int").alias("bucket"))
+            for s in range(_CM_D)])
+
+    cells = (ev.select(F.explode(cm_pairs(key)).alias("p"))
+             .groupBy(F.col("p.seed").alias("seed"),
+                      F.col("p.bucket").alias("bucket"))
+             .agg(F.count("*").alias("c")))
+    exact = ev.groupBy("user_id").agg(F.count("*").alias("exact_n"))
+    w = Window.orderBy(F.desc("exact_n"), F.asc("user_id"))
+    top = (exact.withColumn("rank", F.row_number().over(w))
+           .filter(F.col("rank") <= _CM_TOP))
+    probes = (top.select(
+        "user_id", "exact_n", "rank",
+        F.explode(cm_pairs(F.col("user_id").cast("string"))).alias("p"))
+        .select("user_id", "exact_n", "rank",
+                F.col("p.seed").alias("seed"),
+                F.col("p.bucket").alias("bucket")))
+    return (probes.join(F.broadcast(cells), ["seed", "bucket"])
+            .groupBy("user_id", "rank", "exact_n")
+            .agg(F.min("c").alias("cm"))
+            .select("user_id", F.col("rank").cast("int").alias("rank"),
+                    F.col("exact_n").cast("long").alias("exact_n"),
+                    F.col("cm").cast("long").alias("cm_estimate"),
+                    (F.col("cm") - F.col("exact_n")).cast("long")
+                    .alias("overestimate")))
+
+
+# ---------------------------------------------------------------------------
+# Join-size estimation audit — the planner readout: for three
+# star-schema join edges, the textbook NDV estimate
+# |A| * |B| / max(ndv_a, ndv_b) vs the EXACT join cardinality
+# sum_k cnt_a(k) * cnt_b(k), with the q-error (max of est/exact,
+# exact/est — the standard cardinality-estimation score). Exact side
+# is one per-key count join per edge (key-partitioned shuffle);
+# everything else is 1-row aggregates. The number that tells a 100 TB
+# planner whether uniform-NDV sizing can be trusted per edge.
+# ---------------------------------------------------------------------------
+
+def _jse_edge_sql(name: str, tl: str, kl: str, tr: str, kr: str) -> str:
+    est = (f"CAST(sl.n AS DOUBLE) * sr.n / "
+           f"greatest(sl.ndv, sr.ndv)")
+    return f"""
+SELECT '{name}' AS edge,
+       CAST(sl.n AS BIGINT) AS rows_left,
+       CAST(sr.n AS BIGINT) AS rows_right,
+       CAST(sl.ndv AS BIGINT) AS ndv_left,
+       CAST(sr.ndv AS BIGINT) AS ndv_right,
+       {round_sql(est)} AS est_rows,
+       CAST(x.exact AS BIGINT) AS exact_rows,
+       {round_sql(f"greatest(({est}) / x.exact, x.exact / ({est}))")}
+           AS q_error
+FROM (SELECT count(*) AS n, count(DISTINCT {kl}) AS ndv FROM {tl}) sl
+CROSS JOIN (SELECT count(*) AS n, count(DISTINCT {kr}) AS ndv
+            FROM {tr}) sr
+CROSS JOIN (
+    SELECT SUM(ca.c * cb.c) AS exact FROM
+        (SELECT {kl} AS k, count(*) AS c FROM {tl} GROUP BY 1) ca
+        JOIN (SELECT {kr} AS k, count(*) AS c FROM {tr} GROUP BY 1) cb
+        ON ca.k = cb.k) x
+"""
+
+
+@register("join_size_estimation_audit",
+          " UNION ALL ".join([
+              _jse_edge_sql("orders_customer", "orders", "o_custkey",
+                            "customer", "c_custkey"),
+              _jse_edge_sql("lineitem_orders", "lineitem", "l_orderkey",
+                            "orders", "o_orderkey"),
+              _jse_edge_sql("lineitem_part", "lineitem", "l_partkey",
+                            "part", "p_partkey")]))
+def join_size_estimation_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NDV-uniformity join-size estimates vs exact cardinalities and
+    q-errors over three star-schema edges."""
+    tables = {t: load_table(spark, sf_dir, t)
+              for t in ("orders", "customer", "lineitem", "part")}
+
+    def edge(name: str, tl: str, kl: str, tr: str, kr: str) -> DataFrame:
+        dfl, dfr = tables[tl], tables[tr]
+        sl = dfl.agg(F.count("*").alias("nl"),
+                     F.countDistinct(kl).alias("ndvl"))
+        sr = dfr.agg(F.count("*").alias("nr"),
+                     F.countDistinct(kr).alias("ndvr"))
+        ca = dfl.groupBy(F.col(kl).alias("k")).agg(F.count("*").alias("ca"))
+        cb = dfr.groupBy(F.col(kr).alias("k")).agg(F.count("*").alias("cb"))
+        x = (ca.join(cb, "k")
+             .agg(F.sum(F.col("ca") * F.col("cb")).alias("exact")))
+        est = (F.col("nl").cast("double") * F.col("nr")
+               / F.greatest("ndvl", "ndvr"))
+        return (sl.crossJoin(F.broadcast(sr)).crossJoin(F.broadcast(x))
+                .select(F.lit(name).alias("edge"),
+                        F.col("nl").cast("long").alias("rows_left"),
+                        F.col("nr").cast("long").alias("rows_right"),
+                        F.col("ndvl").cast("long").alias("ndv_left"),
+                        F.col("ndvr").cast("long").alias("ndv_right"),
+                        F.round(est, 6).alias("est_rows"),
+                        F.col("exact").cast("long").alias("exact_rows"),
+                        F.round(F.greatest(
+                            est / F.col("exact"),
+                            F.col("exact") / est), 6).alias("q_error")))
+
+    return (edge("orders_customer", "orders", "o_custkey",
+                 "customer", "c_custkey")
+            .unionByName(edge("lineitem_orders", "lineitem", "l_orderkey",
+                              "orders", "o_orderkey"))
+            .unionByName(edge("lineitem_part", "lineitem", "l_partkey",
+                              "part", "p_partkey")))
+
+
+# ---------------------------------------------------------------------------
+# Quality filter funnel — attribution for the curation gate chain:
+# each doc is charged to its FIRST failing gate (too_short ->
+# low_alpha -> low_stopword -> repetition -> pass), so stage counts
+# partition the corpus and the funnel reads as a removal waterfall.
+# All four gates are integer comparisons (counts cross-multiplied
+# against thresholds — no ratio doubles), one map-side-combinable
+# groupBy over <= 5 stages. The first question a curation run answers:
+# WHICH filter is eating the data.
+# ---------------------------------------------------------------------------
+
+_FNL_TOKS = ("list_filter(string_split(trim(regexp_replace(lower(text), "
+             "'\\s+', ' ', 'g')), ' '), t -> t <> '')")
+_FNL_STOP = "('the','a','and','of','to','in','is','it','that','for')"
+
+
+@register("quality_filter_funnel", f"""
+WITH feats AS (
+    SELECT doc_id,
+           len({_FNL_TOKS}) AS toks,
+           len(list_distinct({_FNL_TOKS})) AS dtoks,
+           len(list_filter({_FNL_TOKS}, t -> t IN {_FNL_STOP}))
+               AS stop_hits,
+           length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS letters,
+           n_chars
+    FROM documents
+),
+staged AS (
+    SELECT CASE WHEN toks < 30 THEN '1_too_short'
+                WHEN letters * 2 < n_chars THEN '2_low_alpha'
+                WHEN stop_hits * 50 < toks THEN '3_low_stopword'
+                WHEN dtoks * 2 < toks THEN '4_repetition'
+                ELSE '5_pass' END AS stage
+    FROM feats
+),
+t AS (SELECT count(*) AS total FROM staged)
+SELECT stage, CAST(count(*) AS BIGINT) AS n_docs,
+       {round_sql("count(*) / CAST(max(total) AS DOUBLE)")} AS share
+FROM staged CROSS JOIN t
+GROUP BY stage
+""")
+def quality_filter_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-failing-gate attribution over the 4-gate curation chain;
+    stages partition the corpus (pytest-pinned)."""
+    from travel_data_pipeline_spark.operators.text import (
+        token_array,
+        stopword_hits,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks_arr = token_array(F.col("text"))
+    feats = docs.select(
+        F.size(toks_arr).alias("toks"),
+        F.size(F.array_distinct(toks_arr)).alias("dtoks"),
+        stopword_hits(F.col("text"), "en").alias("stop_hits"),
+        F.length(F.regexp_replace("text", "[^A-Za-z]", ""))
+        .alias("letters"),
+        "n_chars")
+    stage = (F.when(F.col("toks") < 30, "1_too_short")
+             .when(F.col("letters") * 2 < F.col("n_chars"), "2_low_alpha")
+             .when(F.col("stop_hits") * 50 < F.col("toks"),
+                   "3_low_stopword")
+             .when(F.col("dtoks") * 2 < F.col("toks"), "4_repetition")
+             .otherwise("5_pass"))
+    staged = feats.select(stage.alias("stage"))
+    t = staged.agg(F.count("*").alias("total"))
+    return (staged.crossJoin(F.broadcast(t))
+            .groupBy("stage")
+            .agg(F.count("*").cast("long").alias("n_docs"),
+                 F.round(F.count("*") / F.max("total").cast("double"), 6)
+                 .alias("share")))
+
+
+# ---------------------------------------------------------------------------
+# Classifier agreement (Cohen's kappa) — how much do two independent
+# heuristic quality gates agree beyond chance? Gate A: length
+# (>= 30 tokens); gate B: English stopword share (hits*20 >= tokens —
+# the 5% line as an integer cross-multiply). kappa = (po - pe) /
+# (1 - pe) from one pass of exact integer moments; the double
+# expressions are built once and shared. The number that says whether
+# a second filter adds signal or just repeats the first.
+# ---------------------------------------------------------------------------
+
+_KAP_PO = ("(CAST(n_ab AS DOUBLE) + (n - n_a - n_b + n_ab)) / n")
+_KAP_PE = ("(CAST(n_a AS DOUBLE) * n_b + CAST(n - n_a AS DOUBLE)"
+           " * (n - n_b)) / (CAST(n AS DOUBLE) * n)")
+
+
+@register("classifier_agreement_kappa", f"""
+WITH gated AS (
+    SELECT CASE WHEN len({_FNL_TOKS}) >= 30 THEN 1 ELSE 0 END AS a,
+           CASE WHEN len(list_filter({_FNL_TOKS},
+                         t -> t IN {_FNL_STOP})) * 20
+                     >= len({_FNL_TOKS}) THEN 1 ELSE 0 END AS b
+    FROM documents
+),
+m AS (
+    SELECT count(*) AS n, SUM(a) AS n_a, SUM(b) AS n_b,
+           SUM(a * b) AS n_ab
+    FROM gated
+)
+SELECT CAST(n AS BIGINT) AS n_docs, CAST(n_a AS BIGINT) AS pos_a,
+       CAST(n_b AS BIGINT) AS pos_b, CAST(n_ab AS BIGINT) AS both_pos,
+       {round_sql(_KAP_PO)} AS po,
+       {round_sql(_KAP_PE)} AS pe,
+       CASE WHEN {_KAP_PE} = 1.0 THEN NULL
+            ELSE {round_sql(f"(({_KAP_PO}) - ({_KAP_PE}))"
+                            f" / (1.0 - ({_KAP_PE}))")} END AS kappa
+FROM m
+""")
+def classifier_agreement_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohen's kappa between the length gate and the stopword-share
+    gate, from one exact-integer confusion pass."""
+    from travel_data_pipeline_spark.operators.text import (
+        token_array,
+        stopword_hits,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.size(token_array(F.col("text")))
+    hits = stopword_hits(F.col("text"), "en")
+    gated = docs.select(
+        F.when(toks >= 30, 1).otherwise(0).alias("a"),
+        F.when(hits * 20 >= toks, 1).otherwise(0).alias("b"))
+    m = gated.agg(F.count("*").alias("n"), F.sum("a").alias("n_a"),
+                  F.sum("b").alias("n_b"),
+                  F.sum(F.col("a") * F.col("b")).alias("n_ab"))
+    n, n_a = F.col("n"), F.col("n_a")
+    n_b, n_ab = F.col("n_b"), F.col("n_ab")
+    po = (n_ab.cast("double") + (n - n_a - n_b + n_ab)) / n
+    pe = ((n_a.cast("double") * n_b + (n - n_a).cast("double")
+           * (n - n_b)) / (n.cast("double") * n))
+    return m.select(
+        n.cast("long").alias("n_docs"), n_a.cast("long").alias("pos_a"),
+        n_b.cast("long").alias("pos_b"),
+        n_ab.cast("long").alias("both_pos"),
+        F.round(po, 6).alias("po"), F.round(pe, 6).alias("pe"),
+        F.when(pe == 1.0, F.lit(None).cast("double"))
+        .otherwise(F.round((po - pe) / (F.lit(1.0) - pe), 6))
+        .alias("kappa"))
+
+
+# ---------------------------------------------------------------------------
+# Incremental HLL distinct curve — cumulative distinct users per day
+# WITHOUT re-scanning history: per-day registers (the daily state a
+# streaming job would persist) prefix-merged by a running per-bucket
+# max, estimated with the shared fold, audited against the exact
+# cumulative curve (first-day per user -> running sum over the bounded
+# day grid). The 100 TB pattern: yesterday's 64 registers + today's
+# events give today's lifetime-distinct estimate; no growing state,
+# no re-scan. Windows: running max partitioned BY BUCKET (64
+# partitions x |days| rows), running sum over the |days|-row grid —
+# both bounded.
+# ---------------------------------------------------------------------------
+
+@register("hll_running_distinct_curve", f"""
+WITH hashed AS (
+    SELECT CAST(date_diff('day', TIMESTAMP '2024-01-01',
+                          date_trunc('day', ts)) AS BIGINT) AS day_idx,
+           user_id,
+           {md5_long_sql("'hll:' || CAST(user_id AS VARCHAR)")} AS h
+    FROM events
+),
+rho AS (
+    SELECT day_idx, CAST(h % {_HLL_M} AS INT) AS bucket,
+           CASE WHEN h // {_HLL_M} = 0 THEN 55
+                ELSE 55 - length(bin(h // {_HLL_M})) END AS r
+    FROM hashed
+),
+day_regs AS (
+    SELECT day_idx, bucket, MAX(r) AS m FROM rho GROUP BY day_idx, bucket
+),
+grid AS (
+    SELECT d.day_idx, b.bucket, COALESCE(r.m, 0) AS m
+    FROM (SELECT DISTINCT day_idx FROM hashed) d
+    CROSS JOIN (SELECT unnest(generate_series(0, {_HLL_M - 1}))
+                AS bucket) b
+    LEFT JOIN day_regs r
+      ON r.day_idx = d.day_idx AND r.bucket = b.bucket
+),
+run_regs AS (   -- prefix merge: register-wise running max per bucket
+    SELECT day_idx, bucket,
+           MAX(m) OVER (PARTITION BY bucket ORDER BY day_idx
+                        ROWS BETWEEN UNBOUNDED PRECEDING
+                        AND CURRENT ROW) AS m
+    FROM grid
+),
+{_hll_fold_sql("day_idx", "run_regs")},
+firsts AS (
+    SELECT user_id, MIN(day_idx) AS first_day FROM hashed
+    GROUP BY user_id
+),
+exact AS (
+    SELECT d.day_idx,
+           SUM(COALESCE(f.c, 0)) OVER (ORDER BY d.day_idx
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS exact_cum
+    FROM (SELECT DISTINCT day_idx FROM hashed) d
+    LEFT JOIN (SELECT first_day, count(*) AS c FROM firsts
+               GROUP BY first_day) f
+      ON f.first_day = d.day_idx
+)
+SELECT e.day_idx, CAST(x.exact_cum AS BIGINT) AS exact_cum_users,
+       {round_sql("e.raw_est")} AS hll_estimate,
+       {round_sql("(e.raw_est - x.exact_cum)"
+                  " / CAST(x.exact_cum AS DOUBLE)")} AS rel_err
+FROM est e JOIN exact x ON x.day_idx = e.day_idx
+""")
+def hll_running_distinct_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-day lifetime-distinct-user curve from prefix-merged daily
+    HLL registers vs the exact first-seen cumulative count."""
+    ev = load_table(spark, sf_dir, "events")
+    day_idx = F.datediff(
+        F.date_trunc("day", "ts"),
+        F.lit("2024-01-01").cast("timestamp")).cast("long")
+    h = md5_long(F.concat(F.lit("hll:"), F.col("user_id").cast("string")))
+    hashed = ev.select(day_idx.alias("day_idx"), "user_id", h.alias("h"))
+    w_high = F.expr(f"h div {_HLL_M}")
+    rho = hashed.select(
+        "day_idx", (F.col("h") % _HLL_M).cast("int").alias("bucket"),
+        F.when(w_high == 0, 55)
+        .otherwise(55 - F.length(F.bin(w_high))).alias("r"))
+    day_regs = (rho.groupBy("day_idx", "bucket")
+                .agg(F.max("r").alias("m")))
+    days = hashed.select("day_idx").distinct()
+    buckets = ev.sparkSession.range(_HLL_M).select(
+        F.col("id").cast("int").alias("bucket"))
+    grid = (days.crossJoin(F.broadcast(buckets))
+            .join(day_regs, ["day_idx", "bucket"], "left")
+            .na.fill({"m": 0}))
+    w_run = (Window.partitionBy("bucket").orderBy("day_idx")
+             .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    run_regs = grid.select("day_idx", "bucket",
+                           F.max("m").over(w_run).alias("m"))
+    est = _hll_fold_spark(run_regs, "day_idx")
+    firsts = hashed.groupBy("user_id").agg(
+        F.min("day_idx").alias("first_day"))
+    per_day_new = firsts.groupBy("first_day").agg(F.count("*").alias("c"))
+    w_cum = (Window.orderBy("day_idx")
+             .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    exact = (days.join(per_day_new,
+                       days.day_idx == per_day_new.first_day, "left")
+             .select("day_idx", F.coalesce("c", F.lit(0)).alias("c"))
+             .select("day_idx", F.sum("c").over(w_cum).alias("exact_cum")))
+    return (est.join(exact, "day_idx")
+            .select("day_idx",
+                    F.col("exact_cum").cast("long")
+                    .alias("exact_cum_users"),
+                    F.round(F.col("raw_est"), 6).alias("hll_estimate"),
+                    F.round((F.col("raw_est") - F.col("exact_cum"))
+                            / F.col("exact_cum").cast("double"), 6)
+                    .alias("rel_err")))
+
+
+# ---------------------------------------------------------------------------
+# Mixture temperature sampling — the LLM data-mixture standard: source
+# sampling probability p_i proportional to size^alpha, flattening the
+# natural mixture as alpha drops. Alphas are {{1, 0.5, 0.25}} so every
+# weight is exact-or-correctly-rounded arithmetic (sqrt is IEEE
+# correctly rounded; no pow()). Per (alpha, source): p_i, and the
+# effective epochs each source is replayed when the token budget
+# equals the corpus size (epochs_i = p_i * total / n_i > 1 means
+# upsampling). The per-alpha normalizer folds over the SOURCE-ordered
+# weight list (bounded by |sources|).
+# ---------------------------------------------------------------------------
+
+@register("mixture_temperature_plan", f"""
+WITH src AS (
+    SELECT source, count(*) AS n_docs,
+           SUM(n_chars) AS sz
+    FROM documents GROUP BY source
+),
+weighted AS (
+    SELECT a.alpha, s.source, s.n_docs, s.sz,
+           CASE a.alpha WHEN '1.0' THEN CAST(s.sz AS DOUBLE)
+                        WHEN '0.5' THEN sqrt(CAST(s.sz AS DOUBLE))
+                        ELSE sqrt(sqrt(CAST(s.sz AS DOUBLE))) END AS w
+    FROM src s
+    CROSS JOIN (SELECT unnest(['1.0', '0.5', '0.25']) AS alpha) a
+),
+norm AS (
+    SELECT alpha,
+           list_reduce(list(w ORDER BY source), (x, y) -> x + y) AS tw,
+           SUM(sz) AS total
+    FROM weighted GROUP BY alpha
+)
+SELECT w.alpha, w.source, CAST(w.n_docs AS BIGINT) AS n_docs,
+       CAST(w.sz AS BIGINT) AS size_chars,
+       {round_sql("w.w / n.tw")} AS p,
+       {round_sql("(w.w / n.tw) * n.total / w.sz")} AS epochs
+FROM weighted w JOIN norm n ON n.alpha = w.alpha
+""")
+def mixture_temperature_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-flattened source mixture at alpha in {1, .5, .25}:
+    sampling shares and effective epochs at a budget equal to the
+    corpus size."""
+    docs = load_table(spark, sf_dir, "documents")
+    src = docs.groupBy("source").agg(F.count("*").alias("n_docs"),
+                                     F.sum("n_chars").alias("sz"))
+    alphas = docs.sparkSession.createDataFrame(
+        [("1.0",), ("0.5",), ("0.25",)], ["alpha"])
+    szd = F.col("sz").cast("double")
+    weighted = (src.crossJoin(F.broadcast(alphas))
+                .select("alpha", "source", "n_docs", "sz",
+                        F.when(F.col("alpha") == "1.0", szd)
+                        .when(F.col("alpha") == "0.5", F.sqrt(szd))
+                        .otherwise(F.sqrt(F.sqrt(szd))).alias("w")))
+    norm = (weighted
+            .select("alpha", "sz",
+                    F.struct(F.col("source").alias("source"),
+                             F.col("w").alias("w")).alias("sw"))
+            .groupBy("alpha")
+            .agg(F.aggregate(F.array_sort(F.collect_list("sw")),
+                             F.lit(0.0),
+                             lambda acc, x: acc + x["w"]).alias("tw"),
+                 F.sum("sz").alias("total")))
+    return (weighted.join(F.broadcast(norm), "alpha")
+            .select("alpha", "source",
+                    F.col("n_docs").cast("long").alias("n_docs"),
+                    F.col("sz").cast("long").alias("size_chars"),
+                    F.round(F.col("w") / F.col("tw"), 6).alias("p"),
+                    F.round((F.col("w") / F.col("tw")) * F.col("total")
+                            / F.col("sz"), 6).alias("epochs")))
+
+
+# ---------------------------------------------------------------------------
+# Data scaling ladder — nested doubling subsets for learning-curve
+# runs: rung r keeps docs with md5 % 16 < 2^r, so each rung CONTAINS
+# the previous one (the property that makes per-rung training runs
+# comparable) and rung 4 is the full corpus. Per rung: docs, tokens,
+# vocabulary, type-token ratio — the empirical Heaps readout on the
+# ladder a scaling-law study actually trains on. One token explode,
+# one bounded x5 rung expand on the token relation; vocab via
+# count(DISTINCT word) per rung.
+# ---------------------------------------------------------------------------
+
+_LAD_RUNGS = 5
+
+
+@register("data_scaling_ladder", f"""
+WITH docs AS (
+    SELECT doc_id, {_FNL_TOKS} AS toks,
+           {md5_long_sql("'ladder:' || CAST(doc_id AS VARCHAR)")} % 16
+               AS h16
+    FROM documents
+),
+rungs AS (SELECT unnest(generate_series(0, {_LAD_RUNGS - 1})) AS rung),
+member AS (
+    SELECT r.rung, d.doc_id, d.toks
+    FROM docs d JOIN rungs r
+      ON d.h16 < (CAST(1 AS BIGINT) << r.rung)
+),
+words AS (
+    SELECT rung, doc_id, unnest(toks) AS word FROM member
+)
+SELECT CAST(rung AS INT) AS rung,
+       CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+       CAST(count(*) AS BIGINT) AS n_tokens,
+       CAST(count(DISTINCT word) AS BIGINT) AS vocab,
+       {round_sql("count(DISTINCT word) / CAST(count(*) AS DOUBLE)")}
+           AS type_token_ratio
+FROM words GROUP BY rung
+""")
+def data_scaling_ladder(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Docs/tokens/vocab along 5 nested hash-doubling subsets (rung 4
+    = full corpus); nesting is pytest-pinned."""
+    from travel_data_pipeline_spark.operators.text import token_array
+
+    docs = load_table(spark, sf_dir, "documents")
+    h16 = md5_long(F.concat(F.lit("ladder:"),
+                            F.col("doc_id").cast("string"))) % 16
+    based = docs.select("doc_id", token_array(F.col("text")).alias("toks"),
+                        h16.alias("h16"))
+    rungs = docs.sparkSession.range(_LAD_RUNGS).select(
+        F.col("id").cast("int").alias("rung"))
+    member = (based.crossJoin(F.broadcast(rungs))
+              .filter(F.col("h16")
+                      < F.expr("shiftleft(CAST(1 AS BIGINT), rung)")))
+    words = member.select("rung", "doc_id",
+                          F.explode("toks").alias("word"))
+    return (words.groupBy("rung")
+            .agg(F.countDistinct("doc_id").cast("long").alias("n_docs"),
+                 F.count("*").cast("long").alias("n_tokens"),
+                 F.countDistinct("word").cast("long").alias("vocab"),
+                 F.round(F.countDistinct("word")
+                         / F.count("*").cast("double"), 6)
+                 .alias("type_token_ratio"))
+            .select(F.col("rung").cast("int").alias("rung"),
+                    "n_docs", "n_tokens", "vocab", "type_token_ratio"))
+
+
+# ---------------------------------------------------------------------------
+# Recency-decay weights — time-weighted corpus accounting with
+# EXACT dyadic decay: weight = 2^-age_weeks (halving per week, ages
+# capped at 30 weeks so 4^-age stays shiftable), so every per-cell
+# product cnt * 2^-age is an exact double and the only float folds run
+# over the BOUNDED (type x week) grid, week-ordered. Reports per
+# event type the decayed effective count and Kish's effective sample
+# size (sum w)^2 / (sum w^2) — the "how much data do we effectively
+# have after recency weighting" number.
+# ---------------------------------------------------------------------------
+
+@register("recency_decay_weights", f"""
+WITH anchor AS (
+    SELECT MAX(date_trunc('day', ts)) AS d0 FROM events
+),
+aged AS (
+    SELECT event_type,
+           least(CAST(date_diff('day', date_trunc('day', ts), d0)
+                      AS BIGINT) // 7, 30) AS wk
+    FROM events CROSS JOIN anchor
+),
+cells AS (
+    SELECT event_type, wk, count(*) AS cnt FROM aged
+    GROUP BY event_type, wk
+),
+folded AS (
+    SELECT event_type,
+           SUM(cnt) AS n_rows,
+           list_reduce(list(
+               cnt / CAST(CAST(1 AS BIGINT) << wk AS DOUBLE)
+               ORDER BY wk), (x, y) -> x + y) AS wsum,
+           list_reduce(list(
+               cnt / CAST(CAST(1 AS BIGINT) << (2 * wk) AS DOUBLE)
+               ORDER BY wk), (x, y) -> x + y) AS w2sum
+    FROM cells GROUP BY event_type
+)
+SELECT event_type, CAST(n_rows AS BIGINT) AS n_rows,
+       {round_sql("wsum")} AS weighted_n,
+       {round_sql("wsum * wsum / w2sum")} AS effective_n
+FROM folded
+""")
+def recency_decay_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per event type: 2^-weeks decayed count and Kish effective
+    sample size, from exact dyadic per-(type, week) cells."""
+    ev = load_table(spark, sf_dir, "events")
+    anchor = ev.agg(F.max(F.date_trunc("day", "ts")).alias("d0"))
+    aged = (ev.crossJoin(F.broadcast(anchor))
+            .select("event_type",
+                    F.least(F.floor(
+                        F.datediff(F.col("d0"),
+                                   F.date_trunc("day", "ts")) / 7)
+                        .cast("long"), F.lit(30).cast("long"))
+                    .alias("wk")))
+    cells = (aged.groupBy("event_type", "wk")
+             .agg(F.count("*").alias("cnt")))
+    w1 = F.expr("s.cnt / CAST(shiftleft(CAST(1 AS BIGINT), s.wk) "
+                "AS DOUBLE)")
+    w2 = F.expr("s.cnt / CAST(shiftleft(CAST(1 AS BIGINT), 2 * s.wk) "
+                "AS DOUBLE)")
+    folded = (cells.alias("s")
+              .select("s.event_type", F.col("s.cnt").alias("cnt"),
+                      F.struct(F.col("s.wk").alias("wk"),
+                               w1.alias("w1"), w2.alias("w2"))
+                      .alias("ww"))
+              .groupBy("event_type")
+              .agg(F.sum("cnt").alias("n_rows"),
+                   F.aggregate(F.array_sort(F.collect_list("ww")),
+                               F.lit(0.0),
+                               lambda acc, x: acc + x["w1"])
+                   .alias("wsum"),
+                   F.aggregate(F.array_sort(F.collect_list("ww")),
+                               F.lit(0.0),
+                               lambda acc, x: acc + x["w2"])
+                   .alias("w2sum")))
+    return folded.select(
+        "event_type", F.col("n_rows").cast("long").alias("n_rows"),
+        F.round(F.col("wsum"), 6).alias("weighted_n"),
+        F.round(F.col("wsum") * F.col("wsum") / F.col("w2sum"), 6)
+        .alias("effective_n"))
