@@ -65,6 +65,13 @@ HEADLINE = [
     # round-6 late: two-phase global quartiles over the corpus-scaled
     # documents relation (the doc-side sibling of abc_pareto's shape)
     "source_quality_quartiles",
+    # round-7: the ANN trust audit (brute-force pass + both pruned
+    # paths), the two mergeable-sketch audits, and the token-explode
+    # scaling ladder — the new heavy shapes worth a timed record
+    "ivf_recall_at_k",
+    "hll_running_distinct_curve",
+    "count_min_heavy_hitters",
+    "data_scaling_ladder",
 ]
 
 

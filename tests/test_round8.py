@@ -411,3 +411,86 @@ def test_recency_decay_bounds(spark, sf_smoke):
     for r in rows:
         assert 0.0 < r.weighted_n <= r.n_rows + 1e-9, r
         assert 0.0 < r.effective_n <= r.n_rows + 1e-6, r
+
+
+def test_ks_stat_bounds_and_pure_python_check(spark, sf_smoke):
+    """KS in [0, 1]; recompute one source's statistic brute-force in
+    python from the raw lengths."""
+    from travel_data_pipeline_spark.queries_round8 import ks_source_drift
+    from travel_data_pipeline_spark.sources.readers import load_table
+
+    rows = ks_source_drift(spark, sf_smoke).collect()
+    assert rows
+    for r in rows:
+        assert 0.0 <= r.ks_stat <= 1.0, r
+    docs = load_table(spark, sf_smoke, "documents") \
+        .select("source", "n_chars").collect()
+    src = rows[0].source
+    a = sorted(d.n_chars for d in docs if d.source == src)
+    b = sorted(d.n_chars for d in docs if d.source != src)
+    values = sorted({d.n_chars for d in docs})
+    import bisect
+    ks = max(abs(bisect.bisect_right(a, v) / len(a)
+                 - bisect.bisect_right(b, v) / len(b)) for v in values)
+    assert abs(ks - [r.ks_stat for r in rows if r.source == src][0]) < 1e-5
+
+
+def test_hll_register_stream(spark, sf_smoke, tmp_path):
+    """The streamed register state's estimate is bit-equal to the
+    batch fold over the union of batches, and replaying a batch
+    (fresh checkpoint — the case the epoch-watermark streams must
+    gate) is a strict no-op because register max is idempotent."""
+    from travel_data_pipeline_spark.queries_round8 import (
+        _HLL_M,
+        _hll_fold_spark,
+        user_hll_registers,
+    )
+    from travel_data_pipeline_spark.sources.readers import load_table
+    from travel_data_pipeline_spark.streaming.jobs import (
+        hll_register_stream,
+        hll_stream_estimate,
+    )
+
+    ev = load_table(spark, sf_smoke, "events").select("event_id", "user_id")
+    mid = ev.agg(F.expr("percentile_approx(event_id, 0.5)")).first()[0]
+    src = tmp_path / "src"
+    src.mkdir()
+    state = str(tmp_path / "state")
+
+    def run(ck: str) -> None:
+        stream = (spark.readStream
+                  .schema("event_id long, user_id long")
+                  .option("recursiveFileLookup", "true")
+                  .parquet(str(src)))
+        q = hll_register_stream(stream, state, str(tmp_path / ck))
+        q.awaitTermination(120)
+
+    ev.filter(F.col("event_id") <= mid).write.parquet(str(src / "f1"))
+    run("ck1")
+    ev.filter(F.col("event_id") > mid).write.parquet(str(src / "f2"))
+    run("ck1")
+    [est_stream] = hll_stream_estimate(spark, state).collect()
+
+    # batch twin over the union
+    grid = (spark.range(_HLL_M)
+            .select(F.col("id").cast("int").alias("bucket"))
+            .join(user_hll_registers(ev), "bucket", "left")
+            .na.fill({"m": 0})
+            .select(F.lit(0).alias("k"), "bucket", "m"))
+    [est_batch] = _hll_fold_spark(grid, "k").select("raw_est").collect()
+    assert est_stream.raw_est == est_batch.raw_est  # bit-equal
+
+    # replay batch 2 under a FRESH checkpoint: max is idempotent,
+    # state and estimate must not move
+    import shutil
+    replay_src = tmp_path / "replay"
+    replay_src.mkdir()
+    shutil.copytree(src / "f2", replay_src / "f2")
+
+    stream = (spark.readStream.schema("event_id long, user_id long")
+              .option("recursiveFileLookup", "true")
+              .parquet(str(replay_src)))
+    q = hll_register_stream(stream, state, str(tmp_path / "ck_fresh"))
+    q.awaitTermination(120)
+    [est_replay] = hll_stream_estimate(spark, state).collect()
+    assert est_replay.raw_est == est_batch.raw_est

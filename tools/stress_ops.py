@@ -224,6 +224,77 @@ def main(amplify: int = 20) -> None:
     t_bpe = time.perf_counter() - t0
     assert len(merges) == 5 and all(m[2] > 0 for m in merges), merges
 
+    # --- mergeable sketches over 20M events ------------------------------
+    # The round-7 sketch pair at 3 orders of magnitude past the
+    # registered inputs: a d=4 x w=256 count-min over a skewed key
+    # stream (50 planted hot keys + ~1M cold tail), and 120 days of
+    # HLL registers prefix-merged into the running distinct curve via
+    # the SAME shared fold the registered queries use. xxhash64 here
+    # (no oracle to match); invariants asserted: CM never
+    # underestimates the planted keys, the curve is monotone and its
+    # final point lands within HLL error of the true ~1M cardinality.
+    from travel_data_pipeline_spark.queries_round8 import (
+        _HLL_M,
+        _hll_fold_spark,
+    )
+
+    n_sk = 20_000_000
+    skev = (spark.range(n_sk)
+            .select(F.col("id"),
+                    F.when(F.col("id") % 100 == 0,
+                           (F.col("id") / 100).cast("long") % 50)
+                    .otherwise(F.abs(F.xxhash64("id")) % 1_000_000 + 1_000)
+                    .alias("user_id"),
+                    (F.col("id") % 120).alias("day_idx")))
+    t0 = time.perf_counter()
+    cm_pairs = F.explode(F.array(*[
+        F.struct(F.lit(s).alias("seed"),
+                 (F.abs(F.xxhash64(F.lit(s), F.col("user_id"))) % 256)
+                 .cast("int").alias("bucket"))
+        for s in range(4)])).alias("p")
+    cm_cells = (skev.select("user_id", cm_pairs)
+                .select("user_id", "p.seed", "p.bucket")
+                .groupBy("seed", "bucket").agg(F.count("*").alias("c")))
+    hot = (skev.filter(F.col("user_id") < 50)
+           .groupBy("user_id").agg(F.count("*").alias("exact_n")))
+    probes = (hot.select("user_id", "exact_n", cm_pairs)
+              .select("user_id", "exact_n", "p.seed", "p.bucket"))
+    cm = (probes.join(F.broadcast(cm_cells), ["seed", "bucket"])
+          .groupBy("user_id", "exact_n").agg(F.min("c").alias("est")))
+    cm_rows = cm.collect()
+    t_cm = time.perf_counter() - t0
+    assert len(cm_rows) == 50
+    assert all(r.est >= r.exact_n for r in cm_rows), cm_rows[:3]
+
+    t0 = time.perf_counter()
+    h60 = F.abs(F.xxhash64("user_id")) % (1 << 60)
+    w_high = F.expr(f"h div {_HLL_M}")
+    rho = (skev.select("day_idx", h60.alias("h"))
+           .select("day_idx",
+                   (F.col("h") % _HLL_M).cast("int").alias("bucket"),
+                   F.when(w_high == 0, 55)
+                   .otherwise(55 - F.length(F.bin(w_high))).alias("r")))
+    day_regs = rho.groupBy("day_idx", "bucket").agg(F.max("r").alias("m"))
+    grid = (skev.select("day_idx").distinct()
+            .crossJoin(F.broadcast(
+                spark.range(_HLL_M)
+                .select(F.col("id").cast("int").alias("bucket"))))
+            .join(day_regs, ["day_idx", "bucket"], "left")
+            .na.fill({"m": 0}))
+    w_run = (Window.partitionBy("bucket").orderBy("day_idx")
+             .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    run_regs = grid.select("day_idx", "bucket",
+                           F.max("m").over(w_run).alias("m"))
+    curve = sorted(_hll_fold_spark(run_regs, "day_idx").collect(),
+                   key=lambda r: r.day_idx)
+    t_hll = time.perf_counter() - t0
+    assert len(curve) == 120
+    assert all(b.raw_est >= a.raw_est - 1e-9
+               for a, b in zip(curve, curve[1:]))
+    n_true = skev.select("user_id").distinct().count()
+    hll_final_err = abs(curve[-1].raw_est - n_true) / n_true
+    assert hll_final_err < 0.4, (curve[-1].raw_est, n_true)
+
     print(json.dumps({
         "amplify": amplify,
         "idx_docs": n_docs, "idx_terms": n_terms,
@@ -250,6 +321,13 @@ def main(amplify: int = 20) -> None:
         "bpe_tokens": n_bpe_tokens, "bpe_rounds": 5,
         "bpe_sec": round(t_bpe, 2),
         "bpe_tokens_per_sec": round(n_bpe_tokens * 5 / t_bpe),
+        "sketch_events": n_sk,
+        "cm_sec": round(t_cm, 2),
+        "cm_events_per_sec": round(n_sk / t_cm),
+        "hll_days": 120, "hll_true_distinct": n_true,
+        "hll_final_rel_err": round(hll_final_err, 4),
+        "hll_sec": round(t_hll, 2),
+        "hll_events_per_sec": round(n_sk / t_hll),
     }))
 
 

@@ -952,6 +952,27 @@ est AS (     -- small-range correction: linear counting below 2.5m
 )"""
 
 
+def user_hll_registers(df: DataFrame,
+                       keys: tuple[str, ...] = ()) -> DataFrame:
+    """(keys..., bucket, m) MAX-rho registers of md5('hll:'||user_id)
+    — the one register builder shared by the union audit, the running
+    curve, and the streaming register twin
+    (streaming/jobs.hll_register_stream). rho is derived portably:
+    55 - len(bin(h div 64)) over the 60-bit md5 hash (bin() strips
+    leading zeros in both engines); h div 64 is INTEGER division (a
+    double floor would round through 53 bits and corrupt high
+    hashes). Buckets a key never hashed into are ABSENT (callers fill
+    the grid with 0)."""
+    h = md5_long(F.concat(F.lit("hll:"), F.col("user_id").cast("string")))
+    w_high = F.expr(f"h div {_HLL_M}")
+    rho = (df.select(*keys, h.alias("h"))
+           .select(*keys,
+                   (F.col("h") % _HLL_M).cast("int").alias("bucket"),
+                   F.when(w_high == 0, 55)
+                   .otherwise(55 - F.length(F.bin(w_high))).alias("r")))
+    return (rho.groupBy(*keys, "bucket").agg(F.max("r").alias("m")))
+
+
 def _hll_fold_spark(full_regs: DataFrame, key: str) -> DataFrame:
     """Spark twin of ``_hll_fold_sql``: (key, bucket, m) full grid ->
     (key, raw_est). Order-pinned fold (bucket-sorted structs); 2^-m
@@ -1028,16 +1049,8 @@ def hyperloglog_union_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     derived portably: 55 - len(bin(h div 64)) over the 60-bit md5
     hash (bin() strips leading zeros in both engines)."""
     ev = load_table(spark, sf_dir, "events")
-    h = md5_long(F.concat(F.lit("hll:"), F.col("user_id").cast("string")))
-    # h div 64 as INTEGER division (h spans 60 bits — floor(h / 64.0)
-    # would round through a 53-bit double and corrupt high hashes)
-    w = F.expr(f"h div {_HLL_M}")
-    rho = (ev.select("event_type", h.alias("h"))
-           .select("event_type",
-                   (F.col("h") % _HLL_M).cast("int").alias("bucket"),
-                   F.when(w == 0, 55)
-                   .otherwise(55 - F.length(F.bin(w))).alias("r")))
-    regs = rho.groupBy("event_type", "bucket").agg(F.max("r").alias("m"))
+    regs = user_hll_registers(ev.select("event_type", "user_id"),
+                              keys=("event_type",))
     merged = (regs.groupBy("bucket").agg(F.max("m").alias("m"))
               .select(F.lit("ALL").alias("event_type"), "bucket", "m"))
     allregs = regs.unionByName(merged)
@@ -1788,15 +1801,8 @@ def hll_running_distinct_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     day_idx = F.datediff(
         F.date_trunc("day", "ts"),
         F.lit("2024-01-01").cast("timestamp")).cast("long")
-    h = md5_long(F.concat(F.lit("hll:"), F.col("user_id").cast("string")))
-    hashed = ev.select(day_idx.alias("day_idx"), "user_id", h.alias("h"))
-    w_high = F.expr(f"h div {_HLL_M}")
-    rho = hashed.select(
-        "day_idx", (F.col("h") % _HLL_M).cast("int").alias("bucket"),
-        F.when(w_high == 0, 55)
-        .otherwise(55 - F.length(F.bin(w_high))).alias("r"))
-    day_regs = (rho.groupBy("day_idx", "bucket")
-                .agg(F.max("r").alias("m")))
+    hashed = ev.select(day_idx.alias("day_idx"), "user_id")
+    day_regs = user_hll_registers(hashed, keys=("day_idx",))
     days = hashed.select("day_idx").distinct()
     buckets = ev.sparkSession.range(_HLL_M).select(
         F.col("id").cast("int").alias("bucket"))
@@ -2043,3 +2049,83 @@ def recency_decay_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.col("wsum"), 6).alias("weighted_n"),
         F.round(F.col("wsum") * F.col("wsum") / F.col("w2sum"), 6)
         .alias("effective_n"))
+
+
+# ---------------------------------------------------------------------------
+# Kolmogorov-Smirnov source drift — the distribution-shape sibling of
+# the PSI drift readout: per source, the two-sample KS statistic
+# sup |ECDF_source - ECDF_rest| over document length. ECDFs run on the
+# (source x distinct-length) grid: lengths are a bounded DOMAIN (like
+# the day grid), so the per-source cumulative windows and the one
+# value-ordered overall window are bounded relations, not data-scaled.
+# MAX of per-value |diff| is order-independent — no fold needed.
+# ---------------------------------------------------------------------------
+
+@register("ks_source_drift", f"""
+WITH vc AS (
+    SELECT source, n_chars, count(*) AS c FROM documents
+    GROUP BY source, n_chars
+),
+grid AS (
+    SELECT s.source, v.n_chars, COALESCE(vc.c, 0) AS c
+    FROM (SELECT DISTINCT source FROM documents) s
+    CROSS JOIN (SELECT DISTINCT n_chars FROM documents) v
+    LEFT JOIN vc ON vc.source = s.source AND vc.n_chars = v.n_chars
+),
+cums AS (
+    SELECT source, n_chars,
+           SUM(c) OVER (PARTITION BY source ORDER BY n_chars
+                        ROWS BETWEEN UNBOUNDED PRECEDING
+                        AND CURRENT ROW) AS cum_s
+    FROM grid
+),
+tot AS (
+    SELECT n_chars,
+           SUM(c) OVER (ORDER BY n_chars ROWS BETWEEN UNBOUNDED
+                        PRECEDING AND CURRENT ROW) AS cum_all
+    FROM (SELECT n_chars, SUM(c) AS c FROM grid GROUP BY n_chars)
+),
+sizes AS (
+    SELECT source, count(*) AS n_s FROM documents GROUP BY source
+),
+n AS (SELECT count(*) AS n_all FROM documents)
+SELECT c.source, CAST(z.n_s AS BIGINT) AS n_docs,
+       {round_sql("MAX(abs(c.cum_s / CAST(z.n_s AS DOUBLE)"
+                  " - (t.cum_all - c.cum_s)"
+                  " / CAST(n.n_all - z.n_s AS DOUBLE)))")} AS ks_stat
+FROM cums c
+JOIN tot t ON t.n_chars = c.n_chars
+JOIN sizes z ON z.source = c.source
+CROSS JOIN n
+GROUP BY c.source, z.n_s
+""")
+def ks_source_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source two-sample KS statistic of doc length vs the rest
+    of the corpus, on the bounded (source x length) grid."""
+    docs = load_table(spark, sf_dir, "documents")
+    vc = docs.groupBy("source", "n_chars").agg(F.count("*").alias("c"))
+    grid = (docs.select("source").distinct()
+            .crossJoin(docs.select("n_chars").distinct())
+            .join(vc, ["source", "n_chars"], "left")
+            .na.fill({"c": 0}))
+    w_s = (Window.partitionBy("source").orderBy("n_chars")
+           .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    cums = grid.select("source", "n_chars",
+                       F.sum("c").over(w_s).alias("cum_s"))
+    w_all = (Window.orderBy("n_chars")
+             .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    tot = (grid.groupBy("n_chars").agg(F.sum("c").alias("c"))
+           .select("n_chars", F.sum("c").over(w_all).alias("cum_all")))
+    sizes = docs.groupBy("source").agg(F.count("*").alias("n_s"))
+    n = docs.agg(F.count("*").alias("n_all"))
+    diff = F.abs(
+        F.col("cum_s") / F.col("n_s").cast("double")
+        - (F.col("cum_all") - F.col("cum_s"))
+        / (F.col("n_all") - F.col("n_s")).cast("double"))
+    return (cums.join(F.broadcast(tot), "n_chars")
+            .join(F.broadcast(sizes), "source")
+            .crossJoin(F.broadcast(n))
+            .groupBy("source", "n_s")
+            .agg(F.round(F.max(diff), 6).alias("ks_stat"))
+            .select("source", F.col("n_s").cast("long").alias("n_docs"),
+                    "ks_stat"))

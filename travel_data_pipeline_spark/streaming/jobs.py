@@ -862,3 +862,70 @@ def token_shard_stream(incoming: DataFrame, state_path: str,
     return (incoming.writeStream.foreachBatch(fold)
             .option("checkpointLocation", checkpoint)
             .trigger(availableNow=True).start())
+
+
+def hll_register_stream(incoming: DataFrame, state_path: str,
+                        checkpoint: str) -> StreamingQuery:
+    """Streaming HLL register maintenance — the stateful twin of
+    queries_round8.hll_running_distinct_curve's prefix merge: each
+    micro-batch's (bucket, max-rho) registers are merged into a
+    64-row versioned state table by register-wise MAX, so the
+    lifetime-distinct-user estimate is always one 64-row fold away
+    and history is never re-scanned.
+
+    Replay-safe WITHOUT an epoch watermark: register-wise max is
+    idempotent and commutative, so at-least-once redelivery — same
+    checkpoint, fresh checkpoint, any order — cannot change the
+    state. This is the delivery-semantics payoff the sketch buys over
+    the offset-accumulating token_shard_stream (whose state NEEDS the
+    checkpoint-bound epoch gate); asserted in
+    tests/test_round8.py::test_hll_register_stream (stream estimate
+    bit-equal to the batch fold over the union, replay a no-op).
+
+    Scale shape per batch: one map-side-combinable 64-group
+    aggregation of the batch, one 64-row union+max, one tiny state
+    write. State size is CONSTANT in stream length.
+    """
+    from travel_data_pipeline_spark.queries_round8 import (
+        user_hll_registers,
+    )
+    from travel_data_pipeline_spark.sources import versioned
+
+    def fold(batch_df: DataFrame, epoch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        spark = batch_df.sparkSession
+        batch_regs = user_hll_registers(batch_df.select("user_id"))
+        try:
+            state = (versioned.read_table(spark, state_path)
+                     .select("bucket", "m"))
+        except FileNotFoundError:
+            state = spark.createDataFrame([], "bucket int, m int")
+        merged = (state.unionByName(
+            batch_regs.select(F.col("bucket").cast("int").alias("bucket"),
+                              F.col("m").cast("int").alias("m")))
+            .groupBy("bucket").agg(F.max("m").alias("m")))
+        versioned.write_table(merged, state_path)
+
+    return (incoming.writeStream.foreachBatch(fold)
+            .option("checkpointLocation", checkpoint)
+            .trigger(availableNow=True).start())
+
+
+def hll_stream_estimate(spark: SparkSession, state_path: str) -> DataFrame:
+    """Current lifetime-distinct estimate off the streamed register
+    state: zero-fill the 64-bucket grid and run the SAME shared fold
+    (+ small-range correction) the batch queries use — the streamed
+    and batch estimates are bit-equal by construction."""
+    from travel_data_pipeline_spark.queries_round8 import (
+        _HLL_M,
+        _hll_fold_spark,
+    )
+    from travel_data_pipeline_spark.sources import versioned
+
+    regs = versioned.read_table(spark, state_path).select("bucket", "m")
+    grid = (spark.range(_HLL_M)
+            .select(F.col("id").cast("int").alias("bucket"))
+            .join(regs, "bucket", "left").na.fill({"m": 0})
+            .select(F.lit(0).alias("k"), "bucket", "m"))
+    return _hll_fold_spark(grid, "k").select("raw_est")
