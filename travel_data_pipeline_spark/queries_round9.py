@@ -408,3 +408,343 @@ def substring_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
                     F.round(F.col("dup_grams")
                             / F.col("n_grams").cast("double"), 6)
                      .alias("dup_share")))
+
+
+# ---------------------------------------------------------------------------
+# Embedding-level (semantic) contamination audit — for every held-out
+# eval vector, the nearest TRAIN vector by exact cosine: the
+# embedding sibling of contamination_ngram_overlap /
+# contamination_bloom_prefilter (surface-form n-grams miss paraphrased
+# leakage; embeddings catch it).
+#
+# Scale shape: the eval set is a fixed bounded sample — it broadcasts,
+# the train corpus streams (one scan, no shuffle until the per-query
+# top-1). This brute-force pass is the MEASUREMENT baseline, exactly
+# like ivf_recall_at_k's ground-truth stage; the production path at
+# 100 TB is the IVF probe (embedding_ivf_topk) this audit calibrates.
+# ---------------------------------------------------------------------------
+
+_CONTAM_EVAL_N = 25     # eval slice: vec_id < 25 at every SF
+_CONTAM_TAU = 0.30      # synthetic corpus: p99 eval-train cosine ~0.29
+
+_CONTAM_COS = ("ROUND(list_dot_product(q.v, t.v) / "
+               "(sqrt(list_dot_product(q.v, q.v)) * "
+               "sqrt(list_dot_product(t.v, t.v))), 6)")
+
+
+@register("semantic_contamination_audit", f"""
+WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+           FROM embeddings),
+q AS (SELECT vec_id AS query_id, v FROM v
+      WHERE vec_id < {_CONTAM_EVAL_N}),
+t AS (SELECT vec_id, v FROM v WHERE vec_id >= {_CONTAM_EVAL_N}),
+scored AS (
+    SELECT q.query_id, t.vec_id AS train_id, {_CONTAM_COS} AS cos,
+           ROW_NUMBER() OVER (PARTITION BY q.query_id
+               ORDER BY {_CONTAM_COS} DESC, t.vec_id ASC) AS rnk
+    FROM q CROSS JOIN t
+)
+SELECT query_id, train_id AS nearest_train_id, cos AS max_cos,
+       CAST(floor(cos * 10) AS INT) AS band,
+       cos >= {_CONTAM_TAU} AS contaminated
+FROM scored WHERE rnk = 1
+""")
+def semantic_contamination_audit(spark: SparkSession,
+                                 sf_dir: str) -> DataFrame:
+    """Nearest-train-neighbor cosine per eval vector, banded into 0.1
+    similarity bands with a contamination flag at tau=0.30 (the
+    paraphrase-leakage sibling of the n-gram contamination queries).
+    Ties break on train id; cosine is 6-dp rounded BEFORE ranking on
+    both sides."""
+    from travel_data_pipeline_spark.operators import similarity
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    ev = emb.filter(F.col("vec_id") < _CONTAM_EVAL_N).select(
+        F.col("vec_id").alias("query_id"), "embedding")
+    train = emb.filter(F.col("vec_id") >= _CONTAM_EVAL_N)
+    top1 = similarity.brute_force_topk(train, ev, k=1)
+    return top1.select(
+        "query_id", F.col("neighbor_id").alias("nearest_train_id"),
+        F.col("cosine_sim").alias("max_cos"),
+        F.floor(F.col("cosine_sim") * 10).cast("int").alias("band"),
+        (F.col("cosine_sim") >= _CONTAM_TAU).alias("contaminated"))
+
+
+# ---------------------------------------------------------------------------
+# k-NN label-noise audit (confident-learning shape): for a hash-free
+# deterministic 10% audit slice, the share of each point's 5 nearest
+# neighbors that carry a DIFFERENT label — points whose neighborhoods
+# overwhelmingly disagree are the mislabeled-candidate queue.
+#
+# Scale shape: the audit slice broadcasts (fixed fraction of a FIXED
+# labeled subset in practice), the corpus streams once; per-query
+# top-k is a partitioned WindowGroupLimit. The 100 TB path swaps the
+# brute-force scan for the IVF probe this repo already certifies
+# (ivf_recall_at_k).
+# ---------------------------------------------------------------------------
+
+_KNN_K = 5
+_KNN_SUSPECT = 4  # >= 4 of 5 neighbors disagree -> suspect
+
+_KNN_COS = ("ROUND(list_dot_product(q.v, n.v) / "
+            "(sqrt(list_dot_product(q.v, q.v)) * "
+            "sqrt(list_dot_product(n.v, n.v))), 6)")
+
+
+@register("knn_label_noise", f"""
+WITH v AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v
+           FROM embeddings),
+q AS (SELECT vec_id AS query_id, label AS own_label, v FROM v
+      WHERE vec_id % 10 = 0),
+topk AS (
+    SELECT query_id, own_label, n_label FROM (
+        SELECT q.query_id, q.own_label, n.label AS n_label,
+               ROW_NUMBER() OVER (PARTITION BY q.query_id
+                   ORDER BY {_KNN_COS} DESC, n.vec_id ASC) AS rnk
+        FROM q CROSS JOIN v n WHERE n.vec_id <> q.query_id
+    ) WHERE rnk <= {_KNN_K}
+),
+per_q AS (
+    SELECT query_id, own_label,
+           SUM(CASE WHEN n_label <> own_label THEN 1 ELSE 0 END)
+               AS n_disagree
+    FROM topk GROUP BY query_id, own_label
+)
+SELECT own_label AS label, CAST(count(*) AS BIGINT) AS n_audited,
+       CAST(SUM(n_disagree) AS BIGINT) AS n_disagree,
+       {round_sql(f"SUM(n_disagree)"
+                  f" / (CAST(count(*) AS DOUBLE) * {_KNN_K})")}
+           AS mean_disagree,
+       CAST(SUM(CASE WHEN n_disagree >= {_KNN_SUSPECT} THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_suspect
+FROM per_q GROUP BY own_label
+""")
+def knn_label_noise(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label k-NN disagreement over a deterministic 10% audit
+    slice: mean share of 5-NN with a different label + the count of
+    suspect points (>= 4/5 disagree)."""
+    from travel_data_pipeline_spark.operators import similarity
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    sample = emb.filter(F.col("vec_id") % 10 == 0).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("label").alias("own_label"), "embedding")
+    topk = similarity.brute_force_topk(
+        emb, sample.select("query_id", "embedding"), k=_KNN_K)
+    labeled = (topk
+               .join(emb.select(F.col("vec_id").alias("neighbor_id"),
+                                F.col("label").alias("n_label")),
+                     "neighbor_id")
+               .join(F.broadcast(sample.select("query_id", "own_label")),
+                     "query_id"))
+    per_q = labeled.groupBy("query_id", "own_label").agg(
+        F.sum(F.when(F.col("n_label") != F.col("own_label"), 1)
+              .otherwise(0)).alias("n_disagree"))
+    return (per_q.groupBy(F.col("own_label").alias("label"))
+            .agg(F.count("*").cast("long").alias("n_audited"),
+                 F.sum("n_disagree").cast("long").alias("n_disagree"),
+                 F.round(F.sum("n_disagree")
+                         / (F.count("*").cast("double") * _KNN_K), 6)
+                  .alias("mean_disagree"),
+                 F.sum(F.when(F.col("n_disagree") >= _KNN_SUSPECT, 1)
+                       .otherwise(0)).cast("long").alias("n_suspect")))
+
+
+# ---------------------------------------------------------------------------
+# Semantic-dedup threshold sensitivity sweep — dedup rate vs cosine
+# threshold over ONE shared sign-LSH candidate relation: the
+# calibration curve a curator reads before picking tau (the SemDeDup
+# sibling of classifier_threshold_sweep; the MinHash path got
+# lsh_scurve_audit, the embedding path gets this).
+#
+# Scale shape: candidates are banded-bucket pairs (capped buckets, no
+# self-join explosion) generated ONCE; the 4-threshold grid multiplies
+# only the bounded pair relation. At 100 TB the candidate count is
+# governed by MAX_BUCKET exactly like every other LSH query here.
+# ---------------------------------------------------------------------------
+
+_SWEEP_TAUS = (0.10, 0.20, 0.30, 0.40)
+_SWEEP_BANDS = 2
+_SWEEP_MAX_BUCKET = 1000
+
+
+def _sweep_oracle() -> str:
+    from travel_data_pipeline_spark.operators import similarity
+
+    planes = similarity.random_planes(16, 64)
+    band_bits = 16 // _SWEEP_BANDS
+    mask = (1 << band_bits) - 1
+    plane_lits = ["[" + ", ".join(repr(x) for x in p) + "]"
+                  for p in planes]
+    sig = " + ".join(
+        f"(CASE WHEN list_dot_product(v, {pl}) >= 0"
+        f" THEN {1 << i} ELSE 0 END)"
+        for i, pl in enumerate(plane_lits))
+    band_rows = "\nUNION ALL\n".join(
+        f"SELECT vec_id, v, {b} AS band_idx,"
+        f" (sig >> {b * band_bits}) & {mask} AS band_key FROM sigged"
+        for b in range(_SWEEP_BANDS))
+    taus = ", ".join(f"({t!r})" for t in _SWEEP_TAUS)
+    return f"""
+WITH base AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+              FROM embeddings),
+sigged AS (SELECT vec_id, v, CAST({sig} AS BIGINT) AS sig FROM base),
+banded AS ({band_rows}),
+bcap AS (
+    SELECT * EXCLUDE (_bsz) FROM (
+        SELECT *, COUNT(*) OVER (PARTITION BY band_idx, band_key)
+            AS _bsz FROM banded)
+    WHERE _bsz <= {_SWEEP_MAX_BUCKET}
+),
+pairs AS (
+    SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b,
+           ROUND(list_dot_product(a.v, b.v)
+                 / (sqrt(list_dot_product(a.v, a.v))
+                    * sqrt(list_dot_product(b.v, b.v))), 6) AS cos
+    FROM bcap a JOIN bcap b
+      ON a.band_idx = b.band_idx AND a.band_key = b.band_key
+     AND a.vec_id < b.vec_id
+),
+grid AS (SELECT threshold FROM (VALUES {taus}) g(threshold)),
+tot AS (SELECT count(*) AS n_total FROM base),
+hits AS (
+    SELECT g.threshold, count(*) AS n_pairs,
+           COUNT(DISTINCT p.vec_b) AS n_dropped
+    FROM pairs p JOIN grid g ON p.cos >= g.threshold
+    GROUP BY g.threshold
+)
+SELECT g.threshold, CAST(COALESCE(h.n_pairs, 0) AS BIGINT) AS n_pairs,
+       CAST(COALESCE(h.n_dropped, 0) AS BIGINT) AS n_docs_dropped,
+       {round_sql("COALESCE(h.n_dropped, 0)"
+                  " / CAST(t.n_total AS DOUBLE)")} AS removal_share
+FROM grid g LEFT JOIN hits h ON h.threshold = g.threshold
+CROSS JOIN tot t
+"""
+
+
+@register("cosine_threshold_sweep", _sweep_oracle)
+def cosine_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup rate vs cosine threshold over one shared sign-LSH
+    candidate relation (dropped doc = pair's larger id, SemDeDup
+    keep-earliest convention)."""
+    from travel_data_pipeline_spark.operators import similarity
+
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>")
+        .alias("embedding"))
+    planes = similarity.random_planes(16, 64)
+    pairs = similarity.cosine_near_dup_lsh(
+        emb, planes, bands=_SWEEP_BANDS, threshold=-1.0,
+        max_bucket=_SWEEP_MAX_BUCKET)
+    grid = spark.createDataFrame([(t,) for t in _SWEEP_TAUS],
+                                 "threshold double")
+    tot = emb.agg(F.count("*").alias("n_total"))
+    hits = (pairs.join(F.broadcast(grid),
+                       F.col("cosine_sim") >= F.col("threshold"))
+            .groupBy("threshold")
+            .agg(F.count("*").alias("n_pairs"),
+                 F.countDistinct("vec_b").alias("n_dropped")))
+    return (grid.join(hits, "threshold", "left")
+            .crossJoin(F.broadcast(tot))
+            .select("threshold",
+                    F.coalesce("n_pairs", F.lit(0)).cast("long")
+                     .alias("n_pairs"),
+                    F.coalesce("n_dropped", F.lit(0)).cast("long")
+                     .alias("n_docs_dropped"),
+                    F.round(F.coalesce("n_dropped", F.lit(0))
+                            / F.col("n_total").cast("double"), 6)
+                     .alias("removal_share")))
+
+
+# ---------------------------------------------------------------------------
+# Quantile normalization table — maps each source's length ventiles
+# onto the GLOBAL length ventiles (the cross-source score-equating
+# step before per-source quality cutoffs can share one threshold).
+# Rank-based with doc_id tie-break on both sides, so the mapping is a
+# total order — no percentile interpolation ambiguity.
+#
+# Scale shape: the global rank is two_phase_ordered (approx-quantile
+# buckets + broadcast offsets — no single-partition sort); per-source
+# ranks are partitioned windows; output is bounded |sources| × 20.
+# ---------------------------------------------------------------------------
+
+_QN_BINS = 20
+
+
+@register("quantile_normalize_lengths", f"""
+WITH ranked AS (
+    SELECT doc_id, source, n_chars,
+           ROW_NUMBER() OVER (ORDER BY n_chars, doc_id) AS grank,
+           ROW_NUMBER() OVER (PARTITION BY source
+               ORDER BY n_chars, doc_id) AS srank,
+           COUNT(*) OVER () AS n_total,
+           COUNT(*) OVER (PARTITION BY source) AS n_source
+    FROM documents
+),
+binned AS (
+    SELECT source, n_chars,
+           CAST(((grank - 1) * {_QN_BINS}) // n_total AS INT) AS gbin,
+           CAST(((srank - 1) * {_QN_BINS}) // n_source AS INT) AS sbin
+    FROM ranked
+),
+g AS (
+    SELECT gbin AS bin, SUM(CAST(n_chars AS DECIMAL(38,0))) AS gs,
+           count(*) AS gn
+    FROM binned GROUP BY gbin
+),
+s AS (
+    SELECT source, sbin AS bin, count(*) AS n_docs,
+           SUM(CAST(n_chars AS DECIMAL(38,0))) AS ss
+    FROM binned GROUP BY source, sbin
+)
+SELECT s.source, CAST(s.bin AS INT) AS bin,
+       CAST(s.n_docs AS BIGINT) AS n_docs,
+       {round_sql("CAST(ss AS DOUBLE) / s.n_docs")} AS mean_len_source,
+       {round_sql("CAST(gs AS DOUBLE) / gn")} AS mean_len_global,
+       {round_sql("CAST(gs AS DOUBLE) / gn"
+                  " - CAST(ss AS DOUBLE) / s.n_docs")} + 0.0 AS shift
+FROM s JOIN g ON g.bin = s.bin
+""")
+def quantile_normalize_lengths(spark: SparkSession,
+                               sf_dir: str) -> DataFrame:
+    """Per-(source, ventile) normalization table: the source-bin mean
+    length, the global-bin mean it would be equated to, and the shift.
+    Global rank rides two_phase_ordered with a doc_id fractional
+    tie-break (n_chars is tie-heavy; integer gaps >= 1 dominate the
+    fraction, so the combined key stays monotone along the order)."""
+    from travel_data_pipeline_spark.operators.windows import (
+        two_phase_ordered,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "source", "n_chars")
+    ranked = two_phase_ordered(
+        docs, [F.col("n_chars").asc(), F.col("doc_id").asc()],
+        F.col("n_chars").cast("double")
+        + F.col("doc_id").cast("double") / F.lit(float(2 ** 40)),
+        rank_col="grank")
+    n_total = docs.agg(F.count("*").alias("n_total"))
+    ws = Window.partitionBy("source").orderBy("n_chars", "doc_id")
+    src_n = docs.groupBy("source").agg(F.count("*").alias("n_source"))
+    binned = (ranked.crossJoin(F.broadcast(n_total))
+              .join(F.broadcast(src_n), "source")
+              .withColumn("srank", F.row_number().over(ws))
+              .select("source", "n_chars",
+                      ((F.col("grank") - 1) * _QN_BINS
+                       / F.col("n_total")).cast("int").alias("gbin"),
+                      ((F.col("srank") - 1) * _QN_BINS
+                       / F.col("n_source")).cast("int").alias("sbin")))
+    g = binned.groupBy(F.col("gbin").alias("bin")).agg(
+        F.sum(F.col("n_chars").cast("decimal(38,0)")).alias("gs"),
+        F.count("*").alias("gn"))
+    s = binned.groupBy("source", F.col("sbin").alias("bin")).agg(
+        F.count("*").alias("n_docs"),
+        F.sum(F.col("n_chars").cast("decimal(38,0)")).alias("ss"))
+    mean_s = F.col("ss").cast("double") / F.col("n_docs")
+    mean_g = F.col("gs").cast("double") / F.col("gn")
+    return (s.join(F.broadcast(g), "bin")
+            .select("source", F.col("bin").cast("int").alias("bin"),
+                    F.col("n_docs").cast("long").alias("n_docs"),
+                    F.round(mean_s, 6).alias("mean_len_source"),
+                    F.round(mean_g, 6).alias("mean_len_global"),
+                    (F.round(mean_g - mean_s, 6) + 0.0).alias("shift")))
