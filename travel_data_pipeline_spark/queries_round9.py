@@ -748,3 +748,295 @@ def quantile_normalize_lengths(spark: SparkSession,
                     F.round(mean_s, 6).alias("mean_len_source"),
                     F.round(mean_g, 6).alias("mean_len_global"),
                     (F.round(mean_g - mean_s, 6) + 0.0).alias("shift")))
+
+
+# ---------------------------------------------------------------------------
+# Median-of-means robust mean — heavy-tail-safe estimator of the event
+# value per type: 32 md5 buckets, LOWER median per bucket (a selected
+# data value — no interpolation arithmetic), decimal-summed bucket
+# medians vs the plain mean. The robust-statistics audit for metric
+# columns whose plain mean one hot user can drag.
+#
+# Exactness: the only float reductions are DECIMAL sums (bucket
+# medians rounded to 6 dp first); medians are row_number selections.
+# Scale shape: per-(type, bucket) partitioned windows — 32× the type
+# parallelism, no global sort; the medians relation is bounded
+# (|types| × 32).
+# ---------------------------------------------------------------------------
+
+_MOM_BUCKETS = 32
+
+_mom_bucket = md5_long_sql("'mom:' || CAST(event_id AS VARCHAR)")
+
+
+@register("median_of_means_value", f"""
+WITH b AS (
+    SELECT event_type, value,
+           {_mom_bucket} % {_MOM_BUCKETS} AS bkt,
+           event_id
+    FROM events
+),
+r AS (
+    SELECT event_type, bkt, value,
+           ROW_NUMBER() OVER (PARTITION BY event_type, bkt
+               ORDER BY value, event_id) AS rn,
+           COUNT(*) OVER (PARTITION BY event_type, bkt) AS n
+    FROM b
+),
+med AS (
+    SELECT event_type, bkt,
+           CAST(round(value, 6) AS DECIMAL(18,6)) AS med6
+    FROM r WHERE rn = (n + 1) // 2
+),
+agg AS (
+    SELECT event_type, count(*) AS n_buckets,
+           SUM(med6) AS sum_med
+    FROM med GROUP BY event_type
+),
+tot AS (
+    SELECT event_type, count(*) AS n_events,
+           SUM(CAST(value AS DECIMAL(18,6))) AS sum_v
+    FROM events GROUP BY event_type
+)
+SELECT t.event_type, CAST(t.n_events AS BIGINT) AS n_events,
+       CAST(a.n_buckets AS BIGINT) AS n_buckets,
+       {round_sql("CAST(a.sum_med AS DOUBLE) / a.n_buckets")} AS mom_mean,
+       {round_sql("CAST(t.sum_v AS DOUBLE) / t.n_events")} AS plain_mean,
+       {round_sql("(CAST(a.sum_med AS DOUBLE) / a.n_buckets"
+                  " - CAST(t.sum_v AS DOUBLE) / t.n_events)"
+                  " / (CAST(t.sum_v AS DOUBLE) / t.n_events)")} + 0.0
+           AS rel_diff
+FROM tot t JOIN agg a ON a.event_type = t.event_type
+""")
+def median_of_means_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Median-of-means vs plain mean of event value per type (lower
+    median per md5 bucket; value is rounded to 6 dp before the decimal
+    fold — the raw doubles never meet a float SUM)."""
+    events = load_table(spark, sf_dir, "events")
+    b = events.select(
+        "event_type", "value", "event_id",
+        (md5_long(F.concat(F.lit("mom:"),
+                           F.col("event_id").cast("string")))
+         % _MOM_BUCKETS).alias("bkt"))
+    wpart = Window.partitionBy("event_type", "bkt")
+    r = (b.withColumn("rn", F.row_number().over(
+            wpart.orderBy("value", "event_id")))
+         .withColumn("n", F.count("*").over(wpart)))
+    med = (r.filter(F.col("rn") == F.floor((F.col("n") + 1) / 2))
+           .select("event_type",
+                   F.round("value", 6).cast("decimal(18,6)")
+                    .alias("med6")))
+    agg = med.groupBy("event_type").agg(
+        F.count("*").alias("n_buckets"), F.sum("med6").alias("sum_med"))
+    tot = events.groupBy("event_type").agg(
+        F.count("*").alias("n_events"),
+        F.sum(F.col("value").cast("decimal(18,6)")).alias("sum_v"))
+    mom = F.col("sum_med").cast("double") / F.col("n_buckets")
+    plain = F.col("sum_v").cast("double") / F.col("n_events")
+    return (tot.join(agg, "event_type")
+            .select("event_type",
+                    F.col("n_events").cast("long").alias("n_events"),
+                    F.col("n_buckets").cast("long").alias("n_buckets"),
+                    F.round(mom, 6).alias("mom_mean"),
+                    F.round(plain, 6).alias("plain_mean"),
+                    (F.round((mom - plain) / plain, 6) + 0.0)
+                     .alias("rel_diff")))
+
+
+# ---------------------------------------------------------------------------
+# Content-defined chunking + chunk-level dedup accounting — rolling
+# boundary on the token hash (window-1 CDC: a token whose md5 lands in
+# the boundary residue class ends its chunk, expected chunk ≈ 4
+# tokens), chunk identity = md5 of the space-joined chunk text, then
+# corpus-wide duplicate-chunk accounting per source: the
+# storage/transfer dedup readout (identical chunks across documents
+# are the bytes a CDC store would never write twice).
+#
+# Scale shape: chunk assembly is per-(doc, chunk) — partitioned
+# windows and a grouped sort_array fold over ≤ chunk-sized arrays;
+# duplicate detection groups 32-byte chunk digests, never chunk text.
+# ---------------------------------------------------------------------------
+
+_CDC_DIV = 4  # boundary when md5 % 4 == 0 -> expected 4-token chunks
+
+_cdc_flag_sql = (f"CASE WHEN {md5_long_sql(chr(39) + 'cdc:' + chr(39) + ' || tok')}"
+                 f" % {_CDC_DIV} = 0 THEN 1 ELSE 0 END")
+
+
+@register("cdc_chunk_dedup", f"""
+WITH toked AS (
+    SELECT doc_id, source,
+           list_filter(string_split(
+               trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' '),
+               x -> x <> '') AS words
+    FROM documents
+),
+toks AS (
+    SELECT t.doc_id, t.source, i.i AS pos, t.words[i.i] AS tok
+    FROM toked t, unnest(generate_series(1, len(t.words))) AS i(i)
+),
+flagged AS (
+    SELECT doc_id, source, pos, tok,
+           {_cdc_flag_sql} AS is_boundary
+    FROM toks
+),
+chunked AS (
+    SELECT doc_id, source, pos, tok,
+           SUM(is_boundary) OVER (PARTITION BY doc_id ORDER BY pos
+               ROWS UNBOUNDED PRECEDING) - is_boundary AS chunk_id
+    FROM flagged
+),
+chunks AS (
+    SELECT doc_id, source, chunk_id, count(*) AS n_toks,
+           md5(array_to_string(list(tok ORDER BY pos), ' ')) AS ck
+    FROM chunked GROUP BY doc_id, source, chunk_id
+),
+dupk AS (SELECT ck FROM chunks GROUP BY ck HAVING count(*) >= 2)
+SELECT c.source, CAST(count(*) AS BIGINT) AS n_chunks,
+       CAST(COUNT(DISTINCT c.ck) AS BIGINT) AS n_unique_keys,
+       CAST(SUM(CASE WHEN d.ck IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_dup_chunks,
+       {round_sql("SUM(c.n_toks) / CAST(count(*) AS DOUBLE)")}
+           AS mean_chunk_tokens,
+       {round_sql("SUM(CASE WHEN d.ck IS NOT NULL THEN 1 ELSE 0 END)"
+                  " / CAST(count(*) AS DOUBLE)")} AS dup_share
+FROM chunks c LEFT JOIN dupk d ON d.ck = c.ck
+GROUP BY c.source
+""")
+def cdc_chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source CDC chunk accounting: chunk instances, distinct
+    chunk keys, instances whose key repeats ANYWHERE in the corpus
+    (within-doc repeats included — they dedup in storage too), mean
+    chunk length, duplicate share."""
+    from travel_data_pipeline_spark.operators import text as text_ops
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = (docs.select(
+        "doc_id", "source",
+        F.posexplode(text_ops.token_array(F.col("text")))
+         .alias("p0", "tok"))
+        .select("doc_id", "source", (F.col("p0") + 1).alias("pos"), "tok"))
+    flag = F.when(
+        md5_long(F.concat(F.lit("cdc:"), F.col("tok"))) % _CDC_DIV == 0,
+        1).otherwise(0)
+    w = (Window.partitionBy("doc_id").orderBy("pos")
+         .rowsBetween(Window.unboundedPreceding, 0))
+    chunked = toks.withColumn(
+        "chunk_id", F.sum(flag).over(w) - flag)
+    chunks = (chunked.groupBy("doc_id", "source", "chunk_id")
+              .agg(F.count("*").alias("n_toks"),
+                   F.md5(F.array_join(
+                       F.transform(
+                           F.array_sort(F.collect_list(
+                               F.struct(F.col("pos"), F.col("tok")))),
+                           lambda s: s.tok),
+                       " ")).alias("ck")))
+    dupk = (chunks.groupBy("ck").agg(F.count("*").alias("kc"))
+            .filter(F.col("kc") >= 2).select("ck"))
+    marked = chunks.join(dupk.withColumn("is_dup", F.lit(1)), "ck", "left")
+    return (marked.groupBy("source")
+            .agg(F.count("*").cast("long").alias("n_chunks"),
+                 F.countDistinct("ck").cast("long")
+                  .alias("n_unique_keys"),
+                 F.sum(F.coalesce("is_dup", F.lit(0))).cast("long")
+                  .alias("n_dup_chunks"),
+                 F.round(F.sum("n_toks")
+                         / F.count("*").cast("double"), 6)
+                  .alias("mean_chunk_tokens"),
+                 F.round(F.sum(F.coalesce("is_dup", F.lit(0)))
+                         / F.count("*").cast("double"), 6)
+                  .alias("dup_share")))
+
+
+# ---------------------------------------------------------------------------
+# Near-duplicate source-pair matrix — which SOURCES copy from each
+# other: MinHash-LSH candidate pairs on the raw corpus (no planted
+# augmentation), exact-Jaccard verified at tau=0.3, rolled up to
+# canonical (source_a <= source_b) cells. The cross-source
+# contamination readout dedup_rate_by_source (per-source exact rate)
+# cannot see.
+#
+# Semantics note: pairs are LSH-RECALLED pairs — with 4 bands × 2
+# rows, a jaccard-0.3 pair surfaces with P ≈ 0.31, a 0.9 pair with
+# P ≈ 0.99; both engines mirror the identical band construction, so
+# the recall set is bit-identical. Scale shape: identical to
+# dedup_minhash_lsh (capped banded buckets, digest-keyed shuffles).
+# ---------------------------------------------------------------------------
+
+_SRC_PAIR_TAU = 0.3
+
+
+def _src_pair_oracle() -> str:
+    from travel_data_pipeline_spark.queries_northstar import (
+        _banded_sql,
+        _capped_sql,
+        _NORMED,
+        _PAIRS_CTE,
+        _SHINGLED,
+        _SIGS,
+    )
+    return f"""
+WITH docs AS (SELECT doc_id, text FROM documents),
+{_NORMED.strip()},
+{_SHINGLED.strip()},
+{_SIGS.strip()},
+{_banded_sql()},
+{_capped_sql('banded', 'band_idx, band_key', 'bcap')},
+{_PAIRS_CTE},
+sets AS (SELECT DISTINCT doc_id, shingle FROM shingled),
+sizes AS (SELECT doc_id, count(*) AS n FROM sets GROUP BY doc_id),
+inter AS (
+    SELECT p.doc_a, p.doc_b, count(*) AS i
+    FROM pairs p JOIN sets a ON a.doc_id = p.doc_a
+    JOIN sets b ON b.doc_id = p.doc_b AND b.shingle = a.shingle
+    GROUP BY p.doc_a, p.doc_b
+),
+jac AS (
+    SELECT doc_a, doc_b,
+           ROUND(i / CAST(sa.n + sb.n - i AS DOUBLE), 6) AS jaccard
+    FROM inter JOIN sizes sa ON sa.doc_id = doc_a
+    JOIN sizes sb ON sb.doc_id = doc_b
+),
+srcd AS (
+    SELECT LEAST(da.source, db.source) AS source_a,
+           GREATEST(da.source, db.source) AS source_b,
+           j.jaccard
+    FROM jac j JOIN documents da ON da.doc_id = j.doc_a
+    JOIN documents db ON db.doc_id = j.doc_b
+    WHERE j.jaccard >= {_SRC_PAIR_TAU}
+)
+SELECT source_a, source_b, CAST(count(*) AS BIGINT) AS n_pairs,
+       MAX(jaccard) AS max_jaccard
+FROM srcd GROUP BY source_a, source_b
+"""
+
+
+@register("neardup_source_matrix", _src_pair_oracle)
+def neardup_source_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Canonical (source_a, source_b) near-dup pair counts at exact
+    jaccard >= 0.3 over LSH-recalled candidates (raw corpus)."""
+    from travel_data_pipeline_spark.operators import dedup
+    from travel_data_pipeline_spark.queries_northstar import (
+        BANDS,
+        MAX_BUCKET,
+        NUM_HASHES,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    sigs = dedup.minhash_signatures(docs.select("doc_id", "text"),
+                                    num_hashes=NUM_HASHES)
+    cands = dedup.lsh_candidate_pairs(sigs, num_hashes=NUM_HASHES,
+                                      bands=BANDS, max_bucket=MAX_BUCKET)
+    jac = dedup.jaccard_pairs(docs, cands, threshold=_SRC_PAIR_TAU)
+    src = docs.select("doc_id", "source")
+    srcd = (jac
+            .join(src.withColumnsRenamed(
+                {"doc_id": "doc_a", "source": "sa"}), "doc_a")
+            .join(src.withColumnsRenamed(
+                {"doc_id": "doc_b", "source": "sb"}), "doc_b")
+            .select(F.least("sa", "sb").alias("source_a"),
+                    F.greatest("sa", "sb").alias("source_b"),
+                    "jaccard"))
+    return (srcd.groupBy("source_a", "source_b")
+            .agg(F.count("*").cast("long").alias("n_pairs"),
+                 F.max("jaccard").alias("max_jaccard")))
