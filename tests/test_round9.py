@@ -1,0 +1,326 @@
+"""Round-9 candidate queries (authored round 7) — invariants and
+sequential python models the oracle comparison can't see."""
+
+from __future__ import annotations
+
+import hashlib
+import math
+import re
+from collections import defaultdict
+from decimal import Decimal, ROUND_HALF_UP
+
+from pyspark.sql import functions as F
+
+
+def _md5_long(s: str) -> int:
+    return int(hashlib.md5(s.encode()).hexdigest()[:15], 16)
+
+
+def _norm_words(text: str) -> list[str]:
+    return [w for w in re.sub(r"\s+", " ", text.lower()).strip().split(" ")
+            if w != ""]
+
+
+def _round6(x: float) -> float:
+    # Spark's HALF_UP on the shortest decimal rendering
+    return float(Decimal(repr(x)).quantize(Decimal("0.000001"),
+                                           rounding=ROUND_HALF_UP))
+
+
+# ---------------------------------------------------------------------------
+# ab_sprt_curve
+# ---------------------------------------------------------------------------
+
+def test_sprt_matches_python_model(spark, sf_smoke):
+    from travel_data_pipeline_spark.queries_round9 import (
+        _SPRT_LA,
+        _SPRT_LB,
+        _SPRT_LOWER,
+        _SPRT_UPPER,
+        ab_sprt_curve,
+    )
+
+    rows = sorted(ab_sprt_curve(spark, sf_smoke).collect(),
+                  key=lambda r: r.day)
+    assert rows
+    cn = cx = 0
+    for r in rows:
+        cn += r.n_trials
+        cx += r.n_success
+        assert (r.cum_n, r.cum_x) == (cn, cx)
+        assert 0 <= r.n_success <= r.n_trials
+        llr = float(cx) * _SPRT_LA + float(cn - cx) * _SPRT_LB
+        assert r.cum_llr == _round6(llr) + 0.0
+        want = ("accept_h1" if llr >= _SPRT_UPPER
+                else "accept_h0" if llr <= _SPRT_LOWER else "continue")
+        assert r.decision == want
+
+
+def test_sprt_boundaries_are_wald():
+    from travel_data_pipeline_spark.queries_round9 import (
+        _SPRT_LOWER,
+        _SPRT_UPPER,
+    )
+
+    assert _SPRT_UPPER == math.log(19.0)
+    assert _SPRT_LOWER == -_SPRT_UPPER
+
+
+# ---------------------------------------------------------------------------
+# substring_dup_spans
+# ---------------------------------------------------------------------------
+
+def test_substring_spans_match_python_model(spark, sf_smoke):
+    from travel_data_pipeline_spark.queries_round9 import (
+        _SPAN_N,
+        substring_dup_spans,
+    )
+    from travel_data_pipeline_spark.sources.readers import load_table
+
+    docs = {r.doc_id: r.text
+            for r in load_table(spark, sf_smoke, "documents")
+            .select("doc_id", "text").collect()}
+    grams: dict[int, list[str]] = {}
+    for did, text in docs.items():
+        # word_shingles splits WITHOUT dropping empties (normalized
+        # text has none) — mirror that
+        words = re.sub(r"\s+", " ", text.lower()).strip().split(" ")
+        grams[did] = [" ".join(words[i:i + _SPAN_N])
+                      for i in range(len(words) - _SPAN_N + 1)]
+    by_gram: dict[str, set[int]] = defaultdict(set)
+    for did, gs in grams.items():
+        for g in gs:
+            by_gram[g].add(did)
+    expected = {}
+    for did, gs in grams.items():
+        dup_pos = [i + 1 for i, g in enumerate(gs)
+                   if len(by_gram[g]) >= 2]
+        if not dup_pos:
+            continue
+        spans, cur = [], 1
+        for a, b in zip(dup_pos, dup_pos[1:]):
+            if b == a + 1:
+                cur += 1
+            else:
+                spans.append(cur)
+                cur = 1
+        spans.append(cur)
+        expected[did] = (len(gs), sum(spans), len(spans), max(spans))
+
+    got = {r.doc_id: (r.n_grams, r.dup_grams, r.n_spans,
+                      r.max_span_grams)
+           for r in substring_dup_spans(spark, sf_smoke).collect()}
+    assert got == expected
+    assert expected, "corpus has no duplicated 5-gram — degenerate"
+
+
+# ---------------------------------------------------------------------------
+# cdc_chunk_dedup
+# ---------------------------------------------------------------------------
+
+def test_cdc_chunks_match_python_model(spark, sf_smoke):
+    from travel_data_pipeline_spark.queries_round9 import (
+        _CDC_DIV,
+        cdc_chunk_dedup,
+    )
+    from travel_data_pipeline_spark.sources.readers import load_table
+
+    rows = (load_table(spark, sf_smoke, "documents")
+            .select("doc_id", "source", "text").collect())
+    chunk_keys: list[tuple[str, str, int]] = []  # (source, key, n_toks)
+    for r in rows:
+        toks = _norm_words(r.text)
+        cur: list[str] = []
+        for t in toks:
+            cur.append(t)
+            if _md5_long("cdc:" + t) % _CDC_DIV == 0:
+                chunk_keys.append((r.source, " ".join(cur), len(cur)))
+                cur = []
+        if cur:
+            chunk_keys.append((r.source, " ".join(cur), len(cur)))
+    freq: dict[str, int] = defaultdict(int)
+    for _, key, _ in chunk_keys:
+        freq[key] += 1
+    expected: dict[str, tuple[int, int, int]] = {}
+    for src in {s for s, _, _ in chunk_keys}:
+        mine = [(k, n) for s, k, n in chunk_keys if s == src]
+        expected[src] = (len(mine), len({k for k, _ in mine}),
+                         sum(1 for k, _ in mine if freq[k] >= 2))
+
+    got = {r.source: (r.n_chunks, r.n_unique_keys, r.n_dup_chunks)
+           for r in cdc_chunk_dedup(spark, sf_smoke).collect()}
+    assert got == expected
+    assert any(d for _, _, d in expected.values()), \
+        "no duplicate chunks anywhere — degenerate corpus"
+
+
+# ---------------------------------------------------------------------------
+# median_of_means_value
+# ---------------------------------------------------------------------------
+
+def test_median_of_means_matches_python_model(spark, sf_smoke):
+    from travel_data_pipeline_spark.queries_round9 import (
+        _MOM_BUCKETS,
+        median_of_means_value,
+    )
+    from travel_data_pipeline_spark.sources.readers import load_table
+
+    events = (load_table(spark, sf_smoke, "events")
+              .select("event_type", "event_id", "value").collect())
+    buckets: dict[tuple[str, int], list[tuple[float, int]]] = defaultdict(list)
+    for r in events:
+        bkt = _md5_long(f"mom:{r.event_id}") % _MOM_BUCKETS
+        buckets[(r.event_type, bkt)].append((r.value, r.event_id))
+    med_sum: dict[str, Decimal] = defaultdict(Decimal)
+    med_cnt: dict[str, int] = defaultdict(int)
+    for (etype, _), vals in buckets.items():
+        vals.sort()
+        lower_med = vals[(len(vals) + 1) // 2 - 1][0]
+        med_sum[etype] += Decimal(repr(_round6(lower_med)))
+        med_cnt[etype] += 1
+
+    out = {r.event_type: r for r in
+           median_of_means_value(spark, sf_smoke).collect()}
+    assert set(out) == set(med_cnt)
+    for etype, r in out.items():
+        assert r.n_buckets == med_cnt[etype]
+        want = _round6(float(med_sum[etype]) / med_cnt[etype])
+        assert r.mom_mean == want, etype
+        lo = min(v for (t, _), vs in buckets.items() if t == etype
+                 for v, _ in vs)
+        hi = max(v for (t, _), vs in buckets.items() if t == etype
+                 for v, _ in vs)
+        assert lo <= r.mom_mean <= hi
+        assert abs(r.rel_diff) < 1.0
+
+
+# ---------------------------------------------------------------------------
+# cosine_threshold_sweep / semantic_contamination_audit / knn_label_noise
+# ---------------------------------------------------------------------------
+
+def test_threshold_sweep_monotone(spark, sf_smoke):
+    from travel_data_pipeline_spark.queries_round9 import (
+        _SWEEP_TAUS,
+        cosine_threshold_sweep,
+    )
+
+    rows = sorted(cosine_threshold_sweep(spark, sf_smoke).collect(),
+                  key=lambda r: r.threshold)
+    assert [r.threshold for r in rows] == sorted(_SWEEP_TAUS)
+    for a, b in zip(rows, rows[1:]):
+        assert a.n_pairs >= b.n_pairs
+        assert a.n_docs_dropped >= b.n_docs_dropped
+    assert rows[0].n_pairs > 0, "no candidate pair clears tau=0.1"
+    for r in rows:
+        assert r.n_docs_dropped <= r.n_pairs or r.n_pairs == 0
+        assert 0.0 <= r.removal_share <= 1.0
+
+
+def test_contamination_bands_consistent(spark, sf_smoke):
+    from travel_data_pipeline_spark.queries_round9 import (
+        _CONTAM_EVAL_N,
+        _CONTAM_TAU,
+        semantic_contamination_audit,
+    )
+
+    rows = semantic_contamination_audit(spark, sf_smoke).collect()
+    assert len(rows) == _CONTAM_EVAL_N
+    assert {r.query_id for r in rows} == set(range(_CONTAM_EVAL_N))
+    for r in rows:
+        assert r.nearest_train_id >= _CONTAM_EVAL_N
+        assert r.band == math.floor(r.max_cos * 10)
+        assert r.contaminated == (r.max_cos >= _CONTAM_TAU)
+
+
+def test_knn_label_noise_ranges(spark, sf_smoke):
+    from travel_data_pipeline_spark.queries_round9 import (
+        knn_label_noise,
+    )
+    from travel_data_pipeline_spark.sources.readers import load_table
+
+    emb = load_table(spark, sf_smoke, "embeddings")
+    n_sample = emb.filter(F.col("vec_id") % 10 == 0).count()
+    rows = knn_label_noise(spark, sf_smoke).collect()
+    assert sum(r.n_audited for r in rows) == n_sample
+    for r in rows:
+        assert 0.0 <= r.mean_disagree <= 1.0
+        assert 0 <= r.n_suspect <= r.n_audited
+        assert r.n_disagree <= 5 * r.n_audited
+
+
+# ---------------------------------------------------------------------------
+# quantile_normalize_lengths / neyman_allocation_plan /
+# neardup_source_matrix / fano_burstiness_by_type
+# ---------------------------------------------------------------------------
+
+def test_quantile_normalize_bins(spark, sf_smoke):
+    from travel_data_pipeline_spark.queries_round9 import (
+        _QN_BINS,
+        quantile_normalize_lengths,
+    )
+    from travel_data_pipeline_spark.sources.readers import load_table
+
+    n_docs = load_table(spark, sf_smoke, "documents").count()
+    rows = quantile_normalize_lengths(spark, sf_smoke).collect()
+    assert sum(r.n_docs for r in rows) == n_docs
+    # the global ventile means must agree across sources for one bin
+    by_bin: dict[int, set[float]] = defaultdict(set)
+    for r in rows:
+        assert 0 <= r.bin < _QN_BINS
+        by_bin[r.bin].add(r.mean_len_global)
+        assert r.shift == _round6(r.mean_len_global
+                                  - r.mean_len_source) + 0.0
+    assert all(len(v) == 1 for v in by_bin.values())
+
+
+def test_neyman_allocation_totals(spark, sf_smoke):
+    from travel_data_pipeline_spark.queries_round9 import (
+        _NEYMAN_BUDGET,
+        neyman_allocation_plan,
+    )
+
+    rows = neyman_allocation_plan(spark, sf_smoke).collect()
+    assert rows
+    assert sum(r.neyman_n for r in rows) <= _NEYMAN_BUDGET
+    assert sum(r.prop_n for r in rows) <= _NEYMAN_BUDGET
+    share = sum(r.neyman_share for r in rows)
+    assert abs(share - 1.0) < 1e-3
+    for r in rows:
+        assert r.sd_chars >= 0.0
+        assert r.neyman_n >= 0 and r.prop_n >= 0
+    # allocations must actually differ somewhere, else the plan
+    # measures nothing on this corpus
+    assert any(r.neyman_n != r.prop_n for r in rows)
+
+
+def test_neardup_source_matrix_canonical(spark, sf_smoke):
+    from travel_data_pipeline_spark.queries_round9 import (
+        _SRC_PAIR_TAU,
+        neardup_source_matrix,
+    )
+
+    rows = neardup_source_matrix(spark, sf_smoke).collect()
+    assert rows, "no near-dup pair at tau=0.3 — degenerate corpus"
+    for r in rows:
+        assert r.source_a <= r.source_b
+        assert r.n_pairs >= 1
+        assert r.max_jaccard >= _SRC_PAIR_TAU
+
+
+def test_fano_classification_consistent(spark, sf_smoke):
+    from travel_data_pipeline_spark.queries_round9 import (
+        fano_burstiness_by_type,
+    )
+
+    rows = fano_burstiness_by_type(spark, sf_smoke).collect()
+    n_days = {r.n_days for r in rows}
+    assert len(n_days) == 1  # every type sees the SAME global grid
+    for r in rows:
+        assert r.total_events > 0 and r.fano is not None
+        assert r.fano >= 0.0
+        # classification runs on the UNROUNDED fano; stay clear of the
+        # 6-dp rounding boundary when asserting from the rounded output
+        if r.fano >= 1.2 + 1e-6:
+            assert r.arrival_class == "bursty"
+        elif r.fano <= 0.9 - 1e-6:
+            assert r.arrival_class == "regular"
