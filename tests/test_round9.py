@@ -324,3 +324,66 @@ def test_fano_classification_consistent(spark, sf_smoke):
             assert r.arrival_class == "bursty"
         elif r.fano <= 0.9 - 1e-6:
             assert r.arrival_class == "regular"
+
+
+# ---------------------------------------------------------------------------
+# count_min_stream (the non-idempotent sketch twin)
+# ---------------------------------------------------------------------------
+
+def test_count_min_stream_matches_batch_and_replay_noop(spark, sf_smoke,
+                                                        tmp_path):
+    """Streamed CM cells over a 2-batch split are bit-equal to the
+    batch user_cm_cells over the union; wiping the checkpoint but
+    keeping its PATH (epochs restart at 0 in the SAME lineage) makes
+    every redelivered batch a strict no-op; probe estimates never
+    underestimate the exact counts."""
+    import os
+    import shutil
+
+    from travel_data_pipeline_spark.queries_round8 import user_cm_cells
+    from travel_data_pipeline_spark.sources import versioned
+    from travel_data_pipeline_spark.sources.readers import load_table
+    from travel_data_pipeline_spark.streaming import jobs
+
+    ev = load_table(spark, sf_smoke, "events").select("event_id", "user_id")
+    mid = ev.agg(F.expr("percentile_approx(event_id, 0.5)")).first()[0]
+    feed = tmp_path / "cmfeed"
+    feed.mkdir()
+    for i, part in enumerate([ev.filter(F.col("event_id") <= mid),
+                              ev.filter(F.col("event_id") > mid)]):
+        p = str(feed / f"b{i}.parquet")
+        part.toPandas().to_parquet(p)
+        os.utime(p, (1700000000 + i * 60, 1700000000 + i * 60))
+
+    state_p = str(tmp_path / "cmstate")
+    ckpt = str(tmp_path / "cmckpt")
+
+    def run() -> None:
+        stream = (spark.readStream.schema("event_id long, user_id long")
+                  .option("maxFilesPerTrigger", 1).parquet(str(feed)))
+        q = jobs.count_min_stream(stream, state_p, ckpt)
+        q.awaitTermination(180)
+
+    run()
+    got = {(r.seed, r.bucket): r.c
+           for r in versioned.read_table(spark, state_p)
+           .select("seed", "bucket", "c").collect()}
+    want = {(r.seed, r.bucket): r.c for r in user_cm_cells(ev).collect()}
+    assert got == want and want
+
+    # same-lineage replay: wipe the checkpoint DIR, keep its path
+    shutil.rmtree(ckpt)
+    run()
+    after = {(r.seed, r.bucket): r.c
+             for r in versioned.read_table(spark, state_p)
+             .select("seed", "bucket", "c").collect()}
+    assert after == want  # adds are gated — no double-count
+
+    # probe parity: estimate >= exact for every user (CM never
+    # underestimates), equality for at least one light user
+    exact = ev.groupBy("user_id").agg(F.count("*").alias("n"))
+    est = jobs.cm_stream_probe(spark, state_p,
+                               exact.select("user_id"))
+    joined = exact.join(est, "user_id").collect()
+    assert joined
+    assert all(r.cm_estimate >= r.n for r in joined)

@@ -1433,6 +1433,31 @@ _CM_W = 256
 _CM_TOP = 20
 
 
+def cm_pairs(k) -> "F.Column":
+    """The d (seed, bucket) probes of one string key — shared between
+    the batch heavy-hitter query, the probe side, and the streaming
+    cell twin (streaming/jobs.count_min_stream), so every consumer
+    hashes identically."""
+    return F.array(*[
+        F.struct(F.lit(s).alias("seed"),
+                 (md5_long(F.concat(F.lit(f"cm{s}:"), k)) % _CM_W)
+                 .cast("int").alias("bucket"))
+        for s in range(_CM_D)])
+
+
+def user_cm_cells(df: DataFrame) -> DataFrame:
+    """d x w count-min cells of a user_id relation: (seed, bucket, c).
+    One map-side-combinable aggregation; output bounded by d*w rows.
+    Cells are mergeable by per-cell SUM — the property the streaming
+    twin folds on."""
+    key = F.col("user_id").cast("string")
+    return (df.select(F.explode(cm_pairs(key)).alias("p"))
+            .groupBy(F.col("p.seed").alias("seed"),
+                     F.col("p.bucket").alias("bucket"))
+            .agg(F.count("*").alias("c")))
+
+
+
 @register("count_min_heavy_hitters", f"""
 WITH seeds AS (SELECT unnest(generate_series(0, {_CM_D - 1})) AS seed),
 cells AS (
@@ -1472,19 +1497,8 @@ def count_min_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     min over the d rows of the key's bucket counter; overestimate is
     always >= 0 (pytest-pinned)."""
     ev = load_table(spark, sf_dir, "events")
-    key = F.col("user_id").cast("string")
 
-    def cm_pairs(k: F.Column) -> F.Column:
-        return F.array(*[
-            F.struct(F.lit(s).alias("seed"),
-                     (md5_long(F.concat(F.lit(f"cm{s}:"), k)) % _CM_W)
-                     .cast("int").alias("bucket"))
-            for s in range(_CM_D)])
-
-    cells = (ev.select(F.explode(cm_pairs(key)).alias("p"))
-             .groupBy(F.col("p.seed").alias("seed"),
-                      F.col("p.bucket").alias("bucket"))
-             .agg(F.count("*").alias("c")))
+    cells = user_cm_cells(ev)
     exact = ev.groupBy("user_id").agg(F.count("*").alias("exact_n"))
     w = Window.orderBy(F.desc("exact_n"), F.asc("user_id"))
     top = (exact.withColumn("rank", F.row_number().over(w))

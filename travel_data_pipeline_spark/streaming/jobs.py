@@ -929,3 +929,94 @@ def hll_stream_estimate(spark: SparkSession, state_path: str) -> DataFrame:
             .join(regs, "bucket", "left").na.fill({"m": 0})
             .select(F.lit(0).alias("k"), "bucket", "m"))
     return _hll_fold_spark(grid, "k").select("raw_est")
+
+
+def count_min_stream(incoming: DataFrame, state_path: str,
+                     checkpoint: str) -> StreamingQuery:
+    """Streaming count-min cell maintenance — the stateful twin of
+    queries_round8.count_min_heavy_hitters' sketch: each micro-batch's
+    d x w cells (the SAME shared builder, user_cm_cells) are added
+    into a bounded versioned state table, so a lifetime frequency
+    estimate for any key is one broadcast probe away and history is
+    never re-scanned.
+
+    Unlike the HLL register twin (max-merge, naturally idempotent),
+    CELL ADDITION IS NOT IDEMPOTENT — so this stream carries the
+    checkpoint-bound epoch watermark of token_shard_stream: a
+    replayed micro-batch from the SAME checkpoint lineage compares
+    its epoch against the stored (ckpt, epoch) head and becomes a
+    strict no-op; a FRESH checkpoint starts a new watermark lineage
+    (its epochs restart at 0 and are applied — state_path is coupled
+    to one checkpoint; re-feeding already-applied data under a fresh
+    checkpoint double-counts by design, same contract as
+    token_shard_stream).
+
+    Under monotone ingestion the state is bit-equal to the batch
+    user_cm_cells over the union of batches (tests/test_round9.py).
+
+    Scale shape per batch: one map-side-combinable <= d*w-group
+    aggregation of the batch, one <= d*w-row union+sum, one tiny
+    state write. State size is CONSTANT in stream length.
+    """
+    from travel_data_pipeline_spark.queries_round8 import user_cm_cells
+    from travel_data_pipeline_spark.sources import versioned
+
+    import os as _os
+
+    ckpt_id = _os.path.abspath(checkpoint)
+
+    def fold(batch_df: DataFrame, epoch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        spark = batch_df.sparkSession
+        try:
+            state = versioned.read_table(spark, state_path)
+            head = state.agg(F.max("epoch").alias("epoch"),
+                             F.max("ckpt").alias("ckpt")).first()
+            if (head is not None and head["epoch"] is not None
+                    and head["ckpt"] == ckpt_id
+                    and epoch_id <= head["epoch"]):
+                return  # replayed batch within this lineage: no-op
+            cells = state.select("seed", "bucket", "c")
+        except FileNotFoundError:
+            cells = spark.createDataFrame(
+                [], "seed int, bucket int, c long")
+
+        batch_cells = user_cm_cells(batch_df.select("user_id"))
+        merged = (cells.unionByName(
+            batch_cells.select(F.col("seed").cast("int").alias("seed"),
+                               F.col("bucket").cast("int").alias("bucket"),
+                               F.col("c").cast("long").alias("c")))
+            .groupBy("seed", "bucket")
+            .agg(F.sum("c").cast("long").alias("c"))
+            .select("seed", "bucket", "c",
+                    F.lit(epoch_id).cast("long").alias("epoch"),
+                    F.lit(ckpt_id).alias("ckpt")))
+        versioned.write_table(merged, state_path)
+
+    return (incoming.writeStream.foreachBatch(fold)
+            .option("checkpointLocation", checkpoint)
+            .trigger(availableNow=True).start())
+
+
+def cm_stream_probe(spark: SparkSession, state_path: str,
+                    keys: DataFrame) -> DataFrame:
+    """Frequency estimates for a (user_id) key relation off the
+    streamed cell state: min over the d probed counters — the same
+    probe expression the batch heavy-hitter query uses, so streamed
+    and batch estimates are bit-equal by construction. Missing cells
+    count 0 (a key never streamed probes empty buckets)."""
+    from travel_data_pipeline_spark.queries_round8 import cm_pairs
+    from travel_data_pipeline_spark.sources import versioned
+
+    cells = versioned.read_table(spark, state_path).select(
+        "seed", "bucket", "c")
+    probes = (keys.select(
+        "user_id",
+        F.explode(cm_pairs(F.col("user_id").cast("string"))).alias("p"))
+        .select("user_id", F.col("p.seed").alias("seed"),
+                F.col("p.bucket").alias("bucket")))
+    return (probes.join(F.broadcast(cells), ["seed", "bucket"], "left")
+            .groupBy("user_id")
+            .agg(F.min(F.coalesce("c", F.lit(0))).cast("long")
+                 .alias("cm_estimate")))
