@@ -295,6 +295,68 @@ def main(amplify: int = 20) -> None:
     hll_final_err = abs(curve[-1].raw_est - n_true) / n_true
     assert hll_final_err < 0.4, (curve[-1].raw_est, n_true)
 
+
+    # --- exact-substring spans + CDC chunking over the amplified corpus --
+    # Copies share every interior 5-gram (only the " c<copy>" tail
+    # differs), so the dup-gram relation is the HEAVY case: nearly
+    # every position is duplicated and islands must merge long runs.
+    from travel_data_pipeline_spark.functions.hashing import md5_long
+    from travel_data_pipeline_spark.operators.dedup import word_shingles
+    from travel_data_pipeline_spark.queries_round9 import _CDC_DIV
+
+    t0 = time.perf_counter()
+    # the crossJoin-amplified relation inherits the base file's ONE
+    # partition — spread it before the explode (a real corpus arrives
+    # in many files; this is an amplification artifact), and persist:
+    # grams feeds three consumers (count, dup detection, position join)
+    grams = (docs.repartition(64).select(
+        "doc_id", F.posexplode(word_shingles(F.col("text"), 5))
+        .alias("p0", "g"))
+        .select("doc_id", (F.col("p0") + 1).alias("pos"),
+                md5_long(F.col("g")).alias("gh"))
+        .persist())
+    n_positions = grams.count()
+    dup = (grams.groupBy("gh").agg(F.countDistinct("doc_id").alias("nd"))
+           .filter(F.col("nd") >= 2).select("gh"))
+    dpos = grams.join(dup, "gh").select("doc_id", "pos")
+    w_isl = Window.partitionBy("doc_id").orderBy("pos")
+    spans = (dpos.withColumn("grp",
+                             F.col("pos") - F.row_number().over(w_isl))
+             .groupBy("doc_id", "grp").agg(F.count("*").alias("len")))
+    span_stats = spans.agg(
+        F.count("*").alias("n_spans"),
+        F.countDistinct("doc_id").alias("n_span_docs"),
+        F.max("len").alias("max_len")).first()
+    t_span = time.perf_counter() - t0
+    grams.unpersist()
+    # amplified copies duplicate every interior gram: nearly all docs
+    # must carry at least one span
+    assert span_stats["n_span_docs"] >= 0.9 * n_docs
+
+    t0 = time.perf_counter()
+    toks = (docs.repartition(64).select(
+        "doc_id", F.posexplode(token_array(F.col("text")))
+        .alias("p0", "tok"))
+        .select("doc_id", (F.col("p0") + 1).alias("pos"), "tok"))
+    cflag = F.when(md5_long(F.concat(F.lit("cdc:"), F.col("tok")))
+                   % _CDC_DIV == 0, 1).otherwise(0)
+    w_cdc = (Window.partitionBy("doc_id").orderBy("pos")
+             .rowsBetween(Window.unboundedPreceding, 0))
+    chunks = (toks.withColumn("chunk_id", F.sum(cflag).over(w_cdc) - cflag)
+              .groupBy("doc_id", "chunk_id")
+              .agg(F.count("*").alias("n_toks"),
+                   F.md5(F.array_join(
+                       F.transform(F.array_sort(F.collect_list(
+                           F.struct(F.col("pos"), F.col("tok")))),
+                           lambda s: s.tok), " ")).alias("ck")))
+    cdc_stats = (chunks.groupBy("ck").agg(F.count("*").alias("kc"))
+                 .agg(F.sum("kc").alias("n_chunks"),
+                      F.count("*").alias("n_keys"),
+                      F.sum(F.when(F.col("kc") >= 2, F.col("kc"))
+                            .otherwise(0)).alias("n_dup")).first())
+    t_cdc = time.perf_counter() - t0
+    assert cdc_stats["n_dup"] > 0
+
     print(json.dumps({
         "amplify": amplify,
         "idx_docs": n_docs, "idx_terms": n_terms,
@@ -328,6 +390,17 @@ def main(amplify: int = 20) -> None:
         "hll_final_rel_err": round(hll_final_err, 4),
         "hll_sec": round(t_hll, 2),
         "hll_events_per_sec": round(n_sk / t_hll),
+        "span_positions": n_positions,
+        "span_docs": span_stats["n_span_docs"],
+        "span_count": span_stats["n_spans"],
+        "span_max_len": span_stats["max_len"],
+        "span_sec": round(t_span, 2),
+        "span_positions_per_sec": round(n_positions / t_span),
+        "cdc_chunks": cdc_stats["n_chunks"],
+        "cdc_keys": cdc_stats["n_keys"],
+        "cdc_dup_chunks": cdc_stats["n_dup"],
+        "cdc_sec": round(t_cdc, 2),
+        "cdc_chunks_per_sec": round(cdc_stats["n_chunks"] / t_cdc),
     }))
 
 
