@@ -72,6 +72,10 @@ HEADLINE = [
     "hll_running_distinct_curve",
     "count_min_heavy_hitters",
     "data_scaling_ladder",
+    # round-9 flagships (added round 7)
+    "substring_dup_spans",
+    "cdc_chunk_dedup",
+    "median_of_means_value",
 ]
 
 
