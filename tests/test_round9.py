@@ -387,3 +387,96 @@ def test_count_min_stream_matches_batch_and_replay_noop(spark, sf_smoke,
     joined = exact.join(est, "user_id").collect()
     assert joined
     assert all(r.cm_estimate >= r.n for r in joined)
+
+
+# ---------------------------------------------------------------------------
+# markov_stationary_distribution / hll_sliding_window_distinct /
+# source_loo_influence / l_diversity_audit
+# ---------------------------------------------------------------------------
+
+def test_markov_stationary_matches_python_model(spark, sf_smoke):
+    """Re-run the 8-step decimal power iteration sequentially in
+    python from the raw event log and compare bit-for-bit."""
+    from travel_data_pipeline_spark.queries_round9 import (
+        _MARKOV_ITERS,
+        markov_stationary_distribution,
+    )
+    from travel_data_pipeline_spark.sources.readers import load_table
+
+    ev = sorted(load_table(spark, sf_smoke, "events")
+                .select("user_id", "ts", "event_id", "event_type")
+                .collect(), key=lambda r: (r.user_id, r.ts, r.event_id))
+    trans: dict[tuple[str, str], int] = defaultdict(int)
+    for a, b in zip(ev, ev[1:]):
+        if a.user_id == b.user_id:
+            trans[(a.event_type, b.event_type)] += 1
+    tot: dict[str, int] = defaultdict(int)
+    for (f_t, _), n in trans.items():
+        tot[f_t] += n
+    p6 = {k: Decimal(repr(_round6(n / tot[k[0]])))
+          for k, n in trans.items()}
+    types = sorted(tot)
+    v = {t: Decimal(repr(_round6(1.0 / len(types)))) for t in types}
+    for _ in range(_MARKOV_ITERS):
+        nxt: dict[str, Decimal] = defaultdict(Decimal)
+        for (f_t, t_t), p in p6.items():
+            if f_t in v:
+                nxt[t_t] += v[f_t] * p
+        v = {t: x.quantize(Decimal("0.000001"), rounding=ROUND_HALF_UP)
+             for t, x in nxt.items()}
+
+    got = {r.event_type: r.stationary_p
+           for r in markov_stationary_distribution(spark,
+                                                   sf_smoke).collect()}
+    for t in got:
+        assert got[t] == float(v.get(t, 0)), t
+    # the long-run mix must concentrate SOME mass everywhere reachable
+    assert abs(sum(got.values()) - 1.0) < 1e-3
+
+
+def test_hll_sliding_window_reasonable(spark, sf_smoke):
+    from travel_data_pipeline_spark.queries_round9 import (
+        hll_sliding_window_distinct,
+    )
+
+    rows = sorted(hll_sliding_window_distinct(spark, sf_smoke).collect(),
+                  key=lambda r: r.day_idx)
+    assert rows
+    for r in rows:
+        assert r.exact_window_users > 0
+        # m = 64 registers: keep a loose error envelope
+        assert abs(r.rel_err) < 0.5, (r.day_idx, r.rel_err)
+    # a 7-day window must cover at least as many users as any single
+    # day once the window is warm
+    assert rows[-1].exact_window_users >= rows[0].exact_window_users / 2
+
+
+def test_source_loo_influence_identity(spark, sf_smoke):
+    """Sum over sources of (N - N_s)*delta_s telescopes to 0 exactly
+    in the unrounded algebra; assert it within rounding slack, plus
+    both influence signs exist on this corpus."""
+    from travel_data_pipeline_spark.queries_round9 import (
+        source_loo_influence,
+    )
+
+    rows = source_loo_influence(spark, sf_smoke).collect()
+    assert rows
+    total = sum((sum(x.n_docs for x in rows) - r.n_docs) * r.loo_delta
+                for r in rows)
+    assert abs(total) < 0.01
+    assert any(r.loo_delta > 0 for r in rows)
+    assert any(r.loo_delta < 0 for r in rows)
+
+
+def test_l_diversity_bounds(spark, sf_smoke):
+    from travel_data_pipeline_spark.queries_round9 import (
+        l_diversity_audit,
+    )
+
+    rows = l_diversity_audit(spark, sf_smoke).collect()
+    assert rows
+    for r in rows:
+        assert 1 <= r.min_l
+        assert r.weak_cells <= r.n_cells
+        assert r.weak_rows <= r.n_rows
+        assert 0.0 <= r.weak_share <= 1.0

@@ -1040,3 +1040,368 @@ def neardup_source_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (srcd.groupBy("source_a", "source_b")
             .agg(F.count("*").cast("long").alias("n_pairs"),
                  F.max("jaccard").alias("max_jaccard")))
+
+
+# ---------------------------------------------------------------------------
+# Markov stationary distribution — the long-run event-type mix implied
+# by the first-order transition matrix (event_transition_matrix's
+# fixed point), computed as 8 unrolled power-iteration steps in EXACT
+# DECIMAL arithmetic: probabilities are 6-dp decimals, each step is a
+# DECIMAL product-sum re-rounded to 6 dp, so there is no float
+# accumulation anywhere and both engines agree bit-for-bit. Audited
+# against the empirical event-type share — a large gap means the
+# chain is far from mixed (sessions end before the long run).
+#
+# Scale shape: ONE data-scaled pass (the per-user lead window the
+# transition matrix already pays); every iteration is a join of two
+# <= |types|^2-row relations — the matrix is localCheckpoint'ed so
+# the 8 steps don't replay the corpus scan 8 times (semantic_dedup
+# precedent).
+# ---------------------------------------------------------------------------
+
+_MARKOV_ITERS = 8
+
+
+def _markov_oracle() -> str:
+    p6 = round_sql("n / CAST(tot AS DOUBLE)")
+    steps = []
+    for i in range(1, _MARKOV_ITERS + 1):
+        steps.append(f"""
+v{i} AS (
+    SELECT m.to_type AS event_type,
+           CAST(round(SUM(v.p * m.p6), 6) AS DECIMAL(18,6)) AS p
+    FROM v{i - 1} v JOIN m ON m.from_type = v.event_type
+    GROUP BY m.to_type
+)""")
+    return f"""
+WITH seq AS (
+    SELECT user_id, event_type,
+           lead(event_type) OVER (PARTITION BY user_id
+                                  ORDER BY ts, event_id) AS next_type
+    FROM events
+),
+c AS (
+    SELECT event_type AS from_type, next_type AS to_type,
+           count(*) AS n
+    FROM seq WHERE next_type IS NOT NULL
+    GROUP BY from_type, to_type
+),
+t AS (SELECT from_type, SUM(n) AS tot FROM c GROUP BY from_type),
+m AS (
+    SELECT c.from_type, c.to_type,
+           CAST({p6} AS DECIMAL(18,6)) AS p6
+    FROM c JOIN t ON t.from_type = c.from_type
+),
+types AS (SELECT DISTINCT from_type AS event_type FROM c),
+ntypes AS (SELECT count(*) AS k FROM types),
+v0 AS (
+    SELECT event_type,
+           CAST(round(1.0 / k, 6) AS DECIMAL(18,6)) AS p
+    FROM types CROSS JOIN ntypes
+),
+{','.join(steps)},
+emp AS (
+    SELECT event_type, count(*) AS n_events,
+           SUM(count(*)) OVER () AS total
+    FROM events GROUP BY event_type
+)
+SELECT e.event_type,
+       CAST(COALESCE(v.p, 0) AS DOUBLE) AS stationary_p,
+       {round_sql("e.n_events / CAST(e.total AS DOUBLE)")}
+           AS empirical_share,
+       {round_sql("abs(CAST(COALESCE(v.p, 0) AS DOUBLE)"
+                  " - e.n_events / CAST(e.total AS DOUBLE))")}
+           AS abs_gap
+FROM emp e LEFT JOIN v{_MARKOV_ITERS} v ON v.event_type = e.event_type
+"""
+
+
+@register("markov_stationary_distribution", _markov_oracle)
+def markov_stationary_distribution(spark: SparkSession,
+                                   sf_dir: str) -> DataFrame:
+    """Fixed-iteration (8-step) power iteration v <- vP over the
+    6-dp-decimal transition matrix, vs the empirical type share. The
+    vector is NOT renormalized between steps (rounding makes rows
+    sub-stochastic by <= 3e-6 — deterministic on both sides)."""
+    events = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = events.select("user_id", "event_type",
+                        F.lead("event_type").over(w).alias("next_type"))
+    c = (seq.filter(F.col("next_type").isNotNull())
+         .groupBy(F.col("event_type").alias("from_type"),
+                  F.col("next_type").alias("to_type"))
+         .agg(F.count("*").alias("n")))
+    t = c.groupBy("from_type").agg(F.sum("n").alias("tot"))
+    m = (c.join(t, "from_type")
+         .select("from_type", "to_type",
+                 F.round(F.col("n") / F.col("tot").cast("double"), 6)
+                  .cast("decimal(18,6)").alias("p6"))
+         .localCheckpoint(eager=True))  # 8 iterations must not replay
+    #                                     the corpus-scan lineage
+    types = m.select(F.col("from_type").alias("event_type")).distinct()
+    k = types.agg(F.count("*").alias("k"))
+    v = (types.crossJoin(F.broadcast(k))
+         .select("event_type",
+                 F.round(F.lit(1.0) / F.col("k"), 6)
+                  .cast("decimal(18,6)").alias("p")))
+    for _ in range(_MARKOV_ITERS):
+        v = (v.join(F.broadcast(m),
+                    v.event_type == m.from_type)
+             .groupBy(F.col("to_type").alias("event_type"))
+             .agg(F.round(F.sum(F.col("p") * F.col("p6")), 6)
+                  .cast("decimal(18,6)").alias("p")))
+    emp = (events.groupBy("event_type")
+           .agg(F.count("*").alias("n_events")))
+    tot = emp.agg(F.sum("n_events").alias("total"))
+    share = F.col("n_events") / F.col("total").cast("double")
+    stat = F.coalesce(F.col("p"), F.lit(0).cast("decimal(18,6)")) \
+        .cast("double")
+    return (emp.crossJoin(F.broadcast(tot))
+            .join(v, "event_type", "left")
+            .select("event_type",
+                    stat.alias("stationary_p"),
+                    F.round(share, 6).alias("empirical_share"),
+                    F.round(F.abs(stat - share), 6).alias("abs_gap")))
+
+
+# ---------------------------------------------------------------------------
+# Sliding-window HLL distinct — 7-observed-day active-user estimate
+# per day from the SAME persisted daily registers the running curve
+# uses: register-wise max over a 7-row window per bucket, folded with
+# the shared estimator, audited against the exact windowed distinct.
+# The no-rescan rolling-WAU pattern: a day's estimate needs only the
+# last 7 days' 64-register states.
+#
+# Window semantics: ROWS over the OBSERVED day grid (gap days don't
+# occupy frame slots) — identical on both sides by construction.
+# Scale shape: windows partitioned by bucket (64 x |days| rows); the
+# exact audit joins the bounded day grid to itself on rank distance
+# <= 6 and counts distinct (day, user) pairs — the audit baseline,
+# not the production path.
+# ---------------------------------------------------------------------------
+
+_HLL_WIN = 7
+
+
+def _hll_sliding_oracle() -> str:
+    from travel_data_pipeline_spark.queries_round8 import (
+        _HLL_M,
+        _hll_fold_sql,
+    )
+    return f"""
+WITH hashed AS (
+    SELECT CAST(date_diff('day', TIMESTAMP '2024-01-01',
+                          date_trunc('day', ts)) AS BIGINT) AS day_idx,
+           user_id,
+           {md5_long_sql("'hll:' || CAST(user_id AS VARCHAR)")} AS h
+    FROM events
+),
+rho AS (
+    SELECT day_idx, CAST(h % {_HLL_M} AS INT) AS bucket,
+           CASE WHEN h // {_HLL_M} = 0 THEN 55
+                ELSE 55 - length(bin(h // {_HLL_M})) END AS r
+    FROM hashed
+),
+day_regs AS (
+    SELECT day_idx, bucket, MAX(r) AS m FROM rho GROUP BY day_idx, bucket
+),
+grid AS (
+    SELECT d.day_idx, b.bucket, COALESCE(r.m, 0) AS m
+    FROM (SELECT DISTINCT day_idx FROM hashed) d
+    CROSS JOIN (SELECT unnest(generate_series(0, {_HLL_M - 1}))
+                AS bucket) b
+    LEFT JOIN day_regs r
+      ON r.day_idx = d.day_idx AND r.bucket = b.bucket
+),
+win_regs AS (
+    SELECT day_idx, bucket,
+           MAX(m) OVER (PARTITION BY bucket ORDER BY day_idx
+                        ROWS BETWEEN {_HLL_WIN - 1} PRECEDING
+                        AND CURRENT ROW) AS m
+    FROM grid
+),
+{_hll_fold_sql("day_idx", "win_regs")},
+ranked AS (
+    SELECT day_idx,
+           ROW_NUMBER() OVER (ORDER BY day_idx) AS rnk
+    FROM (SELECT DISTINCT day_idx FROM hashed)
+),
+du AS (SELECT DISTINCT day_idx, user_id FROM hashed),
+exact AS (
+    SELECT a.day_idx, COUNT(DISTINCT d.user_id) AS exact_n
+    FROM ranked a JOIN ranked b
+      ON b.rnk BETWEEN a.rnk - {_HLL_WIN - 1} AND a.rnk
+    JOIN du d ON d.day_idx = b.day_idx
+    GROUP BY a.day_idx
+)
+SELECT e.day_idx, CAST(x.exact_n AS BIGINT) AS exact_window_users,
+       {round_sql("e.raw_est")} AS hll_estimate,
+       {round_sql("(e.raw_est - x.exact_n)"
+                  " / CAST(x.exact_n AS DOUBLE)")} + 0.0 AS rel_err
+FROM est e JOIN exact x ON x.day_idx = e.day_idx
+"""
+
+
+@register("hll_sliding_window_distinct", _hll_sliding_oracle)
+def hll_sliding_window_distinct(spark: SparkSession,
+                                sf_dir: str) -> DataFrame:
+    """Rolling 7-observed-day distinct-user estimate from windowed
+    register maxes vs the exact windowed distinct."""
+    from travel_data_pipeline_spark.queries_round8 import (
+        _HLL_M,
+        _hll_fold_spark,
+        user_hll_registers,
+    )
+
+    ev = load_table(spark, sf_dir, "events")
+    day_idx = F.datediff(
+        F.date_trunc("day", "ts"),
+        F.lit("2024-01-01").cast("timestamp")).cast("long")
+    hashed = ev.select(day_idx.alias("day_idx"), "user_id")
+    day_regs = user_hll_registers(hashed, keys=("day_idx",))
+    days = hashed.select("day_idx").distinct()
+    buckets = spark.range(_HLL_M).select(
+        F.col("id").cast("int").alias("bucket"))
+    grid = (days.crossJoin(F.broadcast(buckets))
+            .join(day_regs, ["day_idx", "bucket"], "left")
+            .na.fill({"m": 0}))
+    w_win = (Window.partitionBy("bucket").orderBy("day_idx")
+             .rowsBetween(-(_HLL_WIN - 1), Window.currentRow))
+    win_regs = grid.select("day_idx", "bucket",
+                           F.max("m").over(w_win).alias("m"))
+    est = _hll_fold_spark(win_regs, "day_idx")
+
+    ranked = days.select(
+        F.col("day_idx").alias("a_day"),
+        F.row_number().over(Window.orderBy("day_idx")).alias("a_rnk"))
+    b = ranked.select(F.col("a_day").alias("b_day"),
+                      F.col("a_rnk").alias("b_rnk"))
+    du = hashed.distinct().select(F.col("day_idx").alias("u_day"),
+                                  "user_id")
+    exact = (ranked.join(b, (F.col("b_rnk") >= F.col("a_rnk")
+                             - (_HLL_WIN - 1))
+                         & (F.col("b_rnk") <= F.col("a_rnk")))
+             .join(du, F.col("u_day") == F.col("b_day"))
+             .groupBy(F.col("a_day").alias("day_idx"))
+             .agg(F.countDistinct("user_id").alias("exact_n")))
+    return (est.join(exact, "day_idx")
+            .select("day_idx",
+                    F.col("exact_n").cast("long")
+                     .alias("exact_window_users"),
+                    F.round("raw_est", 6).alias("hll_estimate"),
+                    (F.round((F.col("raw_est") - F.col("exact_n"))
+                             / F.col("exact_n").cast("double"), 6)
+                     + 0.0).alias("rel_err")))
+
+
+# ---------------------------------------------------------------------------
+# Source leave-one-out influence — data-valuation lite: how much does
+# dropping each source move the corpus mean quality feature
+# (alpha_ratio)? Closed form from exact per-source decimal sums:
+# delta_s = (S - S_s)/(N - N_s) - S/N. No resampling, one grouped
+# pass + a broadcast scalar; the ranking a curator reads before
+# cutting a source.
+# ---------------------------------------------------------------------------
+
+_LOO_DELTA = ("(CAST(gs - s AS DOUBLE) / (gn - n_docs)"
+              " - CAST(gs AS DOUBLE) / gn)")
+
+
+@register("source_loo_influence", f"""
+WITH feats AS (
+    SELECT source,
+           {round_sql("length(regexp_replace(text, '[^A-Za-z]', '', 'g'))"
+                      " / GREATEST(length(text), 1)")} AS alpha_ratio
+    FROM documents
+),
+per_src AS (
+    SELECT source, count(*) AS n_docs,
+           SUM(CAST(alpha_ratio AS DECIMAL(18,6))) AS s
+    FROM feats GROUP BY source
+),
+tot AS (SELECT SUM(n_docs) AS gn, SUM(s) AS gs FROM per_src)
+SELECT source, CAST(n_docs AS BIGINT) AS n_docs,
+       {round_sql("CAST(s AS DOUBLE) / n_docs")} AS mean_alpha_source,
+       {round_sql("CAST(gs AS DOUBLE) / gn")} AS mean_alpha_global,
+       {round_sql(_LOO_DELTA)} + 0.0 AS loo_delta
+FROM per_src CROSS JOIN tot
+""")
+def source_loo_influence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source leave-one-out delta of the corpus mean alpha_ratio
+    (6-dp-rounded feature -> decimal sums -> one shared double
+    expression; positive delta = removing the source RAISES corpus
+    quality)."""
+    docs = load_table(spark, sf_dir, "documents")
+    alpha = F.round(
+        F.length(F.regexp_replace("text", "[^A-Za-z]", ""))
+        / F.greatest(F.length("text"), F.lit(1)), 6)
+    per_src = (docs.select("source", alpha.alias("alpha_ratio"))
+               .groupBy("source")
+               .agg(F.count("*").alias("n_docs"),
+                    F.sum(F.col("alpha_ratio").cast("decimal(18,6)"))
+                     .alias("s")))
+    tot = per_src.agg(F.sum("n_docs").alias("gn"), F.sum("s").alias("gs"))
+    delta = ((F.col("gs") - F.col("s")).cast("double")
+             / (F.col("gn") - F.col("n_docs"))
+             - F.col("gs").cast("double") / F.col("gn"))
+    return (per_src.crossJoin(F.broadcast(tot))
+            .select("source", F.col("n_docs").cast("long").alias("n_docs"),
+                    F.round(F.col("s").cast("double")
+                            / F.col("n_docs"), 6)
+                     .alias("mean_alpha_source"),
+                    F.round(F.col("gs").cast("double")
+                            / F.col("gn"), 6).alias("mean_alpha_global"),
+                    (F.round(delta, 6) + 0.0).alias("loo_delta")))
+
+
+# ---------------------------------------------------------------------------
+# l-diversity audit — the sibling k_anonymity_audit doesn't cover:
+# a (event_type, day) quasi-identifier cell is re-identifying not
+# just when SMALL but when all its rows belong to few distinct users.
+# Reports per type the cells with user diversity below l=3.
+# Scale shape: one grouped countDistinct per cell (bounded
+# |types| x |days| cells), then a bounded rollup.
+# ---------------------------------------------------------------------------
+
+_LDIV_L = 3
+
+
+@register("l_diversity_audit", f"""
+WITH cells AS (
+    SELECT event_type, CAST(ts AS DATE) AS day,
+           count(*) AS n_rows,
+           COUNT(DISTINCT user_id) AS l
+    FROM events GROUP BY event_type, day
+)
+SELECT event_type,
+       CAST(count(*) AS BIGINT) AS n_cells,
+       CAST(SUM(n_rows) AS BIGINT) AS n_rows,
+       CAST(MIN(l) AS BIGINT) AS min_l,
+       CAST(SUM(CASE WHEN l < {_LDIV_L} THEN 1 ELSE 0 END) AS BIGINT)
+           AS weak_cells,
+       CAST(SUM(CASE WHEN l < {_LDIV_L} THEN n_rows ELSE 0 END)
+            AS BIGINT) AS weak_rows,
+       {round_sql(f"SUM(CASE WHEN l < {_LDIV_L} THEN n_rows ELSE 0 END)"
+                  " / CAST(SUM(n_rows) AS DOUBLE)")} AS weak_share
+FROM cells GROUP BY event_type
+""")
+def l_diversity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct-user diversity of (event_type, day) cells; a weak cell
+    has fewer than {_LDIV_L} distinct users."""
+    events = load_table(spark, sf_dir, "events")
+    cells = (events.groupBy("event_type",
+                            F.col("ts").cast("date").alias("day"))
+             .agg(F.count("*").alias("n_rows"),
+                  F.countDistinct("user_id").alias("l")))
+    return (cells.groupBy("event_type")
+            .agg(F.count("*").cast("long").alias("n_cells"),
+                 F.sum("n_rows").cast("long").alias("n_rows"),
+                 F.min("l").cast("long").alias("min_l"),
+                 F.sum(F.when(F.col("l") < _LDIV_L, 1).otherwise(0))
+                  .cast("long").alias("weak_cells"),
+                 F.sum(F.when(F.col("l") < _LDIV_L, F.col("n_rows"))
+                       .otherwise(0)).cast("long").alias("weak_rows"),
+                 F.round(F.sum(F.when(F.col("l") < _LDIV_L,
+                                      F.col("n_rows")).otherwise(0))
+                         / F.sum("n_rows").cast("double"), 6)
+                  .alias("weak_share")))
