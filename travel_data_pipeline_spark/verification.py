@@ -283,6 +283,14 @@ GREEN: frozenset[str] = frozenset({
 # (zone_map_skip_audit, classifier_threshold_sweep,
 # attribution_multi_touch) overflow to the round-8 head per the same
 # policy round 6 used. No re-proof debt carries unless r07 shows red.
+#
+# Round-8 head recipe (after tools/update_green.py CORRECTNESS_r07):
+# any new red rows first, then the 3 churn overflow seats above, then
+# ONE round-7-changed-code re-proof seat (count_min_heavy_hitters —
+# refactored onto the shared cm_pairs/user_cm_cells builders for the
+# streaming twin; plan-identical, sweep-validated at 3 SFs), then the
+# 15 round-9 queries (ordered_names already queues them at positions
+# 54-68: ab_sprt_curve .. l_diversity_audit), then high-churn greens.
 PRIORITY_HEAD: tuple[str, ...] = (
     # --- round-6 overflow seats (10, long-green, carried per policy) ---
     "heaps_law_vocab_growth",
