@@ -859,7 +859,8 @@ def median_of_means_value(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _CDC_DIV = 4  # boundary when md5 % 4 == 0 -> expected 4-token chunks
 
-_cdc_flag_sql = (f"CASE WHEN {md5_long_sql(chr(39) + 'cdc:' + chr(39) + ' || tok')}"
+_cdc_key_sql = md5_long_sql("'cdc:' || tok")
+_cdc_flag_sql = (f"CASE WHEN {_cdc_key_sql}"
                  f" % {_CDC_DIV} = 0 THEN 1 ELSE 0 END")
 
 
