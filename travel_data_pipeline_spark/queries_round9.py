@@ -74,7 +74,7 @@ _SPRT_LLR = (f"(CAST(cum_x AS DOUBLE) * {_SPRT_LA!r}"
 
 @register("ab_sprt_curve", f"""
 WITH daily AS (
-    SELECT CAST(ts AS DATE) AS day,
+    SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
            count(*) AS n_trials,
            SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
                AS n_success
@@ -111,7 +111,10 @@ def ab_sprt_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     treat = events.filter(
         (md5_long(F.concat(F.lit("ab:"),
                            F.col("user_id").cast("string"))) % 2) == 1)
-    daily = (treat.groupBy(F.col("ts").cast("date").alias("day"))
+    # ISO-string day (repo convention for emitted day columns — DATE
+    # dtypes stringify differently across the harnesses' pandas paths)
+    daily = (treat.groupBy(F.date_format(F.date_trunc("day", "ts"),
+                                         "yyyy-MM-dd").alias("day"))
              .agg(F.count("*").alias("n_trials"),
                   F.sum(F.when(F.col("event_type") == "purchase", 1)
                         .otherwise(0)).alias("n_success")))
