@@ -206,6 +206,14 @@ def two_phase_ordered(df: DataFrame, order_cols: Sequence[Column | str],
     running-``max()`` sibling (same inclusive frame): per-bucket max
     offsets combine with the bucket-local running max via
     ``greatest`` (null-skipping, so bucket 0 needs no sentinel).
+
+    ``cumsum_cols`` sources must be EXACT types (integers/decimals —
+    the repo-wide float discipline already requires this): the
+    two-phase sum associates as offset + bucket-local scan, which for
+    raw doubles can differ from the sequential global scan in the
+    last ulp whenever a bucket boundary re-parenthesizes the
+    addition (hypothesis-found, round 7). max is order-free, so
+    ``cummax_cols`` carries no such restriction.
     """
     cumsum_cols = dict(cumsum_cols or {})
     cummax_cols = dict(cummax_cols or {})
