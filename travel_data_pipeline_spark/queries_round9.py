@@ -381,13 +381,21 @@ def substring_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     from travel_data_pipeline_spark.operators import dedup
 
-    docs = load_table(spark, sf_dir, "documents")
+    # spread the single-file scan before the CPU-heavy gram explode
+    # (engine-wide design rule; same spelling as dedup.shingle_sets),
+    # and persist grams across its THREE consumers (sizes, dup
+    # detection, position join): recompute measured 2.02 s vs 1.27 s
+    # persisted at sf0.1 warm — unlike the r05/r06 persist
+    # experiments, the md5-gram explode is CPU-bound enough to win
+    docs = load_table(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism, "doc_id")
     grams = (docs.select(
         "doc_id",
         F.posexplode(dedup.word_shingles(F.col("text"), _SPAN_N))
          .alias("p0", "g"))
         .select("doc_id", (F.col("p0") + 1).alias("pos"),
-                md5_long(F.col("g")).alias("gh")))
+                md5_long(F.col("g")).alias("gh"))
+        .persist())
     sizes = grams.groupBy("doc_id").agg(F.count("*").alias("n_grams"))
     dup = (grams.groupBy("gh")
            .agg(F.countDistinct("doc_id").alias("nd"))
@@ -914,7 +922,8 @@ def cdc_chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     chunk length, duplicate share."""
     from travel_data_pipeline_spark.operators import text as text_ops
 
-    docs = load_table(spark, sf_dir, "documents")
+    docs = load_table(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism, "doc_id")
     toks = (docs.select(
         "doc_id", "source",
         F.posexplode(text_ops.token_array(F.col("text")))
