@@ -480,3 +480,78 @@ def test_l_diversity_bounds(spark, sf_smoke):
         assert r.weak_cells <= r.n_cells
         assert r.weak_rows <= r.n_rows
         assert 0.0 <= r.weak_share <= 1.0
+
+
+# ---------------------------------------------------------------------------
+# poisson_bootstrap_ci / did_estimator / cuped_variance_reduction
+# ---------------------------------------------------------------------------
+
+def test_poisson_bootstrap_matches_python_model(spark, sf_smoke):
+    """Replicate means for one event type recomputed sequentially in
+    python (same md5 weights, decimal folds) must match the query's
+    band selections bit-for-bit."""
+    from travel_data_pipeline_spark.queries_round9 import (
+        _BOOT_B,
+        _BOOT_CDF,
+        _BOOT_SCALE,
+        poisson_bootstrap_ci,
+    )
+    from travel_data_pipeline_spark.sources.readers import load_table
+
+    rows = (load_table(spark, sf_smoke, "events")
+            .select("event_type", "event_id", "value").collect())
+    etype = "purchase"
+    mine = [(r.event_id, r.value) for r in rows if r.event_type == etype]
+    means = []
+    for b in range(_BOOT_B):
+        s, n = Decimal(0), 0
+        for eid, v in mine:
+            u = _md5_long(f"boot:{b}:{eid}") / _BOOT_SCALE
+            w = 5
+            for k, t in enumerate(_BOOT_CDF):
+                if u < t:
+                    w = k
+                    break
+            s += w * Decimal(repr(_round6(v)))
+            n += w
+        if n > 0:
+            means.append((_round6(float(s) / n), b))
+    means.sort()
+    got = {r.event_type: r for r in
+           poisson_bootstrap_ci(spark, sf_smoke).collect()}
+    r = got[etype]
+    assert r.n_reps == len(means)
+    assert r.boot_lo == means[1][0]
+    assert r.boot_hi == means[_BOOT_B - 2][0]
+    assert r.boot_se > 0
+    assert r.boot_lo <= r.boot_hi
+
+
+def test_did_consistent_across_cells(spark, sf_smoke):
+    from travel_data_pipeline_spark.queries_round9 import did_estimator
+
+    rows = did_estimator(spark, sf_smoke).collect()
+    assert len(rows) == 4
+    assert len({r.did for r in rows}) == 1
+    cells = {(r.arm, r.period): r.mean_spend for r in rows}
+    approx = ((cells[("treatment", "post")] - cells[("treatment", "pre")])
+              - (cells[("control", "post")] - cells[("control", "pre")]))
+    assert abs(rows[0].did - approx) < 1e-4  # cells are rounded
+
+
+def test_cuped_mass_conservation(spark, sf_smoke):
+    """Global-mean centering makes the user-weighted sum of the CUPED
+    adjustment zero: sum n_a * adj_a == sum n_a * raw_a (within
+    rounding); rho^2 in [0, 1]; one pooled theta."""
+    from travel_data_pipeline_spark.queries_round9 import (
+        cuped_variance_reduction,
+    )
+
+    rows = cuped_variance_reduction(spark, sf_smoke).collect()
+    assert len(rows) == 2
+    assert len({r.theta for r in rows}) == 1
+    raw = sum(r.n_users * r.mean_post for r in rows)
+    adj = sum(r.n_users * r.adj_mean_post for r in rows)
+    assert abs(raw - adj) < 0.01
+    for r in rows:
+        assert 0.0 <= r.var_reduction <= 1.0

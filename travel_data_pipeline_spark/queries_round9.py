@@ -1418,3 +1418,323 @@ def l_diversity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
                                       F.col("n_rows")).otherwise(0))
                          / F.sum("n_rows").cast("double"), 6)
                   .alias("weak_share")))
+
+
+# ---------------------------------------------------------------------------
+# Poisson bootstrap CI — THE distributed bootstrap (Chamandy et al.,
+# "Estimating Uncertainty for Massive Data Streams", Google 2012 —
+# public): instead of resampling n rows with replacement (impossible
+# without global coordination), each row independently enters
+# replicate b with Poisson(1) multiplicity. Weights come from an
+# md5-uniform inverse-CDF with PYTHON-literal thresholds, so both
+# engines draw identical "randomness"; B=32 replicates of the mean
+# purchase value per event type, with rank-selected lo/hi replicate
+# means and an exact-moment bootstrap SE.
+#
+# Exactness: weighted sums ride DECIMAL (int weight x DECIMAL(18,6)
+# value); replicate means are 6-dp rounded before the decimal moment
+# fold; lo/hi are row_number selections over the bounded B-row
+# relation. Scale shape: ONE pass over events with a B-fold
+# flatMap-style explode (the bootstrap's documented cost), a
+# (type, b)-grouped aggregation, then bounded windows.
+# ---------------------------------------------------------------------------
+
+_BOOT_B = 32
+# Poisson(1) CDF: P(X <= k) for k = 0..4; u above the last -> w = 5
+_BOOT_CDF = (0.36787944117144233, 0.7357588823428847,
+             0.9196986029286058, 0.9810118431238463,
+             0.9963401531726563)
+_BOOT_SCALE = float(1 << 60)  # md5_long is uniform on [0, 2^60)
+
+
+def _boot_weight_sql(u: str) -> str:
+    branches = " ".join(
+        f"WHEN {u} < {t!r} THEN {k}" for k, t in enumerate(_BOOT_CDF))
+    return f"CASE {branches} ELSE 5 END"
+
+
+@register("poisson_bootstrap_ci", f"""
+WITH reps AS (SELECT unnest(generate_series(0, {_BOOT_B - 1})) AS b),
+w AS (
+    SELECT e.event_type, e.value, r.b,
+           {_boot_weight_sql(
+               md5_long_sql("'boot:' || CAST(r.b AS VARCHAR) || ':' "
+                            "|| CAST(e.event_id AS VARCHAR)")
+               + f" / {_BOOT_SCALE!r}")} AS wt
+    FROM events e CROSS JOIN reps r
+),
+per_rep AS (
+    SELECT event_type, b,
+           SUM(wt * CAST(round(value, 6) AS DECIMAL(18,6))) AS s,
+           SUM(wt) AS n
+    FROM w GROUP BY event_type, b
+),
+means AS (
+    SELECT event_type, b,
+           CAST(round(CAST(s AS DOUBLE) / n, 6) AS DECIMAL(18,6)) AS m,
+           ROW_NUMBER() OVER (PARTITION BY event_type
+               ORDER BY CAST(s AS DOUBLE) / n, b) AS rn
+    FROM per_rep WHERE n > 0
+),
+boot AS (
+    SELECT event_type, count(*) AS n_reps,
+           SUM(m) AS sm, SUM(CAST(m AS DECIMAL(19,6)) * m) AS smm,
+           MAX(CASE WHEN rn = 2 THEN CAST(m AS DOUBLE) END) AS lo,
+           MAX(CASE WHEN rn = {_BOOT_B - 1} THEN CAST(m AS DOUBLE) END)
+               AS hi
+    FROM means GROUP BY event_type
+),
+pt AS (
+    SELECT event_type, count(*) AS n_events,
+           SUM(CAST(round(value, 6) AS DECIMAL(18,6))) AS sv
+    FROM events GROUP BY event_type
+)
+SELECT p.event_type, CAST(p.n_events AS BIGINT) AS n_events,
+       {round_sql("CAST(p.sv AS DOUBLE) / p.n_events")} AS point_mean,
+       CAST(b.n_reps AS BIGINT) AS n_reps,
+       {round_sql("b.lo")} AS boot_lo, {round_sql("b.hi")} AS boot_hi,
+       {round_sql("sqrt(GREATEST((CAST(b.smm AS DOUBLE)"
+                  " - CAST(b.sm AS DOUBLE) * CAST(b.sm AS DOUBLE)"
+                  " / b.n_reps) / (b.n_reps - 1), 0.0))")} AS boot_se
+FROM pt p JOIN boot b ON b.event_type = p.event_type
+""")
+def poisson_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-type mean event value with a {_BOOT_B}-replicate Poisson
+    bootstrap: rank-2 / rank-{_BOOT_B - 1} replicate means as the CI
+    band and the exact-moment bootstrap SE."""
+    # spread the single-file scan before the B-fold explode + 32
+    # md5 evaluations per row (engine design rule)
+    events = load_table(spark, sf_dir, "events").repartition(
+        spark.sparkContext.defaultParallelism, "event_id")
+    reps = spark.range(_BOOT_B).select(F.col("id").cast("int").alias("b"))
+    u = (md5_long(F.concat(F.lit("boot:"), F.col("b").cast("string"),
+                           F.lit(":"), F.col("event_id").cast("string")))
+         / F.lit(_BOOT_SCALE))
+    wt = F.lit(5)
+    for k in range(len(_BOOT_CDF) - 1, -1, -1):
+        wt = F.when(u < _BOOT_CDF[k], k).otherwise(wt)
+    w = (events.crossJoin(F.broadcast(reps))
+         .select("event_type", "b",
+                 (wt * F.round("value", 6).cast("decimal(18,6)"))
+                 .alias("wv"), wt.alias("wt")))
+    per_rep = (w.groupBy("event_type", "b")
+               .agg(F.sum("wv").alias("s"), F.sum("wt").alias("n"))
+               .filter(F.col("n") > 0))
+    mean_d = F.col("s").cast("double") / F.col("n")
+    wr = Window.partitionBy("event_type").orderBy(mean_d.asc(),
+                                                  F.col("b").asc())
+    means = per_rep.select(
+        "event_type", "b",
+        F.round(mean_d, 6).cast("decimal(18,6)").alias("m"),
+        F.row_number().over(wr).alias("rn"))
+    boot = means.groupBy("event_type").agg(
+        F.count("*").alias("n_reps"),
+        F.sum("m").alias("sm"),
+        F.sum(F.col("m").cast("decimal(19,6)") * F.col("m"))
+         .alias("smm"),
+        F.max(F.when(F.col("rn") == 2, F.col("m").cast("double")))
+         .alias("lo"),
+        F.max(F.when(F.col("rn") == _BOOT_B - 1,
+                     F.col("m").cast("double"))).alias("hi"))
+    pt = events.groupBy("event_type").agg(
+        F.count("*").alias("n_events"),
+        F.sum(F.round("value", 6).cast("decimal(18,6)")).alias("sv"))
+    se = F.sqrt(F.greatest(
+        (F.col("smm").cast("double")
+         - F.col("sm").cast("double") * F.col("sm").cast("double")
+         / F.col("n_reps")) / (F.col("n_reps") - 1), F.lit(0.0)))
+    return (pt.join(boot, "event_type")
+            .select("event_type",
+                    F.col("n_events").cast("long").alias("n_events"),
+                    F.round(F.col("sv").cast("double")
+                            / F.col("n_events"), 6).alias("point_mean"),
+                    F.col("n_reps").cast("long").alias("n_reps"),
+                    F.round("lo", 6).alias("boot_lo"),
+                    F.round("hi", 6).alias("boot_hi"),
+                    F.round(se, 6).alias("boot_se")))
+
+
+# ---------------------------------------------------------------------------
+# Difference-in-differences — the 2x2 causal readout on the hashed
+# experiment: (treatment post - treatment pre) - (control post -
+# control pre) over a literal period boundary. Exact decimal cell
+# means; the DiD statistic is one shared double expression attached
+# to every cell row (ab_assignment_outcomes' wide-scalar pattern).
+# ---------------------------------------------------------------------------
+
+_DID_BOUNDARY = "2024-01-16"  # first 15 days = pre
+
+
+@register("did_estimator", f"""
+WITH cells AS (
+    SELECT CASE WHEN ({_sprt_arm} % 2) = 1 THEN 'treatment'
+                ELSE 'control' END AS arm,
+           CASE WHEN ts < TIMESTAMP '{_DID_BOUNDARY}' THEN 'pre'
+                ELSE 'post' END AS period,
+           count(*) AS n,
+           SUM(CASE WHEN event_type = 'purchase'
+               THEN CAST(value AS DECIMAL(18,2))
+               ELSE CAST(0 AS DECIMAL(18,2)) END) AS spend
+    FROM events GROUP BY arm, period
+),
+wide AS (
+    SELECT MAX(CASE WHEN arm = 'treatment' AND period = 'post'
+               THEN CAST(spend AS DOUBLE) / n END) AS tp,
+           MAX(CASE WHEN arm = 'treatment' AND period = 'pre'
+               THEN CAST(spend AS DOUBLE) / n END) AS tr,
+           MAX(CASE WHEN arm = 'control' AND period = 'post'
+               THEN CAST(spend AS DOUBLE) / n END) AS cp,
+           MAX(CASE WHEN arm = 'control' AND period = 'pre'
+               THEN CAST(spend AS DOUBLE) / n END) AS cr
+    FROM cells
+)
+SELECT arm, period, CAST(n AS BIGINT) AS n_events,
+       {round_sql("CAST(spend AS DOUBLE) / n")} AS mean_spend,
+       {round_sql("(tp - tr) - (cp - cr)")} + 0.0 AS did
+FROM cells CROSS JOIN wide
+""")
+def did_estimator(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """2x2 (arm x period) mean spend-per-event cells with the
+    difference-in-differences estimate attached to every row."""
+    events = load_table(spark, sf_dir, "events")
+    arm = F.when(
+        (md5_long(F.concat(F.lit("ab:"),
+                           F.col("user_id").cast("string"))) % 2) == 1,
+        "treatment").otherwise("control")
+    period = F.when(F.col("ts")
+                    < F.lit(_DID_BOUNDARY).cast("timestamp"), "pre") \
+        .otherwise("post")
+    spend = F.when(F.col("event_type") == "purchase",
+                   F.col("value").cast("decimal(18,2)")) \
+        .otherwise(F.lit(0).cast("decimal(18,2)"))
+    cells = (events.select(arm.alias("arm"), period.alias("period"),
+                           spend.alias("sp"))
+             .groupBy("arm", "period")
+             .agg(F.count("*").alias("n"), F.sum("sp").alias("spend")))
+    mean_c = F.col("spend").cast("double") / F.col("n")
+
+    def cell(a, p):
+        return F.max(F.when((F.col("arm") == a) & (F.col("period") == p),
+                            mean_c))
+
+    wide = cells.agg(cell("treatment", "post").alias("tp"),
+                     cell("treatment", "pre").alias("tr"),
+                     cell("control", "post").alias("cp"),
+                     cell("control", "pre").alias("cr"))
+    did = ((F.col("tp") - F.col("tr")) - (F.col("cp") - F.col("cr")))
+    return (cells.crossJoin(F.broadcast(wide))
+            .select("arm", "period",
+                    F.col("n").cast("long").alias("n_events"),
+                    F.round(mean_c, 6).alias("mean_spend"),
+                    (F.round(did, 6) + 0.0).alias("did")))
+
+
+# ---------------------------------------------------------------------------
+# CUPED variance reduction (Deng et al., "Improving the Sensitivity
+# of Online Controlled Experiments by Utilizing Pre-Experiment Data",
+# WSDM 2013 — public): adjust each user's post-period spend by their
+# pre-period spend, Y' = Y - theta (X - E[X]), theta = cov(X,Y)/
+# var(X). Cuts metric variance by rho^2 at zero bias. All moments are
+# exact decimal sums (spend products ride DECIMAL(38,4)); theta /
+# rho^2 / the adjusted means are shared double expressions.
+# Scale shape: one per-user grouped pass, a broadcast scalar moment
+# row, a 2-row arm rollup.
+# ---------------------------------------------------------------------------
+
+_CUPED_THETA = ("((CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE)"
+                " * CAST(sy AS DOUBLE) / nu)"
+                " / (CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE)"
+                " * CAST(sx AS DOUBLE) / nu))")
+_CUPED_RHO2 = ("((CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE)"
+               " * CAST(sy AS DOUBLE) / nu)"
+               " * (CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE)"
+               " * CAST(sy AS DOUBLE) / nu)"
+               " / ((CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE)"
+               " * CAST(sx AS DOUBLE) / nu)"
+               " * (CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE)"
+               " * CAST(sy AS DOUBLE) / nu)))")
+
+
+@register("cuped_variance_reduction", f"""
+WITH per_user AS (
+    SELECT user_id,
+           CASE WHEN ({_sprt_arm} % 2) = 1 THEN 'treatment'
+                ELSE 'control' END AS arm,
+           SUM(CASE WHEN event_type = 'purchase'
+                    AND ts < TIMESTAMP '{_DID_BOUNDARY}'
+               THEN CAST(value AS DECIMAL(18,2))
+               ELSE CAST(0 AS DECIMAL(18,2)) END) AS x,
+           SUM(CASE WHEN event_type = 'purchase'
+                    AND ts >= TIMESTAMP '{_DID_BOUNDARY}'
+               THEN CAST(value AS DECIMAL(18,2))
+               ELSE CAST(0 AS DECIMAL(18,2)) END) AS y
+    FROM events GROUP BY user_id, arm
+),
+mom AS (
+    SELECT count(*) AS nu,
+           SUM(x) AS sx, SUM(y) AS sy,
+           SUM(x * y) AS sxy, SUM(x * x) AS sxx, SUM(y * y) AS syy
+    FROM per_user
+),
+arms AS (
+    SELECT arm, count(*) AS n_users,
+           SUM(x) AS ax, SUM(y) AS ay
+    FROM per_user GROUP BY arm
+)
+SELECT arm, CAST(n_users AS BIGINT) AS n_users,
+       {round_sql("CAST(ay AS DOUBLE) / n_users")} AS mean_post,
+       {round_sql("CAST(ax AS DOUBLE) / n_users")} AS mean_pre,
+       {round_sql(f"CAST(ay AS DOUBLE) / n_users - {_CUPED_THETA}"
+                  f" * (CAST(ax AS DOUBLE) / n_users"
+                  f" - CAST(sx AS DOUBLE) / nu)")} + 0.0
+           AS adj_mean_post,
+       {round_sql(_CUPED_THETA)} + 0.0 AS theta,
+       {round_sql(_CUPED_RHO2)} AS var_reduction
+FROM arms CROSS JOIN mom
+""")
+def cuped_variance_reduction(spark: SparkSession,
+                             sf_dir: str) -> DataFrame:
+    """Per-arm raw vs CUPED-adjusted post-period mean spend, the
+    pooled theta, and the variance-reduction factor rho^2."""
+    events = load_table(spark, sf_dir, "events")
+    arm = F.when(
+        (md5_long(F.concat(F.lit("ab:"),
+                           F.col("user_id").cast("string"))) % 2) == 1,
+        "treatment").otherwise("control")
+    boundary = F.lit(_DID_BOUNDARY).cast("timestamp")
+    z = F.lit(0).cast("decimal(18,2)")
+    pre = F.when((F.col("event_type") == "purchase")
+                 & (F.col("ts") < boundary),
+                 F.col("value").cast("decimal(18,2)")).otherwise(z)
+    post = F.when((F.col("event_type") == "purchase")
+                  & (F.col("ts") >= boundary),
+                  F.col("value").cast("decimal(18,2)")).otherwise(z)
+    per_user = (events.select("user_id", arm.alias("arm"),
+                              pre.alias("px"), post.alias("py"))
+                .groupBy("user_id", "arm")
+                .agg(F.sum("px").alias("x"), F.sum("py").alias("y")))
+    mom = per_user.agg(
+        F.count("*").alias("nu"),
+        F.sum("x").alias("sx"), F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"))
+    arms = per_user.groupBy("arm").agg(
+        F.count("*").alias("n_users"),
+        F.sum("x").alias("ax"), F.sum("y").alias("ay"))
+    d = lambda c: F.col(c).cast("double")  # noqa: E731
+    cov = d("sxy") - d("sx") * d("sy") / F.col("nu")
+    varx = d("sxx") - d("sx") * d("sx") / F.col("nu")
+    vary = d("syy") - d("sy") * d("sy") / F.col("nu")
+    theta = cov / varx
+    rho2 = cov * cov / (varx * vary)
+    mean_post = d("ay") / F.col("n_users")
+    mean_pre = d("ax") / F.col("n_users")
+    adj = mean_post - theta * (mean_pre - d("sx") / F.col("nu"))
+    return (arms.crossJoin(F.broadcast(mom))
+            .select("arm", F.col("n_users").cast("long").alias("n_users"),
+                    F.round(mean_post, 6).alias("mean_post"),
+                    F.round(mean_pre, 6).alias("mean_pre"),
+                    (F.round(adj, 6) + 0.0).alias("adj_mean_post"),
+                    (F.round(theta, 6) + 0.0).alias("theta"),
+                    F.round(rho2, 6).alias("var_reduction")))
