@@ -289,8 +289,9 @@ GREEN: frozenset[str] = frozenset({
 # ONE round-7-changed-code re-proof seat (count_min_heavy_hitters —
 # refactored onto the shared cm_pairs/user_cm_cells builders for the
 # streaming twin; plan-identical, sweep-validated at 3 SFs), then the
-# 15 round-9 queries (ordered_names already queues them at positions
-# 54-68: ab_sprt_curve .. l_diversity_audit), then high-churn greens.
+# 18 round-9 queries (ordered_names already queues them at positions
+# 54-71: ab_sprt_curve .. cuped_variance_reduction), then high-churn
+# greens.
 PRIORITY_HEAD: tuple[str, ...] = (
     # --- round-6 overflow seats (10, long-green, carried per policy) ---
     "heaps_law_vocab_growth",
