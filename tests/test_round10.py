@@ -1,0 +1,375 @@
+"""Round-10 candidate queries (authored round 7) — invariants and
+python models the oracle comparison can't see."""
+
+from __future__ import annotations
+
+import hashlib
+import math
+import re
+from collections import Counter, defaultdict
+from decimal import ROUND_HALF_UP, Decimal
+
+from pyspark.sql import functions as F
+
+
+def _md5_long(s: str) -> int:
+    return int(hashlib.md5(s.encode()).hexdigest()[:15], 16)
+
+
+def _round6(x: float) -> float:
+    return float(Decimal(repr(x)).quantize(Decimal("0.000001"),
+                                           rounding=ROUND_HALF_UP))
+
+
+def _norm(text: str) -> str:
+    return re.sub(r"\s+", " ", text.lower()).strip()
+
+
+def _docs(spark, sf_smoke):
+    return spark.read.parquet(f"{sf_smoke}/documents.parquet").collect()
+
+
+# ---------------------------------------------------------------------------
+# length_drift_wasserstein
+# ---------------------------------------------------------------------------
+
+def test_wasserstein_matches_python_model(spark, sf_smoke):
+    from travel_data_pipeline_spark.queries_round10 import (
+        _LD_BIN,
+        length_drift_wasserstein,
+    )
+
+    docs = _docs(spark, sf_smoke)
+    bins = [(r.source, int(math.floor(r.n_chars / float(_LD_BIN))))
+            for r in docs]
+    grid = sorted({b for _, b in bins})
+    tot_all = len(bins)
+    by_src = defaultdict(Counter)
+    for s, b in bins:
+        by_src[s][b] += 1
+    all_c = Counter(b for _, b in bins)
+
+    got = {r.source: r for r in
+           length_drift_wasserstein(spark, sf_smoke).collect()}
+    assert set(got) == set(by_src)
+    for s, cnts in by_src.items():
+        tot_s = sum(cnts.values())
+        cum_s = cum_a = 0
+        w1 = 0.0
+        for b in grid:
+            cum_s += cnts.get(b, 0)
+            cum_a += all_c[b]
+            w1 += abs(float(cum_s) / float(tot_s)
+                      - float(cum_a) / float(tot_all))
+        r = got[s]
+        assert r.n_docs == tot_s
+        assert r.n_bins == len(grid)
+        assert r.w1_bins == _round6(w1)
+        # W1 on a shared grid is bounded by the grid span
+        assert 0.0 <= r.w1_bins <= len(grid)
+
+
+# ---------------------------------------------------------------------------
+# ab_power_mde
+# ---------------------------------------------------------------------------
+
+def test_ab_power_mde_model_and_monotone(spark, sf_smoke):
+    from travel_data_pipeline_spark.queries_round10 import (
+        _POWER_Z,
+        _Z_ALPHA,
+        ab_power_mde,
+    )
+
+    events = spark.read.parquet(f"{sf_smoke}/events.parquet").collect()
+    n = [0, 0]
+    x = [0, 0]
+    for e in events:
+        a = _md5_long(f"ab:{e.user_id}") % 2
+        n[a] += 1
+        x[a] += 1 if e.event_type == "purchase" else 0
+
+    rows = {r.power_level: r for r in ab_power_mde(spark, sf_smoke).collect()}
+    assert set(rows) == {lbl for lbl, _ in _POWER_Z}
+    zmap = dict(_POWER_Z)
+    mdes = []
+    for lbl, r in rows.items():
+        assert (r.n_ctrl, r.n_treat, r.x_ctrl, r.x_treat) == (
+            n[0], n[1], x[0], x[1])
+        assert 0 < r.x_ctrl < r.n_ctrl and 0 < r.x_treat < r.n_treat
+        p = float(r.x_ctrl + r.x_treat) / float(r.n_ctrl + r.n_treat)
+        mde = ((_Z_ALPHA + zmap[lbl])
+               * math.sqrt(p * (1.0 - p)
+                           * (1.0 / float(r.n_ctrl)
+                              + 1.0 / float(r.n_treat))))
+        assert r.p_pool == _round6(p)
+        assert r.mde_abs == _round6(mde)
+        assert r.mde_rel == _round6(mde / p)
+        mdes.append((zmap[lbl], r.mde_abs))
+    # higher power demands a larger detectable effect
+    mdes.sort()
+    assert mdes[0][1] < mdes[1][1] < mdes[2][1]
+
+
+# ---------------------------------------------------------------------------
+# dp_noisy_event_counts
+# ---------------------------------------------------------------------------
+
+def test_dp_noise_matches_inverse_cdf_model(spark, sf_smoke):
+    from travel_data_pipeline_spark.queries_round10 import (
+        _DP_EPS,
+        dp_noisy_event_counts,
+    )
+
+    rows = dp_noisy_event_counts(spark, sf_smoke).collect()
+    assert rows
+    for r in rows:
+        u = (_md5_long(f"dp:{r.event_type}") % 1000000 + 0.5) / 1000000.0
+        noise = (-(1.0 / _DP_EPS) * math.copysign(1.0, u - 0.5)
+                 * math.log(1.0 - 2.0 * abs(u - 0.5)))
+        assert r.noise == _round6(noise) + 0.0
+        assert r.noisy_count == _round6(r.n + noise) + 0.0
+        assert r.epsilon == _DP_EPS
+        assert r.epsilon_total == _DP_EPS * len(rows)
+
+
+def test_dp_noise_is_replayable(spark, sf_smoke):
+    from travel_data_pipeline_spark.queries_round10 import (
+        dp_noisy_event_counts,
+    )
+
+    a = sorted(map(tuple, dp_noisy_event_counts(spark, sf_smoke).collect()))
+    b = sorted(map(tuple, dp_noisy_event_counts(spark, sf_smoke).collect()))
+    assert a == b
+
+
+# ---------------------------------------------------------------------------
+# ipw_ate_stratified
+# ---------------------------------------------------------------------------
+
+def test_ipw_matches_python_model(spark, sf_smoke):
+    from travel_data_pipeline_spark.queries_round10 import (
+        ipw_ate_stratified,
+    )
+
+    orders = spark.read.parquet(f"{sf_smoke}/orders.parquet").collect()
+    cust = {r.c_custkey: r.c_mktsegment for r in
+            spark.read.parquet(f"{sf_smoke}/customer.parquet").collect()}
+    y = defaultdict(Decimal)
+    for o in orders:
+        y[o.o_custkey] += Decimal(repr(o.o_totalprice)).quantize(
+            Decimal("0.01"), rounding=ROUND_HALF_UP)
+    strata = defaultdict(lambda: [0, 0, Decimal(0), Decimal(0)])
+    for ck, yv in y.items():
+        seg = cust[ck]
+        arm = _md5_long(f"exp:{ck}") % 2
+        st = strata[seg]
+        st[0] += 1
+        if arm == 1:
+            st[1] += 1
+            st[2] += yv
+        else:
+            st[3] += yv
+
+    rows = {r.segment: r for r in
+            ipw_ate_stratified(spark, sf_smoke).collect()}
+    big_n = sum(st[0] for st in strata.values())
+    terms = []
+    for seg in sorted(strata):
+        n, n_t, sy_t, sy_c = strata[seg]
+        mean_t = float(sy_t) / float(n_t)
+        mean_c = float(sy_c) / float(n - n_t)
+        r = rows[seg]
+        assert (r.n, r.n_treat) == (n, n_t)
+        assert r.e_hat == _round6(float(n_t) / float(n))
+        assert r.mean_treat == _round6(mean_t)
+        assert r.mean_ctrl == _round6(mean_c)
+        assert r.ate == _round6(mean_t - mean_c) + 0.0
+        terms.append((float(n) / float(big_n)) * (mean_t - mean_c))
+    allr = rows["ALL"]
+    assert allr.n == big_n
+    assert allr.mean_treat is None and allr.mean_ctrl is None
+    assert allr.ate == _round6(_seq_sum(terms)) + 0.0
+
+
+def _seq_sum(xs):
+    acc = 0.0
+    for x in xs:
+        acc += x
+    return acc
+
+
+# ---------------------------------------------------------------------------
+# conformal_interval_coverage
+# ---------------------------------------------------------------------------
+
+def test_conformal_q_is_exact_order_statistic(spark, sf_smoke):
+    from travel_data_pipeline_spark.queries_round10 import (
+        conformal_interval_coverage,
+    )
+
+    orders = spark.read.parquet(f"{sf_smoke}/orders.parquet").collect()
+    split = [(o.o_orderkey, o.o_orderpriority, o.o_totalprice,
+              _md5_long(f"cf:{o.o_orderkey}") % 10) for o in orders]
+    model = {}
+    sums = defaultdict(lambda: [Decimal(0), 0])
+    for k, pri, y, b in split:
+        if b <= 5:
+            s = sums[pri]
+            s[0] += Decimal(repr(y)).quantize(Decimal("0.01"),
+                                              rounding=ROUND_HALF_UP)
+            s[1] += 1
+    for pri, (sy, n) in sums.items():
+        model[pri] = float(sy) / float(n)
+    calib = sorted((abs(y - model[pri]), k)
+                   for k, pri, y, b in split if 6 <= b <= 8)
+    n_cal = len(calib)
+    k_idx = (9 * (n_cal + 1) + 9) // 10
+    q_hat = calib[k_idx - 1][0]
+    test = [(pri, abs(y - model[pri]) <= q_hat)
+            for k, pri, y, b in split if b == 9]
+
+    rows = {r.priority: r for r in
+            conformal_interval_coverage(spark, sf_smoke).collect()}
+    assert rows["ALL"].q_hat == _round6(q_hat)
+    n_test = len(test)
+    n_cov = sum(1 for _, c in test if c)
+    assert rows["ALL"].n_test == n_test
+    assert rows["ALL"].n_covered == n_cov
+    assert rows["ALL"].coverage == _round6(float(n_cov) / float(n_test))
+    # split-conformal guarantee is >= 1 - alpha in expectation; allow
+    # generous finite-sample slack at smoke scale
+    assert rows["ALL"].coverage >= 0.75
+
+
+# ---------------------------------------------------------------------------
+# negative_sampling_table
+# ---------------------------------------------------------------------------
+
+def test_negative_sampling_model_and_boost_order(spark, sf_smoke):
+    from travel_data_pipeline_spark.queries_round10 import (
+        negative_sampling_table,
+    )
+
+    docs = _docs(spark, sf_smoke)
+    freq = Counter()
+    for d in docs:
+        freq.update(w for w in _norm(d.text).split(" ") if w)
+    top = sorted(freq.items(), key=lambda kv: (-kv[1], kv[0]))[:200]
+    ws = {t: math.sqrt(f * math.sqrt(f)) for t, f in top}
+    z = _seq_sum([w for _, w in sorted(ws.items())])
+    f_tot = sum(f for _, f in top)
+
+    rows = {r.token: r for r in
+            negative_sampling_table(spark, sf_smoke).collect()}
+    assert set(rows) == {t for t, _ in top}
+    for t, f in top:
+        r = rows[t]
+        assert r.freq == f
+        assert r.prob_smoothed == _round6(ws[t] / z)
+        assert r.prob_freq == _round6(float(f) / float(f_tot))
+        assert r.boost == _round6((ws[t] / z) / (float(f) / float(f_tot)))
+    # boost is monotone non-increasing in frequency (f^{-1/4} shape)
+    by_freq = sorted(rows.values(), key=lambda r: (-r.freq, r.token))
+    for a, b in zip(by_freq, by_freq[1:]):
+        if a.freq > b.freq:
+            assert a.boost <= b.boost
+    # probabilities sum to ~1 (rounding tolerance only)
+    assert abs(sum(r.prob_smoothed for r in rows.values()) - 1.0) < 1e-3
+    assert abs(sum(r.prob_freq for r in rows.values()) - 1.0) < 1e-3
+
+
+# ---------------------------------------------------------------------------
+# hill_tail_index
+# ---------------------------------------------------------------------------
+
+def test_hill_matches_python_model(spark, sf_smoke):
+    from travel_data_pipeline_spark.queries_round10 import (
+        _HILL_K,
+        hill_tail_index,
+    )
+
+    orders = spark.read.parquet(f"{sf_smoke}/orders.parquet").collect()
+    top = sorted(((o.o_totalprice, o.o_orderkey) for o in orders),
+                 key=lambda t: (-t[0], t[1]))[:_HILL_K]
+    k = len(top)
+    x_k = top[-1][0]
+    terms = [(i + 1, math.log(x) - math.log(x_k))
+             for i, (x, _) in enumerate(top[:-1])]
+    s = _seq_sum([t for _, t in sorted(terms)])
+    gamma = s / float(k - 1)
+
+    r = hill_tail_index(spark, sf_smoke).collect()
+    assert len(r) == 1
+    r = r[0]
+    assert r.k == k
+    assert r.x_k == x_k
+    assert r.hill_gamma == _round6(gamma)
+    assert r.hill_alpha == _round6(float(k - 1) / s)
+    assert r.hill_gamma > 0
+
+
+# ---------------------------------------------------------------------------
+# vocab_jaccard_source_matrix
+# ---------------------------------------------------------------------------
+
+def test_vocab_jaccard_bounds_and_pair_count(spark, sf_smoke):
+    from travel_data_pipeline_spark.queries_round10 import (
+        vocab_jaccard_source_matrix,
+    )
+
+    rows = vocab_jaccard_source_matrix(spark, sf_smoke).collect()
+    assert rows
+    sources = set()
+    for r in rows:
+        assert r.source_a < r.source_b
+        assert 0 < r.n_inter <= min(r.size_a, r.size_b) or r.n_inter == 0
+        assert 0.0 <= r.jaccard <= 1.0
+        expected = r.n_inter / float(r.size_a + r.size_b - r.n_inter)
+        assert r.jaccard == _round6(expected)
+        sources.update((r.source_a, r.source_b))
+    # every unordered pair appears at most once
+    pairs = {(r.source_a, r.source_b) for r in rows}
+    assert len(pairs) == len(rows)
+    assert len(rows) <= len(sources) * (len(sources) - 1) // 2
+
+
+# ---------------------------------------------------------------------------
+# dup_pairs_cross_shard
+# ---------------------------------------------------------------------------
+
+def test_dup_cross_shard_matches_python_model(spark, sf_smoke):
+    from travel_data_pipeline_spark.queries_round10 import (
+        _DPX_SHARDS,
+        dup_pairs_cross_shard,
+    )
+    from travel_data_pipeline_spark.queries_northstar import PLANT_OFFSET
+
+    docs = _docs(spark, sf_smoke)
+    aug = [(d.doc_id, d.text) for d in docs]
+    aug += [(d.doc_id + PLANT_OFFSET, d.text) for d in docs if d.doc_id < 5]
+    groups = defaultdict(list)
+    for doc_id, text in aug:
+        key = hashlib.md5(_norm(text).encode()).hexdigest()
+        groups[key].append(_md5_long(f"shard:{doc_id}") % _DPX_SHARDS)
+    n_groups = n_docs = total = same = 0
+    for shards in groups.values():
+        n = len(shards)
+        if n <= 1:
+            continue
+        n_groups += 1
+        n_docs += n
+        total += n * (n - 1) // 2
+        c = Counter(shards)
+        same += sum(v * (v - 1) // 2 for v in c.values())
+
+    r = dup_pairs_cross_shard(spark, sf_smoke).collect()[0]
+    assert r.n_dup_groups == n_groups
+    assert r.n_dup_docs == n_docs
+    assert r.pairs_total == total
+    assert r.pairs_same_shard == same
+    assert r.pairs_cross_shard == total - same
+    assert r.pairs_total == r.pairs_same_shard + r.pairs_cross_shard
+    if total:
+        assert r.cross_share == _round6((total - same) / float(total))
+    # the smoke corpus has the 5 planted dup groups
+    assert n_groups >= 1

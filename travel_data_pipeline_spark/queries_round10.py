@@ -1,0 +1,896 @@
+"""Round-10 candidate queries (written in round 7) — extending the
+LLM-training-data-pipeline and experimentation coverage into
+distribution drift, experiment design, privacy accounting, causal
+estimation, conformal calibration, and sampling-table construction:
+
+- length_drift_wasserstein: per-source Wasserstein-1 distance between
+  the source's doc-length distribution and the corpus distribution on
+  a bounded bin grid — the earth-mover sibling of ks_source_drift (KS
+  sees the worst POINT gap; W1 sees the total transported mass, which
+  is what a mixture rebalancer actually pays).
+- ab_power_mde: minimal detectable effect of the current A/B split at
+  80/90/95% power — the experiment-design readout that belongs NEXT TO
+  ab_assignment_outcomes' realized z-test (is this experiment even
+  powered to see the lift we care about?).
+- dp_noisy_event_counts: differentially-private count release with
+  deterministic pseudo-Laplace noise (md5 inverse-CDF — the Poisson
+  bootstrap discipline applied to DP) and per-release epsilon
+  accounting. Deterministic noise keeps the release oracle-testable;
+  swapping the md5 unit for a real RNG is a one-line production change.
+
+Float discipline (registry.py docstring is authoritative): exact
+integer/decimal moments everywhere; transcendental CONSTANTS are
+python literals embedded in both engines; per-row ln/sqrt on shared
+expression trees only (sqrt is IEEE correctly-rounded; ln follows the
+entropy/log-odds precedent); bounded-cardinality float sums fold over
+SORTED arrays; rounded outputs use parity.round_sql in the oracle and
+`+ 0.0` wherever a rounded value can be a negative zero.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from travel_data_pipeline_spark.functions.hashing import (
+    md5_long,
+    md5_long_sql,
+)
+from travel_data_pipeline_spark.functions.parity import round_sql
+from travel_data_pipeline_spark.registry import register
+from travel_data_pipeline_spark.sources.readers import load_table
+
+# ---------------------------------------------------------------------------
+# Wasserstein-1 length drift by source.
+#
+# Doc lengths are histogrammed into 50-char bins (n_chars is bounded,
+# so the grid is a CONSTANT ~12 bins regardless of corpus size). For
+# each source, W1 between the source CDF and the corpus CDF on that
+# grid is sum_b |F_src(b) - F_all(b)| (in bin units; multiply by the
+# bin width for chars). Everything after the first (source, bin)
+# grouped count runs on bounded relations: the cross of |sources| x
+# |bins| cells, per-source windows over <= |bins| rows, and a sorted
+# fold of <= |bins| double terms per source.
+#
+# Scale shape: ONE corpus-sized shuffle (the grouped count); no
+# data-scaled window, no data-scaled sort. At 100 TB the histogram is
+# still |sources| x |bins| rows.
+# ---------------------------------------------------------------------------
+
+_LD_BIN = 50
+
+
+@register("length_drift_wasserstein", f"""
+WITH b AS (
+    SELECT source, CAST(floor(n_chars / {_LD_BIN}.0) AS BIGINT) AS bin
+    FROM documents
+),
+src AS (SELECT source, COUNT(*) AS tot_s FROM b GROUP BY source),
+grid AS (SELECT DISTINCT bin FROM b),
+tot AS (SELECT COUNT(*) AS tot_all FROM b),
+sb AS (SELECT source, bin, COUNT(*) AS c FROM b GROUP BY source, bin),
+gb AS (SELECT bin, COUNT(*) AS c FROM b GROUP BY bin),
+cells AS (
+    SELECT s.source, s.tot_s, g.bin,
+           COALESCE(sb.c, 0) AS c_s, gb.c AS c_all
+    FROM src s CROSS JOIN grid g
+    LEFT JOIN sb ON sb.source = s.source AND sb.bin = g.bin
+    JOIN gb ON gb.bin = g.bin
+),
+cums AS (
+    SELECT source, tot_s, bin,
+           SUM(c_s) OVER (PARTITION BY source ORDER BY bin
+               ROWS UNBOUNDED PRECEDING) AS cum_s,
+           SUM(c_all) OVER (PARTITION BY source ORDER BY bin
+               ROWS UNBOUNDED PRECEDING) AS cum_all
+    FROM cells
+),
+terms AS (
+    SELECT source, tot_s, bin,
+           abs(CAST(cum_s AS DOUBLE) / CAST(tot_s AS DOUBLE)
+               - CAST(cum_all AS DOUBLE) / CAST(tot_all AS DOUBLE)) AS term
+    FROM cums CROSS JOIN tot
+),
+folded AS (
+    SELECT source, MIN(tot_s) AS n_docs, COUNT(*) AS n_bins,
+           list(term ORDER BY bin) AS ts
+    FROM terms GROUP BY source
+)
+SELECT source, CAST(n_docs AS BIGINT) AS n_docs,
+       CAST(n_bins AS BIGINT) AS n_bins,
+       {round_sql('list_reduce(ts, (x, y) -> x + y)')} AS w1_bins
+FROM folded
+""")
+def length_drift_wasserstein(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source W1 distance between source and corpus length CDFs.
+
+    The CDF shares are one shared double expression per cell (exact
+    integer cumsums over the bounded bin grid divided at readout);
+    the per-source W1 folds its <= |bins| terms in pinned bin order.
+    `w1_bins` is in grid-bin units (x {_LD_BIN} for characters)."""
+    docs = load_table(spark, sf_dir, "documents")
+    b = docs.select(
+        "source",
+        F.floor(F.col("n_chars") / F.lit(float(_LD_BIN)))
+        .cast("long").alias("bin"))
+    src = b.groupBy("source").agg(F.count("*").alias("tot_s"))
+    grid = b.select("bin").distinct()
+    tot = b.agg(F.count("*").alias("tot_all"))
+    sb = b.groupBy("source", "bin").agg(F.count("*").alias("c_s"))
+    gb = b.groupBy("bin").agg(F.count("*").alias("c_all"))
+    cells = (src.crossJoin(F.broadcast(grid))
+             .join(sb, ["source", "bin"], "left")
+             .join(F.broadcast(gb), "bin")
+             .select("source", "tot_s", "bin",
+                     F.coalesce(F.col("c_s"), F.lit(0)).alias("c_s"),
+                     "c_all"))
+    w = (Window.partitionBy("source").orderBy("bin")
+         .rowsBetween(Window.unboundedPreceding, 0))
+    cums = (cells.withColumn("cum_s", F.sum("c_s").over(w))
+            .withColumn("cum_all", F.sum("c_all").over(w))
+            .crossJoin(F.broadcast(tot)))
+    term = F.abs(F.col("cum_s").cast("double")
+                 / F.col("tot_s").cast("double")
+                 - F.col("cum_all").cast("double")
+                 / F.col("tot_all").cast("double"))
+    folded = (cums.select("source", "tot_s", "bin", term.alias("term"))
+              .groupBy("source")
+              .agg(F.min("tot_s").alias("n_docs"),
+                   F.count("*").alias("n_bins"),
+                   F.array_sort(F.collect_list(
+                       F.struct("bin", "term"))).alias("ts")))
+    return folded.select(
+        "source", "n_docs", "n_bins",
+        F.round(F.aggregate(F.transform("ts", lambda t: t["term"]),
+                            F.lit(0.0), lambda a, x: a + x), 6)
+        .alias("w1_bins"))
+
+
+# ---------------------------------------------------------------------------
+# A/B power analysis — minimal detectable effect of the current split.
+#
+# Trial = event, success = purchase — the SAME Bernoulli model
+# ab_sprt_curve tests sequentially, with arms split by the md5 'ab:'
+# user hash. For a two-proportion z-test at alpha = 5% two-sided, the
+# MDE at power 1-beta is
+#   (z_{1-a/2} + z_{1-beta}) * sqrt(p*(1-p) * (1/n0 + 1/n1))
+# evaluated at the pooled rate. The z constants are STANDARD normal
+# quantiles embedded as python literals (both engines see identical
+# doubles); sqrt is IEEE correctly-rounded, so the whole expression is
+# deterministic without any rounding tricks before the 6-dp readout.
+# (Event-grain trials assume independence; same-user correlation
+# inflates the true variance — cluster_sampling_design_effect is the
+# registered correction factor for that.)
+#
+# Scale shape: ONE 2-row arm aggregate over the events scan, a
+# broadcast 3-row power grid. Never data-scaled past the first agg.
+# ---------------------------------------------------------------------------
+
+_Z_ALPHA = 1.959963984540054          # Phi^-1(0.975)
+_POWER_Z = [("power_80", 0.8416212335729143),
+            ("power_90", 1.2815515655446004),
+            ("power_95", 1.6448536269514722)]
+
+_AB_ARM = md5_long_sql("'ab:' || CAST(user_id AS VARCHAR)")
+
+
+@register("ab_power_mde", f"""
+WITH trials AS (
+    SELECT ({_AB_ARM} % 2) AS arm,
+           CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS conv
+    FROM events
+),
+arms AS (
+    SELECT SUM(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS n0,
+           SUM(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS n1,
+           SUM(CASE WHEN arm = 0 THEN conv ELSE 0 END) AS x0,
+           SUM(CASE WHEN arm = 1 THEN conv ELSE 0 END) AS x1
+    FROM trials
+),
+expanded AS (
+    SELECT n0, n1, x0, x1, v.power_level, v.zb,
+           CAST(x0 + x1 AS DOUBLE) / CAST(n0 + n1 AS DOUBLE) AS p_pool
+    FROM arms CROSS JOIN (VALUES
+        ('{_POWER_Z[0][0]}', {_POWER_Z[0][1]!r}),
+        ('{_POWER_Z[1][0]}', {_POWER_Z[1][1]!r}),
+        ('{_POWER_Z[2][0]}', {_POWER_Z[2][1]!r})) v(power_level, zb)
+)
+SELECT power_level,
+       CAST(n0 AS BIGINT) AS n_ctrl, CAST(n1 AS BIGINT) AS n_treat,
+       CAST(x0 AS BIGINT) AS x_ctrl, CAST(x1 AS BIGINT) AS x_treat,
+       {round_sql('p_pool')} AS p_pool,
+       {round_sql(f'''({_Z_ALPHA!r} + zb)
+           * sqrt(p_pool * (1.0 - p_pool)
+                  * (1.0 / CAST(n0 AS DOUBLE) + 1.0 / CAST(n1 AS DOUBLE)))''')}
+           AS mde_abs,
+       {round_sql(f'''({_Z_ALPHA!r} + zb)
+           * sqrt(p_pool * (1.0 - p_pool)
+                  * (1.0 / CAST(n0 AS DOUBLE) + 1.0 / CAST(n1 AS DOUBLE)))
+           / p_pool''')} AS mde_rel
+FROM expanded
+""")
+def ab_power_mde(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MDE of the current A/B split at three standard power levels."""
+    events = load_table(spark, sf_dir, "events")
+    arm = (md5_long(F.concat(F.lit("ab:"),
+                             F.col("user_id").cast("string"))) % 2)
+    trials = events.select(
+        arm.alias("arm"),
+        F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+        .alias("conv"))
+    arms = trials.agg(
+        F.sum(F.when(F.col("arm") == 0, 1).otherwise(0)).alias("n0"),
+        F.sum(F.when(F.col("arm") == 1, 1).otherwise(0)).alias("n1"),
+        F.sum(F.when(F.col("arm") == 0, F.col("conv"))
+              .otherwise(0)).alias("x0"),
+        F.sum(F.when(F.col("arm") == 1, F.col("conv"))
+              .otherwise(0)).alias("x1"))
+    powers = F.explode(F.array(*[
+        F.struct(F.lit(lbl).alias("power_level"), F.lit(zb).alias("zb"))
+        for lbl, zb in _POWER_Z])).alias("pw")
+    exp = (arms.select("*", powers)
+           .select("n0", "n1", "x0", "x1",
+                   F.col("pw.power_level").alias("power_level"),
+                   F.col("pw.zb").alias("zb"),
+                   ((F.col("x0") + F.col("x1")).cast("double")
+                    / (F.col("n0") + F.col("n1")).cast("double"))
+                   .alias("p_pool")))
+    mde = ((F.lit(_Z_ALPHA) + F.col("zb"))
+           * F.sqrt(F.col("p_pool") * (F.lit(1.0) - F.col("p_pool"))
+                    * (F.lit(1.0) / F.col("n0").cast("double")
+                       + F.lit(1.0) / F.col("n1").cast("double"))))
+    return exp.select(
+        "power_level",
+        F.col("n0").alias("n_ctrl"), F.col("n1").alias("n_treat"),
+        F.col("x0").alias("x_ctrl"), F.col("x1").alias("x_treat"),
+        F.round("p_pool", 6).alias("p_pool"),
+        F.round(mde, 6).alias("mde_abs"),
+        F.round(mde / F.col("p_pool"), 6).alias("mde_rel"))
+
+
+# ---------------------------------------------------------------------------
+# Differentially-private count release with deterministic pseudo-noise.
+#
+# Laplace mechanism for per-event_type counts (sensitivity 1, eps = 1):
+# noise = -(1/eps) * sign(u - 1/2) * ln(1 - 2|u - 1/2|), the standard
+# inverse-CDF draw, with u derived from md5 of the release key — the
+# SAME trick poisson_bootstrap_ci uses for replicate weights, applied
+# to DP. Deterministic noise keeps the release oracle-verifiable and
+# replayable (a real deployment swaps the md5 unit for a secure RNG —
+# nothing else changes). u = (md5 % 1e6 + 0.5)/1e6 lies in (0,1) and
+# never equals 1/2, so the ln argument is >= 1e-6.
+#
+# epsilon accounting: each row carries its per-release epsilon and the
+# sequential-composition total over the whole release (bounded window
+# over |event types| rows).
+# ---------------------------------------------------------------------------
+
+_DP_EPS = 1.0
+
+_DP_KEY = md5_long_sql("'dp:' || event_type")
+_DP_U = f"((({_DP_KEY}) % 1000000 + 0.5) / 1000000.0)"
+_DP_NOISE = (f"(-(1.0 / {_DP_EPS!r}) * sign({_DP_U} - 0.5)"
+             f" * ln(1.0 - 2.0 * abs({_DP_U} - 0.5)))")
+
+
+@register("dp_noisy_event_counts", f"""
+WITH counts AS (
+    SELECT event_type, COUNT(*) AS n FROM events GROUP BY event_type
+)
+SELECT event_type, CAST(n AS BIGINT) AS n,
+       {_DP_EPS!r} AS epsilon,
+       CAST(COUNT(*) OVER () AS DOUBLE) * {_DP_EPS!r} AS epsilon_total,
+       {round_sql(_DP_NOISE)} + 0.0 AS noise,
+       {round_sql(f'CAST(n AS DOUBLE) + {_DP_NOISE}')} + 0.0
+           AS noisy_count
+FROM counts
+""")
+def dp_noisy_event_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Laplace-mechanism count release with epsilon accounting.
+
+    The noise expression is one shared double tree (md5 unit ->
+    inverse CDF); `+ 0.0` guards both rounded columns (noise is
+    symmetric around zero and can round to -0.0)."""
+    events = load_table(spark, sf_dir, "events")
+    counts = events.groupBy("event_type").agg(F.count("*").alias("n"))
+    u = ((md5_long(F.concat(F.lit("dp:"), F.col("event_type")))
+          % 1000000).cast("double") + F.lit(0.5)) / F.lit(1000000.0)
+    noise = (F.lit(-1.0 / _DP_EPS) * F.signum(u - F.lit(0.5))
+             * F.log(F.lit(1.0) - F.lit(2.0) * F.abs(u - F.lit(0.5))))
+    # the release set is |event types| rows — the unpartitioned count
+    # window is bounded, never data-scaled
+    w_all = Window.partitionBy()
+    return counts.select(
+        "event_type", "n",
+        F.lit(_DP_EPS).alias("epsilon"),
+        (F.count("*").over(w_all).cast("double") * F.lit(_DP_EPS))
+        .alias("epsilon_total"),
+        (F.round(noise, 6) + F.lit(0.0)).alias("noise"),
+        (F.round(F.col("n").cast("double") + noise, 6) + F.lit(0.0))
+        .alias("noisy_count"))
+
+
+# ---------------------------------------------------------------------------
+# Stratified IPW / ATE — causal readout of the deterministic A/B split.
+#
+# Unit = customer with >= 1 order; treatment = md5 'exp:' split;
+# outcome = total order spend (DECIMAL(18,2) sums — order-independent);
+# strata = c_mktsegment (bounded, 5 values). Within a stratum the
+# propensity e_s = n_treat/n is constant, so the IPW (Hajek) estimator
+# reduces to the stratified difference of means:
+#   ATE = sum_s (n_s / N) * (mean_treat_s - mean_ctrl_s)
+# Every moment is an exact integer/decimal aggregate; the only float
+# work is per-row ratio trees and a sorted fold over the <= 5 stratum
+# terms. Since the split is md5-random, ATE ~ 0 — the estimator's
+# correctness is the observable, not the effect.
+#
+# Scale shape: one orders->customer broadcast-ready join, one grouped
+# aggregate on (segment, arm); everything after is bounded.
+# ---------------------------------------------------------------------------
+
+_IPW_ARM = md5_long_sql("'exp:' || CAST(c_custkey AS VARCHAR)")
+
+
+@register("ipw_ate_stratified", f"""
+WITH units AS (
+    SELECT c.c_custkey, c.c_mktsegment AS segment,
+           ({_IPW_ARM} % 2) AS arm,
+           SUM(CAST(o.o_totalprice AS DECIMAL(18,2))) AS y
+    FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+    GROUP BY c.c_custkey, segment, arm
+),
+strata AS (
+    SELECT segment, COUNT(*) AS n,
+           SUM(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS n_t,
+           SUM(CASE WHEN arm = 1 THEN y ELSE CAST(0 AS DECIMAL(18,2)) END)
+               AS sy_t,
+           SUM(CASE WHEN arm = 0 THEN y ELSE CAST(0 AS DECIMAL(18,2)) END)
+               AS sy_c
+    FROM units GROUP BY segment
+),
+tot AS (SELECT SUM(n) AS big_n FROM strata),
+per AS (
+    SELECT segment, n, n_t,
+           CAST(n_t AS DOUBLE) / CAST(n AS DOUBLE) AS e_hat,
+           CAST(sy_t AS DOUBLE) / CAST(n_t AS DOUBLE) AS mean_t,
+           CAST(sy_c AS DOUBLE) / CAST(n - n_t AS DOUBLE) AS mean_c
+    FROM strata
+),
+terms AS (
+    SELECT p.segment, p.n, p.n_t, p.e_hat, p.mean_t, p.mean_c,
+           (CAST(p.n AS DOUBLE) / CAST(t.big_n AS DOUBLE))
+               * (p.mean_t - p.mean_c) AS term
+    FROM per p CROSS JOIN tot t
+)
+SELECT segment, CAST(n AS BIGINT) AS n, CAST(n_t AS BIGINT) AS n_treat,
+       {round_sql('e_hat')} AS e_hat,
+       {round_sql('mean_t')} AS mean_treat,
+       {round_sql('mean_c')} AS mean_ctrl,
+       {round_sql('mean_t - mean_c')} + 0.0 AS ate
+FROM terms
+UNION ALL
+SELECT 'ALL', CAST(SUM(n) AS BIGINT), CAST(SUM(n_t) AS BIGINT),
+       {round_sql('CAST(SUM(n_t) AS DOUBLE) / CAST(SUM(n) AS DOUBLE)')},
+       CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE),
+       {round_sql('list_reduce(list(term ORDER BY segment), (x, y) -> x + y)')}
+           + 0.0
+FROM terms
+""")
+def ipw_ate_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stratified difference-of-means ATE with propensity readout.
+
+    Per-stratum rows carry e_hat / arm means / stratum ATE; the 'ALL'
+    row folds the <= 5 stratum terms in pinned segment order (its arm
+    means are NULL — a pooled mean would NOT be the stratified
+    estimand, so we don't print one)."""
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_custkey", "o_totalprice")
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_mktsegment")
+    arm = (md5_long(F.concat(F.lit("exp:"),
+                             F.col("c_custkey").cast("string"))) % 2)
+    units = (orders.join(cust, orders.o_custkey == cust.c_custkey)
+             .groupBy(F.col("c_custkey"),
+                      F.col("c_mktsegment").alias("segment"),
+                      arm.alias("arm"))
+             .agg(F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+                  .alias("y")))
+    zero = F.lit(0).cast("decimal(18,2)")
+    strata = units.groupBy("segment").agg(
+        F.count("*").alias("n"),
+        F.sum(F.when(F.col("arm") == 1, 1).otherwise(0)).alias("n_t"),
+        F.sum(F.when(F.col("arm") == 1, F.col("y")).otherwise(zero))
+        .alias("sy_t"),
+        F.sum(F.when(F.col("arm") == 0, F.col("y")).otherwise(zero))
+        .alias("sy_c"))
+    tot = strata.agg(F.sum("n").alias("big_n"))
+    per = strata.select(
+        "segment", "n", "n_t",
+        (F.col("n_t").cast("double") / F.col("n").cast("double"))
+        .alias("e_hat"),
+        (F.col("sy_t").cast("double") / F.col("n_t").cast("double"))
+        .alias("mean_t"),
+        (F.col("sy_c").cast("double")
+         / (F.col("n") - F.col("n_t")).cast("double")).alias("mean_c"))
+    terms = per.crossJoin(F.broadcast(tot)).select(
+        "segment", "n", "n_t", "e_hat", "mean_t", "mean_c",
+        ((F.col("n").cast("double") / F.col("big_n").cast("double"))
+         * (F.col("mean_t") - F.col("mean_c"))).alias("term"))
+    per_rows = terms.select(
+        "segment", "n", F.col("n_t").alias("n_treat"),
+        F.round("e_hat", 6).alias("e_hat"),
+        F.round("mean_t", 6).alias("mean_treat"),
+        F.round("mean_c", 6).alias("mean_ctrl"),
+        (F.round(F.col("mean_t") - F.col("mean_c"), 6) + F.lit(0.0))
+        .alias("ate"))
+    all_row = (terms.agg(
+        F.sum("n").alias("n"), F.sum("n_t").alias("n_treat"),
+        F.array_sort(F.collect_list(F.struct("segment", "term")))
+        .alias("ts"))
+        .select(F.lit("ALL").alias("segment"), "n", "n_treat",
+                F.round(F.col("n_treat").cast("double")
+                        / F.col("n").cast("double"), 6).alias("e_hat"),
+                F.lit(None).cast("double").alias("mean_treat"),
+                F.lit(None).cast("double").alias("mean_ctrl"),
+                (F.round(F.aggregate(
+                    F.transform("ts", lambda t: t["term"]),
+                    F.lit(0.0), lambda a, x: a + x), 6) + F.lit(0.0))
+                .alias("ate")))
+    return per_rows.unionByName(all_row)
+
+
+# ---------------------------------------------------------------------------
+# Split-conformal prediction intervals — calibration + coverage audit.
+#
+# Orders are split by md5 into train (60%) / calibration (30%) /
+# test (10%). The predictor is the per-o_orderpriority mean price fit
+# on train (decimal-exact mean); the conformal quantile q is the
+# ceil((n_cal+1)*(1-alpha))-th smallest absolute calibration residual
+# — an EXACT order statistic (picked, not accumulated), computed with
+# a two-phase global rank (no single-partition sort) and exact integer
+# arithmetic for the rank index (ceil(9(n+1)/10) = (9(n+1)+9)//10 —
+# never a float boundary). Split conformal guarantees
+# P(|y - yhat| <= q) >= 1 - alpha on exchangeable data; the test rows
+# report realized coverage per priority and overall.
+#
+# Scale shape: grouped decimal means, one broadcast join of the 5-row
+# model, two_phase_ordered for the global residual rank, and a
+# broadcast 1-row q. Nothing data-scaled sorts on one partition.
+# ---------------------------------------------------------------------------
+
+_CF_SPLIT = md5_long_sql("'cf:' || CAST(o_orderkey AS VARCHAR)")
+_CF_ALPHA = 0.1
+
+
+@register("conformal_interval_coverage", f"""
+WITH split AS (
+    SELECT o_orderkey, o_orderpriority, o_totalprice,
+           ({_CF_SPLIT} % 10) AS bucket
+    FROM orders
+),
+model AS (
+    SELECT o_orderpriority,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+               / CAST(COUNT(*) AS DOUBLE) AS yhat
+    FROM split WHERE bucket <= 5 GROUP BY o_orderpriority
+),
+calib AS (
+    SELECT s.o_orderkey,
+           abs(s.o_totalprice - m.yhat) AS r
+    FROM split s JOIN model m USING (o_orderpriority)
+    WHERE s.bucket BETWEEN 6 AND 8
+),
+ranked AS (
+    SELECT r, ROW_NUMBER() OVER (ORDER BY r, o_orderkey) AS rnk,
+           COUNT(*) OVER () AS n_cal
+    FROM calib
+),
+q AS (
+    SELECT r AS q_hat, n_cal FROM ranked
+    WHERE rnk = (9 * (n_cal + 1) + 9) // 10
+),
+test AS (
+    SELECT s.o_orderpriority,
+           CASE WHEN abs(s.o_totalprice - m.yhat) <= q.q_hat
+                THEN 1 ELSE 0 END AS covered
+    FROM split s JOIN model m USING (o_orderpriority)
+    CROSS JOIN q
+    WHERE s.bucket = 9
+),
+per AS (
+    SELECT o_orderpriority AS priority, COUNT(*) AS n_test,
+           SUM(covered) AS n_covered
+    FROM test GROUP BY o_orderpriority
+)
+SELECT priority, CAST(n_test AS BIGINT) AS n_test,
+       CAST(n_covered AS BIGINT) AS n_covered,
+       {round_sql('CAST(n_covered AS DOUBLE) / CAST(n_test AS DOUBLE)')}
+           AS coverage,
+       {round_sql('(SELECT q_hat FROM q)')} AS q_hat
+FROM per
+UNION ALL
+SELECT 'ALL', CAST(SUM(n_test) AS BIGINT), CAST(SUM(n_covered) AS BIGINT),
+       {round_sql('CAST(SUM(n_covered) AS DOUBLE) / CAST(SUM(n_test) AS DOUBLE)')},
+       {round_sql('(SELECT q_hat FROM q)')}
+FROM per
+""")
+def conformal_interval_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Split-conformal q-hat and realized test coverage (alpha = 0.1)."""
+    from travel_data_pipeline_spark.operators.windows import (
+        two_phase_ordered,
+    )
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderpriority", "o_totalprice")
+    bucket = (md5_long(F.concat(F.lit("cf:"),
+                                F.col("o_orderkey").cast("string"))) % 10)
+    split = orders.withColumn("bucket", bucket)
+    model = (split.filter(F.col("bucket") <= 5)
+             .groupBy("o_orderpriority")
+             .agg((F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+                   .cast("double")
+                   / F.count("*").cast("double")).alias("yhat")))
+    calib = (split.filter(F.col("bucket").between(6, 8))
+             .join(F.broadcast(model), "o_orderpriority")
+             .select("o_orderkey",
+                     F.abs(F.col("o_totalprice") - F.col("yhat"))
+                     .alias("r")))
+    # two-phase global rank: bucket_on = r is non-decreasing along
+    # (r, o_orderkey); ties stay in one quantile bucket, ranked by the
+    # in-bucket window
+    ranked = two_phase_ordered(
+        calib, [F.col("r").asc(), F.col("o_orderkey").asc()],
+        F.col("r"), rank_col="rnk")
+    n_cal = calib.agg(F.count("*").alias("n_cal"))
+    q = (ranked.crossJoin(F.broadcast(n_cal))
+         .filter(F.col("rnk") == F.expr("(9 * (n_cal + 1) + 9) div 10"))
+         .select(F.col("r").alias("q_hat")))
+    test = (split.filter(F.col("bucket") == 9)
+            .join(F.broadcast(model), "o_orderpriority")
+            .crossJoin(F.broadcast(q))
+            .select("o_orderpriority", "q_hat",
+                    F.when(F.abs(F.col("o_totalprice") - F.col("yhat"))
+                           <= F.col("q_hat"), 1).otherwise(0)
+                    .alias("covered")))
+    per = test.groupBy(F.col("o_orderpriority").alias("priority")).agg(
+        F.count("*").alias("n_test"), F.sum("covered").alias("n_covered"),
+        F.min("q_hat").alias("q_hat"))
+    per_rows = per.select(
+        "priority", "n_test", "n_covered",
+        F.round(F.col("n_covered").cast("double")
+                / F.col("n_test").cast("double"), 6).alias("coverage"),
+        F.round("q_hat", 6).alias("q_hat"))
+    all_row = per.agg(
+        F.sum("n_test").alias("n_test"),
+        F.sum("n_covered").alias("n_covered"),
+        F.min("q_hat").alias("q_hat")).select(
+        F.lit("ALL").alias("priority"), "n_test", "n_covered",
+        F.round(F.col("n_covered").cast("double")
+                / F.col("n_test").cast("double"), 6).alias("coverage"),
+        F.round("q_hat", 6).alias("q_hat"))
+    return per_rows.unionByName(all_row)
+
+
+# ---------------------------------------------------------------------------
+# Negative-sampling table — word2vec-style f^(3/4) smoothing.
+#
+# The unigram distribution raised to the 3/4 power (Mikolov et al.
+# 2013, public) flattens head tokens and boosts the tail for negative
+# sampling. f^0.75 is spelled sqrt(f * sqrt(f)) — two IEEE
+# correctly-rounded sqrts and one multiply, bit-identical across
+# engines, NO pow() (libm pow differs in the last ulp). The table is
+# the global top-K tokens (TakeOrdered — per-partition heaps, no
+# single-partition sort); the normalizer folds K doubles in pinned
+# token order.
+# ---------------------------------------------------------------------------
+
+_NS_K = 200
+
+
+@register("negative_sampling_table", f"""
+WITH toks AS (
+    SELECT unnest(list_filter(string_split(
+               trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' '),
+               x -> x <> '')) AS token
+    FROM documents
+),
+vocab AS (
+    SELECT token, COUNT(*) AS freq FROM toks GROUP BY token
+),
+top AS (
+    SELECT token, freq,
+           sqrt(CAST(freq AS DOUBLE) * sqrt(CAST(freq AS DOUBLE))) AS w
+    FROM vocab
+    ORDER BY freq DESC, token ASC LIMIT {_NS_K}
+),
+z AS (
+    SELECT SUM(freq) AS f_tot,
+           list_reduce(list(w ORDER BY token), (x, y) -> x + y) AS z_w
+    FROM top
+)
+SELECT t.token, CAST(t.freq AS BIGINT) AS freq,
+       {round_sql('t.w / z.z_w')} AS prob_smoothed,
+       {round_sql('CAST(t.freq AS DOUBLE) / CAST(z.f_tot AS DOUBLE)')}
+           AS prob_freq,
+       {round_sql('(t.w / z.z_w) / (CAST(t.freq AS DOUBLE) / CAST(z.f_tot AS DOUBLE))')}
+           AS boost
+FROM top t CROSS JOIN z
+""")
+def negative_sampling_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-K unigram sampling table under f^(3/4) smoothing.
+
+    `boost` > 1 marks tokens the smoothing upweights vs raw frequency
+    (the tail); < 1 the head it suppresses. Probabilities are relative
+    to the top-K table (the production sampler's support)."""
+    from travel_data_pipeline_spark.operators import dedup, text
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(F.explode(F.filter(
+        text.token_array(dedup.normalize_text(F.col("text"))),
+        lambda t: t != "")).alias("token"))
+    vocab = toks.groupBy("token").agg(F.count("*").alias("freq"))
+    fd = F.col("freq").cast("double")
+    top = (vocab
+           .orderBy(F.col("freq").desc(), F.col("token").asc())
+           .limit(_NS_K)
+           .withColumn("w", F.sqrt(fd * F.sqrt(fd))))
+    z = top.agg(
+        F.sum("freq").alias("f_tot"),
+        F.array_sort(F.collect_list(F.struct("token", "w"))).alias("ws")
+    ).select(
+        "f_tot",
+        F.aggregate(F.transform("ws", lambda t: t["w"]),
+                    F.lit(0.0), lambda a, x: a + x).alias("z_w"))
+    pf = F.col("freq").cast("double") / F.col("f_tot").cast("double")
+    return (top.crossJoin(F.broadcast(z))
+            .select("token", "freq",
+                    F.round(F.col("w") / F.col("z_w"), 6)
+                    .alias("prob_smoothed"),
+                    F.round(pf, 6).alias("prob_freq"),
+                    F.round((F.col("w") / F.col("z_w")) / pf, 6)
+                    .alias("boost")))
+
+
+# ---------------------------------------------------------------------------
+# Hill tail-index estimator — how heavy is the order-value tail?
+#
+# gamma_hat = (1/(k-1)) * sum_{i<k} (ln x_(i) - ln x_(k)) over the
+# k largest values; alpha_hat = 1/gamma (Hill 1975, public). The top-k
+# selection is TakeOrdered (per-partition heaps — no single-partition
+# sort of the full relation); everything downstream runs on a CONSTANT
+# k-row relation. Per-row ln rides the entropy/log-odds precedent
+# (shared expression tree + 6-dp parity rounding); the (k-1)-term sum
+# folds in pinned (value, key) order.
+# ---------------------------------------------------------------------------
+
+_HILL_K = 200
+
+
+@register("hill_tail_index", f"""
+WITH top AS (
+    SELECT o_orderkey, o_totalprice
+    FROM orders
+    ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT {_HILL_K}
+),
+ranked AS (
+    SELECT o_orderkey, o_totalprice,
+           ROW_NUMBER() OVER (ORDER BY o_totalprice DESC, o_orderkey ASC)
+               AS rnk,
+           COUNT(*) OVER () AS k
+    FROM top
+),
+xk AS (SELECT o_totalprice AS x_k, k FROM ranked WHERE rnk = k),
+terms AS (
+    SELECT r.rnk, ln(r.o_totalprice) - ln(xk.x_k) AS term
+    FROM ranked r CROSS JOIN xk WHERE r.rnk < xk.k
+)
+SELECT CAST(xk.k AS BIGINT) AS k, xk.x_k,
+       {round_sql('list_reduce(list(term ORDER BY rnk), (x, y) -> x + y) / CAST(xk.k - 1 AS DOUBLE)')}
+           AS hill_gamma,
+       {round_sql('CAST(xk.k - 1 AS DOUBLE) / list_reduce(list(term ORDER BY rnk), (x, y) -> x + y)')}
+           AS hill_alpha
+FROM terms CROSS JOIN xk
+GROUP BY xk.k, xk.x_k
+""")
+def hill_tail_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hill estimator of the order-value tail index over the top-200."""
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_totalprice")
+    top = (orders.orderBy(F.col("o_totalprice").desc(),
+                          F.col("o_orderkey").asc())
+           .limit(_HILL_K))
+    # bounded k-row relation from here on — the unpartitioned window is
+    # over <= k rows, a constant
+    w = Window.orderBy(F.col("o_totalprice").desc(),
+                       F.col("o_orderkey").asc())
+    ranked = (top.withColumn("rnk", F.row_number().over(w))
+              .withColumn("k", F.count("*").over(Window.partitionBy())))
+    xk = (ranked.filter(F.col("rnk") == F.col("k"))
+          .select(F.col("o_totalprice").alias("x_k"), "k"))
+    terms = (ranked.crossJoin(F.broadcast(xk.select("x_k",
+                                                    F.col("k").alias("kk"))))
+             .filter(F.col("rnk") < F.col("kk"))
+             .select("rnk", "kk", "x_k",
+                     (F.log(F.col("o_totalprice")) - F.log(F.col("x_k")))
+                     .alias("term")))
+    folded = terms.groupBy(F.col("kk").alias("k"), "x_k").agg(
+        F.array_sort(F.collect_list(F.struct("rnk", "term"))).alias("ts"))
+    s = F.aggregate(F.transform("ts", lambda t: t["term"]),
+                    F.lit(0.0), lambda a, x: a + x)
+    return folded.select(
+        "k", "x_k",
+        F.round(s / (F.col("k") - 1).cast("double"), 6)
+        .alias("hill_gamma"),
+        F.round((F.col("k") - 1).cast("double") / s, 6)
+        .alias("hill_alpha"))
+
+
+# ---------------------------------------------------------------------------
+# Vocabulary-overlap matrix between sources — Jaccard of each source
+# pair's top-vocabulary membership. The support is the global top-K
+# tokens (TakeOrdered), so the presence relation is |sources| x K at
+# most; the pair join and everything after run on bounded relations.
+# The corpus-sized work is exactly one (token) grouped count plus one
+# distinct over (source, token) semi-joined to the broadcast top-K.
+# ---------------------------------------------------------------------------
+
+_VJ_K = 500
+
+
+@register("vocab_jaccard_source_matrix", f"""
+WITH toks AS (
+    SELECT source, unnest(list_filter(string_split(
+               trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' '),
+               x -> x <> '')) AS token
+    FROM documents
+),
+vocab AS (
+    SELECT token, COUNT(*) AS freq FROM toks GROUP BY token
+    ORDER BY freq DESC, token ASC LIMIT {_VJ_K}
+),
+presence AS (
+    SELECT DISTINCT t.source, t.token
+    FROM toks t JOIN vocab v USING (token)
+),
+sizes AS (SELECT source, COUNT(*) AS sz FROM presence GROUP BY source),
+inter AS (
+    SELECT a.source AS source_a, b.source AS source_b,
+           COUNT(*) AS n_inter
+    FROM presence a JOIN presence b
+      ON a.token = b.token AND a.source < b.source
+    GROUP BY a.source, b.source
+)
+SELECT i.source_a, i.source_b,
+       CAST(sa.sz AS BIGINT) AS size_a, CAST(sb.sz AS BIGINT) AS size_b,
+       CAST(i.n_inter AS BIGINT) AS n_inter,
+       {round_sql('CAST(i.n_inter AS DOUBLE) / CAST(sa.sz + sb.sz - i.n_inter AS DOUBLE)')}
+           AS jaccard
+FROM inter i
+JOIN sizes sa ON sa.source = i.source_a
+JOIN sizes sb ON sb.source = i.source_b
+""")
+def vocab_jaccard_source_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise top-vocab Jaccard between sources (s_a < s_b)."""
+    from travel_data_pipeline_spark.operators import dedup, text
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "source",
+        F.explode(F.filter(text.token_array(
+            dedup.normalize_text(F.col("text"))),
+            lambda t: t != "")).alias("token"))
+    vocab = (toks.groupBy("token").agg(F.count("*").alias("freq"))
+             .orderBy(F.col("freq").desc(), F.col("token").asc())
+             .limit(_VJ_K).select("token"))
+    presence = (toks.join(F.broadcast(vocab), "token")
+                .select("source", "token").distinct())
+    sizes = presence.groupBy("source").agg(F.count("*").alias("sz"))
+    a = presence.select(F.col("source").alias("source_a"), "token")
+    b = presence.select(F.col("source").alias("source_b"), "token")
+    inter = (a.join(b, ["token"])
+             .filter(F.col("source_a") < F.col("source_b"))
+             .groupBy("source_a", "source_b")
+             .agg(F.count("*").alias("n_inter")))
+    out = (inter
+           .join(F.broadcast(sizes.withColumnRenamed("source", "source_a")
+                             .withColumnRenamed("sz", "size_a")),
+                 "source_a")
+           .join(F.broadcast(sizes.withColumnRenamed("source", "source_b")
+                             .withColumnRenamed("sz", "size_b")),
+                 "source_b"))
+    return out.select(
+        "source_a", "source_b", "size_a", "size_b", "n_inter",
+        F.round(F.col("n_inter").cast("double")
+                / (F.col("size_a") + F.col("size_b")
+                   - F.col("n_inter")).cast("double"), 6).alias("jaccard"))
+
+
+# ---------------------------------------------------------------------------
+# Cross-shard duplicate leakage — do exact-dup groups straddle shards?
+#
+# Training shards are written independently; if the copies of a
+# duplicated document land in DIFFERENT shards, shard-local dedup
+# misses them and the model sees the text twice. Over the planted-dup
+# corpus (the northstar augmentation — the base table has no exact
+# dups), documents group by md5(normalized text); each group's C(n,2)
+# pairs split into same-shard (SUM over shards of C(n_s,2)) and
+# cross-shard (the rest) under the md5 shard assignment. All exact
+# integer arithmetic; one corpus-sized grouped count, bounded readout.
+# ---------------------------------------------------------------------------
+
+_DPX_SHARDS = 8
+
+
+def _dpx_oracle() -> str:
+    from travel_data_pipeline_spark.queries_northstar import (
+        _AUG_DOCS,
+        _NORMED,
+    )
+
+    shard = md5_long_sql("'shard:' || CAST(doc_id AS VARCHAR)")
+    return f"""
+WITH {_AUG_DOCS},
+{_NORMED},
+keyed AS (
+    SELECT md5(norm) AS text_key, ({shard} % {_DPX_SHARDS}) AS shard
+    FROM normed
+),
+per_shard AS (
+    SELECT text_key, shard, COUNT(*) AS n_s
+    FROM keyed GROUP BY text_key, shard
+),
+per_group AS (
+    SELECT text_key, SUM(n_s) AS n,
+           SUM(n_s * (n_s - 1) // 2) AS same_pairs
+    FROM per_shard GROUP BY text_key
+),
+dups AS (SELECT * FROM per_group WHERE n > 1)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_dup_groups,
+       CAST(COALESCE(SUM(n), 0) AS BIGINT) AS n_dup_docs,
+       CAST(COALESCE(SUM(n * (n - 1) // 2), 0) AS BIGINT) AS pairs_total,
+       CAST(COALESCE(SUM(same_pairs), 0) AS BIGINT) AS pairs_same_shard,
+       CAST(COALESCE(SUM(n * (n - 1) // 2 - same_pairs), 0) AS BIGINT)
+           AS pairs_cross_shard,
+       CASE WHEN COALESCE(SUM(n * (n - 1) // 2), 0) = 0 THEN NULL
+            ELSE {round_sql('CAST(SUM(n * (n - 1) // 2 - same_pairs) AS DOUBLE) / CAST(SUM(n * (n - 1) // 2) AS DOUBLE)')}
+       END AS cross_share
+FROM dups
+"""
+
+
+@register("dup_pairs_cross_shard", _dpx_oracle)
+def dup_pairs_cross_shard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-dup pair accounting across md5 shard assignments."""
+    from travel_data_pipeline_spark.operators import dedup
+    from travel_data_pipeline_spark.queries_northstar import (
+        _augmented_docs,
+    )
+
+    docs = _augmented_docs(spark, sf_dir)
+    keyed = docs.select(
+        F.md5(dedup.normalize_text(F.col("text"))).alias("text_key"),
+        (md5_long(F.concat(F.lit("shard:"),
+                           F.col("doc_id").cast("string")))
+         % _DPX_SHARDS).alias("shard"))
+    per_shard = (keyed.groupBy("text_key", "shard")
+                 .agg(F.count("*").alias("n_s")))
+    per_group = per_shard.groupBy("text_key").agg(
+        F.sum("n_s").alias("n"),
+        F.sum(F.expr("n_s * (n_s - 1) div 2")).alias("same_pairs"))
+    dups = per_group.filter(F.col("n") > 1)
+    agg = dups.agg(
+        F.count("*").alias("n_dup_groups"),
+        F.coalesce(F.sum("n"), F.lit(0)).alias("n_dup_docs"),
+        F.coalesce(F.sum(F.expr("n * (n - 1) div 2")), F.lit(0))
+        .alias("pairs_total"),
+        F.coalesce(F.sum("same_pairs"), F.lit(0))
+        .alias("pairs_same_shard"),
+        F.coalesce(F.sum(F.expr("n * (n - 1) div 2 - same_pairs")),
+                   F.lit(0)).alias("pairs_cross_shard"))
+    return agg.select(
+        "n_dup_groups", "n_dup_docs", "pairs_total", "pairs_same_shard",
+        "pairs_cross_shard",
+        F.when(F.col("pairs_total") == 0, F.lit(None).cast("double"))
+        .otherwise(F.round(F.col("pairs_cross_shard").cast("double")
+                           / F.col("pairs_total").cast("double"), 6))
+        .alias("cross_share"))

@@ -93,3 +93,4 @@ from travel_data_pipeline_spark import queries_round6  # noqa: E402,F401
 from travel_data_pipeline_spark import queries_round7  # noqa: E402,F401
 from travel_data_pipeline_spark import queries_round8  # noqa: E402,F401
 from travel_data_pipeline_spark import queries_round9  # noqa: E402,F401
+from travel_data_pipeline_spark import queries_round10  # noqa: E402,F401
