@@ -76,6 +76,12 @@ HEADLINE = [
     "substring_dup_spans",
     "cdc_chunk_dedup",
     "median_of_means_value",
+    # round-10 flagships (added round 7): the Arrow-batched multimodal
+    # fingerprint path, the two-phase exact order statistic under a
+    # train/calib/test split, and the clustering-audit CC shape
+    "image_ahash_neardup",
+    "conformal_interval_coverage",
+    "neardup_chain_inflation",
 ]
 
 

@@ -373,3 +373,107 @@ def test_dup_cross_shard_matches_python_model(spark, sf_smoke):
         assert r.cross_share == _round6((total - same) / float(total))
     # the smoke corpus has the 5 planted dup groups
     assert n_groups >= 1
+
+
+# ---------------------------------------------------------------------------
+# image_ahash_neardup
+# ---------------------------------------------------------------------------
+
+def _ahash_bands(payload: bytes) -> list[int]:
+    px = []
+    for s in range(4):
+        px.extend(hashlib.md5(payload + b":" + str(s).encode()).digest())
+    total = sum(px)
+    bands = [0, 0, 0, 0]
+    for i, p in enumerate(px):
+        if 64 * p > total:
+            bands[i // 16] |= 1 << (i % 16)
+    return bands
+
+
+def test_ahash_finds_planted_copies_with_zero_hamming(spark, sf_smoke):
+    from travel_data_pipeline_spark.queries_round10 import (
+        _AH_HAM,
+        image_ahash_neardup,
+    )
+    from travel_data_pipeline_spark.queries_northstar import PLANT_OFFSET
+
+    rows = image_ahash_neardup(spark, sf_smoke).collect()
+    pairs = {(r.doc_a, r.doc_b): r.hamming for r in rows}
+    # the five planted byte-identical copies collide at hamming 0
+    for d in range(5):
+        assert pairs.get((d, d + PLANT_OFFSET)) == 0
+    for (a, b), h in pairs.items():
+        assert a < b
+        assert 0 <= h <= _AH_HAM
+
+
+def test_ahash_fingerprints_match_python_model(spark, sf_smoke):
+    from travel_data_pipeline_spark.operators.multimodal import (
+        ahash_fingerprints,
+        documents_as_media,
+    )
+
+    docs = spark.read.parquet(f"{sf_smoke}/documents.parquet").limit(20)
+    fps = {r.media_id: r for r in
+           ahash_fingerprints(documents_as_media(docs)).collect()}
+    for d in docs.collect():
+        bands = _ahash_bands(d.text.encode("utf-8"))
+        r = fps[d.doc_id]
+        assert [r.band0, r.band1, r.band2, r.band3] == bands
+        for b in bands:
+            assert 0 <= b <= 0xFFFF
+
+
+# ---------------------------------------------------------------------------
+# neardup_chain_inflation
+# ---------------------------------------------------------------------------
+
+def test_chain_inflation_invariants_and_edge_conservation(spark, sf_smoke):
+    from travel_data_pipeline_spark.operators import dedup
+    from travel_data_pipeline_spark.queries_round10 import (
+        _CHAIN_THR,
+        neardup_chain_inflation,
+    )
+    from travel_data_pipeline_spark.queries_northstar import (
+        BANDS,
+        MAX_BUCKET,
+        NUM_HASHES,
+        _augmented_docs,
+    )
+
+    docs = _augmented_docs(spark, sf_smoke)
+    sigs = dedup.minhash_signatures(docs, num_hashes=NUM_HASHES)
+    pairs = dedup.lsh_candidate_pairs(sigs, num_hashes=NUM_HASHES,
+                                      bands=BANDS, max_bucket=MAX_BUCKET)
+    edges = [(r.doc_a, r.doc_b) for r in
+             dedup.jaccard_pairs(docs, pairs,
+                                 threshold=_CHAIN_THR).collect()]
+    # union-find model
+    parent = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    comp_of = {x: find(x) for x in parent}
+    sizes = Counter(comp_of.values())
+    direct = Counter(comp_of[a] for a, _ in edges)
+
+    rows = neardup_chain_inflation(spark, sf_smoke).collect()
+    assert {r.component for r in rows} == set(sizes)
+    for r in rows:
+        assert r.cluster_size == sizes[r.component] >= 2
+        assert r.direct_pairs == direct[r.component]
+        assert r.implied_pairs == (r.cluster_size
+                                   * (r.cluster_size - 1) // 2)
+        assert r.chained_pairs == r.implied_pairs - r.direct_pairs
+        assert r.chained_pairs >= 0
+    assert sum(r.direct_pairs for r in rows) == len(edges)

@@ -222,3 +222,60 @@ def feature_extract_stub(media: DataFrame, dim: int = 8) -> DataFrame:
             yield pd.DataFrame(rows)
 
     return media.mapInPandas(extract, out_schema)
+
+
+AHASH_SCHEMA = T.StructType([
+    T.StructField("media_id", T.LongType()),
+    T.StructField("px_sum", T.LongType()),
+    T.StructField("band0", T.LongType()),
+    T.StructField("band1", T.LongType()),
+    T.StructField("band2", T.LongType()),
+    T.StructField("band3", T.LongType()),
+])
+
+
+def ahash_fingerprints(media: DataFrame) -> DataFrame:
+    """Average-hash (aHash) perceptual fingerprints over binary media.
+
+    Production shape: decode -> downsample to an 8x8 grayscale grid ->
+    threshold each pixel against the grid mean -> 64-bit fingerprint,
+    carried as four 16-bit band integers so near-dup banding and
+    Hamming verification run on plain BIGINT columns (no 64-bit sign
+    gymnastics). The pixel grid here is the deterministic fake decode
+    (four seeded md5 digests of the payload = 64 'pixel' bytes — the
+    same md5-reproducibility trick frame_sample_stub uses, so a SQL
+    oracle can replay it); a real build swaps ONLY the grid extraction
+    for PIL `Image.open(...).convert('L').resize((8, 8))` — the
+    thresholding, banding, and pair machinery are unchanged.
+
+    The mean threshold is the integer comparison 64*p > sum(p) —
+    no float division anywhere.
+    """
+
+    def hash_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import hashlib
+
+        def grid(payload: bytes) -> list[int]:
+            px: list[int] = []
+            for s in range(4):
+                px.extend(hashlib.md5(
+                    payload + b":" + str(s).encode()).digest())
+            return px
+
+        for pdf in batches:
+            out = {"media_id": [], "px_sum": [],
+                   "band0": [], "band1": [], "band2": [], "band3": []}
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                px = grid(bytes(payload))
+                total = sum(px)
+                bands = [0, 0, 0, 0]
+                for i, p in enumerate(px):
+                    if 64 * p > total:
+                        bands[i // 16] |= 1 << (i % 16)
+                out["media_id"].append(mid)
+                out["px_sum"].append(total)
+                for b in range(4):
+                    out[f"band{b}"].append(bands[b])
+            yield pd.DataFrame(out)
+
+    return media.mapInPandas(hash_batches, AHASH_SCHEMA)

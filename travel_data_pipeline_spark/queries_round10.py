@@ -894,3 +894,248 @@ def dup_pairs_cross_shard(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.round(F.col("pairs_cross_shard").cast("double")
                            / F.col("pairs_total").cast("double"), 6))
         .alias("cross_share"))
+
+
+# ---------------------------------------------------------------------------
+# Perceptual near-dup over media columns — average-hash (aHash).
+#
+# The multimodal sibling of simhash_near_pairs: binary payloads ->
+# Arrow-batched aHash fingerprints (operators/multimodal.
+# ahash_fingerprints — production decode shape, deterministic fake
+# pixel grid) -> 16-bit band buckets (capped, same MAX_BUCKET guard as
+# every banded path) -> Hamming<=6 verification on the four band
+# integers. With a REAL decoder, near-crops/re-encodes land within the
+# Hamming budget; with the md5 fake grid only byte-identical payloads
+# collide (the planted copies) — the observable is the banding +
+# verify machinery, which is decoder-independent.
+#
+# Scale shape: fingerprints are 6 BIGINTs/doc (localCheckpointed — the
+# Python stage runs ONCE, feeding banding and verification); banding
+# shuffles 16-bit keys; buckets are capped; verification joins the
+# tiny fingerprint relation twice. The payload bytes never shuffle.
+# ---------------------------------------------------------------------------
+
+_AH_HAM = 6
+
+
+def _ahash_oracle() -> str:
+    from travel_data_pipeline_spark.queries_northstar import (
+        _AUG_DOCS,
+        _capped_sql,
+    )
+
+    band_cases = ("CASE b.b WHEN 0 THEN band0 WHEN 1 THEN band1 "
+                  "WHEN 2 THEN band2 ELSE band3 END")
+    return f"""
+WITH {_AUG_DOCS},
+px AS (
+    SELECT d.doc_id AS media_id, (s.s * 16 + j.j) AS i,
+           CAST(('0x' || substr(md5(d.text || ':' || s.s), 2 * j.j + 1, 2))
+                AS BIGINT) AS p
+    FROM docs d,
+         unnest(generate_series(0, 3)) AS s(s),
+         unnest(generate_series(0, 15)) AS j(j)
+),
+tot AS (SELECT media_id, SUM(p) AS total FROM px GROUP BY media_id),
+bits AS (
+    SELECT px.media_id, px.i,
+           CASE WHEN 64 * px.p > t.total THEN 1 ELSE 0 END AS bit
+    FROM px JOIN tot t ON t.media_id = px.media_id
+),
+fp AS (
+    SELECT b.media_id,
+           SUM(CASE WHEN i // 16 = 0 THEN bit * (1 << (i % 16))
+                    ELSE 0 END) AS band0,
+           SUM(CASE WHEN i // 16 = 1 THEN bit * (1 << (i % 16))
+                    ELSE 0 END) AS band1,
+           SUM(CASE WHEN i // 16 = 2 THEN bit * (1 << (i % 16))
+                    ELSE 0 END) AS band2,
+           SUM(CASE WHEN i // 16 = 3 THEN bit * (1 << (i % 16))
+                    ELSE 0 END) AS band3
+    FROM bits b GROUP BY b.media_id
+),
+banded AS (
+    SELECT media_id, b.b AS band_idx, {band_cases} AS band_val
+    FROM fp, unnest(generate_series(0, 3)) AS b(b)
+),
+{_capped_sql('banded', 'band_idx, band_val', 'bcap')},
+cand AS (
+    SELECT DISTINCT a.media_id AS doc_a, b.media_id AS doc_b
+    FROM bcap a JOIN bcap b
+      ON a.band_idx = b.band_idx AND a.band_val = b.band_val
+     AND a.media_id < b.media_id
+)
+SELECT c.doc_a, c.doc_b,
+       CAST(bit_count(xor(fa.band0, fb.band0))
+          + bit_count(xor(fa.band1, fb.band1))
+          + bit_count(xor(fa.band2, fb.band2))
+          + bit_count(xor(fa.band3, fb.band3)) AS INT) AS hamming
+FROM cand c
+JOIN fp fa ON fa.media_id = c.doc_a
+JOIN fp fb ON fb.media_id = c.doc_b
+WHERE bit_count(xor(fa.band0, fb.band0))
+    + bit_count(xor(fa.band1, fb.band1))
+    + bit_count(xor(fa.band2, fb.band2))
+    + bit_count(xor(fa.band3, fb.band3)) <= {_AH_HAM}
+"""
+
+
+@register("image_ahash_neardup", _ahash_oracle)
+def image_ahash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """aHash near-dup pairs over the synthesized media table."""
+    from travel_data_pipeline_spark.operators import dedup
+    from travel_data_pipeline_spark.operators.multimodal import (
+        ahash_fingerprints,
+        documents_as_media,
+    )
+    from travel_data_pipeline_spark.queries_northstar import (
+        MAX_BUCKET,
+        _augmented_docs,
+    )
+
+    media = documents_as_media(_augmented_docs(spark, sf_dir))
+    # single-file scans make the Python hash stage one-threaded —
+    # spread BEFORE the CPU-heavy work (engine design rule), then pin
+    # the tiny fingerprint relation so the Arrow stage runs exactly
+    # once across banding and verification
+    media = media.repartition(spark.sparkContext.defaultParallelism,
+                              "media_id")
+    fps = ahash_fingerprints(media).localCheckpoint(eager=True)
+    banded = fps.select(
+        "media_id",
+        F.explode(F.array(*[
+            F.struct(F.lit(b).alias("band_idx"),
+                     F.col(f"band{b}").alias("band_val"))
+            for b in range(4)])).alias("band")
+    ).select("media_id", "band.band_idx", "band.band_val")
+    cand = (dedup.bucket_pairs(banded, ["band_idx", "band_val"],
+                               F.struct(F.col("media_id").alias("id")),
+                               max_bucket=MAX_BUCKET)
+            .select(F.col("pair.a.id").alias("doc_a"),
+                    F.col("pair.b.id").alias("doc_b"))
+            .distinct())
+    fa = fps.select(F.col("media_id").alias("doc_a"),
+                    *[F.col(f"band{b}").alias(f"a{b}") for b in range(4)])
+    fb = fps.select(F.col("media_id").alias("doc_b"),
+                    *[F.col(f"band{b}").alias(f"b{b}") for b in range(4)])
+    ham = sum(F.bit_count(F.col(f"a{b}").bitwiseXOR(F.col(f"b{b}")))
+              for b in range(4))
+    return (cand.join(fa, "doc_a").join(fb, "doc_b")
+            .select("doc_a", "doc_b", ham.cast("int").alias("hamming"))
+            .filter(F.col("hamming") <= _AH_HAM))
+
+
+# ---------------------------------------------------------------------------
+# Near-dup chain inflation — what does transitive clustering add on
+# top of the directly-verified pairs?
+#
+# Connected-components dedup treats near-duplication as transitive:
+# A~B and B~C put A and C in one cluster even if jaccard(A, C) is
+# below threshold. This audit quantifies that chaining per cluster:
+# implied_pairs = C(m, 2) of the cluster size vs the directly-verified
+# pair count — the gap is what clustering ASSERTS beyond what the
+# verifier MEASURED (Lee et al. 2022 discuss exactly this cluster-
+# inflation effect). Threshold 0.3 (the neardup_source_matrix recall
+# band) so chains actually occur on this corpus.
+#
+# Scale shape: the LSH+verify pipeline is the shared banded/capped
+# path; components are large-star/small-star (O(log n) rounds); the
+# readout aggregates are cluster-grain. Exact integers end to end.
+# ---------------------------------------------------------------------------
+
+_CHAIN_THR = 0.3
+
+
+def _chain_oracle() -> str:
+    from travel_data_pipeline_spark.queries_northstar import (
+        _AUG_DOCS,
+        _banded_sql,
+        _capped_sql,
+        _NORMED,
+        _PAIRS_CTE,
+        _SHINGLED,
+        _SIGS,
+    )
+
+    return f"""
+WITH RECURSIVE {_AUG_DOCS},
+{_NORMED},
+{_SHINGLED},
+{_SIGS},
+{_banded_sql()},
+{_capped_sql('banded', 'band_idx, band_key', 'bcap')},
+{_PAIRS_CTE},
+sets AS (SELECT DISTINCT doc_id, shingle FROM shingled),
+sizes AS (SELECT doc_id, COUNT(*) AS set_size FROM sets GROUP BY doc_id),
+inter AS (
+    SELECT p.doc_a, p.doc_b, COUNT(*) AS inter_n
+    FROM pairs p
+    JOIN sets sa ON sa.doc_id = p.doc_a
+    JOIN sets sb ON sb.doc_id = p.doc_b AND sb.shingle = sa.shingle
+    GROUP BY p.doc_a, p.doc_b
+),
+jpairs AS (
+    SELECT p.doc_a, p.doc_b
+    FROM pairs p
+    LEFT JOIN inter i ON i.doc_a = p.doc_a AND i.doc_b = p.doc_b
+    JOIN sizes za ON za.doc_id = p.doc_a
+    JOIN sizes zb ON zb.doc_id = p.doc_b
+    WHERE ROUND(COALESCE(i.inter_n, 0)
+                / (za.set_size + zb.set_size - COALESCE(i.inter_n, 0)), 6)
+          >= {_CHAIN_THR}
+),
+sym AS (SELECT doc_a AS u, doc_b AS v FROM jpairs
+        UNION SELECT doc_b AS u, doc_a AS v FROM jpairs),
+reach AS (
+    SELECT u AS id, v AS r FROM sym
+    UNION
+    SELECT re.id, s.v FROM reach re JOIN sym s ON s.u = re.r
+),
+comp AS (SELECT id AS doc_id, LEAST(id, MIN(r)) AS component
+         FROM reach GROUP BY id),
+members AS (SELECT component, COUNT(*) AS m FROM comp GROUP BY component),
+direct AS (
+    SELECT c.component, COUNT(*) AS d
+    FROM jpairs p JOIN comp c ON c.doc_id = p.doc_a
+    GROUP BY c.component
+)
+SELECT m.component, CAST(m.m AS BIGINT) AS cluster_size,
+       CAST(COALESCE(d.d, 0) AS BIGINT) AS direct_pairs,
+       CAST(m.m * (m.m - 1) // 2 AS BIGINT) AS implied_pairs,
+       CAST(m.m * (m.m - 1) // 2 - COALESCE(d.d, 0) AS BIGINT)
+           AS chained_pairs
+FROM members m LEFT JOIN direct d ON d.component = m.component
+"""
+
+
+@register("neardup_chain_inflation", _chain_oracle)
+def neardup_chain_inflation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-cluster implied-vs-verified pair accounting at jaccard 0.3."""
+    from travel_data_pipeline_spark.operators import dedup, graph
+    from travel_data_pipeline_spark.queries_northstar import (
+        BANDS,
+        MAX_BUCKET,
+        NUM_HASHES,
+        _augmented_docs,
+    )
+
+    docs = _augmented_docs(spark, sf_dir)
+    sigs = dedup.minhash_signatures(docs, num_hashes=NUM_HASHES)
+    pairs = dedup.lsh_candidate_pairs(
+        sigs, num_hashes=NUM_HASHES, bands=BANDS,
+        max_bucket=MAX_BUCKET).localCheckpoint(eager=True)
+    edges = (dedup.jaccard_pairs(docs, pairs, threshold=_CHAIN_THR)
+             .select("doc_a", "doc_b").localCheckpoint(eager=True))
+    comps = graph.connected_components(edges, algorithm="star")
+    members = comps.groupBy("component").agg(F.count("*").alias("m"))
+    direct = (edges.join(comps, edges.doc_a == comps.doc_id)
+              .groupBy("component").agg(F.count("*").alias("d")))
+    out = members.join(direct, "component", "left")
+    implied = F.expr("m * (m - 1) div 2")
+    return out.select(
+        "component",
+        F.col("m").alias("cluster_size"),
+        F.coalesce(F.col("d"), F.lit(0)).alias("direct_pairs"),
+        implied.alias("implied_pairs"),
+        (implied - F.coalesce(F.col("d"), F.lit(0)))
+        .alias("chained_pairs"))
