@@ -477,3 +477,112 @@ def test_chain_inflation_invariants_and_edge_conservation(spark, sf_smoke):
         assert r.chained_pairs == r.implied_pairs - r.direct_pairs
         assert r.chained_pairs >= 0
     assert sum(r.direct_pairs for r in rows) == len(edges)
+
+
+# ---------------------------------------------------------------------------
+# t_closeness_audit
+# ---------------------------------------------------------------------------
+
+def test_t_closeness_matches_python_model(spark, sf_smoke):
+    from travel_data_pipeline_spark.queries_round10 import (
+        _LD_BIN,
+        _TC_T,
+        t_closeness_audit,
+    )
+
+    docs = _docs(spark, sf_smoke)
+    rows = [(d.lang, d.source, int(math.floor(d.n_chars / float(_LD_BIN))))
+            for d in docs]
+    grid = sorted({b for _, _, b in rows})
+    tot_all = len(rows)
+    all_c = Counter(b for _, _, b in rows)
+    cells = defaultdict(Counter)
+    for lang, src, b in rows:
+        cells[(lang, src)][b] += 1
+
+    got = {(r.lang, r.source): r for r in
+           t_closeness_audit(spark, sf_smoke).collect()}
+    assert set(got) == set(cells)
+    for key, cnts in cells.items():
+        n = sum(cnts.values())
+        cum_c = cum_a = 0
+        emd = 0.0
+        for b in grid:
+            cum_c += cnts.get(b, 0)
+            cum_a += all_c[b]
+            emd += (abs(float(cum_c) / float(n)
+                        - float(cum_a) / float(tot_all))
+                    / float(len(grid) - 1))
+        r = got[key]
+        assert r.n == n
+        assert r.emd == _round6(emd)
+        assert 0.0 <= r.emd <= 1.0
+        assert r.within_t == (1 if _round6(emd) <= _TC_T else 0)
+
+
+# ---------------------------------------------------------------------------
+# bm25_ndcg_at_k
+# ---------------------------------------------------------------------------
+
+def test_ndcg_matches_python_model(spark, sf_smoke):
+    from travel_data_pipeline_spark.queries_round10 import (
+        _NDCG_DISC,
+        _NDCG_K,
+        bm25_ndcg_at_k,
+    )
+    from travel_data_pipeline_spark.queries_search import (
+        _B,
+        _K1,
+        _QUERY_TERMS,
+    )
+
+    docs = _docs(spark, sf_smoke)
+    toks = {d.doc_id: [w for w in _norm(d.text).split(" ") if w]
+            for d in docs}
+    dls = {k: len(v) for k, v in toks.items()}
+    n_docs = len(dls)
+    avgdl = sum(dls.values()) / float(n_docs)
+    tf = defaultdict(Counter)
+    for k, ws in toks.items():
+        for w in ws:
+            if w in _QUERY_TERMS:
+                tf[k][w] += 1
+    dfreq = Counter()
+    for k, c in tf.items():
+        dfreq.update(c.keys())
+    graded = {}
+    for k, c in tf.items():
+        terms = []
+        for term in sorted(c):
+            idf = math.log((n_docs - dfreq[term] + 0.5)
+                           / (dfreq[term] + 0.5) + 1.0)
+            tfn = (c[term] * (_K1 + 1.0)
+                   / (c[term] + _K1 * (1.0 - _B + _B * dls[k] / avgdl)))
+            terms.append(idf * tfn)
+        s_tot = _seq_sum(terms)
+        nt = len(c)
+        gain = 7 if nt >= 3 else (3 if nt == 2 else 1)
+        graded[k] = (s_tot, gain)
+
+    ranking = sorted(graded.items(),
+                     key=lambda kv: (-kv[1][0], kv[0]))[:_NDCG_K]
+    ideal = sorted(graded.items(),
+                   key=lambda kv: (-kv[1][1], kv[0]))[:_NDCG_K]
+    cs = [g * _NDCG_DISC[i + 1] for i, (_, (_, g)) in enumerate(ranking)]
+    ics = [g * _NDCG_DISC[i + 1] for i, (_, (_, g)) in enumerate(ideal)]
+
+    got = {r.k: r for r in bm25_ndcg_at_k(spark, sf_smoke).collect()}
+    assert set(got) == set(range(1, len(cs) + 1))
+    for k in got:
+        dcg = _seq_sum(cs[:k])
+        idcg = _seq_sum(ics[:k])
+        r = got[k]
+        assert r.dcg == _round6(dcg)
+        assert r.idcg == _round6(idcg)
+        assert r.ndcg == _round6(dcg / idcg)
+        assert r.dcg <= r.idcg + 1e-9
+        assert 0.0 < r.ndcg <= 1.0
+    # IDCG is monotone non-decreasing in k
+    ks = sorted(got)
+    for a, b in zip(ks, ks[1:]):
+        assert got[a].idcg <= got[b].idcg
