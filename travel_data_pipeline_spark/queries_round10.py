@@ -632,6 +632,9 @@ def negative_sampling_table(spark: SparkSession, sf_dir: str) -> DataFrame:
         lambda t: t != "")).alias("token"))
     vocab = toks.groupBy("token").agg(F.count("*").alias("freq"))
     fd = F.col("freq").cast("double")
+    # NOT checkpointed: pinning the K-row table measured 0.588 ->
+    # 0.728 s at sf0.1 (the checkpoint round-trip costs more than the
+    # second vocabulary count — the repo's recurring persist lesson)
     top = (vocab
            .orderBy(F.col("freq").desc(), F.col("token").asc())
            .limit(_NS_K)
@@ -784,8 +787,16 @@ def vocab_jaccard_source_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     vocab = (toks.groupBy("token").agg(F.count("*").alias("freq"))
              .orderBy(F.col("freq").desc(), F.col("token").asc())
              .limit(_VJ_K).select("token"))
+    # the presence relation is bounded (|sources| x K) but derived
+    # from the corpus-sized token explode, and it feeds THREE consumers
+    # (sizes + both pair-join legs): pin it so the corpus scans ONCE
+    # instead of four times. Local timing is noise-equal (1.54 vs
+    # 1.58 s best-of-3 at sf0.1 — parallel redundant scans are cheap
+    # on local[32]); the win is the scan-count at scale, where the
+    # corpus read dominates and the checkpoint is ~10k rows
     presence = (toks.join(F.broadcast(vocab), "token")
-                .select("source", "token").distinct())
+                .select("source", "token").distinct()
+                .localCheckpoint(eager=True))
     sizes = presence.groupBy("source").agg(F.count("*").alias("sz"))
     a = presence.select(F.col("source").alias("source_a"), "token")
     b = presence.select(F.col("source").alias("source_b"), "token")
@@ -1394,7 +1405,12 @@ def bm25_ndcg_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
                   .alias("s_tot"),
                   F.when(F.col("n_terms") >= 3, 7)
                   .when(F.col("n_terms") == 2, 3).otherwise(1)
-                  .alias("gain")))
+                  .alias("gain"))
+              # graded is query-hit-sized (tiny) but its lineage is the
+              # full bm25 token pipeline, and ranking/ideal/grid all
+              # consume it — pin it so the corpus scans once (measured
+              # 1.64 -> 1.37 s best-of-3 at sf0.1)
+              .localCheckpoint(eager=True))
     disc = F.create_map(*[x for i, d in _NDCG_DISC.items()
                           for x in (F.lit(i), F.lit(d))])
     wr = Window.orderBy(F.col("s_tot").desc(), F.col("doc_id").asc())
