@@ -357,8 +357,65 @@ def main(amplify: int = 20) -> None:
     t_cdc = time.perf_counter() - t0
     assert cdc_stats["n_dup"] > 0
 
+    # --- multimodal aHash near-dup over planted identical copies ---------
+    # 5 byte-identical copies of every base doc (no suffix): the Arrow
+    # fingerprint stage hashes all of them; banding + Hamming verify
+    # must recover EXACTLY C(5,2) pairs per base doc — cross-group
+    # 16-bit band collisions are filtered by the Hamming gate (two
+    # random 64-bit fingerprints within 6 bits is ~1e-11).
+    from travel_data_pipeline_spark.operators.dedup import bucket_pairs
+    from travel_data_pipeline_spark.operators.multimodal import (
+        ahash_fingerprints,
+        documents_as_media,
+    )
+
+    t0 = time.perf_counter()
+    k_copies = 5
+    acopies = spark.range(k_copies).withColumnRenamed("id", "copy")
+    adocs = (base.crossJoin(acopies)
+             .select((F.col("doc_id") + F.col("copy") * 1_000_000)
+                     .alias("doc_id"), "text"))
+    amedia = documents_as_media(adocs).repartition(64, "media_id")
+    fps = ahash_fingerprints(amedia).localCheckpoint(eager=True)
+    n_media = fps.count()
+    banded = fps.select(
+        "media_id",
+        F.explode(F.array(*[
+            F.struct(F.lit(b).alias("band_idx"),
+                     F.col(f"band{b}").alias("band_val"))
+            for b in range(4)])).alias("band")
+    ).select("media_id", "band.band_idx", "band.band_val")
+    cand = (bucket_pairs(banded, ["band_idx", "band_val"],
+                         F.struct(F.col("media_id").alias("id")),
+                         max_bucket=1000)
+            .select(F.col("pair.a.id").alias("a"),
+                    F.col("pair.b.id").alias("b")).distinct())
+    fa = fps.select(F.col("media_id").alias("a"),
+                    *[F.col(f"band{b}").alias(f"xa{b}") for b in range(4)])
+    fb = fps.select(F.col("media_id").alias("b"),
+                    *[F.col(f"band{b}").alias(f"xb{b}") for b in range(4)])
+    ham = sum(F.bit_count(F.col(f"xa{b}").bitwiseXOR(F.col(f"xb{b}")))
+              for b in range(4))
+    n_ah_pairs = (cand.join(fa, "a").join(fb, "b")
+                  .filter(ham <= 6).count())
+    t_ah = time.perf_counter() - t0
+    n_base_docs = base.count()
+    assert n_media == n_base_docs * k_copies
+    # the base corpus carries a few NATURAL exact dups (8 docs at
+    # sf0.1), which merge copy groups — expect C(n_g * k, 2) summed
+    # over distinct-TEXT groups, not a flat per-doc count
+    exp_pairs = (base.groupBy(F.md5("text").alias("tk"))
+                 .agg(F.count("*").alias("n"))
+                 .agg(F.sum(F.expr(
+                     f"(n * {k_copies}) * (n * {k_copies} - 1) div 2")))
+                 .first()[0])
+    assert n_ah_pairs == exp_pairs, (n_ah_pairs, exp_pairs)
+
     print(json.dumps({
         "amplify": amplify,
+        "ahash_media": n_media, "ahash_pairs": n_ah_pairs,
+        "ahash_sec": round(t_ah, 2),
+        "ahash_media_per_sec": round(n_media / t_ah),
         "idx_docs": n_docs, "idx_terms": n_terms,
         "idx_sec": round(t_idx, 2),
         "idx_docs_per_sec": round(n_docs / t_idx),
