@@ -586,3 +586,105 @@ def test_ndcg_matches_python_model(spark, sf_smoke):
     ks = sorted(got)
     for a, b in zip(ks, ks[1:]):
         assert got[a].idcg <= got[b].idcg
+
+
+# ---------------------------------------------------------------------------
+# brier_decomposition
+# ---------------------------------------------------------------------------
+
+def test_brier_decomposition_matches_python_model(spark, sf_smoke):
+    from travel_data_pipeline_spark.queries_round10 import (
+        brier_decomposition,
+    )
+
+    docs = _docs(spark, sf_smoke)
+    probs = []
+    feats = []
+    for d in docs:
+        n_chars = len(d.text)
+        alpha = len(re.sub(r"[^A-Za-z]", "", d.text))
+        n_tokens = len([w for w in _norm(d.text).split(" ") if w])
+        ar = _round6(alpha / max(n_chars, 1))
+        sr = _round6((n_chars - alpha) / max(n_chars, 1))
+        mwl = _round6(alpha / max(n_tokens, 1))
+        ll = _round6(math.log10(float(n_chars) + 1.0))
+        score = _round6(-2.0 + 3.5 * ar - 6.0 * (1.0 - ar)
+                        + 0.08 * mwl + 0.9 * ll) + 0.0
+        truth = n_tokens >= 10 and mwl <= 12.0 and sr <= 0.35
+        feats.append((score, truth))
+    mn = min(s for s, _ in feats)
+    mx = max(s for s, _ in feats)
+    for s, t in feats:
+        p = 0.5 if mx == mn else _round6((s - mn) / (mx - mn))
+        probs.append((p, t))
+
+    n = len(probs)
+    n_pos = sum(1 for _, t in probs if t)
+    obar = float(n_pos) / float(n)
+    # exact Brier via 6-dp decimals (the engines' decimal row sums)
+    sq = sum((Decimal(repr(p)).quantize(Decimal("0.000001"),
+                                        rounding=ROUND_HALF_UP)
+              - (1 if t else 0)) ** 2 for p, t in probs)
+    brier = float(sq) / float(n)
+    bins = defaultdict(lambda: [0, Decimal(0), 0])
+    for p, t in probs:
+        b = min(int(math.floor(p * 10)), 9)
+        cell = bins[b]
+        cell[0] += 1
+        cell[1] += Decimal(repr(p)).quantize(Decimal("0.000001"),
+                                             rounding=ROUND_HALF_UP)
+        cell[2] += 1 if t else 0
+    rel = res = 0.0
+    for b in sorted(bins):
+        nb, sp, npos = bins[b]
+        pbar = float(sp) / float(nb)
+        ok = float(npos) / float(nb)
+        w = float(nb) / float(n)
+        rel += w * (pbar - ok) * (pbar - ok)
+        res += w * (ok - obar) * (ok - obar)
+
+    r = brier_decomposition(spark, sf_smoke).collect()[0]
+    assert r.n == n
+    assert r.o_bar == _round6(obar)
+    assert r.brier == _round6(brier)
+    assert r.uncertainty == _round6(obar * (1.0 - obar))
+    assert r.reliability == _round6(rel)
+    assert r.resolution == _round6(res)
+    assert r.brier_binned == _round6(obar * (1.0 - obar) - res + rel) + 0.0
+    # the binned decomposition under-counts by the within-bin variance
+    assert r.brier >= r.brier_binned - 1e-6
+    assert 0.0 <= r.resolution <= r.uncertainty + 1e-9
+
+
+# ---------------------------------------------------------------------------
+# hash_split_uniformity_audit
+# ---------------------------------------------------------------------------
+
+def test_hash_uniformity_matches_python_model(spark, sf_smoke):
+    from travel_data_pipeline_spark.queries_round10 import (
+        _CHI2_CRIT_15,
+        _SPLIT_BUCKETS,
+        hash_split_uniformity_audit,
+    )
+
+    users = {e.user_id for e in
+             spark.read.parquet(f"{sf_smoke}/events.parquet").collect()}
+    counts = Counter(_md5_long(f"ab:{u}") % _SPLIT_BUCKETS for u in users)
+    n = len(users)
+    exp = float(n) / float(_SPLIT_BUCKETS)
+    chi2 = _seq_sum([
+        (float(counts.get(b, 0)) - exp) * (float(counts.get(b, 0)) - exp)
+        / exp
+        for b in sorted(counts)])
+
+    rows = {r.split_name: r for r in
+            hash_split_uniformity_audit(spark, sf_smoke).collect()}
+    assert set(rows) == {"ab", "exp", "cf"}
+    ab = rows["ab"]
+    assert ab.n_units == n
+    assert ab.chi2 == _round6(chi2)
+    assert ab.dof == _SPLIT_BUCKETS - 1
+    assert ab.uniform_ok == (1 if chi2 <= _CHI2_CRIT_15 else 0)
+    for r in rows.values():
+        assert r.min_bucket <= r.max_bucket
+        assert r.chi2 >= 0.0

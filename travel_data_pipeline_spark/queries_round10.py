@@ -1444,3 +1444,281 @@ def bm25_ndcg_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(dcg, 6).alias("dcg"),
         F.round(idcg, 6).alias("idcg"),
         F.round(dcg / idcg, 6).alias("ndcg"))
+
+
+# ---------------------------------------------------------------------------
+# Brier-score (Murphy) decomposition — the probabilistic-forecast
+# companion of cdf_calibration_bins' ECE: over the SAME frozen quality
+# scorer and 10-bin reliability diagram,
+#   brier = uncertainty - resolution + reliability + within-bin term
+# with uncertainty = obar(1-obar), resolution = sum n_k/N (o_k-obar)^2,
+# reliability = sum n_k/N (pbar_k-o_k)^2 (Murphy 1973, public). ECE
+# says HOW FAR the diagram sits from the diagonal; the decomposition
+# says whether a bad Brier comes from miscalibration (reliability) or
+# from the forecaster not separating classes (low resolution).
+#
+# Float discipline: the exact Brier term sums (p - y)^2 as DECIMAL
+# products (p is already a 6-dp double -> DECIMAL(18,6) cast is exact;
+# the oracle casts operands to DECIMAL(28,6) per the DuckDB int64
+# product-overflow rule); the 10 bin terms fold in bin order. The
+# score/truth/p spelling is copied verbatim from cdf_calibration_bins
+# (queries_round8) so both queries grade the same forecaster.
+# ---------------------------------------------------------------------------
+
+
+def _brier_oracle() -> str:
+    from travel_data_pipeline_spark.queries_round8 import _CAL_SCORE
+
+    return f"""
+WITH feats AS (
+    SELECT doc_id,
+           length(text) AS n_chars,
+           length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS alpha_chars,
+           len(list_filter(string_split(
+               trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' '),
+               x -> x <> '')) AS n_tokens
+    FROM documents
+),
+x AS (
+    SELECT doc_id,
+           {round_sql("alpha_chars / GREATEST(n_chars, 1)")} AS alpha_ratio,
+           {round_sql("(n_chars - alpha_chars) / GREATEST(n_chars, 1)")}
+             AS sym_ratio,
+           {round_sql("alpha_chars / GREATEST(n_tokens, 1)")}
+             AS mean_word_len,
+           {round_sql("log10(CAST(n_chars AS DOUBLE) + 1.0)")} AS log_len,
+           n_tokens
+    FROM feats
+),
+judged AS (
+    SELECT {round_sql(_CAL_SCORE)} + 0.0 AS score,
+           (n_tokens >= 10 AND mean_word_len <= 12.0
+            AND sym_ratio <= 0.35) AS truth
+    FROM x
+),
+mnmx AS (SELECT MIN(score) AS mn, MAX(score) AS mx FROM judged),
+probs AS (
+    SELECT CASE WHEN mx = mn THEN 0.5
+                ELSE {round_sql("(score - mn) / (mx - mn)")} END AS p,
+           truth
+    FROM judged CROSS JOIN mnmx
+),
+exact AS (
+    SELECT COUNT(*) AS n, SUM(CASE WHEN truth THEN 1 ELSE 0 END) AS n_pos,
+           SUM((CAST(p AS DECIMAL(28,6))
+                - CAST(CASE WHEN truth THEN 1 ELSE 0 END AS DECIMAL(28,6)))
+               * (CAST(p AS DECIMAL(28,6))
+                  - CAST(CASE WHEN truth THEN 1 ELSE 0 END
+                         AS DECIMAL(28,6)))) AS sq_sum
+    FROM probs
+),
+binned AS (
+    SELECT LEAST(CAST(floor(p * 10) AS INT), 9) AS bin,
+           count(*) AS nb,
+           SUM(CAST(p AS DECIMAL(18,6))) AS sum_p,
+           SUM(CASE WHEN truth THEN 1 ELSE 0 END) AS nb_pos
+    FROM probs GROUP BY bin
+),
+terms AS (
+    SELECT b.bin,
+           (CAST(b.nb AS DOUBLE) / CAST(e.n AS DOUBLE))
+               * (CAST(b.sum_p AS DOUBLE) / CAST(b.nb AS DOUBLE)
+                  - CAST(b.nb_pos AS DOUBLE) / CAST(b.nb AS DOUBLE))
+               * (CAST(b.sum_p AS DOUBLE) / CAST(b.nb AS DOUBLE)
+                  - CAST(b.nb_pos AS DOUBLE) / CAST(b.nb AS DOUBLE))
+               AS rel_t,
+           (CAST(b.nb AS DOUBLE) / CAST(e.n AS DOUBLE))
+               * (CAST(b.nb_pos AS DOUBLE) / CAST(b.nb AS DOUBLE)
+                  - CAST(e.n_pos AS DOUBLE) / CAST(e.n AS DOUBLE))
+               * (CAST(b.nb_pos AS DOUBLE) / CAST(b.nb AS DOUBLE)
+                  - CAST(e.n_pos AS DOUBLE) / CAST(e.n AS DOUBLE))
+               AS res_t
+    FROM binned b CROSS JOIN exact e
+),
+folded AS (
+    SELECT list_reduce(list(rel_t ORDER BY bin), (x, y) -> x + y) AS rel,
+           list_reduce(list(res_t ORDER BY bin), (x, y) -> x + y) AS res
+    FROM terms
+)
+SELECT CAST(e.n AS BIGINT) AS n,
+       {round_sql('CAST(e.n_pos AS DOUBLE) / CAST(e.n AS DOUBLE)')} AS o_bar,
+       {round_sql('CAST(e.sq_sum AS DOUBLE) / CAST(e.n AS DOUBLE)')} AS brier,
+       {round_sql('(CAST(e.n_pos AS DOUBLE) / CAST(e.n AS DOUBLE)) * (1.0 - CAST(e.n_pos AS DOUBLE) / CAST(e.n AS DOUBLE))')}
+           AS uncertainty,
+       {round_sql('f.res')} AS resolution,
+       {round_sql('f.rel')} AS reliability,
+       {round_sql('(CAST(e.n_pos AS DOUBLE) / CAST(e.n AS DOUBLE)) * (1.0 - CAST(e.n_pos AS DOUBLE) / CAST(e.n AS DOUBLE)) - f.res + f.rel')}
+           + 0.0 AS brier_binned
+FROM exact e CROSS JOIN folded f
+"""
+
+
+@register("brier_decomposition", _brier_oracle)
+def brier_decomposition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Murphy decomposition of the frozen quality scorer's Brier score.
+
+    brier (exact, decimal row sums) differs from brier_binned
+    (uncertainty - resolution + reliability) by the non-negative
+    within-bin variance the 10-bin diagram cannot see."""
+    docs = load_table(spark, sf_dir, "documents")
+    norm = F.trim(F.regexp_replace(F.lower("text"), r"\s+", " "))
+    toks = F.filter(F.split(norm, " "), lambda x: x != "")
+    n_chars = F.length("text")
+    alpha = F.length(F.regexp_replace("text", "[^A-Za-z]", ""))
+    n_tokens = F.size(toks)
+    alpha_ratio = F.round(alpha / F.greatest(n_chars, F.lit(1)), 6)
+    sym_ratio = F.round((n_chars - alpha)
+                        / F.greatest(n_chars, F.lit(1)), 6)
+    mwl = F.round(alpha / F.greatest(n_tokens, F.lit(1)), 6)
+    log_len = F.round(F.log10(n_chars.cast("double") + F.lit(1.0)), 6)
+    score = F.round(F.lit(-2.0) + F.lit(3.5) * alpha_ratio
+                    - F.lit(6.0) * (F.lit(1.0) - alpha_ratio)
+                    + F.lit(0.08) * mwl + F.lit(0.9) * log_len, 6) \
+        + F.lit(0.0)
+    truth = (n_tokens >= 10) & (mwl <= 12.0) & (sym_ratio <= 0.35)
+    judged = docs.select(score.alias("score"), truth.alias("truth"))
+    mnmx = judged.agg(F.min("score").alias("mn"),
+                      F.max("score").alias("mx"))
+    p = (F.when(F.col("mx") == F.col("mn"), F.lit(0.5))
+         .otherwise(F.round((F.col("score") - F.col("mn"))
+                            / (F.col("mx") - F.col("mn")), 6)))
+    probs = (judged.crossJoin(F.broadcast(mnmx))
+             .select(p.alias("p"), "truth"))
+    p_dec = F.col("p").cast("decimal(18,6)")
+    y_dec = F.when(F.col("truth"), 1).otherwise(0).cast("decimal(18,6)")
+    exact = probs.agg(
+        F.count("*").alias("n"),
+        F.sum(F.when(F.col("truth"), 1).otherwise(0)).alias("n_pos"),
+        F.sum((p_dec - y_dec) * (p_dec - y_dec)).alias("sq_sum"))
+    binned = (probs.groupBy(
+        F.least(F.floor(F.col("p") * 10).cast("int"), F.lit(9))
+        .alias("bin"))
+        .agg(F.count("*").alias("nb"),
+             F.sum(F.col("p").cast("decimal(18,6)")).alias("sum_p"),
+             F.sum(F.when(F.col("truth"), 1).otherwise(0))
+             .alias("nb_pos")))
+    pbar = F.col("sum_p").cast("double") / F.col("nb").cast("double")
+    ok = F.col("nb_pos").cast("double") / F.col("nb").cast("double")
+    obar = F.col("n_pos").cast("double") / F.col("n").cast("double")
+    wk = F.col("nb").cast("double") / F.col("n").cast("double")
+    terms = (binned.crossJoin(F.broadcast(exact))
+             .select("bin",
+                     (wk * (pbar - ok) * (pbar - ok)).alias("rel_t"),
+                     (wk * (ok - obar) * (ok - obar)).alias("res_t")))
+    folded = terms.agg(
+        F.array_sort(F.collect_list(F.struct("bin", "rel_t", "res_t")))
+        .alias("ts")).select(
+        F.aggregate(F.transform("ts", lambda t: t["rel_t"]),
+                    F.lit(0.0), lambda a, x: a + x).alias("rel"),
+        F.aggregate(F.transform("ts", lambda t: t["res_t"]),
+                    F.lit(0.0), lambda a, x: a + x).alias("res"))
+    unc = obar * (F.lit(1.0) - obar)
+    return (exact.crossJoin(F.broadcast(folded))
+            .select(
+                "n",
+                F.round(obar, 6).alias("o_bar"),
+                F.round(F.col("sq_sum").cast("double")
+                        / F.col("n").cast("double"), 6).alias("brier"),
+                F.round(unc, 6).alias("uncertainty"),
+                F.round(F.col("res"), 6).alias("resolution"),
+                F.round(F.col("rel"), 6).alias("reliability"),
+                (F.round(unc - F.col("res") + F.col("rel"), 6)
+                 + F.lit(0.0)).alias("brier_binned")))
+
+
+# ---------------------------------------------------------------------------
+# md5-split uniformity audit — chi-square over 16 hash buckets for the
+# THREE deterministic splits the registry's experiment/split queries
+# ride on ('ab:' users, 'exp:' customers, 'cf:' orders). Every A/B
+# readout, conformal split, and group-split guarantee silently assumes
+# these buckets are uniform; this is the audit that would catch a
+# broken hash (or a biased key space) before any downstream number is
+# trusted. chi2 against the dof=15 95% critical value (python
+# literal); exact integer counts, 16-term sorted fold per split.
+# ---------------------------------------------------------------------------
+
+_SPLIT_BUCKETS = 16
+_CHI2_CRIT_15 = 24.995790139728616   # chi2 0.95 quantile, dof = 15
+
+
+def _split_audit_sql(split: str, key_expr: str, unit_sql: str) -> str:
+    h = md5_long_sql(f"'{split}:' || CAST({key_expr} AS VARCHAR)")
+    return f"""
+SELECT '{split}' AS split_name, b.*
+FROM (
+    WITH units AS ({unit_sql}),
+    buckets AS (
+        SELECT ({h} % {_SPLIT_BUCKETS}) AS bucket, COUNT(*) AS n_b
+        FROM units GROUP BY bucket
+    ),
+    tot AS (SELECT SUM(n_b) AS n FROM buckets),
+    terms AS (
+        SELECT bucket,
+               (CAST(n_b AS DOUBLE)
+                - CAST(n AS DOUBLE) / {_SPLIT_BUCKETS}.0)
+               * (CAST(n_b AS DOUBLE)
+                  - CAST(n AS DOUBLE) / {_SPLIT_BUCKETS}.0)
+               / (CAST(n AS DOUBLE) / {_SPLIT_BUCKETS}.0) AS t,
+               n_b, n
+        FROM buckets CROSS JOIN tot
+    )
+    SELECT CAST(MIN(n) AS BIGINT) AS n_units,
+           CAST(MIN(n_b) AS BIGINT) AS min_bucket,
+           CAST(MAX(n_b) AS BIGINT) AS max_bucket,
+           {round_sql('list_reduce(list(t ORDER BY bucket), (x, y) -> x + y)')}
+               AS chi2,
+           CAST({_SPLIT_BUCKETS - 1} AS INT) AS dof,
+           CAST(CASE WHEN list_reduce(list(t ORDER BY bucket),
+                                      (x, y) -> x + y)
+                     <= {_CHI2_CRIT_15!r} THEN 1 ELSE 0 END AS INT)
+               AS uniform_ok
+    FROM terms
+) b
+"""
+
+
+@register("hash_split_uniformity_audit", lambda: " UNION ALL ".join([
+    _split_audit_sql("ab", "user_id",
+                     "SELECT DISTINCT user_id FROM events"),
+    _split_audit_sql("exp", "c_custkey",
+                     "SELECT c_custkey AS c_custkey FROM customer"),
+    _split_audit_sql("cf", "o_orderkey",
+                     "SELECT o_orderkey AS o_orderkey FROM orders"),
+]))
+def hash_split_uniformity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chi-square uniformity of the md5 splits across 16 buckets."""
+    def audit(df: DataFrame, split: str, key: str) -> DataFrame:
+        h = (md5_long(F.concat(F.lit(f"{split}:"),
+                               F.col(key).cast("string")))
+             % _SPLIT_BUCKETS)
+        buckets = df.groupBy(h.alias("bucket")).agg(
+            F.count("*").alias("n_b"))
+        tot = buckets.agg(F.sum("n_b").alias("n"))
+        exp = F.col("n").cast("double") / F.lit(float(_SPLIT_BUCKETS))
+        t = ((F.col("n_b").cast("double") - exp)
+             * (F.col("n_b").cast("double") - exp) / exp)
+        terms = buckets.crossJoin(F.broadcast(tot)).select(
+            "bucket", "n_b", "n", t.alias("t"))
+        chi2 = F.aggregate(F.transform("ts", lambda s: s["t"]),
+                           F.lit(0.0), lambda a, x: a + x)
+        return (terms.agg(
+            F.min("n").alias("n_units"),
+            F.min("n_b").alias("min_bucket"),
+            F.max("n_b").alias("max_bucket"),
+            F.array_sort(F.collect_list(F.struct("bucket", "t")))
+            .alias("ts"))
+            .select(F.lit(split).alias("split_name"),
+                    "n_units", "min_bucket", "max_bucket",
+                    F.round(chi2, 6).alias("chi2"),
+                    F.lit(_SPLIT_BUCKETS - 1).cast("int").alias("dof"),
+                    F.when(chi2 <= F.lit(_CHI2_CRIT_15), 1).otherwise(0)
+                    .cast("int").alias("uniform_ok")))
+
+    events = load_table(spark, sf_dir, "events")
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    return (audit(events.select("user_id").distinct(), "ab", "user_id")
+            .unionByName(audit(cust.select("c_custkey"), "exp",
+                               "c_custkey"))
+            .unionByName(audit(orders.select("o_orderkey"), "cf",
+                               "o_orderkey")))
