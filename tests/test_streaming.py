@@ -965,3 +965,96 @@ def test_incremental_lsh_replay_emits_no_novel_pair_keys(spark, sf_smoke,
     replayed = {(r.doc_a, r.doc_b)
                 for r in spark.read.parquet(pairs_out).collect()}
     assert replayed == first  # identical keys only — never (921k, 920k)
+
+
+def test_ahash_media_stream_probe_matches_planted_pairs(spark, sf_smoke,
+                                                        tmp_path):
+    """Pure-probe mode over two micro-batches of planted copies emits
+    exactly the (original, copy) pairs at Hamming 0 — the corpus
+    fingerprint table is the only state, and payload bytes never
+    persist."""
+    import os
+
+    from travel_data_pipeline_spark.operators.multimodal import (
+        documents_as_media,
+    )
+    from travel_data_pipeline_spark.queries_northstar import PLANT_OFFSET
+
+    d = load_table(spark, sf_smoke, "documents").select("doc_id", "text")
+    corpus = documents_as_media(d)
+    planted = documents_as_media(
+        d.filter(F.col("doc_id") < 5)
+        .select((F.col("doc_id") + PLANT_OFFSET).alias("doc_id"), "text"))
+
+    fps_p = str(tmp_path / "media_fps")
+    jobs.seed_media_fingerprints(corpus, fps_p)
+
+    feed = tmp_path / "media_feed"
+    feed.mkdir()
+    b0 = planted.filter(F.col("media_id") % 2 == 0)
+    b1 = planted.filter(F.col("media_id") % 2 == 1)
+    for i, part in enumerate([b0, b1]):
+        p = str(feed / f"b{i}.parquet")
+        part.toPandas().to_parquet(p)
+        os.utime(p, (1700000000 + i * 60, 1700000000 + i * 60))
+
+    stream = (spark.readStream
+              .schema(corpus.schema)
+              .option("maxFilesPerTrigger", 1).parquet(str(feed)))
+    pairs_out = str(tmp_path / "media_pairs")
+    q = jobs.ahash_media_stream(stream, fps_p, pairs_out,
+                                str(tmp_path / "media_ckpt"),
+                                grow_corpus=False)
+    q.awaitTermination(180)
+
+    got = {(r.media_a, r.media_b): r.hamming
+           for r in spark.read.parquet(pairs_out).collect()}
+    want = {(d_, d_ + PLANT_OFFSET): 0 for d_ in range(5)}
+    assert got == want
+
+
+def test_ahash_media_stream_grow_catches_cross_and_same_batch(spark,
+                                                              sf_smoke,
+                                                              tmp_path):
+    """Grow mode: a batch-2 copy of a batch-1 arrival is caught (the
+    fingerprint state accretes) AND two copies landing in the SAME
+    batch pair up via the self-probe."""
+    import os
+
+    from travel_data_pipeline_spark.operators.multimodal import (
+        documents_as_media,
+    )
+
+    d = load_table(spark, sf_smoke, "documents").select("doc_id", "text")
+    base = d.filter(F.col("doc_id") == 7).select("text").first().text
+    seed = documents_as_media(d.filter(F.col("doc_id") < 3))
+    fps_p = str(tmp_path / "gfps")
+    jobs.seed_media_fingerprints(seed, fps_p)
+
+    rows1 = [(1001, base)]                      # batch 1: one copy
+    rows2 = [(2001, base), (2002, base)]        # batch 2: two copies
+    feed = tmp_path / "gfeed"
+    feed.mkdir()
+    for i, rows in enumerate([rows1, rows2]):
+        part = documents_as_media(
+            spark.createDataFrame(rows, "doc_id long, text string"))
+        p = str(feed / f"b{i}.parquet")
+        part.toPandas().to_parquet(p)
+        os.utime(p, (1700000000 + i * 60, 1700000000 + i * 60))
+
+    stream = (spark.readStream.schema(
+        documents_as_media(d).schema)
+        .option("maxFilesPerTrigger", 1).parquet(str(feed)))
+    pairs_out = str(tmp_path / "gpairs")
+    q = jobs.ahash_media_stream(stream, fps_p, pairs_out,
+                                str(tmp_path / "gckpt"),
+                                grow_corpus=True)
+    q.awaitTermination(180)
+
+    got = {(r.media_a, r.media_b) for r in
+           spark.read.parquet(pairs_out).collect()}
+    # cross-batch: both batch-2 copies pair with the batch-1 arrival;
+    # same-batch: the two batch-2 copies pair with each other
+    assert (1001, 2001) in got
+    assert (1001, 2002) in got
+    assert (2001, 2002) in got

@@ -1020,3 +1020,107 @@ def cm_stream_probe(spark: SparkSession, state_path: str,
             .groupBy("user_id")
             .agg(F.min(F.coalesce("c", F.lit(0))).cast("long")
                  .alias("cm_estimate")))
+
+
+def _ahash_bands(fps: DataFrame, id_alias: str) -> DataFrame:
+    """(id, band_idx, band_val) long form of an aHash fingerprint
+    relation — a pure expression (4-struct explode), derived per use
+    from the landed fingerprints rather than stored redundantly."""
+    return fps.select(
+        F.col("media_id").alias(id_alias),
+        F.explode(F.array(*[
+            F.struct(F.lit(b).alias("band_idx"),
+                     F.col(f"band{b}").alias("band_val"))
+            for b in range(4)])).alias("band")
+    ).select(id_alias, "band.band_idx", "band.band_val")
+
+
+def seed_media_fingerprints(media: DataFrame, fps_path: str) -> None:
+    """Land the existing media corpus for ahash_media_stream: only the
+    aHash fingerprints (6 BIGINTs per item) persist — the binary
+    payloads are hashed once and never stored or re-read."""
+    from travel_data_pipeline_spark.operators.multimodal import (
+        ahash_fingerprints,
+    )
+
+    ahash_fingerprints(media).write.mode("overwrite").parquet(fps_path)
+
+
+def ahash_media_stream(incoming: DataFrame, fps_path: str,
+                       pairs_out: str, checkpoint: str,
+                       ham_t: int = 6,
+                       grow_corpus: bool = True) -> StreamingQuery:
+    """Streaming perceptual near-dup detection over media — the
+    multimodal twin of incremental_lsh_stream: each micro-batch of
+    (media_id, payload, meta) rows is aHash-fingerprinted (the
+    Arrow-batched fake-decode path of queries_round10.
+    image_ahash_neardup), its 16-bit bands probe the PERSISTED corpus
+    fingerprint table, and candidates are Hamming-verified; verified
+    (media_a, media_b, hamming) pairs append to ``pairs_out``.
+
+    The replay/growth contract is inherited verbatim from the LSH
+    stream: media_a != media_b guards the cross-probe against a
+    committed-append/uncommitted-checkpoint replay; grow mode adds the
+    within-batch banded self-probe and canonicalizes pair keys with
+    least/greatest before distinct; the verify side dropDuplicates on
+    media_id so replayed corpus rows cannot double anything (Hamming
+    needs only ONE fingerprint per id — there is no Jaccard-style
+    denominator to corrupt, but duplicate rows would duplicate output
+    pair ROWS, which downstream pair-key dedup absorbs).
+
+    Scale shape: corpus state is 6 BIGINTs per media item in parquet
+    (payload bytes are hashed in the batch and never persisted); the
+    per-batch work is one Arrow pass over the BATCH, a broadcast of
+    the batch's bands into the corpus fingerprint scan, and a
+    candidate-only verify join.
+    """
+    from travel_data_pipeline_spark.operators.multimodal import (
+        ahash_fingerprints,
+    )
+
+    def fold(batch_df: DataFrame, epoch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        spark = batch_df.sparkSession
+        inc_fps = (ahash_fingerprints(batch_df)
+                   .localCheckpoint(eager=True))
+        corpus_fps = spark.read.parquet(fps_path)
+        inc_bands = _ahash_bands(inc_fps, "media_b")
+        cross = (_ahash_bands(corpus_fps, "media_a")
+                 .join(F.broadcast(inc_bands), ["band_idx", "band_val"])
+                 .filter(F.col("media_a") != F.col("media_b"))
+                 .select("media_a", "media_b"))
+        cand = cross
+        if grow_corpus:
+            within = (_ahash_bands(inc_fps, "media_a")
+                      .join(F.broadcast(inc_bands),
+                            ["band_idx", "band_val"])
+                      .filter(F.col("media_a") < F.col("media_b"))
+                      .select("media_a", "media_b"))
+            cand = (cand.unionByName(within)
+                    .select(F.least("media_a", "media_b")
+                            .alias("media_a"),
+                            F.greatest("media_a", "media_b")
+                            .alias("media_b")))
+        pairs = cand.distinct().localCheckpoint(eager=True)
+        fps_all = (corpus_fps.unionByName(inc_fps)
+                   .dropDuplicates(["media_id"]))
+        fa = fps_all.select(
+            F.col("media_id").alias("media_a"),
+            *[F.col(f"band{b}").alias(f"xa{b}") for b in range(4)])
+        fb = fps_all.select(
+            F.col("media_id").alias("media_b"),
+            *[F.col(f"band{b}").alias(f"xb{b}") for b in range(4)])
+        ham = sum(F.bit_count(F.col(f"xa{b}").bitwiseXOR(F.col(f"xb{b}")))
+                  for b in range(4))
+        verified = (pairs.join(fa, "media_a").join(fb, "media_b")
+                    .select("media_a", "media_b",
+                            ham.cast("int").alias("hamming"))
+                    .filter(F.col("hamming") <= ham_t))
+        verified.write.mode("append").parquet(pairs_out)
+        if grow_corpus:
+            inc_fps.write.mode("append").parquet(fps_path)
+
+    return (incoming.writeStream.foreachBatch(fold)
+            .option("checkpointLocation", checkpoint)
+            .trigger(availableNow=True).start())
