@@ -688,3 +688,79 @@ def test_hash_uniformity_matches_python_model(spark, sf_smoke):
     for r in rows.values():
         assert r.min_bucket <= r.max_bucket
         assert r.chi2 >= 0.0
+
+
+# ---------------------------------------------------------------------------
+# markov_removal_attribution
+# ---------------------------------------------------------------------------
+
+def _dec6(x) -> Decimal:
+    return Decimal(repr(float(x))).quantize(Decimal("0.000001"),
+                                            rounding=ROUND_HALF_UP)
+
+
+def test_markov_removal_matches_python_model(spark, sf_smoke):
+    from travel_data_pipeline_spark.queries_round10 import (
+        _MRA_ITERS,
+        markov_removal_attribution,
+    )
+
+    events = sorted(
+        spark.read.parquet(f"{sf_smoke}/events.parquet").collect(),
+        key=lambda e: (e.user_id, e.ts, e.event_id))
+    # journeys truncated at the first purchase
+    journeys = defaultdict(list)
+    for e in events:
+        seq = journeys[e.user_id]
+        if any(s == "conv" for s in seq):
+            continue
+        seq.append("conv" if e.event_type == "purchase" else e.event_type)
+    trans = Counter()
+    for seq in journeys.values():
+        trans[("start", seq[0])] += 1
+        for a, b in zip(seq, seq[1:]):
+            trans[(a, b)] += 1
+        if seq[-1] != "conv":
+            trans[(seq[-1], "null")] += 1
+    tot = Counter()
+    for (f, t), n in trans.items():
+        tot[f] += n
+    p6 = {(f, t): _dec6(n / float(tot[f])) for (f, t), n in trans.items()}
+    states = sorted(tot)
+    channels = [s for s in states if s != "start"]
+
+    def p_conv(removed):
+        dom = [s for s in states if s != removed]
+        b = {s: p6.get((s, "conv"), Decimal(0)) for s in dom}
+        x = dict(b)
+        for _ in range(_MRA_ITERS - 1):
+            nx = {}
+            for s in dom:
+                acc = Decimal(0)
+                for t in channels:
+                    if t == removed or t in ("conv", "null", "start"):
+                        continue
+                    acc += p6.get((s, t), Decimal(0)) * x.get(t, Decimal(0))
+                nx[s] = Decimal(b[s] + acc).quantize(
+                    Decimal("0.000001"), rounding=ROUND_HALF_UP)
+            x = nx
+        return x["start"]
+
+    p_all = p_conv(None)
+    rows = {r.channel: r for r in
+            markov_removal_attribution(spark, sf_smoke).collect()}
+    assert set(rows) == set(channels)
+    res = {}
+    for ch in channels:
+        p_rm = p_conv(ch)
+        res[ch] = 1.0 - float(p_rm) / float(p_all)
+        r = rows[ch]
+        assert r.p_conv_all == _round6(float(p_all))
+        assert r.p_conv_removed == _round6(float(p_rm))
+        assert r.removal_effect == _round6(res[ch]) + 0.0
+        # deleting a channel cannot help conversion (up to rounding)
+        assert r.p_conv_removed <= r.p_conv_all + 1e-6
+    s_re = _seq_sum([res[ch] for ch in sorted(res)])
+    for ch in channels:
+        assert rows[ch].attribution_share == _round6(res[ch] / s_re) + 0.0
+    assert abs(sum(r.attribution_share for r in rows.values()) - 1.0) < 1e-3

@@ -1722,3 +1722,231 @@ def hash_split_uniformity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
                                "c_custkey"))
             .unionByName(audit(orders.select("o_orderkey"), "cf",
                                "o_orderkey")))
+
+
+# ---------------------------------------------------------------------------
+# Markov removal-effect attribution — the third classic attribution
+# model next to attribution_last_click and attribution_multi_touch
+# (Anderl et al. 2014, public): journeys are first-order Markov chains
+# over channel states; a channel's credit is its REMOVAL EFFECT
+# 1 - P(conv | channel deleted)/P(conv), normalized across channels.
+#
+# Journeys: per-user event sequences truncated at the FIRST purchase
+# (absorbing 'conv'); journeys without a purchase absorb in 'null'.
+# Removing channel c deletes its state — probability mass INTO c
+# flows to 'null' (the standard formulation), i.e. transitions
+# touching c simply drop from the transient system.
+#
+# Absorption probabilities: x = b + P x solved by _MRA_ITERS unrolled
+# Jacobi steps in EXACT 6-dp DECIMAL (the markov_stationary machinery
+# transposed) — every scenario (NONE + one per channel) iterates in
+# ONE keyed relation, so the oracle is static SQL no matter how many
+# channels the data holds (every shared/iterated CTE is
+# MATERIALIZED — DuckDB otherwise INLINES them, re-running the
+# corpus window pipeline per reference: measured 47.6s -> 0.1s
+# at sf0.001). Sub-stochastic rows make the iteration a
+# contraction; 12 steps leave a deterministic truncation both engines
+# share bit-for-bit (rounding can make a removed-channel variant
+# exceed the baseline by <= 1e-6 — removal_effect is reported
+# unclamped with `+ 0.0`).
+#
+# Scale shape: one per-user lead window (the transition matrix's own
+# cost); everything after runs on |scenarios| x |states|^2 rows
+# (localCheckpoint'ed so iterations never replay the corpus scan).
+# ---------------------------------------------------------------------------
+
+_MRA_ITERS = 12
+
+
+def _mra_oracle() -> str:
+    p6 = round_sql("n / CAST(tot AS DOUBLE)")
+    steps = []
+    for i in range(2, _MRA_ITERS + 1):
+        steps.append(f"""
+x{i} AS MATERIALIZED (
+    SELECT ks.r, ks.s,
+           CAST(round(ks.b + COALESCE(SUM(kp.p6 * x.x),
+                                      CAST(0 AS DECIMAL(18,6))), 6)
+                AS DECIMAL(18,6)) AS x
+    FROM ks
+    LEFT JOIN kp ON kp.r = ks.r AND kp.s = ks.s
+    LEFT JOIN x{i - 1} x ON x.r = kp.r AND x.s = kp.t2
+    GROUP BY ks.r, ks.s, ks.b
+)""")
+    return f"""
+WITH seq AS MATERIALIZED (
+    SELECT user_id, event_type, ts, event_id,
+           SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+               OVER (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS UNBOUNDED PRECEDING)
+           - CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END
+               AS cum_before
+    FROM events
+),
+j AS MATERIALIZED (
+    SELECT user_id, ts, event_id,
+           CASE WHEN event_type = 'purchase' THEN 'conv'
+                ELSE event_type END AS st
+    FROM seq WHERE cum_before = 0
+),
+o AS MATERIALIZED (
+    SELECT user_id, st,
+           ROW_NUMBER() OVER (PARTITION BY user_id
+                              ORDER BY ts, event_id) AS rn,
+           lead(st) OVER (PARTITION BY user_id
+                          ORDER BY ts, event_id) AS nxt
+    FROM j
+),
+tr AS (
+    SELECT 'start' AS f, st AS t FROM o WHERE rn = 1
+    UNION ALL
+    SELECT st, nxt FROM o WHERE nxt IS NOT NULL
+    UNION ALL
+    SELECT st, 'null' FROM o WHERE nxt IS NULL AND st <> 'conv'
+),
+c AS MATERIALIZED (SELECT f, t, count(*) AS n FROM tr GROUP BY f, t),
+tt AS (SELECT f, SUM(n) AS tot FROM c GROUP BY f),
+m AS MATERIALIZED (
+    SELECT c.f, c.t, CAST({p6} AS DECIMAL(18,6)) AS p6
+    FROM c JOIN tt ON tt.f = c.f
+),
+channels AS (SELECT DISTINCT f AS ch FROM c WHERE f <> 'start'),
+scen AS (SELECT ch AS r FROM channels UNION ALL SELECT 'NONE'),
+states AS (SELECT DISTINCT f FROM c),
+ks AS MATERIALIZED (
+    SELECT s.r, st.f AS s,
+           COALESCE(b.p6, CAST(0 AS DECIMAL(18,6))) AS b
+    FROM scen s
+    JOIN states st ON st.f <> s.r
+    LEFT JOIN (SELECT f, p6 FROM m WHERE t = 'conv') b ON b.f = st.f
+),
+kp AS MATERIALIZED (
+    SELECT s.r, m.f AS s, m.t AS t2, m.p6
+    FROM scen s
+    JOIN m ON m.f <> s.r AND m.t <> s.r
+    WHERE m.t NOT IN ('conv', 'null', 'start')
+),
+x1 AS MATERIALIZED (SELECT r, s, b AS x FROM ks),
+{','.join(steps)},
+pc AS (SELECT r, x AS p_conv FROM x{_MRA_ITERS} WHERE s = 'start'),
+base AS (SELECT p_conv AS p_all FROM pc WHERE r = 'NONE'),
+res AS (
+    SELECT ch.ch AS channel,
+           CAST(b.p_all AS DOUBLE) AS p_all,
+           CAST(p.p_conv AS DOUBLE) AS p_rm,
+           1.0 - CAST(p.p_conv AS DOUBLE) / CAST(b.p_all AS DOUBLE)
+               AS re_raw
+    FROM channels ch
+    JOIN pc p ON p.r = ch.ch
+    CROSS JOIN base b
+),
+tot_re AS (
+    SELECT list_reduce(list(re_raw ORDER BY channel),
+                       (x, y) -> x + y) AS s_re
+    FROM res
+)
+SELECT channel,
+       {round_sql('p_all')} AS p_conv_all,
+       {round_sql('p_rm')} AS p_conv_removed,
+       {round_sql('re_raw')} + 0.0 AS removal_effect,
+       CASE WHEN s_re = 0 THEN NULL
+            ELSE {round_sql('re_raw / s_re')} + 0.0
+       END AS attribution_share
+FROM res CROSS JOIN tot_re
+"""
+
+
+@register("markov_removal_attribution", _mra_oracle)
+def markov_removal_attribution(spark: SparkSession,
+                               sf_dir: str) -> DataFrame:
+    """Removal-effect channel attribution over first-purchase journeys."""
+    events = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    is_p = F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+    seq = events.withColumn(
+        "cum_before",
+        F.sum(is_p).over(w.rowsBetween(Window.unboundedPreceding, 0))
+        - is_p)
+    j = (seq.filter(F.col("cum_before") == 0)
+         .select("user_id", "ts", "event_id",
+                 F.when(F.col("event_type") == "purchase", "conv")
+                 .otherwise(F.col("event_type")).alias("st")))
+    wj = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    o = (j.withColumn("rn", F.row_number().over(wj))
+         .withColumn("nxt", F.lead("st").over(wj)))
+    tr = (o.filter(F.col("rn") == 1)
+          .select(F.lit("start").alias("f"), F.col("st").alias("t"))
+          .unionByName(o.filter(F.col("nxt").isNotNull())
+                       .select(F.col("st").alias("f"),
+                               F.col("nxt").alias("t")))
+          .unionByName(o.filter(F.col("nxt").isNull()
+                                & (F.col("st") != "conv"))
+                       .select(F.col("st").alias("f"),
+                               F.lit("null").alias("t"))))
+    c = tr.groupBy("f", "t").agg(F.count("*").alias("n"))
+    tt = c.groupBy("f").agg(F.sum("n").alias("tot"))
+    m = (c.join(tt, "f")
+         .select("f", "t",
+                 F.round(F.col("n") / F.col("tot").cast("double"), 6)
+                 .cast("decimal(18,6)").alias("p6"))
+         .localCheckpoint(eager=True))
+    channels = (c.select(F.col("f").alias("ch")).distinct()
+                .filter(F.col("ch") != "start"))
+    scen = (channels.select(F.col("ch").alias("r"))
+            .unionByName(channels.sparkSession.createDataFrame(
+                [("NONE",)], "r string")))
+    states = m.select("f").distinct()
+    bvec = m.filter(F.col("t") == "conv").select("f", F.col("p6").alias("b0"))
+    zero6 = F.lit(0).cast("decimal(18,6)")
+    ks = (scen.join(states, states.f != scen.r)
+          .join(bvec, "f", "left")
+          .select("r", F.col("f").alias("s"),
+                  F.coalesce(F.col("b0"), zero6).alias("b"))
+          .localCheckpoint(eager=True))
+    kp = (scen.join(m, (m.f != scen.r) & (m.t != scen.r)
+                    & ~m.t.isin("conv", "null", "start"))
+          .select("r", F.col("f").alias("s"), F.col("t").alias("t2"),
+                  "p6")
+          .localCheckpoint(eager=True))
+    x = ks.select("r", "s", F.col("b").alias("x"))
+    for _ in range(_MRA_ITERS - 1):
+        acc = (kp.join(x.withColumnsRenamed({"s": "t2", "x": "xv"}),
+                       ["r", "t2"])
+               .groupBy("r", "s")
+               .agg(F.sum(F.col("p6") * F.col("xv")).alias("acc")))
+        # lag-1 pin (bpe_train_merges precedent): keeps each
+        # iteration's plan flat (join checkpointed 30-row inputs)
+        # instead of a 12-deep join/agg tree whose planning dominates
+        # (measured 13.7s -> 6.1s end-to-end at sf0.01)
+        x = (ks.join(acc, ["r", "s"], "left")
+             .select("r", "s",
+                     F.round(F.col("b")
+                             + F.coalesce(F.col("acc"), zero6), 6)
+                     .cast("decimal(18,6)").alias("x"))
+             .localCheckpoint(eager=True))
+    pc = x.filter(F.col("s") == "start").select("r", F.col("x").alias("p_conv"))
+    base = (pc.filter(F.col("r") == "NONE")
+            .select(F.col("p_conv").alias("p_all")))
+    res = (channels.join(pc, channels.ch == pc.r)
+           .crossJoin(F.broadcast(base))
+           .select(F.col("ch").alias("channel"),
+                   F.col("p_all").cast("double").alias("p_all"),
+                   F.col("p_conv").cast("double").alias("p_rm")))
+    res = res.withColumn(
+        "re_raw", F.lit(1.0) - F.col("p_rm") / F.col("p_all"))
+    tot_re = res.agg(
+        F.array_sort(F.collect_list(F.struct("channel", "re_raw")))
+        .alias("ts")).select(
+        F.aggregate(F.transform("ts", lambda t: t["re_raw"]),
+                    F.lit(0.0), lambda a, v: a + v).alias("s_re"))
+    return (res.crossJoin(F.broadcast(tot_re))
+            .select("channel",
+                    F.round("p_all", 6).alias("p_conv_all"),
+                    F.round("p_rm", 6).alias("p_conv_removed"),
+                    (F.round("re_raw", 6) + F.lit(0.0))
+                    .alias("removal_effect"),
+                    F.when(F.col("s_re") == 0,
+                           F.lit(None).cast("double"))
+                    .otherwise(F.round(F.col("re_raw") / F.col("s_re"),
+                                       6) + F.lit(0.0))
+                    .alias("attribution_share")))
