@@ -764,3 +764,69 @@ def test_markov_removal_matches_python_model(spark, sf_smoke):
     for ch in channels:
         assert rows[ch].attribution_share == _round6(res[ch] / s_re) + 0.0
     assert abs(sum(r.attribution_share for r in rows.values()) - 1.0) < 1e-3
+
+
+# ---------------------------------------------------------------------------
+# holt_backtest_mape
+# ---------------------------------------------------------------------------
+
+def test_holt_backtest_matches_published_states(spark, sf_smoke):
+    from travel_data_pipeline_spark.queries_round10 import (
+        _HBT_BURN,
+        holt_backtest_mape,
+    )
+    from travel_data_pipeline_spark.queries_timeseries import (
+        holt_linear_daily,
+    )
+
+    base = sorted(holt_linear_daily(spark, sf_smoke).collect(),
+                  key=lambda r: (r.event_type, r.day))
+    series = defaultdict(list)
+    for r in base:
+        series[r.event_type].append(r)
+    rows = {r.event_type: r for r in
+            holt_backtest_mape(spark, sf_smoke).collect()}
+    assert set(rows) == set(series)
+    for et, seq in series.items():
+        apes, naive = [], []
+        for i in range(_HBT_BURN, len(seq)):
+            prev, cur = seq[i - 1], seq[i]
+            apes.append(abs(float(cur.cnt) - (prev.level + prev.trend))
+                        / float(cur.cnt))
+            naive.append(abs(float(cur.cnt) - float(prev.cnt))
+                         / float(cur.cnt))
+        r = rows[et]
+        assert r.n_eval == len(apes)
+        mape = _seq_sum(apes) / float(len(apes))
+        mnaive = _seq_sum(naive) / float(len(naive))
+        assert r.mape == _round6(mape)
+        assert r.mape_naive == _round6(mnaive)
+        assert r.skill_vs_naive == _round6(1.0 - mape / mnaive) + 0.0
+
+
+# ---------------------------------------------------------------------------
+# ipf_raking_weights
+# ---------------------------------------------------------------------------
+
+def test_ipf_converges_toward_both_margins(spark, sf_smoke):
+    from travel_data_pipeline_spark.queries_round10 import (
+        ipf_raking_weights,
+    )
+
+    docs = _docs(spark, sf_smoke)
+    t_lang = Counter(d.lang for d in docs)
+    t_src = Counter(d.source for d in docs)
+    rows = ipf_raking_weights(spark, sf_smoke).collect()
+    assert rows
+    # weighted cell counts should reproduce both margins closely
+    # (IPF converges geometrically; 4 rounds is plenty at this size)
+    got_lang = defaultdict(float)
+    got_src = defaultdict(float)
+    for r in rows:
+        assert r.weight > 0
+        got_lang[r.lang] += r.weight * r.n_sample
+        got_src[r.source] += r.weight * r.n_sample
+    for lang, t in t_lang.items():
+        assert abs(got_lang[lang] - t) / t < 0.02, (lang, got_lang[lang], t)
+    for src, t in t_src.items():
+        assert abs(got_src[src] - t) / t < 0.05, (src, got_src[src], t)

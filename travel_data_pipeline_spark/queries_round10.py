@@ -1950,3 +1950,205 @@ def markov_removal_attribution(spark: SparkSession,
                     .otherwise(F.round(F.col("re_raw") / F.col("s_re"),
                                        6) + F.lit(0.0))
                     .alias("attribution_share")))
+
+
+# ---------------------------------------------------------------------------
+# Holt rolling-origin backtest — does the smoother actually forecast?
+#
+# holt_linear_daily publishes 6-dp level/trend states; the one-step
+# forecast for day i is level_{i-1} + trend_{i-1}, evaluated
+# rolling-origin over the observed day grid after a burn-in. MAPE is
+# compared against the naive persistence forecast (yesterday's count)
+# — skill = 1 - mape/mape_naive is the number that justifies (or
+# convicts) the smoother. Forecasts are built FROM THE PUBLISHED
+# 6-dp states (both engines consume identical rounded doubles), so
+# the backtest composes the registered query rather than forking the
+# recurrence.
+#
+# Scale shape: rides holt_linear_daily's bounded daily relation; the
+# per-type APE folds cover <= |days| elements in pinned day order.
+# ---------------------------------------------------------------------------
+
+_HBT_BURN = 5
+
+
+def _hbt_oracle() -> str:
+    from travel_data_pipeline_spark.registry import ORACLES
+
+    holt_sql = ORACLES["holt_linear_daily"]
+    assert isinstance(holt_sql, str)
+    return f"""
+WITH base AS MATERIALIZED (
+{holt_sql}
+),
+seqd AS (
+    SELECT event_type, day, cnt,
+           ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY day) AS rn,
+           lag(level) OVER (PARTITION BY event_type ORDER BY day) AS plvl,
+           lag(trend) OVER (PARTITION BY event_type ORDER BY day) AS ptrd,
+           lag(cnt) OVER (PARTITION BY event_type ORDER BY day) AS pcnt
+    FROM base
+),
+ev AS (
+    SELECT event_type, day,
+           abs(CAST(cnt AS DOUBLE) - (plvl + ptrd))
+               / CAST(cnt AS DOUBLE) AS ape,
+           abs(CAST(cnt AS DOUBLE) - CAST(pcnt AS DOUBLE))
+               / CAST(cnt AS DOUBLE) AS ape_naive
+    FROM seqd WHERE rn > {_HBT_BURN}
+),
+folded AS (
+    SELECT event_type, COUNT(*) AS n_eval,
+           list_reduce(list(ape ORDER BY day), (x, y) -> x + y)
+               / CAST(COUNT(*) AS DOUBLE) AS mape,
+           list_reduce(list(ape_naive ORDER BY day), (x, y) -> x + y)
+               / CAST(COUNT(*) AS DOUBLE) AS mape_naive
+    FROM ev GROUP BY event_type
+)
+SELECT event_type, CAST(n_eval AS BIGINT) AS n_eval,
+       {round_sql('mape')} AS mape,
+       {round_sql('mape_naive')} AS mape_naive,
+       {round_sql('1.0 - mape / mape_naive')} + 0.0 AS skill_vs_naive
+FROM folded
+""" 
+
+
+@register("holt_backtest_mape", _hbt_oracle)
+def holt_backtest_mape(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling-origin one-step MAPE of Holt vs naive persistence."""
+    from travel_data_pipeline_spark.queries_timeseries import (
+        holt_linear_daily,
+    )
+
+    base = holt_linear_daily(spark, sf_dir)
+    w = Window.partitionBy("event_type").orderBy("day")
+    seqd = (base
+            .withColumn("rn", F.row_number().over(w))
+            .withColumn("plvl", F.lag("level").over(w))
+            .withColumn("ptrd", F.lag("trend").over(w))
+            .withColumn("pcnt", F.lag("cnt").over(w)))
+    cd = F.col("cnt").cast("double")
+    ev = (seqd.filter(F.col("rn") > _HBT_BURN)
+          .select("event_type", "day",
+                  (F.abs(cd - (F.col("plvl") + F.col("ptrd"))) / cd)
+                  .alias("ape"),
+                  (F.abs(cd - F.col("pcnt").cast("double")) / cd)
+                  .alias("ape_naive")))
+    folded = (ev.groupBy("event_type")
+              .agg(F.count("*").alias("n_eval"),
+                   F.array_sort(F.collect_list(
+                       F.struct("day", "ape", "ape_naive"))).alias("ts")))
+    s = lambda fld: F.aggregate(  # noqa: E731
+        F.transform("ts", lambda t: t[fld]),
+        F.lit(0.0), lambda a, x: a + x)
+    mape = s("ape") / F.col("n_eval").cast("double")
+    mnaive = s("ape_naive") / F.col("n_eval").cast("double")
+    return folded.select(
+        "event_type", "n_eval",
+        F.round(mape, 6).alias("mape"),
+        F.round(mnaive, 6).alias("mape_naive"),
+        (F.round(F.lit(1.0) - mape / mnaive, 6) + F.lit(0.0))
+        .alias("skill_vs_naive"))
+
+
+# ---------------------------------------------------------------------------
+# IPF raking weights — calibrate a deterministic 30% sample to the
+# full corpus's lang AND source margins (iterative proportional
+# fitting / raking, Deming-Stephan 1940, public). Four full IPF
+# rounds (lang step + source step each) in EXACT 6-dp decimal: margin
+# ratios are 6-dp-rounded doubles cast to decimal, weights multiply
+# and re-round per half-step — both engines walk identical numbers
+# (the markov keyed-iteration discipline). The md5 sample covers
+# every margin at all three SFs (deterministic hash), and a
+# zero-total guard keeps a missing margin from minting inf.
+#
+# Scale shape: two corpus-sized grouped counts (sample cells + full
+# margins); the 8 half-steps iterate a <= |langs| x |sources| cell
+# relation (lag-1 checkpointed).
+# ---------------------------------------------------------------------------
+
+_IPF_ROUNDS = 4
+_IPF_KEY = md5_long_sql("'ipf:' || CAST(doc_id AS VARCHAR)")
+
+
+def _ipf_oracle() -> str:
+    steps = []
+    prev = "w0"
+    for i in range(1, _IPF_ROUNDS + 1):
+        for axis, margin in (("lang", "tl"), ("source", "ts_")):
+            name = f"w{i}{axis[0]}"
+            ratio = round_sql(
+                f"CAST(m.target AS DOUBLE) / CAST(cur.total AS DOUBLE)")
+            steps.append(f"""
+{name} AS MATERIALIZED (
+    SELECT p.lang, p.source, p.n_s,
+           CASE WHEN cur.total = 0 THEN p.w
+                ELSE CAST(round(p.w * CAST({ratio} AS DECIMAL(18,6)), 6)
+                          AS DECIMAL(18,6)) END AS w
+    FROM {prev} p
+    JOIN (SELECT {axis}, SUM(w * n_s) AS total FROM {prev}
+          GROUP BY {axis}) cur ON cur.{axis} = p.{axis}
+    JOIN {margin} m ON m.{axis} = p.{axis}
+)""")
+            prev = name
+    return f"""
+WITH sample AS MATERIALIZED (
+    SELECT lang, source FROM documents
+    WHERE ({_IPF_KEY} % 10) < 3
+),
+cells AS MATERIALIZED (
+    SELECT lang, source, COUNT(*) AS n_s FROM sample
+    GROUP BY lang, source
+),
+tl AS MATERIALIZED (
+    SELECT lang, COUNT(*) AS target FROM documents GROUP BY lang
+),
+ts_ AS MATERIALIZED (
+    SELECT source, COUNT(*) AS target FROM documents GROUP BY source
+),
+w0 AS MATERIALIZED (
+    SELECT lang, source, n_s, CAST(1 AS DECIMAL(18,6)) AS w FROM cells
+),
+{','.join(steps)}
+SELECT lang, source, CAST(n_s AS BIGINT) AS n_sample,
+       CAST(w AS DOUBLE) AS weight,
+       {round_sql('CAST(w AS DOUBLE) * CAST(n_s AS DOUBLE)')} AS w_count
+FROM {prev}
+"""
+
+
+@register("ipf_raking_weights", _ipf_oracle)
+def ipf_raking_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Raked per-cell weights calibrating the sample to both margins."""
+    docs = load_table(spark, sf_dir, "documents")
+    key = md5_long(F.concat(F.lit("ipf:"),
+                            F.col("doc_id").cast("string"))) % 10
+    sample = docs.filter(key < 3).select("lang", "source")
+    cells = (sample.groupBy("lang", "source")
+             .agg(F.count("*").alias("n_s")))
+    tl = docs.groupBy("lang").agg(F.count("*").alias("t_lang"))
+    ts = docs.groupBy("source").agg(F.count("*").alias("t_src"))
+    w = (cells.withColumn("w", F.lit(1).cast("decimal(18,6)"))
+         .localCheckpoint(eager=True))
+    targets = {"lang": ("t_lang", F.broadcast(tl)),
+               "source": ("t_src", F.broadcast(ts))}
+    for _ in range(_IPF_ROUNDS):
+        for axis, (tcol, tdf) in targets.items():
+            cur = w.groupBy(axis).agg(
+                F.sum(F.col("w") * F.col("n_s")).alias("total"))
+            ratio = F.round(F.col(tcol).cast("double")
+                            / F.col("total").cast("double"), 6) \
+                .cast("decimal(18,6)")
+            # lag-1 pin (markov_removal precedent): 8 half-steps over
+            # a <= |langs| x |sources| relation
+            w = (w.join(F.broadcast(cur), axis).join(tdf, axis)
+                 .select("lang", "source", "n_s",
+                         F.when(F.col("total") == 0, F.col("w"))
+                         .otherwise(F.round(F.col("w") * ratio, 6)
+                                    .cast("decimal(18,6)")).alias("w"))
+                 .localCheckpoint(eager=True))
+    return w.select(
+        "lang", "source", F.col("n_s").alias("n_sample"),
+        F.col("w").cast("double").alias("weight"),
+        F.round(F.col("w").cast("double")
+                * F.col("n_s").cast("double"), 6).alias("w_count"))
