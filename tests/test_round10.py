@@ -830,3 +830,38 @@ def test_ipf_converges_toward_both_margins(spark, sf_smoke):
         assert abs(got_lang[lang] - t) / t < 0.02, (lang, got_lang[lang], t)
     for src, t in t_src.items():
         assert abs(got_src[src] - t) / t < 0.05, (src, got_src[src], t)
+
+
+# ---------------------------------------------------------------------------
+# eval_scorecard
+# ---------------------------------------------------------------------------
+
+def test_scorecard_matches_component_queries(spark, sf_smoke):
+    from travel_data_pipeline_spark.queries_cleaning import (
+        classifier_auc_rank,
+    )
+    from travel_data_pipeline_spark.queries_round8 import (
+        cdf_calibration_bins,
+    )
+    from travel_data_pipeline_spark.queries_round10 import (
+        bm25_ndcg_at_k,
+        brier_decomposition,
+        eval_scorecard,
+    )
+
+    card = {r.metric: r.value for r in
+            eval_scorecard(spark, sf_smoke).collect()}
+    assert set(card) == {"auc", "brier", "reliability", "ece",
+                         "ndcg_at_10"}
+    auc = classifier_auc_rank(spark, sf_smoke).collect()[0].auc
+    bd = brier_decomposition(spark, sf_smoke).collect()[0]
+    bins = sorted(cdf_calibration_bins(spark, sf_smoke).collect(),
+                  key=lambda r: r.bin)
+    ndcg = {r.k: r.ndcg for r in bm25_ndcg_at_k(spark, sf_smoke).collect()}
+    assert card["auc"] == auc
+    assert card["brier"] == bd.brier
+    assert card["reliability"] == bd.reliability
+    assert card["ece"] == _round6(_seq_sum([r.ece_term for r in bins]))
+    assert card["ndcg_at_10"] == ndcg[10]
+    for v in card.values():
+        assert 0.0 <= v <= 1.0

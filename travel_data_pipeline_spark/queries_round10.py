@@ -2152,3 +2152,82 @@ def ipf_raking_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("w").cast("double").alias("weight"),
         F.round(F.col("w").cast("double")
                 * F.col("n_s").cast("double"), 6).alias("w_count"))
+
+
+# ---------------------------------------------------------------------------
+# Evaluation scorecard — the composed readout of the model-eval family
+# (pipeline_data_health precedent: several checks, one relation). One
+# (metric, value) row each for ranking (nDCG@10), discrimination
+# (AUC), calibration (ECE, Brier, reliability) — all pulled from the
+# SAME registered component queries, so the scorecard can never drift
+# from the numbers the individual audits report. The oracle wraps the
+# component oracles as MATERIALIZED CTEs (the DuckDB inlining rule).
+# ---------------------------------------------------------------------------
+
+
+def _scorecard_oracle() -> str:
+    from travel_data_pipeline_spark.registry import ORACLES
+
+    def get(name: str) -> str:
+        o = ORACLES[name]
+        return o() if callable(o) else o
+
+    return f"""
+WITH auc_q AS MATERIALIZED (
+{get("classifier_auc_rank")}
+),
+brier_q AS MATERIALIZED (
+{get("brier_decomposition")}
+),
+bins_q AS MATERIALIZED (
+{get("cdf_calibration_bins")}
+),
+ndcg_q AS MATERIALIZED (
+{get("bm25_ndcg_at_k")}
+)
+SELECT 'auc' AS metric, CAST(auc AS DOUBLE) AS value FROM auc_q
+UNION ALL
+SELECT 'brier', brier FROM brier_q
+UNION ALL
+SELECT 'reliability', reliability FROM brier_q
+UNION ALL
+SELECT 'ece',
+       {round_sql("list_reduce(list(ece_term ORDER BY bin), (x, y) -> x + y)")}
+FROM bins_q
+UNION ALL
+SELECT 'ndcg_at_10', ndcg FROM ndcg_q WHERE k = 10
+"""
+
+
+@register("eval_scorecard", _scorecard_oracle)
+def eval_scorecard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(metric, value) scorecard composed from the registered audits."""
+    from travel_data_pipeline_spark.queries_cleaning import (
+        classifier_auc_rank,
+    )
+    from travel_data_pipeline_spark.queries_round8 import (
+        cdf_calibration_bins,
+    )
+
+    auc = (classifier_auc_rank(spark, sf_dir)
+           .select(F.lit("auc").alias("metric"),
+                   F.col("auc").cast("double").alias("value")))
+    bd = brier_decomposition(spark, sf_dir)
+    brier = bd.select(F.lit("brier").alias("metric"),
+                      F.col("brier").alias("value"))
+    rel = bd.select(F.lit("reliability").alias("metric"),
+                    F.col("reliability").alias("value"))
+    ece = (cdf_calibration_bins(spark, sf_dir)
+           .agg(F.array_sort(F.collect_list(
+               F.struct("bin", "ece_term"))).alias("ts"))
+           .select(F.lit("ece").alias("metric"),
+                   F.round(F.aggregate(
+                       F.transform("ts", lambda t: t["ece_term"]),
+                       F.lit(0.0), lambda a, x: a + x), 6)
+                   .alias("value")))
+    ndcg = (bm25_ndcg_at_k(spark, sf_dir)
+            .filter(F.col("k") == 10)
+            .select(F.lit("ndcg_at_10").alias("metric"),
+                    F.col("ndcg").alias("value")))
+    return (auc.unionByName(brier).unionByName(rel)
+            .unionByName(ece).unionByName(ndcg))
