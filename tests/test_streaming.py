@@ -1058,3 +1058,52 @@ def test_ahash_media_stream_grow_catches_cross_and_same_batch(spark,
     assert (1001, 2001) in got
     assert (1001, 2002) in got
     assert (2001, 2002) in got
+
+
+def test_ahash_media_stream_replay_emits_no_novel_pair_keys(spark, sf_smoke,
+                                                            tmp_path):
+    """Redelivery after a committed fingerprint append (fresh
+    checkpoint, corpus already holds the batch's fps) must not mint
+    novel pair keys — the media twin of the LSH stream's replay
+    contract: canonical least/greatest keys in grow mode plus the
+    media_a != media_b cross-probe guard."""
+    import os
+
+    from travel_data_pipeline_spark.operators.multimodal import (
+        documents_as_media,
+    )
+
+    d = load_table(spark, sf_smoke, "documents").select("doc_id", "text")
+    seed = documents_as_media(d.filter(F.col("doc_id") < 10))
+    fps_p = str(tmp_path / "rfps")
+    jobs.seed_media_fingerprints(seed, fps_p)
+
+    novel = "parallax gantry sump flange oculus tessera wick matte"
+    batch = documents_as_media(spark.createDataFrame(
+        [(920_000, novel), (921_000, novel)], "doc_id long, text string"))
+    feed = tmp_path / "rmfeed"
+    feed.mkdir()
+    p = str(feed / "b0.parquet")
+    batch.toPandas().to_parquet(p)
+    os.utime(p, (1700000000, 1700000000))
+
+    pairs_out = str(tmp_path / "rmpairs")
+
+    def run(ckpt: str) -> None:
+        stream = (spark.readStream.schema(batch.schema)
+                  .option("maxFilesPerTrigger", 1).parquet(str(feed)))
+        q = jobs.ahash_media_stream(stream, fps_p, pairs_out,
+                                    str(tmp_path / ckpt),
+                                    grow_corpus=True)
+        q.awaitTermination(180)
+
+    run("rmckpt1")
+    first = {(r.media_a, r.media_b)
+             for r in spark.read.parquet(pairs_out).collect()}
+    assert (920_000, 921_000) in first
+    run("rmckpt2")  # fresh checkpoint = redelivery of the same batch
+    replayed = {(r.media_a, r.media_b)
+                for r in spark.read.parquet(pairs_out).collect()}
+    assert replayed == first
+    for a, b in replayed:
+        assert a < b or a not in (920_000, 921_000)
