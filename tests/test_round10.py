@@ -672,10 +672,11 @@ def test_hash_uniformity_matches_python_model(spark, sf_smoke):
     counts = Counter(_md5_long(f"ab:{u}") % _SPLIT_BUCKETS for u in users)
     n = len(users)
     exp = float(n) / float(_SPLIT_BUCKETS)
+    # full grid: EMPTY buckets contribute (0 - E)^2/E
     chi2 = _seq_sum([
         (float(counts.get(b, 0)) - exp) * (float(counts.get(b, 0)) - exp)
         / exp
-        for b in sorted(counts)])
+        for b in range(_SPLIT_BUCKETS)])
 
     rows = {r.split_name: r for r in
             hash_split_uniformity_audit(spark, sf_smoke).collect()}

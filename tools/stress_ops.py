@@ -365,7 +365,10 @@ def main(amplify: int = 20) -> None:
     # random 64-bit fingerprints within 6 bits is ~1e-11).
     from travel_data_pipeline_spark.operators.dedup import bucket_pairs
     from travel_data_pipeline_spark.operators.multimodal import (
+        ahash_bands,
         ahash_fingerprints,
+        ahash_hamming,
+        ahash_side,
         documents_as_media,
     )
 
@@ -378,24 +381,15 @@ def main(amplify: int = 20) -> None:
     amedia = documents_as_media(adocs).repartition(64, "media_id")
     fps = ahash_fingerprints(amedia).localCheckpoint(eager=True)
     n_media = fps.count()
-    banded = fps.select(
-        "media_id",
-        F.explode(F.array(*[
-            F.struct(F.lit(b).alias("band_idx"),
-                     F.col(f"band{b}").alias("band_val"))
-            for b in range(4)])).alias("band")
-    ).select("media_id", "band.band_idx", "band.band_val")
+    banded = ahash_bands(fps)
     cand = (bucket_pairs(banded, ["band_idx", "band_val"],
                          F.struct(F.col("media_id").alias("id")),
                          max_bucket=1000)
             .select(F.col("pair.a.id").alias("a"),
                     F.col("pair.b.id").alias("b")).distinct())
-    fa = fps.select(F.col("media_id").alias("a"),
-                    *[F.col(f"band{b}").alias(f"xa{b}") for b in range(4)])
-    fb = fps.select(F.col("media_id").alias("b"),
-                    *[F.col(f"band{b}").alias(f"xb{b}") for b in range(4)])
-    ham = sum(F.bit_count(F.col(f"xa{b}").bitwiseXOR(F.col(f"xb{b}")))
-              for b in range(4))
+    fa = ahash_side(fps, "a", "xa")
+    fb = ahash_side(fps, "b", "xb")
+    ham = ahash_hamming("xa", "xb")
     n_ah_pairs = (cand.join(fa, "a").join(fb, "b")
                   .filter(ham <= 6).count())
     t_ah = time.perf_counter() - t0

@@ -226,7 +226,6 @@ def feature_extract_stub(media: DataFrame, dim: int = 8) -> DataFrame:
 
 AHASH_SCHEMA = T.StructType([
     T.StructField("media_id", T.LongType()),
-    T.StructField("px_sum", T.LongType()),
     T.StructField("band0", T.LongType()),
     T.StructField("band1", T.LongType()),
     T.StructField("band2", T.LongType()),
@@ -241,7 +240,8 @@ def ahash_fingerprints(media: DataFrame) -> DataFrame:
     threshold each pixel against the grid mean -> 64-bit fingerprint,
     carried as four 16-bit band integers so near-dup banding and
     Hamming verification run on plain BIGINT columns (no 64-bit sign
-    gymnastics). The pixel grid here is the deterministic fake decode
+    gymnastics) — the fingerprint row is exactly the four bands, the
+    whole per-item state the streaming corpus table persists. The pixel grid here is the deterministic fake decode
     (four seeded md5 digests of the payload = 64 'pixel' bytes — the
     same md5-reproducibility trick frame_sample_stub uses, so a SQL
     oracle can replay it); a real build swaps ONLY the grid extraction
@@ -263,7 +263,7 @@ def ahash_fingerprints(media: DataFrame) -> DataFrame:
             return px
 
         for pdf in batches:
-            out = {"media_id": [], "px_sum": [],
+            out = {"media_id": [],
                    "band0": [], "band1": [], "band2": [], "band3": []}
             for mid, payload in zip(pdf["media_id"], pdf["payload"]):
                 px = grid(bytes(payload))
@@ -273,9 +273,36 @@ def ahash_fingerprints(media: DataFrame) -> DataFrame:
                     if 64 * p > total:
                         bands[i // 16] |= 1 << (i % 16)
                 out["media_id"].append(mid)
-                out["px_sum"].append(total)
                 for b in range(4):
                     out[f"band{b}"].append(bands[b])
             yield pd.DataFrame(out)
 
     return media.mapInPandas(hash_batches, AHASH_SCHEMA)
+
+
+def ahash_bands(fps: DataFrame, id_alias: str = "media_id") -> DataFrame:
+    """(id, band_idx, band_val) long form of an aHash fingerprint
+    relation — the ONE spelling shared by the batch query, the
+    streaming probe, and the stress harness (pure 4-struct explode)."""
+    return fps.select(
+        F.col("media_id").alias(id_alias),
+        F.explode(F.array(*[
+            F.struct(F.lit(b).alias("band_idx"),
+                     F.col(f"band{b}").alias("band_val"))
+            for b in range(4)])).alias("band")
+    ).select(id_alias, "band.band_idx", "band.band_val")
+
+
+def ahash_hamming(prefix_a: str = "xa", prefix_b: str = "xb"):
+    """Hamming-distance expression over two renamed fingerprint sides
+    (columns ``{prefix}0..3``) — sum of per-band bit_count(xor)."""
+    return sum(
+        F.bit_count(F.col(f"{prefix_a}{b}").bitwiseXOR(
+            F.col(f"{prefix_b}{b}"))) for b in range(4))
+
+
+def ahash_side(fps: DataFrame, id_alias: str, prefix: str) -> DataFrame:
+    """Fingerprints renamed for one side of a verify join."""
+    return fps.select(
+        F.col("media_id").alias(id_alias),
+        *[F.col(f"band{b}").alias(f"{prefix}{b}") for b in range(4)])

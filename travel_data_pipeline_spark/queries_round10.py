@@ -354,27 +354,36 @@ tot AS (SELECT SUM(n) AS big_n FROM strata),
 per AS (
     SELECT segment, n, n_t,
            CAST(n_t AS DOUBLE) / CAST(n AS DOUBLE) AS e_hat,
-           CAST(sy_t AS DOUBLE) / CAST(n_t AS DOUBLE) AS mean_t,
-           CAST(sy_c AS DOUBLE) / CAST(n - n_t AS DOUBLE) AS mean_c
+           CASE WHEN n_t = 0 THEN NULL
+                ELSE CAST(sy_t AS DOUBLE) / CAST(n_t AS DOUBLE)
+           END AS mean_t,
+           CASE WHEN n = n_t THEN NULL
+                ELSE CAST(sy_c AS DOUBLE) / CAST(n - n_t AS DOUBLE)
+           END AS mean_c
     FROM strata
 ),
 terms AS (
     SELECT p.segment, p.n, p.n_t, p.e_hat, p.mean_t, p.mean_c,
-           (CAST(p.n AS DOUBLE) / CAST(t.big_n AS DOUBLE))
-               * (p.mean_t - p.mean_c) AS term
+           CASE WHEN p.n_t = 0 OR p.n_t = p.n THEN NULL
+                ELSE (CAST(p.n AS DOUBLE) / CAST(t.big_n AS DOUBLE))
+                     * (p.mean_t - p.mean_c)
+           END AS term
     FROM per p CROSS JOIN tot t
 )
 SELECT segment, CAST(n AS BIGINT) AS n, CAST(n_t AS BIGINT) AS n_treat,
        {round_sql('e_hat')} AS e_hat,
-       {round_sql('mean_t')} AS mean_treat,
-       {round_sql('mean_c')} AS mean_ctrl,
-       {round_sql('mean_t - mean_c')} + 0.0 AS ate
+       CASE WHEN mean_t IS NULL THEN NULL
+            ELSE {round_sql('mean_t')} END AS mean_treat,
+       CASE WHEN mean_c IS NULL THEN NULL
+            ELSE {round_sql('mean_c')} END AS mean_ctrl,
+       CASE WHEN term IS NULL THEN NULL
+            ELSE {round_sql('mean_t - mean_c')} + 0.0 END AS ate
 FROM terms
 UNION ALL
 SELECT 'ALL', CAST(SUM(n) AS BIGINT), CAST(SUM(n_t) AS BIGINT),
        {round_sql('CAST(SUM(n_t) AS DOUBLE) / CAST(SUM(n) AS DOUBLE)')},
        CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE),
-       {round_sql('list_reduce(list(term ORDER BY segment), (x, y) -> x + y)')}
+       {round_sql('list_reduce(list(term ORDER BY segment) FILTER (term IS NOT NULL), (x, y) -> x + y)')}
            + 0.0
 FROM terms
 """)
@@ -406,29 +415,45 @@ def ipw_ate_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.when(F.col("arm") == 0, F.col("y")).otherwise(zero))
         .alias("sy_c"))
     tot = strata.agg(F.sum("n").alias("big_n"))
+    # empty-arm branches (repo degenerate-denominator rule): a stratum
+    # the md5 split leaves one-armed reports NULL means/ate and is
+    # EXCLUDED from the 'ALL' fold (the stratified estimand is over
+    # strata where both arms are observed) — unreachable at the swept
+    # SFs, guarded for skewed key spaces
     per = strata.select(
         "segment", "n", "n_t",
         (F.col("n_t").cast("double") / F.col("n").cast("double"))
         .alias("e_hat"),
-        (F.col("sy_t").cast("double") / F.col("n_t").cast("double"))
-        .alias("mean_t"),
-        (F.col("sy_c").cast("double")
-         / (F.col("n") - F.col("n_t")).cast("double")).alias("mean_c"))
+        F.when(F.col("n_t") == 0, F.lit(None).cast("double"))
+        .otherwise(F.col("sy_t").cast("double")
+                   / F.col("n_t").cast("double")).alias("mean_t"),
+        F.when(F.col("n") == F.col("n_t"), F.lit(None).cast("double"))
+        .otherwise(F.col("sy_c").cast("double")
+                   / (F.col("n") - F.col("n_t")).cast("double"))
+        .alias("mean_c"))
     terms = per.crossJoin(F.broadcast(tot)).select(
         "segment", "n", "n_t", "e_hat", "mean_t", "mean_c",
-        ((F.col("n").cast("double") / F.col("big_n").cast("double"))
-         * (F.col("mean_t") - F.col("mean_c"))).alias("term"))
+        F.when((F.col("n_t") == 0) | (F.col("n_t") == F.col("n")),
+               F.lit(None).cast("double"))
+        .otherwise((F.col("n").cast("double")
+                    / F.col("big_n").cast("double"))
+                   * (F.col("mean_t") - F.col("mean_c"))).alias("term"))
     per_rows = terms.select(
         "segment", "n", F.col("n_t").alias("n_treat"),
         F.round("e_hat", 6).alias("e_hat"),
         F.round("mean_t", 6).alias("mean_treat"),
         F.round("mean_c", 6).alias("mean_ctrl"),
-        (F.round(F.col("mean_t") - F.col("mean_c"), 6) + F.lit(0.0))
-        .alias("ate"))
+        F.when(F.col("term").isNull(), F.lit(None).cast("double"))
+        .otherwise(F.round(F.col("mean_t") - F.col("mean_c"), 6)
+                   + F.lit(0.0)).alias("ate"))
     all_row = (terms.agg(
         F.sum("n").alias("n"), F.sum("n_t").alias("n_treat"),
-        F.array_sort(F.collect_list(F.struct("segment", "term")))
-        .alias("ts"))
+        # collect_list drops NULLs, but a struct with a null FIELD is
+        # non-null — wrap in when() so one-armed strata stay out of
+        # the fold (mirrors the oracle's FILTER (term IS NOT NULL))
+        F.array_sort(F.collect_list(
+            F.when(F.col("term").isNotNull(),
+                   F.struct("segment", "term")))).alias("ts"))
         .select(F.lit("ALL").alias("segment"), "n", "n_treat",
                 F.round(F.col("n_treat").cast("double")
                         / F.col("n").cast("double"), 6).alias("e_hat"),
@@ -998,7 +1023,10 @@ def image_ahash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """aHash near-dup pairs over the synthesized media table."""
     from travel_data_pipeline_spark.operators import dedup
     from travel_data_pipeline_spark.operators.multimodal import (
+        ahash_bands,
         ahash_fingerprints,
+        ahash_hamming,
+        ahash_side,
         documents_as_media,
     )
     from travel_data_pipeline_spark.queries_northstar import (
@@ -1014,25 +1042,16 @@ def image_ahash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     media = media.repartition(spark.sparkContext.defaultParallelism,
                               "media_id")
     fps = ahash_fingerprints(media).localCheckpoint(eager=True)
-    banded = fps.select(
-        "media_id",
-        F.explode(F.array(*[
-            F.struct(F.lit(b).alias("band_idx"),
-                     F.col(f"band{b}").alias("band_val"))
-            for b in range(4)])).alias("band")
-    ).select("media_id", "band.band_idx", "band.band_val")
+    banded = ahash_bands(fps)
     cand = (dedup.bucket_pairs(banded, ["band_idx", "band_val"],
                                F.struct(F.col("media_id").alias("id")),
                                max_bucket=MAX_BUCKET)
             .select(F.col("pair.a.id").alias("doc_a"),
                     F.col("pair.b.id").alias("doc_b"))
             .distinct())
-    fa = fps.select(F.col("media_id").alias("doc_a"),
-                    *[F.col(f"band{b}").alias(f"a{b}") for b in range(4)])
-    fb = fps.select(F.col("media_id").alias("doc_b"),
-                    *[F.col(f"band{b}").alias(f"b{b}") for b in range(4)])
-    ham = sum(F.bit_count(F.col(f"a{b}").bitwiseXOR(F.col(f"b{b}")))
-              for b in range(4))
+    fa = ahash_side(fps, "doc_a", "xa")
+    fb = ahash_side(fps, "doc_b", "xb")
+    ham = ahash_hamming("xa", "xb")
     return (cand.join(fa, "doc_a").join(fb, "doc_b")
             .select("doc_a", "doc_b", ham.cast("int").alias("hamming"))
             .filter(F.col("hamming") <= _AH_HAM))
@@ -1647,9 +1666,18 @@ def _split_audit_sql(split: str, key_expr: str, unit_sql: str) -> str:
 SELECT '{split}' AS split_name, b.*
 FROM (
     WITH units AS ({unit_sql}),
-    buckets AS (
+    hit AS (
         SELECT ({h} % {_SPLIT_BUCKETS}) AS bucket, COUNT(*) AS n_b
         FROM units GROUP BY bucket
+    ),
+    -- empty buckets MUST contribute (0 - E)^2/E terms: a hash that
+    -- never emits a bucket is exactly the failure this audit exists
+    -- to catch, and a GROUP BY alone would silently drop it
+    buckets AS (
+        SELECT g.bucket, COALESCE(hit.n_b, 0) AS n_b
+        FROM (SELECT unnest(generate_series(0,
+                  {_SPLIT_BUCKETS - 1})) AS bucket) g
+        LEFT JOIN hit ON hit.bucket = g.bucket
     ),
     tot AS (SELECT SUM(n_b) AS n FROM buckets),
     terms AS (
@@ -1691,8 +1719,17 @@ def hash_split_uniformity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         h = (md5_long(F.concat(F.lit(f"{split}:"),
                                F.col(key).cast("string")))
              % _SPLIT_BUCKETS)
-        buckets = df.groupBy(h.alias("bucket")).agg(
+        hit = df.groupBy(h.alias("bucket")).agg(
             F.count("*").alias("n_b"))
+        # full 0..15 grid: empty buckets must contribute (0-E)^2/E —
+        # the broken-hash case this audit exists to catch
+        spark_ = df.sparkSession
+        grid = spark_.range(_SPLIT_BUCKETS).select(
+            F.col("id").alias("bucket"))
+        buckets = (grid.join(hit, "bucket", "left")
+                   .select("bucket",
+                           F.coalesce(F.col("n_b"), F.lit(0))
+                           .alias("n_b")))
         tot = buckets.agg(F.sum("n_b").alias("n"))
         exp = F.col("n").cast("double") / F.lit(float(_SPLIT_BUCKETS))
         t = ((F.col("n_b").cast("double") - exp)
@@ -2008,7 +2045,9 @@ folded AS (
 SELECT event_type, CAST(n_eval AS BIGINT) AS n_eval,
        {round_sql('mape')} AS mape,
        {round_sql('mape_naive')} AS mape_naive,
-       {round_sql('1.0 - mape / mape_naive')} + 0.0 AS skill_vs_naive
+       CASE WHEN mape_naive = 0 THEN NULL
+            ELSE {round_sql('1.0 - mape / mape_naive')} + 0.0
+       END AS skill_vs_naive
 FROM folded
 """ 
 
@@ -2043,11 +2082,16 @@ def holt_backtest_mape(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(0.0), lambda a, x: a + x)
     mape = s("ape") / F.col("n_eval").cast("double")
     mnaive = s("ape_naive") / F.col("n_eval").cast("double")
+    # degenerate-denominator branch (repo rule): a constant naive
+    # series (every post-burn-in day equals the previous) would give
+    # Infinity in Spark and crash the oracle's decimal parse — report
+    # NULL skill instead, in BOTH engines
     return folded.select(
         "event_type", "n_eval",
         F.round(mape, 6).alias("mape"),
         F.round(mnaive, 6).alias("mape_naive"),
-        (F.round(F.lit(1.0) - mape / mnaive, 6) + F.lit(0.0))
+        F.when(mnaive == 0, F.lit(None).cast("double"))
+        .otherwise(F.round(F.lit(1.0) - mape / mnaive, 6) + F.lit(0.0))
         .alias("skill_vs_naive"))
 
 
@@ -2212,7 +2256,9 @@ def eval_scorecard(spark: SparkSession, sf_dir: str) -> DataFrame:
     auc = (classifier_auc_rank(spark, sf_dir)
            .select(F.lit("auc").alias("metric"),
                    F.col("auc").cast("double").alias("value")))
-    bd = brier_decomposition(spark, sf_dir)
+    # 1-row result, corpus-sized lineage, TWO consumers — pin it
+    # (the oracle materializes brier_q once)
+    bd = brier_decomposition(spark, sf_dir).localCheckpoint(eager=True)
     brier = bd.select(F.lit("brier").alias("metric"),
                       F.col("brier").alias("value"))
     rel = bd.select(F.lit("reliability").alias("metric"),

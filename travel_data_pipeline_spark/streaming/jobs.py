@@ -1022,22 +1022,10 @@ def cm_stream_probe(spark: SparkSession, state_path: str,
                  .alias("cm_estimate")))
 
 
-def _ahash_bands(fps: DataFrame, id_alias: str) -> DataFrame:
-    """(id, band_idx, band_val) long form of an aHash fingerprint
-    relation — a pure expression (4-struct explode), derived per use
-    from the landed fingerprints rather than stored redundantly."""
-    return fps.select(
-        F.col("media_id").alias(id_alias),
-        F.explode(F.array(*[
-            F.struct(F.lit(b).alias("band_idx"),
-                     F.col(f"band{b}").alias("band_val"))
-            for b in range(4)])).alias("band")
-    ).select(id_alias, "band.band_idx", "band.band_val")
-
 
 def seed_media_fingerprints(media: DataFrame, fps_path: str) -> None:
     """Land the existing media corpus for ahash_media_stream: only the
-    aHash fingerprints (6 BIGINTs per item) persist — the binary
+    aHash fingerprints (5 BIGINTs per item) persist — the binary
     payloads are hashed once and never stored or re-read."""
     from travel_data_pipeline_spark.operators.multimodal import (
         ahash_fingerprints,
@@ -1068,14 +1056,17 @@ def ahash_media_stream(incoming: DataFrame, fps_path: str,
     denominator to corrupt, but duplicate rows would duplicate output
     pair ROWS, which downstream pair-key dedup absorbs).
 
-    Scale shape: corpus state is 6 BIGINTs per media item in parquet
+    Scale shape: corpus state is 5 BIGINTs per media item in parquet
     (payload bytes are hashed in the batch and never persisted); the
     per-batch work is one Arrow pass over the BATCH, a broadcast of
     the batch's bands into the corpus fingerprint scan, and a
     candidate-only verify join.
     """
     from travel_data_pipeline_spark.operators.multimodal import (
+        ahash_bands,
         ahash_fingerprints,
+        ahash_hamming,
+        ahash_side,
     )
 
     def fold(batch_df: DataFrame, epoch_id: int) -> None:
@@ -1085,14 +1076,14 @@ def ahash_media_stream(incoming: DataFrame, fps_path: str,
         inc_fps = (ahash_fingerprints(batch_df)
                    .localCheckpoint(eager=True))
         corpus_fps = spark.read.parquet(fps_path)
-        inc_bands = _ahash_bands(inc_fps, "media_b")
-        cross = (_ahash_bands(corpus_fps, "media_a")
+        inc_bands = ahash_bands(inc_fps, "media_b")
+        cross = (ahash_bands(corpus_fps, "media_a")
                  .join(F.broadcast(inc_bands), ["band_idx", "band_val"])
                  .filter(F.col("media_a") != F.col("media_b"))
                  .select("media_a", "media_b"))
         cand = cross
         if grow_corpus:
-            within = (_ahash_bands(inc_fps, "media_a")
+            within = (ahash_bands(inc_fps, "media_a")
                       .join(F.broadcast(inc_bands),
                             ["band_idx", "band_val"])
                       .filter(F.col("media_a") < F.col("media_b"))
@@ -1105,14 +1096,9 @@ def ahash_media_stream(incoming: DataFrame, fps_path: str,
         pairs = cand.distinct().localCheckpoint(eager=True)
         fps_all = (corpus_fps.unionByName(inc_fps)
                    .dropDuplicates(["media_id"]))
-        fa = fps_all.select(
-            F.col("media_id").alias("media_a"),
-            *[F.col(f"band{b}").alias(f"xa{b}") for b in range(4)])
-        fb = fps_all.select(
-            F.col("media_id").alias("media_b"),
-            *[F.col(f"band{b}").alias(f"xb{b}") for b in range(4)])
-        ham = sum(F.bit_count(F.col(f"xa{b}").bitwiseXOR(F.col(f"xb{b}")))
-                  for b in range(4))
+        fa = ahash_side(fps_all, "media_a", "xa")
+        fb = ahash_side(fps_all, "media_b", "xb")
+        ham = ahash_hamming("xa", "xb")
         verified = (pairs.join(fa, "media_a").join(fb, "media_b")
                     .select("media_a", "media_b",
                             ham.cast("int").alias("hamming"))
