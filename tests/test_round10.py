@@ -866,3 +866,51 @@ def test_scorecard_matches_component_queries(spark, sf_smoke):
     assert card["ndcg_at_10"] == ndcg[10]
     for v in card.values():
         assert 0.0 <= v <= 1.0
+
+
+# ---------------------------------------------------------------------------
+# quantization_distortion_bins
+# ---------------------------------------------------------------------------
+
+def test_quantization_distortion_matches_python_model(spark, sf_smoke):
+    from travel_data_pipeline_spark.queries_round10 import (
+        _QD_BIN,
+        _QD_CAP,
+        quantization_distortion_bins,
+    )
+
+    emb = spark.read.parquet(f"{sf_smoke}/embeddings.parquet").collect()
+    cells = defaultdict(lambda: [0, 0.0])
+    for r in emb:
+        v = [float(x) for x in r.embedding]
+        mx = max(abs(x) for x in v) / 127.0
+        scale = 1.0 if mx == 0.0 else mx
+        qv = [int(max(-127.0, min(127.0, _round0(x / scale)))) for x in v]
+        dq = [qi * scale for qi in qv]
+        dot = _seq_sum([a * (b) for a, b in zip(v, dq)])
+        nv2 = _seq_sum([a * a for a in v])
+        nq2 = _seq_sum([b * b for b in dq])
+        den = math.sqrt(nv2) * math.sqrt(nq2)
+        if den == 0.0:
+            continue
+        gap = 1.0 - dot / den
+        b = min(int(math.floor(gap * _QD_BIN)), _QD_CAP)
+        cell = cells[(r.label, b)]
+        cell[0] += 1
+        cell[1] = max(cell[1], gap)
+
+    rows = {(r.label, r.bin): r for r in
+            quantization_distortion_bins(spark, sf_smoke).collect()}
+    assert set(rows) == set(cells)
+    for key, (n, mx) in cells.items():
+        assert rows[key].n == n
+        assert rows[key].max_gap == _round6(mx) + 0.0
+    # distortion is tiny but NOT zero — int8 really moves the vectors
+    assert sum(n for n, _ in cells.values()) == len(emb)
+    assert any(b > 0 for _, b in cells)
+
+
+def _round0(x: float) -> float:
+    # Spark F.round(x) == HALF_UP on the shortest decimal rendering
+    return float(Decimal(repr(x)).quantize(Decimal("1"),
+                                           rounding=ROUND_HALF_UP))

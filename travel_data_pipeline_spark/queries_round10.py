@@ -2277,3 +2277,99 @@ def eval_scorecard(spark: SparkSession, sf_dir: str) -> DataFrame:
                     F.col("ndcg").alias("value")))
     return (auc.unionByName(brier).unionByName(rel)
             .unionByName(ece).unionByName(ndcg))
+
+
+# ---------------------------------------------------------------------------
+# Int8 quantization DISTORTION audit — the geometry impact of the
+# storage path. embedding_quantize_int8 reports per-element error and
+# ivf_quantized_rerank/ivf_recall_at_k the end effect; what's between
+# them is the ANGLE: cos(v, dequant(v)) per vector, histogrammed as
+# 1 - cos in 1e-5 bins per label (bounded |labels| x 21 output — a
+# per-vector listing would be corpus-sized, a plain mean of dirty
+# doubles would need a data-scaled pinned fold; the histogram is the
+# scale-sound shape). All folds walk arrays in ELEMENT order (both
+# engines sequential in-order reduce), max is order-free.
+#
+# Scale shape: pure projection + one bounded (label, bin) groupBy —
+# zero data-scaled state anywhere.
+# ---------------------------------------------------------------------------
+
+_QD_BIN = 100000   # gap bin width 1e-5
+_QD_CAP = 20
+
+
+@register("quantization_distortion_bins", f"""
+WITH emb AS (
+    SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v
+    FROM embeddings
+),
+q AS (
+    SELECT vec_id, label, v,
+           CASE WHEN list_max(list_transform(v, x -> abs(x))) / 127.0 = 0.0
+                THEN 1.0
+                ELSE list_max(list_transform(v, x -> abs(x))) / 127.0
+           END AS scale
+    FROM emb
+),
+enc AS (
+    SELECT vec_id, label, v, scale,
+           list_transform(v, x -> CAST(greatest(-127.0,
+               least(127.0, round(x / scale, 0))) AS INT)) AS qv
+    FROM q
+),
+geo AS (
+    SELECT vec_id, label,
+           list_reduce(list_transform(generate_series(1, len(v)),
+               i -> v[i] * (CAST(qv[i] AS DOUBLE) * scale)),
+               (x, y) -> x + y) AS dot,
+           list_reduce(list_transform(generate_series(1, len(v)),
+               i -> v[i] * v[i]), (x, y) -> x + y) AS nv2,
+           list_reduce(list_transform(generate_series(1, len(v)),
+               i -> (CAST(qv[i] AS DOUBLE) * scale)
+                    * (CAST(qv[i] AS DOUBLE) * scale)),
+               (x, y) -> x + y) AS nq2
+    FROM enc
+),
+gaps AS (
+    SELECT label,
+           CASE WHEN sqrt(nv2) * sqrt(nq2) = 0.0 THEN NULL
+                ELSE 1.0 - dot / (sqrt(nv2) * sqrt(nq2))
+           END AS gap
+    FROM geo
+)
+SELECT label, LEAST(CAST(floor(gap * {_QD_BIN}) AS INT), {_QD_CAP}) AS bin,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       {round_sql('MAX(gap)')} + 0.0 AS max_gap
+FROM gaps WHERE gap IS NOT NULL
+GROUP BY label, bin
+""")
+def quantization_distortion_bins(spark: SparkSession,
+                                 sf_dir: str) -> DataFrame:
+    """Per-label histogram of 1 - cos(v, dequantized v) under int8."""
+    from travel_data_pipeline_spark.operators import ml
+
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", "label",
+        ml.as_double_vec(F.col("embedding")).alias("v"))
+    scale, qv, _, _ = ml.quantize_int8(F.col("v"))
+    enc = emb.select("vec_id", "label", "v", scale.alias("scale"),
+                     qv.alias("qv"))
+    dq = F.transform("qv",
+                     lambda qi: qi.cast("double") * F.col("scale"))
+    enc = enc.withColumn("dq", dq)
+    fold = lambda arr: F.aggregate(  # noqa: E731
+        arr, F.lit(0.0), lambda a, x: a + x)
+    dot = fold(F.zip_with("v", "dq", lambda a, b: a * b))
+    nv2 = fold(F.transform("v", lambda x: x * x))
+    nq2 = fold(F.transform("dq", lambda x: x * x))
+    denom = F.sqrt(nv2) * F.sqrt(nq2)
+    gap = (F.when(denom == 0.0, F.lit(None).cast("double"))
+           .otherwise(F.lit(1.0) - dot / denom))
+    gaps = enc.select("label", gap.alias("gap")).filter(
+        F.col("gap").isNotNull())
+    return (gaps.groupBy(
+        "label",
+        F.least(F.floor(F.col("gap") * _QD_BIN).cast("int"),
+                F.lit(_QD_CAP)).alias("bin"))
+        .agg(F.count("*").alias("n"),
+             (F.round(F.max("gap"), 6) + F.lit(0.0)).alias("max_gap")))

@@ -291,7 +291,7 @@ GREEN: frozenset[str] = frozenset({
 # streaming twin; plan-identical, sweep-validated at 3 SFs), then the
 # 18 round-9 queries (ordered_names already queues them at positions
 # 54-71: ab_sprt_curve .. cuped_variance_reduction), then as many of
-# the 19 round-10 queries (positions 72-90:
+# the 20 round-10 queries (positions 72-91:
 # length_drift_wasserstein, ab_power_mde, dp_noisy_event_counts,
 # ipw_ate_stratified, conformal_interval_coverage,
 # negative_sampling_table, hill_tail_index,
@@ -299,9 +299,9 @@ GREEN: frozenset[str] = frozenset({
 # image_ahash_neardup, neardup_chain_inflation, t_closeness_audit,
 # bm25_ndcg_at_k, brier_decomposition, hash_split_uniformity_audit,
 # markov_removal_attribution, holt_backtest_mape, ipf_raking_weights,
-# eval_scorecard) as fit; the remainder overflow to round 9's head.
-# All 37 are sweep-validated at sf0.001/0.01/0.1. Then high-churn
-# greens.
+# eval_scorecard, quantization_distortion_bins) as fit; the remainder
+# overflow to round 9's head. All 38 are sweep-validated at
+# sf0.001/0.01/0.1. Then high-churn greens.
 PRIORITY_HEAD: tuple[str, ...] = (
     # --- round-6 overflow seats (10, long-green, carried per policy) ---
     "heaps_law_vocab_growth",
