@@ -966,6 +966,15 @@ def test_incremental_lsh_replay_emits_no_novel_pair_keys(spark, sf_smoke,
                 for r in spark.read.parquet(pairs_out).collect()}
     assert replayed == first  # identical keys only — never (921k, 920k)
 
+    # idempotent corpus append (ADVICE r07): the replayed batch must
+    # not re-append its docs/bands — corpus size would otherwise grow
+    # on every redelivery even though the output stays correct.
+    docs_tbl = spark.read.parquet(docs_p)
+    assert docs_tbl.count() == docs_tbl.select("doc_id").distinct().count()
+    bands_tbl = spark.read.parquet(bands_p)
+    assert (bands_tbl.count()
+            == bands_tbl.dropDuplicates(["doc_id", "band_idx"]).count())
+
 
 def test_ahash_media_stream_probe_matches_planted_pairs(spark, sf_smoke,
                                                         tmp_path):
@@ -1107,3 +1116,58 @@ def test_ahash_media_stream_replay_emits_no_novel_pair_keys(spark, sf_smoke,
     assert replayed == first
     for a, b in replayed:
         assert a < b or a not in (920_000, 921_000)
+
+    # idempotent fingerprint append (ADVICE r07): redelivery must not
+    # re-append the batch's fingerprints to the corpus table.
+    fps_tbl = spark.read.parquet(fps_p)
+    assert fps_tbl.count() == fps_tbl.select("media_id").distinct().count()
+
+
+def test_token_shard_stream_legacy_state_still_gates_replay(spark, sf_smoke,
+                                                            tmp_path):
+    """ADVICE r07: a state table written BEFORE the ckpt column existed
+    must still gate same-lineage replays via the bare epoch watermark —
+    previously the whole gate was bypassed when 'ckpt' was absent, so a
+    replayed epoch-0 batch against legacy state double-advanced the
+    offsets once during upgrade."""
+    import os
+
+    from travel_data_pipeline_spark.queries_curation import TOKEN_BUDGET
+    from travel_data_pipeline_spark.sources import versioned
+
+    d = load_table(spark, sf_smoke, "documents").select(
+        "doc_id", "text", "source", "lang")
+    lo = d.filter(F.col("doc_id") < 250)
+
+    # legacy state: epoch recorded, no ckpt column — as if written by
+    # the pre-upgrade job after it already applied this same batch.
+    legacy = lo.groupBy("source", "lang").agg(
+        F.sum(F.size(F.split(F.trim("text"), r"\s+"))).cast("long")
+        .alias("base_tokens")).withColumn(
+            "epoch", F.lit(0).cast("long"))
+    state_p = str(tmp_path / "lstate")
+    versioned.write_table(legacy, state_p)
+    before = {(r.source, r.lang): r.base_tokens
+              for r in versioned.read_table(spark, state_p).collect()}
+
+    feed = tmp_path / "lfeed"
+    feed.mkdir()
+    p = str(feed / "b0.parquet")
+    lo.toPandas().to_parquet(p)
+    os.utime(p, (1700000000, 1700000000))
+    out_p = str(tmp_path / "lout")
+    stream = (spark.readStream
+              .schema("doc_id long, text string, source string, lang string")
+              .option("maxFilesPerTrigger", 1).parquet(str(feed)))
+    q = jobs.token_shard_stream(stream, state_p, out_p,
+                                str(tmp_path / "lckpt"),
+                                token_budget=TOKEN_BUDGET)
+    q.awaitTermination(180)
+
+    after = {(r.source, r.lang): r.base_tokens
+             for r in versioned.read_table(spark, state_p).collect()}
+    assert after == before  # replayed epoch 0 no-ops against legacy state
+    import pathlib
+
+    assert (not pathlib.Path(out_p).exists()
+            or spark.read.parquet(out_p).count() == 0)

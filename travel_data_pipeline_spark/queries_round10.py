@@ -2337,7 +2337,9 @@ gaps AS (
            END AS gap
     FROM geo
 )
-SELECT label, LEAST(CAST(floor(gap * {_QD_BIN}) AS INT), {_QD_CAP}) AS bin,
+SELECT label,
+       GREATEST(0, LEAST(CAST(floor(gap * {_QD_BIN}) AS INT), {_QD_CAP}))
+         AS bin,
        CAST(COUNT(*) AS BIGINT) AS n,
        {round_sql('MAX(gap)')} + 0.0 AS max_gap
 FROM gaps WHERE gap IS NOT NULL
@@ -2367,9 +2369,15 @@ def quantization_distortion_bins(spark: SparkSession,
            .otherwise(F.lit(1.0) - dot / denom))
     gaps = enc.select("label", gap.alias("gap")).filter(
         F.col("gap").isNotNull())
+    # gap = 1 - dot/(|v||dq|) can come out marginally NEGATIVE in
+    # floating point (the computed dot can exceed the computed norm
+    # product), which would mint a bin = -1 row outside the documented
+    # 0..20 histogram — clamp at 0 in BOTH engines (ADVICE r07).
     return (gaps.groupBy(
         "label",
-        F.least(F.floor(F.col("gap") * _QD_BIN).cast("int"),
-                F.lit(_QD_CAP)).alias("bin"))
+        F.greatest(
+            F.lit(0),
+            F.least(F.floor(F.col("gap") * _QD_BIN).cast("int"),
+                    F.lit(_QD_CAP))).alias("bin"))
         .agg(F.count("*").alias("n"),
              (F.round(F.max("gap"), 6) + F.lit(0.0)).alias("max_gap")))

@@ -592,6 +592,12 @@ def theil_sen_daily_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
                         - F.col("ca").cast("double"))
                        / (F.col("j").cast("double")
                           - F.col("i").cast("double"))).alias("sl")))
+    # The O(days^2) pair relation has FOUR consumers (the n_pairs agg,
+    # two_phase_ordered's quantile probe, its per-bucket stats pass,
+    # and its windowed pass) — materialize once so the multi-year ~2M-
+    # pair shape never recomputes the cross join per consumer
+    # (ADVICE r07). Measured at sf0.1 (best-of-3 exec): see commit.
+    slopes = slopes.localCheckpoint(eager=True)
     np_agg = slopes.agg(F.count("*").alias("np"))
     ranked = two_phase_ordered(slopes, ["sl", "i", "j"],
                                bucket_on=F.col("sl"), rank_col="rn")

@@ -746,8 +746,21 @@ def incremental_lsh_stream(incoming: DataFrame, docs_path: str,
                                        threshold=threshold)
         verified.write.mode("append").parquet(pairs_out)
         if grow_corpus:
-            batch_docs.write.mode("append").parquet(docs_path)
-            inc_bands.write.mode("append").parquet(bands_path)
+            # idempotent corpus append (ADVICE r07, same hardening as
+            # ahash_media_stream): a crash between these appends and
+            # the checkpoint commit replays the batch; anti-join
+            # against the persisted corpus so replayed docs/bands
+            # never accumulate. Materialized BEFORE the write so the
+            # append never reads the path it is writing to.
+            new_docs = (batch_docs.join(corpus_docs.select("doc_id"),
+                                        "doc_id", "left_anti")
+                        .localCheckpoint(eager=True))
+            new_bands = (inc_bands.join(corpus_bands
+                                        .select("doc_id").distinct(),
+                                        "doc_id", "left_anti")
+                         .localCheckpoint(eager=True))
+            new_docs.write.mode("append").parquet(docs_path)
+            new_bands.write.mode("append").parquet(bands_path)
 
     return (incoming.writeStream.foreachBatch(fold)
             .option("checkpointLocation", checkpoint)
@@ -812,17 +825,26 @@ def token_shard_stream(incoming: DataFrame, state_path: str,
         spark = batch_df.sparkSession
         try:
             state = versioned.read_table(spark, state_path)
-            head = (state.agg(F.max("epoch").alias("epoch"),
-                              F.max("ckpt").alias("ckpt")).first()
-                    if "ckpt" in state.columns
-                    else None)
-            # the epoch watermark only gates replays from the SAME
-            # checkpoint lineage; a fresh checkpoint restarts epochs
-            # at 0 and must NOT be silently no-op'd (ADVICE r06)
-            if (head is not None and head["epoch"] is not None
-                    and head["ckpt"] == ckpt_id
-                    and epoch_id <= head["epoch"]):
-                return  # replayed batch: a strict no-op
+            if "ckpt" in state.columns:
+                head = state.agg(F.max("epoch").alias("epoch"),
+                                 F.max("ckpt").alias("ckpt")).first()
+                # the epoch watermark only gates replays from the SAME
+                # checkpoint lineage; a fresh checkpoint restarts
+                # epochs at 0 and must NOT be silently no-op'd
+                # (ADVICE r06)
+                if (head["epoch"] is not None
+                        and head["ckpt"] == ckpt_id
+                        and epoch_id <= head["epoch"]):
+                    return  # replayed batch: a strict no-op
+            else:
+                # legacy state written before the ckpt column existed:
+                # fall back to the bare epoch watermark rather than
+                # bypassing the gate — a same-checkpoint replay against
+                # legacy state must still no-op (ADVICE r07)
+                head = state.agg(F.max("epoch").alias("epoch")).first()
+                if (head["epoch"] is not None
+                        and epoch_id <= head["epoch"]):
+                    return
             offsets = state.select("source", "lang", "base_tokens")
         except FileNotFoundError:
             offsets = spark.createDataFrame(
@@ -1105,7 +1127,18 @@ def ahash_media_stream(incoming: DataFrame, fps_path: str,
                     .filter(F.col("hamming") <= ham_t))
         verified.write.mode("append").parquet(pairs_out)
         if grow_corpus:
-            inc_fps.write.mode("append").parquet(fps_path)
+            # idempotent corpus append (ADVICE r07): a crash between
+            # this append and the checkpoint commit replays the batch,
+            # so anti-join against what's already in the corpus —
+            # otherwise duplicate fingerprint rows accumulate
+            # unboundedly (output stays correct via distinct, but
+            # corpus size and band-probe cost grow per replay).
+            # Materialized BEFORE the write so the append never reads
+            # the path it is writing to.
+            new_fps = (inc_fps.join(corpus_fps.select("media_id"),
+                                    "media_id", "left_anti")
+                       .localCheckpoint(eager=True))
+            new_fps.write.mode("append").parquet(fps_path)
 
     return (incoming.writeStream.foreachBatch(fold)
             .option("checkpointLocation", checkpoint)
