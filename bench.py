@@ -147,7 +147,16 @@ def main() -> None:
         payload["errors"] = errors
         payload["dnf"] = True
         payload["partial_sum_sec"] = round(sum(timings.values()), 3)
-    print(json.dumps(payload))
+    line = json.dumps(payload)
+    # sidecar (VERDICT r07 #7): the driver's BENCH_r{N}.json records
+    # captured stdout, which has been observed tail-truncated — drop
+    # the same line in a file so the headline value always survives.
+    try:
+        with open(os.path.join(REPO_ROOT, "BENCH_LAST.json"), "w") as fh:
+            fh.write(line + "\n")
+    except OSError as exc:
+        print(f"bench: sidecar write failed: {exc}", file=sys.stderr)
+    print(line)
 
 
 if __name__ == "__main__":

@@ -333,8 +333,39 @@ def dp_noisy_event_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 _IPW_ARM = md5_long_sql("'exp:' || CAST(c_custkey AS VARCHAR)")
 
 
-@register("ipw_ate_stratified", f"""
-WITH units AS (
+def ipw_units(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(customer, segment, arm, y) units of the md5 'exp:' split —
+    shared by ipw_ate_stratified and queries_round11.aipw_doubly_robust
+    (plan-identical to the former inline spelling)."""
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_custkey", "o_totalprice")
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_mktsegment")
+    arm = (md5_long(F.concat(F.lit("exp:"),
+                             F.col("c_custkey").cast("string"))) % 2)
+    return (orders.join(cust, orders.o_custkey == cust.c_custkey)
+            .groupBy(F.col("c_custkey"),
+                     F.col("c_mktsegment").alias("segment"),
+                     arm.alias("arm"))
+            .agg(F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+                 .alias("y")))
+
+
+def ipw_strata(units: DataFrame) -> DataFrame:
+    """Per-stratum exact moments (n, n_t, sy_t, sy_c) of the units."""
+    zero = F.lit(0).cast("decimal(18,2)")
+    return units.groupBy("segment").agg(
+        F.count("*").alias("n"),
+        F.sum(F.when(F.col("arm") == 1, 1).otherwise(0)).alias("n_t"),
+        F.sum(F.when(F.col("arm") == 1, F.col("y")).otherwise(zero))
+        .alias("sy_t"),
+        F.sum(F.when(F.col("arm") == 0, F.col("y")).otherwise(zero))
+        .alias("sy_c"))
+
+
+# the shared units/strata CTE text (the exact SQL the two causal
+# queries' oracles both open with)
+IPW_UNITS_STRATA_SQL = f"""units AS (
     SELECT c.c_custkey, c.c_mktsegment AS segment,
            ({_IPW_ARM} % 2) AS arm,
            SUM(CAST(o.o_totalprice AS DECIMAL(18,2))) AS y
@@ -349,7 +380,11 @@ strata AS (
            SUM(CASE WHEN arm = 0 THEN y ELSE CAST(0 AS DECIMAL(18,2)) END)
                AS sy_c
     FROM units GROUP BY segment
-),
+)"""
+
+
+@register("ipw_ate_stratified", f"""
+WITH {IPW_UNITS_STRATA_SQL},
 tot AS (SELECT SUM(n) AS big_n FROM strata),
 per AS (
     SELECT segment, n, n_t,
@@ -394,26 +429,7 @@ def ipw_ate_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
     row folds the <= 5 stratum terms in pinned segment order (its arm
     means are NULL — a pooled mean would NOT be the stratified
     estimand, so we don't print one)."""
-    orders = load_table(spark, sf_dir, "orders").select(
-        "o_custkey", "o_totalprice")
-    cust = load_table(spark, sf_dir, "customer").select(
-        "c_custkey", "c_mktsegment")
-    arm = (md5_long(F.concat(F.lit("exp:"),
-                             F.col("c_custkey").cast("string"))) % 2)
-    units = (orders.join(cust, orders.o_custkey == cust.c_custkey)
-             .groupBy(F.col("c_custkey"),
-                      F.col("c_mktsegment").alias("segment"),
-                      arm.alias("arm"))
-             .agg(F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
-                  .alias("y")))
-    zero = F.lit(0).cast("decimal(18,2)")
-    strata = units.groupBy("segment").agg(
-        F.count("*").alias("n"),
-        F.sum(F.when(F.col("arm") == 1, 1).otherwise(0)).alias("n_t"),
-        F.sum(F.when(F.col("arm") == 1, F.col("y")).otherwise(zero))
-        .alias("sy_t"),
-        F.sum(F.when(F.col("arm") == 0, F.col("y")).otherwise(zero))
-        .alias("sy_c"))
+    strata = ipw_strata(ipw_units(spark, sf_dir))
     tot = strata.agg(F.sum("n").alias("big_n"))
     # empty-arm branches (repo degenerate-denominator rule): a stratum
     # the md5 split leaves one-armed reports NULL means/ate and is

@@ -1,0 +1,634 @@
+"""Round-11 candidate queries (written in round 8) — the VERDICT r07
+asks plus the next layer of the LLM-training-data / experimentation
+surface:
+
+- aipw_doubly_robust: augmented-IPW (doubly-robust) ATE next to
+  ipw_ate_stratified — outcome-model means plus propensity-weighted
+  residual corrections, per stratum, folded to the AIPW estimate.
+  The identity "AIPW == stratified ATE under a saturated outcome
+  model" is pytest-pinned (tests/test_round11.py) via the shared
+  builder's ``saturated`` switch.
+- gap_sequence_patterns: PrefixSpan-lite — top-k length-3 event-type
+  subsequences with bounded gaps inside 30-min sessions.
+  session_top_paths only sees contiguous prefixes; real journey
+  mining allows skips ("view .. click .. purchase with noise events
+  between").
+- holt_winters_daily: additive Holt-Winters (level + trend + weekly
+  season) over each event type's zero-filled daily count grid, in
+  EXACT 6-dp decimal recurrence (the markov/IPF keyed-iteration
+  discipline: every state is rounded to 6 dp each step, so both
+  engines walk identical numbers; no float accumulation).
+- holt_winters_backtest: rolling-origin one-step WAPE of the
+  Holt-Winters forecast vs naive persistence, composed FROM the
+  published states (the holt_backtest_mape harness pattern; WAPE not
+  MAPE because the zero-filled grid has zero-count days).
+
+Float discipline (registry.py docstring is authoritative): exact
+integer/decimal moments; smoothing constants are SQL decimal literals
+in both engines; double ratios share one expression tree; bounded
+float folds run over SORTED lists; rounded outputs use
+parity.round_sql in the oracle and `+ 0.0` wherever a rounded value
+can be a rounded negative zero.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from travel_data_pipeline_spark.functions.parity import round_sql
+from travel_data_pipeline_spark.registry import register
+from travel_data_pipeline_spark.sources.readers import load_table
+
+# ---------------------------------------------------------------------------
+# AIPW doubly-robust ATE — the augmented sibling of ipw_ate_stratified.
+#
+#   tau_AIPW = (1/N) * sum_i [ m1(i) - m0(i)
+#                              + T_i (Y_i - m1(i)) / e(i)
+#                              - (1-T_i)(Y_i - m0(i)) / (1 - e(i)) ]
+#
+# With the stratum-constant propensity e_s = n_t/n, every term
+# decomposes into per-stratum exact moments (n, n_t, sy_t, sy_c):
+#   sum_{i in s} T_i (Y_i - m1) / e_s   = (sy_t - n_t * m1) / e_s
+#   sum_{i in s} (1-T_i)(Y_i - m0)/(1-e_s) = (sy_c - n_c * m0)/(1-e_s)
+#   sum_{i in s} (m1 - m0)              = n_s * (m1 - m0)
+# so the whole estimator is a <= |strata| fold of per-row double
+# trees over exact aggregates — no per-unit float work at all.
+#
+# The registered query uses a deliberately COARSE outcome model (the
+# global per-arm means), so the augmentation terms do real work:
+# strata whose outcomes sit above/below the global mean get non-zero
+# corrections, and the 'ALL' fold is the doubly-robust estimate. A
+# SATURATED per-stratum model collapses the corrections to ~0 and
+# AIPW == the stratified ATE — that identity is the pytest.
+#
+# Double-robustness here is consistency under EITHER a correct
+# outcome model OR a correct propensity (the md5 split makes the
+# propensity exactly right, so AIPW stays centered at the stratified
+# ATE even under the wrong outcome model — observable in the output:
+# the per-stratum corrections cancel the coarse model's bias).
+#
+# One-armed strata (repo degenerate-denominator rule): NULL
+# aug/term, EXCLUDED from the 'ALL' fold in BOTH engines — same
+# policy as ipw_ate_stratified.
+#
+# Scale shape: identical to IPW — one orders->customer join, one
+# grouped moment pass; everything after is bounded by |strata|.
+# ---------------------------------------------------------------------------
+
+
+def _aipw_frame(spark: SparkSession, sf_dir: str,
+                saturated: bool = False) -> DataFrame:
+    """Shared AIPW builder; ``saturated=True`` swaps the global
+    outcome-model means for per-stratum means (the identity-test
+    configuration: corrections vanish, AIPW == stratified ATE)."""
+    from travel_data_pipeline_spark.queries_round10 import (
+        ipw_strata,
+        ipw_units,
+    )
+
+    strata = ipw_strata(ipw_units(spark, sf_dir))
+    glob = strata.agg(
+        F.sum("n").alias("big_n"), F.sum("n_t").alias("g_n_t"),
+        (F.sum("n") - F.sum("n_t")).alias("g_n_c"),
+        F.sum("sy_t").alias("g_sy_t"), F.sum("sy_c").alias("g_sy_c"))
+    model = glob.select(
+        "big_n", "g_n_t",
+        F.when(F.col("g_n_t") == 0, F.lit(None).cast("double"))
+        .otherwise(F.col("g_sy_t").cast("double")
+                   / F.col("g_n_t").cast("double")).alias("g_mu_t"),
+        F.when(F.col("g_n_c") == 0, F.lit(None).cast("double"))
+        .otherwise(F.col("g_sy_c").cast("double")
+                   / F.col("g_n_c").cast("double")).alias("g_mu_c"))
+
+    s = strata.crossJoin(F.broadcast(model))
+    one_armed = (F.col("n_t") == 0) | (F.col("n_t") == F.col("n"))
+    if saturated:
+        mu_t = (F.when(F.col("n_t") == 0, F.lit(None).cast("double"))
+                .otherwise(F.col("sy_t").cast("double")
+                           / F.col("n_t").cast("double")))
+        mu_c = (F.when(F.col("n") == F.col("n_t"),
+                       F.lit(None).cast("double"))
+                .otherwise(F.col("sy_c").cast("double")
+                           / (F.col("n") - F.col("n_t")).cast("double")))
+    else:
+        mu_t, mu_c = F.col("g_mu_t"), F.col("g_mu_c")
+    e_raw = F.col("n_t").cast("double") / F.col("n").cast("double")
+    big_n_d = F.col("big_n").cast("double")
+    aug_t = (F.when(one_armed, F.lit(None).cast("double"))
+             .otherwise((F.col("sy_t").cast("double")
+                         - F.col("n_t").cast("double") * mu_t)
+                        / e_raw / big_n_d))
+    aug_c = (F.when(one_armed, F.lit(None).cast("double"))
+             .otherwise((F.col("sy_c").cast("double")
+                         - (F.col("n") - F.col("n_t")).cast("double")
+                         * mu_c)
+                        / (F.lit(1.0) - e_raw) / big_n_d))
+    base_t = F.col("n").cast("double") * (mu_t - mu_c) / big_n_d
+    terms = s.select(
+        "segment", "n", "n_t",
+        e_raw.alias("e_raw"), mu_t.alias("mu_t"), mu_c.alias("mu_c"),
+        aug_t.alias("aug_t"), aug_c.alias("aug_c"),
+        base_t.alias("base_t"))
+
+    rnd0 = lambda c: F.round(c, 6) + F.lit(0.0)  # noqa: E731
+    nullable_rnd0 = lambda c: F.when(  # noqa: E731
+        c.isNull(), F.lit(None).cast("double")).otherwise(rnd0(c))
+    per_rows = terms.select(
+        "segment", F.col("n").cast("long").alias("n"),
+        F.col("n_t").cast("long").alias("n_treat"),
+        F.round("e_raw", 6).alias("e_hat"),
+        F.round("mu_t", 6).alias("mu_treat"),
+        F.round("mu_c", 6).alias("mu_ctrl"),
+        nullable_rnd0(F.col("aug_t")).alias("aug_treat"),
+        nullable_rnd0(F.col("aug_c")).alias("aug_ctrl"),
+        nullable_rnd0(F.col("base_t") + F.col("aug_t")
+                      - F.col("aug_c")).alias("aipw_term"))
+    # 'ALL' fold: sorted per-segment structs, one-armed strata out
+    # (collect_list drops NULL entries; when() makes them NULL)
+    keep = F.col("aug_t").isNotNull()
+    all_row = (terms.agg(
+        F.sum("n").alias("n"), F.sum("n_t").alias("n_treat"),
+        F.array_sort(F.collect_list(F.when(keep, F.struct(
+            "segment", "aug_t", "aug_c",
+            (F.col("base_t") + F.col("aug_t") - F.col("aug_c"))
+            .alias("term"))))).alias("ts"))
+        .select(
+            F.lit("ALL").alias("segment"),
+            F.col("n").cast("long").alias("n"),
+            F.col("n_treat").cast("long").alias("n_treat"),
+            F.round(F.col("n_treat").cast("double")
+                    / F.col("n").cast("double"), 6).alias("e_hat"),
+            F.lit(None).cast("double").alias("mu_treat"),
+            F.lit(None).cast("double").alias("mu_ctrl"),
+            *[rnd0(F.aggregate(F.transform("ts", lambda t: t[f]),
+                               F.lit(0.0), lambda a, x: a + x))
+              .alias(out)
+              for f, out in (("aug_t", "aug_treat"),
+                             ("aug_c", "aug_ctrl"),
+                             ("term", "aipw_term"))]))
+    return per_rows.unionByName(all_row)
+
+
+def _aipw_oracle() -> str:
+    from travel_data_pipeline_spark.queries_round10 import (
+        IPW_UNITS_STRATA_SQL,
+    )
+
+    fold = lambda expr: (  # noqa: E731
+        f"list_reduce(list({expr} ORDER BY segment) "
+        f"FILTER (aug_t IS NOT NULL), (x, y) -> x + y)")
+    return f"""
+WITH {IPW_UNITS_STRATA_SQL},
+gmom AS (
+    SELECT SUM(n) AS big_n, SUM(n_t) AS g_n_t,
+           SUM(n) - SUM(n_t) AS g_n_c,
+           SUM(sy_t) AS g_sy_t, SUM(sy_c) AS g_sy_c
+    FROM strata
+),
+model AS (
+    SELECT big_n, g_n_t,
+           CASE WHEN g_n_t = 0 THEN NULL
+                ELSE CAST(g_sy_t AS DOUBLE) / CAST(g_n_t AS DOUBLE)
+           END AS mu_t,
+           CASE WHEN g_n_c = 0 THEN NULL
+                ELSE CAST(g_sy_c AS DOUBLE) / CAST(g_n_c AS DOUBLE)
+           END AS mu_c
+    FROM gmom
+),
+terms AS (
+    SELECT s.segment, s.n, s.n_t, m.mu_t, m.mu_c,
+           CAST(s.n_t AS DOUBLE) / CAST(s.n AS DOUBLE) AS e_raw,
+           CASE WHEN s.n_t = 0 OR s.n_t = s.n THEN NULL
+                ELSE (CAST(s.sy_t AS DOUBLE)
+                      - CAST(s.n_t AS DOUBLE) * m.mu_t)
+                     / (CAST(s.n_t AS DOUBLE) / CAST(s.n AS DOUBLE))
+                     / CAST(m.big_n AS DOUBLE) END AS aug_t,
+           CASE WHEN s.n_t = 0 OR s.n_t = s.n THEN NULL
+                ELSE (CAST(s.sy_c AS DOUBLE)
+                      - CAST(s.n - s.n_t AS DOUBLE) * m.mu_c)
+                     / (1.0 - CAST(s.n_t AS DOUBLE)
+                              / CAST(s.n AS DOUBLE))
+                     / CAST(m.big_n AS DOUBLE) END AS aug_c,
+           CAST(s.n AS DOUBLE) * (m.mu_t - m.mu_c)
+               / CAST(m.big_n AS DOUBLE) AS base_t
+    FROM strata s CROSS JOIN model m
+)
+SELECT segment, CAST(n AS BIGINT) AS n, CAST(n_t AS BIGINT) AS n_treat,
+       {round_sql('e_raw')} AS e_hat,
+       CASE WHEN mu_t IS NULL THEN NULL
+            ELSE {round_sql('mu_t')} END AS mu_treat,
+       CASE WHEN mu_c IS NULL THEN NULL
+            ELSE {round_sql('mu_c')} END AS mu_ctrl,
+       CASE WHEN aug_t IS NULL THEN NULL
+            ELSE {round_sql('aug_t')} + 0.0 END AS aug_treat,
+       CASE WHEN aug_c IS NULL THEN NULL
+            ELSE {round_sql('aug_c')} + 0.0 END AS aug_ctrl,
+       CASE WHEN aug_t IS NULL THEN NULL
+            ELSE {round_sql('base_t + aug_t - aug_c')} + 0.0
+       END AS aipw_term
+FROM terms
+UNION ALL
+SELECT 'ALL', CAST(SUM(n) AS BIGINT), CAST(SUM(n_t) AS BIGINT),
+       {round_sql('CAST(SUM(n_t) AS DOUBLE) / CAST(SUM(n) AS DOUBLE)')},
+       CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE),
+       {round_sql(fold('aug_t'))} + 0.0,
+       {round_sql(fold('aug_c'))} + 0.0,
+       {round_sql(fold('base_t + aug_t - aug_c'))} + 0.0
+FROM terms
+"""
+
+
+@register("aipw_doubly_robust", _aipw_oracle)
+def aipw_doubly_robust(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Doubly-robust (AIPW) ATE of the md5 experiment split under a
+    deliberately coarse (global per-arm means) outcome model.
+
+    Per-stratum rows carry the model means, the propensity-weighted
+    residual corrections, and the stratum's contribution to the
+    estimate; the 'ALL' row's ``aipw_term`` is the AIPW ATE (pinned
+    equal to the stratified ATE under a saturated model —
+    tests/test_round11.py)."""
+    return _aipw_frame(spark, sf_dir, saturated=False)
+
+
+# ---------------------------------------------------------------------------
+# Gap-allowing sequential patterns (PrefixSpan-lite).
+#
+# Top-k length-3 event-type subsequences (p1 < p2 < p3) inside a
+# 30-min session where consecutive picks skip at most _GSP_GAP
+# events. session_top_paths' contiguous first-3 signature misses any
+# journey with noise events between the steps; gapped subsequences
+# are what sequential-pattern miners actually count. Support counts
+# each session at most once (standard sequence-support semantics),
+# via a per-session array_distinct before the explode.
+#
+# Scale shape: sessionization is the engine's standard per-user
+# lag+cumsum window; the candidate expansion is a PER-ROW expression
+# (<= maxlen * (gap+1)^2 strings per session, all JVM codegen — no
+# positional self-join, the bpe zip-with-tail precedent); the support
+# count groups a bounded pattern space (|event types|^3), and the
+# final top-k is a TakeOrderedAndProject over that bounded relation.
+# Sessions are scanned only to _GSP_MAXLEN events — the cap is the
+# same in both engines and documented here: pathological never-idle
+# sessions cannot blow up the expansion.
+# ---------------------------------------------------------------------------
+
+_GSP_GAP = 2        # max events skipped between consecutive picks
+_GSP_MAXLEN = 40    # session scan cap (events)
+_GSP_TOPK = 10
+
+
+@register("gap_sequence_patterns", f"""
+WITH flagged AS (
+    SELECT user_id, ts, event_id, event_type,
+           CASE WHEN epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800000000
+                THEN 1 ELSE 0 END AS new_session
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+numbered AS (
+    SELECT user_id, ts, event_id, event_type,
+           CAST(SUM(new_session) OVER (PARTITION BY user_id
+                                       ORDER BY ts, event_id
+                                       ROWS UNBOUNDED PRECEDING) AS BIGINT)
+             AS session_seq
+    FROM flagged
+),
+seqs AS (
+    SELECT user_id, session_seq,
+           (list(event_type ORDER BY ts, event_id))[1:{_GSP_MAXLEN}] AS a
+    FROM numbered GROUP BY user_id, session_seq
+),
+pats AS (
+    SELECT list_distinct(list_filter(flatten(flatten(
+               list_transform(generate_series(1, len(a)), i ->
+                 list_transform(generate_series(1, {_GSP_GAP + 1}), d1 ->
+                   list_transform(generate_series(1, {_GSP_GAP + 1}), d2 ->
+                     CASE WHEN i + d1 + d2 <= len(a)
+                          THEN a[i] || '>' || a[i + d1] || '>'
+                               || a[i + d1 + d2]
+                     END))))), x -> x IS NOT NULL)) AS ps
+    FROM seqs
+),
+counted AS (
+    SELECT u.pattern, CAST(count(*) AS BIGINT) AS n_sessions
+    FROM pats, UNNEST(ps) AS u(pattern)
+    GROUP BY u.pattern
+)
+SELECT pattern, n_sessions FROM counted
+ORDER BY n_sessions DESC, pattern LIMIT {_GSP_TOPK}
+""")
+def gap_sequence_patterns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-10 gapped length-3 event-type subsequences per session
+    (gap <= 2 between consecutive picks, sessions capped at 40
+    events); support = sessions containing the pattern at least once."""
+    ev = load_table(spark, sf_dir, "events")
+    wlag = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    flagged = ev.select(
+        "user_id", "ts", "event_id", "event_type",
+        F.when(F.unix_micros("ts")
+               - F.unix_micros(F.lag("ts").over(wlag)) > 1_800_000_000,
+               1).otherwise(0).alias("new_session"))
+    wcum = (Window.partitionBy("user_id").orderBy("ts", "event_id")
+            .rowsBetween(Window.unboundedPreceding, 0))
+    numbered = flagged.withColumn(
+        "session_seq", F.sum("new_session").over(wcum).cast("long"))
+    seqs = (numbered.groupBy("user_id", "session_seq")
+            .agg(F.slice(F.transform(
+                F.array_sort(F.collect_list(F.struct(
+                    "ts", "event_id", "event_type"))),
+                lambda s: s["event_type"]), 1, _GSP_MAXLEN).alias("a")))
+    offs = F.sequence(F.lit(1), F.lit(_GSP_GAP + 1))
+    a = F.col("a")
+    tri = F.flatten(F.transform(
+        F.sequence(F.lit(1), F.size(a)), lambda i:
+        F.flatten(F.transform(offs, lambda d1:
+                  F.transform(offs, lambda d2:
+                              F.when(i + d1 + d2 <= F.size(a),
+                                     F.concat_ws(
+                                         ">",
+                                         F.element_at(a, i),
+                                         F.element_at(a, i + d1),
+                                         F.element_at(a, i + d1 + d2))))))))
+    pats = seqs.select(
+        F.array_distinct(F.filter(tri, lambda x: x.isNotNull()))
+        .alias("ps"))
+    counted = (pats.select(F.explode("ps").alias("pattern"))
+               .groupBy("pattern")
+               .agg(F.count("*").cast("long").alias("n_sessions")))
+    return (counted.orderBy(F.col("n_sessions").desc(), "pattern")
+            .limit(_GSP_TOPK))
+
+
+# ---------------------------------------------------------------------------
+# Additive Holt-Winters (level + trend + weekly season) per event
+# type, over the ZERO-FILLED global day grid (the fano_burstiness
+# grid spelling — seasonality indexes by calendar position, so the
+# day grid must be gap-free).
+#
+#   l_t = A*(x_t - s_{t-7}) + (1-A)*(l_{t-1} + b_{t-1})
+#   b_t = B*(l_t - l_{t-1}) + (1-B)*b_{t-1}
+#   s_t = G*(x_t - l_t)     + (1-G)*s_{t-7}
+#   fc_t = l_{t-1} + b_{t-1} + s_{t-7}      (one-step-ahead forecast)
+#
+# init (rows 1..7): l = round(mean of first 7 counts, 6), b = 0,
+# s_i = x_i - l (exact decimal), fc = NULL.
+#
+# Exact-decimal recurrence discipline (markov_stationary /
+# ipf_raking precedent): every state is DECIMAL(18,6), re-rounded
+# each step, so Spark's array fold and DuckDB's recursive CTE walk
+# IDENTICAL numbers — no float accumulation, no last-ulp exposure.
+# The only division (the init mean / 7) goes through a shared double
+# tree + the Spark-parity rounding spelling.
+#
+# Scale shape: one corpus-sized grouped count; the grid is |types| x
+# |days| (bounded); per-group state is that type's day list. The
+# recurrence is inherently sequential per type — the fold runs once
+# per group over a bounded array, exactly like holt_linear_daily.
+# ---------------------------------------------------------------------------
+
+_HW_M = 7
+_HW_CONST = {"A": "0.25", "A1": "0.75", "B": "0.05", "B1": "0.95",
+             "G": "0.2", "G1": "0.8"}
+
+
+def _hw_oracle() -> str:
+    c = {k: f"CAST({v} AS DECIMAL(9,6))" for k, v in _HW_CONST.items()}
+    cd = "CAST(g.c AS DECIMAL(18,6))"
+    lt = (f"CAST(round({c['A']} * ({cd} - w.seas[1]) "
+          f"+ {c['A1']} * (w.lvl + w.trd), 6) AS DECIMAL(18,6))")
+    st = (f"CAST(round({c['G']} * ({cd} - {lt}) "
+          f"+ {c['G1']} * w.seas[1], 6) AS DECIMAL(18,6))")
+    bt = (f"CAST(round({c['B']} * ({lt} - w.lvl) "
+          f"+ {c['B1']} * w.trd, 6) AS DECIMAL(18,6))")
+    m = _HW_M
+    return f"""
+WITH RECURSIVE days AS (SELECT DISTINCT CAST(ts AS DATE) AS day FROM events),
+types AS (SELECT DISTINCT event_type FROM events),
+counts AS (
+    SELECT event_type, CAST(ts AS DATE) AS day, count(*) AS c
+    FROM events GROUP BY event_type, day
+),
+grid AS (
+    SELECT t.event_type, d.day, COALESCE(c.c, 0) AS c,
+           row_number() OVER (PARTITION BY t.event_type
+                              ORDER BY d.day) AS rn
+    FROM types t CROSS JOIN days d
+    LEFT JOIN counts c ON c.event_type = t.event_type AND c.day = d.day
+),
+eligible AS (
+    SELECT event_type FROM grid GROUP BY event_type HAVING count(*) > {m}
+),
+init AS (
+    SELECT g.event_type,
+           CAST({round_sql(f'CAST(SUM(g.c) AS DOUBLE) / {float(m)}')}
+                AS DECIMAL(18,6)) AS l0
+    FROM grid g JOIN eligible e USING (event_type)
+    WHERE g.rn <= {m} GROUP BY g.event_type
+),
+seed AS (
+    SELECT g.event_type, CAST({m} AS BIGINT) AS rn, i.l0 AS lvl,
+           CAST(0 AS DECIMAL(18,6)) AS trd,
+           list(CAST(CAST(g.c AS DECIMAL(18,6)) - i.l0
+                     AS DECIMAL(18,6)) ORDER BY g.rn) AS seas,
+           CAST(NULL AS DECIMAL(18,6)) AS s_t,
+           CAST(NULL AS DECIMAL(18,6)) AS fc,
+           CAST(NULL AS BIGINT) AS cnt, CAST(NULL AS DATE) AS day
+    FROM grid g JOIN init i USING (event_type)
+    WHERE g.rn <= {m}
+    GROUP BY g.event_type, i.l0
+),
+walk AS (
+    SELECT * FROM seed
+    UNION ALL
+    SELECT g.event_type, g.rn, {lt} AS lvl, {bt} AS trd,
+           w.seas[2:] || [{st}] AS seas, {st} AS s_t,
+           CAST(w.lvl + w.trd + w.seas[1] AS DECIMAL(18,6)) AS fc,
+           g.c AS cnt, g.day AS day
+    FROM grid g JOIN walk w
+      ON g.event_type = w.event_type AND g.rn = w.rn + 1
+),
+initrows AS (
+    SELECT g.event_type, strftime(g.day, '%Y-%m-%d') AS day,
+           CAST(g.c AS BIGINT) AS cnt,
+           CAST(i.l0 AS DOUBLE) AS level, CAST(0 AS DOUBLE) AS trend,
+           CAST(CAST(g.c AS DECIMAL(18,6)) - i.l0 AS DOUBLE) AS season,
+           CAST(NULL AS DOUBLE) AS forecast
+    FROM grid g JOIN init i USING (event_type)
+    WHERE g.rn <= {m}
+)
+SELECT * FROM initrows
+UNION ALL
+SELECT event_type, strftime(day, '%Y-%m-%d') AS day, cnt,
+       CAST(lvl AS DOUBLE) AS level, CAST(trd AS DOUBLE) AS trend,
+       CAST(s_t AS DOUBLE) AS season, CAST(fc AS DOUBLE) AS forecast
+FROM walk WHERE rn > {m}
+"""
+
+
+def _hw_states(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The Holt-Winters state frame (shared by the registered query
+    and the backtest)."""
+    c = {k: F.expr(f"CAST({v} AS DECIMAL(9,6))")
+         for k, v in _HW_CONST.items()}
+    m = _HW_M
+    ev = load_table(spark, sf_dir, "events")
+    days = ev.select(F.col("ts").cast("date").alias("day")).distinct()
+    types = ev.select("event_type").distinct()
+    counts = (ev.groupBy("event_type",
+                         F.col("ts").cast("date").alias("day"))
+              .agg(F.count("*").alias("c")))
+    grid = (types.crossJoin(F.broadcast(days))
+            .join(counts, ["event_type", "day"], "left")
+            .select("event_type", "day",
+                    F.coalesce("c", F.lit(0)).cast("long").alias("c")))
+    g = (grid.groupBy("event_type")
+         .agg(F.array_sort(F.collect_list(F.struct("day", "c")))
+              .alias("s"))
+         .filter(F.size("s") > m))
+    l0 = F.round(
+        F.aggregate(F.slice("s", 1, m), F.lit(0).cast("long"),
+                    lambda a, x: a + x["c"]).cast("double")
+        / float(m), 6).cast("decimal(18,6)")
+    g = g.withColumn("l0", l0)
+    acc_t = ("array<struct<day:date,cnt:bigint,lvl:decimal(18,6),"
+             "trd:decimal(18,6),seas:decimal(18,6),fc:decimal(18,6)>>")
+    dec = lambda x: x.cast("decimal(18,6)")  # noqa: E731
+    seed = F.transform(
+        F.slice("s", 1, m),
+        lambda x: F.struct(
+            x["day"].alias("day"), x["c"].alias("cnt"),
+            F.col("l0").alias("lvl"),
+            F.lit(0).cast("decimal(18,6)").alias("trd"),
+            dec(dec(x["c"]) - F.col("l0")).alias("seas"),
+            F.lit(None).cast("decimal(18,6)").alias("fc"))).cast(acc_t)
+
+    def lt_expr(acc, x):
+        prev, sm = F.element_at(acc, -1), F.element_at(acc, -m)["seas"]
+        return dec(F.round(c["A"] * (dec(x["c"]) - sm)
+                           + c["A1"] * (prev["lvl"] + prev["trd"]), 6))
+
+    def step(acc, x):
+        prev, sm = F.element_at(acc, -1), F.element_at(acc, -m)["seas"]
+        lt = lt_expr(acc, x)
+        return F.array_append(acc, F.struct(
+            x["day"].alias("day"), x["c"].alias("cnt"),
+            lt.alias("lvl"),
+            dec(F.round(c["B"] * (lt - prev["lvl"])
+                        + c["B1"] * prev["trd"], 6)).alias("trd"),
+            dec(F.round(c["G"] * (dec(x["c"]) - lt)
+                        + c["G1"] * sm, 6)).alias("seas"),
+            dec(prev["lvl"] + prev["trd"] + sm).alias("fc")))
+
+    folded = F.aggregate(
+        F.slice("s", m + 1, F.size("s")), seed, step)
+    return (g.select("event_type", F.explode(folded).alias("e"))
+            .select("event_type",
+                    F.date_format(F.col("e.day"), "yyyy-MM-dd")
+                    .alias("day"),
+                    F.col("e.cnt").alias("cnt"),
+                    F.col("e.lvl").cast("double").alias("level"),
+                    F.col("e.trd").cast("double").alias("trend"),
+                    F.col("e.seas").cast("double").alias("season"),
+                    F.col("e.fc").cast("double").alias("forecast")))
+
+
+@register("holt_winters_daily", _hw_oracle)
+def holt_winters_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Additive Holt-Winters states + one-step forecasts per event
+    type over the zero-filled daily grid (weekly season, exact 6-dp
+    decimal recurrence — both engines walk identical numbers)."""
+    return _hw_states(spark, sf_dir)
+
+
+# ---------------------------------------------------------------------------
+# Holt-Winters rolling-origin backtest — the holt_backtest_mape
+# harness applied to the seasonal smoother, with WAPE instead of
+# MAPE: the zero-filled grid legitimately contains zero-count days,
+# so per-day percentage errors are undefined; WAPE
+# (sum |err| / sum actual) is the standard fix and needs no per-day
+# division at all. Naive baseline = yesterday's count.
+#
+# Scale shape: rides the bounded HW state relation; folds cover
+# <= |days| doubles per type in pinned day order; sum(cnt) is exact.
+# ---------------------------------------------------------------------------
+
+
+def _hwb_oracle() -> str:
+    from travel_data_pipeline_spark.registry import ORACLES
+
+    hw_sql = ORACLES["holt_winters_daily"]
+    assert callable(hw_sql)
+    return f"""
+WITH base AS MATERIALIZED (
+{hw_sql()}
+),
+seqd AS (
+    SELECT event_type, day, cnt, forecast,
+           lag(cnt) OVER (PARTITION BY event_type ORDER BY day) AS pcnt
+    FROM base
+),
+ev AS (
+    SELECT event_type, day, cnt,
+           abs(CAST(cnt AS DOUBLE) - forecast) AS err,
+           abs(CAST(cnt AS DOUBLE) - CAST(pcnt AS DOUBLE)) AS err_naive
+    FROM seqd WHERE forecast IS NOT NULL
+),
+folded AS (
+    SELECT event_type, COUNT(*) AS n_eval, SUM(cnt) AS actual,
+           list_reduce(list(err ORDER BY day), (x, y) -> x + y) AS serr,
+           list_reduce(list(err_naive ORDER BY day), (x, y) -> x + y)
+               AS serr_n
+    FROM ev GROUP BY event_type
+)
+SELECT event_type, CAST(n_eval AS BIGINT) AS n_eval,
+       CASE WHEN actual = 0 THEN NULL
+            ELSE {round_sql('serr / CAST(actual AS DOUBLE)')}
+       END AS wape,
+       CASE WHEN actual = 0 THEN NULL
+            ELSE {round_sql('serr_n / CAST(actual AS DOUBLE)')}
+       END AS wape_naive,
+       CASE WHEN actual = 0 OR serr_n = 0 THEN NULL
+            ELSE {round_sql('1.0 - serr / serr_n')} + 0.0
+       END AS skill_vs_naive
+FROM folded
+"""
+
+
+@register("holt_winters_backtest", _hwb_oracle)
+def holt_winters_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling-origin one-step WAPE of Holt-Winters vs naive
+    persistence, composed FROM the published 6-dp states."""
+    base = _hw_states(spark, sf_dir)
+    w = Window.partitionBy("event_type").orderBy("day")
+    seqd = base.withColumn("pcnt", F.lag("cnt").over(w))
+    cd = F.col("cnt").cast("double")
+    ev = (seqd.filter(F.col("forecast").isNotNull())
+          .select("event_type", "day", "cnt",
+                  F.abs(cd - F.col("forecast")).alias("err"),
+                  F.abs(cd - F.col("pcnt").cast("double"))
+                  .alias("err_naive")))
+    folded = (ev.groupBy("event_type")
+              .agg(F.count("*").alias("n_eval"),
+                   F.sum("cnt").alias("actual"),
+                   F.array_sort(F.collect_list(F.struct(
+                       "day", "err", "err_naive"))).alias("ts")))
+    s = lambda fld: F.aggregate(  # noqa: E731
+        F.transform("ts", lambda t: t[fld]),
+        F.lit(0.0), lambda a, x: a + x)
+    serr, serr_n = s("err"), s("err_naive")
+    actual_zero = F.col("actual") == 0
+    return folded.select(
+        "event_type", F.col("n_eval").cast("long").alias("n_eval"),
+        F.when(actual_zero, F.lit(None).cast("double"))
+        .otherwise(F.round(serr / F.col("actual").cast("double"), 6))
+        .alias("wape"),
+        F.when(actual_zero, F.lit(None).cast("double"))
+        .otherwise(F.round(serr_n / F.col("actual").cast("double"), 6))
+        .alias("wape_naive"),
+        # degenerate-denominator branch (repo rule): a constant series
+        # has zero naive error -> NULL skill in BOTH engines
+        F.when(actual_zero | (serr_n == 0), F.lit(None).cast("double"))
+        .otherwise(F.round(F.lit(1.0) - serr / serr_n, 6) + F.lit(0.0))
+        .alias("skill_vs_naive"))

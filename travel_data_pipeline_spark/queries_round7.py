@@ -1071,7 +1071,22 @@ def _merge_tokens(arr, a: str, b: str):
 def _bpe_train(tokens_df: DataFrame,
                n_merges: int = _BPE_TRAIN_MERGES) -> list[tuple]:
     """Run the merge loop over a one-column ``t: array<string>`` frame;
-    returns [(rank, 'a b', count), ...]."""
+    returns [(rank, 'a b', count), ...].
+
+    Sampling posture (the only driver-loop collect in a query path):
+    the per-round ``.orderBy(...).limit(1).collect()`` is a 1-row
+    argmax — the standard iterative-BPE shape — and the loop is
+    bounded at ``n_merges`` (5 here), so the driver sees exactly
+    ``n_merges`` single-row results; every corpus-wide pass (the pair
+    count and the merge rewrite) stays distributed with lag-1
+    persisted lineage. At 100 TB you would not change this loop — you
+    would train on a sample, the standard practice for tokenizer
+    induction (BPE merge ranks converge long before corpus scale):
+    gate ``tokens_df`` with an md5-hash slice (e.g.
+    ``md5_bucket(doc_id) < k`` as in sample_stratified_by_lang) and
+    train on the O(GB) sample; applying the learned merges
+    (bpe_apply_learned) is the part that runs at corpus scale and is
+    a pure distributed map."""
     cur = tokens_df.persist()
     prev = None
     out: list[tuple] = []
