@@ -197,3 +197,163 @@ def test_holt_winters_backtest_reconciles_with_states(spark, sf_smoke):
         assert abs(gr.wape_naive - serr_n / actual) <= 2e-6
         if serr_n > 0:
             assert abs(gr.skill_vs_naive - (1.0 - serr / serr_n)) <= 2e-6
+
+
+# ---------------------------------------------------------------------------
+# weighted_reservoir_topk — exact python recomputation
+# ---------------------------------------------------------------------------
+
+def test_weighted_reservoir_matches_python_model(spark, sf_smoke):
+    import hashlib
+    import math
+
+    from travel_data_pipeline_spark.queries_round11 import (
+        _WR_K,
+        weighted_reservoir_topk,
+    )
+
+    docs = spark.read.parquet(f"{sf_smoke}/documents.parquet").select(
+        "doc_id", "n_chars").collect()
+    keyed = []
+    for r in docs:
+        h = int(hashlib.md5(f"wr:{r.doc_id}".encode())
+                .hexdigest()[:15], 16)
+        u = (h % 1_000_000 + 0.5) / 1_000_000.0
+        w = r.n_chars + 1
+        keyed.append((math.log(u) / float(w), r.doc_id, w))
+    keyed.sort(key=lambda t: (-t[0], t[1]))
+    want = [(i + 1, d, w) for i, (_, d, w) in enumerate(keyed[:_WR_K])]
+    got = [(r.rank, r.doc_id, r.weight)
+           for r in weighted_reservoir_topk(spark, sf_smoke)
+           .orderBy("rank").collect()]
+    assert got == want
+    # weight-proportional selection pulls the mean weight UP
+    corpus_mean = sum(r.n_chars + 1 for r in docs) / len(docs)
+    sel_mean = sum(w for _, _, w in want) / len(want)
+    assert sel_mean > corpus_mean, (sel_mean, corpus_mean)
+
+
+# ---------------------------------------------------------------------------
+# ratio_metric_delta_ci — python delta-method recomputation
+# ---------------------------------------------------------------------------
+
+def test_ratio_metric_delta_ci_matches_python(spark, sf_smoke):
+    import hashlib
+    import math
+
+    from travel_data_pipeline_spark.queries_round11 import (
+        ratio_metric_delta_ci,
+    )
+
+    orders = spark.read.parquet(f"{sf_smoke}/orders.parquet").select(
+        "o_custkey", "o_totalprice").collect()
+    per_cust = defaultdict(lambda: [0, Decimal(0)])
+    for r in orders:
+        c = per_cust[r.o_custkey]
+        c[0] += 1
+        c[1] += Decimal(str(r.o_totalprice)).quantize(Decimal("0.01"))
+    arms = defaultdict(list)
+    for ck, (x, y) in per_cust.items():
+        h = int(hashlib.md5(f"exp:{ck}".encode()).hexdigest()[:15], 16)
+        arms[h % 2].append((x, float(y)))
+    got = {r.arm: r for r in
+           ratio_metric_delta_ci(spark, sf_smoke).collect()}
+    stats = {}
+    for arm, xs in arms.items():
+        n = len(xs)
+        sx = sum(x for x, _ in xs)
+        sy = sum(y for _, y in xs)
+        r_hat = sy / sx
+        sxx = sum(x * x for x, _ in xs)
+        syy = sum(y * y for _, y in xs)
+        sxy = sum(x * y for x, y in xs)
+        quad = (syy - sy * sy / n + r_hat * r_hat * (sxx - sx * sx / n)
+                - 2.0 * r_hat * (sxy - sx * sy / n))
+        var_r = max(0.0, quad / (n - 1)) / (n * (sx / n) ** 2)
+        stats[str(arm)] = (n, r_hat, math.sqrt(var_r), var_r)
+        g = got[str(arm)]
+        assert g.n == n
+        assert abs(g.ratio - r_hat) <= 1e-5
+        assert abs(g.se - math.sqrt(var_r)) <= 1e-5
+        assert g.ci_lo < g.ratio < g.ci_hi
+    d = got["DIFF"]
+    n0, r0, _, v0 = stats["0"]
+    n1, r1, _, v1 = stats["1"]
+    assert d.n == n0 + n1
+    assert abs(d.ratio - (r1 - r0)) <= 1e-5
+    assert abs(d.se - math.sqrt(v0 + v1)) <= 1e-5
+
+
+# ---------------------------------------------------------------------------
+# shard_balance_audit — reconciliation with the registered packer
+# ---------------------------------------------------------------------------
+
+def test_shard_balance_reconciles_with_packer(spark, sf_smoke):
+    import math
+
+    from travel_data_pipeline_spark.queries_curation import (
+        pack_token_shards,
+    )
+    from travel_data_pipeline_spark.queries_round11 import (
+        shard_balance_audit,
+    )
+
+    packed = pack_token_shards(spark, sf_smoke).collect()
+    shards = defaultdict(int)
+    for r in packed:
+        shards[(r.source, r.lang, r.shard_id)] += r.n_tokens
+    groups = defaultdict(list)
+    for (s, lg, _), tok in shards.items():
+        groups[(s, lg)].append(tok)
+    got = {(r.source, r.lang): r
+           for r in shard_balance_audit(spark, sf_smoke).collect()}
+    assert set(got) == set(groups)
+    for key, toks in groups.items():
+        g = got[key]
+        assert g.n_shards == len(toks)
+        assert g.total_tokens == sum(toks)
+        assert g.max_tokens == max(toks) and g.min_tokens == min(toks)
+        mean = sum(toks) / len(toks)
+        if sum(toks) > 0:
+            var = sum(t * t for t in toks) / len(toks) - mean * mean
+            assert abs(g.cv - math.sqrt(max(0.0, var)) / mean) <= 1e-5
+            assert abs(g.max_over_mean - max(toks) / mean) <= 1e-5
+
+
+# ---------------------------------------------------------------------------
+# crosslingual_semantic_pairs — reconciliation with the LSH operator
+# ---------------------------------------------------------------------------
+
+def test_crosslingual_cells_reconcile_with_lsh_pairs(spark, sf_smoke):
+    from travel_data_pipeline_spark.operators import similarity
+    from travel_data_pipeline_spark.queries_round11 import (
+        _XL_TAU,
+        crosslingual_semantic_pairs,
+    )
+
+    emb = (spark.read.parquet(f"{sf_smoke}/embeddings.parquet")
+           .select("vec_id", F.col("embedding").cast("array<double>")
+                   .alias("embedding")))
+    planes = similarity.random_planes(16, 64)
+    pairs = similarity.cosine_near_dup_lsh(
+        emb, planes, bands=2, threshold=_XL_TAU,
+        max_bucket=1000).collect()
+    lang = {r.doc_id: r.lang for r in spark.read.parquet(
+        f"{sf_smoke}/documents.parquet").select("doc_id",
+                                                "lang").collect()}
+    cells = defaultdict(list)
+    for p in pairs:
+        la, lb = lang[p.vec_a], lang[p.vec_b]
+        if la == lb:
+            continue
+        cells[(min(la, lb), max(la, lb))].append(p.cosine_sim)
+    got = {(r.lang_a, r.lang_b): r
+           for r in crosslingual_semantic_pairs(spark,
+                                                sf_smoke).collect()}
+    assert set(got) == set(cells)
+    for key, cos in cells.items():
+        g = got[key]
+        assert g.n_pairs == len(cos)
+        assert abs(g.mean_cos - sum(cos) / len(cos)) <= 2e-6
+        assert abs(g.max_cos - max(cos)) <= 1e-9
+        assert g.mean_cos >= _XL_TAU - 1e-9

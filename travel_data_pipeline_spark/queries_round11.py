@@ -36,6 +36,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from travel_data_pipeline_spark.functions.hashing import md5_long_sql
 from travel_data_pipeline_spark.functions.parity import round_sql
 from travel_data_pipeline_spark.registry import register
 from travel_data_pipeline_spark.sources.readers import load_table
@@ -632,3 +633,429 @@ def holt_winters_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(actual_zero | (serr_n == 0), F.lit(None).cast("double"))
         .otherwise(F.round(F.lit(1.0) - serr / serr_n, 6) + F.lit(0.0))
         .alias("skill_vs_naive"))
+
+
+# ---------------------------------------------------------------------------
+# Deterministic weighted reservoir sample (Efraimidis–Spirakis 2006,
+# public): each doc draws u ~ U(0,1) from its md5 and ranks by
+# u^(1/w); the top-k under that key IS a weight-proportional sample
+# without replacement. We rank by the MONOTONE transform
+# ln(u)/w (u in (0,1) so ln(u) < 0; u^(1/w) ascending in ln(u)/w) —
+# no pow(), and ln on a shared per-row tree follows the
+# entropy/log-odds precedent. u = (md5 % 1e6 + 0.5)/1e6 is the
+# dp_noisy_event_counts inverse-CDF spelling (never 0 or 1).
+#
+# This is the scale-correct "sample 10k docs proportional to quality"
+# primitive: one per-row expression + one TakeOrderedAndProject —
+# no global sort, no per-partition state, merges across any number of
+# partitions (top-k is associative).
+# ---------------------------------------------------------------------------
+
+_WR_K = 100
+_WR_U = "(({h} % 1000000 + 0.5) / 1000000.0)"
+
+
+@register("weighted_reservoir_topk", f"""
+WITH keyed AS (
+    SELECT doc_id, n_chars + 1 AS weight,
+           ln({_WR_U.format(h=md5_long_sql("'wr:' || CAST(doc_id AS VARCHAR)"))})
+               / CAST(n_chars + 1 AS DOUBLE) AS sel_key
+    FROM documents
+),
+topk AS (
+    SELECT doc_id, weight, sel_key
+    FROM keyed ORDER BY sel_key DESC, doc_id LIMIT {_WR_K}
+)
+SELECT CAST(row_number() OVER (ORDER BY sel_key DESC, doc_id) AS INT)
+         AS rank,
+       doc_id, CAST(weight AS BIGINT) AS weight,
+       {round_sql('sel_key')} + 0.0 AS sel_key
+FROM topk
+""")
+def weighted_reservoir_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-100 weight-proportional sample of documents
+    (Efraimidis–Spirakis keys on the doc's md5; weight = n_chars+1)."""
+    from travel_data_pipeline_spark.functions.hashing import md5_long
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", (F.col("n_chars") + 1).alias("weight"))
+    h = md5_long(F.concat(F.lit("wr:"), F.col("doc_id").cast("string")))
+    u = (h % 1_000_000 + F.lit(0.5)) / F.lit(1_000_000.0)
+    keyed = docs.select(
+        "doc_id", "weight",
+        (F.log(u) / F.col("weight").cast("double")).alias("sel_key"))
+    topk = (keyed.orderBy(F.col("sel_key").desc(), "doc_id")
+            .limit(_WR_K))
+    w = Window.orderBy(F.col("sel_key").desc(), "doc_id")
+    return topk.select(
+        F.row_number().over(w).cast("int").alias("rank"),
+        "doc_id", F.col("weight").cast("long").alias("weight"),
+        (F.round("sel_key", 6) + F.lit(0.0)).alias("sel_key"))
+
+
+# ---------------------------------------------------------------------------
+# Ratio-metric delta-method CI — the practical A/B wrinkle the
+# two-proportion readout (ab_assignment_outcomes) and CUPED don't
+# cover: when the metric is a RATIO of sums over the randomization
+# unit (here revenue per order, with the customer as the unit), its
+# variance needs the delta method (Deng et al., public):
+#
+#   R = sum(y) / sum(x)
+#   Var(R) ~= (S_yy + R^2 S_xx - 2 R S_xy) / (n * xbar^2)
+#
+# with S_* the (n-1)-denominator sample (co)variances. Every moment
+# (n, Sx, Sy, Sxx, Syy, Sxy) is an exact integer/decimal aggregate;
+# the variance is one per-row double tree over the 2-row arm
+# relation, clamped at 0 before sqrt (float cancellation can land a
+# true-zero quadratic form marginally negative). z = 1.959964 (95%)
+# is a python literal in both engines.
+#
+# Scale shape: one orders->customer grouped pass, then a 2-row agg.
+# ---------------------------------------------------------------------------
+
+_RM_Z = "1.959964"
+
+
+def _rm_oracle() -> str:
+    from travel_data_pipeline_spark.functions.hashing import md5_long_sql
+
+    arm = md5_long_sql("'exp:' || CAST(c_custkey AS VARCHAR)")
+    var_r = ("GREATEST(0.0, (syy - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE) / n"
+             " + r * r * (sxx - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) / n)"
+             " - 2.0 * r * (sxy - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE) / n))"
+             " / (n - 1.0))"
+             " / (n * (CAST(sx AS DOUBLE) / n) * (CAST(sx AS DOUBLE) / n))")
+    return f"""
+WITH units AS (
+    SELECT c.c_custkey, ({arm} % 2) AS arm,
+           COUNT(*) AS x,
+           SUM(CAST(o.o_totalprice AS DECIMAL(18,2))) AS y
+    FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+    GROUP BY c.c_custkey, arm
+),
+moments AS (
+    SELECT arm, COUNT(*) AS n,
+           SUM(x) AS sx, SUM(y) AS sy,
+           SUM(x * x) AS sxx,
+           SUM(CAST(y AS DECIMAL(28,2)) * y) AS syy,
+           SUM(CAST(y AS DECIMAL(28,2)) * x) AS sxy
+    FROM units GROUP BY arm
+),
+terms AS (
+    SELECT arm, n, sx,
+           CAST(n AS DOUBLE) AS nd,
+           CAST(sy AS DOUBLE) / CAST(sx AS DOUBLE) AS r,
+           CAST(sxx AS DOUBLE) AS sxx, CAST(syy AS DOUBLE) AS syy,
+           CAST(sxy AS DOUBLE) AS sxy,
+           CAST(sx AS DOUBLE) AS sxd, CAST(sy AS DOUBLE) AS syd
+    FROM moments
+),
+vars_ AS (
+    SELECT arm, n, r,
+           CASE WHEN n <= 1 OR sx = 0 THEN NULL
+                ELSE GREATEST(0.0,
+                     (syy - syd * syd / nd
+                      + r * r * (sxx - sxd * sxd / nd)
+                      - 2.0 * r * (sxy - sxd * syd / nd)) / (nd - 1.0))
+                     / (nd * (sxd / nd) * (sxd / nd))
+           END AS var_r
+    FROM terms
+),
+rows_ AS (
+    SELECT CAST(arm AS VARCHAR) AS arm, CAST(n AS BIGINT) AS n,
+           r AS ratio, sqrt(var_r) AS se, var_r
+    FROM vars_
+)
+SELECT arm, n, {round_sql('ratio')} AS ratio,
+       CASE WHEN se IS NULL THEN NULL ELSE {round_sql('se')} END AS se,
+       CASE WHEN se IS NULL THEN NULL
+            ELSE {round_sql(f'ratio - {_RM_Z} * se')} + 0.0 END AS ci_lo,
+       CASE WHEN se IS NULL THEN NULL
+            ELSE {round_sql(f'ratio + {_RM_Z} * se')} + 0.0 END AS ci_hi
+FROM rows_
+UNION ALL
+SELECT 'DIFF', a1.n + a0.n,
+       {round_sql('a1.ratio - a0.ratio')} + 0.0,
+       CASE WHEN a1.var_r IS NULL OR a0.var_r IS NULL THEN NULL
+            ELSE {round_sql('sqrt(a1.var_r + a0.var_r)')} END,
+       CASE WHEN a1.var_r IS NULL OR a0.var_r IS NULL THEN NULL
+            ELSE {round_sql(f'(a1.ratio - a0.ratio) - {_RM_Z} * sqrt(a1.var_r + a0.var_r)')} + 0.0 END,
+       CASE WHEN a1.var_r IS NULL OR a0.var_r IS NULL THEN NULL
+            ELSE {round_sql(f'(a1.ratio - a0.ratio) + {_RM_Z} * sqrt(a1.var_r + a0.var_r)')} + 0.0 END
+FROM rows_ a1 JOIN rows_ a0 ON a1.arm = '1' AND a0.arm = '0'
+"""
+
+
+@register("ratio_metric_delta_ci", _rm_oracle)
+def ratio_metric_delta_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Delta-method 95% CI for the revenue-per-order ratio metric per
+    experiment arm, plus the 'DIFF' row (arm 1 - arm 0)."""
+    from travel_data_pipeline_spark.functions.hashing import md5_long
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_custkey", "o_totalprice")
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey")
+    arm = (md5_long(F.concat(F.lit("exp:"),
+                             F.col("c_custkey").cast("string"))) % 2)
+    units = (orders.join(cust, orders.o_custkey == cust.c_custkey)
+             .groupBy(F.col("c_custkey"), arm.alias("arm"))
+             .agg(F.count("*").alias("x"),
+                  F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+                  .alias("y")))
+    y28 = F.col("y").cast("decimal(28,2)")
+    moments = units.groupBy("arm").agg(
+        F.count("*").alias("n"),
+        F.sum("x").alias("sx"), F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(y28 * F.col("y")).alias("syy"),
+        F.sum(y28 * F.col("x")).alias("sxy"))
+    nd = F.col("n").cast("double")
+    sxd, syd = F.col("sx").cast("double"), F.col("sy").cast("double")
+    r = syd / sxd
+    quad = (F.col("syy").cast("double") - syd * syd / nd
+            + r * r * (F.col("sxx").cast("double") - sxd * sxd / nd)
+            - F.lit(2.0) * r * (F.col("sxy").cast("double")
+                                - sxd * syd / nd))
+    var_r = (F.when((F.col("n") <= 1) | (F.col("sx") == 0),
+                    F.lit(None).cast("double"))
+             .otherwise(F.greatest(F.lit(0.0), quad / (nd - F.lit(1.0)))
+                        / (nd * (sxd / nd) * (sxd / nd))))
+    rows = moments.select(
+        F.col("arm").cast("string").alias("arm"),
+        F.col("n").cast("long").alias("n"),
+        r.alias("ratio"), F.sqrt(var_r).alias("se"),
+        var_r.alias("var_r"))
+    z = F.lit(float(_RM_Z))
+    per = rows.select(
+        "arm", "n", F.round("ratio", 6).alias("ratio"),
+        F.round("se", 6).alias("se"),
+        F.when(F.col("se").isNull(), F.lit(None).cast("double"))
+        .otherwise(F.round(F.col("ratio") - z * F.col("se"), 6)
+                   + F.lit(0.0)).alias("ci_lo"),
+        F.when(F.col("se").isNull(), F.lit(None).cast("double"))
+        .otherwise(F.round(F.col("ratio") + z * F.col("se"), 6)
+                   + F.lit(0.0)).alias("ci_hi"))
+    a1 = rows.filter(F.col("arm") == "1").select(
+        F.col("n").alias("n1"), F.col("ratio").alias("r1"),
+        F.col("var_r").alias("v1"))
+    a0 = rows.filter(F.col("arm") == "0").select(
+        F.col("n").alias("n0"), F.col("ratio").alias("r0"),
+        F.col("var_r").alias("v0"))
+    dnull = (F.col("v1").isNull() | F.col("v0").isNull())
+    dse = F.sqrt(F.col("v1") + F.col("v0"))
+    ddiff = F.col("r1") - F.col("r0")
+    diff = a1.crossJoin(F.broadcast(a0)).select(
+        F.lit("DIFF").alias("arm"),
+        (F.col("n1") + F.col("n0")).cast("long").alias("n"),
+        (F.round(ddiff, 6) + F.lit(0.0)).alias("ratio"),
+        F.when(dnull, F.lit(None).cast("double"))
+        .otherwise(F.round(dse, 6)).alias("se"),
+        F.when(dnull, F.lit(None).cast("double"))
+        .otherwise(F.round(ddiff - z * dse, 6) + F.lit(0.0))
+        .alias("ci_lo"),
+        F.when(dnull, F.lit(None).cast("double"))
+        .otherwise(F.round(ddiff + z * dse, 6) + F.lit(0.0))
+        .alias("ci_hi"))
+    return per.unionByName(diff)
+
+
+# ---------------------------------------------------------------------------
+# Shard balance audit — straggler detection over pack_token_shards'
+# output: per (source, lang), how even are the shard token totals?
+# Composed FROM the registered packer (the holt_backtest harness
+# pattern), so the audit can never drift from the real assignment.
+# Metrics come from exact moments only (no per-group sort): CV from
+# sum/sum-of-squares, max/mean straggler ratio, and min-shard fill.
+#
+# Scale shape: one grouped pass over the packer's output to shard
+# totals, one grouped pass to |sources x langs| audit rows.
+# ---------------------------------------------------------------------------
+
+
+def _sb_oracle() -> str:
+    from travel_data_pipeline_spark.registry import ORACLES
+
+    pack_sql = ORACLES["pack_token_shards"]
+    assert isinstance(pack_sql, str)
+    return f"""
+WITH base AS MATERIALIZED (
+{pack_sql}
+),
+shards AS (
+    SELECT source, lang, shard_id,
+           SUM(n_tokens) AS tokens, COUNT(*) AS n_docs
+    FROM base GROUP BY source, lang, shard_id
+),
+m AS (
+    SELECT source, lang, COUNT(*) AS n_shards,
+           SUM(tokens) AS total_tokens,
+           MAX(tokens) AS max_tokens, MIN(tokens) AS min_tokens,
+           SUM(CAST(tokens AS DECIMAL(28,0)) * tokens) AS sst
+    FROM shards GROUP BY source, lang
+)
+SELECT source, lang, CAST(n_shards AS BIGINT) AS n_shards,
+       CAST(total_tokens AS BIGINT) AS total_tokens,
+       {round_sql('CAST(total_tokens AS DOUBLE) / n_shards')}
+           AS mean_tokens,
+       CAST(max_tokens AS BIGINT) AS max_tokens,
+       CAST(min_tokens AS BIGINT) AS min_tokens,
+       CASE WHEN total_tokens = 0 THEN NULL
+            ELSE {round_sql(
+                'sqrt(GREATEST(0.0, CAST(sst AS DOUBLE) / n_shards'
+                ' - (CAST(total_tokens AS DOUBLE) / n_shards)'
+                ' * (CAST(total_tokens AS DOUBLE) / n_shards)))'
+                ' / (CAST(total_tokens AS DOUBLE) / n_shards)')}
+       END AS cv,
+       CASE WHEN total_tokens = 0 THEN NULL
+            ELSE {round_sql(
+                'CAST(max_tokens AS DOUBLE)'
+                ' / (CAST(total_tokens AS DOUBLE) / n_shards)')}
+       END AS max_over_mean
+FROM m
+"""
+
+
+@register("shard_balance_audit", _sb_oracle)
+def shard_balance_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-(source, lang) shard-balance metrics over the registered
+    token packer's assignment (CV + straggler ratio from exact
+    moments; zero-token groups report NULL ratios per the repo
+    degenerate-denominator rule)."""
+    from travel_data_pipeline_spark.queries_curation import (
+        pack_token_shards,
+    )
+
+    base = pack_token_shards(spark, sf_dir)
+    shards = (base.groupBy("source", "lang", "shard_id")
+              .agg(F.sum("n_tokens").alias("tokens"),
+                   F.count("*").alias("n_docs")))
+    m = shards.groupBy("source", "lang").agg(
+        F.count("*").alias("n_shards"),
+        F.sum("tokens").alias("total_tokens"),
+        F.max("tokens").alias("max_tokens"),
+        F.min("tokens").alias("min_tokens"),
+        F.sum(F.col("tokens").cast("decimal(28,0)") * F.col("tokens"))
+        .alias("sst"))
+    mean_d = (F.col("total_tokens").cast("double") / F.col("n_shards"))
+    zero = F.col("total_tokens") == 0
+    cv = (F.sqrt(F.greatest(
+        F.lit(0.0),
+        F.col("sst").cast("double") / F.col("n_shards")
+        - mean_d * mean_d)) / mean_d)
+    return m.select(
+        "source", "lang", F.col("n_shards").cast("long").alias("n_shards"),
+        F.col("total_tokens").cast("long").alias("total_tokens"),
+        F.round(mean_d, 6).alias("mean_tokens"),
+        F.col("max_tokens").cast("long").alias("max_tokens"),
+        F.col("min_tokens").cast("long").alias("min_tokens"),
+        F.when(zero, F.lit(None).cast("double"))
+        .otherwise(F.round(cv, 6)).alias("cv"),
+        F.when(zero, F.lit(None).cast("double"))
+        .otherwise(F.round(F.col("max_tokens").cast("double") / mean_d, 6))
+        .alias("max_over_mean"))
+
+
+# ---------------------------------------------------------------------------
+# Cross-lingual semantic pairs — translated near-duplicate content
+# across languages: sign-LSH candidate pairs over the embedding table
+# (the cosine_threshold_sweep relation, tau = 0.30), joined to the
+# documents' langs, keeping only pairs whose docs speak DIFFERENT
+# languages, rolled up to canonical (lang_a < lang_b) cells. This is
+# the multilingual-curation audit exact text dedup can never see
+# (translations share no shingles).
+#
+# Scale shape: candidates are capped-bucket LSH pairs (no all-pairs);
+# the lang join hits the documents relation twice by doc_id; output
+# is bounded by |lang| choose 2.
+# ---------------------------------------------------------------------------
+
+_XL_TAU = 0.30
+
+
+def _xl_oracle() -> str:
+    from travel_data_pipeline_spark.operators import similarity
+
+    planes = similarity.random_planes(16, 64)
+    band_bits = 16 // 2
+    mask = (1 << band_bits) - 1
+    plane_lits = ["[" + ", ".join(repr(x) for x in p) + "]"
+                  for p in planes]
+    sig = " + ".join(
+        f"(CASE WHEN list_dot_product(v, {pl}) >= 0"
+        f" THEN {1 << i} ELSE 0 END)"
+        for i, pl in enumerate(plane_lits))
+    band_rows = "\nUNION ALL\n".join(
+        f"SELECT vec_id, v, {b} AS band_idx,"
+        f" (sig >> {b * band_bits}) & {mask} AS band_key FROM sigged"
+        for b in range(2))
+    return f"""
+WITH base AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+              FROM embeddings),
+sigged AS (SELECT vec_id, v, CAST({sig} AS BIGINT) AS sig FROM base),
+banded AS ({band_rows}),
+bcap AS (
+    SELECT * EXCLUDE (_bsz) FROM (
+        SELECT *, COUNT(*) OVER (PARTITION BY band_idx, band_key)
+            AS _bsz FROM banded)
+    WHERE _bsz <= 1000
+),
+pairs AS (
+    SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b,
+           ROUND(list_dot_product(a.v, b.v)
+                 / (sqrt(list_dot_product(a.v, a.v))
+                    * sqrt(list_dot_product(b.v, b.v))), 6) AS cos
+    FROM bcap a JOIN bcap b
+      ON a.band_idx = b.band_idx AND a.band_key = b.band_key
+     AND a.vec_id < b.vec_id
+),
+xl AS (
+    SELECT LEAST(da.lang, db.lang) AS lang_a,
+           GREATEST(da.lang, db.lang) AS lang_b,
+           p.vec_a, p.vec_b, p.cos
+    FROM pairs p
+    JOIN documents da ON da.doc_id = p.vec_a
+    JOIN documents db ON db.doc_id = p.vec_b
+    WHERE p.cos >= {_XL_TAU} AND da.lang <> db.lang
+)
+SELECT lang_a, lang_b, CAST(COUNT(*) AS BIGINT) AS n_pairs,
+       {round_sql('list_reduce(list(cos ORDER BY vec_a, vec_b),'
+                  ' (x, y) -> x + y) / COUNT(*)')} AS mean_cos,
+       {round_sql('MAX(cos)')} AS max_cos
+FROM xl GROUP BY lang_a, lang_b
+"""
+
+
+@register("crosslingual_semantic_pairs", _xl_oracle)
+def crosslingual_semantic_pairs(spark: SparkSession,
+                                sf_dir: str) -> DataFrame:
+    """Cross-language semantic-similarity cells (LSH candidates,
+    cosine >= 0.30, langs differ) — the translated-duplicate audit."""
+    from travel_data_pipeline_spark.operators import similarity
+
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>")
+        .alias("embedding"))
+    planes = similarity.random_planes(16, 64)
+    pairs = similarity.cosine_near_dup_lsh(
+        emb, planes, bands=2, threshold=_XL_TAU, max_bucket=1000)
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "lang")
+    da = docs.withColumnsRenamed({"doc_id": "vec_a", "lang": "la"})
+    db = docs.withColumnsRenamed({"doc_id": "vec_b", "lang": "lb"})
+    xl = (pairs.join(da, "vec_a").join(db, "vec_b")
+          .filter(F.col("la") != F.col("lb"))
+          .select(F.least("la", "lb").alias("lang_a"),
+                  F.greatest("la", "lb").alias("lang_b"),
+                  "vec_a", "vec_b",
+                  F.col("cosine_sim").alias("cos")))
+    folded = (xl.groupBy("lang_a", "lang_b")
+              .agg(F.count("*").alias("n_pairs"),
+                   F.array_sort(F.collect_list(
+                       F.struct("vec_a", "vec_b", "cos"))).alias("ts"),
+                   F.max("cos").alias("max_cos")))
+    return folded.select(
+        "lang_a", "lang_b",
+        F.col("n_pairs").cast("long").alias("n_pairs"),
+        F.round(F.aggregate(F.transform("ts", lambda t: t["cos"]),
+                            F.lit(0.0), lambda a, x: a + x)
+                / F.col("n_pairs").cast("double"), 6).alias("mean_cos"),
+        F.round("max_cos", 6).alias("max_cos"))
