@@ -357,3 +357,116 @@ def test_crosslingual_cells_reconcile_with_lsh_pairs(spark, sf_smoke):
         assert abs(g.mean_cos - sum(cos) / len(cos)) <= 2e-6
         assert abs(g.max_cos - max(cos)) <= 1e-9
         assert g.mean_cos >= _XL_TAU - 1e-9
+
+
+# ---------------------------------------------------------------------------
+# kmv_overlap_audit — python sketch recomputation + accuracy bound
+# ---------------------------------------------------------------------------
+
+def test_kmv_overlap_matches_python_sketch(spark, sf_smoke):
+    import hashlib
+
+    from travel_data_pipeline_spark.queries_round11 import (
+        _KMV_K,
+        _KMV_M,
+        kmv_overlap_audit,
+    )
+
+    ev = spark.read.parquet(f"{sf_smoke}/events.parquet").select(
+        "event_type", "user_id").distinct().collect()
+    users = defaultdict(set)
+    for r in ev:
+        users[r.event_type].add(r.user_id)
+
+    def h(u):
+        return int(hashlib.md5(f"kmv:{u}".encode()).hexdigest()[:15], 16)
+
+    sketches = {t: sorted(h(u) for u in us)[:_KMV_K]
+                for t, us in users.items()}
+
+    def est(sk):
+        return (float(len(sk)) if len(sk) < _KMV_K
+                else (_KMV_K - 1.0) * float(_KMV_M) / float(sk[-1]))
+
+    got = {(r.type_a, r.type_b): r
+           for r in kmv_overlap_audit(spark, sf_smoke).collect()}
+    types = sorted(users)
+    seen_pairs = set()
+    for i, ta in enumerate(types):
+        for tb in types[i + 1:]:
+            exact = len(users[ta] & users[tb])
+            if exact == 0:
+                assert (ta, tb) not in got
+                continue
+            seen_pairs.add((ta, tb))
+            g = got[(ta, tb)]
+            assert g.exact_inter == exact
+            assert abs(g.est_a - est(sketches[ta])) <= 1e-4
+            assert abs(g.est_b - est(sketches[tb])) <= 1e-4
+            u = sorted(set(sketches[ta]) | set(sketches[tb]))
+            kp = min(_KMV_K, len(u))
+            su = u[:kp]
+            d_u = (float(len(u)) if len(u) < _KMV_K
+                   else (_KMV_K - 1.0) * float(_KMV_M) / float(su[-1]))
+            sa, sb = set(sketches[ta]), set(sketches[tb])
+            rho = sum(1 for x in su if x in sa and x in sb) / float(kp)
+            assert abs(g.est_inter - rho * d_u) <= 1e-4, (ta, tb)
+            # sketch accuracy: ~1/sqrt(K) class; loose 3-sigma bound
+            if exact >= 50:
+                assert abs(g.est_inter - exact) / exact < 0.5
+    assert set(got) == seen_pairs
+
+
+# ---------------------------------------------------------------------------
+# embedding_outlier_mahalanobis — python recomputation
+# ---------------------------------------------------------------------------
+
+def test_mahalanobis_outliers_match_python(spark, sf_smoke):
+    import math
+
+    from travel_data_pipeline_spark.queries_round11 import (
+        _MAH_TOPK,
+        embedding_outlier_mahalanobis,
+    )
+
+    rows = spark.read.parquet(f"{sf_smoke}/embeddings.parquet").select(
+        "vec_id", "label", "embedding").collect()
+    by_label = defaultdict(list)
+    for r in rows:
+        by_label[r.label].append((r.vec_id, [float(x) for x in r.embedding]))
+    got = defaultdict(list)
+    for r in embedding_outlier_mahalanobis(spark, sf_smoke) \
+            .orderBy("label", "rank").collect():
+        got[r.label].append((r.rank, r.vec_id, r.z2))
+    for label, vecs in by_label.items():
+        vecs.sort()  # vec_id order == the engines' pinned fold order
+        dims = len(vecs[0][1])
+        n = float(len(vecs))
+        mus, sds = [], []
+        for d in range(dims):
+            s = 0.0
+            for _, v in vecs:
+                s += v[d]
+            mu = s / n
+            s2 = 0.0
+            for _, v in vecs:
+                s2 += v[d] * v[d]
+            var = max(0.0, s2 / n - mu * mu)
+            mus.append(mu)
+            sds.append(math.sqrt(var))
+        scored = []
+        for vid, v in vecs:
+            z2 = 0.0
+            for d in range(dims):
+                if sds[d] == 0.0:
+                    continue
+                t = (v[d] - mus[d]) / sds[d]
+                z2 += t * t
+            scored.append((vid, z2))
+        scored.sort(key=lambda t: (-t[1], t[0]))
+        want = [(i + 1, vid) for i, (vid, _) in
+                enumerate(scored[:_MAH_TOPK])]
+        assert [(rk, vid) for rk, vid, _ in got[label]] == want, label
+        for (rk, vid, z2), (_, wz) in zip(
+                got[label], [(vid, z) for vid, z in scored[:_MAH_TOPK]]):
+            assert abs(z2 - wz) <= 1e-4, (label, rk)

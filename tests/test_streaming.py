@@ -1171,3 +1171,57 @@ def test_token_shard_stream_legacy_state_still_gates_replay(spark, sf_smoke,
 
     assert (not pathlib.Path(out_p).exists()
             or spark.read.parquet(out_p).count() == 0)
+
+
+def test_weighted_reservoir_stream_matches_batch_and_replay(spark, sf_smoke,
+                                                            tmp_path):
+    """The weighted-reservoir twin contract: after a 2-batch split the
+    streamed reservoir readout is bit-equal to the batch
+    weighted_reservoir_topk over the full corpus, and redelivery
+    (fresh checkpoint, same feed) is a strict no-op — keys are a pure
+    function of the doc and top-k merge is idempotent, so no epoch
+    watermark is needed (the HLL twin's delivery class)."""
+    import os
+
+    from travel_data_pipeline_spark.queries_round11 import (
+        weighted_reservoir_topk,
+    )
+    from travel_data_pipeline_spark.sources import versioned
+
+    d = load_table(spark, sf_smoke, "documents").select("doc_id", "n_chars")
+    lo = d.filter(F.col("doc_id") % 2 == 0)
+    hi = d.filter(F.col("doc_id") % 2 == 1)
+
+    feed = tmp_path / "wrfeed"
+    feed.mkdir()
+    for i, part in enumerate([lo, hi]):
+        p = str(feed / f"b{i}.parquet")
+        part.toPandas().to_parquet(p)
+        os.utime(p, (1700000000 + i * 60, 1700000000 + i * 60))
+
+    state_p = str(tmp_path / "wrstate")
+
+    def run(ckpt: str) -> None:
+        stream = (spark.readStream.schema("doc_id long, n_chars long")
+                  .option("maxFilesPerTrigger", 1).parquet(str(feed)))
+        q = jobs.weighted_reservoir_stream(stream, state_p,
+                                           str(tmp_path / ckpt))
+        q.awaitTermination(180)
+
+    run("wrckpt1")
+    got = [(r.rank, r.doc_id, r.weight, r.sel_key)
+           for r in jobs.weighted_reservoir_stream_readout(
+               spark, state_p).orderBy("rank").collect()]
+    want = [(r.rank, r.doc_id, r.weight, r.sel_key)
+            for r in weighted_reservoir_topk(spark, sf_smoke)
+            .orderBy("rank").collect()]
+    assert got == want and want
+
+    state_before = sorted(
+        (r.doc_id, r.weight, r.sel_key)
+        for r in versioned.read_table(spark, state_p).collect())
+    run("wrckpt2")  # fresh checkpoint = full redelivery
+    state_after = sorted(
+        (r.doc_id, r.weight, r.sel_key)
+        for r in versioned.read_table(spark, state_p).collect())
+    assert state_after == state_before

@@ -655,6 +655,33 @@ _WR_K = 100
 _WR_U = "(({h} % 1000000 + 0.5) / 1000000.0)"
 
 
+def reservoir_keys(docs: DataFrame) -> DataFrame:
+    """(doc_id, weight, sel_key) Efraimidis–Spirakis keys over a
+    (doc_id, n_chars) relation — shared by the batch query and
+    streaming.jobs.weighted_reservoir_stream (keys are a pure
+    function of doc_id/n_chars, so batch and stream agree by
+    construction)."""
+    from travel_data_pipeline_spark.functions.hashing import md5_long
+
+    h = md5_long(F.concat(F.lit("wr:"), F.col("doc_id").cast("string")))
+    u = (h % 1_000_000 + F.lit(0.5)) / F.lit(1_000_000.0)
+    return docs.select(
+        "doc_id", (F.col("n_chars") + 1).alias("weight")).select(
+        "doc_id", "weight",
+        (F.log(u) / F.col("weight").cast("double")).alias("sel_key"))
+
+
+def reservoir_rank(keyed: DataFrame, k: int = _WR_K) -> DataFrame:
+    """Top-k of a keyed relation with ranks — the bounded tail of the
+    batch query, reused by the streaming twin's readout."""
+    topk = (keyed.orderBy(F.col("sel_key").desc(), "doc_id").limit(k))
+    w = Window.orderBy(F.col("sel_key").desc(), "doc_id")
+    return topk.select(
+        F.row_number().over(w).cast("int").alias("rank"),
+        "doc_id", F.col("weight").cast("long").alias("weight"),
+        (F.round("sel_key", 6) + F.lit(0.0)).alias("sel_key"))
+
+
 @register("weighted_reservoir_topk", f"""
 WITH keyed AS (
     SELECT doc_id, n_chars + 1 AS weight,
@@ -675,22 +702,8 @@ FROM topk
 def weighted_reservoir_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-100 weight-proportional sample of documents
     (Efraimidis–Spirakis keys on the doc's md5; weight = n_chars+1)."""
-    from travel_data_pipeline_spark.functions.hashing import md5_long
-
-    docs = load_table(spark, sf_dir, "documents").select(
-        "doc_id", (F.col("n_chars") + 1).alias("weight"))
-    h = md5_long(F.concat(F.lit("wr:"), F.col("doc_id").cast("string")))
-    u = (h % 1_000_000 + F.lit(0.5)) / F.lit(1_000_000.0)
-    keyed = docs.select(
-        "doc_id", "weight",
-        (F.log(u) / F.col("weight").cast("double")).alias("sel_key"))
-    topk = (keyed.orderBy(F.col("sel_key").desc(), "doc_id")
-            .limit(_WR_K))
-    w = Window.orderBy(F.col("sel_key").desc(), "doc_id")
-    return topk.select(
-        F.row_number().over(w).cast("int").alias("rank"),
-        "doc_id", F.col("weight").cast("long").alias("weight"),
-        (F.round("sel_key", 6) + F.lit(0.0)).alias("sel_key"))
+    docs = load_table(spark, sf_dir, "documents")
+    return reservoir_rank(reservoir_keys(docs), _WR_K)
 
 
 # ---------------------------------------------------------------------------
@@ -1059,3 +1072,309 @@ def crosslingual_semantic_pairs(spark: SparkSession,
                             F.lit(0.0), lambda a, x: a + x)
                 / F.col("n_pairs").cast("double"), 6).alias("mean_cos"),
         F.round("max_cos", 6).alias("max_cos"))
+
+
+# ---------------------------------------------------------------------------
+# KMV (k-minimum-values / theta-sketch) distinct-INTERSECTION audit —
+# the set-operation capability the HLL family here doesn't have: HLL
+# registers union cleanly (register max) but cannot intersect;
+# KMV sketches support intersection via the theta/rho estimator
+# (Beyer et al. 2007 / DataSketches theta, public):
+#
+#   sketch(T)   = K smallest md5 hashes of T's distinct users
+#   D(T)        ~= (K-1) * M / theta_K        (theta_K = K-th smallest)
+#   U           = K' smallest of sketch(A) u sketch(B), K' = min(K,|u|)
+#   D(A n B)    ~= |{h in U : h in A and h in B}| / K' * D(A u B)
+#
+# The audit computes the estimate AND the exact intersection per
+# event-type pair — the trust readout before anyone uses the sketch
+# at a scale where exact is unaffordable. Sketches are EXHAUSTIVE
+# when a side has < K distinct users (estimate = exact count); the
+# sf0.001 fixture exercises that branch, sf0.01+ the estimator.
+#
+# Scale shape: ONE corpus shuffle for distinct (type, user); the
+# per-type K-smallest is a partitioned rank <= K window
+# (WindowGroupLimit pushes the limit into the sort — the W2 family's
+# verified plan shape); everything after runs on |types| x K rows.
+# The exact intersection is one user-keyed self-join of the DISTINCT
+# relation (fan-out bounded by |types| per user).
+# ---------------------------------------------------------------------------
+
+_KMV_K = 256
+_KMV_M = 1 << 60  # md5_long values are uniform on [0, 2^60)
+
+
+def _kmv_oracle() -> str:
+    h = md5_long_sql("'kmv:' || CAST(user_id AS VARCHAR)")
+    k, m = _KMV_K, _KMV_M
+    est = (f"CASE WHEN n_sk < {k} THEN CAST(n_sk AS DOUBLE) "
+           f"ELSE ({k} - 1.0) * {m}.0 / CAST(theta AS DOUBLE) END")
+    return f"""
+WITH dist AS (
+    SELECT DISTINCT event_type, user_id FROM events
+),
+hashed AS (
+    SELECT event_type, user_id, {h} AS h FROM dist
+),
+sk AS (
+    SELECT event_type, h,
+           row_number() OVER (PARTITION BY event_type ORDER BY h) AS rk
+    FROM hashed
+),
+sketch AS (SELECT event_type, h FROM sk WHERE rk <= {k}),
+per_type AS (
+    SELECT event_type, COUNT(*) AS n_sk, MAX(h) AS theta
+    FROM sketch GROUP BY event_type
+),
+types AS (SELECT DISTINCT event_type FROM events),
+prs AS (
+    SELECT a.event_type AS ta, b.event_type AS tb
+    FROM types a JOIN types b ON a.event_type < b.event_type
+),
+pu AS (
+    SELECT p.ta, p.tb, s.h,
+           MAX(CASE WHEN s.event_type = p.ta THEN 1 ELSE 0 END) AS in_a,
+           MAX(CASE WHEN s.event_type = p.tb THEN 1 ELSE 0 END) AS in_b
+    FROM prs p JOIN sketch s
+      ON s.event_type = p.ta OR s.event_type = p.tb
+    GROUP BY p.ta, p.tb, s.h
+),
+ur AS (
+    SELECT ta, tb, h, in_a, in_b,
+           row_number() OVER (PARTITION BY ta, tb ORDER BY h) AS urk,
+           COUNT(*) OVER (PARTITION BY ta, tb) AS n_u
+    FROM pu
+),
+pair_est AS (
+    SELECT ta, tb, MIN(n_u) AS n_u,
+           LEAST({k}, MIN(n_u)) AS kp,
+           MAX(CASE WHEN urk <= LEAST({k}, n_u) THEN h END) AS theta_u,
+           SUM(CASE WHEN urk <= LEAST({k}, n_u)
+                     AND in_a = 1 AND in_b = 1 THEN 1 ELSE 0 END)
+               AS rho_num
+    FROM ur WHERE urk <= {k}
+    GROUP BY ta, tb
+),
+exact AS (
+    SELECT a.event_type AS ta, b.event_type AS tb,
+           COUNT(*) AS exact_inter
+    FROM dist a JOIN dist b
+      ON a.user_id = b.user_id AND a.event_type < b.event_type
+    GROUP BY ta, tb
+)
+SELECT e.ta AS type_a, e.tb AS type_b,
+       {round_sql(est.replace('n_sk', 'pa.n_sk')
+                     .replace('theta', 'pa.theta'))} AS est_a,
+       {round_sql(est.replace('n_sk', 'pb.n_sk')
+                     .replace('theta', 'pb.theta'))} AS est_b,
+       {round_sql(
+           f"(CAST(pe.rho_num AS DOUBLE) / pe.kp) * "
+           f"(CASE WHEN pe.n_u < {k} THEN CAST(pe.n_u AS DOUBLE) "
+           f"ELSE ({k} - 1.0) * {m}.0 / CAST(pe.theta_u AS DOUBLE) END)")}
+           AS est_inter,
+       CAST(COALESCE(e.exact_inter, 0) AS BIGINT) AS exact_inter
+FROM pair_est pe
+JOIN per_type pa ON pa.event_type = pe.ta
+JOIN per_type pb ON pb.event_type = pe.tb
+RIGHT JOIN exact e ON e.ta = pe.ta AND e.tb = pe.tb
+"""
+
+
+@register("kmv_overlap_audit", _kmv_oracle)
+def kmv_overlap_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KMV distinct-intersection estimate vs exact audience overlap
+    per event-type pair."""
+    from travel_data_pipeline_spark.functions.hashing import md5_long
+
+    k, m = _KMV_K, _KMV_M
+    ev = load_table(spark, sf_dir, "events")
+    dist = ev.select("event_type", "user_id").distinct()
+    hashed = dist.select(
+        "event_type", "user_id",
+        md5_long(F.concat(F.lit("kmv:"),
+                          F.col("user_id").cast("string"))).alias("h"))
+    wk = Window.partitionBy("event_type").orderBy("h")
+    sketch = (hashed.withColumn("rk", F.row_number().over(wk))
+              .filter(F.col("rk") <= k).select("event_type", "h"))
+    per_type = sketch.groupBy("event_type").agg(
+        F.count("*").alias("n_sk"), F.max("h").alias("theta"))
+    types = ev.select("event_type").distinct()
+    prs = (types.select(F.col("event_type").alias("ta"))
+           .join(types.select(F.col("event_type").alias("tb")),
+                 F.col("ta") < F.col("tb")))
+    pu = (F.broadcast(prs)
+          .join(F.broadcast(sketch),
+                (F.col("event_type") == F.col("ta"))
+                | (F.col("event_type") == F.col("tb")))
+          .groupBy("ta", "tb", "h")
+          .agg(F.max(F.when(F.col("event_type") == F.col("ta"), 1)
+                     .otherwise(0)).alias("in_a"),
+               F.max(F.when(F.col("event_type") == F.col("tb"), 1)
+                     .otherwise(0)).alias("in_b")))
+    wu = Window.partitionBy("ta", "tb").orderBy("h")
+    wn = Window.partitionBy("ta", "tb")
+    ur = (pu.withColumn("urk", F.row_number().over(wu))
+          .withColumn("n_u", F.count("*").over(wn))
+          .filter(F.col("urk") <= k))
+    kp = F.least(F.lit(k), F.col("n_u"))
+    in_win = F.col("urk") <= F.least(F.lit(k), F.col("n_u"))
+    pair_est = ur.groupBy("ta", "tb").agg(
+        F.min("n_u").alias("n_u"),
+        F.least(F.lit(k), F.min("n_u")).alias("kp"),
+        F.max(F.when(in_win, F.col("h"))).alias("theta_u"),
+        F.sum(F.when(in_win & (F.col("in_a") == 1)
+                     & (F.col("in_b") == 1), 1).otherwise(0))
+        .alias("rho_num"))
+    _ = kp  # (kept for readability of the SQL mirror above)
+    da = dist.withColumnsRenamed({"event_type": "ta",
+                                  "user_id": "ua"})
+    db = dist.withColumnsRenamed({"event_type": "tb",
+                                  "user_id": "ub"})
+    exact = (da.join(db, (F.col("ua") == F.col("ub"))
+                     & (F.col("ta") < F.col("tb")))
+             .groupBy("ta", "tb").agg(F.count("*").alias("exact_inter")))
+
+    def est(n_sk, theta):
+        return (F.when(n_sk < k, n_sk.cast("double"))
+                .otherwise(F.lit(float(k - 1)) * F.lit(float(m))
+                           / theta.cast("double")))
+
+    pa = per_type.withColumnsRenamed(
+        {"event_type": "ta", "n_sk": "n_sk_a", "theta": "theta_a"})
+    pb = per_type.withColumnsRenamed(
+        {"event_type": "tb", "n_sk": "n_sk_b", "theta": "theta_b"})
+    d_u = (F.when(F.col("n_u") < k, F.col("n_u").cast("double"))
+           .otherwise(F.lit(float(k - 1)) * F.lit(float(m))
+                      / F.col("theta_u").cast("double")))
+    est_inter = (F.col("rho_num").cast("double") / F.col("kp")) * d_u
+    return (exact.join(F.broadcast(pair_est), ["ta", "tb"], "left")
+            .join(F.broadcast(pa), "ta")
+            .join(F.broadcast(pb), "tb")
+            .select(F.col("ta").alias("type_a"),
+                    F.col("tb").alias("type_b"),
+                    F.round(est(F.col("n_sk_a"), F.col("theta_a")), 6)
+                    .alias("est_a"),
+                    F.round(est(F.col("n_sk_b"), F.col("theta_b")), 6)
+                    .alias("est_b"),
+                    F.round(est_inter, 6).alias("est_inter"),
+                    F.coalesce("exact_inter", F.lit(0)).cast("long")
+                    .alias("exact_inter")))
+
+
+# ---------------------------------------------------------------------------
+# Embedding outliers by diagonal Mahalanobis distance — the
+# embedding-space data-quality sweep: per label, the vectors farthest
+# from their label's centroid in per-dimension z-units (noisy/
+# mislabeled rows surface first). Means and variances use the
+# embedding_label_centroids recipe — per-(label, dim) folds over a
+# vec_id-SORTED value list, so the float summation order is pinned in
+# both engines; the z^2 fold walks dims in ELEMENT order (in-order
+# reduce both engines). Zero-variance dims contribute 0 (repo
+# degenerate-denominator rule, identical CASE in both engines).
+#
+# Scale shape: one posexplode shuffle to (label, dim) cells, one
+# bounded (|labels| x dims) stats relation broadcast back onto the
+# vectors, one partitioned top-5 window (WindowGroupLimit).
+# ---------------------------------------------------------------------------
+
+_MAH_TOPK = 5
+
+
+@register("embedding_outlier_mahalanobis", f"""
+WITH vals AS (
+    SELECT label, CAST(t.i AS INT) AS dim_idx, vec_id,
+           CAST(embedding AS DOUBLE[])[t.i + 1] AS v
+    FROM embeddings,
+         UNNEST(range(0, len(CAST(embedding AS DOUBLE[])))) AS t(i)
+),
+folded AS (
+    SELECT label, dim_idx, count(*) AS n,
+           list(v ORDER BY vec_id) AS vs
+    FROM vals GROUP BY label, dim_idx
+),
+stats AS (
+    SELECT label, dim_idx,
+           list_reduce(vs, (x, y) -> x + y) / CAST(n AS DOUBLE) AS mu,
+           sqrt(GREATEST(0.0,
+               list_reduce(list_transform(vs, x -> x * x),
+                           (x, y) -> x + y) / CAST(n AS DOUBLE)
+               - (list_reduce(vs, (x, y) -> x + y) / CAST(n AS DOUBLE))
+                 * (list_reduce(vs, (x, y) -> x + y)
+                    / CAST(n AS DOUBLE)))) AS sd
+    FROM folded
+),
+packed AS (
+    SELECT label,
+           list(mu ORDER BY dim_idx) AS mus,
+           list(sd ORDER BY dim_idx) AS sds
+    FROM stats GROUP BY label
+),
+scored AS (
+    SELECT e.vec_id, e.label,
+           list_reduce(list_transform(
+               generate_series(1, len(CAST(e.embedding AS DOUBLE[]))),
+               i -> CASE WHEN p.sds[i] = 0.0 THEN 0.0
+                         ELSE ((CAST(e.embedding AS DOUBLE[])[i]
+                                - p.mus[i]) / p.sds[i])
+                              * ((CAST(e.embedding AS DOUBLE[])[i]
+                                  - p.mus[i]) / p.sds[i]) END),
+               (x, y) -> x + y) AS z2
+    FROM embeddings e JOIN packed p ON p.label = e.label
+),
+ranked AS (
+    SELECT label, vec_id, z2,
+           row_number() OVER (PARTITION BY label
+                              ORDER BY z2 DESC, vec_id) AS rk
+    FROM scored
+)
+SELECT label, CAST(rk AS INT) AS rank, vec_id,
+       {round_sql('z2')} AS z2
+FROM ranked WHERE rk <= {_MAH_TOPK}
+""")
+def embedding_outlier_mahalanobis(spark: SparkSession,
+                                  sf_dir: str) -> DataFrame:
+    """Top-5 per-label embedding outliers by diagonal Mahalanobis
+    distance (pinned-order mean/var folds; zero-variance dims skip)."""
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", "label",
+        F.col("embedding").cast("array<double>").alias("v"))
+    vals = emb.select(
+        "label", "vec_id",
+        F.posexplode("v").alias("dim_idx", "val"))
+    folded = (vals.groupBy("label", "dim_idx")
+              .agg(F.count("*").alias("n"),
+                   F.transform(
+                       F.array_sort(F.collect_list(
+                           F.struct("vec_id", "val"))),
+                       lambda s: s["val"]).alias("vs")))
+    fsum = lambda c: F.aggregate(c, F.lit(0.0),  # noqa: E731
+                                 lambda a, x: a + x)
+    mu = fsum(F.col("vs")) / F.col("n").cast("double")
+    ex2 = (fsum(F.transform("vs", lambda x: x * x))
+           / F.col("n").cast("double"))
+    stats = folded.select(
+        "label", "dim_idx", mu.alias("mu"),
+        F.sqrt(F.greatest(F.lit(0.0), ex2 - mu * mu)).alias("sd"))
+    packed = (stats.groupBy("label")
+              .agg(F.transform(F.array_sort(F.collect_list(
+                      F.struct("dim_idx", "mu", "sd"))),
+                   lambda s: s["mu"]).alias("mus"),
+                   F.transform(F.array_sort(F.collect_list(
+                       F.struct("dim_idx", "mu", "sd"))),
+                   lambda s: s["sd"]).alias("sds")))
+    joined = emb.join(F.broadcast(packed), "label")
+    zterm = lambda i: F.when(  # noqa: E731
+        F.element_at("sds", i) == 0.0, F.lit(0.0)).otherwise(
+        ((F.element_at("v", i) - F.element_at("mus", i))
+         / F.element_at("sds", i))
+        * ((F.element_at("v", i) - F.element_at("mus", i))
+           / F.element_at("sds", i)))
+    z2 = F.aggregate(F.sequence(F.lit(1), F.size("v")), F.lit(0.0),
+                     lambda a, i: a + zterm(i))
+    scored = joined.select("vec_id", "label", z2.alias("z2"))
+    wr = Window.partitionBy("label").orderBy(F.col("z2").desc(),
+                                             "vec_id")
+    return (scored.withColumn("rank", F.row_number().over(wr))
+            .filter(F.col("rank") <= _MAH_TOPK)
+            .select("label", F.col("rank").cast("int").alias("rank"),
+                    "vec_id", F.round("z2", 6).alias("z2")))

@@ -934,6 +934,73 @@ def hll_register_stream(incoming: DataFrame, state_path: str,
             .trigger(availableNow=True).start())
 
 
+def weighted_reservoir_stream(incoming: DataFrame, state_path: str,
+                              checkpoint: str,
+                              k: int | None = None) -> StreamingQuery:
+    """Streaming weighted reservoir — the stateful twin of
+    queries_round11.weighted_reservoir_topk: per micro-batch, compute
+    the batch docs' Efraimidis–Spirakis keys with the SHARED builder
+    (reservoir_keys — keys are a pure function of the doc, so batch
+    and stream agree by construction), union with the persisted
+    k-row reservoir, and keep the k best (sel_key DESC, doc_id).
+
+    Replay-safe WITHOUT an epoch watermark (the HLL twin's class, not
+    token_shard's): a redelivered doc re-derives the IDENTICAL key,
+    and dropDuplicates(doc_id) + top-k is idempotent and commutative
+    — at-least-once redelivery in any order cannot change the state.
+    State size is CONSTANT (k rows) in stream length.
+
+    Scale shape per batch: one per-row key expression over the batch,
+    one TakeOrdered merge of batch-topk + k state rows, one k-row
+    state write. Nothing ever re-reads prior batches.
+    """
+    from travel_data_pipeline_spark.queries_round11 import (
+        _WR_K,
+        reservoir_keys,
+    )
+    from travel_data_pipeline_spark.sources import versioned
+
+    kk = _WR_K if k is None else k
+
+    def fold(batch_df: DataFrame, epoch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        spark = batch_df.sparkSession
+        batch_keys = (reservoir_keys(batch_df)
+                      .orderBy(F.col("sel_key").desc(), "doc_id")
+                      .limit(kk))
+        try:
+            state = (versioned.read_table(spark, state_path)
+                     .select("doc_id", "weight", "sel_key"))
+        except FileNotFoundError:
+            state = spark.createDataFrame(
+                [], "doc_id long, weight long, sel_key double")
+        merged = (state.unionByName(
+            batch_keys.select(F.col("doc_id").cast("long"),
+                              F.col("weight").cast("long"),
+                              F.col("sel_key").cast("double")))
+            .dropDuplicates(["doc_id"])
+            .orderBy(F.col("sel_key").desc(), "doc_id").limit(kk))
+        versioned.write_table(merged, state_path)
+
+    return (incoming.writeStream.foreachBatch(fold)
+            .option("checkpointLocation", checkpoint)
+            .trigger(availableNow=True).start())
+
+
+def weighted_reservoir_stream_readout(spark: SparkSession,
+                                      state_path: str) -> DataFrame:
+    """Ranked readout off the streamed reservoir state via the SAME
+    bounded tail the batch query uses (reservoir_rank) — bit-equal to
+    weighted_reservoir_topk over the union of arrived batches."""
+    from travel_data_pipeline_spark.queries_round11 import reservoir_rank
+    from travel_data_pipeline_spark.sources import versioned
+
+    state = versioned.read_table(spark, state_path).select(
+        "doc_id", "weight", "sel_key")
+    return reservoir_rank(state)
+
+
 def hll_stream_estimate(spark: SparkSession, state_path: str) -> DataFrame:
     """Current lifetime-distinct estimate off the streamed register
     state: zero-fill the 64-bucket grid and run the SAME shared fold
