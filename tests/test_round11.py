@@ -470,3 +470,69 @@ def test_mahalanobis_outliers_match_python(spark, sf_smoke):
         for (rk, vid, z2), (_, wz) in zip(
                 got[label], [(vid, z) for vid, z in scored[:_MAH_TOPK]]):
             assert abs(z2 - wz) <= 1e-4, (label, rk)
+
+
+# ---------------------------------------------------------------------------
+# quantile_treatment_effects — python order-statistic recomputation
+# ---------------------------------------------------------------------------
+
+def test_qte_matches_python_order_stats(spark, sf_smoke):
+    import hashlib
+
+    from travel_data_pipeline_spark.queries_round11 import (
+        quantile_treatment_effects,
+    )
+
+    orders = spark.read.parquet(f"{sf_smoke}/orders.parquet").select(
+        "o_custkey", "o_totalprice").collect()
+    per = defaultdict(Decimal)
+    for r in orders:
+        per[r.o_custkey] += Decimal(str(r.o_totalprice)).quantize(
+            Decimal("0.01"))
+    arms = defaultdict(list)
+    for ck, y in per.items():
+        h = int(hashlib.md5(f"exp:{ck}".encode()).hexdigest()[:15], 16)
+        arms[h % 2].append((y, ck))
+    for a in arms.values():
+        a.sort()
+    got = {r.quartile: r for r in
+           quantile_treatment_effects(spark, sf_smoke).collect()}
+    assert set(got) == {1, 2, 3}
+    for q in (1, 2, 3):
+        want = {}
+        for arm, ys in arms.items():
+            k = -(-q * len(ys) // 4)  # ceil(q*n/4)
+            want[arm] = float(ys[k - 1][0])
+        g = got[q]
+        assert g.y_treat == want[1] and g.y_ctrl == want[0], q
+        assert abs(g.qte - (want[1] - want[0])) <= 1e-6
+
+
+# ---------------------------------------------------------------------------
+# james_stein_segment_lifts — shrinkage algebra
+# ---------------------------------------------------------------------------
+
+def test_james_stein_shrinkage_algebra(spark, sf_smoke):
+    from travel_data_pipeline_spark.queries_round11 import (
+        james_stein_segment_lifts,
+    )
+
+    rows = james_stein_segment_lifts(spark, sf_smoke).collect()
+    assert rows
+    live = [r for r in rows if r.raw_lift is not None]
+    assert len(live) >= 2
+    d_bar = live[0].grand_lift
+    c = live[0].shrink_c
+    assert all(r.grand_lift == d_bar and r.shrink_c == c for r in live)
+    assert 0.0 <= c <= 1.0
+    # shrunk = d_bar + c * (raw - d_bar), and shrinkage contracts
+    # toward the grand lift
+    for r in live:
+        want = d_bar + c * (r.raw_lift - d_bar)
+        assert abs(r.shrunk_lift - want) <= 1e-3, r
+        assert (abs(r.shrunk_lift - d_bar)
+                <= abs(r.raw_lift - d_bar) + 1e-9), r
+        assert r.se is None or r.se > 0
+    # precision-weighted grand lift lies inside the raw-lift envelope
+    raws = [r.raw_lift for r in live]
+    assert min(raws) - 1e-9 <= d_bar <= max(raws) + 1e-9

@@ -16,6 +16,19 @@ Use for oracle OUTPUT columns whose doubles are "dirty" (recurrence
 folds, integer/decimal ratios — values that land near x.5*10^-n far
 more often than uniform doubles). Bounded to |x| < 1e20 by the
 DECIMAL(38,18) parse — fine for every value this engine rounds.
+
+MAGNITUDE HAZARD (found round 8, james_stein se2): for |x| > ~4e9
+one double ulp exceeds 1e-6, so SEVERAL 17-18-digit renderings
+roundtrip and DuckDB's format('{{}}') can legally pick a different
+one than Java's Double.toString (observed: the same bits rendered
+'...734653' by Java and '...734652' by DuckDB), which then rounds
+differently at 6 dp. round(x, 6) parity is therefore only guaranteed
+for |x| < ~4e9 — keep rounded double outputs under that (report
+sqrt/scaled units for variance-magnitude quantities). The related
+hazard: decimal->double CASTS whose scaled value exceeds 2^53 can
+differ by an ulp between engines — bridge through the exact decimal
+STRING (CAST(x AS VARCHAR) -> DOUBLE; both engines parse correctly
+rounded).
 """
 
 from __future__ import annotations

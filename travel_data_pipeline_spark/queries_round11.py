@@ -1378,3 +1378,277 @@ def embedding_outlier_mahalanobis(spark: SparkSession,
             .filter(F.col("rank") <= _MAH_TOPK)
             .select("label", F.col("rank").cast("int").alias("rank"),
                     "vec_id", F.round("z2", 6).alias("z2")))
+
+
+# ---------------------------------------------------------------------------
+# Quantile treatment effects — the distributional readout of the
+# experiment family: the mean-based ATE (ipw/aipw) can hide a lift
+# concentrated in one tail, so report the per-arm EXACT quartiles of
+# the outcome and their differences (QTE at q = 0.25/0.50/0.75).
+# Order statistics are exact lower quantiles (k = ceil(q*n), integer
+# arithmetic — the conformal_interval_coverage spelling), computed per
+# arm through two_phase_ordered so no arm ever funnels through a
+# single-partition sort.
+#
+# Scale shape: one orders->customer grouped pass to units; per arm,
+# the two-phase rank (approx-quantile probe + bucket-local windows);
+# output is exactly 3 rows.
+# ---------------------------------------------------------------------------
+
+_QTE_QS = (1, 2, 3)  # quartiles q/4
+
+
+def _qte_oracle() -> str:
+    from travel_data_pipeline_spark.functions.hashing import md5_long_sql
+
+    arm = md5_long_sql("'exp:' || CAST(c_custkey AS VARCHAR)")
+    qs = ", ".join(f"({q})" for q in _QTE_QS)
+    return f"""
+WITH units AS (
+    SELECT c.c_custkey, ({arm} % 2) AS arm,
+           SUM(CAST(o.o_totalprice AS DECIMAL(18,2))) AS y
+    FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+    GROUP BY c.c_custkey, arm
+),
+ranked AS (
+    SELECT arm, y,
+           row_number() OVER (PARTITION BY arm
+                              ORDER BY y, c_custkey) AS rk,
+           COUNT(*) OVER (PARTITION BY arm) AS n
+    FROM units
+),
+grid AS (SELECT q FROM (VALUES {qs}) g(q)),
+picked AS (
+    SELECT g.q, r.arm, r.y
+    FROM grid g JOIN ranked r
+      ON r.rk = (g.q * r.n + 3) // 4
+)
+SELECT p1.q AS quartile,
+       CAST(p1.y AS DOUBLE) AS y_treat,
+       CAST(p0.y AS DOUBLE) AS y_ctrl,
+       {round_sql('CAST(p1.y AS DOUBLE) - CAST(p0.y AS DOUBLE)')} + 0.0
+           AS qte
+FROM picked p1 JOIN picked p0
+  ON p1.q = p0.q AND p1.arm = 1 AND p0.arm = 0
+"""
+
+
+@register("quantile_treatment_effects", _qte_oracle)
+def quantile_treatment_effects(spark: SparkSession,
+                               sf_dir: str) -> DataFrame:
+    """Exact per-arm outcome quartiles and their differences (QTE)."""
+    from travel_data_pipeline_spark.operators.windows import (
+        two_phase_ordered,
+    )
+    from travel_data_pipeline_spark.queries_round10 import ipw_units
+
+    units = ipw_units(spark, sf_dir).select("c_custkey", "arm", "y")
+    grid = spark.createDataFrame([(q,) for q in _QTE_QS], "q int")
+    picked = []
+    for arm_v in (0, 1):
+        side = units.filter(F.col("arm") == arm_v)
+        n_agg = side.agg(F.count("*").alias("n"))
+        ranked = two_phase_ordered(
+            side, [F.col("y").asc(), F.col("c_custkey").asc()],
+            bucket_on=F.col("y").cast("double"), rank_col="rk")
+        hit = (ranked.crossJoin(F.broadcast(n_agg))
+               .join(F.broadcast(grid),
+                     F.col("rk") == F.floor((F.col("q") * F.col("n") + 3)
+                                            / 4))
+               .select("q", F.lit(arm_v).alias("arm"), "y"))
+        picked.append(hit)
+    p1 = picked[1].select("q", F.col("y").alias("y1"))
+    p0 = picked[0].select(F.col("q").alias("q0"), F.col("y").alias("y0"))
+    return (p1.join(F.broadcast(p0), p1.q == p0.q0)
+            .select(F.col("q").alias("quartile"),
+                    F.col("y1").cast("double").alias("y_treat"),
+                    F.col("y0").cast("double").alias("y_ctrl"),
+                    (F.round(F.col("y1").cast("double")
+                             - F.col("y0").cast("double"), 6)
+                     + F.lit(0.0)).alias("qte")))
+
+
+# ---------------------------------------------------------------------------
+# James–Stein (Efron–Morris) shrunk per-segment lifts — the
+# winner's-curse guard for subgroup readouts: raw per-segment lift
+# estimates overdisperse around the true lifts, so the multi-segment
+# readout shrinks each toward the precision-weighted grand lift:
+#
+#   d_bar = sum(d_s / se2_s) / sum(1 / se2_s)
+#   S     = sum((d_s - d_bar)^2 / se2_s)
+#   c     = max(0, 1 - (m - 3) / S)          (m = #segments with both arms)
+#   shrunk_s = d_bar + c * (d_s - d_bar)
+#
+# (Efron & Morris 1975, public.) All moments (n, sum y, sum y^2 per
+# (segment, arm)) are exact; the <= |segments| folds run in pinned
+# segment order. Guards: one-armed or n<=1 arms give NULL lift/se2
+# and drop from every fold; m <= 3 disables shrinkage (c = 1, the JS
+# dominance condition needs m > 3); S = 0 (all lifts equal) pins
+# c = 0 — shrinking to the common value they all share.
+# ---------------------------------------------------------------------------
+
+
+def _js_oracle() -> str:
+    from travel_data_pipeline_spark.queries_round10 import (
+        IPW_UNITS_STRATA_SQL,
+    )
+
+    fold = lambda expr, flt="d IS NOT NULL": (  # noqa: E731
+        f"list_reduce(list({expr} ORDER BY segment)"
+        f" FILTER ({flt}), (x, y) -> x + y)")
+    return f"""
+WITH {IPW_UNITS_STRATA_SQL},
+m2 AS (
+    SELECT segment,
+           SUM(CASE WHEN arm = 1
+                    THEN CAST(y AS DECIMAL(28,2)) * y
+                    ELSE CAST(0 AS DECIMAL(38,4)) END) AS syy_t,
+           SUM(CASE WHEN arm = 0
+                    THEN CAST(y AS DECIMAL(28,2)) * y
+                    ELSE CAST(0 AS DECIMAL(38,4)) END) AS syy_c
+    FROM units GROUP BY segment
+),
+terms AS (
+    SELECT s.segment, s.n, s.n_t,
+           CASE WHEN s.n_t <= 1 OR s.n - s.n_t <= 1 THEN NULL
+                ELSE CAST(s.sy_t AS DOUBLE) / s.n_t
+                     - CAST(s.sy_c AS DOUBLE) / (s.n - s.n_t)
+           END AS d,
+           -- multiply-through spelling: (n*syy - sy^2) is EXACT
+           -- decimal, so each arm's variance term is ONE double
+           -- division — bit-identical across engines (the plain
+           -- (syy - sy^2/n)/(n-1)/n tree diverged in the last ulp at
+           -- the ~1e11 magnitude where round(x, 6) can't absorb it)
+           -- the numerators' scaled values exceed 2^53, where the
+           -- engines' direct decimal->double casts can differ by an
+           -- ulp — bridge through the exact decimal STRING (both
+           -- engines parse strings correctly rounded)
+           CASE WHEN s.n_t <= 1 OR s.n - s.n_t <= 1 THEN NULL
+                ELSE CAST(CAST(s.n_t * m2.syy_t
+                          - CAST(s.sy_t AS DECIMAL(28,2)) * s.sy_t
+                          AS VARCHAR) AS DOUBLE)
+                     / (CAST(s.n_t AS DOUBLE) * CAST(s.n_t AS DOUBLE)
+                        * (CAST(s.n_t AS DOUBLE) - 1.0))
+                     + CAST(CAST((s.n - s.n_t) * m2.syy_c
+                            - CAST(s.sy_c AS DECIMAL(28,2)) * s.sy_c
+                            AS VARCHAR) AS DOUBLE)
+                       / (CAST(s.n - s.n_t AS DOUBLE)
+                          * CAST(s.n - s.n_t AS DOUBLE)
+                          * (CAST(s.n - s.n_t AS DOUBLE) - 1.0))
+           END AS se2
+    FROM strata s JOIN m2 ON m2.segment = s.segment
+),
+g AS (
+    SELECT COUNT(d) AS m,
+           {fold('d / se2')} / {fold('1.0 / se2')} AS d_bar
+    FROM terms
+),
+s2 AS (
+    SELECT g.m, g.d_bar,
+           {fold('(d - g.d_bar) * (d - g.d_bar) / se2')} AS s_stat
+    FROM terms CROSS JOIN g
+    GROUP BY g.m, g.d_bar
+),
+cfac AS (
+    SELECT m, d_bar, s_stat,
+           CASE WHEN m <= 3 THEN 1.0
+                WHEN s_stat = 0 THEN 0.0
+                ELSE GREATEST(0.0, 1.0 - (m - 3.0) / s_stat)
+           END AS c
+    FROM s2
+)
+SELECT t.segment, CAST(t.n AS BIGINT) AS n,
+       CASE WHEN t.d IS NULL THEN NULL
+            ELSE {round_sql('t.d')} + 0.0 END AS raw_lift,
+       CASE WHEN t.se2 IS NULL THEN NULL
+            ELSE {round_sql('sqrt(t.se2)')} END AS se,
+       {round_sql('f.d_bar')} + 0.0 AS grand_lift,
+       {round_sql('f.c')} AS shrink_c,
+       CASE WHEN t.d IS NULL THEN NULL
+            ELSE {round_sql('f.d_bar + f.c * (t.d - f.d_bar)')} + 0.0
+       END AS shrunk_lift
+FROM terms t CROSS JOIN cfac f
+"""
+
+
+@register("james_stein_segment_lifts", _js_oracle)
+def james_stein_segment_lifts(spark: SparkSession,
+                              sf_dir: str) -> DataFrame:
+    """Efron–Morris shrunk per-segment experiment lifts (the
+    winner's-curse guard for subgroup readouts)."""
+    from travel_data_pipeline_spark.queries_round10 import (
+        ipw_strata,
+        ipw_units,
+    )
+
+    units = ipw_units(spark, sf_dir)
+    strata = ipw_strata(units)
+    zero4 = F.lit(0).cast("decimal(38,4)")
+    y28 = F.col("y").cast("decimal(28,2)")
+    m2 = units.groupBy("segment").agg(
+        F.sum(F.when(F.col("arm") == 1, y28 * F.col("y"))
+              .otherwise(zero4)).alias("syy_t"),
+        F.sum(F.when(F.col("arm") == 0, y28 * F.col("y"))
+              .otherwise(zero4)).alias("syy_c"))
+    s = strata.join(m2, "segment")
+    n_t = F.col("n_t").cast("double")
+    n_c = (F.col("n") - F.col("n_t")).cast("double")
+    degenerate = (F.col("n_t") <= 1) | ((F.col("n") - F.col("n_t")) <= 1)
+    d = (F.col("sy_t").cast("double") / n_t
+         - F.col("sy_c").cast("double") / n_c)
+    # multiply-through spelling (see the oracle comment): exact
+    # decimal numerator, ONE double division per arm; the numerator
+    # crosses 2^53 so it reaches double THROUGH ITS DECIMAL STRING
+    # (correctly-rounded parse in both engines — direct decimal->
+    # double casts diverged by an ulp)
+    sy_t28 = F.col("sy_t").cast("decimal(28,2)")
+    sy_c28 = F.col("sy_c").cast("decimal(28,2)")
+    se2 = ((F.col("n_t") * F.col("syy_t") - sy_t28 * F.col("sy_t"))
+           .cast("string").cast("double")
+           / (n_t * n_t * (n_t - F.lit(1.0)))
+           + ((F.col("n") - F.col("n_t")) * F.col("syy_c")
+              - sy_c28 * F.col("sy_c")).cast("string").cast("double")
+           / (n_c * n_c * (n_c - F.lit(1.0))))
+    nulld = F.lit(None).cast("double")
+    terms = s.select(
+        "segment", "n",
+        F.when(degenerate, nulld).otherwise(d).alias("d"),
+        F.when(degenerate, nulld).otherwise(se2).alias("se2"))
+    keep = F.col("d").isNotNull()
+    folded = terms.agg(
+        F.count("d").alias("m"),
+        F.array_sort(F.collect_list(F.when(keep, F.struct(
+            "segment", "d", "se2")))).alias("ts"))
+    fsum = lambda fn: F.aggregate(  # noqa: E731
+        F.transform("ts", fn), F.lit(0.0), lambda a, x: a + x)
+    g = folded.select(
+        "m", "ts",
+        (fsum(lambda t: t["d"] / t["se2"])
+         / fsum(lambda t: F.lit(1.0) / t["se2"])).alias("d_bar"))
+    s2 = g.select(
+        "m", "d_bar",
+        F.aggregate(F.transform(
+            "ts", lambda t: (t["d"] - F.col("d_bar"))
+            * (t["d"] - F.col("d_bar")) / t["se2"]),
+            F.lit(0.0), lambda a, x: a + x).alias("s_stat"))
+    cfac = s2.select(
+        "m", "d_bar", "s_stat",
+        F.when(F.col("m") <= 3, F.lit(1.0))
+        .when(F.col("s_stat") == 0, F.lit(0.0))
+        .otherwise(F.greatest(
+            F.lit(0.0),
+            F.lit(1.0) - (F.col("m").cast("double") - F.lit(3.0))
+            / F.col("s_stat"))).alias("c"))
+    rnd0 = lambda c: F.round(c, 6) + F.lit(0.0)  # noqa: E731
+    return (terms.crossJoin(F.broadcast(cfac))
+            .select("segment", F.col("n").cast("long").alias("n"),
+                    F.when(F.col("d").isNull(), nulld)
+                    .otherwise(rnd0(F.col("d"))).alias("raw_lift"),
+                    F.round(F.sqrt("se2"), 6).alias("se"),
+                    rnd0(F.col("d_bar")).alias("grand_lift"),
+                    F.round("c", 6).alias("shrink_c"),
+                    F.when(F.col("d").isNull(), nulld)
+                    .otherwise(rnd0(F.col("d_bar")
+                                    + F.col("c")
+                                    * (F.col("d") - F.col("d_bar"))))
+                    .alias("shrunk_lift")))
