@@ -536,3 +536,77 @@ def test_james_stein_shrinkage_algebra(spark, sf_smoke):
     # precision-weighted grand lift lies inside the raw-lift envelope
     raws = [r.raw_lift for r in live]
     assert min(raws) - 1e-9 <= d_bar <= max(raws) + 1e-9
+
+
+# ---------------------------------------------------------------------------
+# ate_placebo_refutation — assignment independence
+# ---------------------------------------------------------------------------
+
+def test_placebo_refutation_shape_and_distinct_splits(spark, sf_smoke):
+    from travel_data_pipeline_spark.queries_round10 import (
+        ipw_ate_stratified,
+    )
+    from travel_data_pipeline_spark.queries_round11 import (
+        ate_placebo_refutation,
+    )
+
+    rows = {r.assignment: r
+            for r in ate_placebo_refutation(spark, sf_smoke).collect()}
+    assert set(rows) == {"real", "placebo1", "placebo2", "placebo3"}
+    # the 'real' row IS the registered stratified ATE's ALL row
+    ipw_all = {r.segment: r for r in
+               ipw_ate_stratified(spark, sf_smoke).collect()}["ALL"]
+    assert rows["real"].ate == ipw_all.ate
+    assert rows["real"].n == ipw_all.n
+    assert rows["real"].n_treat == ipw_all.n_treat
+    # placebo splits are genuinely different assignments
+    treats = {r.n_treat for r in rows.values()}
+    ates = {r.ate for r in rows.values()}
+    assert len(treats) >= 2 or len(ates) >= 2
+    for r in rows.values():
+        assert r.ate is not None and abs(r.ate) < 1e7
+
+
+# ---------------------------------------------------------------------------
+# dedup_scorecard — reconciliation with the component queries
+# ---------------------------------------------------------------------------
+
+def test_dedup_scorecard_reconciles_with_components(spark, sf_smoke):
+    from travel_data_pipeline_spark.queries_northstar import (
+        containment_pairs,
+        dedup_minhash_lsh,
+        dedup_rate_by_source,
+        simhash_near_pairs,
+    )
+    from travel_data_pipeline_spark.queries_round9 import (
+        cosine_threshold_sweep,
+    )
+    from travel_data_pipeline_spark.queries_round11 import (
+        _DS_TAU,
+        dedup_scorecard,
+    )
+
+    got = {r.method: r for r in dedup_scorecard(spark, sf_smoke).collect()}
+    assert set(got) == {"exact", "minhash_lsh", "simhash",
+                        "containment", "semantic"}
+    n_docs = spark.read.parquet(f"{sf_smoke}/documents.parquet").count()
+
+    exact_flagged = sum(r.n_dups for r in
+                        dedup_rate_by_source(spark, sf_smoke).collect())
+    assert got["exact"].n_docs_flagged == exact_flagged
+    assert got["exact"].n_pairs is None
+
+    for method, fn in [("minhash_lsh", dedup_minhash_lsh),
+                       ("simhash", simhash_near_pairs),
+                       ("containment", containment_pairs)]:
+        pairs = fn(spark, sf_smoke).collect()
+        assert got[method].n_pairs == len(pairs), method
+        flagged = len({p.doc_b for p in pairs})
+        assert got[method].n_docs_flagged == flagged, method
+        assert abs(got[method].flag_rate - flagged / n_docs) <= 2e-6
+
+    sw = {r.threshold: r for r in
+          cosine_threshold_sweep(spark, sf_smoke).collect()}[_DS_TAU]
+    assert got["semantic"].n_pairs == sw.n_pairs
+    assert got["semantic"].n_docs_flagged == sw.n_docs_dropped
+    assert got["semantic"].flag_rate == sw.removal_share

@@ -330,18 +330,19 @@ def dp_noisy_event_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 # aggregate on (segment, arm); everything after is bounded.
 # ---------------------------------------------------------------------------
 
-_IPW_ARM = md5_long_sql("'exp:' || CAST(c_custkey AS VARCHAR)")
 
 
-def ipw_units(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """(customer, segment, arm, y) units of the md5 'exp:' split —
-    shared by ipw_ate_stratified and queries_round11.aipw_doubly_robust
-    (plan-identical to the former inline spelling)."""
+def ipw_units(spark: SparkSession, sf_dir: str,
+              salt: str = "exp:") -> DataFrame:
+    """(customer, segment, arm, y) units of the md5 ``salt`` split —
+    shared by ipw_ate_stratified, queries_round11.aipw_doubly_robust
+    and the placebo refutation (plan-identical to the former inline
+    spelling; the default salt is the real experiment's 'exp:')."""
     orders = load_table(spark, sf_dir, "orders").select(
         "o_custkey", "o_totalprice")
     cust = load_table(spark, sf_dir, "customer").select(
         "c_custkey", "c_mktsegment")
-    arm = (md5_long(F.concat(F.lit("exp:"),
+    arm = (md5_long(F.concat(F.lit(salt),
                              F.col("c_custkey").cast("string"))) % 2)
     return (orders.join(cust, orders.o_custkey == cust.c_custkey)
             .groupBy(F.col("c_custkey"),
@@ -363,24 +364,32 @@ def ipw_strata(units: DataFrame) -> DataFrame:
         .alias("sy_c"))
 
 
-# the shared units/strata CTE text (the exact SQL the two causal
-# queries' oracles both open with)
-IPW_UNITS_STRATA_SQL = f"""units AS (
+# the shared units/strata CTE text (the exact SQL the causal
+# queries' oracles all open with); parametrized by the split salt so
+# the placebo refutation can re-render it per seed
+def ipw_units_strata_sql(salt: str = "exp:",
+                         units_name: str = "units",
+                         strata_name: str = "strata") -> str:
+    arm = md5_long_sql(f"'{salt}' || CAST(c_custkey AS VARCHAR)")
+    return f"""{units_name} AS (
     SELECT c.c_custkey, c.c_mktsegment AS segment,
-           ({_IPW_ARM} % 2) AS arm,
+           ({arm} % 2) AS arm,
            SUM(CAST(o.o_totalprice AS DECIMAL(18,2))) AS y
     FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
     GROUP BY c.c_custkey, segment, arm
 ),
-strata AS (
+{strata_name} AS (
     SELECT segment, COUNT(*) AS n,
            SUM(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS n_t,
            SUM(CASE WHEN arm = 1 THEN y ELSE CAST(0 AS DECIMAL(18,2)) END)
                AS sy_t,
            SUM(CASE WHEN arm = 0 THEN y ELSE CAST(0 AS DECIMAL(18,2)) END)
                AS sy_c
-    FROM units GROUP BY segment
+    FROM {units_name} GROUP BY segment
 )"""
+
+
+IPW_UNITS_STRATA_SQL = ipw_units_strata_sql()
 
 
 @register("ipw_ate_stratified", f"""

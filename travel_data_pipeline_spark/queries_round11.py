@@ -1652,3 +1652,214 @@ def james_stein_segment_lifts(spark: SparkSession,
                                     + F.col("c")
                                     * (F.col("d") - F.col("d_bar"))))
                     .alias("shrunk_lift")))
+
+
+# ---------------------------------------------------------------------------
+# Placebo refutation of the experiment readout — the standard causal
+# diagnostic: recompute the stratified ATE under k alternative
+# (placebo) md5 treatment assignments that cannot correspond to any
+# real intervention; a trustworthy pipeline reports the real estimate
+# ALONGSIDE the placebo distribution (a real effect should stand out
+# of it, and a "significant" placebo flags a broken split or leaky
+# outcome). Reuses the parametrized ipw units/strata builders — each
+# assignment is the identical estimator, only the salt differs.
+#
+# Scale shape: one orders->customer grouped pass per assignment
+# (4 here — bounded by the seed list), each followed by bounded
+# per-stratum folds. The assignments are independent branches of one
+# union — Spark schedules them in parallel.
+# ---------------------------------------------------------------------------
+
+_PLACEBO_SALTS = (("real", "exp:"), ("placebo1", "plc1:"),
+                  ("placebo2", "plc2:"), ("placebo3", "plc3:"))
+
+
+def _placebo_oracle() -> str:
+    from travel_data_pipeline_spark.queries_round10 import (
+        ipw_units_strata_sql,
+    )
+
+    blocks = []
+    for label, salt in _PLACEBO_SALTS:
+        cte = ipw_units_strata_sql(salt, units_name=f"u_{label}",
+                                   strata_name=f"s_{label}")
+        blocks.append(f"""
+SELECT '{label}' AS assignment,
+       CAST(SUM(n) AS BIGINT) AS n,
+       CAST(SUM(n_t) AS BIGINT) AS n_treat,
+       {round_sql("list_reduce(list(CASE WHEN n_t = 0 OR n_t = n THEN NULL ELSE (CAST(n AS DOUBLE) / CAST((SELECT SUM(n) FROM s_{label}) AS DOUBLE)) * (CAST(sy_t AS DOUBLE) / CAST(n_t AS DOUBLE) - CAST(sy_c AS DOUBLE) / CAST(n - n_t AS DOUBLE)) END ORDER BY segment) FILTER (n_t > 0 AND n_t < n), (x, y) -> x + y)".format(label=label))} + 0.0
+           AS ate
+FROM s_{label}""")
+    ctes = ",\n".join(ipw_units_strata_sql(salt,
+                                           units_name=f"u_{label}",
+                                           strata_name=f"s_{label}")
+                      for label, salt in _PLACEBO_SALTS)
+    return "WITH " + ctes + "\n" + "\nUNION ALL\n".join(blocks)
+
+
+@register("ate_placebo_refutation", _placebo_oracle)
+def ate_placebo_refutation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stratified ATE under the real split plus 3 placebo splits."""
+    from travel_data_pipeline_spark.queries_round10 import (
+        ipw_strata,
+        ipw_units,
+    )
+
+    outs = []
+    for label, salt in _PLACEBO_SALTS:
+        strata = ipw_strata(ipw_units(spark, sf_dir, salt=salt))
+        tot = strata.agg(F.sum("n").alias("big_n"))
+        one_armed = (F.col("n_t") == 0) | (F.col("n_t") == F.col("n"))
+        term = (F.when(one_armed, F.lit(None).cast("double"))
+                .otherwise((F.col("n").cast("double")
+                            / F.col("big_n").cast("double"))
+                           * (F.col("sy_t").cast("double")
+                              / F.col("n_t").cast("double")
+                              - F.col("sy_c").cast("double")
+                              / (F.col("n") - F.col("n_t"))
+                              .cast("double"))))
+        keep = (F.col("n_t") > 0) & (F.col("n_t") < F.col("n"))
+        outs.append(
+            strata.crossJoin(F.broadcast(tot))
+            .select("segment", "n", "n_t", term.alias("term"),
+                    keep.alias("keep"))
+            .agg(F.sum("n").cast("long").alias("n"),
+                 F.sum("n_t").cast("long").alias("n_treat"),
+                 F.array_sort(F.collect_list(F.when(
+                     F.col("keep"),
+                     F.struct("segment", "term")))).alias("ts"))
+            .select(F.lit(label).alias("assignment"), "n", "n_treat",
+                    (F.round(F.aggregate(
+                        F.transform("ts", lambda t: t["term"]),
+                        F.lit(0.0), lambda a, x: a + x), 6)
+                     + F.lit(0.0)).alias("ate")))
+    res = outs[0]
+    for o in outs[1:]:
+        res = res.unionByName(o)
+    return res
+
+
+# ---------------------------------------------------------------------------
+# Dedup scorecard — the composed readout of the dedup family (the
+# eval_scorecard / pipeline_data_health precedent: several audits,
+# one relation). One row per method — exact text keys, MinHash-LSH,
+# SimHash, asymmetric containment, embedding-semantic (tau = 0.40
+# from the registered threshold sweep) — each reporting candidate
+# pair count, docs flagged for drop (the pair's larger id, the
+# keep-earliest convention the sweep uses), and the corpus flag
+# rate. Composed FROM the registered component queries so the
+# scorecard can never drift from the individual audits; component
+# oracles are wrapped AS MATERIALIZED (the DuckDB inlining rule).
+#
+# Scale shape: each component keeps its own audited shape (bucketed
+# LSH, capped bands, one-pass rates); the scorecard adds only 1-row
+# aggregates and a 5-row union.
+# ---------------------------------------------------------------------------
+
+_DS_TAU = 0.40
+
+
+def _dedup_scorecard_oracle() -> str:
+    from travel_data_pipeline_spark.registry import ORACLES
+
+    def get(name: str) -> str:
+        o = ORACLES[name]
+        return o() if callable(o) else o
+
+    rate = ("CAST({f} AS DOUBLE)"
+            " / (SELECT CAST(n_docs AS DOUBLE) FROM tot)")
+    return f"""
+WITH rate_q AS MATERIALIZED (
+{get("dedup_rate_by_source")}
+),
+mh_q AS MATERIALIZED (
+{get("dedup_minhash_lsh")}
+),
+sh_q AS MATERIALIZED (
+{get("simhash_near_pairs")}
+),
+ct_q AS MATERIALIZED (
+{get("containment_pairs")}
+),
+sw_q AS MATERIALIZED (
+{get("cosine_threshold_sweep")}
+),
+tot AS (SELECT COUNT(*) AS n_docs FROM documents)
+SELECT 'exact' AS method, CAST(NULL AS BIGINT) AS n_pairs,
+       CAST(SUM(n_dups) AS BIGINT) AS n_docs_flagged,
+       {round_sql(rate.format(f='SUM(n_dups)'))} AS flag_rate
+FROM rate_q
+UNION ALL
+SELECT 'minhash_lsh', CAST(COUNT(*) AS BIGINT),
+       CAST(COUNT(DISTINCT doc_b) AS BIGINT),
+       {round_sql(rate.format(f='COUNT(DISTINCT doc_b)'))}
+FROM mh_q
+UNION ALL
+SELECT 'simhash', CAST(COUNT(*) AS BIGINT),
+       CAST(COUNT(DISTINCT doc_b) AS BIGINT),
+       {round_sql(rate.format(f='COUNT(DISTINCT doc_b)'))}
+FROM sh_q
+UNION ALL
+SELECT 'containment', CAST(COUNT(*) AS BIGINT),
+       CAST(COUNT(DISTINCT doc_b) AS BIGINT),
+       {round_sql(rate.format(f='COUNT(DISTINCT doc_b)'))}
+FROM ct_q
+UNION ALL
+SELECT 'semantic', CAST(n_pairs AS BIGINT),
+       CAST(n_docs_dropped AS BIGINT), removal_share
+FROM sw_q WHERE threshold = {_DS_TAU}
+"""
+
+
+@register("dedup_scorecard", _dedup_scorecard_oracle)
+def dedup_scorecard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(method, n_pairs, n_docs_flagged, flag_rate) scorecard over the
+    registered dedup audits."""
+    from travel_data_pipeline_spark.queries_northstar import (
+        containment_pairs,
+        dedup_minhash_lsh,
+        dedup_rate_by_source,
+        simhash_near_pairs,
+    )
+    from travel_data_pipeline_spark.queries_round9 import (
+        cosine_threshold_sweep,
+    )
+
+    tot = (load_table(spark, sf_dir, "documents")
+           .agg(F.count("*").alias("n_docs")))
+    nulll = F.lit(None).cast("long")
+
+    def pair_row(df: DataFrame, method: str) -> DataFrame:
+        return (df.agg(F.count("*").alias("n_pairs"),
+                       F.countDistinct("doc_b").alias("n_flagged"))
+                .crossJoin(F.broadcast(tot))
+                .select(F.lit(method).alias("method"),
+                        F.col("n_pairs").cast("long").alias("n_pairs"),
+                        F.col("n_flagged").cast("long")
+                        .alias("n_docs_flagged"),
+                        F.round(F.col("n_flagged").cast("double")
+                                / F.col("n_docs").cast("double"), 6)
+                        .alias("flag_rate")))
+
+    exact = (dedup_rate_by_source(spark, sf_dir)
+             .agg(F.sum("n_dups").alias("n_flagged"))
+             .crossJoin(F.broadcast(tot))
+             .select(F.lit("exact").alias("method"),
+                     nulll.alias("n_pairs"),
+                     F.col("n_flagged").cast("long")
+                     .alias("n_docs_flagged"),
+                     F.round(F.col("n_flagged").cast("double")
+                             / F.col("n_docs").cast("double"), 6)
+                     .alias("flag_rate")))
+    mh = pair_row(dedup_minhash_lsh(spark, sf_dir), "minhash_lsh")
+    sh = pair_row(simhash_near_pairs(spark, sf_dir), "simhash")
+    ct = pair_row(containment_pairs(spark, sf_dir), "containment")
+    sem = (cosine_threshold_sweep(spark, sf_dir)
+           .filter(F.col("threshold") == _DS_TAU)
+           .select(F.lit("semantic").alias("method"),
+                   F.col("n_pairs").cast("long").alias("n_pairs"),
+                   F.col("n_docs_dropped").cast("long")
+                   .alias("n_docs_flagged"),
+                   F.col("removal_share").alias("flag_rate")))
+    return (exact.unionByName(mh).unionByName(sh)
+            .unionByName(ct).unionByName(sem))
