@@ -82,6 +82,13 @@ HEADLINE = [
     "image_ahash_neardup",
     "conformal_interval_coverage",
     "neardup_chain_inflation",
+    # round-11 flagships (added round 8): the KMV sketch-intersection
+    # audit (distinct + per-type rank windows + pair algebra), the
+    # gapped-subsequence session miner (per-row nested-transform
+    # expansion), and the seasonal exact-decimal recurrence
+    "kmv_overlap_audit",
+    "gap_sequence_patterns",
+    "holt_winters_daily",
 ]
 
 
