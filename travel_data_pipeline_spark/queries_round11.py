@@ -162,8 +162,14 @@ def _aipw_frame(spark: SparkSession, sf_dir: str,
                     / F.col("n").cast("double"), 6).alias("e_hat"),
             F.lit(None).cast("double").alias("mu_treat"),
             F.lit(None).cast("double").alias("mu_ctrl"),
-            *[rnd0(F.aggregate(F.transform("ts", lambda t: t[f]),
-                               F.lit(0.0), lambda a, x: a + x))
+            # an ALL-one-armed corpus leaves the kept-struct list
+            # EMPTY; DuckDB's list(...) FILTER then yields NULL while
+            # F.aggregate would return the 0.0 init — branch to NULL
+            # explicitly (repo degenerate-fold rule; review r08)
+            *[F.when(F.size("ts") == 0, F.lit(None).cast("double"))
+              .otherwise(rnd0(F.aggregate(
+                  F.transform("ts", lambda t: t[f]),
+                  F.lit(0.0), lambda a, x: a + x)))
               .alias(out)
               for f, out in (("aug_t", "aug_treat"),
                              ("aug_c", "aug_ctrl"),
@@ -347,10 +353,15 @@ def gap_sequence_patterns(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.flatten(F.transform(offs, lambda d1:
                   F.transform(offs, lambda d2:
                               F.when(i + d1 + d2 <= F.size(a),
-                                     F.concat_ws(
-                                         ">",
+                                     # F.concat propagates NULL like
+                                     # the oracle's || — concat_ws
+                                     # would silently SKIP a NULL
+                                     # event_type (review r08)
+                                     F.concat(
                                          F.element_at(a, i),
+                                         F.lit(">"),
                                          F.element_at(a, i + d1),
+                                         F.lit(">"),
                                          F.element_at(a, i + d1 + d2))))))))
     pats = seqs.select(
         F.array_distinct(F.filter(tri, lambda x: x.isNotNull()))
@@ -733,11 +744,6 @@ def _rm_oracle() -> str:
     from travel_data_pipeline_spark.functions.hashing import md5_long_sql
 
     arm = md5_long_sql("'exp:' || CAST(c_custkey AS VARCHAR)")
-    var_r = ("GREATEST(0.0, (syy - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE) / n"
-             " + r * r * (sxx - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) / n)"
-             " - 2.0 * r * (sxy - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE) / n))"
-             " / (n - 1.0))"
-             " / (n * (CAST(sx AS DOUBLE) / n) * (CAST(sx AS DOUBLE) / n))")
     return f"""
 WITH units AS (
     SELECT c.c_custkey, ({arm} % 2) AS arm,
@@ -1538,20 +1544,28 @@ terms AS (
            END AS se2
     FROM strata s JOIN m2 ON m2.segment = s.segment
 ),
+terms2 AS (
+    -- zero-variance strata join the one-armed NULL-and-drop class
+    SELECT segment, n, n_t,
+           CASE WHEN se2 = 0.0 THEN NULL ELSE d END AS d,
+           CASE WHEN se2 = 0.0 THEN NULL ELSE se2 END AS se2
+    FROM terms
+),
 g AS (
     SELECT COUNT(d) AS m,
            {fold('d / se2')} / {fold('1.0 / se2')} AS d_bar
-    FROM terms
+    FROM terms2
 ),
 s2 AS (
     SELECT g.m, g.d_bar,
            {fold('(d - g.d_bar) * (d - g.d_bar) / se2')} AS s_stat
-    FROM terms CROSS JOIN g
+    FROM terms2 CROSS JOIN g
     GROUP BY g.m, g.d_bar
 ),
 cfac AS (
     SELECT m, d_bar, s_stat,
-           CASE WHEN m <= 3 THEN 1.0
+           CASE WHEN m = 0 THEN NULL
+                WHEN m <= 3 THEN 1.0
                 WHEN s_stat = 0 THEN 0.0
                 ELSE GREATEST(0.0, 1.0 - (m - 3.0) / s_stat)
            END AS c
@@ -1567,7 +1581,7 @@ SELECT t.segment, CAST(t.n AS BIGINT) AS n,
        CASE WHEN t.d IS NULL THEN NULL
             ELSE {round_sql('f.d_bar + f.c * (t.d - f.d_bar)')} + 0.0
        END AS shrunk_lift
-FROM terms t CROSS JOIN cfac f
+FROM terms2 t CROSS JOIN cfac f
 """
 
 
@@ -1610,6 +1624,10 @@ def james_stein_segment_lifts(spark: SparkSession,
               - sy_c28 * F.col("sy_c")).cast("string").cast("double")
            / (n_c * n_c * (n_c - F.lit(1.0))))
     nulld = F.lit(None).cast("double")
+    # zero-variance strata (both arms constant) would put 0 in every
+    # precision denominator (d/se2, 1/se2) — same NULL-and-drop
+    # treatment as one-armed strata, in BOTH engines (review r08)
+    degenerate = degenerate | (se2 == 0.0)
     terms = s.select(
         "segment", "n",
         F.when(degenerate, nulld).otherwise(d).alias("d"),
@@ -1621,19 +1639,27 @@ def james_stein_segment_lifts(spark: SparkSession,
             "segment", "d", "se2")))).alias("ts"))
     fsum = lambda fn: F.aggregate(  # noqa: E731
         F.transform("ts", fn), F.lit(0.0), lambda a, x: a + x)
+    nulld2 = F.lit(None).cast("double")
+    # m == 0 (every stratum degenerate): the folds are empty — DuckDB
+    # yields NULL naturally (NULL/NULL, fold of NULL list); branch
+    # Spark to NULL instead of 0.0/0.0 = NaN (review r08)
     g = folded.select(
         "m", "ts",
-        (fsum(lambda t: t["d"] / t["se2"])
-         / fsum(lambda t: F.lit(1.0) / t["se2"])).alias("d_bar"))
+        F.when(F.col("m") == 0, nulld2)
+        .otherwise(fsum(lambda t: t["d"] / t["se2"])
+                   / fsum(lambda t: F.lit(1.0) / t["se2"]))
+        .alias("d_bar"))
     s2 = g.select(
         "m", "d_bar",
-        F.aggregate(F.transform(
+        F.when(F.col("m") == 0, nulld2)
+        .otherwise(F.aggregate(F.transform(
             "ts", lambda t: (t["d"] - F.col("d_bar"))
             * (t["d"] - F.col("d_bar")) / t["se2"]),
-            F.lit(0.0), lambda a, x: a + x).alias("s_stat"))
+            F.lit(0.0), lambda a, x: a + x)).alias("s_stat"))
     cfac = s2.select(
         "m", "d_bar", "s_stat",
-        F.when(F.col("m") <= 3, F.lit(1.0))
+        F.when(F.col("m") == 0, nulld2)
+        .when(F.col("m") <= 3, F.lit(1.0))
         .when(F.col("s_stat") == 0, F.lit(0.0))
         .otherwise(F.greatest(
             F.lit(0.0),
@@ -1729,10 +1755,14 @@ def ate_placebo_refutation(spark: SparkSession, sf_dir: str) -> DataFrame:
                      F.col("keep"),
                      F.struct("segment", "term")))).alias("ts"))
             .select(F.lit(label).alias("assignment"), "n", "n_treat",
-                    (F.round(F.aggregate(
+                    # empty kept-fold -> NULL, matching DuckDB's
+                    # list(...) FILTER semantics (review r08)
+                    F.when(F.size("ts") == 0,
+                           F.lit(None).cast("double"))
+                    .otherwise(F.round(F.aggregate(
                         F.transform("ts", lambda t: t["term"]),
                         F.lit(0.0), lambda a, x: a + x), 6)
-                     + F.lit(0.0)).alias("ate")))
+                        + F.lit(0.0)).alias("ate")))
     res = outs[0]
     for o in outs[1:]:
         res = res.unionByName(o)

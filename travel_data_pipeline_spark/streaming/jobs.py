@@ -840,10 +840,28 @@ def token_shard_stream(incoming: DataFrame, state_path: str,
                 # legacy state written before the ckpt column existed:
                 # fall back to the bare epoch watermark rather than
                 # bypassing the gate — a same-checkpoint replay against
-                # legacy state must still no-op (ADVICE r07)
+                # legacy state must still no-op (ADVICE r07).
+                #
+                # UPGRADE CONTRACT: legacy state is only meaningful
+                # with ITS ORIGINAL checkpoint directory. Pointing a
+                # FRESH checkpoint at legacy state is ambiguous — the
+                # gate cannot distinguish a replayed epoch from a
+                # genuinely new one restarting at 0 — and this
+                # fallback resolves it conservatively (at-most-once:
+                # epochs <= the stored watermark are dropped). The
+                # double-count alternative would corrupt every future
+                # shard id, while the drop loses only the replayed
+                # window; operators migrating checkpoints must keep
+                # the old dir or re-seed state. On first contact we
+                # ADOPT the legacy state into this checkpoint's
+                # lineage (write the ckpt column), so the ambiguity
+                # lasts exactly one fold.
                 head = state.agg(F.max("epoch").alias("epoch")).first()
                 if (head["epoch"] is not None
                         and epoch_id <= head["epoch"]):
+                    versioned.write_table(
+                        state.withColumn("ckpt", F.lit(ckpt_id)),
+                        state_path)
                     return
             offsets = state.select("source", "lang", "base_tokens")
         except FileNotFoundError:
@@ -989,16 +1007,22 @@ def weighted_reservoir_stream(incoming: DataFrame, state_path: str,
 
 
 def weighted_reservoir_stream_readout(spark: SparkSession,
-                                      state_path: str) -> DataFrame:
+                                      state_path: str,
+                                      k: int | None = None) -> DataFrame:
     """Ranked readout off the streamed reservoir state via the SAME
     bounded tail the batch query uses (reservoir_rank) — bit-equal to
-    weighted_reservoir_topk over the union of arrived batches."""
-    from travel_data_pipeline_spark.queries_round11 import reservoir_rank
+    weighted_reservoir_topk over the union of arrived batches. Pass
+    the SAME k the stream was built with (defaults match; review
+    r08)."""
+    from travel_data_pipeline_spark.queries_round11 import (
+        _WR_K,
+        reservoir_rank,
+    )
     from travel_data_pipeline_spark.sources import versioned
 
     state = versioned.read_table(spark, state_path).select(
         "doc_id", "weight", "sel_key")
-    return reservoir_rank(state)
+    return reservoir_rank(state, _WR_K if k is None else k)
 
 
 def hll_stream_estimate(spark: SparkSession, state_path: str) -> DataFrame:
