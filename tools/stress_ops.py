@@ -405,8 +405,94 @@ def main(amplify: int = 20) -> None:
                  .first()[0])
     assert n_ah_pairs == exp_pairs, (n_ah_pairs, exp_pairs)
 
+    # --- KMV intersection sketch at known truth ---------------------------
+    # 8 synthetic audiences of 1.5M users each, consecutive types
+    # overlapping by EXACTLY 1.4M (range construction) — the sketch's
+    # intersection estimate must land within the 3/sqrt(K) error class
+    # of the known truth without ever computing the exact join. Only
+    # the distinct relation is data-scaled; the estimator runs on
+    # |types| x K rows.
+    from travel_data_pipeline_spark.queries_round11 import (
+        _KMV_K,
+        kmv_pair_estimates,
+    )
+
+    t0 = time.perf_counter()
+    aud_n, aud_step = 1_500_000, 100_000
+    auds = []
+    for i in range(8):
+        auds.append(spark.range(i * aud_step, i * aud_step + aud_n)
+                    .select(F.lit(f"t{i}").alias("event_type"),
+                            F.col("id").alias("user_id")))
+    dist_kmv = auds[0]
+    for a in auds[1:]:
+        dist_kmv = dist_kmv.unionByName(a)
+    dist_kmv = dist_kmv.repartition(64, "user_id")
+    ests = {(r.ta, r.tb): r.est_inter
+            for r in kmv_pair_estimates(dist_kmv).collect()}
+    t_kmv = time.perf_counter() - t0
+    kmv_max_rel_err = 0.0
+    tol = 3.0 / (_KMV_K ** 0.5)  # ~0.1875 at K=256
+    for i in range(7):
+        true_inter = aud_n - aud_step  # consecutive ranges
+        got = ests[(f"t{i}", f"t{i+1}")]
+        rel = abs(got - true_inter) / true_inter
+        kmv_max_rel_err = max(kmv_max_rel_err, rel)
+        assert rel < tol, (i, got, true_inter, rel)
+    n_kmv_rows = 8 * aud_n
+
+    # --- gapped sequential patterns over long synthetic sessions ----------
+    # 200k sessions x 40 events (8M events): the per-row nested-
+    # transform expansion must stay linear in session count — no
+    # positional self-join. Planted signature: every session contains
+    # 'a' at positions 0,3,6,... so pattern a>a>a (gap 2) has support
+    # = ALL sessions; asserted exactly.
+    t0 = time.perf_counter()
+    n_sess, sess_len = 200_000, 40
+    ev_syn = (spark.range(n_sess).withColumnRenamed("id", "sid")
+              .crossJoin(spark.range(sess_len)
+                         .withColumnRenamed("id", "pos"))
+              .select("sid", "pos",
+                      F.when(F.col("pos") % 3 == 0, F.lit("a"))
+                      .otherwise(F.concat(F.lit("x"),
+                                          (F.xxhash64("sid", "pos") % 3)
+                                          .cast("string")))
+                      .alias("event_type"))
+              .repartition(64, "sid"))
+    seqs_syn = (ev_syn.groupBy("sid")
+                .agg(F.transform(
+                    F.array_sort(F.collect_list(
+                        F.struct("pos", "event_type"))),
+                    lambda s: s["event_type"]).alias("a")))
+    G1 = 3  # _GSP_GAP + 1
+    offs = F.sequence(F.lit(1), F.lit(G1))
+    a = F.col("a")
+    tri = F.flatten(F.transform(
+        F.sequence(F.lit(1), F.size(a)), lambda i:
+        F.flatten(F.transform(offs, lambda d1:
+                  F.transform(offs, lambda d2:
+                              F.when(i + d1 + d2 <= F.size(a),
+                                     F.concat(
+                                         F.element_at(a, i),
+                                         F.lit(">"),
+                                         F.element_at(a, i + d1),
+                                         F.lit(">"),
+                                         F.element_at(a, i + d1 + d2))))))))
+    sup = (seqs_syn.select(F.array_distinct(
+               F.filter(tri, lambda x: x.isNotNull())).alias("ps"))
+           .select(F.explode("ps").alias("pattern"))
+           .groupBy("pattern").agg(F.count("*").alias("n")))
+    aaa = sup.filter(F.col("pattern") == "a>a>a").first()
+    t_gsp = time.perf_counter() - t0
+    assert aaa is not None and aaa.n == n_sess, aaa
+
     print(json.dumps({
         "amplify": amplify,
+        "kmv_rows": n_kmv_rows, "kmv_max_rel_err": round(kmv_max_rel_err, 4),
+        "kmv_sec": round(t_kmv, 2),
+        "kmv_rows_per_sec": round(n_kmv_rows / t_kmv),
+        "gsp_events": n_sess * sess_len, "gsp_sec": round(t_gsp, 2),
+        "gsp_events_per_sec": round(n_sess * sess_len / t_gsp),
         "ahash_media": n_media, "ahash_pairs": n_ah_pairs,
         "ahash_sec": round(t_ah, 2),
         "ahash_media_per_sec": round(n_media / t_ah),

@@ -1186,15 +1186,15 @@ RIGHT JOIN exact e ON e.ta = pe.ta AND e.tb = pe.tb
 """
 
 
-@register("kmv_overlap_audit", _kmv_oracle)
-def kmv_overlap_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """KMV distinct-intersection estimate vs exact audience overlap
-    per event-type pair."""
+def kmv_pair_estimates(dist: DataFrame) -> DataFrame:
+    """KMV pair-overlap estimates over a DISTINCT (event_type,
+    user_id) relation: (ta, tb, est_a, est_b, est_inter) raw doubles
+    — shared by the registered audit and tools/stress_ops.py's
+    known-truth scale stage. Everything after the per-type K-smallest
+    rank runs on |types| x K rows."""
     from travel_data_pipeline_spark.functions.hashing import md5_long
 
     k, m = _KMV_K, _KMV_M
-    ev = load_table(spark, sf_dir, "events")
-    dist = ev.select("event_type", "user_id").distinct()
     hashed = dist.select(
         "event_type", "user_id",
         md5_long(F.concat(F.lit("kmv:"),
@@ -1204,7 +1204,7 @@ def kmv_overlap_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
               .filter(F.col("rk") <= k).select("event_type", "h"))
     per_type = sketch.groupBy("event_type").agg(
         F.count("*").alias("n_sk"), F.max("h").alias("theta"))
-    types = ev.select("event_type").distinct()
+    types = dist.select("event_type").distinct()
     prs = (types.select(F.col("event_type").alias("ta"))
            .join(types.select(F.col("event_type").alias("tb")),
                  F.col("ta") < F.col("tb")))
@@ -1232,13 +1232,6 @@ def kmv_overlap_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
                      & (F.col("in_b") == 1), 1).otherwise(0))
         .alias("rho_num"))
     _ = kp  # (kept for readability of the SQL mirror above)
-    da = dist.withColumnsRenamed({"event_type": "ta",
-                                  "user_id": "ua"})
-    db = dist.withColumnsRenamed({"event_type": "tb",
-                                  "user_id": "ub"})
-    exact = (da.join(db, (F.col("ua") == F.col("ub"))
-                     & (F.col("ta") < F.col("tb")))
-             .groupBy("ta", "tb").agg(F.count("*").alias("exact_inter")))
 
     def est(n_sk, theta):
         return (F.when(n_sk < k, n_sk.cast("double"))
@@ -1253,16 +1246,34 @@ def kmv_overlap_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
            .otherwise(F.lit(float(k - 1)) * F.lit(float(m))
                       / F.col("theta_u").cast("double")))
     est_inter = (F.col("rho_num").cast("double") / F.col("kp")) * d_u
-    return (exact.join(F.broadcast(pair_est), ["ta", "tb"], "left")
-            .join(F.broadcast(pa), "ta")
+    return (pair_est.join(F.broadcast(pa), "ta")
             .join(F.broadcast(pb), "tb")
+            .select("ta", "tb",
+                    est(F.col("n_sk_a"), F.col("theta_a")).alias("est_a"),
+                    est(F.col("n_sk_b"), F.col("theta_b")).alias("est_b"),
+                    est_inter.alias("est_inter")))
+
+
+@register("kmv_overlap_audit", _kmv_oracle)
+def kmv_overlap_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KMV distinct-intersection estimate vs exact audience overlap
+    per event-type pair."""
+    ev = load_table(spark, sf_dir, "events")
+    dist = ev.select("event_type", "user_id").distinct()
+    ests = kmv_pair_estimates(dist)
+    da = dist.withColumnsRenamed({"event_type": "ta",
+                                  "user_id": "ua"})
+    db = dist.withColumnsRenamed({"event_type": "tb",
+                                  "user_id": "ub"})
+    exact = (da.join(db, (F.col("ua") == F.col("ub"))
+                     & (F.col("ta") < F.col("tb")))
+             .groupBy("ta", "tb").agg(F.count("*").alias("exact_inter")))
+    return (exact.join(F.broadcast(ests), ["ta", "tb"], "left")
             .select(F.col("ta").alias("type_a"),
                     F.col("tb").alias("type_b"),
-                    F.round(est(F.col("n_sk_a"), F.col("theta_a")), 6)
-                    .alias("est_a"),
-                    F.round(est(F.col("n_sk_b"), F.col("theta_b")), 6)
-                    .alias("est_b"),
-                    F.round(est_inter, 6).alias("est_inter"),
+                    F.round("est_a", 6).alias("est_a"),
+                    F.round("est_b", 6).alias("est_b"),
+                    F.round("est_inter", 6).alias("est_inter"),
                     F.coalesce("exact_inter", F.lit(0)).cast("long")
                     .alias("exact_inter")))
 
