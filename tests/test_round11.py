@@ -610,3 +610,73 @@ def test_dedup_scorecard_reconciles_with_components(spark, sf_smoke):
     assert got["semantic"].n_pairs == sw.n_pairs
     assert got["semantic"].n_docs_flagged == sw.n_docs_dropped
     assert got["semantic"].flag_rate == sw.removal_share
+
+
+# ---------------------------------------------------------------------------
+# ate_bootstrap_ci — python bootstrap recomputation
+# ---------------------------------------------------------------------------
+
+def test_ate_bootstrap_matches_python(spark, sf_smoke):
+    import hashlib
+    import math
+
+    from travel_data_pipeline_spark.queries_round9 import (
+        _BOOT_CDF,
+        _BOOT_SCALE,
+    )
+    from travel_data_pipeline_spark.queries_round10 import ipw_units
+    from travel_data_pipeline_spark.queries_round11 import (
+        _ATE_B,
+        _ATE_HI_RANK,
+        _ATE_LO_RANK,
+        ate_bootstrap_ci,
+    )
+
+    units = [(r.c_custkey, r.segment, r.arm, float(r.y))
+             for r in ipw_units(spark, sf_smoke).collect()]
+
+    def weight(b, ck):
+        h = int(hashlib.md5(f"bate:{b}:{ck}".encode()).hexdigest()[:15],
+                16)
+        un = h / _BOOT_SCALE
+        for k, t in enumerate(_BOOT_CDF):
+            if un < t:
+                return k
+        return 5
+
+    ates = []
+    for b in range(_ATE_B):
+        cells = defaultdict(lambda: [0, 0, 0.0, 0.0])
+        for ck, seg, arm, y in units:
+            w = weight(b, ck)
+            c = cells[seg]
+            c[0] += w
+            if arm == 1:
+                c[1] += w
+                c[2] += w * y
+            else:
+                c[3] += w * y
+        bign = sum(c[0] for c in cells.values())
+        terms = []
+        for seg in sorted(cells):
+            nw, ntw, sytw, sycw = cells[seg]
+            if ntw == 0 or nw - ntw == 0:
+                continue
+            terms.append((nw / bign)
+                         * (sytw / ntw - sycw / (nw - ntw)))
+        if terms:
+            ates.append(sum(terms))
+    ates.sort()
+    got = ate_bootstrap_ci(spark, sf_smoke).first()
+    assert got.n_reps == len(ates) == _ATE_B
+    assert abs(got.boot_lo - ates[_ATE_LO_RANK - 1]) <= 1e-4
+    assert abs(got.boot_hi - ates[_ATE_HI_RANK - 1]) <= 1e-4
+    ms = [round(a, 6) for a in ates]
+    mean = sum(ms) / len(ms)
+    se = math.sqrt(sum((m - mean) ** 2 for m in ms) / (len(ms) - 1))
+    assert abs(got.boot_se - se) <= 1e-3
+    assert got.boot_lo <= got.boot_hi
+    # the md5 split is a null effect: the point estimate sits inside
+    # (or at least near) the bootstrap band
+    assert got.boot_lo - 3 * got.boot_se <= got.point_ate \
+        <= got.boot_hi + 3 * got.boot_se

@@ -1904,3 +1904,219 @@ def dedup_scorecard(spark: SparkSession, sf_dir: str) -> DataFrame:
                    F.col("removal_share").alias("flag_rate")))
     return (exact.unionByName(mh).unionByName(sh)
             .unionByName(ct).unionByName(sem))
+
+
+# ---------------------------------------------------------------------------
+# Poisson-bootstrap CI for the stratified ATE — the uncertainty
+# readout the causal family lacked: ipw/aipw give point estimates,
+# this gives the sampling band. Chamandy-style distributed bootstrap
+# (the poisson_bootstrap_ci machinery — python-literal Poisson(1)
+# CDF thresholds over md5 uniforms, so both engines draw identical
+# weights), applied at the RANDOMIZATION UNIT (the customer — whole
+# units resample together, never their orders separately): each of
+# B = 32 replicates reweights the per-stratum moments and re-folds
+# the stratified ATE; the band is the rank-4 / rank-29 replicate
+# (central ~81%), the SE an exact-moment fold of the 6-dp-rounded
+# replicate ATEs.
+#
+# Scale shape: units are one orders->customer grouped pass; the
+# B-fold cross is the bootstrap's documented cost (|customers| x 32
+# rows, one shuffle to (b, segment) cells); everything after runs on
+# B x |segments| rows.
+# ---------------------------------------------------------------------------
+
+_ATE_B = 32
+_ATE_LO_RANK, _ATE_HI_RANK = 4, 29  # of 32: central ~81% band
+
+
+def _ate_boot_oracle() -> str:
+    from travel_data_pipeline_spark.queries_round10 import (
+        IPW_UNITS_STRATA_SQL,
+    )
+    from travel_data_pipeline_spark.queries_round9 import (
+        _BOOT_SCALE,
+        _boot_weight_sql,
+    )
+
+    wt = _boot_weight_sql(
+        md5_long_sql("'bate:' || CAST(r.b AS VARCHAR) || ':' "
+                     "|| CAST(u.c_custkey AS VARCHAR)")
+        + f" / {_BOOT_SCALE!r}")
+    term = ("CASE WHEN ntw = 0 OR nw - ntw = 0 THEN NULL "
+            "ELSE (CAST(nw AS DOUBLE) / CAST(tw.bign AS DOUBLE)) "
+            "* (CAST(sytw AS DOUBLE) / CAST(ntw AS DOUBLE) "
+            "- CAST(sycw AS DOUBLE) / CAST(nw - ntw AS DOUBLE)) END")
+    pt_term = ("CASE WHEN n_t = 0 OR n_t = n THEN NULL "
+               "ELSE (CAST(n AS DOUBLE) "
+               "/ CAST((SELECT SUM(n) FROM strata) AS DOUBLE)) "
+               "* (CAST(sy_t AS DOUBLE) / CAST(n_t AS DOUBLE) "
+               "- CAST(sy_c AS DOUBLE) / CAST(n - n_t AS DOUBLE)) END")
+    return f"""
+WITH {IPW_UNITS_STRATA_SQL},
+reps AS (SELECT unnest(generate_series(0, {_ATE_B - 1})) AS b),
+wtd AS (
+    SELECT r.b, u.segment, u.arm, u.y, {wt} AS wt
+    FROM units u CROSS JOIN reps r
+),
+cells AS (
+    SELECT b, segment, SUM(wt) AS nw,
+           SUM(CASE WHEN arm = 1 THEN wt ELSE 0 END) AS ntw,
+           SUM(CASE WHEN arm = 1 THEN wt * y
+                    ELSE CAST(0 AS DECIMAL(28,2)) END) AS sytw,
+           SUM(CASE WHEN arm = 0 THEN wt * y
+                    ELSE CAST(0 AS DECIMAL(28,2)) END) AS sycw
+    FROM wtd GROUP BY b, segment
+),
+totw AS (SELECT b, SUM(nw) AS bign FROM cells GROUP BY b),
+rep_ates AS (
+    SELECT c.b,
+           list_reduce(list({term} ORDER BY segment)
+               FILTER (ntw > 0 AND nw - ntw > 0), (x, y) -> x + y)
+               AS ate
+    FROM cells c JOIN totw tw ON tw.b = c.b
+    GROUP BY c.b, tw.bign
+),
+ranked AS (
+    SELECT b, CAST(round(ate, 6) AS DECIMAL(18,6)) AS m,
+           ROW_NUMBER() OVER (ORDER BY ate, b) AS rn
+    FROM rep_ates WHERE ate IS NOT NULL
+),
+boot AS (
+    SELECT count(*) AS n_reps, SUM(m) AS sm,
+           SUM(CAST(m AS DECIMAL(19,6)) * m) AS smm,
+           MAX(CASE WHEN rn = {_ATE_LO_RANK} THEN CAST(m AS DOUBLE) END)
+               AS lo,
+           MAX(CASE WHEN rn = {_ATE_HI_RANK} THEN CAST(m AS DOUBLE) END)
+               AS hi
+    FROM ranked
+),
+pt AS (
+    SELECT SUM(n) AS n_units,
+           list_reduce(list({pt_term} ORDER BY segment)
+               FILTER (n_t > 0 AND n_t < n), (x, y) -> x + y)
+               AS point_ate
+    FROM strata
+)
+SELECT CAST(p.n_units AS BIGINT) AS n_units,
+       CASE WHEN p.point_ate IS NULL THEN NULL
+            ELSE {round_sql('p.point_ate')} + 0.0 END AS point_ate,
+       CAST(b.n_reps AS BIGINT) AS n_reps,
+       {round_sql('b.lo')} + 0.0 AS boot_lo,
+       {round_sql('b.hi')} + 0.0 AS boot_hi,
+       {round_sql("sqrt(GREATEST((CAST(b.smm AS DOUBLE)"
+                  " - CAST(b.sm AS DOUBLE) * CAST(b.sm AS DOUBLE)"
+                  " / b.n_reps) / (b.n_reps - 1), 0.0))")} AS boot_se
+FROM pt p CROSS JOIN boot b
+"""
+
+
+@register("ate_bootstrap_ci", _ate_boot_oracle)
+def ate_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """{B}-replicate Poisson-bootstrap band + SE for the stratified
+    ATE (units resampled at the customer level)."""
+    from travel_data_pipeline_spark.functions.hashing import md5_long
+    from travel_data_pipeline_spark.queries_round10 import (
+        ipw_strata,
+        ipw_units,
+    )
+    from travel_data_pipeline_spark.queries_round9 import (
+        _BOOT_CDF,
+        _BOOT_SCALE,
+    )
+
+    units = ipw_units(spark, sf_dir).repartition(
+        spark.sparkContext.defaultParallelism, "c_custkey")
+    reps = spark.range(_ATE_B).select(F.col("id").cast("int").alias("b"))
+    u = (md5_long(F.concat(F.lit("bate:"), F.col("b").cast("string"),
+                           F.lit(":"), F.col("c_custkey").cast("string")))
+         / F.lit(_BOOT_SCALE))
+    wt = F.lit(5)
+    for k in range(len(_BOOT_CDF) - 1, -1, -1):
+        wt = F.when(u < _BOOT_CDF[k], k).otherwise(wt)
+    zero28 = F.lit(0).cast("decimal(28,2)")
+    wtd = (units.crossJoin(F.broadcast(reps))
+           .select("b", "segment", "arm", wt.alias("wt"),
+                   (wt * F.col("y")).alias("wy")))
+    cells = wtd.groupBy("b", "segment").agg(
+        F.sum("wt").alias("nw"),
+        F.sum(F.when(F.col("arm") == 1, F.col("wt")).otherwise(0))
+        .alias("ntw"),
+        F.sum(F.when(F.col("arm") == 1, F.col("wy")).otherwise(zero28))
+        .alias("sytw"),
+        F.sum(F.when(F.col("arm") == 0, F.col("wy")).otherwise(zero28))
+        .alias("sycw"))
+    totw = cells.groupBy("b").agg(F.sum("nw").alias("bign"))
+    one_armed = (F.col("ntw") == 0) | (F.col("nw") - F.col("ntw") == 0)
+    term = (F.when(one_armed, F.lit(None).cast("double"))
+            .otherwise((F.col("nw").cast("double")
+                        / F.col("bign").cast("double"))
+                       * (F.col("sytw").cast("double")
+                          / F.col("ntw").cast("double")
+                          - F.col("sycw").cast("double")
+                          / (F.col("nw") - F.col("ntw"))
+                          .cast("double"))))
+    keep = ~one_armed
+    rep_ates = (cells.join(totw, "b")
+                .select("b", "segment", term.alias("term"),
+                        keep.alias("keep"))
+                .groupBy("b")
+                .agg(F.array_sort(F.collect_list(F.when(
+                    F.col("keep"),
+                    F.struct("segment", "term")))).alias("ts"))
+                .select("b", F.when(
+                    F.size("ts") == 0, F.lit(None).cast("double"))
+                    .otherwise(F.aggregate(
+                        F.transform("ts", lambda t: t["term"]),
+                        F.lit(0.0), lambda a, x: a + x)).alias("ate"))
+                .filter(F.col("ate").isNotNull()))
+    wr = Window.orderBy(F.col("ate").asc(), F.col("b").asc())
+    ranked = rep_ates.select(
+        F.round("ate", 6).cast("decimal(18,6)").alias("m"),
+        F.row_number().over(wr).alias("rn"))
+    boot = ranked.agg(
+        F.count("*").alias("n_reps"), F.sum("m").alias("sm"),
+        F.sum(F.col("m").cast("decimal(19,6)") * F.col("m"))
+        .alias("smm"),
+        F.max(F.when(F.col("rn") == _ATE_LO_RANK,
+                     F.col("m").cast("double"))).alias("lo"),
+        F.max(F.when(F.col("rn") == _ATE_HI_RANK,
+                     F.col("m").cast("double"))).alias("hi"))
+    strata = ipw_strata(units)
+    tot = strata.agg(F.sum("n").alias("bign"))
+    pt_one_armed = (F.col("n_t") == 0) | (F.col("n_t") == F.col("n"))
+    pt_term = (F.when(pt_one_armed, F.lit(None).cast("double"))
+               .otherwise((F.col("n").cast("double")
+                           / F.col("bign").cast("double"))
+                          * (F.col("sy_t").cast("double")
+                             / F.col("n_t").cast("double")
+                             - F.col("sy_c").cast("double")
+                             / (F.col("n") - F.col("n_t"))
+                             .cast("double"))))
+    pt = (strata.crossJoin(F.broadcast(tot))
+          .select("segment", "n", pt_term.alias("term"),
+                  (~pt_one_armed).alias("keep"))
+          .agg(F.sum("n").alias("n_units"),
+               F.array_sort(F.collect_list(F.when(
+                   F.col("keep"),
+                   F.struct("segment", "term")))).alias("ts"))
+          .select(F.col("n_units").cast("long").alias("n_units"),
+                  F.when(F.size("ts") == 0,
+                         F.lit(None).cast("double"))
+                  .otherwise(F.aggregate(
+                      F.transform("ts", lambda t: t["term"]),
+                      F.lit(0.0), lambda a, x: a + x))
+                  .alias("point_ate")))
+    se = F.sqrt(F.greatest(
+        (F.col("smm").cast("double")
+         - F.col("sm").cast("double") * F.col("sm").cast("double")
+         / F.col("n_reps")) / (F.col("n_reps") - 1), F.lit(0.0)))
+    return (pt.crossJoin(F.broadcast(boot))
+            .select("n_units",
+                    F.when(F.col("point_ate").isNull(),
+                           F.lit(None).cast("double"))
+                    .otherwise(F.round("point_ate", 6) + F.lit(0.0))
+                    .alias("point_ate"),
+                    F.col("n_reps").cast("long").alias("n_reps"),
+                    (F.round("lo", 6) + F.lit(0.0)).alias("boot_lo"),
+                    (F.round("hi", 6) + F.lit(0.0)).alias("boot_hi"),
+                    F.round(se, 6).alias("boot_se")))
