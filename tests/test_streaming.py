@@ -1225,3 +1225,62 @@ def test_weighted_reservoir_stream_matches_batch_and_replay(spark, sf_smoke,
         (r.doc_id, r.weight, r.sel_key)
         for r in versioned.read_table(spark, state_p).collect())
     assert state_after == state_before
+
+
+def test_stateful_holt_winters_matches_batch_fold(spark, sf_smoke,
+                                                  tmp_path):
+    """Streaming Holt-Winters (exact-decimal state via
+    applyInPandasWithState over the zero-filled daily grid, fed as two
+    MONOTONE day batches) must reproduce the batch decimal fold
+    (queries_round11.holt_winters_daily) bit-equal — including the
+    retroactively-emitted seed rows when the 7-day init buffer
+    completes inside batch 1."""
+    import os
+
+    from travel_data_pipeline_spark.queries_round11 import (
+        holt_winters_daily,
+    )
+
+    ev = load_table(spark, sf_smoke, "events")
+    days = ev.select(F.date_format(F.col("ts").cast("date"),
+                                   "yyyy-MM-dd").alias("day")).distinct()
+    types = ev.select("event_type").distinct()
+    counts = (ev.groupBy("event_type",
+                         F.date_format(F.col("ts").cast("date"),
+                                       "yyyy-MM-dd").alias("day"))
+              .agg(F.count("*").alias("c")))
+    grid = (types.crossJoin(days)
+            .join(counts, ["event_type", "day"], "left")
+            .select("event_type", "day",
+                    F.coalesce("c", F.lit(0)).cast("long").alias("cnt")))
+    # split by day-string midpoint: two monotone batches
+    all_days = sorted(r.day for r in grid.select("day").distinct()
+                      .collect())
+    cut = all_days[len(all_days) // 2]
+    b1 = grid.filter(F.col("day") <= cut)
+    b2 = grid.filter(F.col("day") > cut)
+
+    feed = tmp_path / "hwfeed"
+    feed.mkdir()
+    for i, part in enumerate([b1, b2]):
+        p = str(feed / f"b{i}.parquet")
+        part.toPandas().to_parquet(p)
+        os.utime(p, (1700000000 + i * 60, 1700000000 + i * 60))
+
+    stream = (spark.readStream
+              .schema("event_type string, day string, cnt long")
+              .option("maxFilesPerTrigger", 1).parquet(str(feed)))
+    out = jobs.holt_winters_stateful(stream)
+    q = (out.writeStream.format("memory").queryName("hw_out")
+         .outputMode("append").trigger(availableNow=True).start())
+    q.awaitTermination(180)
+
+    got = {(r.event_type, r.day): (r.cnt, r.level, r.trend, r.season,
+                                   r.forecast)
+           for r in spark.table("hw_out").collect()}
+    want = {(r.event_type, r.day): (r.cnt, r.level, r.trend, r.season,
+                                    r.forecast)
+            for r in holt_winters_daily(spark, sf_smoke).collect()}
+    assert set(got) == set(want)
+    for k, w in want.items():
+        assert got[k] == w, (k, got[k], w)

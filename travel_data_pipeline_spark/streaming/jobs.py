@@ -952,6 +952,126 @@ def hll_register_stream(incoming: DataFrame, state_path: str,
             .trigger(availableNow=True).start())
 
 
+def holt_winters_stateful(daily_counts: DataFrame) -> DataFrame:
+    """Streaming additive Holt-Winters via applyInPandasWithState —
+    the stateful twin of queries_round11.holt_winters_daily: per
+    event_type the state is the EXACT 6-dp decimal (level, trend,
+    seasonal deque of 7) carried as strings (decimals survive the
+    state roundtrip losslessly as text), plus the init buffer (the
+    first 7 days must all arrive before l0 = round(mean, 6) and the
+    seasonal seeds exist — the seed rows are emitted retroactively in
+    the micro-batch that completes the buffer).
+
+    The recurrence spelling is digit-identical to the batch fold
+    (same python-literal constants, same HALF_UP quantization), so
+    outputs are bit-equal to the batch query over the union of
+    monotone batches — asserted in tests/test_streaming.py. Ordering
+    contract (the holt/anomaly twins'): rows sort by day within a
+    micro-batch; cross-batch days at or before the last folded day
+    are DROPPED deterministically.
+
+    The input must be the ZERO-FILLED daily grid the batch query
+    folds (seasonality indexes by calendar position); feeding raw
+    observed-day counts would silently shift the season.
+    """
+    import pandas as pd  # noqa: F401
+
+    out_schema = T.StructType([
+        T.StructField("event_type", T.StringType()),
+        T.StructField("day", T.StringType()),
+        T.StructField("cnt", T.LongType()),
+        T.StructField("level", T.DoubleType()),
+        T.StructField("trend", T.DoubleType()),
+        T.StructField("season", T.DoubleType()),
+        T.StructField("forecast", T.DoubleType()),
+    ])
+    state_schema = T.StructType([
+        T.StructField("lvl", T.StringType()),
+        T.StructField("trd", T.StringType()),
+        T.StructField("seas", T.ArrayType(T.StringType())),
+        T.StructField("buf_days", T.ArrayType(T.StringType())),
+        T.StructField("buf_cnts", T.ArrayType(T.LongType())),
+        T.StructField("last_day", T.StringType()),
+    ])
+
+    # self-contained closure: executors may not have this repo on path
+    def update(key, pdfs, state):
+        from decimal import ROUND_HALF_UP, Decimal
+
+        import pandas as pd
+
+        A, A1 = Decimal("0.25"), Decimal("0.75")
+        B, B1 = Decimal("0.05"), Decimal("0.95")
+        G, G1 = Decimal("0.2"), Decimal("0.8")
+        m = 7
+
+        def d6(x):
+            return Decimal(x).quantize(Decimal("0.000001"),
+                                       rounding=ROUND_HALF_UP)
+
+        if state.exists:
+            lvl_s, trd_s, seas_s, buf_d, buf_c, last_day = state.get
+            lvl = Decimal(lvl_s) if lvl_s is not None else None
+            trd = Decimal(trd_s) if trd_s is not None else None
+            seas = [Decimal(s) for s in seas_s] if seas_s else []
+            buf = list(zip(buf_d or [], buf_c or []))
+        else:
+            lvl = trd = last_day = None
+            seas, buf = [], []
+
+        out = {"day": [], "cnt": [], "level": [], "trend": [],
+               "season": [], "forecast": []}
+
+        def emit(day, cnt, lv, tr, se, fc):
+            out["day"].append(day)
+            out["cnt"].append(int(cnt))
+            out["level"].append(float(lv))
+            out["trend"].append(float(tr))
+            out["season"].append(float(se))
+            out["forecast"].append(None if fc is None else float(fc))
+
+        for pdf in pdfs:
+            pdf = pdf.sort_values("day")
+            for day, cnt in zip(pdf["day"], pdf["cnt"]):
+                day, x = str(day), int(cnt)
+                if last_day is not None and day <= last_day:
+                    continue  # late cross-batch arrival / replay: drop
+                last_day = day
+                if lvl is None:
+                    buf.append((day, x))
+                    if len(buf) == m:
+                        # init: the engine's double-mean spelling
+                        mean = float(sum(c for _, c in buf)) / float(m)
+                        lvl = d6(repr(mean))
+                        trd = Decimal(0)
+                        seas = [Decimal(c) - lvl for _, c in buf]
+                        for (d, c), s in zip(buf, seas):
+                            emit(d, c, lvl, trd, s, None)
+                        buf = []
+                    continue
+                sm = seas[0]
+                fc = lvl + trd + sm
+                lt = d6(A * (Decimal(x) - sm) + A1 * (lvl + trd))
+                bt = d6(B * (lt - lvl) + B1 * trd)
+                st = d6(G * (Decimal(x) - lt) + G1 * sm)
+                seas = seas[1:] + [st]
+                lvl, trd = lt, bt
+                emit(day, x, lvl, trd, st, fc)
+
+        state.update((str(lvl) if lvl is not None else None,
+                      str(trd) if trd is not None else None,
+                      [str(s) for s in seas],
+                      [d for d, _ in buf], [c for _, c in buf],
+                      last_day))
+        yield pd.DataFrame({"event_type": [key[0]] * len(out["day"]),
+                            **out})
+
+    return (daily_counts.groupBy("event_type")
+            .applyInPandasWithState(update, out_schema, state_schema,
+                                    "append",
+                                    "NoTimeout"))
+
+
 def weighted_reservoir_stream(incoming: DataFrame, state_path: str,
                               checkpoint: str,
                               k: int | None = None) -> StreamingQuery:
