@@ -122,3 +122,84 @@ def test_forecast_ensemble_dominates_and_weights_sum(spark, sf_smoke):
         wavg = (r.w_naive * r.wape_naive + r.w_snaive * r.wape_snaive
                 + r.w_hw * r.wape_hw)
         assert r.wape_ensemble <= wavg + 1e-6, r
+
+
+def test_seasonal_strength_matches_python(spark, sf_smoke):
+    from travel_data_pipeline_spark.queries_round11 import _hw_states
+    from travel_data_pipeline_spark.queries_round12 import (
+        seasonal_strength,
+    )
+
+    states = _hw_states(spark, sf_smoke).collect()
+    by_type = defaultdict(list)
+    for r in states:
+        by_type[r.event_type].append(r)
+    got = {r.event_type: r
+           for r in seasonal_strength(spark, sf_smoke).collect()}
+    for et, rows in by_type.items():
+        rows.sort(key=lambda r: r.day)
+        seasons = [r.season for r in rows]
+        rs, srs, trs = [], [], []
+        for i, r in enumerate(rows):
+            if r.forecast is None:
+                continue
+            s_lag = seasons[i - 7]
+            rr = float(r.cnt) - r.forecast
+            rs.append(rr)
+            srs.append(rr + s_lag)
+            trs.append(float(r.cnt) - s_lag)
+
+        def var(xs):
+            n = len(xs)
+            m = sum(xs) / n
+            return sum(x * x for x in xs) / n - m * m
+
+        g = got[et]
+        assert g.n_eval == len(rs)
+        assert abs(g.var_resid - var(rs)) <= 1e-4
+        if var(srs) > 0:
+            want = max(0.0, 1.0 - var(rs) / var(srs))
+            assert abs(g.strength_seasonal - want) <= 1e-5
+        if var(trs) > 0:
+            want = max(0.0, 1.0 - var(rs) / var(trs))
+            assert abs(g.strength_trend - want) <= 1e-5
+        assert g.strength_seasonal is None or \
+            0.0 <= g.strength_seasonal <= 1.0
+        assert g.strength_trend is None or 0.0 <= g.strength_trend <= 1.0
+
+
+def test_dedup_token_savings_reconciles(spark, sf_smoke):
+    import hashlib
+    import re
+
+    from travel_data_pipeline_spark.queries_round12 import (
+        dedup_token_savings,
+    )
+
+    docs = spark.read.parquet(f"{sf_smoke}/documents.parquet").select(
+        "doc_id", "source", "text").collect()
+    keeper = {}
+    for r in sorted(docs, key=lambda r: r.doc_id):
+        tk = hashlib.md5(r.text.encode()).hexdigest()
+        keeper.setdefault(tk, r.doc_id)
+    per = defaultdict(lambda: [0, 0, 0, 0])
+    for r in docs:
+        toks = [t for t in
+                re.sub(r"\s+", " ", r.text.lower()).strip().split(" ")
+                if t]
+        tk = hashlib.md5(r.text.encode()).hexdigest()
+        c = per[r.source]
+        c[0] += 1
+        c[1] += len(toks)
+        if keeper[tk] != r.doc_id:
+            c[2] += 1
+            c[3] += len(toks)
+    got = {r.source: r
+           for r in dedup_token_savings(spark, sf_smoke).collect()}
+    assert set(got) == set(per)
+    for src, (n, tot, dd, dt) in per.items():
+        g = got[src]
+        assert (g.n_docs, g.total_tokens, g.dup_docs,
+                g.dup_tokens) == (n, tot, dd, dt), src
+        if tot:
+            assert abs(g.token_savings_share - dt / tot) <= 2e-6

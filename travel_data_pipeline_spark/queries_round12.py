@@ -522,3 +522,173 @@ def forecast_ensemble_wape(spark: SparkSession,
         F.round(w_h, 6).alias("w_hw"),
         F.when(zero, nulld).otherwise(F.round(se / ad, 6))
         .alias("wape_ensemble"))
+
+
+# ---------------------------------------------------------------------------
+# Strength of seasonality / trend (Hyndman & Athanasopoulos, FPP3,
+# public): from the published Holt-Winters states,
+#   R_t      = cnt - fc                (one-step residual)
+#   S_t-     = seasonal part of fc     (lag-7 of the season state)
+#   F_season = max(0, 1 - Var(R) / Var(R + S_t-))
+#   F_trend  = max(0, 1 - Var(R) / Var(cnt - S_t-))
+# — the "is this series worth a seasonal model" readout that belongs
+# next to the backtest. Variances are population moments over the
+# bounded per-type day list, folded in pinned day order (the inputs
+# are the 6-dp published states, identical in both engines).
+# ---------------------------------------------------------------------------
+
+
+def _ss_oracle() -> str:
+    from travel_data_pipeline_spark.registry import ORACLES
+
+    hw = ORACLES["holt_winters_daily"]
+    hw_sql = hw() if callable(hw) else hw
+    var = ("(list_reduce(list_transform({v}, x -> x * x),"
+           " (x, y) -> x + y) / n_eval"
+           " - (list_reduce({v}, (x, y) -> x + y) / n_eval)"
+           " * (list_reduce({v}, (x, y) -> x + y) / n_eval))")
+    vr = var.format(v="rs")
+    vsr = var.format(v="srs")
+    vtr = var.format(v="trs")
+    return f"""
+WITH base AS MATERIALIZED (
+{hw_sql}
+),
+seqd AS (
+    SELECT event_type, day, cnt, forecast,
+           lag(season, 7) OVER (PARTITION BY event_type
+                                ORDER BY day) AS s_lag
+    FROM base
+),
+ev AS (
+    SELECT event_type, day,
+           CAST(cnt AS DOUBLE) - forecast AS r,
+           CAST(cnt AS DOUBLE) - forecast + s_lag AS sr,
+           CAST(cnt AS DOUBLE) - s_lag AS tr
+    FROM seqd WHERE forecast IS NOT NULL
+),
+folded AS (
+    SELECT event_type, CAST(COUNT(*) AS DOUBLE) AS n_eval,
+           list(r ORDER BY day) AS rs,
+           list(sr ORDER BY day) AS srs,
+           list(tr ORDER BY day) AS trs
+    FROM ev GROUP BY event_type
+)
+SELECT event_type, CAST(n_eval AS BIGINT) AS n_eval,
+       {round_sql(vr)} + 0.0 AS var_resid,
+       CASE WHEN {vsr} = 0.0 THEN NULL
+            ELSE {round_sql(f'GREATEST(0.0, 1.0 - {vr} / {vsr})')}
+       END AS strength_seasonal,
+       CASE WHEN {vtr} = 0.0 THEN NULL
+            ELSE {round_sql(f'GREATEST(0.0, 1.0 - {vr} / {vtr})')}
+       END AS strength_trend
+FROM folded
+"""
+
+
+@register("seasonal_strength", _ss_oracle)
+def seasonal_strength(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hyndman strength-of-seasonality / strength-of-trend per event
+    type from the published Holt-Winters states."""
+    from pyspark.sql import Window
+
+    from travel_data_pipeline_spark.queries_round11 import _hw_states
+
+    base = _hw_states(spark, sf_dir)
+    w = Window.partitionBy("event_type").orderBy("day")
+    seqd = base.withColumn("s_lag", F.lag("season", 7).over(w))
+    cd = F.col("cnt").cast("double")
+    ev = (seqd.filter(F.col("forecast").isNotNull())
+          .select("event_type", "day",
+                  (cd - F.col("forecast")).alias("r"),
+                  (cd - F.col("forecast") + F.col("s_lag")).alias("sr"),
+                  (cd - F.col("s_lag")).alias("tr")))
+    folded = (ev.groupBy("event_type")
+              .agg(F.count("*").cast("double").alias("n_eval"),
+                   F.array_sort(F.collect_list(F.struct(
+                       "day", "r", "sr", "tr"))).alias("ts")))
+    fsum = lambda fn: F.aggregate(  # noqa: E731
+        F.transform("ts", fn), F.lit(0.0), lambda a, x: a + x)
+
+    def var(fld):
+        m = fsum(lambda t: t[fld]) / F.col("n_eval")
+        return (fsum(lambda t: t[fld] * t[fld]) / F.col("n_eval")
+                - m * m)
+
+    vr, vsr, vtr = var("r"), var("sr"), var("tr")
+    nulld = F.lit(None).cast("double")
+    return folded.select(
+        "event_type", F.col("n_eval").cast("long").alias("n_eval"),
+        (F.round(vr, 6) + F.lit(0.0)).alias("var_resid"),
+        F.when(vsr == 0.0, nulld)
+        .otherwise(F.round(F.greatest(F.lit(0.0),
+                                      F.lit(1.0) - vr / vsr), 6))
+        .alias("strength_seasonal"),
+        F.when(vtr == 0.0, nulld)
+        .otherwise(F.round(F.greatest(F.lit(0.0),
+                                      F.lit(1.0) - vr / vtr), 6))
+        .alias("strength_trend"))
+
+
+# ---------------------------------------------------------------------------
+# Token-weighted dedup savings — the curation readout budget owners
+# actually want: exact-duplicate docs cost TOKENS, not doc counts.
+# Per source: docs flagged by the exact-dup rule (non-minimal doc_id
+# within an md5(text) group — the dedup family's keep-earliest
+# convention), their token mass, and the share of the source's token
+# budget that dedup returns.
+# ---------------------------------------------------------------------------
+
+@register("dedup_token_savings", f"""
+WITH toked AS (
+    SELECT doc_id, source, md5(text) AS tk,
+           len(list_filter(string_split(
+               trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' '),
+               x -> x <> '')) AS n_tokens
+    FROM documents
+),
+keyed AS (
+    SELECT doc_id, source, n_tokens,
+           MIN(doc_id) OVER (PARTITION BY tk) AS keeper
+    FROM toked
+)
+SELECT source,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+       CAST(SUM(CASE WHEN doc_id <> keeper THEN 1 ELSE 0 END)
+            AS BIGINT) AS dup_docs,
+       CAST(SUM(CASE WHEN doc_id <> keeper THEN n_tokens ELSE 0 END)
+            AS BIGINT) AS dup_tokens,
+       CASE WHEN SUM(n_tokens) = 0 THEN NULL
+            ELSE {round_sql(
+                "SUM(CASE WHEN doc_id <> keeper THEN n_tokens ELSE 0 END)"
+                " / CAST(SUM(n_tokens) AS DOUBLE)")}
+       END AS token_savings_share
+FROM keyed GROUP BY source
+""")
+def dedup_token_savings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source token mass returned by exact dedup (keep-earliest)."""
+    from pyspark.sql import Window
+
+    from travel_data_pipeline_spark.operators import text
+
+    docs = load_table(spark, sf_dir, "documents")
+    toked = docs.select(
+        "doc_id", "source", F.md5("text").alias("tk"),
+        text.whitespace_token_count(F.col("text")).alias("n_tokens"))
+    wk = Window.partitionBy("tk")
+    keyed = toked.withColumn("keeper", F.min("doc_id").over(wk))
+    dup = F.col("doc_id") != F.col("keeper")
+    zero = F.sum("n_tokens") == 0
+    return (keyed.groupBy("source")
+            .agg(F.count("*").cast("long").alias("n_docs"),
+                 F.sum("n_tokens").cast("long").alias("total_tokens"),
+                 F.sum(F.when(dup, 1).otherwise(0)).cast("long")
+                 .alias("dup_docs"),
+                 F.sum(F.when(dup, F.col("n_tokens")).otherwise(0))
+                 .cast("long").alias("dup_tokens"),
+                 F.when(zero, F.lit(None).cast("double"))
+                 .otherwise(F.round(
+                     F.sum(F.when(dup, F.col("n_tokens")).otherwise(0))
+                     / F.sum("n_tokens").cast("double"), 6))
+                 .alias("token_savings_share")))
