@@ -367,6 +367,20 @@ def ipw_strata(units: DataFrame) -> DataFrame:
 # the shared units/strata CTE text (the exact SQL the causal
 # queries' oracles all open with); parametrized by the split salt so
 # the placebo refutation can re-render it per seed
+def ipw_units_sql(salt: str = "exp:",
+                  units_name: str = "units") -> str:
+    """Just the units CTE — for oracles that need no strata
+    (mann_whitney, trimmed_mean)."""
+    arm = md5_long_sql(f"'{salt}' || CAST(c_custkey AS VARCHAR)")
+    return f"""{units_name} AS (
+    SELECT c.c_custkey, c.c_mktsegment AS segment,
+           ({arm} % 2) AS arm,
+           SUM(CAST(o.o_totalprice AS DECIMAL(18,2))) AS y
+    FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+    GROUP BY c.c_custkey, segment, arm
+)"""
+
+
 def ipw_units_strata_sql(salt: str = "exp:",
                          units_name: str = "units",
                          strata_name: str = "strata") -> str:

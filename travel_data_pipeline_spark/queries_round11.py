@@ -1977,7 +1977,9 @@ rep_ates AS (
     GROUP BY c.b, tw.bign
 ),
 ranked AS (
-    SELECT b, CAST(round(ate, 6) AS DECIMAL(18,6)) AS m,
+    -- parity rounding spelling on the dirty double (repo rule:
+    -- nested rounds in oracle SQL each use round_sql; review r08)
+    SELECT b, CAST({round_sql('ate')} AS DECIMAL(18,6)) AS m,
            ROW_NUMBER() OVER (ORDER BY ate, b) AS rn
     FROM rep_ates WHERE ate IS NOT NULL
 ),
@@ -2003,8 +2005,9 @@ SELECT CAST(p.n_units AS BIGINT) AS n_units,
        CAST(b.n_reps AS BIGINT) AS n_reps,
        {round_sql('b.lo')} + 0.0 AS boot_lo,
        {round_sql('b.hi')} + 0.0 AS boot_hi,
-       {round_sql("sqrt(GREATEST((CAST(b.smm AS DOUBLE)"
-                  " - CAST(b.sm AS DOUBLE) * CAST(b.sm AS DOUBLE)"
+       {round_sql("sqrt(GREATEST((CAST(CAST(b.smm AS VARCHAR) AS DOUBLE)"
+                  " - CAST(CAST(b.sm AS VARCHAR) AS DOUBLE)"
+                  " * CAST(CAST(b.sm AS VARCHAR) AS DOUBLE)"
                   " / b.n_reps) / (b.n_reps - 1), 0.0))")} AS boot_se
 FROM pt p CROSS JOIN boot b
 """
@@ -2106,9 +2109,12 @@ def ate_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
                       F.transform("ts", lambda t: t["term"]),
                       F.lit(0.0), lambda a, x: a + x))
                   .alias("point_ate")))
+    # sm/smm scale-12 decimals cross 2^53 — string-bridge the casts
+    # (parity.py magnitude hazard; review r08)
     se = F.sqrt(F.greatest(
-        (F.col("smm").cast("double")
-         - F.col("sm").cast("double") * F.col("sm").cast("double")
+        (F.col("smm").cast("string").cast("double")
+         - F.col("sm").cast("string").cast("double")
+         * F.col("sm").cast("string").cast("double")
          / F.col("n_reps")) / (F.col("n_reps") - 1), F.lit(0.0)))
     return (pt.crossJoin(F.broadcast(boot))
             .select("n_units",

@@ -35,6 +35,9 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from travel_data_pipeline_spark.functions.parity import round_sql
+from travel_data_pipeline_spark.queries_cleaning import (
+    _NORM as _CLEAN_NORM,
+)
 from travel_data_pipeline_spark.registry import register
 from travel_data_pipeline_spark.sources.readers import load_table
 
@@ -116,10 +119,10 @@ def mann_whitney_arms(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _mw_oracle() -> str:
     from travel_data_pipeline_spark.queries_round10 import (
-        ipw_units_strata_sql,
+        ipw_units_sql,
     )
 
-    units_cte = ipw_units_strata_sql().split("),\nstrata")[0] + ")"
+    units_cte = ipw_units_sql()
     return f"""
 WITH {units_cte},
 vals AS (
@@ -203,7 +206,12 @@ def trimmed_mean_ate(spark: SparkSession, sf_dir: str) -> DataFrame:
                            - F.floor(F.col("n") / _TRIM_DENOM)))
                 .agg(F.min("n").alias("n"),
                      F.count("*").alias("n_kept"),
-                     F.sum("y").alias("sy")))
+                     F.sum("y").alias("sy"))
+                # an EMPTY arm yields 0 rows in the oracle's kept CTE
+                # (inner join -> 0 output rows); a global agg over an
+                # empty frame still emits one row here — drop it so
+                # both engines agree on cardinality (review r08 #2)
+                .filter(F.col("n").isNotNull()))
         sides.append(kept.select(
             F.lit(arm_v).alias("arm"), "n", "n_kept", "sy"))
     a1 = sides[1].select(F.col("n").alias("n1"),
@@ -232,10 +240,10 @@ def trimmed_mean_ate(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _tm_oracle() -> str:
     from travel_data_pipeline_spark.queries_round10 import (
-        ipw_units_strata_sql,
+        ipw_units_sql,
     )
 
-    units_cte = ipw_units_strata_sql().split("),\nstrata")[0] + ")"
+    units_cte = ipw_units_sql()
     return f"""
 WITH {units_cte},
 ranked AS (
@@ -466,7 +474,6 @@ def forecast_ensemble_wape(spark: SparkSession,
     w = Window.partitionBy("event_type").orderBy("day")
     seqd = (base.withColumn("pcnt", F.lag("cnt", 1).over(w))
             .withColumn("scnt", F.lag("cnt", _FE_M).over(w)))
-    cd = F.col("cnt").cast("double")
     ev = (seqd.filter(F.col("forecast").isNotNull())
           .select("event_type", "day", "cnt",
                   F.col("pcnt").cast("double").alias("f_n"),
@@ -577,10 +584,12 @@ folded AS (
 SELECT event_type, CAST(n_eval AS BIGINT) AS n_eval,
        {round_sql(vr)} + 0.0 AS var_resid,
        CASE WHEN {vsr} = 0.0 THEN NULL
-            ELSE {round_sql(f'GREATEST(0.0, 1.0 - {vr} / {vsr})')}
+            ELSE {round_sql(
+                f'LEAST(1.0, GREATEST(0.0, 1.0 - {vr} / {vsr}))')}
        END AS strength_seasonal,
        CASE WHEN {vtr} = 0.0 THEN NULL
-            ELSE {round_sql(f'GREATEST(0.0, 1.0 - {vr} / {vtr})')}
+            ELSE {round_sql(
+                f'LEAST(1.0, GREATEST(0.0, 1.0 - {vr} / {vtr}))')}
        END AS strength_trend
 FROM folded
 """
@@ -620,13 +629,15 @@ def seasonal_strength(spark: SparkSession, sf_dir: str) -> DataFrame:
     return folded.select(
         "event_type", F.col("n_eval").cast("long").alias("n_eval"),
         (F.round(vr, 6) + F.lit(0.0)).alias("var_resid"),
+        # clamped to [0, 1] in BOTH engines: E[x^2]-m^2 cancellation
+        # can push a ratio of near-zero variances past 1 (review r08)
         F.when(vsr == 0.0, nulld)
-        .otherwise(F.round(F.greatest(F.lit(0.0),
-                                      F.lit(1.0) - vr / vsr), 6))
+        .otherwise(F.round(F.least(F.lit(1.0), F.greatest(
+            F.lit(0.0), F.lit(1.0) - vr / vsr)), 6))
         .alias("strength_seasonal"),
         F.when(vtr == 0.0, nulld)
-        .otherwise(F.round(F.greatest(F.lit(0.0),
-                                      F.lit(1.0) - vr / vtr), 6))
+        .otherwise(F.round(F.least(F.lit(1.0), F.greatest(
+            F.lit(0.0), F.lit(1.0) - vr / vtr)), 6))
         .alias("strength_trend"))
 
 
@@ -642,8 +653,7 @@ def seasonal_strength(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register("dedup_token_savings", f"""
 WITH toked AS (
     SELECT doc_id, source, md5(text) AS tk,
-           len(list_filter(string_split(
-               trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' '),
+           len(list_filter(string_split({_CLEAN_NORM}, ' '),
                x -> x <> '')) AS n_tokens
     FROM documents
 ),

@@ -1030,33 +1030,46 @@ def holt_winters_stateful(daily_counts: DataFrame) -> DataFrame:
             out["season"].append(float(se))
             out["forecast"].append(None if fc is None else float(fc))
 
-        for pdf in pdfs:
-            pdf = pdf.sort_values("day")
-            for day, cnt in zip(pdf["day"], pdf["cnt"]):
-                day, x = str(day), int(cnt)
-                if last_day is not None and day <= last_day:
-                    continue  # late cross-batch arrival / replay: drop
-                last_day = day
-                if lvl is None:
+        # one SORT across the whole micro-batch: Arrow delivers a
+        # group's rows as MULTIPLE chunks in arbitrary cross-chunk
+        # order, and a per-chunk sort would make the monotone drop
+        # rule discard genuinely in-order days (review r08)
+        chunks = [pdf for pdf in pdfs if len(pdf)]
+        if chunks:
+            batch = pd.concat(chunks).sort_values("day")
+            rows_iter = zip(batch["day"], batch["cnt"])
+        else:
+            rows_iter = []
+        for day, cnt in rows_iter:
+            day, x = str(day), int(cnt)
+            if last_day is not None and day <= last_day:
+                continue  # late cross-batch arrival / replay: drop
+            last_day = day
+            if lvl is None:
+                if len(buf) < m:
                     buf.append((day, x))
-                    if len(buf) == m:
-                        # init: the engine's double-mean spelling
-                        mean = float(sum(c for _, c in buf)) / float(m)
-                        lvl = d6(repr(mean))
-                        trd = Decimal(0)
-                        seas = [Decimal(c) - lvl for _, c in buf]
-                        for (d, c), s in zip(buf, seas):
-                            emit(d, c, lvl, trd, s, None)
-                        buf = []
                     continue
-                sm = seas[0]
-                fc = lvl + trd + sm
-                lt = d6(A * (Decimal(x) - sm) + A1 * (lvl + trd))
-                bt = d6(B * (lt - lvl) + B1 * trd)
-                st = d6(G * (Decimal(x) - lt) + G1 * sm)
-                seas = seas[1:] + [st]
-                lvl, trd = lt, bt
-                emit(day, x, lvl, trd, st, fc)
+                # the (m+1)-th day arrived: NOW init + emit the seed
+                # rows retroactively — the batch query requires a
+                # grid LONGER than m days before emitting anything
+                # (size > 7 gate), so a 7-day-total stream must stay
+                # silent exactly like the batch (review r08)
+                mean = float(sum(c for _, c in buf)) / float(m)
+                lvl = d6(repr(mean))
+                trd = Decimal(0)
+                seas = [Decimal(c) - lvl for _, c in buf]
+                for (d, c), s in zip(buf, seas):
+                    emit(d, c, lvl, trd, s, None)
+                buf = []
+                # fall through: this day is the first recurrence row
+            sm = seas[0]
+            fc = lvl + trd + sm
+            lt = d6(A * (Decimal(x) - sm) + A1 * (lvl + trd))
+            bt = d6(B * (lt - lvl) + B1 * trd)
+            st = d6(G * (Decimal(x) - lt) + G1 * sm)
+            seas = seas[1:] + [st]
+            lvl, trd = lt, bt
+            emit(day, x, lvl, trd, st, fc)
 
         state.update((str(lvl) if lvl is not None else None,
                       str(trd) if trd is not None else None,
