@@ -158,12 +158,36 @@ def main() -> None:
     # sidecar (VERDICT r07 #7): the driver's BENCH_r{N}.json records
     # captured stdout, which has been observed tail-truncated — drop
     # the same line in a file so the headline value always survives.
+    # DNF/partial runs go to a SEPARATE file (ADVICE r08) so a failed
+    # run never clobbers the last good headline value.
+    sidecar = "BENCH_LAST_DNF.json" if errors else "BENCH_LAST.json"
     try:
-        with open(os.path.join(REPO_ROOT, "BENCH_LAST.json"), "w") as fh:
+        with open(os.path.join(REPO_ROOT, sidecar), "w") as fh:
             fh.write(line + "\n")
     except OSError as exc:
         print(f"bench: sidecar write failed: {exc}", file=sys.stderr)
     print(line)
+    # Compact summary printed LAST (VERDICT r08 #7): the driver's
+    # BENCH_r{N}.json keeps only a tail of stdout, which truncates the
+    # full line above mid-JSON (parsed: null in r07/r08). This short
+    # line always survives the tail whole, so round-over-round
+    # comparison gets a parseable headline + the common-13 series
+    # metric without depending on the sidecar. Full per-query detail
+    # stays in the big line / BENCH_LAST.json.
+    common13 = {n: timings[n] for n in HEADLINE[:13] if n in timings}
+    summary = {
+        "metric": "headline-suite-wall-sec",
+        "value": payload["value"],
+        "unit": "sec",
+        "queries": {k: round(v, 3) for k, v in common13.items()},
+        "common13_sec": round(sum(common13.values()), 3),
+        "n_queries": len(timings),
+        "sf": sf_val,
+        "summary": True,
+    }
+    if errors:
+        summary["dnf"] = True
+    print(json.dumps(summary))
 
 
 if __name__ == "__main__":

@@ -1159,10 +1159,19 @@ def test_token_shard_stream_legacy_state_still_gates_replay(spark, sf_smoke,
     stream = (spark.readStream
               .schema("doc_id long, text string, source string, lang string")
               .option("maxFilesPerTrigger", 1).parquet(str(feed)))
-    q = jobs.token_shard_stream(stream, state_p, out_p,
-                                str(tmp_path / "lckpt"),
-                                token_budget=TOKEN_BUDGET)
-    q.awaitTermination(180)
+    # The drop must be LOUD (ADVICE r08): if this were a mistaken
+    # checkpoint migration rather than a replay, silence = invisible
+    # data loss. catch_warnings swaps the global showwarning, so the
+    # warning raised on the foreachBatch driver thread is captured.
+    import warnings as _warnings
+    with _warnings.catch_warnings(record=True) as caught:
+        _warnings.simplefilter("always")
+        q = jobs.token_shard_stream(stream, state_p, out_p,
+                                    str(tmp_path / "lckpt"),
+                                    token_budget=TOKEN_BUDGET)
+        q.awaitTermination(180)
+    assert any("legacy-state gate dropped" in str(w.message)
+               for w in caught)
 
     after = {(r.source, r.lang): r.base_tokens
              for r in versioned.read_table(spark, state_p).collect()}

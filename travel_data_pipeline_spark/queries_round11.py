@@ -1168,7 +1168,7 @@ exact AS (
       ON a.user_id = b.user_id AND a.event_type < b.event_type
     GROUP BY ta, tb
 )
-SELECT e.ta AS type_a, e.tb AS type_b,
+SELECT COALESCE(pe.ta, e.ta) AS type_a, COALESCE(pe.tb, e.tb) AS type_b,
        {round_sql(est.replace('n_sk', 'pa.n_sk')
                      .replace('theta', 'pa.theta'))} AS est_a,
        {round_sql(est.replace('n_sk', 'pb.n_sk')
@@ -1182,7 +1182,7 @@ SELECT e.ta AS type_a, e.tb AS type_b,
 FROM pair_est pe
 JOIN per_type pa ON pa.event_type = pe.ta
 JOIN per_type pb ON pb.event_type = pe.tb
-RIGHT JOIN exact e ON e.ta = pe.ta AND e.tb = pe.tb
+FULL JOIN exact e ON e.ta = pe.ta AND e.tb = pe.tb
 """
 
 
@@ -1257,7 +1257,15 @@ def kmv_pair_estimates(dist: DataFrame) -> DataFrame:
 @register("kmv_overlap_audit", _kmv_oracle)
 def kmv_overlap_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     """KMV distinct-intersection estimate vs exact audience overlap
-    per event-type pair."""
+    per event-type pair.
+
+    FULL outer between the sketch estimates and the exact relation
+    (ADVICE r08): a pair whose sketch estimates a positive overlap but
+    whose true intersection is 0 has no `exact` row, and that
+    false-positive case is exactly what a sketch-trust audit must
+    surface — so the estimate side must be join-preserved too.
+    Both relations are |types|^2-bounded, so the un-broadcastable
+    full-outer SMJ is fine at any scale."""
     ev = load_table(spark, sf_dir, "events")
     dist = ev.select("event_type", "user_id").distinct()
     ests = kmv_pair_estimates(dist)
@@ -1268,7 +1276,7 @@ def kmv_overlap_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact = (da.join(db, (F.col("ua") == F.col("ub"))
                      & (F.col("ta") < F.col("tb")))
              .groupBy("ta", "tb").agg(F.count("*").alias("exact_inter")))
-    return (exact.join(F.broadcast(ests), ["ta", "tb"], "left")
+    return (ests.join(exact, ["ta", "tb"], "full")
             .select(F.col("ta").alias("type_a"),
                     F.col("tb").alias("type_b"),
                     F.round("est_a", 6).alias("est_a"),

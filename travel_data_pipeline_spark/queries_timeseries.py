@@ -596,8 +596,18 @@ def theil_sen_daily_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
     # two_phase_ordered's quantile probe, its per-bucket stats pass,
     # and its windowed pass) — materialize once so the multi-year ~2M-
     # pair shape never recomputes the cross join per consumer
-    # (ADVICE r07). Measured at sf0.1 (best-of-3 exec): see commit.
-    slopes = slopes.localCheckpoint(eager=True)
+    # (ADVICE r07). LAZY persist, not localCheckpoint(eager=True)
+    # (ADVICE r08): eager checkpointing executed the O(days^2) join at
+    # DataFrame-CONSTRUCTION time (plan audits / explain tooling paid
+    # full execution), and localCheckpoint blocks are unreplicated —
+    # executor loss kills the query instead of recomputing lineage.
+    # persist() materializes at the first action and is shared by all
+    # four consumers within the job. Measured at sf0.1 best-of-3
+    # (build+exec): eager-localCheckpoint 1.32+0.41=1.73s vs persist
+    # 1.10+0.52=1.62s — the eager shape only LOOKED faster on exec
+    # because it smuggled the pair join into build time; end-to-end
+    # the lazy/replicated shape is also slightly faster.
+    slopes = slopes.persist()
     np_agg = slopes.agg(F.count("*").alias("np"))
     ranked = two_phase_ordered(slopes, ["sl", "i", "j"],
                                bucket_on=F.col("sl"), rank_col="rn")

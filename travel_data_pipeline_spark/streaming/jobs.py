@@ -859,6 +859,21 @@ def token_shard_stream(incoming: DataFrame, state_path: str,
                 head = state.agg(F.max("epoch").alias("epoch")).first()
                 if (head["epoch"] is not None
                         and epoch_id <= head["epoch"]):
+                    # LOUD drop (ADVICE r08): if this is a mistaken
+                    # checkpoint migration (fresh checkpoint pointed
+                    # at legacy state) rather than a true replay, this
+                    # branch is silently losing a genuinely new
+                    # window — make the at-most-once resolution
+                    # operator-visible instead of invisible.
+                    import warnings
+                    warnings.warn(
+                        "token_shard_stream: legacy-state gate dropped "
+                        f"epoch {epoch_id} (stored watermark "
+                        f"{head['epoch']}, state={state_path}). If this "
+                        "checkpoint is NEW (not a replay of the state's "
+                        "original checkpoint), this is DATA LOSS — keep "
+                        "the original checkpoint dir or re-seed state.",
+                        stacklevel=2)
                     versioned.write_table(
                         state.withColumn("ckpt", F.lit(ckpt_id)),
                         state_path)
