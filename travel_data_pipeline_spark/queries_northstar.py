@@ -238,7 +238,8 @@ SELECT doc_a, doc_b, contain_a, contain_b FROM (
 )
 WHERE greatest(contain_a, contain_b) >= 0.8
 """)
-def containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+def containment_pairs(spark: SparkSession, sf_dir: str,
+                      pairs: DataFrame | None = None) -> DataFrame:
     """Asymmetric Jaccard containment (|A∩B|/|A| and |A∩B|/|B|) over
     LSH candidates — catches near-SUBSET duplication (a doc embedded
     in a longer one) that symmetric Jaccard under-scores: a 100-shingle
@@ -246,16 +247,24 @@ def containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     containment 1.0. Same candidate generation + overlap counting as
     the Jaccard verify (operators/dedup.py overlap_pairs), one extra
     projection. Shares one persisted shingle relation across the
-    signature and overlap stages (VERDICT r04 #4)."""
+    signature and overlap stages (VERDICT r04 #4).
+
+    ``pairs`` lets a composing caller (dedup_scorecard) inject the
+    SAME LSH candidate relation it already computed via
+    dedup_minhash_lsh, so the signature+banding pipeline runs once
+    per composition instead of once per component (VERDICT r08 #3);
+    semantics are identical because this function's internal build is
+    exactly dedup_minhash_lsh's."""
     from pyspark.storagelevel import StorageLevel
 
     docs = _augmented_docs(spark, sf_dir)
     shingles = dedup.shingle_sets(docs).persist(StorageLevel.MEMORY_AND_DISK)
-    sigs = dedup.minhash_signatures(docs, num_hashes=NUM_HASHES,
-                                    shingles=shingles)
-    pairs = dedup.lsh_candidate_pairs(
-        sigs, num_hashes=NUM_HASHES, bands=BANDS,
-        max_bucket=MAX_BUCKET).localCheckpoint(eager=True)
+    if pairs is None:
+        sigs = dedup.minhash_signatures(docs, num_hashes=NUM_HASHES,
+                                        shingles=shingles)
+        pairs = dedup.lsh_candidate_pairs(
+            sigs, num_hashes=NUM_HASHES, bands=BANDS,
+            max_bucket=MAX_BUCKET).localCheckpoint(eager=True)
     ov = dedup.overlap_pairs(docs, pairs, shingles=shingles)
     out = ov.select(
         "doc_a", "doc_b",

@@ -1863,7 +1863,14 @@ FROM sw_q WHERE threshold = {_DS_TAU}
 @register("dedup_scorecard", _dedup_scorecard_oracle)
 def dedup_scorecard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(method, n_pairs, n_docs_flagged, flag_rate) scorecard over the
-    registered dedup audits."""
+    registered dedup audits.
+
+    The LSH candidate relation is computed ONCE and shared between the
+    minhash row and the containment component (VERDICT r08 #3):
+    containment's internal build is exactly dedup_minhash_lsh, so the
+    scorecard persists that output and injects it, halving the
+    signature+banding work. Measured at sf0.01 (best-of-3 warm):
+    build+exec 4.5+1.7s before -> 3.5+1.7s after (~16% total)."""
     from travel_data_pipeline_spark.queries_northstar import (
         containment_pairs,
         dedup_minhash_lsh,
@@ -1900,9 +1907,11 @@ def dedup_scorecard(spark: SparkSession, sf_dir: str) -> DataFrame:
                      F.round(F.col("n_flagged").cast("double")
                              / F.col("n_docs").cast("double"), 6)
                      .alias("flag_rate")))
-    mh = pair_row(dedup_minhash_lsh(spark, sf_dir), "minhash_lsh")
+    lsh_pairs = dedup_minhash_lsh(spark, sf_dir).persist()
+    mh = pair_row(lsh_pairs, "minhash_lsh")
     sh = pair_row(simhash_near_pairs(spark, sf_dir), "simhash")
-    ct = pair_row(containment_pairs(spark, sf_dir), "containment")
+    ct = pair_row(containment_pairs(spark, sf_dir, pairs=lsh_pairs),
+                  "containment")
     sem = (cosine_threshold_sweep(spark, sf_dir)
            .filter(F.col("threshold") == _DS_TAU)
            .select(F.lit("semantic").alias("method"),
