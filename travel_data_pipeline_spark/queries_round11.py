@@ -1459,15 +1459,21 @@ FROM picked p1 JOIN picked p0
 
 
 @register("quantile_treatment_effects", _qte_oracle)
-def quantile_treatment_effects(spark: SparkSession,
-                               sf_dir: str) -> DataFrame:
-    """Exact per-arm outcome quartiles and their differences (QTE)."""
+def quantile_treatment_effects(spark: SparkSession, sf_dir: str,
+                               units: DataFrame | None = None) -> DataFrame:
+    """Exact per-arm outcome quartiles and their differences (QTE).
+
+    ``units`` lets tools/stress_stats.py drive this exact code path
+    with a synthetic 20M-row arm; default is the registered
+    ipw_units split."""
     from travel_data_pipeline_spark.operators.windows import (
         two_phase_ordered,
     )
     from travel_data_pipeline_spark.queries_round10 import ipw_units
 
-    units = ipw_units(spark, sf_dir).select("c_custkey", "arm", "y")
+    if units is None:
+        units = ipw_units(spark, sf_dir)
+    units = units.select("c_custkey", "arm", "y")
     grid = spark.createDataFrame([(q,) for q in _QTE_QS], "q int")
     picked = []
     for arm_v in (0, 1):

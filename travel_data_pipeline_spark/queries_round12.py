@@ -62,14 +62,22 @@ _LN2 = repr(math.log(2.0))
 
 
 @register("mann_whitney_arms", lambda: _mw_oracle())
-def mann_whitney_arms(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact tie-adjusted Mann-Whitney U / z between the arms."""
+def mann_whitney_arms(spark: SparkSession, sf_dir: str,
+                      units: DataFrame | None = None) -> DataFrame:
+    """Exact tie-adjusted Mann-Whitney U / z between the arms.
+
+    ``units`` lets tools/stress_stats.py drive this exact code path
+    with a synthetic 20M-row arm (certifying the two-phase rank has no
+    hidden single-partition sort); default is the registered
+    ipw_units split."""
     from travel_data_pipeline_spark.operators.windows import (
         two_phase_ordered,
     )
     from travel_data_pipeline_spark.queries_round10 import ipw_units
 
-    units = ipw_units(spark, sf_dir).select("arm", "y")
+    if units is None:
+        units = ipw_units(spark, sf_dir)
+    units = units.select("arm", "y")
     vals = units.groupBy("y").agg(
         F.count("*").alias("cnt"),
         F.sum(F.when(F.col("arm") == 1, 1).otherwise(0)).alias("cnt_t"))
@@ -184,14 +192,21 @@ _TRIM_DENOM = 20  # floor(n/20) = 5% each tail
 
 
 @register("trimmed_mean_ate", lambda: _tm_oracle())
-def trimmed_mean_ate(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact 5%-trimmed per-arm means and the trimmed ATE."""
+def trimmed_mean_ate(spark: SparkSession, sf_dir: str,
+                     units: DataFrame | None = None) -> DataFrame:
+    """Exact 5%-trimmed per-arm means and the trimmed ATE.
+
+    ``units`` lets tools/stress_stats.py drive this exact code path
+    with a synthetic 20M-row arm; default is the registered
+    ipw_units split."""
     from travel_data_pipeline_spark.operators.windows import (
         two_phase_ordered,
     )
     from travel_data_pipeline_spark.queries_round10 import ipw_units
 
-    units = ipw_units(spark, sf_dir).select("c_custkey", "arm", "y")
+    if units is None:
+        units = ipw_units(spark, sf_dir)
+    units = units.select("c_custkey", "arm", "y")
     sides = []
     for arm_v in (0, 1):
         side = units.filter(F.col("arm") == arm_v)
