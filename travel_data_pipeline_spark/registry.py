@@ -95,4 +95,5 @@ from travel_data_pipeline_spark import queries_round8  # noqa: E402,F401
 from travel_data_pipeline_spark import queries_round9  # noqa: E402,F401
 from travel_data_pipeline_spark import queries_round10  # noqa: E402,F401
 from travel_data_pipeline_spark import queries_round11  # noqa: E402,F401
-from travel_data_pipeline_spark import queries_round12  # noqa: E402,F401
+from travel_data_pipeline_spark import queries_round12  # noqa: E402
+from travel_data_pipeline_spark import queries_round13  # noqa: E402,F401
