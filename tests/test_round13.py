@@ -138,3 +138,153 @@ def test_skyline_is_exactly_the_undominated_set(spark, sf_smoke):
     got = {r.p_partkey for r in skyline_pareto_front(spark,
                                                      sf_smoke).collect()}
     assert got == undominated and len(got) >= 1
+
+
+def _norm_words(text: str) -> list[str]:
+    import re
+
+    return [w for w in re.sub(r"\s+", " ", text.lower()).strip().split(" ")]
+
+
+def test_lexical_diversity_matches_python(spark, sf_smoke):
+    from travel_data_pipeline_spark.queries_round13 import (
+        lexical_diversity_by_source,
+    )
+    from travel_data_pipeline_spark.sources.readers import load_table
+
+    docs = [(r.source, r.text)
+            for r in load_table(spark, sf_smoke, "documents")
+            .select("source", "text").collect()]
+    freq = defaultdict(lambda: defaultdict(int))
+    for src, text in docs:
+        for w in _norm_words(text):
+            if w:
+                freq[src][w] += 1
+    got = {r.source: r
+           for r in lexical_diversity_by_source(spark, sf_smoke).collect()}
+    assert set(got) == set(freq)
+    for src, tf in freq.items():
+        n_tokens = sum(tf.values())
+        n_types = len(tf)
+        n_hapax = sum(1 for c in tf.values() if c == 1)
+        simpson = (sum(c * (c - 1) for c in tf.values())
+                   / (n_tokens * (n_tokens - 1)))
+        row = got[src]
+        assert (row.n_tokens, row.n_types, row.n_hapax) == (
+            n_tokens, n_types, n_hapax)
+        assert abs(row.ttr - n_types / n_tokens) < 1e-6
+        assert abs(row.hapax_share - n_hapax / n_types) < 1e-6
+        assert abs(row.simpson_repeat - simpson) < 1e-6
+
+
+def test_char_entropy_flags_match_python(spark, sf_smoke):
+    import re
+
+    from travel_data_pipeline_spark.queries_round13 import (
+        char_entropy_flags,
+    )
+    from travel_data_pipeline_spark.sources.readers import load_table
+
+    docs = [(r.source, r.text)
+            for r in load_table(spark, sf_smoke, "documents")
+            .select("source", "text").collect()]
+    per_source = defaultdict(list)
+    for src, text in docs:
+        norm = re.sub(r"\s+", " ", text.lower()).strip()
+        counts = defaultdict(int)
+        for ch in norm:
+            counts[ch] += 1
+        n = sum(counts.values())
+        if n <= 1:
+            h = 0.0
+        else:
+            h = math.log(n) - sum(c * math.log(c)
+                                  for c in counts.values()) / n
+        per_source[src].append(h)
+    got = {r.source: r
+           for r in char_entropy_flags(spark, sf_smoke).collect()}
+    assert set(got) == set(per_source)
+    for src, hs in per_source.items():
+        row = got[src]
+        n_low = sum(1 for h in hs if h < 2.5)
+        assert row.n_docs == len(hs)
+        assert row.n_low_entropy == n_low
+        assert abs(row.min_entropy - min(hs)) < 1e-6
+        assert abs(row.max_entropy - max(hs)) < 1e-6
+        # natural-language corpus: character entropy must be sane
+        assert 0.0 <= row.max_entropy < math.log(128)
+
+
+def test_kn_bigram_ppl_matches_python(spark, sf_smoke):
+    from travel_data_pipeline_spark.queries_round13 import kn_bigram_ppl
+    from travel_data_pipeline_spark.sources.readers import load_table
+
+    docs = [(r.doc_id, _norm_words(r.text))
+            for r in load_table(spark, sf_smoke, "documents")
+            .select("doc_id", "text").collect()]
+    D = 0.75
+    bg = defaultdict(int)
+    ctx_n = defaultdict(int)
+    fwd = defaultdict(set)
+    back = defaultdict(set)
+    for _, ws in docs:
+        for a, b in zip(ws, ws[1:]):
+            bg[(a, b)] += 1
+            ctx_n[a] += 1
+            fwd[a].add(b)
+            back[b].add(a)
+    n_types = len(bg)
+    got = {r.doc_id: r for r in kn_bigram_ppl(spark, sf_smoke).collect()}
+    for doc_id, ws in docs:
+        pairs = list(zip(ws, ws[1:]))
+        if not pairs:
+            assert doc_id not in got
+            continue
+        total = 0.0
+        for a, b in pairs:
+            p = ((max(bg[(a, b)] - D, 0.0)
+                  + D * len(fwd[a]) * (len(back[b]) / n_types))
+                 / ctx_n[a])
+            total += -math.log(p)
+        ppl = math.exp(total / len(pairs))
+        row = got[doc_id]
+        assert row.n_bigrams == len(pairs)
+        assert abs(row.kn_ppl - ppl) < max(1e-4, ppl * 1e-6)
+    # KN must be a proper distribution-ish score: ppl >= 1 everywhere
+    assert all(r.kn_ppl >= 1.0 for r in got.values())
+
+
+def test_ams_f2_matches_python_sketch(spark, sf_smoke):
+    from travel_data_pipeline_spark.queries_round13 import (
+        _AMS_K,
+        ams_f2_join_size,
+    )
+    from travel_data_pipeline_spark.sources.readers import load_table
+
+    users = defaultdict(int)
+    for r in (load_table(spark, sf_smoke, "events")
+              .select("user_id").collect()):
+        users[r.user_id] += 1
+    f2 = sum(c * c for c in users.values())
+
+    def sign(j: int, u: int) -> int:
+        h = hashlib.md5(f"ams{j}:{u}".encode()).hexdigest()
+        return 1 - 2 * (int(h[:15], 16) % 2)
+
+    ests = []
+    for g in range(_AMS_K // 4):
+        tot = 0
+        for j in range(4 * g, 4 * g + 4):
+            x = sum(sign(j, u) * c for u, c in users.items())
+            tot += x * x
+        ests.append(tot / 4)
+    ests.sort()
+    est = (ests[1] + ests[2]) / 2
+    row = ams_f2_join_size(spark, sf_smoke).first()
+    assert row.exact_f2 == f2
+    assert abs(row.est_f2 - est) < 1e-6
+    assert abs(row.rel_err - abs(est - f2) / f2) < 1e-6
+    # an unbiased 16-counter sketch should land within ~3 sigma
+    # (sd ~ sqrt(2/4)*F2 per group, median-of-means tightens it);
+    # loose sanity bound only
+    assert row.rel_err < 2.0

@@ -303,3 +303,375 @@ def skyline_pareto_front(spark: SparkSession, sf_dir: str) -> DataFrame:
                       & (part.p_size == sky.gmax))
             .select("p_partkey", F.col("p_retailprice").alias("price"),
                     F.col("p_size").cast("long").alias("size")))
+
+
+# ---------------------------------------------------------------------------
+# Lexical diversity per source — type-token ratio, hapax share, and
+# Simpson's repeat-probability over the per-source token frequency
+# spectrum: the vocabulary-health readout a mixture planner reads
+# next to the quality scores (a source whose TTR collapses is
+# boilerplate; one whose hapax share explodes is OCR noise).
+#
+# Exactness: every statistic is an integer-moment expression
+# (DECIMAL(38,0) products for Simpson's sum-of-pairs), so there is no
+# float fold at all. Scale shape: one (source, token) groupBy over
+# the exploded corpus, then a |sources|-bounded aggregate.
+# ---------------------------------------------------------------------------
+
+_LD_NORM = "trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))"
+
+
+@register("lexical_diversity_by_source", f"""
+WITH toks AS (
+    SELECT source, unnest(string_split({_LD_NORM}, ' ')) AS w
+    FROM documents
+),
+tf AS (
+    SELECT source, w, COUNT(*) AS c
+    FROM toks WHERE w <> '' GROUP BY source, w
+),
+m AS (
+    SELECT source,
+           SUM(c) AS n_tokens,
+           COUNT(*) AS n_types,
+           SUM(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS n_hapax,
+           SUM(CAST(c AS DECIMAL(38,0)) * (c - 1)) AS pair_sum
+    FROM tf GROUP BY source
+)
+SELECT source, CAST(n_tokens AS BIGINT) AS n_tokens,
+       CAST(n_types AS BIGINT) AS n_types,
+       CAST(n_hapax AS BIGINT) AS n_hapax,
+       {round_sql('CAST(n_types AS DOUBLE) / n_tokens')} AS ttr,
+       {round_sql('CAST(n_hapax AS DOUBLE) / n_types')} AS hapax_share,
+       CASE WHEN n_tokens <= 1 THEN NULL
+            ELSE {round_sql(
+                'CAST(CAST(pair_sum AS VARCHAR) AS DOUBLE)'
+                ' / (CAST(n_tokens AS DOUBLE) * (n_tokens - 1))')}
+       END AS simpson_repeat
+FROM m
+""")
+def lexical_diversity_by_source(spark: SparkSession,
+                                sf_dir: str) -> DataFrame:
+    """TTR / hapax share / Simpson repeat probability per source —
+    pure integer moments over the (source, token) spectrum."""
+    docs = load_table(spark, sf_dir, "documents").select("source", "text")
+    words = F.split(
+        F.trim(F.regexp_replace(F.lower("text"), r"\s+", " ")), " ")
+    toks = (docs.select("source", F.explode(words).alias("w"))
+            .filter(F.col("w") != ""))
+    tf = toks.groupBy("source", "w").agg(F.count("*").alias("c"))
+    m = tf.groupBy("source").agg(
+        F.sum("c").alias("n_tokens"),
+        F.count("*").alias("n_types"),
+        F.sum(F.when(F.col("c") == 1, 1).otherwise(0)).alias("n_hapax"),
+        F.sum(F.col("c").cast("decimal(38,0)") * (F.col("c") - 1))
+        .alias("pair_sum"))
+    nd = F.col("n_tokens").cast("double")
+    return m.select(
+        "source", F.col("n_tokens").cast("long").alias("n_tokens"),
+        F.col("n_types").cast("long").alias("n_types"),
+        F.col("n_hapax").cast("long").alias("n_hapax"),
+        F.round(F.col("n_types").cast("double") / F.col("n_tokens"), 6)
+        .alias("ttr"),
+        F.round(F.col("n_hapax").cast("double") / F.col("n_types"), 6)
+        .alias("hapax_share"),
+        F.when(F.col("n_tokens") <= 1, F.lit(None).cast("double"))
+        .otherwise(F.round(
+            F.col("pair_sum").cast("string").cast("double")
+            / (nd * (nd - F.lit(1.0))), 6)).alias("simpson_repeat"))
+
+
+# ---------------------------------------------------------------------------
+# Character-entropy spam flags per source — per-document Shannon
+# entropy over the normalized character distribution (repeated-char /
+# keyboard-mash spam sits far below natural text), rolled up to a
+# per-source flag-rate readout with order-free min/max entropies.
+#
+#   H(doc) = ln(N) - (sum_ch c*ln c) / N        [nats]
+#
+# The per-doc fold walks (char, count) cells in pinned CHARACTER
+# order (array_sort fold == list(... ORDER BY) fold), so the double
+# summation order is identical in both engines; per-source rollups
+# use only counts and min/max (order-free) — no corpus-scaled float
+# fold anywhere.
+# ---------------------------------------------------------------------------
+
+_ENT_LOW = 2.5  # nats; natural-language chars sit well above this
+
+
+@register("char_entropy_flags", f"""
+WITH chars AS (
+    SELECT doc_id, source,
+           unnest(string_split_regex({_LD_NORM}, '')) AS ch
+    FROM documents
+),
+cc AS (
+    SELECT doc_id, source, ch, COUNT(*) AS c
+    FROM chars WHERE ch <> '' GROUP BY doc_id, source, ch
+),
+ent AS (
+    SELECT doc_id, source, SUM(c) AS n,
+           list_reduce(
+               list_prepend(0.0, list(c * ln(CAST(c AS DOUBLE))
+                                      ORDER BY ch)),
+               (a, b) -> a + b) AS clogc
+    FROM cc GROUP BY doc_id, source
+),
+h AS (
+    SELECT doc_id, source,
+           CASE WHEN n <= 1 THEN 0.0
+                ELSE ln(CAST(n AS DOUBLE)) - clogc / n END AS ent_nats
+    FROM ent
+)
+SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(CASE WHEN ent_nats < {_ENT_LOW!r} THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_low_entropy,
+       {round_sql(f'SUM(CASE WHEN ent_nats < {_ENT_LOW!r} THEN 1 '
+                  f'ELSE 0 END) / CAST(COUNT(*) AS DOUBLE)')}
+           AS low_share,
+       {round_sql('MIN(ent_nats)')} AS min_entropy,
+       {round_sql('MAX(ent_nats)')} AS max_entropy
+FROM h GROUP BY source
+""")
+def char_entropy_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source character-entropy spam accounting (pinned-order
+    per-doc folds; min/max rollups are order-free)."""
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "source", "text")
+    norm = F.trim(F.regexp_replace(F.lower("text"), r"\s+", " "))
+    cc = (docs.select("doc_id", "source",
+                      F.explode(F.split(norm, "")).alias("ch"))
+          .filter(F.col("ch") != "")
+          .groupBy("doc_id", "source", "ch")
+          .agg(F.count("*").alias("c")))
+    ent = (cc.groupBy("doc_id", "source")
+           .agg(F.sum("c").alias("n"),
+                F.aggregate(
+                    F.array_sort(F.collect_list(F.struct("ch", "c"))),
+                    F.lit(0.0),
+                    lambda a, x: a + x["c"]
+                    * F.log(x["c"].cast("double"))).alias("clogc")))
+    h = ent.select(
+        "source",
+        F.when(F.col("n") <= 1, F.lit(0.0))
+        .otherwise(F.log(F.col("n").cast("double"))
+                   - F.col("clogc") / F.col("n")).alias("ent_nats"))
+    return (h.groupBy("source")
+            .agg(F.count("*").cast("long").alias("n_docs"),
+                 F.sum(F.when(F.col("ent_nats") < _ENT_LOW, 1)
+                       .otherwise(0)).cast("long").alias("n_low_entropy"),
+                 F.round(F.sum(F.when(F.col("ent_nats") < _ENT_LOW, 1)
+                               .otherwise(0))
+                         / F.count("*").cast("double"), 6)
+                 .alias("low_share"),
+                 F.round(F.min("ent_nats"), 6).alias("min_entropy"),
+                 F.round(F.max("ent_nats"), 6).alias("max_entropy")))
+
+
+# ---------------------------------------------------------------------------
+# Kneser-Ney bigram perplexity — the stronger-smoothing sibling of
+# bigram_lm_perplexity (same occurrence/model/fold shape, richer
+# model; Kneser & Ney 1995, public). Interpolated form with absolute
+# discount D = 0.75:
+#
+#   P(w2|w1) = (max(c(w1 w2) - D, 0)
+#               + D * N1+(w1 .) * Pcont(w2)) / c(w1 .)
+#   Pcont(w2) = N1+(. w2) / |distinct bigram types|
+#
+# Every count is an exact integer; P is one shared per-row double
+# tree; the per-doc nll fold is position-pinned (bigram_lm
+# precedent). In-sample evaluation (train == eval) means every w1
+# context exists, so c(w1 .) > 0 and no backoff-to-unigram branch is
+# needed.
+#
+# Scale shape: identical to bigram_lm_perplexity — vocabulary-sized
+# model tables broadcast onto the occurrence stream; the only
+# corpus-scaled shuffles are the model-count groupBys and the
+# per-doc fold.
+# ---------------------------------------------------------------------------
+
+_KN_D = 0.75
+
+_KN_OCC_SQL = f"""
+    SELECT doc_id, i.i AS pos,
+           words[i.i] || ' ' || words[i.i+1] AS bg,
+           words[i.i] AS w1, words[i.i+1] AS w2
+    FROM (SELECT doc_id, string_split({_LD_NORM}, ' ') AS words
+          FROM documents) t,
+         unnest(generate_series(1, len(words) - 1)) AS i(i)
+"""
+
+
+@register("kn_bigram_ppl", f"""
+WITH occ AS ({_KN_OCC_SQL}),
+bg_counts AS (SELECT bg, COUNT(*) AS c FROM occ GROUP BY bg),
+ctx AS (
+    SELECT w1, COUNT(*) AS ctx_n, COUNT(DISTINCT w2) AS n1_fwd
+    FROM occ GROUP BY w1
+),
+cont AS (SELECT w2, COUNT(DISTINCT w1) AS n1_back FROM occ GROUP BY w2),
+types AS (SELECT COUNT(*) AS n_types FROM bg_counts),
+scored AS (
+    SELECT o.doc_id, o.pos,
+           -ln((GREATEST(b.c - {_KN_D!r}, 0.0)
+                + {_KN_D!r} * x.n1_fwd
+                  * (CAST(k.n1_back AS DOUBLE) / t.n_types))
+               / CAST(x.ctx_n AS DOUBLE)) AS nll
+    FROM occ o
+    JOIN bg_counts b ON o.bg = b.bg
+    JOIN ctx x ON o.w1 = x.w1
+    JOIN cont k ON o.w2 = k.w2
+    CROSS JOIN types t
+),
+folded AS (
+    SELECT doc_id, COUNT(*) AS n_bigrams,
+           list_reduce(list_prepend(0.0, list(nll ORDER BY pos)),
+                       (a, b) -> a + b) AS total
+    FROM scored GROUP BY doc_id
+)
+SELECT doc_id, CAST(n_bigrams AS BIGINT) AS n_bigrams,
+       {round_sql('exp(total / n_bigrams)')} AS kn_ppl
+FROM folded
+""")
+def kn_bigram_ppl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document interpolated Kneser-Ney bigram perplexity
+    (D=0.75; in-sample, so no unigram backoff branch)."""
+    docs = (load_table(spark, sf_dir, "documents").select("doc_id", "text")
+            .repartition(spark.sparkContext.defaultParallelism, "doc_id"))
+    words = F.split(
+        F.trim(F.regexp_replace(F.lower("text"), r"\s+", " ")), " ")
+    toks = docs.select("doc_id", words.alias("words"))
+    occ = (toks.select(
+        "doc_id",
+        F.explode(F.transform(
+            F.sequence(F.lit(1), F.size("words") - 1),
+            lambda i: F.struct(
+                i.alias("pos"),
+                F.concat(F.element_at("words", i), F.lit(" "),
+                         F.element_at("words", i + 1)).alias("bg"),
+                F.element_at("words", i).alias("w1"),
+                F.element_at("words", i + 1).alias("w2")))).alias("o"))
+        .select("doc_id", "o.pos", "o.bg", "o.w1", "o.w2"))
+    bg_counts = occ.groupBy("bg").agg(F.count("*").alias("c"))
+    ctx = occ.groupBy("w1").agg(F.count("*").alias("ctx_n"),
+                                F.countDistinct("w2").alias("n1_fwd"))
+    cont = occ.groupBy("w2").agg(F.countDistinct("w1").alias("n1_back"))
+    types = bg_counts.agg(F.count("*").alias("n_types"))
+    p = ((F.greatest(F.col("c") - _KN_D, F.lit(0.0))
+          + _KN_D * F.col("n1_fwd")
+          * (F.col("n1_back").cast("double") / F.col("n_types")))
+         / F.col("ctx_n").cast("double"))
+    scored = (occ
+              .join(F.broadcast(bg_counts), "bg")
+              .join(F.broadcast(ctx), "w1")
+              .join(F.broadcast(cont), "w2")
+              .crossJoin(F.broadcast(types))
+              .select("doc_id", "pos", (-F.log(p)).alias("nll")))
+    folded = (scored.groupBy("doc_id")
+              .agg(F.count("*").alias("n_bigrams"),
+                   F.aggregate(
+                       F.array_sort(F.collect_list(F.struct("pos", "nll"))),
+                       F.lit(0.0),
+                       lambda a, x: a + x["nll"]).alias("total")))
+    return folded.select(
+        "doc_id", F.col("n_bigrams").cast("long").alias("n_bigrams"),
+        F.round(F.exp(F.col("total") / F.col("n_bigrams")), 6)
+        .alias("kn_ppl"))
+
+
+# ---------------------------------------------------------------------------
+# AMS tug-of-war F2 sketch audit — estimate the self-join size
+# (second frequency moment, F2 = sum_u c_u^2) of the event user
+# stream from 16 {+1,-1}-hashed counters and compare against the
+# exact value (the KMV sketch-trust pattern, for join-size
+# estimation; Alon-Matias-Szegedy 1996, public).
+#
+#   X_j   = sum_u s_j(u) * c_u        s_j in {+1,-1} from md5
+#   est_j = X_j^2                     (E[est_j] = F2)
+#   est   = median of 4 group means of 4   (median-of-means)
+#
+# Exactness: X_j and est_j are INTEGERS; group means are exact
+# DECIMALs (/4); the median of the 4 group means is the mean of the
+# two middle values of a sorted 4-array — everything stays exact
+# until the final rel_err ratio (string-bridged casts; parity.py
+# magnitude hazard).
+#
+# Scale shape: one user groupBy, a bounded 16-way sign expansion,
+# a 16-row aggregate — sketch state is O(1) regardless of stream
+# size, exactly how a 100 TB join-size probe would run (the exact_f2
+# arm is the audit's ground truth and shares the user-count pass).
+# ---------------------------------------------------------------------------
+
+_AMS_K = 16  # 4 groups x 4 counters
+
+
+def _ams_oracle() -> str:
+    sign_rows = []
+    for j in range(_AMS_K):
+        h = md5_long_sql(f"'ams{j}:' || CAST(user_id AS VARCHAR)")
+        sign_rows.append(f"SELECT user_id, c, {j} AS j, "
+                         f"(1 - 2 * ({h} % 2)) AS s FROM uc")
+    signs = "\nUNION ALL\n".join(sign_rows)
+    return f"""
+WITH uc AS (
+    SELECT user_id, COUNT(*) AS c FROM events GROUP BY user_id
+),
+signed AS ({signs}),
+counters AS (
+    SELECT j, SUM(s * c) AS x FROM signed GROUP BY j
+),
+ests AS (
+    SELECT j // 4 AS grp,
+           CAST(SUM(CAST(x AS DECIMAL(38,0)) * x) AS DECIMAL(38,2)) / 4
+               AS gmean
+    FROM counters GROUP BY j // 4
+),
+med AS (
+    SELECT list(gmean ORDER BY gmean) AS gs FROM ests
+),
+ex AS (
+    SELECT SUM(CAST(c AS DECIMAL(38,0)) * c) AS f2 FROM uc
+)
+SELECT CAST(ex.f2 AS BIGINT) AS exact_f2,
+       {round_sql('CAST(CAST((med.gs[2] + med.gs[3]) / 2 AS VARCHAR)'
+                  ' AS DOUBLE)')} AS est_f2,
+       {round_sql(
+           'abs(CAST(CAST((med.gs[2] + med.gs[3]) / 2 AS VARCHAR)'
+           ' AS DOUBLE)'
+           ' - CAST(CAST(ex.f2 AS VARCHAR) AS DOUBLE))'
+           ' / CAST(CAST(ex.f2 AS VARCHAR) AS DOUBLE)')} AS rel_err
+FROM med CROSS JOIN ex
+"""
+
+
+@register("ams_f2_join_size", _ams_oracle)
+def ams_f2_join_size(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Median-of-means AMS F2 (self-join size) estimate vs the exact
+    second moment of the event user stream."""
+    ev = load_table(spark, sf_dir, "events")
+    uc = ev.groupBy("user_id").agg(F.count("*").alias("c"))
+    signed = uc.select(
+        "user_id", "c",
+        F.explode(F.array(*[
+            F.struct(
+                F.lit(j).alias("j"),
+                (1 - 2 * (md5_long(F.concat(
+                    F.lit(f"ams{j}:"),
+                    F.col("user_id").cast("string"))) % 2)).alias("s"))
+            for j in range(_AMS_K)])).alias("e")
+    ).select("c", "e.j", "e.s")
+    counters = (signed.groupBy("j")
+                .agg(F.sum(F.col("s") * F.col("c")).alias("x")))
+    ests = (counters.groupBy((F.col("j") / 4).cast("int").alias("grp"))
+            .agg((F.sum(F.col("x").cast("decimal(38,0)") * F.col("x"))
+                  .cast("decimal(38,2)") / 4).alias("gmean")))
+    med = ests.agg(F.sort_array(F.collect_list("gmean")).alias("gs"))
+    ex = uc.agg(F.sum(F.col("c").cast("decimal(38,0)") * F.col("c"))
+                .alias("f2"))
+    est = ((F.element_at("gs", 2) + F.element_at("gs", 3)) / 2)
+    estd = est.cast("string").cast("double")
+    exd = F.col("f2").cast("string").cast("double")
+    return (med.crossJoin(F.broadcast(ex))
+            .select(F.col("f2").cast("long").alias("exact_f2"),
+                    F.round(estd, 6).alias("est_f2"),
+                    F.round(F.abs(estd - exd) / exd, 6).alias("rel_err")))
