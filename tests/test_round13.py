@@ -288,3 +288,152 @@ def test_ams_f2_matches_python_sketch(spark, sf_smoke):
     # (sd ~ sqrt(2/4)*F2 per group, median-of-means tightens it);
     # loose sanity bound only
     assert row.rel_err < 2.0
+
+
+def test_matrix_profile_matches_python(spark, sf_smoke):
+    from travel_data_pipeline_spark.queries_round13 import (
+        _MP_M,
+        matrix_profile_motifs,
+    )
+    from travel_data_pipeline_spark.sources.readers import load_table
+
+    days = [r.d for r in
+            (load_table(spark, sf_smoke, "events")
+             .select(F.col("ts").cast("date").alias("d")).collect())]
+    d0 = min(days)
+    dd = (max(days) - d0).days + 1
+    counts = [0] * dd
+    for d in days:
+        counts[(d - d0).days] += 1
+    n_sub = dd - _MP_M + 1
+    ref = {}
+    for i in range(n_sub):
+        best = None
+        for j in range(n_sub):
+            if abs(i - j) < _MP_M:
+                continue
+            d2 = sum((counts[i + k] - counts[j + k]) ** 2
+                     for k in range(_MP_M))
+            if best is None or (d2, j) < best:
+                best = (d2, j)
+        ref[i] = best
+    lo = min(v[0] for v in ref.values())
+    hi = max(v[0] for v in ref.values())
+    got = {r.start_day: r
+           for r in matrix_profile_motifs(spark, sf_smoke).collect()}
+    assert len(got) == n_sub
+    from datetime import timedelta
+
+    for i, (d2, j) in ref.items():
+        row = got[(d0 + timedelta(days=i)).strftime("%Y-%m-%d")]
+        assert row.d2 == d2
+        assert row.nn_day == (d0 + timedelta(days=j)).strftime("%Y-%m-%d")
+        assert abs(row.dist - math.sqrt(d2)) < 1e-6
+        want = ("motif" if d2 == lo
+                else "discord" if d2 == hi else "normal")
+        assert row.role == want
+    assert any(r.role == "motif" for r in got.values())
+    assert any(r.role == "discord" for r in got.values())
+
+
+def test_clustering_depth_matches_python(spark, sf_smoke):
+    from travel_data_pipeline_spark.queries_round13 import (
+        _CD_FILE_ROWS,
+        clustering_depth_audit,
+    )
+    from travel_data_pipeline_spark.sources.readers import load_table
+
+    orders = [(r.o_orderkey, r.o_totalprice)
+              for r in load_table(spark, sf_smoke, "orders")
+              .select("o_orderkey", "o_totalprice").collect()]
+
+    def md5l(s: str) -> int:
+        return int(hashlib.md5(s.encode()).hexdigest()[:15], 16)
+
+    layouts = {
+        "natural": sorted(orders, key=lambda t: t[0]),
+        "sorted": sorted(orders, key=lambda t: (t[1], t[0])),
+        "hashed": sorted(orders, key=lambda t: (md5l(f"cd:{t[0]}"), t[0])),
+    }
+    got = {r.layout: r
+           for r in clustering_depth_audit(spark, sf_smoke).collect()}
+    assert set(got) == set(layouts)
+    for label, rows in layouts.items():
+        zones = []
+        for s in range(0, len(rows), _CD_FILE_ROWS):
+            chunk = [v for _, v in rows[s:s + _CD_FILE_ROWS]]
+            zones.append((min(chunk), max(chunk)))
+        depths = [sum(1 for (glo, ghi) in zones if glo <= lo <= ghi)
+                  for (lo, _) in zones]
+        row = got[label]
+        assert row.n_files == len(zones)
+        assert row.max_depth == max(depths)
+        assert abs(row.avg_depth - sum(depths) / len(depths)) < 1e-6
+        share1 = sum(1 for d in depths if d == 1) / len(depths)
+        assert abs(row.share_depth1 - share1) < 1e-6
+    # semantics: a value-sorted layout must be (weakly) shallower than
+    # the hashed one
+    assert got["sorted"].avg_depth <= got["hashed"].avg_depth
+
+
+def test_silhouette_matches_pure_python_kmeans(spark, sf_smoke):
+    """Independent python Lloyd's (same deterministic init / 6-dp
+    centroid rounding contract) -> simplified silhouette; guards the
+    whole kmeans+silhouette chain against shared Spark/SQL blind
+    spots."""
+    from travel_data_pipeline_spark.queries_ml import _ITERS, _K
+    from travel_data_pipeline_spark.queries_round13 import (
+        silhouette_by_cluster,
+    )
+    from travel_data_pipeline_spark.sources.readers import load_table
+
+    pts = sorted((r.vec_id, [float(x) for x in r.embedding])
+                 for r in load_table(spark, sf_smoke, "embeddings")
+                 .select("vec_id", "embedding").collect())
+    cent = {i: v[:] for i, (_, v) in enumerate(pts[:_K])}
+
+    def dist(a, b):
+        acc = 0.0
+        for x, y in zip(a, b):
+            acc += (x - y) * (x - y)
+        return math.sqrt(acc)
+
+    def assign():
+        out = {}
+        for vid, v in pts:
+            out[vid] = min((dist(v, cv), cid)
+                           for cid, cv in cent.items())
+        return out
+
+    a = assign()
+    for _ in range(_ITERS - 1):
+        groups = defaultdict(list)
+        for vid, v in pts:
+            groups[a[vid][1]].append(v)
+        cent = {cid: [round(sum(col) / len(col), 6)
+                      for col in zip(*vs)]
+                for cid, vs in groups.items()}
+        a = assign()
+
+    # final centroids from the final assignment
+    groups = defaultdict(list)
+    for vid, v in pts:
+        groups[a[vid][1]].append(v)
+    cfin = {cid: [round(sum(col) / len(col), 6) for col in zip(*vs)]
+            for cid, vs in groups.items()}
+    per_cluster = defaultdict(list)
+    for vid, v in pts:
+        da, cid = a[vid]
+        b = min(dist(v, cv) for c2, cv in cfin.items() if c2 != cid)
+        s = 0.0 if max(da, b) == 0 else (b - da) / max(da, b)
+        per_cluster[cid].append(round(s, 6))
+    got = {r.cluster: r
+           for r in silhouette_by_cluster(spark, sf_smoke).collect()}
+    assert set(got) == set(per_cluster)
+    for cid, ss in per_cluster.items():
+        row = got[cid]
+        assert row.n == len(ss)
+        assert abs(row.mean_silhouette - sum(ss) / len(ss)) < 1e-5
+        assert abs(row.min_silhouette - min(ss)) < 1e-6
+        neg = sum(1 for s in ss if s < 0) / len(ss)
+        assert abs(row.share_negative - neg) < 1e-6

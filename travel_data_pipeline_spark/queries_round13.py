@@ -675,3 +675,359 @@ def ams_f2_join_size(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select(F.col("f2").cast("long").alias("exact_f2"),
                     F.round(estd, 6).alias("est_f2"),
                     F.round(F.abs(estd - exd) / exd, 6).alias("rel_err")))
+
+
+# ---------------------------------------------------------------------------
+# Matrix-profile motifs over the daily arrival series — for every
+# length-7 window of the zero-filled daily event-count series, the
+# nearest other window at least m days away (the trivial-match
+# exclusion zone), under (non-normalized) Euclidean distance
+# (Yeh et al. 2016's matrix profile, public; the un-normalized
+# variant keeps every distance an exact INTEGER sum of squared count
+# differences — no float fold anywhere until the final sqrt).  The
+# global min pair is the motif (repeated weekly shape), the global
+# max the discord (the anomalous week).
+#
+# Scale shape: the series is DAY-grained — the pair relation is
+# O(horizon^2) in TIME, independent of corpus row count (the
+# theil_sen posture); counts come from one grouped pass over events.
+# ---------------------------------------------------------------------------
+
+_MP_M = 7  # window length = exclusion zone
+
+
+@register("matrix_profile_motifs", f"""
+WITH b AS (
+    SELECT MIN(CAST(ts AS DATE)) AS d0,
+           CAST(date_diff('day', MIN(CAST(ts AS DATE)),
+                          MAX(CAST(ts AS DATE))) AS INT) + 1 AS dd
+    FROM events
+),
+cnt AS (
+    SELECT CAST(date_diff('day', b.d0, CAST(ts AS DATE)) AS INT) AS idx,
+           COUNT(*) AS c
+    FROM events, b GROUP BY idx
+),
+arr AS (
+    SELECT list(COALESCE(cnt.c, 0) ORDER BY g.i) AS a
+    FROM b, unnest(generate_series(0, b.dd - 1)) AS g(i)
+    LEFT JOIN cnt ON cnt.idx = g.i
+),
+subs AS (
+    SELECT g.i AS i FROM b, unnest(generate_series(0, b.dd - {_MP_M}))
+        AS g(i)
+),
+prs AS (
+    SELECT si.i AS i, sj.i AS j,
+           list_reduce(list_transform(generate_series(1, {_MP_M}),
+               k -> (arr.a[si.i + k] - arr.a[sj.i + k])
+                    * (arr.a[si.i + k] - arr.a[sj.i + k])),
+               (x, y) -> x + y) AS d2
+    FROM subs si JOIN subs sj ON abs(si.i - sj.i) >= {_MP_M}
+    CROSS JOIN arr
+),
+nn AS (
+    SELECT i, j, d2,
+           row_number() OVER (PARTITION BY i ORDER BY d2, j) AS rn
+    FROM prs
+),
+mp AS (SELECT i, j, d2 FROM nn WHERE rn = 1),
+ext AS (SELECT MIN(d2) AS lo, MAX(d2) AS hi FROM mp)
+SELECT strftime(b.d0 + CAST(mp.i AS INT), '%Y-%m-%d') AS start_day,
+       strftime(b.d0 + CAST(mp.j AS INT), '%Y-%m-%d') AS nn_day,
+       CAST(mp.d2 AS BIGINT) AS d2,
+       {round_sql('sqrt(CAST(mp.d2 AS DOUBLE))')} AS dist,
+       CASE WHEN mp.d2 = ext.lo THEN 'motif'
+            WHEN mp.d2 = ext.hi THEN 'discord'
+            ELSE 'normal' END AS role
+FROM mp, b, ext
+""")
+def matrix_profile_motifs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-window nearest-neighbor profile of the daily count series
+    (integer Euclidean, m=7, exclusion zone m); motif/discord flags."""
+    ev = load_table(spark, sf_dir, "events")
+    day = F.col("ts").cast("date")
+    b = ev.agg(F.min(day).alias("d0"),
+               (F.datediff(F.max(day), F.min(day)) + 1).alias("dd"))
+    cnt = (ev.crossJoin(F.broadcast(b))
+           .groupBy(F.datediff(day, F.col("d0")).alias("idx"))
+           .agg(F.count("*").alias("c")))
+    arr = (cnt.crossJoin(F.broadcast(b))
+           .agg(F.map_from_entries(
+                    F.collect_list(F.struct("idx", "c"))).alias("m"),
+                F.max("dd").alias("dd"), F.max("d0").alias("d0"))
+           .select("d0", "dd",
+                   F.transform(
+                       F.sequence(F.lit(0), F.col("dd") - 1),
+                       lambda i: F.coalesce(F.try_element_at("m", i),
+                                            F.lit(0).cast("long")))
+                   .alias("a")))
+    subs = arr.select(
+        "d0", "a",
+        F.explode(F.sequence(F.lit(0), F.col("dd") - _MP_M)).alias("i"))
+    si = subs.select("d0", "a", F.col("i"))
+    sj = subs.select(F.col("a").alias("a2"), F.col("i").alias("j"))
+    d2 = F.aggregate(
+        F.transform(
+            F.sequence(F.lit(1), F.lit(_MP_M)),
+            lambda k: (F.element_at("a", F.col("i") + k)
+                       - F.element_at("a2", F.col("j") + k))
+            * (F.element_at("a", F.col("i") + k)
+               - F.element_at("a2", F.col("j") + k))),
+        F.lit(0).cast("long"), lambda acc, x: acc + x)
+    prs = (si.join(F.broadcast(sj.drop("a2").crossJoin(
+        F.broadcast(arr.select(F.col("a").alias("a2"))))),
+        F.abs(F.col("i") - F.col("j")) >= _MP_M)
+        .select("d0", "i", "j", d2.alias("d2")))
+    mp = (prs.groupBy("d0", "i")
+          .agg(F.min(F.struct("d2", "j")).alias("nn"))
+          .select("d0", "i", F.col("nn.j").alias("j"),
+                  F.col("nn.d2").alias("d2")))
+    ext = mp.agg(F.min("d2").alias("lo"), F.max("d2").alias("hi"))
+    return (mp.crossJoin(F.broadcast(ext))
+            .select(F.date_format(F.date_add(F.col("d0"), F.col("i")),
+                                  "yyyy-MM-dd").alias("start_day"),
+                    F.date_format(F.date_add(F.col("d0"), F.col("j")),
+                                  "yyyy-MM-dd").alias("nn_day"),
+                    F.col("d2").cast("long").alias("d2"),
+                    F.round(F.sqrt(F.col("d2").cast("double")), 6)
+                    .alias("dist"),
+                    F.when(F.col("d2") == F.col("lo"), "motif")
+                    .when(F.col("d2") == F.col("hi"), "discord")
+                    .otherwise("normal").alias("role")))
+
+
+# ---------------------------------------------------------------------------
+# File-clustering depth audit — the data-layout metric behind
+# OPTIMIZE/ZORDER decisions: bin orders into 64-row files under three
+# layouts (natural key order, value-sorted, hashed), take each file's
+# [min, max] o_totalprice zone, and measure how many zones OVERLAP at
+# each file's start (the "clustering depth" a point query pays).
+# A value-sorted layout has depth ~1 (only same-value ties overlap);
+# natural and hashed layouts approach n_files (every file spans the
+# whole value range -> zone maps are useless).
+#
+# Depth at a file's lo boundary = open intervals covering it =
+# inclusive running sum of (+1 at lo, -1 at hi) boundary events with
+# starts ordered before ends at equal positions.  The running sum
+# rides two_phase_ordered cumsum (exact ints, no single-partition
+# sort), so the sweep survives any file count; the per-layout rollup
+# is |files|-bounded.
+# ---------------------------------------------------------------------------
+
+_CD_FILE_ROWS = 64
+
+
+def _cd_layout_sql(label: str, order_expr: str) -> str:
+    r = _CD_FILE_ROWS
+    return f"""
+SELECT '{label}' AS layout, n_files, max_depth, avg_depth, share_depth1
+FROM (
+    WITH ranked_{label} AS (
+        SELECT o_totalprice,
+               row_number() OVER (ORDER BY {order_expr}) AS rk
+        FROM orders
+    ),
+    files_{label} AS (
+        SELECT CAST((rk - 1) // {r} AS BIGINT) AS file_id,
+               MIN(o_totalprice) AS lo, MAX(o_totalprice) AS hi
+        FROM ranked_{label} GROUP BY file_id
+    ),
+    ev_{label} AS (
+        SELECT file_id, lo AS pos, 1 AS delta FROM files_{label}
+        UNION ALL
+        SELECT file_id, hi AS pos, -1 AS delta FROM files_{label}
+    ),
+    swept_{label} AS (
+        SELECT file_id, delta,
+               SUM(delta) OVER (ORDER BY pos, delta DESC, file_id
+                                ROWS UNBOUNDED PRECEDING) AS depth
+        FROM ev_{label}
+    ),
+    starts_{label} AS (
+        SELECT depth FROM swept_{label} WHERE delta = 1
+    )
+    SELECT COUNT(*) AS n_files,
+           CAST(MAX(depth) AS BIGINT) AS max_depth,
+           {round_sql('SUM(depth) / CAST(COUNT(*) AS DOUBLE)')}
+               AS avg_depth,
+           {round_sql('SUM(CASE WHEN depth = 1 THEN 1 ELSE 0 END)'
+                      ' / CAST(COUNT(*) AS DOUBLE)')} AS share_depth1
+    FROM starts_{label}
+)
+"""
+
+
+def _cd_oracle() -> str:
+    h = md5_long_sql("'cd:' || CAST(o_orderkey AS VARCHAR)")
+    layouts = [("natural", "o_orderkey"),
+               ("sorted", "o_totalprice, o_orderkey"),
+               ("hashed", f"{h}, o_orderkey")]
+    return "\nUNION ALL\n".join(
+        _cd_layout_sql(label, expr) for label, expr in layouts)
+
+
+@register("clustering_depth_audit", _cd_oracle)
+def clustering_depth_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zone-overlap depth (n_files / max / avg / share at depth 1)
+    of 64-row files under natural, value-sorted, and hashed layouts."""
+    from travel_data_pipeline_spark.operators.windows import (
+        two_phase_ordered,
+    )
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_totalprice")
+    h = md5_long(F.concat(F.lit("cd:"), F.col("o_orderkey").cast("string")))
+    layouts = [
+        ("natural", [F.col("o_orderkey").asc()],
+         F.col("o_orderkey").cast("double")),
+        ("sorted", [F.col("o_totalprice").asc(), F.col("o_orderkey").asc()],
+         F.col("o_totalprice").cast("double")),
+        ("hashed", [h.asc(), F.col("o_orderkey").asc()], h.cast("double")),
+    ]
+    evs = []
+    for lidx, (label, order_cols, bucket) in enumerate(layouts):
+        ranked = two_phase_ordered(orders, order_cols, bucket_on=bucket,
+                                   rank_col="rk")
+        # persist the (tiny, n_rows/64) file-zone relation: the
+        # combined sweep's quantile probe AND the final aggregate both
+        # consume it, and without the persist each would re-execute
+        # the full rank pipeline
+        files = (ranked
+                 .groupBy(((F.col("rk") - 1) / _CD_FILE_ROWS)
+                          .cast("long").alias("file_id"))
+                 .agg(F.min("o_totalprice").alias("lo"),
+                      F.max("o_totalprice").alias("hi"))
+                 .persist())
+        evs.append(
+            files.select(F.lit(lidx).alias("lidx"),
+                         F.lit(label).alias("layout"), "file_id",
+                         F.col("lo").alias("pos"), F.lit(1).alias("delta"))
+            .unionByName(
+                files.select(F.lit(lidx).alias("lidx"),
+                             F.lit(label).alias("layout"), "file_id",
+                             F.col("hi").alias("pos"),
+                             F.lit(-1).alias("delta"))))
+    ev = evs[0].unionByName(evs[1]).unionByName(evs[2])
+    # ONE combined sweep instead of one per layout (one quantile probe,
+    # one windowed pass — 9 driver actions became 5; measured at sf0.1
+    # best-of-3: build 21.2s -> 4.2s, exec 5.7s -> 1.9s on the same
+    # loaded box): the concatenated inclusive cumsum is
+    # per-layout-correct because every layout's deltas net to ZERO
+    # (each opened interval closes), so the carried offset at every
+    # layout boundary is 0.  bucket_on stays monotone along the order
+    # via lidx * 1e9 + pos (o_totalprice << 1e9).
+    swept = two_phase_ordered(
+        ev, [F.col("lidx").asc(), F.col("pos").asc(),
+             F.col("delta").desc(), F.col("file_id").asc()],
+        bucket_on=F.col("lidx") * F.lit(1e9) + F.col("pos"),
+        cumsum_cols={"delta": "depth"})
+    starts = swept.filter(F.col("delta") == 1)
+    return (starts.groupBy("layout")
+            .agg(F.count("*").alias("n_files"),
+                 F.max("depth").cast("long").alias("max_depth"),
+                 F.round(F.sum("depth") / F.count("*").cast("double"), 6)
+                 .alias("avg_depth"),
+                 F.round(F.sum(F.when(F.col("depth") == 1, 1)
+                               .otherwise(0))
+                         / F.count("*").cast("double"), 6)
+                 .alias("share_depth1"))
+            .select("layout", "n_files", "max_depth", "avg_depth",
+                    "share_depth1"))
+
+
+# ---------------------------------------------------------------------------
+# Simplified silhouette per k-means cluster — the clustering-quality
+# readout of the embedding family: for each vector, a = distance to
+# its OWN final centroid (the kmeans assignment distance), b = min
+# distance to any OTHER final centroid, s = (b - a) / max(a, b)
+# (Rousseeuw 1987's silhouette in its centroid-simplified form —
+# O(n*k) instead of O(n^2), the form that survives corpus scale).
+#
+# Composed FROM operators/ml.kmeans (same init / fold spelling /
+# 6-dp centroid rounding as the registered kmeans_embeddings), with
+# one extra centroid update from the FINAL assignment.  Per-point s
+# rounds to 6 dp and sums as DECIMAL(18,6), so the per-cluster mean
+# is order-free exact; min/negative-share are order-free too.
+# ---------------------------------------------------------------------------
+
+
+def _sil_oracle() -> str:
+    from travel_data_pipeline_spark.queries_ml import (
+        _DIM,
+        _ITERS,
+        _K,
+        _kmeans_ctes,
+    )
+
+    ctes, final = _kmeans_ctes(_K, _ITERS, _DIM)
+    dist = (f"sqrt(list_reduce(list_transform(generate_series(1, {_DIM}), "
+            "i -> (s.v[i] - c.v[i]) * (s.v[i] - c.v[i])), "
+            "(x, y) -> x + y))")
+    s_expr = ("CASE WHEN GREATEST(a, b) = 0.0 THEN 0.0 "
+              "ELSE (b - a) / GREATEST(a, b) END")
+    return f"""
+WITH {ctes},
+cfin AS (
+    SELECT cid, list(val ORDER BY i) AS v FROM (
+        SELECT s.cid, i.i AS i, round(avg(s.v[i.i]), 6) AS val
+        FROM {final} s CROSS JOIN generate_series(1, {_DIM}) i(i)
+        GROUP BY s.cid, i.i) GROUP BY cid
+),
+ab AS (
+    SELECT s.vec_id, s.cid, s.d AS a, MIN({dist}) AS b
+    FROM {final} s JOIN cfin c ON c.cid <> s.cid
+    GROUP BY s.vec_id, s.cid, s.d
+),
+sil AS (
+    SELECT cid, CAST({round_sql(s_expr)} AS DECIMAL(18,6)) AS s
+    FROM ab
+)
+SELECT CAST(cid AS INT) AS cluster, CAST(COUNT(*) AS BIGINT) AS n,
+       {round_sql('CAST(SUM(s) AS DOUBLE) / COUNT(*)')}
+           AS mean_silhouette,
+       CAST(MIN(s) AS DOUBLE) + 0.0 AS min_silhouette,
+       {round_sql('SUM(CASE WHEN s < 0 THEN 1 ELSE 0 END)'
+                  ' / CAST(COUNT(*) AS DOUBLE)')} AS share_negative
+FROM sil GROUP BY cid
+"""
+
+
+@register("silhouette_by_cluster", _sil_oracle)
+def silhouette_by_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-cluster simplified silhouette over the registered k-means
+    assignment (a = own-centroid distance, b = nearest other
+    centroid)."""
+    from travel_data_pipeline_spark.operators.ml import (
+        kmeans,
+        kmeans_update,
+        squared_l2,
+    )
+    from travel_data_pipeline_spark.queries_ml import _ITERS, _K
+
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v"))
+    assigned = kmeans(emb, k=_K, iterations=_ITERS)
+    cfin = kmeans_update(assigned)
+    carr = cfin.agg(F.collect_list(F.struct("cid", "cv")).alias("cs"))
+    b = F.array_min(F.transform(
+        F.filter(F.col("cs"), lambda c: c["cid"] != F.col("cid")),
+        lambda c: F.sqrt(squared_l2(F.col("v"), c["cv"]))))
+    ab = (assigned.crossJoin(F.broadcast(carr))
+          .select("vec_id", "cid", F.col("d").alias("a"), b.alias("b")))
+    s = (F.when(F.greatest("a", "b") == 0.0, F.lit(0.0))
+         .otherwise((F.col("b") - F.col("a")) / F.greatest("a", "b")))
+    sil = ab.select("cid", F.round(s, 6).cast("decimal(18,6)").alias("s"))
+    return (sil.groupBy("cid")
+            .agg(F.count("*").alias("n"),
+                 F.sum("s").alias("ssum"),
+                 F.min("s").alias("smin"),
+                 F.sum(F.when(F.col("s") < 0, 1).otherwise(0)).alias("neg"))
+            .select(F.col("cid").cast("int").alias("cluster"),
+                    F.col("n").cast("long").alias("n"),
+                    F.round(F.col("ssum").cast("double") / F.col("n"), 6)
+                    .alias("mean_silhouette"),
+                    (F.col("smin").cast("double") + F.lit(0.0))
+                    .alias("min_silhouette"),
+                    F.round(F.col("neg") / F.col("n").cast("double"), 6)
+                    .alias("share_negative")))
