@@ -437,3 +437,115 @@ def test_silhouette_matches_pure_python_kmeans(spark, sf_smoke):
         assert abs(row.min_silhouette - min(ss)) < 1e-6
         neg = sum(1 for s in ss if s < 0) / len(ss)
         assert abs(row.share_negative - neg) < 1e-6
+
+
+def test_shapley_matches_python_and_is_efficient(spark, sf_smoke):
+    """Independent python Shapley over the same coalition-value
+    definition, plus the efficiency axiom: sum(phi) = v(N) - v(empty)."""
+    from itertools import combinations
+
+    from travel_data_pipeline_spark.queries_round13 import (
+        _SHAP_CHANNELS,
+        shapley_channel_attribution,
+    )
+    from travel_data_pipeline_spark.sources.readers import load_table
+
+    rows = (load_table(spark, sf_smoke, "events")
+            .select("user_id", "event_type", "ts").collect())
+    first_p = {}
+    for r in rows:
+        if r.event_type == "purchase":
+            if r.user_id not in first_p or r.ts < first_p[r.user_id]:
+                first_p[r.user_id] = r.ts
+    users = defaultdict(lambda: [set(), 0])
+    for r in rows:
+        u = users[r.user_id]
+        if r.event_type == "purchase":
+            u[1] = 1
+        elif r.event_type in _SHAP_CHANNELS:
+            if r.user_id not in first_p or r.ts < first_p[r.user_id]:
+                u[0].add(r.event_type)
+
+    def v(S):
+        sel = [conv for touched, conv in users.values()
+               if touched <= set(S)]
+        return sum(sel) / len(sel) if sel else 0.0
+
+    n = len(_SHAP_CHANNELS)
+    fact = math.factorial
+    phi = {}
+    for i, c in enumerate(_SHAP_CHANNELS):
+        others = [x for x in _SHAP_CHANNELS if x != c]
+        tot = 0.0
+        for size in range(n):
+            for S in combinations(others, size):
+                w = fact(size) * fact(n - size - 1) / fact(n)
+                tot += w * (v(S + (c,)) - v(S))
+        phi[c] = tot
+    got = {r.channel: r.shapley
+           for r in shapley_channel_attribution(spark, sf_smoke).collect()}
+    assert set(got) == set(phi)
+    for c in phi:
+        assert abs(got[c] - phi[c]) < 1e-5
+    # efficiency: contributions sum to v(N) - v(empty)
+    assert abs(sum(phi.values())
+               - (v(_SHAP_CHANNELS) - v(()))) < 1e-9
+
+
+def test_qini_matches_python(spark, sf_smoke):
+    from travel_data_pipeline_spark.queries_round13 import (
+        _QINI_BINS,
+        qini_uplift_deciles,
+    )
+    from travel_data_pipeline_spark.sources.readers import load_table
+
+    rows = (load_table(spark, sf_smoke, "events")
+            .select("user_id", "event_type", "ts").collect())
+    first_p = {}
+    for r in rows:
+        if r.event_type == "purchase":
+            if r.user_id not in first_p or r.ts < first_p[r.user_id]:
+                first_p[r.user_id] = r.ts
+    users = defaultdict(lambda: [0, 0])
+    for r in rows:
+        u = users[r.user_id]
+        if r.event_type == "purchase":
+            u[1] = 1
+        elif r.event_type == "click":
+            if r.user_id not in first_p or r.ts < first_p[r.user_id]:
+                u[0] += 1
+    ranked = sorted(
+        ((uid, sc, cv, _md5_arm("exp:", uid))
+         for uid, (sc, cv) in users.items()),
+        key=lambda t: (-t[1], t[0]))
+    n = len(ranked)
+    dec = defaultdict(lambda: [0, 0, 0, 0])  # n, n_t, c_t, c_c
+    for rk, (uid, sc, cv, tr) in enumerate(ranked):
+        d = (rk * _QINI_BINS) // n
+        cell = dec[d]
+        cell[0] += 1
+        cell[1] += tr
+        if tr:
+            cell[2] += cv
+        else:
+            cell[3] += cv
+    got = {r.decile: r for r in qini_uplift_deciles(spark,
+                                                    sf_smoke).collect()}
+    assert set(got) == set(dec)
+    cn = ct = cc = cnt_t = 0
+    for d in sorted(dec):
+        n_u, n_t, c_t, c_c = dec[d]
+        cn += n_u - n_t
+        cnt_t += n_t
+        ct += c_t
+        cc += c_c
+        row = got[d]
+        assert (row.cum_n_treat, row.cum_n_ctrl) == (cnt_t, cn)
+        assert (row.cum_conv_treat, row.cum_conv_ctrl) == (ct, cc)
+        want = ct - cc * cnt_t / cn if cn else None
+        if want is None:
+            assert row.qini is None
+        else:
+            assert abs(row.qini - want) < 1e-6
+    # last decile qini = overall uplift estimate; curve covers all users
+    assert got[max(got)].cum_n_treat + got[max(got)].cum_n_ctrl == n

@@ -1293,3 +1293,74 @@ def test_stateful_holt_winters_matches_batch_fold(spark, sf_smoke,
     assert set(got) == set(want)
     for k, w in want.items():
         assert got[k] == w, (k, got[k], w)
+
+
+def test_unconverted_clicks_outer_join_flushes_after_watermark(
+        spark, tmp_path):
+    """LEFT-OUTER stream-stream join: matched clicks emit immediately;
+    an unmatched click emits with NULL purchase columns only after a
+    LATER batch advances the watermark past its join window (the
+    outer-join delivery contract) — driven as sequential checkpointed
+    runs because availableNow never splits one feed into watermark-
+    advancing batches (repo gotcha)."""
+    import os
+
+    import travel_data_pipeline_spark.streaming.jobs as J
+
+    feed = tmp_path / "ujfeed"
+    feed.mkdir()
+    out = str(tmp_path / "ujout")
+    ckpt = str(tmp_path / "ujckpt")
+    schema = ("event_id long, ts string, user_id long, "
+              "event_type string, value double")
+
+    def write_batch(name, rows, mtime):
+        df = (spark.createDataFrame(rows, schema)
+              .withColumn("ts", F.to_timestamp("ts")))
+        # pandas to_parquet writes NANOS int64 ts, which the stream's
+        # micros schema rejects — write micros explicitly
+        pdf = df.toPandas()
+        pdf["ts"] = pdf["ts"].astype("datetime64[us]")
+        p = str(feed / name)
+        pdf.to_parquet(p)
+        os.utime(p, (mtime, mtime))
+
+    def run():
+        stream = (spark.readStream
+                  .schema("event_id long, ts timestamp, user_id long, "
+                          "event_type string, value double")
+                  .option("maxFilesPerTrigger", 1).parquet(str(feed)))
+        res = J.unconverted_clicks_stream(
+            stream.filter(F.col("event_type") == "click"),
+            stream.filter(F.col("event_type") == "purchase"))
+        q = (res.writeStream.format("parquet").option("path", out)
+             .option("checkpointLocation", ckpt)
+             .outputMode("append").trigger(availableNow=True).start())
+        q.awaitTermination(120)
+
+    write_batch("b0.parquet", [
+        (100, "2024-01-01 10:00:00", 1, "click", 0.0),
+        (101, "2024-01-01 10:30:00", 1, "purchase", 30.0),
+        (110, "2024-01-01 10:05:00", 2, "click", 0.0),
+    ], 1700000000)
+    run()
+    first = {(r.click_id, r.purchase_id)
+             for r in spark.read.parquet(out).collect()}
+    # the matched click may already emit; the unmatched one must NOT
+    # have a NULL row yet (its window could still be filled)
+    assert (110, None) not in first
+
+    # far-future event on BOTH filtered sides' source advances the
+    # watermark well past click 110's [10:05, 11:05] join window
+    write_batch("b1.parquet", [
+        (900, "2024-01-01 15:00:00", 9, "click", 0.0),
+        (901, "2024-01-01 15:00:00", 9, "purchase", 1.0),
+    ], 1700000100)
+    run()
+    run()  # one more cycle so the advanced watermark evicts state
+    rows = spark.read.parquet(out).collect()
+    got = {(r.click_id, r.purchase_id) for r in rows}
+    assert (100, 101) in got          # matched pair
+    assert (110, None) in got         # flushed unmatched click
+    conv = {r.click_id: r.converted for r in rows}
+    assert conv[100] is True and conv[110] is False

@@ -1031,3 +1031,301 @@ def silhouette_by_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
                     .alias("min_silhouette"),
                     F.round(F.col("neg") / F.col("n").cast("double"), 6)
                     .alias("share_negative")))
+
+
+# ---------------------------------------------------------------------------
+# Exact Shapley channel attribution — the game-theoretic sibling of
+# markov_removal_attribution / attribution_multi_touch: channels are
+# the 4 non-purchase event types, a user's coalition is the SET of
+# channels they touched before (first) purchase — non-converters
+# contribute their full touched set — and the coalition value v(S)
+# is the conversion rate among users whose touched set is a SUBSET
+# of S.  With n = 4 channels the 2^4 subsets enumerate exactly, so
+# the Shapley value
+#
+#   phi_i = sum_{S not containing i} |S|!(n-|S|-1)!/n! * (v(S+i)-v(S))
+#
+# is a finite sum with RATIONAL literal weights (Shapley 1953,
+# public; the subset-coalition MTA form of Dalessandro et al. 2012).
+#
+# Exactness: user/conversion counts are integers; each v is one
+# ratio; weights are python-fraction literals rendered exactly;
+# every v() and phi shares its expression tree across engines.
+# Scale shape: one user-grain pass -> 16-row subset table -> all
+# remaining algebra on broadcast 16-row relations.
+# ---------------------------------------------------------------------------
+
+_SHAP_CHANNELS = ("click", "error", "signup", "view")  # sorted
+
+
+def _shap_weights() -> dict[int, float]:
+    """|S| -> |S|!(n-|S|-1)!/n! for n = 4 (exact in binary floats:
+    1/4, 1/12, 1/12, 1/4)."""
+    import math as _m
+
+    n = len(_SHAP_CHANNELS)
+    return {s: _m.factorial(s) * _m.factorial(n - s - 1) / _m.factorial(n)
+            for s in range(n)}
+
+
+def _shap_oracle() -> str:
+    n = len(_SHAP_CHANNELS)
+    chans = _SHAP_CHANNELS
+    bit = {c: 1 << i for i, c in enumerate(chans)}
+    touched_bits = " + ".join(
+        f"MAX(CASE WHEN event_type = '{c}' AND (first_p IS NULL "
+        f"OR ts < first_p) THEN {bit[c]} ELSE 0 END)" for c in chans)
+    # v(S) per coalition mask: rate over users whose mask is a subset
+    subsets = list(range(1 << n))
+    v_rows = "\nUNION ALL\n".join(
+        f"SELECT {m} AS mask FROM (SELECT 1)" for m in subsets)
+    w = _shap_weights()
+    phi_terms = []
+    for i, c in enumerate(chans):
+        terms = []
+        for m in subsets:
+            if m & (1 << i):
+                continue
+            terms.append(f"{w[bin(m).count('1')]!r} * "
+                         f"(v{m | (1 << i)}.rate - v{m}.rate)")
+        phi_terms.append((c, " + ".join(terms)))
+    v_ctes = ",\n".join(
+        f"v{m} AS (SELECT CASE WHEN COUNT(*) = 0 THEN 0.0 "
+        f"ELSE SUM(conv) / CAST(COUNT(*) AS DOUBLE) END AS rate "
+        f"FROM umask WHERE (mask & ~{m}) = 0)" for m in subsets)
+    v_cross = " CROSS JOIN ".join(f"v{m}" for m in subsets)
+    phi_sql = "\nUNION ALL\n".join(
+        f"SELECT '{c}' AS channel, {round_sql(expr)} AS shapley "
+        f"FROM {v_cross}" for c, expr in phi_terms)
+    # umask is referenced by all 16 v-CTEs -> AS MATERIALIZED, or
+    # DuckDB inlines and recomputes the events pass 16x (repo rule)
+    return f"""
+WITH fp AS MATERIALIZED (
+    SELECT user_id,
+           MIN(CASE WHEN event_type = 'purchase' THEN ts END) AS first_p
+    FROM events GROUP BY user_id
+),
+umask AS MATERIALIZED (
+    SELECT e.user_id,
+           {touched_bits} AS mask,
+           MAX(CASE WHEN e.event_type = 'purchase' THEN 1 ELSE 0 END)
+               AS conv
+    FROM events e JOIN fp ON fp.user_id = e.user_id
+    GROUP BY e.user_id
+),
+{v_ctes}
+{phi_sql}
+"""
+
+
+@register("shapley_channel_attribution", _shap_oracle)
+def shapley_channel_attribution(spark: SparkSession,
+                                sf_dir: str) -> DataFrame:
+    """Exact 4-channel Shapley attribution over subset-coalition
+    conversion rates (16 enumerated coalitions, rational literal
+    weights)."""
+    ev = load_table(spark, sf_dir, "events")
+    chans = _SHAP_CHANNELS
+    n = len(chans)
+    bit = {c: 1 << i for i, c in enumerate(chans)}
+    fp = (ev.groupBy("user_id")
+          .agg(F.min(F.when(F.col("event_type") == "purchase",
+                            F.col("ts"))).alias("first_p")))
+    touched = sum(
+        (F.max(F.when((F.col("event_type") == c)
+                      & (F.col("first_p").isNull()
+                         | (F.col("ts") < F.col("first_p"))),
+                      bit[c]).otherwise(0))
+         for c in chans), F.lit(0))
+    umask = (ev.join(fp, "user_id")
+             .groupBy("user_id")
+             .agg(touched.alias("mask"),
+                  F.max(F.when(F.col("event_type") == "purchase", 1)
+                        .otherwise(0)).alias("conv")))
+    # 16-row mask histogram, then all coalition algebra is broadcast
+    hist = (umask.groupBy("mask")
+            .agg(F.count("*").alias("n_u"), F.sum("conv").alias("n_c"))
+            .persist())
+    grid = spark.createDataFrame([(m,) for m in range(1 << n)],
+                                 "coal int")
+    rates = (F.broadcast(grid)
+             .join(F.broadcast(hist),
+                   F.col("mask").bitwiseAND(F.col("coal"))
+                   == F.col("mask"),
+                   "left")
+             .groupBy("coal")
+             .agg(F.coalesce(F.sum("n_u"), F.lit(0)).alias("nu"),
+                  F.coalesce(F.sum("n_c"), F.lit(0)).alias("nc"))
+             .select("coal",
+                     F.when(F.col("nu") == 0, F.lit(0.0))
+                     .otherwise(F.col("nc")
+                                / F.col("nu").cast("double"))
+                     .alias("rate")))
+    w = _shap_weights()
+    pair_rows = []
+    for i, c in enumerate(chans):
+        for m in range(1 << n):
+            if m & (1 << i):
+                continue
+            pair_rows.append((c, m, m | (1 << i),
+                              w[bin(m).count("1")]))
+    pairs = spark.createDataFrame(
+        pair_rows, "channel string, s_without int, s_with int, w double")
+    r_wo = rates.select(F.col("coal").alias("s_without"),
+                        F.col("rate").alias("r0"))
+    r_wi = rates.select(F.col("coal").alias("s_with"),
+                        F.col("rate").alias("r1"))
+    contrib = (F.broadcast(pairs)
+               .join(F.broadcast(r_wo), "s_without")
+               .join(F.broadcast(r_wi), "s_with")
+               .select("channel", "s_without",
+                       (F.col("w") * (F.col("r1") - F.col("r0")))
+                       .alias("t")))
+    # pinned fold over the bounded 8-term list per channel so the
+    # double sum order matches the oracle's literal left-to-right sum
+    return (contrib.groupBy("channel")
+            .agg(F.aggregate(
+                F.array_sort(F.collect_list(F.struct("s_without", "t"))),
+                F.lit(0.0), lambda a, x: a + x["t"]).alias("phi"))
+            .select("channel", F.round("phi", 6).alias("shapley")))
+
+
+# ---------------------------------------------------------------------------
+# Qini uplift deciles — the uplift-model evaluation curve (Radcliffe
+# 2007, public): rank users by a deterministic engagement score
+# (pre-purchase click count), split into 10 score deciles, and at
+# each cumulative decile compare treated conversions against the
+# treatment-size-scaled control conversions:
+#
+#   qini(k) = convT(k) - convC(k) * nT(k) / nC(k)
+#
+# Exactness: score/rank/decile/counts are all integers (two-phase
+# global rank; no approximate percentile), the cumulative window
+# runs over the bounded 10-row decile relation, and qini is one
+# shared double tree with an explicit nC = 0 guard.
+#
+# Scale shape: user grain -> two-phase rank -> 10-row rollup; the
+# tie-heavy integer score gets a user-id fractional term in
+# bucket_on (the prefix_code discipline) so quantile boundaries can
+# split ties.
+# ---------------------------------------------------------------------------
+
+_QINI_BINS = 10
+
+
+def _qini_oracle() -> str:
+    hashed = md5_long_sql("'exp:' || CAST(e.user_id AS VARCHAR)")
+    return f"""
+WITH fp AS (
+    SELECT user_id,
+           MIN(CASE WHEN event_type = 'purchase' THEN ts END) AS first_p
+    FROM events GROUP BY user_id
+),
+users AS (
+    SELECT e.user_id,
+           ({hashed} % 2) AS treated,
+           SUM(CASE WHEN e.event_type = 'click' AND (fp.first_p IS NULL
+                    OR e.ts < fp.first_p) THEN 1 ELSE 0 END) AS score,
+           MAX(CASE WHEN e.event_type = 'purchase' THEN 1 ELSE 0 END)
+               AS conv
+    FROM events e JOIN fp ON fp.user_id = e.user_id
+    GROUP BY e.user_id
+),
+ranked AS (
+    SELECT treated, score, conv,
+           row_number() OVER (ORDER BY score DESC, user_id) AS rk,
+           COUNT(*) OVER () AS n
+    FROM users
+),
+dec AS (
+    SELECT CAST(((rk - 1) * {_QINI_BINS}) // n AS INT) AS decile,
+           COUNT(*) AS n_users,
+           SUM(treated) AS n_t,
+           SUM(CASE WHEN treated = 1 THEN conv ELSE 0 END) AS c_t,
+           SUM(CASE WHEN treated = 0 THEN conv ELSE 0 END) AS c_c
+    FROM ranked GROUP BY decile
+),
+cum AS (
+    SELECT decile,
+           SUM(n_users) OVER w AS cum_n,
+           SUM(n_t) OVER w AS cum_nt,
+           SUM(n_users - n_t) OVER w AS cum_nc,
+           SUM(c_t) OVER w AS cum_ct,
+           SUM(c_c) OVER w AS cum_cc
+    FROM dec
+    WINDOW w AS (ORDER BY decile ROWS UNBOUNDED PRECEDING)
+)
+SELECT CAST(decile AS INT) AS decile,
+       CAST(cum_nt AS BIGINT) AS cum_n_treat,
+       CAST(cum_nc AS BIGINT) AS cum_n_ctrl,
+       CAST(cum_ct AS BIGINT) AS cum_conv_treat,
+       CAST(cum_cc AS BIGINT) AS cum_conv_ctrl,
+       CASE WHEN cum_nc = 0 THEN NULL
+            ELSE {round_sql(
+                'cum_ct - CAST(cum_cc AS DOUBLE) * cum_nt / cum_nc')}
+                 + 0.0
+       END AS qini
+FROM cum
+"""
+
+
+@register("qini_uplift_deciles", _qini_oracle)
+def qini_uplift_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cumulative Qini curve over 10 engagement-score deciles of the
+    md5 treatment split."""
+    from travel_data_pipeline_spark.operators.windows import (
+        two_phase_ordered,
+    )
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    fp = (ev.groupBy("user_id")
+          .agg(F.min(F.when(F.col("event_type") == "purchase",
+                            F.col("ts"))).alias("first_p")))
+    treated = (md5_long(F.concat(F.lit("exp:"),
+                                 F.col("user_id").cast("string"))) % 2)
+    users = (ev.join(fp, "user_id")
+             .groupBy("user_id")
+             .agg(F.sum(F.when((F.col("event_type") == "click")
+                               & (F.col("first_p").isNull()
+                                  | (F.col("ts") < F.col("first_p"))), 1)
+                        .otherwise(0)).alias("score"),
+                  F.max(F.when(F.col("event_type") == "purchase", 1)
+                        .otherwise(0)).alias("conv"))
+             .select("user_id", treated.alias("treated"), "score", "conv"))
+    n_agg = users.agg(F.count("*").alias("n"))
+    # bucket_on: -score + user_id fraction keeps the head monotone
+    # along (score DESC, user_id ASC) while giving approxQuantile
+    # spread through the tie-heavy integer scores
+    ranked = two_phase_ordered(
+        users, [F.col("score").desc(), F.col("user_id").asc()],
+        bucket_on=-F.col("score")
+        + F.col("user_id").cast("double") / 1e12,
+        rank_col="rk")
+    dec = (ranked.crossJoin(F.broadcast(n_agg))
+           .groupBy((((F.col("rk") - 1) * _QINI_BINS) / F.col("n"))
+                    .cast("int").alias("decile"))
+           .agg(F.count("*").alias("n_users"),
+                F.sum("treated").alias("n_t"),
+                F.sum(F.when(F.col("treated") == 1,
+                             F.col("conv")).otherwise(0)).alias("c_t"),
+                F.sum(F.when(F.col("treated") == 0,
+                             F.col("conv")).otherwise(0)).alias("c_c")))
+    w = Window.orderBy("decile").rowsBetween(Window.unboundedPreceding, 0)
+    cum = dec.select(
+        "decile",
+        F.sum("n_t").over(w).alias("cum_nt"),
+        F.sum(F.col("n_users") - F.col("n_t")).over(w).alias("cum_nc"),
+        F.sum("c_t").over(w).alias("cum_ct"),
+        F.sum("c_c").over(w).alias("cum_cc"))
+    qini = (F.col("cum_ct")
+            - F.col("cum_cc").cast("double") * F.col("cum_nt")
+            / F.col("cum_nc"))
+    return cum.select(
+        F.col("decile").cast("int").alias("decile"),
+        F.col("cum_nt").cast("long").alias("cum_n_treat"),
+        F.col("cum_nc").cast("long").alias("cum_n_ctrl"),
+        F.col("cum_ct").cast("long").alias("cum_conv_treat"),
+        F.col("cum_cc").cast("long").alias("cum_conv_ctrl"),
+        F.when(F.col("cum_nc") == 0, F.lit(None).cast("double"))
+        .otherwise(F.round(qini, 6) + F.lit(0.0)).alias("qini"))

@@ -416,6 +416,37 @@ def attribute_purchases_stream(clicks: DataFrame, purchases: DataFrame,
                     "click_ts", "purchase_ts"))
 
 
+def unconverted_clicks_stream(clicks: DataFrame, purchases: DataFrame,
+                              within: str = "1 hour") -> DataFrame:
+    """LEFT-OUTER stream-stream interval join — the retargeting feed:
+    every click emits, joined to the same user's purchase within
+    ``within`` when one arrives, or with NULL purchase columns once
+    the watermark passes the click's join window (Spark holds the
+    click in state until then — an outer result cannot be emitted
+    before the engine KNOWS no match can still arrive; this is the
+    outer-join delivery semantics availableNow single-batch runs
+    never flush, so tests drive it with sequential checkpointed
+    runs).  State stays O(throughput x within), the inner-join bound.
+    """
+    c = (clicks.select(F.col("user_id").alias("c_user"),
+                       F.col("event_id").alias("click_id"),
+                       F.col("ts").alias("click_ts"))
+         .withWatermark("click_ts", within))
+    p = (purchases.select(F.col("user_id").alias("p_user"),
+                          F.col("event_id").alias("purchase_id"),
+                          F.col("value").alias("amount"),
+                          F.col("ts").alias("purchase_ts"))
+         .withWatermark("purchase_ts", within))
+    cond = F.expr(f"""
+        c_user = p_user AND
+        purchase_ts >= click_ts AND
+        purchase_ts <= click_ts + interval {within}""")
+    return (c.join(p, cond, "left_outer")
+            .select(F.col("c_user").alias("user_id"),
+                    "click_id", "click_ts", "purchase_id", "amount",
+                    F.col("purchase_id").isNotNull().alias("converted")))
+
+
 def ewma_stateful(events: DataFrame, alpha: float = 0.3) -> DataFrame:
     """Streaming EWMA per user via applyInPandasWithState — the
     streaming twin of queries_stats.ewma_values_per_user: state is one
