@@ -159,13 +159,23 @@ def main() -> None:
     # captured stdout, which has been observed tail-truncated — drop
     # the same line in a file so the headline value always survives.
     # DNF/partial runs go to a SEPARATE file (ADVICE r08) so a failed
-    # run never clobbers the last good headline value.
-    sidecar = "BENCH_LAST_DNF.json" if errors else "BENCH_LAST.json"
-    try:
-        with open(os.path.join(REPO_ROOT, sidecar), "w") as fh:
-            fh.write(line + "\n")
-    except OSError as exc:
-        print(f"bench: sidecar write failed: {exc}", file=sys.stderr)
+    # run never clobbers the last good headline value, and clean runs
+    # are keyed by SF (ADVICE r09) so an sf0.001 smoke run never
+    # clobbers the sf0.1 headline; the unsuffixed BENCH_LAST.json is
+    # written ONLY for the canonical sf0.1 run to keep the historical
+    # round-over-round path stable.
+    if errors:
+        sidecars = ["BENCH_LAST_DNF.json"]
+    else:
+        sidecars = [f"BENCH_LAST_sf{sf}.json"]
+        if sf == "0.1":
+            sidecars.append("BENCH_LAST.json")
+    for sidecar in sidecars:
+        try:
+            with open(os.path.join(REPO_ROOT, sidecar), "w") as fh:
+                fh.write(line + "\n")
+        except OSError as exc:
+            print(f"bench: sidecar write failed: {exc}", file=sys.stderr)
     print(line)
     # Compact summary printed LAST (VERDICT r08 #7): the driver's
     # BENCH_r{N}.json keeps only a tail of stdout, which truncates the

@@ -549,3 +549,35 @@ def test_qini_matches_python(spark, sf_smoke):
             assert abs(row.qini - want) < 1e-6
     # last decile qini = overall uplift estimate; curve covers all users
     assert got[max(got)].cum_n_treat + got[max(got)].cum_n_ctrl == n
+
+
+def test_bigram_queries_skip_short_docs(spark, tmp_path):
+    """ADVICE r09: empty/one-word docs made F.sequence(1, size-1)
+    descend to [1, 0] and element_at(words, 0) throw under ANSI,
+    while the DuckDB oracle's generate_series(1, 0) is empty. Both
+    bigram queries must now SKIP those docs, not crash."""
+    import travel_data_pipeline_spark.registry  # noqa: F401  (import order)
+    from travel_data_pipeline_spark.queries_cleaning import (
+        bigram_lm_perplexity,
+    )
+    from travel_data_pipeline_spark.queries_round13 import kn_bigram_ppl
+
+    rows = [
+        (1, "", "en", "web", 0),
+        (2, "one", "en", "web", 3),
+        (3, "   ", "en", "web", 3),          # whitespace-only -> [""]
+        (4, "two words here", "en", "web", 14),
+        (5, "two words again", "en", "web", 15),
+    ]
+    df = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, "
+              "n_chars long")
+    df.write.mode("overwrite").parquet(
+        str(tmp_path / "documents.parquet"))
+
+    kn = {r.doc_id: r for r in kn_bigram_ppl(spark, str(tmp_path)).collect()}
+    lm = {r.doc_id: r
+          for r in bigram_lm_perplexity(spark, str(tmp_path)).collect()}
+    assert set(kn) == {4, 5} and set(lm) == {4, 5}
+    assert all(r.n_bigrams == 2 for r in kn.values())
+    assert all(r.ppl >= 1.0 for r in lm.values())

@@ -192,7 +192,12 @@ def bigram_lm_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
     words = F.split(
         F.trim(F.regexp_replace(F.lower("text"), r"\s+", " ")), " ")
     toks = docs.select("doc_id", words.alias("words"))
-    occ = (toks.select(
+    # size >= 2 guard: F.sequence(1, size-1) is DESCENDING [1, 0] for
+    # empty/one-word docs and element_at(words, 0) throws under ANSI,
+    # while the oracle's generate_series(1, 0) is empty (ADVICE r09).
+    # vocab below intentionally stays UNGUARDED — the oracle counts
+    # one-word docs' tokens in V.
+    occ = (toks.filter(F.size("words") >= 2).select(
         "doc_id",
         F.explode(F.transform(
             F.sequence(F.lit(1), F.size("words") - 1),

@@ -540,7 +540,11 @@ def kn_bigram_ppl(spark: SparkSession, sf_dir: str) -> DataFrame:
             .repartition(spark.sparkContext.defaultParallelism, "doc_id"))
     words = F.split(
         F.trim(F.regexp_replace(F.lower("text"), r"\s+", " ")), " ")
-    toks = docs.select("doc_id", words.alias("words"))
+    # size >= 2 guard: F.sequence(1, size-1) is DESCENDING [1, 0] for
+    # empty/one-word docs and element_at(words, 0) throws under ANSI,
+    # while the oracle's generate_series(1, 0) is empty (ADVICE r09).
+    toks = (docs.select("doc_id", words.alias("words"))
+            .filter(F.size("words") >= 2))
     occ = (toks.select(
         "doc_id",
         F.explode(F.transform(
@@ -1077,8 +1081,6 @@ def _shap_oracle() -> str:
         f"OR ts < first_p) THEN {bit[c]} ELSE 0 END)" for c in chans)
     # v(S) per coalition mask: rate over users whose mask is a subset
     subsets = list(range(1 << n))
-    v_rows = "\nUNION ALL\n".join(
-        f"SELECT {m} AS mask FROM (SELECT 1)" for m in subsets)
     w = _shap_weights()
     phi_terms = []
     for i, c in enumerate(chans):
