@@ -812,9 +812,10 @@ def ngram_novelty_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
 _CAL_SCORE = ("-2.0 + 3.5 * alpha_ratio - 6.0 * (1.0 - alpha_ratio)"
               " + 0.08 * mean_word_len + 0.9 * log_len")
 
-
-@register("cdf_calibration_bins", f"""
-WITH feats AS (
+# the feats -> x -> judged -> mnmx -> probs chain, shared verbatim by
+# cdf_calibration_bins and isotonic_calibration_bins (queries_round15)
+# so both engines/queries bin the IDENTICAL (p, truth) relation
+CAL_PROBS_SQL = f"""feats AS (
     SELECT doc_id,
            length(text) AS n_chars,
            length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS alpha_chars,
@@ -847,26 +848,19 @@ probs AS (
            truth
     FROM judged CROSS JOIN mnmx
 ),
-binned AS (
+cal_binned AS (
     SELECT LEAST(CAST(floor(p * 10) AS INT), 9) AS bin,
            count(*) AS n,
            SUM(CAST(p AS DECIMAL(18,6))) AS sum_p,
            SUM(CASE WHEN truth THEN 1 ELSE 0 END) AS n_pos
     FROM probs GROUP BY bin
-),
-tot AS (SELECT SUM(n) AS total FROM binned)
-SELECT CAST(bin AS INT) AS bin, CAST(n AS BIGINT) AS n,
-       {round_sql("CAST(sum_p AS DOUBLE) / n")} AS mean_p,
-       {round_sql("n_pos / CAST(n AS DOUBLE)")} AS pos_rate,
-       {round_sql("abs(CAST(sum_p AS DOUBLE) / n"
-                  " - n_pos / CAST(n AS DOUBLE))"
-                  " * (n / CAST(total AS DOUBLE))")} AS ece_term
-FROM binned CROSS JOIN tot
-""")
-def cdf_calibration_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Reliability-diagram bins + per-bin ECE contribution for the
-    frozen quality scorer (same score/truth spelling as
-    classifier_threshold_sweep)."""
+)"""
+
+
+def calibration_binned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(bin, n, sum_p DECIMAL, n_pos) — the reliability-bin relation
+    of the frozen quality scorer (one corpus scan, <= 10 groups);
+    shared by cdf_calibration_bins and isotonic_calibration_bins."""
     docs = load_table(spark, sf_dir, "documents")
     norm = F.trim(F.regexp_replace(F.lower("text"), r"\s+", " "))
     toks = F.filter(F.split(norm, " "), lambda x: x != "")
@@ -891,12 +885,31 @@ def cdf_calibration_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
                             / (F.col("mx") - F.col("mn")), 6)))
     probs = (judged.crossJoin(F.broadcast(mnmx))
              .select(p.alias("p"), "truth"))
-    binned = (probs.groupBy(
+    return (probs.groupBy(
         F.least(F.floor(F.col("p") * 10).cast("int"), F.lit(9))
         .alias("bin"))
         .agg(F.count("*").alias("n"),
              F.sum(F.col("p").cast("decimal(18,6)")).alias("sum_p"),
              F.sum(F.when(F.col("truth"), 1).otherwise(0)).alias("n_pos")))
+
+
+@register("cdf_calibration_bins", f"""
+WITH {CAL_PROBS_SQL},
+tot AS (SELECT SUM(n) AS total FROM cal_binned)
+SELECT CAST(bin AS INT) AS bin, CAST(n AS BIGINT) AS n,
+       {round_sql("CAST(sum_p AS DOUBLE) / n")} AS mean_p,
+       {round_sql("n_pos / CAST(n AS DOUBLE)")} AS pos_rate,
+       {round_sql("abs(CAST(sum_p AS DOUBLE) / n"
+                  " - n_pos / CAST(n AS DOUBLE))"
+                  " * (n / CAST(total AS DOUBLE))")} AS ece_term
+FROM cal_binned CROSS JOIN tot
+""")
+def cdf_calibration_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reliability-diagram bins + per-bin ECE contribution for the
+    frozen quality scorer (same score/truth spelling as
+    classifier_threshold_sweep; bin relation shared with
+    isotonic_calibration_bins via calibration_binned)."""
+    binned = calibration_binned(spark, sf_dir)
     tot = binned.agg(F.sum("n").alias("total"))
     mean_p = F.col("sum_p").cast("double") / F.col("n")
     pos_rate = F.col("n_pos") / F.col("n").cast("double")
