@@ -200,3 +200,189 @@ def test_randomized_response_matches_python(spark, sf_smoke):
         # the debiased estimate should sit near the hidden true rate
         # (binomial noise at n~200: generous 0.25 tolerance)
         assert abs(deb - nt / n) < 0.25
+
+
+def test_sax_daily_motifs_matches_python(spark, sf_smoke):
+    from travel_data_pipeline_spark.queries_round15 import (
+        _SAX_B1,
+        _SAX_B2,
+        _SAX_W,
+        sax_daily_motifs,
+    )
+    from travel_data_pipeline_spark.sources.readers import load_table
+
+    ev = [r.ts.date() for r in load_table(spark, sf_smoke, "events")
+          .select("ts").collect()]
+    daily = defaultdict(int)
+    for d in ev:
+        daily[d] += 1
+    counts = [daily[d] for d in sorted(daily)]
+    n = len(counts)
+    s = sum(counts)
+    ss = sum(c * c for c in counts)
+    mean = s / n
+    std = math.sqrt((ss - s * s / n) / (n - 1))
+    frames = []
+    for f in range(n // _SAX_W):
+        chunk = counts[f * _SAX_W:(f + 1) * _SAX_W]
+        if len(chunk) == _SAX_W:
+            frames.append((sum(chunk) / _SAX_W - mean) / std)
+    sym = ["a" if z < _SAX_B1 else ("b" if z < _SAX_B2 else "c")
+           for z in frames]
+    words = defaultdict(list)
+    for i in range(len(sym) - 2):
+        words["".join(sym[i:i + 3])].append(i)
+    got = {r.word: r for r in sax_daily_motifs(spark, sf_smoke).collect()}
+    assert set(got) == set(words)
+    for w, occ in words.items():
+        row = got[w]
+        assert row.support == len(occ)
+        assert row.is_motif == (1 if len(occ) >= 2 else 0)
+        assert (row.first_frame, row.last_frame) == (min(occ), max(occ))
+
+
+def test_rank_biased_overlap_matches_python(spark, sf_smoke):
+    from decimal import Decimal
+
+    from travel_data_pipeline_spark.queries_round15 import (
+        _RBO_D,
+        _RBO_P,
+        rank_biased_overlap,
+    )
+    from travel_data_pipeline_spark.sources.readers import load_table
+
+    li = [(r.l_partkey, Decimal(str(round(r.l_extendedprice, 2))),
+           Decimal(str(round(r.l_discount, 2))),
+           Decimal(str(round(r.l_quantity, 2))))
+          for r in load_table(spark, sf_smoke, "lineitem")
+          .select("l_partkey", "l_extendedprice", "l_discount",
+                  "l_quantity").collect()]
+    rev = defaultdict(Decimal)
+    qty = defaultdict(Decimal)
+    for p, ep, d, q in li:
+        rev[p] += ep * (1 - d)
+        qty[p] += q
+    top_rev = [p for p, _ in sorted(rev.items(),
+                                    key=lambda kv: (-kv[1], kv[0]))][:_RBO_D]
+    top_qty = [p for p, _ in sorted(qty.items(),
+                                    key=lambda kv: (-kv[1], kv[0]))][:_RBO_D]
+    want = 0.0
+    for d in range(1, _RBO_D + 1):
+        a = len(set(top_rev[:d]) & set(top_qty[:d]))
+        want += (1 - _RBO_P) * _RBO_P ** (d - 1) * a / d
+    row = rank_biased_overlap(spark, sf_smoke).collect()[0]
+    assert row.depth == _RBO_D
+    assert abs(row.rbo - want) < 1e-6
+    assert 0.0 <= row.rbo <= 1.0
+
+
+def test_decision_stump_matches_bruteforce(spark, sf_smoke):
+    import re
+
+    from travel_data_pipeline_spark.queries_round15 import (
+        _STUMP_FEATS,
+        decision_stump_gini,
+    )
+    from travel_data_pipeline_spark.sources.readers import load_table
+
+    docs = [r.text for r in load_table(spark, sf_smoke, "documents")
+            .select("text").collect()]
+    rows = []
+    for text in docs:
+        n_chars = len(text)
+        alpha = len(re.sub(r"[^A-Za-z]", "", text))
+        toks = [t for t in re.sub(r"\s+", " ", text.lower()).strip()
+                .split(" ") if t]
+        n_tokens = len(toks)
+        ar = round(alpha / max(n_chars, 1), 6)
+        mwl = round(alpha / max(n_tokens, 1), 6)
+        sym = round((n_chars - alpha) / max(n_chars, 1), 6)
+        ll = round(math.log10(n_chars + 1.0), 6)
+        truth = 1 if (n_tokens >= 10 and mwl <= 12.0
+                      and sym <= 0.35) else 0
+        rows.append({"alpha_ratio": ar, "mean_word_len": mwl,
+                     "log_len": ll, "truth": truth})
+    got = {r.feature: r
+           for r in decision_stump_gini(spark, sf_smoke).collect()}
+    assert set(got) == set(_STUMP_FEATS)
+    n_total = len(rows)
+    for feat in _STUMP_FEATS:
+        vals = sorted({round(min(r[feat], 50.0), 2) for r in rows})
+        best = None
+        for t in vals:
+            left = [r for r in rows
+                    if round(min(r[feat], 50.0), 2) <= t]
+            if len(left) == n_total:
+                continue
+            right = [r for r in rows
+                     if round(min(r[feat], 50.0), 2) > t]
+
+            def gini(part):
+                if not part:
+                    return 0.0
+                p = sum(r["truth"] for r in part) / len(part)
+                return 1.0 - p * p - (1 - p) * (1 - p)
+
+            g = (len(left) * gini(left)
+                 + len(right) * gini(right)) / n_total
+            if best is None or g < best[1] - 1e-12:
+                best = (t, g, len(left), len(right))
+        t, g, nl, nr = best
+        row = got[feat]
+        assert (row.n_left, row.n_right) == (nl, nr), feat
+        assert abs(row.threshold - t) < 1e-9
+        assert abs(row.gini - g) < 1e-6
+        # a split must beat or match the unsplit impurity
+        base = (lambda p: 1 - p * p - (1 - p) * (1 - p))(
+            sum(r["truth"] for r in rows) / n_total)
+        assert row.gini <= base + 1e-9
+
+
+def test_burrows_delta_matches_python(spark, sf_smoke):
+    import re
+
+    from travel_data_pipeline_spark.queries_round15 import (
+        _BD_K,
+        burrows_delta_stylometry,
+    )
+    from travel_data_pipeline_spark.sources.readers import load_table
+
+    docs = [(r.source, r.text)
+            for r in load_table(spark, sf_smoke, "documents")
+            .select("source", "text").collect()]
+    cnt = defaultdict(int)
+    tot = defaultdict(int)
+    word_tot = defaultdict(int)
+    for src, text in docs:
+        for w in re.sub(r"\s+", " ", text.lower()).strip().split(" "):
+            if w:
+                cnt[(src, w)] += 1
+                tot[src] += 1
+                word_tot[w] += 1
+    topw = [w for w, _ in sorted(word_tot.items(),
+                                 key=lambda kv: (-kv[1], kv[0]))][:_BD_K]
+    sources = sorted(tot)
+    f = {(s, w): cnt.get((s, w), 0) / tot[s]
+         for s in sources for w in topw}
+    z = {}
+    for w in topw:
+        xs = [f[(s, w)] for s in sources]  # source-sorted (pinned)
+        n = len(xs)
+        sm = 0.0
+        ssm = 0.0
+        for x in xs:
+            sm += x
+        for x in xs:
+            ssm += x * x
+        var = (ssm - sm * sm / n) / (n - 1)
+        for s in sources:
+            z[(s, w)] = (0.0 if var <= 0.0
+                         else (f[(s, w)] - sm / n) / math.sqrt(var))
+    got = {(r.source_a, r.source_b): r.delta
+           for r in burrows_delta_stylometry(spark, sf_smoke).collect()}
+    assert len(got) == len(sources) * (len(sources) - 1) // 2
+    for i, a in enumerate(sources):
+        for b in sources[i + 1:]:
+            want = sum(abs(z[(a, w)] - z[(b, w)])
+                       for w in topw) / _BD_K
+            assert abs(got[(a, b)] - want) < 1e-6, (a, b)

@@ -7,10 +7,10 @@ signature+banding pipeline inside the composition).
 
 Two phases:
   A. end-to-end: amplify sf0.1 documents/embeddings Nx into a tmp sf
-     dir (near-dup copies — every copy appends a copy token, so LSH
-     has real work and the max_bucket cap has real poison to absorb),
-     then run dedup_scorecard(spark, tmp_dir) exactly as registered
-     and record wall + rows/s.
+     dir (copies 1..20 are near-dups — one appended token; later
+     copies are distinct docs — per-word copy suffix; ~realistic dup
+     density), then run dedup_scorecard(spark, tmp_dir) exactly as
+     registered and record wall + rows/s.
   B. sharing-win: at a smaller amplification, time the containment
      component WITH the injected shared pairs vs WITHOUT (component
      builds its own) — the measured value of the seam.
@@ -42,12 +42,22 @@ def _amplified_sf_dir(spark, sf_dir: str, amplify: int, out_dir: str) -> int:
     par = spark.sparkContext.defaultParallelism
     copies = spark.range(amplify).withColumnRenamed("id", "copy")
     base = load_table(spark, sf_dir, "documents")
+    # realistic dup density: copies 1..20 are NEAR-DUPS of the base
+    # doc (one appended token — high Jaccard, LSH must catch them);
+    # all later copies are DISTINCT documents (every word carries a
+    # copy suffix, so no shingle survives). A corpus where EVERY doc
+    # has `amplify` near-copies is a 99%+-dup pathology no cap should
+    # be asked to absorb — ~20/amplify dup share matches real crawls.
+    near = F.concat("text", F.lit(" v"), F.col("copy"))
+    distinct = F.regexp_replace(
+        F.col("text"), F.lit(r"(\S+)"),
+        F.concat(F.lit("$1c"), F.col("copy").cast("string")))
     docs = (base.crossJoin(copies)
             .select((F.col("doc_id") + F.col("copy") * 10_000_000)
                     .alias("doc_id"),
                     F.when(F.col("copy") == 0, F.col("text"))
-                    .otherwise(F.concat("text", F.lit(" v"), F.col("copy")))
-                    .alias("text"),
+                    .when(F.col("copy") <= 20, near)
+                    .otherwise(distinct).alias("text"),
                     "lang", "source", "n_chars")
             .repartition(par * 2))
     docs.write.mode("overwrite").parquet(
@@ -101,13 +111,14 @@ def main(amplify_big: int = 1000, amplify_small: int = 100) -> None:
         n_lsh = lsh_pairs.count()
         t_lsh = time.perf_counter() - t0
 
-        t0 = time.perf_counter()
-        n_shared = containment_pairs(spark, tmp, pairs=lsh_pairs).count()
-        t_shared = time.perf_counter() - t0
-
+        # own-build FIRST so scan-cache warmth favors neither arm
         t0 = time.perf_counter()
         n_own = containment_pairs(spark, tmp).count()  # own pairs build
         t_own = time.perf_counter() - t0
+
+        t0 = time.perf_counter()
+        n_shared = containment_pairs(spark, tmp, pairs=lsh_pairs).count()
+        t_shared = time.perf_counter() - t0
         lsh_pairs.unpersist()
 
         print(json.dumps({

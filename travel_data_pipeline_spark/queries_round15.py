@@ -434,3 +434,483 @@ def randomized_response_debias(spark: SparkSession,
                  .alias("true_rate"),
                  F.round((obs_rate - F.lit((1.0 - p_keep) * 0.5))
                          / F.lit(p_keep), 6).alias("debiased_rate")))
+
+
+# ---------------------------------------------------------------------------
+# SAX symbolic motifs over the daily event-count series.
+#
+# Classic SAX (Lin/Keogh/Lonardi/Chiu 2003, public): z-normalize the
+# daily counts against the series' own mean/std (the cusum moment
+# spelling), PAA-average over _SAX_W-day frames, discretize with the
+# standard N(0,1) quartile breakpoints (python literals), slide a
+# _SAX_L-symbol word over consecutive frames, and report every word
+# occurring >= 2 times (a motif) with its support.
+#
+# Exactness: daily counts and frame sums are integers; mean/std/PAA/z
+# are one shared expression tree; breakpoint comparisons are against
+# repr literals; word assembly is pure string concat.
+#
+# Scale shape: one grouped pass over events -> day grain; everything
+# after runs on |days| rows (corpus-size-independent).
+# ---------------------------------------------------------------------------
+
+_SAX_W = 2        # days per PAA frame (30-day grid -> 15 frames)
+_SAX_L = 3        # symbols per word
+# N(0,1) tercile breakpoints for a 3-letter alphabet (python-computed
+# literals shared verbatim by both engines)
+_SAX_B1, _SAX_B2 = -0.4307272992954576, 0.4307272992954576
+
+_SAX_VAR = ("(CAST(ss AS DOUBLE)"
+            " - (CAST(s AS DOUBLE) * CAST(s AS DOUBLE))"
+            " / CAST(n AS DOUBLE))")
+_SAX_SYM = (f"CASE WHEN z < {_SAX_B1!r} THEN 'a'"
+            f" WHEN z < {_SAX_B2!r} THEN 'b' ELSE 'c' END")
+
+
+@register("sax_daily_motifs", f"""
+WITH daily AS (
+    SELECT date_trunc('day', ts) AS day, count(*) AS cnt
+    FROM events GROUP BY 1
+),
+idx AS (
+    SELECT cnt, row_number() OVER (ORDER BY day) - 1 AS i FROM daily
+),
+mom AS (SELECT count(*) AS n, sum(cnt) AS s, sum(cnt * cnt) AS ss
+        FROM daily),
+frames AS (
+    SELECT CAST(floor(i / {_SAX_W}) AS INT) AS f,
+           SUM(cnt) AS fsum, COUNT(*) AS fn
+    FROM idx GROUP BY 1
+    HAVING COUNT(*) = {_SAX_W}
+),
+z AS (
+    SELECT f,
+           (CAST(fsum AS DOUBLE) / fn - CAST(s AS DOUBLE) / n)
+             / sqrt({_SAX_VAR} / (CAST(n AS DOUBLE) - 1.0)) AS z
+    FROM frames CROSS JOIN mom
+),
+sym AS (SELECT f, {_SAX_SYM} AS c FROM z),
+words AS (
+    SELECT a.f AS start_f, a.c || b.c || d.c AS word
+    FROM sym a JOIN sym b ON b.f = a.f + 1
+    JOIN sym d ON d.f = a.f + 2
+)
+SELECT word,
+       CAST(COUNT(*) AS BIGINT) AS support,
+       CAST(COUNT(*) >= 2 AS INT) AS is_motif,
+       CAST(MIN(start_f) AS INT) AS first_frame,
+       CAST(MAX(start_f) AS INT) AS last_frame
+FROM words GROUP BY word
+""")
+def sax_daily_motifs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SAX-discretize the daily event counts (PAA w={_SAX_W}, 4-letter
+    alphabet) and report every 3-symbol word with its support and a motif
+    flag (support >= 2) — symbolic motif discovery, the cheap sibling
+    of matrix_profile_motifs."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    daily = (ev.groupBy(F.date_trunc("day", "ts").alias("day"))
+             .agg(F.count("*").alias("cnt")))
+    # |days| rows: bounded single-partition window (documented)
+    idx = daily.select(
+        "cnt", (F.row_number().over(Window.orderBy("day")) - 1).alias("i"))
+    mom = daily.agg(F.count("*").alias("n"), F.sum("cnt").alias("s"),
+                    F.sum(F.col("cnt") * F.col("cnt")).alias("ss"))
+    frames = (idx.groupBy(F.floor(F.col("i") / _SAX_W).cast("int")
+                          .alias("f"))
+              .agg(F.sum("cnt").alias("fsum"), F.count("*").alias("fn"))
+              .filter(F.col("fn") == _SAX_W))
+    var = (F.col("ss").cast("double")
+           - F.col("s").cast("double") * F.col("s").cast("double")
+           / F.col("n").cast("double"))
+    z = (frames.crossJoin(F.broadcast(mom))
+         .select("f", ((F.col("fsum").cast("double") / F.col("fn")
+                        - F.col("s").cast("double") / F.col("n"))
+                       / F.sqrt(var / (F.col("n").cast("double") - 1.0)))
+                 .alias("z")))
+    sym = z.select("f", F.when(F.col("z") < _SAX_B1, "a")
+                   .when(F.col("z") < _SAX_B2, "b")
+                   .otherwise("c").alias("c"))
+    a, b, d = sym.alias("a"), sym.alias("b"), sym.alias("d")
+    words = (a.join(b, F.col("b.f") == F.col("a.f") + 1)
+             .join(d, F.col("d.f") == F.col("a.f") + 2)
+             .select(F.col("a.f").alias("start_f"),
+                     F.concat(F.col("a.c"), F.col("b.c"),
+                              F.col("d.c")).alias("word")))
+    return (words.groupBy("word")
+            .agg(F.count("*").cast("long").alias("support"),
+                 (F.count("*") >= 2).cast("int").alias("is_motif"),
+                 F.min("start_f").cast("int").alias("first_frame"),
+                 F.max("start_f").cast("int").alias("last_frame")))
+
+
+# ---------------------------------------------------------------------------
+# Rank-biased overlap between two part rankings.
+#
+# RBO (Webber/Moffat/Zobel 2010, public) at persistence p over the
+# top-D prefixes of two rankings of the same universe:
+#   RBO@D = (1 - p) * sum_{d=1..D} p^(d-1) * |X_d ∩ Y_d| / d
+# Rankings: parts by total revenue vs parts by total ship quantity
+# (ties broken by partkey — fully deterministic).  The p^(d-1)
+# weights are python-computed literals shared by both engines; the
+# per-depth sum folds in depth order.
+#
+# Scale shape: two grouped passes over lineitem, two top-D TakeOrdered
+# (D = 20); everything after runs on <= D^2 broadcast rows.
+# ---------------------------------------------------------------------------
+
+_RBO_P = 0.9
+_RBO_D = 20
+_RBO_W = [(d, repr((1 - _RBO_P) * _RBO_P ** (d - 1)))
+          for d in range(1, _RBO_D + 1)]
+
+
+def _rbo_oracle() -> str:
+    w_rows = ", ".join(f"({d}, {w})" for d, w in _RBO_W)
+    return f"""
+WITH rev AS MATERIALIZED (
+    SELECT l_partkey,
+           SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+               * (1 - CAST(l_discount AS DECIMAL(4,2)))) AS v
+    FROM lineitem GROUP BY 1
+    ORDER BY v DESC, l_partkey ASC LIMIT {_RBO_D}
+),
+qty AS MATERIALIZED (
+    SELECT l_partkey, SUM(CAST(l_quantity AS DECIMAL(12,2))) AS v
+    FROM lineitem GROUP BY 1
+    ORDER BY v DESC, l_partkey ASC LIMIT {_RBO_D}
+),
+rx AS (SELECT l_partkey, row_number()
+           OVER (ORDER BY v DESC, l_partkey ASC) AS r FROM rev),
+ry AS (SELECT l_partkey, row_number()
+           OVER (ORDER BY v DESC, l_partkey ASC) AS r FROM qty),
+grid AS (SELECT * FROM (VALUES {w_rows}) g(d, w)),
+ov AS (
+    SELECT g.d, g.w,
+           (SELECT COUNT(*) FROM rx JOIN ry USING (l_partkey)
+            WHERE rx.r <= g.d AND ry.r <= g.d) AS a
+    FROM grid g
+)
+SELECT CAST({_RBO_D} AS INT) AS depth,
+       {round_sql(f'''list_reduce(list_prepend(0.0,
+           list(w * (a / CAST(d AS DOUBLE)) ORDER BY d)),
+           (x, y) -> x + y)''')} AS rbo
+FROM ov
+"""
+
+
+@register("rank_biased_overlap", _rbo_oracle())
+def rank_biased_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RBO@{_RBO_D} (p={_RBO_P}) between the revenue-ranked and
+    quantity-ranked top parts — the ranking-stability readout for any
+    two retrieval/curation orderings."""
+    from pyspark.sql import Window
+
+    li = load_table(spark, sf_dir, "lineitem")
+    price = F.col("l_extendedprice").cast("decimal(12,2)")
+    disc = F.col("l_discount").cast("decimal(4,2)")
+    rev = (li.groupBy("l_partkey")
+           .agg(F.sum(price * (F.lit(1) - disc)).alias("v"))
+           .orderBy(F.col("v").desc(), F.col("l_partkey").asc())
+           .limit(_RBO_D))
+    qty = (li.groupBy("l_partkey")
+           .agg(F.sum(F.col("l_quantity").cast("decimal(12,2)"))
+                .alias("v"))
+           .orderBy(F.col("v").desc(), F.col("l_partkey").asc())
+           .limit(_RBO_D))
+    wnd = Window.orderBy(F.col("v").desc(), F.col("l_partkey").asc())
+    rx = rev.select("l_partkey", F.row_number().over(wnd).alias("rx"))
+    ry = qty.select("l_partkey", F.row_number().over(wnd).alias("ry"))
+    grid = spark.createDataFrame(
+        [(d, float(w)) for d, w in _RBO_W], "d int, w double")
+    both = rx.join(ry, "l_partkey")  # <= D rows
+    ov = (F.broadcast(grid)
+          .join(F.broadcast(both),
+                (F.col("rx") <= F.col("d")) & (F.col("ry") <= F.col("d")),
+                "left")
+          .groupBy("d", "w")
+          .agg(F.count("l_partkey").alias("a")))
+    return (ov.agg(F.aggregate(
+        F.array_sort(F.collect_list(F.struct(
+            "d", (F.col("w") * (F.col("a") / F.col("d").cast("double")))
+            .alias("t")))),
+        F.lit(0.0), lambda x, y: x + y["t"]).alias("rbo"))
+        .select(F.lit(_RBO_D).cast("int").alias("depth"),
+                F.round("rbo", 6).alias("rbo")))
+
+
+# ---------------------------------------------------------------------------
+# Decision-stump induction (1-split CART) over the quality features.
+#
+# For each frozen scorer feature (alpha_ratio, mean_word_len, log_len
+# — the cdf_calibration_bins spellings) find the threshold minimizing
+# the weighted Gini impurity of the split against the rule label
+# `truth`.  Candidate thresholds are the feature's DISTINCT 2-dp
+# values (bucketed: one grouped pass per feature -> a bounded
+# candidate relation; the corpus is never crossed with candidates).
+# Gini terms divide FIRST (pos/n as doubles) so no integer product
+# can overflow at any corpus size.
+#
+# Scale shape: one corpus scan -> 3 bounded (feature, value) bucket
+# relations -> cumulative integer sums over <= a few thousand rows.
+# ---------------------------------------------------------------------------
+
+_STUMP_FEATS = ("alpha_ratio", "mean_word_len", "log_len")
+
+
+def _stump_oracle() -> str:
+    per_feat = "\nUNION ALL\n".join(
+        f"SELECT '{f}' AS feature, round(LEAST({f}, 50.0), 2) AS v, "
+        f"truth FROM labeled" for f in _STUMP_FEATS)
+    return f"""
+WITH feats AS (
+    SELECT length(text) AS n_chars,
+           length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS alpha_chars,
+           len(list_filter(string_split(
+               trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' '),
+               x -> x <> '')) AS n_tokens
+    FROM documents
+),
+labeled AS MATERIALIZED (
+    SELECT {round_sql("alpha_chars / GREATEST(n_chars, 1)")} AS alpha_ratio,
+           {round_sql("alpha_chars / GREATEST(n_tokens, 1)")}
+             AS mean_word_len,
+           {round_sql("log10(CAST(n_chars AS DOUBLE) + 1.0)")} AS log_len,
+           CASE WHEN n_tokens >= 10
+                 AND {round_sql("alpha_chars / GREATEST(n_tokens, 1)")}
+                     <= 12.0
+                 AND {round_sql("(n_chars - alpha_chars)"
+                                " / GREATEST(n_chars, 1)")} <= 0.35
+                THEN 1 ELSE 0 END AS truth
+    FROM feats
+),
+stacked AS ({per_feat}),
+buckets AS (
+    SELECT feature, v, COUNT(*) AS n, SUM(truth) AS pos
+    FROM stacked GROUP BY 1, 2
+),
+tot AS (
+    SELECT feature, SUM(n) AS nt, SUM(pos) AS post
+    FROM buckets GROUP BY 1
+),
+cum AS (
+    SELECT feature, v,
+           SUM(n) OVER (PARTITION BY feature ORDER BY v) AS nl,
+           SUM(pos) OVER (PARTITION BY feature ORDER BY v) AS posl
+    FROM buckets
+),
+scored AS (
+    SELECT c.feature, c.v AS threshold,
+           CAST(c.nl AS BIGINT) AS n_left,
+           CAST(t.nt - c.nl AS BIGINT) AS n_right,
+           (c.nl * (1.0 - (c.posl / CAST(c.nl AS DOUBLE))
+                          * (c.posl / CAST(c.nl AS DOUBLE))
+                        - ((c.nl - c.posl) / CAST(c.nl AS DOUBLE))
+                          * ((c.nl - c.posl) / CAST(c.nl AS DOUBLE)))
+            + (t.nt - c.nl)
+              * (CASE WHEN t.nt = c.nl THEN 0.0 ELSE
+                 1.0 - ((t.post - c.posl)
+                        / CAST(t.nt - c.nl AS DOUBLE))
+                       * ((t.post - c.posl)
+                          / CAST(t.nt - c.nl AS DOUBLE))
+                     - ((t.nt - c.nl - t.post + c.posl)
+                        / CAST(t.nt - c.nl AS DOUBLE))
+                       * ((t.nt - c.nl - t.post + c.posl)
+                          / CAST(t.nt - c.nl AS DOUBLE)) END))
+           / CAST(t.nt AS DOUBLE) AS gini
+    FROM cum c JOIN tot t ON t.feature = c.feature
+    WHERE c.nl < t.nt
+),
+best AS (
+    SELECT feature, threshold, n_left, n_right, gini,
+           row_number() OVER (PARTITION BY feature
+                              ORDER BY gini ASC, threshold ASC) AS rk
+    FROM scored
+)
+SELECT feature, threshold, n_left, n_right,
+       {round_sql('gini')} AS gini
+FROM best WHERE rk = 1
+"""
+
+
+@register("decision_stump_gini", _stump_oracle())
+def decision_stump_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Best 1-split decision stump (min weighted Gini) per quality
+    feature against the rule label — learned-filter induction as one
+    scan + bounded bucket cumsums."""
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    n_chars = F.length("text")
+    alpha = F.length(F.regexp_replace("text", "[^A-Za-z]", ""))
+    norm = F.trim(F.regexp_replace(F.lower("text"), r"\s+", " "))
+    n_tokens = F.size(F.filter(F.split(norm, " "), lambda x: x != ""))
+    alpha_ratio = F.round(alpha / F.greatest(n_chars, F.lit(1)), 6)
+    mwl = F.round(alpha / F.greatest(n_tokens, F.lit(1)), 6)
+    sym_ratio = F.round((n_chars - alpha)
+                        / F.greatest(n_chars, F.lit(1)), 6)
+    log_len = F.round(F.log10(n_chars.cast("double") + F.lit(1.0)), 6)
+    truth = F.when((n_tokens >= 10) & (mwl <= 12.0)
+                   & (sym_ratio <= 0.35), 1).otherwise(0)
+    labeled = docs.select(alpha_ratio.alias("alpha_ratio"),
+                          mwl.alias("mean_word_len"),
+                          log_len.alias("log_len"),
+                          truth.alias("truth"))
+    stacked = None
+    for f in _STUMP_FEATS:
+        part = labeled.select(
+            F.lit(f).alias("feature"),
+            F.round(F.least(F.col(f), F.lit(50.0)), 2).alias("v"),
+            "truth")
+        stacked = part if stacked is None else stacked.unionByName(part)
+    buckets = (stacked.groupBy("feature", "v")
+               .agg(F.count("*").alias("n"), F.sum("truth").alias("pos")))
+    tot = (buckets.groupBy("feature")
+           .agg(F.sum("n").alias("nt"), F.sum("pos").alias("post")))
+    # bounded relation (<= ~5k rows/feature): per-feature window cumsum
+    # of exact integers
+    wv = Window.partitionBy("feature").orderBy("v")
+    cum = (buckets
+           .withColumn("nl", F.sum("n").over(wv))
+           .withColumn("posl", F.sum("pos").over(wv)))
+    c = cum.join(tot, "feature").filter(F.col("nl") < F.col("nt"))
+    nl = F.col("nl").cast("double")
+    posl = F.col("posl")
+    nr = (F.col("nt") - F.col("nl")).cast("double")
+    posr = F.col("post") - posl
+    gini_l = (1.0 - (posl / nl) * (posl / nl)
+              - ((F.col("nl") - posl) / nl)
+              * ((F.col("nl") - posl) / nl))
+    gini_r = (F.when(F.col("nt") == F.col("nl"), F.lit(0.0))
+              .otherwise(1.0 - (posr / nr) * (posr / nr)
+                         - ((F.col("nt") - F.col("nl") - posr) / nr)
+                         * ((F.col("nt") - F.col("nl") - posr) / nr)))
+    scored = c.select(
+        "feature", F.col("v").alias("threshold"),
+        F.col("nl").cast("long").alias("n_left"),
+        (F.col("nt") - F.col("nl")).cast("long").alias("n_right"),
+        ((F.col("nl") * gini_l + (F.col("nt") - F.col("nl")) * gini_r)
+         / F.col("nt").cast("double")).alias("gini"))
+    wb = Window.partitionBy("feature").orderBy(
+        F.col("gini").asc(), F.col("threshold").asc())
+    return (scored.withColumn("rk", F.row_number().over(wb))
+            .filter(F.col("rk") == 1)
+            .select("feature", "threshold", "n_left", "n_right",
+                    F.round("gini", 6).alias("gini")))
+
+
+# ---------------------------------------------------------------------------
+# Burrows' Delta stylometry between sources.
+#
+# Burrows 2002 (public): over the K most frequent corpus words,
+# z-score each source's relative frequency against the across-source
+# mean/std of that word, then Delta(A, B) = mean_w |z_w(A) - z_w(B)|.
+# Sources are a bounded set, so every float fold (across-source
+# moments, the K-word mean) is position-pinned; relative frequencies
+# are single exact-integer divisions.
+#
+# Scale shape: one token-explode grouped pass -> (source, word)
+# counts; top-K selection is a TakeOrdered over the word marginals;
+# everything after runs on |sources| x K broadcast rows.
+# ---------------------------------------------------------------------------
+
+_BD_K = 30
+
+
+@register("burrows_delta_stylometry", f"""
+WITH toks AS MATERIALIZED (
+    SELECT source, w, COUNT(*) AS cnt
+    FROM (
+        SELECT source, unnest(string_split(
+            trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ')) AS w
+        FROM documents
+    ) WHERE w <> '' GROUP BY 1, 2
+),
+src_tot AS (SELECT source, SUM(cnt) AS toks FROM toks GROUP BY 1),
+topw AS MATERIALIZED (
+    SELECT w FROM (
+        SELECT w, SUM(cnt) AS c FROM toks GROUP BY 1
+        ORDER BY c DESC, w ASC LIMIT {_BD_K}
+    )
+),
+grid AS (
+    SELECT s.source, t.w,
+           COALESCE(k.cnt, 0) / CAST(s.toks AS DOUBLE) AS f
+    FROM src_tot s CROSS JOIN topw t
+    LEFT JOIN toks k ON k.source = s.source AND k.w = t.w
+),
+mom AS (
+    SELECT w,
+           COUNT(*) AS n,
+           list_reduce(list_prepend(0.0, list(f ORDER BY source)),
+                       (a, b) -> a + b) AS s,
+           list_reduce(list_prepend(0.0, list(f * f ORDER BY source)),
+                       (a, b) -> a + b) AS ss
+    FROM grid GROUP BY w
+),
+z AS (
+    SELECT g.source, g.w,
+           CASE WHEN m.n <= 1
+                 OR (m.ss - m.s * m.s / m.n) / (m.n - 1.0) <= 0.0
+                THEN 0.0
+                ELSE (g.f - m.s / m.n)
+                     / sqrt((m.ss - m.s * m.s / m.n) / (m.n - 1.0)) END AS z
+    FROM grid g JOIN mom m ON m.w = g.w
+)
+SELECT a.source AS source_a, b.source AS source_b,
+       {round_sql(f'''list_reduce(list_prepend(0.0,
+           list(abs(a.z - b.z) ORDER BY a.w)), (x, y) -> x + y)
+           / {_BD_K}.0''')} AS delta
+FROM z a JOIN z b ON a.w = b.w AND a.source < b.source
+GROUP BY a.source, b.source
+""")
+def burrows_delta_stylometry(spark: SparkSession,
+                             sf_dir: str) -> DataFrame:
+    """Burrows' Delta authorship distance between sources over the
+    top-{_BD_K} corpus words (pinned z-score and mean-|dz| folds)."""
+    docs = load_table(spark, sf_dir, "documents")
+    norm = F.trim(F.regexp_replace(F.lower("text"), r"\s+", " "))
+    toks = (docs.select("source", F.explode(F.split(norm, " ")).alias("w"))
+            .filter(F.col("w") != "")
+            .groupBy("source", "w").agg(F.count("*").alias("cnt")))
+    src_tot = toks.groupBy("source").agg(F.sum("cnt").alias("toks"))
+    topw = (toks.groupBy("w").agg(F.sum("cnt").alias("c"))
+            .orderBy(F.col("c").desc(), F.col("w").asc())
+            .limit(_BD_K).select("w"))
+    grid = (src_tot.crossJoin(F.broadcast(topw))
+            .join(toks, ["source", "w"], "left")
+            .select("source", "w",
+                    (F.coalesce("cnt", F.lit(0))
+                     / F.col("toks").cast("double")).alias("f")))
+    mom = (grid.groupBy("w")
+           .agg(F.count("*").alias("n"),
+                F.aggregate(F.array_sort(F.collect_list(
+                    F.struct("source", F.col("f").alias("x")))),
+                    F.lit(0.0), lambda a, x: a + x["x"]).alias("s"),
+                F.aggregate(F.array_sort(F.collect_list(
+                    F.struct("source",
+                             (F.col("f") * F.col("f")).alias("x")))),
+                    F.lit(0.0), lambda a, x: a + x["x"]).alias("ss")))
+    var = ((F.col("ss") - F.col("s") * F.col("s") / F.col("n"))
+           / (F.col("n") - F.lit(1.0)))
+    z = (grid.join(F.broadcast(mom), "w")
+         .select("source", "w",
+                 F.when((F.col("n") <= 1) | (var <= 0.0), F.lit(0.0))
+                 .otherwise((F.col("f") - F.col("s") / F.col("n"))
+                            / F.sqrt(var)).alias("z")))
+    a = z.select(F.col("source").alias("source_a"), "w",
+                 F.col("z").alias("za"))
+    b = z.select(F.col("source").alias("source_b"),
+                 F.col("w").alias("wb"), F.col("z").alias("zb"))
+    pairs = (a.join(b, (F.col("w") == F.col("wb"))
+                    & (F.col("source_a") < F.col("source_b")))
+             .select("source_a", "source_b", "w",
+                     F.abs(F.col("za") - F.col("zb")).alias("dz")))
+    return (pairs.groupBy("source_a", "source_b")
+            .agg((F.aggregate(F.array_sort(F.collect_list(
+                F.struct("w", F.col("dz").alias("x")))),
+                F.lit(0.0), lambda acc, x: acc + x["x"])
+                / F.lit(float(_BD_K))).alias("d"))
+            .select("source_a", "source_b",
+                    F.round("d", 6).alias("delta")))
