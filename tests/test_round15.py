@@ -386,3 +386,146 @@ def test_burrows_delta_matches_python(spark, sf_smoke):
             want = sum(abs(z[(a, w)] - z[(b, w)])
                        for w in topw) / _BD_K
             assert abs(got[(a, b)] - want) < 1e-6, (a, b)
+
+
+def test_scaling_law_fit_matches_python(spark, sf_smoke):
+    from travel_data_pipeline_spark.queries_round15 import (
+        scaling_law_loglog_fit,
+    )
+    from travel_data_pipeline_spark.queries_round8 import (
+        data_scaling_ladder,
+    )
+
+    lad = sorted((r.rung, r.n_tokens, r.vocab)
+                 for r in data_scaling_ladder(spark, sf_smoke).collect())
+    sx = sy = sxx = syy = sxy = 0.0
+    for _, nt, v in lad:  # rung order (pinned)
+        lx, ly = math.log(nt), math.log(v)
+        sx += lx
+        sy += ly
+    for _, nt, v in lad:
+        lx, ly = math.log(nt), math.log(v)
+        sxx += lx * lx
+        syy += ly * ly
+        sxy += lx * ly
+    n = len(lad)
+    beta = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+    denom = (n * sxx - sx * sx) * (n * syy - sy * sy)
+    row = scaling_law_loglog_fit(spark, sf_smoke).collect()[0]
+    assert row.n_rungs == n
+    assert abs(row.heaps_beta - beta) < 1e-6
+    assert abs(row.ln_k - (sy - sx * beta) / n) < 1e-6
+    if denom <= 0.0:
+        assert row.r2 is None
+    else:
+        assert abs(row.r2 - (n * sxy - sx * sy) ** 2 / denom) < 1e-6
+    # Heaps exponent is bounded: the synthetic corpus draws from a
+    # CLOSED 31-word vocabulary, so beta ~ 0 here (vocab saturates at
+    # rung 0); on an open vocabulary 0 < beta < 1
+    vocabs = {v for _, _, v in lad}
+    if len(vocabs) == 1:
+        assert abs(row.heaps_beta) < 1e-3
+    else:
+        assert 0.0 < row.heaps_beta < 1.0
+
+
+def test_group_sequential_matches_python(spark, sf_smoke):
+    from travel_data_pipeline_spark.queries_round15 import (
+        _GS_BOUNDS,
+        _GS_LOOKS,
+        _GS_STEP,
+        group_sequential_boundaries,
+    )
+    from travel_data_pipeline_spark.sources.readers import load_table
+
+    ev = [(r.user_id, r.ts.date(), r.event_type) for r in
+          load_table(spark, sf_smoke, "events")
+          .select("user_id", "ts", "event_type").collect()]
+    d0 = min(d for _, d, _ in ev)
+    first_day = {}
+    first_purchase = {}
+    for u, d, t in ev:
+        dd = (d - d0).days
+        first_day[u] = min(first_day.get(u, dd), dd)
+        if t == "purchase":
+            first_purchase[u] = min(first_purchase.get(u, dd), dd)
+    got = {r.look: r
+           for r in group_sequential_boundaries(spark, sf_smoke).collect()}
+    assert sorted(got) == list(range(1, _GS_LOOKS + 1))
+    prev_n = 0
+    for k in range(1, _GS_LOOKS + 1):
+        end = k * _GS_STEP
+        users = [u for u, fd in first_day.items() if fd < end]
+        n_c = sum(1 for u in users
+                  if _md5_long(f"ab:{u}") % 2 == 0)
+        n_t = len(users) - n_c
+        x_c = sum(1 for u in users
+                  if _md5_long(f"ab:{u}") % 2 == 0
+                  and first_purchase.get(u, 10 ** 9) < end)
+        x_t = sum(1 for u in users
+                  if _md5_long(f"ab:{u}") % 2 == 1
+                  and first_purchase.get(u, 10 ** 9) < end)
+        row = got[k]
+        assert (row.n_c, row.n_t, row.x_c, row.x_t) == (n_c, n_t, x_c, x_t)
+        p = (x_c + x_t) / (n_c + n_t)
+        if 0 < p < 1:
+            z = ((x_t / n_t - x_c / n_c)
+                 / math.sqrt(p * (1 - p) * (1 / n_c + 1 / n_t)))
+            assert abs(row.z - z) < 1e-6
+        assert abs(row.boundary - float(_GS_BOUNDS[k])) < 1e-12
+        assert row.crossed == (1 if abs(row.z) > row.boundary else 0)
+        # looks are cumulative: population never shrinks
+        assert n_c + n_t >= prev_n
+        prev_n = n_c + n_t
+    # OF boundaries are strictly decreasing over looks
+    bs = [got[k].boundary for k in range(1, _GS_LOOKS + 1)]
+    assert bs == sorted(bs, reverse=True)
+
+
+def test_geometric_median_matches_python(spark, sf_smoke):
+    from travel_data_pipeline_spark.queries_round15 import (
+        _GM_EPS,
+        _GM_ITERS,
+        geometric_median_embeddings,
+    )
+    from travel_data_pipeline_spark.sources.readers import load_table
+
+    emb = [(r.label, r.vec_id, [float(x) for x in r.embedding])
+           for r in load_table(spark, sf_smoke, "embeddings").collect()]
+    by_label = defaultdict(list)
+    for lab, vid, v in emb:
+        by_label[lab].append((vid, v))
+    got = {(r.label, r.dim_idx): r
+           for r in geometric_median_embeddings(spark, sf_smoke).collect()}
+    for lab, vecs in by_label.items():
+        vecs = sorted(vecs)  # vec_id-pinned
+        dims = len(vecs[0][1])
+        m = []
+        for j in range(dims):
+            s = 0.0
+            for _, v in vecs:
+                s += v[j]
+            m.append(round(s / len(vecs), 6))
+        m0 = list(m)
+        for _ in range(_GM_ITERS):
+            ds = []
+            for _, v in vecs:
+                ss = 0.0
+                for j in range(dims):
+                    ss += (v[j] - m[j]) * (v[j] - m[j])
+                ds.append(max(math.sqrt(ss), _GM_EPS))
+            wsum = 0.0
+            for d in ds:
+                wsum += 1.0 / d
+            new_m = []
+            for j in range(dims):
+                num = 0.0
+                for (_, v), d in zip(vecs, ds):
+                    num += v[j] / d
+                new_m.append(round(num / wsum, 6))
+            m = new_m
+        for j in range(dims):
+            row = got[(lab, j)]
+            assert abs(row.geo_median - m[j]) < 2e-6, (lab, j)
+            assert abs(row.centroid - m0[j]) < 2e-6
+            assert abs(row.shift - round(abs(m[j] - m0[j]), 6)) < 2e-6

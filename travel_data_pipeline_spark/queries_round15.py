@@ -186,13 +186,14 @@ def nelson_aalen_hazard(spark: SparkSession, sf_dir: str) -> DataFrame:
 # corpus scale.
 # ---------------------------------------------------------------------------
 
-from travel_data_pipeline_spark.queries_round8 import (  # noqa: E402
-    CAL_PROBS_SQL,
-    calibration_binned,
-)
+def _iso_oracle() -> str:
+    # lazy import: queries_round8 imports the registry, which imports
+    # this module — a module-level import here would break any
+    # consumer that imports queries_round8 FIRST (the round-5
+    # test_affinity-first collection bug class)
+    from travel_data_pipeline_spark.queries_round8 import CAL_PROBS_SQL
 
-
-@register("isotonic_calibration_bins", f"""
+    return f"""
 WITH {CAL_PROBS_SQL},
 b AS (
     SELECT bin, n, n_pos,
@@ -217,13 +218,20 @@ SELECT CAST(b.bin AS INT) AS bin, CAST(b.n AS BIGINT) AS n,
        {round_sql('b.n_pos / CAST(b.n AS DOUBLE)')} AS pos_rate,
        {round_sql('iso.iso_v')} AS iso_rate
 FROM b JOIN iso ON iso.irn = b.rn
-""")
+"""
+
+
+@register("isotonic_calibration_bins", _iso_oracle)
 def isotonic_calibration_bins(spark: SparkSession,
                               sf_dir: str) -> DataFrame:
     """Weighted isotonic (PAVA) calibration fit of the frozen quality
     scorer's reliability bins, via the minimax closed form — the
     monotone recalibration map a production scorer would serve."""
     from pyspark.sql import Window
+
+    from travel_data_pipeline_spark.queries_round8 import (
+        calibration_binned,
+    )
 
     binned = calibration_binned(spark, sf_dir)
     # <= 10 rows from here down: the single-partition window is a
@@ -914,3 +922,359 @@ def burrows_delta_stylometry(spark: SparkSession,
                 / F.lit(float(_BD_K))).alias("d"))
             .select("source_a", "source_b",
                     F.round("d", 6).alias("delta")))
+
+
+# ---------------------------------------------------------------------------
+# Heaps scaling-law fit over the data-scaling ladder.
+#
+# Composes the registered data_scaling_ladder (queries_round8.py):
+# fit ln(vocab) = a + beta * ln(n_tokens) by closed-form OLS over the
+# 5 ladder rungs — the empirical Heaps-law exponent a scaling study
+# would extrapolate from.  The moment sums fold in rung order
+# (5 doubles, pinned); slope/intercept/r2 are one shared tree.
+#
+# Scale shape: everything data-scaled lives inside the ladder query;
+# the fit runs on 5 rows.
+# ---------------------------------------------------------------------------
+
+
+@register("scaling_law_loglog_fit", f"""
+WITH docs AS (
+    SELECT doc_id, {{_FNL_TOKS}} AS toks,
+           {md5_long_sql("'ladder:' || CAST(doc_id AS VARCHAR)")} % 16
+               AS h16
+    FROM documents
+),
+rungs AS (SELECT unnest(generate_series(0, 4)) AS rung),
+member AS (
+    SELECT r.rung, d.doc_id, d.toks
+    FROM docs d JOIN rungs r
+      ON d.h16 < (CAST(1 AS BIGINT) << r.rung)
+),
+words AS (
+    SELECT rung, unnest(toks) AS word FROM member
+),
+ladder AS MATERIALIZED (
+    SELECT rung,
+           ln(CAST(count(*) AS DOUBLE)) AS lx,
+           ln(CAST(count(DISTINCT word) AS DOUBLE)) AS ly
+    FROM words GROUP BY rung
+),
+mom AS (
+    SELECT COUNT(*) AS n,
+           list_reduce(list_prepend(0.0, list(lx ORDER BY rung)),
+                       (a, b) -> a + b) AS sx,
+           list_reduce(list_prepend(0.0, list(ly ORDER BY rung)),
+                       (a, b) -> a + b) AS sy,
+           list_reduce(list_prepend(0.0, list(lx * lx ORDER BY rung)),
+                       (a, b) -> a + b) AS sxx,
+           list_reduce(list_prepend(0.0, list(ly * ly ORDER BY rung)),
+                       (a, b) -> a + b) AS syy,
+           list_reduce(list_prepend(0.0, list(lx * ly ORDER BY rung)),
+                       (a, b) -> a + b) AS sxy
+    FROM ladder
+)
+SELECT CAST(n AS BIGINT) AS n_rungs,
+       {round_sql('''(n * sxy - sx * sy) / (n * sxx - sx * sx)''')}
+         AS heaps_beta,
+       {round_sql('''(sy - sx * (n * sxy - sx * sy)
+                      / (n * sxx - sx * sx)) / n''')} AS ln_k,
+       CASE WHEN (n * sxx - sx * sx) * (n * syy - sy * sy) <= 0.0
+            THEN NULL
+            ELSE {round_sql('''((n * sxy - sx * sy) * (n * sxy - sx * sy))
+                     / ((n * sxx - sx * sx) * (n * syy - sy * sy))''')}
+       END AS r2
+FROM mom
+""".replace("{_FNL_TOKS}",
+            "list_filter(string_split(trim(regexp_replace(lower(text), "
+            "'\\s+', ' ', 'g')), ' '), t -> t <> '')"))
+def scaling_law_loglog_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Closed-form log-log OLS (Heaps exponent + fit r2) over the
+    registered 5-rung data-scaling ladder."""
+    from travel_data_pipeline_spark.queries_round8 import (
+        data_scaling_ladder,
+    )
+
+    lad = (data_scaling_ladder(spark, sf_dir)
+           .select("rung",
+                   F.log(F.col("n_tokens").cast("double")).alias("lx"),
+                   F.log(F.col("vocab").cast("double")).alias("ly")))
+
+    def fold(expr):
+        return F.aggregate(
+            F.array_sort(F.collect_list(F.struct("rung", expr.alias("x")))),
+            F.lit(0.0), lambda a, x: a + x["x"])
+
+    mom = lad.agg(F.count("*").alias("n"),
+                  fold(F.col("lx")).alias("sx"),
+                  fold(F.col("ly")).alias("sy"),
+                  fold(F.col("lx") * F.col("lx")).alias("sxx"),
+                  fold(F.col("ly") * F.col("ly")).alias("syy"),
+                  fold(F.col("lx") * F.col("ly")).alias("sxy"))
+    n = F.col("n").cast("double")
+    sx, sy = F.col("sx"), F.col("sy")
+    sxx, syy, sxy = F.col("sxx"), F.col("syy"), F.col("sxy")
+    beta = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+    # degenerate-denominator branch in BOTH engines (parity rule):
+    # a constant ln(vocab) series zeroes the y-variance term
+    denom = (n * sxx - sx * sx) * (n * syy - sy * sy)
+    return mom.select(
+        F.col("n").cast("long").alias("n_rungs"),
+        F.round(beta, 6).alias("heaps_beta"),
+        F.round((sy - sx * beta) / n, 6).alias("ln_k"),
+        F.when(denom <= 0.0, F.lit(None).cast("double"))
+        .otherwise(F.round(((n * sxy - sx * sy) * (n * sxy - sx * sy))
+                           / denom, 6)).alias("r2"))
+
+
+# ---------------------------------------------------------------------------
+# Group-sequential monitoring with O'Brien-Fleming boundaries.
+#
+# 5 interim looks (days 1-6, 1-12, ..., 1-30 of the event window);
+# at each look the cumulative two-proportion conversion z (the
+# ab_assignment_outcomes spelling, same 'ab:' md5 split and the same
+# purchase>=1-within-look conversion) is compared against the
+# O'Brien-Fleming boundary b_k = C * sqrt(K / k) (C = 2.04, python
+# literals — the standard OF shape; Pocock/OF 1979, public).
+#
+# Scale shape: one pass over events -> (user, look) firsts; a
+# (user x 5)-bounded expansion; 5 output rows.
+# ---------------------------------------------------------------------------
+
+_GS_LOOKS = 5
+_GS_STEP = 6  # days per look
+_GS_C = 2.04
+_GS_BOUNDS = {k: repr(_GS_C * (_GS_LOOKS / k) ** 0.5)
+              for k in range(1, _GS_LOOKS + 1)}
+
+_GS_Z = ("CASE WHEN x_c + x_t = 0 OR x_c + x_t = n_c + n_t THEN 0.0 "
+         "ELSE (CAST(x_t AS DOUBLE) / n_t - CAST(x_c AS DOUBLE) / n_c) "
+         "/ sqrt((CAST(x_c + x_t AS DOUBLE) / (n_c + n_t)) "
+         "* (1.0 - CAST(x_c + x_t AS DOUBLE) / (n_c + n_t)) "
+         "* (1.0 / n_c + 1.0 / n_t)) END")
+
+
+def _gs_oracle() -> str:
+    from travel_data_pipeline_spark.queries_ops import _ab_hash
+
+    bounds = " ".join(
+        f"WHEN {k} THEN {b}" for k, b in _GS_BOUNDS.items())
+    return f"""
+WITH mind AS (SELECT min(date_trunc('day', ts)) AS d0 FROM events),
+looks AS (SELECT unnest(generate_series(1, {_GS_LOOKS})) AS k),
+peru AS MATERIALIZED (
+    SELECT user_id,
+           CASE WHEN ({_ab_hash} % 2) = 0 THEN 0 ELSE 1 END AS arm,
+           min(date_diff('day', d0, date_trunc('day', ts))) AS first_day,
+           min(CASE WHEN event_type = 'purchase'
+                    THEN date_diff('day', d0, date_trunc('day', ts))
+               END) AS first_purchase_day
+    FROM events CROSS JOIN mind
+    GROUP BY user_id, arm
+),
+cells AS (
+    SELECT l.k,
+           SUM(CASE WHEN p.arm = 0 THEN 1 ELSE 0 END) AS n_c,
+           SUM(CASE WHEN p.arm = 1 THEN 1 ELSE 0 END) AS n_t,
+           SUM(CASE WHEN p.arm = 0 AND p.first_purchase_day
+                    < l.k * {_GS_STEP} THEN 1 ELSE 0 END) AS x_c,
+           SUM(CASE WHEN p.arm = 1 AND p.first_purchase_day
+                    < l.k * {_GS_STEP} THEN 1 ELSE 0 END) AS x_t
+    FROM looks l JOIN peru p ON p.first_day < l.k * {_GS_STEP}
+    GROUP BY l.k
+)
+SELECT CAST(k AS INT) AS look,
+       CAST(n_c AS BIGINT) AS n_c, CAST(n_t AS BIGINT) AS n_t,
+       CAST(x_c AS BIGINT) AS x_c, CAST(x_t AS BIGINT) AS x_t,
+       {round_sql(_GS_Z)} + 0.0 AS z,
+       CASE k {bounds} END AS boundary,
+       CAST(abs({_GS_Z}) > (CASE k {bounds} END) AS INT) AS crossed
+FROM cells
+"""
+
+
+@register("group_sequential_boundaries", _gs_oracle())
+def group_sequential_boundaries(spark: SparkSession,
+                                sf_dir: str) -> DataFrame:
+    """O'Brien-Fleming group-sequential monitor: cumulative two-prop
+    conversion z per 6-day look vs the OF stopping boundary."""
+    ev = load_table(spark, sf_dir, "events")
+    d0 = ev.agg(F.min(F.date_trunc("day", "ts")).alias("d0"))
+    arm = (md5_long(F.concat(F.lit("ab:"),
+                             F.col("user_id").cast("string"))) % 2)
+    peru = (ev.crossJoin(F.broadcast(d0))
+            .select("user_id", arm.alias("arm"),
+                    F.datediff(F.date_trunc("day", "ts"), "d0")
+                    .alias("dd"), "event_type")
+            .groupBy("user_id", "arm")
+            .agg(F.min("dd").alias("first_day"),
+                 F.min(F.when(F.col("event_type") == "purchase",
+                              F.col("dd"))).alias("first_purchase_day")))
+    looks = spark.range(1, _GS_LOOKS + 1).select(
+        F.col("id").cast("int").alias("k"))
+    cells = (peru.crossJoin(F.broadcast(looks))
+             .filter(F.col("first_day") < F.col("k") * _GS_STEP)
+             .groupBy("k")
+             .agg(F.sum(F.when(F.col("arm") == 0, 1).otherwise(0))
+                  .alias("n_c"),
+                  F.sum(F.when(F.col("arm") == 1, 1).otherwise(0))
+                  .alias("n_t"),
+                  F.sum(F.when((F.col("arm") == 0)
+                               & (F.col("first_purchase_day")
+                                  < F.col("k") * _GS_STEP), 1)
+                        .otherwise(0)).alias("x_c"),
+                  F.sum(F.when((F.col("arm") == 1)
+                               & (F.col("first_purchase_day")
+                                  < F.col("k") * _GS_STEP), 1)
+                        .otherwise(0)).alias("x_t")))
+    pool = (F.col("x_c") + F.col("x_t")).cast("double") \
+        / (F.col("n_c") + F.col("n_t"))
+    z = (F.when((F.col("x_c") + F.col("x_t") == 0)
+                | (F.col("x_c") + F.col("x_t")
+                   == F.col("n_c") + F.col("n_t")), F.lit(0.0))
+         .otherwise((F.col("x_t").cast("double") / F.col("n_t")
+                     - F.col("x_c").cast("double") / F.col("n_c"))
+                    / F.sqrt(pool * (1.0 - pool)
+                             * (1.0 / F.col("n_c")
+                                + 1.0 / F.col("n_t")))))
+    bound = F.element_at(
+        F.create_map(*[x for k, b in _GS_BOUNDS.items()
+                       for x in (F.lit(k), F.lit(float(b)))]),
+        F.col("k"))
+    return cells.select(
+        F.col("k").cast("int").alias("look"),
+        F.col("n_c").cast("long").alias("n_c"),
+        F.col("n_t").cast("long").alias("n_t"),
+        F.col("x_c").cast("long").alias("x_c"),
+        F.col("x_t").cast("long").alias("x_t"),
+        (F.round(z, 6) + 0.0).alias("z"),
+        bound.alias("boundary"),
+        (F.abs(z) > bound).cast("int").alias("crossed"))
+
+
+# ---------------------------------------------------------------------------
+# Geometric median per embedding label (Weiszfeld, 2 iterations).
+#
+# The robust center the per-label centroid family lacks: the
+# arithmetic mean (embedding_label_centroids spelling) seeds two
+# Weiszfeld steps  m' = sum_i(v_i/d_i) / sum_i(1/d_i),
+# d_i = max(||v_i - m||, 1e-12)  (Weiszfeld 1937, public).  Every
+# per-(label, dim) and per-(label, vec) fold is position-pinned
+# (vec_id / dim order), the estimate is 6-dp-rounded after EVERY
+# stage in BOTH engines (keeps the iteration parity-stable), and the
+# float32 -> double widening is exact.
+#
+# Scale shape: one posexplode; per iteration two key-partitioned
+# grouped passes (distances per vec, sums per dim) against a
+# broadcast (labels x dims) estimate — Lloyd's-iteration shape.
+# ---------------------------------------------------------------------------
+
+_GM_ITERS = 2
+_GM_EPS = 1e-12
+
+
+def _gm_oracle() -> str:
+    steps = []
+    prev = "m0"
+    for t in range(1, _GM_ITERS + 1):
+        steps.append(f"""
+d{t} AS MATERIALIZED (
+    SELECT v.label, v.vec_id,
+           GREATEST(sqrt(list_reduce(list_prepend(0.0,
+               list((v.v - m.m) * (v.v - m.m) ORDER BY v.dim_idx)),
+               (a, b) -> a + b)), {_GM_EPS!r}) AS d
+    FROM vals v JOIN {prev} m
+      ON m.label = v.label AND m.dim_idx = v.dim_idx
+    GROUP BY v.label, v.vec_id
+),
+w{t} AS MATERIALIZED (
+    SELECT label,
+           list_reduce(list_prepend(0.0, list(1.0 / d ORDER BY vec_id)),
+                       (a, b) -> a + b) AS wsum
+    FROM d{t} GROUP BY label
+),
+m{t} AS MATERIALIZED (
+    SELECT v.label, v.dim_idx,
+           round(CAST(format('{{}}', list_reduce(list_prepend(0.0,
+               list(v.v / d.d ORDER BY v.vec_id)), (a, b) -> a + b)
+               / w.wsum) AS DECIMAL(38,18)), 6) + 0.0 AS m
+    FROM vals v
+    JOIN d{t} d ON d.label = v.label AND d.vec_id = v.vec_id
+    JOIN w{t} w ON w.label = v.label
+    GROUP BY v.label, v.dim_idx, w.wsum
+)""")
+        prev = f"m{t}"
+    return f"""
+WITH vals AS MATERIALIZED (
+    SELECT label, CAST(t.i AS INT) AS dim_idx, vec_id,
+           CAST(embedding AS DOUBLE[])[t.i + 1] AS v
+    FROM embeddings,
+         UNNEST(range(0, len(CAST(embedding AS DOUBLE[])))) AS t(i)
+),
+m0 AS MATERIALIZED (
+    SELECT label, dim_idx,
+           round(CAST(format('{{}}', list_reduce(list_prepend(0.0,
+               list(v ORDER BY vec_id)), (a, b) -> a + b)
+               / CAST(COUNT(*) AS DOUBLE)) AS DECIMAL(38,18)), 6) + 0.0
+             AS m
+    FROM vals GROUP BY label, dim_idx
+),
+{','.join(steps)}
+SELECT f.label, f.dim_idx,
+       z.m AS centroid,
+       f.m AS geo_median,
+       round(CAST(format('{{}}', abs(f.m - z.m)) AS DECIMAL(38,18)), 6)
+         + 0.0 AS shift
+FROM {prev} f JOIN m0 z ON z.label = f.label AND z.dim_idx = f.dim_idx
+"""
+
+
+@register("geometric_median_embeddings", _gm_oracle())
+def geometric_median_embeddings(spark: SparkSession,
+                                sf_dir: str) -> DataFrame:
+    """Per-(label, dim) geometric median of the embeddings (2
+    Weiszfeld steps from the pinned-fold centroid) with the shift vs
+    the arithmetic mean — the robust-center drift readout."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    vals = (emb.select(
+        "label", "vec_id",
+        F.posexplode(F.col("embedding").cast("array<double>"))
+        .alias("dim_idx", "v"))
+        .repartition(spark.sparkContext.defaultParallelism, "label")
+        .localCheckpoint(eager=True))
+
+    def pinned(key_col, expr):
+        return F.aggregate(
+            F.array_sort(F.collect_list(F.struct(key_col, expr.alias("x")))),
+            F.lit(0.0), lambda a, x: a + x["x"])
+
+    m = (vals.groupBy("label", "dim_idx")
+         .agg((F.round(pinned(F.col("vec_id"), F.col("v"))
+                       / F.count("*").cast("double"), 6) + 0.0)
+              .alias("m")))
+    m0 = m
+    for _ in range(_GM_ITERS):
+        dist = (vals.join(F.broadcast(m), ["label", "dim_idx"])
+                .groupBy("label", "vec_id")
+                .agg(F.greatest(
+                    F.sqrt(pinned(F.col("dim_idx"),
+                                  (F.col("v") - F.col("m"))
+                                  * (F.col("v") - F.col("m")))),
+                    F.lit(_GM_EPS)).alias("d")))
+        wsum = (dist.groupBy("label")
+                .agg(pinned(F.col("vec_id"),
+                            F.lit(1.0) / F.col("d")).alias("wsum")))
+        m = (vals.join(dist, ["label", "vec_id"])
+             .join(F.broadcast(wsum), "label")
+             .groupBy("label", "dim_idx", "wsum")
+             .agg(pinned(F.col("vec_id"),
+                         F.col("v") / F.col("d")).alias("num"))
+             .select("label", "dim_idx",
+                     (F.round(F.col("num") / F.col("wsum"), 6) + 0.0)
+                     .alias("m")))
+    return (m.join(m0.withColumnRenamed("m", "centroid"),
+                   ["label", "dim_idx"])
+            .select("label", "dim_idx", "centroid",
+                    F.col("m").alias("geo_median"),
+                    (F.round(F.abs(F.col("m") - F.col("centroid")), 6)
+                     + 0.0).alias("shift")))
