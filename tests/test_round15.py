@@ -529,3 +529,56 @@ def test_geometric_median_matches_python(spark, sf_smoke):
             assert abs(row.geo_median - m[j]) < 2e-6, (lab, j)
             assert abs(row.centroid - m0[j]) < 2e-6
             assert abs(row.shift - round(abs(m[j] - m0[j]), 6)) < 2e-6
+
+
+def test_group_sequential_stream_twin_bit_equal(spark, sf_smoke,
+                                                tmp_path):
+    """The streaming monitor's readout must be BIT-EQUAL to the batch
+    group_sequential_boundaries once the state has absorbed the same
+    events, and re-feeding already-absorbed data (fresh checkpoint,
+    same state) must be a no-op — min-folding is idempotent."""
+    import travel_data_pipeline_spark.streaming.jobs as J
+    from tests.test_round14 import _write_feed_file
+    from travel_data_pipeline_spark.queries_round15 import (
+        group_sequential_boundaries,
+    )
+    from travel_data_pipeline_spark.sources.readers import load_table
+
+    ev = (load_table(spark, sf_smoke, "events")
+          .select("event_id", "ts", "user_id", "event_type", "value"))
+    rows = sorted((r.event_id, r.ts, r.user_id, r.event_type, r.value)
+                  for r in ev.collect())
+    d0 = min(r[1] for r in rows).date().isoformat()
+    feed = tmp_path / "gsfeed"
+    feed.mkdir()
+    half = len(rows) // 2
+    _write_feed_file(spark, str(feed / "b0.parquet"), rows[:half],
+                     1700000000)
+    _write_feed_file(spark, str(feed / "b1.parquet"), rows[half:],
+                     1700000100)
+    state = str(tmp_path / "gsstate")
+
+    def run(ckpt):
+        stream = (spark.readStream
+                  .schema("event_id long, ts timestamp, user_id long, "
+                          "event_type string, value double")
+                  .option("maxFilesPerTrigger", 1).parquet(str(feed)))
+        q = J.group_sequential_stream(stream, state,
+                                      str(tmp_path / ckpt), d0)
+        q.awaitTermination(300)
+
+    run("ck1")
+    batch = {tuple(r) for r in
+             group_sequential_boundaries(spark, sf_smoke).collect()}
+    stream_out = {tuple(r) for r in
+                  J.group_sequential_readout(spark, state).collect()}
+    assert stream_out == batch
+
+    from travel_data_pipeline_spark.sources import versioned
+
+    v_before = versioned.current_version(state)
+    run("ck2")  # fresh checkpoint, same feed: redelivery of everything
+    after = {tuple(r) for r in
+             J.group_sequential_readout(spark, state).collect()}
+    assert after == batch  # min-merge absorbed the replay: no drift
+    assert versioned.current_version(state) > v_before  # it DID fold

@@ -1093,16 +1093,13 @@ FROM cells
 """
 
 
-@register("group_sequential_boundaries", _gs_oracle())
-def group_sequential_boundaries(spark: SparkSession,
-                                sf_dir: str) -> DataFrame:
-    """O'Brien-Fleming group-sequential monitor: cumulative two-prop
-    conversion z per 6-day look vs the OF stopping boundary."""
-    ev = load_table(spark, sf_dir, "events")
-    d0 = ev.agg(F.min(F.date_trunc("day", "ts")).alias("d0"))
+def gs_user_firsts(ev: DataFrame, d0: DataFrame) -> DataFrame:
+    """(user_id, arm, first_day, first_purchase_day) — the per-user
+    state both the batch query and the streaming twin fold over
+    (mins are idempotent under replay)."""
     arm = (md5_long(F.concat(F.lit("ab:"),
                              F.col("user_id").cast("string"))) % 2)
-    peru = (ev.crossJoin(F.broadcast(d0))
+    return (ev.crossJoin(F.broadcast(d0))
             .select("user_id", arm.alias("arm"),
                     F.datediff(F.date_trunc("day", "ts"), "d0")
                     .alias("dd"), "event_type")
@@ -1110,6 +1107,13 @@ def group_sequential_boundaries(spark: SparkSession,
             .agg(F.min("dd").alias("first_day"),
                  F.min(F.when(F.col("event_type") == "purchase",
                               F.col("dd"))).alias("first_purchase_day")))
+
+
+def gs_looks_from_firsts(spark: SparkSession,
+                         peru: DataFrame) -> DataFrame:
+    """The 5-look OF relation from the per-user firsts state — shared
+    verbatim by group_sequential_boundaries and the streaming twin's
+    readout so the two are bit-equal by construction."""
     looks = spark.range(1, _GS_LOOKS + 1).select(
         F.col("id").cast("int").alias("k"))
     cells = (peru.crossJoin(F.broadcast(looks))
@@ -1150,6 +1154,16 @@ def group_sequential_boundaries(spark: SparkSession,
         (F.round(z, 6) + 0.0).alias("z"),
         bound.alias("boundary"),
         (F.abs(z) > bound).cast("int").alias("crossed"))
+
+
+@register("group_sequential_boundaries", _gs_oracle())
+def group_sequential_boundaries(spark: SparkSession,
+                                sf_dir: str) -> DataFrame:
+    """O'Brien-Fleming group-sequential monitor: cumulative two-prop
+    conversion z per 6-day look vs the OF stopping boundary."""
+    ev = load_table(spark, sf_dir, "events")
+    d0 = ev.agg(F.min(F.date_trunc("day", "ts")).alias("d0"))
+    return gs_looks_from_firsts(spark, gs_user_firsts(ev, d0))
 
 
 # ---------------------------------------------------------------------------

@@ -1413,3 +1413,71 @@ def ahash_media_stream(incoming: DataFrame, fps_path: str,
     return (incoming.writeStream.foreachBatch(fold)
             .option("checkpointLocation", checkpoint)
             .trigger(availableNow=True).start())
+
+
+def group_sequential_stream(events: DataFrame, state_path: str,
+                            checkpoint: str, d0: str) -> StreamingQuery:
+    """Streaming group-sequential monitor — the stateful twin of
+    queries_round15.group_sequential_boundaries: each micro-batch
+    folds its users' first-activity / first-purchase days into a
+    versioned per-user MIN state, from which the 5-look O'Brien-
+    Fleming relation can be read at any time
+    (group_sequential_readout).
+
+    ``d0`` (ISO date) is the experiment start — a DEPLOYMENT constant,
+    not derived from the stream (a stream cannot know the global min
+    day upfront; the batch query derives it from the full table, so
+    the twin test passes the feed's min day here).
+
+    Delivery: folding MINs is idempotent and commutative — replayed
+    or reordered micro-batches (at-least-once delivery) converge to
+    the same state with NO epoch watermark needed (the HLL/reservoir
+    delivery class, not the token-shard offset class). State is a
+    versioned full snapshot per fold: per-user rows, bounded by the
+    experiment population, not the event volume.
+
+    Scale shape per batch: one grouped pass over the batch ->
+    per-user mins; one union + groupBy against the (population-
+    bounded) state; one snapshot write.
+    """
+    from travel_data_pipeline_spark.queries_round15 import gs_user_firsts
+    from travel_data_pipeline_spark.sources import versioned
+
+    def fold(batch_df: DataFrame, epoch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        spark = batch_df.sparkSession
+        d0_df = spark.createDataFrame(
+            [(d0,)], "d0s string").select(
+            F.to_timestamp("d0s").alias("d0"))
+        incoming = gs_user_firsts(batch_df, d0_df)
+        try:
+            state = versioned.read_table(spark, state_path)
+            merged = (state.unionByName(incoming)
+                      .groupBy("user_id", "arm")
+                      .agg(F.min("first_day").alias("first_day"),
+                           F.min("first_purchase_day")
+                           .alias("first_purchase_day")))
+        except FileNotFoundError:
+            merged = incoming
+        versioned.write_table(merged, state_path)
+
+    return (events.writeStream.foreachBatch(fold)
+            .option("checkpointLocation", checkpoint)
+            .trigger(availableNow=True).start())
+
+
+def group_sequential_readout(spark: SparkSession,
+                             state_path: str) -> DataFrame:
+    """The 5-look OF boundary relation from the streaming monitor's
+    state — the SAME gs_looks_from_firsts code path the batch query
+    runs, so batch and stream are bit-equal by construction once the
+    state has absorbed the same events."""
+    from travel_data_pipeline_spark.queries_round15 import (
+        gs_looks_from_firsts,
+    )
+    from travel_data_pipeline_spark.sources import versioned
+
+    peru = versioned.read_table(spark, state_path).select(
+        "user_id", "arm", "first_day", "first_purchase_day")
+    return gs_looks_from_firsts(spark, peru)
