@@ -582,3 +582,103 @@ def test_group_sequential_stream_twin_bit_equal(spark, sf_smoke,
              J.group_sequential_readout(spark, state).collect()}
     assert after == batch  # min-merge absorbed the replay: no drift
     assert versioned.current_version(state) > v_before  # it DID fold
+
+
+def test_hmm_viterbi_matches_python(spark, sf_smoke):
+    from travel_data_pipeline_spark.queries_round15 import (
+        _HMM_EMIT,
+        _HMM_MAXLEN,
+        _HMM_START,
+        _HMM_TRANS,
+        hmm_viterbi_sessions,
+    )
+    from travel_data_pipeline_spark.sources.readers import load_table
+
+    ev = [(r.user_id, r.ts, r.event_id, r.event_type) for r in
+          load_table(spark, sf_smoke, "events")
+          .select("user_id", "ts", "event_id", "event_type").collect()]
+    seqs = defaultdict(list)
+    for u, ts, eid, x in ev:
+        seqs[u].append((ts, eid, x))
+    got = {r.user_id: r
+           for r in hmm_viterbi_sessions(spark, sf_smoke).collect()}
+    assert set(got) == set(seqs)
+    for u, rows in seqs.items():
+        xs = [x for _, _, x in sorted(rows)][:_HMM_MAXLEN]
+        sc = list(_HMM_START)
+        paths = ["", "", ""]
+        for x in xs:
+            ns, np_ = [], []
+            for j in range(3):
+                c = [sc[i] + _HMM_TRANS[i][j] for i in range(3)]
+                if c[0] >= c[1] and c[0] >= c[2]:
+                    b, i = c[0], 0
+                elif c[1] >= c[2]:
+                    b, i = c[1], 1
+                else:
+                    b, i = c[2], 2
+                ns.append(b + _HMM_EMIT[x][j])
+                np_.append(paths[i] + str(j))
+            sc, paths = ns, np_
+        bi = (0 if (sc[0] >= sc[1] and sc[0] >= sc[2])
+              else (1 if sc[1] >= sc[2] else 2))
+        row = got[u]
+        assert row.n_events == len(xs)
+        assert row.path == paths[bi], u
+        assert abs(row.logprob - sc[bi]) < 1e-6
+        # the decode is a valid state string of the right length
+        assert len(row.path) == len(xs)
+        assert set(row.path) <= {"0", "1", "2"}
+
+
+def test_median_polish_matches_python(spark, sf_smoke):
+    from travel_data_pipeline_spark.queries_round15 import (
+        _MP_SWEEPS,
+        median_polish_day_hour,
+    )
+    from travel_data_pipeline_spark.sources.readers import load_table
+
+    ev = [(r.ts.date().isoformat(), r.ts.hour) for r in
+          load_table(spark, sf_smoke, "events").select("ts").collect()]
+    grid = defaultdict(float)
+    for d, h in ev:
+        grid[(d, h)] += 1.0
+
+    def med(vals):
+        vs = sorted(vals)
+        n = len(vs)
+        return vs[n // 2] if n % 2 == 1 else (vs[n // 2 - 1]
+                                              + vs[n // 2]) / 2.0
+
+    r = dict(grid)
+    deff = defaultdict(float)
+    heff = defaultdict(float)
+    for _ in range(_MP_SWEEPS):
+        days = defaultdict(list)
+        for (d, h), v in r.items():
+            days[d].append(v)
+        dm = {d: med(vs) for d, vs in days.items()}
+        r = {(d, h): v - dm[d] for (d, h), v in r.items()}
+        for d, m in dm.items():
+            deff[d] += m
+        hours = defaultdict(list)
+        for (d, h), v in r.items():
+            hours[h].append(v)
+        hm = {h: med(vs) for h, vs in hours.items()}
+        r = {(d, h): v - hm[h] for (d, h), v in r.items()}
+        for h, m in hm.items():
+            heff[h] += m
+    got = {(row.day, row.hour): row
+           for row in median_polish_day_hour(spark, sf_smoke).collect()}
+    assert set(got) == set(grid)
+    for (d, h), res in r.items():
+        row = got[(d, h)]
+        assert abs(row.residual - res) < 1e-9, (d, h)
+        assert abs(row.day_effect - deff[d]) < 1e-9
+        assert abs(row.hour_effect - heff[h]) < 1e-9
+    # decomposition identity: count == day_eff + hour_eff + residual
+    # up to the overall term median polish leaves in the effects
+    for (d, h), v in grid.items():
+        row = got[(d, h)]
+        assert abs((row.day_effect + row.hour_effect + row.residual)
+                   - v) < 1e-9

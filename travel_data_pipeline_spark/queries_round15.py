@@ -1292,3 +1292,295 @@ def geometric_median_embeddings(spark: SparkSession,
                     F.col("m").alias("geo_median"),
                     (F.round(F.abs(F.col("m") - F.col("centroid")), 6)
                      + 0.0).alias("shift")))
+
+
+# ---------------------------------------------------------------------------
+# HMM Viterbi decoding of per-user event sequences.
+#
+# A frozen 3-state HMM (engaged / transacting / at-risk) with
+# python-literal log-prob tables — training happens offline; DECODING
+# the corpus is the engine's job (the quality_classifier_logistic
+# serving posture, lifted to sequences).  Chain semantics (stated
+# explicitly; the python model and both engines share it): a start
+# distribution over states, then for every observed symbol a
+# transition followed by an emission:
+#   delta_0(j)   = lstart(j)
+#   delta_t(j)   = max_i(delta_{t-1}(i) + ltrans(i, j)) + lemit(j, x_t)
+# Every score is a SUM OF PYTHON LITERALS (max never mixes engines'
+# arithmetic), so the decode is bit-deterministic; ties break to the
+# smallest state index via >= comparisons in fixed order.
+#
+# Scale shape: one per-user sort-fold (sequences capped at _HMM_MAXLEN
+# symbols — bounded per-user work); the fold carries 3 doubles + 3
+# path strings.  Output is one row per user.
+# ---------------------------------------------------------------------------
+
+import math as _math  # noqa: E402
+
+_HMM_MAXLEN = 40
+_HMM_STATES = 3
+_HMM_START = [_math.log(p) for p in (0.6, 0.3, 0.1)]
+_HMM_TRANS = [[_math.log(p) for p in row] for row in (
+    (0.7, 0.2, 0.1),
+    (0.3, 0.6, 0.1),
+    (0.2, 0.2, 0.6),
+)]
+# emission tables over the 5 event types, per state
+_HMM_SYMBOLS = ("click", "error", "purchase", "signup", "view")
+_HMM_EMIT = {
+    "click":    [_math.log(p) for p in (0.35, 0.30, 0.10)],
+    "error":    [_math.log(p) for p in (0.05, 0.05, 0.40)],
+    "purchase": [_math.log(p) for p in (0.10, 0.40, 0.05)],
+    "signup":   [_math.log(p) for p in (0.15, 0.10, 0.05)],
+    "view":     [_math.log(p) for p in (0.35, 0.15, 0.40)],
+}
+
+
+def _dlit(v: float) -> str:
+    """DuckDB spelling of an exact double literal: a bare 17-digit
+    numeric literal is typed DECIMAL, and DuckDB's decimal->double
+    conversion can be ONE ULP off (found here: repr(ln 0.3) parsed
+    ...720 vs IEEE ...721); the VARCHAR->DOUBLE parse is correctly
+    rounded, so bridge through a string."""
+    return f"CAST('{v!r}' AS DOUBLE)"
+
+
+def _hmm_oracle() -> str:
+    emit = {sym: [_dlit(v) for v in vs] for sym, vs in _HMM_EMIT.items()}
+
+    def emit_case(j: int) -> str:
+        whens = " ".join(f"WHEN '{sym}' THEN {emit[sym][j]}"
+                         for sym in _HMM_SYMBOLS)
+        return f"(CASE o.x {whens} END)"
+
+    def cand(i: int, j: int) -> str:
+        return f"(w.s{i} + {_dlit(_HMM_TRANS[i][j])})"
+
+    def step(j: int) -> tuple[str, str]:
+        c = [cand(i, j) for i in range(_HMM_STATES)]
+        score = (f"(CASE WHEN {c[0]} >= {c[1]} AND {c[0]} >= {c[2]} "
+                 f"THEN {c[0]} WHEN {c[1]} >= {c[2]} THEN {c[1]} "
+                 f"ELSE {c[2]} END) + {emit_case(j)}")
+        path = (f"(CASE WHEN {c[0]} >= {c[1]} AND {c[0]} >= {c[2]} "
+                f"THEN w.p0 WHEN {c[1]} >= {c[2]} THEN w.p1 "
+                f"ELSE w.p2 END) || '{j}'")
+        return score, path
+
+    s_exprs, p_exprs = zip(*(step(j) for j in range(_HMM_STATES)))
+    fin = ("CASE WHEN w.s0 >= w.s1 AND w.s0 >= w.s2 THEN w.p0 "
+           "WHEN w.s1 >= w.s2 THEN w.p1 ELSE w.p2 END")
+    fsc = ("CASE WHEN w.s0 >= w.s1 AND w.s0 >= w.s2 THEN w.s0 "
+           "WHEN w.s1 >= w.s2 THEN w.s1 ELSE w.s2 END")
+    # recursive-CTE walk (kaplan_meier / cusum precedent): all users
+    # advance one step per recursion level, joined on rn = w.rn + 1
+    return f"""
+WITH RECURSIVE occ AS MATERIALIZED (
+    SELECT user_id, rn, x FROM (
+        SELECT user_id, event_type AS x,
+               row_number() OVER (PARTITION BY user_id
+                                  ORDER BY ts, event_id) AS rn
+        FROM events
+    ) WHERE rn <= {_HMM_MAXLEN}
+),
+nev AS (SELECT user_id, COUNT(*) AS n_events FROM occ GROUP BY user_id),
+walk AS (
+    SELECT user_id, 0 AS rn,
+           {_dlit(_HMM_START[0])} AS s0,
+           {_dlit(_HMM_START[1])} AS s1,
+           {_dlit(_HMM_START[2])} AS s2,
+           '' AS p0, '' AS p1, '' AS p2
+    FROM nev
+    UNION ALL
+    SELECT w.user_id, o.rn,
+           {s_exprs[0]} AS s0, {s_exprs[1]} AS s1, {s_exprs[2]} AS s2,
+           {p_exprs[0]} AS p0, {p_exprs[1]} AS p1, {p_exprs[2]} AS p2
+    FROM walk w JOIN occ o
+      ON o.user_id = w.user_id AND o.rn = w.rn + 1
+)
+SELECT w.user_id, CAST(n.n_events AS BIGINT) AS n_events,
+       {fin} AS path,
+       {round_sql(fsc)} AS logprob
+FROM walk w JOIN nev n ON n.user_id = w.user_id AND w.rn = n.n_events
+"""
+
+
+@register("hmm_viterbi_sessions", _hmm_oracle())
+def hmm_viterbi_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Viterbi-decode each user's (capped) event-type sequence under
+    the frozen 3-state HMM; best path string + its log-prob."""
+    ev = load_table(spark, sf_dir, "events")
+    seqs = (ev.groupBy("user_id")
+            .agg(F.slice(
+                F.transform(
+                    F.array_sort(F.collect_list(
+                        F.struct("ts", "event_id",
+                                 F.col("event_type").alias("x")))),
+                    lambda s: s["x"]),
+                1, _HMM_MAXLEN).alias("xs")))
+
+    def emit_col(x, j):
+        c = None
+        for s in _HMM_SYMBOLS:
+            c = (F.when(x == s, F.lit(_HMM_EMIT[s][j])) if c is None
+                 else c.when(x == s, F.lit(_HMM_EMIT[s][j])))
+        return c
+
+    def step_struct(a, x):
+        cands = [[a[f"s{i}"] + F.lit(_HMM_TRANS[i][j])
+                  for i in range(_HMM_STATES)]
+                 for j in range(_HMM_STATES)]
+        scores, paths = [], []
+        for j in range(_HMM_STATES):
+            c0, c1, c2 = cands[j]
+            best = (F.when((c0 >= c1) & (c0 >= c2), c0)
+                    .when(c1 >= c2, c1).otherwise(c2))
+            bpath = (F.when((c0 >= c1) & (c0 >= c2), a["p0"])
+                     .when(c1 >= c2, a["p1"]).otherwise(a["p2"]))
+            scores.append((best + emit_col(x, j)).alias(f"s{j}"))
+            paths.append(F.concat(bpath, F.lit(str(j)))
+                         .alias(f"p{j}"))
+        # struct casts are POSITIONAL: field order must match the
+        # accumulator type exactly (s0,s1,s2,p0,p1,p2)
+        return F.struct(*scores, *paths).cast(
+            "struct<s0:double,s1:double,s2:double,"
+            "p0:string,p1:string,p2:string>")
+
+    acc0 = F.struct(
+        F.lit(_HMM_START[0]).alias("s0"), F.lit(_HMM_START[1]).alias("s1"),
+        F.lit(_HMM_START[2]).alias("s2"),
+        F.lit("").alias("p0"), F.lit("").alias("p1"),
+        F.lit("").alias("p2")).cast(
+        "struct<s0:double,s1:double,s2:double,"
+        "p0:string,p1:string,p2:string>")
+    folded = seqs.select(
+        "user_id", F.size("xs").alias("n_events"),
+        F.aggregate("xs", acc0, step_struct).alias("f"))
+    f = F.col("f")
+    fin = (F.when((f["s0"] >= f["s1"]) & (f["s0"] >= f["s2"]), f["p0"])
+           .when(f["s1"] >= f["s2"], f["p1"]).otherwise(f["p2"]))
+    fsc = (F.when((f["s0"] >= f["s1"]) & (f["s0"] >= f["s2"]), f["s0"])
+           .when(f["s1"] >= f["s2"], f["s1"]).otherwise(f["s2"]))
+    return folded.select(
+        "user_id", F.col("n_events").cast("long").alias("n_events"),
+        fin.alias("path"), F.round(fsc, 6).alias("logprob"))
+
+
+# ---------------------------------------------------------------------------
+# Tukey median polish of the day x hour traffic grid.
+#
+# Two full sweeps (rows then columns, twice) of median removal over
+# the 30x24 event-count grid (Tukey 1977, public): residual(d, h) =
+# count - overall - day_effect - hour_effect with effects accumulated
+# from row/column medians.  The robust two-way decomposition the
+# hourly-seasonality family lacks (means are skew-dragged; medians
+# are not).
+#
+# Exactness: counts are integers; every median is an exact order
+# statistic (middle element, or the midpoint of the two middle — a
+# half, so ALL values stay dyadic rationals: float arithmetic on them
+# is exact and order-free).
+#
+# Scale shape: one grouped pass over events -> a bounded |days|x24
+# grid; the sweeps are 4 grouped medians over that grid.
+# ---------------------------------------------------------------------------
+
+_MP_SWEEPS = 2
+
+_MED_SQL = ("CASE WHEN len(vs) % 2 = 1 THEN vs[(len(vs) + 1) // 2] "
+            "ELSE (vs[len(vs) // 2] + vs[len(vs) // 2 + 1]) / 2.0 END")
+
+
+def _median_polish_oracle() -> str:
+    sweeps = []
+    prev = "g0"
+    for t in range(1, _MP_SWEEPS + 1):
+        sweeps.append(f"""
+rmed{t} AS MATERIALIZED (
+    SELECT day, {_MED_SQL.replace('vs', 'list(r ORDER BY r)')} AS m
+    FROM {prev} GROUP BY day
+),
+gr{t} AS MATERIALIZED (
+    SELECT g.day, g.hour, g.r - m.m AS r
+    FROM {prev} g JOIN rmed{t} m ON m.day = g.day
+),
+cmed{t} AS MATERIALIZED (
+    SELECT hour, {_MED_SQL.replace('vs', 'list(r ORDER BY r)')} AS m
+    FROM gr{t} GROUP BY hour
+),
+g{t} AS MATERIALIZED (
+    SELECT g.day, g.hour, g.r - m.m AS r
+    FROM gr{t} g JOIN cmed{t} m ON m.hour = g.hour
+)""")
+        prev = f"g{t}"
+    reff = " + ".join(f"r{t}.m" for t in range(1, _MP_SWEEPS + 1))
+    ceff = " + ".join(f"c{t}.m" for t in range(1, _MP_SWEEPS + 1))
+    rjoin = " ".join(f"JOIN rmed{t} r{t} ON r{t}.day = g.day"
+                     for t in range(1, _MP_SWEEPS + 1))
+    cjoin = " ".join(f"JOIN cmed{t} c{t} ON c{t}.hour = g.hour"
+                     for t in range(1, _MP_SWEEPS + 1))
+    return f"""
+WITH g0 AS MATERIALIZED (
+    SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
+           CAST(extract(hour FROM ts) AS INT) AS hour,
+           CAST(count(*) AS DOUBLE) AS r
+    FROM events GROUP BY 1, 2
+),
+{','.join(sweeps)}
+SELECT g.day, g.hour,
+       {round_sql(f'{reff}')} AS day_effect,
+       {round_sql(f'{ceff}')} AS hour_effect,
+       {round_sql('g.r')} AS residual
+FROM g{_MP_SWEEPS} g {rjoin} {cjoin}
+"""
+
+
+@register("median_polish_day_hour", _median_polish_oracle())
+def median_polish_day_hour(spark: SparkSession,
+                           sf_dir: str) -> DataFrame:
+    """Two-sweep Tukey median polish of the day x hour count grid:
+    per-cell day effect, hour effect, and robust residual."""
+    ev = load_table(spark, sf_dir, "events")
+    g = (ev.groupBy(
+        F.date_format(F.date_trunc("day", "ts"), "yyyy-MM-dd")
+        .alias("day"),
+        F.hour("ts").cast("int").alias("hour"))
+        .agg(F.count("*").cast("double").alias("r")))
+
+    def med(vs):
+        n = F.size(vs)
+        return (F.when(n % 2 == 1,
+                       F.element_at(vs, ((n + 1) / 2).cast("int")))
+                .otherwise((F.element_at(vs, (n / 2).cast("int"))
+                            + F.element_at(vs, (n / 2).cast("int") + 1))
+                           / 2.0))
+
+    reffs, ceffs = [], []
+    for t in range(_MP_SWEEPS):
+        rmed = (g.groupBy("day")
+                .agg(med(F.array_sort(F.collect_list("r")))
+                     .alias(f"rm{t}")))
+        g = (g.join(F.broadcast(rmed), "day")
+             .select("day", "hour",
+                     (F.col("r") - F.col(f"rm{t}")).alias("r")))
+        reffs.append(rmed)
+        cmed = (g.groupBy("hour")
+                .agg(med(F.array_sort(F.collect_list("r")))
+                     .alias(f"cm{t}")))
+        g = (g.join(F.broadcast(cmed), "hour")
+             .select("day", "hour",
+                     (F.col("r") - F.col(f"cm{t}")).alias("r")))
+        ceffs.append(cmed)
+    out = g
+    for t, rm in enumerate(reffs):
+        out = out.join(F.broadcast(rm), "day")
+    for t, cm in enumerate(ceffs):
+        out = out.join(F.broadcast(cm), "hour")
+    day_eff = sum((F.col(f"rm{t}") for t in range(1, _MP_SWEEPS)),
+                  F.col("rm0"))
+    hour_eff = sum((F.col(f"cm{t}") for t in range(1, _MP_SWEEPS)),
+                   F.col("cm0"))
+    return out.select(
+        "day", "hour",
+        F.round(day_eff, 6).alias("day_effect"),
+        F.round(hour_eff, 6).alias("hour_effect"),
+        F.round("r", 6).alias("residual"))
