@@ -117,8 +117,15 @@ def main(amplify_big: int = 1000, amplify_small: int = 100) -> None:
         t_own = time.perf_counter() - t0
 
         t0 = time.perf_counter()
-        n_shared = containment_pairs(spark, tmp, pairs=lsh_pairs).count()
+        shared_df = containment_pairs(spark, tmp, pairs=lsh_pairs)
+        n_shared = shared_df.count()
         t_shared = time.perf_counter() - t0
+        # content equality, not just counts (code-review r10): a seam
+        # bug that swapped or rescored pairs while preserving the
+        # count must not print rows_identical
+        own_df = containment_pairs(spark, tmp)
+        sym_diff = (shared_df.exceptAll(own_df).count()
+                    + own_df.exceptAll(shared_df).count())
         lsh_pairs.unpersist()
 
         print(json.dumps({
@@ -128,7 +135,7 @@ def main(amplify_big: int = 1000, amplify_small: int = 100) -> None:
             "containment_shared_sec": round(t_shared, 1),
             "containment_own_sec": round(t_own, 1),
             "win_sec": round(t_own - t_shared, 1),
-            "rows_identical": n_shared == n_own,
+            "rows_identical": n_shared == n_own and sym_diff == 0,
         }), flush=True)
     finally:
         shutil.rmtree(tmp, ignore_errors=True)

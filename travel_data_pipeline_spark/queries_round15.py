@@ -462,6 +462,18 @@ def randomized_response_debias(spark: SparkSession,
 # after runs on |days| rows (corpus-size-independent).
 # ---------------------------------------------------------------------------
 
+
+
+def _dlit_s(v) -> str:
+    """_dlit for values already held as repr strings OR floats: bare
+    numeric literals are DECIMAL in DuckDB and convert to double
+    ulp-off in arithmetic contexts (code-review r10 hardening — the
+    current constants happen to convert exactly, but the rule is
+    bare-literal-free oracle float arithmetic)."""
+    r = v if isinstance(v, str) else repr(float(v))
+    return f"CAST('{r}' AS DOUBLE)"
+
+
 _SAX_W = 2        # days per PAA frame (30-day grid -> 15 frames)
 _SAX_L = 3        # symbols per word
 # N(0,1) tercile breakpoints for a 3-letter alphabet (python-computed
@@ -471,8 +483,9 @@ _SAX_B1, _SAX_B2 = -0.4307272992954576, 0.4307272992954576
 _SAX_VAR = ("(CAST(ss AS DOUBLE)"
             " - (CAST(s AS DOUBLE) * CAST(s AS DOUBLE))"
             " / CAST(n AS DOUBLE))")
-_SAX_SYM = (f"CASE WHEN z < {_SAX_B1!r} THEN 'a'"
-            f" WHEN z < {_SAX_B2!r} THEN 'b' ELSE 'c' END")
+_SAX_SYM = (f"CASE WHEN z < CAST('{_SAX_B1!r}' AS DOUBLE) THEN 'a'"
+            f" WHEN z < CAST('{_SAX_B2!r}' AS DOUBLE) THEN 'b'"
+            f" ELSE 'c' END")
 
 
 @register("sax_daily_motifs", f"""
@@ -511,10 +524,10 @@ SELECT word,
 FROM words GROUP BY word
 """)
 def sax_daily_motifs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SAX-discretize the daily event counts (PAA w={_SAX_W}, 4-letter
-    alphabet) and report every 3-symbol word with its support and a motif
-    flag (support >= 2) — symbolic motif discovery, the cheap sibling
-    of matrix_profile_motifs."""
+    """SAX-discretize the daily event counts (2-day PAA frames,
+    3-letter tercile alphabet) and report every 3-symbol word with its
+    support and a motif flag (support >= 2) — symbolic motif
+    discovery, the cheap sibling of matrix_profile_motifs."""
     from pyspark.sql import Window
 
     ev = load_table(spark, sf_dir, "events")
@@ -575,7 +588,7 @@ _RBO_W = [(d, repr((1 - _RBO_P) * _RBO_P ** (d - 1)))
 
 
 def _rbo_oracle() -> str:
-    w_rows = ", ".join(f"({d}, {w})" for d, w in _RBO_W)
+    w_rows = ", ".join(f"({d}, {_dlit_s(w)})" for d, w in _RBO_W)
     return f"""
 WITH rev AS MATERIALIZED (
     SELECT l_partkey,
@@ -610,9 +623,9 @@ FROM ov
 
 @register("rank_biased_overlap", _rbo_oracle())
 def rank_biased_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """RBO@{_RBO_D} (p={_RBO_P}) between the revenue-ranked and
-    quantity-ranked top parts — the ranking-stability readout for any
-    two retrieval/curation orderings."""
+    """RBO@20 (p=0.9) between the revenue-ranked and quantity-ranked
+    top parts — the ranking-stability readout for any two
+    retrieval/curation orderings."""
     from pyspark.sql import Window
 
     li = load_table(spark, sf_dir, "lineitem")
@@ -668,8 +681,12 @@ _STUMP_FEATS = ("alpha_ratio", "mean_word_len", "log_len")
 
 
 def _stump_oracle() -> str:
+    # 2dp bucketing must use the Spark-parity rounding spelling:
+    # plain DuckDB round(1.005, 2) -> 1.00 while Spark HALF_UP -> 1.01
+    # (code-review r10 finding; parity-discipline nested-round rule)
     per_feat = "\nUNION ALL\n".join(
-        f"SELECT '{f}' AS feature, round(LEAST({f}, 50.0), 2) AS v, "
+        f"SELECT '{f}' AS feature, "
+        f"{round_sql(f'LEAST({f}, 50.0)', 2)} AS v, "
         f"truth FROM labeled" for f in _STUMP_FEATS)
     return f"""
 WITH feats AS (
@@ -765,13 +782,17 @@ def decision_stump_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
                           mwl.alias("mean_word_len"),
                           log_len.alias("log_len"),
                           truth.alias("truth"))
-    stacked = None
-    for f in _STUMP_FEATS:
-        part = labeled.select(
-            F.lit(f).alias("feature"),
-            F.round(F.least(F.col(f), F.lit(50.0)), 2).alias("v"),
-            "truth")
-        stacked = part if stacked is None else stacked.unionByName(part)
+    # ONE corpus scan: explode a per-row array of (feature, v)
+    # structs instead of a 3-way union that re-reads documents and
+    # re-runs the regex features per branch (code-review r10)
+    stacked = (labeled.select(
+        F.explode(F.array(*[
+            F.struct(F.lit(f).alias("feature"),
+                     F.round(F.least(F.col(f), F.lit(50.0)), 2)
+                     .alias("v"))
+            for f in _STUMP_FEATS])).alias("fv"), "truth")
+        .select(F.col("fv.feature").alias("feature"),
+                F.col("fv.v").alias("v"), "truth"))
     buckets = (stacked.groupBy("feature", "v")
                .agg(F.count("*").alias("n"), F.sum("truth").alias("pos")))
     tot = (buckets.groupBy("feature")
@@ -876,7 +897,7 @@ GROUP BY a.source, b.source
 def burrows_delta_stylometry(spark: SparkSession,
                              sf_dir: str) -> DataFrame:
     """Burrows' Delta authorship distance between sources over the
-    top-{_BD_K} corpus words (pinned z-score and mean-|dz| folds)."""
+    top-30 corpus words (pinned z-score and mean-|dz| folds)."""
     docs = load_table(spark, sf_dir, "documents")
     norm = F.trim(F.regexp_replace(F.lower("text"), r"\s+", " "))
     toks = (docs.select("source", F.explode(F.split(norm, " ")).alias("w"))
@@ -938,22 +959,16 @@ def burrows_delta_stylometry(spark: SparkSession,
 # ---------------------------------------------------------------------------
 
 
-@register("scaling_law_loglog_fit", f"""
-WITH docs AS (
-    SELECT doc_id, {{_FNL_TOKS}} AS toks,
-           {md5_long_sql("'ladder:' || CAST(doc_id AS VARCHAR)")} % 16
-               AS h16
-    FROM documents
-),
-rungs AS (SELECT unnest(generate_series(0, 4)) AS rung),
-member AS (
-    SELECT r.rung, d.doc_id, d.toks
-    FROM docs d JOIN rungs r
-      ON d.h16 < (CAST(1 AS BIGINT) << r.rung)
-),
-words AS (
-    SELECT rung, unnest(toks) AS word FROM member
-),
+def _scaling_fit_oracle() -> str:
+    # lazy import (isotonic precedent): shares the EXACT ladder CTE
+    # chain with data_scaling_ladder so the composed fit can never
+    # desynchronize from the ladder it composes
+    from travel_data_pipeline_spark.queries_round8 import (
+        LADDER_WORDS_SQL,
+    )
+
+    return f"""
+WITH {LADDER_WORDS_SQL},
 ladder AS MATERIALIZED (
     SELECT rung,
            ln(CAST(count(*) AS DOUBLE)) AS lx,
@@ -975,19 +990,21 @@ mom AS (
     FROM ladder
 )
 SELECT CAST(n AS BIGINT) AS n_rungs,
-       {round_sql('''(n * sxy - sx * sy) / (n * sxx - sx * sx)''')}
+       {round_sql("(n * sxy - sx * sy) / (n * sxx - sx * sx)")}
          AS heaps_beta,
-       {round_sql('''(sy - sx * (n * sxy - sx * sy)
-                      / (n * sxx - sx * sx)) / n''')} AS ln_k,
+       {round_sql("(sy - sx * (n * sxy - sx * sy)"
+                  " / (n * sxx - sx * sx)) / n")} AS ln_k,
        CASE WHEN (n * sxx - sx * sx) * (n * syy - sy * sy) <= 0.0
             THEN NULL
-            ELSE {round_sql('''((n * sxy - sx * sy) * (n * sxy - sx * sy))
-                     / ((n * sxx - sx * sx) * (n * syy - sy * sy))''')}
+            ELSE {round_sql("((n * sxy - sx * sy) * (n * sxy - sx * sy))"
+                            " / ((n * sxx - sx * sx)"
+                            " * (n * syy - sy * sy))")}
        END AS r2
 FROM mom
-""".replace("{_FNL_TOKS}",
-            "list_filter(string_split(trim(regexp_replace(lower(text), "
-            "'\\s+', ' ', 'g')), ' '), t -> t <> '')"))
+"""
+
+
+@register("scaling_law_loglog_fit", _scaling_fit_oracle)
 def scaling_law_loglog_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Closed-form log-log OLS (Heaps exponent + fit r2) over the
     registered 5-rung data-scaling ladder."""
@@ -1058,7 +1075,7 @@ def _gs_oracle() -> str:
     from travel_data_pipeline_spark.queries_ops import _ab_hash
 
     bounds = " ".join(
-        f"WHEN {k} THEN {b}" for k, b in _GS_BOUNDS.items())
+        f"WHEN {k} THEN {_dlit_s(b)}" for k, b in _GS_BOUNDS.items())
     return f"""
 WITH mind AS (SELECT min(date_trunc('day', ts)) AS d0 FROM events),
 looks AS (SELECT unnest(generate_series(1, {_GS_LOOKS})) AS k),

@@ -1944,9 +1944,11 @@ def mixture_temperature_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _LAD_RUNGS = 5
 
-
-@register("data_scaling_ladder", f"""
-WITH docs AS (
+# the docs -> rungs -> member -> words CTE chain, shared verbatim by
+# data_scaling_ladder and scaling_law_loglog_fit (queries_round15) so
+# a tokenizer/salt/rung change can never desynchronize the composed
+# fit's oracle from the ladder it composes (code-review r10)
+LADDER_WORDS_SQL = f"""docs AS (
     SELECT doc_id, {_FNL_TOKS} AS toks,
            {md5_long_sql("'ladder:' || CAST(doc_id AS VARCHAR)")} % 16
                AS h16
@@ -1960,7 +1962,11 @@ member AS (
 ),
 words AS (
     SELECT rung, doc_id, unnest(toks) AS word FROM member
-)
+)"""
+
+
+@register("data_scaling_ladder", f"""
+WITH {LADDER_WORDS_SQL}
 SELECT CAST(rung AS INT) AS rung,
        CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
        CAST(count(*) AS BIGINT) AS n_tokens,
