@@ -341,13 +341,19 @@ def hits_supplier_part(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("s").alias("node"), F.lit(1.0).alias("v"))
     auth = None
     for _ in range(_HITS_ITER):
+        # each raw-score relation feeds BOTH its max normalizer and
+        # the normalized output — without a checkpoint the plan
+        # doubles per normalization (2^6 re-derivations; the same
+        # value+max double-reference the oracle needed MATERIALIZED
+        # for; plan audit read 660 exchanges before this)
         ar = (edges.join(hub, edges.s == hub.node)
               .groupBy(edges.p.alias("node"))
               .agg(F.aggregate(
                   F.array_sort(F.collect_list(
                       F.struct(edges.s.alias("s"),
                                (edges.w * F.col("v")).alias("c")))),
-                  F.lit(0.0), lambda x, y: x + y["c"]).alias("r")))
+                  F.lit(0.0), lambda x, y: x + y["c"]).alias("r"))
+              .localCheckpoint(eager=True))
         am = ar.agg(F.max("r").alias("m"))
         auth = (ar.crossJoin(F.broadcast(am))
                 .select("node", (F.col("r") / F.col("m")).alias("v")))
@@ -357,7 +363,8 @@ def hits_supplier_part(spark: SparkSession, sf_dir: str) -> DataFrame:
                   F.array_sort(F.collect_list(
                       F.struct(edges.p.alias("p"),
                                (edges.w * F.col("v")).alias("c")))),
-                  F.lit(0.0), lambda x, y: x + y["c"]).alias("r")))
+                  F.lit(0.0), lambda x, y: x + y["c"]).alias("r"))
+              .localCheckpoint(eager=True))
         hm = hr.agg(F.max("r").alias("m"))
         hub = (hr.crossJoin(F.broadcast(hm))
                .select("node", (F.col("r") / F.col("m")).alias("v")))
@@ -1282,7 +1289,8 @@ def geometric_median_embeddings(spark: SparkSession,
     m = (vals.groupBy("label", "dim_idx")
          .agg((F.round(pinned(F.col("vec_id"), F.col("v"))
                        / F.count("*").cast("double"), 6) + 0.0)
-              .alias("m")))
+              .alias("m"))
+         .localCheckpoint(eager=True))  # m feeds dist AND the output
     m0 = m
     for _ in range(_GM_ITERS):
         dist = (vals.join(F.broadcast(m), ["label", "dim_idx"])
@@ -1302,7 +1310,8 @@ def geometric_median_embeddings(spark: SparkSession,
                          F.col("v") / F.col("d")).alias("num"))
              .select("label", "dim_idx",
                      (F.round(F.col("num") / F.col("wsum"), 6) + 0.0)
-                     .alias("m")))
+                     .alias("m"))
+             .localCheckpoint(eager=True))  # lag-1: next iter re-reads
     return (m.join(m0.withColumnRenamed("m", "centroid"),
                    ["label", "dim_idx"])
             .select("label", "dim_idx", "centroid",
@@ -1578,14 +1587,16 @@ def median_polish_day_hour(spark: SparkSession,
                      .alias(f"rm{t}")))
         g = (g.join(F.broadcast(rmed), "day")
              .select("day", "hour",
-                     (F.col("r") - F.col(f"rm{t}")).alias("r")))
+                     (F.col("r") - F.col(f"rm{t}")).alias("r"))
+             .localCheckpoint(eager=True))  # lag-1: bounded 720-row grid
         reffs.append(rmed)
         cmed = (g.groupBy("hour")
                 .agg(med(F.array_sort(F.collect_list("r")))
                      .alias(f"cm{t}")))
         g = (g.join(F.broadcast(cmed), "hour")
              .select("day", "hour",
-                     (F.col("r") - F.col(f"cm{t}")).alias("r")))
+                     (F.col("r") - F.col(f"cm{t}")).alias("r"))
+             .localCheckpoint(eager=True))
         ceffs.append(cmed)
     out = g
     for t, rm in enumerate(reffs):
