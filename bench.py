@@ -89,6 +89,13 @@ HEADLINE = [
     "kmv_overlap_audit",
     "gap_sequence_patterns",
     "holt_winters_daily",
+    # round-10 additions: the checkpointed HITS power iteration (the
+    # new iterative-graph shape), the per-user Viterbi fold (sequence
+    # decoding over the event stream), and the batch arm of the
+    # stream-stream retargeting twin (range-residual equi-join)
+    "hits_supplier_part",
+    "hmm_viterbi_sessions",
+    "unconverted_clicks",
 ]
 
 
