@@ -1,0 +1,120 @@
+"""ANN-path scale stress: drive the registered IVF operators
+(operators/similarity.py — the exact code behind embedding_ivf_topk /
+ivf_recall_at_k) at a multi-million-vector synthetic corpus with real
+cluster structure, and report build/search throughput + recall@k vs
+the brute-force arm.
+
+Synthesis is fully in-engine and deterministic (xxhash64-derived
+pseudo-noise around C planted centroids — no driver-side data, no
+Date.now/random): v_i = centroid_{i mod C} + 0.15 * noise_i, so IVF
+probing has genuine structure to exploit and recall is a meaningful
+number, not a coin flip.
+
+Run: python tools/stress_ann.py [n_vectors] [n_queries]
+Defaults 2_000_000 and 64. Prints JSON lines.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+DIM = 64
+N_CENTROIDS = 256
+N_PROBE = 8
+K = 10
+
+
+def main(n_vectors: int = 2_000_000, n_queries: int = 64) -> None:
+    from pyspark.sql import functions as F
+
+    from travel_data_pipeline_spark.operators import similarity as S
+    from travel_data_pipeline_spark.session import get_spark
+
+    spark = get_spark("stress-ann")
+    spark.sparkContext.setLogLevel("ERROR")
+    par = spark.sparkContext.defaultParallelism
+
+    def unit_noise(seed_col):
+        # deterministic pseudo-uniform in [-1, 1] per (row, dim)
+        return F.transform(
+            F.sequence(F.lit(1), F.lit(DIM)),
+            lambda d: (F.xxhash64(seed_col * DIM + d) % 1_000_000)
+            .cast("double") / 500_000.0)
+
+    cents = (spark.range(N_CENTROIDS)
+             .select(F.col("id").alias("centroid_id"),
+                     unit_noise(F.col("id") + 777_777).alias("embedding"))
+             .localCheckpoint(eager=True))
+    vecs = (spark.range(n_vectors).repartition(par * 2)
+            .select(F.col("id").alias("vec_id"),
+                    (F.col("id") % N_CENTROIDS).alias("true_c"),
+                    unit_noise(F.col("id")).alias("noise")))
+    vecs = (vecs.join(F.broadcast(cents.withColumnRenamed(
+                "centroid_id", "true_c")
+                .withColumnRenamed("embedding", "c_vec")), "true_c")
+            .select("vec_id",
+                    F.zip_with("c_vec", "noise",
+                               lambda c, n: c + 0.15 * n)
+                    .alias("embedding"))
+            .localCheckpoint(eager=True))  # persist() plan-matching
+    # proved unreliable here (the assign subtree re-derived vecs from
+    # Range); localCheckpoint truncates lineage outright
+    n = vecs.count()
+
+    # --- IVF build: nearest-centroid assignment over the corpus ------
+    t0 = time.perf_counter()
+    assign = S.assign_clusters(vecs, cents).localCheckpoint(eager=True)
+    n_assigned = assign.count()
+    t_build = time.perf_counter() - t0
+
+    queries = (vecs.filter(F.col("vec_id") % (n_vectors // n_queries)
+                           == 0)
+               .select(F.col("vec_id").alias("query_id"), "embedding")
+               .limit(n_queries).localCheckpoint(eager=True))
+
+    # --- IVF search against the PRE-BUILT index (assignments= seam:
+    # production searches don't re-scan the corpus per query) ---------
+    t0 = time.perf_counter()
+    ivf = S.ivf_topk(vecs, cents, queries, k=K, n_probe=N_PROBE,
+                     assignments=assign)
+    ivf_rows = ivf.collect()
+    t_ivf = time.perf_counter() - t0
+
+    # --- brute-force ground truth on a query subsample ---------------
+    gt_q = queries.limit(8).localCheckpoint(eager=True)
+    t0 = time.perf_counter()
+    bf = S.brute_force_topk(vecs, gt_q, k=K)
+    bf_rows = bf.collect()
+    t_bf = time.perf_counter() - t0
+
+    gt = {}
+    for r in bf_rows:
+        gt.setdefault(r.query_id, set()).add(r.neighbor_id)
+    hits = total = 0
+    for r in ivf_rows:
+        if r.query_id in gt:
+            total += 1
+            hits += r.neighbor_id in gt[r.query_id]
+    print(json.dumps({
+        "n_vectors": n, "dim": DIM, "n_centroids": N_CENTROIDS,
+        "n_probe": N_PROBE, "k": K, "n_queries": n_queries,
+        "assign_build_sec": round(t_build, 1),
+        "assign_vecs_per_sec": round(n_assigned / t_build),
+        "ivf_search_sec": round(t_ivf, 1),
+        "ivf_qps": round(n_queries / t_ivf, 2),
+        "bruteforce_8q_sec": round(t_bf, 1),
+        "recall_at_k_vs_bruteforce": (round(hits / total, 4)
+                                      if total else None),
+    }), flush=True)
+
+
+if __name__ == "__main__":
+    nv = int(sys.argv[1]) if len(sys.argv) > 1 else 2_000_000
+    nq = int(sys.argv[2]) if len(sys.argv) > 2 else 64
+    main(nv, nq)

@@ -150,14 +150,24 @@ def assign_clusters(embeddings: DataFrame, centroids: DataFrame,
 
 def ivf_topk(embeddings: DataFrame, centroids: DataFrame, queries: DataFrame,
              k: int = 5, n_probe: int = 2, id_col: str = "vec_id",
-             vec_col: str = "embedding", query_id: str = "query_id") -> DataFrame:
+             vec_col: str = "embedding", query_id: str = "query_id",
+             assignments: DataFrame | None = None) -> DataFrame:
     """Approximate top-k: probe only the n_probe nearest clusters.
 
     Recall < 1.0 by design; the bench pairs this with brute_force_topk
     to report recall@k. The candidate scan is
     |clusters probed| / |clusters| of the data — the 100 TB path.
+
+    ``assignments`` lets a caller inject a PRE-BUILT (id, centroid_id)
+    index (the dedup_scorecard ``pairs=`` seam pattern): in production
+    the IVF index is built once and searched many times — per-search
+    re-assignment would re-scan the corpus against every centroid.
+    Semantics are identical because the internal build is exactly
+    assign_clusters.
     """
-    assignments = assign_clusters(embeddings, centroids, id_col, vec_col)
+    if assignments is None:
+        assignments = assign_clusters(embeddings, centroids,
+                                      id_col, vec_col)
     indexed = embeddings.join(assignments.select(id_col, "centroid_id"), id_col)
 
     q_probe = assign_clusters(
