@@ -72,3 +72,26 @@ def test_rfm_scores_bounded_and_complete(spark, sf_smoke):
     assert bad == 0
     m_scores = {r.m_score for r in rfm.select("m_score").distinct().collect()}
     assert m_scores == {1, 2, 3, 4, 5}
+
+
+def test_ivf_topk_assignments_seam_identical(spark, sf_smoke):
+    """ivf_topk(assignments=prebuilt) must return EXACTLY the rows of
+    the internal-build path (the dedup pairs= seam contract)."""
+    from pyspark.sql import functions as F
+
+    from travel_data_pipeline_spark.operators import similarity as S
+    from travel_data_pipeline_spark.sources.readers import load_table
+
+    emb = load_table(spark, sf_smoke, "embeddings")
+    cents = (emb.filter(F.col("vec_id") % 17 == 0)
+             .select(F.col("vec_id").alias("centroid_id"), "embedding")
+             .limit(8).localCheckpoint(eager=True))
+    queries = (emb.limit(5)
+               .select(F.col("vec_id").alias("query_id"), "embedding")
+               .localCheckpoint(eager=True))
+    own = S.ivf_topk(emb, cents, queries, k=5, n_probe=2).collect()
+    pre = S.assign_clusters(emb, cents).localCheckpoint(eager=True)
+    injected = S.ivf_topk(emb, cents, queries, k=5, n_probe=2,
+                          assignments=pre).collect()
+    assert sorted(map(tuple, own)) == sorted(map(tuple, injected))
+    assert len(own) > 0
