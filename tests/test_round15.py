@@ -682,3 +682,80 @@ def test_median_polish_matches_python(spark, sf_smoke):
         row = got[(d, h)]
         assert abs((row.day_effect + row.hour_effect + row.residual)
                    - v) < 1e-9
+
+
+def test_consistent_hash_rebalance_matches_python(spark, sf_smoke):
+    """Python ring model + the defining property: adding a shard moves
+    docs ONLY onto the new shard (moved_in == 0 everywhere else)."""
+    import bisect
+
+    from travel_data_pipeline_spark.queries_round15 import (
+        _CH_N,
+        _CH_V,
+        consistent_hash_rebalance,
+    )
+    from travel_data_pipeline_spark.sources.readers import load_table
+
+    def ring(n_shards):
+        r = sorted((_md5_long(f"ring:{s}:{v}"), s)
+                   for s in range(n_shards) for v in range(_CH_V))
+        return r
+
+    ra, rb = ring(_CH_N), ring(_CH_N + 1)
+
+    def owner(r, h):
+        i = bisect.bisect_left(r, (h, -1))
+        return r[i][1] if i < len(r) else r[0][1]
+
+    docs = [r.doc_id for r in load_table(spark, sf_smoke, "documents")
+            .select("doc_id").collect()]
+    before = defaultdict(int)
+    after = defaultdict(int)
+    moved = defaultdict(int)
+    for d in docs:
+        h = _md5_long(f"doc:{d}")
+        b, a = owner(ra, h), owner(rb, h)
+        before[b] += 1
+        after[a] += 1
+        if a != b:
+            moved[a] += 1
+    got = {r.shard: r
+           for r in consistent_hash_rebalance(spark, sf_smoke).collect()}
+    assert sorted(got) == list(range(_CH_N + 1))
+    for s in range(_CH_N + 1):
+        row = got[s]
+        assert (row.n_before, row.n_after, row.moved_in) == (
+            before[s], after[s], moved[s]), s
+    # defining property: all movement lands on the NEW shard
+    assert all(got[s].moved_in == 0 for s in range(_CH_N))
+    assert got[_CH_N].moved_in == got[_CH_N].n_after
+    total = sum(got[s].n_before for s in range(_CH_N + 1))
+    # new shard takes roughly 1/(N+1) of the corpus (generous band)
+    assert 0.02 < got[_CH_N].n_after / total < 0.4
+
+
+def test_bloom_size_planner_matches_python(spark, sf_smoke):
+    from travel_data_pipeline_spark.queries_round15 import (
+        _BF_COLS,
+        _BF_LN2,
+        _BF_LN_P,
+        bloom_size_planner,
+    )
+    from travel_data_pipeline_spark.sources.readers import load_table
+
+    got = {r.relation: r
+           for r in bloom_size_planner(spark, sf_smoke).collect()}
+    assert set(got) == {f"{t}.{c}" for t, c in _BF_COLS}
+    for t, c in _BF_COLS:
+        n = (load_table(spark, sf_smoke, t)
+             .select(c).distinct().count())
+        row = got[f"{t}.{c}"]
+        m = math.ceil(-(n * _BF_LN_P) / (_BF_LN2 * _BF_LN2))
+        k = max(1, round((m / n) * _BF_LN2))
+        assert row.n == n
+        assert row.m_bits == m
+        assert row.k_hashes == k
+        est = (1.0 - math.exp(-(k * n) / m)) ** k
+        assert abs(row.est_fpp - est) < 1e-6
+        # the plan must meet its target within the approximation slack
+        assert row.est_fpp < 0.012

@@ -1612,3 +1612,194 @@ def median_polish_day_hour(spark: SparkSession,
         F.round(day_eff, 6).alias("day_effect"),
         F.round(hour_eff, 6).alias("hour_effect"),
         F.round("r", 6).alias("residual"))
+
+
+# ---------------------------------------------------------------------------
+# Consistent-hash ring rebalance audit.
+#
+# Karger et al. 1997 (public): shards own md5 ring positions via
+# _CH_V virtual nodes each; a doc belongs to the first vnode at or
+# after its own ring position (wrapping).  The audit compares the
+# N=_CH_N ring against the N+1 ring (one shard added) and reports
+# per-shard membership before/after plus docs moved in — consistent
+# hashing's defining property (movement lands ONLY on the new shard,
+# ~1/(N+1) of the corpus) is thereby driver-verified, not just
+# pytest-asserted.
+#
+# Scale shape: the ring is a bounded broadcast array (N x V structs);
+# ownership is a per-doc array probe — one corpus scan, no join, no
+# shuffle beyond the per-shard rollup.
+# ---------------------------------------------------------------------------
+
+_CH_N = 8    # shards before
+_CH_V = 64   # virtual nodes per shard
+
+
+def _ch_oracle() -> str:
+    def ring_cte(name: str, n_shards: int) -> str:
+        return f"""{name} AS MATERIALIZED (
+    SELECT list(struct_pack(pos := p, shard := s) ORDER BY p) AS ring
+    FROM (
+        SELECT s.s, v.v,
+               {md5_long_sql("'ring:' || CAST(s.s AS VARCHAR) || ':' "
+                             "|| CAST(v.v AS VARCHAR)")} AS p
+        FROM (SELECT unnest(generate_series(0, {n_shards - 1})) AS s) s
+        CROSS JOIN (SELECT unnest(generate_series(0, {_CH_V - 1})) AS v) v
+    )
+)"""
+
+    def owner(r: str) -> str:
+        return (f"COALESCE(list_filter({r}, x -> x.pos >= d.h)[1].shard, "
+                f"{r}[1].shard)")
+    return f"""
+WITH {ring_cte('ring_a', _CH_N)},
+{ring_cte('ring_b', _CH_N + 1)},
+docs AS (
+    SELECT doc_id,
+           {md5_long_sql("'doc:' || CAST(doc_id AS VARCHAR)")} AS h
+    FROM documents
+),
+owned AS (
+    -- rings are 1-row relations; cross-joining them makes ring/h
+    -- same-row columns so the lambda can capture d.h (a correlated
+    -- subquery cannot see outer columns inside a DuckDB lambda)
+    SELECT d.doc_id,
+           {owner('ra.ring')} AS before_shard,
+           {owner('rb.ring')} AS after_shard
+    FROM docs d CROSS JOIN ring_a ra CROSS JOIN ring_b rb
+),
+shards AS (SELECT unnest(generate_series(0, {_CH_N})) AS shard)
+SELECT CAST(s.shard AS INT) AS shard,
+       CAST(COALESCE(SUM(CASE WHEN o.before_shard = s.shard
+                          THEN 1 END), 0) AS BIGINT) AS n_before,
+       CAST(COALESCE(SUM(CASE WHEN o.after_shard = s.shard
+                          THEN 1 END), 0) AS BIGINT) AS n_after,
+       CAST(COALESCE(SUM(CASE WHEN o.after_shard = s.shard
+                          AND o.before_shard <> o.after_shard
+                          THEN 1 END), 0) AS BIGINT) AS moved_in
+FROM shards s LEFT JOIN owned o
+  ON o.before_shard = s.shard OR o.after_shard = s.shard
+GROUP BY s.shard
+"""
+
+
+def _ch_ring(spark: SparkSession, n_shards: int) -> DataFrame:
+    sv = (spark.range(n_shards).withColumnRenamed("id", "s")
+          .crossJoin(spark.range(_CH_V).withColumnRenamed("id", "v")))
+    pos = md5_long(F.concat(F.lit("ring:"), F.col("s").cast("string"),
+                            F.lit(":"), F.col("v").cast("string")))
+    return (sv.select(pos.alias("pos"), F.col("s").alias("shard"))
+            .agg(F.array_sort(F.collect_list(F.struct("pos", "shard")))
+                 .alias("ring")))
+
+
+@register("consistent_hash_rebalance", _ch_oracle())
+def consistent_hash_rebalance(spark: SparkSession,
+                              sf_dir: str) -> DataFrame:
+    """Per-shard membership before/after adding one shard to the
+    md5 consistent-hash ring; moved_in surfaces the defining property
+    (all movement lands on the new shard, ~1/(N+1) of docs)."""
+    docs = (load_table(spark, sf_dir, "documents")
+            .select("doc_id",
+                    md5_long(F.concat(F.lit("doc:"),
+                                      F.col("doc_id").cast("string")))
+                    .alias("h")))
+
+    def owner(ring_col):
+        hit = F.filter(ring_col, lambda x: x["pos"] >= F.col("h"))
+        return (F.when(F.size(hit) > 0, F.element_at(hit, 1)["shard"])
+                .otherwise(F.element_at(ring_col, 1)["shard"]))
+
+    ra = _ch_ring(spark, _CH_N).withColumnRenamed("ring", "ring_a")
+    rb = _ch_ring(spark, _CH_N + 1).withColumnRenamed("ring", "ring_b")
+    owned = (docs.crossJoin(F.broadcast(ra)).crossJoin(F.broadcast(rb))
+             .select("doc_id",
+                     owner(F.col("ring_a")).alias("before_shard"),
+                     owner(F.col("ring_b")).alias("after_shard")))
+    shards = spark.range(_CH_N + 1).select(
+        F.col("id").cast("int").alias("shard"))
+    per = (owned.groupBy("before_shard", "after_shard")
+           .agg(F.count("*").alias("n")))
+    agg = (F.broadcast(shards).join(
+        per, (per.before_shard == F.col("shard"))
+        | (per.after_shard == F.col("shard")), "left")
+        .groupBy("shard")
+        .agg(F.coalesce(F.sum(F.when(F.col("before_shard")
+                                     == F.col("shard"), F.col("n"))),
+                        F.lit(0)).cast("long").alias("n_before"),
+             F.coalesce(F.sum(F.when(F.col("after_shard")
+                                     == F.col("shard"), F.col("n"))),
+                        F.lit(0)).cast("long").alias("n_after"),
+             F.coalesce(F.sum(F.when(
+                 (F.col("after_shard") == F.col("shard"))
+                 & (F.col("before_shard") != F.col("after_shard")),
+                 F.col("n"))), F.lit(0)).cast("long").alias("moved_in")))
+    return agg.select(F.col("shard").cast("int").alias("shard"),
+                      "n_before", "n_after", "moved_in")
+
+
+# ---------------------------------------------------------------------------
+# Bloom-filter size planner.
+#
+# For each key column the engine bloom-prefilters on, plan the filter
+# from its EXACT distinct count n and a target fpp p:
+#   m = ceil(-n ln p / (ln 2)^2)      bits
+#   k = max(1, round(m/n * ln 2))     hash functions
+#   est_fpp = (1 - exp(-k n / m))^k   (standard approximation)
+# ln p / ln 2 constants are python literals (string-bridged); the only
+# in-engine transcendental is the final exp, on a well-conditioned
+# small argument.  The planning sibling of bloom_prefilter_join /
+# neyman_allocation_plan.
+#
+# Scale shape: one distinct-count aggregate per audited column.
+# ---------------------------------------------------------------------------
+
+_BF_TARGET_FPP = 0.01
+_BF_LN_P = _math.log(_BF_TARGET_FPP)
+_BF_LN2 = _math.log(2.0)
+_BF_COLS = (("orders", "o_custkey"), ("lineitem", "l_partkey"),
+            ("events", "user_id"), ("documents", "doc_id"))
+
+
+def _bloom_plan_oracle() -> str:
+    counts = "\nUNION ALL\n".join(
+        f"SELECT '{t}.{c}' AS relation, "
+        f"CAST(COUNT(DISTINCT {c}) AS BIGINT) AS n FROM {t}"
+        for t, c in _BF_COLS)
+    lnp = _dlit_s(_BF_LN_P)
+    ln2 = _dlit_s(_BF_LN2)
+    m = f"CAST(ceil(-(n * {lnp}) / ({ln2} * {ln2})) AS BIGINT)"
+    k = f"GREATEST(1, CAST(round((({m}) / CAST(n AS DOUBLE)) * {ln2}, 0) AS BIGINT))"
+    return f"""
+WITH counts AS MATERIALIZED ({counts})
+SELECT relation, n,
+       {m} AS m_bits,
+       {k} AS k_hashes,
+       {round_sql(f'({m}) / CAST(n AS DOUBLE)')} AS bits_per_key,
+       {round_sql(f'''power(1.0 - exp(-(CAST({k} AS DOUBLE) * n)
+                      / ({m})), {k})''')} AS est_fpp
+FROM counts
+"""
+
+
+@register("bloom_size_planner", _bloom_plan_oracle())
+def bloom_size_planner(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """m/k Bloom-filter plan at fpp=0.01 for each bloom-prefiltered
+    key column, from exact distinct counts."""
+    parts = None
+    for t, c in _BF_COLS:
+        df = (load_table(spark, sf_dir, t)
+              .agg(F.countDistinct(c).cast("long").alias("n"))
+              .select(F.lit(f"{t}.{c}").alias("relation"), "n"))
+        parts = df if parts is None else parts.unionByName(df)
+    n = F.col("n").cast("double")
+    m = F.ceil(-(n * F.lit(_BF_LN_P))
+               / F.lit(_BF_LN2 * _BF_LN2)).cast("long")
+    k = F.greatest(F.lit(1), F.round((m.cast("double") / n)
+                                     * F.lit(_BF_LN2), 0).cast("long"))
+    est = F.pow(F.lit(1.0) - F.exp(-(k.cast("double") * n)
+                                   / m.cast("double")), k.cast("double"))
+    return parts.select(
+        "relation", "n", m.alias("m_bits"), k.alias("k_hashes"),
+        F.round(m.cast("double") / n, 6).alias("bits_per_key"),
+        F.round(est, 6).alias("est_fpp"))
