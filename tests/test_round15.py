@@ -759,3 +759,75 @@ def test_bloom_size_planner_matches_python(spark, sf_smoke):
         assert abs(row.est_fpp - est) < 1e-6
         # the plan must meet its target within the approximation slack
         assert row.est_fpp < 0.012
+
+
+def test_negbin_length_fit_matches_python(spark, sf_smoke):
+    import re
+
+    from travel_data_pipeline_spark.queries_round15 import (
+        negbin_length_fit,
+    )
+    from travel_data_pipeline_spark.sources.readers import load_table
+
+    docs = [(r.source, r.text)
+            for r in load_table(spark, sf_smoke, "documents")
+            .select("source", "text").collect()]
+    lens = defaultdict(list)
+    for src, text in docs:
+        toks = [t for t in re.sub(r"\s+", " ", text.lower()).strip()
+                .split(" ") if t]
+        lens[src].append(len(toks))
+    got = {r.source: r for r in negbin_length_fit(spark,
+                                                  sf_smoke).collect()}
+    assert set(got) == set(lens)
+    for src, ls in lens.items():
+        n = len(ls)
+        m = sum(ls) / n
+        v = (sum(x * x for x in ls) - sum(ls) ** 2 / n) / (n - 1)
+        row = got[src]
+        assert row.n_docs == n
+        assert abs(row.mean_len - m) < 1e-6
+        assert abs(row.var_len - v) < 1e-6
+        assert abs(row.dispersion_index - v / m) < 1e-6
+        if n <= 1 or v <= m:
+            assert row.p_hat is None and row.r_hat is None
+        else:
+            assert abs(row.p_hat - m / v) < 1e-6
+            assert abs(row.r_hat - m * m / (v - m)) < 1e-6
+            assert 0.0 < row.p_hat < 1.0  # overdispersed => valid NB
+
+
+def test_lru_cache_hit_audit_matches_python(spark, sf_smoke):
+    from travel_data_pipeline_spark.queries_round15 import (
+        _LRU_MAXLEN,
+        lru_cache_hit_audit,
+    )
+    from travel_data_pipeline_spark.sources.readers import load_table
+
+    ev = [(r.user_id, r.ts, r.event_id, r.event_type) for r in
+          load_table(spark, sf_smoke, "events")
+          .select("user_id", "ts", "event_id", "event_type").collect()]
+    seqs = defaultdict(list)
+    for u, ts, eid, x in ev:
+        seqs[u].append((ts, eid, x))
+    got = {r.user_id: r
+           for r in lru_cache_hit_audit(spark, sf_smoke).collect()}
+    assert set(got) == set(seqs)
+    for u, rows in seqs.items():
+        xs = [x for _, _, x in sorted(rows)][:_LRU_MAXLEN]
+        mru = lru = None
+        hits = 0
+        for x in xs:
+            if x == mru:
+                hits += 1
+            elif x == lru:
+                hits += 1
+                mru, lru = x, mru
+            else:
+                mru, lru = x, mru
+        row = got[u]
+        assert row.n_events == len(xs)
+        assert row.hits == hits, u
+        assert abs(row.hit_rate - hits / len(xs)) < 1e-6
+        # 5 event types, capacity 2: hit rate bounded away from 1
+        assert row.hit_rate < 1.0

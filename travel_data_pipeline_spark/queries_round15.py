@@ -1803,3 +1803,148 @@ def bloom_size_planner(spark: SparkSession, sf_dir: str) -> DataFrame:
         "relation", "n", m.alias("m_bits"), k.alias("k_hashes"),
         F.round(m.cast("double") / n, 6).alias("bits_per_key"),
         F.round(est, 6).alias("est_fpp"))
+
+
+# ---------------------------------------------------------------------------
+# Negative-binomial fit of document lengths (method of moments).
+#
+# Token counts are classically overdispersed vs Poisson; the NB
+# method-of-moments fit is closed-form from exact integer moments:
+#   p = mean / var,   r = mean^2 / (var - mean)
+# with an explicit underdispersion branch (var <= mean -> NULL fit,
+# dispersion_index still reported) in BOTH engines (parity rule).
+# One grouped pass per source.
+# ---------------------------------------------------------------------------
+
+_NB_VAR = ("(CAST(ss AS DOUBLE) - (CAST(s AS DOUBLE) * CAST(s AS DOUBLE))"
+           " / CAST(n AS DOUBLE)) / (CAST(n AS DOUBLE) - 1.0)")
+_NB_MEAN = "CAST(s AS DOUBLE) / CAST(n AS DOUBLE)"
+
+
+@register("negbin_length_fit", f"""
+WITH lens AS (
+    SELECT source,
+           len(list_filter(string_split(
+               trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' '),
+               x -> x <> '')) AS l
+    FROM documents
+),
+mom AS (
+    SELECT source, COUNT(*) AS n, SUM(l) AS s, SUM(l * l) AS ss
+    FROM lens GROUP BY source
+)
+SELECT source, CAST(n AS BIGINT) AS n_docs,
+       {round_sql(_NB_MEAN)} AS mean_len,
+       {round_sql(_NB_VAR)} AS var_len,
+       {round_sql(f'({_NB_VAR}) / ({_NB_MEAN})')} AS dispersion_index,
+       CASE WHEN n <= 1 OR {_NB_VAR} <= {_NB_MEAN} THEN NULL
+            ELSE {round_sql(f'({_NB_MEAN}) / ({_NB_VAR})')} END AS p_hat,
+       CASE WHEN n <= 1 OR {_NB_VAR} <= {_NB_MEAN} THEN NULL
+            ELSE {round_sql(f'''(({_NB_MEAN}) * ({_NB_MEAN}))
+                 / (({_NB_VAR}) - ({_NB_MEAN}))''')} END AS r_hat
+FROM mom
+""")
+def negbin_length_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Method-of-moments negative-binomial fit of per-source token
+    counts (p = m/v, r = m^2/(v-m); NULL fit when underdispersed)."""
+    docs = load_table(spark, sf_dir, "documents")
+    norm = F.trim(F.regexp_replace(F.lower("text"), r"\s+", " "))
+    length = F.size(F.filter(F.split(norm, " "), lambda x: x != ""))
+    mom = (docs.select("source", length.alias("l"))
+           .groupBy("source")
+           .agg(F.count("*").alias("n"), F.sum("l").alias("s"),
+                F.sum(F.col("l") * F.col("l")).alias("ss")))
+    n = F.col("n").cast("double")
+    mean = F.col("s").cast("double") / n
+    var = ((F.col("ss").cast("double")
+            - F.col("s").cast("double") * F.col("s").cast("double") / n)
+           / (n - 1.0))
+    bad = (F.col("n") <= 1) | (var <= mean)
+    return mom.select(
+        "source", F.col("n").cast("long").alias("n_docs"),
+        F.round(mean, 6).alias("mean_len"),
+        F.round(var, 6).alias("var_len"),
+        F.round(var / mean, 6).alias("dispersion_index"),
+        F.when(bad, F.lit(None).cast("double"))
+        .otherwise(F.round(mean / var, 6)).alias("p_hat"),
+        F.when(bad, F.lit(None).cast("double"))
+        .otherwise(F.round((mean * mean) / (var - mean), 6))
+        .alias("r_hat"))
+
+
+# ---------------------------------------------------------------------------
+# LRU cache-hit audit over per-user event-type streams.
+#
+# A capacity-2 LRU keyed on event_type, replayed over each user's
+# (capped) event sequence — the cache-sizing readout a serving layer
+# runs before provisioning a per-user hot-state store.  The fold
+# carries (mru, lru, hits): hit on mru keeps order; hit on lru swaps;
+# miss inserts at mru and evicts lru.  Pure string/int state — no
+# float anywhere until the final hit-rate division.  Oracle: the
+# recursive-CTE walk (hmm_viterbi pattern; struct-typed list_reduce
+# is unreliable in DuckDB 1.0).
+# ---------------------------------------------------------------------------
+
+_LRU_MAXLEN = 40
+
+
+@register("lru_cache_hit_audit", f"""
+WITH RECURSIVE occ AS MATERIALIZED (
+    SELECT user_id, rn, x FROM (
+        SELECT user_id, event_type AS x,
+               row_number() OVER (PARTITION BY user_id
+                                  ORDER BY ts, event_id) AS rn
+        FROM events
+    ) WHERE rn <= {_LRU_MAXLEN}
+),
+nev AS (SELECT user_id, COUNT(*) AS n_events FROM occ GROUP BY user_id),
+walk AS (
+    SELECT user_id, 0 AS rn, '' AS mru, '' AS lru, 0 AS hits FROM nev
+    UNION ALL
+    SELECT w.user_id, o.rn,
+           o.x AS mru,
+           CASE WHEN o.x = w.mru THEN w.lru ELSE w.mru END AS lru,
+           w.hits + CASE WHEN o.x = w.mru OR o.x = w.lru
+                         THEN 1 ELSE 0 END AS hits
+    FROM walk w JOIN occ o
+      ON o.user_id = w.user_id AND o.rn = w.rn + 1
+)
+SELECT w.user_id, CAST(n.n_events AS BIGINT) AS n_events,
+       CAST(w.hits AS BIGINT) AS hits,
+       {round_sql('w.hits / CAST(n.n_events AS DOUBLE)')} AS hit_rate
+FROM walk w JOIN nev n ON n.user_id = w.user_id AND w.rn = n.n_events
+""")
+def lru_cache_hit_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Capacity-2 LRU replay over each user's (capped-{_LRU_MAXLEN})
+    event-type stream: hits + hit rate per user."""
+    ev = load_table(spark, sf_dir, "events")
+    seqs = (ev.groupBy("user_id")
+            .agg(F.slice(
+                F.transform(
+                    F.array_sort(F.collect_list(
+                        F.struct("ts", "event_id",
+                                 F.col("event_type").alias("x")))),
+                    lambda s: s["x"]),
+                1, _LRU_MAXLEN).alias("xs")))
+    acc0 = F.struct(
+        F.lit("").alias("mru"), F.lit("").alias("lru"),
+        F.lit(0).alias("hits")).cast(
+        "struct<mru:string,lru:string,hits:int>")
+
+    def step(a, x):
+        hit = (x == a["mru"]) | (x == a["lru"])
+        return F.struct(
+            x.alias("mru"),
+            F.when(x == a["mru"], a["lru"]).otherwise(a["mru"])
+            .alias("lru"),
+            (a["hits"] + F.when(hit, 1).otherwise(0)).alias("hits")
+        ).cast("struct<mru:string,lru:string,hits:int>")
+
+    folded = seqs.select(
+        "user_id", F.size("xs").alias("n_events"),
+        F.aggregate("xs", acc0, step)["hits"].alias("hits"))
+    return folded.select(
+        "user_id", F.col("n_events").cast("long").alias("n_events"),
+        F.col("hits").cast("long").alias("hits"),
+        F.round(F.col("hits") / F.col("n_events").cast("double"), 6)
+        .alias("hit_rate"))
