@@ -1,0 +1,95 @@
+"""Round-11 tests: Arrow IVF assign fast path (VERDICT r10 #1).
+
+The registered parity spelling (impl='expr', interpreted zip_with/
+aggregate folds) stays the default every IVF oracle pairs against;
+impl='arrow' is the one-off index-BUILD fast path. These tests pin the
+two implementations row-for-row equal (ids, centroid, and the rounded
+sim's exact decimal rendering) at three SFs, and exercise the two
+parity-sensitive seams in isolation: HALF_UP boundary rounding and the
+first-max / lowest-centroid-id tie-break.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from travel_data_pipeline_spark.operators import similarity as S
+from travel_data_pipeline_spark.sources.readers import load_table
+
+SF_DIRS = ["/root/testdata/sf0.001", "/root/testdata/sf0.01",
+           "/root/testdata/sf0.1"]
+
+
+def _canon(rows):
+    return sorted((r[0], r[1], repr(r[2])) for r in rows)
+
+
+@pytest.mark.parametrize("sf", SF_DIRS)
+def test_assign_clusters_arrow_equals_expr(spark, sf):
+    emb = load_table(spark, sf, "embeddings")
+    cents = (emb.filter(F.col("vec_id") % 50 == 0)
+             .select(F.col("vec_id").alias("centroid_id"), "embedding"))
+    expr_rows = S.assign_clusters(emb, cents, impl="expr").collect()
+    arrow_rows = S.assign_clusters(emb, cents, impl="arrow").collect()
+    assert len(expr_rows) == len(arrow_rows) > 0
+    assert _canon(expr_rows) == _canon(arrow_rows)
+
+
+def test_assign_clusters_arrow_ties_break_low_centroid(spark):
+    # two bit-identical centroids -> every vector ties; both impls must
+    # pick the LOWER centroid id (row_number asc == np.argmax first-max)
+    emb = spark.createDataFrame(
+        [(i, [float(i + 1), 2.0, 0.5]) for i in range(20)],
+        "vec_id bigint, embedding array<double>")
+    cents = spark.createDataFrame(
+        [(7, [1.0, 0.0, 0.25]), (3, [1.0, 0.0, 0.25]),
+         (9, [-1.0, 0.5, 0.0])],
+        "centroid_id bigint, embedding array<double>")
+    for impl in ("expr", "arrow"):
+        rows = S.assign_clusters(emb, cents, impl=impl).collect()
+        assert len(rows) == 20
+        assert all(r.centroid_id in (3, 9) for r in rows), (impl, rows)
+    e = _canon(S.assign_clusters(emb, cents, impl="expr").collect())
+    a = _canon(S.assign_clusters(emb, cents, impl="arrow").collect())
+    assert e == a
+
+
+def test_spark_round6_np_matches_f_round(spark):
+    # deliberately boundary-adjacent doubles: the documented DuckDB/
+    # binary-round failure value, exact .5 boundaries both signs,
+    # near-integer scaled values, -0.0 normalization, and a pseudo-
+    # random spread
+    vals = [37.164888499999996, 0.1234565, -0.1234565, 0.12345649999,
+            0.9999995, -0.9999995, 1.0000005, 2.0000000001e-6,
+            1.9999999995e-6, -4e-7, 4e-7, 0.0, 1.0, -1.0,
+            0.5833335, -0.5833335]
+    rng = np.random.default_rng(13)
+    vals += [float(x) for x in rng.uniform(-1, 1, 500)]
+    df = spark.createDataFrame([(v,) for v in vals], "x double")
+    spark_rounded = [r.r for r in
+                     df.select(F.round("x", 6).alias("r")).collect()]
+    ours = spark_round6_list(vals)
+    assert [repr(a) for a in ours] == [repr(b) for b in spark_rounded]
+
+
+def spark_round6_list(vals):
+    arr = np.array(vals, dtype=np.float64)
+    return list(S.spark_round6_np(arr))
+
+
+def test_ivf_topk_assign_impl_passthrough(spark):
+    sf = "/root/testdata/sf0.001"
+    emb = load_table(spark, sf, "embeddings")
+    cents = (emb.filter(F.col("vec_id") % 50 == 0)
+             .select(F.col("vec_id").alias("centroid_id"), "embedding"))
+    queries = (emb.filter(F.col("vec_id") < 5)
+               .select(F.col("vec_id").alias("query_id"), "embedding"))
+    base = S.ivf_topk(emb, cents, queries, k=5, n_probe=2).collect()
+    fast = S.ivf_topk(emb, cents, queries, k=5, n_probe=2,
+                      assign_impl="arrow").collect()
+    canon = sorted((r.query_id, r.neighbor_id, repr(r.cosine_sim), r.rnk)
+                   for r in base)
+    assert canon == sorted((r.query_id, r.neighbor_id, repr(r.cosine_sim),
+                            r.rnk) for r in fast)
