@@ -102,6 +102,13 @@ HEADLINE = [
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     os.environ.setdefault("SPARK_GRAFT_CPUS", "32")
+    # external-load fingerprint, sampled BEFORE the engine spins up
+    # (the suite itself pushes the 1-min average to ~10-30 on 32
+    # cores, so an end-of-run sample would only measure ourselves)
+    try:
+        load_1min = round(os.getloadavg()[0], 2)
+    except OSError:
+        load_1min = None
 
     from travel_data_pipeline_spark import registry
     from travel_data_pipeline_spark.session import get_spark
@@ -156,6 +163,7 @@ def main() -> None:
         "queries": timings,
         "build_sec": builds,
         "sf": sf_val,
+        "load_1min": load_1min,
     }
     if errors:
         payload["errors"] = errors
@@ -171,15 +179,39 @@ def main() -> None:
     # clobbers the sf0.1 headline; the unsuffixed BENCH_LAST.json is
     # written ONLY for the canonical sf0.1 run to keep the historical
     # round-over-round path stable.
+    # Load guard (VERDICT r10 #2, third round of comparability rot):
+    # a run that started on a busy box (load_1min > 2 — the threshold
+    # above which r08/r10 measured 1.25-1.7x uniform inflation with
+    # zero plan changes) must not clobber a calmer run's sidecar.
+    # The loaded run still prints normally and is preserved in
+    # BENCH_LAST_LOADED.json so the driver artifact and the idle
+    # record can both be inspected.
     if errors:
         sidecars = ["BENCH_LAST_DNF.json"]
     else:
         sidecars = [f"BENCH_LAST_sf{sf}.json"]
         if sf == "0.1":
             sidecars.append("BENCH_LAST.json")
-    for sidecar in sidecars:
+
+    def _recorded_load(path: str):
         try:
-            with open(os.path.join(REPO_ROOT, sidecar), "w") as fh:
+            with open(path) as fh:
+                return json.load(fh).get("load_1min")
+        except (OSError, ValueError):
+            return None
+
+    for sidecar in sidecars:
+        path = os.path.join(REPO_ROOT, sidecar)
+        prev_load = _recorded_load(path)
+        if (not errors and load_1min is not None and load_1min > 2.0
+                and (prev_load is None or prev_load < load_1min)):
+            print(f"bench: load_1min={load_1min} > 2.0 — keeping the "
+                  f"calmer record in {sidecar} (prev load "
+                  f"{prev_load}); this run -> BENCH_LAST_LOADED.json",
+                  file=sys.stderr)
+            path = os.path.join(REPO_ROOT, "BENCH_LAST_LOADED.json")
+        try:
+            with open(path, "w") as fh:
                 fh.write(line + "\n")
         except OSError as exc:
             print(f"bench: sidecar write failed: {exc}", file=sys.stderr)
@@ -200,6 +232,7 @@ def main() -> None:
         "common13_sec": round(sum(common13.values()), 3),
         "n_queries": len(timings),
         "sf": sf_val,
+        "load_1min": load_1min,
         "summary": True,
     }
     if errors:
