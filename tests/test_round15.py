@@ -24,13 +24,14 @@ def test_nelson_aalen_matches_python(spark, sf_smoke):
     ev = [(r.user_id, r.ts.date()) for r in
           load_table(spark, sf_smoke, "events")
           .select("user_id", "ts").collect()]
-    first, last = {}, {}
+    days, last = defaultdict(set), {}
     for u, d in ev:
-        first[u] = min(first.get(u, d), d)
+        days[u].add(d)
         last[u] = max(last.get(u, d), d)
     max_day = max(last.values())
-    lives = [((last[u] - first[u]).days, 1 if last[u] == max_day else 0)
-             for u in first]
+    # lifetime = active-day count (ADVICE r10 #5)
+    lives = [(len(days[u]), 1 if last[u] == max_day else 0)
+             for u in days]
     byt = defaultdict(lambda: [0, 0])
     for t, c in lives:
         byt[t][c] += 1  # [deaths, censored]
@@ -783,10 +784,16 @@ def test_negbin_length_fit_matches_python(spark, sf_smoke):
     for src, ls in lens.items():
         n = len(ls)
         m = sum(ls) / n
-        v = (sum(x * x for x in ls) - sum(ls) ** 2 / n) / (n - 1)
         row = got[src]
         assert row.n_docs == n
         assert abs(row.mean_len - m) < 1e-6
+        if n <= 1:
+            # (n-1)=0: var/dispersion are NULL, not Inf (ADVICE r10 #1)
+            assert row.var_len is None
+            assert row.dispersion_index is None
+            assert row.p_hat is None and row.r_hat is None
+            continue
+        v = (sum(x * x for x in ls) - sum(ls) ** 2 / n) / (n - 1)
         assert abs(row.var_len - v) < 1e-6
         assert abs(row.dispersion_index - v / m) < 1e-6
         if n <= 1 or v <= m:

@@ -67,9 +67,12 @@ from travel_data_pipeline_spark.sources.readers import load_table
 
 @register("nelson_aalen_hazard", f"""
 WITH life AS MATERIALIZED (
+    -- lifetime = ACTIVE-DAY COUNT, not first-to-last span: most users
+    -- span the whole window, which left the step relation ~2 rows at
+    -- driver SF and barely exercised the fold (ADVICE r10 #5); active
+    -- days spread lifetimes across the full 1..30 support
     SELECT user_id,
-           date_diff('day', min(date_trunc('day', ts)),
-                     max(date_trunc('day', ts))) AS t,
+           count(DISTINCT date_trunc('day', ts)) AS t,
            CASE WHEN max(date_trunc('day', ts))
                      = (SELECT max(date_trunc('day', ts)) FROM events)
                 THEN 1 ELSE 0 END AS censored
@@ -114,17 +117,19 @@ FROM hfold
 """)
 def nelson_aalen_hazard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Nelson-Aalen cumulative hazard (+ Aalen variance and the
-    Fleming-Harrington survival exp(-H)) over user activity lifetimes
-    — the counting-process sibling of kaplan_meier_lifetime."""
+    Fleming-Harrington survival exp(-H)) over user ACTIVE-DAY
+    lifetimes — the counting-process sibling of
+    kaplan_meier_lifetime."""
     from pyspark.sql import Window
 
     ev = load_table(spark, sf_dir, "events")
     day = F.date_trunc("day", "ts")
     life = (ev.groupBy("user_id")
-            .agg(F.min(day).alias("first_d"), F.max(day).alias("last_d")))
+            .agg(F.countDistinct(day).alias("t"),
+                 F.max(day).alias("last_d")))
     max_day = ev.agg(F.max(day).alias("max_d"))
     life = (life.crossJoin(F.broadcast(max_day))
-            .select(F.datediff("last_d", "first_d").cast("long").alias("t"),
+            .select(F.col("t").cast("long").alias("t"),
                     F.when(F.col("last_d") == F.col("max_d"), 1)
                      .otherwise(0).alias("censored")))
     byt = (life.groupBy("t")
@@ -1071,7 +1076,11 @@ _GS_C = 2.04
 _GS_BOUNDS = {k: repr(_GS_C * (_GS_LOOKS / k) ** 0.5)
               for k in range(1, _GS_LOOKS + 1)}
 
-_GS_Z = ("CASE WHEN x_c + x_t = 0 OR x_c + x_t = n_c + n_t THEN 0.0 "
+# z = 0.0 guard covers pooled 0/all conversions AND an empty arm
+# (n_c or n_t = 0): 1/n_c in the pooled SE would otherwise divide by
+# zero — Spark (non-ANSI) yields NULL, DuckDB IEEE Inf (ADVICE r10 #2)
+_GS_Z = ("CASE WHEN n_c = 0 OR n_t = 0 "
+         "OR x_c + x_t = 0 OR x_c + x_t = n_c + n_t THEN 0.0 "
          "ELSE (CAST(x_t AS DOUBLE) / n_t - CAST(x_c AS DOUBLE) / n_c) "
          "/ sqrt((CAST(x_c + x_t AS DOUBLE) / (n_c + n_t)) "
          "* (1.0 - CAST(x_c + x_t AS DOUBLE) / (n_c + n_t)) "
@@ -1157,7 +1166,8 @@ def gs_looks_from_firsts(spark: SparkSession,
                         .otherwise(0)).alias("x_t")))
     pool = (F.col("x_c") + F.col("x_t")).cast("double") \
         / (F.col("n_c") + F.col("n_t"))
-    z = (F.when((F.col("x_c") + F.col("x_t") == 0)
+    z = (F.when((F.col("n_c") == 0) | (F.col("n_t") == 0)
+                | (F.col("x_c") + F.col("x_t") == 0)
                 | (F.col("x_c") + F.col("x_t")
                    == F.col("n_c") + F.col("n_t")), F.lit(0.0))
          .otherwise((F.col("x_t").cast("double") / F.col("n_t")
@@ -1811,8 +1821,9 @@ def bloom_size_planner(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Token counts are classically overdispersed vs Poisson; the NB
 # method-of-moments fit is closed-form from exact integer moments:
 #   p = mean / var,   r = mean^2 / (var - mean)
-# with an explicit underdispersion branch (var <= mean -> NULL fit,
-# dispersion_index still reported) in BOTH engines (parity rule).
+# with an explicit underdispersion branch (var <= mean -> NULL fit)
+# and an n<=1 branch (var/dispersion undefined at (n-1)=0 — NULL,
+# not engine-dependent Inf/NaN) in BOTH engines (parity rule).
 # One grouped pass per source.
 # ---------------------------------------------------------------------------
 
@@ -1835,8 +1846,11 @@ mom AS (
 )
 SELECT source, CAST(n AS BIGINT) AS n_docs,
        {round_sql(_NB_MEAN)} AS mean_len,
-       {round_sql(_NB_VAR)} AS var_len,
-       {round_sql(f'({_NB_VAR}) / ({_NB_MEAN})')} AS dispersion_index,
+       CASE WHEN n <= 1 THEN NULL
+            ELSE {round_sql(_NB_VAR)} END AS var_len,
+       CASE WHEN n <= 1 THEN NULL
+            ELSE {round_sql(f'({_NB_VAR}) / ({_NB_MEAN})')}
+       END AS dispersion_index,
        CASE WHEN n <= 1 OR {_NB_VAR} <= {_NB_MEAN} THEN NULL
             ELSE {round_sql(f'({_NB_MEAN}) / ({_NB_VAR})')} END AS p_hat,
        CASE WHEN n <= 1 OR {_NB_VAR} <= {_NB_MEAN} THEN NULL
@@ -1863,8 +1877,12 @@ def negbin_length_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
     return mom.select(
         "source", F.col("n").cast("long").alias("n_docs"),
         F.round(mean, 6).alias("mean_len"),
-        F.round(var, 6).alias("var_len"),
-        F.round(var / mean, 6).alias("dispersion_index"),
+        # n<=1 branch covers var/dispersion too: (n-1)=0 divides --
+        # Spark non-ANSI NULL vs DuckDB IEEE Inf/NaN (ADVICE r10 #1)
+        F.when(F.col("n") <= 1, F.lit(None).cast("double"))
+        .otherwise(F.round(var, 6)).alias("var_len"),
+        F.when(F.col("n") <= 1, F.lit(None).cast("double"))
+        .otherwise(F.round(var / mean, 6)).alias("dispersion_index"),
         F.when(bad, F.lit(None).cast("double"))
         .otherwise(F.round(mean / var, 6)).alias("p_hat"),
         F.when(bad, F.lit(None).cast("double"))
