@@ -93,3 +93,64 @@ def test_ivf_topk_assign_impl_passthrough(spark):
                    for r in base)
     assert canon == sorted((r.query_id, r.neighbor_id, repr(r.cosine_sim),
                             r.rnk) for r in fast)
+
+
+def test_group_sequential_stream_replay_strict_noop(spark, sf_smoke,
+                                                    tmp_path):
+    """Crash-recovery for the GS monitor (VERDICT r10 #6, the
+    token_shard/LSH precedent): a replayed micro-batch — the exact
+    crash window between the state snapshot write and the checkpoint
+    commit — must be a STRICT no-op on the per-user state ROWS (not
+    just the 5-row readout), and a full legacy-lineage redelivery
+    (wiped checkpoint, kept state) must converge to the same rows."""
+    import travel_data_pipeline_spark.streaming.jobs as J
+    from tests.test_round14 import _write_feed_file
+    from travel_data_pipeline_spark.sources import versioned
+    from travel_data_pipeline_spark.sources.readers import load_table
+
+    ev = (load_table(spark, sf_smoke, "events")
+          .select("event_id", "ts", "user_id", "event_type", "value"))
+    rows = sorted((r.event_id, r.ts, r.user_id, r.event_type, r.value)
+                  for r in ev.collect())
+    d0 = min(r[1] for r in rows).date().isoformat()
+    half = len(rows) // 2
+    feed_full = tmp_path / "full"
+    feed_tail = tmp_path / "tail"  # only the LAST micro-batch
+    feed_full.mkdir()
+    feed_tail.mkdir()
+    _write_feed_file(spark, str(feed_full / "b0.parquet"), rows[:half],
+                     1700000000)
+    _write_feed_file(spark, str(feed_full / "b1.parquet"), rows[half:],
+                     1700000100)
+    _write_feed_file(spark, str(feed_tail / "b1.parquet"), rows[half:],
+                     1700000100)
+    state = str(tmp_path / "state")
+
+    def run(feed, ckpt):
+        stream = (spark.readStream
+                  .schema("event_id long, ts timestamp, user_id long, "
+                          "event_type string, value double")
+                  .option("maxFilesPerTrigger", 1).parquet(str(feed)))
+        q = J.group_sequential_stream(stream, state,
+                                      str(tmp_path / ckpt), d0)
+        q.awaitTermination(300)
+
+    def state_rows():
+        return {tuple(r) for r in
+                versioned.read_table(spark, state)
+                .select("user_id", "arm", "first_day",
+                        "first_purchase_day").collect()}
+
+    run(feed_full, "ck1")
+    s1 = state_rows()
+    assert s1
+
+    # crash window: ONLY the last micro-batch redelivers
+    v_before = versioned.current_version(state)
+    run(feed_tail, "ck2")
+    assert state_rows() == s1            # strict row-level no-op
+    assert versioned.current_version(state) > v_before  # it DID fold
+
+    # legacy lineage: full redelivery onto the surviving state
+    run(feed_full, "ck3")
+    assert state_rows() == s1
