@@ -331,21 +331,29 @@ SELECT 'authority' AS role, node AS node_id,
 """
 
 
-@register("hits_supplier_part", _hits_oracle())
-def hits_supplier_part(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """3-iteration max-normalized HITS over the supplier->part
-    purchase graph: hub suppliers stock the authoritative parts."""
-    li = load_table(spark, sf_dir, "lineitem")
-    edges = (li.groupBy(F.col("l_suppkey").alias("s"),
-                        F.col("l_partkey").alias("p"))
-             .agg(F.count("*").cast("double").alias("w")))
+def hits_from_edges(spark: SparkSession, edges: DataFrame,
+                    n_iter: int = _HITS_ITER,
+                    iter_seconds: list | None = None) -> DataFrame:
+    """The HITS power-iteration body over an (s, p, w) edge relation —
+    factored out so tools/stress_hits.py can drive the REGISTERED code
+    path at a synthetic 10M-edge graph (VERDICT r10 #5).
+
+    ``iter_seconds``, when a list, receives one wall-clock float per
+    iteration (each iteration ends on its eager hub-side checkpoint,
+    so the measurement brackets real work, not lazy plan building) —
+    flat values certify the lag-1 localCheckpoint pattern keeps
+    lineage from re-growing across iterations.
+    """
+    import time as _time
+
     n_part = spark.sparkContext.defaultParallelism
     edges = (edges.repartition(n_part, "p")
              .localCheckpoint(eager=True))
     hub = edges.select("s").distinct().select(
         F.col("s").alias("node"), F.lit(1.0).alias("v"))
     auth = None
-    for _ in range(_HITS_ITER):
+    for _ in range(n_iter):
+        t0 = _time.perf_counter()
         # each raw-score relation feeds BOTH its max normalizer and
         # the normalized output — without a checkpoint the plan
         # doubles per normalization (2^6 re-derivations; the same
@@ -373,6 +381,8 @@ def hits_supplier_part(spark: SparkSession, sf_dir: str) -> DataFrame:
         hm = hr.agg(F.max("r").alias("m"))
         hub = (hr.crossJoin(F.broadcast(hm))
                .select("node", (F.col("r") / F.col("m")).alias("v")))
+        if iter_seconds is not None:
+            iter_seconds.append(_time.perf_counter() - t0)
     return (hub.select(F.lit("hub").alias("role"),
                        F.col("node").alias("node_id"),
                        F.round("v", 6).alias("score"))
@@ -380,6 +390,17 @@ def hits_supplier_part(spark: SparkSession, sf_dir: str) -> DataFrame:
                 auth.select(F.lit("authority").alias("role"),
                             F.col("node").alias("node_id"),
                             F.round("v", 6).alias("score"))))
+
+
+@register("hits_supplier_part", _hits_oracle())
+def hits_supplier_part(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """3-iteration max-normalized HITS over the supplier->part
+    purchase graph: hub suppliers stock the authoritative parts."""
+    li = load_table(spark, sf_dir, "lineitem")
+    edges = (li.groupBy(F.col("l_suppkey").alias("s"),
+                        F.col("l_partkey").alias("p"))
+             .agg(F.count("*").cast("double").alias("w")))
+    return hits_from_edges(spark, edges)
 
 
 # ---------------------------------------------------------------------------
