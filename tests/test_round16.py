@@ -154,3 +154,181 @@ def test_group_sequential_stream_replay_strict_noop(spark, sf_smoke,
     # legacy lineage: full redelivery onto the surviving state
     run(feed_full, "ck3")
     assert state_rows() == s1
+
+
+# --- Batch A python-model checks (independent of both engines) ------------
+
+def _daily(spark, sf, etype=None):
+    from collections import Counter
+
+    from travel_data_pipeline_spark.sources.readers import load_table
+    rows = (load_table(spark, sf, "events")
+            .select("ts", "event_type").collect())
+    import datetime
+    anchor = datetime.date(2024, 1, 1)
+    c = Counter()
+    for r in rows:
+        if etype is None or r.event_type == etype:
+            c[(r.ts.date() - anchor).days] += 1
+    return dict(c)
+
+
+def test_mann_kendall_matches_python(spark, sf_smoke):
+    import math
+
+    from travel_data_pipeline_spark.queries_round16 import (
+        mann_kendall_trend,
+    )
+    daily = _daily(spark, sf_smoke)
+    ts = sorted(daily)
+    xs = [daily[t] for t in ts]
+    n = len(xs)
+    s = sum((xs[j] > xs[i]) - (xs[j] < xs[i])
+            for i in range(n) for j in range(i + 1, n))
+    from collections import Counter
+    ties = Counter(xs)
+    tie_term = sum(t * (t - 1) * (2 * t + 5)
+                   for t in ties.values() if t > 1)
+    var = (n * (n - 1) * (2 * n + 5) - tie_term) / 18.0
+    row = mann_kendall_trend(spark, sf_smoke).collect()[0]
+    assert row.n_days == n and row.s_stat == s
+    assert abs(row.var_s - var) < 1e-5
+    if s == 0:
+        assert row.z == 0.0
+    else:
+        zz = (s - 1) / math.sqrt(var) if s > 0 else (s + 1) / math.sqrt(var)
+        assert abs(row.z - zz) < 1e-6
+
+
+def test_kendall_tau_matches_python(spark, sf_smoke):
+    import math
+
+    from travel_data_pipeline_spark.queries_round16 import (
+        kendall_tau_daily,
+    )
+    v = _daily(spark, sf_smoke, "view")
+    p = _daily(spark, sf_smoke, "purchase")
+    ts = sorted(set(v) & set(p))
+    xy = [(v[t], p[t]) for t in ts]
+    n = len(xy)
+    C = D = tx = ty = 0
+    for i in range(n):
+        for j in range(i + 1, n):
+            dx = xy[j][0] - xy[i][0]
+            dy = xy[j][1] - xy[i][1]
+            if dx * dy > 0:
+                C += 1
+            elif dx * dy < 0:
+                D += 1
+            if dx == 0:
+                tx += 1
+            if dy == 0:
+                ty += 1
+    n0 = n * (n - 1) // 2
+    row = kendall_tau_daily(spark, sf_smoke).collect()[0]
+    assert (row.n_days, row.concordant, row.discordant) == (n, C, D)
+    tau = (C - D) / math.sqrt((n0 - tx) * (n0 - ty))
+    assert abs(row.tau_b - tau) < 1e-6
+    assert -1.0 <= row.tau_b <= 1.0
+
+
+def test_ccf_matches_python(spark, sf_smoke):
+    import math
+
+    from travel_data_pipeline_spark.queries_round16 import (
+        ccf_view_purchase,
+    )
+    v = _daily(spark, sf_smoke, "view")
+    p = _daily(spark, sf_smoke, "purchase")
+    got = {r.lag: r for r in ccf_view_purchase(spark, sf_smoke).collect()}
+    assert set(got) == {0, 1, 2, 3}
+    for lag in range(4):
+        pairs = [(v[t], p[t + lag]) for t in sorted(v) if t + lag in p]
+        m = len(pairs)
+        assert got[lag].m == m
+        sx = sum(a for a, _ in pairs)
+        sy = sum(b for _, b in pairs)
+        sxx = sum(a * a for a, _ in pairs)
+        syy = sum(b * b for _, b in pairs)
+        sxy = sum(a * b for a, b in pairs)
+        den = (m * sxx - sx * sx) * (m * syy - sy * sy)
+        if den <= 0:
+            assert got[lag].ccf is None
+        else:
+            r = (m * sxy - sx * sy) / math.sqrt(den)
+            assert abs(got[lag].ccf - r) < 1e-6
+
+
+def test_logrank_matches_python(spark, sf_smoke):
+    import hashlib
+    from collections import defaultdict
+
+    from travel_data_pipeline_spark.queries_round16 import logrank_arms
+    from travel_data_pipeline_spark.sources.readers import load_table
+
+    rows = (load_table(spark, sf_smoke, "events")
+            .select("user_id", "ts").collect())
+    days, last = defaultdict(set), {}
+    for r in rows:
+        d = r.ts.date()
+        days[r.user_id].add(d)
+        last[r.user_id] = max(last.get(r.user_id, d), d)
+    max_day = max(last.values())
+
+    def arm(u):
+        return int(hashlib.md5(f"ab:{u}".encode()).hexdigest()[:15],
+                   16) % 2
+
+    lives = [(arm(u), len(days[u]), 1 if last[u] == max_day else 0)
+             for u in days]
+    times = sorted({t for _, t, _ in lives})
+    o1 = e1 = v = 0.0
+    for t in times:
+        n1 = sum(1 for a, tt, _ in lives if a == 0 and tt >= t)
+        n2 = sum(1 for a, tt, _ in lives if a == 1 and tt >= t)
+        d1 = sum(1 for a, tt, c in lives if a == 0 and tt == t and not c)
+        d2 = sum(1 for a, tt, c in lives if a == 1 and tt == t and not c)
+        dt, nt = d1 + d2, n1 + n2
+        if dt == 0:
+            continue
+        o1 += d1
+        e1 += dt * n1 / nt
+        if nt > 1:
+            v += dt * n1 / nt * n2 / nt * (nt - dt) / (nt - 1)
+    row = logrank_arms(spark, sf_smoke).collect()[0]
+    assert row.o1 == int(o1)
+    assert abs(row.e1 - e1) < 1e-5
+    assert abs(row.var_lr - v) < 1e-5
+    if v > 0:
+        assert abs(row.chi2 - (o1 - e1) ** 2 / v) < 1e-4
+
+
+def test_average_precision_matches_python(spark, sf_smoke):
+    from collections import Counter
+
+    from travel_data_pipeline_spark.queries_round16 import (
+        average_precision_rank,
+    )
+    from travel_data_pipeline_spark.sources.readers import load_table
+
+    cnts = Counter(r.l_partkey for r in
+                   load_table(spark, sf_smoke, "lineitem")
+                   .select("l_partkey").collect())
+    parts = [(r.p_partkey, r.p_type.startswith("PROMO")) for r in
+             load_table(spark, sf_smoke, "part")
+             .select("p_partkey", "p_type").collect()]
+    ranked = sorted(((-cnts.get(pk, 0), pk, pos) for pk, pos in parts))
+    cum = 0
+    ap_sum = 0.0
+    n_pos = sum(1 for _, _, pos in ranked if pos)
+    for i, (_, _, pos) in enumerate(ranked, start=1):
+        if pos:
+            cum += 1
+            ap_sum += cum / i
+    row = average_precision_rank(spark, sf_smoke).collect()[0]
+    assert row.n_items == len(parts) and row.n_pos == n_pos
+    if n_pos == 0:
+        assert row.avg_precision is None
+    else:
+        assert abs(row.avg_precision - ap_sum / n_pos) < 1e-6
+        assert 0.0 < row.avg_precision <= 1.0

@@ -15,9 +15,14 @@ needed anywhere (registry.py docstring authoritative).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from travel_data_pipeline_spark.functions.hashing import (
+    md5_long,
+    md5_long_sql,
+)
+from travel_data_pipeline_spark.functions.parity import round_sql
 from travel_data_pipeline_spark.registry import register
 from travel_data_pipeline_spark.sources.readers import load_table
 
@@ -102,3 +107,481 @@ def setops_halfwindow_pairs(spark: SparkSession,
         *[F.coalesce(F.col(c), F.lit(0)).cast("long").alias(c)
           for c in ("n_retained_pairs", "n_lost_pairs",
                     "n_common_rows", "n_excess_rows")])
+
+
+# ---------------------------------------------------------------------------
+# Batch A — series / rank statistics over the daily event grid.
+#
+# All four series queries follow the acf_daily_counts discipline
+# (queries_stats.py): the daily relation is one row per day, so pair
+# enumeration is a bounded broadcast self-join and every sum is an
+# exact integer; the statistic is ONE shared-spelling double
+# expression evaluated once per output row, with explicit degenerate
+# branches in both engines.
+# ---------------------------------------------------------------------------
+
+_DAY_ANCHOR = "2024-01-01"
+
+
+def _daily_counts(ev: DataFrame, event_type: str | None = None):
+    d = ev if event_type is None else ev.filter(
+        F.col("event_type") == event_type)
+    return (d.groupBy(
+        F.datediff(F.date_trunc("day", "ts"),
+                   F.lit(_DAY_ANCHOR).cast("timestamp")).alias("t"))
+        .agg(F.count("*").alias("cnt")))
+
+
+_DAILY_SQL = (f"SELECT date_diff('day', TIMESTAMP '{_DAY_ANCHOR}', "
+              f"date_trunc('day', ts)) AS t, count(*) AS cnt "
+              f"FROM events {{where}} GROUP BY 1")
+
+
+# --- cross-correlation: do views LEAD purchases? -------------------------
+
+_CCF_MAX_LAG = 3
+
+_CCF_R = ("CASE WHEN CAST(m AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx <= 0.0"
+          " OR CAST(m AS DOUBLE) * syy - CAST(sy AS DOUBLE) * sy <= 0.0"
+          " THEN NULL"
+          " ELSE (CAST(m AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)"
+          " / (sqrt(CAST(m AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx)"
+          " * sqrt(CAST(m AS DOUBLE) * syy - CAST(sy AS DOUBLE) * sy))"
+          " END")
+
+
+@register("ccf_view_purchase", f"""
+WITH v AS ({_DAILY_SQL.format(where="WHERE event_type = 'view'")}),
+p AS ({_DAILY_SQL.format(where="WHERE event_type = 'purchase'")}),
+lags AS (SELECT unnest(generate_series(0, {_CCF_MAX_LAG})) AS lag),
+pairs AS (
+    SELECT l.lag, v.cnt AS x, p.cnt AS y
+    FROM lags l JOIN v ON TRUE JOIN p ON p.t = v.t + l.lag
+),
+sums AS (
+    SELECT lag, CAST(count(*) AS BIGINT) AS m,
+           CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+           CAST(sum(x * x) AS BIGINT) AS sxx,
+           CAST(sum(y * y) AS BIGINT) AS syy,
+           CAST(sum(x * y) AS BIGINT) AS sxy
+    FROM pairs GROUP BY lag
+)
+SELECT CAST(lag AS INT) AS lag, m, round({_CCF_R}, 6) + 0.0 AS ccf
+FROM sums
+""")
+def ccf_view_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-correlation of daily view counts with purchase counts
+    `lag` days LATER (lags 0..3) — the lead-indicator diagnostic; the
+    lag-0 row is the plain Pearson correlation of the two series."""
+    ev = load_table(spark, sf_dir, "events")
+    v = _daily_counts(ev, "view").select(F.col("t").alias("ta"),
+                                         F.col("cnt").alias("x"))
+    p = _daily_counts(ev, "purchase").select(F.col("t").alias("tb"),
+                                             F.col("cnt").alias("y"))
+    lags = spark.range(0, _CCF_MAX_LAG + 1).select(
+        F.col("id").cast("int").alias("lag"))
+    pairs = (lags.crossJoin(F.broadcast(v))
+             .join(F.broadcast(p),
+                   F.col("tb") == F.col("ta") + F.col("lag")))
+    sums = (pairs.groupBy("lag")
+            .agg(F.count("*").cast("long").alias("m"),
+                 F.sum("x").cast("long").alias("sx"),
+                 F.sum("y").cast("long").alias("sy"),
+                 F.sum(F.col("x") * F.col("x")).cast("long").alias("sxx"),
+                 F.sum(F.col("y") * F.col("y")).cast("long").alias("syy"),
+                 F.sum(F.col("x") * F.col("y")).cast("long").alias("sxy")))
+    m = F.col("m").cast("double")
+    sx, sy = F.col("sx").cast("double"), F.col("sy").cast("double")
+    sxx, syy = F.col("sxx").cast("double"), F.col("syy").cast("double")
+    sxy = F.col("sxy").cast("double")
+    r = F.when((m * sxx - sx * sx <= 0.0) | (m * syy - sy * sy <= 0.0),
+               F.lit(None).cast("double")
+               ).otherwise((m * sxy - sx * sy)
+                           / (F.sqrt(m * sxx - sx * sx)
+                              * F.sqrt(m * syy - sy * sy)))
+    return sums.select("lag", "m", (F.round(r, 6) + 0.0).alias("ccf"))
+
+
+# --- Mann-Kendall monotone-trend test -------------------------------------
+
+@register("mann_kendall_trend", """
+WITH daily AS (
+    SELECT date_diff('day', TIMESTAMP '2024-01-01', date_trunc('day', ts))
+             AS t, count(*) AS cnt
+    FROM events GROUP BY 1
+),
+pairs AS (
+    SELECT CASE WHEN b.cnt > a.cnt THEN 1
+                WHEN b.cnt < a.cnt THEN -1 ELSE 0 END AS sgn
+    FROM daily a JOIN daily b ON b.t > a.t
+),
+s AS (SELECT CAST(sum(sgn) AS BIGINT) AS s_stat,
+             (SELECT CAST(count(*) AS BIGINT) FROM daily) AS n
+      FROM pairs),
+ties AS (
+    SELECT CAST(COALESCE(sum(tc * (tc - 1) * (2 * tc + 5)), 0) AS BIGINT)
+             AS tie_term
+    FROM (SELECT count(*) AS tc FROM daily GROUP BY cnt) g
+    WHERE tc > 1
+),
+stat AS (
+    SELECT s_stat, n,
+           (CAST(n AS DOUBLE) * (n - 1) * (2 * n + 5)
+            - CAST(tie_term AS DOUBLE)) / 18.0 AS var_s
+    FROM s CROSS JOIN ties
+)
+SELECT n AS n_days, s_stat, round(var_s, 6) AS var_s,
+       round(CASE WHEN s_stat = 0 THEN 0.0
+                  WHEN var_s <= 0.0 THEN NULL
+                  WHEN s_stat > 0
+                    THEN (CAST(s_stat AS DOUBLE) - 1.0) / sqrt(var_s)
+                  ELSE (CAST(s_stat AS DOUBLE) + 1.0) / sqrt(var_s)
+             END, 6) + 0.0 AS z
+FROM stat
+""")
+def mann_kendall_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mann-Kendall monotone-trend test over the daily total count
+    series: S statistic, tie-corrected variance, continuity-corrected
+    z (Mann 1945 / Kendall 1975, public). theil_sen_daily_trend gives
+    the slope; this is the significance test."""
+    ev = load_table(spark, sf_dir, "events")
+    daily = _daily_counts(ev)
+    a = daily.select(F.col("t").alias("ta"), F.col("cnt").alias("xa"))
+    b = daily.select(F.col("t").alias("tb"), F.col("cnt").alias("xb"))
+    sgn = (F.when(F.col("xb") > F.col("xa"), 1)
+           .when(F.col("xb") < F.col("xa"), -1).otherwise(0))
+    s = (a.join(F.broadcast(b), F.col("tb") > F.col("ta"))
+         .agg(F.sum(sgn).cast("long").alias("s_stat")))
+    n_df = daily.agg(F.count("*").cast("long").alias("n"))
+    ties = (daily.groupBy("cnt").agg(F.count("*").alias("tc"))
+            .filter(F.col("tc") > 1)
+            .agg(F.coalesce(F.sum(F.col("tc") * (F.col("tc") - 1)
+                                  * (2 * F.col("tc") + 5)), F.lit(0))
+                 .cast("long").alias("tie_term")))
+    stat = (s.crossJoin(F.broadcast(n_df)).crossJoin(F.broadcast(ties))
+            .select("s_stat", "n",
+                    ((F.col("n").cast("double") * (F.col("n") - 1)
+                      * (2 * F.col("n") + 5)
+                      - F.col("tie_term").cast("double")) / 18.0)
+                    .alias("var_s")))
+    sd = F.col("s_stat").cast("double")
+    z = (F.when(F.col("s_stat") == 0, F.lit(0.0))
+         .when(F.col("var_s") <= 0.0, F.lit(None).cast("double"))
+         .when(F.col("s_stat") > 0, (sd - 1.0) / F.sqrt("var_s"))
+         .otherwise((sd + 1.0) / F.sqrt("var_s")))
+    return stat.select(F.col("n").alias("n_days"), "s_stat",
+                       F.round("var_s", 6).alias("var_s"),
+                       (F.round(z, 6) + 0.0).alias("z"))
+
+
+# --- Kendall tau-b between the two daily series ----------------------------
+
+@register("kendall_tau_daily", """
+WITH v AS (SELECT date_diff('day', TIMESTAMP '2024-01-01',
+                            date_trunc('day', ts)) AS t, count(*) AS x
+           FROM events WHERE event_type = 'view' GROUP BY 1),
+p AS (SELECT date_diff('day', TIMESTAMP '2024-01-01',
+                       date_trunc('day', ts)) AS t, count(*) AS y
+      FROM events WHERE event_type = 'purchase' GROUP BY 1),
+xy AS MATERIALIZED (SELECT v.t, v.x, p.y FROM v JOIN p ON p.t = v.t),
+pairs AS (
+    SELECT (b.x - a.x) * (b.y - a.y) AS prod,
+           CASE WHEN b.x = a.x THEN 1 ELSE 0 END AS tx,
+           CASE WHEN b.y = a.y THEN 1 ELSE 0 END AS ty
+    FROM xy a JOIN xy b ON b.t > a.t
+),
+cnt AS (
+    SELECT CAST(count(*) AS BIGINT) AS n0,
+           CAST(SUM(CASE WHEN prod > 0 THEN 1 ELSE 0 END) AS BIGINT)
+             AS concordant,
+           CAST(SUM(CASE WHEN prod < 0 THEN 1 ELSE 0 END) AS BIGINT)
+             AS discordant,
+           CAST(SUM(tx) AS BIGINT) AS tied_x,
+           CAST(SUM(ty) AS BIGINT) AS tied_y
+    FROM pairs
+)
+SELECT (SELECT CAST(count(*) AS BIGINT) FROM xy) AS n_days,
+       concordant, discordant,
+       round(CASE WHEN (n0 - tied_x) <= 0 OR (n0 - tied_y) <= 0 THEN NULL
+                  ELSE CAST(concordant - discordant AS DOUBLE)
+                       / sqrt(CAST(n0 - tied_x AS DOUBLE)
+                              * CAST(n0 - tied_y AS DOUBLE))
+             END, 6) + 0.0 AS tau_b
+FROM cnt
+""")
+def kendall_tau_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kendall tau-b (tie-corrected) between the daily view and
+    purchase count series — the rank-based dependence sibling of the
+    Pearson ccf lag-0 row."""
+    ev = load_table(spark, sf_dir, "events")
+    v = _daily_counts(ev, "view").select("t", F.col("cnt").alias("x"))
+    p = _daily_counts(ev, "purchase").select(F.col("t").alias("tp"),
+                                             F.col("cnt").alias("y"))
+    xy = v.join(p, F.col("tp") == F.col("t")).select("t", "x", "y")
+    a = xy.select(F.col("t").alias("ta"), F.col("x").alias("xa"),
+                  F.col("y").alias("ya"))
+    b = xy.select(F.col("t").alias("tb"), F.col("x").alias("xb"),
+                  F.col("y").alias("yb"))
+    prod = (F.col("xb") - F.col("xa")) * (F.col("yb") - F.col("ya"))
+    pairs = a.join(F.broadcast(b), F.col("tb") > F.col("ta"))
+    cnt = pairs.agg(
+        F.count("*").cast("long").alias("n0"),
+        F.sum(F.when(prod > 0, 1).otherwise(0)).cast("long")
+        .alias("concordant"),
+        F.sum(F.when(prod < 0, 1).otherwise(0)).cast("long")
+        .alias("discordant"),
+        F.sum(F.when(F.col("xb") == F.col("xa"), 1).otherwise(0))
+        .cast("long").alias("tied_x"),
+        F.sum(F.when(F.col("yb") == F.col("ya"), 1).otherwise(0))
+        .cast("long").alias("tied_y"))
+    n_days = xy.agg(F.count("*").cast("long").alias("n_days"))
+    dx = (F.col("n0") - F.col("tied_x")).cast("double")
+    dy = (F.col("n0") - F.col("tied_y")).cast("double")
+    tau = (F.when((F.col("n0") - F.col("tied_x") <= 0)
+                  | (F.col("n0") - F.col("tied_y") <= 0),
+                  F.lit(None).cast("double"))
+           .otherwise((F.col("concordant") - F.col("discordant"))
+                      .cast("double") / F.sqrt(dx * dy)))
+    return (cnt.crossJoin(F.broadcast(n_days))
+            .select("n_days", "concordant", "discordant",
+                    (F.round(tau, 6) + 0.0).alias("tau_b")))
+
+
+# ---------------------------------------------------------------------------
+# Log-rank test between the md5 A/B arms on active-day lifetimes.
+#
+# The two-sample survival test kaplan_meier_lifetime /
+# nelson_aalen_hazard lack: at every death time t,
+#   E1_t = d_t * n1_t / n_t
+#   V_t  = d_t * (n1_t/n_t) * (n2_t/n_t) * (n_t - d_t)/(n_t - 1)
+# and chi2 = (O1 - E1)^2 / V  (Mantel 1966, public).  Lifetime and
+# censoring follow nelson_aalen_hazard (active-day count; censored =
+# active on the global max day).  Arms reuse the 'ab:' md5 split.
+#
+# Float discipline: every per-time term derives from exact integers
+# with ONE shared spelling; the two cross-time sums are POSITION-
+# PINNED sorted folds (t-ordered), so both engines add in the same
+# order.  n_t<=1 times contribute V_t = 0 by explicit branch.
+#
+# Scale shape: one grouped pass over events -> per-user firsts; the
+# grid is |distinct lifetimes| x 2 — day-grained and bounded, so all
+# windows/folds run on a broadcast-sized relation.
+# ---------------------------------------------------------------------------
+
+_LR_E1 = "CAST(d1 + d2 AS DOUBLE) * n1 / (n1 + n2)"
+_LR_V = ("CASE WHEN n1 + n2 <= 1 THEN 0.0 ELSE "
+         "CAST(d1 + d2 AS DOUBLE) * n1 / (n1 + n2) * n2 / (n1 + n2) "
+         "* (n1 + n2 - d1 - d2) / (n1 + n2 - 1) END")
+
+_LR_ARM = f"CASE WHEN ({md5_long_sql(chr(39) + 'ab:' + chr(39) + ' || CAST(user_id AS VARCHAR)')} % 2) = 0 THEN 0 ELSE 1 END"
+
+
+@register("logrank_arms", f"""
+WITH life AS MATERIALIZED (
+    SELECT user_id, {_LR_ARM} AS arm,
+           count(DISTINCT date_trunc('day', ts)) AS t,
+           CASE WHEN max(date_trunc('day', ts))
+                     = (SELECT max(date_trunc('day', ts)) FROM events)
+                THEN 1 ELSE 0 END AS censored
+    FROM events GROUP BY user_id
+),
+byt AS (
+    SELECT arm, t, SUM(1 - censored) AS d, SUM(censored) AS c
+    FROM life GROUP BY arm, t
+),
+grid AS (
+    SELECT g.t, a.arm, COALESCE(b.d, 0) AS d, COALESCE(b.c, 0) AS c
+    FROM (SELECT DISTINCT t FROM life) g
+    CROSS JOIN (SELECT 0 AS arm UNION ALL SELECT 1) a
+    LEFT JOIN byt b ON b.t = g.t AND b.arm = a.arm
+),
+risk AS (
+    SELECT t, arm, d,
+           SUM(d + c) OVER (PARTITION BY arm)
+             - COALESCE(SUM(d + c) OVER (PARTITION BY arm ORDER BY t
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+             AS n_risk
+    FROM grid
+),
+wide AS MATERIALIZED (
+    SELECT t,
+           CAST(SUM(CASE WHEN arm = 0 THEN d END) AS BIGINT) AS d1,
+           CAST(SUM(CASE WHEN arm = 1 THEN d END) AS BIGINT) AS d2,
+           CAST(SUM(CASE WHEN arm = 0 THEN n_risk END) AS BIGINT) AS n1,
+           CAST(SUM(CASE WHEN arm = 1 THEN n_risk END) AS BIGINT) AS n2
+    FROM risk GROUP BY t
+    HAVING SUM(CASE WHEN arm = 0 THEN d END)
+         + SUM(CASE WHEN arm = 1 THEN d END) > 0
+),
+folded AS (
+    SELECT CAST(SUM(d1) AS BIGINT) AS o1,
+           list_reduce(list_prepend(0.0, list({_LR_E1} ORDER BY t)),
+                       (a, b) -> a + b) AS e1,
+           list_reduce(list_prepend(0.0, list({_LR_V} ORDER BY t)),
+                       (a, b) -> a + b) AS v
+    FROM wide
+)
+SELECT o1, {round_sql('e1')} AS e1, {round_sql('v')} AS var_lr,
+       CASE WHEN v <= 0.0 THEN NULL
+            ELSE {round_sql('(o1 - e1) * (o1 - e1) / v')}
+       END AS chi2
+FROM folded
+""")
+def logrank_arms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sample log-rank test (O1/E1/variance/chi2) between the md5
+    A/B arms on active-day lifetimes."""
+    ev = load_table(spark, sf_dir, "events")
+    day = F.date_trunc("day", "ts")
+    arm = (md5_long(F.concat(F.lit("ab:"),
+                             F.col("user_id").cast("string"))) % 2)
+    life = (ev.groupBy("user_id")
+            .agg(F.countDistinct(day).alias("t"),
+                 F.max(day).alias("last_d"),
+                 arm.alias("arm")))
+    max_day = ev.agg(F.max(day).alias("max_d"))
+    life = (life.crossJoin(F.broadcast(max_day))
+            .select("arm", F.col("t").cast("long").alias("t"),
+                    F.when(F.col("last_d") == F.col("max_d"), 1)
+                     .otherwise(0).alias("censored")))
+    byt = (life.groupBy("arm", "t")
+           .agg(F.sum(1 - F.col("censored")).alias("d"),
+                F.sum("censored").alias("c")))
+    arms = byt.sparkSession.createDataFrame([(0,), (1,)], "arm int")
+    grid = (life.select("t").distinct()
+            .crossJoin(F.broadcast(arms))
+            .join(byt, ["t", "arm"], "left")
+            .select("t", "arm", F.coalesce("d", F.lit(0)).alias("d"),
+                    F.coalesce("c", F.lit(0)).alias("c")))
+    w_all = Window.partitionBy("arm")
+    w_prev = (Window.partitionBy("arm").orderBy("t")
+              .rowsBetween(Window.unboundedPreceding, -1))
+    risk = grid.select(
+        "t", "arm", "d",
+        (F.sum(F.col("d") + F.col("c")).over(w_all)
+         - F.coalesce(F.sum(F.col("d") + F.col("c")).over(w_prev),
+                      F.lit(0))).alias("n_risk"))
+    wide = (risk.groupBy("t")
+            .agg(F.sum(F.when(F.col("arm") == 0, F.col("d"))).cast("long")
+                 .alias("d1"),
+                 F.sum(F.when(F.col("arm") == 1, F.col("d"))).cast("long")
+                 .alias("d2"),
+                 F.sum(F.when(F.col("arm") == 0, F.col("n_risk")))
+                 .cast("long").alias("n1"),
+                 F.sum(F.when(F.col("arm") == 1, F.col("n_risk")))
+                 .cast("long").alias("n2"))
+            .filter(F.col("d1") + F.col("d2") > 0))
+
+    def terms(x):
+        dt = (x["d1"] + x["d2"]).cast("double")
+        n1 = x["n1"].cast("double")
+        n2 = x["n2"].cast("double")
+        nt = x["n1"] + x["n2"]
+        e1 = dt * x["n1"] / nt
+        v = (F.when(nt <= 1, F.lit(0.0))
+             .otherwise(dt * x["n1"] / nt * x["n2"] / nt
+                        * (nt - x["d1"] - x["d2"])
+                        / (nt - 1)))
+        _ = (n1, n2)
+        return e1, v
+
+    folded = wide.agg(
+        F.sum("d1").cast("long").alias("o1"),
+        F.array_sort(F.collect_list(
+            F.struct("t", "d1", "d2", "n1", "n2"))).alias("ss"))
+    e1_sum = F.aggregate(F.col("ss"), F.lit(0.0),
+                         lambda a, x: a + terms(x)[0])
+    v_sum = F.aggregate(F.col("ss"), F.lit(0.0),
+                        lambda a, x: a + terms(x)[1])
+    folded = folded.select("o1", e1_sum.alias("e1"), v_sum.alias("v"))
+    chi2 = (F.when(F.col("v") <= 0.0, F.lit(None).cast("double"))
+            .otherwise(F.round((F.col("o1") - F.col("e1"))
+                               * (F.col("o1") - F.col("e1"))
+                               / F.col("v"), 6)))
+    return folded.select("o1", F.round("e1", 6).alias("e1"),
+                         F.round("v", 6).alias("var_lr"),
+                         chi2.alias("chi2"))
+
+
+# ---------------------------------------------------------------------------
+# Average precision (AP) of a popularity ranking against PROMO labels.
+#
+# The ranking-eval metric classifier_auc_rank (ROC-AUC) lacks: rank
+# parts by order count (the "recommender score"), label = p_type
+# starts with 'PROMO', AP = (1/P) * sum over positives of
+# precision@rank = cum_pos/rank.  Every rank and cumulative count is
+# an exact integer; each positive contributes ONE division, and the
+# cross-rank sum is a position-pinned fold (rank-ordered), so both
+# engines add identically.
+#
+# Scale shape: the global (cnt DESC, partkey) rank runs through
+# two_phase_ordered (no partitionless sort over the data-scaled part
+# relation); the fold list holds one entry per POSITIVE — label-
+# bounded, not corpus-bounded.
+# ---------------------------------------------------------------------------
+
+@register("average_precision_rank", f"""
+WITH cnts AS (SELECT l_partkey, count(*) AS cnt FROM lineitem GROUP BY 1),
+items AS MATERIALIZED (
+    SELECT p.p_partkey, COALESCE(c.cnt, 0) AS cnt,
+           CASE WHEN p.p_type LIKE 'PROMO%' THEN 1 ELSE 0 END AS pos
+    FROM part p LEFT JOIN cnts c ON c.l_partkey = p.p_partkey
+),
+ranked AS (
+    SELECT pos,
+           row_number() OVER (ORDER BY cnt DESC, p_partkey) AS rnk,
+           SUM(pos) OVER (ORDER BY cnt DESC, p_partkey
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+             AS cum_pos
+    FROM items
+),
+folded AS (
+    SELECT (SELECT CAST(count(*) AS BIGINT) FROM items) AS n_items,
+           CAST(SUM(pos) AS BIGINT) AS n_pos,
+           list_reduce(list_prepend(0.0,
+               list(CAST(cum_pos AS DOUBLE) / rnk ORDER BY rnk)
+               ), (a, b) -> a + b) AS ap_sum
+    FROM ranked WHERE pos = 1
+)
+SELECT n_items, n_pos,
+       CASE WHEN n_pos = 0 THEN NULL
+            ELSE {round_sql('ap_sum / n_pos')} END AS avg_precision
+FROM folded
+""")
+def average_precision_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Average precision of the order-count part ranking against the
+    PROMO part-type label (tie-break partkey asc; global rank via
+    two_phase_ordered)."""
+    from travel_data_pipeline_spark.operators.windows import (
+        two_phase_ordered,
+    )
+
+    li = load_table(spark, sf_dir, "lineitem")
+    parts = load_table(spark, sf_dir, "part").select(
+        "p_partkey", F.when(F.col("p_type").startswith("PROMO"), 1)
+        .otherwise(0).alias("pos"))
+    cnts = li.groupBy(F.col("l_partkey").alias("p_partkey")).agg(
+        F.count("*").alias("cnt"))
+    items = (parts.join(cnts, "p_partkey", "left")
+             .select("p_partkey", "pos",
+                     F.coalesce("cnt", F.lit(0)).alias("cnt")))
+    # bucket key: non-decreasing along (cnt DESC, partkey ASC); the
+    # fractional partkey term lets quantiles split tie-heavy counts
+    bucket = (-F.col("cnt").cast("double")
+              + F.col("p_partkey").cast("double") * F.lit(1e-12))
+    ranked = two_phase_ordered(
+        items, [F.col("cnt").desc(), F.col("p_partkey").asc()], bucket,
+        rank_col="rnk", cumsum_cols={"pos": "cum_pos"})
+    n_df = items.agg(F.count("*").cast("long").alias("n_items"),
+                     F.sum("pos").cast("long").alias("n_pos"))
+    folded = (ranked.filter(F.col("pos") == 1)
+              .agg(F.aggregate(
+                  F.array_sort(F.collect_list(F.struct(
+                      F.col("rnk"),
+                      (F.col("cum_pos").cast("double")
+                       / F.col("rnk").cast("double")).alias("term")))),
+                  F.lit(0.0), lambda a, x: a + x["term"])
+                  .alias("ap_sum")))
+    ap = (F.when(F.col("n_pos") == 0, F.lit(None).cast("double"))
+          .otherwise(F.round(F.col("ap_sum") / F.col("n_pos"), 6)))
+    return (folded.crossJoin(F.broadcast(n_df))
+            .select("n_items", "n_pos", ap.alias("avg_precision")))
