@@ -332,3 +332,138 @@ def test_average_precision_matches_python(spark, sf_smoke):
     else:
         assert abs(row.avg_precision - ap_sum / n_pos) < 1e-6
         assert 0.0 < row.avg_precision <= 1.0
+
+
+# ---------------------------------------------------------------------------
+# Batch B python models — k-sample / rank statistics.
+# ---------------------------------------------------------------------------
+
+
+def _md5_long(s: str) -> int:
+    import hashlib
+
+    return int(hashlib.md5(s.encode()).hexdigest()[:15], 16)
+
+
+def _daily_pairs(spark, sf_smoke):
+    from travel_data_pipeline_spark.sources.readers import load_table
+    from collections import Counter
+    import datetime
+
+    anchor = datetime.date(2024, 1, 1)
+    rows = (load_table(spark, sf_smoke, "events")
+            .select("ts", "event_type").collect())
+    v, p = Counter(), Counter()
+    for r in rows:
+        t = (r.ts.date() - anchor).days
+        if r.event_type == "view":
+            v[t] += 1
+        elif r.event_type == "purchase":
+            p[t] += 1
+    ts = sorted(set(v) & set(p))
+    return [v[t] for t in ts], [p[t] for t in ts]
+
+
+def _avg_ranks(xs):
+    order = sorted(range(len(xs)), key=lambda i: xs[i])
+    ranks = [0.0] * len(xs)
+    i = 0
+    while i < len(order):
+        j = i
+        while j < len(order) and xs[order[j]] == xs[order[i]]:
+            j += 1
+        avg = (i + 1 + j) / 2.0
+        for k in range(i, j):
+            ranks[order[k]] = avg
+        i = j
+    return ranks
+
+
+def test_spearman_daily_matches_python(spark, sf_smoke):
+    import math
+
+    from travel_data_pipeline_spark.queries_round16 import (
+        spearman_rank_daily,
+    )
+
+    x, y = _daily_pairs(spark, sf_smoke)
+    rx, ry = _avg_ranks(x), _avg_ranks(y)
+    n = len(x)
+    mx, my = sum(rx) / n, sum(ry) / n
+    num = sum((a - mx) * (b - my) for a, b in zip(rx, ry))
+    den = math.sqrt(sum((a - mx) ** 2 for a in rx)
+                    * sum((b - my) ** 2 for b in ry))
+    want = num / den
+    row = spearman_rank_daily(spark, sf_smoke).collect()[0]
+    assert row.n_days == n
+    assert abs(row.rho - want) < 1e-6
+
+
+def test_kruskal_wallis_matches_python(spark, sf_smoke):
+    from decimal import Decimal
+
+    from travel_data_pipeline_spark.queries_round16 import (
+        kruskal_wallis_arms,
+    )
+    from travel_data_pipeline_spark.sources.readers import load_table
+
+    rows = (load_table(spark, sf_smoke, "orders")
+            .select("o_custkey", "o_totalprice").collect())
+    arms, ys = [], []
+    for r in rows:
+        arms.append(_md5_long(f"kw:{r.o_custkey}") % 4)
+        ys.append(Decimal(str(round(r.o_totalprice, 2))))
+    ranks = _avg_ranks(ys)
+    n = len(ys)
+    r_sum = [0.0] * 4
+    n_arm = [0] * 4
+    for a, rk in zip(arms, ranks):
+        r_sum[a] += rk
+        n_arm[a] += 1
+    h = (12.0 / (n * (n + 1))
+         * sum(r_sum[a] ** 2 / n_arm[a] for a in range(4))
+         - 3.0 * (n + 1))
+    from collections import Counter
+    tie = sum(c ** 3 - c for c in Counter(ys).values())
+    hc = h / (1.0 - tie / (n ** 3 - n))
+    row = kruskal_wallis_arms(spark, sf_smoke).collect()[0]
+    assert row.n == n
+    assert [row.n_arm0, row.n_arm1, row.n_arm2, row.n_arm3] == n_arm
+    assert abs(row.h_stat - h) < 1e-5
+    assert abs(row.h_tie_corrected - hc) < 1e-5
+
+
+def _units_python(spark, sf_smoke, salt="exp:"):
+    from collections import defaultdict
+    from decimal import Decimal
+
+    from travel_data_pipeline_spark.sources.readers import load_table
+
+    cust = {r.c_custkey: r.c_mktsegment for r in
+            load_table(spark, sf_smoke, "customer").collect()}
+    acc = defaultdict(Decimal)
+    for r in (load_table(spark, sf_smoke, "orders")
+              .select("o_custkey", "o_totalprice").collect()):
+        if r.o_custkey in cust:
+            arm = _md5_long(f"{salt}{r.o_custkey}") % 2
+            acc[(r.o_custkey, arm)] += Decimal(str(round(r.o_totalprice, 2)))
+    return [(arm, y) for (_, arm), y in acc.items()]
+
+
+def test_cliffs_delta_matches_bruteforce(spark, sf_smoke):
+    from travel_data_pipeline_spark.queries_round16 import (
+        cliffs_delta_arms,
+    )
+
+    units = _units_python(spark, sf_smoke)
+    ts = [y for a, y in units if a == 1]
+    cs = [y for a, y in units if a == 0]
+    gt = sum(1 for t in ts for c in cs if t > c)
+    lt = sum(1 for t in ts for c in cs if t < c)
+    eq = sum(1 for t in ts for c in cs if t == c)
+    want = (gt - lt) / (len(ts) * len(cs))
+    row = cliffs_delta_arms(spark, sf_smoke).collect()[0]
+    assert (row.n_treat, row.n_ctrl) == (len(ts), len(cs))
+    assert (row.gt_pairs, row.lt_pairs, row.tie_pairs) == (gt, lt, eq)
+    assert abs(row.cliffs_delta - want) < 1e-6
+    assert row.magnitude in {"negligible", "small", "medium", "large"}

@@ -585,3 +585,344 @@ def average_precision_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
           .otherwise(F.round(F.col("ap_sum") / F.col("n_pos"), 6)))
     return (folded.crossJoin(F.broadcast(n_df))
             .select("n_items", "n_pos", ap.alias("avg_precision")))
+
+
+# ---------------------------------------------------------------------------
+# Batch B — k-sample / rank-statistics suite over order values.
+#
+# The experiment-readout family (mann_whitney_arms, trimmed_mean_ate,
+# logrank_arms) covers TWO-sample tests; this batch adds the k-sample
+# and correlation siblings, all on the exact value-group rank
+# machinery from queries_round12:
+#
+#   2*avg_rank(value group) = 2*cum_before + cnt + 1     (integer!)
+#
+# so every rank sum is an exact decimal and only the final statistic
+# is a double expression with ONE shared spelling.  The global
+# value-group cumsum rides two_phase_ordered (cumsum over exact longs
+# — no partitionless sort over the data-scaled value list).
+# ---------------------------------------------------------------------------
+
+_KW_ARMS = 4
+_KW_ARM = (f"CAST({md5_long_sql(chr(39) + 'kw:' + chr(39) + ' || CAST(o_custkey AS VARCHAR)')} % {_KW_ARMS} AS INT)")
+
+_Y_DEC = "CAST(o_totalprice AS DECIMAL(18,2))"
+
+
+def _kw_arm_col():
+    return (md5_long(F.concat(F.lit("kw:"),
+                              F.col("o_custkey").cast("string")))
+            % _KW_ARMS).cast("int")
+
+
+# --- Spearman rho between the daily view / purchase series ----------------
+
+@register("spearman_rank_daily", f"""
+WITH v AS (SELECT date_diff('day', TIMESTAMP '2024-01-01',
+                            date_trunc('day', ts)) AS t, count(*) AS x
+           FROM events WHERE event_type = 'view' GROUP BY 1),
+p AS (SELECT date_diff('day', TIMESTAMP '2024-01-01',
+                       date_trunc('day', ts)) AS t, count(*) AS y
+      FROM events WHERE event_type = 'purchase' GROUP BY 1),
+xy AS MATERIALIZED (SELECT v.t, v.x, p.y FROM v JOIN p ON p.t = v.t),
+ranked AS (
+    -- 2*average-rank stays integral under ties: 2*#(below) + #(tied,
+    -- incl. self) + ... ; the self-join is over the bounded day grid
+    SELECT a.t,
+           2 * SUM(CASE WHEN b.x < a.x THEN 1 ELSE 0 END)
+             + SUM(CASE WHEN b.x = a.x THEN 1 ELSE 0 END) + 1 AS rx2,
+           2 * SUM(CASE WHEN b.y < a.y THEN 1 ELSE 0 END)
+             + SUM(CASE WHEN b.y = a.y THEN 1 ELSE 0 END) + 1 AS ry2
+    FROM xy a JOIN xy b ON TRUE
+    GROUP BY a.t, a.x, a.y
+),
+sums AS (
+    SELECT CAST(count(*) AS BIGINT) AS m,
+           CAST(sum(rx2) AS BIGINT) AS sx, CAST(sum(ry2) AS BIGINT) AS sy,
+           CAST(sum(rx2 * rx2) AS BIGINT) AS sxx,
+           CAST(sum(ry2 * ry2) AS BIGINT) AS syy,
+           CAST(sum(rx2 * ry2) AS BIGINT) AS sxy
+    FROM ranked
+)
+SELECT m AS n_days, round({_CCF_R}, 6) + 0.0 AS rho
+FROM sums
+""")
+def spearman_rank_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spearman rank correlation (tie-corrected: Pearson on average
+    ranks) between the daily view and purchase count series — the
+    monotone-dependence sibling of kendall_tau_daily.  2*avg_rank is
+    integral even under ties, so every moment is an exact integer and
+    rho shares the ccf_view_purchase Pearson spelling."""
+    ev = load_table(spark, sf_dir, "events")
+    v = _daily_counts(ev, "view").select("t", F.col("cnt").alias("x"))
+    p = _daily_counts(ev, "purchase").select(F.col("t").alias("tp"),
+                                             F.col("cnt").alias("y"))
+    xy = v.join(p, F.col("tp") == F.col("t")).select("t", "x", "y")
+    b = xy.select(F.col("x").alias("xb"), F.col("y").alias("yb"))
+    ranked = (xy.join(F.broadcast(b))
+              .groupBy("t", "x", "y")
+              .agg((2 * F.sum(F.when(F.col("xb") < F.col("x"), 1)
+                              .otherwise(0))
+                    + F.sum(F.when(F.col("xb") == F.col("x"), 1)
+                            .otherwise(0)) + 1).alias("rx2"),
+                   (2 * F.sum(F.when(F.col("yb") < F.col("y"), 1)
+                              .otherwise(0))
+                    + F.sum(F.when(F.col("yb") == F.col("y"), 1)
+                            .otherwise(0)) + 1).alias("ry2")))
+    sums = ranked.agg(
+        F.count("*").cast("long").alias("m"),
+        F.sum("rx2").cast("long").alias("sx"),
+        F.sum("ry2").cast("long").alias("sy"),
+        F.sum(F.col("rx2") * F.col("rx2")).cast("long").alias("sxx"),
+        F.sum(F.col("ry2") * F.col("ry2")).cast("long").alias("syy"),
+        F.sum(F.col("rx2") * F.col("ry2")).cast("long").alias("sxy"))
+    m = F.col("m").cast("double")
+    sx, sy = F.col("sx").cast("double"), F.col("sy").cast("double")
+    sxx, syy = F.col("sxx").cast("double"), F.col("syy").cast("double")
+    sxy = F.col("sxy").cast("double")
+    r = F.when((m * sxx - sx * sx <= 0.0) | (m * syy - sy * sy <= 0.0),
+               F.lit(None).cast("double")
+               ).otherwise((m * sxy - sx * sy)
+                           / (F.sqrt(m * sxx - sx * sx)
+                              * F.sqrt(m * syy - sy * sy)))
+    return sums.select(F.col("m").alias("n_days"),
+                       (F.round(r, 6) + 0.0).alias("rho"))
+
+
+# --- Kruskal-Wallis H across the 4 md5 order-value arms --------------------
+#
+#   R_arm (rank sum) from half-unit ranks: 2*R_arm = sum over value
+#   groups cnt_arm_g * (2*cum_before_g + cnt_g + 1)   (exact decimal)
+#   H  = 12/(N(N+1)) * sum_arms (R_arm^2 / n_arm) - 3(N+1)
+#   Hc = H / (1 - sum(t^3 - t)/(N^3 - N))             (tie correction)
+#
+# (Kruskal & Wallis 1952, public.)  The 4-arm sum is a FIXED-ORDER
+# expression tree (arm 0 + 1 + 2 + 3), identical in both engines; the
+# big decimals bridge to double through their exact string rendering
+# (parity.py magnitude hazard).
+# ---------------------------------------------------------------------------
+
+@register("kruskal_wallis_arms", f"""
+WITH units AS (SELECT {_KW_ARM} AS arm, {_Y_DEC} AS y FROM orders),
+vals AS (
+    SELECT y, COUNT(*) AS cnt,
+           SUM(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS c0,
+           SUM(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS c1,
+           SUM(CASE WHEN arm = 2 THEN 1 ELSE 0 END) AS c2,
+           SUM(CASE WHEN arm = 3 THEN 1 ELSE 0 END) AS c3
+    FROM units GROUP BY y
+),
+ranked AS (
+    SELECT *, SUM(cnt) OVER (ORDER BY y ROWS UNBOUNDED PRECEDING) AS cum
+    FROM vals
+),
+agg AS (
+    SELECT SUM(cnt) AS n,
+           SUM(c0) AS n0, SUM(c1) AS n1, SUM(c2) AS n2, SUM(c3) AS n3,
+           SUM(CAST(c0 AS DECIMAL(38,0))
+               * (2 * (cum - cnt) + cnt + 1)) AS r20,
+           SUM(CAST(c1 AS DECIMAL(38,0))
+               * (2 * (cum - cnt) + cnt + 1)) AS r21,
+           SUM(CAST(c2 AS DECIMAL(38,0))
+               * (2 * (cum - cnt) + cnt + 1)) AS r22,
+           SUM(CAST(c3 AS DECIMAL(38,0))
+               * (2 * (cum - cnt) + cnt + 1)) AS r23,
+           SUM(CAST(cnt AS DECIMAL(38,0)) * cnt * cnt - cnt) AS ties,
+           SUM(CASE WHEN cnt > 1 THEN 1 ELSE 0 END) AS tie_groups
+    FROM ranked
+),
+t AS (
+    SELECT n, n0, n1, n2, n3, tie_groups,
+           CAST(n AS DOUBLE) AS nd,
+           CAST(CAST(r20 AS VARCHAR) AS DOUBLE) AS r20d,
+           CAST(CAST(r21 AS VARCHAR) AS DOUBLE) AS r21d,
+           CAST(CAST(r22 AS VARCHAR) AS DOUBLE) AS r22d,
+           CAST(CAST(r23 AS VARCHAR) AS DOUBLE) AS r23d,
+           CAST(CAST(ties AS VARCHAR) AS DOUBLE) AS tiesd
+    FROM agg
+),
+t2 AS (
+    SELECT *,
+           12.0 / (nd * (nd + 1.0))
+             * ((r20d / 2.0) * (r20d / 2.0) / n0
+                + (r21d / 2.0) * (r21d / 2.0) / n1
+                + (r22d / 2.0) * (r22d / 2.0) / n2
+                + (r23d / 2.0) * (r23d / 2.0) / n3)
+             - 3.0 * (nd + 1.0) AS h,
+           1.0 - tiesd / (nd * nd * nd - nd) AS tie_denom
+    FROM t
+)
+SELECT CAST(n AS BIGINT) AS n,
+       CAST(n0 AS BIGINT) AS n_arm0, CAST(n1 AS BIGINT) AS n_arm1,
+       CAST(n2 AS BIGINT) AS n_arm2, CAST(n3 AS BIGINT) AS n_arm3,
+       CAST(tie_groups AS BIGINT) AS tie_groups,
+       CASE WHEN n <= 1 OR n0 = 0 OR n1 = 0 OR n2 = 0 OR n3 = 0
+            THEN NULL ELSE {round_sql('h')} + 0.0 END AS h_stat,
+       CASE WHEN n <= 1 OR n0 = 0 OR n1 = 0 OR n2 = 0 OR n3 = 0
+              OR tie_denom <= 0.0
+            THEN NULL ELSE {round_sql('h / tie_denom')} + 0.0
+       END AS h_tie_corrected
+FROM t2
+""")
+def kruskal_wallis_arms(spark: SparkSession, sf_dir: str,
+                        units: DataFrame | None = None) -> DataFrame:
+    """Exact tie-corrected Kruskal-Wallis H across the 4 md5 customer
+    arms on order values — the k-sample extension of
+    mann_whitney_arms.  ``units`` (columns arm, y) lets stress tools
+    drive this exact code path with synthetic arms."""
+    from travel_data_pipeline_spark.operators.windows import (
+        two_phase_ordered,
+    )
+
+    if units is None:
+        orders = load_table(spark, sf_dir, "orders")
+        units = orders.select(
+            _kw_arm_col().alias("arm"),
+            F.col("o_totalprice").cast("decimal(18,2)").alias("y"))
+    vals = units.groupBy("y").agg(
+        F.count("*").alias("cnt"),
+        *[F.sum(F.when(F.col("arm") == a, 1).otherwise(0))
+          .alias(f"c{a}") for a in range(_KW_ARMS)])
+    ranked = two_phase_ordered(
+        vals, [F.col("y").asc()],
+        bucket_on=F.col("y").cast("double"),
+        cumsum_cols={"cnt": "cum"})
+    rank2 = 2 * (F.col("cum") - F.col("cnt")) + F.col("cnt") + 1
+    agg = ranked.agg(
+        F.sum("cnt").cast("long").alias("n"),
+        *[F.sum(f"c{a}").cast("long").alias(f"n{a}")
+          for a in range(_KW_ARMS)],
+        *[F.sum(F.col(f"c{a}").cast("decimal(38,0)") * rank2)
+          .alias(f"r2{a}") for a in range(_KW_ARMS)],
+        F.sum(F.col("cnt").cast("decimal(38,0)") * F.col("cnt")
+              * F.col("cnt") - F.col("cnt")).alias("ties"),
+        F.sum(F.when(F.col("cnt") > 1, 1).otherwise(0)).cast("long")
+        .alias("tie_groups"))
+    nd = F.col("n").cast("double")
+    rd = [F.col(f"r2{a}").cast("string").cast("double")
+          for a in range(_KW_ARMS)]
+    tiesd = F.col("ties").cast("string").cast("double")
+    h = (F.lit(12.0) / (nd * (nd + 1.0))
+         * sum(((r / 2.0) * (r / 2.0) / F.col(f"n{a}"))
+               for a, r in enumerate(rd))
+         - 3.0 * (nd + 1.0))
+    tie_denom = F.lit(1.0) - tiesd / (nd * nd * nd - nd)
+    degenerate = (F.col("n") <= 1)
+    for a in range(_KW_ARMS):
+        degenerate = degenerate | (F.col(f"n{a}") == 0)
+    nulld = F.lit(None).cast("double")
+    return agg.select(
+        "n", *[F.col(f"n{a}").alias(f"n_arm{a}") for a in range(_KW_ARMS)],
+        "tie_groups",
+        F.when(degenerate, nulld)
+        .otherwise(F.round(h, 6) + 0.0).alias("h_stat"),
+        F.when(degenerate | (tie_denom <= 0.0), nulld)
+        .otherwise(F.round(h / tie_denom, 6) + 0.0)
+        .alias("h_tie_corrected"))
+
+
+# --- Cliff's delta between the experiment arms ------------------------------
+#
+#   delta = (#(t > c) - #(t < c)) / (n_t * n_c)
+#
+# the ordinal effect size companion of mann_whitney_arms' z (Cliff
+# 1993; magnitude thresholds Romano et al. 2006 — public).  Pair
+# counts come from the value-group cumsum: with control counts
+# accumulated in value order,
+#   #(t > c) = sum_g cnt_t_g * cumc_before_g
+#   #(t < c) = sum_g cnt_t_g * (n_c - cumc_g)
+#   #(t = c) = sum_g cnt_t_g * cnt_c_g
+# — all exact decimals; same units relation as mann_whitney_arms.
+# ---------------------------------------------------------------------------
+
+def _cliffs_oracle() -> str:
+    from travel_data_pipeline_spark.queries_round10 import ipw_units_sql
+
+    return f"""
+WITH {ipw_units_sql()},
+vals AS (
+    SELECT y, SUM(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS ct,
+           SUM(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS cc
+    FROM units GROUP BY y
+),
+ranked AS (
+    SELECT *, SUM(cc) OVER (ORDER BY y ROWS UNBOUNDED PRECEDING) AS cumc
+    FROM vals
+),
+tot AS (SELECT SUM(ct) AS n_t, SUM(cc) AS n_c FROM vals),
+agg AS (
+    SELECT SUM(CAST(ct AS DECIMAL(38,0)) * (cumc - cc)) AS gt,
+           SUM(CAST(ct AS DECIMAL(38,0)) * (tot.n_c - cumc)) AS lt,
+           SUM(CAST(ct AS DECIMAL(38,0)) * cc) AS eq
+    FROM ranked CROSS JOIN tot GROUP BY tot.n_t, tot.n_c
+),
+t AS (
+    SELECT CAST(tot.n_t AS BIGINT) AS n_treat,
+           CAST(tot.n_c AS BIGINT) AS n_ctrl,
+           CAST(gt AS BIGINT) AS gt_pairs, CAST(lt AS BIGINT) AS lt_pairs,
+           CAST(eq AS BIGINT) AS tie_pairs,
+           CASE WHEN tot.n_t = 0 OR tot.n_c = 0 THEN NULL
+                ELSE (CAST(CAST(gt AS VARCHAR) AS DOUBLE)
+                      - CAST(CAST(lt AS VARCHAR) AS DOUBLE))
+                     / (CAST(tot.n_t AS DOUBLE) * CAST(tot.n_c AS DOUBLE))
+           END AS d
+    FROM agg CROSS JOIN tot
+)
+SELECT n_treat, n_ctrl, gt_pairs, lt_pairs, tie_pairs,
+       CASE WHEN d IS NULL THEN NULL
+            ELSE {round_sql('d')} + 0.0 END AS cliffs_delta,
+       CASE WHEN d IS NULL THEN 'undefined'
+            WHEN abs(d) < 0.147 THEN 'negligible'
+            WHEN abs(d) < 0.33 THEN 'small'
+            WHEN abs(d) < 0.474 THEN 'medium'
+            ELSE 'large' END AS magnitude
+FROM t
+"""
+
+
+@register("cliffs_delta_arms", lambda: _cliffs_oracle())
+def cliffs_delta_arms(spark: SparkSession, sf_dir: str,
+                      units: DataFrame | None = None) -> DataFrame:
+    """Cliff's delta ordinal effect size between the experiment arms
+    (exact pair counts via the value-group cumsum; Romano magnitude
+    labels).  ``units`` (columns arm, y) is the stress-tool seam."""
+    from travel_data_pipeline_spark.operators.windows import (
+        two_phase_ordered,
+    )
+    from travel_data_pipeline_spark.queries_round10 import ipw_units
+
+    if units is None:
+        units = ipw_units(spark, sf_dir)
+    units = units.select("arm", "y")
+    vals = units.groupBy("y").agg(
+        F.sum(F.when(F.col("arm") == 1, 1).otherwise(0)).alias("ct"),
+        F.sum(F.when(F.col("arm") == 0, 1).otherwise(0)).alias("cc"))
+    ranked = two_phase_ordered(
+        vals, [F.col("y").asc()],
+        bucket_on=F.col("y").cast("double"),
+        cumsum_cols={"cc": "cumc"})
+    tot = vals.agg(F.sum("ct").cast("long").alias("n_t"),
+                   F.sum("cc").cast("long").alias("n_c"))
+    ctd = F.col("ct").cast("decimal(38,0)")
+    agg = (ranked.crossJoin(F.broadcast(tot))
+           .groupBy("n_t", "n_c")
+           .agg(F.sum(ctd * (F.col("cumc") - F.col("cc"))).alias("gt"),
+                F.sum(ctd * (F.col("n_c") - F.col("cumc"))).alias("lt"),
+                F.sum(ctd * F.col("cc")).alias("eq")))
+    d = F.when((F.col("n_t") == 0) | (F.col("n_c") == 0),
+               F.lit(None).cast("double")).otherwise(
+        (F.col("gt").cast("string").cast("double")
+         - F.col("lt").cast("string").cast("double"))
+        / (F.col("n_t").cast("double") * F.col("n_c").cast("double")))
+    mag = (F.when(d.isNull(), "undefined")
+           .when(F.abs(d) < 0.147, "negligible")
+           .when(F.abs(d) < 0.33, "small")
+           .when(F.abs(d) < 0.474, "medium")
+           .otherwise("large"))
+    return agg.select(
+        F.col("n_t").alias("n_treat"), F.col("n_c").alias("n_ctrl"),
+        F.col("gt").cast("long").alias("gt_pairs"),
+        F.col("lt").cast("long").alias("lt_pairs"),
+        F.col("eq").cast("long").alias("tie_pairs"),
+        (F.round(d, 6) + 0.0).alias("cliffs_delta"),
+        mag.alias("magnitude"))
