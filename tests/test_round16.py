@@ -467,3 +467,88 @@ def test_cliffs_delta_matches_bruteforce(spark, sf_smoke):
     assert (row.gt_pairs, row.lt_pairs, row.tie_pairs) == (gt, lt, eq)
     assert abs(row.cliffs_delta - want) < 1e-6
     assert row.magnitude in {"negligible", "small", "medium", "large"}
+
+
+def test_brown_forsythe_matches_python(spark, sf_smoke):
+    from decimal import Decimal
+
+    from travel_data_pipeline_spark.queries_round16 import (
+        brown_forsythe_arms,
+    )
+    from travel_data_pipeline_spark.sources.readers import load_table
+
+    rows = (load_table(spark, sf_smoke, "orders")
+            .select("o_custkey", "o_totalprice").collect())
+    by_arm = {a: [] for a in range(4)}
+    for r in rows:
+        a = _md5_long(f"bf:{r.o_custkey}") % 4
+        by_arm[a].append(int(Decimal(str(round(r.o_totalprice, 2))) * 100))
+    meds, zs = {}, {}
+    for a, ys in by_arm.items():
+        ys.sort()
+        n = len(ys)
+        med2 = ys[(n + 1) // 2 - 1] + ys[n // 2]
+        meds[a] = med2 / 200.0
+        zs[a] = [abs(2 * y - med2) for y in ys]
+    k = 4
+    n_tot = sum(len(v) for v in zs.values())
+    m_arm = {a: sum(v) / len(v) for a, v in zs.items()}
+    m = sum(sum(v) for v in zs.values()) / n_tot
+    ssb = sum(len(zs[a]) * (m_arm[a] - m) ** 2 for a in range(k))
+    ssw = sum(sum((z - m_arm[a]) ** 2 for z in zs[a]) for a in range(k))
+    f_want = (ssb / (k - 1)) / (ssw / (n_tot - k))
+    got = {r.arm: r for r in brown_forsythe_arms(spark, sf_smoke).collect()}
+    assert set(got) == set(range(4))
+    for a in range(4):
+        assert got[a].n_arm == len(by_arm[a])
+        assert abs(got[a].median_value - meds[a]) < 1e-9
+        want_mad = sum(zs[a]) / len(zs[a]) / 200.0
+        assert abs(got[a].mean_absdev - want_mad) < 1e-5
+        assert abs(got[a].f_stat - f_want) < 1e-4
+
+
+def test_jonckheere_terpstra_matches_python(spark, sf_smoke):
+    import math
+    from collections import Counter
+    from decimal import Decimal
+
+    from travel_data_pipeline_spark.queries_round16 import (
+        jonckheere_terpstra_trend,
+    )
+    from travel_data_pipeline_spark.sources.readers import load_table
+
+    rows = (load_table(spark, sf_smoke, "orders")
+            .select("o_orderpriority", "o_totalprice").collect())
+    groups = {g: [] for g in range(1, 6)}
+    allv = []
+    for r in rows:
+        g = int(r.o_orderpriority[0])
+        y = int(Decimal(str(round(r.o_totalprice, 2))) * 100)
+        groups[g].append(y)
+        allv.append(y)
+    j2 = 0
+    for i in range(1, 6):
+        for j in range(i + 1, 6):
+            for xi in groups[i]:
+                for xj in groups[j]:
+                    if xi < xj:
+                        j2 += 2
+                    elif xi == xj:
+                        j2 += 1
+    n = len(allv)
+    ns = [len(groups[g]) for g in range(1, 6)]
+    mean2 = sum(ns[i] * ns[j] for i in range(5) for j in range(i + 1, 5))
+    tc = Counter(allv).values()
+    a = (n * (n - 1) * (2 * n + 5)
+         - sum(x * (x - 1) * (2 * x + 5) for x in ns)
+         - sum(t * (t - 1) * (2 * t + 5) for t in tc))
+    b = (sum(x * (x - 1) * (x - 2) for x in ns)
+         * sum(t * (t - 1) * (t - 2) for t in tc))
+    c = (sum(x * (x - 1) for x in ns) * sum(t * (t - 1) for t in tc))
+    var = (a / 72.0 + b / (36.0 * n * (n - 1) * (n - 2))
+           + c / (8.0 * n * (n - 1)))
+    z = (j2 - mean2) / (2.0 * math.sqrt(var))
+    row = jonckheere_terpstra_trend(spark, sf_smoke).collect()[0]
+    assert (row.n, row.j2_stat, row.mean2_j) == (n, j2, mean2)
+    assert abs(row.sd_j - math.sqrt(var)) < 1e-4
+    assert abs(row.z - z) < 1e-6

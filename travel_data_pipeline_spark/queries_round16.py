@@ -926,3 +926,409 @@ def cliffs_delta_arms(spark: SparkSession, sf_dir: str,
         F.col("eq").cast("long").alias("tie_pairs"),
         (F.round(d, 6) + 0.0).alias("cliffs_delta"),
         mag.alias("magnitude"))
+
+
+# --- Brown-Forsythe (median-centered Levene) across the 4 arms -------------
+#
+# Variance-homogeneity test: z_i = |y_i - median(arm)|, then one-way
+# ANOVA F on z (Brown & Forsythe 1974, public).  Everything runs in
+# integer CENTS so all moments are exact:
+#   med2_c = cents of (lo order stat + hi order stat)   (BIGINT)
+#   z2c    = |2*y_c - med2_c|                           (BIGINT)
+#   F      = (SSB/(k-1)) / (SSW/(N-k)) from per-arm (n, sum z2c,
+#            sum z2c^2) — the cents scaling cancels in F.
+# Per-arm medians come from the value-group cumsum: the Spark side
+# rides ONE global two_phase_ordered pass in (arm, y) order with
+# broadcast per-arm count offsets; the oracle uses the equivalent
+# per-arm partitioned window.  No partitionless sort anywhere.
+# ---------------------------------------------------------------------------
+
+_BF_ARM = (f"CAST({md5_long_sql(chr(39) + 'bf:' + chr(39) + ' || CAST(o_custkey AS VARCHAR)')} % {_KW_ARMS} AS INT)")
+
+
+def _bf_arm_col():
+    return (md5_long(F.concat(F.lit("bf:"),
+                              F.col("o_custkey").cast("string")))
+            % _KW_ARMS).cast("int")
+
+
+_BF_F_NUM = ("(n0 * (m0 - m) * (m0 - m) + n1 * (m1 - m) * (m1 - m)"
+             " + n2 * (m2 - m) * (m2 - m) + n3 * (m3 - m) * (m3 - m))"
+             " / 3.0")
+_BF_F_DEN = ("((q0 - s0 * s0 / n0) + (q1 - s1 * s1 / n1)"
+             " + (q2 - s2 * s2 / n2) + (q3 - s3 * s3 / n3))"
+             " / (nn - 4.0)")
+
+
+@register("brown_forsythe_arms", f"""
+WITH units AS (
+    SELECT {_BF_ARM} AS arm,
+           CAST(o_totalprice * 100 AS BIGINT) AS yc
+    FROM (SELECT {_Y_DEC} AS o_totalprice, o_custkey FROM orders)
+),
+vals AS (
+    SELECT arm, yc, COUNT(*) AS cnt FROM units GROUP BY arm, yc
+),
+ranked AS (
+    SELECT *, SUM(cnt) OVER (PARTITION BY arm ORDER BY yc
+                             ROWS UNBOUNDED PRECEDING) AS cum_in
+    FROM vals
+),
+arms AS (SELECT arm, SUM(cnt) AS n_arm FROM vals GROUP BY arm),
+med AS (
+    SELECT r.arm,
+           SUM(yc * (CASE WHEN r.cum_in - r.cnt < (a.n_arm + 1) // 2
+                           AND (a.n_arm + 1) // 2 <= r.cum_in
+                          THEN 1 ELSE 0 END
+                   + CASE WHEN r.cum_in - r.cnt < a.n_arm // 2 + 1
+                           AND a.n_arm // 2 + 1 <= r.cum_in
+                          THEN 1 ELSE 0 END)) AS med2c
+    FROM ranked r JOIN arms a ON a.arm = r.arm
+    GROUP BY r.arm
+),
+mom AS (
+    SELECT v.arm, a.n_arm, m.med2c,
+           SUM(CAST(v.cnt AS DECIMAL(38,0))
+               * abs(2 * v.yc - m.med2c)) AS s1,
+           SUM(CAST(v.cnt AS DECIMAL(38,0))
+               * abs(2 * v.yc - m.med2c)
+               * abs(2 * v.yc - m.med2c)) AS s2
+    FROM vals v JOIN med m ON m.arm = v.arm
+                JOIN arms a ON a.arm = v.arm
+    GROUP BY v.arm, a.n_arm, m.med2c
+),
+wide AS (
+    SELECT SUM(n_arm) AS n,
+           SUM(CASE WHEN arm = 0 THEN n_arm END) AS w_n0,
+           SUM(CASE WHEN arm = 1 THEN n_arm END) AS w_n1,
+           SUM(CASE WHEN arm = 2 THEN n_arm END) AS w_n2,
+           SUM(CASE WHEN arm = 3 THEN n_arm END) AS w_n3,
+           SUM(CASE WHEN arm = 0 THEN s1 END) AS w_s0,
+           SUM(CASE WHEN arm = 1 THEN s1 END) AS w_s1,
+           SUM(CASE WHEN arm = 2 THEN s1 END) AS w_s2,
+           SUM(CASE WHEN arm = 3 THEN s1 END) AS w_s3,
+           SUM(CASE WHEN arm = 0 THEN s2 END) AS w_q0,
+           SUM(CASE WHEN arm = 1 THEN s2 END) AS w_q1,
+           SUM(CASE WHEN arm = 2 THEN s2 END) AS w_q2,
+           SUM(CASE WHEN arm = 3 THEN s2 END) AS w_q3
+    FROM mom
+),
+f AS (
+    SELECT CAST(n AS DOUBLE) AS nn,
+           CAST(w_n0 AS DOUBLE) AS n0, CAST(w_n1 AS DOUBLE) AS n1,
+           CAST(w_n2 AS DOUBLE) AS n2, CAST(w_n3 AS DOUBLE) AS n3,
+           CAST(CAST(w_s0 AS VARCHAR) AS DOUBLE) AS s0,
+           CAST(CAST(w_s1 AS VARCHAR) AS DOUBLE) AS s1,
+           CAST(CAST(w_s2 AS VARCHAR) AS DOUBLE) AS s2,
+           CAST(CAST(w_s3 AS VARCHAR) AS DOUBLE) AS s3,
+           CAST(CAST(w_q0 AS VARCHAR) AS DOUBLE) AS q0,
+           CAST(CAST(w_q1 AS VARCHAR) AS DOUBLE) AS q1,
+           CAST(CAST(w_q2 AS VARCHAR) AS DOUBLE) AS q2,
+           CAST(CAST(w_q3 AS VARCHAR) AS DOUBLE) AS q3,
+           (CAST(CAST(w_s0 AS VARCHAR) AS DOUBLE)
+            + CAST(CAST(w_s1 AS VARCHAR) AS DOUBLE)
+            + CAST(CAST(w_s2 AS VARCHAR) AS DOUBLE)
+            + CAST(CAST(w_s3 AS VARCHAR) AS DOUBLE))
+             / CAST(n AS DOUBLE) AS m,
+           CAST(CAST(w_s0 AS VARCHAR) AS DOUBLE)
+             / CAST(w_n0 AS DOUBLE) AS m0,
+           CAST(CAST(w_s1 AS VARCHAR) AS DOUBLE)
+             / CAST(w_n1 AS DOUBLE) AS m1,
+           CAST(CAST(w_s2 AS VARCHAR) AS DOUBLE)
+             / CAST(w_n2 AS DOUBLE) AS m2,
+           CAST(CAST(w_s3 AS VARCHAR) AS DOUBLE)
+             / CAST(w_n3 AS DOUBLE) AS m3
+    FROM wide
+    WHERE w_n0 > 0 AND w_n1 > 0 AND w_n2 > 0 AND w_n3 > 0
+),
+fstat AS (
+    SELECT CASE WHEN nn <= 4.0 OR {_BF_F_DEN} <= 0.0 THEN NULL
+                ELSE ({_BF_F_NUM}) / ({_BF_F_DEN}) END AS f_val
+    FROM f
+)
+SELECT m.arm, CAST(a.n_arm AS BIGINT) AS n_arm,
+       CAST(m.med2c AS DOUBLE) / 200.0 AS median_value,
+       {round_sql('CAST(CAST(o.s1 AS VARCHAR) AS DOUBLE)'
+                  ' / CAST(a.n_arm AS DOUBLE) / 200.0')} AS mean_absdev,
+       CASE WHEN f_val IS NULL THEN NULL
+            ELSE {round_sql('f_val')} END AS f_stat
+FROM med m
+JOIN arms a ON a.arm = m.arm
+JOIN (SELECT arm, s1 FROM mom) o ON o.arm = m.arm
+CROSS JOIN fstat
+""")
+def brown_forsythe_arms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brown-Forsythe variance-homogeneity F across the 4 md5 arms on
+    order values: median-centered absolute deviations (exact integer
+    cents), one-way ANOVA F with a fixed-order 4-arm expression tree.
+    One row per arm with the shared F repeated."""
+    from pyspark.sql import Window
+
+    from travel_data_pipeline_spark.operators.windows import (
+        two_phase_ordered,
+    )
+
+    orders = load_table(spark, sf_dir, "orders")
+    units = orders.select(
+        _bf_arm_col().alias("arm"),
+        (F.col("o_totalprice").cast("decimal(18,2)") * 100)
+        .cast("long").alias("yc"))
+    vals = units.groupBy("arm", "yc").agg(F.count("*").alias("cnt"))
+    # global (arm-major, value) order; per-arm cum = global cum minus
+    # the broadcast offset of all lower arms
+    ranked = two_phase_ordered(
+        vals, [F.col("arm").asc(), F.col("yc").asc()],
+        bucket_on=F.col("arm").cast("double") * 1e9
+        + F.col("yc").cast("double") / 100.0,
+        cumsum_cols={"cnt": "cum"})
+    arms_tot = vals.groupBy("arm").agg(
+        F.sum("cnt").cast("long").alias("n_arm"))
+    w_off = (Window.orderBy("arm")
+             .rowsBetween(Window.unboundedPreceding, -1))
+    offs = arms_tot.select(
+        "arm", "n_arm",
+        F.coalesce(F.sum("n_arm").over(w_off), F.lit(0)).alias("off"))
+    ranked = (ranked.join(F.broadcast(offs), "arm")
+              .withColumn("cum_in", F.col("cum") - F.col("off")))
+    lo = F.floor((F.col("n_arm") + 1) / 2)
+    hi = F.floor(F.col("n_arm") / 2) + 1
+    pick = (F.when((F.col("cum_in") - F.col("cnt") < lo)
+                   & (lo <= F.col("cum_in")), 1).otherwise(0)
+            + F.when((F.col("cum_in") - F.col("cnt") < hi)
+                     & (hi <= F.col("cum_in")), 1).otherwise(0))
+    med = (ranked.groupBy("arm")
+           .agg(F.sum(F.col("yc") * pick).alias("med2c")))
+    z2c = F.abs(2 * F.col("yc") - F.col("med2c"))
+    mom = (vals.join(F.broadcast(med), "arm")
+           .join(F.broadcast(arms_tot), "arm")
+           .groupBy("arm", "n_arm", "med2c")
+           .agg(F.sum(F.col("cnt").cast("decimal(38,0)") * z2c)
+                .alias("s1"),
+                F.sum(F.col("cnt").cast("decimal(38,0)") * z2c * z2c)
+                .alias("s2")))
+    wide = mom.agg(
+        F.sum("n_arm").cast("long").alias("n"),
+        *[F.sum(F.when(F.col("arm") == a, F.col("n_arm")))
+          .cast("long").alias(f"w_n{a}") for a in range(_KW_ARMS)],
+        *[F.sum(F.when(F.col("arm") == a, F.col("s1")))
+          .alias(f"w_s{a}") for a in range(_KW_ARMS)],
+        *[F.sum(F.when(F.col("arm") == a, F.col("s2")))
+          .alias(f"w_q{a}") for a in range(_KW_ARMS)])
+    nn = F.col("n").cast("double")
+    nv = [F.col(f"w_n{a}").cast("double") for a in range(_KW_ARMS)]
+    sv = [F.col(f"w_s{a}").cast("string").cast("double")
+          for a in range(_KW_ARMS)]
+    qv = [F.col(f"w_q{a}").cast("string").cast("double")
+          for a in range(_KW_ARMS)]
+    m = sum(sv[1:], sv[0]) / nn
+    mv = [sv[a] / nv[a] for a in range(_KW_ARMS)]
+    f_num = sum((nv[a] * (mv[a] - m) * (mv[a] - m)
+                 for a in range(1, _KW_ARMS)),
+                nv[0] * (mv[0] - m) * (mv[0] - m)) / F.lit(3.0)
+    f_den = sum(((qv[a] - sv[a] * sv[a] / nv[a])
+                 for a in range(1, _KW_ARMS)),
+                qv[0] - sv[0] * sv[0] / nv[0]) / (nn - F.lit(4.0))
+    any_empty = F.lit(False)
+    for a in range(_KW_ARMS):
+        any_empty = any_empty | (F.col(f"w_n{a}").isNull()
+                                 | (F.col(f"w_n{a}") == 0))
+    f_val = (F.when(any_empty | (nn <= 4.0) | (f_den <= 0.0),
+                    F.lit(None).cast("double"))
+             .otherwise(f_num / f_den))
+    fstat = wide.select(f_val.alias("f_val"))
+    return (med.join(F.broadcast(arms_tot), "arm")
+            .join(F.broadcast(mom.select("arm", "s1")), "arm")
+            .crossJoin(F.broadcast(fstat))
+            .select("arm", "n_arm",
+                    (F.col("med2c").cast("double") / 200.0)
+                    .alias("median_value"),
+                    F.round(F.col("s1").cast("string").cast("double")
+                            / F.col("n_arm").cast("double") / 200.0, 6)
+                    .alias("mean_absdev"),
+                    F.round("f_val", 6).alias("f_stat")))
+
+
+# --- Jonckheere-Terpstra ordered-alternative test ---------------------------
+#
+# Do order values trend MONOTONICALLY across the ordered priority
+# classes 1-URGENT .. 5-LOW?  J = sum over class pairs i<j of the
+# Mann-Whitney count U_ij = #(x_i < x_j) + 0.5 #(x_i = x_j)
+# (Jonckheere 1954 / Terpstra 1952; tie-corrected null moments from
+# Hollander & Wolfe — public).  Doubled counts stay integral:
+#   2U_ij = sum_g c_j_g * (2 * cum_i_before_g + c_i_g)
+# over value groups g, using one two_phase cumsum pass carrying ALL
+# FIVE per-class counts.  Null moments from exact integer tallies:
+#   2*E[J]  = sum_{i<j} n_i n_j          (integer)
+#   72*VarA = N(N-1)(2N+5) - sum_i .. - sum_t ..   (the three-term
+#             tie-corrected variance; every term an exact decimal)
+# so the only doubles are the final sd and z.
+# ---------------------------------------------------------------------------
+
+_JT_K = 5
+_JT_PAIRS = [(i, j) for i in range(1, _JT_K + 1)
+             for j in range(i + 1, _JT_K + 1)]
+
+
+def _jt_oracle() -> str:
+    cnt_cols = ",\n           ".join(
+        f"SUM(CASE WHEN grp = {g} THEN 1 ELSE 0 END) AS c{g}"
+        for g in range(1, _JT_K + 1))
+    cum_cols = ",\n           ".join(
+        f"SUM(c{g}) OVER (ORDER BY yc ROWS UNBOUNDED PRECEDING) AS cum{g}"
+        for g in range(1, _JT_K + 1))
+    j2_terms = " + ".join(
+        f"SUM(CAST(c{j} AS DECIMAL(38,0))"
+        f" * (2 * (cum{i} - c{i}) + c{i}))"
+        for i, j in _JT_PAIRS)
+    n_sums = ",\n           ".join(
+        f"SUM(c{g}) AS n{g}" for g in range(1, _JT_K + 1))
+    mean2 = " + ".join(f"CAST(n{i} AS DECIMAL(38,0)) * n{j}"
+                       for i, j in _JT_PAIRS)
+    g1 = " + ".join(
+        f"CAST(n{g} AS DECIMAL(38,0)) * (n{g} - 1) * (2 * n{g} + 5)"
+        for g in range(1, _JT_K + 1))
+    g2 = " + ".join(
+        f"CAST(n{g} AS DECIMAL(38,0)) * (n{g} - 1) * (n{g} - 2)"
+        for g in range(1, _JT_K + 1))
+    g3 = " + ".join(f"CAST(n{g} AS DECIMAL(38,0)) * (n{g} - 1)"
+                    for g in range(1, _JT_K + 1))
+    return f"""
+WITH units AS (
+    SELECT CAST(substr(o_orderpriority, 1, 1) AS INT) AS grp,
+           CAST({_Y_DEC} * 100 AS BIGINT) AS yc
+    FROM orders
+),
+vals AS (
+    SELECT yc, COUNT(*) AS cnt,
+           {cnt_cols}
+    FROM units GROUP BY yc
+),
+ranked AS (
+    SELECT *,
+           {cum_cols}
+    FROM vals
+),
+jsum AS (SELECT {j2_terms} AS j2 FROM ranked),
+gstat AS (
+    SELECT SUM(cnt) AS n, {n_sums},
+           SUM(CAST(cnt AS DECIMAL(38,0)) * (cnt - 1)
+               * (2 * cnt + 5)) AS t1,
+           SUM(CAST(cnt AS DECIMAL(38,0)) * (cnt - 1)
+               * (cnt - 2)) AS t2,
+           SUM(CAST(cnt AS DECIMAL(38,0)) * (cnt - 1)) AS t3
+    FROM vals
+),
+stat AS (
+    SELECT j2, n, {mean2} AS mean2,
+           CAST(n AS DOUBLE) AS nd,
+           CAST(CAST(CAST(n AS DECIMAL(38,0)) * (n - 1) * (2 * n + 5)
+                     - ({g1}) - t1 AS VARCHAR) AS DOUBLE) AS a_term,
+           CAST(CAST(({g2}) * t2 AS VARCHAR) AS DOUBLE) AS b_num,
+           CAST(CAST(({g3}) * t3 AS VARCHAR) AS DOUBLE) AS c_num
+    FROM jsum CROSS JOIN gstat
+),
+v AS (
+    SELECT j2, n, mean2,
+           CASE WHEN n < 3 THEN NULL
+                ELSE a_term / 72.0
+                     + b_num / (36.0 * nd * (nd - 1.0) * (nd - 2.0))
+                     + c_num / (8.0 * nd * (nd - 1.0)) END AS var_j
+    FROM stat
+)
+SELECT CAST(n AS BIGINT) AS n,
+       CAST(j2 AS BIGINT) AS j2_stat,
+       CAST(mean2 AS BIGINT) AS mean2_j,
+       CASE WHEN var_j IS NULL OR var_j <= 0.0 THEN NULL
+            ELSE {round_sql('sqrt(var_j)')} END AS sd_j,
+       CASE WHEN var_j IS NULL OR var_j <= 0.0 THEN NULL
+            ELSE {round_sql('(CAST(CAST(j2 AS VARCHAR) AS DOUBLE)'
+                            ' - CAST(CAST(mean2 AS VARCHAR) AS DOUBLE))'
+                            ' / (2.0 * sqrt(var_j))')} + 0.0
+       END AS z
+FROM v
+"""
+
+
+@register("jonckheere_terpstra_trend", lambda: _jt_oracle())
+def jonckheere_terpstra_trend(spark: SparkSession,
+                              sf_dir: str) -> DataFrame:
+    """Jonckheere-Terpstra test for a monotone trend of order value
+    across the ordered priority classes (tie-corrected null moments;
+    doubled counts keep everything integral until sd/z)."""
+    from travel_data_pipeline_spark.operators.windows import (
+        two_phase_ordered,
+    )
+
+    K, PAIRS = _JT_K, _JT_PAIRS
+    orders = load_table(spark, sf_dir, "orders")
+    units = orders.select(
+        F.substring("o_orderpriority", 1, 1).cast("int").alias("grp"),
+        (F.col("o_totalprice").cast("decimal(18,2)") * 100)
+        .cast("long").alias("yc"))
+    vals = units.groupBy("yc").agg(
+        F.count("*").alias("cnt"),
+        *[F.sum(F.when(F.col("grp") == g, 1).otherwise(0))
+          .alias(f"c{g}") for g in range(1, K + 1)])
+    ranked = two_phase_ordered(
+        vals, [F.col("yc").asc()],
+        bucket_on=F.col("yc").cast("double"),
+        cumsum_cols={f"c{g}": f"cum{g}" for g in range(1, K + 1)})
+    j2 = None
+    for i, j in PAIRS:
+        term = F.sum(F.col(f"c{j}").cast("decimal(38,0)")
+                     * (2 * (F.col(f"cum{i}") - F.col(f"c{i}"))
+                        + F.col(f"c{i}")))
+        j2 = term if j2 is None else j2 + term
+    jsum = ranked.agg(j2.alias("j2"))
+    gstat = vals.agg(
+        F.sum("cnt").cast("long").alias("n"),
+        *[F.sum(f"c{g}").cast("long").alias(f"n{g}")
+          for g in range(1, K + 1)],
+        F.sum(F.col("cnt").cast("decimal(38,0)") * (F.col("cnt") - 1)
+              * (2 * F.col("cnt") + 5)).alias("t1"),
+        F.sum(F.col("cnt").cast("decimal(38,0)") * (F.col("cnt") - 1)
+              * (F.col("cnt") - 2)).alias("t2"),
+        F.sum(F.col("cnt").cast("decimal(38,0)")
+              * (F.col("cnt") - 1)).alias("t3"))
+    stat = jsum.crossJoin(F.broadcast(gstat))
+    mean2 = None
+    for i, j in PAIRS:
+        t = F.col(f"n{i}").cast("decimal(38,0)") * F.col(f"n{j}")
+        mean2 = t if mean2 is None else mean2 + t
+    g1 = sum((F.col(f"n{g}").cast("decimal(38,0)")
+              * (F.col(f"n{g}") - 1) * (2 * F.col(f"n{g}") + 5)
+              for g in range(2, K + 1)),
+             F.col("n1").cast("decimal(38,0)") * (F.col("n1") - 1)
+             * (2 * F.col("n1") + 5))
+    g2 = sum((F.col(f"n{g}").cast("decimal(38,0)")
+              * (F.col(f"n{g}") - 1) * (F.col(f"n{g}") - 2)
+              for g in range(2, K + 1)),
+             F.col("n1").cast("decimal(38,0)") * (F.col("n1") - 1)
+             * (F.col("n1") - 2))
+    g3 = sum((F.col(f"n{g}").cast("decimal(38,0)")
+              * (F.col(f"n{g}") - 1) for g in range(2, K + 1)),
+             F.col("n1").cast("decimal(38,0)") * (F.col("n1") - 1))
+    nd = F.col("n").cast("double")
+    a_term = (F.col("n").cast("decimal(38,0)") * (F.col("n") - 1)
+              * (2 * F.col("n") + 5) - g1 - F.col("t1")) \
+        .cast("string").cast("double")
+    b_num = (g2 * F.col("t2")).cast("string").cast("double")
+    c_num = (g3 * F.col("t3")).cast("string").cast("double")
+    var_j = (F.when(F.col("n") < 3, F.lit(None).cast("double"))
+             .otherwise(a_term / 72.0
+                        + b_num / (36.0 * nd * (nd - 1.0) * (nd - 2.0))
+                        + c_num / (8.0 * nd * (nd - 1.0))))
+    stat = stat.select("n", "j2", mean2.alias("mean2"),
+                       var_j.alias("var_j"))
+    bad = F.col("var_j").isNull() | (F.col("var_j") <= 0.0)
+    nulld = F.lit(None).cast("double")
+    zz = ((F.col("j2").cast("string").cast("double")
+           - F.col("mean2").cast("string").cast("double"))
+          / (2.0 * F.sqrt("var_j")))
+    return stat.select(
+        "n",
+        F.col("j2").cast("long").alias("j2_stat"),
+        F.col("mean2").cast("long").alias("mean2_j"),
+        F.when(bad, nulld).otherwise(F.round(F.sqrt("var_j"), 6))
+        .alias("sd_j"),
+        F.when(bad, nulld).otherwise(F.round(zz, 6) + 0.0).alias("z"))
