@@ -552,3 +552,244 @@ def test_jonckheere_terpstra_matches_python(spark, sf_smoke):
     assert (row.n, row.j2_stat, row.mean2_j) == (n, j2, mean2)
     assert abs(row.sd_j - math.sqrt(var)) < 1e-4
     assert abs(row.z - z) < 1e-6
+
+
+# ---------------------------------------------------------------------------
+# Batch C python models — graph structure, inequality, intermittent
+# demand, distribution similarity.
+# ---------------------------------------------------------------------------
+
+
+def _copurchase_edges(spark, sf):
+    from collections import defaultdict
+
+    from travel_data_pipeline_spark.queries_affinity import (
+        MAX_BASKET,
+        MINSUP,
+    )
+    from travel_data_pipeline_spark.sources.readers import load_table
+
+    items = sorted({(r.l_orderkey, r.l_partkey) for r in
+                    load_table(spark, sf, "lineitem")
+                    .select("l_orderkey", "l_partkey").collect()})
+    baskets = defaultdict(list)
+    for o, p in items:
+        baskets[o].append(p)
+    pair_cnt = defaultdict(int)
+    for o, ps in baskets.items():
+        ps = sorted(ps)[:MAX_BASKET]
+        for i in range(len(ps)):
+            for j in range(i + 1, len(ps)):
+                pair_cnt[(ps[i], ps[j])] += 1
+    return {e for e, c in pair_cnt.items() if c >= MINSUP}
+
+
+def test_degree_assortativity_matches_python(spark, sf_smoke):
+    import math
+    from collections import Counter
+
+    from travel_data_pipeline_spark.queries_round16 import (
+        degree_assortativity,
+    )
+
+    edges = _copurchase_edges(spark, sf_smoke)
+    deg = Counter()
+    for u, v in edges:
+        deg[u] += 1
+        deg[v] += 1
+    xs, ys = [], []
+    for u, v in edges:
+        xs += [deg[u], deg[v]]
+        ys += [deg[v], deg[u]]
+    m = len(xs)
+    sx, sxx = sum(xs), sum(x * x for x in xs)
+    sxy = sum(x * y for x, y in zip(xs, ys))
+    want = (m * sxy - sx * sx) / (m * sxx - sx * sx)
+    row = degree_assortativity(spark, sf_smoke).collect()[0]
+    assert row.n_edges == len(edges)
+    assert row.n_nodes == len(deg)
+    assert abs(row.assortativity - want) < 1e-6
+    _ = math
+
+
+def test_adamic_adar_matches_python(spark, sf_smoke):
+    import math
+    from collections import defaultdict
+
+    from travel_data_pipeline_spark.queries_round16 import (
+        _AA_MAX_NEIGH,
+        _AA_TOPK,
+        adamic_adar_links,
+    )
+
+    edges = _copurchase_edges(spark, sf_smoke)
+    adj = defaultdict(list)
+    for u, v in edges:
+        adj[u].append(v)
+        adj[v].append(u)
+    adj = {k: sorted(vs)[:_AA_MAX_NEIGH] for k, vs in adj.items()}
+    deg = {k: len(vs) for k, vs in adj.items()}
+    common = defaultdict(list)
+    for z, nbrs in adj.items():
+        for i in range(len(nbrs)):
+            for j in range(i + 1, len(nbrs)):
+                a, b = nbrs[i], nbrs[j]
+                if (a, b) not in edges:
+                    common[(a, b)].append(z)
+    ranked = sorted(common.items(),
+                    key=lambda kv: (-len(kv[1]), kv[0]))[:_AA_TOPK]
+    got = {(r.part_a, r.part_b): r for r in
+           adamic_adar_links(spark, sf_smoke).collect()}
+    assert len(got) == min(_AA_TOPK, len(common))
+    for rnk, ((a, b), zs) in enumerate(ranked, 1):
+        r = got[(a, b)]
+        assert r.rnk == rnk
+        assert r.common_neighbors == len(zs)
+        assert (r.deg_a, r.deg_b) == (deg[a], deg[b])
+        want_j = len(zs) / (deg[a] + deg[b] - len(zs))
+        want_aa = sum(1.0 / math.log(deg[z]) for z in zs)
+        assert abs(r.jaccard - want_j) < 1e-6
+        assert abs(r.adamic_adar - want_aa) < 1e-6
+
+
+def test_ge2_decomposition_matches_python(spark, sf_smoke):
+    from collections import defaultdict
+    from decimal import Decimal
+
+    from travel_data_pipeline_spark.queries_round16 import (
+        ge2_inequality_decomposition,
+    )
+    from travel_data_pipeline_spark.sources.readers import load_table
+
+    nat = {r.c_custkey: r.c_nationkey for r in
+           load_table(spark, sf_smoke, "customer").collect()}
+    rev = defaultdict(Decimal)
+    for r in (load_table(spark, sf_smoke, "orders")
+              .select("o_custkey", "o_totalprice").collect()):
+        rev[r.o_custkey] += Decimal(str(round(r.o_totalprice, 2)))
+    groups = defaultdict(list)
+    for ck, x in rev.items():
+        groups[nat[ck]].append(float(x))
+    allx = [x for xs in groups.values() for x in xs]
+    n = len(allx)
+    mu = sum(allx) / n
+
+    def ge2(xs):
+        m = sum(xs) / len(xs)
+        return (sum((x / m) ** 2 for x in xs) / len(xs) - 1) / 2
+
+    total = ge2(allx)
+    between = (sum(len(xs) * (sum(xs) / len(xs)) ** 2
+                   for xs in groups.values()) / n / mu ** 2 - 1) / 2
+    within = sum((len(xs) / n) * ((sum(xs) / len(xs)) / mu) ** 2
+                 * ge2(xs) for xs in groups.values())
+    # additive decomposition identity
+    assert abs(total - (between + within)) < 1e-9
+    row = ge2_inequality_decomposition(spark, sf_smoke).collect()[0]
+    assert (row.n, row.n_nations) == (n, len(groups))
+    assert abs(row.ge2_total - total) < 1e-5
+    assert abs(row.ge2_between - between) < 1e-5
+    assert abs(row.ge2_within - within) < 1e-5
+
+
+def test_croston_matches_python(spark, sf_smoke):
+    from collections import defaultdict
+    from decimal import ROUND_HALF_UP, Decimal
+
+    from travel_data_pipeline_spark.queries_round16 import (
+        croston_intermittent_demand,
+    )
+    from travel_data_pipeline_spark.sources.readers import load_table
+
+    odate = {r.o_orderkey: r.o_orderdate.date() for r in
+             load_table(spark, sf_smoke, "orders").collect()}
+    brand = {r.p_partkey: r.p_brand for r in
+             load_table(spark, sf_smoke, "part").collect()}
+    dem = defaultdict(Decimal)
+    for r in (load_table(spark, sf_smoke, "lineitem")
+              .select("l_orderkey", "l_partkey", "l_quantity")
+              .collect()):
+        dem[(brand[r.l_partkey], odate[r.l_orderkey])] += \
+            Decimal(str(round(r.l_quantity, 2)))
+    series = defaultdict(list)
+    for (b, d), z in sorted(dem.items()):
+        series[b].append((d, z))
+    a, a1 = Decimal("0.2"), Decimal("0.8")
+    q6 = Decimal("0.000001")
+
+    def rnd(x):
+        return x.quantize(q6, rounding=ROUND_HALF_UP)
+
+    got = {r.brand: r for r in
+           croston_intermittent_demand(spark, sf_smoke).collect()}
+    assert set(got) == set(series)
+    for b, pts in series.items():
+        zs, ps = pts[0][1], Decimal(1)
+        prev_d = pts[0][0]
+        for d, z in pts[1:]:
+            gap = Decimal((d - prev_d).days)
+            zs = rnd(a * z + a1 * zs)
+            ps = rnd(a * gap + a1 * ps)
+            prev_d = d
+        r = got[b]
+        assert r.n_demand_days == len(pts)
+        assert abs(r.total_qty - float(sum(z for _, z in pts))) < 1e-9
+        assert abs(r.z_level - float(zs)) < 1e-9
+        assert abs(r.p_interval - float(ps)) < 1e-9
+        assert abs(r.forecast - float(zs) / float(ps)) < 1e-5
+        assert abs(r.forecast_sba
+                   - 0.9 * float(zs) / float(ps)) < 1e-5
+
+
+def test_jsd_source_matches_python(spark, sf_smoke):
+    import math
+    import re
+    from collections import Counter, defaultdict
+
+    from travel_data_pipeline_spark.queries_round16 import (
+        _JSD_OTHER,
+        _JSD_TOPV,
+        jsd_source_topterms,
+    )
+    from travel_data_pipeline_spark.sources.readers import load_table
+
+    docs = (load_table(spark, sf_smoke, "documents")
+            .select("source", "text").collect())
+    vocab = Counter()
+    per_src = defaultdict(Counter)
+    for r in docs:
+        toks = [t for t in
+                re.sub(r"\s+", " ", r.text.lower()).strip().split(" ")
+                if t]
+        vocab.update(toks)
+        per_src[r.source].update(toks)
+    top = {t for t, _ in sorted(vocab.items(),
+                                key=lambda kv: (-kv[1], kv[0]))[:_JSD_TOPV]}
+    bucketed = {}
+    for s, c in per_src.items():
+        bc = Counter()
+        for t, n in c.items():
+            bc[t if t in top else _JSD_OTHER] += n
+        bucketed[s] = bc
+    srcs = sorted(bucketed)
+    buckets = sorted({b for c in bucketed.values() for b in c})
+    got = {(r.source_a, r.source_b): r.jsd_bits for r in
+           jsd_source_topterms(spark, sf_smoke).collect()}
+    assert len(got) == len(srcs) * (len(srcs) - 1) // 2
+    for i in range(len(srcs)):
+        for j in range(i + 1, len(srcs)):
+            sa, sb = srcs[i], srcs[j]
+            t1 = sum(bucketed[sa].values())
+            t2 = sum(bucketed[sb].values())
+            s = 0.0
+            for bk in buckets:
+                p = bucketed[sa].get(bk, 0) / t1
+                q = bucketed[sb].get(bk, 0) / t2
+                m = (p + q) / 2
+                if p > 0:
+                    s += p * math.log(p / m)
+                if q > 0:
+                    s += q * math.log(q / m)
+            want = s / 2 / math.log(2)
+            assert abs(got[(sa, sb)] - want) < 1e-6
+            assert -1e-9 <= got[(sa, sb)] <= 1.0 + 1e-9  # JSD in [0,1] bits

@@ -1332,3 +1332,637 @@ def jonckheere_terpstra_trend(spark: SparkSession,
         F.when(bad, nulld).otherwise(F.round(F.sqrt("var_j"), 6))
         .alias("sd_j"),
         F.when(bad, nulld).otherwise(F.round(zz, 6) + 0.0).alias("z"))
+
+
+# ---------------------------------------------------------------------------
+# Batch C — graph structure, inequality decomposition, intermittent
+# demand, and source-distribution similarity.
+# ---------------------------------------------------------------------------
+
+# --- degree assortativity of the co-purchase graph -------------------------
+#
+# Newman (2002, public) assortativity r = Pearson correlation of the
+# endpoint degrees over the DIRECTED edge list (each undirected
+# co-purchase edge contributes both orientations, so sx = sy and the
+# symmetric 3-sum form applies).  Every moment is an exact decimal:
+#   r = (m * sxy - sx^2) / (m * sxx - sx^2)
+# with m = 2|E|.  Reuses queries_affinity's support-filtered capped
+# pair relation (part_a < part_b); degrees are distinct-neighbor
+# counts.  Scale shape: edges join the node-degree relation twice on
+# the edge keys (shuffle joins AQE can re-plan); the quadratic pair
+# expansion is already basket-capped upstream.
+# ---------------------------------------------------------------------------
+
+def _da_oracle() -> str:
+    from travel_data_pipeline_spark.queries_affinity import _PAIRS_SQL
+
+    return f"""
+WITH {_PAIRS_SQL},
+edges AS (SELECT part_a AS u, part_b AS v FROM pair_counts),
+deg AS (
+    SELECT node, COUNT(*) AS d FROM (
+        SELECT u AS node FROM edges UNION ALL SELECT v FROM edges
+    ) GROUP BY node
+),
+directed AS (
+    SELECT du.d AS x, dv.d AS y
+    FROM edges e JOIN deg du ON du.node = e.u
+                 JOIN deg dv ON dv.node = e.v
+    UNION ALL
+    SELECT dv.d AS x, du.d AS y
+    FROM edges e JOIN deg du ON du.node = e.u
+                 JOIN deg dv ON dv.node = e.v
+),
+sums AS (
+    SELECT COUNT(*) AS m,
+           SUM(CAST(x AS DECIMAL(38,0))) AS sx,
+           SUM(CAST(x AS DECIMAL(38,0)) * x) AS sxx,
+           SUM(CAST(x AS DECIMAL(38,0)) * y) AS sxy
+    FROM directed
+),
+t AS (
+    SELECT m, CAST(m AS DOUBLE) AS md,
+           CAST(CAST(sx AS VARCHAR) AS DOUBLE) AS sxd,
+           CAST(CAST(sxx AS VARCHAR) AS DOUBLE) AS sxxd,
+           CAST(CAST(sxy AS VARCHAR) AS DOUBLE) AS sxyd
+    FROM sums
+)
+SELECT CAST(m / 2 AS BIGINT) AS n_edges,
+       (SELECT CAST(COUNT(*) AS BIGINT) FROM deg) AS n_nodes,
+       CASE WHEN m = 0 OR md * sxxd - sxd * sxd <= 0.0 THEN NULL
+            ELSE {round_sql('(md * sxyd - sxd * sxd)'
+                            ' / (md * sxxd - sxd * sxd)')} + 0.0
+       END AS assortativity
+FROM t
+"""
+
+
+@register("degree_assortativity", lambda: _da_oracle())
+def degree_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Degree assortativity coefficient of the support-filtered
+    co-purchase graph (Pearson correlation of endpoint degrees over
+    the directed edge list; exact integer moments)."""
+    from travel_data_pipeline_spark.queries_affinity import (
+        _order_items,
+        _pair_counts,
+    )
+
+    edges = (_pair_counts(_order_items(spark, sf_dir))
+             .select(F.col("part_a").alias("u"),
+                     F.col("part_b").alias("v")))
+    deg = (edges.select(F.col("u").alias("node"))
+           .unionAll(edges.select(F.col("v").alias("node")))
+           .groupBy("node").agg(F.count("*").alias("d")))
+    du = deg.select(F.col("node").alias("u"), F.col("d").alias("dx"))
+    dv = deg.select(F.col("node").alias("v"), F.col("d").alias("dy"))
+    joined = edges.join(du, "u").join(dv, "v")
+    directed = (joined.select(F.col("dx").alias("x"),
+                              F.col("dy").alias("y"))
+                .unionAll(joined.select(F.col("dy").alias("x"),
+                                        F.col("dx").alias("y"))))
+    xd = F.col("x").cast("decimal(38,0)")
+    sums = directed.agg(
+        F.count("*").cast("long").alias("m"),
+        F.sum(xd).alias("sx"),
+        F.sum(xd * F.col("x")).alias("sxx"),
+        F.sum(xd * F.col("y")).alias("sxy"))
+    n_nodes = deg.agg(F.count("*").cast("long").alias("n_nodes"))
+    md = F.col("m").cast("double")
+    sxd = F.col("sx").cast("string").cast("double")
+    sxxd = F.col("sxx").cast("string").cast("double")
+    sxyd = F.col("sxy").cast("string").cast("double")
+    r = F.when((F.col("m") == 0)
+               | (md * sxxd - sxd * sxd <= 0.0),
+               F.lit(None).cast("double")).otherwise(
+        (md * sxyd - sxd * sxd) / (md * sxxd - sxd * sxd))
+    return (sums.crossJoin(F.broadcast(n_nodes))
+            .select((F.col("m") / 2).cast("long").alias("n_edges"),
+                    "n_nodes",
+                    (F.round(r, 6) + 0.0).alias("assortativity")))
+
+
+# --- Adamic-Adar / Jaccard link prediction on the co-purchase graph --------
+#
+# Top-K NON-edge part pairs by common-neighbor count, scored with
+# Jaccard and Adamic-Adar sum_z 1/ln(deg z) (Adamic & Adar 2003;
+# Liben-Nowell & Kleinberg 2003 — public).  Scale discipline:
+#   * adjacency is the support-filtered capped pair relation, and each
+#    node's neighbor list is additionally capped at MAX_NEIGH (ordered
+#    by neighbor id, mirrored in the oracle) so the two-hop expansion
+#    is bounded at MAX_NEIGH^2 pairs per hub — the LSH max_bucket
+#    pattern; degrees are counted on the SAME capped adjacency so the
+#    statistic is self-consistent;
+#   * the top-K selection is orderBy(cn DESC, a, b).limit(K) —
+#     TakeOrderedAndProject, distributed (O3 family);
+#   * the AA ln-fold runs only for the K winner pairs (z-sorted
+#     position-pinned fold; every common neighbor has deg >= 2 so
+#     ln(deg) > 0).
+# ---------------------------------------------------------------------------
+
+_AA_TOPK = 20
+_AA_MAX_NEIGH = 256
+
+
+def _aa_oracle() -> str:
+    from travel_data_pipeline_spark.queries_affinity import _PAIRS_SQL
+
+    return f"""
+WITH {_PAIRS_SQL},
+adj0 AS (
+    SELECT part_a AS s, part_b AS t FROM pair_counts
+    UNION ALL
+    SELECT part_b AS s, part_a AS t FROM pair_counts
+),
+adj AS (
+    SELECT s, t FROM (
+        SELECT s, t, row_number() OVER (PARTITION BY s ORDER BY t) AS rn
+        FROM adj0)
+    WHERE rn <= {_AA_MAX_NEIGH}
+),
+deg AS (SELECT s AS node, COUNT(*) AS d FROM adj GROUP BY s),
+cand AS (
+    SELECT n1.t AS a, n2.t AS b, n1.s AS z
+    FROM adj n1 JOIN adj n2 ON n1.s = n2.s AND n1.t < n2.t
+),
+nonedge AS (
+    SELECT c.* FROM cand c
+    LEFT JOIN pair_counts e ON e.part_a = c.a AND e.part_b = c.b
+    WHERE e.part_a IS NULL
+),
+cn AS (
+    SELECT a, b, COUNT(*) AS common_neighbors FROM nonedge GROUP BY a, b
+),
+top AS (
+    SELECT a, b, common_neighbors,
+           row_number() OVER (ORDER BY common_neighbors DESC, a, b)
+             AS rnk
+    FROM cn
+    QUALIFY rnk <= {_AA_TOPK}
+),
+aa AS (
+    SELECT n.a, n.b,
+           list_reduce(list_prepend(0.0,
+               list(1.0 / ln(CAST(dz.d AS DOUBLE)) ORDER BY n.z)),
+               (x, y) -> x + y) AS adamic_adar
+    FROM nonedge n
+    JOIN top tp ON tp.a = n.a AND tp.b = n.b
+    JOIN deg dz ON dz.node = n.z
+    GROUP BY n.a, n.b
+)
+SELECT t.a AS part_a, t.b AS part_b, t.common_neighbors,
+       da.d AS deg_a, db.d AS deg_b,
+       {round_sql('CAST(t.common_neighbors AS DOUBLE)'
+                  ' / (da.d + db.d - t.common_neighbors)')} AS jaccard,
+       {round_sql('aa.adamic_adar')} AS adamic_adar,
+       CAST(t.rnk AS INT) AS rnk
+FROM top t
+JOIN deg da ON da.node = t.a
+JOIN deg db ON db.node = t.b
+JOIN aa ON aa.a = t.a AND aa.b = t.b
+"""
+
+
+@register("adamic_adar_links", lambda: _aa_oracle())
+def adamic_adar_links(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-K non-edge co-purchase part pairs by common-neighbor count
+    with Jaccard and Adamic-Adar link-prediction scores."""
+    from pyspark.sql import Window
+
+    from travel_data_pipeline_spark.queries_affinity import (
+        _order_items,
+        _pair_counts,
+    )
+
+    edges = _pair_counts(_order_items(spark, sf_dir)).select(
+        "part_a", "part_b")
+    adj0 = (edges.select(F.col("part_a").alias("s"),
+                         F.col("part_b").alias("t"))
+            .unionAll(edges.select(F.col("part_b").alias("s"),
+                                   F.col("part_a").alias("t"))))
+    w = Window.partitionBy("s").orderBy("t")
+    adj = (adj0.withColumn("rn", F.row_number().over(w))
+           .filter(F.col("rn") <= _AA_MAX_NEIGH).drop("rn"))
+    deg = adj.groupBy(F.col("s").alias("node")).agg(
+        F.count("*").alias("d"))
+    n1 = adj.select(F.col("s").alias("z"), F.col("t").alias("a"))
+    n2 = adj.select(F.col("s").alias("z"), F.col("t").alias("b"))
+    cand = n1.join(n2, "z").filter(F.col("a") < F.col("b"))
+    nonedge = cand.join(
+        edges, (cand.a == edges.part_a) & (cand.b == edges.part_b),
+        "left_anti")
+    cn = nonedge.groupBy("a", "b").agg(
+        F.count("*").alias("common_neighbors"))
+    top = (cn.orderBy(F.col("common_neighbors").desc(), "a", "b")
+           .limit(_AA_TOPK)
+           .withColumn("rnk", F.row_number().over(
+               Window.orderBy(F.col("common_neighbors").desc(),
+                              "a", "b"))))
+    aa = (nonedge.join(F.broadcast(top.select("a", "b")), ["a", "b"])
+          .join(deg.select(F.col("node").alias("z"),
+                           F.col("d").alias("dz")), "z")
+          .groupBy("a", "b")
+          .agg(F.aggregate(
+              F.array_sort(F.collect_list(F.struct("z", "dz"))),
+              F.lit(0.0),
+              lambda acc, x: acc + F.lit(1.0)
+              / F.log(x["dz"].cast("double"))).alias("adamic_adar")))
+    da = deg.select(F.col("node").alias("a"), F.col("d").alias("deg_a"))
+    db = deg.select(F.col("node").alias("b"), F.col("d").alias("deg_b"))
+    out = (top.join(F.broadcast(aa), ["a", "b"])
+           .join(da, "a").join(db, "b"))
+    jac = (F.col("common_neighbors").cast("double")
+           / (F.col("deg_a") + F.col("deg_b")
+              - F.col("common_neighbors")))
+    return out.select(
+        F.col("a").alias("part_a"), F.col("b").alias("part_b"),
+        "common_neighbors", "deg_a", "deg_b",
+        F.round(jac, 6).alias("jaccard"),
+        F.round("adamic_adar", 6).alias("adamic_adar"),
+        F.col("rnk").cast("int"))
+
+
+# --- Generalized-entropy GE(2) inequality decomposition ---------------------
+#
+# GE(2) = (1/2) * ((1/n) * sum (x/mu)^2 - 1) — half the squared
+# coefficient of variation — is the member of the generalized-entropy
+# family (Shorrocks 1980, public) that decomposes additively as
+#   GE2_total = GE2_between + sum_g (n_g/n) (mu_g/mu)^2 GE2_g
+# WITHOUT any logarithms, so every group moment (n_g, sum x, sum x^2)
+# is an exact decimal and only the final combination is a double
+# tree.  The two cross-nation sums are position-pinned folds over the
+# 25-row nation relation (nationkey-sorted).  gini_customer_revenue
+# gives the rank-based view; this is the decomposable one.
+# ---------------------------------------------------------------------------
+
+@register("ge2_inequality_decomposition", f"""
+WITH rev AS (
+    SELECT o_custkey, SUM({_Y_DEC}) AS r FROM orders GROUP BY o_custkey
+),
+pern AS (
+    SELECT c.c_nationkey AS nk, COUNT(*) AS n_g,
+           SUM(rev.r) AS s_g,
+           SUM(CAST(rev.r AS DECIMAL(18,2)) * rev.r) AS q_g
+    FROM rev JOIN customer c ON c.c_custkey = rev.o_custkey
+    GROUP BY c.c_nationkey
+),
+pern_d AS (
+    SELECT nk, n_g,
+           CAST(CAST(s_g AS VARCHAR) AS DOUBLE) AS sgd,
+           CAST(CAST(q_g AS VARCHAR) AS DOUBLE) AS qgd
+    FROM pern
+),
+tot AS (
+    SELECT CAST(SUM(n_g) AS BIGINT) AS n,
+           CAST(COUNT(*) AS BIGINT) AS n_nations,
+           CAST(CAST(SUM(s_g) AS VARCHAR) AS DOUBLE) AS sd,
+           CAST(CAST(SUM(q_g) AS VARCHAR) AS DOUBLE) AS qd
+    FROM pern
+),
+folds AS (
+    SELECT
+        list_reduce(list_prepend(0.0,
+            list(sgd * sgd / n_g ORDER BY nk)), (x, y) -> x + y)
+          AS sum_b,
+        list_reduce(list_prepend(0.0,
+            list((CAST(n_g AS DOUBLE) / tot.n)
+                 * ((sgd / n_g) / (tot.sd / tot.n))
+                 * ((sgd / n_g) / (tot.sd / tot.n))
+                 * ((n_g * qgd / (sgd * sgd) - 1.0) / 2.0)
+                 ORDER BY nk)), (x, y) -> x + y) AS sum_w
+    FROM pern_d CROSS JOIN tot
+    GROUP BY tot.n, tot.sd
+)
+SELECT tot.n, tot.n_nations,
+       {round_sql('(tot.n * tot.qd / (tot.sd * tot.sd) - 1.0) / 2.0')}
+         AS ge2_total,
+       {round_sql('(tot.n * folds.sum_b / (tot.sd * tot.sd) - 1.0)'
+                  ' / 2.0')} AS ge2_between,
+       {round_sql('folds.sum_w')} AS ge2_within
+FROM tot CROSS JOIN folds
+""")
+def ge2_inequality_decomposition(spark: SparkSession,
+                                 sf_dir: str) -> DataFrame:
+    """GE(2) (half squared CV) of per-customer revenue, additively
+    decomposed between/within nations — log-free exact moments."""
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_nationkey")
+    rev = (orders.groupBy("o_custkey")
+           .agg(F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+                .cast("decimal(18,2)").alias("r")))
+    pern = (rev.join(cust, rev.o_custkey == cust.c_custkey)
+            .groupBy(F.col("c_nationkey").alias("nk"))
+            .agg(F.count("*").alias("n_g"),
+                 F.sum("r").alias("s_g"),
+                 F.sum(F.col("r") * F.col("r")).alias("q_g")))
+    pern_d = pern.select(
+        "nk", "n_g",
+        F.col("s_g").cast("string").cast("double").alias("sgd"),
+        F.col("q_g").cast("string").cast("double").alias("qgd"))
+    tot = pern.agg(
+        F.sum("n_g").cast("long").alias("n"),
+        F.count("*").cast("long").alias("n_nations"),
+        F.sum("s_g").cast("string").cast("double").alias("sd"),
+        F.sum("q_g").cast("string").cast("double").alias("qd"))
+    joined = pern_d.crossJoin(F.broadcast(tot))
+    nd = F.col("n").cast("double")
+    mu = F.col("sd") / nd
+    ngd = F.col("n_g").cast("double")
+    term_b = F.col("sgd") * F.col("sgd") / F.col("n_g")
+    mu_g = F.col("sgd") / F.col("n_g")
+    ge2_g = (F.col("n_g") * F.col("qgd")
+             / (F.col("sgd") * F.col("sgd")) - 1.0) / 2.0
+    term_w = (ngd / F.col("n")) * (mu_g / mu) * (mu_g / mu) * ge2_g
+    folds = (joined.groupBy("n", "sd")
+             .agg(F.aggregate(
+                 F.array_sort(F.collect_list(
+                     F.struct("nk", term_b.alias("tb")))),
+                 F.lit(0.0), lambda a, x: a + x["tb"]).alias("sum_b"),
+                 F.aggregate(
+                 F.array_sort(F.collect_list(
+                     F.struct("nk", term_w.alias("tw")))),
+                 F.lit(0.0), lambda a, x: a + x["tw"]).alias("sum_w")))
+    out = tot.crossJoin(F.broadcast(folds.select("sum_b", "sum_w")))
+    ge2_total = (F.col("n") * F.col("qd")
+                 / (F.col("sd") * F.col("sd")) - 1.0) / 2.0
+    ge2_between = (F.col("n") * F.col("sum_b")
+                   / (F.col("sd") * F.col("sd")) - 1.0) / 2.0
+    return out.select(
+        "n", "n_nations",
+        F.round(ge2_total, 6).alias("ge2_total"),
+        F.round(ge2_between, 6).alias("ge2_between"),
+        F.round(F.col("sum_w"), 6).alias("ge2_within"))
+
+
+# --- Croston's method for intermittent per-brand demand ---------------------
+#
+# Sparse-demand forecasting (Croston 1972; SBA correction Syntetos &
+# Boylan 2005 — public): two exponential smoothers over NONZERO-demand
+# days only —
+#   Z_j = round(A * z_j + (1-A) * Z_{j-1}, 6)      (demand size)
+#   P_j = round(A * i_j + (1-A) * P_{j-1}, 6)      (inter-arrival gap)
+# with init Z_1 = z_1, P_1 = 1, i_j = day_j - day_{j-1}; forecast per
+# period = Z/P, SBA-corrected = (1 - A/2) * Z/P.
+#
+# Exact-decimal recurrence discipline (holt_winters precedent): every
+# state is DECIMAL(18,6) re-rounded each step, so the Spark array fold
+# and the DuckDB recursive walk produce identical numbers; only the
+# final ratios are doubles.  Scale shape: one corpus-sized grouped
+# sum; the per-brand fold runs over that brand's nonzero DAY list —
+# day-grid-bounded, never row-scaled.
+# ---------------------------------------------------------------------------
+
+_CR_A, _CR_A1 = "0.2", "0.8"
+
+
+def _croston_oracle() -> str:
+    a = f"CAST({_CR_A} AS DECIMAL(9,6))"
+    a1 = f"CAST({_CR_A1} AS DECIMAL(9,6))"
+    zt = (f"CAST(round({a} * CAST(g.z AS DECIMAL(18,6))"
+          f" + {a1} * w.zs, 6) AS DECIMAL(18,6))")
+    pt = (f"CAST(round({a} * CAST(date_diff('day', w.day, g.day)"
+          f" AS DECIMAL(18,6)) + {a1} * w.ps, 6) AS DECIMAL(18,6))")
+    return f"""
+WITH RECURSIVE nz AS MATERIALIZED (
+    SELECT p.p_brand AS brand, CAST(o.o_orderdate AS DATE) AS day,
+           SUM(CAST(l.l_quantity AS DECIMAL(18,2))) AS z
+    FROM lineitem l
+    JOIN orders o ON o.o_orderkey = l.l_orderkey
+    JOIN part p ON p.p_partkey = l.l_partkey
+    GROUP BY brand, day
+),
+idx AS MATERIALIZED (
+    SELECT *, row_number() OVER (PARTITION BY brand ORDER BY day) AS rn
+    FROM nz
+),
+walk AS (
+    SELECT brand, day, rn,
+           CAST(z AS DECIMAL(18,6)) AS zs,
+           CAST(1 AS DECIMAL(18,6)) AS ps
+    FROM idx WHERE rn = 1
+    UNION ALL
+    SELECT g.brand, g.day, g.rn, {zt} AS zs, {pt} AS ps
+    FROM idx g JOIN walk w ON g.brand = w.brand AND g.rn = w.rn + 1
+),
+fin AS (
+    SELECT brand, zs, ps,
+           row_number() OVER (PARTITION BY brand ORDER BY rn DESC) AS rr
+    FROM walk
+),
+stats AS (
+    SELECT brand, COUNT(*) AS n_demand_days,
+           CAST(CAST(SUM(z) AS VARCHAR) AS DOUBLE) AS total_qty
+    FROM nz GROUP BY brand
+)
+SELECT s.brand, CAST(s.n_demand_days AS BIGINT) AS n_demand_days,
+       s.total_qty,
+       CAST(f.zs AS DOUBLE) AS z_level,
+       CAST(f.ps AS DOUBLE) AS p_interval,
+       {round_sql('CAST(f.zs AS DOUBLE) / CAST(f.ps AS DOUBLE)')}
+         AS forecast,
+       {round_sql(f'(1.0 - {_CR_A} / 2.0)'
+                  ' * CAST(f.zs AS DOUBLE) / CAST(f.ps AS DOUBLE)')}
+         AS forecast_sba
+FROM stats s JOIN fin f ON f.brand = s.brand AND f.rr = 1
+"""
+
+
+@register("croston_intermittent_demand", lambda: _croston_oracle())
+def croston_intermittent_demand(spark: SparkSession,
+                                sf_dir: str) -> DataFrame:
+    """Croston/SBA intermittent-demand state per part brand from the
+    nonzero daily-demand series (exact DECIMAL(18,6) recurrence)."""
+    a = F.expr(f"CAST({_CR_A} AS DECIMAL(9,6))")
+    a1 = F.expr(f"CAST({_CR_A1} AS DECIMAL(9,6))")
+
+    def dec(c):
+        return c.cast("decimal(18,6)")
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey", "l_quantity")
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", F.col("o_orderdate").cast("date").alias("day"))
+    part = load_table(spark, sf_dir, "part").select(
+        "p_partkey", F.col("p_brand").alias("brand"))
+    nz = (li.join(orders, li.l_orderkey == orders.o_orderkey)
+          .join(part, li.l_partkey == part.p_partkey)
+          .groupBy("brand", "day")
+          .agg(F.sum(F.col("l_quantity").cast("decimal(18,2)"))
+               .cast("decimal(18,2)").alias("z")))
+    g = (nz.groupBy("brand")
+         .agg(F.array_sort(F.collect_list(F.struct("day", "z")))
+              .alias("s"),
+              F.count("*").cast("long").alias("n_demand_days"),
+              F.sum("z").cast("string").cast("double")
+              .alias("total_qty")))
+    seed = F.array(F.struct(
+        F.element_at("s", 1)["day"].alias("day"),
+        dec(F.element_at("s", 1)["z"]).alias("zs"),
+        dec(F.lit(1.0)).alias("ps")))
+
+    def step(acc, x):
+        prev = F.element_at(acc, -1)
+        interval = dec(F.datediff(x["day"], prev["day"]))
+        return F.array_append(acc, F.struct(
+            x["day"].alias("day"),
+            dec(F.round(a * dec(x["z"]) + a1 * prev["zs"], 6))
+            .alias("zs"),
+            dec(F.round(a * interval + a1 * prev["ps"], 6))
+            .alias("ps")))
+
+    folded = F.element_at(
+        F.aggregate(F.slice("s", 2, F.greatest(F.size("s") - 1,
+                                               F.lit(0))),
+                    seed, step), -1)
+    out = g.select("brand", "n_demand_days", "total_qty",
+                   folded["zs"].cast("double").alias("z_level"),
+                   folded["ps"].cast("double").alias("p_interval"))
+    fc = F.col("z_level") / F.col("p_interval")
+    return out.select(
+        "brand", "n_demand_days", "total_qty",
+        "z_level", "p_interval",
+        F.round(fc, 6).alias("forecast"),
+        F.round((1.0 - float(_CR_A) / 2.0) * fc, 6)
+        .alias("forecast_sba"))
+
+
+# --- Jensen-Shannon divergence between source unigram distributions --------
+#
+# Mixture-similarity readout for corpus curation (Lin 1991, public):
+# per-source token distributions over the global top-TOPV terms plus
+# an <OTHER> bucket (so distributions are BOUNDED 1+TOPV-dimensional
+# regardless of vocabulary growth), then for every source pair
+#   JSD = 0.5 * sum p ln(p/m) + 0.5 * sum q ln(q/m),  m = (p+q)/2
+# in bits.  Per-bucket terms share ONE ln spelling; the per-pair
+# cross-bucket sum is a position-pinned fold (bucket-sorted).  Scale
+# shape: token counting is the corpus-sized pass; everything after
+# operates on |sources| x (TOPV+1) rows.  Top-TOPV selection is
+# TakeOrdered (cnt DESC, token) — distributed, total order.
+# ---------------------------------------------------------------------------
+
+_JSD_TOPV = 100
+_JSD_OTHER = "<OTHER>"
+
+
+def _jsd_oracle() -> str:
+    import math
+
+    ln2 = repr(math.log(2.0))
+    term = ("(CASE WHEN c1 = 0 THEN 0.0 ELSE (CAST(c1 AS DOUBLE) / t1)"
+            " * ln((CAST(c1 AS DOUBLE) / t1) / ((CAST(c1 AS DOUBLE) / t1"
+            " + CAST(c2 AS DOUBLE) / t2) / 2.0)) END"
+            " + CASE WHEN c2 = 0 THEN 0.0 ELSE (CAST(c2 AS DOUBLE) / t2)"
+            " * ln((CAST(c2 AS DOUBLE) / t2) / ((CAST(c1 AS DOUBLE) / t1"
+            " + CAST(c2 AS DOUBLE) / t2) / 2.0)) END)")
+    return f"""
+WITH toks AS MATERIALIZED (
+    SELECT source, unnest(list_filter(string_split(
+               trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' '),
+               x -> x <> '')) AS token
+    FROM documents
+),
+vocab AS (
+    SELECT token, COUNT(*) AS cnt FROM toks GROUP BY token
+),
+top AS (
+    SELECT token FROM (
+        SELECT token, row_number() OVER (ORDER BY cnt DESC, token) AS rn
+        FROM vocab) WHERE rn <= {_JSD_TOPV}
+),
+bucketed AS MATERIALIZED (
+    SELECT t.source,
+           CASE WHEN tp.token IS NULL THEN '{_JSD_OTHER}'
+                ELSE t.token END AS bucket,
+           COUNT(*) AS c
+    FROM toks t LEFT JOIN top tp ON tp.token = t.token
+    GROUP BY 1, 2
+),
+totals AS (SELECT source, SUM(c) AS t FROM bucketed GROUP BY source),
+buckets AS (SELECT DISTINCT bucket FROM bucketed),
+pairs AS (
+    SELECT a.source AS source_a, b.source AS source_b,
+           a.t AS t1, b.t AS t2
+    FROM totals a JOIN totals b ON a.source < b.source
+),
+grid AS (
+    SELECT p.source_a, p.source_b, p.t1, p.t2, bk.bucket,
+           COALESCE(c1.c, 0) AS c1, COALESCE(c2.c, 0) AS c2
+    FROM pairs p CROSS JOIN buckets bk
+    LEFT JOIN bucketed c1 ON c1.source = p.source_a
+                          AND c1.bucket = bk.bucket
+    LEFT JOIN bucketed c2 ON c2.source = p.source_b
+                          AND c2.bucket = bk.bucket
+),
+folded AS (
+    SELECT source_a, source_b,
+           list_reduce(list_prepend(0.0, list({term} ORDER BY bucket)),
+                       (x, y) -> x + y) AS s
+    FROM grid GROUP BY source_a, source_b
+)
+SELECT source_a, source_b,
+       {round_sql(f's / 2.0 / {ln2}')} + 0.0 AS jsd_bits
+FROM folded
+"""
+
+
+@register("jsd_source_topterms", lambda: _jsd_oracle())
+def jsd_source_topterms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise Jensen-Shannon divergence (bits) between per-source
+    unigram distributions over the global top-100 terms + <OTHER>."""
+    import math
+
+    from travel_data_pipeline_spark.operators import dedup, text
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "source",
+        F.explode(F.filter(text.token_array(
+            dedup.normalize_text(F.col("text"))),
+            lambda t: t != "")).alias("token"))
+    vocab = toks.groupBy("token").agg(F.count("*").alias("cnt"))
+    top = (vocab.orderBy(F.col("cnt").desc(), F.col("token").asc())
+           .limit(_JSD_TOPV).select("token", F.lit(1).alias("is_top")))
+    bucketed = (toks.join(F.broadcast(top), "token", "left")
+                .select("source",
+                        F.when(F.col("is_top").isNull(),
+                               F.lit(_JSD_OTHER))
+                        .otherwise(F.col("token")).alias("bucket"))
+                .groupBy("source", "bucket")
+                .agg(F.count("*").alias("c")))
+    totals = bucketed.groupBy("source").agg(F.sum("c").alias("t"))
+    buckets = bucketed.select("bucket").distinct()
+    a = totals.select(F.col("source").alias("source_a"),
+                      F.col("t").alias("t1"))
+    b = totals.select(F.col("source").alias("source_b"),
+                      F.col("t").alias("t2"))
+    pairs = a.join(F.broadcast(b), F.col("source_a") < F.col("source_b"))
+    c1 = bucketed.select(F.col("source").alias("source_a"),
+                         "bucket", F.col("c").alias("c1"))
+    c2 = bucketed.select(F.col("source").alias("source_b"),
+                         "bucket", F.col("c").alias("c2"))
+    grid = (pairs.crossJoin(F.broadcast(buckets))
+            .join(c1, ["source_a", "bucket"], "left")
+            .join(c2, ["source_b", "bucket"], "left")
+            .select("source_a", "source_b", "t1", "t2", "bucket",
+                    F.coalesce("c1", F.lit(0)).alias("c1"),
+                    F.coalesce("c2", F.lit(0)).alias("c2")))
+    def term(x):
+        pp = x["c1"].cast("double") / x["t1"]
+        qq = x["c2"].cast("double") / x["t2"]
+        mm = (pp + qq) / 2.0
+        return (F.when(x["c1"] == 0, 0.0)
+                .otherwise(pp * F.log(pp / mm))
+                + F.when(x["c2"] == 0, 0.0)
+                .otherwise(qq * F.log(qq / mm)))
+
+    folded = (grid.groupBy("source_a", "source_b")
+              .agg(F.aggregate(
+                  F.array_sort(F.collect_list(F.struct(
+                      "bucket", "c1", "c2", "t1", "t2"))),
+                  F.lit(0.0), lambda acc, x: acc + term(x))
+                  .alias("s")))
+    ln2 = float(repr(math.log(2.0)))
+    return folded.select(
+        "source_a", "source_b",
+        (F.round(F.col("s") / 2.0 / F.lit(ln2), 6) + 0.0)
+        .alias("jsd_bits"))
