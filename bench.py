@@ -96,6 +96,14 @@ HEADLINE = [
     "hits_supplier_part",
     "hmm_viterbi_sessions",
     "unconverted_clicks",
+    # round-11 flagships: the k-sample two-phase rank shape (4-arm
+    # Kruskal-Wallis), the capped two-hop link-prediction expansion
+    # (common-neighbor groupBy + winner-only ln folds), and the
+    # per-brand exact-decimal Croston recurrence over the 3-table
+    # star join
+    "kruskal_wallis_arms",
+    "adamic_adar_links",
+    "croston_intermittent_demand",
 ]
 
 

@@ -793,3 +793,134 @@ def test_jsd_source_matches_python(spark, sf_smoke):
             want = s / 2 / math.log(2)
             assert abs(got[(sa, sb)] - want) < 1e-6
             assert -1e-9 <= got[(sa, sb)] <= 1.0 + 1e-9  # JSD in [0,1] bits
+
+
+# ---------------------------------------------------------------------------
+# Batch D python models — residual / changepoint / trend diagnostics.
+# ---------------------------------------------------------------------------
+
+
+def test_runs_test_matches_python(spark, sf_smoke):
+    import math
+
+    from travel_data_pipeline_spark.queries_round16 import (
+        runs_test_daily,
+    )
+
+    daily = _daily(spark, sf_smoke)
+    ts = sorted(daily)
+    xs = [daily[t] for t in ts]
+    med = sorted(xs)[(len(xs) + 1) // 2 - 1]
+    seq = [1 if x > med else 0 for x in xs if x != med]
+    n1, n2 = sum(seq), len(seq) - sum(seq)
+    runs = 1 + sum(1 for i in range(1, len(seq))
+                   if seq[i] != seq[i - 1]) if seq else 0
+    mean_r = 1 + 2 * n1 * n2 / (n1 + n2)
+    var_r = (2 * n1 * n2 * (2 * n1 * n2 - n1 - n2)
+             / ((n1 + n2) ** 2 * (n1 + n2 - 1)))
+    row = runs_test_daily(spark, sf_smoke).collect()[0]
+    assert (row.n_above, row.n_below, row.n_runs) == (n1, n2, runs)
+    assert abs(row.mean_runs - mean_r) < 1e-6
+    assert abs(row.z - (runs - mean_r) / math.sqrt(var_r)) < 1e-6
+
+
+def test_durbin_watson_matches_python(spark, sf_smoke):
+    from travel_data_pipeline_spark.queries_round16 import (
+        durbin_watson_daily,
+    )
+
+    daily = _daily(spark, sf_smoke)
+    ts = sorted(daily)
+    xs = [daily[t] for t in ts]
+    n = len(ts)
+    st, sy = sum(ts), sum(xs)
+    stt = sum(t * t for t in ts)
+    sty = sum(t * x for t, x in zip(ts, xs))
+    b = (n * sty - st * sy) / (n * stt - st * st)
+    a = (sy - b * st) / n
+    e = {t: x - a - b * t for t, x in zip(ts, xs)}
+    see = sum(v * v for v in e.values())
+    sdd = sum((e[t] - e[t - 1]) ** 2 for t in ts if t - 1 in e)
+    row = durbin_watson_daily(spark, sf_smoke).collect()[0]
+    assert row.n_days == n
+    assert abs(row.ols_slope - b) < 1e-6
+    assert abs(row.dw_stat - sdd / see) < 1e-6
+
+
+def test_pettitt_matches_bruteforce(spark, sf_smoke):
+    import math
+
+    from travel_data_pipeline_spark.queries_round16 import (
+        pettitt_changepoint,
+    )
+
+    daily = _daily(spark, sf_smoke)
+    ts = sorted(daily)
+    xs = {t: daily[t] for t in ts}
+    n = len(ts)
+
+    def sgn(v):
+        return (v > 0) - (v < 0)
+
+    best_k, best_t = -1, None
+    for ti in ts[:-1]:
+        u = sum(sgn(xs[j] - xs[i])
+                for i in ts if i <= ti for j in ts if j > ti)
+        if abs(u) > best_k:
+            best_k, best_t = abs(u), ti
+    p = 2.0 * math.exp(-6.0 * best_k ** 2 / (n ** 3 + n ** 2))
+    row = pettitt_changepoint(spark, sf_smoke).collect()[0]
+    assert (row.n_days, row.t_star, row.k_stat) == (n, best_t, best_k)
+    assert abs(row.p_approx - p) < 1e-6
+
+
+def test_cochran_armitage_matches_python(spark, sf_smoke):
+    import math
+    from collections import defaultdict
+
+    from travel_data_pipeline_spark.queries_round16 import (
+        cochran_armitage_trend,
+    )
+    from travel_data_pipeline_spark.sources.readers import load_table
+
+    cnt = defaultdict(lambda: [0, 0])
+    for r in (load_table(spark, sf_smoke, "orders")
+              .select("o_orderpriority", "o_orderstatus").collect()):
+        g = int(r.o_orderpriority[0])
+        cnt[g][0] += 1
+        if r.o_orderstatus == "F":
+            cnt[g][1] += 1
+    n = sum(v[0] for v in cnt.values())
+    rr = sum(v[1] for v in cnt.values())
+    pbar = rr / n
+    t_stat = sum(g * (v[1] - v[0] * pbar) for g, v in cnt.items())
+    var_t = (pbar * (1 - pbar)
+             * (sum(g * g * v[0] for g, v in cnt.items())
+                - sum(g * v[0] for g, v in cnt.items()) ** 2 / n))
+    row = cochran_armitage_trend(spark, sf_smoke).collect()[0]
+    assert (row.n, row.n_success, row.n_groups) == (n, rr, len(cnt))
+    assert abs(row.t_stat - t_stat) < 1e-4
+    assert abs(row.z - t_stat / math.sqrt(var_t)) < 1e-6
+
+
+def test_ljung_box_matches_python(spark, sf_smoke):
+    from travel_data_pipeline_spark.queries_round16 import (
+        _LB_H,
+        ljung_box_daily,
+    )
+
+    daily = _daily(spark, sf_smoke)
+    ts = sorted(daily)
+    xs = [daily[t] for t in ts]
+    n = len(xs)
+    m = sum(xs) / n
+    c0 = sum((x - m) ** 2 for x in xs)
+    lb = 0.0
+    for k in range(1, _LB_H + 1):
+        ck = sum((xs[i] - m) * (xs[i + k] - m)
+                 for i in range(n - k))
+        lb += (ck / c0) ** 2 / (n - k)
+    lb *= n * (n + 2)
+    row = ljung_box_daily(spark, sf_smoke).collect()[0]
+    assert (row.n_days, row.h) == (n, _LB_H)
+    assert abs(row.lb_stat - lb) < 1e-5

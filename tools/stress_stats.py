@@ -49,6 +49,9 @@ def main(n_rows: int = 20_000_000) -> None:
         mann_whitney_arms,
         trimmed_mean_ate,
     )
+    from travel_data_pipeline_spark.queries_round16 import (
+        kruskal_wallis_arms,
+    )
     from travel_data_pipeline_spark.session import get_spark
 
     spark = get_spark("stress-stats")
@@ -142,6 +145,40 @@ def main(n_rows: int = 20_000_000) -> None:
     out["qte"] = {"sec": round(wall, 2),
                   "rows_per_sec": int(n_rows / wall),
                   "qte_median": rows[2]["qte"]}
+
+    # --- Kruskal-Wallis (round 11) through the registered path ------------
+    # same generator, 4 arms; ground truth from the value-group
+    # half-unit rank formula (python ints, exact)
+    units4 = (spark.range(n_rows)
+              .select((F.expr(f"(id * {_MULT}) div {_MOD}") % 4)
+                      .cast("int").alias("arm"),
+                      ((F.col("id") * _MULT) % _MOD).alias("y")))
+    arm4 = ((ids * _MULT) // _MOD) % 4
+    a_counts = np.zeros((4, len(uniq)), dtype=np.int64)
+    for a in range(4):
+        idx_a = np.searchsorted(uniq, y[arm4 == a])
+        np.add.at(a_counts[a], idx_a, 1)
+    rank2 = 2 * cum_before + counts + 1
+    n_arm = [int(a_counts[a].sum()) for a in range(4)]
+    r2_arm = [int(np.sum(a_counts[a].astype(object) * rank2))
+              for a in range(4)]
+    h_ref = (12.0 / (n * (n + 1.0))
+             * sum((r2_arm[a] / 2.0) ** 2 / n_arm[a] for a in range(4))
+             - 3.0 * (n + 1.0))
+    hc_ref = h_ref / (1.0 - ties / (float(n) ** 3 - n))
+
+    t0 = time.perf_counter()
+    row = kruskal_wallis_arms(spark, "", units=units4).first()
+    wall = time.perf_counter() - t0
+    assert row["n"] == n, row
+    assert [row[f"n_arm{a}"] for a in range(4)] == n_arm, row
+    assert abs(row["h_stat"] - h_ref) < 1e-4 * max(1.0, abs(h_ref)), (
+        row["h_stat"], h_ref)
+    assert abs(row["h_tie_corrected"] - hc_ref) < 1e-4 * max(
+        1.0, abs(hc_ref)), (row["h_tie_corrected"], hc_ref)
+    out["kruskal_wallis"] = {"sec": round(wall, 2),
+                             "rows_per_sec": int(n_rows / wall),
+                             "h": row["h_stat"]}
 
     print(json.dumps(out))
 

@@ -1966,3 +1966,469 @@ def jsd_source_topterms(spark: SparkSession, sf_dir: str) -> DataFrame:
         "source_a", "source_b",
         (F.round(F.col("s") / 2.0 / F.lit(ln2), 6) + 0.0)
         .alias("jsd_bits"))
+
+
+# ---------------------------------------------------------------------------
+# Batch D — residual/changepoint/trend diagnostics over the daily
+# series and the priority classes.  Same discipline as Batch A: the
+# daily relation is day-bounded, so pair enumeration is a broadcast
+# self-join, cross-day scans are position-pinned folds, and every
+# pre-statistic moment is an exact integer (OLS residuals are kept as
+# SCALED integers — the common denominator cancels in the ratio
+# statistics).
+# ---------------------------------------------------------------------------
+
+# --- Wald-Wolfowitz runs test around the median ----------------------------
+
+@register("runs_test_daily", f"""
+WITH daily AS ({_DAILY_SQL.format(where="")}),
+med AS (
+    SELECT cnt AS m FROM (
+        SELECT cnt, row_number() OVER (ORDER BY cnt, t) AS rn,
+               count(*) OVER () AS n
+        FROM daily) WHERE rn = (n + 1) // 2
+),
+kept AS (
+    SELECT t, CASE WHEN cnt > m THEN 1 ELSE 0 END AS s
+    FROM daily CROSS JOIN med WHERE cnt <> m
+),
+folded AS (
+    SELECT CAST(SUM(s) AS BIGINT) AS n1,
+           CAST(SUM(1 - s) AS BIGINT) AS n2,
+           list(s ORDER BY t) AS seq
+    FROM kept
+),
+runs AS (
+    SELECT n1, n2,
+           CASE WHEN n1 + n2 = 0 THEN 0 ELSE 1 +
+             len(list_filter(
+                 list_zip(seq[1:-2], seq[2:]),
+                 z -> z[1] <> z[2])) END AS r
+    FROM folded
+)
+SELECT n1 AS n_above, n2 AS n_below, CAST(r AS BIGINT) AS n_runs,
+       CASE WHEN n1 = 0 OR n2 = 0 THEN NULL
+            ELSE {round_sql('1.0 + 2.0 * n1 * n2 / (n1 + n2)')}
+       END AS mean_runs,
+       CASE WHEN n1 = 0 OR n2 = 0 OR n1 + n2 <= 1 THEN NULL
+            ELSE {round_sql(
+                'CASE WHEN 2.0 * n1 * n2 * (2.0 * n1 * n2 - n1 - n2)'
+                ' / ((n1 + n2) * (n1 + n2) * (n1 + n2 - 1.0)) <= 0.0'
+                ' THEN NULL ELSE'
+                ' (r - (1.0 + 2.0 * n1 * n2 / (n1 + n2)))'
+                ' / sqrt(2.0 * n1 * n2 * (2.0 * n1 * n2 - n1 - n2)'
+                ' / ((n1 + n2) * (n1 + n2) * (n1 + n2 - 1.0))) END')}
+              + 0.0
+       END AS z
+FROM runs
+""")
+def runs_test_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wald-Wolfowitz runs test of randomness on the daily total
+    series around its lower median (median-equal days discarded,
+    the textbook treatment); run count from a t-ordered pinned
+    adjacent-pair scan."""
+    ev = load_table(spark, sf_dir, "events")
+    daily = _daily_counts(ev)
+    n_df = daily.agg(F.count("*").alias("n"))
+    # lower median via sort-free rank: count of (cnt, t) pairs at-or-
+    # below each row over the bounded grid
+    a = daily.select(F.col("cnt").alias("ca"), F.col("t").alias("ta"))
+    ranked = (daily.join(F.broadcast(a))
+              .groupBy("t", "cnt", )
+              .agg(F.sum(F.when((F.col("ca") < F.col("cnt"))
+                                | ((F.col("ca") == F.col("cnt"))
+                                   & (F.col("ta") <= F.col("t"))), 1)
+                         .otherwise(0)).alias("rn")))
+    med = (ranked.crossJoin(F.broadcast(n_df))
+           .filter(F.col("rn") == F.floor((F.col("n") + 1) / 2))
+           .select(F.col("cnt").alias("m")))
+    kept = (daily.crossJoin(F.broadcast(med))
+            .filter(F.col("cnt") != F.col("m"))
+            .select("t", F.when(F.col("cnt") > F.col("m"), 1)
+                    .otherwise(0).alias("s")))
+    folded = kept.agg(
+        F.sum("s").cast("long").alias("n1"),
+        F.sum(1 - F.col("s")).cast("long").alias("n2"),
+        F.array_sort(F.collect_list(F.struct("t", "s"))).alias("seq"))
+    seq_s = F.transform("seq", lambda x: x["s"])
+    transitions = F.size(F.filter(
+        F.zip_with(F.slice(seq_s, 1, F.greatest(F.size(seq_s) - 1,
+                                                F.lit(0))),
+                   F.slice(seq_s, 2, F.greatest(F.size(seq_s) - 1,
+                                                F.lit(0))),
+                   lambda p, q: p != q),
+        lambda b: b))
+    r = F.when(F.col("n1") + F.col("n2") == 0, F.lit(0)) \
+        .otherwise(1 + transitions)
+    folded = folded.select("n1", "n2", r.cast("long").alias("r"))
+    n1d = F.col("n1").cast("double")
+    n2d = F.col("n2").cast("double")
+    mean_r = 1.0 + 2.0 * n1d * n2d / (n1d + n2d)
+    var_r = (2.0 * n1d * n2d * (2.0 * n1d * n2d - n1d - n2d)
+             / ((n1d + n2d) * (n1d + n2d) * (n1d + n2d - 1.0)))
+    nulld = F.lit(None).cast("double")
+    empty = (F.col("n1") == 0) | (F.col("n2") == 0)
+    return folded.select(
+        F.col("n1").alias("n_above"), F.col("n2").alias("n_below"),
+        F.col("r").alias("n_runs"),
+        F.when(empty, nulld).otherwise(F.round(mean_r, 6))
+        .alias("mean_runs"),
+        F.when(empty | (F.col("n1") + F.col("n2") <= 1), nulld)
+        .otherwise(F.when(var_r <= 0.0, nulld)
+                   .otherwise(F.round((F.col("r") - mean_r)
+                                      / F.sqrt(var_r), 6) + 0.0))
+        .alias("z"))
+
+
+# --- Durbin-Watson autocorrelation of OLS residuals -------------------------
+#
+# DW = sum_(t>=2) (e_t - e_{t-1})^2 / sum e_t^2 over the residuals of
+# the OLS fit of daily count on day index (Durbin & Watson 1950,
+# public).  Residuals are kept as SCALED integers:
+#   E_t = N*Bd*y_t - (Sy*Bd - Bn*St) - N*Bn*t
+# (Bn/Bd the slope numerator/denominator) — the common divisor N*Bd
+# cancels in DW, so both quadratic sums are exact DECIMAL(38,0)
+# tallies over lag-joined pairs and DW is one string-bridged ratio.
+# ---------------------------------------------------------------------------
+
+@register("durbin_watson_daily", f"""
+WITH daily AS ({_DAILY_SQL.format(where="")}),
+mom AS (
+    SELECT CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(t) AS BIGINT) AS st,
+           CAST(sum(cnt) AS BIGINT) AS sy,
+           CAST(sum(t * t) AS BIGINT) AS stt,
+           CAST(sum(CAST(t AS BIGINT) * cnt) AS BIGINT) AS sty
+    FROM daily
+),
+coef AS (
+    SELECT n, CAST(n AS DECIMAL(38,0)) * sty - CAST(st AS DECIMAL(38,0))
+              * sy AS bn,
+           CAST(n AS DECIMAL(38,0)) * stt
+             - CAST(st AS DECIMAL(38,0)) * st AS bd,
+           st, sy
+    FROM mom
+),
+resid AS (
+    SELECT d.t,
+           CAST(c.n AS DECIMAL(38,0)) * c.bd * d.cnt
+             - (CAST(c.sy AS DECIMAL(38,0)) * c.bd - c.bn * c.st)
+             - CAST(c.n AS DECIMAL(38,0)) * c.bn * d.t AS e
+    FROM daily d CROSS JOIN coef c
+),
+sums AS (
+    SELECT (SELECT SUM(e * e) FROM resid) AS see,
+           (SELECT SUM((b.e - a.e) * (b.e - a.e))
+            FROM resid a JOIN resid b ON b.t = a.t + 1) AS sdd
+),
+t AS (
+    SELECT CAST(CAST(see AS VARCHAR) AS DOUBLE) AS seed,
+           CAST(CAST(sdd AS VARCHAR) AS DOUBLE) AS sddd,
+           (SELECT n FROM mom) AS n,
+           (SELECT CASE WHEN bd = 0 THEN NULL
+                        ELSE CAST(CAST(bn AS VARCHAR) AS DOUBLE)
+                             / CAST(CAST(bd AS VARCHAR) AS DOUBLE) END
+            FROM coef) AS slope
+    FROM sums
+)
+SELECT n AS n_days, {round_sql('slope')} + 0.0 AS ols_slope,
+       CASE WHEN seed <= 0.0 THEN NULL
+            ELSE {round_sql('sddd / seed')} END AS dw_stat
+FROM t
+""")
+def durbin_watson_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Durbin-Watson statistic of the OLS daily-trend residuals
+    (scaled-integer residuals — the divisor cancels in the ratio)."""
+    ev = load_table(spark, sf_dir, "events")
+    daily = _daily_counts(ev)
+    mom = daily.agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("t").cast("long").alias("st"),
+        F.sum("cnt").cast("long").alias("sy"),
+        F.sum(F.col("t") * F.col("t")).cast("long").alias("stt"),
+        F.sum(F.col("t").cast("long") * F.col("cnt")).cast("long")
+        .alias("sty"))
+    nd38 = F.col("n").cast("decimal(38,0)")
+    coef = mom.select(
+        "n", "st", "sy",
+        (nd38 * F.col("sty")
+         - F.col("st").cast("decimal(38,0)") * F.col("sy")).alias("bn"),
+        (nd38 * F.col("stt")
+         - F.col("st").cast("decimal(38,0)") * F.col("st")).alias("bd"))
+    resid = (daily.crossJoin(F.broadcast(coef))
+             .select("t", (F.col("n").cast("decimal(38,0)")
+                           * F.col("bd") * F.col("cnt")
+                           - (F.col("sy").cast("decimal(38,0)")
+                              * F.col("bd")
+                              - F.col("bn") * F.col("st"))
+                           - F.col("n").cast("decimal(38,0)")
+                           * F.col("bn") * F.col("t")).alias("e")))
+    see = resid.agg(F.sum(F.col("e") * F.col("e")).alias("see"))
+    a = resid.select(F.col("t").alias("ta"), F.col("e").alias("ea"))
+    sdd = (resid.join(F.broadcast(a), F.col("t") == F.col("ta") + 1)
+           .agg(F.sum((F.col("e") - F.col("ea"))
+                      * (F.col("e") - F.col("ea"))).alias("sdd")))
+    slope = (F.when(F.col("bd") == 0, F.lit(None).cast("double"))
+             .otherwise(F.col("bn").cast("string").cast("double")
+                        / F.col("bd").cast("string").cast("double")))
+    seed = F.col("see").cast("string").cast("double")
+    sddd = F.col("sdd").cast("string").cast("double")
+    return (see.crossJoin(F.broadcast(sdd))
+            .crossJoin(F.broadcast(coef.select("n", "bn", "bd")))
+            .select(F.col("n").alias("n_days"),
+                    (F.round(slope, 6) + 0.0).alias("ols_slope"),
+                    F.when(seed <= 0.0, F.lit(None).cast("double"))
+                    .otherwise(F.round(sddd / seed, 6))
+                    .alias("dw_stat")))
+
+
+# --- Pettitt change-point test ----------------------------------------------
+#
+# Rank-based single change-point detection (Pettitt 1979, public):
+# U_t = sum_{i<=t, j>t} sgn(x_j - x_i); the candidate split is
+# argmax |U_t| (t < max day), with the classic significance
+# approximation p ~ 2 exp(-6 K^2 / (n^3 + n^2)).  The O(n^2) sgn
+# table collapses to per-day deltas over the bounded grid:
+#   delta_t = #(x_j > x_t) - #(x_j < x_t)   over ALL other days,
+#   U_t = cumulative sum of delta up to t     (exact integers)
+# so one broadcast self-join + one bounded-window cumsum.  argmax
+# ties break on the SMALLEST t (both engines).
+# ---------------------------------------------------------------------------
+
+@register("pettitt_changepoint", f"""
+WITH daily AS ({_DAILY_SQL.format(where="")}),
+delta AS (
+    SELECT a.t,
+           CAST(SUM(CASE WHEN b.cnt > a.cnt THEN 1
+                         WHEN b.cnt < a.cnt THEN -1 ELSE 0 END)
+                AS BIGINT) AS d
+    FROM daily a JOIN daily b ON b.t <> a.t
+    GROUP BY a.t
+),
+u AS (
+    SELECT t, SUM(d) OVER (ORDER BY t ROWS UNBOUNDED PRECEDING) AS u_t,
+           (SELECT CAST(count(*) AS BIGINT) FROM daily) AS n,
+           max(t) OVER () AS t_max
+    FROM delta
+),
+best AS (
+    SELECT n, t AS t_star, abs(u_t) AS k_stat
+    FROM u WHERE t < t_max
+    ORDER BY abs(u_t) DESC, t ASC LIMIT 1
+)
+SELECT n AS n_days, CAST(t_star AS BIGINT) AS t_star,
+       CAST(k_stat AS BIGINT) AS k_stat,
+       {round_sql('2.0 * exp(-6.0 * k_stat * k_stat'
+                  ' / (CAST(n AS DOUBLE) * n * n'
+                  ' + CAST(n AS DOUBLE) * n))')} AS p_approx
+FROM best
+""")
+def pettitt_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pettitt rank-based change-point over the daily total series:
+    split day maximizing |U_t|, with the exponential p approximation."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    daily = _daily_counts(ev)
+    b = daily.select(F.col("t").alias("tb"), F.col("cnt").alias("xb"))
+    delta = (daily.join(F.broadcast(b), F.col("tb") != F.col("t"))
+             .groupBy("t")
+             .agg(F.sum(F.when(F.col("xb") > F.col("cnt"), 1)
+                        .when(F.col("xb") < F.col("cnt"), -1)
+                        .otherwise(0)).cast("long").alias("d")))
+    # bounded day grid: the cumsum window and the top-1 sort both run
+    # over <= |days| rows
+    w = Window.orderBy("t").rowsBetween(Window.unboundedPreceding, 0)
+    scalars = daily.agg(F.count("*").cast("long").alias("n"),
+                        F.max("t").alias("t_max"))
+    u = (delta.withColumn("u_t", F.sum("d").over(w))
+         .crossJoin(F.broadcast(scalars)))
+    best = (u.filter(F.col("t") < F.col("t_max"))
+            .orderBy(F.abs("u_t").desc(), F.col("t").asc()).limit(1))
+    nd = F.col("n_days").cast("double")
+    p = 2.0 * F.exp(-6.0 * F.col("k_stat") * F.col("k_stat")
+                    / (nd * nd * nd + nd * nd))
+    return (best.select(F.col("n").alias("n_days"),
+                        F.col("t").cast("long").alias("t_star"),
+                        F.abs("u_t").cast("long").alias("k_stat"))
+            .select("n_days", "t_star", "k_stat",
+                    F.round(p, 6).alias("p_approx")))
+
+
+# --- Cochran-Armitage trend in proportions ----------------------------------
+#
+# Does the share of FULFILLED orders trend across the ordered
+# priority classes 1..5?  (Cochran 1954 / Armitage 1955, public.)
+# With scores w_g = g, successes r_g, sizes n_g:
+#   T      = sum w_g * (r_g - n_g * R / N)
+#   Var(T) = (R/N) * (1 - R/N) * (sum w_g^2 n_g - (sum w_g n_g)^2 / N)
+#   z      = T / sqrt(Var)
+# N*T = sum w_g * (N r_g - n_g R) is an exact integer, so only the
+# final ratio is a double (fixed 5-class expression tree).
+# ---------------------------------------------------------------------------
+
+@register("cochran_armitage_trend", f"""
+WITH g AS (
+    SELECT CAST(substr(o_orderpriority, 1, 1) AS INT) AS grp,
+           COUNT(*) AS n_g,
+           SUM(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS r_g
+    FROM orders GROUP BY 1
+),
+agg AS (
+    SELECT CAST(SUM(n_g) AS BIGINT) AS n, CAST(SUM(r_g) AS BIGINT) AS r,
+           CAST(SUM(grp * n_g) AS BIGINT) AS swn,
+           CAST(SUM(grp * grp * n_g) AS BIGINT) AS swwn,
+           CAST(SUM(CAST(grp AS DECIMAL(38,0)) * r_g) AS BIGINT) AS swr,
+           CAST(COUNT(*) AS BIGINT) AS n_groups
+    FROM g
+),
+t AS (
+    SELECT n, r, n_groups,
+           CAST(n AS DOUBLE) AS nd, CAST(r AS DOUBLE) AS rd,
+           CAST(CAST(CAST(n AS DECIMAL(38,0)) * swr
+                     - CAST(r AS DECIMAL(38,0)) * swn AS VARCHAR)
+                AS DOUBLE) AS nt,
+           CAST(swn AS DOUBLE) AS swnd, CAST(swwn AS DOUBLE) AS swwnd
+    FROM agg
+),
+t2 AS (
+    SELECT *,
+           (rd / nd) * (1.0 - rd / nd)
+             * (swwnd - swnd * swnd / nd) AS var_t
+    FROM t
+)
+SELECT n, r AS n_success, n_groups,
+       {round_sql('nt / nd')} + 0.0 AS t_stat,
+       CASE WHEN r = 0 OR r = n OR var_t <= 0.0 THEN NULL
+            ELSE {round_sql('(nt / nd) / sqrt(var_t)')} + 0.0
+       END AS z
+FROM t2
+""")
+def cochran_armitage_trend(spark: SparkSession,
+                           sf_dir: str) -> DataFrame:
+    """Cochran-Armitage test for a linear trend in the fulfilled-order
+    proportion across the 5 ordered priority classes."""
+    orders = load_table(spark, sf_dir, "orders")
+    g = (orders.groupBy(
+        F.substring("o_orderpriority", 1, 1).cast("int").alias("grp"))
+        .agg(F.count("*").alias("n_g"),
+             F.sum(F.when(F.col("o_orderstatus") == "F", 1)
+                   .otherwise(0)).alias("r_g")))
+    agg = g.agg(
+        F.sum("n_g").cast("long").alias("n"),
+        F.sum("r_g").cast("long").alias("r"),
+        F.sum(F.col("grp") * F.col("n_g")).cast("long").alias("swn"),
+        F.sum(F.col("grp") * F.col("grp") * F.col("n_g")).cast("long")
+        .alias("swwn"),
+        F.sum(F.col("grp").cast("decimal(38,0)") * F.col("r_g"))
+        .cast("long").alias("swr"),
+        F.count("*").cast("long").alias("n_groups"))
+    nd = F.col("n").cast("double")
+    rd = F.col("r").cast("double")
+    nt = (F.col("n").cast("decimal(38,0)") * F.col("swr")
+          - F.col("r").cast("decimal(38,0)") * F.col("swn")) \
+        .cast("string").cast("double")
+    swnd = F.col("swn").cast("double")
+    swwnd = F.col("swwn").cast("double")
+    var_t = (rd / nd) * (1.0 - rd / nd) * (swwnd - swnd * swnd / nd)
+    nulld = F.lit(None).cast("double")
+    return agg.select(
+        "n", F.col("r").alias("n_success"), "n_groups",
+        (F.round(nt / nd, 6) + 0.0).alias("t_stat"),
+        F.when((F.col("r") == 0) | (F.col("r") == F.col("n"))
+               | (var_t <= 0.0), nulld)
+        .otherwise(F.round((nt / nd) / F.sqrt(var_t), 6) + 0.0)
+        .alias("z"))
+
+
+# --- Ljung-Box portmanteau test ---------------------------------------------
+#
+# LB = n (n+2) sum_{k=1..h} r_k^2 / (n - k) over the first h = 7
+# autocorrelations of the daily total series (Ljung & Box 1978,
+# public), with the STANDARD full-series estimator
+#   r_k = c_k / c_0,  n^2 c_k = sum_t (n x_t - S)(n x_{t+k} - S)
+# — scaled-integer autocovariances (the 1/n and the mean's divisor
+# cancel in the ratio), so each r_k is one exact-integer ratio and LB
+# is a fixed-order 7-term tree.  acf_daily_counts reports the
+# windowed Pearson variant; this is the portmanteau companion.
+# ---------------------------------------------------------------------------
+
+_LB_H = 7
+
+@register("ljung_box_daily", f"""
+WITH daily AS ({_DAILY_SQL.format(where="")}),
+mom AS (
+    SELECT CAST(count(*) AS BIGINT) AS n, CAST(sum(cnt) AS BIGINT) AS s
+    FROM daily
+),
+lags AS (SELECT unnest(generate_series(0, {_LB_H})) AS lag),
+ck AS (
+    SELECT l.lag,
+           SUM((CAST(m.n AS DECIMAL(38,0)) * a.cnt - m.s)
+               * (CAST(m.n AS DECIMAL(38,0)) * b.cnt - m.s)) AS c
+    FROM lags l
+    CROSS JOIN mom m
+    JOIN daily a ON TRUE
+    JOIN daily b ON b.t = a.t + l.lag
+    GROUP BY l.lag
+),
+r AS (
+    SELECT lag,
+           CAST(CAST(c AS VARCHAR) AS DOUBLE)
+             / (SELECT CAST(CAST(c AS VARCHAR) AS DOUBLE)
+                FROM ck WHERE lag = 0) AS rk
+    FROM ck WHERE lag > 0
+),
+lb AS (
+    SELECT (SELECT n FROM mom) AS n,
+           {' + '.join(f'''(SELECT rk * rk / ((SELECT n FROM mom) - {k})
+             FROM r WHERE lag = {k})''' for k in range(1, _LB_H + 1))}
+             AS s7
+    FROM (SELECT 1)
+)
+SELECT n AS n_days, CAST({_LB_H} AS INT) AS h,
+       CASE WHEN n <= {_LB_H} THEN NULL
+            ELSE {round_sql('CAST(n AS DOUBLE) * (n + 2.0) * s7')}
+       END AS lb_stat
+FROM lb
+""")
+def ljung_box_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ljung-Box portmanteau statistic (h = 7) of the daily total
+    series from scaled-integer autocovariances."""
+    ev = load_table(spark, sf_dir, "events")
+    daily = _daily_counts(ev)
+    mom = daily.agg(F.count("*").cast("long").alias("n"),
+                    F.sum("cnt").cast("long").alias("s"))
+    lags = spark.range(0, _LB_H + 1).select(
+        F.col("id").cast("int").alias("lag"))
+    a = daily.select(F.col("t").alias("ta"), F.col("cnt").alias("xa"))
+    b = daily.select(F.col("t").alias("tb"), F.col("cnt").alias("xb"))
+    nd38 = F.col("n").cast("decimal(38,0)")
+    ck = (lags.crossJoin(F.broadcast(mom))
+          .crossJoin(F.broadcast(a))
+          .join(F.broadcast(b),
+                F.col("tb") == F.col("ta") + F.col("lag"))
+          .groupBy("lag", "n")
+          .agg(F.sum((nd38 * F.col("xa") - F.col("s"))
+                     * (nd38 * F.col("xb") - F.col("s"))).alias("c")))
+    c0 = (ck.filter(F.col("lag") == 0)
+          .select(F.col("c").cast("string").cast("double").alias("c0")))
+    rks = (ck.filter(F.col("lag") > 0)
+           .crossJoin(F.broadcast(c0))
+           .select("lag", "n",
+                   (F.col("c").cast("string").cast("double")
+                    / F.col("c0")).alias("rk")))
+    # fixed-order 7-term tree: pivot the bounded lag relation wide
+    wide = (rks.groupBy("n")
+            .agg(*[F.sum(F.when(F.col("lag") == k, F.col("rk")))
+                   .alias(f"r{k}") for k in range(1, _LB_H + 1)]))
+    nd = F.col("n").cast("double")
+    s7 = None
+    for k in range(1, _LB_H + 1):
+        term = F.col(f"r{k}") * F.col(f"r{k}") / (nd - F.lit(float(k)))
+        s7 = term if s7 is None else s7 + term
+    return wide.select(
+        F.col("n").alias("n_days"),
+        F.lit(_LB_H).cast("int").alias("h"),
+        F.when(F.col("n") <= _LB_H, F.lit(None).cast("double"))
+        .otherwise(F.round(nd * (nd + 2.0) * s7, 6)).alias("lb_stat"))
