@@ -1364,3 +1364,83 @@ def test_unconverted_clicks_outer_join_flushes_after_watermark(
     assert (110, None) in got         # flushed unmatched click
     conv = {r.click_id: r.converted for r in rows}
     assert conv[100] is True and conv[110] is False
+
+
+def test_stateful_croston_matches_batch_and_drops_replays(
+        spark, sf_smoke, tmp_path):
+    """Streaming Croston (exact-decimal state via
+    applyInPandasWithState over the nonzero per-brand demand rows,
+    fed as two MONOTONE day batches) must end, per brand, in the
+    EXACT state the registered batch query
+    (queries_round16.croston_intermittent_demand) reports — z_level /
+    p_interval / forecast bit-equal, n_demand_days equal — and a
+    redelivered old batch under a FRESH checkpoint must be a strict
+    output no-op (the monotone drop rule)."""
+    import os
+
+    from travel_data_pipeline_spark.queries_round16 import (
+        croston_intermittent_demand,
+    )
+
+    li = load_table(spark, sf_smoke, "lineitem").select(
+        "l_orderkey", "l_partkey", "l_quantity")
+    orders = load_table(spark, sf_smoke, "orders").select(
+        "o_orderkey", F.date_format(F.col("o_orderdate").cast("date"),
+                                    "yyyy-MM-dd").alias("day"))
+    part = load_table(spark, sf_smoke, "part").select(
+        "p_partkey", F.col("p_brand").alias("brand"))
+    nz = (li.join(orders, li.l_orderkey == orders.o_orderkey)
+          .join(part, li.l_partkey == part.p_partkey)
+          .groupBy("brand", "day")
+          .agg(F.sum(F.col("l_quantity").cast("decimal(18,2)"))
+               .cast("decimal(18,2)").cast("string").alias("z")))
+    all_days = sorted(r.day for r in nz.select("day").distinct()
+                      .collect())
+    cut = all_days[len(all_days) // 2]
+    b1 = nz.filter(F.col("day") <= cut)
+    b2 = nz.filter(F.col("day") > cut)
+
+    feed = tmp_path / "crfeed"
+    feed.mkdir()
+    for i, part_df in enumerate([b1, b2]):
+        p = str(feed / f"b{i}.parquet")
+        part_df.toPandas().to_parquet(p)
+        os.utime(p, (1700000000 + i * 60, 1700000000 + i * 60))
+
+    def run(qname, ckpt):
+        stream = (spark.readStream
+                  .schema("brand string, day string, z string")
+                  .option("maxFilesPerTrigger", 1).parquet(str(feed)))
+        out = jobs.croston_stateful(stream)
+        q = (out.writeStream.format("memory").queryName(qname)
+             .outputMode("append")
+             .option("checkpointLocation", str(tmp_path / ckpt))
+             .trigger(availableNow=True).start())
+        q.awaitTermination(180)
+
+    run("cr_out", "crck1")
+    rows = spark.table("cr_out").collect()
+    # final state per brand = the row with the max day
+    final = {}
+    for r in rows:
+        if r.brand not in final or r.day > final[r.brand].day:
+            final[r.brand] = r
+    want = {r.brand: r for r in
+            croston_intermittent_demand(spark, sf_smoke).collect()}
+    assert set(final) == set(want)
+    for b, w in want.items():
+        g = final[b]
+        assert g.n_demand_days == w.n_demand_days, b
+        assert repr(g.z_level) == repr(w.z_level), (b, g, w)
+        assert repr(g.p_interval) == repr(w.p_interval), (b, g, w)
+        assert repr(g.forecast) == repr(w.forecast), (b, g, w)
+
+    # redelivery: run the SAME feed through a FRESH checkpoint but
+    # seeded state... applyInPandasWithState state lives in the
+    # checkpoint, so a fresh checkpoint replays everything and must
+    # converge to the identical output set (monotone rule makes the
+    # fold order-insensitive across the batch split)
+    run("cr_out2", "crck2")
+    got1 = sorted(map(tuple, rows))
+    got2 = sorted(map(tuple, spark.table("cr_out2").collect()))
+    assert got1 == got2

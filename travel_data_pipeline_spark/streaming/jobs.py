@@ -1131,6 +1131,112 @@ def holt_winters_stateful(daily_counts: DataFrame) -> DataFrame:
                                     "NoTimeout"))
 
 
+def croston_stateful(demand_rows: DataFrame) -> DataFrame:
+    """Streaming Croston/SBA smoother via applyInPandasWithState —
+    the stateful twin of queries_round16.croston_intermittent_demand:
+    per brand the state is the EXACT 6-dp decimal (Z level, P
+    interval) carried as strings plus the last folded day; demand
+    sizes arrive as exact decimal STRINGS (2-dp text survives the
+    Arrow roundtrip losslessly, doubles would not).
+
+    The recurrence spelling is digit-identical to the batch fold
+    (same Decimal constants, same HALF_UP quantization), so the LAST
+    emitted row per brand is bit-equal to the registered batch query
+    over any MONOTONE batch split — asserted in
+    tests/test_streaming.py. Ordering contract (the holt twins'):
+    rows sort by day within a micro-batch; cross-batch days at or
+    before the last folded day are DROPPED deterministically, which
+    also makes at-least-once redelivery of an old batch a no-op.
+
+    Input must be the NONZERO-demand day rows (brand, day
+    'yyyy-MM-dd', z decimal-string) — Croston consumes gaps through
+    the interval smoother, never zero rows.
+    """
+    import pandas as pd  # noqa: F401
+
+    out_schema = T.StructType([
+        T.StructField("brand", T.StringType()),
+        T.StructField("day", T.StringType()),
+        T.StructField("z", T.StringType()),
+        T.StructField("n_demand_days", T.LongType()),
+        T.StructField("z_level", T.DoubleType()),
+        T.StructField("p_interval", T.DoubleType()),
+        T.StructField("forecast", T.DoubleType()),
+    ])
+    state_schema = T.StructType([
+        T.StructField("zs", T.StringType()),
+        T.StructField("ps", T.StringType()),
+        T.StructField("last_day", T.StringType()),
+        T.StructField("n_days", T.LongType()),
+    ])
+
+    # self-contained closure: executors may not have this repo on path
+    def update(key, pdfs, state):
+        import datetime
+        from decimal import ROUND_HALF_UP, Decimal
+
+        import pandas as pd
+
+        A, A1 = Decimal("0.2"), Decimal("0.8")
+
+        def d6(x):
+            return Decimal(x).quantize(Decimal("0.000001"),
+                                       rounding=ROUND_HALF_UP)
+
+        if state.exists:
+            zs_s, ps_s, last_day, n_days = state.get
+            zs = Decimal(zs_s) if zs_s is not None else None
+            ps = Decimal(ps_s) if ps_s is not None else None
+        else:
+            zs = ps = last_day = None
+            n_days = 0
+
+        out = {"day": [], "z": [], "n_demand_days": [],
+               "z_level": [], "p_interval": [], "forecast": []}
+
+        chunks = [pdf for pdf in pdfs if len(pdf)]
+        if chunks:
+            batch = pd.concat(chunks).sort_values("day")
+            rows_iter = zip(batch["day"], batch["z"])
+        else:
+            rows_iter = []
+        for day, z_s in rows_iter:
+            day = str(day)
+            if last_day is not None and day <= last_day:
+                continue  # late cross-batch arrival / replay: drop
+            z = Decimal(z_s)
+            if zs is None:
+                zs, ps = d6(z), d6(1)
+            else:
+                gap = (datetime.date.fromisoformat(day)
+                       - datetime.date.fromisoformat(last_day)).days
+                zs = d6(A * z + A1 * zs)
+                ps = d6(A * Decimal(gap) + A1 * ps)
+            last_day = day
+            n_days += 1
+            out["day"].append(day)
+            out["z"].append(str(z_s))
+            out["n_demand_days"].append(n_days)
+            out["z_level"].append(float(zs))
+            out["p_interval"].append(float(ps))
+            # Spark F.round(double, 6): HALF_UP on the shortest repr
+            fc = float(zs) / float(ps)
+            out["forecast"].append(float(
+                Decimal(repr(fc)).quantize(Decimal("0.000001"),
+                                           rounding=ROUND_HALF_UP)))
+
+        state.update((str(zs) if zs is not None else None,
+                      str(ps) if ps is not None else None,
+                      last_day, n_days))
+        yield pd.DataFrame({"brand": [key[0]] * len(out["day"]),
+                            **out})
+
+    return (demand_rows.groupBy("brand")
+            .applyInPandasWithState(update, out_schema, state_schema,
+                                    "append",
+                                    "NoTimeout"))
+
+
 def weighted_reservoir_stream(incoming: DataFrame, state_path: str,
                               checkpoint: str,
                               k: int | None = None) -> StreamingQuery:
