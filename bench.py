@@ -211,13 +211,16 @@ def main() -> None:
     for sidecar in sidecars:
         path = os.path.join(REPO_ROOT, sidecar)
         prev_load = _recorded_load(path)
-        if (not errors and load_1min is not None and load_1min > 2.0
-                and (prev_load is None or prev_load < load_1min)):
+        if (not errors and load_1min is not None and load_1min > 2.0):
+            # SF-suffixed so loaded runs at different scales don't
+            # clobber each other's preserved record (review r11)
             print(f"bench: load_1min={load_1min} > 2.0 — keeping the "
                   f"calmer record in {sidecar} (prev load "
-                  f"{prev_load}); this run -> BENCH_LAST_LOADED.json",
+                  f"{prev_load}); this run -> "
+                  f"BENCH_LAST_LOADED_sf{sf}.json",
                   file=sys.stderr)
-            path = os.path.join(REPO_ROOT, "BENCH_LAST_LOADED.json")
+            path = os.path.join(REPO_ROOT,
+                                f"BENCH_LAST_LOADED_sf{sf}.json")
         try:
             with open(path, "w") as fh:
                 fh.write(line + "\n")

@@ -327,8 +327,6 @@ def ivf_topk(embeddings: DataFrame, centroids: DataFrame, queries: DataFrame,
                                       id_col, vec_col, impl=assign_impl)
     indexed = embeddings.join(assignments.select(id_col, "centroid_id"), id_col)
 
-    q_probe = assign_clusters(
-        queries.withColumnRenamed(query_id, id_col), centroids, id_col, vec_col)
     # top n_probe clusters per query (re-rank all centroids, keep n_probe)
     c = centroids.select("centroid_id", as_double(F.col(vec_col)).alias("c_vec"))
     qv = queries.select(F.col(query_id), as_double(F.col(vec_col)).alias("q_vec"))

@@ -473,15 +473,12 @@ def logrank_arms(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     def terms(x):
         dt = (x["d1"] + x["d2"]).cast("double")
-        n1 = x["n1"].cast("double")
-        n2 = x["n2"].cast("double")
         nt = x["n1"] + x["n2"]
         e1 = dt * x["n1"] / nt
         v = (F.when(nt <= 1, F.lit(0.0))
              .otherwise(dt * x["n1"] / nt * x["n2"] / nt
                         * (nt - x["d1"] - x["d2"])
                         / (nt - 1)))
-        _ = (n1, n2)
         return e1, v
 
     folded = wide.agg(
@@ -536,7 +533,10 @@ ranked AS (
 ),
 folded AS (
     SELECT (SELECT CAST(count(*) AS BIGINT) FROM items) AS n_items,
-           CAST(SUM(pos) AS BIGINT) AS n_pos,
+           -- from items with COALESCE: zero-positive corpora must
+           -- read 0, not the empty-aggregate NULL (review r11)
+           (SELECT CAST(COALESCE(SUM(pos), 0) AS BIGINT) FROM items)
+             AS n_pos,
            list_reduce(list_prepend(0.0,
                list(CAST(cum_pos AS DOUBLE) / rnk ORDER BY rnk)
                ), (a, b) -> a + b) AS ap_sum
@@ -1039,10 +1039,14 @@ f AS (
            CAST(CAST(w_s3 AS VARCHAR) AS DOUBLE)
              / CAST(w_n3 AS DOUBLE) AS m3
     FROM wide
-    WHERE w_n0 > 0 AND w_n1 > 0 AND w_n2 > 0 AND w_n3 > 0
 ),
 fstat AS (
-    SELECT CASE WHEN nn <= 4.0 OR {_BF_F_DEN} <= 0.0 THEN NULL
+    -- empty-arm guard INSIDE the row (never drop it: the Spark side
+    -- always emits one fstat row — review r11 cardinality parity)
+    SELECT CASE WHEN n0 IS NULL OR n1 IS NULL OR n2 IS NULL
+                  OR n3 IS NULL OR n0 = 0 OR n1 = 0 OR n2 = 0
+                  OR n3 = 0 OR nn <= 4.0 OR {_BF_F_DEN} <= 0.0
+                THEN NULL
                 ELSE ({_BF_F_NUM}) / ({_BF_F_DEN}) END AS f_val
     FROM f
 )
@@ -1761,7 +1765,7 @@ SELECT s.brand, CAST(s.n_demand_days AS BIGINT) AS n_demand_days,
        {round_sql('CAST(f.zs AS DOUBLE) / CAST(f.ps AS DOUBLE)')}
          AS forecast,
        {round_sql(f'(1.0 - {_CR_A} / 2.0)'
-                  ' * CAST(f.zs AS DOUBLE) / CAST(f.ps AS DOUBLE)')}
+                  ' * (CAST(f.zs AS DOUBLE) / CAST(f.ps AS DOUBLE))')}
          AS forecast_sba
 FROM stats s JOIN fin f ON f.brand = s.brand AND f.rr = 1
 """
@@ -1993,8 +1997,10 @@ kept AS (
     FROM daily CROSS JOIN med WHERE cnt <> m
 ),
 folded AS (
-    SELECT CAST(SUM(s) AS BIGINT) AS n1,
-           CAST(SUM(1 - s) AS BIGINT) AS n2,
+    -- COALESCE: an all-median series keeps zero rows and the
+    -- degenerate branch must actually fire (review r11)
+    SELECT CAST(COALESCE(SUM(s), 0) AS BIGINT) AS n1,
+           CAST(COALESCE(SUM(1 - s), 0) AS BIGINT) AS n2,
            list(s ORDER BY t) AS seq
     FROM kept
 ),
@@ -2047,8 +2053,9 @@ def runs_test_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select("t", F.when(F.col("cnt") > F.col("m"), 1)
                     .otherwise(0).alias("s")))
     folded = kept.agg(
-        F.sum("s").cast("long").alias("n1"),
-        F.sum(1 - F.col("s")).cast("long").alias("n2"),
+        F.coalesce(F.sum("s"), F.lit(0)).cast("long").alias("n1"),
+        F.coalesce(F.sum(1 - F.col("s")), F.lit(0)).cast("long")
+        .alias("n2"),
         F.array_sort(F.collect_list(F.struct("t", "s"))).alias("seq"))
     seq_s = F.transform("seq", lambda x: x["s"])
     transitions = F.size(F.filter(
@@ -2418,10 +2425,13 @@ def ljung_box_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
            .select("lag", "n",
                    (F.col("c").cast("string").cast("double")
                     / F.col("c0")).alias("rk")))
-    # fixed-order 7-term tree: pivot the bounded lag relation wide
-    wide = (rks.groupBy("n")
-            .agg(*[F.sum(F.when(F.col("lag") == k, F.col("rk")))
-                   .alias(f"r{k}") for k in range(1, _LB_H + 1)]))
+    # fixed-order 7-term tree: pivot the bounded lag relation wide.
+    # GLOBAL agg + broadcast n so a pairless series (1-day / fully
+    # gapped) still emits the one NULL-stat row the oracle emits
+    # (review r11 cardinality parity)
+    wide = (rks.agg(*[F.sum(F.when(F.col("lag") == k, F.col("rk")))
+                      .alias(f"r{k}") for k in range(1, _LB_H + 1)])
+            .crossJoin(F.broadcast(mom.select("n"))))
     nd = F.col("n").cast("double")
     s7 = None
     for k in range(1, _LB_H + 1):
