@@ -924,3 +924,195 @@ def test_ljung_box_matches_python(spark, sf_smoke):
     row = ljung_box_daily(spark, sf_smoke).collect()[0]
     assert (row.n_days, row.h) == (n, _LB_H)
     assert abs(row.lb_stat - lb) < 1e-5
+
+
+# ---------------------------------------------------------------------------
+# Batch E python models.
+# ---------------------------------------------------------------------------
+
+
+def test_capture_recapture_matches_python(spark, sf_smoke):
+    import math
+    from collections import defaultdict
+
+    from travel_data_pipeline_spark.queries_round16 import (
+        capture_recapture_users,
+    )
+    from travel_data_pipeline_spark.sources.readers import load_table
+
+    rows = (load_table(spark, sf_smoke, "events")
+            .select("user_id", "ts").collect())
+    d0 = min(r.ts.date() for r in rows)
+    seen = defaultdict(lambda: [0, 0])
+    for r in rows:
+        dd = (r.ts.date() - d0).days
+        seen[r.user_id][0 if dd < 15 else 1] = 1
+    n_a = sum(v[0] for v in seen.values())
+    n_b = sum(v[1] for v in seen.values())
+    m = sum(v[0] * v[1] for v in seen.values())
+    n_hat = (n_a + 1) * (n_b + 1) / (m + 1) - 1
+    se = math.sqrt((n_a + 1) * (n_b + 1) * (n_a - m) * (n_b - m)
+                   / ((m + 1) ** 2 * (m + 2)))
+    row = capture_recapture_users(spark, sf_smoke).collect()[0]
+    assert (row.n_a, row.n_b, row.m, row.n_true) == (
+        n_a, n_b, m, len(seen))
+    assert abs(row.n_hat_chapman - n_hat) < 1e-5
+    assert abs(row.se_chapman - se) < 1e-5
+    # Chapman is consistent: estimate should be in the ballpark of the
+    # census when overlap is large
+    if m > 30:
+        assert 0.5 * len(seen) < row.n_hat_chapman < 2.0 * len(seen)
+
+
+def test_friedman_matches_python(spark, sf_smoke):
+    from collections import defaultdict
+
+    from travel_data_pipeline_spark.queries_round16 import (
+        _FR_K,
+        friedman_dow_weeks,
+    )
+    from travel_data_pipeline_spark.sources.readers import load_table
+
+    cnt = defaultdict(int)
+    for r in (load_table(spark, sf_smoke, "events")
+              .select("ts").collect()):
+        d = r.ts.date()
+        wk = d.isocalendar()[:2]  # (year, iso week) == Monday truncs
+        cnt[(wk, d.isoweekday())] += 1
+    weeks = defaultdict(dict)
+    for (wk, dow), c in cnt.items():
+        weeks[wk][dow] = c
+    complete = {wk: m for wk, m in weeks.items() if len(m) == _FR_K}
+    n = len(complete)
+    r_j = defaultdict(float)
+    ssq = 0.0
+    for wk, m in complete.items():
+        vals = list(m.items())
+        ranks = _avg_ranks([v for _, v in vals])
+        for (dow, _), rk in zip(vals, ranks):
+            r_j[dow] += rk
+            ssq += rk * rk
+    k = _FR_K
+    snum = sum((r - n * (k + 1) / 2) ** 2 for r in r_j.values())
+    den = ssq - n * k * (k + 1) ** 2 / 4
+    q = n * (k - 1) * snum / den
+    row = friedman_dow_weeks(spark, sf_smoke).collect()[0]
+    assert (row.n_blocks, row.k) == (n, k)
+    assert abs(row.q_stat - q) < 1e-5
+
+
+def test_rmst_matches_python(spark, sf_smoke):
+    from collections import defaultdict
+
+    from travel_data_pipeline_spark.queries_round16 import (
+        _RMST_TAU,
+        rmst_arms,
+    )
+    from travel_data_pipeline_spark.sources.readers import load_table
+
+    ev = [(r.user_id, r.ts.date()) for r in
+          load_table(spark, sf_smoke, "events")
+          .select("user_id", "ts").collect()]
+    days, last = defaultdict(set), {}
+    for u, d in ev:
+        days[u].add(d)
+        last[u] = max(last.get(u, d), d)
+    max_day = max(last.values())
+    by_arm = defaultdict(list)
+    for u in days:
+        arm = _md5_long(f"ab:{u}") % 2
+        by_arm[arm].append((len(days[u]),
+                            1 if last[u] == max_day else 0))
+    got = {r.arm: r for r in rmst_arms(spark, sf_smoke).collect()}
+    for arm, lives in by_arm.items():
+        byt = defaultdict(lambda: [0, 0])
+        for t, c in lives:
+            byt[t][c] += 1
+        n_risk = len(lives)
+        s, area, t_prev = 1.0, 0.0, 0
+        for t in sorted(byt):
+            d, c = byt[t]
+            if d > 0 and t <= _RMST_TAU:
+                area += s * (t - t_prev)
+                s *= 1.0 - d / n_risk
+                t_prev = t
+            n_risk -= d + c
+        area += s * (_RMST_TAU - t_prev)
+        r = got[arm]
+        assert r.n_users == len(lives)
+        assert r.tau == _RMST_TAU
+        assert abs(r.rmst - area) < 1e-6
+
+
+def test_psm_matching_matches_bruteforce(spark, sf_smoke):
+    from decimal import Decimal
+
+    from travel_data_pipeline_spark.queries_round16 import (
+        _PSM_CALIPER,
+        psm_att_matching,
+    )
+    from travel_data_pipeline_spark.sources.readers import load_table
+
+    rev = {}
+    for r in (load_table(spark, sf_smoke, "orders")
+              .select("o_custkey", "o_totalprice").collect()):
+        rev[r.o_custkey] = rev.get(r.o_custkey, Decimal(0)) \
+            + Decimal(str(round(r.o_totalprice, 2)))
+    units = []
+    for r in (load_table(spark, sf_smoke, "customer")
+              .select("c_custkey", "c_acctbal").collect()):
+        units.append((r.c_custkey,
+                      _md5_long(f"exp:{r.c_custkey}") % 2,
+                      Decimal(str(round(r.c_acctbal, 2))),
+                      rev.get(r.c_custkey, Decimal(0))))
+    treated = [u for u in units if u[1] == 1]
+    controls = [u for u in units if u[1] == 0]
+    diffs, dists, unmatched = [], [], 0
+    for tk, _, tb, ty in treated:
+        cands = [(abs(tb - cb), ck, cy) for ck, _, cb, cy in controls
+                 if abs(tb - cb) <= _PSM_CALIPER]
+        if not cands:
+            unmatched += 1
+            continue
+        d, _, cy = min(cands)
+        diffs.append(ty - cy)
+        dists.append(d)
+    row = psm_att_matching(spark, sf_smoke).collect()[0]
+    assert row.n_treated == len(treated)
+    assert row.n_matched == len(diffs)
+    assert row.n_unmatched == unmatched
+    assert abs(row.att - float(sum(diffs)) / len(diffs)) < 1e-5
+    assert abs(row.mean_match_dist
+               - float(sum(dists)) / len(dists)) < 1e-5
+
+
+def test_kcore_matches_python(spark, sf_smoke):
+    from collections import defaultdict
+
+    from travel_data_pipeline_spark.queries_round16 import (
+        _KCORE_KS,
+        _N_PEEL,
+        kcore_membership,
+    )
+
+    edges = _copurchase_edges(spark, sf_smoke)
+    adj0 = defaultdict(set)
+    for u, v in edges:
+        adj0[u].add(v)
+        adj0[v].add(u)
+    got = {r.k: r for r in kcore_membership(spark, sf_smoke).collect()}
+    assert set(got) == set(_KCORE_KS)
+    for k in _KCORE_KS:
+        surv = set(adj0)
+        counts = []
+        for _ in range(_N_PEEL):
+            deg = {u: len(adj0[u] & surv) for u in surv}
+            surv = {u for u in surv if deg[u] >= k}
+            counts.append(len(surv))
+        r = got[k]
+        assert r.n_nodes == len(adj0)
+        assert r.n_core_nodes == counts[-1]
+        assert r.converged == (counts[-2] == counts[-1])
+        # every survivor keeps >= k surviving neighbors if converged
+        if r.converged:
+            assert all(len(adj0[u] & surv) >= k for u in surv)

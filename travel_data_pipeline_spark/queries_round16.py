@@ -2442,3 +2442,548 @@ def ljung_box_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(_LB_H).cast("int").alias("h"),
         F.when(F.col("n") <= _LB_H, F.lit(None).cast("double"))
         .otherwise(F.round(nd * (nd + 2.0) * s7, 6)).alias("lb_stat"))
+
+
+# ---------------------------------------------------------------------------
+# Batch E — population estimation, blocked ranks, survival area,
+# caliper matching, and bounded k-core peeling.
+# ---------------------------------------------------------------------------
+
+# --- Chapman capture-recapture estimate of the user population --------------
+
+@register("capture_recapture_users", f"""
+WITH mind AS (SELECT min(date_trunc('day', ts)) AS d0 FROM events),
+tagged AS (
+    SELECT user_id,
+           MAX(CASE WHEN date_diff('day', d0, date_trunc('day', ts)) < 15
+                    THEN 1 ELSE 0 END) AS in_a,
+           MAX(CASE WHEN date_diff('day', d0, date_trunc('day', ts)) >= 15
+                    THEN 1 ELSE 0 END) AS in_b
+    FROM events CROSS JOIN mind GROUP BY user_id
+),
+cnt AS (
+    SELECT CAST(SUM(in_a) AS BIGINT) AS n_a,
+           CAST(SUM(in_b) AS BIGINT) AS n_b,
+           CAST(SUM(in_a * in_b) AS BIGINT) AS m,
+           CAST(COUNT(*) AS BIGINT) AS n_true
+    FROM tagged
+)
+SELECT n_a, n_b, m, n_true,
+       {round_sql('(CAST(n_a AS DOUBLE) + 1.0) * (n_b + 1.0)'
+                  ' / (m + 1.0) - 1.0')} AS n_hat_chapman,
+       CASE WHEN m + 2 = 0 THEN NULL
+            ELSE {round_sql(
+                'sqrt((CAST(n_a AS DOUBLE) + 1.0) * (n_b + 1.0)'
+                ' * (n_a - m) * (n_b - m)'
+                ' / ((m + 1.0) * (m + 1.0) * (m + 2.0)))')}
+       END AS se_chapman
+FROM cnt
+""")
+def capture_recapture_users(spark: SparkSession,
+                            sf_dir: str) -> DataFrame:
+    """Chapman capture-recapture estimate of the total user population
+    from the half-window activity split (Chapman 1951, public): users
+    'captured' in days 0-14, 'recaptured' in days 15+; n_true is the
+    known census for the audit."""
+    ev = load_table(spark, sf_dir, "events")
+    d0 = ev.agg(F.min(F.date_trunc("day", "ts")).alias("d0"))
+    dd = F.datediff(F.date_trunc("day", "ts"), "d0")
+    tagged = (ev.crossJoin(F.broadcast(d0))
+              .groupBy("user_id")
+              .agg(F.max(F.when(dd < 15, 1).otherwise(0)).alias("in_a"),
+                   F.max(F.when(dd >= 15, 1).otherwise(0))
+                   .alias("in_b")))
+    cnt = tagged.agg(
+        F.sum("in_a").cast("long").alias("n_a"),
+        F.sum("in_b").cast("long").alias("n_b"),
+        F.sum(F.col("in_a") * F.col("in_b")).cast("long").alias("m"),
+        F.count("*").cast("long").alias("n_true"))
+    na = F.col("n_a").cast("double")
+    nb = F.col("n_b").cast("double")
+    md = F.col("m").cast("double")
+    n_hat = (na + 1.0) * (nb + 1.0) / (md + 1.0) - 1.0
+    se = F.sqrt((na + 1.0) * (nb + 1.0) * (na - md) * (nb - md)
+                / ((md + 1.0) * (md + 1.0) * (md + 2.0)))
+    return cnt.select(
+        "n_a", "n_b", "m", "n_true",
+        F.round(n_hat, 6).alias("n_hat_chapman"),
+        F.when(F.col("m") + 2 == 0, F.lit(None).cast("double"))
+        .otherwise(F.round(se, 6)).alias("se_chapman"))
+
+
+# --- Friedman test: day-of-week effects blocked by ISO week -----------------
+#
+# Blocked k-sample rank test (Friedman 1937; tie-corrected form per
+# Conover 1999 — public): within each COMPLETE week (all 7 days
+# observed) rank the 7 daily counts, then
+#   Q = n(k-1) * sum_j (R_j - n(k+1)/2)^2
+#       / (sum_{b,j} r_bj^2 - n k (k+1)^2 / 4)
+# Doubled ranks keep tied averages integral, and the doubling cancels
+# between the two quadratic forms, so Q is one exact-integer ratio.
+# Within-block ranking is a 7x7 self-join per week — block-bounded.
+# ---------------------------------------------------------------------------
+
+_FR_K = 7
+
+
+@register("friedman_dow_weeks", f"""
+WITH daily AS (
+    SELECT date_trunc('week', ts) AS wk, dayofweek(ts) AS dow,
+           count(*) AS cnt
+    FROM events GROUP BY wk, dow
+),
+complete AS (
+    SELECT wk FROM daily GROUP BY wk HAVING count(*) = {_FR_K}
+),
+obs AS MATERIALIZED (
+    SELECT d.wk, d.dow, d.cnt FROM daily d
+    JOIN complete c ON c.wk = d.wk
+),
+ranked AS (
+    SELECT a.wk, a.dow,
+           2 * SUM(CASE WHEN b.cnt < a.cnt THEN 1 ELSE 0 END)
+             + SUM(CASE WHEN b.cnt = a.cnt THEN 1 ELSE 0 END) + 1 AS r2
+    FROM obs a JOIN obs b ON b.wk = a.wk
+    GROUP BY a.wk, a.dow, a.cnt
+),
+byj AS (
+    SELECT dow, CAST(SUM(r2) AS BIGINT) AS r2_j FROM ranked GROUP BY dow
+),
+agg AS (
+    SELECT (SELECT CAST(count(*) AS BIGINT) FROM complete) AS n,
+           (SELECT CAST(SUM(CAST(r2 AS DECIMAL(38,0)) * r2) AS BIGINT)
+            FROM ranked) AS ssq,
+           CAST(SUM(CAST((r2_j - (SELECT count(*) FROM complete)
+                          * ({_FR_K} + 1)) AS DECIMAL(38,0))
+                    * (r2_j - (SELECT count(*) FROM complete)
+                       * ({_FR_K} + 1))) AS BIGINT) AS snum
+    FROM byj
+)
+SELECT n AS n_blocks, CAST({_FR_K} AS INT) AS k,
+       CASE WHEN n = 0 OR (CAST(ssq AS DOUBLE)
+                           - CAST(n AS DOUBLE) * {_FR_K}
+                             * ({_FR_K} + 1.0) * ({_FR_K} + 1.0)) <= 0.0
+            THEN NULL
+            ELSE {round_sql(
+                f'CAST(n AS DOUBLE) * ({_FR_K} - 1.0)'
+                f' * CAST(snum AS DOUBLE)'
+                f' / (CAST(ssq AS DOUBLE) - CAST(n AS DOUBLE) * {_FR_K}'
+                f' * ({_FR_K} + 1.0) * ({_FR_K} + 1.0))')} + 0.0
+       END AS q_stat
+FROM agg
+""")
+def friedman_dow_weeks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tie-corrected Friedman Q for a day-of-week effect on daily
+    event counts, blocked by complete ISO weeks."""
+    ev = load_table(spark, sf_dir, "events")
+    daily = (ev.groupBy(F.date_trunc("week", "ts").alias("wk"),
+                        F.dayofweek("ts").alias("dow"))
+             .agg(F.count("*").alias("cnt")))
+    complete = (daily.groupBy("wk").agg(F.count("*").alias("nd"))
+                .filter(F.col("nd") == _FR_K).select("wk"))
+    obs = daily.join(F.broadcast(complete), "wk")
+    b = obs.select(F.col("wk").alias("wkb"), F.col("cnt").alias("cb"))
+    ranked = (obs.join(F.broadcast(b), F.col("wkb") == F.col("wk"))
+              .groupBy("wk", "dow", "cnt")
+              .agg((2 * F.sum(F.when(F.col("cb") < F.col("cnt"), 1)
+                              .otherwise(0))
+                    + F.sum(F.when(F.col("cb") == F.col("cnt"), 1)
+                            .otherwise(0)) + 1).alias("r2")))
+    n_df = complete.agg(F.count("*").cast("long").alias("n"))
+    ssq = ranked.agg(F.sum(F.col("r2").cast("decimal(38,0)")
+                           * F.col("r2")).cast("long").alias("ssq"))
+    byj = ranked.groupBy("dow").agg(F.sum("r2").cast("long")
+                                    .alias("r2_j"))
+    snum = (byj.crossJoin(F.broadcast(n_df))
+            .agg(F.sum((F.col("r2_j") - F.col("n") * (_FR_K + 1))
+                       .cast("decimal(38,0)")
+                       * (F.col("r2_j") - F.col("n") * (_FR_K + 1)))
+                 .cast("long").alias("snum")))
+    agg = (n_df.crossJoin(F.broadcast(ssq))
+           .crossJoin(F.broadcast(snum)))
+    nd = F.col("n").cast("double")
+    den = (F.col("ssq").cast("double")
+           - nd * _FR_K * (_FR_K + 1.0) * (_FR_K + 1.0))
+    q = (nd * (_FR_K - 1.0) * F.col("snum").cast("double") / den)
+    return agg.select(
+        F.col("n").alias("n_blocks"),
+        F.lit(_FR_K).cast("int").alias("k"),
+        F.when((F.col("n") == 0) | (den <= 0.0),
+               F.lit(None).cast("double"))
+        .otherwise(F.round(q, 6) + 0.0).alias("q_stat"))
+
+
+# --- Restricted mean survival time per experiment arm -----------------------
+#
+# RMST(tau) = integral_0^tau S(t) dt of the per-arm Kaplan-Meier curve
+# over active-day lifetimes (Royston & Parmar 2013 popularized the
+# readout; the estimator is classical — public).  Lifetimes/censoring
+# follow logrank_arms (active-day count; censored = active on the max
+# day); tau = 21 days.  The KM product AND the running area accumulate
+# in ONE t-sorted fold per arm, mirrored by the oracle's recursive
+# walk (kaplan_meier_lifetime precedent), so the doubles are
+# bit-identical step by step.
+# ---------------------------------------------------------------------------
+
+_RMST_TAU = 21
+
+
+def _rmst_oracle() -> str:
+    return f"""
+WITH RECURSIVE life AS MATERIALIZED (
+    SELECT user_id, {_LR_ARM} AS arm,
+           count(DISTINCT date_trunc('day', ts)) AS t,
+           CASE WHEN max(date_trunc('day', ts))
+                     = (SELECT max(date_trunc('day', ts)) FROM events)
+                THEN 1 ELSE 0 END AS censored
+    FROM events GROUP BY user_id
+),
+byt AS (
+    SELECT arm, t, CAST(SUM(1 - censored) AS BIGINT) AS d,
+           CAST(SUM(censored) AS BIGINT) AS c
+    FROM life GROUP BY arm, t
+),
+risk AS (
+    SELECT arm, t, d,
+           SUM(d + c) OVER (PARTITION BY arm)
+             - COALESCE(SUM(d + c) OVER (PARTITION BY arm ORDER BY t
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+             AS n_risk
+    FROM byt
+),
+steps AS MATERIALIZED (
+    SELECT arm, t, d, CAST(n_risk AS BIGINT) AS n_risk,
+           row_number() OVER (PARTITION BY arm ORDER BY t) AS rn
+    FROM risk WHERE d > 0 AND t <= {_RMST_TAU}
+),
+walk AS (
+    SELECT arm, t, rn,
+           1.0 * (1.0 - CAST(d AS DOUBLE) / CAST(n_risk AS DOUBLE)) AS s,
+           0.0 + 1.0 * CAST(t AS DOUBLE) AS area
+    FROM steps WHERE rn = 1
+    UNION ALL
+    SELECT st.arm, st.t, st.rn,
+           w.s * (1.0 - CAST(st.d AS DOUBLE) / CAST(st.n_risk AS DOUBLE)),
+           w.area + w.s * CAST(st.t - w.t AS DOUBLE)
+    FROM steps st JOIN walk w ON st.arm = w.arm AND st.rn = w.rn + 1
+),
+fin AS (
+    SELECT arm, t, s, area,
+           row_number() OVER (PARTITION BY arm ORDER BY rn DESC) AS rr
+    FROM walk
+),
+per_arm AS (
+    SELECT a.arm, a.n_users,
+           COALESCE(f.area + f.s * CAST({_RMST_TAU} - f.t AS DOUBLE),
+                    CAST({_RMST_TAU} AS DOUBLE)) AS rmst
+    FROM (SELECT arm, CAST(count(*) AS BIGINT) AS n_users
+          FROM life GROUP BY arm) a
+    LEFT JOIN fin f ON f.arm = a.arm AND f.rr = 1
+)
+SELECT arm, n_users, CAST({_RMST_TAU} AS BIGINT) AS tau,
+       {round_sql('rmst')} AS rmst
+FROM per_arm
+"""
+
+
+@register("rmst_arms", lambda: _rmst_oracle())
+def rmst_arms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Restricted mean survival time (tau = 21 active days) of the
+    per-arm KM curves — the effect-size companion of logrank_arms."""
+    ev = load_table(spark, sf_dir, "events")
+    day = F.date_trunc("day", "ts")
+    arm = (md5_long(F.concat(F.lit("ab:"),
+                             F.col("user_id").cast("string"))) % 2)
+    life = (ev.groupBy("user_id")
+            .agg(F.countDistinct(day).alias("t"),
+                 F.max(day).alias("last_d"), arm.alias("arm")))
+    max_day = ev.agg(F.max(day).alias("max_d"))
+    life = (life.crossJoin(F.broadcast(max_day))
+            .select("arm", F.col("t").cast("long").alias("t"),
+                    F.when(F.col("last_d") == F.col("max_d"), 1)
+                    .otherwise(0).alias("censored")))
+    byt = (life.groupBy("arm", "t")
+           .agg(F.sum(1 - F.col("censored")).alias("d"),
+                F.sum("censored").alias("c")))
+    from pyspark.sql import Window
+
+    w_all = Window.partitionBy("arm")
+    w_prev = (Window.partitionBy("arm").orderBy("t")
+              .rowsBetween(Window.unboundedPreceding, -1))
+    risk = byt.select(
+        "arm", "t", "d",
+        (F.sum(F.col("d") + F.col("c")).over(w_all)
+         - F.coalesce(F.sum(F.col("d") + F.col("c")).over(w_prev),
+                      F.lit(0))).alias("n_risk"))
+    steps = (risk.filter((F.col("d") > 0) & (F.col("t") <= _RMST_TAU))
+             .select("arm", "t", "d",
+                     F.col("n_risk").cast("long").alias("n_risk")))
+    folded = steps.groupBy("arm").agg(
+        F.array_sort(F.collect_list(F.struct("t", "d", "n_risk")))
+        .alias("ss"))
+    # fold state: (prev_t, s, area) — the first step seeds
+    # s = 1 - d/n, area = 1.0 * t (full survival before any death)
+    seed_t = F.element_at("ss", 1)
+
+    def step(acc, x):
+        s_new = acc["s"] * (F.lit(1.0) - x["d"].cast("double")
+                            / x["n_risk"].cast("double"))
+        return F.struct(
+            x["t"].alias("t"),
+            s_new.alias("s"),
+            (acc["area"] + acc["s"]
+             * (x["t"] - acc["t"]).cast("double")).alias("area"))
+
+    seed = F.struct(
+        seed_t["t"].alias("t"),
+        (F.lit(1.0) - seed_t["d"].cast("double")
+         / seed_t["n_risk"].cast("double")).alias("s"),
+        (F.lit(0.0) + F.lit(1.0) * seed_t["t"].cast("double"))
+        .alias("area"))
+    fin = F.aggregate(F.slice("ss", 2, F.greatest(F.size("ss") - 1,
+                                                  F.lit(0))),
+                      seed, step)
+    per_step = folded.select(
+        "arm",
+        (fin["area"] + fin["s"]
+         * (F.lit(_RMST_TAU) - fin["t"]).cast("double")).alias("rmst"))
+    arms_tot = life.groupBy("arm").agg(F.count("*").cast("long")
+                                       .alias("n_users"))
+    out = (arms_tot.join(per_step, "arm", "left")
+           .select("arm", "n_users",
+                   F.lit(_RMST_TAU).cast("long").alias("tau"),
+                   F.round(F.coalesce(F.col("rmst"),
+                                      F.lit(float(_RMST_TAU))), 6)
+                   .alias("rmst")))
+    return out
+
+
+# --- Caliper nearest-neighbor covariate matching (ATT) ----------------------
+#
+# Matching estimator for the md5 experiment (Rosenbaum & Rubin 1985
+# caliper matching, with replacement — public): each treated customer
+# matches the control with the smallest |acctbal difference| within a
+# CALIPER of +/- _PSM_CALIPER, tie-broken on control custkey; the ATT
+# is the mean matched outcome difference (decimal-exact sums).
+#
+# Scale shape (the LSH-bucket pattern): candidates come from a
+# bucket-equi-join on floor(acctbal / CALIPER) shifted {-1, 0, +1} —
+# every within-caliper control shares one of the three bucket keys, so
+# the pair relation is bucket-bounded, never all-pairs; the per-treated
+# argmin is a per-key window.  Unmatched treated (no control within
+# the caliper) are counted, not silently dropped.
+# ---------------------------------------------------------------------------
+
+_PSM_CALIPER = 500
+
+
+def _psm_oracle() -> str:
+    return f"""
+WITH rev AS (
+    SELECT o_custkey, SUM({_Y_DEC}) AS y FROM orders GROUP BY o_custkey
+),
+units AS MATERIALIZED (
+    SELECT c.c_custkey,
+           ({md5_long_sql("'exp:' || CAST(c.c_custkey AS VARCHAR)")} % 2)
+             AS arm,
+           CAST(c.c_acctbal AS DECIMAL(18,2)) AS bal,
+           COALESCE(rev.y, 0) AS y
+    FROM customer c LEFT JOIN rev ON rev.o_custkey = c.c_custkey
+),
+t AS (SELECT * FROM units WHERE arm = 1),
+c AS (SELECT * FROM units WHERE arm = 0),
+cand AS (
+    SELECT t.c_custkey AS tk, t.y AS yt, c.c_custkey AS ck, c.y AS yc,
+           abs(t.bal - c.bal) AS dist
+    FROM t JOIN c
+      ON CAST(floor(c.bal / {_PSM_CALIPER}) AS BIGINT)
+         IN (CAST(floor(t.bal / {_PSM_CALIPER}) AS BIGINT) - 1,
+             CAST(floor(t.bal / {_PSM_CALIPER}) AS BIGINT),
+             CAST(floor(t.bal / {_PSM_CALIPER}) AS BIGINT) + 1)
+    WHERE abs(t.bal - c.bal) <= {_PSM_CALIPER}
+),
+best AS (
+    SELECT tk, yt, ck, yc, dist FROM (
+        SELECT *, row_number() OVER (PARTITION BY tk
+                                     ORDER BY dist, ck) AS rn
+        FROM cand) WHERE rn = 1
+),
+agg AS (
+    SELECT (SELECT CAST(count(*) AS BIGINT) FROM t) AS n_treated,
+           CAST(count(*) AS BIGINT) AS n_matched,
+           SUM(CAST(yt AS DECIMAL(28,2)) - yc) AS diff_sum,
+           SUM(CAST(dist AS DECIMAL(28,2))) AS dist_sum
+    FROM best
+)
+SELECT n_treated, n_matched,
+       n_treated - n_matched AS n_unmatched,
+       CASE WHEN n_matched = 0 THEN NULL
+            ELSE {round_sql('CAST(CAST(diff_sum AS VARCHAR) AS DOUBLE)'
+                            ' / n_matched')} + 0.0 END AS att,
+       CASE WHEN n_matched = 0 THEN NULL
+            ELSE {round_sql('CAST(CAST(dist_sum AS VARCHAR) AS DOUBLE)'
+                            ' / n_matched')} END AS mean_match_dist
+FROM agg
+"""
+
+
+@register("psm_att_matching", lambda: _psm_oracle())
+def psm_att_matching(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Caliper nearest-control matching on acctbal (with replacement):
+    ATT and match-quality readout for the md5 'exp:' split."""
+    from pyspark.sql import Window
+
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_acctbal")
+    rev = (orders.groupBy("o_custkey")
+           .agg(F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+                .cast("decimal(18,2)").alias("yr")))
+    arm = (md5_long(F.concat(F.lit("exp:"),
+                             F.col("c_custkey").cast("string"))) % 2)
+    zero = F.lit(0).cast("decimal(18,2)")
+    units = (cust.join(rev, cust.c_custkey == rev.o_custkey, "left")
+             .select("c_custkey", arm.alias("arm"),
+                     F.col("c_acctbal").cast("decimal(18,2)")
+                     .alias("bal"),
+                     F.coalesce("yr", zero).alias("y")))
+    t = units.filter(F.col("arm") == 1).select(
+        F.col("c_custkey").alias("tk"), F.col("bal").alias("tbal"),
+        F.col("y").alias("yt"),
+        F.floor(F.col("bal") / _PSM_CALIPER).cast("long").alias("tb"))
+    c = units.filter(F.col("arm") == 0).select(
+        F.col("c_custkey").alias("ck"), F.col("bal").alias("cbal"),
+        F.col("y").alias("yc"),
+        F.floor(F.col("bal") / _PSM_CALIPER).cast("long").alias("cb"))
+    shifts = t.select("*", F.explode(F.array(
+        F.col("tb") - 1, F.col("tb"), F.col("tb") + 1)).alias("cb"))
+    cand = (shifts.join(c, "cb")
+            .filter(F.abs(F.col("tbal") - F.col("cbal"))
+                    <= _PSM_CALIPER)
+            .select("tk", "yt", "ck", "yc",
+                    F.abs(F.col("tbal") - F.col("cbal")).alias("dist")))
+    w = Window.partitionBy("tk").orderBy("dist", "ck")
+    best = (cand.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1))
+    n_t = t.agg(F.count("*").cast("long").alias("n_treated"))
+    agg = best.agg(
+        F.count("*").cast("long").alias("n_matched"),
+        F.sum(F.col("yt").cast("decimal(28,2)") - F.col("yc"))
+        .alias("diff_sum"),
+        F.sum(F.col("dist").cast("decimal(28,2)")).alias("dist_sum"))
+    out = agg.crossJoin(F.broadcast(n_t))
+    nm = F.col("n_matched").cast("double")
+    att = (F.col("diff_sum").cast("string").cast("double") / nm)
+    mdist = (F.col("dist_sum").cast("string").cast("double") / nm)
+    nulld = F.lit(None).cast("double")
+    return out.select(
+        "n_treated", "n_matched",
+        (F.col("n_treated") - F.col("n_matched")).cast("long")
+        .alias("n_unmatched"),
+        F.when(F.col("n_matched") == 0, nulld)
+        .otherwise(F.round(att, 6) + 0.0).alias("att"),
+        F.when(F.col("n_matched") == 0, nulld)
+        .otherwise(F.round(mdist, 6)).alias("mean_match_dist"))
+
+
+# --- Bounded k-core peel of the co-purchase graph ---------------------------
+#
+# k-core membership (Seidman 1983, public) via _N_PEEL rounds of
+# degree peeling (remove nodes with degree < k, recompute) for
+# k in {2, 3}.  Peeling shrinks the node set MONOTONICALLY, so equal
+# consecutive survivor counts certify convergence — the `converged`
+# flag reports whether the bounded peel already reached the true
+# k-core (the HITS fixed-iteration posture: bounded rounds, honesty
+# flag instead of an unbounded loop).  Spark runs the same unrolled
+# loop with a lag-1 localCheckpoint per round (the iterative-lineage
+# memory rule); the oracle unrolls CTEs.
+# ---------------------------------------------------------------------------
+
+_KCORE_KS = (2, 3)
+_N_PEEL = 4
+
+
+def _kcore_oracle() -> str:
+    from travel_data_pipeline_spark.queries_affinity import _PAIRS_SQL
+
+    blocks, selects = [], []
+    for k in _KCORE_KS:
+        prev = f"nodes_k{k}"
+        blocks.append(f"{prev} AS (SELECT node FROM nodes)")
+        for i in range(1, _N_PEEL + 1):
+            cur = f"s{i}_k{k}"
+            blocks.append(f"""{cur} AS (
+    SELECT node FROM (
+        SELECT x.node, count(*) AS deg FROM (
+            SELECT e.u AS node, e.v AS other FROM edges e
+            UNION ALL SELECT e.v, e.u FROM edges e
+        ) x
+        JOIN {prev} a ON a.node = x.node
+        JOIN {prev} b ON b.node = x.other
+        GROUP BY x.node
+    ) WHERE deg >= {k}
+)""")
+            prev = cur
+        selects.append(f"""
+SELECT {k} AS k,
+       (SELECT CAST(count(*) AS BIGINT) FROM nodes) AS n_nodes,
+       (SELECT CAST(count(*) AS BIGINT) FROM s{_N_PEEL}_k{k})
+         AS n_core_nodes,
+       (SELECT count(*) FROM s{_N_PEEL - 1}_k{k})
+         = (SELECT count(*) FROM s{_N_PEEL}_k{k}) AS converged""")
+    return f"""
+WITH {_PAIRS_SQL},
+edges AS MATERIALIZED (
+    SELECT part_a AS u, part_b AS v FROM pair_counts
+),
+nodes AS MATERIALIZED (
+    SELECT DISTINCT node FROM (
+        SELECT u AS node FROM edges UNION ALL SELECT v FROM edges)
+),
+{','.join(blocks)}
+{' UNION ALL '.join(selects)}
+"""
+
+
+@register("kcore_membership", lambda: _kcore_oracle())
+def kcore_membership(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bounded k-core peel (4 rounds, k = 2 and 3) of the co-purchase
+    graph with a monotone-count convergence certificate."""
+    from travel_data_pipeline_spark.queries_affinity import (
+        _order_items,
+        _pair_counts,
+    )
+
+    edges = (_pair_counts(_order_items(spark, sf_dir))
+             .select(F.col("part_a").alias("u"),
+                     F.col("part_b").alias("v"))
+             .localCheckpoint(eager=False))
+    directed = (edges.select(F.col("u").alias("node"),
+                             F.col("v").alias("other"))
+                .unionAll(edges.select(F.col("v").alias("node"),
+                                       F.col("u").alias("other"))))
+    nodes = directed.select("node").distinct()
+    n_nodes = nodes.agg(F.count("*").cast("long").alias("n_nodes"))
+    out = None
+    for k in _KCORE_KS:
+        surv = nodes
+        tail = []  # survivor sets of the last two rounds
+        for _ in range(_N_PEEL):
+            a = surv.select(F.col("node"))
+            b = surv.select(F.col("node").alias("other"))
+            deg = (directed.join(a, "node").join(b, "other")
+                   .groupBy("node").agg(F.count("*").alias("deg")))
+            surv = (deg.filter(F.col("deg") >= k).select("node")
+                    .localCheckpoint(eager=False))
+            tail = (tail + [surv])[-2:]
+        n_prev = tail[0].agg(F.count("*").alias("n_prev"))
+        n_core = tail[1].agg(F.count("*").cast("long")
+                             .alias("n_core_nodes"))
+        row = (n_core.crossJoin(F.broadcast(n_prev))
+               .crossJoin(F.broadcast(n_nodes))
+               .select(F.lit(k).cast("int").alias("k"), "n_nodes",
+                       "n_core_nodes",
+                       (F.col("n_prev") == F.col("n_core_nodes"))
+                       .alias("converged")))
+        out = row if out is None else out.unionAll(row)
+    return out
