@@ -1411,9 +1411,14 @@ def degree_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
         _pair_counts,
     )
 
+    # the capped pair expansion is referenced 6x below (degree union,
+    # two degree joins, both orientations) — cut the lineage once so
+    # the plan derives it once, not per reference (plan audit: 84 -> a
+    # handful of exchanges)
     edges = (_pair_counts(_order_items(spark, sf_dir))
              .select(F.col("part_a").alias("u"),
-                     F.col("part_b").alias("v")))
+                     F.col("part_b").alias("v"))
+             .localCheckpoint(eager=False))
     deg = (edges.select(F.col("u").alias("node"))
            .unionAll(edges.select(F.col("v").alias("node")))
            .groupBy("node").agg(F.count("*").alias("d")))
@@ -1537,17 +1542,22 @@ def adamic_adar_links(spark: SparkSession, sf_dir: str) -> DataFrame:
         _pair_counts,
     )
 
-    edges = _pair_counts(_order_items(spark, sf_dir)).select(
-        "part_a", "part_b")
+    # edges / adj / deg are each referenced several times below (the
+    # two-hop expansion, the anti-join, three degree lookups) — lazy
+    # localCheckpoints make the plan derive each ONCE (144 -> ~10
+    # exchanges in the audit); all three are edge-/node-sized
+    edges = (_pair_counts(_order_items(spark, sf_dir))
+             .select("part_a", "part_b").localCheckpoint(eager=False))
     adj0 = (edges.select(F.col("part_a").alias("s"),
                          F.col("part_b").alias("t"))
             .unionAll(edges.select(F.col("part_b").alias("s"),
                                    F.col("part_a").alias("t"))))
     w = Window.partitionBy("s").orderBy("t")
     adj = (adj0.withColumn("rn", F.row_number().over(w))
-           .filter(F.col("rn") <= _AA_MAX_NEIGH).drop("rn"))
-    deg = adj.groupBy(F.col("s").alias("node")).agg(
-        F.count("*").alias("d"))
+           .filter(F.col("rn") <= _AA_MAX_NEIGH).drop("rn")
+           .localCheckpoint(eager=False))
+    deg = (adj.groupBy(F.col("s").alias("node"))
+           .agg(F.count("*").alias("d")).localCheckpoint(eager=False))
     n1 = adj.select(F.col("s").alias("z"), F.col("t").alias("a"))
     n2 = adj.select(F.col("s").alias("z"), F.col("t").alias("b"))
     cand = n1.join(n2, "z").filter(F.col("a") < F.col("b"))
