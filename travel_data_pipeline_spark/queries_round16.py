@@ -2776,12 +2776,18 @@ def rmst_arms(spark: SparkSession, sf_dir: str) -> DataFrame:
 # CALIPER of +/- _PSM_CALIPER, tie-broken on control custkey; the ATT
 # is the mean matched outcome difference (decimal-exact sums).
 #
-# Scale shape (the LSH-bucket pattern): candidates come from a
-# bucket-equi-join on floor(acctbal / CALIPER) shifted {-1, 0, +1} —
-# every within-caliper control shares one of the three bucket keys, so
-# the pair relation is bucket-bounded, never all-pairs; the per-treated
-# argmin is a per-key window.  Unmatched treated (no control within
-# the caliper) are counted, not silently dropped.
+# Scale shape: 1-D nearest neighbour needs only the ADJACENT controls
+# in balance order, never the full in-caliper candidate set (which
+# grows linearly with data density — a candidates-join measured
+# quadratic at 200k dense units, tools/stress_matching.py).  Controls
+# dedupe to one row per distinct balance (min-custkey representative —
+# exactly the (dist, ck) argmin's tie-break), then per-treated
+# prev/next controls come from ignore-nulls window scans PARTITIONED
+# BY the caliper-width bucket, with each bucket's first/last control
+# (a bucket-count-sized aggregate) joined in as the cross-boundary
+# fallback — anything beyond the adjacent bucket is > CALIPER away by
+# construction.  Unmatched treated (no control within the caliper)
+# are counted, not silently dropped.
 # ---------------------------------------------------------------------------
 
 _PSM_CALIPER = 500
@@ -2802,21 +2808,80 @@ units AS MATERIALIZED (
 ),
 t AS (SELECT * FROM units WHERE arm = 1),
 c AS (SELECT * FROM units WHERE arm = 0),
-cand AS (
-    SELECT t.c_custkey AS tk, t.y AS yt, c.c_custkey AS ck, c.y AS yc,
-           abs(t.bal - c.bal) AS dist
-    FROM t JOIN c
-      ON CAST(floor(c.bal / {_PSM_CALIPER}) AS BIGINT)
-         IN (CAST(floor(t.bal / {_PSM_CALIPER}) AS BIGINT) - 1,
-             CAST(floor(t.bal / {_PSM_CALIPER}) AS BIGINT),
-             CAST(floor(t.bal / {_PSM_CALIPER}) AS BIGINT) + 1)
-    WHERE abs(t.bal - c.bal) <= {_PSM_CALIPER}
+ctrl_d AS MATERIALIZED (
+    -- one control per distinct balance: the min-custkey representative
+    -- IS the (dist, ck) argmin's tie-break within a balance group
+    SELECT bal AS cbal, min(c_custkey) AS ck,
+           arg_min(y, c_custkey) AS yc,
+           CAST(floor(bal / {_PSM_CALIPER}) AS BIGINT) AS bucket
+    FROM c GROUP BY bal
+),
+allr AS (
+    SELECT bucket, cbal AS bal, 0 AS flag,
+           cbal AS c_bal, ck AS c_ck, yc AS c_yc,
+           CAST(NULL AS BIGINT) AS tk,
+           CAST(NULL AS DECIMAL(18,2)) AS tbal,
+           CAST(NULL AS DECIMAL(38,2)) AS yt
+    FROM ctrl_d
+    UNION ALL
+    SELECT CAST(floor(bal / {_PSM_CALIPER}) AS BIGINT), bal, 1,
+           NULL, NULL, NULL, c_custkey, bal, CAST(y AS DECIMAL(38,2))
+    FROM t
+),
+scanned AS (
+    SELECT *,
+           last_value(c_bal IGNORE NULLS) OVER w_prev AS p_bal,
+           last_value(c_ck IGNORE NULLS) OVER w_prev AS p_ck,
+           last_value(c_yc IGNORE NULLS) OVER w_prev AS p_yc,
+           first_value(c_bal IGNORE NULLS) OVER w_next AS n_bal,
+           first_value(c_ck IGNORE NULLS) OVER w_next AS n_ck,
+           first_value(c_yc IGNORE NULLS) OVER w_next AS n_yc
+    FROM allr
+    WINDOW w_prev AS (PARTITION BY bucket ORDER BY bal, flag
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+           w_next AS (PARTITION BY bucket ORDER BY bal, flag
+                      ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+),
+bk AS (
+    SELECT bucket, max(cbal) AS l_bal, arg_max(ck, cbal) AS l_ck,
+           arg_max(yc, cbal) AS l_yc, min(cbal) AS f_bal,
+           arg_min(ck, cbal) AS f_ck, arg_min(yc, cbal) AS f_yc
+    FROM ctrl_d GROUP BY bucket
+),
+joined AS (
+    SELECT s.tk, s.tbal, s.yt,
+           COALESCE(s.p_bal, lo.l_bal) AS p_bal,
+           COALESCE(s.p_ck, lo.l_ck) AS p_ck,
+           COALESCE(s.p_yc, lo.l_yc) AS p_yc,
+           COALESCE(s.n_bal, hi.f_bal) AS n_bal,
+           COALESCE(s.n_ck, hi.f_ck) AS n_ck,
+           COALESCE(s.n_yc, hi.f_yc) AS n_yc
+    FROM scanned s
+    LEFT JOIN bk lo ON lo.bucket = s.bucket - 1
+    LEFT JOIN bk hi ON hi.bucket = s.bucket + 1
+    WHERE s.flag = 1
+),
+chosen AS (
+    SELECT tk, yt,
+           CASE WHEN vp AND (NOT vn OR dp < dn
+                             OR (dp = dn AND p_ck < n_ck))
+                THEN p_ck WHEN vn THEN n_ck END AS ck,
+           CASE WHEN vp AND (NOT vn OR dp < dn
+                             OR (dp = dn AND p_ck < n_ck))
+                THEN p_yc WHEN vn THEN n_yc END AS yc,
+           CASE WHEN vp AND (NOT vn OR dp < dn
+                             OR (dp = dn AND p_ck < n_ck))
+                THEN dp WHEN vn THEN dn END AS dist
+    FROM (
+        SELECT *, tbal - p_bal AS dp, n_bal - tbal AS dn,
+               p_bal IS NOT NULL
+                 AND tbal - p_bal <= {_PSM_CALIPER} AS vp,
+               n_bal IS NOT NULL
+                 AND n_bal - tbal <= {_PSM_CALIPER} AS vn
+        FROM joined)
 ),
 best AS (
-    SELECT tk, yt, ck, yc, dist FROM (
-        SELECT *, row_number() OVER (PARTITION BY tk
-                                     ORDER BY dist, ck) AS rn
-        FROM cand) WHERE rn = 1
+    SELECT tk, yt, ck, yc, dist FROM chosen WHERE ck IS NOT NULL
 ),
 agg AS (
     SELECT (SELECT CAST(count(*) AS BIGINT) FROM t) AS n_treated,
@@ -2838,43 +2903,101 @@ FROM agg
 
 
 @register("psm_att_matching", lambda: _psm_oracle())
-def psm_att_matching(spark: SparkSession, sf_dir: str) -> DataFrame:
+def psm_att_matching(spark: SparkSession, sf_dir: str,
+                     units: DataFrame | None = None) -> DataFrame:
     """Caliper nearest-control matching on acctbal (with replacement):
-    ATT and match-quality readout for the md5 'exp:' split."""
+    ATT and match-quality readout for the md5 'exp:' split.
+
+    ``units`` (columns c_custkey, arm, bal decimal(18,2), y
+    decimal(18,2)) lets tools/stress_matching.py drive this exact
+    code path with a synthetic 10M-unit relation."""
     from pyspark.sql import Window
 
-    orders = load_table(spark, sf_dir, "orders")
-    cust = load_table(spark, sf_dir, "customer").select(
-        "c_custkey", "c_acctbal")
-    rev = (orders.groupBy("o_custkey")
-           .agg(F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
-                .cast("decimal(18,2)").alias("yr")))
-    arm = (md5_long(F.concat(F.lit("exp:"),
-                             F.col("c_custkey").cast("string"))) % 2)
-    zero = F.lit(0).cast("decimal(18,2)")
-    units = (cust.join(rev, cust.c_custkey == rev.o_custkey, "left")
-             .select("c_custkey", arm.alias("arm"),
-                     F.col("c_acctbal").cast("decimal(18,2)")
-                     .alias("bal"),
-                     F.coalesce("yr", zero).alias("y")))
+    if units is None:
+        orders = load_table(spark, sf_dir, "orders")
+        cust = load_table(spark, sf_dir, "customer").select(
+            "c_custkey", "c_acctbal")
+        rev = (orders.groupBy("o_custkey")
+               .agg(F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+                    .cast("decimal(18,2)").alias("yr")))
+        arm = (md5_long(F.concat(F.lit("exp:"),
+                                 F.col("c_custkey").cast("string"))) % 2)
+        zero = F.lit(0).cast("decimal(18,2)")
+        units = (cust.join(rev, cust.c_custkey == rev.o_custkey, "left")
+                 .select("c_custkey", arm.alias("arm"),
+                         F.col("c_acctbal").cast("decimal(18,2)")
+                         .alias("bal"),
+                         F.coalesce("yr", zero).alias("y")))
     t = units.filter(F.col("arm") == 1).select(
         F.col("c_custkey").alias("tk"), F.col("bal").alias("tbal"),
-        F.col("y").alias("yt"),
-        F.floor(F.col("bal") / _PSM_CALIPER).cast("long").alias("tb"))
-    c = units.filter(F.col("arm") == 0).select(
-        F.col("c_custkey").alias("ck"), F.col("bal").alias("cbal"),
-        F.col("y").alias("yc"),
-        F.floor(F.col("bal") / _PSM_CALIPER).cast("long").alias("cb"))
-    shifts = t.select("*", F.explode(F.array(
-        F.col("tb") - 1, F.col("tb"), F.col("tb") + 1)).alias("cb"))
-    cand = (shifts.join(c, "cb")
-            .filter(F.abs(F.col("tbal") - F.col("cbal"))
-                    <= _PSM_CALIPER)
-            .select("tk", "yt", "ck", "yc",
-                    F.abs(F.col("tbal") - F.col("cbal")).alias("dist")))
-    w = Window.partitionBy("tk").orderBy("dist", "ck")
-    best = (cand.withColumn("rn", F.row_number().over(w))
-            .filter(F.col("rn") == 1))
+        F.col("y").cast("decimal(38,2)").alias("yt"),
+        F.floor(F.col("bal") / _PSM_CALIPER).cast("long")
+        .alias("bucket"))
+    ctrl_d = (units.filter(F.col("arm") == 0)
+              .groupBy(F.col("bal").alias("cbal"))
+              .agg(F.min("c_custkey").alias("ck"),
+                   F.min_by("y", "c_custkey").alias("yc"))
+              .withColumn("bucket",
+                          F.floor(F.col("cbal") / _PSM_CALIPER)
+                          .cast("long")))
+    nulld18 = F.lit(None).cast("decimal(18,2)")
+    nulll = F.lit(None).cast("long")
+    allr = (ctrl_d.select(
+        "bucket", F.col("cbal").alias("bal"), F.lit(0).alias("flag"),
+        F.col("cbal").alias("c_bal"), F.col("ck").alias("c_ck"),
+        F.col("yc").alias("c_yc"), nulll.alias("tk"),
+        nulld18.alias("tbal"),
+        F.lit(None).cast("decimal(38,2)").alias("yt"))
+        .unionAll(t.select(
+            "bucket", F.col("tbal").alias("bal"), F.lit(1).alias("flag"),
+            nulld18.alias("c_bal"), nulll.alias("c_ck"),
+            nulld18.alias("c_yc"), "tk", "tbal", "yt")))
+    w_prev = (Window.partitionBy("bucket").orderBy("bal", "flag")
+              .rowsBetween(Window.unboundedPreceding, 0))
+    w_next = (Window.partitionBy("bucket").orderBy("bal", "flag")
+              .rowsBetween(0, Window.unboundedFollowing))
+    scanned = (allr
+               .withColumn("p_bal", F.last("c_bal", True).over(w_prev))
+               .withColumn("p_ck", F.last("c_ck", True).over(w_prev))
+               .withColumn("p_yc", F.last("c_yc", True).over(w_prev))
+               .withColumn("n_bal", F.first("c_bal", True).over(w_next))
+               .withColumn("n_ck", F.first("c_ck", True).over(w_next))
+               .withColumn("n_yc", F.first("c_yc", True).over(w_next))
+               .filter(F.col("flag") == 1))
+    bk = (ctrl_d.groupBy("bucket")
+          .agg(F.max("cbal").alias("l_bal"),
+               F.max_by("ck", "cbal").alias("l_ck"),
+               F.max_by("yc", "cbal").alias("l_yc"),
+               F.min("cbal").alias("f_bal"),
+               F.min_by("ck", "cbal").alias("f_ck"),
+               F.min_by("yc", "cbal").alias("f_yc")))
+    lo = bk.select((F.col("bucket") + 1).alias("bucket"),
+                   "l_bal", "l_ck", "l_yc")
+    hi = bk.select((F.col("bucket") - 1).alias("bucket"),
+                   "f_bal", "f_ck", "f_yc")
+    joined = (scanned.join(lo, "bucket", "left")
+              .join(hi, "bucket", "left")
+              .select("tk", "tbal", "yt",
+                      F.coalesce("p_bal", "l_bal").alias("p_bal"),
+                      F.coalesce("p_ck", "l_ck").alias("p_ck"),
+                      F.coalesce("p_yc", "l_yc").alias("p_yc"),
+                      F.coalesce("n_bal", "f_bal").alias("n_bal"),
+                      F.coalesce("n_ck", "f_ck").alias("n_ck"),
+                      F.coalesce("n_yc", "f_yc").alias("n_yc")))
+    dp = F.col("tbal") - F.col("p_bal")
+    dn = F.col("n_bal") - F.col("tbal")
+    vp = F.col("p_bal").isNotNull() & (dp <= _PSM_CALIPER)
+    vn = F.col("n_bal").isNotNull() & (dn <= _PSM_CALIPER)
+    pick_p = vp & (~vn | (dp < dn)
+                   | ((dp == dn) & (F.col("p_ck") < F.col("n_ck"))))
+    chosen = joined.select(
+        "tk", "yt",
+        F.when(pick_p, F.col("p_ck")).when(vn, F.col("n_ck"))
+        .alias("ck"),
+        F.when(pick_p, F.col("p_yc")).when(vn, F.col("n_yc"))
+        .alias("yc"),
+        F.when(pick_p, dp).when(vn, dn).alias("dist"))
+    best = chosen.filter(F.col("ck").isNotNull())
     n_t = t.agg(F.count("*").cast("long").alias("n_treated"))
     agg = best.agg(
         F.count("*").cast("long").alias("n_matched"),
