@@ -2952,17 +2952,25 @@ def psm_att_matching(spark: SparkSession, sf_dir: str,
             "bucket", F.col("tbal").alias("bal"), F.lit(1).alias("flag"),
             nulld18.alias("c_bal"), nulll.alias("c_ck"),
             nulld18.alias("c_yc"), "tk", "tbal", "yt")))
+    # both scans are RUNNING frames (unboundedPreceding -> current):
+    # Spark evaluates those in one O(n) pass, while a frame ending at
+    # unboundedFollowing re-scans forward per row — O(n^2) in the
+    # partition (measured: a 10M stress run hung in exactly that
+    # stage).  "next control" = running last over the REVERSED order;
+    # flag desc puts equal-balance controls after treated there, so
+    # the next scan stays strictly-greater while prev is inclusive.
     w_prev = (Window.partitionBy("bucket").orderBy("bal", "flag")
               .rowsBetween(Window.unboundedPreceding, 0))
-    w_next = (Window.partitionBy("bucket").orderBy("bal", "flag")
-              .rowsBetween(0, Window.unboundedFollowing))
+    w_next = (Window.partitionBy("bucket")
+              .orderBy(F.col("bal").desc(), F.col("flag").desc())
+              .rowsBetween(Window.unboundedPreceding, 0))
     scanned = (allr
                .withColumn("p_bal", F.last("c_bal", True).over(w_prev))
                .withColumn("p_ck", F.last("c_ck", True).over(w_prev))
                .withColumn("p_yc", F.last("c_yc", True).over(w_prev))
-               .withColumn("n_bal", F.first("c_bal", True).over(w_next))
-               .withColumn("n_ck", F.first("c_ck", True).over(w_next))
-               .withColumn("n_yc", F.first("c_yc", True).over(w_next))
+               .withColumn("n_bal", F.last("c_bal", True).over(w_next))
+               .withColumn("n_ck", F.last("c_ck", True).over(w_next))
+               .withColumn("n_yc", F.last("c_yc", True).over(w_next))
                .filter(F.col("flag") == 1))
     bk = (ctrl_d.groupBy("bucket")
           .agg(F.max("cbal").alias("l_bal"),
