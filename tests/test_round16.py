@@ -1116,3 +1116,176 @@ def test_kcore_matches_python(spark, sf_smoke):
         # every survivor keeps >= k surviving neighbors if converged
         if r.converged:
             assert all(len(adj0[u] & surv) >= k for u in surv)
+
+
+# ---------------------------------------------------------------------------
+# Batch F python models.
+# ---------------------------------------------------------------------------
+
+
+def test_mrr_brand_promo_matches_python(spark, sf_smoke):
+    from collections import Counter, defaultdict
+
+    from travel_data_pipeline_spark.queries_round16 import (
+        mrr_brand_promo,
+    )
+    from travel_data_pipeline_spark.sources.readers import load_table
+
+    cnt = Counter(r.l_partkey for r in
+                  load_table(spark, sf_smoke, "lineitem")
+                  .select("l_partkey").collect())
+    brands = defaultdict(list)
+    for r in (load_table(spark, sf_smoke, "part")
+              .select("p_partkey", "p_brand", "p_type").collect()):
+        brands[r.p_brand].append(
+            (r.p_partkey, cnt.get(r.p_partkey, 0),
+             r.p_type.startswith("PROMO")))
+    got = {r.brand: r for r in mrr_brand_promo(spark, sf_smoke).collect()}
+    rrs = {}
+    for b, parts in brands.items():
+        promo = [(c, -pk) for pk, c, pos in parts if pos]
+        if not promo:
+            assert b not in got or got[b].brand == "ALL"
+            continue
+        bc, npk = max(promo)
+        bpk = -npk
+        rank = 1 + sum(1 for pk, c, _ in parts
+                       if c > bc or (c == bc and pk < bpk))
+        rrs[b] = 1.0 / rank
+        r = got[b]
+        assert r.first_promo_rank == rank, (b, r, rank)
+        assert abs(r.reciprocal_rank - 1.0 / rank) < 1e-6
+        assert r.n_parts == len(parts)
+    mrr = sum(rrs.values()) / len(rrs)
+    assert abs(got["ALL"].reciprocal_rank - mrr) < 1e-6
+    assert got["ALL"].n_parts == sum(len(v) for v in brands.values())
+
+
+def test_gumbel_matches_python(spark, sf_smoke):
+    import math
+    from collections import defaultdict
+
+    from travel_data_pipeline_spark.queries_round16 import (
+        _GUMBEL_T,
+        gumbel_weekly_maxima,
+    )
+    from travel_data_pipeline_spark.sources.readers import load_table
+
+    daily = defaultdict(int)
+    for r in (load_table(spark, sf_smoke, "events")
+              .select("ts").collect()):
+        d = r.ts.date()
+        daily[(d.isocalendar()[:2], d)] += 1
+    weeks = defaultdict(int)
+    for (wk, _), c in daily.items():
+        weeks[wk] = max(weeks[wk], c)
+    xs = list(weeks.values())
+    n = len(xs)
+    mean = sum(xs) / n
+    var = sum((x - mean) ** 2 for x in xs) / (n - 1)
+    beta = math.sqrt(6 * var / math.pi ** 2)
+    mu = mean - 0.5772156649015329 * beta
+    ret = mu - beta * math.log(-math.log(1 - 1 / _GUMBEL_T))
+    row = gumbel_weekly_maxima(spark, sf_smoke).collect()[0]
+    assert row.n_blocks == n
+    assert abs(row.mean_max - mean) < 1e-6
+    assert abs(row.var_max - var) < 1e-5
+    assert abs(row.beta - beta) < 1e-5
+    assert abs(row.mu - mu) < 1e-5
+    assert abs(row.return_level_4wk - ret) < 1e-5
+    # Gumbel return level for T>e must sit above the location mu
+    assert row.return_level_4wk > row.mu
+
+
+def test_good_turing_matches_python(spark, sf_smoke):
+    import re
+    from collections import Counter
+
+    from travel_data_pipeline_spark.queries_round16 import (
+        _GT_MAX_R,
+        good_turing_smoothing,
+    )
+    from travel_data_pipeline_spark.sources.readers import load_table
+
+    freq = Counter()
+    n_tokens = 0
+    for r in (load_table(spark, sf_smoke, "documents")
+              .select("text").collect()):
+        toks = [t for t in
+                re.sub(r"\s+", " ", r.text.lower()).strip().split(" ")
+                if t]
+        freq.update(toks)
+        n_tokens += len(toks)
+    fof = Counter(freq.values())
+    got = {r.r: r for r in good_turing_smoothing(spark, sf_smoke)
+           .collect()}
+    assert set(got) == set(range(1, _GT_MAX_R + 1))
+    for r in range(1, _GT_MAX_R + 1):
+        row = got[r]
+        assert row.n_r == fof.get(r, 0)
+        if fof.get(r, 0) and fof.get(r + 1, 0):
+            want = (r + 1) * fof[r + 1] / fof[r]
+            assert abs(row.r_star - want) < 1e-6
+        else:
+            assert row.r_star is None
+        assert row.n_tokens == n_tokens
+        assert row.n_types == len(freq)
+        assert abs(row.p0_unseen - fof.get(1, 0) / n_tokens) < 1e-9
+
+
+def test_wilson_ci_matches_python(spark, sf_smoke):
+    import math
+    from collections import defaultdict
+
+    from travel_data_pipeline_spark.queries_round16 import (
+        wilson_ci_conversion,
+    )
+    from travel_data_pipeline_spark.sources.readers import load_table
+
+    rows = (load_table(spark, sf_smoke, "events")
+            .select("user_id", "event_type").collect())
+    buyers = {r.user_id for r in rows if r.event_type == "purchase"}
+    per_type = defaultdict(set)
+    for r in rows:
+        per_type[r.event_type].add(r.user_id)
+    got = {r.event_type: r for r in
+           wilson_ci_conversion(spark, sf_smoke).collect()}
+    z = 1.96
+    for t, users in per_type.items():
+        n, x = len(users), len(users & buyers)
+        p = x / n
+        half = z * z / (2 * n)
+        rad = z * math.sqrt(p * (1 - p) / n + z * z / (4 * n * n))
+        den = 1 + z * z / n
+        r = got[t]
+        assert (r.n_users, r.n_converted) == (n, x)
+        assert abs(r.p_hat - p) < 1e-6
+        assert abs(r.wilson_lo - (p + half - rad) / den) < 1e-6
+        assert abs(r.wilson_hi - (p + half + rad) / den) < 1e-6
+        assert 0.0 <= r.wilson_lo <= r.p_hat <= r.wilson_hi <= 1.0
+
+
+def test_page_hinkley_matches_python(spark, sf_smoke):
+    from travel_data_pipeline_spark.queries_round16 import (
+        page_hinkley_drift,
+    )
+
+    daily = _daily(spark, sf_smoke)
+    ts = sorted(daily)
+    s = 0
+    m = minm = 0.0
+    maxph, argmax = 0.0, ts[0]
+    for i, t in enumerate(ts, 1):
+        s += daily[t]
+        m += daily[t] - s / i
+        if i == 1:
+            minm = m
+        minm = min(minm, m)
+        ph = m - minm
+        if ph > maxph:
+            maxph, argmax = ph, t
+    row = page_hinkley_drift(spark, sf_smoke).collect()[0]
+    assert row.n_days == len(ts)
+    assert abs(row.ph_final - (m - minm)) < 1e-6
+    assert abs(row.ph_max - maxph) < 1e-6
+    assert row.drift_day == argmax

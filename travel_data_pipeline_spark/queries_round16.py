@@ -3128,3 +3128,449 @@ def kcore_membership(spark: SparkSession, sf_dir: str) -> DataFrame:
                        .alias("converged")))
         out = row if out is None else out.unionAll(row)
     return out
+
+
+# ---------------------------------------------------------------------------
+# Batch F — ranking evaluation, extreme values, LM smoothing,
+# proportion intervals, and sequential drift.
+# ---------------------------------------------------------------------------
+
+# --- mean reciprocal rank of PROMO parts within brand rankings --------------
+#
+# MRR over per-brand popularity rankings (order count DESC, partkey
+# ASC): the first PROMO part's rank per brand needs NO window — it is
+# 1 + #(parts strictly ahead of the best promo part), all grouped
+# aggregations, so the shape survives any parts-per-brand skew.
+# ---------------------------------------------------------------------------
+
+@register("mrr_brand_promo", f"""
+WITH cnts AS (
+    SELECT p.p_brand AS brand, p.p_partkey AS pk,
+           CASE WHEN p.p_type LIKE 'PROMO%' THEN 1 ELSE 0 END AS pos,
+           COALESCE(c.cnt, 0) AS cnt
+    FROM part p LEFT JOIN (
+        SELECT l_partkey, count(*) AS cnt FROM lineitem GROUP BY 1
+    ) c ON c.l_partkey = p.p_partkey
+),
+bestc AS (
+    SELECT brand, max(cnt) AS bcnt FROM cnts WHERE pos = 1
+    GROUP BY brand
+),
+best AS (
+    SELECT c.brand, b.bcnt, min(c.pk) AS bpk
+    FROM cnts c JOIN bestc b ON b.brand = c.brand AND c.cnt = b.bcnt
+    WHERE c.pos = 1 GROUP BY c.brand, b.bcnt
+),
+ranked AS (
+    SELECT c.brand, b.bpk, b.bcnt,
+           CAST(1 + SUM(CASE WHEN c.cnt > b.bcnt
+                              OR (c.cnt = b.bcnt AND c.pk < b.bpk)
+                             THEN 1 ELSE 0 END) AS BIGINT) AS rnk,
+           CAST(count(*) AS BIGINT) AS n_parts
+    FROM cnts c JOIN best b ON b.brand = c.brand
+    GROUP BY c.brand, b.bpk, b.bcnt
+),
+rows_out AS (
+    SELECT brand, n_parts, rnk AS first_promo_rank,
+           {round_sql('1.0 / rnk')} AS reciprocal_rank
+    FROM ranked
+)
+SELECT brand, n_parts, first_promo_rank, reciprocal_rank FROM rows_out
+UNION ALL
+SELECT 'ALL', (SELECT CAST(count(*) AS BIGINT) FROM cnts),
+       CAST(0 AS BIGINT),
+       {round_sql('''(SELECT list_reduce(list_prepend(0.0,
+            list(1.0 / rnk ORDER BY brand)), (a, b) -> a + b)
+            / count(*) FROM ranked)''')}
+""")
+def mrr_brand_promo(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reciprocal rank of the first PROMO part in each brand's
+    popularity ranking + the cross-brand MRR summary row ('ALL',
+    rank 0 sentinel); window-free rank via grouped aggregations."""
+    li = load_table(spark, sf_dir, "lineitem")
+    parts = load_table(spark, sf_dir, "part").select(
+        F.col("p_brand").alias("brand"),
+        F.col("p_partkey").alias("pk"),
+        F.when(F.col("p_type").startswith("PROMO"), 1).otherwise(0)
+        .alias("pos"))
+    cnts = (parts.join(li.groupBy(F.col("l_partkey").alias("pk"))
+                       .agg(F.count("*").alias("cnt")), "pk", "left")
+            .select("brand", "pk", "pos",
+                    F.coalesce("cnt", F.lit(0)).alias("cnt")))
+    promo = cnts.filter(F.col("pos") == 1)
+    bestc = promo.groupBy("brand").agg(F.max("cnt").alias("bcnt"))
+    best = (promo.join(bestc, "brand")
+            .filter(F.col("cnt") == F.col("bcnt"))
+            .groupBy("brand", "bcnt").agg(F.min("pk").alias("bpk")))
+    ranked = (cnts.join(best, "brand")
+              .groupBy("brand", "bpk", "bcnt")
+              .agg((1 + F.sum(F.when(
+                  (F.col("cnt") > F.col("bcnt"))
+                  | ((F.col("cnt") == F.col("bcnt"))
+                     & (F.col("pk") < F.col("bpk"))), 1).otherwise(0)))
+                  .cast("long").alias("rnk"),
+                  F.count("*").cast("long").alias("n_parts")))
+    rows_out = ranked.select(
+        "brand", "n_parts", F.col("rnk").alias("first_promo_rank"),
+        F.round(F.lit(1.0) / F.col("rnk"), 6).alias("reciprocal_rank"))
+    n_all = cnts.agg(F.count("*").cast("long").alias("n"))
+    mrr = (ranked.agg(
+        F.aggregate(F.array_sort(F.collect_list(F.struct(
+            "brand", (F.lit(1.0) / F.col("rnk")).alias("rr")))),
+            F.lit(0.0), lambda a, x: a + x["rr"]).alias("s"),
+        F.count("*").alias("nb"))
+        .crossJoin(F.broadcast(n_all))
+        .select(F.lit("ALL").alias("brand"),
+                F.col("n").alias("n_parts"),
+                F.lit(0).cast("long").alias("first_promo_rank"),
+                F.round(F.col("s") / F.col("nb"), 6)
+                .alias("reciprocal_rank")))
+    return rows_out.unionAll(mrr)
+
+
+
+# --- Gumbel block-maxima fit of weekly peak load -----------------------------
+#
+# Extreme-value readout (Gumbel 1958, method of moments — public):
+# block maxima = the max daily count of each ISO week;
+#   beta = sqrt(6 * var / pi^2),  mu = mean - gamma * beta
+# (gamma = Euler-Mascheroni), and the T-block return level
+#   x_T = mu - beta * ln(-ln(1 - 1/T))       (T = 4 weeks)
+# Block maxima and their two moments are exact integers; the literal
+# constants bridge through exact repr strings (parity hazard c).
+# ---------------------------------------------------------------------------
+
+_GUMBEL_T = 4
+
+
+@register("gumbel_weekly_maxima", f"""
+WITH daily AS (
+    SELECT date_trunc('week', ts) AS wk,
+           date_trunc('day', ts) AS day, count(*) AS cnt
+    FROM events GROUP BY wk, day
+),
+maxima AS (SELECT wk, max(cnt) AS m FROM daily GROUP BY wk),
+mom AS (
+    SELECT CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(m) AS BIGINT) AS s,
+           CAST(sum(m * m) AS BIGINT) AS ss
+    FROM maxima
+),
+t AS (
+    SELECT n, CAST(n AS DOUBLE) AS nd, CAST(s AS DOUBLE) AS sd,
+           CAST(ss AS DOUBLE) AS ssd
+    FROM mom
+),
+fit AS (
+    SELECT n, sd / nd AS mean_max,
+           CASE WHEN n <= 1 THEN NULL
+                ELSE (ssd - sd * sd / nd) / (nd - 1.0) END AS var_max
+    FROM t
+),
+fit2 AS (
+    SELECT n, mean_max, var_max,
+           CASE WHEN var_max IS NULL OR var_max <= 0.0 THEN NULL
+                ELSE sqrt(6.0 * var_max
+                          / CAST('9.869604401089358' AS DOUBLE)) END AS beta
+    FROM fit
+)
+SELECT n AS n_blocks, {round_sql('mean_max')} AS mean_max,
+       {round_sql('var_max')} AS var_max,
+       CASE WHEN beta IS NULL THEN NULL
+            ELSE {round_sql('beta')} END AS beta,
+       CASE WHEN beta IS NULL THEN NULL
+            ELSE {round_sql(
+                f"mean_max - CAST('0.5772156649015329' AS DOUBLE) * beta")}
+       END AS mu,
+       CASE WHEN beta IS NULL THEN NULL
+            ELSE {round_sql(
+                f"(mean_max - CAST('0.5772156649015329' AS DOUBLE) * beta)"
+                f" - beta * ln(-ln(1.0 - 1.0 / {_GUMBEL_T}.0))")}
+       END AS return_level_4wk
+FROM fit2
+""")
+def gumbel_weekly_maxima(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gumbel method-of-moments fit of weekly peak daily load with the
+    4-week return level."""
+    ev = load_table(spark, sf_dir, "events")
+    daily = (ev.groupBy(F.date_trunc("week", "ts").alias("wk"),
+                        F.date_trunc("day", "ts").alias("day"))
+             .agg(F.count("*").alias("cnt")))
+    maxima = daily.groupBy("wk").agg(F.max("cnt").alias("m"))
+    mom = maxima.agg(F.count("*").cast("long").alias("n"),
+                     F.sum("m").cast("long").alias("s"),
+                     F.sum(F.col("m") * F.col("m")).cast("long")
+                     .alias("ss"))
+    nd = F.col("n").cast("double")
+    sd = F.col("s").cast("double")
+    ssd = F.col("ss").cast("double")
+    mean_max = sd / nd
+    var_max = F.when(F.col("n") <= 1, F.lit(None).cast("double")) \
+        .otherwise((ssd - sd * sd / nd) / (nd - 1.0))
+    gamma = F.lit(float("0.5772156649015329"))
+    beta = F.when(var_max.isNull() | (var_max <= 0.0),
+                  F.lit(None).cast("double")) \
+        .otherwise(F.sqrt(6.0 * var_max / F.lit(float("9.869604401089358"))))
+    mu = mean_max - gamma * beta
+    ret = mu - beta * F.log(-F.log(F.lit(1.0)
+                                   - F.lit(1.0)
+                                   / float(_GUMBEL_T)))
+    nulld = F.lit(None).cast("double")
+    return mom.select(
+        F.col("n").alias("n_blocks"),
+        F.round(mean_max, 6).alias("mean_max"),
+        F.round(var_max, 6).alias("var_max"),
+        F.when(beta.isNull(), nulld).otherwise(F.round(beta, 6))
+        .alias("beta"),
+        F.when(beta.isNull(), nulld).otherwise(F.round(mu, 6))
+        .alias("mu"),
+        F.when(beta.isNull(), nulld).otherwise(F.round(ret, 6))
+        .alias("return_level_4wk"))
+
+
+# --- Good-Turing frequency smoothing audit -----------------------------------
+#
+# Frequency-of-frequencies estimator (Good 1953, public): with N_r =
+# #types seen r times, the smoothed count r* = (r+1) N_{r+1} / N_r and
+# the unseen probability mass p0 = N_1 / N_tokens — the LM-smoothing
+# companion of kn_bigram_ppl's Kneser-Ney.  Every quantity is an
+# exact-integer ratio over the bounded frequency ladder r = 1..8
+# (NULL r* where the ladder has a hole, the textbook caveat).
+# ---------------------------------------------------------------------------
+
+_GT_MAX_R = 8
+
+
+@register("good_turing_smoothing", f"""
+WITH toks AS (
+    SELECT unnest(list_filter(string_split(
+               trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' '),
+               x -> x <> '')) AS token
+    FROM documents
+),
+freq AS (SELECT token, count(*) AS r FROM toks GROUP BY token),
+fof AS (SELECT r, CAST(count(*) AS BIGINT) AS n_r FROM freq GROUP BY r),
+tot AS (
+    SELECT (SELECT CAST(count(*) AS BIGINT) FROM toks) AS n_tokens,
+           (SELECT CAST(count(*) AS BIGINT) FROM freq) AS n_types
+),
+grid AS (
+    SELECT g.r, COALESCE(f.n_r, 0) AS n_r, COALESCE(f2.n_r, 0) AS n_r1
+    FROM (SELECT unnest(generate_series(1, {_GT_MAX_R})) AS r) g
+    LEFT JOIN fof f ON f.r = g.r
+    LEFT JOIN fof f2 ON f2.r = g.r + 1
+)
+SELECT CAST(grid.r AS INT) AS r, grid.n_r,
+       CASE WHEN grid.n_r = 0 OR grid.n_r1 = 0 THEN NULL
+            ELSE {round_sql('(grid.r + 1.0) * grid.n_r1 / grid.n_r')}
+       END AS r_star,
+       tot.n_tokens, tot.n_types,
+       {round_sql('''(SELECT COALESCE(SUM(CASE WHEN r = 1
+                 THEN CAST(n_r AS DOUBLE) END), 0.0) FROM fof)
+             / tot.n_tokens''')} AS p0_unseen
+FROM grid CROSS JOIN tot
+""")
+def good_turing_smoothing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Good-Turing r* ladder (r = 1..8) and unseen mass p0 over the
+    corpus unigram frequencies."""
+    from travel_data_pipeline_spark.operators import dedup, text
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        F.explode(F.filter(text.token_array(
+            dedup.normalize_text(F.col("text"))),
+            lambda t: t != "")).alias("token"))
+    freq = toks.groupBy("token").agg(F.count("*").alias("r"))
+    fof = freq.groupBy("r").agg(F.count("*").cast("long").alias("n_r"))
+    tot = (toks.agg(F.count("*").cast("long").alias("n_tokens"))
+           .crossJoin(F.broadcast(
+               freq.agg(F.count("*").cast("long").alias("n_types")))))
+    n1 = (fof.filter(F.col("r") == 1)
+          .agg(F.coalesce(F.sum("n_r"), F.lit(0)).cast("double")
+               .alias("n1")))
+    grid = (freq.sparkSession.range(1, _GT_MAX_R + 1)
+            .select(F.col("id").cast("int").alias("r"))
+            .join(F.broadcast(fof), "r", "left")
+            .join(F.broadcast(fof.select((F.col("r") - 1).alias("r"),
+                                         F.col("n_r").alias("n_r1"))),
+                  "r", "left")
+            .select("r", F.coalesce("n_r", F.lit(0)).alias("n_r"),
+                    F.coalesce("n_r1", F.lit(0)).alias("n_r1")))
+    r_star = (F.when((F.col("n_r") == 0) | (F.col("n_r1") == 0),
+                     F.lit(None).cast("double"))
+              .otherwise(F.round((F.col("r") + 1.0) * F.col("n_r1")
+                                 / F.col("n_r"), 6)))
+    return (grid.crossJoin(F.broadcast(tot))
+            .crossJoin(F.broadcast(n1))
+            .select("r", "n_r", r_star.alias("r_star"),
+                    "n_tokens", "n_types",
+                    F.round(F.col("n1") / F.col("n_tokens"), 6)
+                    .alias("p0_unseen")))
+
+
+# --- Wilson score intervals for per-type purchase conversion -----------------
+#
+# Per event type: of the users who did the type, how many ever
+# purchased — with the Wilson (1927, public) 95% score interval,
+# which stays inside [0,1] and behaves at small n unlike the Wald
+# interval.  z = 1.96 literal; counts exact; one shared double tree.
+# ---------------------------------------------------------------------------
+
+_WILSON_Z = "1.96"
+
+
+@register("wilson_ci_conversion", f"""
+WITH buyers AS (
+    SELECT DISTINCT user_id FROM events WHERE event_type = 'purchase'
+),
+per_type AS (
+    SELECT e.event_type,
+           CAST(count(DISTINCT e.user_id) AS BIGINT) AS n,
+           CAST(count(DISTINCT CASE WHEN b.user_id IS NOT NULL
+                                    THEN e.user_id END) AS BIGINT) AS x
+    FROM events e LEFT JOIN buyers b ON b.user_id = e.user_id
+    GROUP BY e.event_type
+),
+t AS (
+    SELECT event_type, n, x,
+           CAST(x AS DOUBLE) / n AS p,
+           CAST({_WILSON_Z} AS DOUBLE) AS z, CAST(n AS DOUBLE) AS nd
+    FROM per_type
+)
+SELECT event_type, n AS n_users, x AS n_converted,
+       {round_sql('p')} AS p_hat,
+       {round_sql('''(p + z * z / (2.0 * nd)
+            - z * sqrt(p * (1.0 - p) / nd
+                       + z * z / (4.0 * nd * nd)))
+           / (1.0 + z * z / nd)''')} + 0.0 AS wilson_lo,
+       {round_sql('''(p + z * z / (2.0 * nd)
+            + z * sqrt(p * (1.0 - p) / nd
+                       + z * z / (4.0 * nd * nd)))
+           / (1.0 + z * z / nd)''')} AS wilson_hi
+FROM t
+""")
+def wilson_ci_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wilson 95% score interval of the purchase-conversion rate per
+    event type (users who did the type vs those who ever purchased)."""
+    ev = load_table(spark, sf_dir, "events")
+    buyers = (ev.filter(F.col("event_type") == "purchase")
+              .select("user_id").distinct()
+              .withColumn("is_buyer", F.lit(1)))
+    per_type = (ev.select("event_type", "user_id")
+                .join(F.broadcast(buyers), "user_id", "left")
+                .groupBy("event_type")
+                .agg(F.countDistinct("user_id").cast("long").alias("n"),
+                     F.countDistinct(F.when(F.col("is_buyer") == 1,
+                                            F.col("user_id")))
+                     .cast("long").alias("x")))
+    p = F.col("x").cast("double") / F.col("n")
+    z = F.lit(float(_WILSON_Z))
+    nd = F.col("n").cast("double")
+    half = z * z / (2.0 * nd)
+    rad = z * F.sqrt(p * (1.0 - p) / nd + z * z / (4.0 * nd * nd))
+    den = F.lit(1.0) + z * z / nd
+    return per_type.select(
+        "event_type", F.col("n").alias("n_users"),
+        F.col("x").alias("n_converted"),
+        F.round(p, 6).alias("p_hat"),
+        (F.round((p + half - rad) / den, 6) + 0.0).alias("wilson_lo"),
+        F.round((p + half + rad) / den, 6).alias("wilson_hi"))
+
+
+# --- Page-Hinkley sequential drift statistic ---------------------------------
+#
+# Sequential mean-shift monitor (Page 1954 / Hinkley 1971, public)
+# over the daily total series with delta = 0:
+#   m_t  = sum_{i<=t} (x_i - mean(x_1..x_i))
+#   PH_t = m_t - min_{i<=t} m_i          (upward-shift form)
+# The fold carries (sum, m, min m, max PH, argmax day) through one
+# day-sorted pinned pass; the per-step running mean is the ONE shared
+# double division.  Output: the final and maximal PH with the argmax
+# day (ties -> earliest).  Oracle: recursive walk (holt precedent).
+# ---------------------------------------------------------------------------
+
+def _ph_oracle() -> str:
+    return f"""
+WITH RECURSIVE daily AS MATERIALIZED (
+    {_DAILY_SQL.format(where="")}
+),
+idx AS MATERIALIZED (
+    SELECT t, cnt, row_number() OVER (ORDER BY t) AS rn FROM daily
+),
+walk AS (
+    SELECT rn, t, CAST(cnt AS BIGINT) AS s,
+           cnt - CAST(cnt AS DOUBLE) AS m,
+           cnt - CAST(cnt AS DOUBLE) AS minm,
+           CAST(0.0 AS DOUBLE) AS maxph, t AS argmax_t
+    FROM idx WHERE rn = 1
+    UNION ALL
+    SELECT g.rn, g.t, w.s + g.cnt,
+           w.m + g.cnt - CAST(w.s + g.cnt AS DOUBLE) / g.rn,
+           LEAST(w.minm,
+                 w.m + g.cnt - CAST(w.s + g.cnt AS DOUBLE) / g.rn),
+           CASE WHEN (w.m + g.cnt
+                      - CAST(w.s + g.cnt AS DOUBLE) / g.rn)
+                     - LEAST(w.minm, w.m + g.cnt
+                             - CAST(w.s + g.cnt AS DOUBLE) / g.rn)
+                     > w.maxph
+                THEN (w.m + g.cnt
+                      - CAST(w.s + g.cnt AS DOUBLE) / g.rn)
+                     - LEAST(w.minm, w.m + g.cnt
+                             - CAST(w.s + g.cnt AS DOUBLE) / g.rn)
+                ELSE w.maxph END,
+           CASE WHEN (w.m + g.cnt
+                      - CAST(w.s + g.cnt AS DOUBLE) / g.rn)
+                     - LEAST(w.minm, w.m + g.cnt
+                             - CAST(w.s + g.cnt AS DOUBLE) / g.rn)
+                     > w.maxph
+                THEN g.t ELSE w.argmax_t END
+    FROM idx g JOIN walk w ON g.rn = w.rn + 1
+)
+SELECT (SELECT CAST(count(*) AS BIGINT) FROM daily) AS n_days,
+       {round_sql('m - minm')} AS ph_final,
+       {round_sql('maxph')} AS ph_max,
+       CAST(argmax_t AS BIGINT) AS drift_day
+FROM walk WHERE rn = (SELECT max(rn) FROM idx)
+"""
+
+
+@register("page_hinkley_drift", lambda: _ph_oracle())
+def page_hinkley_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Page-Hinkley upward mean-shift statistic over the daily series:
+    final PH, maximal PH and its (earliest) argmax day."""
+    ev = load_table(spark, sf_dir, "events")
+    daily = _daily_counts(ev)
+    g = daily.agg(
+        F.array_sort(F.collect_list(F.struct("t", "cnt"))).alias("ss"),
+        F.count("*").cast("long").alias("n_days"))
+    first = F.element_at("ss", 1)
+    m0 = (first["cnt"] - first["cnt"].cast("double"))
+    seed = F.struct(
+        F.lit(1).cast("long").alias("rn"),
+        first["cnt"].cast("long").alias("s"),
+        m0.alias("m"), m0.alias("minm"),
+        F.lit(0.0).alias("maxph"),
+        first["t"].cast("long").alias("argmax_t"))
+
+    def step(acc, x):
+        rn = acc["rn"] + 1
+        s = acc["s"] + x["cnt"]
+        m = acc["m"] + x["cnt"] - s.cast("double") / rn
+        minm = F.least(acc["minm"], m)
+        ph = m - minm
+        improved = ph > acc["maxph"]
+        return F.struct(
+            rn.alias("rn"), s.alias("s"), m.alias("m"),
+            minm.alias("minm"),
+            F.when(improved, ph).otherwise(acc["maxph"]).alias("maxph"),
+            F.when(improved, x["t"].cast("long"))
+            .otherwise(acc["argmax_t"]).alias("argmax_t"))
+
+    fin = F.aggregate(F.slice("ss", 2, F.greatest(F.size("ss") - 1,
+                                                  F.lit(0))),
+                      seed, step)
+    return g.select(
+        "n_days",
+        F.round(fin["m"] - fin["minm"], 6).alias("ph_final"),
+        F.round(fin["maxph"], 6).alias("ph_max"),
+        fin["argmax_t"].alias("drift_day"))
