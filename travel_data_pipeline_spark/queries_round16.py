@@ -2481,12 +2481,10 @@ cnt AS (
 SELECT n_a, n_b, m, n_true,
        {round_sql('(CAST(n_a AS DOUBLE) + 1.0) * (n_b + 1.0)'
                   ' / (m + 1.0) - 1.0')} AS n_hat_chapman,
-       CASE WHEN m + 2 = 0 THEN NULL
-            ELSE {round_sql(
-                'sqrt((CAST(n_a AS DOUBLE) + 1.0) * (n_b + 1.0)'
-                ' * (n_a - m) * (n_b - m)'
-                ' / ((m + 1.0) * (m + 1.0) * (m + 2.0)))')}
-       END AS se_chapman
+       {round_sql(
+           'sqrt((CAST(n_a AS DOUBLE) + 1.0) * (n_b + 1.0)'
+           ' * (n_a - m) * (n_b - m)'
+           ' / ((m + 1.0) * (m + 1.0) * (m + 2.0)))')} AS se_chapman
 FROM cnt
 """)
 def capture_recapture_users(spark: SparkSession,
@@ -2517,8 +2515,7 @@ def capture_recapture_users(spark: SparkSession,
     return cnt.select(
         "n_a", "n_b", "m", "n_true",
         F.round(n_hat, 6).alias("n_hat_chapman"),
-        F.when(F.col("m") + 2 == 0, F.lit(None).cast("double"))
-        .otherwise(F.round(se, 6)).alias("se_chapman"))
+        F.round(se, 6).alias("se_chapman"))
 
 
 # --- Friedman test: day-of-week effects blocked by ISO week -----------------
@@ -2715,8 +2712,6 @@ def rmst_arms(spark: SparkSession, sf_dir: str) -> DataFrame:
     byt = (life.groupBy("arm", "t")
            .agg(F.sum(1 - F.col("censored")).alias("d"),
                 F.sum("censored").alias("c")))
-    from pyspark.sql import Window
-
     w_all = Window.partitionBy("arm")
     w_prev = (Window.partitionBy("arm").orderBy("t")
               .rowsBetween(Window.unboundedPreceding, -1))
@@ -2911,8 +2906,6 @@ def psm_att_matching(spark: SparkSession, sf_dir: str,
     ``units`` (columns c_custkey, arm, bal decimal(18,2), y
     decimal(18,2)) lets tools/stress_matching.py drive this exact
     code path with a synthetic 10M-unit relation."""
-    from pyspark.sql import Window
-
     if units is None:
         orders = load_table(spark, sf_dir, "orders")
         cust = load_table(spark, sf_dir, "customer").select(
@@ -3373,13 +3366,11 @@ FROM grid CROSS JOIN tot
 def good_turing_smoothing(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Good-Turing r* ladder (r = 1..8) and unseen mass p0 over the
     corpus unigram frequencies."""
-    from travel_data_pipeline_spark.operators import dedup, text
+    from travel_data_pipeline_spark.operators import text
 
     docs = load_table(spark, sf_dir, "documents")
     toks = docs.select(
-        F.explode(F.filter(text.token_array(
-            dedup.normalize_text(F.col("text"))),
-            lambda t: t != "")).alias("token"))
+        F.explode(text.token_array(F.col("text"))).alias("token"))
     freq = toks.groupBy("token").agg(F.count("*").alias("r"))
     fof = freq.groupBy("r").agg(F.count("*").cast("long").alias("n_r"))
     tot = (toks.agg(F.count("*").cast("long").alias("n_tokens"))
@@ -3453,16 +3444,16 @@ def wilson_ci_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Wilson 95% score interval of the purchase-conversion rate per
     event type (users who did the type vs those who ever purchased)."""
     ev = load_table(spark, sf_dir, "events")
-    buyers = (ev.filter(F.col("event_type") == "purchase")
-              .select("user_id").distinct()
-              .withColumn("is_buyer", F.lit(1)))
-    per_type = (ev.select("event_type", "user_id")
-                .join(F.broadcast(buyers), "user_id", "left")
+    # per-user flag via groupBy (capture_recapture shape) — buyers is
+    # user-cardinality, never broadcast it (review r11 pass 2)
+    flags = (ev.groupBy("user_id")
+             .agg(F.max(F.when(F.col("event_type") == "purchase", 1)
+                        .otherwise(0)).alias("is_buyer")))
+    pairs = ev.select("event_type", "user_id").distinct()
+    per_type = (pairs.join(flags, "user_id")
                 .groupBy("event_type")
-                .agg(F.countDistinct("user_id").cast("long").alias("n"),
-                     F.countDistinct(F.when(F.col("is_buyer") == 1,
-                                            F.col("user_id")))
-                     .cast("long").alias("x")))
+                .agg(F.count("*").cast("long").alias("n"),
+                     F.sum("is_buyer").cast("long").alias("x")))
     p = F.col("x").cast("double") / F.col("n")
     z = F.lit(float(_WILSON_Z))
     nd = F.col("n").cast("double")
