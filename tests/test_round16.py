@@ -86,7 +86,8 @@ def test_ivf_topk_assign_impl_passthrough(spark):
              .select(F.col("vec_id").alias("centroid_id"), "embedding"))
     queries = (emb.filter(F.col("vec_id") < 5)
                .select(F.col("vec_id").alias("query_id"), "embedding"))
-    base = S.ivf_topk(emb, cents, queries, k=5, n_probe=2).collect()
+    base = S.ivf_topk(emb, cents, queries, k=5, n_probe=2,
+                      assign_impl="expr").collect()
     fast = S.ivf_topk(emb, cents, queries, k=5, n_probe=2,
                       assign_impl="arrow").collect()
     canon = sorted((r.query_id, r.neighbor_id, repr(r.cosine_sim), r.rnk)

@@ -436,7 +436,10 @@ def embedding_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
                  .select(F.col("vec_id").alias("centroid_id"), "embedding"))
     queries = (emb.filter(F.col("vec_id") < 5)
                .select(F.col("vec_id").alias("query_id"), "embedding"))
-    out = similarity.ivf_topk(emb, centroids, queries, k=5, n_probe=2)
+    # assign_impl pinned on the oracle-parity expr spelling (VERDICT
+    # r11 #1); non-oracle callers get 'auto' corpus-size routing.
+    out = similarity.ivf_topk(emb, centroids, queries, k=5, n_probe=2,
+                              assign_impl="expr")
     return out.withColumn("rnk", F.col("rnk").cast("int"))
 
 
