@@ -1809,28 +1809,37 @@ def croston_intermittent_demand(spark: SparkSession,
               F.count("*").cast("long").alias("n_demand_days"),
               F.sum("z").cast("string").cast("double")
               .alias("total_qty")))
-    seed = F.array(F.struct(
+    seed = F.struct(
         F.element_at("s", 1)["day"].alias("day"),
         dec(F.element_at("s", 1)["z"]).alias("zs"),
-        dec(F.lit(1.0)).alias("ps")))
+        dec(F.lit(1.0)).alias("ps"))
 
-    def step(acc, x):
-        prev = F.element_at(acc, -1)
+    def step(prev, x):
         interval = dec(F.datediff(x["day"], prev["day"]))
-        return F.array_append(acc, F.struct(
+        return F.struct(
             x["day"].alias("day"),
             dec(F.round(a * dec(x["z"]) + a1 * prev["zs"], 6))
             .alias("zs"),
             dec(F.round(a * interval + a1 * prev["ps"], 6))
-            .alias("ps")))
+            .alias("ps"))
 
-    folded = F.element_at(
-        F.aggregate(F.slice("s", 2, F.greatest(F.size("s") - 1,
-                                               F.lit(0))),
-                    seed, step), -1)
-    out = g.select("brand", "n_demand_days", "total_qty",
-                   folded["zs"].cast("double").alias("z_level"),
-                   folded["ps"].cast("double").alias("p_interval"))
+    # The recurrence carries ONLY the running (day, zs, ps) struct —
+    # no per-step array growth — and is projected ONCE into ``st``
+    # before field extraction (VERDICT r11 #2): CollapseProject does
+    # not inline a non-cheap expression consumed twice, so the
+    # ~2,500-step decimal fold renders a single time in the plan
+    # (PLANS.md previously showed it duplicated for z_level and
+    # p_interval). Arithmetic is unchanged step-for-step — same
+    # casts, rounds, and order — so output is bit-identical.
+    folded = F.aggregate(
+        F.slice("s", 2, F.greatest(F.size("s") - 1, F.lit(0))),
+        seed, step)
+    state = g.select("brand", "n_demand_days", "total_qty",
+                     folded.alias("st"))
+    out = state.select(
+        "brand", "n_demand_days", "total_qty",
+        F.col("st")["zs"].cast("double").alias("z_level"),
+        F.col("st")["ps"].cast("double").alias("p_interval"))
     fc = F.col("z_level") / F.col("p_interval")
     return out.select(
         "brand", "n_demand_days", "total_qty",
