@@ -1373,9 +1373,11 @@ def test_stateful_croston_matches_batch_and_drops_replays(
     fed as two MONOTONE day batches) must end, per brand, in the
     EXACT state the registered batch query
     (queries_round16.croston_intermittent_demand) reports — z_level /
-    p_interval / forecast bit-equal, n_demand_days equal — and a
-    redelivered old batch under a FRESH checkpoint must be a strict
-    output no-op (the monotone drop rule)."""
+    p_interval / forecast bit-equal, n_demand_days equal; a full
+    replay under a FRESH checkpoint must converge to the identical
+    output set; and a duplicate batch redelivered into the EXISTING
+    checkpoint must be a strict zero-row no-op (the cross-batch
+    day<=last_day drop branch — ADVICE r11)."""
     import os
 
     from travel_data_pipeline_spark.queries_round16 import (
@@ -1407,19 +1409,22 @@ def test_stateful_croston_matches_batch_and_drops_replays(
         part_df.toPandas().to_parquet(p)
         os.utime(p, (1700000000 + i * 60, 1700000000 + i * 60))
 
-    def run(qname, ckpt):
+    # file sink (not memory): the redelivery phase RESUMES crck1, and
+    # only durable sinks support checkpoint recovery
+    def run(outdir, ckpt):
         stream = (spark.readStream
                   .schema("brand string, day string, z string")
                   .option("maxFilesPerTrigger", 1).parquet(str(feed)))
         out = jobs.croston_stateful(stream)
-        q = (out.writeStream.format("memory").queryName(qname)
+        q = (out.writeStream.format("parquet")
+             .option("path", str(tmp_path / outdir))
              .outputMode("append")
              .option("checkpointLocation", str(tmp_path / ckpt))
              .trigger(availableNow=True).start())
         q.awaitTermination(180)
 
     run("cr_out", "crck1")
-    rows = spark.table("cr_out").collect()
+    rows = spark.read.parquet(str(tmp_path / "cr_out")).collect()
     # final state per brand = the row with the max day
     final = {}
     for r in rows:
@@ -1442,5 +1447,19 @@ def test_stateful_croston_matches_batch_and_drops_replays(
     # fold order-insensitive across the batch split)
     run("cr_out2", "crck2")
     got1 = sorted(map(tuple, rows))
-    got2 = sorted(map(tuple, spark.table("cr_out2").collect()))
+    got2 = sorted(map(tuple, spark.read.parquet(
+        str(tmp_path / "cr_out2")).collect()))
     assert got1 == got2
+
+    # TRUE at-least-once redelivery (ADVICE r11): drop a DUPLICATE of
+    # the first-half batch into the feed and resume the EXISTING
+    # checkpointed query — the file is new to the source, but every
+    # row's day is <= each brand's folded last_day, so the cross-batch
+    # monotone drop branch in croston_stateful fires for every row and
+    # the run is a strict output no-op.
+    dup = str(feed / "b0_redelivered.parquet")
+    b1.toPandas().to_parquet(dup)
+    os.utime(dup, (1700000300, 1700000300))
+    run("cr_out", "crck1")
+    assert sorted(map(tuple, spark.read.parquet(
+        str(tmp_path / "cr_out")).collect())) == got1
