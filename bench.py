@@ -211,7 +211,17 @@ def main() -> None:
     for sidecar in sidecars:
         path = os.path.join(REPO_ROOT, sidecar)
         prev_load = _recorded_load(path)
-        if (not errors and load_1min is not None and load_1min > 2.0):
+        # A loaded run (load > 2) normally diverts to the LOADED
+        # sidecar — EXCEPT when the standing record was itself taken
+        # under even heavier load (ADVICE r11: a 2.5-load run must be
+        # able to replace a 5.0-load record; before this clause a
+        # loaded record could only ever be refreshed by a fully idle
+        # run).
+        calmer_than_record = (prev_load is not None and prev_load > 2.0
+                              and load_1min is not None
+                              and load_1min < prev_load)
+        if (not errors and load_1min is not None and load_1min > 2.0
+                and not calmer_than_record):
             # SF-suffixed so loaded runs at different scales don't
             # clobber each other's preserved record (review r11)
             print(f"bench: load_1min={load_1min} > 2.0 — keeping the "

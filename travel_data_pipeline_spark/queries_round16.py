@@ -1934,14 +1934,15 @@ def jsd_source_topterms(spark: SparkSession, sf_dir: str) -> DataFrame:
     unigram distributions over the global top-100 terms + <OTHER>."""
     import math
 
-    from travel_data_pipeline_spark.operators import dedup, text
+    from travel_data_pipeline_spark.operators import text
 
     docs = load_table(spark, sf_dir, "documents")
+    # token_array already normalizes and drops empties (ADVICE r11:
+    # the previous extra normalize_text + empty filter was redundant
+    # double work on the corpus-sized pass)
     toks = docs.select(
         "source",
-        F.explode(F.filter(text.token_array(
-            dedup.normalize_text(F.col("text"))),
-            lambda t: t != "")).alias("token"))
+        F.explode(text.token_array(F.col("text"))).alias("token"))
     vocab = toks.groupBy("token").agg(F.count("*").alias("cnt"))
     top = (vocab.orderBy(F.col("cnt").desc(), F.col("token").asc())
            .limit(_JSD_TOPV).select("token", F.lit(1).alias("is_top")))
