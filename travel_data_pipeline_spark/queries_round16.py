@@ -1077,12 +1077,25 @@ def brown_forsythe_arms(spark: SparkSession, sf_dir: str) -> DataFrame:
         _bf_arm_col().alias("arm"),
         (F.col("o_totalprice").cast("decimal(18,2)") * 100)
         .cast("long").alias("yc"))
-    vals = units.groupBy("arm", "yc").agg(F.count("*").alias("cnt"))
+    # vals feeds the two-phase rank (which itself scans it twice:
+    # per-bucket stats + the windowed pass), the arm totals, and the
+    # moment pass — a lazy localCheckpoint derives the groupBy ONCE
+    # (the adamic_adar treatment; 51 -> ~18 exchanges in the audit)
+    vals = (units.groupBy("arm", "yc").agg(F.count("*").alias("cnt"))
+            .localCheckpoint(eager=False))
     # global (arm-major, value) order; per-arm cum = global cum minus
-    # the broadcast offset of all lower arms
+    # the broadcast offset of all lower arms. Arm spacing 1e17 keeps
+    # bucket_on non-decreasing for the ENTIRE long domain of yc
+    # (ADVICE r11: the old 1e9 spacing silently broke monotonicity
+    # past yc = 1e11 cents): yc/100 <= 9.3e16 < 1e17 for any long,
+    # arm*1e17 is exact in double, and round-to-nearest addition is
+    # weakly monotone — so f(arm2,yc2) >= f(arm1,yc1) whenever
+    # (arm2,yc2) >= (arm1,yc1). The ~16-unit double granularity at
+    # 1e17 only coarsens quantile SPLITS (perf), never the order
+    # contract two_phase_ordered requires.
     ranked = two_phase_ordered(
         vals, [F.col("arm").asc(), F.col("yc").asc()],
-        bucket_on=F.col("arm").cast("double") * 1e9
+        bucket_on=F.col("arm").cast("double") * 1e17
         + F.col("yc").cast("double") / 100.0,
         cumsum_cols={"cnt": "cum"})
     arms_tot = vals.groupBy("arm").agg(
@@ -1101,15 +1114,19 @@ def brown_forsythe_arms(spark: SparkSession, sf_dir: str) -> DataFrame:
             + F.when((F.col("cum_in") - F.col("cnt") < hi)
                      & (hi <= F.col("cum_in")), 1).otherwise(0))
     med = (ranked.groupBy("arm")
-           .agg(F.sum(F.col("yc") * pick).alias("med2c")))
+           .agg(F.sum(F.col("yc") * pick).alias("med2c"))
+           .localCheckpoint(eager=False))
     z2c = F.abs(2 * F.col("yc") - F.col("med2c"))
+    # mom is 4 rows but its lineage carries the whole median pass —
+    # checkpoint so wide + the final join derive it once
     mom = (vals.join(F.broadcast(med), "arm")
            .join(F.broadcast(arms_tot), "arm")
            .groupBy("arm", "n_arm", "med2c")
            .agg(F.sum(F.col("cnt").cast("decimal(38,0)") * z2c)
                 .alias("s1"),
                 F.sum(F.col("cnt").cast("decimal(38,0)") * z2c * z2c)
-                .alias("s2")))
+                .alias("s2"))
+           .localCheckpoint(eager=False))
     wide = mom.agg(
         F.sum("n_arm").cast("long").alias("n"),
         *[F.sum(F.when(F.col("arm") == a, F.col("n_arm")))
