@@ -1463,3 +1463,72 @@ def test_stateful_croston_matches_batch_and_drops_replays(
     run("cr_out", "crck1")
     assert sorted(map(tuple, spark.read.parquet(
         str(tmp_path / "cr_out")).collect())) == got1
+
+
+def test_stateful_page_hinkley_matches_batch_and_drops_replays(
+        spark, sf_smoke, tmp_path):
+    """Streaming Page-Hinkley (applyInPandasWithState over the daily
+    count rows, fed as two MONOTONE day batches) must end in the
+    EXACT state the registered batch query
+    (queries_round16.page_hinkley_drift) reports — n_days equal,
+    ph_final / ph_max / drift_day bit-equal; and a duplicate batch
+    redelivered into the EXISTING checkpoint must be a strict
+    zero-row no-op (the cross-batch t<=last_t drop branch)."""
+    import os
+
+    from travel_data_pipeline_spark.queries_round16 import (
+        _daily_counts,
+        page_hinkley_drift,
+    )
+
+    ev = load_table(spark, sf_smoke, "events")
+    daily = _daily_counts(ev).select(
+        F.col("t").cast("long").alias("t"),
+        F.col("cnt").cast("long").alias("cnt"))
+    all_days = sorted(r.t for r in daily.select("t").distinct().collect())
+    cut = all_days[len(all_days) // 2]
+    b1 = daily.filter(F.col("t") <= cut)
+    b2 = daily.filter(F.col("t") > cut)
+
+    feed = tmp_path / "phfeed"
+    feed.mkdir()
+    for i, part_df in enumerate([b1, b2]):
+        p = str(feed / f"b{i}.parquet")
+        part_df.toPandas().to_parquet(p)
+        os.utime(p, (1700000000 + i * 60, 1700000000 + i * 60))
+
+    def run(outdir, ckpt):
+        stream = (spark.readStream.schema("t long, cnt long")
+                  .option("maxFilesPerTrigger", 1).parquet(str(feed)))
+        out = jobs.page_hinkley_stateful(stream)
+        q = (out.writeStream.format("parquet")
+             .option("path", str(tmp_path / outdir))
+             .outputMode("append")
+             .option("checkpointLocation", str(tmp_path / ckpt))
+             .trigger(availableNow=True).start())
+        q.awaitTermination(180)
+
+    run("ph_out", "phck1")
+    rows = spark.read.parquet(str(tmp_path / "ph_out")).collect()
+    assert len(rows) == len(all_days)
+    last = max(rows, key=lambda r: r.t)
+    want = page_hinkley_drift(spark, sf_smoke).collect()[0]
+    assert last.n_days == want.n_days
+    assert repr(last.ph_final) == repr(want.ph_final)
+    assert repr(last.ph_max) == repr(want.ph_max)
+    assert last.drift_day == want.drift_day
+
+    # the mid-split boundary row closes exactly the first-half prefix
+    mid = next(r for r in rows if r.t == cut)
+    assert mid.n_days == len([d for d in all_days if d <= cut])
+
+    # TRUE at-least-once redelivery: duplicate the first-half batch
+    # into the feed and RESUME the existing checkpoint — every row's
+    # t is <= last_t, so the monotone drop fires for all of them
+    got1 = sorted(map(tuple, rows))
+    dup = str(feed / "b0_redelivered.parquet")
+    b1.toPandas().to_parquet(dup)
+    os.utime(dup, (1700000300, 1700000300))
+    run("ph_out", "phck1")
+    assert sorted(map(tuple, spark.read.parquet(
+        str(tmp_path / "ph_out")).collect())) == got1

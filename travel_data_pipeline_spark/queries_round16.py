@@ -3584,11 +3584,18 @@ def page_hinkley_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.when(improved, x["t"].cast("long"))
             .otherwise(acc["argmax_t"]).alias("argmax_t"))
 
+    # fold projected ONCE into ``st`` before the 4 field extractions
+    # (the croston single-render treatment, VERDICT r11 #2:
+    # CollapseProject keeps a non-cheap expression consumed more than
+    # once in its own projection, so the day-long recurrence renders
+    # a single time in the plan)
     fin = F.aggregate(F.slice("ss", 2, F.greatest(F.size("ss") - 1,
                                                   F.lit(0))),
                       seed, step)
-    return g.select(
+    state = g.select("n_days", fin.alias("st"))
+    return state.select(
         "n_days",
-        F.round(fin["m"] - fin["minm"], 6).alias("ph_final"),
-        F.round(fin["maxph"], 6).alias("ph_max"),
-        fin["argmax_t"].alias("drift_day"))
+        F.round(F.col("st")["m"] - F.col("st")["minm"], 6)
+        .alias("ph_final"),
+        F.round(F.col("st")["maxph"], 6).alias("ph_max"),
+        F.col("st")["argmax_t"].alias("drift_day"))

@@ -1237,6 +1237,111 @@ def croston_stateful(demand_rows: DataFrame) -> DataFrame:
                                     "NoTimeout"))
 
 
+def page_hinkley_stateful(daily_rows: DataFrame) -> DataFrame:
+    """Streaming Page-Hinkley mean-shift monitor — the stateful twin
+    of queries_round16.page_hinkley_drift (VERDICT r11 #5): one
+    global fold keyed on a constant, state = the exact
+    (rn, s, m, min m, max PH, argmax day) tuple the batch recurrence
+    carries. m/minm/maxph are IEEE doubles — they cross the Arrow
+    state boundary bit-exactly (no string shim needed; the croston
+    twin carries decimal strings only because ITS state is decimal).
+
+    The recurrence spelling is step-identical to the batch fold:
+    m += cnt - s/rn with s, rn exact integers (< 2^53, so Python's
+    true division and Spark's double/double division are the same
+    correctly-rounded IEEE op), and the emitted ph_final/ph_max pass
+    the same shortest-repr HALF_UP 6-dp round as Spark F.round. The
+    LAST emitted row per feed therefore bit-matches the registered
+    batch query over any MONOTONE day split — asserted in
+    tests/test_streaming.py. Ordering contract (croston's): rows
+    sort by day within a micro-batch; cross-batch days at or before
+    the last folded day are DROPPED, making at-least-once redelivery
+    of an old batch a strict output no-op.
+
+    Input must be the daily count rows (t day-index long, cnt long)
+    — the _daily_counts grain, one row per day.
+    """
+    import pandas as pd  # noqa: F401
+
+    out_schema = T.StructType([
+        T.StructField("t", T.LongType()),
+        T.StructField("cnt", T.LongType()),
+        T.StructField("n_days", T.LongType()),
+        T.StructField("ph_final", T.DoubleType()),
+        T.StructField("ph_max", T.DoubleType()),
+        T.StructField("drift_day", T.LongType()),
+    ])
+    state_schema = T.StructType([
+        T.StructField("rn", T.LongType()),
+        T.StructField("s", T.LongType()),
+        T.StructField("m", T.DoubleType()),
+        T.StructField("minm", T.DoubleType()),
+        T.StructField("maxph", T.DoubleType()),
+        T.StructField("argmax_t", T.LongType()),
+        T.StructField("last_t", T.LongType()),
+    ])
+
+    # self-contained closure: executors may not have this repo on path
+    def update(key, pdfs, state):
+        from decimal import ROUND_HALF_UP, Decimal
+
+        import pandas as pd
+
+        def r6(x):
+            return float(Decimal(repr(float(x))).quantize(
+                Decimal("0.000001"), rounding=ROUND_HALF_UP)) + 0.0
+
+        if state.exists:
+            rn, s, m, minm, maxph, argmax_t, last_t = state.get
+        else:
+            rn = s = 0
+            m = minm = maxph = 0.0
+            argmax_t = last_t = None
+
+        out = {"t": [], "cnt": [], "n_days": [], "ph_final": [],
+               "ph_max": [], "drift_day": []}
+
+        chunks = [pdf for pdf in pdfs if len(pdf)]
+        if chunks:
+            batch = pd.concat(chunks).sort_values("t")
+            rows_iter = zip(batch["t"], batch["cnt"])
+        else:
+            rows_iter = []
+        for t, cnt in rows_iter:
+            t, cnt = int(t), int(cnt)
+            if last_t is not None and t <= last_t:
+                continue  # late cross-batch arrival / replay: drop
+            rn += 1
+            s += cnt
+            if rn == 1:
+                # seed: m0 = cnt - double(cnt) = 0.0 exactly
+                m = minm = float(cnt) - float(cnt)
+                maxph = 0.0
+                argmax_t = t
+            else:
+                m = m + cnt - s / rn
+                minm = min(minm, m)
+                ph = m - minm
+                if ph > maxph:
+                    maxph = ph
+                    argmax_t = t
+            last_t = t
+            out["t"].append(t)
+            out["cnt"].append(cnt)
+            out["n_days"].append(rn)
+            out["ph_final"].append(r6(m - minm))
+            out["ph_max"].append(r6(maxph))
+            out["drift_day"].append(argmax_t)
+
+        state.update((rn, s, m, minm, maxph, argmax_t, last_t))
+        yield pd.DataFrame(out)
+
+    return (daily_rows.withColumn("g", F.lit(0)).groupBy("g")
+            .applyInPandasWithState(update, out_schema, state_schema,
+                                    "append",
+                                    "NoTimeout"))
+
+
 def weighted_reservoir_stream(incoming: DataFrame, state_path: str,
                               checkpoint: str,
                               k: int | None = None) -> StreamingQuery:
