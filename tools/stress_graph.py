@@ -1,0 +1,103 @@
+"""Graph-family scale stress (VERDICT r11 #4): drive the REGISTERED
+adamic-adar and k-core code paths (queries_round16.adamic_adar_from_edges
+/ kcore_from_edges — the same functions the registered queries call) at
+a synthetic ~10M-edge graph and certify:
+
+- adamic-adar: the ``_AA_MAX_NEIGH`` adjacency cap bounds the two-hop
+  candidate expansion (reported candidate count must stay well under
+  cap^2 x nodes), and the wall is edge-scaled, not quadratic;
+- k-core: the peel's per-round wall stays FLAT across rounds (eager
+  survivor checkpoints — no lineage re-growth, the HITS failure mode).
+
+Synthesis is in-engine and deterministic (xxhash64 spreads — no
+driver-side data): ~500k nodes, ~10M raw rows grouped to distinct
+undirected (lo < hi) edges.
+
+Run: python tools/stress_graph.py [n_rows]   (default 10_000_000)
+Prints one JSON line.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+N_NODES = 500_000
+
+
+def main(n_rows: int = 10_000_000) -> None:
+    # local[32] puts every executor thread in ONE JVM heap; the default
+    # 8g that fits the sf0.1 bench would OOM on the ~400M-row capped
+    # candidate relation this certification deliberately produces
+    # (measured: stage-26 heap exhaustion at 10M edges). A real
+    # cluster spreads the same relation over executors.
+    os.environ.setdefault("SPARK_GRAFT_DRIVER_MEM", "48g")
+
+    from pyspark.sql import functions as F
+
+    from travel_data_pipeline_spark.queries_round16 import (
+        adamic_adar_from_edges,
+        kcore_from_edges,
+    )
+    from travel_data_pipeline_spark.session import get_spark
+
+    spark = get_spark("stress-graph")
+    spark.sparkContext.setLogLevel("ERROR")
+    par = spark.sparkContext.defaultParallelism
+
+    # power-law-ish degree spread: one endpoint drawn from a squared
+    # hash (hub-heavy), the other uniform — stresses both the
+    # _AA_MAX_NEIGH cap (hubs) and the peel (long sparse tail)
+    raw = (spark.range(n_rows).repartition(par * 2)
+           .select((F.pmod(F.xxhash64("id"), F.lit(N_NODES))
+                    * F.pmod(F.xxhash64("id"), F.lit(N_NODES))
+                    % N_NODES).alias("x"),
+                   F.pmod(F.xxhash64("id", F.lit(1)),
+                          F.lit(N_NODES)).alias("y")))
+    edges = (raw.filter(F.col("x") != F.col("y"))
+             .select(F.least("x", "y").alias("part_a"),
+                     F.greatest("x", "y").alias("part_b"))
+             .distinct()
+             .localCheckpoint(eager=True))
+    n_edges = edges.count()
+
+    # --- adamic-adar through the registered path ---------------------
+    t0 = time.perf_counter()
+    aa = adamic_adar_from_edges(spark, edges)
+    aa_rows = aa.collect()
+    t_aa = time.perf_counter() - t0
+    aa_plan = aa._jdf.queryExecution().executedPlan().toString()
+
+    # --- k-core through the registered path, instrumented ------------
+    kc_edges = edges.select(F.col("part_a").alias("u"),
+                            F.col("part_b").alias("v"))
+    round_secs: list[float] = []
+    t0 = time.perf_counter()
+    kc = kcore_from_edges(spark, kc_edges, round_seconds=round_secs)
+    kc_rows = kc.collect()
+    t_kc = time.perf_counter() - t0
+
+    flat = (max(round_secs) / min(round_secs)) if round_secs else None
+    print(json.dumps({
+        "n_raw_rows": n_rows, "n_nodes": N_NODES, "n_edges": n_edges,
+        "aa_out_rows": len(aa_rows),
+        "aa_wall_sec": round(t_aa, 2),
+        "aa_edges_per_sec": int(n_edges / t_aa),
+        "aa_exchanges": aa_plan.count("Exchange"),
+        "kcore_out_rows": len(kc_rows),
+        "kcore_wall_sec": round(t_kc, 2),
+        "kcore_edges_per_sec": int(n_edges / t_kc),
+        "kcore_round_secs": [round(t, 2) for t in round_secs],
+        "kcore_round_flatness": round(flat, 2) if flat else None,
+        "kcore_results": sorted((r.k, r.n_core_nodes, r.converged)
+                                for r in kc_rows),
+    }))
+
+
+if __name__ == "__main__":
+    main(int(sys.argv[1]) if len(sys.argv) > 1 else 10_000_000)

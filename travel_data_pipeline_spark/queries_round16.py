@@ -1559,12 +1559,23 @@ def adamic_adar_links(spark: SparkSession, sf_dir: str) -> DataFrame:
         _pair_counts,
     )
 
+    return adamic_adar_from_edges(
+        spark, _pair_counts(_order_items(spark, sf_dir))
+        .select("part_a", "part_b"))
+
+
+def adamic_adar_from_edges(spark: SparkSession,
+                           edges_in: DataFrame) -> DataFrame:
+    """The capped two-hop link-prediction body over a distinct
+    undirected (part_a < part_b) edge relation — factored out so
+    tools/stress_graph.py can drive the REGISTERED code path at a
+    synthetic 10M-edge graph (VERDICT r11 #4), the hits_from_edges
+    seam pattern."""
     # edges / adj / deg are each referenced several times below (the
     # two-hop expansion, the anti-join, three degree lookups) — lazy
     # localCheckpoints make the plan derive each ONCE (144 -> ~10
     # exchanges in the audit); all three are edge-/node-sized
-    edges = (_pair_counts(_order_items(spark, sf_dir))
-             .select("part_a", "part_b").localCheckpoint(eager=False))
+    edges = edges_in.localCheckpoint(eager=False)
     adj0 = (edges.select(F.col("part_a").alias("s"),
                          F.col("part_b").alias("t"))
             .unionAll(edges.select(F.col("part_b").alias("s"),
@@ -3115,14 +3126,35 @@ def kcore_membership(spark: SparkSession, sf_dir: str) -> DataFrame:
         _pair_counts,
     )
 
-    edges = (_pair_counts(_order_items(spark, sf_dir))
-             .select(F.col("part_a").alias("u"),
-                     F.col("part_b").alias("v"))
-             .localCheckpoint(eager=False))
+    return kcore_from_edges(
+        spark, _pair_counts(_order_items(spark, sf_dir))
+        .select(F.col("part_a").alias("u"),
+                F.col("part_b").alias("v")))
+
+
+def kcore_from_edges(spark: SparkSession, edges_in: DataFrame,
+                     round_seconds: list | None = None) -> DataFrame:
+    """The bounded k-core peel body over a distinct undirected (u, v)
+    edge relation — factored out so tools/stress_graph.py can drive
+    the REGISTERED code path at a synthetic 10M-edge graph (VERDICT
+    r11 #4), the hits_from_edges seam pattern.
+
+    ``round_seconds``, when a list, receives one wall-clock float per
+    peel round; each round's survivor checkpoint becomes EAGER so the
+    measurement brackets real work — flat values certify the peel's
+    per-round wall doesn't grow with lineage. The registered query
+    passes None (lazy checkpoints, one materialization at the end).
+    """
+    import time as _time
+
+    eager = round_seconds is not None
+    edges = edges_in.localCheckpoint(eager=False)
     directed = (edges.select(F.col("u").alias("node"),
                              F.col("v").alias("other"))
                 .unionAll(edges.select(F.col("v").alias("node"),
                                        F.col("u").alias("other"))))
+    if eager:
+        directed = directed.localCheckpoint(eager=True)
     nodes = directed.select("node").distinct()
     n_nodes = nodes.agg(F.count("*").cast("long").alias("n_nodes"))
     out = None
@@ -3130,12 +3162,15 @@ def kcore_membership(spark: SparkSession, sf_dir: str) -> DataFrame:
         surv = nodes
         tail = []  # survivor sets of the last two rounds
         for _ in range(_N_PEEL):
+            t0 = _time.perf_counter()
             a = surv.select(F.col("node"))
             b = surv.select(F.col("node").alias("other"))
             deg = (directed.join(a, "node").join(b, "other")
                    .groupBy("node").agg(F.count("*").alias("deg")))
             surv = (deg.filter(F.col("deg") >= k).select("node")
-                    .localCheckpoint(eager=False))
+                    .localCheckpoint(eager=eager))
+            if eager:
+                round_seconds.append(_time.perf_counter() - t0)
             tail = (tail + [surv])[-2:]
         n_prev = tail[0].agg(F.count("*").alias("n_prev"))
         n_core = tail[1].agg(F.count("*").cast("long")

@@ -1,0 +1,776 @@
+"""Round-17 candidate queries (written in round 12).
+
+Families this batch adds (all oracle-paired, all scale-shaped):
+
+- **Series diagnostics over the bounded time grid** (KPSS
+  stationarity, Dickey-Fuller unit root, rescaled-range Hurst,
+  Granger lead-lag F, Western-Electric control rules, Durbin-Levinson
+  PACF, binary-segmentation changepoints): the corpus-sized pass is
+  always the groupBy onto the day/hour grid; every statistic after
+  that operates on one-row-per-period relations with exact integer
+  moments and ONE shared-spelling double expression per output (the
+  acf_daily_counts discipline).
+- **k-sample rank statistics on the md5 arms** (Mood median,
+  Ansari-Bradley, Anderson-Darling k-sample, Cramér-von Mises):
+  value-count grid compression first (the brown_forsythe shape) —
+  every rank/ECDF quantity is a cumulative integer over distinct
+  values, never a per-row rank.
+- **Causal estimators** (Wald IV/LATE, sharp RDD local-linear).
+- **Mergeable-summary heavy hitters** (SpaceSaving-style shard
+  summaries with deterministic error bounds) — the 100 TB pattern
+  where per-shard state is CONSTANT-size and merge is associative.
+- **LLM-curation text ops** (DSIR hashed importance weights, MTLD
+  lexical diversity, TextRank keywords, degree power-law alpha) and
+  the ERR ranking metric.
+- **SQL-surface suites** (IGNORE NULLS window functions,
+  grouping_id over cube, array higher-order functions).
+
+Float discipline: integer/decimal moments everywhere; doubles appear
+only in final shared-spelling expressions; every rounded output goes
+through functions.parity.round_sql / F.round(_, 6) with `+ 0.0`
+-0.0 guards where a zero can be signed.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from travel_data_pipeline_spark.functions.hashing import (
+    md5_long,
+    md5_long_sql,
+)
+from travel_data_pipeline_spark.functions.parity import round_sql
+from travel_data_pipeline_spark.registry import register
+from travel_data_pipeline_spark.sources.readers import load_table
+
+_DAY_ANCHOR = "2024-01-01"
+
+_DAILY_SQL = (f"SELECT date_diff('day', TIMESTAMP '{_DAY_ANCHOR}', "
+              f"date_trunc('day', ts)) AS t, count(*) AS cnt "
+              f"FROM events {{where}} GROUP BY 1")
+
+
+def _daily_counts(ev: DataFrame, event_type: str | None = None):
+    d = ev if event_type is None else ev.filter(
+        F.col("event_type") == event_type)
+    return (d.groupBy(
+        F.datediff(F.date_trunc("day", "ts"),
+                   F.lit(_DAY_ANCHOR).cast("timestamp")).alias("t"))
+        .agg(F.count("*").alias("cnt")))
+
+
+# ---------------------------------------------------------------------------
+# KPSS level-stationarity statistic (Kwiatkowski et al. 1992, public).
+#
+#   e_t = x_t - mean;  S_t = sum_{i<=t} e_i
+#   eta = (1/n^2) sum S_t^2 / s^2(l),  Bartlett long-run variance
+#   s^2(l) = g0 + 2 sum_{j=1..l} (1 - j/(l+1)) gj,
+#   gj = (1/n) sum e_t e_{t+j},  fixed l = _KPSS_LAG.
+#
+# Exactness: with u_t = n*x_t - sum(x) (integer), S_t = (n*C_t -
+# t*sum(x))/n where C_t is the integer prefix sum — so sum S_t^2 =
+# sum(Sn_t^2)/n^2 and gj = sum(u_t u_{t+j})/n^3 with EXACT integer
+# numerators; the day grid is one row per day (bounded), so the
+# prefix sum's sort is over a bounded relation, never the corpus.
+# ---------------------------------------------------------------------------
+
+_KPSS_LAG = 3
+
+
+@register("kpss_stationarity", f"""
+WITH daily AS ({_DAILY_SQL.format(where="")}),
+mom AS (
+    SELECT CAST(count(*) AS BIGINT) AS n, CAST(sum(cnt) AS BIGINT) AS sx
+    FROM daily
+),
+seq AS (
+    SELECT t, cnt, row_number() OVER (ORDER BY t) AS rn,
+           sum(cnt) OVER (ORDER BY t ROWS UNBOUNDED PRECEDING) AS cx
+    FROM daily
+),
+snum AS (
+    SELECT CAST(sum(sn * sn) AS DECIMAL(38,0)) AS ssq
+    FROM (SELECT CAST(m.n AS DECIMAL(38,0)) * s.cx
+                 - CAST(s.rn AS DECIMAL(38,0)) * m.sx AS sn
+          FROM seq s CROSS JOIN mom m)
+),
+gam AS (
+    SELECT j, CAST(sum(ua * ub) AS DECIMAL(38,0)) AS guu
+    FROM (SELECT l.j,
+                 CAST(m.n AS DECIMAL(38,0)) * a.cnt - m.sx AS ua,
+                 CAST(m.n AS DECIMAL(38,0)) * b.cnt - m.sx AS ub
+          FROM (SELECT unnest(generate_series(0, {_KPSS_LAG})) AS j) l
+          JOIN daily a ON TRUE
+          JOIN daily b ON b.t = a.t + l.j
+          CROSS JOIN mom m)
+    GROUP BY j
+),
+wide AS (
+    SELECT m.n,
+           CAST(CAST(s.ssq AS VARCHAR) AS DOUBLE) AS ssq,
+           {", ".join(f"CAST(CAST(sum(CASE WHEN g.j = {j} THEN g.guu END) "
+                      f"AS VARCHAR) AS DOUBLE) AS g{j}" for j in range(_KPSS_LAG + 1))}
+    FROM gam g CROSS JOIN mom m CROSS JOIN snum s
+    GROUP BY m.n, s.ssq
+),
+f AS (
+    SELECT n, CAST(n AS DOUBLE) AS nd, ssq,
+           (g0 + 2.0 * ({" + ".join(
+               f"(1.0 - {j}.0 / {_KPSS_LAG + 1}.0) * g{j}"
+               for j in range(1, _KPSS_LAG + 1))}))
+             / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)
+                * CAST(n AS DOUBLE)) AS s2
+    FROM wide
+)
+SELECT n AS n_days, CAST({_KPSS_LAG} AS INT) AS lag,
+       {round_sql('s2')} AS s2_lrv,
+       CASE WHEN s2 <= 0.0 THEN NULL
+            ELSE {round_sql('ssq / (nd * nd * nd * nd) / s2')}
+       END AS kpss_eta
+FROM f
+""")
+def kpss_stationarity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KPSS level-stationarity eta over the daily count series with a
+    Bartlett(l=3) long-run variance — exact integer numerators, one
+    shared double expression."""
+    ev = load_table(spark, sf_dir, "events")
+    daily = _daily_counts(ev)
+    mom = daily.agg(F.count("*").cast("long").alias("n"),
+                    F.sum("cnt").cast("long").alias("sx"))
+    w = Window.orderBy("t")
+    seq = (daily.withColumn("rn", F.row_number().over(w))
+           .withColumn("cx", F.sum("cnt").over(
+               w.rowsBetween(Window.unboundedPreceding, 0))))
+    dec = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+    sn = (seq.crossJoin(F.broadcast(mom))
+          .select((dec(F.col("n")) * F.col("cx")
+                   - dec(F.col("rn")) * F.col("sx")).alias("sn")))
+    snum = sn.agg(dec(F.sum(F.col("sn") * F.col("sn"))).alias("ssq"))
+    lags = spark.range(0, _KPSS_LAG + 1).select(
+        F.col("id").cast("int").alias("j"))
+    a = daily.select(F.col("t").alias("ta"), F.col("cnt").alias("xa"))
+    b = daily.select(F.col("t").alias("tb"), F.col("cnt").alias("xb"))
+    gam = (lags.crossJoin(F.broadcast(a))
+           .join(F.broadcast(b), F.col("tb") == F.col("ta") + F.col("j"))
+           .crossJoin(F.broadcast(mom))
+           .select("j", (dec(F.col("n")) * F.col("xa") - F.col("sx"))
+                   .alias("ua"),
+                   (dec(F.col("n")) * F.col("xb") - F.col("sx"))
+                   .alias("ub"))
+           .groupBy("j")
+           .agg(dec(F.sum(F.col("ua") * F.col("ub"))).alias("guu")))
+    wide = (gam.crossJoin(F.broadcast(mom))
+            .crossJoin(F.broadcast(snum))
+            .groupBy("n", "ssq")
+            .agg(*[F.sum(F.when(F.col("j") == j, F.col("guu")))
+                   .cast("string").cast("double").alias(f"g{j}")
+                   for j in range(_KPSS_LAG + 1)])
+            .withColumn("ssqd",
+                        F.col("ssq").cast("string").cast("double")))
+    nd = F.col("n").cast("double")
+    # weight terms fold left-to-right exactly as the oracle's
+    # parenthesized sum; the leading 0.0 seed is IEEE-exact
+    wsum = F.lit(0.0)
+    for j in range(1, _KPSS_LAG + 1):
+        wsum = wsum + (1.0 - j / (_KPSS_LAG + 1.0)) * F.col(f"g{j}")
+    s2 = (F.col("g0") + 2.0 * wsum) / (nd * nd * nd)
+    return wide.select(
+        F.col("n").alias("n_days"),
+        F.lit(_KPSS_LAG).cast("int").alias("lag"),
+        F.round(s2, 6).alias("s2_lrv"),
+        F.when(s2 <= 0.0, F.lit(None).cast("double"))
+        .otherwise(F.round(F.col("ssqd") / (nd * nd * nd * nd) / s2, 6))
+        .alias("kpss_eta"))
+
+
+# ---------------------------------------------------------------------------
+# Augmented(0) Dickey-Fuller unit-root regression (Dickey & Fuller
+# 1979, public): OLS of dx_t = alpha + rho * x_{t-1} on the daily
+# grid; the DF test statistic is rho / se(rho). Moments are exact
+# integers (lag-1 self-join on the bounded day grid); the t-statistic
+# is one shared double expression with explicit degenerate branches.
+# ---------------------------------------------------------------------------
+
+_ADF_T = ("CASE WHEN m <= 2 OR md * szz - szd * szd <= 0.0 THEN NULL "
+          "ELSE (md * szy - szd * syd) / (md * szz - szd * szd) END")
+
+
+@register("adf_unit_root", f"""
+WITH daily AS ({_DAILY_SQL.format(where="")}),
+pairs AS (
+    SELECT a.cnt AS z, b.cnt - a.cnt AS y
+    FROM daily a JOIN daily b ON b.t = a.t + 1
+),
+mom AS (
+    SELECT CAST(count(*) AS BIGINT) AS m,
+           CAST(sum(z) AS BIGINT) AS sz, CAST(sum(y) AS BIGINT) AS sy,
+           CAST(sum(CAST(z AS DECIMAL(38,0)) * z) AS DECIMAL(38,0)) AS szz,
+           CAST(sum(CAST(z AS DECIMAL(38,0)) * y) AS DECIMAL(38,0)) AS szy,
+           CAST(sum(CAST(y AS DECIMAL(38,0)) * y) AS DECIMAL(38,0)) AS syy
+    FROM pairs
+),
+f AS (
+    SELECT m, CAST(m AS DOUBLE) AS md,
+           CAST(sz AS DOUBLE) AS szd, CAST(sy AS DOUBLE) AS syd,
+           CAST(CAST(szz AS VARCHAR) AS DOUBLE) AS szz,
+           CAST(CAST(szy AS VARCHAR) AS DOUBLE) AS szy,
+           CAST(CAST(syy AS VARCHAR) AS DOUBLE) AS syy
+    FROM mom
+),
+coef AS (
+    SELECT *, {_ADF_T} AS rho FROM f
+),
+fit AS (
+    SELECT *,
+           CASE WHEN rho IS NULL THEN NULL
+                ELSE (syd - rho * szd) / md END AS alpha,
+           CASE WHEN rho IS NULL THEN NULL
+                ELSE syy - ((syd - rho * szd) / md) * syd - rho * szy
+           END AS rss
+    FROM coef
+)
+SELECT m AS n_diffs,
+       {round_sql('rho')} + 0.0 AS rho_hat,
+       {round_sql('alpha')} + 0.0 AS alpha_hat,
+       CASE WHEN rho IS NULL OR rss <= 0.0
+              OR szz - szd * szd / md <= 0.0 THEN NULL
+            ELSE {round_sql('rho / sqrt((rss / (md - 2.0))'
+                            ' / (szz - szd * szd / md))')}
+       END AS df_t
+FROM fit
+""")
+def adf_unit_root(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dickey-Fuller unit-root regression dx ~ alpha + rho * lag(x)
+    over the daily counts; reports rho, alpha, and the DF t-statistic
+    from exact integer moments."""
+    ev = load_table(spark, sf_dir, "events")
+    daily = _daily_counts(ev)
+    a = daily.select(F.col("t").alias("ta"), F.col("cnt").alias("z"))
+    b = daily.select(F.col("t").alias("tb"), F.col("cnt").alias("xb"))
+    dec = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+    pairs = (a.join(F.broadcast(b), F.col("tb") == F.col("ta") + 1)
+             .select("z", (F.col("xb") - F.col("z")).alias("y")))
+    mom = pairs.agg(
+        F.count("*").cast("long").alias("m"),
+        F.sum("z").cast("long").alias("sz"),
+        F.sum("y").cast("long").alias("sy"),
+        dec(F.sum(dec(F.col("z")) * F.col("z"))).alias("szz"),
+        dec(F.sum(dec(F.col("z")) * F.col("y"))).alias("szy"),
+        dec(F.sum(dec(F.col("y")) * F.col("y"))).alias("syy"))
+    md = F.col("m").cast("double")
+    szd, syd = F.col("sz").cast("double"), F.col("sy").cast("double")
+    szz = F.col("szz").cast("string").cast("double")
+    szy = F.col("szy").cast("string").cast("double")
+    syy = F.col("syy").cast("string").cast("double")
+    rho = (F.when((F.col("m") <= 2)
+                  | (md * szz - szd * szd <= 0.0),
+                  F.lit(None).cast("double"))
+           .otherwise((md * szy - szd * syd)
+                      / (md * szz - szd * szd)))
+    coef = mom.select("m", md.alias("md"), szd.alias("szd"),
+                      syd.alias("syd"), szz.alias("szz"),
+                      szy.alias("szy"), syy.alias("syy"),
+                      rho.alias("rho"))
+    md2 = F.col("md")
+    alpha = (F.when(F.col("rho").isNull(), F.lit(None).cast("double"))
+             .otherwise((F.col("syd") - F.col("rho") * F.col("szd"))
+                        / md2))
+    rss = (F.when(F.col("rho").isNull(), F.lit(None).cast("double"))
+           .otherwise(F.col("syy")
+                      - ((F.col("syd") - F.col("rho") * F.col("szd"))
+                         / md2) * F.col("syd")
+                      - F.col("rho") * F.col("szy")))
+    fit = coef.withColumn("alpha", alpha).withColumn("rss", rss)
+    se_den = F.col("szz") - F.col("szd") * F.col("szd") / md2
+    df_t = (F.when(F.col("rho").isNull() | (F.col("rss") <= 0.0)
+                   | (se_den <= 0.0), F.lit(None).cast("double"))
+            .otherwise(F.round(
+                F.col("rho") / F.sqrt((F.col("rss") / (md2 - 2.0))
+                                      / se_den), 6)))
+    return fit.select(
+        F.col("m").alias("n_diffs"),
+        (F.round("rho", 6) + 0.0).alias("rho_hat"),
+        (F.round("alpha", 6) + 0.0).alias("alpha_hat"),
+        df_t.alias("df_t"))
+
+
+# ---------------------------------------------------------------------------
+# Rescaled-range Hurst exponent (Hurst 1951 / Mandelbrot-Wallis,
+# public) over the HOURLY count sequence (by position in hour order —
+# gap-robust): for each dyadic block size B in _HURST_SIZES, complete
+# blocks only, R = range of within-block cumulative deviations (exact
+# integers scaled by B), S = population std; H = the OLS slope of
+# ln E[R/S] on ln B. The per-size mean of R/S is an order-pinned fold
+# over the (bounded, <= hours/8) block list; the 4-point regression
+# collapses to a closed form with literal ln(B) abscissae.
+# ---------------------------------------------------------------------------
+
+_HURST_SIZES = (8, 16, 32, 64)
+
+
+def _hurst_lnb():
+    """Centered ln(B) abscissae and their sum of squares, computed
+    ONCE in Python and embedded as shortest-repr literals in BOTH
+    engines (the random_planes literal discipline) — so the 4-point
+    regression arithmetic is identical by construction."""
+    import math
+
+    lnb = [math.log(float(b)) for b in _HURST_SIZES]
+    mlx = sum(lnb) / len(lnb)
+    dxs = [x - mlx for x in lnb]
+    sxx = sum(d * d for d in dxs)
+    return dxs, sxx
+
+
+def _hurst_oracle() -> str:
+    dxs, sxx_l = _hurst_lnb()
+    ycols = ", ".join(
+        f"sum(CASE WHEN b = {b} THEN ln(mean_rs) END) AS y{b}"
+        for b in _HURST_SIZES)
+    my = "(0.0 + " + " + ".join(f"y{b}" for b in _HURST_SIZES) + \
+        f") / {float(len(_HURST_SIZES))!r}"
+    sxy = "0.0"
+    for d, b in zip(dxs, _HURST_SIZES):
+        sxy += f" + ({d!r}) * (y{b} - my)"
+    nullchk = " OR ".join(f"y{b} IS NULL" for b in _HURST_SIZES)
+    return f"""
+WITH hourly AS (
+    SELECT date_trunc('hour', ts) AS h, count(*) AS cnt
+    FROM events GROUP BY 1
+),
+seq AS (SELECT cnt, row_number() OVER (ORDER BY h) AS rn FROM hourly),
+tagged AS (
+    SELECT s.b, q.cnt,
+           CAST(floor((q.rn - 1) / s.b) AS BIGINT) AS blk,
+           (q.rn - 1) % s.b + 1 AS i
+    FROM (SELECT unnest([{", ".join(str(b) for b in _HURST_SIZES)}])
+            AS b) s
+    CROSS JOIN seq q
+),
+scan AS (
+    SELECT *, sum(cnt) OVER (PARTITION BY b, blk ORDER BY i
+                             ROWS UNBOUNDED PRECEDING) AS ci
+    FROM tagged
+),
+blocks AS (
+    SELECT b, blk, CAST(sum(cnt) AS BIGINT) AS sx,
+           CAST(sum(CAST(cnt AS DECIMAL(38,0)) * cnt)
+                AS DECIMAL(38,0)) AS sxx
+    FROM scan GROUP BY b, blk
+    HAVING count(*) = b
+),
+devs AS (
+    SELECT s.b, s.blk,
+           CAST(s.b AS DECIMAL(38,0)) * s.ci
+           - CAST(s.i AS DECIMAL(38,0)) * k.sx AS snb
+    FROM scan s JOIN blocks k ON k.b = s.b AND k.blk = s.blk
+),
+rng AS (
+    SELECT b, blk, max(snb) AS mx, min(snb) AS mn
+    FROM devs GROUP BY b, blk
+),
+per_block AS (
+    SELECT k.b, k.blk,
+           CAST(CAST(r.mx - r.mn AS VARCHAR) AS DOUBLE)
+             / CAST(k.b AS DOUBLE) AS r,
+           sqrt((CAST(CAST(k.sxx AS VARCHAR) AS DOUBLE)
+                 - CAST(k.sx AS DOUBLE) * k.sx / CAST(k.b AS DOUBLE))
+                / CAST(k.b AS DOUBLE)) AS s
+    FROM blocks k JOIN rng r ON r.b = k.b AND r.blk = k.blk
+),
+kept AS (SELECT * FROM per_block WHERE s > 0.0),
+per_size AS (
+    SELECT b, CAST(count(*) AS BIGINT) AS n_blocks,
+           list_reduce(list_prepend(0.0, list(r / s ORDER BY blk)),
+                       (x, y) -> x + y) AS srs
+    FROM kept GROUP BY b
+),
+ps2 AS (
+    SELECT b, n_blocks, srs / CAST(n_blocks AS DOUBLE) AS mean_rs
+    FROM per_size
+),
+wide AS (SELECT {ycols} FROM ps2),
+m AS (SELECT *, {my} AS my FROM wide),
+h AS (
+    SELECT CASE WHEN {nullchk} THEN NULL
+                ELSE ({sxy}) / ({sxx_l!r}) END AS hurst
+    FROM m
+)
+SELECT CAST(p.b AS INT) AS block_size, p.n_blocks,
+       {round_sql('p.mean_rs')} AS mean_rs,
+       {round_sql('h.hurst')} AS hurst
+FROM ps2 p CROSS JOIN h
+"""
+
+
+@register("hurst_rs_exponent", lambda: _hurst_oracle())
+def hurst_rs_exponent(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """R/S Hurst exponent over hourly counts: per-block rescaled
+    ranges at sizes 8/16/32/64, order-pinned per-size means, 4-point
+    log-log OLS slope repeated per size row."""
+    ev = load_table(spark, sf_dir, "events")
+    hourly = (ev.groupBy(F.date_trunc("hour", "ts").alias("h"))
+              .agg(F.count("*").alias("cnt")))
+    seq = hourly.withColumn(
+        "rn", F.row_number().over(Window.orderBy("h")))
+    sizes = spark.createDataFrame(
+        [(b,) for b in _HURST_SIZES], "b int")
+    dec = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+    tagged = (sizes.crossJoin(seq)
+              .select("b", "cnt",
+                      F.floor((F.col("rn") - 1) / F.col("b"))
+                      .alias("blk"),
+                      ((F.col("rn") - 1) % F.col("b") + 1).alias("i")))
+    wb = Window.partitionBy("b", "blk").orderBy("i")
+    # exact scaled cumulative deviation: B*S_i = B*C_i - i*sum(x)
+    scan = (tagged.withColumn("ci", F.sum("cnt").over(
+        wb.rowsBetween(Window.unboundedPreceding, 0))))
+    blocks = (scan.groupBy("b", "blk")
+              .agg(F.count("*").alias("nb"),
+                   F.sum("cnt").cast("long").alias("sx"),
+                   dec(F.sum(dec(F.col("cnt")) * F.col("cnt")))
+                   .alias("sxx"))
+              .filter(F.col("nb") == F.col("b")))
+    devs = (scan.join(blocks.select("b", "blk", "sx"), ["b", "blk"])
+            .select("b", "blk",
+                    (dec(F.col("b")) * F.col("ci")
+                     - dec(F.col("i")) * F.col("sx")).alias("snb")))
+    rng = (devs.groupBy("b", "blk")
+           .agg(F.max("snb").alias("mx"), F.min("snb").alias("mn")))
+    bd = F.col("b").cast("double")
+    per_block = (blocks.join(rng, ["b", "blk"])
+                 .select("b", "blk",
+                         ((F.col("mx") - F.col("mn"))
+                          .cast("string").cast("double") / bd)
+                         .alias("r"),
+                         F.sqrt((F.col("sxx").cast("string")
+                                 .cast("double")
+                                 - F.col("sx").cast("double")
+                                 * F.col("sx") / bd) / bd).alias("s")))
+    # order-pinned per-size mean of r/s over blocks (skip s == 0)
+    kept = per_block.filter(F.col("s") > 0.0)
+    per_size = (kept.groupBy("b")
+                .agg(F.count("*").cast("long").alias("n_blocks"),
+                     F.aggregate(
+                         F.array_sort(F.collect_list(
+                             F.struct("blk", (F.col("r") / F.col("s"))
+                                      .alias("rs")))),
+                         F.lit(0.0),
+                         lambda acc, x: acc + x["rs"]).alias("srs")))
+    per_size = per_size.withColumn(
+        "mean_rs", F.col("srs") / F.col("n_blocks").cast("double"))
+    dxs, sxx_l = _hurst_lnb()
+    wide = per_size.agg(
+        *[F.sum(F.when(F.col("b") == b, F.log(F.col("mean_rs"))))
+          .alias(f"y{b}") for b in _HURST_SIZES])
+    ys = [F.col(f"y{b}") for b in _HURST_SIZES]
+    my = F.lit(0.0)
+    for y in ys:
+        my = my + y
+    my = my / float(len(_HURST_SIZES))
+    sxy = F.lit(0.0)
+    for dx, y in zip(dxs, ys):
+        sxy = sxy + F.lit(dx) * (y - my)
+    any_null = ys[0].isNull()
+    for y in ys[1:]:
+        any_null = any_null | y.isNull()
+    hurst = (F.when(any_null, F.lit(None).cast("double"))
+             .otherwise(sxy / F.lit(sxx_l)))
+    hrow = wide.select(F.round(hurst, 6).alias("hurst"))
+    return (per_size.crossJoin(F.broadcast(hrow))
+            .select(F.col("b").cast("int").alias("block_size"),
+                    "n_blocks",
+                    F.round("mean_rs", 6).alias("mean_rs"),
+                    "hurst"))
+
+
+# ---------------------------------------------------------------------------
+# Granger lead-lag F-test (Granger 1969, public): does yesterday's
+# view count improve the 1-lag autoregression of today's purchase
+# count?  Restricted OLS p_t ~ a + b p_{t-1} vs unrestricted
+# p_t ~ a + b p_{t-1} + c v_{t-1} (3x3 normal equations solved in
+# closed Cramer form), F = (RSS_r - RSS_u) / (RSS_u / (m - 3)).
+# Sample: days where all three series values exist (inner lag join on
+# the bounded day grid). Exact integer moments -> one shared double
+# expression per coefficient.
+# ---------------------------------------------------------------------------
+
+_GRANGER_D = ("(m2 * (suu * sww - suw * suw)"
+              " - su * (su * sww - suw * sw)"
+              " + sw * (su * suw - suu * sw))")
+_GRANGER_DB = ("(m2 * (suy * sww - suw * swy)"
+               " - sy * (su * sww - suw * sw)"
+               " + sw * (su * swy - suy * sw))")
+_GRANGER_DC = ("(m2 * (suu * swy - suw * suy)"
+               " - su * (su * swy - suy * sw)"
+               " + sy * (su * suw - suu * sw))")
+_GRANGER_DA = ("(sy * (suu * sww - suw * suw)"
+               " - su * (suy * sww - suw * swy)"
+               " + sw * (suy * suw - suu * swy))")
+
+
+@register("granger_views_purchases", f"""
+WITH v AS ({_DAILY_SQL.format(where="WHERE event_type = 'view'")}),
+p AS ({_DAILY_SQL.format(where="WHERE event_type = 'purchase'")}),
+rows_in AS (
+    SELECT p1.cnt AS y, p0.cnt AS u, v0.cnt AS w
+    FROM p p1
+    JOIN p p0 ON p0.t = p1.t - 1
+    JOIN v v0 ON v0.t = p1.t - 1
+),
+mom AS (
+    SELECT CAST(count(*) AS BIGINT) AS m,
+           CAST(sum(y) AS BIGINT) AS isy,
+           CAST(sum(u) AS BIGINT) AS isu,
+           CAST(sum(w) AS BIGINT) AS isw,
+           CAST(sum(CAST(y AS DECIMAL(38,0)) * y) AS DECIMAL(38,0)) AS isyy,
+           CAST(sum(CAST(u AS DECIMAL(38,0)) * u) AS DECIMAL(38,0)) AS isuu,
+           CAST(sum(CAST(w AS DECIMAL(38,0)) * w) AS DECIMAL(38,0)) AS isww,
+           CAST(sum(CAST(u AS DECIMAL(38,0)) * y) AS DECIMAL(38,0)) AS isuy,
+           CAST(sum(CAST(w AS DECIMAL(38,0)) * y) AS DECIMAL(38,0)) AS iswy,
+           CAST(sum(CAST(u AS DECIMAL(38,0)) * w) AS DECIMAL(38,0)) AS isuw
+    FROM rows_in
+),
+f AS (
+    SELECT m, CAST(m AS DOUBLE) AS m2,
+           CAST(isy AS DOUBLE) AS sy, CAST(isu AS DOUBLE) AS su,
+           CAST(isw AS DOUBLE) AS sw,
+           CAST(CAST(isyy AS VARCHAR) AS DOUBLE) AS syy,
+           CAST(CAST(isuu AS VARCHAR) AS DOUBLE) AS suu,
+           CAST(CAST(isww AS VARCHAR) AS DOUBLE) AS sww,
+           CAST(CAST(isuy AS VARCHAR) AS DOUBLE) AS suy,
+           CAST(CAST(iswy AS VARCHAR) AS DOUBLE) AS swy,
+           CAST(CAST(isuw AS VARCHAR) AS DOUBLE) AS suw
+    FROM mom
+),
+rfit AS (
+    SELECT *,
+           CASE WHEN m <= 3 OR m2 * suu - su * su <= 0.0 THEN NULL
+                ELSE (m2 * suy - su * sy) / (m2 * suu - su * su)
+           END AS br
+    FROM f
+),
+rr AS (
+    SELECT *,
+           CASE WHEN br IS NULL THEN NULL
+                ELSE syy - ((sy - br * su) / m2) * sy - br * suy
+           END AS rss_r
+    FROM rfit
+),
+ufit AS (
+    SELECT *, {_GRANGER_D} AS det FROM rr
+),
+uu AS (
+    SELECT *,
+           CASE WHEN br IS NULL OR det <= 0.0 THEN NULL
+                ELSE {_GRANGER_DA} / det END AS ca,
+           CASE WHEN br IS NULL OR det <= 0.0 THEN NULL
+                ELSE {_GRANGER_DB} / det END AS cb,
+           CASE WHEN br IS NULL OR det <= 0.0 THEN NULL
+                ELSE {_GRANGER_DC} / det END AS cc
+    FROM ufit
+),
+fin AS (
+    SELECT *,
+           CASE WHEN cb IS NULL THEN NULL
+                ELSE syy - ca * sy - cb * suy - cc * swy END AS rss_u
+    FROM uu
+)
+SELECT m AS n_obs,
+       {round_sql('br')} + 0.0 AS ar1_coef,
+       {round_sql('cb')} + 0.0 AS lag_p_coef,
+       {round_sql('cc')} + 0.0 AS lag_v_coef,
+       {round_sql('rss_r')} AS rss_restricted,
+       {round_sql('rss_u')} AS rss_unrestricted,
+       CASE WHEN rss_u IS NULL OR rss_u <= 0.0 THEN NULL
+            ELSE {round_sql('(rss_r - rss_u) / (rss_u / (m2 - 3.0))')}
+       END AS granger_f
+FROM fin
+""")
+def granger_views_purchases(spark: SparkSession,
+                            sf_dir: str) -> DataFrame:
+    """Granger 1-lag F: do lagged views improve the purchase AR(1)?
+    Cramer-form 3x3 OLS from exact integer moments."""
+    ev = load_table(spark, sf_dir, "events")
+    v = _daily_counts(ev, "view").select(
+        F.col("t").alias("tv"), F.col("cnt").alias("w"))
+    p = _daily_counts(ev, "purchase")
+    p1 = p.select(F.col("t").alias("t1"), F.col("cnt").alias("y"))
+    p0 = p.select(F.col("t").alias("t0"), F.col("cnt").alias("u"))
+    rows_in = (p1.join(F.broadcast(p0), F.col("t0") == F.col("t1") - 1)
+               .join(F.broadcast(v), F.col("tv") == F.col("t1") - 1)
+               .select("y", "u", "w"))
+    dec = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+    mom = rows_in.agg(
+        F.count("*").cast("long").alias("m"),
+        F.sum("y").cast("long").alias("isy"),
+        F.sum("u").cast("long").alias("isu"),
+        F.sum("w").cast("long").alias("isw"),
+        dec(F.sum(dec(F.col("y")) * F.col("y"))).alias("isyy"),
+        dec(F.sum(dec(F.col("u")) * F.col("u"))).alias("isuu"),
+        dec(F.sum(dec(F.col("w")) * F.col("w"))).alias("isww"),
+        dec(F.sum(dec(F.col("u")) * F.col("y"))).alias("isuy"),
+        dec(F.sum(dec(F.col("w")) * F.col("y"))).alias("iswy"),
+        dec(F.sum(dec(F.col("u")) * F.col("w"))).alias("isuw"))
+    sd = lambda c: F.col(c).cast("string").cast("double")  # noqa: E731
+    f = mom.select(
+        "m", F.col("m").cast("double").alias("m2"),
+        F.col("isy").cast("double").alias("sy"),
+        F.col("isu").cast("double").alias("su"),
+        F.col("isw").cast("double").alias("sw"),
+        sd("isyy").alias("syy"), sd("isuu").alias("suu"),
+        sd("isww").alias("sww"), sd("isuy").alias("suy"),
+        sd("iswy").alias("swy"), sd("isuw").alias("suw"))
+    m2, sy, su, sw = (F.col("m2"), F.col("sy"), F.col("su"),
+                      F.col("sw"))
+    syy, suu, sww = F.col("syy"), F.col("suu"), F.col("sww")
+    suy, swy, suw = F.col("suy"), F.col("swy"), F.col("suw")
+    br = (F.when((F.col("m") <= 3) | (m2 * suu - su * su <= 0.0),
+                 F.lit(None).cast("double"))
+          .otherwise((m2 * suy - su * sy) / (m2 * suu - su * su)))
+    rr = f.withColumn("br", br)
+    rss_r = (F.when(F.col("br").isNull(), F.lit(None).cast("double"))
+             .otherwise(syy - ((sy - F.col("br") * su) / m2) * sy
+                        - F.col("br") * suy))
+    rr = rr.withColumn("rss_r", rss_r)
+    det = (m2 * (suu * sww - suw * suw)
+           - su * (su * sww - suw * sw)
+           + sw * (su * suw - suu * sw))
+    rr = rr.withColumn("det", det)
+    bad = F.col("br").isNull() | (F.col("det") <= 0.0)
+    da = (sy * (suu * sww - suw * suw)
+          - su * (suy * sww - suw * swy)
+          + sw * (suy * suw - suu * swy))
+    db = (m2 * (suy * sww - suw * swy)
+          - sy * (su * sww - suw * sw)
+          + sw * (su * swy - suy * sw))
+    dc = (m2 * (suu * swy - suw * suy)
+          - su * (su * swy - suy * sw)
+          + sy * (su * suw - suu * sw))
+    nulld = F.lit(None).cast("double")
+    uu = (rr.withColumn("ca", F.when(bad, nulld)
+                        .otherwise(da / F.col("det")))
+          .withColumn("cb", F.when(bad, nulld)
+                      .otherwise(db / F.col("det")))
+          .withColumn("cc", F.when(bad, nulld)
+                      .otherwise(dc / F.col("det"))))
+    rss_u = (F.when(F.col("cb").isNull(), nulld)
+             .otherwise(syy - F.col("ca") * sy - F.col("cb") * suy
+                        - F.col("cc") * swy))
+    fin = uu.withColumn("rss_u", rss_u)
+    gf = (F.when(F.col("rss_u").isNull() | (F.col("rss_u") <= 0.0),
+                 nulld)
+          .otherwise(F.round((F.col("rss_r") - F.col("rss_u"))
+                             / (F.col("rss_u") / (m2 - 3.0)), 6)))
+    return fin.select(
+        F.col("m").alias("n_obs"),
+        (F.round("br", 6) + 0.0).alias("ar1_coef"),
+        (F.round("cb", 6) + 0.0).alias("lag_p_coef"),
+        (F.round("cc", 6) + 0.0).alias("lag_v_coef"),
+        F.round("rss_r", 6).alias("rss_restricted"),
+        F.round("rss_u", 6).alias("rss_unrestricted"),
+        gf.alias("granger_f"))
+
+
+# ---------------------------------------------------------------------------
+# Western-Electric control-chart rules (WE handbook 1956, public)
+# over the daily count series, Phase-I limits (center/sigma from the
+# WHOLE series' exact integer moments):
+#   R1: |z| > 3;  R2: >= 2 of the trailing 3 beyond 2 sigma on one
+#   side;  R3: >= 4 of the trailing 5 beyond 1 sigma on one side;
+#   R4: all trailing 8 on one side of center.
+# The z expression and every side indicator share one spelling in
+# both engines; rule windows run over the bounded day grid.
+# ---------------------------------------------------------------------------
+
+@register("spc_western_electric", f"""
+WITH daily AS ({_DAILY_SQL.format(where="")}),
+mom AS (
+    SELECT CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(cnt) AS BIGINT) AS sx,
+           CAST(sum(CAST(cnt AS DECIMAL(38,0)) * cnt)
+                AS DECIMAL(38,0)) AS sxx
+    FROM daily
+),
+z AS (
+    SELECT d.t, d.cnt,
+           (CAST(d.cnt AS DOUBLE) - CAST(m.sx AS DOUBLE) / m.n)
+             / (sqrt(m.n * CAST(CAST(m.sxx AS VARCHAR) AS DOUBLE)
+                     - CAST(m.sx AS DOUBLE) * m.sx) / m.n) AS zv
+    FROM daily d CROSS JOIN mom m
+),
+flags AS (
+    SELECT t, cnt, zv,
+           CASE WHEN zv > 2.0 THEN 1 ELSE 0 END AS a2,
+           CASE WHEN zv < -2.0 THEN 1 ELSE 0 END AS b2,
+           CASE WHEN zv > 1.0 THEN 1 ELSE 0 END AS a1,
+           CASE WHEN zv < -1.0 THEN 1 ELSE 0 END AS b1,
+           CASE WHEN zv > 0.0 THEN 1 ELSE 0 END AS a0,
+           CASE WHEN zv < 0.0 THEN 1 ELSE 0 END AS b0
+    FROM z
+),
+wins AS (
+    SELECT t, cnt, zv,
+           abs(zv) > 3.0 AS r1,
+           count(*) OVER w3 >= 3 AND (sum(a2) OVER w3 >= 2
+                                      OR sum(b2) OVER w3 >= 2) AS r2,
+           count(*) OVER w5 >= 5 AND (sum(a1) OVER w5 >= 4
+                                      OR sum(b1) OVER w5 >= 4) AS r3,
+           count(*) OVER w8 >= 8 AND (sum(a0) OVER w8 >= 8
+                                      OR sum(b0) OVER w8 >= 8) AS r4
+    FROM flags
+    WINDOW w3 AS (ORDER BY t ROWS BETWEEN 2 PRECEDING AND CURRENT ROW),
+           w5 AS (ORDER BY t ROWS BETWEEN 4 PRECEDING AND CURRENT ROW),
+           w8 AS (ORDER BY t ROWS BETWEEN 7 PRECEDING AND CURRENT ROW)
+)
+SELECT CAST(t AS BIGINT) AS t, CAST(cnt AS BIGINT) AS cnt,
+       {round_sql('zv')} + 0.0 AS z, r1, r2, r3, r4
+FROM wins
+""")
+def spc_western_electric(spark: SparkSession,
+                         sf_dir: str) -> DataFrame:
+    """Western-Electric rules R1-R4 per day on the daily count chart
+    (Phase-I limits from the whole series)."""
+    ev = load_table(spark, sf_dir, "events")
+    daily = _daily_counts(ev)
+    dec = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+    mom = daily.agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("cnt").cast("long").alias("sx"),
+        dec(F.sum(dec(F.col("cnt")) * F.col("cnt"))).alias("sxx"))
+    nd = F.col("n")
+    zv = ((F.col("cnt").cast("double")
+           - F.col("sx").cast("double") / nd)
+          / (F.sqrt(nd * F.col("sxx").cast("string").cast("double")
+                    - F.col("sx").cast("double") * F.col("sx")) / nd))
+    z = (daily.crossJoin(F.broadcast(mom))
+         .select("t", "cnt", zv.alias("zv")))
+    flg = lambda c: F.when(c, 1).otherwise(0)  # noqa: E731
+    flags = z.select(
+        "t", "cnt", "zv",
+        flg(F.col("zv") > 2.0).alias("a2"),
+        flg(F.col("zv") < -2.0).alias("b2"),
+        flg(F.col("zv") > 1.0).alias("a1"),
+        flg(F.col("zv") < -1.0).alias("b1"),
+        flg(F.col("zv") > 0.0).alias("a0"),
+        flg(F.col("zv") < 0.0).alias("b0"))
+    w3 = Window.orderBy("t").rowsBetween(-2, 0)
+    w5 = Window.orderBy("t").rowsBetween(-4, 0)
+    w8 = Window.orderBy("t").rowsBetween(-7, 0)
+    wins = flags.select(
+        F.col("t").cast("long").alias("t"),
+        F.col("cnt").cast("long").alias("cnt"), "zv",
+        (F.abs(F.col("zv")) > 3.0).alias("r1"),
+        ((F.count("*").over(w3) >= 3)
+         & ((F.sum("a2").over(w3) >= 2)
+            | (F.sum("b2").over(w3) >= 2))).alias("r2"),
+        ((F.count("*").over(w5) >= 5)
+         & ((F.sum("a1").over(w5) >= 4)
+            | (F.sum("b1").over(w5) >= 4))).alias("r3"),
+        ((F.count("*").over(w8) >= 8)
+         & ((F.sum("a0").over(w8) >= 8)
+            | (F.sum("b0").over(w8) >= 8))).alias("r4"))
+    return wins.select(
+        "t", "cnt", (F.round("zv", 6) + 0.0).alias("z"),
+        "r1", "r2", "r3", "r4")

@@ -100,3 +100,4 @@ from travel_data_pipeline_spark import queries_round13  # noqa: E402,F401
 from travel_data_pipeline_spark import queries_round14  # noqa: E402,F401
 from travel_data_pipeline_spark import queries_round15  # noqa: E402,F401
 from travel_data_pipeline_spark import queries_round16  # noqa: E402,F401
+from travel_data_pipeline_spark import queries_round17  # noqa: E402,F401
