@@ -774,3 +774,339 @@ def spc_western_electric(spark: SparkSession,
     return wins.select(
         "t", "cnt", (F.round("zv", 6) + 0.0).alias("z"),
         "r1", "r2", "r3", "r4")
+
+
+# ---------------------------------------------------------------------------
+# Partial autocorrelation via the Durbin-Levinson recursion (Durbin
+# 1960, public), UNROLLED to lag 4: the autocovariance ratios
+# r_j = gamma_j / gamma_0 come from the exact integer numerators of
+# the KPSS gamma machinery (the 1/n^3 scale cancels in the ratio);
+# phi_kk then unrolls to a fixed expression DAG over r1..r4 shared
+# verbatim by both engines. Output: one row per lag with acf + pacf.
+# ---------------------------------------------------------------------------
+
+_PACF_K = 4
+
+
+@register("pacf_durbin_levinson", f"""
+WITH daily AS ({_DAILY_SQL.format(where="")}),
+mom AS (
+    SELECT CAST(count(*) AS BIGINT) AS n, CAST(sum(cnt) AS BIGINT) AS sx
+    FROM daily
+),
+gam AS (
+    SELECT j, CAST(sum(ua * ub) AS DECIMAL(38,0)) AS guu
+    FROM (SELECT l.j,
+                 CAST(m.n AS DECIMAL(38,0)) * a.cnt - m.sx AS ua,
+                 CAST(m.n AS DECIMAL(38,0)) * b.cnt - m.sx AS ub
+          FROM (SELECT unnest(generate_series(0, {_PACF_K})) AS j) l
+          JOIN daily a ON TRUE
+          JOIN daily b ON b.t = a.t + l.j
+          CROSS JOIN mom m)
+    GROUP BY j
+),
+wide AS (
+    SELECT {", ".join(f"CAST(CAST(sum(CASE WHEN j = {j} THEN guu END) "
+                      f"AS VARCHAR) AS DOUBLE) AS g{j}"
+                      for j in range(_PACF_K + 1))}
+    FROM gam
+),
+r AS (
+    SELECT {", ".join(
+        f"CASE WHEN g0 <= 0.0 THEN NULL ELSE g{j} / g0 END AS r{j}"
+        for j in range(1, _PACF_K + 1))}
+    FROM wide
+),
+d1 AS (SELECT *, r1 AS p11 FROM r),
+d2 AS (
+    SELECT *,
+           CASE WHEN 1.0 - p11 * r1 = 0.0 THEN NULL
+                ELSE (r2 - p11 * r1) / (1.0 - p11 * r1) END AS p22
+    FROM d1
+),
+d2b AS (SELECT *, p11 - p22 * p11 AS p21 FROM d2),
+d3 AS (
+    SELECT *,
+           CASE WHEN 1.0 - (p21 * r1 + p22 * r2) = 0.0 THEN NULL
+                ELSE (r3 - (p21 * r2 + p22 * r1))
+                     / (1.0 - (p21 * r1 + p22 * r2)) END AS p33
+    FROM d2b
+),
+d3b AS (
+    SELECT *, p21 - p33 * p22 AS p31, p22 - p33 * p21 AS p32 FROM d3
+),
+d4 AS (
+    SELECT *,
+           CASE WHEN 1.0 - (p31 * r1 + p32 * r2 + p33 * r3) = 0.0
+                THEN NULL
+                ELSE (r4 - (p31 * r3 + p32 * r2 + p33 * r1))
+                     / (1.0 - (p31 * r1 + p32 * r2 + p33 * r3))
+           END AS p44
+    FROM d3b
+)
+SELECT CAST(lag AS INT) AS lag,
+       {round_sql('acf')} + 0.0 AS acf,
+       {round_sql('pacf')} + 0.0 AS pacf
+FROM (
+    SELECT 1 AS lag, r1 AS acf, p11 AS pacf FROM d4
+    UNION ALL SELECT 2, r2, p22 FROM d4
+    UNION ALL SELECT 3, r3, p33 FROM d4
+    UNION ALL SELECT 4, r4, p44 FROM d4
+)
+""")
+def pacf_durbin_levinson(spark: SparkSession,
+                         sf_dir: str) -> DataFrame:
+    """PACF lags 1-4 of the daily count series via the unrolled
+    Durbin-Levinson recursion on exact autocovariance ratios."""
+    ev = load_table(spark, sf_dir, "events")
+    daily = _daily_counts(ev)
+    mom = daily.agg(F.count("*").cast("long").alias("n"),
+                    F.sum("cnt").cast("long").alias("sx"))
+    dec = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+    lags = spark.range(0, _PACF_K + 1).select(
+        F.col("id").cast("int").alias("j"))
+    a = daily.select(F.col("t").alias("ta"), F.col("cnt").alias("xa"))
+    b = daily.select(F.col("t").alias("tb"), F.col("cnt").alias("xb"))
+    gam = (lags.crossJoin(F.broadcast(a))
+           .join(F.broadcast(b), F.col("tb") == F.col("ta") + F.col("j"))
+           .crossJoin(F.broadcast(mom))
+           .select("j", (dec(F.col("n")) * F.col("xa") - F.col("sx"))
+                   .alias("ua"),
+                   (dec(F.col("n")) * F.col("xb") - F.col("sx"))
+                   .alias("ub"))
+           .groupBy("j")
+           .agg(dec(F.sum(F.col("ua") * F.col("ub"))).alias("guu")))
+    wide = gam.agg(*[
+        F.sum(F.when(F.col("j") == j, F.col("guu")))
+        .cast("string").cast("double").alias(f"g{j}")
+        for j in range(_PACF_K + 1)])
+    nulld = F.lit(None).cast("double")
+    r = wide.select(*[
+        F.when(F.col("g0") <= 0.0, nulld)
+        .otherwise(F.col(f"g{j}") / F.col("g0")).alias(f"r{j}")
+        for j in range(1, _PACF_K + 1)])
+    r1, r2 = F.col("r1"), F.col("r2")
+    r3, r4 = F.col("r3"), F.col("r4")
+    d = r.withColumn("p11", r1)
+    p11 = F.col("p11")
+    d = d.withColumn(
+        "p22", F.when(F.lit(1.0) - p11 * r1 == 0.0, nulld)
+        .otherwise((r2 - p11 * r1) / (F.lit(1.0) - p11 * r1)))
+    p22 = F.col("p22")
+    d = d.withColumn("p21", p11 - p22 * p11)
+    p21 = F.col("p21")
+    d = d.withColumn(
+        "p33",
+        F.when(F.lit(1.0) - (p21 * r1 + p22 * r2) == 0.0, nulld)
+        .otherwise((r3 - (p21 * r2 + p22 * r1))
+                   / (F.lit(1.0) - (p21 * r1 + p22 * r2))))
+    p33 = F.col("p33")
+    d = (d.withColumn("p31", p21 - p33 * p22)
+         .withColumn("p32", p22 - p33 * p21))
+    p31, p32 = F.col("p31"), F.col("p32")
+    d = d.withColumn(
+        "p44",
+        F.when(F.lit(1.0) - (p31 * r1 + p32 * r2 + p33 * r3) == 0.0,
+               nulld)
+        .otherwise((r4 - (p31 * r3 + p32 * r2 + p33 * r1))
+                   / (F.lit(1.0)
+                      - (p31 * r1 + p32 * r2 + p33 * r3))))
+    rows = None
+    for lag, (ac, pc) in enumerate(
+            [("r1", "p11"), ("r2", "p22"), ("r3", "p33"),
+             ("r4", "p44")], start=1):
+        leg = d.select(F.lit(lag).cast("int").alias("lag"),
+                       (F.round(F.col(ac), 6) + 0.0).alias("acf"),
+                       (F.round(F.col(pc), 6) + 0.0).alias("pacf"))
+        rows = leg if rows is None else rows.unionAll(leg)
+    return rows
+
+
+# ---------------------------------------------------------------------------
+# Binary-segmentation changepoints, depth 2 (Scott & Knott 1974 /
+# binary segmentation, public): the split minimizing total
+# within-segment SSE (equivalently maximizing gain = SSE_seg -
+# SSE_left - SSE_right) on the daily series, then the best sub-split
+# of each child. SSE terms come from exact integer prefix sums; gain
+# is one shared double expression, argmax ties break on the earliest
+# position. Emits the root and both children (NULL split when a
+# child has < 2 positions).
+# ---------------------------------------------------------------------------
+
+_BINSEG_COST = ("(CAST(CAST(qq AS VARCHAR) AS DOUBLE)"
+                " - CAST(q AS DOUBLE) * q / len)")
+
+
+@register("binseg_double_changepoint", f"""
+WITH daily AS ({_DAILY_SQL.format(where="")}),
+seq AS (
+    SELECT t, cnt, row_number() OVER (ORDER BY t) AS rn,
+           CAST(sum(cnt) OVER (ORDER BY t ROWS UNBOUNDED PRECEDING)
+                AS BIGINT) AS c,
+           CAST(sum(CAST(cnt AS DECIMAL(38,0)) * cnt)
+                OVER (ORDER BY t ROWS UNBOUNDED PRECEDING)
+                AS DECIMAL(38,0)) AS cc
+    FROM daily
+),
+tot AS (
+    SELECT max(rn) AS n, max(c) AS cn,
+           max(cc) AS ccn
+    FROM (SELECT * FROM seq WHERE rn = (SELECT max(rn) FROM seq))
+),
+cost AS (
+    SELECT s.rn, s.t, s.c, s.cc, o.n, o.cn, o.ccn
+    FROM seq s CROSS JOIN tot o
+),
+g1 AS (
+    SELECT rn, t,
+           (SELECT {_BINSEG_COST.replace('qq', 'ccn').replace('q /', 'cn /').replace('CAST(q ', 'CAST(cn ')
+                    .replace('len', 'CAST(n AS DOUBLE)')})
+           - ({_BINSEG_COST.replace('qq', 'cc').replace('q /', 'c /').replace('CAST(q ', 'CAST(c ')
+               .replace('len', 'CAST(rn AS DOUBLE)')})
+           - ({_BINSEG_COST.replace('qq', '(ccn - cc)').replace('q /', '(cn - c) /').replace('CAST(q ', 'CAST((cn - c) ')
+               .replace('len', 'CAST(n - rn AS DOUBLE)')}) AS gain
+    FROM cost WHERE rn < n
+),
+t1 AS (
+    SELECT rn AS rn1, t AS t1, gain AS gain1 FROM g1
+    ORDER BY gain DESC, rn ASC LIMIT 1
+),
+b1 AS (
+    SELECT c.rn, c.t, c.c, c.cc, c.n, c.cn, c.ccn,
+           w.rn1, s1.c AS c1, s1.cc AS cc1
+    FROM cost c CROSS JOIN t1 w
+    JOIN seq s1 ON s1.rn = w.rn1
+),
+gl AS (
+    -- left child [1..rn1]: candidates rn < rn1
+    SELECT rn, t,
+           (CAST(CAST(cc1 AS VARCHAR) AS DOUBLE)
+            - CAST(c1 AS DOUBLE) * c1 / CAST(rn1 AS DOUBLE))
+           - (CAST(CAST(cc AS VARCHAR) AS DOUBLE)
+              - CAST(c AS DOUBLE) * c / CAST(rn AS DOUBLE))
+           - (CAST(CAST(cc1 - cc AS VARCHAR) AS DOUBLE)
+              - CAST(c1 - c AS DOUBLE) * (c1 - c)
+                / CAST(rn1 - rn AS DOUBLE)) AS gain
+    FROM b1 WHERE rn < rn1
+),
+gr AS (
+    -- right child [rn1+1..n]: candidates rn1 < rn < n
+    SELECT rn, t,
+           (CAST(CAST(ccn - cc1 AS VARCHAR) AS DOUBLE)
+            - CAST(cn - c1 AS DOUBLE) * (cn - c1)
+              / CAST(n - rn1 AS DOUBLE))
+           - (CAST(CAST(cc - cc1 AS VARCHAR) AS DOUBLE)
+              - CAST(c - c1 AS DOUBLE) * (c - c1)
+                / CAST(rn - rn1 AS DOUBLE))
+           - (CAST(CAST(ccn - cc AS VARCHAR) AS DOUBLE)
+              - CAST(cn - c AS DOUBLE) * (cn - c)
+                / CAST(n - rn AS DOUBLE)) AS gain
+    FROM b1 WHERE rn > rn1 AND rn < n
+),
+tl AS (SELECT rn, t, gain FROM gl ORDER BY gain DESC, rn ASC LIMIT 1),
+tr AS (SELECT rn, t, gain FROM gr ORDER BY gain DESC, rn ASC LIMIT 1)
+SELECT 1 AS depth, CAST(1 AS BIGINT) AS seg_lo,
+       (SELECT CAST(n AS BIGINT) FROM tot) AS seg_hi,
+       CAST(rn1 AS BIGINT) AS split_rn, CAST(t1 AS BIGINT) AS split_t,
+       {round_sql('gain1')} AS gain
+FROM t1
+UNION ALL
+SELECT 2, CAST(1 AS BIGINT), (SELECT CAST(rn1 AS BIGINT) FROM t1),
+       (SELECT CAST(rn AS BIGINT) FROM tl),
+       (SELECT CAST(t AS BIGINT) FROM tl),
+       (SELECT {round_sql('gain')} FROM tl)
+UNION ALL
+SELECT 3, (SELECT CAST(rn1 + 1 AS BIGINT) FROM t1),
+       (SELECT CAST(n AS BIGINT) FROM tot),
+       (SELECT CAST(rn AS BIGINT) FROM tr),
+       (SELECT CAST(t AS BIGINT) FROM tr),
+       (SELECT {round_sql('gain')} FROM tr)
+""")
+def binseg_double_changepoint(spark: SparkSession,
+                              sf_dir: str) -> DataFrame:
+    """Depth-2 binary-segmentation changepoints of the daily series
+    by SSE gain from exact integer prefix sums (root + two children,
+    earliest-position tie-break)."""
+    ev = load_table(spark, sf_dir, "events")
+    daily = _daily_counts(ev)
+    dec = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+    w = Window.orderBy("t").rowsBetween(Window.unboundedPreceding, 0)
+    seq = daily.select(
+        "t", "cnt",
+        F.row_number().over(Window.orderBy("t")).alias("rn"),
+        F.sum("cnt").over(w).cast("long").alias("c"),
+        dec(F.sum(dec(F.col("cnt")) * F.col("cnt")).over(w))
+        .alias("cc"))
+    n_row = seq.orderBy(F.col("rn").desc()).limit(1).select(
+        F.col("rn").alias("n"), F.col("c").alias("cn"),
+        F.col("cc").alias("ccn"))
+    cost = seq.crossJoin(F.broadcast(n_row))
+
+    def sse(qq, q, ln):
+        return (qq.cast("string").cast("double")
+                - q.cast("double") * q / ln.cast("double"))
+
+    g1 = (cost.filter(F.col("rn") < F.col("n"))
+          .select("rn", "t",
+                  (sse(F.col("ccn"), F.col("cn"), F.col("n"))
+                   - sse(F.col("cc"), F.col("c"), F.col("rn"))
+                   - sse(F.col("ccn") - F.col("cc"),
+                         F.col("cn") - F.col("c"),
+                         F.col("n") - F.col("rn"))).alias("gain")))
+    t1 = (g1.orderBy(F.col("gain").desc(), F.col("rn").asc()).limit(1)
+          .select(F.col("rn").alias("rn1"), F.col("t").alias("t1v"),
+                  F.col("gain").alias("gain1")))
+    s1 = seq.select(F.col("rn").alias("rn1j"), F.col("c").alias("c1"),
+                    F.col("cc").alias("cc1"))
+    b1 = (cost.crossJoin(F.broadcast(t1))
+          .join(F.broadcast(s1), F.col("rn1j") == F.col("rn1")))
+    gl = (b1.filter(F.col("rn") < F.col("rn1"))
+          .select("rn", "t",
+                  (sse(F.col("cc1"), F.col("c1"), F.col("rn1"))
+                   - sse(F.col("cc"), F.col("c"), F.col("rn"))
+                   - sse(F.col("cc1") - F.col("cc"),
+                         F.col("c1") - F.col("c"),
+                         F.col("rn1") - F.col("rn"))).alias("gain")))
+    gr = (b1.filter((F.col("rn") > F.col("rn1"))
+                    & (F.col("rn") < F.col("n")))
+          .select("rn", "t",
+                  (sse(F.col("ccn") - F.col("cc1"),
+                       F.col("cn") - F.col("c1"),
+                       F.col("n") - F.col("rn1"))
+                   - sse(F.col("cc") - F.col("cc1"),
+                         F.col("c") - F.col("c1"),
+                         F.col("rn") - F.col("rn1"))
+                   - sse(F.col("ccn") - F.col("cc"),
+                         F.col("cn") - F.col("c"),
+                         F.col("n") - F.col("rn"))).alias("gain")))
+    tl = gl.orderBy(F.col("gain").desc(), F.col("rn").asc()).limit(1)
+    tr = gr.orderBy(F.col("gain").desc(), F.col("rn").asc()).limit(1)
+    lng = lambda c: c.cast("long")  # noqa: E731
+    root = (t1.crossJoin(F.broadcast(n_row))
+            .select(F.lit(1).cast("int").alias("depth"),
+                    F.lit(1).cast("long").alias("seg_lo"),
+                    lng(F.col("n")).alias("seg_hi"),
+                    lng(F.col("rn1")).alias("split_rn"),
+                    lng(F.col("t1v")).alias("split_t"),
+                    F.round("gain1", 6).alias("gain")))
+
+    def child(depth, lo_col, hi_col, pick):
+        # LEFT join so a child with no split candidates still emits
+        # its row with NULL split (the oracle's scalar subqueries
+        # return NULL on empty, never drop the row)
+        base = (t1.crossJoin(F.broadcast(n_row))
+                .join(F.broadcast(
+                    pick.select(F.col("rn").alias("prn"),
+                                F.col("t").alias("pt"),
+                                F.col("gain").alias("pg"))),
+                    F.lit(True), "left"))
+        return base.select(
+            F.lit(depth).cast("int").alias("depth"),
+            lo_col.alias("seg_lo"), hi_col.alias("seg_hi"),
+            lng(F.col("prn")).alias("split_rn"),
+            lng(F.col("pt")).alias("split_t"),
+            F.round("pg", 6).alias("gain"))
+
+    left = child(2, F.lit(1).cast("long"), lng(F.col("rn1")), tl)
+    right = child(3, lng(F.col("rn1") + 1), lng(F.col("n")), tr)
+    return root.unionAll(left).unionAll(right)
