@@ -66,6 +66,19 @@ def main(n_rows: int = 10_000_000) -> None:
              .localCheckpoint(eager=True))
     n_edges = edges.count()
 
+    # --- quantify what the _AA_MAX_NEIGH cap buys --------------------
+    from travel_data_pipeline_spark.queries_round16 import _AA_MAX_NEIGH
+
+    deg = (edges.select(F.col("part_a").alias("s"))
+           .unionAll(edges.select(F.col("part_b").alias("s")))
+           .groupBy("s").agg(F.count("*").alias("d")))
+    cap = F.least(F.col("d"), F.lit(_AA_MAX_NEIGH)).cast("double")
+    dd = F.col("d").cast("double")
+    bounds = deg.agg(
+        F.sum(cap * (cap - 1) / 2).alias("capped"),
+        F.sum(dd * (dd - 1) / 2).alias("uncapped"),
+        F.max("d").alias("max_deg")).first()
+
     # --- adamic-adar through the registered path ---------------------
     t0 = time.perf_counter()
     aa = adamic_adar_from_edges(spark, edges)
@@ -82,9 +95,23 @@ def main(n_rows: int = 10_000_000) -> None:
     kc_rows = kc.collect()
     t_kc = time.perf_counter() - t0
 
-    flat = (max(round_secs) / min(round_secs)) if round_secs else None
+    from travel_data_pipeline_spark.queries_round16 import _N_PEEL
+
+    # round_secs concatenates one _N_PEEL-long run PER k — flatness
+    # is only meaningful within a k (the k=3 peel starts from the
+    # full node set again); round 1 of the first k is codegen warmup
+    per_k = [round_secs[i:i + _N_PEEL]
+             for i in range(0, len(round_secs), _N_PEEL)]
+
+    def flat(rs):
+        rs = rs[1:] if len(rs) > 2 else rs  # drop the warmup round
+        return round(max(rs) / min(rs), 2) if rs else None
+
     print(json.dumps({
         "n_raw_rows": n_rows, "n_nodes": N_NODES, "n_edges": n_edges,
+        "max_degree": bounds["max_deg"],
+        "aa_capped_pair_bound": int(bounds["capped"]),
+        "aa_uncapped_pair_bound": int(bounds["uncapped"]),
         "aa_out_rows": len(aa_rows),
         "aa_wall_sec": round(t_aa, 2),
         "aa_edges_per_sec": int(n_edges / t_aa),
@@ -92,8 +119,9 @@ def main(n_rows: int = 10_000_000) -> None:
         "kcore_out_rows": len(kc_rows),
         "kcore_wall_sec": round(t_kc, 2),
         "kcore_edges_per_sec": int(n_edges / t_kc),
-        "kcore_round_secs": [round(t, 2) for t in round_secs],
-        "kcore_round_flatness": round(flat, 2) if flat else None,
+        "kcore_round_secs_per_k": [[round(t, 2) for t in rs]
+                                   for rs in per_k],
+        "kcore_round_flatness_per_k": [flat(rs) for rs in per_k],
         "kcore_results": sorted((r.k, r.n_core_nodes, r.converged)
                                 for r in kc_rows),
     }))

@@ -1110,3 +1110,521 @@ def binseg_double_changepoint(spark: SparkSession,
     left = child(2, F.lit(1).cast("long"), lng(F.col("rn1")), tl)
     right = child(3, lng(F.col("rn1") + 1), lng(F.col("n")), tr)
     return root.unionAll(left).unionAll(right)
+
+
+# ---------------------------------------------------------------------------
+# Batch B — k-sample rank statistics over the md5 order-value arms
+# (the brown_forsythe/kruskal_wallis family): everything reduces to
+# the (value, count) grid first, cumulative integers ride
+# two_phase_ordered (no single-partition sort), and each statistic is
+# a fixed-order expression over EXACT integer/decimal aggregates.
+# ---------------------------------------------------------------------------
+
+_R17_ARMS = 4
+_R17_ARM = (f"CAST({md5_long_sql(chr(39) + 'r17:' + chr(39) + ' || CAST(o_custkey AS VARCHAR)')}"
+            f" % {_R17_ARMS} AS INT)")
+_R17_ARM2 = (f"CAST({md5_long_sql(chr(39) + 'r17b:' + chr(39) + ' || CAST(o_custkey AS VARCHAR)')}"
+             f" % 2 AS INT)")
+_YC = "CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)"
+
+
+def _r17_arm_col(n_arms: int = _R17_ARMS, salt: str = "r17:"):
+    return (md5_long(F.concat(F.lit(salt),
+                              F.col("o_custkey").cast("string")))
+            % n_arms).cast("int")
+
+
+def _r17_yc_col():
+    return ((F.col("o_totalprice").cast("decimal(18,2)") * 100)
+            .cast("long"))
+
+
+# --- Mood's median test across the 4 arms ----------------------------------
+#
+# Counts above / at-or-below the POOLED lower median (the
+# ceil(n/2)-th order statistic) per arm; chi-square over the 4x2
+# table with expected = row_total * col_total / n. Pooled-median
+# selection is a cumulative-count threshold on the value grid
+# (two-phase cumsum, never a global sort of rows).
+# ---------------------------------------------------------------------------
+
+@register("mood_median_arms", f"""
+WITH units AS (
+    SELECT {_R17_ARM} AS arm, {_YC} AS yc FROM orders
+),
+vals AS (SELECT yc, count(*) AS cnt FROM units GROUP BY yc),
+tot AS (SELECT CAST(sum(cnt) AS BIGINT) AS n FROM vals),
+ranked AS (
+    SELECT yc, sum(cnt) OVER (ORDER BY yc
+                              ROWS UNBOUNDED PRECEDING) AS cum
+    FROM vals
+),
+med AS (
+    SELECT min(yc) AS mv FROM ranked CROSS JOIN tot
+    WHERE cum >= (n + 1) // 2
+),
+per_arm AS (
+    SELECT arm,
+           CAST(count(*) AS BIGINT) AS n_arm,
+           CAST(sum(CASE WHEN yc > mv THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_above
+    FROM units CROSS JOIN med GROUP BY arm
+),
+wide AS (
+    SELECT CAST(sum(n_arm) AS BIGINT) AS n,
+           CAST(sum(n_above) AS BIGINT) AS ta,
+           {", ".join(f"CAST(sum(CASE WHEN arm = {a} THEN n_arm END) AS BIGINT) AS n{a}, "
+                      f"CAST(sum(CASE WHEN arm = {a} THEN n_above END) AS BIGINT) AS a{a}"
+                      for a in range(_R17_ARMS))}
+    FROM per_arm
+),
+chi AS (
+    SELECT CASE WHEN ta = 0 OR ta = n THEN NULL ELSE 0.0
+           {"".join(f'''
+           + (CAST(a{a} AS DOUBLE)
+              - CAST(n{a} AS DOUBLE) * ta / n)
+             * (CAST(a{a} AS DOUBLE) - CAST(n{a} AS DOUBLE) * ta / n)
+             / (CAST(n{a} AS DOUBLE) * ta / n)
+           + (CAST(n{a} - a{a} AS DOUBLE)
+              - CAST(n{a} AS DOUBLE) * (n - ta) / n)
+             * (CAST(n{a} - a{a} AS DOUBLE)
+                - CAST(n{a} AS DOUBLE) * (n - ta) / n)
+             / (CAST(n{a} AS DOUBLE) * (n - ta) / n)''' for a in range(_R17_ARMS))}
+           END AS chi2
+    FROM wide
+)
+SELECT p.arm, p.n_arm, p.n_above,
+       CAST(p.n_arm - p.n_above AS BIGINT) AS n_at_or_below,
+       (SELECT CAST(mv AS BIGINT) FROM med) AS pooled_median_cents,
+       (SELECT {round_sql('chi2')} FROM chi) AS chi2
+FROM per_arm p
+""")
+def mood_median_arms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mood's median test across the 4 md5 arms on order values:
+    above/at-or-below the pooled lower median, fixed-order 4x2
+    chi-square."""
+    from travel_data_pipeline_spark.operators.windows import (
+        two_phase_ordered,
+    )
+
+    orders = load_table(spark, sf_dir, "orders")
+    units = orders.select(_r17_arm_col().alias("arm"),
+                          _r17_yc_col().alias("yc"))
+    vals = units.groupBy("yc").agg(F.count("*").alias("cnt"))
+    tot = vals.agg(F.sum("cnt").cast("long").alias("n"))
+    ranked = two_phase_ordered(
+        vals, [F.col("yc").asc()], bucket_on=F.col("yc"),
+        cumsum_cols={"cnt": "cum"})
+    med = (ranked.crossJoin(F.broadcast(tot))
+           .filter(F.col("cum") >= F.floor((F.col("n") + 1) / 2))
+           .agg(F.min("yc").alias("mv")))
+    per_arm = (units.crossJoin(F.broadcast(med))
+               .groupBy("arm")
+               .agg(F.count("*").cast("long").alias("n_arm"),
+                    F.sum(F.when(F.col("yc") > F.col("mv"), 1)
+                          .otherwise(0)).cast("long")
+                    .alias("n_above")))
+    wide = per_arm.agg(
+        F.sum("n_arm").cast("long").alias("n"),
+        F.sum("n_above").cast("long").alias("ta"),
+        *[c for a in range(_R17_ARMS) for c in (
+            F.sum(F.when(F.col("arm") == a, F.col("n_arm")))
+            .cast("long").alias(f"n{a}"),
+            F.sum(F.when(F.col("arm") == a, F.col("n_above")))
+            .cast("long").alias(f"a{a}"))])
+    n = F.col("n")
+    ta = F.col("ta")
+    chi = F.lit(0.0)
+    for a in range(_R17_ARMS):
+        na, aa_ = F.col(f"n{a}"), F.col(f"a{a}")
+        ea = na.cast("double") * ta / n
+        eb = na.cast("double") * (n - ta) / n
+        chi = (chi + (aa_.cast("double") - ea)
+               * (aa_.cast("double") - ea) / ea
+               + ((na - aa_).cast("double") - eb)
+               * ((na - aa_).cast("double") - eb) / eb)
+    chirow = wide.select(
+        F.when((ta == 0) | (ta == n), F.lit(None).cast("double"))
+        .otherwise(chi).alias("chi2"))
+    return (per_arm.crossJoin(F.broadcast(med))
+            .crossJoin(F.broadcast(chirow))
+            .select("arm", "n_arm", "n_above",
+                    (F.col("n_arm") - F.col("n_above")).cast("long")
+                    .alias("n_at_or_below"),
+                    F.col("mv").cast("long")
+                    .alias("pooled_median_cents"),
+                    F.round("chi2", 6).alias("chi2")))
+
+
+# --- two-sample Cramér-von Mises over the md5 parity split -----------------
+#
+# ECDF form at the pooled distinct values (right-continuous, exactly
+# what the discrete data defines):
+#   T = n*m/(n+m)^2 * sum_j l_j * (F_n(v_j) - G_m(v_j))^2
+# With integer cumulative counts cA, cB this is EXACT:
+#   sum_j l_j * (m*cA_j - n*cB_j)^2   (decimal)
+#   T = that / (n * m * (n+m)^2)      (one double division)
+# ---------------------------------------------------------------------------
+
+@register("cvm_two_sample", f"""
+WITH units AS (
+    SELECT {_R17_ARM2} AS grp, {_YC} AS yc FROM orders
+),
+vals AS (
+    SELECT yc, count(*) AS l,
+           CAST(sum(CASE WHEN grp = 0 THEN 1 ELSE 0 END)
+                AS BIGINT) AS la,
+           CAST(sum(CASE WHEN grp = 1 THEN 1 ELSE 0 END)
+                AS BIGINT) AS lb
+    FROM units GROUP BY yc
+),
+cums AS (
+    SELECT yc, l,
+           sum(la) OVER (ORDER BY yc ROWS UNBOUNDED PRECEDING) AS ca,
+           sum(lb) OVER (ORDER BY yc ROWS UNBOUNDED PRECEDING) AS cb
+    FROM vals
+),
+tot AS (
+    SELECT CAST(sum(la) AS BIGINT) AS n, CAST(sum(lb) AS BIGINT) AS m
+    FROM vals
+),
+num AS (
+    SELECT CAST(sum(CAST(l AS DECIMAL(38,0))
+                    * (CAST(t.m AS DECIMAL(38,0)) * ca
+                       - CAST(t.n AS DECIMAL(38,0)) * cb)
+                    * (CAST(t.m AS DECIMAL(38,0)) * ca
+                       - CAST(t.n AS DECIMAL(38,0)) * cb))
+                AS DECIMAL(38,0)) AS s
+    FROM cums CROSS JOIN tot t
+)
+SELECT t.n AS n_group0, t.m AS n_group1,
+       CASE WHEN t.n = 0 OR t.m = 0 THEN NULL
+            ELSE {round_sql('CAST(CAST(u.s AS VARCHAR) AS DOUBLE)'
+                            ' / (CAST(t.n AS DOUBLE) * t.m'
+                            ' * (CAST(t.n + t.m AS DOUBLE))'
+                            ' * (CAST(t.n + t.m AS DOUBLE)))')}
+       END AS cvm_t
+FROM tot t CROSS JOIN num u
+""")
+def cvm_two_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sample Cramér-von Mises T over the md5 parity split of
+    order values — exact decimal numerator at the pooled value grid,
+    one double division."""
+    from travel_data_pipeline_spark.operators.windows import (
+        two_phase_ordered,
+    )
+
+    orders = load_table(spark, sf_dir, "orders")
+    units = orders.select(
+        _r17_arm_col(2, "r17b:").alias("grp"),
+        _r17_yc_col().alias("yc"))
+    vals = (units.groupBy("yc")
+            .agg(F.count("*").alias("l"),
+                 F.sum(F.when(F.col("grp") == 0, 1).otherwise(0))
+                 .cast("long").alias("la"),
+                 F.sum(F.when(F.col("grp") == 1, 1).otherwise(0))
+                 .cast("long").alias("lb")))
+    cums = two_phase_ordered(
+        vals, [F.col("yc").asc()], bucket_on=F.col("yc"),
+        cumsum_cols={"la": "ca", "lb": "cb"})
+    tot = vals.agg(F.sum("la").cast("long").alias("n"),
+                   F.sum("lb").cast("long").alias("m"))
+    dec = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+    num = (cums.crossJoin(F.broadcast(tot))
+           .select((dec(F.col("l"))
+                    * (dec(F.col("m")) * F.col("ca")
+                       - dec(F.col("n")) * F.col("cb"))
+                    * (dec(F.col("m")) * F.col("ca")
+                       - dec(F.col("n")) * F.col("cb"))).alias("term"))
+           .agg(dec(F.sum("term")).alias("s")))
+    nd = F.col("n").cast("double")
+    nm = (F.col("n") + F.col("m")).cast("double")
+    t = (F.when((F.col("n") == 0) | (F.col("m") == 0),
+                F.lit(None).cast("double"))
+         .otherwise(F.round(
+             F.col("s").cast("string").cast("double")
+             / (nd * F.col("m") * nm * nm), 6)))
+    return (tot.crossJoin(F.broadcast(num))
+            .select(F.col("n").alias("n_group0"),
+                    F.col("m").alias("n_group1"),
+                    t.alias("cvm_t")))
+
+
+# --- Ansari-Bradley two-sample scale test ----------------------------------
+#
+# Outside-in scores with ties scored AT THE MIDRANK (a = min(r~,
+# N+1-r~), r~ the midrank — so 2a = min(prev+cum+1, 2(N+1)-(prev+
+# cum+1)) is an EXACT integer per distinct value). AB = sum over
+# group-0 members of a; null mean/variance from the same score grid
+# (Ansari & Bradley 1960, public). Everything is exact
+# integer/decimal until the one z expression.
+# ---------------------------------------------------------------------------
+
+@register("ansari_bradley_arms", f"""
+WITH units AS (
+    SELECT {_R17_ARM2} AS grp, {_YC} AS yc FROM orders
+),
+vals AS (
+    SELECT yc, count(*) AS l,
+           CAST(sum(CASE WHEN grp = 0 THEN 1 ELSE 0 END)
+                AS BIGINT) AS l0
+    FROM units GROUP BY yc
+),
+cums AS (
+    SELECT yc, l, l0,
+           sum(l) OVER (ORDER BY yc ROWS UNBOUNDED PRECEDING) AS cum
+    FROM vals
+),
+tot AS (
+    SELECT CAST(sum(l) AS BIGINT) AS n,
+           CAST(sum(l0) AS BIGINT) AS n0
+    FROM vals
+),
+scored AS (
+    SELECT c.yc, c.l, c.l0,
+           CASE WHEN (c.cum - c.l) + c.cum + 1
+                     <= 2 * (t.n + 1) - ((c.cum - c.l) + c.cum + 1)
+                THEN (c.cum - c.l) + c.cum + 1
+                ELSE 2 * (t.n + 1) - ((c.cum - c.l) + c.cum + 1)
+           END AS a2
+    FROM cums c CROSS JOIN tot t
+),
+mom AS (
+    SELECT CAST(sum(CAST(l0 AS DECIMAL(38,0)) * a2)
+                AS DECIMAL(38,0)) AS ab2,
+           CAST(sum(CAST(l AS DECIMAL(38,0)) * a2)
+                AS DECIMAL(38,0)) AS sa2,
+           CAST(sum(CAST(l AS DECIMAL(38,0)) * a2 * a2)
+                AS DECIMAL(38,0)) AS sa2q
+    FROM scored
+),
+f AS (
+    SELECT t.n, t.n0, CAST(t.n - t.n0 AS BIGINT) AS n1,
+           CAST(CAST(m.ab2 AS VARCHAR) AS DOUBLE) AS ab2,
+           CAST(CAST(m.sa2 AS VARCHAR) AS DOUBLE) AS sa2,
+           CAST(CAST(m.sa2q AS VARCHAR) AS DOUBLE) AS sa2q,
+           CAST(t.n AS DOUBLE) AS nd,
+           CAST(t.n0 AS DOUBLE) AS n0d,
+           CAST(t.n - t.n0 AS DOUBLE) AS n1d
+    FROM tot t CROSS JOIN mom m
+),
+g AS (
+    SELECT *,
+           ab2 / 2.0 AS ab_stat,
+           n0d * sa2 / (2.0 * nd) AS ab_mean,
+           CASE WHEN n <= 1 THEN NULL
+                ELSE n0d * n1d * (nd * sa2q - sa2 * sa2)
+                     / (4.0 * nd * nd * (nd - 1.0)) END AS ab_var
+    FROM f
+)
+SELECT n0 AS n_group0, n1 AS n_group1,
+       {round_sql('ab_stat')} AS ab_stat,
+       {round_sql('ab_mean')} AS ab_mean,
+       {round_sql('ab_var')} AS ab_var,
+       CASE WHEN ab_var IS NULL OR ab_var <= 0.0 THEN NULL
+            ELSE {round_sql('(ab_stat - ab_mean) / sqrt(ab_var)')}
+       END + 0.0 AS ab_z
+FROM g
+""")
+def ansari_bradley_arms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ansari-Bradley scale test over the md5 parity split of order
+    values: exact midrank outside-in scores, null moments, z."""
+    from travel_data_pipeline_spark.operators.windows import (
+        two_phase_ordered,
+    )
+
+    orders = load_table(spark, sf_dir, "orders")
+    units = orders.select(
+        _r17_arm_col(2, "r17b:").alias("grp"),
+        _r17_yc_col().alias("yc"))
+    vals = (units.groupBy("yc")
+            .agg(F.count("*").alias("l"),
+                 F.sum(F.when(F.col("grp") == 0, 1).otherwise(0))
+                 .cast("long").alias("l0")))
+    cums = two_phase_ordered(
+        vals, [F.col("yc").asc()], bucket_on=F.col("yc"),
+        cumsum_cols={"l": "cum"})
+    tot = vals.agg(F.sum("l").cast("long").alias("n"),
+                   F.sum("l0").cast("long").alias("n0"))
+    mid2 = (F.col("cum") - F.col("l")) + F.col("cum") + 1
+    a2 = (F.when(mid2 <= 2 * (F.col("n") + 1) - mid2, mid2)
+          .otherwise(2 * (F.col("n") + 1) - mid2))
+    dec = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+    scored = (cums.crossJoin(F.broadcast(tot))
+              .select("yc", "l", "l0", a2.alias("a2")))
+    mom = scored.agg(
+        dec(F.sum(dec(F.col("l0")) * F.col("a2"))).alias("ab2"),
+        dec(F.sum(dec(F.col("l")) * F.col("a2"))).alias("sa2"),
+        dec(F.sum(dec(F.col("l")) * F.col("a2") * F.col("a2")))
+        .alias("sa2q"))
+    sd = lambda c: F.col(c).cast("string").cast("double")  # noqa: E731
+    f = (tot.crossJoin(F.broadcast(mom))
+         .select("n", "n0", (F.col("n") - F.col("n0")).cast("long")
+                 .alias("n1"),
+                 sd("ab2").alias("ab2"), sd("sa2").alias("sa2"),
+                 sd("sa2q").alias("sa2q"),
+                 F.col("n").cast("double").alias("nd"),
+                 F.col("n0").cast("double").alias("n0d"),
+                 (F.col("n") - F.col("n0")).cast("double")
+                 .alias("n1d")))
+    g = (f.withColumn("ab_stat", F.col("ab2") / 2.0)
+         .withColumn("ab_mean",
+                     F.col("n0d") * F.col("sa2") / (2.0 * F.col("nd")))
+         .withColumn(
+             "ab_var",
+             F.when(F.col("n") <= 1, F.lit(None).cast("double"))
+             .otherwise(F.col("n0d") * F.col("n1d")
+                        * (F.col("nd") * F.col("sa2q")
+                           - F.col("sa2") * F.col("sa2"))
+                        / (4.0 * F.col("nd") * F.col("nd")
+                           * (F.col("nd") - 1.0)))))
+    z = (F.when(F.col("ab_var").isNull() | (F.col("ab_var") <= 0.0),
+                F.lit(None).cast("double"))
+         .otherwise(F.round((F.col("ab_stat") - F.col("ab_mean"))
+                            / F.sqrt(F.col("ab_var")), 6)) + 0.0)
+    return g.select(F.col("n0").alias("n_group0"),
+                    F.col("n1").alias("n_group1"),
+                    F.round("ab_stat", 6).alias("ab_stat"),
+                    F.round("ab_mean", 6).alias("ab_mean"),
+                    F.round("ab_var", 6).alias("ab_var"),
+                    z.alias("ab_z"))
+
+
+# --- Anderson-Darling k-sample (discrete / midrank version) ----------------
+#
+# Scholz & Stephens 1987 (public), tie-adjusted A2akN over order
+# values BINNED to whole hundred-dollar buckets (the discrete version
+# is defined on exactly such grids; binning keeps the distinct-value
+# relation bounded at any SF):
+#
+#   A2 = (N-1)/N * sum_i (1/n_i) * sum_j
+#          l_j/N * (N*Ma_ij - n_i*Ba_j)^2
+#            / (Ba_j*(N - Ba_j) - N*l_j/4)
+#
+# with Ba/Ma the midrank cumulatives (B - l/2, M_i - l_i/2). Scaled
+# by 2 everything in num/den is an exact integer; the per-arm sum
+# over the value grid is an ORDER-PINNED fold (bounded bins), and
+# the outer 4-arm sum is a fixed-order expression.
+# ---------------------------------------------------------------------------
+
+_AD_BIN = 10_000  # cents per bin = $100
+
+
+@register("ad_ksample_arms", f"""
+WITH units AS (
+    SELECT {_R17_ARM} AS arm, {_YC} // {_AD_BIN} AS v FROM orders
+),
+vals AS (
+    SELECT v, count(*) AS l,
+           {", ".join(f"CAST(sum(CASE WHEN arm = {a} THEN 1 ELSE 0 END) AS BIGINT) AS l{a}"
+                      for a in range(_R17_ARMS))}
+    FROM units GROUP BY v
+),
+cums AS (
+    SELECT v, l, {", ".join(f"l{a}" for a in range(_R17_ARMS))},
+           sum(l) OVER wv AS b,
+           {", ".join(f"sum(l{a}) OVER wv AS c{a}"
+                      for a in range(_R17_ARMS))}
+    FROM vals
+    WINDOW wv AS (ORDER BY v ROWS UNBOUNDED PRECEDING)
+),
+tot AS (
+    SELECT CAST(sum(l) AS BIGINT) AS n,
+           {", ".join(f"CAST(sum(l{a}) AS BIGINT) AS n{a}"
+                      for a in range(_R17_ARMS))}
+    FROM vals
+),
+terms AS (
+    SELECT c.v, c.l,
+           CAST(2 * c.b - c.l AS DECIMAL(38,0))
+             * (2 * t.n - (2 * c.b - c.l)) - CAST(t.n AS DECIMAL(38,0)) * c.l AS den4,
+           {", ".join(f'''
+           (CAST(t.n AS DECIMAL(38,0)) * (2 * c.c{a} - c.l{a})
+            - CAST(t.n{a} AS DECIMAL(38,0)) * (2 * c.b - c.l))
+           * (CAST(t.n AS DECIMAL(38,0)) * (2 * c.c{a} - c.l{a})
+              - CAST(t.n{a} AS DECIMAL(38,0)) * (2 * c.b - c.l))
+             AS num{a}''' for a in range(_R17_ARMS))}
+    FROM cums c CROSS JOIN tot t
+),
+kept AS (SELECT * FROM terms WHERE den4 > 0),
+inner_s AS (
+    SELECT {", ".join(f'''
+        list_reduce(list_prepend(0.0, list(
+            CAST(l AS DOUBLE) * (CAST(CAST(num{a} AS VARCHAR) AS DOUBLE)
+                                 / CAST(CAST(den4 AS VARCHAR) AS DOUBLE))
+            ORDER BY v)), (x, y) -> x + y) AS s{a}''' for a in range(_R17_ARMS))}
+    FROM kept
+),
+a2 AS (
+    SELECT CASE WHEN {" OR ".join(f"t.n{a} = 0" for a in range(_R17_ARMS))}
+                THEN NULL
+                ELSE (CAST(t.n AS DOUBLE) - 1.0) / t.n * (0.0
+                {" ".join(f"+ i.s{a} / t.n{a}" for a in range(_R17_ARMS))}
+                ) / CAST(t.n AS DOUBLE) END AS a2
+    FROM tot t CROSS JOIN inner_s i
+)
+SELECT {", ".join(f"t.n{a} AS n_arm{a}" for a in range(_R17_ARMS))},
+       (SELECT {round_sql('a2')} FROM a2) AS ad_a2
+FROM tot t
+""")
+def ad_ksample_arms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tie-adjusted Anderson-Darling k-sample A2 across the 4 md5
+    arms on $100-binned order values (order-pinned per-arm folds over
+    the bounded bin grid)."""
+    from travel_data_pipeline_spark.operators.windows import (
+        two_phase_ordered,
+    )
+
+    orders = load_table(spark, sf_dir, "orders")
+    units = orders.select(
+        _r17_arm_col().alias("arm"),
+        F.floor(_r17_yc_col() / _AD_BIN).cast("long").alias("v"))
+    vals = (units.groupBy("v")
+            .agg(F.count("*").alias("l"),
+                 *[F.sum(F.when(F.col("arm") == a, 1).otherwise(0))
+                   .cast("long").alias(f"l{a}")
+                   for a in range(_R17_ARMS)]))
+    cums = two_phase_ordered(
+        vals, [F.col("v").asc()], bucket_on=F.col("v"),
+        cumsum_cols={"l": "b",
+                     **{f"l{a}": f"c{a}" for a in range(_R17_ARMS)}})
+    tot = vals.agg(F.sum("l").cast("long").alias("n"),
+                   *[F.sum(f"l{a}").cast("long").alias(f"n{a}")
+                     for a in range(_R17_ARMS)])
+    dec = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+    mb2 = 2 * F.col("b") - F.col("l")
+    den4 = (dec(mb2) * (2 * F.col("n") - mb2)
+            - dec(F.col("n")) * F.col("l"))
+    num_cols = []
+    for a in range(_R17_ARMS):
+        mm2 = 2 * F.col(f"c{a}") - F.col(f"l{a}")
+        diff = dec(F.col("n")) * mm2 - dec(F.col(f"n{a}")) * mb2
+        num_cols.append((diff * diff).alias(f"num{a}"))
+    terms = (cums.crossJoin(F.broadcast(tot))
+             .select("v", "l", den4.alias("den4"), *num_cols))
+    kept = terms.filter(F.col("den4") > 0)
+    sd = lambda c: c.cast("string").cast("double")  # noqa: E731
+    inner = kept.agg(*[
+        F.aggregate(
+            F.array_sort(F.collect_list(F.struct(
+                F.col("v"),
+                (F.col("l").cast("double")
+                 * (sd(F.col(f"num{a}")) / sd(F.col("den4"))))
+                .alias("term")))),
+            F.lit(0.0), lambda acc, x: acc + x["term"])
+        .alias(f"s{a}") for a in range(_R17_ARMS)])
+    nd = F.col("n").cast("double")
+    any0 = F.lit(False)
+    for a in range(_R17_ARMS):
+        any0 = any0 | (F.col(f"n{a}") == 0)
+    ssum = F.lit(0.0)
+    for a in range(_R17_ARMS):
+        ssum = ssum + F.col(f"s{a}") / F.col(f"n{a}")
+    a2 = (F.when(any0, F.lit(None).cast("double"))
+          .otherwise((nd - 1.0) / F.col("n") * ssum / nd))
+    a2row = (tot.crossJoin(F.broadcast(inner))
+             .select(F.round(a2, 6).alias("ad_a2")))
+    return (tot.crossJoin(F.broadcast(a2row))
+            .select(*[F.col(f"n{a}").alias(f"n_arm{a}")
+                      for a in range(_R17_ARMS)],
+                    "ad_a2"))
