@@ -1628,3 +1628,337 @@ def ad_ksample_arms(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select(*[F.col(f"n{a}").alias(f"n_arm{a}")
                       for a in range(_R17_ARMS)],
                     "ad_a2"))
+
+
+# ---------------------------------------------------------------------------
+# Batch C — causal estimators + an exact inequality index.
+# ---------------------------------------------------------------------------
+
+# --- Wald IV / LATE --------------------------------------------------------
+#
+# Binary md5 instrument z on the customer, treatment d = urgent/high
+# order priority, outcome y = order value cents:
+#   LATE = (E[y|z=1] - E[y|z=0]) / (E[d|z=1] - E[d|z=0])
+# (Wald 1940 / Imbens-Angrist 1994, public.) Integer group sums ->
+# one shared double expression; NULL when the first stage is zero.
+# ---------------------------------------------------------------------------
+
+_IV_Z = (f"CAST({md5_long_sql(chr(39) + 'iv:' + chr(39) + ' || CAST(o_custkey AS VARCHAR)')}"
+         f" % 2 AS INT)")
+
+
+@register("iv_wald_late", f"""
+WITH units AS (
+    SELECT {_IV_Z} AS z,
+           CASE WHEN o_orderpriority LIKE '1%'
+                  OR o_orderpriority LIKE '2%' THEN 1 ELSE 0 END AS d,
+           {_YC} AS y
+    FROM orders
+),
+grp AS (
+    SELECT z, CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(d) AS BIGINT) AS sd,
+           CAST(sum(y) AS BIGINT) AS sy
+    FROM units GROUP BY z
+),
+wide AS (
+    SELECT CAST(sum(CASE WHEN z = 0 THEN n END) AS BIGINT) AS nz0,
+           CAST(sum(CASE WHEN z = 1 THEN n END) AS BIGINT) AS nz1,
+           CAST(sum(CASE WHEN z = 0 THEN sd END) AS BIGINT) AS d0,
+           CAST(sum(CASE WHEN z = 1 THEN sd END) AS BIGINT) AS d1,
+           CAST(sum(CASE WHEN z = 0 THEN sy END) AS BIGINT) AS y0,
+           CAST(sum(CASE WHEN z = 1 THEN sy END) AS BIGINT) AS y1
+    FROM grp
+),
+f AS (
+    SELECT *,
+           CAST(y1 AS DOUBLE) / nz1 - CAST(y0 AS DOUBLE) / nz0 AS itt,
+           CAST(d1 AS DOUBLE) / nz1 - CAST(d0 AS DOUBLE) / nz0 AS fs
+    FROM wide
+)
+SELECT g.z, g.n,
+       {round_sql('CAST(g.sd AS DOUBLE) / g.n')} AS mean_d,
+       {round_sql('CAST(g.sy AS DOUBLE) / g.n / 100.0')} AS mean_y,
+       (SELECT {round_sql('itt / 100.0')} FROM f) + 0.0 AS itt,
+       (SELECT {round_sql('fs')} FROM f) + 0.0 AS first_stage,
+       (SELECT CASE WHEN fs = 0.0 THEN NULL
+                    ELSE {round_sql('itt / fs / 100.0')} END
+        FROM f) + 0.0 AS late
+FROM grp g
+""")
+def iv_wald_late(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wald IV: md5 instrument on the customer, urgent/high-priority
+    treatment, order-value outcome; per-z means + ITT / first stage /
+    LATE repeated."""
+    orders = load_table(spark, sf_dir, "orders")
+    units = orders.select(
+        (md5_long(F.concat(F.lit("iv:"),
+                           F.col("o_custkey").cast("string")))
+         % 2).cast("int").alias("z"),
+        F.when(F.col("o_orderpriority").startswith("1")
+               | F.col("o_orderpriority").startswith("2"), 1)
+        .otherwise(0).alias("d"),
+        _r17_yc_col().alias("y"))
+    grp = units.groupBy("z").agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("d").cast("long").alias("sd"),
+        F.sum("y").cast("long").alias("sy"))
+    wide = grp.agg(
+        *[F.sum(F.when(F.col("z") == z, F.col(c))).cast("long")
+          .alias(a) for z, c, a in
+          [(0, "n", "nz0"), (1, "n", "nz1"), (0, "sd", "d0"),
+           (1, "sd", "d1"), (0, "sy", "y0"), (1, "sy", "y1")]])
+    itt = (F.col("y1").cast("double") / F.col("nz1")
+           - F.col("y0").cast("double") / F.col("nz0"))
+    fs = (F.col("d1").cast("double") / F.col("nz1")
+          - F.col("d0").cast("double") / F.col("nz0"))
+    f = wide.select(itt.alias("itt"), fs.alias("fs"))
+    stats = f.select(
+        (F.round(F.col("itt") / 100.0, 6) + 0.0).alias("itt"),
+        (F.round("fs", 6) + 0.0).alias("first_stage"),
+        (F.when(F.col("fs") == 0.0, F.lit(None).cast("double"))
+         .otherwise(F.round(F.col("itt") / F.col("fs") / 100.0, 6))
+         + 0.0).alias("late"))
+    return (grp.crossJoin(F.broadcast(stats))
+            .select("z", "n",
+                    F.round(F.col("sd").cast("double") / F.col("n"), 6)
+                    .alias("mean_d"),
+                    F.round(F.col("sy").cast("double") / F.col("n")
+                            / 100.0, 6).alias("mean_y"),
+                    "itt", "first_stage", "late"))
+
+
+# --- Sharp RDD, local linear -----------------------------------------------
+#
+# Running variable: customer account balance (cents), cutoff 0,
+# bandwidth $1000; outcome: the customer's total order value cents
+# (LEFT join, 0 for never-ordered — the engine-wide J8 policy).
+# Separate OLS y ~ a + b*x on [-h, 0) and [0, h]; the effect is the
+# intercept jump at the cutoff (Thistlethwaite & Campbell 1960 /
+# Hahn-Todd-van-der-Klaauw 2001, public). Exact decimal moments.
+# ---------------------------------------------------------------------------
+
+_RDD_H = 100_000  # cents
+
+
+@register("rdd_local_linear", f"""
+WITH cust AS (
+    SELECT c.c_custkey,
+           CAST(CAST(c.c_acctbal AS DECIMAL(18,2)) * 100 AS BIGINT)
+             AS x,
+           CAST(COALESCE(o.rev, 0) AS BIGINT) AS y
+    FROM customer c
+    LEFT JOIN (SELECT o_custkey, sum({_YC}) AS rev
+               FROM orders GROUP BY o_custkey) o
+           ON o.o_custkey = c.c_custkey
+),
+win AS (
+    SELECT CASE WHEN x < 0 THEN 0 ELSE 1 END AS side, x, y
+    FROM cust WHERE x >= -{_RDD_H} AND x < {_RDD_H}
+),
+mom AS (
+    SELECT side, CAST(count(*) AS BIGINT) AS m,
+           CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+           CAST(sum(CAST(x AS DECIMAL(38,0)) * x) AS DECIMAL(38,0)) AS sxx,
+           CAST(sum(CAST(x AS DECIMAL(38,0)) * y) AS DECIMAL(38,0)) AS sxy
+    FROM win GROUP BY side
+),
+fit AS (
+    SELECT side, m,
+           CASE WHEN m <= 1 OR CAST(m AS DOUBLE)
+                     * CAST(CAST(sxx AS VARCHAR) AS DOUBLE)
+                     - CAST(sx AS DOUBLE) * sx <= 0.0 THEN NULL
+                ELSE (CAST(m AS DOUBLE)
+                      * CAST(CAST(sxy AS VARCHAR) AS DOUBLE)
+                      - CAST(sx AS DOUBLE) * sy)
+                     / (CAST(m AS DOUBLE)
+                        * CAST(CAST(sxx AS VARCHAR) AS DOUBLE)
+                        - CAST(sx AS DOUBLE) * sx) END AS b,
+           CAST(sx AS DOUBLE) AS sxd, CAST(sy AS DOUBLE) AS syd
+    FROM mom
+),
+ab AS (
+    SELECT side, m, b,
+           CASE WHEN b IS NULL THEN NULL
+                ELSE (syd - b * sxd) / m END AS a
+    FROM fit
+),
+wide AS (
+    SELECT CAST(sum(CASE WHEN side = 0 THEN m END) AS BIGINT) AS n_left,
+           CAST(sum(CASE WHEN side = 1 THEN m END) AS BIGINT) AS n_right,
+           sum(CASE WHEN side = 0 THEN a END) AS a_l,
+           sum(CASE WHEN side = 1 THEN a END) AS a_r,
+           sum(CASE WHEN side = 0 THEN b END) AS b_l,
+           sum(CASE WHEN side = 1 THEN b END) AS b_r
+    FROM ab
+)
+SELECT n_left, n_right,
+       {round_sql('a_l / 100.0')} AS alpha_left,
+       {round_sql('a_r / 100.0')} AS alpha_right,
+       {round_sql('b_l')} + 0.0 AS slope_left,
+       {round_sql('b_r')} + 0.0 AS slope_right,
+       CASE WHEN a_l IS NULL OR a_r IS NULL THEN NULL
+            ELSE {round_sql('(a_r - a_l) / 100.0')} END AS rdd_effect
+FROM wide
+""")
+def rdd_local_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sharp RDD at acctbal = 0 (bandwidth $1000): local-linear
+    intercept jump in total customer order value."""
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey",
+        (F.col("c_acctbal").cast("decimal(18,2)") * 100)
+        .cast("long").alias("x"))
+    rev = (load_table(spark, sf_dir, "orders")
+           .groupBy("o_custkey")
+           .agg(F.sum(_r17_yc_col()).alias("rev")))
+    base = (cust.join(rev, cust.c_custkey == rev.o_custkey, "left")
+            .select("x", F.coalesce(F.col("rev"), F.lit(0))
+                    .cast("long").alias("y")))
+    win = (base.filter((F.col("x") >= -_RDD_H)
+                       & (F.col("x") < _RDD_H))
+           .select(F.when(F.col("x") < 0, 0).otherwise(1)
+                   .alias("side"), "x", "y"))
+    dec = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+    mom = win.groupBy("side").agg(
+        F.count("*").cast("long").alias("m"),
+        F.sum("x").cast("long").alias("sx"),
+        F.sum("y").cast("long").alias("sy"),
+        dec(F.sum(dec(F.col("x")) * F.col("x"))).alias("sxx"),
+        dec(F.sum(dec(F.col("x")) * F.col("y"))).alias("sxy"))
+    md = F.col("m").cast("double")
+    sxd, syd = F.col("sx").cast("double"), F.col("sy").cast("double")
+    sxxd = F.col("sxx").cast("string").cast("double")
+    sxyd = F.col("sxy").cast("string").cast("double")
+    b = (F.when((F.col("m") <= 1)
+                | (md * sxxd - sxd * sxd <= 0.0),
+                F.lit(None).cast("double"))
+         .otherwise((md * sxyd - sxd * syd)
+                    / (md * sxxd - sxd * sxd)))
+    fit = mom.select("side", "m", b.alias("b"),
+                     sxd.alias("sxd"), syd.alias("syd"))
+    a = (F.when(F.col("b").isNull(), F.lit(None).cast("double"))
+         .otherwise((F.col("syd") - F.col("b") * F.col("sxd"))
+                    / F.col("m")))
+    ab = fit.withColumn("a", a)
+    wide = ab.agg(
+        F.sum(F.when(F.col("side") == 0, F.col("m"))).cast("long")
+        .alias("n_left"),
+        F.sum(F.when(F.col("side") == 1, F.col("m"))).cast("long")
+        .alias("n_right"),
+        F.sum(F.when(F.col("side") == 0, F.col("a"))).alias("a_l"),
+        F.sum(F.when(F.col("side") == 1, F.col("a"))).alias("a_r"),
+        F.sum(F.when(F.col("side") == 0, F.col("b"))).alias("b_l"),
+        F.sum(F.when(F.col("side") == 1, F.col("b"))).alias("b_r"))
+    eff = (F.when(F.col("a_l").isNull() | F.col("a_r").isNull(),
+                  F.lit(None).cast("double"))
+           .otherwise(F.round((F.col("a_r") - F.col("a_l"))
+                              / 100.0, 6)))
+    return wide.select(
+        "n_left", "n_right",
+        F.round(F.col("a_l") / 100.0, 6).alias("alpha_left"),
+        F.round(F.col("a_r") / 100.0, 6).alias("alpha_right"),
+        (F.round("b_l", 6) + 0.0).alias("slope_left"),
+        (F.round("b_r", 6) + 0.0).alias("slope_right"),
+        eff.alias("rdd_effect"))
+
+
+# --- Hoover (Robin Hood) index by region -----------------------------------
+#
+# H = sum |x_i - mu| / (2 * sum x)  — the share of total revenue that
+# would have to move to equalize. With n*x_i - sum(x) integer, the
+# numerator is EXACT: H = sum|n*x_i - sx| / (2 * n * sx). Computed
+# per region over per-customer revenue (buyers only) plus the pooled
+# row (region = 'ALL'), all from one grouped pass.
+# ---------------------------------------------------------------------------
+
+@register("hoover_index_regions", f"""
+WITH rev AS (
+    SELECT r.r_name AS region, o.o_custkey,
+           CAST(sum({_YC}) AS BIGINT) AS x
+    FROM orders o
+    JOIN customer c ON c.c_custkey = o.o_custkey
+    JOIN nation n ON n.n_nationkey = c.c_nationkey
+    JOIN region r ON r.r_regionkey = n.n_regionkey
+    GROUP BY r.r_name, o.o_custkey
+),
+grp AS (
+    SELECT region, CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(x) AS BIGINT) AS sx
+    FROM rev GROUP BY region
+),
+dev AS (
+    SELECT v.region,
+           CAST(sum(abs(CAST(g.n AS DECIMAL(38,0)) * v.x - g.sx))
+                AS DECIMAL(38,0)) AS sdev
+    FROM rev v JOIN grp g ON g.region = v.region
+    GROUP BY v.region
+),
+allg AS (
+    SELECT CAST(count(*) AS BIGINT) AS n, CAST(sum(x) AS BIGINT) AS sx
+    FROM rev
+),
+alldev AS (
+    SELECT CAST(sum(abs(CAST(g.n AS DECIMAL(38,0)) * v.x - g.sx))
+                AS DECIMAL(38,0)) AS sdev
+    FROM rev v CROSS JOIN allg g
+)
+SELECT g.region, g.n AS n_customers,
+       CASE WHEN g.sx = 0 THEN NULL
+            ELSE {round_sql('CAST(CAST(d.sdev AS VARCHAR) AS DOUBLE)'
+                            ' / (2.0 * CAST(g.n AS DOUBLE) * g.sx)')}
+       END AS hoover
+FROM grp g JOIN dev d ON d.region = g.region
+UNION ALL
+SELECT 'ALL', a.n,
+       CASE WHEN a.sx = 0 THEN NULL
+            ELSE {round_sql('CAST(CAST(d.sdev AS VARCHAR) AS DOUBLE)'
+                            ' / (2.0 * CAST(a.n AS DOUBLE) * a.sx)')}
+       END
+FROM allg a CROSS JOIN alldev d
+""")
+def hoover_index_regions(spark: SparkSession,
+                         sf_dir: str) -> DataFrame:
+    """Hoover/Robin-Hood inequality index of customer revenue per
+    region + pooled 'ALL' row — exact integer deviation sums."""
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_custkey", _r17_yc_col().alias("yc"))
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_nationkey")
+    nation = load_table(spark, sf_dir, "nation").select(
+        "n_nationkey", "n_regionkey")
+    region = load_table(spark, sf_dir, "region").select(
+        "r_regionkey", F.col("r_name").alias("region"))
+    rev = (orders.join(cust, orders.o_custkey == cust.c_custkey)
+           .join(F.broadcast(nation),
+                 cust.c_nationkey == nation.n_nationkey)
+           .join(F.broadcast(region),
+                 nation.n_regionkey == region.r_regionkey)
+           .groupBy("region", "o_custkey")
+           .agg(F.sum("yc").cast("long").alias("x")))
+    dec = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+
+    def hoover_of(df, keys):
+        grp = df.groupBy(*keys).agg(
+            F.count("*").cast("long").alias("n"),
+            F.sum("x").cast("long").alias("sx"))
+        j = df.join(F.broadcast(grp), keys) if keys else \
+            df.crossJoin(F.broadcast(grp))
+        dev = (j.select(*keys, F.abs(dec(F.col("n")) * F.col("x")
+                                     - F.col("sx")).alias("d"))
+               .groupBy(*keys).agg(dec(F.sum("d")).alias("sdev")))
+        out = grp.join(dev, keys) if keys else grp.crossJoin(dev)
+        h = (F.when(F.col("sx") == 0, F.lit(None).cast("double"))
+             .otherwise(F.round(
+                 F.col("sdev").cast("string").cast("double")
+                 / (2.0 * F.col("n").cast("double") * F.col("sx")),
+                 6)))
+        return out, h
+
+    per, h1 = hoover_of(rev, ["region"])
+    per_rows = per.select("region", F.col("n").alias("n_customers"),
+                          h1.alias("hoover"))
+    alr, h2 = hoover_of(rev.select("o_custkey", "x"), [])
+    all_rows = alr.select(F.lit("ALL").alias("region"),
+                          F.col("n").alias("n_customers"),
+                          h2.alias("hoover"))
+    return per_rows.unionAll(all_rows)
