@@ -1962,3 +1962,409 @@ def hoover_index_regions(spark: SparkSession,
                           F.col("n").alias("n_customers"),
                           h2.alias("hoover"))
     return per_rows.unionAll(all_rows)
+
+
+# ---------------------------------------------------------------------------
+# Batch D — mergeable heavy-hitter summaries (SpaceSaving / Misra-
+# Gries family, Metwally et al. 2005, public): per input shard keep
+# only the top-C keys by exact shard-local count plus the shard's
+# eviction bound (the C-th count — any absent key's shard count is
+# <= it, 0 when the shard holds <= C distinct keys). Merged
+# estimates: lower = sum of present counts, upper = lower + sum of
+# bounds of ABSENT shards. The audit joins exact global counts and
+# asserts lower <= exact <= upper per reported key.
+#
+# The 100 TB story: per-shard state is CONSTANT (C rows + 1 bound),
+# the merge is associative, and nothing ever re-reads a shard.
+# ---------------------------------------------------------------------------
+
+_SS_SHARDS = 32
+_SS_CAP = 8
+_SS_TOPK = 10
+
+
+@register("spacesaving_topk", f"""
+WITH base AS (
+    SELECT l_orderkey % {_SS_SHARDS} AS shard, l_partkey AS key
+    FROM lineitem
+),
+cnts AS (
+    SELECT shard, key, CAST(count(*) AS BIGINT) AS cnt
+    FROM base GROUP BY shard, key
+),
+ranked AS (
+    SELECT *, row_number() OVER (PARTITION BY shard
+                                 ORDER BY cnt DESC, key ASC) AS rn,
+           count(*) OVER (PARTITION BY shard) AS nkeys
+    FROM cnts
+),
+summ AS (SELECT shard, key, cnt FROM ranked WHERE rn <= {_SS_CAP}),
+errs AS (
+    SELECT shard,
+           CAST(CASE WHEN max(nkeys) > {_SS_CAP}
+                     THEN min(CASE WHEN rn <= {_SS_CAP} THEN cnt END)
+                     ELSE 0 END AS BIGINT) AS err
+    FROM ranked GROUP BY shard
+),
+errtot AS (SELECT CAST(sum(err) AS BIGINT) AS err_total FROM errs),
+est AS (
+    SELECT s.key,
+           CAST(sum(s.cnt) AS BIGINT) AS lower_cnt,
+           CAST(sum(e.err) AS BIGINT) AS present_err
+    FROM summ s JOIN errs e ON e.shard = s.shard
+    GROUP BY s.key
+),
+top AS (
+    SELECT key, lower_cnt,
+           CAST(lower_cnt + (t.err_total - present_err) AS BIGINT)
+             AS upper_cnt,
+           row_number() OVER (ORDER BY lower_cnt DESC, key ASC) AS rnk
+    FROM est CROSS JOIN errtot t
+    QUALIFY rnk <= {_SS_TOPK}
+),
+exact AS (
+    SELECT key, CAST(count(*) AS BIGINT) AS exact_cnt
+    FROM base WHERE key IN (SELECT key FROM top)
+    GROUP BY key
+)
+SELECT t.key, t.lower_cnt, t.upper_cnt, x.exact_cnt,
+       (t.lower_cnt <= x.exact_cnt AND x.exact_cnt <= t.upper_cnt)
+         AS within_bounds,
+       CAST(t.rnk AS INT) AS rnk
+FROM top t JOIN exact x ON x.key = t.key
+""")
+def spacesaving_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable SpaceSaving-style top-k over lineitem part keys:
+    constant-size per-shard summaries + eviction bounds, merged
+    lower/upper estimates, exact-count audit."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        (F.col("l_orderkey") % _SS_SHARDS).alias("shard"),
+        F.col("l_partkey").alias("key"))
+    cnts = (li.groupBy("shard", "key")
+            .agg(F.count("*").cast("long").alias("cnt")))
+    w = Window.partitionBy("shard").orderBy(F.col("cnt").desc(),
+                                            F.col("key").asc())
+    ranked = (cnts.withColumn("rn", F.row_number().over(w))
+              .withColumn("nkeys", F.count("*").over(
+                  Window.partitionBy("shard"))))
+    summ = ranked.filter(F.col("rn") <= _SS_CAP)
+    errs = (ranked.groupBy("shard")
+            .agg(F.when(F.max("nkeys") > _SS_CAP,
+                        F.min(F.when(F.col("rn") <= _SS_CAP,
+                                     F.col("cnt"))))
+                 .otherwise(0).cast("long").alias("err")))
+    errtot = errs.agg(F.sum("err").cast("long").alias("err_total"))
+    est = (summ.join(F.broadcast(errs), "shard")
+           .groupBy("key")
+           .agg(F.sum("cnt").cast("long").alias("lower_cnt"),
+                F.sum("err").cast("long").alias("present_err")))
+    wt = Window.orderBy(F.col("lower_cnt").desc(), F.col("key").asc())
+    top = (est.crossJoin(F.broadcast(errtot))
+           .withColumn("rnk", F.row_number().over(wt))
+           .filter(F.col("rnk") <= _SS_TOPK)
+           .select("key", "lower_cnt",
+                   (F.col("lower_cnt")
+                    + (F.col("err_total") - F.col("present_err")))
+                   .cast("long").alias("upper_cnt"), "rnk"))
+    exact = (li.join(F.broadcast(top.select("key")), "key")
+             .groupBy("key")
+             .agg(F.count("*").cast("long").alias("exact_cnt")))
+    return (top.join(exact, "key")
+            .select("key", "lower_cnt", "upper_cnt", "exact_cnt",
+                    ((F.col("lower_cnt") <= F.col("exact_cnt"))
+                     & (F.col("exact_cnt") <= F.col("upper_cnt")))
+                    .alias("within_bounds"),
+                    F.col("rnk").cast("int")))
+
+
+# ---------------------------------------------------------------------------
+# Batch E — LLM-curation text operators.
+# ---------------------------------------------------------------------------
+
+_TOK_SQL = ("list_filter(string_split(trim(regexp_replace(lower(text),"
+            " '\\s+', ' ', 'g')), ' '), t -> t <> '')")
+
+# --- DSIR hashed importance weights ----------------------------------------
+#
+# Data Selection via Importance Resampling (Xie et al. 2023, public),
+# hashed-unigram variant: bucket every token into B=64 md5 buckets,
+# fit add-1-smoothed bucket distributions for the TARGET (lang='en')
+# and the RAW corpus, and score every doc by its per-bucket
+# log-importance weight sum_b c_doc[b] * (ln p_t[b] - ln p_r[b]).
+# The per-doc sum is over <= B bounded buckets (order-pinned fold);
+# the corpus-sized pass is the one token explode.
+# ---------------------------------------------------------------------------
+
+_DSIR_B = 64
+_DSIR_TOPK = 20
+
+
+@register("dsir_importance_weights", f"""
+WITH toks AS MATERIALIZED (
+    SELECT doc_id, source, lang,
+           unnest({_TOK_SQL}) AS token
+    FROM documents
+),
+bucketed AS MATERIALIZED (
+    SELECT doc_id, source, lang,
+           {md5_long_sql("'dsir:' || token")} % {_DSIR_B} AS b
+    FROM toks
+),
+tstat AS (
+    SELECT b, CAST(count(*) AS BIGINT) AS ct
+    FROM bucketed WHERE lang = 'en' GROUP BY b
+),
+rstat AS (
+    SELECT b, CAST(count(*) AS BIGINT) AS cr
+    FROM bucketed GROUP BY b
+),
+tot AS (
+    SELECT CAST(sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END)
+                AS BIGINT) AS nt,
+           CAST(count(*) AS BIGINT) AS nr
+    FROM bucketed
+),
+lp AS (
+    SELECT r.b,
+           ln((CAST(COALESCE(t.ct, 0) AS DOUBLE) + 1.0)
+              / (CAST(o.nt AS DOUBLE) + {_DSIR_B}.0))
+           - ln((CAST(r.cr AS DOUBLE) + 1.0)
+                / (CAST(o.nr AS DOUBLE) + {_DSIR_B}.0)) AS lw
+    FROM rstat r LEFT JOIN tstat t ON t.b = r.b CROSS JOIN tot o
+),
+docb AS (
+    SELECT doc_id, source, lang, b, CAST(count(*) AS BIGINT) AS c
+    FROM bucketed GROUP BY doc_id, source, lang, b
+),
+scored AS (
+    SELECT d.doc_id, d.source, d.lang,
+           CAST(sum(d.c) AS BIGINT) AS n_tokens,
+           list_reduce(list_prepend(0.0,
+               list(CAST(d.c AS DOUBLE) * l.lw ORDER BY d.b)),
+               (x, y) -> x + y) AS logw
+    FROM docb d JOIN lp l ON l.b = d.b
+    GROUP BY d.doc_id, d.source, d.lang
+)
+SELECT doc_id, source, lang, n_tokens,
+       {round_sql('logw')} + 0.0 AS logw, CAST(rnk AS INT) AS rnk
+FROM (
+    SELECT *, row_number() OVER (ORDER BY logw DESC, doc_id ASC)
+             AS rnk
+    FROM scored
+) WHERE rnk <= {_DSIR_TOPK}
+""")
+def dsir_importance_weights(spark: SparkSession,
+                            sf_dir: str) -> DataFrame:
+    """DSIR hashed-unigram log-importance weights (target lang='en'
+    vs raw corpus), top-20 docs."""
+    from travel_data_pipeline_spark.operators import text
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", "source", "lang",
+        F.explode(text.token_array(F.col("text"))).alias("token"))
+    bucketed = toks.select(
+        "doc_id", "source", "lang",
+        (md5_long(F.concat(F.lit("dsir:"), F.col("token")))
+         % _DSIR_B).alias("b"))
+    tstat = (bucketed.filter(F.col("lang") == "en")
+             .groupBy("b").agg(F.count("*").cast("long").alias("ct")))
+    rstat = bucketed.groupBy("b").agg(
+        F.count("*").cast("long").alias("cr"))
+    tot = bucketed.agg(
+        F.sum(F.when(F.col("lang") == "en", 1).otherwise(0))
+        .cast("long").alias("nt"),
+        F.count("*").cast("long").alias("nr"))
+    lw = (F.log((F.coalesce(F.col("ct"), F.lit(0)).cast("double")
+                 + 1.0)
+                / (F.col("nt").cast("double") + float(_DSIR_B)))
+          - F.log((F.col("cr").cast("double") + 1.0)
+                  / (F.col("nr").cast("double") + float(_DSIR_B))))
+    lp = (rstat.join(F.broadcast(tstat), "b", "left")
+          .crossJoin(F.broadcast(tot))
+          .select("b", lw.alias("lw")))
+    docb = (bucketed.groupBy("doc_id", "source", "lang", "b")
+            .agg(F.count("*").cast("long").alias("c")))
+    scored = (docb.join(F.broadcast(lp), "b")
+              .groupBy("doc_id", "source", "lang")
+              .agg(F.sum("c").cast("long").alias("n_tokens"),
+                   F.aggregate(
+                       F.array_sort(F.collect_list(F.struct(
+                           "b", (F.col("c").cast("double")
+                                 * F.col("lw")).alias("term")))),
+                       F.lit(0.0),
+                       lambda acc, x: acc + x["term"]).alias("logw")))
+    wt = Window.orderBy(F.col("logw").desc(), F.col("doc_id").asc())
+    return (scored.withColumn("rnk", F.row_number().over(wt))
+            .filter(F.col("rnk") <= _DSIR_TOPK)
+            .select("doc_id", "source", "lang", "n_tokens",
+                    (F.round("logw", 6) + 0.0).alias("logw"),
+                    F.col("rnk").cast("int")))
+
+
+# --- discrete power-law alpha of co-purchase degrees -----------------------
+#
+# Clauset-Shalizi-Newman 2009 (public) discrete MLE approximation at
+# fixed dmin = 2:  alpha = 1 + n_tail / sum ln(d / (dmin - 1/2)).
+# The ln sum groups by DEGREE VALUE first (bounded distinct degrees)
+# and folds in degree order — order-pinned, never a raw float sum
+# over nodes.
+# ---------------------------------------------------------------------------
+
+_PL_DMIN = 2
+
+
+def _powerlaw_oracle() -> str:
+    from travel_data_pipeline_spark.queries_affinity import _PAIRS_SQL
+
+    return f"""
+WITH {_PAIRS_SQL},
+deg AS (
+    SELECT node, CAST(count(*) AS BIGINT) AS d
+    FROM (SELECT part_a AS node FROM pair_counts
+          UNION ALL SELECT part_b FROM pair_counts)
+    GROUP BY node
+),
+bydeg AS (
+    SELECT d, CAST(count(*) AS BIGINT) AS cnt FROM deg GROUP BY d
+),
+tail AS (
+    SELECT CAST(sum(cnt) AS BIGINT) AS n_tail,
+           list_reduce(list_prepend(0.0,
+               list(CAST(cnt AS DOUBLE)
+                    * ln(CAST(d AS DOUBLE) / {_PL_DMIN - 0.5!r})
+                    ORDER BY d)), (x, y) -> x + y) AS slog
+    FROM bydeg WHERE d >= {_PL_DMIN}
+),
+tot AS (SELECT CAST(count(*) AS BIGINT) AS n_nodes FROM deg)
+SELECT t.n_nodes, a.n_tail,
+       CASE WHEN a.slog IS NULL OR a.slog <= 0.0 THEN NULL
+            ELSE {round_sql(f'1.0 + CAST(a.n_tail AS DOUBLE) / a.slog')}
+       END AS alpha,
+       CAST({_PL_DMIN} AS INT) AS dmin
+FROM tot t CROSS JOIN tail a
+"""
+
+
+@register("powerlaw_degree_alpha", lambda: _powerlaw_oracle())
+def powerlaw_degree_alpha(spark: SparkSession,
+                          sf_dir: str) -> DataFrame:
+    """Discrete power-law alpha (CSN approximation, dmin=2) of the
+    co-purchase degree distribution — degree-grouped, order-pinned
+    ln fold."""
+    from travel_data_pipeline_spark.queries_affinity import (
+        _order_items,
+        _pair_counts,
+    )
+
+    pairs = _pair_counts(_order_items(spark, sf_dir)).select(
+        "part_a", "part_b")
+    deg = (pairs.select(F.col("part_a").alias("node"))
+           .unionAll(pairs.select(F.col("part_b").alias("node")))
+           .groupBy("node").agg(F.count("*").cast("long").alias("d")))
+    bydeg = deg.groupBy("d").agg(F.count("*").cast("long")
+                                 .alias("cnt"))
+    tail = (bydeg.filter(F.col("d") >= _PL_DMIN)
+            .agg(F.sum("cnt").cast("long").alias("n_tail"),
+                 F.aggregate(
+                     F.array_sort(F.collect_list(F.struct(
+                         "d", (F.col("cnt").cast("double")
+                               * F.log(F.col("d").cast("double")
+                                       / (_PL_DMIN - 0.5)))
+                         .alias("term")))),
+                     F.lit(0.0),
+                     lambda acc, x: acc + x["term"]).alias("slog")))
+    tot = deg.agg(F.count("*").cast("long").alias("n_nodes"))
+    alpha = (F.when(F.col("slog").isNull() | (F.col("slog") <= 0.0),
+                    F.lit(None).cast("double"))
+             .otherwise(F.round(
+                 1.0 + F.col("n_tail").cast("double") / F.col("slog"),
+                 6)))
+    return (tot.crossJoin(F.broadcast(tail))
+            .select("n_nodes", "n_tail", alpha.alias("alpha"),
+                    F.lit(_PL_DMIN).cast("int").alias("dmin")))
+
+
+# --- expected reciprocal rank of PROMO parts per brand ---------------------
+#
+# ERR (Chapelle et al. 2009, public) over per-brand popularity
+# rankings (lineitem count DESC, partkey ASC, top 20 — the W2
+# pattern) with graded relevance R = 0.5 for PROMO parts, 0 else.
+# With two-level grades the cascade product collapses to
+# 0.5^(promos seen so far), so ERR = sum over promo rows of
+# (1/rank) * 0.5^(cum promos at rank) — an order-pinned fold over
+# <= 20 rows per brand.
+# ---------------------------------------------------------------------------
+
+_ERR_K = 20
+
+
+@register("expected_reciprocal_rank", f"""
+WITH cnts AS (
+    SELECT p.p_brand AS brand, p.p_partkey AS pk,
+           CASE WHEN p.p_type LIKE 'PROMO%' THEN 1 ELSE 0 END AS pos,
+           COALESCE(c.cnt, 0) AS cnt
+    FROM part p LEFT JOIN (
+        SELECT l_partkey, count(*) AS cnt FROM lineitem GROUP BY 1
+    ) c ON c.l_partkey = p.p_partkey
+),
+ranked AS (
+    SELECT brand, pk, pos, cnt,
+           row_number() OVER (PARTITION BY brand
+                              ORDER BY cnt DESC, pk ASC) AS rn
+    FROM cnts
+    QUALIFY rn <= {_ERR_K}
+),
+cum AS (
+    SELECT brand, pk, pos, rn,
+           sum(pos) OVER (PARTITION BY brand ORDER BY rn
+                          ROWS UNBOUNDED PRECEDING) AS cpos
+    FROM ranked
+),
+folded AS (
+    SELECT brand, CAST(count(*) AS BIGINT) AS n_ranked,
+           CAST(sum(pos) AS BIGINT) AS n_promo,
+           list_reduce(list_prepend(0.0,
+               list(CASE WHEN pos = 1
+                         THEN (1.0 / rn) * pow(0.5, CAST(cpos AS DOUBLE))
+                         ELSE 0.0 END ORDER BY rn)),
+               (x, y) -> x + y) AS err
+    FROM cum GROUP BY brand
+)
+SELECT brand, n_ranked, n_promo, {round_sql('err')} + 0.0 AS err
+FROM folded
+""")
+def expected_reciprocal_rank(spark: SparkSession,
+                             sf_dir: str) -> DataFrame:
+    """ERR@20 of PROMO parts within per-brand popularity rankings
+    (two-grade cascade, order-pinned per-brand fold)."""
+    part = load_table(spark, sf_dir, "part").select(
+        F.col("p_brand").alias("brand"), F.col("p_partkey").alias("pk"),
+        F.when(F.col("p_type").startswith("PROMO"), 1).otherwise(0)
+        .alias("pos"))
+    li = (load_table(spark, sf_dir, "lineitem")
+          .groupBy("l_partkey").agg(F.count("*").alias("cnt")))
+    cnts = (part.join(li, part.pk == li.l_partkey, "left")
+            .select("brand", "pk", "pos",
+                    F.coalesce(F.col("cnt"), F.lit(0)).alias("cnt")))
+    w = Window.partitionBy("brand").orderBy(F.col("cnt").desc(),
+                                            F.col("pk").asc())
+    ranked = (cnts.withColumn("rn", F.row_number().over(w))
+              .filter(F.col("rn") <= _ERR_K))
+    wc = (Window.partitionBy("brand").orderBy("rn")
+          .rowsBetween(Window.unboundedPreceding, 0))
+    cum = ranked.withColumn("cpos", F.sum("pos").over(wc))
+    term = (F.when(F.col("pos") == 1,
+                   (F.lit(1.0) / F.col("rn"))
+                   * F.pow(F.lit(0.5), F.col("cpos").cast("double")))
+            .otherwise(F.lit(0.0)))
+    folded = (cum.groupBy("brand")
+              .agg(F.count("*").cast("long").alias("n_ranked"),
+                   F.sum("pos").cast("long").alias("n_promo"),
+                   F.aggregate(
+                       F.array_sort(F.collect_list(F.struct(
+                           "rn", term.alias("term")))),
+                       F.lit(0.0),
+                       lambda acc, x: acc + x["term"]).alias("err")))
+    return folded.select("brand", "n_ranked", "n_promo",
+                         (F.round("err", 6) + 0.0).alias("err"))
