@@ -2368,3 +2368,278 @@ def expected_reciprocal_rank(spark: SparkSession,
                        lambda acc, x: acc + x["term"]).alias("err")))
     return folded.select("brand", "n_ranked", "n_promo",
                          (F.round("err", 6) + 0.0).alias("err"))
+
+
+# --- MTLD lexical diversity ------------------------------------------------
+#
+# Measure of Textual Lexical Diversity (McCarthy & Jarvis 2010,
+# public), forward pass over the first _MTLD_CAP tokens per doc:
+# count full factors (segments whose running type-token ratio drops
+# below 0.72), add the partial factor (1 - ttr)/(1 - 0.72), report
+# MTLD = n_tokens / (factors + partial). The per-doc fold carries
+# (seen-types list, factor token count, factors); the oracle replays
+# the identical recurrence as a per-doc recursive walk (the croston
+# pattern). Capped tokens keep both the fold state and the walk
+# bounded per doc.
+# ---------------------------------------------------------------------------
+
+_MTLD_CAP = 120
+_MTLD_T = 0.72
+
+
+def _mtld_oracle() -> str:
+    seen2 = ("CASE WHEN list_contains(w.seen, t.tok) THEN w.seen "
+             "ELSE list_append(w.seen, t.tok) END")
+    ttr2 = (f"CAST(len({seen2}) AS DOUBLE) / (w.c + 1)")
+    return f"""
+WITH RECURSIVE docs AS MATERIALIZED (
+    SELECT doc_id, list_slice({_TOK_SQL}, 1, {_MTLD_CAP}) AS toks
+    FROM documents
+),
+toks AS MATERIALIZED (
+    SELECT d.doc_id, d.toks[s.i] AS tok, s.i AS pos,
+           len(d.toks) AS n_used
+    FROM docs d, unnest(generate_series(1, len(d.toks))) AS s(i)
+),
+walk AS (
+    SELECT doc_id, 0 AS pos, CAST([] AS VARCHAR[]) AS seen,
+           0 AS c, 0 AS factors
+    FROM docs
+    UNION ALL
+    SELECT w.doc_id, t.pos,
+           CASE WHEN {ttr2} < {_MTLD_T} THEN CAST([] AS VARCHAR[])
+                ELSE {seen2} END,
+           CASE WHEN {ttr2} < {_MTLD_T} THEN 0 ELSE w.c + 1 END,
+           CASE WHEN {ttr2} < {_MTLD_T} THEN w.factors + 1
+                ELSE w.factors END
+    FROM walk w JOIN toks t
+      ON t.doc_id = w.doc_id AND t.pos = w.pos + 1
+),
+fin AS (
+    SELECT doc_id, pos, seen, c, factors,
+           row_number() OVER (PARTITION BY doc_id
+                              ORDER BY pos DESC) AS rr
+    FROM walk
+),
+scored AS (
+    SELECT f.doc_id, CAST(f.pos AS BIGINT) AS n_used,
+           CAST(f.factors AS BIGINT) AS factors,
+           CASE WHEN f.c > 0
+                THEN (1.0 - CAST(len(f.seen) AS DOUBLE) / f.c)
+                     / (1.0 - {_MTLD_T})
+                ELSE 0.0 END AS partial
+    FROM fin f WHERE f.rr = 1
+)
+SELECT doc_id, n_used, factors,
+       {round_sql('CAST(factors AS DOUBLE) + partial')} AS factor_mass,
+       CASE WHEN CAST(factors AS DOUBLE) + partial <= 0.0 THEN NULL
+            ELSE {round_sql('CAST(n_used AS DOUBLE)'
+                            ' / (CAST(factors AS DOUBLE) + partial)')}
+       END AS mtld
+FROM scored
+"""
+
+
+@register("mtld_lexical_diversity", lambda: _mtld_oracle())
+def mtld_lexical_diversity(spark: SparkSession,
+                           sf_dir: str) -> DataFrame:
+    """Forward MTLD over the first 120 tokens per doc (threshold
+    0.72) — bounded per-doc fold, recursive-walk oracle."""
+    from travel_data_pipeline_spark.operators import text
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.slice(text.token_array(F.col("text")), 1, _MTLD_CAP)
+        .alias("toks"))
+    seed = F.struct(
+        F.array().cast("array<string>").alias("seen"),
+        F.lit(0).alias("c"),
+        F.lit(0).alias("factors"))
+
+    def step(acc, x):
+        seen2 = (F.when(F.array_contains(acc["seen"], x), acc["seen"])
+                 .otherwise(F.array_append(acc["seen"], x)))
+        ttr2 = (F.size(seen2).cast("double") / (acc["c"] + 1))
+        drop = ttr2 < _MTLD_T
+        return F.struct(
+            F.when(drop, F.array().cast("array<string>"))
+            .otherwise(seen2).alias("seen"),
+            F.when(drop, 0).otherwise(acc["c"] + 1).alias("c"),
+            F.when(drop, acc["factors"] + 1).otherwise(acc["factors"])
+            .alias("factors"))
+
+    folded = F.aggregate(F.col("toks"), seed, step)
+    st = docs.select("doc_id",
+                     F.size("toks").cast("long").alias("n_used"),
+                     folded.alias("st"))
+    partial = (F.when(F.col("st")["c"] > 0,
+                      (1.0 - F.size(F.col("st")["seen"])
+                       .cast("double") / F.col("st")["c"])
+                      / (1.0 - _MTLD_T))
+               .otherwise(F.lit(0.0)))
+    scored = st.select(
+        "doc_id", "n_used",
+        F.col("st")["factors"].cast("long").alias("factors"),
+        partial.alias("partial"))
+    mass = F.col("factors").cast("double") + F.col("partial")
+    return scored.select(
+        "doc_id", "n_used", "factors",
+        F.round(mass, 6).alias("factor_mass"),
+        F.when(mass <= 0.0, F.lit(None).cast("double"))
+        .otherwise(F.round(F.col("n_used").cast("double") / mass, 6))
+        .alias("mtld"))
+
+
+# --- TextRank keyword scores -----------------------------------------------
+#
+# Mihalcea & Tarau 2004 (public): undirected co-occurrence graph of
+# the corpus-top-_TR_VOCAB tokens (window +-2 on the original token
+# positions), damped power iteration
+#   WS(v) = 0.15 + 0.85 * sum_u (w_uv / out_w(u)) * WS(u)
+# for _TR_ITER rounds. The vocab is bounded (50 nodes), every
+# contribution sum is order-pinned by source token (the HITS
+# spelling), and the corpus-sized pass is the one position explode.
+# ---------------------------------------------------------------------------
+
+_TR_VOCAB = 50
+_TR_WIN = 2
+_TR_ITER = 5
+_TR_TOPK = 15
+
+
+def _textrank_oracle() -> str:
+    iters = []
+    prev = "ws0"
+    for t in range(1, _TR_ITER + 1):
+        iters.append(f"""
+ws{t} AS MATERIALIZED (
+    SELECT n.token AS node,
+           0.15 + 0.85 * COALESCE(c.contrib, 0.0) AS v
+    FROM vocab n LEFT JOIN (
+        SELECT e.dst AS node,
+               list_reduce(list_prepend(0.0,
+                   list((e.w / sw.s) * p.v ORDER BY e.src)),
+                   (x, y) -> x + y) AS contrib
+        FROM dedges e
+        JOIN sumw sw ON sw.src = e.src
+        JOIN {prev} p ON p.node = e.src
+        GROUP BY e.dst
+    ) c ON c.node = n.token
+)""")
+        prev = f"ws{t}"
+    return f"""
+WITH toks AS MATERIALIZED (
+    SELECT d.doc_id, d.toks[s.i] AS tok, s.i AS pos
+    FROM (SELECT doc_id, {_TOK_SQL} AS toks FROM documents) d,
+         unnest(generate_series(1, len(d.toks))) AS s(i)
+),
+vocab AS MATERIALIZED (
+    SELECT tok AS token FROM (
+        SELECT tok, count(*) AS cnt,
+               row_number() OVER (ORDER BY count(*) DESC, tok ASC)
+                 AS rn
+        FROM toks GROUP BY tok
+    ) WHERE rn <= {_TR_VOCAB}
+),
+cooc AS MATERIALIZED (
+    SELECT CASE WHEN a.tok < b.tok THEN a.tok ELSE b.tok END AS ta,
+           CASE WHEN a.tok < b.tok THEN b.tok ELSE a.tok END AS tb,
+           CAST(count(*) AS DOUBLE) AS w
+    FROM toks a JOIN toks b
+      ON b.doc_id = a.doc_id
+     AND b.pos > a.pos AND b.pos <= a.pos + {_TR_WIN}
+    JOIN vocab va ON va.token = a.tok
+    JOIN vocab vb ON vb.token = b.tok
+    WHERE a.tok <> b.tok
+    GROUP BY 1, 2
+),
+dedges AS MATERIALIZED (
+    SELECT ta AS src, tb AS dst, w FROM cooc
+    UNION ALL
+    SELECT tb AS src, ta AS dst, w FROM cooc
+),
+sumw AS MATERIALIZED (
+    SELECT src, CAST(sum(w) AS DOUBLE) AS s FROM dedges GROUP BY src
+),
+ws0 AS (SELECT token AS node, 1.0 AS v FROM vocab),
+{','.join(iters)}
+SELECT node AS token, {round_sql('v')} AS score,
+       CAST(rnk AS INT) AS rnk
+FROM (
+    SELECT node, v,
+           row_number() OVER (ORDER BY v DESC, node ASC) AS rnk
+    FROM {prev}
+) WHERE rnk <= {_TR_TOPK}
+"""
+
+
+@register("textrank_keywords", lambda: _textrank_oracle())
+def textrank_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TextRank keyword scores over the top-50-token co-occurrence
+    graph (window 2, damping 0.85, 5 iterations), top-15."""
+    from travel_data_pipeline_spark.operators import text
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = (docs.select(
+        "doc_id",
+        F.posexplode(text.token_array(F.col("text")))
+        .alias("pos0", "tok"))
+        .select("doc_id", (F.col("pos0") + 1).alias("pos"), "tok"))
+    wv = Window.orderBy(F.col("cnt").desc(), F.col("tok").asc())
+    vocab = (toks.groupBy("tok").agg(F.count("*").alias("cnt"))
+             .withColumn("rn", F.row_number().over(wv))
+             .filter(F.col("rn") <= _TR_VOCAB)
+             .select(F.col("tok").alias("token"))
+             .localCheckpoint(eager=False))
+    a = toks.select("doc_id", F.col("pos").alias("pa"),
+                    F.col("tok").alias("ta0"))
+    b = toks.select(F.col("doc_id").alias("doc_b"),
+                    F.col("pos").alias("pb"),
+                    F.col("tok").alias("tb0"))
+    cooc = (a.join(b, (F.col("doc_b") == F.col("doc_id"))
+                   & (F.col("pb") > F.col("pa"))
+                   & (F.col("pb") <= F.col("pa") + _TR_WIN))
+            .filter(F.col("ta0") != F.col("tb0"))
+            .join(F.broadcast(vocab.select(
+                F.col("token").alias("ta0"))), "ta0")
+            .join(F.broadcast(vocab.select(
+                F.col("token").alias("tb0"))), "tb0")
+            .select(F.least("ta0", "tb0").alias("ta"),
+                    F.greatest("ta0", "tb0").alias("tb"))
+            .groupBy("ta", "tb")
+            .agg(F.count("*").cast("double").alias("w")))
+    dedges = (cooc.select(F.col("ta").alias("src"),
+                          F.col("tb").alias("dst"), "w")
+              .unionAll(cooc.select(F.col("tb").alias("src"),
+                                    F.col("ta").alias("dst"), "w"))
+              .localCheckpoint(eager=True))
+    sumw = (dedges.groupBy("src")
+            .agg(F.sum("w").cast("double").alias("s"))
+            .localCheckpoint(eager=True))
+    ws = vocab.select(F.col("token").alias("node"),
+                      F.lit(1.0).alias("v"))
+    for _ in range(_TR_ITER):
+        contrib = (dedges.join(sumw, "src")
+                   .join(ws.select(F.col("node").alias("src"),
+                                   F.col("v")), "src")
+                   .groupBy("dst")
+                   .agg(F.aggregate(
+                       F.array_sort(F.collect_list(F.struct(
+                           "src",
+                           ((F.col("w") / F.col("s")) * F.col("v"))
+                           .alias("t")))),
+                       F.lit(0.0),
+                       lambda acc, x: acc + x["t"]).alias("contrib")))
+        ws = (vocab.join(contrib,
+                         vocab.token == contrib.dst, "left")
+              .select(F.col("token").alias("node"),
+                      (F.lit(0.15) + 0.85
+                       * F.coalesce(F.col("contrib"), F.lit(0.0)))
+                      .alias("v"))
+              .localCheckpoint(eager=True))
+    wr = Window.orderBy(F.col("v").desc(), F.col("node").asc())
+    return (ws.withColumn("rnk", F.row_number().over(wr))
+            .filter(F.col("rnk") <= _TR_TOPK)
+            .select(F.col("node").alias("token"),
+                    F.round("v", 6).alias("score"),
+                    F.col("rnk").cast("int")))
