@@ -2643,3 +2643,161 @@ def textrank_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select(F.col("node").alias("token"),
                     F.round("v", 6).alias("score"),
                     F.col("rnk").cast("int")))
+
+
+# ---------------------------------------------------------------------------
+# Batch F — SQL-surface parity suites (capability-matrix entries:
+# each pins a Spark API surface to the equivalent ANSI semantics).
+# ---------------------------------------------------------------------------
+
+# --- IGNORE NULLS window functions -----------------------------------------
+#
+# Forward-fill (last_value IGNORE NULLS over a running frame),
+# first/last non-null over the full partition — the gap-fill
+# semantics suite. Values go through floor(value*100) so both
+# engines' double->int conversion agrees (CAST rounds in DuckDB but
+# truncates in Spark — the floor pins it), and every readout is an
+# exact integer.
+# ---------------------------------------------------------------------------
+
+@register("wfunc_ignore_nulls_suite", """
+WITH vals AS (
+    SELECT user_id, ts, event_id,
+           CASE WHEN CAST(floor(value * 100) AS BIGINT) % 7 = 0
+                THEN NULL
+                ELSE CAST(floor(value * 100) AS BIGINT) END AS vc
+    FROM events
+),
+filled AS (
+    SELECT user_id, vc,
+           last_value(vc IGNORE NULLS) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+               ROWS UNBOUNDED PRECEDING) AS ff,
+           first_value(vc IGNORE NULLS) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING
+                        AND UNBOUNDED FOLLOWING) AS first_nn,
+           last_value(vc IGNORE NULLS) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING
+                        AND UNBOUNDED FOLLOWING) AS last_nn
+    FROM vals
+)
+SELECT user_id,
+       CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(sum(CASE WHEN vc IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_nulls,
+       CAST(sum(COALESCE(ff, 0)) AS BIGINT) AS sum_filled,
+       CAST(max(first_nn) AS BIGINT) AS first_nonnull,
+       CAST(max(last_nn) AS BIGINT) AS last_nonnull
+FROM filled GROUP BY user_id
+""")
+def wfunc_ignore_nulls_suite(spark: SparkSession,
+                             sf_dir: str) -> DataFrame:
+    """IGNORE NULLS window semantics: running forward-fill +
+    first/last non-null per user, exact integer readouts."""
+    ev = load_table(spark, sf_dir, "events")
+    vc0 = F.floor(F.col("value") * 100).cast("long")
+    vals = ev.select(
+        "user_id", "ts", "event_id",
+        F.when(vc0 % 7 == 0, F.lit(None).cast("long"))
+        .otherwise(vc0).alias("vc"))
+    wo = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    run = wo.rowsBetween(Window.unboundedPreceding, 0)
+    full = wo.rowsBetween(Window.unboundedPreceding,
+                          Window.unboundedFollowing)
+    filled = vals.select(
+        "user_id", "vc",
+        F.last("vc", ignorenulls=True).over(run).alias("ff"),
+        F.first("vc", ignorenulls=True).over(full).alias("first_nn"),
+        F.last("vc", ignorenulls=True).over(full).alias("last_nn"))
+    return (filled.groupBy("user_id")
+            .agg(F.count("*").cast("long").alias("n_rows"),
+                 F.sum(F.when(F.col("vc").isNull(), 1).otherwise(0))
+                 .cast("long").alias("n_nulls"),
+                 F.sum(F.coalesce(F.col("ff"), F.lit(0)))
+                 .cast("long").alias("sum_filled"),
+                 F.max("first_nn").cast("long").alias("first_nonnull"),
+                 F.max("last_nn").cast("long").alias("last_nonnull")))
+
+
+# --- GROUPING_ID over cube -------------------------------------------------
+#
+# The grouping-set provenance bitmask (first grouping column = most
+# significant bit in BOTH engines' convention) exposed alongside the
+# cube aggregate — closes the §2.4 readout: consumers can filter
+# exactly the aggregation level they want.
+# ---------------------------------------------------------------------------
+
+@register("grouping_id_bitmask", f"""
+SELECT COALESCE(o_orderpriority, 'ALL') AS priority,
+       COALESCE(o_orderstatus, 'ALL') AS status,
+       CAST(GROUPING(o_orderpriority, o_orderstatus) AS INT) AS gid,
+       CAST(count(*) AS BIGINT) AS n_orders,
+       CAST(sum({_YC}) AS BIGINT) AS revenue_cents
+FROM orders
+GROUP BY CUBE (o_orderpriority, o_orderstatus)
+""")
+def grouping_id_bitmask(spark: SparkSession,
+                        sf_dir: str) -> DataFrame:
+    """CUBE over (priority, status) with the grouping_id bitmask and
+    exact count/revenue readouts."""
+    orders = load_table(spark, sf_dir, "orders")
+    return (orders
+            .cube("o_orderpriority", "o_orderstatus")
+            .agg(F.grouping_id().cast("int").alias("gid"),
+                 F.count("*").cast("long").alias("n_orders"),
+                 F.sum(_r17_yc_col()).cast("long")
+                 .alias("revenue_cents"))
+            .select(F.coalesce(F.col("o_orderpriority"), F.lit("ALL"))
+                    .alias("priority"),
+                    F.coalesce(F.col("o_orderstatus"), F.lit("ALL"))
+                    .alias("status"),
+                    "gid", "n_orders", "revenue_cents"))
+
+
+# --- array higher-order function suite -------------------------------------
+#
+# transform / filter / exists / forall / zip_with / aggregate over
+# the embedding arrays, pinned against DuckDB's list_* family. The
+# sequential-fold sum shares the list_reduce(list_prepend(0.0, ...))
+# spelling; the reversed-self dot product uses list_dot_product,
+# which DuckDB evaluates as the same left fold (FIXTURES note: only
+# list_distance differs in the last ulp — not used here).
+# ---------------------------------------------------------------------------
+
+@register("array_hof_suite", f"""
+WITH v AS (
+    SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings
+)
+SELECT vec_id,
+       CAST(len(e) AS INT) AS n_dims,
+       CAST(len(list_filter(e, x -> x > 0.0)) AS INT) AS n_pos,
+       len(list_filter(e, x -> x < -0.5)) > 0 AS any_strong_neg,
+       len(list_filter(e, x -> NOT (abs(x) < 10.0))) = 0
+         AS all_small,
+       {round_sql("list_reduce(list_prepend(0.0, e), (x, y) -> x + y)")}
+         + 0.0 AS fold_sum,
+       {round_sql("list_dot_product(e, list_reverse(e))")}
+         AS dot_reversed
+FROM v
+""")
+def array_hof_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array higher-order functions over embeddings: filter / exists
+    / forall / sequential-fold sum / reversed-self zip_with dot."""
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("e"))
+    e = F.col("e")
+    fold_sum = F.aggregate(e, F.lit(0.0), lambda acc, x: acc + x)
+    dot_rev = F.aggregate(
+        F.zip_with(e, F.reverse(e), lambda x, y: x * y),
+        F.lit(0.0), lambda acc, x: acc + x)
+    return emb.select(
+        "vec_id",
+        F.size(e).cast("int").alias("n_dims"),
+        F.size(F.filter(e, lambda x: x > 0.0)).cast("int")
+        .alias("n_pos"),
+        F.exists(e, lambda x: x < -0.5).alias("any_strong_neg"),
+        F.forall(e, lambda x: F.abs(x) < 10.0).alias("all_small"),
+        (F.round(fold_sum, 6) + 0.0).alias("fold_sum"),
+        F.round(dot_rev, 6).alias("dot_reversed"))
