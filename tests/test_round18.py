@@ -1,0 +1,395 @@
+"""Round-12 query-semantics tests for queries_round17.py.
+
+Every test cross-checks a registered query against an INDEPENDENT
+pure-numpy/pandas reference computed from the same parquet (not the
+DuckDB oracle — that parity is the driver's job; these pin the MATH),
+or asserts structural invariants the statistic must satisfy.
+"""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+import pandas as pd
+import pytest
+
+SF = "/root/testdata/sf0.001"
+
+
+def _daily(pdf_events):
+    ts = pd.to_datetime(pdf_events["ts"])
+    day = (ts.dt.floor("D") - pd.Timestamp("2024-01-01")).dt.days
+    return day.value_counts().sort_index()
+
+
+@pytest.fixture(scope="module")
+def events_pdf():
+    return pd.read_parquet(f"{SF}/events.parquet")
+
+
+@pytest.fixture(scope="module")
+def orders_pdf():
+    return pd.read_parquet(f"{SF}/orders.parquet")
+
+
+def _run(spark, name):
+    import __spark_entry__ as E
+
+    return E.queries()[name](spark, SF).toPandas()
+
+
+def test_kpss_matches_numpy(spark, events_pdf):
+    out = _run(spark, "kpss_stationarity").iloc[0]
+    x = _daily(events_pdf).to_numpy(dtype=float)
+    n = len(x)
+    e = x - x.mean()
+    s = np.cumsum(e)
+    lag = 3
+    g = [float((e[: n - j] * e[j:]).sum()) / n for j in range(lag + 1)]
+    s2 = g[0] + 2.0 * sum((1 - j / (lag + 1)) * g[j]
+                          for j in range(1, lag + 1))
+    eta = (s ** 2).sum() / n ** 2 / s2
+    assert out["n_days"] == n
+    assert abs(out["s2_lrv"] - s2) < 1e-4 * max(1.0, abs(s2))
+    assert abs(out["kpss_eta"] - eta) < 1e-5
+
+
+def test_adf_matches_numpy(spark, events_pdf):
+    out = _run(spark, "adf_unit_root").iloc[0]
+    x = _daily(events_pdf).to_numpy(dtype=float)
+    z, y = x[:-1], np.diff(x)
+    m = len(z)
+    X = np.column_stack([np.ones(m), z])
+    beta, res, *_ = np.linalg.lstsq(X, y, rcond=None)
+    rss = float(((y - X @ beta) ** 2).sum())
+    se = math.sqrt((rss / (m - 2)) / float(((z - z.mean()) ** 2).sum()))
+    assert out["n_diffs"] == m
+    assert abs(out["rho_hat"] - beta[1]) < 1e-5
+    assert abs(out["alpha_hat"] - beta[0]) < 1e-3 * max(1, abs(beta[0]))
+    assert abs(out["df_t"] - beta[1] / se) < 1e-4
+
+
+def test_granger_matches_numpy(spark, events_pdf):
+    out = _run(spark, "granger_views_purchases").iloc[0]
+    ts = pd.to_datetime(events_pdf["ts"])
+    day = (ts.dt.floor("D") - pd.Timestamp("2024-01-01")).dt.days
+    df = pd.DataFrame({"day": day, "t": events_pdf["event_type"]})
+    v = df[df.t == "view"].day.value_counts().sort_index()
+    p = df[df.t == "purchase"].day.value_counts().sort_index()
+    rows = []
+    for t in p.index:
+        if (t - 1) in p.index and (t - 1) in v.index:
+            rows.append((p[t], p[t - 1], v[t - 1]))
+    y, u, w = (np.array(c, dtype=float) for c in zip(*rows))
+    m = len(y)
+    Xr = np.column_stack([np.ones(m), u])
+    br, *_ = np.linalg.lstsq(Xr, y, rcond=None)
+    rss_r = float(((y - Xr @ br) ** 2).sum())
+    Xu = np.column_stack([np.ones(m), u, w])
+    bu, *_ = np.linalg.lstsq(Xu, y, rcond=None)
+    rss_u = float(((y - Xu @ bu) ** 2).sum())
+    f = (rss_r - rss_u) / (rss_u / (m - 3))
+    assert out["n_obs"] == m
+    assert abs(out["ar1_coef"] - br[1]) < 1e-5
+    assert abs(out["lag_p_coef"] - bu[1]) < 1e-5
+    assert abs(out["lag_v_coef"] - bu[2]) < 1e-5
+    assert abs(out["granger_f"] - f) < 1e-3
+
+
+def test_pacf_lag1_equals_acf_and_numpy(spark, events_pdf):
+    out = _run(spark, "pacf_durbin_levinson").set_index("lag")
+    # phi_11 == r_1 by construction
+    assert out.loc[1, "acf"] == out.loc[1, "pacf"]
+    x = _daily(events_pdf).to_numpy(dtype=float)
+    n = len(x)
+    e = x - x.mean()
+    g = [float((e[: n - j] * e[j:]).sum()) for j in range(5)]
+    r = [g[j] / g[0] for j in range(1, 5)]
+    # Durbin-Levinson reference
+    phi = {(1, 1): r[0]}
+    for k in range(2, 5):
+        num = r[k - 1] - sum(phi[(k - 1, j)] * r[k - 1 - j]
+                             for j in range(1, k))
+        den = 1 - sum(phi[(k - 1, j)] * r[j - 1] for j in range(1, k))
+        phi[(k, k)] = num / den
+        for j in range(1, k):
+            phi[(k, j)] = phi[(k - 1, j)] - phi[(k, k)] * phi[(k - 1,
+                                                               k - j)]
+    for k in range(1, 5):
+        assert abs(out.loc[k, "acf"] - r[k - 1]) < 1e-5
+        assert abs(out.loc[k, "pacf"] - phi[(k, k)]) < 1e-5
+
+
+def test_binseg_matches_numpy(spark, events_pdf):
+    out = _run(spark, "binseg_double_changepoint")
+    x = _daily(events_pdf).to_numpy(dtype=float)
+    n = len(x)
+
+    def cost(seg):
+        return float((seg ** 2).sum() - seg.sum() ** 2 / len(seg))
+
+    gains = [cost(x) - cost(x[: t]) - cost(x[t:])
+             for t in range(1, n)]
+    t1 = int(np.argmax(gains)) + 1
+    root = out[out.depth == 1].iloc[0]
+    assert root["split_rn"] == t1
+    assert abs(root["gain"] - gains[t1 - 1]) < 1e-4
+    # children partition the root segment
+    left = out[out.depth == 2].iloc[0]
+    right = out[out.depth == 3].iloc[0]
+    assert left["seg_lo"] == 1 and left["seg_hi"] == t1
+    assert right["seg_lo"] == t1 + 1 and right["seg_hi"] == n
+    # every reported gain is a nonneg SSE reduction
+    assert (out["gain"].dropna() >= -1e-9).all()
+
+
+def test_spc_rules_consistent(spark, events_pdf):
+    out = _run(spark, "spc_western_electric").sort_values("t")
+    x = _daily(events_pdf)
+    mu, sig = x.mean(), x.std(ddof=0)
+    z_ref = (x - mu) / sig
+    assert np.allclose(out["z"].to_numpy(),
+                       z_ref.to_numpy(), atol=1.5e-6)
+    # R1 definition and implication chain on the flags
+    assert ((out["z"].abs() > 3) == out["r1"]).all()
+    zs = out["z"].to_numpy()
+    r4 = out["r4"].to_numpy()
+    for i in range(len(zs)):
+        if r4[i]:
+            w = zs[max(0, i - 7): i + 1]
+            assert len(w) == 8 and ((w > 0).all() or (w < 0).all())
+
+
+def test_mood_median_matches_pandas(spark, orders_pdf):
+    out = _run(spark, "mood_median_arms")
+    import hashlib
+
+    yc = (orders_pdf["o_totalprice"].astype(float) * 100).round() \
+        .astype(np.int64)
+    # lower median via cum counts
+    v = np.sort(yc.to_numpy())
+    med = v[(len(v) + 1) // 2 - 1]
+    assert (out["pooled_median_cents"] == med).all()
+
+    def arm(ck):
+        h = hashlib.md5(f"r17:{ck}".encode()).hexdigest()
+        return int(h[:15], 16) % 4
+
+    arms = orders_pdf["o_custkey"].map(arm)
+    for _, row in out.iterrows():
+        mask = arms == row["arm"]
+        assert row["n_arm"] == int(mask.sum())
+        assert row["n_above"] == int((yc[mask] > med).sum())
+
+
+def test_cvm_nonneg_and_scale(spark):
+    out = _run(spark, "cvm_two_sample").iloc[0]
+    assert out["cvm_t"] >= 0.0
+    # T is bounded by roughly n*m/(n+m)^2 * N <= N/4
+    assert out["cvm_t"] < (out["n_group0"] + out["n_group1"]) / 4
+
+
+def test_ansari_bradley_z_reasonable(spark, orders_pdf):
+    out = _run(spark, "ansari_bradley_arms").iloc[0]
+    n = out["n_group0"] + out["n_group1"]
+    assert n == len(orders_pdf)
+    # AB statistic lies within the possible score range
+    max_score = (n + 1) / 2.0
+    assert 0 < out["ab_stat"] <= out["n_group0"] * max_score
+    assert out["ab_var"] > 0
+    # a null-ish md5 split should not be wildly significant
+    assert abs(out["ab_z"]) < 6
+
+
+def test_ad_ksample_nonneg(spark):
+    out = _run(spark, "ad_ksample_arms").iloc[0]
+    assert out["ad_a2"] is not None
+    assert sum(out[f"n_arm{a}"] for a in range(4)) > 0
+
+
+def test_iv_wald_consistency(spark):
+    out = _run(spark, "iv_wald_late")
+    assert set(out["z"]) == {0, 1}
+    r = out.iloc[0]
+    g = out.set_index("z")
+    itt = g.loc[1, "mean_y"] - g.loc[0, "mean_y"]
+    fs = g.loc[1, "mean_d"] - g.loc[0, "mean_d"]
+    assert abs(r["itt"] - itt) < 1e-4
+    assert abs(r["first_stage"] - fs) < 1e-5
+    if fs != 0:
+        assert abs(r["late"] - r["itt"] / r["first_stage"]) < \
+            max(1e-3, 1e-4 * abs(r["late"]))
+
+
+def test_rdd_matches_numpy(spark, orders_pdf):
+    out = _run(spark, "rdd_local_linear").iloc[0]
+    cust = pd.read_parquet(f"{SF}/customer.parquet")
+    x = (cust["c_acctbal"].astype(float) * 100).round().astype(np.int64)
+    yc = (orders_pdf["o_totalprice"].astype(float) * 100).round() \
+        .astype(np.int64)
+    rev = orders_pdf.assign(yc=yc).groupby("o_custkey")["yc"].sum()
+    y = cust["c_custkey"].map(rev).fillna(0).astype(np.int64)
+    m = (x >= -100_000) & (x < 100_000)
+    res = {}
+    for side, mask in [("l", m & (x < 0)), ("r", m & (x >= 0))]:
+        xs, ys = x[mask].to_numpy(float), y[mask].to_numpy(float)
+        X = np.column_stack([np.ones(len(xs)), xs])
+        (a, b), *_ = np.linalg.lstsq(X, ys, rcond=None)
+        res[side] = (a, b, len(xs))
+    assert out["n_left"] == res["l"][2]
+    assert out["n_right"] == res["r"][2]
+    assert abs(out["alpha_left"] - res["l"][0] / 100) < 2e-2
+    assert abs(out["alpha_right"] - res["r"][0] / 100) < 2e-2
+    assert abs(out["rdd_effect"]
+               - (res["r"][0] - res["l"][0]) / 100) < 4e-2
+
+
+def test_hoover_matches_numpy(spark, orders_pdf):
+    out = _run(spark, "hoover_index_regions")
+    yc = (orders_pdf["o_totalprice"].astype(float) * 100).round() \
+        .astype(np.int64)
+    rev = orders_pdf.assign(yc=yc).groupby("o_custkey")["yc"].sum() \
+        .to_numpy(float)
+    h = np.abs(rev - rev.mean()).sum() / (2 * rev.sum())
+    allrow = out[out.region == "ALL"].iloc[0]
+    assert allrow["n_customers"] == len(rev)
+    assert abs(allrow["hoover"] - h) < 1e-6
+    assert ((out["hoover"] >= 0) & (out["hoover"] < 1)).all()
+
+
+def test_spacesaving_bounds_hold(spark):
+    out = _run(spark, "spacesaving_topk")
+    assert len(out) == 10
+    assert out["within_bounds"].all()
+    assert (out["lower_cnt"] <= out["exact_cnt"]).all()
+    assert (out["exact_cnt"] <= out["upper_cnt"]).all()
+    assert list(out.sort_values("rnk")["lower_cnt"]) == \
+        sorted(out["lower_cnt"], reverse=True)
+
+
+def test_dsir_target_docs_score_high(spark):
+    out = _run(spark, "dsir_importance_weights")
+    assert len(out) == 20
+    # importance weights toward an 'en' target should rank en docs up
+    assert (out["lang"] == "en").mean() >= 0.5
+    assert out["logw"].is_monotonic_decreasing
+
+
+def test_powerlaw_alpha_range(spark):
+    out = _run(spark, "powerlaw_degree_alpha").iloc[0]
+    assert out["n_tail"] <= out["n_nodes"]
+    assert out["alpha"] > 1.0
+
+
+def test_err_matches_python(spark):
+    out = _run(spark, "expected_reciprocal_rank")
+    li = pd.read_parquet(f"{SF}/lineitem.parquet")
+    part = pd.read_parquet(f"{SF}/part.parquet")
+    cnt = li.groupby("l_partkey").size()
+    part = part.assign(
+        cnt=part["p_partkey"].map(cnt).fillna(0).astype(int),
+        pos=part["p_type"].str.startswith("PROMO").astype(int))
+    for brand, grp in part.groupby("p_brand"):
+        ranked = grp.sort_values(["cnt", "p_partkey"],
+                                 ascending=[False, True]).head(20)
+        p_stop, err = 1.0, 0.0
+        for r, pos in enumerate(ranked["pos"], start=1):
+            rel = 0.5 if pos else 0.0
+            err += (1.0 / r) * rel * p_stop
+            p_stop *= (1 - rel)
+        row = out[out.brand == brand].iloc[0]
+        assert abs(row["err"] - err) < 1e-6, brand
+
+
+def test_mtld_matches_python(spark):
+    out = _run(spark, "mtld_lexical_diversity").set_index("doc_id")
+    docs = pd.read_parquet(f"{SF}/documents.parquet")
+    import re
+
+    for _, d in docs.head(50).iterrows():
+        toks = [t for t in
+                re.sub(r"\s+", " ", d["text"].lower()).strip()
+                .split(" ") if t][:120]
+        seen, c, factors = set(), 0, 0
+        for t in toks:
+            s2 = seen | {t}
+            if len(s2) / (c + 1) < 0.72:
+                seen, c = set(), 0
+                factors += 1
+            else:
+                seen, c = s2, c + 1
+        partial = ((1 - len(seen) / c) / (1 - 0.72)) if c else 0.0
+        mass = factors + partial
+        row = out.loc[d["doc_id"]]
+        assert row["n_used"] == len(toks)
+        assert row["factors"] == factors
+        if mass > 0:
+            assert abs(row["mtld"] - len(toks) / mass) < 1e-5
+        else:
+            assert pd.isna(row["mtld"])
+
+
+def test_textrank_scores_valid(spark):
+    out = _run(spark, "textrank_keywords")
+    assert len(out) == 15
+    # damped PageRank scores are bounded below by (1-d)
+    assert (out["score"] >= 0.15 - 1e-9).all()
+    assert out["score"].is_monotonic_decreasing
+
+
+def test_wfunc_ignore_nulls_matches_pandas(spark, events_pdf):
+    out = _run(spark, "wfunc_ignore_nulls_suite").set_index("user_id")
+    df = events_pdf.copy()
+    vc = np.floor(df["value"].astype(float) * 100).astype(np.int64)
+    df["vc"] = vc.where(vc % 7 != 0)
+    df = df.sort_values(["user_id", "ts", "event_id"])
+    for uid, g in list(df.groupby("user_id"))[:30]:
+        ff = g["vc"].ffill()
+        row = out.loc[uid]
+        assert row["n_rows"] == len(g)
+        assert row["n_nulls"] == int(g["vc"].isna().sum())
+        assert row["sum_filled"] == int(ff.fillna(0).sum())
+        nn = g["vc"].dropna()
+        assert row["first_nonnull"] == int(nn.iloc[0])
+        assert row["last_nonnull"] == int(nn.iloc[-1])
+
+
+def test_grouping_id_semantics(spark, orders_pdf):
+    out = _run(spark, "grouping_id_bitmask")
+    # gid 0: both keys real; gid 3: grand total
+    grand = out[out.gid == 3].iloc[0]
+    assert grand["n_orders"] == len(orders_pdf)
+    assert grand["priority"] == "ALL" and grand["status"] == "ALL"
+    lvl0 = out[out.gid == 0]
+    assert lvl0["n_orders"].sum() == len(orders_pdf)
+    # gid 1: status aggregated away (second column = LSB)
+    lvl1 = out[out.gid == 1]
+    assert (lvl1["status"] == "ALL").all()
+    assert (lvl1["priority"] != "ALL").all()
+
+
+def test_array_hof_matches_numpy(spark):
+    out = _run(spark, "array_hof_suite").set_index("vec_id")
+    emb = pd.read_parquet(f"{SF}/embeddings.parquet")
+    for _, r in emb.head(40).iterrows():
+        v = np.array(r["embedding"], dtype=np.float64)
+        row = out.loc[r["vec_id"]]
+        assert row["n_dims"] == len(v)
+        assert row["n_pos"] == int((v > 0).sum())
+        assert row["any_strong_neg"] == bool((v < -0.5).any())
+        assert row["all_small"] == bool((np.abs(v) < 10).all())
+        assert abs(row["fold_sum"] - v.sum()) < 1e-5
+        assert abs(row["dot_reversed"] - float(v @ v[::-1])) < 1e-5
+
+
+def test_hurst_structure(spark):
+    out = _run(spark, "hurst_rs_exponent")
+    assert sorted(out["block_size"]) == [8, 16, 32, 64]
+    assert (out["mean_rs"] > 0).all()
+    # R/S grows with block size
+    srt = out.sort_values("block_size")
+    assert srt["mean_rs"].is_monotonic_increasing
+    assert out["hurst"].nunique() == 1
+    h = out["hurst"].iloc[0]
+    assert 0.0 < h < 1.2
