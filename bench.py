@@ -104,6 +104,12 @@ HEADLINE = [
     "kruskal_wallis_arms",
     "adamic_adar_links",
     "croston_intermittent_demand",
+    # round-12 flagships: the DSIR corpus pass (token explode +
+    # bounded bucket folds), the mergeable SpaceSaving summaries over
+    # lineitem, and the TextRank damped iteration
+    "dsir_importance_weights",
+    "spacesaving_topk",
+    "textrank_keywords",
 ]
 
 
