@@ -393,3 +393,102 @@ def test_hurst_structure(spark):
     assert out["hurst"].nunique() == 1
     h = out["hurst"].iloc[0]
     assert 0.0 < h < 1.2
+
+
+def test_wilcoxon_matches_scipy_free_reference(spark, events_pdf):
+    out = _run(spark, "wilcoxon_signed_rank").iloc[0]
+    x = _daily(events_pdf).to_numpy(dtype=float)
+    d = np.diff(x)
+    d = d[d != 0]
+    n = len(d)
+    ad = np.abs(d)
+    order = np.argsort(ad, kind="stable")
+    ranks = np.empty(n)
+    sorted_ad = ad[order]
+    i = 0
+    pos = 0
+    while i < n:
+        j = i
+        while j < n and sorted_ad[j] == sorted_ad[i]:
+            j += 1
+        ranks[order[i:j]] = (i + 1 + j) / 2.0
+        i = j
+    wplus = ranks[d > 0].sum()
+    mean_w = n * (n + 1) / 4
+    _, t = np.unique(ad, return_counts=True)
+    var_w = n * (n + 1) * (2 * n + 1) / 24 - ((t ** 3 - t).sum()) / 48
+    assert out["n_nonzero"] == n
+    assert abs(out["w_plus"] - wplus) < 1e-6
+    assert abs(out["mean_w"] - mean_w) < 1e-6
+    assert abs(out["var_w"] - var_w) < 1e-6
+    assert abs(out["z"] - (wplus - mean_w) / math.sqrt(var_w)) < 1e-5
+
+
+def test_mcnemar_cells_partition(spark, events_pdf):
+    out = _run(spark, "mcnemar_halfwindow").iloc[0]
+    assert (out["both_halves"] + out["only_first"]
+            + out["only_second"] + out["neither"]) == out["n_users"]
+    b, c = out["only_first"], out["only_second"]
+    if b + c > 0:
+        assert abs(out["mcnemar_chi2"]
+                   - (abs(b - c) - 1) ** 2 / (b + c)) < 1e-6
+
+
+def test_partial_correlation_matches_numpy(spark, events_pdf):
+    out = _run(spark, "partial_correlation_daily").iloc[0]
+    ts = pd.to_datetime(events_pdf["ts"])
+    day = (ts.dt.floor("D") - pd.Timestamp("2024-01-01")).dt.days
+    df = pd.DataFrame({"day": day, "t": events_pdf["event_type"]})
+    series = {}
+    for name, key in [("x", "view"), ("y", "purchase"),
+                      ("z", "click")]:
+        series[name] = df[df.t == key].day.value_counts()
+    days = sorted(set(series["x"].index) & set(series["y"].index)
+                  & set(series["z"].index))
+    M = np.array([[series[c][d] for d in days]
+                  for c in ("x", "y", "z")], dtype=float)
+    R = np.corrcoef(M)
+    pc = ((R[0, 1] - R[0, 2] * R[1, 2])
+          / math.sqrt((1 - R[0, 2] ** 2) * (1 - R[1, 2] ** 2)))
+    assert out["n_days"] == len(days)
+    assert abs(out["r_xy"] - R[0, 1]) < 1e-5
+    assert abs(out["r_xy_given_z"] - pc) < 1e-5
+
+
+def test_bartlett_matches_numpy(spark, orders_pdf):
+    out = _run(spark, "bartlett_arms").iloc[0]
+    import hashlib
+
+    yc = (orders_pdf["o_totalprice"].astype(float) * 100).round() \
+        .astype(np.int64)
+
+    def arm(ck):
+        h = hashlib.md5(f"r17:{ck}".encode()).hexdigest()
+        return int(h[:15], 16) % 4
+
+    arms = orders_pdf["o_custkey"].map(arm)
+    k = 4
+    ns, vs = [], []
+    for a in range(k):
+        g = yc[arms == a].to_numpy(float)
+        ns.append(len(g))
+        vs.append(g.var(ddof=1))
+        assert out[f"n_arm{a}"] == len(g)
+        assert abs(out[f"sd_arm{a}"] - math.sqrt(vs[a]) / 100) < 1e-4
+    N = sum(ns)
+    sp2 = sum((n - 1) * v for n, v in zip(ns, vs)) / (N - k)
+    t = ((N - k) * math.log(sp2)
+         - sum((n - 1) * math.log(v) for n, v in zip(ns, vs)))
+    t /= 1 + (sum(1 / (n - 1) for n in ns) - 1 / (N - k)) / (3 * (k - 1))
+    assert abs(out["bartlett_t"] - t) < 1e-4
+
+
+def test_grubbs_matches_numpy(spark, events_pdf):
+    out = _run(spark, "grubbs_outlier_daily").iloc[0]
+    x = _daily(events_pdf)
+    dev = (x - x.mean()).abs()
+    day = dev.idxmax()
+    g = dev.max() / x.std(ddof=1)
+    assert out["outlier_day"] == day
+    assert out["outlier_cnt"] == x[day]
+    assert abs(out["grubbs_g"] - g) < 1e-5

@@ -2801,3 +2801,488 @@ def array_hof_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.forall(e, lambda x: F.abs(x) < 10.0).alias("all_small"),
         (F.round(fold_sum, 6) + 0.0).alias("fold_sum"),
         F.round(dot_rev, 6).alias("dot_reversed"))
+
+
+# ---------------------------------------------------------------------------
+# Batch G — five more classical tests, all exact-moment.
+# ---------------------------------------------------------------------------
+
+# --- Wilcoxon signed-rank on successive daily differences ------------------
+#
+# d_t = x_{t+1} - x_t (zeros dropped per Wilcoxon 1945, public);
+# midranks of |d| over the bounded |d| value grid stay 2x-scaled
+# integers; W+ = sum of positive-diff ranks; tie-corrected normal
+# z = (W+ - n(n+1)/4) / sqrt(n(n+1)(2n+1)/24 - sum(t^3-t)/48).
+# ---------------------------------------------------------------------------
+
+@register("wilcoxon_signed_rank", f"""
+WITH daily AS ({_DAILY_SQL.format(where="")}),
+diffs AS (
+    SELECT b.cnt - a.cnt AS d FROM daily a
+    JOIN daily b ON b.t = a.t + 1
+    WHERE b.cnt <> a.cnt
+),
+vals AS (
+    SELECT abs(d) AS ad, count(*) AS l,
+           CAST(sum(CASE WHEN d > 0 THEN 1 ELSE 0 END) AS BIGINT)
+             AS lpos
+    FROM diffs GROUP BY abs(d)
+),
+cums AS (
+    SELECT ad, l, lpos,
+           sum(l) OVER (ORDER BY ad ROWS UNBOUNDED PRECEDING) AS cum
+    FROM vals
+),
+mom AS (
+    SELECT CAST(sum(l) AS BIGINT) AS n,
+           -- 2*rank midrank = prev+cum+1; W+ = sum lpos * midrank
+           CAST(sum(CAST(lpos AS DECIMAL(38,0))
+                    * ((cum - l) + cum + 1)) AS DECIMAL(38,0)) AS w2,
+           CAST(sum(CAST(l AS DECIMAL(38,0)) * l * l - l)
+                AS DECIMAL(38,0)) AS tie3
+    FROM cums
+),
+f AS (
+    SELECT n, CAST(n AS DOUBLE) AS nd,
+           CAST(CAST(w2 AS VARCHAR) AS DOUBLE) / 2.0 AS wplus,
+           CAST(CAST(tie3 AS VARCHAR) AS DOUBLE) AS tie3
+    FROM mom
+),
+g AS (
+    SELECT *, nd * (nd + 1.0) / 4.0 AS mean_w,
+           nd * (nd + 1.0) * (2.0 * nd + 1.0) / 24.0
+             - tie3 / 48.0 AS var_w
+    FROM f
+)
+SELECT n AS n_nonzero, {round_sql('wplus')} AS w_plus,
+       {round_sql('mean_w')} AS mean_w, {round_sql('var_w')} AS var_w,
+       CASE WHEN var_w <= 0.0 THEN NULL
+            ELSE {round_sql('(wplus - mean_w) / sqrt(var_w)')}
+       END + 0.0 AS z
+FROM g
+""")
+def wilcoxon_signed_rank(spark: SparkSession,
+                         sf_dir: str) -> DataFrame:
+    """Wilcoxon signed-rank of successive daily-count differences
+    (zeros dropped, midranks over the |d| grid, tie-corrected z)."""
+    ev = load_table(spark, sf_dir, "events")
+    daily = _daily_counts(ev)
+    a = daily.select(F.col("t").alias("ta"), F.col("cnt").alias("xa"))
+    b = daily.select(F.col("t").alias("tb"), F.col("cnt").alias("xb"))
+    diffs = (a.join(F.broadcast(b), F.col("tb") == F.col("ta") + 1)
+             .select((F.col("xb") - F.col("xa")).alias("d"))
+             .filter(F.col("d") != 0))
+    vals = (diffs.groupBy(F.abs("d").alias("ad"))
+            .agg(F.count("*").alias("l"),
+                 F.sum(F.when(F.col("d") > 0, 1).otherwise(0))
+                 .cast("long").alias("lpos")))
+    w = Window.orderBy("ad").rowsBetween(Window.unboundedPreceding, 0)
+    cums = vals.withColumn("cum", F.sum("l").over(w))
+    dec = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+    mom = cums.agg(
+        F.sum("l").cast("long").alias("n"),
+        dec(F.sum(dec(F.col("lpos"))
+                  * ((F.col("cum") - F.col("l")) + F.col("cum") + 1)))
+        .alias("w2"),
+        dec(F.sum(dec(F.col("l")) * F.col("l") * F.col("l")
+                  - F.col("l"))).alias("tie3"))
+    nd = F.col("n").cast("double")
+    wplus = F.col("w2").cast("string").cast("double") / 2.0
+    tie3 = F.col("tie3").cast("string").cast("double")
+    mean_w = nd * (nd + 1.0) / 4.0
+    var_w = (nd * (nd + 1.0) * (2.0 * nd + 1.0) / 24.0
+             - tie3 / 48.0)
+    g = mom.select("n", wplus.alias("wplus"), mean_w.alias("mean_w"),
+                   var_w.alias("var_w"))
+    z = (F.when(F.col("var_w") <= 0.0, F.lit(None).cast("double"))
+         .otherwise(F.round((F.col("wplus") - F.col("mean_w"))
+                            / F.sqrt(F.col("var_w")), 6)) + 0.0)
+    return g.select(F.col("n").alias("n_nonzero"),
+                    F.round("wplus", 6).alias("w_plus"),
+                    F.round("mean_w", 6).alias("mean_w"),
+                    F.round("var_w", 6).alias("var_w"),
+                    z.alias("z"))
+
+
+# --- McNemar's test over the half-window purchase split --------------------
+#
+# Paired per-user binary outcome: purchased in days 0-14 vs days 15+;
+# b = (yes, no), c = (no, yes); continuity-corrected
+# chi2 = (|b-c|-1)^2 / (b+c) (McNemar 1947, public). Exact counts.
+# ---------------------------------------------------------------------------
+
+@register("mcnemar_halfwindow", """
+WITH mind AS (SELECT min(date_trunc('day', ts)) AS d0 FROM events),
+per_user AS (
+    SELECT user_id,
+           max(CASE WHEN event_type = 'purchase'
+                     AND date_diff('day', d0, date_trunc('day', ts))
+                         < 15 THEN 1 ELSE 0 END) AS p1,
+           max(CASE WHEN event_type = 'purchase'
+                     AND date_diff('day', d0, date_trunc('day', ts))
+                         >= 15 THEN 1 ELSE 0 END) AS p2
+    FROM events CROSS JOIN mind GROUP BY user_id
+),
+cells AS (
+    SELECT CAST(count(*) AS BIGINT) AS n_users,
+           CAST(sum(CASE WHEN p1 = 1 AND p2 = 1 THEN 1 ELSE 0 END)
+                AS BIGINT) AS both_halves,
+           CAST(sum(CASE WHEN p1 = 1 AND p2 = 0 THEN 1 ELSE 0 END)
+                AS BIGINT) AS only_first,
+           CAST(sum(CASE WHEN p1 = 0 AND p2 = 1 THEN 1 ELSE 0 END)
+                AS BIGINT) AS only_second,
+           CAST(sum(CASE WHEN p1 = 0 AND p2 = 0 THEN 1 ELSE 0 END)
+                AS BIGINT) AS neither
+    FROM per_user
+)
+SELECT n_users, both_halves, only_first, only_second, neither,
+       CASE WHEN only_first + only_second = 0 THEN NULL
+            ELSE CAST(round(CAST(
+                 (abs(only_first - only_second) - 1)
+                 * (abs(only_first - only_second) - 1) AS DOUBLE)
+                 / (only_first + only_second), 6) AS DOUBLE)
+       END AS mcnemar_chi2
+FROM cells
+""")
+def mcnemar_halfwindow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """McNemar continuity-corrected chi2 of per-user purchase status
+    between the event window's two halves."""
+    ev = load_table(spark, sf_dir, "events")
+    d0 = ev.agg(F.min(F.date_trunc("day", "ts")).alias("d0"))
+    dd = F.datediff(F.date_trunc("day", "ts"), F.col("d0"))
+    per_user = (ev.crossJoin(F.broadcast(d0))
+                .groupBy("user_id")
+                .agg(F.max(F.when((F.col("event_type") == "purchase")
+                                  & (dd < 15), 1).otherwise(0))
+                     .alias("p1"),
+                     F.max(F.when((F.col("event_type") == "purchase")
+                                  & (dd >= 15), 1).otherwise(0))
+                     .alias("p2")))
+    cells = per_user.agg(
+        F.count("*").cast("long").alias("n_users"),
+        F.sum(F.when((F.col("p1") == 1) & (F.col("p2") == 1), 1)
+              .otherwise(0)).cast("long").alias("both_halves"),
+        F.sum(F.when((F.col("p1") == 1) & (F.col("p2") == 0), 1)
+              .otherwise(0)).cast("long").alias("only_first"),
+        F.sum(F.when((F.col("p1") == 0) & (F.col("p2") == 1), 1)
+              .otherwise(0)).cast("long").alias("only_second"),
+        F.sum(F.when((F.col("p1") == 0) & (F.col("p2") == 0), 1)
+              .otherwise(0)).cast("long").alias("neither"))
+    b, c = F.col("only_first"), F.col("only_second")
+    chi = (F.when(b + c == 0, F.lit(None).cast("double"))
+           .otherwise(F.round(
+               ((F.abs(b - c) - 1) * (F.abs(b - c) - 1))
+               .cast("double") / (b + c), 6)))
+    return cells.withColumn("mcnemar_chi2", chi)
+
+
+# --- partial correlation of the daily series -------------------------------
+#
+# r(view, purchase | click) over days where all three exist:
+#   r_xy.z = (r_xy - r_xz r_yz) / sqrt((1-r_xz^2)(1-r_yz^2))
+# Pearsons from exact integer moments (one inner 3-way day join).
+# ---------------------------------------------------------------------------
+
+_PC_R = ("CASE WHEN m2 * s{a}{a} - s{a} * s{a} <= 0.0"
+         " OR m2 * s{b}{b} - s{b} * s{b} <= 0.0 THEN NULL"
+         " ELSE (m2 * s{a}{b} - s{a} * s{b})"
+         " / (sqrt(m2 * s{a}{a} - s{a} * s{a})"
+         " * sqrt(m2 * s{b}{b} - s{b} * s{b})) END")
+
+
+@register("partial_correlation_daily", f"""
+WITH x AS ({_DAILY_SQL.format(where="WHERE event_type = 'view'")}),
+y AS ({_DAILY_SQL.format(where="WHERE event_type = 'purchase'")}),
+z AS ({_DAILY_SQL.format(where="WHERE event_type = 'click'")}),
+rows_in AS (
+    SELECT x.cnt AS x, y.cnt AS y, z.cnt AS z
+    FROM x JOIN y ON y.t = x.t JOIN z ON z.t = x.t
+),
+mom AS (
+    SELECT CAST(count(*) AS BIGINT) AS m,
+           CAST(sum(x) AS BIGINT) AS ix, CAST(sum(y) AS BIGINT) AS iy,
+           CAST(sum(z) AS BIGINT) AS iz,
+           CAST(sum(CAST(x AS DECIMAL(38,0)) * x) AS DECIMAL(38,0)) AS ixx,
+           CAST(sum(CAST(y AS DECIMAL(38,0)) * y) AS DECIMAL(38,0)) AS iyy,
+           CAST(sum(CAST(z AS DECIMAL(38,0)) * z) AS DECIMAL(38,0)) AS izz,
+           CAST(sum(CAST(x AS DECIMAL(38,0)) * y) AS DECIMAL(38,0)) AS ixy,
+           CAST(sum(CAST(x AS DECIMAL(38,0)) * z) AS DECIMAL(38,0)) AS ixz,
+           CAST(sum(CAST(y AS DECIMAL(38,0)) * z) AS DECIMAL(38,0)) AS iyz
+    FROM rows_in
+),
+f AS (
+    SELECT m, CAST(m AS DOUBLE) AS m2,
+           CAST(ix AS DOUBLE) AS sx, CAST(iy AS DOUBLE) AS sy,
+           CAST(iz AS DOUBLE) AS sz,
+           CAST(CAST(ixx AS VARCHAR) AS DOUBLE) AS sxx,
+           CAST(CAST(iyy AS VARCHAR) AS DOUBLE) AS syy,
+           CAST(CAST(izz AS VARCHAR) AS DOUBLE) AS szz,
+           CAST(CAST(ixy AS VARCHAR) AS DOUBLE) AS sxy,
+           CAST(CAST(ixz AS VARCHAR) AS DOUBLE) AS sxz,
+           CAST(CAST(iyz AS VARCHAR) AS DOUBLE) AS syz
+    FROM mom
+),
+r AS (
+    SELECT m,
+           {_PC_R.format(a='x', b='y')} AS rxy,
+           {_PC_R.format(a='x', b='z')} AS rxz,
+           {_PC_R.format(a='y', b='z')} AS ryz
+    FROM f
+)
+SELECT m AS n_days,
+       {round_sql('rxy')} + 0.0 AS r_xy,
+       {round_sql('rxz')} + 0.0 AS r_xz,
+       {round_sql('ryz')} + 0.0 AS r_yz,
+       CASE WHEN rxy IS NULL OR rxz IS NULL OR ryz IS NULL
+              OR (1.0 - rxz * rxz) * (1.0 - ryz * ryz) <= 0.0
+            THEN NULL
+            ELSE {round_sql('(rxy - rxz * ryz)'
+                            ' / sqrt((1.0 - rxz * rxz)'
+                            ' * (1.0 - ryz * ryz))')}
+       END + 0.0 AS r_xy_given_z
+FROM r
+""")
+def partial_correlation_daily(spark: SparkSession,
+                              sf_dir: str) -> DataFrame:
+    """Partial correlation r(view, purchase | click) of the daily
+    series from exact integer moments."""
+    ev = load_table(spark, sf_dir, "events")
+    x = _daily_counts(ev, "view").select(
+        F.col("t").alias("tx"), F.col("cnt").alias("x"))
+    y = _daily_counts(ev, "purchase").select(
+        F.col("t").alias("ty"), F.col("cnt").alias("y"))
+    z = _daily_counts(ev, "click").select(
+        F.col("t").alias("tz"), F.col("cnt").alias("z"))
+    rows_in = (x.join(F.broadcast(y), F.col("ty") == F.col("tx"))
+               .join(F.broadcast(z), F.col("tz") == F.col("tx"))
+               .select("x", "y", "z"))
+    dec = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+    mom = rows_in.agg(
+        F.count("*").cast("long").alias("m"),
+        F.sum("x").cast("long").alias("ix"),
+        F.sum("y").cast("long").alias("iy"),
+        F.sum("z").cast("long").alias("iz"),
+        dec(F.sum(dec(F.col("x")) * F.col("x"))).alias("ixx"),
+        dec(F.sum(dec(F.col("y")) * F.col("y"))).alias("iyy"),
+        dec(F.sum(dec(F.col("z")) * F.col("z"))).alias("izz"),
+        dec(F.sum(dec(F.col("x")) * F.col("y"))).alias("ixy"),
+        dec(F.sum(dec(F.col("x")) * F.col("z"))).alias("ixz"),
+        dec(F.sum(dec(F.col("y")) * F.col("z"))).alias("iyz"))
+    m2 = F.col("m").cast("double")
+    s = {c: F.col(f"i{c}").cast("double") for c in ("x", "y", "z")}
+    ss = {c: F.col(f"i{c}").cast("string").cast("double")
+          for c in ("xx", "yy", "zz", "xy", "xz", "yz")}
+
+    def r_of(a, b):
+        saa, sbb, sab = ss[a + a], ss[b + b], ss[a + b]
+        return (F.when((m2 * saa - s[a] * s[a] <= 0.0)
+                       | (m2 * sbb - s[b] * s[b] <= 0.0),
+                       F.lit(None).cast("double"))
+                .otherwise((m2 * sab - s[a] * s[b])
+                           / (F.sqrt(m2 * saa - s[a] * s[a])
+                              * F.sqrt(m2 * sbb - s[b] * s[b]))))
+
+    r = mom.select("m", r_of("x", "y").alias("rxy"),
+                   r_of("x", "z").alias("rxz"),
+                   r_of("y", "z").alias("ryz"))
+    den = ((1.0 - F.col("rxz") * F.col("rxz"))
+           * (1.0 - F.col("ryz") * F.col("ryz")))
+    pc = (F.when(F.col("rxy").isNull() | F.col("rxz").isNull()
+                 | F.col("ryz").isNull() | (den <= 0.0),
+                 F.lit(None).cast("double"))
+          .otherwise(F.round((F.col("rxy")
+                              - F.col("rxz") * F.col("ryz"))
+                             / F.sqrt(den), 6)) + 0.0)
+    return r.select(F.col("m").alias("n_days"),
+                    (F.round("rxy", 6) + 0.0).alias("r_xy"),
+                    (F.round("rxz", 6) + 0.0).alias("r_xz"),
+                    (F.round("ryz", 6) + 0.0).alias("r_yz"),
+                    pc.alias("r_xy_given_z"))
+
+
+# --- Bartlett's variance-homogeneity test ----------------------------------
+#
+# The parametric sibling of brown_forsythe: T = ((N-k) ln s_p^2 -
+# sum (n_i-1) ln s_i^2) / (1 + (sum 1/(n_i-1) - 1/(N-k))/(3(k-1)))
+# (Bartlett 1937, public) over the 4 md5 arms on order-value cents;
+# sample variances from exact decimal moments, fixed-order 4-term
+# ln tree.
+# ---------------------------------------------------------------------------
+
+@register("bartlett_arms", f"""
+WITH units AS (
+    SELECT {_R17_ARM} AS arm, {_YC} AS yc FROM orders
+),
+mom AS (
+    SELECT arm, CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(yc) AS BIGINT) AS s,
+           CAST(sum(CAST(yc AS DECIMAL(38,0)) * yc)
+                AS DECIMAL(38,0)) AS q
+    FROM units GROUP BY arm
+),
+v AS (
+    -- numerator n*q - s^2 stays an EXACT decimal (the double product
+    -- s*s at ~3e21 rounds differently than the decimal path — 1-ulp
+    -- engine divergence observed at sf0.01); one string bridge, then
+    -- the exact double denominator n*(n-1)
+    SELECT arm, n,
+           CASE WHEN n <= 1 THEN NULL
+                ELSE CAST(CAST(CAST(n AS DECIMAL(38,0)) * q
+                               - CAST(s AS DECIMAL(38,0)) * s
+                               AS VARCHAR) AS DOUBLE)
+                     / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1.0))
+           END AS s2
+    FROM mom
+),
+wide AS (
+    SELECT CAST(sum(n) AS BIGINT) AS n,
+           {", ".join(f"CAST(sum(CASE WHEN arm = {a} THEN n END) AS BIGINT) AS n{a}, "
+                      f"sum(CASE WHEN arm = {a} THEN s2 END) AS v{a}"
+                      for a in range(_R17_ARMS))}
+    FROM v
+),
+f AS (
+    SELECT *,
+           CAST(n AS DOUBLE) - {_R17_ARMS}.0 AS dfp,
+           (0.0 {" ".join(f"+ (CAST(n{a} AS DOUBLE) - 1.0) * v{a}"
+                          for a in range(_R17_ARMS))})
+             / (CAST(n AS DOUBLE) - {_R17_ARMS}.0) AS sp2
+    FROM wide
+)
+SELECT {", ".join(f"n{a} AS n_arm{a}, {round_sql(f'sqrt(v{a}) / 100.0')} AS sd_arm{a}"
+                  for a in range(_R17_ARMS))},
+       {round_sql('sqrt(sp2) / 100.0')} AS pooled_sd,
+       CASE WHEN {" OR ".join(f"n{a} <= 1 OR v{a} <= 0.0"
+                              for a in range(_R17_ARMS))}
+              OR sp2 <= 0.0 THEN NULL
+            ELSE {round_sql(f'''(dfp * ln(sp2)
+                 - (0.0 {" ".join(f"+ (CAST(n{a} AS DOUBLE) - 1.0) * ln(v{a})"
+                                  for a in range(_R17_ARMS))}))
+                 / (1.0 + ((0.0 {" ".join(f"+ 1.0 / (CAST(n{a} AS DOUBLE) - 1.0)"
+                                          for a in range(_R17_ARMS))})
+                           - 1.0 / dfp) / (3.0 * ({_R17_ARMS}.0 - 1.0)))''')}
+       END AS bartlett_t
+FROM f
+""")
+def bartlett_arms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bartlett variance-homogeneity T across the 4 md5 arms on
+    order-value cents (fixed-order ln tree over exact variances)."""
+    orders = load_table(spark, sf_dir, "orders")
+    units = orders.select(_r17_arm_col().alias("arm"),
+                          _r17_yc_col().alias("yc"))
+    dec = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+    mom = units.groupBy("arm").agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("yc").cast("long").alias("s"),
+        dec(F.sum(dec(F.col("yc")) * F.col("yc"))).alias("q"))
+    nd_ = F.col("n").cast("double")
+    s2 = (F.when(F.col("n") <= 1, F.lit(None).cast("double"))
+          .otherwise((dec(F.col("n")) * F.col("q")
+                      - dec(F.col("s")) * F.col("s"))
+                     .cast("string").cast("double")
+                     / (nd_ * (nd_ - 1.0))))
+    v = mom.select("arm", "n", s2.alias("s2"))
+    wide = v.agg(
+        F.sum("n").cast("long").alias("n"),
+        *[c for a in range(_R17_ARMS) for c in (
+            F.sum(F.when(F.col("arm") == a, F.col("n")))
+            .cast("long").alias(f"n{a}"),
+            F.sum(F.when(F.col("arm") == a, F.col("s2")))
+            .alias(f"v{a}"))])
+    k = float(_R17_ARMS)
+    dfp = F.col("n").cast("double") - k
+    num = F.lit(0.0)
+    for a in range(_R17_ARMS):
+        num = num + (F.col(f"n{a}").cast("double") - 1.0) \
+            * F.col(f"v{a}")
+    sp2 = num / (F.col("n").cast("double") - k)
+    f = wide.withColumn("dfp", dfp).withColumn("sp2", sp2)
+    bad = F.col("sp2") <= 0.0
+    lnum = F.lit(0.0)
+    hsum = F.lit(0.0)
+    for a in range(_R17_ARMS):
+        bad = bad | (F.col(f"n{a}") <= 1) | (F.col(f"v{a}") <= 0.0)
+        lnum = lnum + (F.col(f"n{a}").cast("double") - 1.0) \
+            * F.log(F.col(f"v{a}"))
+        hsum = hsum + 1.0 / (F.col(f"n{a}").cast("double") - 1.0)
+    t = (F.when(bad, F.lit(None).cast("double"))
+         .otherwise(F.round(
+             (F.col("dfp") * F.log(F.col("sp2")) - lnum)
+             / (1.0 + (hsum - 1.0 / F.col("dfp"))
+                / (3.0 * (k - 1.0))), 6)))
+    # rounded readouts stay under the ~4e9 round-parity ceiling
+    # (parity.py magnitude hazard): report dollar STANDARD DEVIATIONS,
+    # not cents^2 variances
+    return f.select(
+        *[c for a in range(_R17_ARMS) for c in (
+            F.col(f"n{a}").alias(f"n_arm{a}"),
+            F.round(F.sqrt(F.col(f"v{a}")) / 100.0, 6)
+            .alias(f"sd_arm{a}"))],
+        F.round(F.sqrt(F.col("sp2")) / 100.0, 6).alias("pooled_sd"),
+        t.alias("bartlett_t"))
+
+
+# --- Grubbs outlier test on the daily series -------------------------------
+#
+# G = max |x_i - mean| / s (sample s); the argmax day is picked by
+# the EXACT integer deviation |n*x_i - sum(x)| with earliest-day
+# tie-break, so engines can never disagree on the winner
+# (Grubbs 1950, public).
+# ---------------------------------------------------------------------------
+
+@register("grubbs_outlier_daily", f"""
+WITH daily AS ({_DAILY_SQL.format(where="")}),
+mom AS (
+    SELECT CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(cnt) AS BIGINT) AS sx,
+           CAST(sum(CAST(cnt AS DECIMAL(38,0)) * cnt)
+                AS DECIMAL(38,0)) AS sxx
+    FROM daily
+),
+dev AS (
+    SELECT d.t, d.cnt,
+           abs(CAST(m.n AS DECIMAL(38,0)) * d.cnt - m.sx) AS ad,
+           m.n, m.sx, m.sxx
+    FROM daily d CROSS JOIN mom m
+),
+pick AS (
+    SELECT * FROM dev ORDER BY ad DESC, t ASC LIMIT 1
+)
+SELECT n AS n_days, CAST(t AS BIGINT) AS outlier_day,
+       CAST(cnt AS BIGINT) AS outlier_cnt,
+       CASE WHEN n <= 1 OR CAST(CAST(sxx AS VARCHAR) AS DOUBLE)
+                 - CAST(sx AS DOUBLE) * sx / n <= 0.0 THEN NULL
+            ELSE {round_sql('''(CAST(CAST(ad AS VARCHAR) AS DOUBLE) / n)
+                 / sqrt((CAST(CAST(sxx AS VARCHAR) AS DOUBLE)
+                         - CAST(sx AS DOUBLE) * sx / n)
+                        / (CAST(n AS DOUBLE) - 1.0))''')}
+       END AS grubbs_g
+FROM pick
+""")
+def grubbs_outlier_daily(spark: SparkSession,
+                         sf_dir: str) -> DataFrame:
+    """Grubbs G of the most extreme daily count (exact-integer argmax,
+    sample-s denominator)."""
+    ev = load_table(spark, sf_dir, "events")
+    daily = _daily_counts(ev)
+    dec = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+    mom = daily.agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("cnt").cast("long").alias("sx"),
+        dec(F.sum(dec(F.col("cnt")) * F.col("cnt"))).alias("sxx"))
+    dev = (daily.crossJoin(F.broadcast(mom))
+           .select("t", "cnt", "n", "sx", "sxx",
+                   F.abs(dec(F.col("n")) * F.col("cnt")
+                         - F.col("sx")).alias("ad")))
+    pick = dev.orderBy(F.col("ad").desc(), F.col("t").asc()).limit(1)
+    var = (F.col("sxx").cast("string").cast("double")
+           - F.col("sx").cast("double") * F.col("sx") / F.col("n"))
+    g = (F.when((F.col("n") <= 1) | (var <= 0.0),
+                F.lit(None).cast("double"))
+         .otherwise(F.round(
+             (F.col("ad").cast("string").cast("double") / F.col("n"))
+             / F.sqrt(var / (F.col("n").cast("double") - 1.0)), 6)))
+    return pick.select(F.col("n").alias("n_days"),
+                       F.col("t").cast("long").alias("outlier_day"),
+                       F.col("cnt").cast("long").alias("outlier_cnt"),
+                       g.alias("grubbs_g"))
