@@ -135,7 +135,10 @@ def kpss_stationarity(spark: SparkSession, sf_dir: str) -> DataFrame:
     Bartlett(l=3) long-run variance — exact integer numerators, one
     shared double expression."""
     ev = load_table(spark, sf_dir, "events")
-    daily = _daily_counts(ev)
+    # daily feeds mom + the prefix scan + both gamma lag sides — a
+    # lazy localCheckpoint derives the corpus groupBy ONCE (the
+    # adamic_adar treatment; 18 -> ~6 exchanges in the audit)
+    daily = _daily_counts(ev).localCheckpoint(eager=False)
     mom = daily.agg(F.count("*").cast("long").alias("n"),
                     F.sum("cnt").cast("long").alias("sx"))
     w = Window.orderBy("t")
@@ -425,7 +428,8 @@ def hurst_rs_exponent(spark: SparkSession, sf_dir: str) -> DataFrame:
     wb = Window.partitionBy("b", "blk").orderBy("i")
     # exact scaled cumulative deviation: B*S_i = B*C_i - i*sum(x)
     scan = (tagged.withColumn("ci", F.sum("cnt").over(
-        wb.rowsBetween(Window.unboundedPreceding, 0))))
+        wb.rowsBetween(Window.unboundedPreceding, 0)))
+            .localCheckpoint(eager=False))
     blocks = (scan.groupBy("b", "blk")
               .agg(F.count("*").alias("nb"),
                    F.sum("cnt").cast("long").alias("sx"),
@@ -859,7 +863,7 @@ def pacf_durbin_levinson(spark: SparkSession,
     """PACF lags 1-4 of the daily count series via the unrolled
     Durbin-Levinson recursion on exact autocovariance ratios."""
     ev = load_table(spark, sf_dir, "events")
-    daily = _daily_counts(ev)
+    daily = _daily_counts(ev).localCheckpoint(eager=False)
     mom = daily.agg(F.count("*").cast("long").alias("n"),
                     F.sum("cnt").cast("long").alias("sx"))
     dec = lambda c: c.cast("decimal(38,0)")  # noqa: E731
@@ -1031,12 +1035,14 @@ def binseg_double_changepoint(spark: SparkSession,
     daily = _daily_counts(ev)
     dec = lambda c: c.cast("decimal(38,0)")  # noqa: E731
     w = Window.orderBy("t").rowsBetween(Window.unboundedPreceding, 0)
+    # the prefix-sum relation feeds the total row, level-1 gains,
+    # the split lookup, and both child gain relations — derive once
     seq = daily.select(
         "t", "cnt",
         F.row_number().over(Window.orderBy("t")).alias("rn"),
         F.sum("cnt").over(w).cast("long").alias("c"),
         dec(F.sum(dec(F.col("cnt")) * F.col("cnt")).over(w))
-        .alias("cc"))
+        .alias("cc")).localCheckpoint(eager=False)
     n_row = seq.orderBy(F.col("rn").desc()).limit(1).select(
         F.col("rn").alias("n"), F.col("c").alias("cn"),
         F.col("cc").alias("ccn"))
@@ -1055,7 +1061,8 @@ def binseg_double_changepoint(spark: SparkSession,
                          F.col("n") - F.col("rn"))).alias("gain")))
     t1 = (g1.orderBy(F.col("gain").desc(), F.col("rn").asc()).limit(1)
           .select(F.col("rn").alias("rn1"), F.col("t").alias("t1v"),
-                  F.col("gain").alias("gain1")))
+                  F.col("gain").alias("gain1"))
+          .localCheckpoint(eager=False))
     s1 = seq.select(F.col("rn").alias("rn1j"), F.col("c").alias("c1"),
                     F.col("cc").alias("cc1"))
     b1 = (cost.crossJoin(F.broadcast(t1))
@@ -1210,7 +1217,8 @@ def mood_median_arms(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = load_table(spark, sf_dir, "orders")
     units = orders.select(_r17_arm_col().alias("arm"),
                           _r17_yc_col().alias("yc"))
-    vals = units.groupBy("yc").agg(F.count("*").alias("cnt"))
+    vals = (units.groupBy("yc").agg(F.count("*").alias("cnt"))
+            .localCheckpoint(eager=False))
     tot = vals.agg(F.sum("cnt").cast("long").alias("n"))
     ranked = two_phase_ordered(
         vals, [F.col("yc").asc()], bucket_on=F.col("yc"),
@@ -1323,7 +1331,8 @@ def cvm_two_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
                  F.sum(F.when(F.col("grp") == 0, 1).otherwise(0))
                  .cast("long").alias("la"),
                  F.sum(F.when(F.col("grp") == 1, 1).otherwise(0))
-                 .cast("long").alias("lb")))
+                 .cast("long").alias("lb"))
+            .localCheckpoint(eager=False))
     cums = two_phase_ordered(
         vals, [F.col("yc").asc()], bucket_on=F.col("yc"),
         cumsum_cols={"la": "ca", "lb": "cb"})
@@ -1440,7 +1449,8 @@ def ansari_bradley_arms(spark: SparkSession, sf_dir: str) -> DataFrame:
     vals = (units.groupBy("yc")
             .agg(F.count("*").alias("l"),
                  F.sum(F.when(F.col("grp") == 0, 1).otherwise(0))
-                 .cast("long").alias("l0")))
+                 .cast("long").alias("l0"))
+            .localCheckpoint(eager=False))
     cums = two_phase_ordered(
         vals, [F.col("yc").asc()], bucket_on=F.col("yc"),
         cumsum_cols={"l": "cum"})
@@ -1583,7 +1593,8 @@ def ad_ksample_arms(spark: SparkSession, sf_dir: str) -> DataFrame:
             .agg(F.count("*").alias("l"),
                  *[F.sum(F.when(F.col("arm") == a, 1).otherwise(0))
                    .cast("long").alias(f"l{a}")
-                   for a in range(_R17_ARMS)]))
+                   for a in range(_R17_ARMS)])
+            .localCheckpoint(eager=False))
     cums = two_phase_ordered(
         vals, [F.col("v").asc()], bucket_on=F.col("v"),
         cumsum_cols={"l": "b",
@@ -1934,7 +1945,8 @@ def hoover_index_regions(spark: SparkSession,
            .join(F.broadcast(region),
                  nation.n_regionkey == region.r_regionkey)
            .groupBy("region", "o_custkey")
-           .agg(F.sum("yc").cast("long").alias("x")))
+           .agg(F.sum("yc").cast("long").alias("x"))
+           .localCheckpoint(eager=False))
     dec = lambda c: c.cast("decimal(38,0)")  # noqa: E731
 
     def hoover_of(df, keys):
@@ -2046,7 +2058,8 @@ def spacesaving_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
                                             F.col("key").asc())
     ranked = (cnts.withColumn("rn", F.row_number().over(w))
               .withColumn("nkeys", F.count("*").over(
-                  Window.partitionBy("shard"))))
+                  Window.partitionBy("shard")))
+              .localCheckpoint(eager=False))
     summ = ranked.filter(F.col("rn") <= _SS_CAP)
     errs = (ranked.groupBy("shard")
             .agg(F.when(F.max("nkeys") > _SS_CAP,
@@ -2167,14 +2180,20 @@ def dsir_importance_weights(spark: SparkSession,
         "doc_id", "source", "lang",
         (md5_long(F.concat(F.lit("dsir:"), F.col("token")))
          % _DSIR_B).alias("b"))
-    tstat = (bucketed.filter(F.col("lang") == "en")
-             .groupBy("b").agg(F.count("*").cast("long").alias("ct")))
-    rstat = bucketed.groupBy("b").agg(
-        F.count("*").cast("long").alias("cr"))
-    tot = bucketed.agg(
-        F.sum(F.when(F.col("lang") == "en", 1).otherwise(0))
+    # ONE corpus pass: the (doc, bucket) grid; target/raw bucket
+    # stats and totals are all sums of its counts (the naive shape
+    # re-scanned the exploded tokens 4x — plan audit, this round)
+    docb = (bucketed.groupBy("doc_id", "source", "lang", "b")
+            .agg(F.count("*").cast("long").alias("c"))
+            .localCheckpoint(eager=False))
+    tstat = (docb.filter(F.col("lang") == "en")
+             .groupBy("b").agg(F.sum("c").cast("long").alias("ct")))
+    rstat = docb.groupBy("b").agg(
+        F.sum("c").cast("long").alias("cr"))
+    tot = docb.agg(
+        F.sum(F.when(F.col("lang") == "en", F.col("c")).otherwise(0))
         .cast("long").alias("nt"),
-        F.count("*").cast("long").alias("nr"))
+        F.sum("c").cast("long").alias("nr"))
     lw = (F.log((F.coalesce(F.col("ct"), F.lit(0)).cast("double")
                  + 1.0)
                 / (F.col("nt").cast("double") + float(_DSIR_B)))
@@ -2183,8 +2202,6 @@ def dsir_importance_weights(spark: SparkSession,
     lp = (rstat.join(F.broadcast(tstat), "b", "left")
           .crossJoin(F.broadcast(tot))
           .select("b", lw.alias("lw")))
-    docb = (bucketed.groupBy("doc_id", "source", "lang", "b")
-            .agg(F.count("*").cast("long").alias("c")))
     scored = (docb.join(F.broadcast(lp), "b")
               .groupBy("doc_id", "source", "lang")
               .agg(F.sum("c").cast("long").alias("n_tokens"),
@@ -2261,7 +2278,8 @@ def powerlaw_degree_alpha(spark: SparkSession,
         "part_a", "part_b")
     deg = (pairs.select(F.col("part_a").alias("node"))
            .unionAll(pairs.select(F.col("part_b").alias("node")))
-           .groupBy("node").agg(F.count("*").cast("long").alias("d")))
+           .groupBy("node").agg(F.count("*").cast("long").alias("d"))
+           .localCheckpoint(eager=False))
     bydeg = deg.groupBy("d").agg(F.count("*").cast("long")
                                  .alias("cnt"))
     tail = (bydeg.filter(F.col("d") >= _PL_DMIN)
