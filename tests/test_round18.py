@@ -492,3 +492,86 @@ def test_grubbs_matches_numpy(spark, events_pdf):
     assert out["outlier_day"] == day
     assert out["outlier_cnt"] == x[day]
     assert abs(out["grubbs_g"] - g) < 1e-5
+
+
+def test_sign_test_matches_python(spark, events_pdf):
+    out = _run(spark, "sign_test_daily").iloc[0]
+    x = _daily(events_pdf).to_numpy(dtype=float)
+    d = np.diff(x)
+    d = d[d != 0]
+    n, b = len(d), int((d > 0).sum())
+    mm = min(b, n - b)
+    csum = sum(math.comb(n, k) for k in range(mm + 1))
+    p = min(1.0, 2.0 * csum / 2 ** n)
+    assert out["n_nonzero"] == n
+    assert out["n_positive"] == b
+    assert abs(out["p_two_sided"] - p) < 1e-6
+
+
+def test_kuiper_matches_numpy(spark, orders_pdf):
+    out = _run(spark, "kuiper_two_sample").iloc[0]
+    import hashlib
+
+    yc = (orders_pdf["o_totalprice"].astype(float) * 100).round() \
+        .astype(np.int64)
+
+    def grp(ck):
+        h = hashlib.md5(f"r17b:{ck}".encode()).hexdigest()
+        return int(h[:15], 16) % 2
+
+    g = orders_pdf["o_custkey"].map(grp)
+    a = np.sort(yc[g == 0].to_numpy())
+    b = np.sort(yc[g == 1].to_numpy())
+    vals = np.unique(yc)
+    fa = np.searchsorted(a, vals, side="right") / len(a)
+    fb = np.searchsorted(b, vals, side="right") / len(b)
+    dplus = max(0.0, (fa - fb).max())
+    dminus = max(0.0, (fb - fa).max())
+    assert out["n_group0"] == len(a) and out["n_group1"] == len(b)
+    assert abs(out["d_plus"] - dplus) < 1e-6
+    assert abs(out["d_minus"] - dminus) < 1e-6
+    assert abs(out["kuiper_v"] - (dplus + dminus)) < 1e-6
+
+
+def test_cooks_distance_matches_numpy(spark, events_pdf):
+    out = _run(spark, "cooks_distance_daily").set_index("t")
+    x = _daily(events_pdf)
+    t = x.index.to_numpy(dtype=float)
+    y = x.to_numpy(dtype=float)
+    n = len(t)
+    X = np.column_stack([np.ones(n), t])
+    beta, *_ = np.linalg.lstsq(X, y, rcond=None)
+    e = y - X @ beta
+    s2 = (e ** 2).sum() / (n - 2)
+    sxx = ((t - t.mean()) ** 2).sum()
+    h = 1 / n + (t - t.mean()) ** 2 / sxx
+    d = e ** 2 * h / (2 * s2 * (1 - h) ** 2)
+    for i, day in enumerate(x.index):
+        row = out.loc[day]
+        assert abs(row["residual"] - e[i]) < 1e-3
+        assert abs(row["leverage"] - h[i]) < 1e-6
+        assert abs(row["cooks_d"] - d[i]) < 1e-4
+
+
+def test_cochran_q_matches_python(spark, events_pdf):
+    out = _run(spark, "cochran_q_usertypes").iloc[0]
+    ts = pd.to_datetime(events_pdf["ts"])
+    day = (ts.dt.floor("D") - pd.Timestamp("2024-01-01")).dt.days
+    piv = (events_pdf.assign(one=1, day=day)
+           .pivot_table(index=["user_id", "day"],
+                        columns="event_type",
+                        values="one", aggfunc="max", fill_value=0))
+    M = piv.reindex(columns=["view", "click", "purchase"],
+                    fill_value=0).to_numpy()
+    k = 3
+    C = M.sum(axis=0)
+    R = M.sum(axis=1)
+    T = C.sum()
+    den = k * T - (R ** 2).sum()
+    assert out["n_blocks"] == len(piv)
+    if den <= 0:
+        # every user hit all (or none of) the types — Q undefined
+        assert pd.isna(out["cochran_q"])
+    else:
+        q = k * (k - 1) * ((C - T / k) ** 2).sum() / den
+        assert abs(out["cochran_q"] - q) < 1e-5

@@ -2942,7 +2942,7 @@ per_user AS (
     FROM events CROSS JOIN mind GROUP BY user_id
 ),
 cells AS (
-    SELECT CAST(count(*) AS BIGINT) AS n_users,
+    SELECT CAST(count(*) AS BIGINT) AS n_blocks,
            CAST(sum(CASE WHEN p1 = 1 AND p2 = 1 THEN 1 ELSE 0 END)
                 AS BIGINT) AS both_halves,
            CAST(sum(CASE WHEN p1 = 1 AND p2 = 0 THEN 1 ELSE 0 END)
@@ -3304,3 +3304,407 @@ def grubbs_outlier_daily(spark: SparkSession,
                        F.col("t").cast("long").alias("outlier_day"),
                        F.col("cnt").cast("long").alias("outlier_cnt"),
                        g.alias("grubbs_g"))
+
+
+# ---------------------------------------------------------------------------
+# Batch H — four more exact classics.
+# ---------------------------------------------------------------------------
+
+# --- exact binomial sign test on successive daily differences --------------
+#
+# b = #(d > 0) of the nonzero differences, n of them; the exact
+# two-sided p-value is 2 * min(P[X<=min(b,n-b)], 1/2) with
+# X ~ Bin(n, 1/2): P = sum_{k<=m} C(n,k) / 2^n — the binomial
+# coefficients accumulate EXACTLY as decimals in a bounded k fold
+# (n = #days-1), and the single division by 2^n happens in double.
+# ---------------------------------------------------------------------------
+
+@register("sign_test_daily", f"""
+WITH daily AS ({_DAILY_SQL.format(where="")}),
+diffs AS (
+    SELECT b.cnt - a.cnt AS d FROM daily a
+    JOIN daily b ON b.t = a.t + 1 WHERE b.cnt <> a.cnt
+),
+mom AS (
+    SELECT CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(CASE WHEN d > 0 THEN 1 ELSE 0 END) AS BIGINT)
+             AS b
+    FROM diffs
+),
+m AS (SELECT n, b, least(b, n - b) AS mm FROM mom),
+-- running C(n,k) built by C(n,k) = C(n,k-1)*(n-k+1)/k (exact
+-- integers at n <= ~60; DECIMAL(38,0) holds C(60,30) ~ 1.2e17)
+ks AS (
+    SELECT m.n, m.b, m.mm, s.k FROM m,
+         unnest(generate_series(0, m.mm)) AS s(k)
+),
+coef AS (
+    SELECT n, b, mm, k,
+           list_reduce(list_prepend(CAST(1 AS DECIMAL(38,0)),
+               list_transform(generate_series(1, k),
+                   j -> CAST(j AS DECIMAL(38,0)))),
+               (acc, j) -> CAST(acc * (n - j + 1) / j
+                                AS DECIMAL(38,0))) AS cnk
+    FROM ks
+),
+tail AS (
+    SELECT n, b, CAST(sum(cnk) AS DECIMAL(38,0)) AS csum
+    FROM coef GROUP BY n, b
+)
+SELECT n AS n_nonzero, b AS n_positive,
+       CASE WHEN n = 0 THEN NULL
+            ELSE {round_sql('''least(1.0,
+                2.0 * (CAST(CAST(csum AS VARCHAR) AS DOUBLE)
+                       / pow(2.0, CAST(n AS DOUBLE))))''')}
+       END AS p_two_sided
+FROM tail
+""")
+def sign_test_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact binomial sign test of successive daily differences
+    (two-sided, zeros dropped): bounded exact-decimal C(n,k) fold."""
+    ev = load_table(spark, sf_dir, "events")
+    daily = _daily_counts(ev).localCheckpoint(eager=False)
+    a = daily.select(F.col("t").alias("ta"), F.col("cnt").alias("xa"))
+    b = daily.select(F.col("t").alias("tb"), F.col("cnt").alias("xb"))
+    diffs = (a.join(F.broadcast(b), F.col("tb") == F.col("ta") + 1)
+             .select((F.col("xb") - F.col("xa")).alias("d"))
+             .filter(F.col("d") != 0))
+    mom = diffs.agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum(F.when(F.col("d") > 0, 1).otherwise(0)).cast("long")
+        .alias("b"))
+    m = mom.select("n", "b",
+                   F.least(F.col("b"), F.col("n") - F.col("b"))
+                   .alias("mm"))
+    dec1 = F.lit(1).cast("decimal(38,0)")
+    # sum_{k=0..mm} C(n,k): inner fold builds C(n,k) multiplicatively,
+    # outer fold accumulates — both over bounded sequences
+    ks = m.select("n", "b", "mm",
+                  F.explode(F.sequence(F.lit(0), F.col("mm")))
+                  .alias("k"))
+    # Spark's sequence(1, 0) DESCENDS ([1, 0] — j=0 would divide by
+    # zero); DuckDB's generate_series(1, 0) is empty — pin the k=0
+    # case to the empty fold explicitly
+    js = (F.when(F.col("k") < 1,
+                 F.array().cast("array<decimal(38,0)>"))
+          .otherwise(F.transform(F.sequence(F.lit(1), F.col("k")),
+                                 lambda j: j.cast("decimal(38,0)"))))
+    cnk = F.aggregate(
+        js, dec1,
+        lambda acc, j: (acc * (F.col("n") - j + 1) / j)
+        .cast("decimal(38,0)"))
+    coef = ks.select("n", "b", cnk.alias("cnk"))
+    tail = (coef.groupBy("n", "b")
+            .agg(F.sum("cnk").cast("decimal(38,0)").alias("csum")))
+    p = (F.when(F.col("n") == 0, F.lit(None).cast("double"))
+         .otherwise(F.round(F.least(
+             F.lit(1.0),
+             2.0 * (F.col("csum").cast("string").cast("double")
+                    / F.pow(F.lit(2.0),
+                            F.col("n").cast("double")))), 6)))
+    return tail.select(F.col("n").alias("n_nonzero"),
+                       F.col("b").alias("n_positive"),
+                       p.alias("p_two_sided"))
+
+
+# --- Kuiper two-sample test ------------------------------------------------
+#
+# V = D+ + D- with D+ = max_j (F_n - G_m), D- = max_j (G_m - F_n)
+# at the pooled distinct values (Kuiper 1960, public); both maxima
+# are EXACT integer argmaxes of m*cA - n*cB over the value grid, so
+# the only double is the final V = (mx_plus + mx_minus)/(n*m).
+# ---------------------------------------------------------------------------
+
+@register("kuiper_two_sample", f"""
+WITH units AS (
+    SELECT {_R17_ARM2} AS grp, {_YC} AS yc FROM orders
+),
+vals AS (
+    SELECT yc,
+           CAST(sum(CASE WHEN grp = 0 THEN 1 ELSE 0 END)
+                AS BIGINT) AS la,
+           CAST(sum(CASE WHEN grp = 1 THEN 1 ELSE 0 END)
+                AS BIGINT) AS lb
+    FROM units GROUP BY yc
+),
+cums AS (
+    SELECT yc,
+           sum(la) OVER (ORDER BY yc ROWS UNBOUNDED PRECEDING) AS ca,
+           sum(lb) OVER (ORDER BY yc ROWS UNBOUNDED PRECEDING) AS cb
+    FROM vals
+),
+tot AS (
+    SELECT CAST(sum(la) AS BIGINT) AS n, CAST(sum(lb) AS BIGINT) AS m
+    FROM vals
+),
+devs AS (
+    SELECT CAST(t.m AS DECIMAL(38,0)) * c.ca
+           - CAST(t.n AS DECIMAL(38,0)) * c.cb AS dd
+    FROM cums c CROSS JOIN tot t
+),
+mx AS (
+    SELECT greatest(CAST(max(dd) AS DECIMAL(38,0)),
+                    CAST(0 AS DECIMAL(38,0))) AS dplus,
+           greatest(CAST(max(-dd) AS DECIMAL(38,0)),
+                    CAST(0 AS DECIMAL(38,0))) AS dminus
+    FROM devs
+)
+SELECT t.n AS n_group0, t.m AS n_group1,
+       {round_sql('CAST(CAST(x.dplus AS VARCHAR) AS DOUBLE)'
+                  ' / (CAST(t.n AS DOUBLE) * t.m)')} AS d_plus,
+       {round_sql('CAST(CAST(x.dminus AS VARCHAR) AS DOUBLE)'
+                  ' / (CAST(t.n AS DOUBLE) * t.m)')} AS d_minus,
+       {round_sql('''(CAST(CAST(x.dplus AS VARCHAR) AS DOUBLE)
+            + CAST(CAST(x.dminus AS VARCHAR) AS DOUBLE))
+           / (CAST(t.n AS DOUBLE) * t.m)''')} AS kuiper_v
+FROM tot t CROSS JOIN mx x
+""")
+def kuiper_two_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kuiper V between the md5 parity groups of order values —
+    exact integer ECDF deviation maxima."""
+    from travel_data_pipeline_spark.operators.windows import (
+        two_phase_ordered,
+    )
+
+    orders = load_table(spark, sf_dir, "orders")
+    units = orders.select(
+        _r17_arm_col(2, "r17b:").alias("grp"),
+        _r17_yc_col().alias("yc"))
+    vals = (units.groupBy("yc")
+            .agg(F.sum(F.when(F.col("grp") == 0, 1).otherwise(0))
+                 .cast("long").alias("la"),
+                 F.sum(F.when(F.col("grp") == 1, 1).otherwise(0))
+                 .cast("long").alias("lb"))
+            .localCheckpoint(eager=False))
+    cums = two_phase_ordered(
+        vals, [F.col("yc").asc()], bucket_on=F.col("yc"),
+        cumsum_cols={"la": "ca", "lb": "cb"})
+    tot = vals.agg(F.sum("la").cast("long").alias("n"),
+                   F.sum("lb").cast("long").alias("m"))
+    dec = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+    devs = (cums.crossJoin(F.broadcast(tot))
+            .select((dec(F.col("m")) * F.col("ca")
+                     - dec(F.col("n")) * F.col("cb")).alias("dd")))
+    mx = devs.agg(
+        F.greatest(dec(F.max("dd")), dec(F.lit(0))).alias("dplus"),
+        F.greatest(dec(F.max(-F.col("dd"))), dec(F.lit(0)))
+        .alias("dminus"))
+    nm = F.col("n").cast("double") * F.col("m")
+    sd = lambda c: F.col(c).cast("string").cast("double")  # noqa: E731
+    return (tot.crossJoin(F.broadcast(mx))
+            .select(F.col("n").alias("n_group0"),
+                    F.col("m").alias("n_group1"),
+                    F.round(sd("dplus") / nm, 6).alias("d_plus"),
+                    F.round(sd("dminus") / nm, 6).alias("d_minus"),
+                    F.round((sd("dplus") + sd("dminus")) / nm, 6)
+                    .alias("kuiper_v")))
+
+
+# --- Cook's distance of the daily OLS trend --------------------------------
+#
+# For y ~ a + b*t: leverage h_t = 1/n + (t - tbar)^2 / Sxx and
+# D_t = e_t^2 * h_t / (2 * s^2 * (1 - h_t)^2) (Cook 1977, public).
+# Residuals stay scaled integers (n*Sxx*e_t is exact), leverages are
+# exact rationals; one shared double expression per day.
+# ---------------------------------------------------------------------------
+
+@register("cooks_distance_daily", f"""
+WITH daily AS ({_DAILY_SQL.format(where="")}),
+mom AS (
+    SELECT CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(t) AS BIGINT) AS st,
+           CAST(sum(cnt) AS BIGINT) AS sy,
+           CAST(sum(CAST(t AS DECIMAL(38,0)) * t) AS DECIMAL(38,0)) AS stt,
+           CAST(sum(CAST(t AS DECIMAL(38,0)) * cnt) AS DECIMAL(38,0)) AS sty
+    FROM daily
+),
+f AS (
+    SELECT n, CAST(n AS DOUBLE) AS nd,
+           CAST(st AS DOUBLE) AS st, CAST(sy AS DOUBLE) AS sy,
+           CAST(CAST(stt AS VARCHAR) AS DOUBLE) AS stt,
+           CAST(CAST(sty AS VARCHAR) AS DOUBLE) AS sty
+    FROM mom
+),
+coef AS (
+    SELECT *,
+           CASE WHEN nd * stt - st * st <= 0.0 THEN NULL
+                ELSE (nd * sty - st * sy) / (nd * stt - st * st)
+           END AS b
+    FROM f
+),
+ab AS (
+    SELECT *, CASE WHEN b IS NULL THEN NULL
+                   ELSE (sy - b * st) / nd END AS a
+    FROM coef
+),
+resid AS (
+    SELECT d.t, d.cnt, x.n, x.nd, x.a, x.b,
+           x.stt - x.st * x.st / x.nd AS sxx,
+           CAST(d.cnt AS DOUBLE) - (x.a + x.b * d.t) AS e,
+           1.0 / x.nd + (d.t - x.st / x.nd) * (d.t - x.st / x.nd)
+             / (x.stt - x.st * x.st / x.nd) AS h
+    FROM daily d CROSS JOIN ab x
+),
+s2 AS (
+    SELECT CAST(sum(e * e) AS DOUBLE)
+             / (CAST(max(nd) AS DOUBLE) - 2.0) AS s2
+    FROM resid
+)
+SELECT CAST(r.t AS BIGINT) AS t, CAST(r.cnt AS BIGINT) AS cnt,
+       {round_sql('r.e')} + 0.0 AS residual,
+       {round_sql('r.h')} AS leverage,
+       CASE WHEN q.s2 <= 0.0 OR r.h >= 1.0 THEN NULL
+            ELSE {round_sql('''r.e * r.e * r.h
+                 / (2.0 * q.s2 * (1.0 - r.h) * (1.0 - r.h))''')}
+       END AS cooks_d
+FROM resid r CROSS JOIN s2 q
+""")
+def cooks_distance_daily(spark: SparkSession,
+                         sf_dir: str) -> DataFrame:
+    """Cook's distance per day under the daily OLS trend (exact
+    moments, shared residual/leverage spellings)."""
+    ev = load_table(spark, sf_dir, "events")
+    daily = _daily_counts(ev).localCheckpoint(eager=False)
+    dec = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+    mom = daily.agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("t").cast("long").alias("st"),
+        F.sum("cnt").cast("long").alias("sy"),
+        dec(F.sum(dec(F.col("t")) * F.col("t"))).alias("stt"),
+        dec(F.sum(dec(F.col("t")) * F.col("cnt"))).alias("sty"))
+    nd = F.col("n").cast("double")
+    st, sy = F.col("st").cast("double"), F.col("sy").cast("double")
+    stt = F.col("stt").cast("string").cast("double")
+    sty = F.col("sty").cast("string").cast("double")
+    b = (F.when(nd * stt - st * st <= 0.0,
+                F.lit(None).cast("double"))
+         .otherwise((nd * sty - st * sy) / (nd * stt - st * st)))
+    coef = mom.select("n", nd.alias("nd"), st.alias("st"),
+                      sy.alias("sy"), stt.alias("stt"),
+                      sty.alias("sty"), b.alias("b"))
+    a = (F.when(F.col("b").isNull(), F.lit(None).cast("double"))
+         .otherwise((F.col("sy") - F.col("b") * F.col("st"))
+                    / F.col("nd")))
+    ab = coef.withColumn("a", a)
+    e = (F.col("cnt").cast("double")
+         - (F.col("a") + F.col("b") * F.col("t")))
+    h = (1.0 / F.col("nd")
+         + (F.col("t") - F.col("st") / F.col("nd"))
+         * (F.col("t") - F.col("st") / F.col("nd"))
+         / (F.col("stt") - F.col("st") * F.col("st") / F.col("nd")))
+    resid = (daily.crossJoin(F.broadcast(ab))
+             .select("t", "cnt", "nd", e.alias("e"), h.alias("h"))
+             .localCheckpoint(eager=False))
+    s2 = resid.agg(
+        (F.sum(F.col("e") * F.col("e"))
+         / (F.max("nd") - 2.0)).alias("s2"))
+    d = (F.when((F.col("s2") <= 0.0) | (F.col("h") >= 1.0),
+                F.lit(None).cast("double"))
+         .otherwise(F.round(
+             F.col("e") * F.col("e") * F.col("h")
+             / (2.0 * F.col("s2") * (1.0 - F.col("h"))
+                * (1.0 - F.col("h"))), 6)))
+    return (resid.crossJoin(F.broadcast(s2))
+            .select(F.col("t").cast("long").alias("t"),
+                    F.col("cnt").cast("long").alias("cnt"),
+                    (F.round("e", 6) + 0.0).alias("residual"),
+                    F.round("h", 6).alias("leverage"),
+                    d.alias("cooks_d")))
+
+
+# --- Cochran's Q over per-user event-type engagement -----------------------
+#
+# k = 3 related binary "treatments" per user (did view / click /
+# purchase at least once); Q = k(k-1) * sum_j (C_j - T/k)^2
+# / (k*T - sum_i R_i^2) with C_j column sums, R_i row sums, T total
+# (Cochran 1950, public). Everything is an exact integer but the one
+# Q expression; users whose row is all-0 or all-k drop out of the
+# denominator naturally.
+# ---------------------------------------------------------------------------
+
+_CQ_TYPES = ("view", "click", "purchase")
+
+
+@register("cochran_q_usertypes", f"""
+WITH per_user AS (
+    -- blocks are (user, day) pairs: per-lifetime outcomes saturate
+    -- (every user eventually does every type -> Q degenerate at all
+    -- SFs); the day grain leaves real variation
+    SELECT user_id,
+           date_diff('day', TIMESTAMP '{_DAY_ANCHOR}',
+                     date_trunc('day', ts)) AS d,
+           {", ".join(f"max(CASE WHEN event_type = '{t}' THEN 1 ELSE 0 END) AS x{i}"
+                      for i, t in enumerate(_CQ_TYPES))}
+    FROM events GROUP BY user_id, d
+),
+mom AS (
+    SELECT CAST(count(*) AS BIGINT) AS n_blocks,
+           {", ".join(f"CAST(sum(x{i}) AS BIGINT) AS c{i}"
+                      for i in range(len(_CQ_TYPES)))},
+           CAST(sum(({" + ".join(f"x{i}" for i in range(len(_CQ_TYPES)))})
+                    * ({" + ".join(f"x{i}" for i in range(len(_CQ_TYPES)))}))
+                AS BIGINT) AS sr2
+    FROM per_user
+),
+f AS (
+    SELECT *, CAST({" + ".join(f"c{i}" for i in range(len(_CQ_TYPES)))}
+                   AS BIGINT) AS tt
+    FROM mom
+)
+SELECT n_blocks,
+       {", ".join(f"c{i} AS n_{t}" for i, t in enumerate(_CQ_TYPES))},
+       CASE WHEN 3 * tt - sr2 <= 0 THEN NULL
+            ELSE {round_sql('''3.0 * 2.0 * (
+                (CAST(c0 AS DOUBLE) - CAST(tt AS DOUBLE) / 3.0)
+                * (CAST(c0 AS DOUBLE) - CAST(tt AS DOUBLE) / 3.0)
+                + (CAST(c1 AS DOUBLE) - CAST(tt AS DOUBLE) / 3.0)
+                * (CAST(c1 AS DOUBLE) - CAST(tt AS DOUBLE) / 3.0)
+                + (CAST(c2 AS DOUBLE) - CAST(tt AS DOUBLE) / 3.0)
+                * (CAST(c2 AS DOUBLE) - CAST(tt AS DOUBLE) / 3.0))
+                / (CAST(3 * tt - sr2 AS DOUBLE))''')}
+       END AS cochran_q
+FROM f
+""")
+def cochran_q_usertypes(spark: SparkSession,
+                        sf_dir: str) -> DataFrame:
+    """Cochran's Q across the view/click/purchase binary triple over
+    (user, day) blocks."""
+    ev = load_table(spark, sf_dir, "events")
+    per_user = ev.groupBy(
+        "user_id",
+        F.datediff(F.date_trunc("day", "ts"),
+                   F.lit(_DAY_ANCHOR).cast("timestamp")).alias("d")
+    ).agg(
+        *[F.max(F.when(F.col("event_type") == t, 1).otherwise(0))
+          .alias(f"x{i}") for i, t in enumerate(_CQ_TYPES)])
+    rsum = sum((F.col(f"x{i}") for i in range(1, len(_CQ_TYPES))),
+               F.col("x0"))
+    mom = per_user.agg(
+        F.count("*").cast("long").alias("n_blocks"),
+        *[F.sum(f"x{i}").cast("long").alias(f"c{i}")
+          for i in range(len(_CQ_TYPES))],
+        F.sum(rsum * rsum).cast("long").alias("sr2"))
+    tt = sum((F.col(f"c{i}") for i in range(1, len(_CQ_TYPES))),
+             F.col("c0")).cast("long")
+    f = mom.withColumn("tt", tt)
+    ttd = F.col("tt").cast("double")
+    num = F.lit(0.0)
+    for i in range(len(_CQ_TYPES)):
+        ci = F.col(f"c{i}").cast("double")
+        num = num + (ci - ttd / 3.0) * (ci - ttd / 3.0)
+    # match the oracle's literal spelling 3.0 * 2.0 * (t0 + t1 + t2)
+    q = (F.when(3 * F.col("tt") - F.col("sr2") <= 0,
+                F.lit(None).cast("double"))
+         .otherwise(F.round(
+             3.0 * 2.0 * ((F.col("c0").cast("double") - ttd / 3.0)
+                          * (F.col("c0").cast("double") - ttd / 3.0)
+                          + (F.col("c1").cast("double") - ttd / 3.0)
+                          * (F.col("c1").cast("double") - ttd / 3.0)
+                          + (F.col("c2").cast("double") - ttd / 3.0)
+                          * (F.col("c2").cast("double") - ttd / 3.0))
+             / (3 * F.col("tt") - F.col("sr2")).cast("double"), 6)))
+    return f.select(
+        "n_blocks",
+        *[F.col(f"c{i}").alias(f"n_{t}")
+          for i, t in enumerate(_CQ_TYPES)],
+        q.alias("cochran_q"))
