@@ -2942,7 +2942,7 @@ per_user AS (
     FROM events CROSS JOIN mind GROUP BY user_id
 ),
 cells AS (
-    SELECT CAST(count(*) AS BIGINT) AS n_blocks,
+    SELECT CAST(count(*) AS BIGINT) AS n_users,
            CAST(sum(CASE WHEN p1 = 1 AND p2 = 1 THEN 1 ELSE 0 END)
                 AS BIGINT) AS both_halves,
            CAST(sum(CASE WHEN p1 = 1 AND p2 = 0 THEN 1 ELSE 0 END)
