@@ -2052,6 +2052,15 @@ def spacesaving_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem").select(
         (F.col("l_orderkey") % _SS_SHARDS).alias("shard"),
         F.col("l_partkey").alias("key"))
+    return spacesaving_from_keys(spark, li)
+
+
+def spacesaving_from_keys(spark: SparkSession,
+                          li: DataFrame) -> DataFrame:
+    """The mergeable-summary body over a (shard, key) relation —
+    factored out so tools/stress_spacesaving.py can drive the
+    REGISTERED code path at a synthetic 200M-row stream (the
+    hits_from_edges seam pattern)."""
     cnts = (li.groupBy("shard", "key")
             .agg(F.count("*").cast("long").alias("cnt")))
     w = Window.partitionBy("shard").orderBy(F.col("cnt").desc(),
