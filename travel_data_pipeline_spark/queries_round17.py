@@ -3717,3 +3717,955 @@ def cochran_q_usertypes(spark: SparkSession,
         *[F.col(f"c{i}").alias(f"n_{t}")
           for i, t in enumerate(_CQ_TYPES)],
         q.alias("cochran_q"))
+
+
+# ---------------------------------------------------------------------------
+# Batch I — ANOVA-family post-hoc/robust variants, normality and
+# structural-break diagnostics, ordered blocked trend, and
+# theta-sketch set operations.
+# ---------------------------------------------------------------------------
+
+# --- Levene's test, MEAN-centered (complements the median-centered
+# brown_forsythe_arms): Z_ij = |x_ij - mean_i| with n_i*Z exact
+# integers (|n_i*x - s_i|), so both Z moments per arm are exact
+# decimals scaled by n_i / n_i^2; W is the one-way ANOVA F over Z
+# (Levene 1960, public).
+# ---------------------------------------------------------------------------
+
+@register("levene_mean_arms", f"""
+WITH units AS (
+    SELECT {_R17_ARM} AS arm, {_YC} AS yc FROM orders
+),
+mom AS (
+    SELECT arm, CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(yc) AS BIGINT) AS s
+    FROM units GROUP BY arm
+),
+zmom AS (
+    SELECT u.arm, m.n,
+           CAST(sum(abs(CAST(m.n AS DECIMAL(38,0)) * u.yc - m.s))
+                AS DECIMAL(38,0)) AS az1,
+           CAST(sum((CAST(m.n AS DECIMAL(38,0)) * u.yc - m.s)
+                    * (CAST(m.n AS DECIMAL(38,0)) * u.yc - m.s))
+                AS DECIMAL(38,0)) AS az2
+    FROM units u JOIN mom m ON m.arm = u.arm
+    GROUP BY u.arm, m.n
+),
+f AS (
+    SELECT arm, n, CAST(n AS DOUBLE) AS nd,
+           CAST(CAST(az1 AS VARCHAR) AS DOUBLE) AS az1,
+           CAST(CAST(az2 AS VARCHAR) AS DOUBLE) AS az2
+    FROM zmom
+),
+g AS (
+    -- zbar_i = az1/n^2 ; sum(Z^2)_i = az2/n^2 ; ss_within_i =
+    -- (az2 - az1^2/n)/n^2   (all one shared double expression)
+    SELECT arm, n, nd, az1 / (nd * nd) AS zbar,
+           (az2 - az1 * az1 / nd) / (nd * nd) AS ssw,
+           az1 / nd AS zsum
+    FROM f
+),
+wide AS (
+    SELECT CAST(sum(n) AS BIGINT) AS ntot,
+           sum(zsum) AS zsum_all, sum(ssw) AS ssw_all,
+           {", ".join(f"sum(CASE WHEN arm = {a} THEN n END) AS n{a}, "
+                      f"sum(CASE WHEN arm = {a} THEN zbar END) AS zb{a}"
+                      for a in range(_R17_ARMS))}
+    FROM g
+),
+w2 AS (
+    SELECT *, zsum_all / ntot AS zbar_all FROM wide
+)
+SELECT g.arm, g.n AS n_arm,
+       {round_sql('g.zbar / 100.0')} AS mean_absdev,
+       (SELECT CASE WHEN ssw_all <= 0.0 THEN NULL
+                    ELSE {round_sql(f'''((CAST(ntot AS DOUBLE) - {_R17_ARMS}.0)
+                    / ({_R17_ARMS}.0 - 1.0))
+                    * (0.0 {" ".join(f"+ CAST(n{a} AS DOUBLE) * (zb{a} - zbar_all) * (zb{a} - zbar_all)"
+                                     for a in range(_R17_ARMS))})
+                    / ssw_all''')} END
+        FROM w2) AS levene_w
+FROM g
+""")
+def levene_mean_arms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mean-centered Levene W across the 4 md5 arms on order values
+    (exact scaled-integer absolute deviations)."""
+    orders = load_table(spark, sf_dir, "orders")
+    units = orders.select(_r17_arm_col().alias("arm"),
+                          _r17_yc_col().alias("yc"))
+    mom = (units.groupBy("arm")
+           .agg(F.count("*").cast("long").alias("n"),
+                F.sum("yc").cast("long").alias("s"))
+           .localCheckpoint(eager=False))
+    dec = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+    dev = dec(F.col("n")) * F.col("yc") - F.col("s")
+    zmom = (units.join(F.broadcast(mom), "arm")
+            .groupBy("arm", "n")
+            .agg(dec(F.sum(F.abs(dev))).alias("az1"),
+                 dec(F.sum(dev * dev)).alias("az2")))
+    nd = F.col("n").cast("double")
+    az1 = F.col("az1").cast("string").cast("double")
+    az2 = F.col("az2").cast("string").cast("double")
+    g = zmom.select(
+        "arm", "n", nd.alias("nd"),
+        (az1 / (nd * nd)).alias("zbar"),
+        ((az2 - az1 * az1 / nd) / (nd * nd)).alias("ssw"),
+        (az1 / nd).alias("zsum"))
+    wide = g.agg(
+        F.sum("n").cast("long").alias("ntot"),
+        F.sum("zsum").alias("zsum_all"),
+        F.sum("ssw").alias("ssw_all"),
+        *[c for a in range(_R17_ARMS) for c in (
+            F.sum(F.when(F.col("arm") == a, F.col("n"))).alias(f"n{a}"),
+            F.sum(F.when(F.col("arm") == a, F.col("zbar")))
+            .alias(f"zb{a}"))])
+    zbar_all = F.col("zsum_all") / F.col("ntot")
+    w2 = wide.withColumn("zbar_all", zbar_all)
+    k = float(_R17_ARMS)
+    num = F.lit(0.0)
+    for a in range(_R17_ARMS):
+        num = num + F.col(f"n{a}").cast("double") \
+            * (F.col(f"zb{a}") - F.col("zbar_all")) \
+            * (F.col(f"zb{a}") - F.col("zbar_all"))
+    w = (F.when(F.col("ssw_all") <= 0.0, F.lit(None).cast("double"))
+         .otherwise(F.round(
+             ((F.col("ntot").cast("double") - k) / (k - 1.0))
+             * num / F.col("ssw_all"), 6)))
+    wrow = w2.select(w.alias("levene_w"))
+    return (g.crossJoin(F.broadcast(wrow))
+            .select("arm", F.col("n").alias("n_arm"),
+                    F.round(F.col("zbar") / 100.0, 6)
+                    .alias("mean_absdev"),
+                    "levene_w"))
+
+
+# --- Welch's heteroscedastic one-way ANOVA ---------------------------------
+#
+# Welch 1951 (public): w_i = n_i/s_i^2, F* and the Satterthwaite-
+# style denominator df, all from the same exact arm moments as
+# bartlett_arms (variance numerators stay exact decimals).
+# ---------------------------------------------------------------------------
+
+@register("welch_anova_arms", f"""
+WITH units AS (
+    SELECT {_R17_ARM} AS arm, {_YC} AS yc FROM orders
+),
+mom AS (
+    SELECT arm, CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(yc) AS BIGINT) AS s,
+           CAST(sum(CAST(yc AS DECIMAL(38,0)) * yc)
+                AS DECIMAL(38,0)) AS q
+    FROM units GROUP BY arm
+),
+v AS (
+    SELECT arm, n, CAST(n AS DOUBLE) AS nd,
+           CAST(s AS DOUBLE) / n AS m,
+           CASE WHEN n <= 1 THEN NULL
+                ELSE CAST(CAST(CAST(n AS DECIMAL(38,0)) * q
+                               - CAST(s AS DECIMAL(38,0)) * s
+                               AS VARCHAR) AS DOUBLE)
+                     / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1.0))
+           END AS s2
+    FROM mom
+),
+wide AS (
+    SELECT {", ".join(
+        f"sum(CASE WHEN arm = {a} THEN nd END) AS n{a}, "
+        f"sum(CASE WHEN arm = {a} THEN m END) AS m{a}, "
+        f"sum(CASE WHEN arm = {a} THEN s2 END) AS v{a}"
+        for a in range(_R17_ARMS))}
+    FROM v
+),
+wts AS (
+    SELECT *, {", ".join(f"n{a} / v{a} AS w{a}"
+                         for a in range(_R17_ARMS))}
+    FROM wide
+    WHERE {" AND ".join(f"v{a} > 0.0" for a in range(_R17_ARMS))}
+),
+agg AS (
+    SELECT *,
+           (0.0 {" ".join(f"+ w{a}" for a in range(_R17_ARMS))}) AS ww,
+           (0.0 {" ".join(f"+ w{a} * m{a}" for a in range(_R17_ARMS))})
+             AS wm
+    FROM wts
+),
+f AS (
+    SELECT *, wm / ww AS mw,
+           (0.0 {" ".join(
+               f"+ (1.0 - w{a} / ww) * (1.0 - w{a} / ww) / (n{a} - 1.0)"
+               for a in range(_R17_ARMS))}) AS hsum
+    FROM agg
+)
+SELECT {", ".join(f"CAST(n{a} AS BIGINT) AS n_arm{a}" for a in range(_R17_ARMS))},
+       {round_sql('mw / 100.0')} AS weighted_mean,
+       {round_sql(f'''((0.0 {" ".join(f"+ w{a} * (m{a} - mw) * (m{a} - mw)"
+                                      for a in range(_R17_ARMS))})
+            / ({_R17_ARMS}.0 - 1.0))
+           / (1.0 + (2.0 * ({_R17_ARMS}.0 - 2.0)
+                     / ({_R17_ARMS}.0 * {_R17_ARMS}.0 - 1.0)) * hsum)''')}
+         AS welch_f,
+       {round_sql(f'''({_R17_ARMS}.0 * {_R17_ARMS}.0 - 1.0)
+           / (3.0 * hsum)''')} AS df_denom
+FROM f
+""")
+def welch_anova_arms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Welch's heteroscedastic one-way ANOVA F* across the 4 md5
+    arms (exact decimal variance numerators)."""
+    orders = load_table(spark, sf_dir, "orders")
+    units = orders.select(_r17_arm_col().alias("arm"),
+                          _r17_yc_col().alias("yc"))
+    dec = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+    mom = units.groupBy("arm").agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("yc").cast("long").alias("s"),
+        dec(F.sum(dec(F.col("yc")) * F.col("yc"))).alias("q"))
+    nd = F.col("n").cast("double")
+    s2 = (F.when(F.col("n") <= 1, F.lit(None).cast("double"))
+          .otherwise((dec(F.col("n")) * F.col("q")
+                      - dec(F.col("s")) * F.col("s"))
+                     .cast("string").cast("double")
+                     / (nd * (nd - 1.0))))
+    v = mom.select("arm", "n", nd.alias("nd"),
+                   (F.col("s").cast("double") / F.col("n")).alias("m"),
+                   s2.alias("s2"))
+    wide = v.agg(*[c for a in range(_R17_ARMS) for c in (
+        F.sum(F.when(F.col("arm") == a, F.col("nd"))).alias(f"n{a}"),
+        F.sum(F.when(F.col("arm") == a, F.col("m"))).alias(f"m{a}"),
+        F.sum(F.when(F.col("arm") == a, F.col("s2"))).alias(f"v{a}"))])
+    ok = F.lit(True)
+    for a in range(_R17_ARMS):
+        ok = ok & (F.col(f"v{a}") > 0.0)
+    wts = wide.filter(ok)
+    for a in range(_R17_ARMS):
+        wts = wts.withColumn(f"w{a}",
+                             F.col(f"n{a}") / F.col(f"v{a}"))
+    ww = F.lit(0.0)
+    wm = F.lit(0.0)
+    for a in range(_R17_ARMS):
+        ww = ww + F.col(f"w{a}")
+        wm = wm + F.col(f"w{a}") * F.col(f"m{a}")
+    agg = wts.withColumn("ww", ww).withColumn("wm", wm)
+    mw = F.col("wm") / F.col("ww")
+    hsum = F.lit(0.0)
+    for a in range(_R17_ARMS):
+        hsum = hsum + (1.0 - F.col(f"w{a}") / F.col("ww")) \
+            * (1.0 - F.col(f"w{a}") / F.col("ww")) \
+            / (F.col(f"n{a}") - 1.0)
+    f = agg.withColumn("mw", mw).withColumn("hsum", hsum)
+    k = float(_R17_ARMS)
+    num = F.lit(0.0)
+    for a in range(_R17_ARMS):
+        num = num + F.col(f"w{a}") \
+            * (F.col(f"m{a}") - F.col("mw")) \
+            * (F.col(f"m{a}") - F.col("mw"))
+    welch_f = ((num / (k - 1.0))
+               / (1.0 + (2.0 * (k - 2.0) / (k * k - 1.0))
+                  * F.col("hsum")))
+    return f.select(
+        *[F.col(f"n{a}").cast("long").alias(f"n_arm{a}")
+          for a in range(_R17_ARMS)],
+        F.round(F.col("mw") / 100.0, 6).alias("weighted_mean"),
+        F.round(welch_f, 6).alias("welch_f"),
+        F.round((k * k - 1.0) / (3.0 * F.col("hsum")), 6)
+        .alias("df_denom"))
+
+
+# --- Tukey-style pairwise q statistics -------------------------------------
+#
+# Post-hoc readout after the omnibus tests: for every arm pair,
+# q_ij = |m_i - m_j| / sqrt((sp2/2) * (1/n_i + 1/n_j)) with the
+# pooled variance from exact decimal numerators (Tukey 1949, public;
+# the studentized-range critical value is the consumer's lookup —
+# the engine reports the statistic).
+# ---------------------------------------------------------------------------
+
+@register("tukey_q_pairs", f"""
+WITH units AS (
+    SELECT {_R17_ARM} AS arm, {_YC} AS yc FROM orders
+),
+mom AS (
+    SELECT arm, CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(yc) AS BIGINT) AS s,
+           CAST(sum(CAST(yc AS DECIMAL(38,0)) * yc)
+                AS DECIMAL(38,0)) AS q
+    FROM units GROUP BY arm
+),
+v AS (
+    SELECT arm, n, CAST(n AS DOUBLE) AS nd,
+           CAST(s AS DOUBLE) / n AS m,
+           CAST(CAST(CAST(n AS DECIMAL(38,0)) * q
+                     - CAST(s AS DECIMAL(38,0)) * s
+                     AS VARCHAR) AS DOUBLE) / CAST(n AS DOUBLE)
+             AS ss
+    FROM mom
+),
+pool AS (
+    SELECT CAST(sum(n) AS BIGINT) AS ntot,
+           sum(ss / nd) AS ssw
+    FROM v
+),
+sp AS (
+    SELECT ntot,
+           ssw / (CAST(ntot AS DOUBLE) - {_R17_ARMS}.0) AS sp2
+    FROM pool
+)
+SELECT a.arm AS arm_a, b.arm AS arm_b, a.n AS n_a, b.n AS n_b,
+       {round_sql('(a.m - b.m) / 100.0')} + 0.0 AS mean_diff,
+       CASE WHEN s.sp2 <= 0.0 THEN NULL
+            ELSE {round_sql('''abs(a.m - b.m)
+                 / sqrt((s.sp2 / 2.0) * (1.0 / a.nd + 1.0 / b.nd))''')}
+       END AS tukey_q
+FROM v a JOIN v b ON a.arm < b.arm CROSS JOIN sp s
+""")
+def tukey_q_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise Tukey q statistics between the 4 md5 arms (pooled
+    variance from exact decimal numerators)."""
+    orders = load_table(spark, sf_dir, "orders")
+    units = orders.select(_r17_arm_col().alias("arm"),
+                          _r17_yc_col().alias("yc"))
+    dec = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+    mom = units.groupBy("arm").agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("yc").cast("long").alias("s"),
+        dec(F.sum(dec(F.col("yc")) * F.col("yc"))).alias("q"))
+    nd = F.col("n").cast("double")
+    v = (mom.select(
+        "arm", "n", nd.alias("nd"),
+        (F.col("s").cast("double") / F.col("n")).alias("m"),
+        ((dec(F.col("n")) * F.col("q") - dec(F.col("s")) * F.col("s"))
+         .cast("string").cast("double") / nd).alias("ss"))
+        .localCheckpoint(eager=False))
+    pool = v.agg(F.sum("n").cast("long").alias("ntot"),
+                 F.sum(F.col("ss") / F.col("nd")).alias("ssw"))
+    sp = pool.select(
+        "ntot",
+        (F.col("ssw") / (F.col("ntot").cast("double")
+                         - float(_R17_ARMS))).alias("sp2"))
+    a = v.select(F.col("arm").alias("arm_a"), F.col("n").alias("n_a"),
+                 F.col("nd").alias("nd_a"), F.col("m").alias("m_a"))
+    b = v.select(F.col("arm").alias("arm_b"), F.col("n").alias("n_b"),
+                 F.col("nd").alias("nd_b"), F.col("m").alias("m_b"))
+    q = (F.when(F.col("sp2") <= 0.0, F.lit(None).cast("double"))
+         .otherwise(F.round(
+             F.abs(F.col("m_a") - F.col("m_b"))
+             / F.sqrt((F.col("sp2") / 2.0)
+                      * (1.0 / F.col("nd_a") + 1.0 / F.col("nd_b"))),
+             6)))
+    return (a.join(b, F.col("arm_a") < F.col("arm_b"))
+            .crossJoin(F.broadcast(sp))
+            .select("arm_a", "arm_b", "n_a", "n_b",
+                    (F.round((F.col("m_a") - F.col("m_b")) / 100.0, 6)
+                     + 0.0).alias("mean_diff"),
+                    q.alias("tukey_q")))
+
+
+# --- Jarque-Bera normality test on the daily series ------------------------
+#
+# S = m3/m2^1.5, K = m4/m2^2, JB = n/6 (S^2 + (K-3)^2/4) (Jarque &
+# Bera 1980, public) with central moments expanded from EXACT raw
+# power sums (x^4 of daily counts fits DECIMAL(38,0) at any realistic
+# grid) through one shared double spelling.
+# ---------------------------------------------------------------------------
+
+@register("jarque_bera_daily", f"""
+WITH daily AS ({_DAILY_SQL.format(where="")}),
+mom AS (
+    SELECT CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(cnt) AS BIGINT) AS s1,
+           CAST(sum(CAST(cnt AS DECIMAL(38,0)) * cnt)
+                AS DECIMAL(38,0)) AS s2,
+           CAST(sum(CAST(cnt AS DECIMAL(38,0)) * cnt * cnt)
+                AS DECIMAL(38,0)) AS s3,
+           CAST(sum(CAST(cnt AS DECIMAL(38,0)) * cnt * cnt * cnt)
+                AS DECIMAL(38,0)) AS s4
+    FROM daily
+),
+f AS (
+    SELECT n, CAST(n AS DOUBLE) AS nd,
+           CAST(s1 AS DOUBLE) / n AS mu,
+           CAST(CAST(s2 AS VARCHAR) AS DOUBLE) AS s2,
+           CAST(CAST(s3 AS VARCHAR) AS DOUBLE) AS s3,
+           CAST(CAST(s4 AS VARCHAR) AS DOUBLE) AS s4
+    FROM mom
+),
+c AS (
+    SELECT *,
+           s2 / nd - mu * mu AS m2,
+           s3 / nd - 3.0 * mu * (s2 / nd) + 2.0 * mu * mu * mu AS m3,
+           s4 / nd - 4.0 * mu * (s3 / nd)
+             + 6.0 * mu * mu * (s2 / nd)
+             - 3.0 * mu * mu * mu * mu AS m4
+    FROM f
+),
+g AS (
+    SELECT *, CASE WHEN m2 <= 0.0 THEN NULL
+                   ELSE m3 / (m2 * sqrt(m2)) END AS skw,
+           CASE WHEN m2 <= 0.0 THEN NULL
+                ELSE m4 / (m2 * m2) END AS krt
+    FROM c
+)
+SELECT n AS n_days,
+       {round_sql('skw')} + 0.0 AS skewness,
+       {round_sql('krt')} AS kurtosis,
+       CASE WHEN skw IS NULL THEN NULL
+            ELSE {round_sql('''nd / 6.0 * (skw * skw
+                 + (krt - 3.0) * (krt - 3.0) / 4.0)''')}
+       END AS jarque_bera
+FROM g
+""")
+def jarque_bera_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Jarque-Bera normality statistic of the daily counts from
+    exact raw power sums."""
+    ev = load_table(spark, sf_dir, "events")
+    daily = _daily_counts(ev)
+    dec = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+    cnt = F.col("cnt")
+    mom = daily.agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("cnt").cast("long").alias("s1"),
+        dec(F.sum(dec(cnt) * cnt)).alias("s2"),
+        dec(F.sum(dec(cnt) * cnt * cnt)).alias("s3"),
+        dec(F.sum(dec(cnt) * cnt * cnt * cnt)).alias("s4"))
+    nd = F.col("n").cast("double")
+    mu = F.col("s1").cast("double") / F.col("n")
+    sd = lambda c: F.col(c).cast("string").cast("double")  # noqa: E731
+    f = mom.select("n", nd.alias("nd"), mu.alias("mu"),
+                   sd("s2").alias("s2"), sd("s3").alias("s3"),
+                   sd("s4").alias("s4"))
+    m2 = F.col("s2") / F.col("nd") - F.col("mu") * F.col("mu")
+    m3 = (F.col("s3") / F.col("nd")
+          - 3.0 * F.col("mu") * (F.col("s2") / F.col("nd"))
+          + 2.0 * F.col("mu") * F.col("mu") * F.col("mu"))
+    m4 = (F.col("s4") / F.col("nd")
+          - 4.0 * F.col("mu") * (F.col("s3") / F.col("nd"))
+          + 6.0 * F.col("mu") * F.col("mu") * (F.col("s2") / F.col("nd"))
+          - 3.0 * F.col("mu") * F.col("mu") * F.col("mu") * F.col("mu"))
+    c = (f.withColumn("m2", m2).withColumn("m3", m3)
+         .withColumn("m4", m4))
+    nulld = F.lit(None).cast("double")
+    skw = (F.when(F.col("m2") <= 0.0, nulld)
+           .otherwise(F.col("m3")
+                      / (F.col("m2") * F.sqrt(F.col("m2")))))
+    krt = (F.when(F.col("m2") <= 0.0, nulld)
+           .otherwise(F.col("m4") / (F.col("m2") * F.col("m2"))))
+    g = c.withColumn("skw", skw).withColumn("krt", krt)
+    jb = (F.when(F.col("skw").isNull(), nulld)
+          .otherwise(F.round(
+              F.col("nd") / 6.0
+              * (F.col("skw") * F.col("skw")
+                 + (F.col("krt") - 3.0) * (F.col("krt") - 3.0)
+                 / 4.0), 6)))
+    return g.select(F.col("n").alias("n_days"),
+                    (F.round("skw", 6) + 0.0).alias("skewness"),
+                    F.round("krt", 6).alias("kurtosis"),
+                    jb.alias("jarque_bera"))
+
+
+# --- Welch's two-sample t over the md5 parity split ------------------------
+#
+# t = (m0 - m1)/sqrt(s0^2/n0 + s1^2/n1) with the Welch-Satterthwaite
+# df (Welch 1947, public); variance numerators exact decimals.
+# ---------------------------------------------------------------------------
+
+@register("welch_t_parity", f"""
+WITH units AS (
+    SELECT {_R17_ARM2} AS grp, {_YC} AS yc FROM orders
+),
+mom AS (
+    SELECT grp, CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(yc) AS BIGINT) AS s,
+           CAST(sum(CAST(yc AS DECIMAL(38,0)) * yc)
+                AS DECIMAL(38,0)) AS q
+    FROM units GROUP BY grp
+),
+v AS (
+    SELECT grp, n, CAST(n AS DOUBLE) AS nd,
+           CAST(s AS DOUBLE) / n AS m,
+           CASE WHEN n <= 1 THEN NULL
+                ELSE CAST(CAST(CAST(n AS DECIMAL(38,0)) * q
+                               - CAST(s AS DECIMAL(38,0)) * s
+                               AS VARCHAR) AS DOUBLE)
+                     / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1.0))
+           END AS s2
+    FROM mom
+),
+wide AS (
+    SELECT CAST(sum(CASE WHEN grp = 0 THEN n END) AS BIGINT) AS n0,
+           CAST(sum(CASE WHEN grp = 1 THEN n END) AS BIGINT) AS n1,
+           sum(CASE WHEN grp = 0 THEN m END) AS m0,
+           sum(CASE WHEN grp = 1 THEN m END) AS m1,
+           sum(CASE WHEN grp = 0 THEN s2 END) AS v0,
+           sum(CASE WHEN grp = 1 THEN s2 END) AS v1
+    FROM v
+),
+f AS (
+    SELECT *, v0 / n0 + v1 / n1 AS se2 FROM wide
+)
+SELECT n0 AS n_group0, n1 AS n_group1,
+       {round_sql('(m0 - m1) / 100.0')} + 0.0 AS mean_diff,
+       CASE WHEN v0 IS NULL OR v1 IS NULL OR se2 <= 0.0 THEN NULL
+            ELSE {round_sql('(m0 - m1) / sqrt(se2)')} END + 0.0
+         AS welch_t,
+       CASE WHEN v0 IS NULL OR v1 IS NULL OR se2 <= 0.0 THEN NULL
+            ELSE {round_sql('''se2 * se2
+                 / ((v0 / n0) * (v0 / n0) / (CAST(n0 AS DOUBLE) - 1.0)
+                    + (v1 / n1) * (v1 / n1)
+                      / (CAST(n1 AS DOUBLE) - 1.0))''')}
+       END AS ws_df
+FROM f
+""")
+def welch_t_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Welch two-sample t + Satterthwaite df between the md5 parity
+    groups of order values."""
+    orders = load_table(spark, sf_dir, "orders")
+    units = orders.select(_r17_arm_col(2, "r17b:").alias("grp"),
+                          _r17_yc_col().alias("yc"))
+    dec = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+    mom = units.groupBy("grp").agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("yc").cast("long").alias("s"),
+        dec(F.sum(dec(F.col("yc")) * F.col("yc"))).alias("q"))
+    nd = F.col("n").cast("double")
+    s2 = (F.when(F.col("n") <= 1, F.lit(None).cast("double"))
+          .otherwise((dec(F.col("n")) * F.col("q")
+                      - dec(F.col("s")) * F.col("s"))
+                     .cast("string").cast("double")
+                     / (nd * (nd - 1.0))))
+    v = mom.select("grp", "n", nd.alias("nd"),
+                   (F.col("s").cast("double") / F.col("n")).alias("m"),
+                   s2.alias("s2"))
+    wide = v.agg(
+        F.sum(F.when(F.col("grp") == 0, F.col("n"))).cast("long")
+        .alias("n0"),
+        F.sum(F.when(F.col("grp") == 1, F.col("n"))).cast("long")
+        .alias("n1"),
+        F.sum(F.when(F.col("grp") == 0, F.col("m"))).alias("m0"),
+        F.sum(F.when(F.col("grp") == 1, F.col("m"))).alias("m1"),
+        F.sum(F.when(F.col("grp") == 0, F.col("s2"))).alias("v0"),
+        F.sum(F.when(F.col("grp") == 1, F.col("s2"))).alias("v1"))
+    se2 = F.col("v0") / F.col("n0") + F.col("v1") / F.col("n1")
+    f = wide.withColumn("se2", se2)
+    bad = (F.col("v0").isNull() | F.col("v1").isNull()
+           | (F.col("se2") <= 0.0))
+    nulld = F.lit(None).cast("double")
+    t = (F.when(bad, nulld)
+         .otherwise(F.round((F.col("m0") - F.col("m1"))
+                            / F.sqrt(F.col("se2")), 6)) + 0.0)
+    df = (F.when(bad, nulld)
+          .otherwise(F.round(
+              F.col("se2") * F.col("se2")
+              / ((F.col("v0") / F.col("n0"))
+                 * (F.col("v0") / F.col("n0"))
+                 / (F.col("n0").cast("double") - 1.0)
+                 + (F.col("v1") / F.col("n1"))
+                 * (F.col("v1") / F.col("n1"))
+                 / (F.col("n1").cast("double") - 1.0)), 6)))
+    return f.select(
+        F.col("n0").alias("n_group0"), F.col("n1").alias("n_group1"),
+        (F.round((F.col("m0") - F.col("m1")) / 100.0, 6) + 0.0)
+        .alias("mean_diff"),
+        t.alias("welch_t"), df.alias("ws_df"))
+
+
+# --- Chow structural-break test at the half-window -------------------------
+#
+# Pooled OLS y ~ a + b*t vs separate fits on days < 15 and >= 15:
+# F = ((RSS_p - RSS_1 - RSS_2)/2) / ((RSS_1 + RSS_2)/(n - 4))
+# (Chow 1960, public); all three fits from exact integer segment
+# moments with one shared RSS spelling.
+# ---------------------------------------------------------------------------
+
+_CHOW_SPLIT = 15
+
+
+@register("chow_test_daily", f"""
+WITH daily AS ({_DAILY_SQL.format(where="")}),
+seg AS (
+    SELECT CASE WHEN t < {_CHOW_SPLIT} THEN 1 ELSE 2 END AS seg,
+           t, cnt
+    FROM daily
+),
+mom AS (
+    SELECT seg, CAST(count(*) AS BIGINT) AS m,
+           CAST(sum(t) AS BIGINT) AS st,
+           CAST(sum(cnt) AS BIGINT) AS sy,
+           CAST(sum(CAST(t AS DECIMAL(38,0)) * t) AS DECIMAL(38,0)) AS stt,
+           CAST(sum(CAST(t AS DECIMAL(38,0)) * cnt) AS DECIMAL(38,0)) AS sty,
+           CAST(sum(CAST(cnt AS DECIMAL(38,0)) * cnt) AS DECIMAL(38,0)) AS syy
+    FROM seg GROUP BY seg
+    UNION ALL
+    SELECT 0, CAST(count(*) AS BIGINT),
+           CAST(sum(t) AS BIGINT), CAST(sum(cnt) AS BIGINT),
+           CAST(sum(CAST(t AS DECIMAL(38,0)) * t) AS DECIMAL(38,0)),
+           CAST(sum(CAST(t AS DECIMAL(38,0)) * cnt) AS DECIMAL(38,0)),
+           CAST(sum(CAST(cnt AS DECIMAL(38,0)) * cnt) AS DECIMAL(38,0))
+    FROM daily
+),
+fit AS (
+    SELECT seg, m, CAST(m AS DOUBLE) AS md,
+           CAST(st AS DOUBLE) AS st, CAST(sy AS DOUBLE) AS sy,
+           CAST(CAST(stt AS VARCHAR) AS DOUBLE) AS stt,
+           CAST(CAST(sty AS VARCHAR) AS DOUBLE) AS sty,
+           CAST(CAST(syy AS VARCHAR) AS DOUBLE) AS syy
+    FROM mom
+),
+rss AS (
+    SELECT seg, m,
+           CASE WHEN m <= 2 OR md * stt - st * st <= 0.0 THEN NULL
+                ELSE syy
+                 - ((sy - ((md * sty - st * sy)
+                           / (md * stt - st * st)) * st) / md) * sy
+                 - ((md * sty - st * sy) / (md * stt - st * st)) * sty
+           END AS rss
+    FROM fit
+),
+wide AS (
+    SELECT CAST(sum(CASE WHEN seg = 0 THEN m END) AS BIGINT) AS n,
+           CAST(sum(CASE WHEN seg = 1 THEN m END) AS BIGINT) AS n1,
+           CAST(sum(CASE WHEN seg = 2 THEN m END) AS BIGINT) AS n2,
+           sum(CASE WHEN seg = 0 THEN rss END) AS rp,
+           sum(CASE WHEN seg = 1 THEN rss END) AS r1,
+           sum(CASE WHEN seg = 2 THEN rss END) AS r2
+    FROM rss
+)
+SELECT n AS n_days, n1 AS n_seg1, n2 AS n_seg2,
+       {round_sql('rp')} AS rss_pooled,
+       {round_sql('r1')} AS rss_seg1, {round_sql('r2')} AS rss_seg2,
+       CASE WHEN rp IS NULL OR r1 IS NULL OR r2 IS NULL
+              OR r1 + r2 <= 0.0 OR n <= 4 THEN NULL
+            ELSE {round_sql('''((rp - r1 - r2) / 2.0)
+                 / ((r1 + r2) / (CAST(n AS DOUBLE) - 4.0))''')}
+       END AS chow_f
+FROM wide
+""")
+def chow_test_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chow break-point F at the half-window split of the daily
+    trend (shared RSS spelling over exact segment moments)."""
+    ev = load_table(spark, sf_dir, "events")
+    daily = _daily_counts(ev).localCheckpoint(eager=False)
+    dec = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+
+    def moments(df, seg_label):
+        return df.agg(
+            F.lit(seg_label).alias("seg"),
+            F.count("*").cast("long").alias("m"),
+            F.sum("t").cast("long").alias("st"),
+            F.sum("cnt").cast("long").alias("sy"),
+            dec(F.sum(dec(F.col("t")) * F.col("t"))).alias("stt"),
+            dec(F.sum(dec(F.col("t")) * F.col("cnt"))).alias("sty"),
+            dec(F.sum(dec(F.col("cnt")) * F.col("cnt"))).alias("syy"))
+
+    mom = (moments(daily.filter(F.col("t") < _CHOW_SPLIT), 1)
+           .unionAll(moments(daily.filter(F.col("t") >= _CHOW_SPLIT),
+                             2))
+           .unionAll(moments(daily, 0)))
+    md = F.col("m").cast("double")
+    st, sy = F.col("st").cast("double"), F.col("sy").cast("double")
+    sd = lambda c: F.col(c).cast("string").cast("double")  # noqa: E731
+    fit = mom.select("seg", "m", md.alias("md"), st.alias("st"),
+                     sy.alias("sy"), sd("stt").alias("stt"),
+                     sd("sty").alias("sty"), sd("syy").alias("syy"))
+    den = F.col("md") * F.col("stt") - F.col("st") * F.col("st")
+    b = (F.col("md") * F.col("sty") - F.col("st") * F.col("sy")) / den
+    rss_e = (F.col("syy")
+             - ((F.col("sy") - b * F.col("st")) / F.col("md"))
+             * F.col("sy")
+             - b * F.col("sty"))
+    rss = fit.select(
+        "seg", "m",
+        F.when((F.col("m") <= 2) | (den <= 0.0),
+               F.lit(None).cast("double")).otherwise(rss_e)
+        .alias("rss"))
+    wide = rss.agg(
+        F.sum(F.when(F.col("seg") == 0, F.col("m"))).cast("long")
+        .alias("n"),
+        F.sum(F.when(F.col("seg") == 1, F.col("m"))).cast("long")
+        .alias("n1"),
+        F.sum(F.when(F.col("seg") == 2, F.col("m"))).cast("long")
+        .alias("n2"),
+        F.sum(F.when(F.col("seg") == 0, F.col("rss"))).alias("rp"),
+        F.sum(F.when(F.col("seg") == 1, F.col("rss"))).alias("r1"),
+        F.sum(F.when(F.col("seg") == 2, F.col("rss"))).alias("r2"))
+    bad = (F.col("rp").isNull() | F.col("r1").isNull()
+           | F.col("r2").isNull()
+           | (F.col("r1") + F.col("r2") <= 0.0) | (F.col("n") <= 4))
+    cf = (F.when(bad, F.lit(None).cast("double"))
+          .otherwise(F.round(
+              ((F.col("rp") - F.col("r1") - F.col("r2")) / 2.0)
+              / ((F.col("r1") + F.col("r2"))
+                 / (F.col("n").cast("double") - 4.0)), 6)))
+    return wide.select(
+        F.col("n").alias("n_days"), F.col("n1").alias("n_seg1"),
+        F.col("n2").alias("n_seg2"),
+        F.round("rp", 6).alias("rss_pooled"),
+        F.round("r1", 6).alias("rss_seg1"),
+        F.round("r2", 6).alias("rss_seg2"),
+        cf.alias("chow_f"))
+
+
+# --- Page's trend test for ordered day-of-week alternatives ----------------
+#
+# L = sum_j c_j R_j over complete-ISO-week blocks with c_j the
+# day-of-week order 1..7 (Sunday-first, Spark's dayofweek
+# convention; the oracle's 0-based dayofweek is shifted by +1) and
+# within-block MIDRANKS kept 2x-scaled integers (the friedman
+# machinery). Null moments are the classical no-tie Page 1963 forms
+# (ties on daily counts are rare; documented approximation).
+# ---------------------------------------------------------------------------
+
+_PG_K = 7
+
+
+@register("page_trend_test", f"""
+WITH daily AS (
+    SELECT date_trunc('week', ts) AS wk, dayofweek(ts) + 1 AS dow,
+           count(*) AS cnt
+    FROM events GROUP BY wk, dow
+),
+complete AS (
+    SELECT wk FROM daily GROUP BY wk HAVING count(*) = {_PG_K}
+),
+obs AS MATERIALIZED (
+    SELECT d.wk, d.dow, d.cnt FROM daily d
+    JOIN complete c ON c.wk = d.wk
+),
+ranked AS (
+    SELECT a.wk, a.dow,
+           2 * SUM(CASE WHEN b.cnt < a.cnt THEN 1 ELSE 0 END)
+             + SUM(CASE WHEN b.cnt = a.cnt THEN 1 ELSE 0 END) + 1 AS r2
+    FROM obs a JOIN obs b ON b.wk = a.wk
+    GROUP BY a.wk, a.dow, a.cnt
+),
+agg AS (
+    SELECT (SELECT CAST(count(*) AS BIGINT) FROM complete) AS b,
+           CAST(SUM(CAST(dow AS DECIMAL(38,0)) * r2)
+                AS DECIMAL(38,0)) AS l2
+    FROM ranked
+)
+SELECT b AS n_blocks, CAST({_PG_K} AS INT) AS k,
+       {round_sql('CAST(CAST(l2 AS VARCHAR) AS DOUBLE) / 2.0')}
+         AS page_l,
+       {round_sql(f'''CAST(b AS DOUBLE) * {_PG_K}.0
+            * ({_PG_K}.0 + 1.0) * ({_PG_K}.0 + 1.0) / 4.0''')}
+         AS mean_l,
+       CASE WHEN b = 0 THEN NULL
+            ELSE {round_sql(f'''(CAST(CAST(l2 AS VARCHAR) AS DOUBLE) / 2.0
+                 - CAST(b AS DOUBLE) * {_PG_K}.0 * ({_PG_K}.0 + 1.0)
+                   * ({_PG_K}.0 + 1.0) / 4.0)
+                 / sqrt(CAST(b AS DOUBLE)
+                        * ({_PG_K}.0 * {_PG_K}.0 * {_PG_K}.0 - {_PG_K}.0)
+                        * ({_PG_K}.0 * {_PG_K}.0 * {_PG_K}.0 - {_PG_K}.0)
+                        / (144.0 * ({_PG_K}.0 - 1.0)))''')}
+       END + 0.0 AS page_z
+FROM agg
+""")
+def page_trend_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Page's L for an ordered day-of-week trend over complete ISO
+    weeks (2x-midrank exact sums, no-tie null moments)."""
+    ev = load_table(spark, sf_dir, "events")
+    daily = (ev.groupBy(F.date_trunc("week", "ts").alias("wk"),
+                        F.dayofweek("ts").alias("dow"))
+             .agg(F.count("*").alias("cnt")))
+    complete = (daily.groupBy("wk").agg(F.count("*").alias("nd"))
+                .filter(F.col("nd") == _PG_K).select("wk"))
+    obs = daily.join(F.broadcast(complete), "wk")
+    b = obs.select(F.col("wk").alias("wkb"), F.col("cnt").alias("cb"))
+    ranked = (obs.join(F.broadcast(b), F.col("wkb") == F.col("wk"))
+              .groupBy("wk", "dow", "cnt")
+              .agg((2 * F.sum(F.when(F.col("cb") < F.col("cnt"), 1)
+                              .otherwise(0))
+                    + F.sum(F.when(F.col("cb") == F.col("cnt"), 1)
+                            .otherwise(0)) + 1).alias("r2")))
+    dec = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+    n_df = complete.agg(F.count("*").cast("long").alias("b"))
+    l2 = ranked.agg(
+        dec(F.sum(dec(F.col("dow")) * F.col("r2"))).alias("l2"))
+    k = float(_PG_K)
+    agg = n_df.crossJoin(F.broadcast(l2))
+    l2d = F.col("l2").cast("string").cast("double")
+    bd = F.col("b").cast("double")
+    mean_l = bd * k * (k + 1.0) * (k + 1.0) / 4.0
+    var_l = bd * (k * k * k - k) * (k * k * k - k) / (144.0 * (k - 1.0))
+    z = (F.when(F.col("b") == 0, F.lit(None).cast("double"))
+         .otherwise(F.round((l2d / 2.0 - mean_l) / F.sqrt(var_l), 6))
+         + 0.0)
+    return agg.select(F.col("b").alias("n_blocks"),
+                      F.lit(_PG_K).cast("int").alias("k"),
+                      F.round(l2d / 2.0, 6).alias("page_l"),
+                      F.round(mean_l, 6).alias("mean_l"),
+                      z.alias("page_z"))
+
+
+# --- theta-sketch set operations (union / intersection / differences) ------
+#
+# KMV/theta sketches (Beyer et al. 2007 / DataSketches theta, public)
+# over the md5-hashed view-user and purchase-user sets: k smallest
+# hashes per set; the UNION sketch is the k smallest of the merged
+# distinct hashes, and every derived estimate (intersection, A\\B,
+# B\\A) is a membership RATIO inside the union window times the
+# union estimate — the mergeable-summary contract again (per-set
+# state is k hashes; merge is associative). Audited against exact
+# distinct counts of the same sets.
+# ---------------------------------------------------------------------------
+
+_TS_K = 256
+_TS_M = 1 << 60
+
+
+@register("theta_sketch_setops", f"""
+WITH dist AS (
+    SELECT DISTINCT event_type, user_id FROM events
+    WHERE event_type IN ('view', 'purchase')
+),
+hashed AS (
+    SELECT event_type, user_id,
+           {md5_long_sql("'theta:' || CAST(user_id AS VARCHAR)")} AS h
+    FROM dist
+),
+sk AS (
+    SELECT event_type, h,
+           row_number() OVER (PARTITION BY event_type ORDER BY h) AS rk
+    FROM hashed
+),
+sketch AS (SELECT event_type, h FROM sk WHERE rk <= {_TS_K}),
+pu AS (
+    SELECT h,
+           MAX(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS in_a,
+           MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+             AS in_b
+    FROM sketch GROUP BY h
+),
+ur AS (
+    SELECT h, in_a, in_b,
+           row_number() OVER (ORDER BY h) AS urk,
+           COUNT(*) OVER () AS n_u
+    FROM pu
+),
+uni AS (
+    SELECT MIN(n_u) AS n_u, LEAST({_TS_K}, MIN(n_u)) AS kp,
+           MAX(CASE WHEN urk <= LEAST({_TS_K}, n_u) THEN h END)
+             AS theta_u,
+           SUM(CASE WHEN urk <= LEAST({_TS_K}, n_u)
+                     AND in_a = 1 AND in_b = 1 THEN 1 ELSE 0 END)
+             AS n_ab,
+           SUM(CASE WHEN urk <= LEAST({_TS_K}, n_u)
+                     AND in_a = 1 AND in_b = 0 THEN 1 ELSE 0 END)
+             AS n_ao,
+           SUM(CASE WHEN urk <= LEAST({_TS_K}, n_u)
+                     AND in_a = 0 AND in_b = 1 THEN 1 ELSE 0 END)
+             AS n_bo
+    FROM ur WHERE urk <= {_TS_K}
+),
+est AS (
+    SELECT *,
+           CASE WHEN n_u < {_TS_K} THEN CAST(n_u AS DOUBLE)
+                ELSE ({_TS_K} - 1.0) * {_TS_M}.0
+                     / CAST(theta_u AS DOUBLE) END AS est_union
+    FROM uni
+),
+exact AS (
+    SELECT CAST(count(DISTINCT user_id) AS BIGINT) AS ex_union,
+           CAST(count(DISTINCT CASE WHEN in_a = 1 AND in_b = 1
+                                    THEN user_id END) AS BIGINT)
+             AS ex_inter,
+           CAST(count(DISTINCT CASE WHEN in_a = 1 AND in_b = 0
+                                    THEN user_id END) AS BIGINT)
+             AS ex_ao,
+           CAST(count(DISTINCT CASE WHEN in_a = 0 AND in_b = 1
+                                    THEN user_id END) AS BIGINT)
+             AS ex_bo
+    FROM (
+        SELECT user_id,
+               MAX(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)
+                 AS in_a,
+               MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+                 AS in_b
+        FROM dist GROUP BY user_id
+    )
+)
+SELECT {round_sql('e.est_union')} AS est_union,
+       {round_sql('(CAST(e.n_ab AS DOUBLE) / e.kp) * e.est_union')}
+         AS est_inter,
+       {round_sql('(CAST(e.n_ao AS DOUBLE) / e.kp) * e.est_union')}
+         AS est_a_only,
+       {round_sql('(CAST(e.n_bo AS DOUBLE) / e.kp) * e.est_union')}
+         AS est_b_only,
+       x.ex_union AS exact_union, x.ex_inter AS exact_inter,
+       x.ex_ao AS exact_a_only, x.ex_bo AS exact_b_only
+FROM est e CROSS JOIN exact x
+""")
+def theta_sketch_setops(spark: SparkSession,
+                        sf_dir: str) -> DataFrame:
+    """Theta/KMV set operations between the view-user and
+    purchase-user sets: union/intersection/difference estimates from
+    the merged k-minimum sketch, with exact audits."""
+    ev = load_table(spark, sf_dir, "events")
+    dist = (ev.filter(F.col("event_type").isin("view", "purchase"))
+            .select("event_type", "user_id").distinct()
+            .localCheckpoint(eager=False))
+    k, m = _TS_K, _TS_M
+    hashed = dist.select(
+        "event_type", "user_id",
+        md5_long(F.concat(F.lit("theta:"),
+                          F.col("user_id").cast("string"))).alias("h"))
+    wk = Window.partitionBy("event_type").orderBy("h")
+    sketch = (hashed.withColumn("rk", F.row_number().over(wk))
+              .filter(F.col("rk") <= k).select("event_type", "h"))
+    pu = (sketch.groupBy("h")
+          .agg(F.max(F.when(F.col("event_type") == "view", 1)
+                     .otherwise(0)).alias("in_a"),
+               F.max(F.when(F.col("event_type") == "purchase", 1)
+                     .otherwise(0)).alias("in_b")))
+    wu = Window.orderBy("h")
+    ur = (pu.withColumn("urk", F.row_number().over(wu))
+          .withColumn("n_u", F.count("*").over(
+              Window.partitionBy()))
+          .filter(F.col("urk") <= k))
+    in_win = F.col("urk") <= F.least(F.lit(k), F.col("n_u"))
+    uni = ur.agg(
+        F.min("n_u").alias("n_u"),
+        F.least(F.lit(k), F.min("n_u")).alias("kp"),
+        F.max(F.when(in_win, F.col("h"))).alias("theta_u"),
+        F.sum(F.when(in_win & (F.col("in_a") == 1)
+                     & (F.col("in_b") == 1), 1).otherwise(0))
+        .alias("n_ab"),
+        F.sum(F.when(in_win & (F.col("in_a") == 1)
+                     & (F.col("in_b") == 0), 1).otherwise(0))
+        .alias("n_ao"),
+        F.sum(F.when(in_win & (F.col("in_a") == 0)
+                     & (F.col("in_b") == 1), 1).otherwise(0))
+        .alias("n_bo"))
+    est_union = (F.when(F.col("n_u") < k, F.col("n_u").cast("double"))
+                 .otherwise(F.lit(float(k - 1)) * F.lit(float(m))
+                            / F.col("theta_u").cast("double")))
+    est = uni.withColumn("est_union", est_union)
+    flags = (dist.groupBy("user_id")
+             .agg(F.max(F.when(F.col("event_type") == "view", 1)
+                        .otherwise(0)).alias("in_a"),
+                  F.max(F.when(F.col("event_type") == "purchase", 1)
+                        .otherwise(0)).alias("in_b")))
+    exact = flags.agg(
+        F.countDistinct("user_id").cast("long").alias("ex_union"),
+        F.countDistinct(F.when((F.col("in_a") == 1)
+                               & (F.col("in_b") == 1),
+                               F.col("user_id"))).cast("long")
+        .alias("ex_inter"),
+        F.countDistinct(F.when((F.col("in_a") == 1)
+                               & (F.col("in_b") == 0),
+                               F.col("user_id"))).cast("long")
+        .alias("ex_ao"),
+        F.countDistinct(F.when((F.col("in_a") == 0)
+                               & (F.col("in_b") == 1),
+                               F.col("user_id"))).cast("long")
+        .alias("ex_bo"))
+    ratio = lambda c: (F.col(c).cast("double") / F.col("kp")  # noqa: E731
+                       * F.col("est_union"))
+    return (est.crossJoin(F.broadcast(exact))
+            .select(F.round("est_union", 6).alias("est_union"),
+                    F.round(ratio("n_ab"), 6).alias("est_inter"),
+                    F.round(ratio("n_ao"), 6).alias("est_a_only"),
+                    F.round(ratio("n_bo"), 6).alias("est_b_only"),
+                    F.col("ex_union").alias("exact_union"),
+                    F.col("ex_inter").alias("exact_inter"),
+                    F.col("ex_ao").alias("exact_a_only"),
+                    F.col("ex_bo").alias("exact_b_only")))
