@@ -575,3 +575,165 @@ def test_cochran_q_matches_python(spark, events_pdf):
     else:
         q = k * (k - 1) * ((C - T / k) ** 2).sum() / den
         assert abs(out["cochran_q"] - q) < 1e-5
+
+
+def _arm_of(salt, mod):
+    import hashlib
+
+    def f(ck):
+        h = hashlib.md5(f"{salt}{ck}".encode()).hexdigest()
+        return int(h[:15], 16) % mod
+    return f
+
+
+def test_levene_mean_matches_scipy_free(spark, orders_pdf):
+    out = _run(spark, "levene_mean_arms")
+    yc = (orders_pdf["o_totalprice"].astype(float) * 100).round() \
+        .astype(np.int64)
+    arms = orders_pdf["o_custkey"].map(_arm_of("r17:", 4))
+    groups = [yc[arms == a].to_numpy(float) for a in range(4)]
+    zs = [np.abs(g - g.mean()) for g in groups]
+    zb = [z.mean() for z in zs]
+    zsall = np.concatenate(zs)
+    zbar = zsall.mean()
+    num = sum(len(z) * (m - zbar) ** 2 for z, m in zip(zs, zb))
+    den = sum(((z - m) ** 2).sum() for z, m in zip(zs, zb))
+    w = (len(zsall) - 4) / 3 * num / den
+    got_w = out["levene_w"].iloc[0]
+    assert abs(got_w - w) < 1e-4
+    for _, row in out.iterrows():
+        assert abs(row["mean_absdev"]
+                   - zb[int(row["arm"])] / 100) < 1e-4
+
+
+def test_welch_anova_matches_scipy_free(spark, orders_pdf):
+    out = _run(spark, "welch_anova_arms").iloc[0]
+    yc = (orders_pdf["o_totalprice"].astype(float) * 100).round() \
+        .astype(np.int64)
+    arms = orders_pdf["o_custkey"].map(_arm_of("r17:", 4))
+    g = [yc[arms == a].to_numpy(float) for a in range(4)]
+    n = np.array([len(x) for x in g], float)
+    m = np.array([x.mean() for x in g])
+    v = np.array([x.var(ddof=1) for x in g])
+    w = n / v
+    mw = (w * m).sum() / w.sum()
+    k = 4
+    hsum = (((1 - w / w.sum()) ** 2) / (n - 1)).sum()
+    fstar = ((w * (m - mw) ** 2).sum() / (k - 1)) \
+        / (1 + 2 * (k - 2) / (k * k - 1) * hsum)
+    assert abs(out["weighted_mean"] - mw / 100) < 1e-3
+    assert abs(out["welch_f"] - fstar) < 1e-4
+    assert abs(out["df_denom"] - (k * k - 1) / (3 * hsum)) < 1e-3
+
+
+def test_tukey_q_pairs_matches(spark, orders_pdf):
+    out = _run(spark, "tukey_q_pairs")
+    assert len(out) == 6
+    yc = (orders_pdf["o_totalprice"].astype(float) * 100).round() \
+        .astype(np.int64)
+    arms = orders_pdf["o_custkey"].map(_arm_of("r17:", 4))
+    g = [yc[arms == a].to_numpy(float) for a in range(4)]
+    N = sum(len(x) for x in g)
+    sp2 = sum(((x - x.mean()) ** 2).sum() for x in g) / (N - 4)
+    for _, r in out.iterrows():
+        a, b = g[int(r["arm_a"])], g[int(r["arm_b"])]
+        q = abs(a.mean() - b.mean()) / math.sqrt(
+            sp2 / 2 * (1 / len(a) + 1 / len(b)))
+        assert abs(r["tukey_q"] - q) < 1e-4
+
+
+def test_jarque_bera_matches_numpy(spark, events_pdf):
+    out = _run(spark, "jarque_bera_daily").iloc[0]
+    x = _daily(events_pdf).to_numpy(dtype=float)
+    n = len(x)
+    m2 = ((x - x.mean()) ** 2).mean()
+    m3 = ((x - x.mean()) ** 3).mean()
+    m4 = ((x - x.mean()) ** 4).mean()
+    s = m3 / m2 ** 1.5
+    kk = m4 / m2 ** 2
+    jb = n / 6 * (s ** 2 + (kk - 3) ** 2 / 4)
+    assert abs(out["skewness"] - s) < 1e-5
+    assert abs(out["kurtosis"] - kk) < 1e-5
+    assert abs(out["jarque_bera"] - jb) < 1e-4
+
+
+def test_welch_t_matches_numpy(spark, orders_pdf):
+    out = _run(spark, "welch_t_parity").iloc[0]
+    yc = (orders_pdf["o_totalprice"].astype(float) * 100).round() \
+        .astype(np.int64)
+    grp = orders_pdf["o_custkey"].map(_arm_of("r17b:", 2))
+    a = yc[grp == 0].to_numpy(float)
+    b = yc[grp == 1].to_numpy(float)
+    se2 = a.var(ddof=1) / len(a) + b.var(ddof=1) / len(b)
+    t = (a.mean() - b.mean()) / math.sqrt(se2)
+    df = se2 ** 2 / ((a.var(ddof=1) / len(a)) ** 2 / (len(a) - 1)
+                     + (b.var(ddof=1) / len(b)) ** 2 / (len(b) - 1))
+    assert out["n_group0"] == len(a)
+    assert abs(out["welch_t"] - t) < 1e-4
+    assert abs(out["ws_df"] - df) < 1e-2
+
+
+def test_chow_matches_numpy(spark, events_pdf):
+    out = _run(spark, "chow_test_daily").iloc[0]
+    x = _daily(events_pdf)
+    t = x.index.to_numpy(dtype=float)
+    y = x.to_numpy(dtype=float)
+
+    def rss(tt, yy):
+        X = np.column_stack([np.ones(len(tt)), tt])
+        beta, *_ = np.linalg.lstsq(X, yy, rcond=None)
+        return float(((yy - X @ beta) ** 2).sum())
+
+    rp = rss(t, y)
+    m1 = t < 15
+    r1, r2 = rss(t[m1], y[m1]), rss(t[~m1], y[~m1])
+    f = ((rp - r1 - r2) / 2) / ((r1 + r2) / (len(t) - 4))
+    assert abs(out["rss_pooled"] - rp) < 1e-2
+    assert abs(out["chow_f"] - f) < 1e-4
+
+
+def test_page_trend_matches_python(spark, events_pdf):
+    out = _run(spark, "page_trend_test").iloc[0]
+    ts = pd.to_datetime(events_pdf["ts"])
+    # Spark dayofweek: Sunday=1; pandas dayofweek: Monday=0
+    dow = (ts.dt.dayofweek + 1) % 7 + 1
+    wk = ts - pd.to_timedelta(ts.dt.dayofweek, unit="D")
+    wk = wk.dt.floor("D")
+    df = pd.DataFrame({"wk": wk, "dow": dow}).groupby(
+        ["wk", "dow"]).size().rename("cnt").reset_index()
+    complete = df.groupby("wk").size()
+    complete = set(complete[complete == 7].index)
+    df = df[df.wk.isin(complete)]
+    L = 0.0
+    for _, g in df.groupby("wk"):
+        r = g["cnt"].rank(method="average")
+        L += float((g["dow"].to_numpy() * r.to_numpy()).sum())
+    b = len(complete)
+    k = 7.0
+    mean_l = b * k * (k + 1) ** 2 / 4
+    var_l = b * (k ** 3 - k) ** 2 / (144 * (k - 1))
+    assert out["n_blocks"] == b
+    assert abs(out["page_l"] - L) < 1e-6
+    assert abs(out["mean_l"] - mean_l) < 1e-6
+    if b:
+        assert abs(out["page_z"]
+                   - (L - mean_l) / math.sqrt(var_l)) < 1e-5
+
+
+def test_theta_setops_consistency(spark, events_pdf):
+    out = _run(spark, "theta_sketch_setops").iloc[0]
+    dist = events_pdf[events_pdf.event_type.isin(["view", "purchase"])]
+    a = set(dist[dist.event_type == "view"].user_id)
+    b = set(dist[dist.event_type == "purchase"].user_id)
+    assert out["exact_union"] == len(a | b)
+    assert out["exact_inter"] == len(a & b)
+    assert out["exact_a_only"] == len(a - b)
+    assert out["exact_b_only"] == len(b - a)
+    # estimates decompose: union = inter + a_only + b_only (exactly,
+    # since all share the same union-window denominator)
+    assert abs(out["est_union"]
+               - (out["est_inter"] + out["est_a_only"]
+                  + out["est_b_only"])) < 1e-4
+    # small population fits inside k=256 -> estimates are exact
+    if out["exact_union"] <= 256:
+        assert abs(out["est_union"] - out["exact_union"]) < 1e-6

@@ -4001,7 +4001,7 @@ v AS (
 ),
 pool AS (
     SELECT CAST(sum(n) AS BIGINT) AS ntot,
-           sum(ss / nd) AS ssw
+           sum(ss) AS ssw
     FROM v
 ),
 sp AS (
@@ -4036,7 +4036,7 @@ def tukey_q_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
          .cast("string").cast("double") / nd).alias("ss"))
         .localCheckpoint(eager=False))
     pool = v.agg(F.sum("n").cast("long").alias("ntot"),
-                 F.sum(F.col("ss") / F.col("nd")).alias("ssw"))
+                 F.sum("ss").alias("ssw"))
     sp = pool.select(
         "ntot",
         (F.col("ssw") / (F.col("ntot").cast("double")
