@@ -1532,3 +1532,77 @@ def test_stateful_page_hinkley_matches_batch_and_drops_replays(
     run("ph_out", "phck1")
     assert sorted(map(tuple, spark.read.parquet(
         str(tmp_path / "ph_out")).collect())) == got1
+
+
+def test_stateful_spc_matches_batch_and_drops_replays(
+        spark, sf_smoke, tmp_path):
+    """Streaming Western-Electric monitor (Phase-II fixed limits fed
+    the exact Phase-I values) must emit flag rows bit-equal to the
+    batch query over a monotone day split, and a duplicate batch
+    redelivered into the EXISTING checkpoint must be a strict
+    zero-row no-op."""
+    import math
+    import os
+
+    import pandas as pd
+
+    from travel_data_pipeline_spark.queries_round17 import (
+        _daily_counts,
+        spc_western_electric,
+    )
+
+    ev = load_table(spark, sf_smoke, "events")
+    daily = _daily_counts(ev).select(
+        F.col("t").cast("long").alias("t"),
+        F.col("cnt").cast("long").alias("cnt"))
+    pdf = daily.toPandas().sort_values("t")
+    # Phase-I limits with the batch query's exact-integer spelling
+    n = len(pdf)
+    sx = int(pdf["cnt"].sum())
+    sxx = int((pdf["cnt"].astype(object) ** 2).sum())
+    mu = sx / n
+    sigma = math.sqrt(n * float(sxx) - float(sx) * sx) / n
+
+    cut = pdf["t"].iloc[n // 2]
+    b1 = daily.filter(F.col("t") <= int(cut))
+    b2 = daily.filter(F.col("t") > int(cut))
+    feed = tmp_path / "spcfeed"
+    feed.mkdir()
+    for i, part_df in enumerate([b1, b2]):
+        p = str(feed / f"b{i}.parquet")
+        part_df.toPandas().to_parquet(p)
+        os.utime(p, (1700000000 + i * 60, 1700000000 + i * 60))
+
+    def run(outdir, ckpt):
+        stream = (spark.readStream.schema("t long, cnt long")
+                  .option("maxFilesPerTrigger", 1).parquet(str(feed)))
+        out = jobs.spc_stateful(stream, mu, sigma)
+        q = (out.writeStream.format("parquet")
+             .option("path", str(tmp_path / outdir))
+             .outputMode("append")
+             .option("checkpointLocation", str(tmp_path / ckpt))
+             .trigger(availableNow=True).start())
+        q.awaitTermination(180)
+
+    run("spc_out", "spcck1")
+    got = {r.t: r for r in
+           spark.read.parquet(str(tmp_path / "spc_out")).collect()}
+    want = {r.t: r for r in spc_western_electric(
+        spark, sf_smoke).collect()}
+    assert set(got) == set(want)
+    for t, w in want.items():
+        g = got[t]
+        assert repr(g.z) == repr(w.z), (t, g.z, w.z)
+        for rule in ("r1", "r2", "r3", "r4"):
+            assert getattr(g, rule) == getattr(w, rule), (t, rule)
+
+    # duplicate redelivery into the existing checkpoint: no-op
+    before = sorted(got)
+    dup = str(feed / "b0_redelivered.parquet")
+    b1.toPandas().to_parquet(dup)
+    os.utime(dup, (1700000300, 1700000300))
+    run("spc_out", "spcck1")
+    after = sorted(r.t for r in
+                   spark.read.parquet(str(tmp_path / "spc_out"))
+                   .collect())
+    assert after == before

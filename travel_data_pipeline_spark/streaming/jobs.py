@@ -1342,6 +1342,99 @@ def page_hinkley_stateful(daily_rows: DataFrame) -> DataFrame:
                                     "NoTimeout"))
 
 
+def spc_stateful(daily_rows: DataFrame, mu: float,
+                 sigma: float) -> DataFrame:
+    """Streaming Western-Electric control monitor — the Phase-II twin
+    of queries_round17.spc_western_electric: limits (mu, sigma) are
+    FIXED inputs (in production the Phase-I batch query fits them on
+    a reference window; the monitor then applies them to live data),
+    state = the trailing 8 z-side flags + the last folded day.
+
+    z = (cnt - mu) / sigma with mu/sigma passed as the SAME IEEE
+    doubles the batch spelling produces (exact-integer moments ->
+    identical division/sqrt), so every emitted flag row is bit-equal
+    to the batch query over any MONOTONE day split — asserted in
+    tests/test_streaming.py. Cross-batch days at or before last_t
+    drop (replay no-op), the page_hinkley contract.
+
+    Input: the daily count rows (t long, cnt long).
+    """
+    import pandas as pd  # noqa: F401
+
+    out_schema = T.StructType([
+        T.StructField("t", T.LongType()),
+        T.StructField("cnt", T.LongType()),
+        T.StructField("z", T.DoubleType()),
+        T.StructField("r1", T.BooleanType()),
+        T.StructField("r2", T.BooleanType()),
+        T.StructField("r3", T.BooleanType()),
+        T.StructField("r4", T.BooleanType()),
+    ])
+    state_schema = T.StructType([
+        # trailing window of raw z values (<= 8), oldest first
+        T.StructField("zs", T.ArrayType(T.DoubleType())),
+        T.StructField("last_t", T.LongType()),
+    ])
+
+    mu_l, sigma_l = float(mu), float(sigma)
+
+    def update(key, pdfs, state):
+        from decimal import ROUND_HALF_UP, Decimal
+
+        import pandas as pd
+
+        def r6(x):
+            return float(Decimal(repr(float(x))).quantize(
+                Decimal("0.000001"), rounding=ROUND_HALF_UP)) + 0.0
+
+        if state.exists:
+            zs, last_t = state.get
+            zs = list(zs)
+        else:
+            zs, last_t = [], None
+
+        out = {"t": [], "cnt": [], "z": [], "r1": [], "r2": [],
+               "r3": [], "r4": []}
+        chunks = [pdf for pdf in pdfs if len(pdf)]
+        if chunks:
+            batch = pd.concat(chunks).sort_values("t")
+            rows_iter = zip(batch["t"], batch["cnt"])
+        else:
+            rows_iter = []
+        for t, cnt in rows_iter:
+            t, cnt = int(t), int(cnt)
+            if last_t is not None and t <= last_t:
+                continue  # late cross-batch arrival / replay: drop
+            z = (float(cnt) - mu_l) / sigma_l
+            zs = (zs + [z])[-8:]
+            last_t = t
+            w3, w5, w8 = zs[-3:], zs[-5:], zs[-8:]
+            r2 = (len(w3) >= 3
+                  and (sum(1 for v in w3 if v > 2.0) >= 2
+                       or sum(1 for v in w3 if v < -2.0) >= 2))
+            r3 = (len(w5) >= 5
+                  and (sum(1 for v in w5 if v > 1.0) >= 4
+                       or sum(1 for v in w5 if v < -1.0) >= 4))
+            r4 = (len(w8) >= 8
+                  and (sum(1 for v in w8 if v > 0.0) >= 8
+                       or sum(1 for v in w8 if v < 0.0) >= 8))
+            out["t"].append(t)
+            out["cnt"].append(cnt)
+            out["z"].append(r6(z))
+            out["r1"].append(abs(z) > 3.0)
+            out["r2"].append(r2)
+            out["r3"].append(r3)
+            out["r4"].append(r4)
+
+        state.update((zs, last_t))
+        yield pd.DataFrame(out)
+
+    return (daily_rows.withColumn("g", F.lit(0)).groupBy("g")
+            .applyInPandasWithState(update, out_schema, state_schema,
+                                    "append",
+                                    "NoTimeout"))
+
+
 def weighted_reservoir_stream(incoming: DataFrame, state_path: str,
                               checkpoint: str,
                               k: int | None = None) -> StreamingQuery:
