@@ -183,11 +183,21 @@ def test_mood_median_matches_pandas(spark, orders_pdf):
         assert row["n_above"] == int((yc[mask] > med).sum())
 
 
-def test_cvm_nonneg_and_scale(spark):
+def test_cvm_matches_numpy(spark, orders_pdf):
     out = _run(spark, "cvm_two_sample").iloc[0]
+    yc = (orders_pdf["o_totalprice"].astype(float) * 100).round() \
+        .astype(np.int64)
+    grp = orders_pdf["o_custkey"].map(_arm_of("r17b:", 2))
+    a = np.sort(yc[grp == 0].to_numpy())
+    b = np.sort(yc[grp == 1].to_numpy())
+    n, m = len(a), len(b)
+    vals, l = np.unique(yc, return_counts=True)
+    fa = np.searchsorted(a, vals, side="right") / n
+    fb = np.searchsorted(b, vals, side="right") / m
+    t = n * m / (n + m) ** 2 * (l * (fa - fb) ** 2).sum()
+    assert out["n_group0"] == n and out["n_group1"] == m
+    assert abs(out["cvm_t"] - t) < 1e-6
     assert out["cvm_t"] >= 0.0
-    # T is bounded by roughly n*m/(n+m)^2 * N <= N/4
-    assert out["cvm_t"] < (out["n_group0"] + out["n_group1"]) / 4
 
 
 def test_ansari_bradley_z_reasonable(spark, orders_pdf):
@@ -202,10 +212,33 @@ def test_ansari_bradley_z_reasonable(spark, orders_pdf):
     assert abs(out["ab_z"]) < 6
 
 
-def test_ad_ksample_nonneg(spark):
+def test_ad_ksample_matches_python(spark, orders_pdf):
     out = _run(spark, "ad_ksample_arms").iloc[0]
-    assert out["ad_a2"] is not None
-    assert sum(out[f"n_arm{a}"] for a in range(4)) > 0
+    yc = (orders_pdf["o_totalprice"].astype(float) * 100).round() \
+        .astype(np.int64)
+    v = (yc // 10_000).to_numpy()
+    arms = orders_pdf["o_custkey"].map(_arm_of("r17:", 4)).to_numpy()
+    vals = np.unique(v)
+    N = len(v)
+    total = 0.0
+    for i in range(4):
+        vi = v[arms == i]
+        ni = len(vi)
+        inner = 0.0
+        for val in vals:
+            lj = int((v == val).sum())
+            B = int((v <= val).sum())
+            Mi = int((vi <= val).sum())
+            lij = int((vi == val).sum())
+            Ba = B - lj / 2
+            Ma = Mi - lij / 2
+            den = Ba * (N - Ba) - N * lj / 4
+            if den > 0:
+                inner += lj / N * (N * Ma - ni * Ba) ** 2 / den
+        total += inner / ni
+    a2 = (N - 1) / N * total
+    assert sum(out[f"n_arm{a}"] for a in range(4)) == N
+    assert abs(out["ad_a2"] - a2) < 1e-4
 
 
 def test_iv_wald_consistency(spark):
