@@ -1589,17 +1589,36 @@ def adamic_adar_from_edges(spark: SparkSession,
     n1 = adj.select(F.col("s").alias("z"), F.col("t").alias("a"))
     n2 = adj.select(F.col("s").alias("z"), F.col("t").alias("b"))
     cand = n1.join(n2, "z").filter(F.col("a") < F.col("b"))
-    nonedge = cand.join(
-        edges, (cand.a == edges.part_a) & (cand.b == edges.part_b),
-        "left_anti")
-    cn = nonedge.groupBy("a", "b").agg(
+    # count FIRST, anti-join the (a, b) AGGREGATE against edges: the
+    # anti-join probes |distinct candidate pairs| rows instead of the
+    # full capped expansion (measured 962M rows at 10M edges)
+    cn_all = cand.groupBy("a", "b").agg(
         F.count("*").alias("common_neighbors"))
+    cn = cn_all.join(
+        edges,
+        (cn_all.a == edges.part_a) & (cn_all.b == edges.part_b),
+        "left_anti")
     top = (cn.orderBy(F.col("common_neighbors").desc(), "a", "b")
            .limit(_AA_TOPK)
            .withColumn("rnk", F.row_number().over(
                Window.orderBy(F.col("common_neighbors").desc(),
-                              "a", "b"))))
-    aa = (nonedge.join(F.broadcast(top.select("a", "b")), ["a", "b"])
+                              "a", "b")))
+           .localCheckpoint(eager=True))
+    # the Adamic-Adar fold needs the common-neighbor LIST for the
+    # _AA_TOPK winners only — REBUILD those pairs' z-sets from the
+    # (broadcast) top node sets instead of re-deriving the full
+    # expansion (which the previous spelling did: nonedge was
+    # consumed twice with no checkpoint, so the 962M-pair expansion
+    # and anti-join ran TWICE in the 10M-edge certification)
+    ta = top.select(F.col("a")).distinct()
+    tb = top.select(F.col("b")).distinct()
+    na = (adj.join(F.broadcast(ta), adj.t == ta.a)
+          .select(F.col("s").alias("z"), "a"))
+    nb = (adj.join(F.broadcast(tb), adj.t == tb.b)
+          .select(F.col("s").alias("z"), "b"))
+    cand_top = (na.join(nb, "z")
+                .join(F.broadcast(top.select("a", "b")), ["a", "b"]))
+    aa = (cand_top
           .join(deg.select(F.col("node").alias("z"),
                            F.col("d").alias("dz")), "z")
           .groupBy("a", "b")
