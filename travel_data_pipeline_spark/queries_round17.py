@@ -698,10 +698,18 @@ mom AS (
     FROM daily
 ),
 z AS (
+    -- zero-variance guard: ANSI division by zero is an ERROR in
+    -- Spark 4; a constant series yields NULL z (and the downstream
+    -- CASE flags fall to their ELSE in both engines identically)
     SELECT d.t, d.cnt,
-           (CAST(d.cnt AS DOUBLE) - CAST(m.sx AS DOUBLE) / m.n)
-             / (sqrt(m.n * CAST(CAST(m.sxx AS VARCHAR) AS DOUBLE)
-                     - CAST(m.sx AS DOUBLE) * m.sx) / m.n) AS zv
+           CASE WHEN m.n * CAST(CAST(m.sxx AS VARCHAR) AS DOUBLE)
+                     - CAST(m.sx AS DOUBLE) * m.sx <= 0.0 THEN NULL
+                ELSE (CAST(d.cnt AS DOUBLE)
+                      - CAST(m.sx AS DOUBLE) / m.n)
+                     / (sqrt(m.n * CAST(CAST(m.sxx AS VARCHAR)
+                                        AS DOUBLE)
+                             - CAST(m.sx AS DOUBLE) * m.sx) / m.n)
+           END AS zv
     FROM daily d CROSS JOIN mom m
 ),
 flags AS (
@@ -744,10 +752,12 @@ def spc_western_electric(spark: SparkSession,
         F.sum("cnt").cast("long").alias("sx"),
         dec(F.sum(dec(F.col("cnt")) * F.col("cnt"))).alias("sxx"))
     nd = F.col("n")
-    zv = ((F.col("cnt").cast("double")
-           - F.col("sx").cast("double") / nd)
-          / (F.sqrt(nd * F.col("sxx").cast("string").cast("double")
-                    - F.col("sx").cast("double") * F.col("sx")) / nd))
+    var_n = (nd * F.col("sxx").cast("string").cast("double")
+             - F.col("sx").cast("double") * F.col("sx"))
+    zv = (F.when(var_n <= 0.0, F.lit(None).cast("double"))
+          .otherwise((F.col("cnt").cast("double")
+                      - F.col("sx").cast("double") / nd)
+                     / (F.sqrt(var_n) / nd)))
     z = (daily.crossJoin(F.broadcast(mom))
          .select("t", "cnt", zv.alias("zv")))
     flg = lambda c: F.when(c, 1).otherwise(0)  # noqa: E731

@@ -1377,6 +1377,11 @@ def spc_stateful(daily_rows: DataFrame, mu: float,
     ])
 
     mu_l, sigma_l = float(mu), float(sigma)
+    if not sigma_l > 0.0:
+        raise ValueError("spc_stateful: sigma must be > 0 "
+                         "(the batch query yields NULL z on a "
+                         "zero-variance series; a Phase-II monitor "
+                         "needs real limits)")
 
     def update(key, pdfs, state):
         from decimal import ROUND_HALF_UP, Decimal
