@@ -214,20 +214,27 @@ def main() -> None:
         except (OSError, ValueError):
             return None
 
+    # The divert decision is made ONCE against the SF-suffixed
+    # sidecar's record and applied to every sidecar (review r12: a
+    # per-sidecar decision could leave BENCH_LAST.json and
+    # BENCH_LAST_sf0.1.json holding DIFFERENT runs when their prior
+    # records were taken under different loads).
+    prev_load = _recorded_load(os.path.join(REPO_ROOT, sidecars[0])) \
+        if sidecars else None
+    # A loaded run (load > 2) normally diverts to the LOADED
+    # sidecar — EXCEPT when the standing record was itself taken
+    # under even heavier load (ADVICE r11: a 2.5-load run must be
+    # able to replace a 5.0-load record; before this clause a
+    # loaded record could only ever be refreshed by a fully idle
+    # run).
+    calmer_than_record = (prev_load is not None and prev_load > 2.0
+                          and load_1min is not None
+                          and load_1min < prev_load)
+    divert = (not errors and load_1min is not None
+              and load_1min > 2.0 and not calmer_than_record)
     for sidecar in sidecars:
         path = os.path.join(REPO_ROOT, sidecar)
-        prev_load = _recorded_load(path)
-        # A loaded run (load > 2) normally diverts to the LOADED
-        # sidecar — EXCEPT when the standing record was itself taken
-        # under even heavier load (ADVICE r11: a 2.5-load run must be
-        # able to replace a 5.0-load record; before this clause a
-        # loaded record could only ever be refreshed by a fully idle
-        # run).
-        calmer_than_record = (prev_load is not None and prev_load > 2.0
-                              and load_1min is not None
-                              and load_1min < prev_load)
-        if (not errors and load_1min is not None and load_1min > 2.0
-                and not calmer_than_record):
+        if divert:
             # SF-suffixed so loaded runs at different scales don't
             # clobber each other's preserved record (review r11)
             print(f"bench: load_1min={load_1min} > 2.0 — keeping the "

@@ -103,8 +103,12 @@ def main(n_rows: int = 10_000_000) -> None:
     per_k = [round_secs[i:i + _N_PEEL]
              for i in range(0, len(round_secs), _N_PEEL)]
 
-    def flat(rs):
-        rs = rs[1:] if len(rs) > 2 else rs  # drop the warmup round
+    def flat(rs, first_k):
+        # only round 1 of the FIRST k is codegen warmup; later ks
+        # must certify ALL their rounds (review r12 — silently
+        # dropping their first round could hide real lineage growth)
+        if first_k and len(rs) > 2:
+            rs = rs[1:]
         return round(max(rs) / min(rs), 2) if rs else None
 
     print(json.dumps({
@@ -121,7 +125,8 @@ def main(n_rows: int = 10_000_000) -> None:
         "kcore_edges_per_sec": int(n_edges / t_kc),
         "kcore_round_secs_per_k": [[round(t, 2) for t in rs]
                                    for rs in per_k],
-        "kcore_round_flatness_per_k": [flat(rs) for rs in per_k],
+        "kcore_round_flatness_per_k": [flat(rs, i == 0)
+                                       for i, rs in enumerate(per_k)],
         "kcore_results": sorted((r.k, r.n_core_nodes, r.converged)
                                 for r in kc_rows),
     }))

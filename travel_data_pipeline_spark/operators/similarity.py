@@ -341,11 +341,18 @@ def _probe_assign_route(embeddings: DataFrame, centroids: DataFrame,
     over many searches via the ``assignments=`` seam (callers who
     inject a pre-built index never pay it)."""
     n_cent = centroids.count()
-    row = embeddings.agg(
-        F.count("*").alias("n"),
-        F.first(F.size(F.col(vec_col)), ignorenulls=True).alias("dim")).first()
+    # null vectors are excluded: size(NULL) is -1 on non-ANSI
+    # sessions (review r12 — a poisoned first row could force a
+    # negative cost estimate and silently pin the expr route)
+    row = (embeddings.filter(F.col(vec_col).isNotNull())
+           .agg(F.count("*").alias("n"),
+                F.first(F.size(F.col(vec_col)), ignorenulls=True)
+                .alias("dim"))
+           .first())
     n_vec = int(row["n"] or 0)
     dim = int(row["dim"] or 0)
+    if dim <= 0:
+        return "expr"
     return route_assign_impl(n_vec, n_cent, dim)
 
 

@@ -1084,18 +1084,22 @@ def brown_forsythe_arms(spark: SparkSession, sf_dir: str) -> DataFrame:
     vals = (units.groupBy("arm", "yc").agg(F.count("*").alias("cnt"))
             .localCheckpoint(eager=False))
     # global (arm-major, value) order; per-arm cum = global cum minus
-    # the broadcast offset of all lower arms. Arm spacing 1e17 keeps
+    # the broadcast offset of all lower arms. Arm spacing 2e17 keeps
     # bucket_on non-decreasing for the ENTIRE long domain of yc
     # (ADVICE r11: the old 1e9 spacing silently broke monotonicity
-    # past yc = 1e11 cents): yc/100 <= 9.3e16 < 1e17 for any long,
-    # arm*1e17 is exact in double, and round-to-nearest addition is
-    # weakly monotone — so f(arm2,yc2) >= f(arm1,yc1) whenever
-    # (arm2,yc2) >= (arm1,yc1). The ~16-unit double granularity at
-    # 1e17 only coarsens quantile SPLITS (perf), never the order
-    # contract two_phase_ordered requires.
+    # past yc = 1e11 cents; review r12: 1e17 still required
+    # range(yc) < 1e19, which mixed-sign longs can exceed):
+    # adjacent-arm monotonicity needs max(yc)/100 - min(yc)/100
+    # <= spacing, and the full long range is 1.85e19/100 = 1.85e17
+    # <= 2e17. arm*2e17 is exact in double, and round-to-nearest
+    # addition is weakly monotone — so f(arm2,yc2) >= f(arm1,yc1)
+    # whenever (arm2,yc2) >= (arm1,yc1), for ANY long yc. The
+    # ~32-unit double granularity at 2e17 only coarsens quantile
+    # SPLITS (perf), never the order contract two_phase_ordered
+    # requires.
     ranked = two_phase_ordered(
         vals, [F.col("arm").asc(), F.col("yc").asc()],
-        bucket_on=F.col("arm").cast("double") * 1e17
+        bucket_on=F.col("arm").cast("double") * 2e17
         + F.col("yc").cast("double") / 100.0,
         cumsum_cols={"cnt": "cum"})
     arms_tot = vals.groupBy("arm").agg(

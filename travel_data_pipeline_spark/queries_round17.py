@@ -44,20 +44,14 @@ from travel_data_pipeline_spark.functions.parity import round_sql
 from travel_data_pipeline_spark.registry import register
 from travel_data_pipeline_spark.sources.readers import load_table
 
-_DAY_ANCHOR = "2024-01-01"
-
-_DAILY_SQL = (f"SELECT date_diff('day', TIMESTAMP '{_DAY_ANCHOR}', "
-              f"date_trunc('day', ts)) AS t, count(*) AS cnt "
-              f"FROM events {{where}} GROUP BY 1")
-
-
-def _daily_counts(ev: DataFrame, event_type: str | None = None):
-    d = ev if event_type is None else ev.filter(
-        F.col("event_type") == event_type)
-    return (d.groupBy(
-        F.datediff(F.date_trunc("day", "ts"),
-                   F.lit(_DAY_ANCHOR).cast("timestamp")).alias("t"))
-        .agg(F.count("*").alias("cnt")))
+# the day-grid helpers are SHARED with queries_round16 (review r12:
+# a duplicated copy would let the two modules' grids silently
+# desynchronize)
+from travel_data_pipeline_spark.queries_round16 import (  # noqa: E402
+    _DAILY_SQL,
+    _DAY_ANCHOR,
+    _daily_counts,
+)
 
 
 # ---------------------------------------------------------------------------
@@ -1019,11 +1013,14 @@ gr AS (
 ),
 tl AS (SELECT rn, t, gain FROM gl ORDER BY gain DESC, rn ASC LIMIT 1),
 tr AS (SELECT rn, t, gain FROM gr ORDER BY gain DESC, rn ASC LIMIT 1)
+-- FROM-less legs throughout: every depth row survives a degenerate
+-- series (empty t1) with NULL splits, matching the Spark side's
+-- seeded left joins (review r12)
 SELECT 1 AS depth, CAST(1 AS BIGINT) AS seg_lo,
        (SELECT CAST(n AS BIGINT) FROM tot) AS seg_hi,
-       CAST(rn1 AS BIGINT) AS split_rn, CAST(t1 AS BIGINT) AS split_t,
-       {round_sql('gain1')} AS gain
-FROM t1
+       (SELECT CAST(rn1 AS BIGINT) FROM t1) AS split_rn,
+       (SELECT CAST(t1 AS BIGINT) FROM t1) AS split_t,
+       (SELECT {round_sql('gain1')} FROM t1) AS gain
 UNION ALL
 SELECT 2, CAST(1 AS BIGINT), (SELECT CAST(rn1 AS BIGINT) FROM t1),
        (SELECT CAST(rn AS BIGINT) FROM tl),
@@ -1099,25 +1096,30 @@ def binseg_double_changepoint(spark: SparkSession,
     tl = gl.orderBy(F.col("gain").desc(), F.col("rn").asc()).limit(1)
     tr = gr.orderBy(F.col("gain").desc(), F.col("rn").asc()).limit(1)
     lng = lambda c: c.cast("long")  # noqa: E731
-    root = (t1.crossJoin(F.broadcast(n_row))
-            .select(F.lit(1).cast("int").alias("depth"),
-                    F.lit(1).cast("long").alias("seg_lo"),
-                    lng(F.col("n")).alias("seg_hi"),
-                    lng(F.col("rn1")).alias("split_rn"),
-                    lng(F.col("t1v")).alias("split_t"),
-                    F.round("gain1", 6).alias("gain")))
+    # seed one literal row and LEFT-join everything onto it so a
+    # degenerate series (< 2 daily rows -> empty t1/tl/tr) still
+    # emits all three rows with NULL splits — matching the oracle's
+    # FROM-less scalar-subquery legs (review r12: the previous
+    # spelling dropped rows the oracle kept)
+    seed = spark.range(1).select(F.lit(1).alias("_one"))
+    base = (seed
+            .join(F.broadcast(t1), F.lit(True), "left")
+            .join(F.broadcast(n_row), F.lit(True), "left"))
+    root = base.select(
+        F.lit(1).cast("int").alias("depth"),
+        F.lit(1).cast("long").alias("seg_lo"),
+        lng(F.col("n")).alias("seg_hi"),
+        lng(F.col("rn1")).alias("split_rn"),
+        lng(F.col("t1v")).alias("split_t"),
+        F.round("gain1", 6).alias("gain"))
 
     def child(depth, lo_col, hi_col, pick):
-        # LEFT join so a child with no split candidates still emits
-        # its row with NULL split (the oracle's scalar subqueries
-        # return NULL on empty, never drop the row)
-        base = (t1.crossJoin(F.broadcast(n_row))
-                .join(F.broadcast(
-                    pick.select(F.col("rn").alias("prn"),
-                                F.col("t").alias("pt"),
-                                F.col("gain").alias("pg"))),
-                    F.lit(True), "left"))
-        return base.select(
+        b2 = base.join(F.broadcast(
+            pick.select(F.col("rn").alias("prn"),
+                        F.col("t").alias("pt"),
+                        F.col("gain").alias("pg"))),
+            F.lit(True), "left")
+        return b2.select(
             F.lit(depth).cast("int").alias("depth"),
             lo_col.alias("seg_lo"), hi_col.alias("seg_hi"),
             lng(F.col("prn")).alias("split_rn"),
