@@ -2537,7 +2537,10 @@ def mtld_lexical_diversity(spark: SparkSession,
 #   WS(v) = 0.15 + 0.85 * sum_u (w_uv / out_w(u)) * WS(u)
 # for _TR_ITER rounds. The vocab is bounded (50 nodes), every
 # contribution sum is order-pinned by source token (the HITS
-# spelling), and the corpus-sized pass is the one position explode.
+# spelling), and pair generation is LINEAR: zip-with-tail on the
+# Spark side, lead(tok, k) on the oracle side — O(W*n) per doc,
+# never the quadratic position-range self-join (r12 `weak`, fixed
+# round 13).
 # ---------------------------------------------------------------------------
 
 _TR_VOCAB = 50
@@ -2547,6 +2550,15 @@ _TR_TOPK = 15
 
 
 def _textrank_oracle() -> str:
+    # Linear window-`_TR_WIN` pairing: lead(tok, k) over (doc, pos) for
+    # k = 1.._TR_WIN — exactly the (pos, pos+k) pairs the old
+    # position-range self-join enumerated quadratically, in O(W*n).
+    lead_cols = ",\n           ".join(
+        f"lead(tok, {k}) OVER (PARTITION BY doc_id ORDER BY pos)"
+        f" AS nx{k}" for k in range(1, _TR_WIN + 1))
+    lead_union = "\n    UNION ALL\n    ".join(
+        f"SELECT tok AS pa, nx{k} AS pb FROM leads"
+        f" WHERE nx{k} IS NOT NULL" for k in range(1, _TR_WIN + 1))
     iters = []
     prev = "ws0"
     for t in range(1, _TR_ITER + 1):
@@ -2580,16 +2592,22 @@ vocab AS MATERIALIZED (
         FROM toks GROUP BY tok
     ) WHERE rn <= {_TR_VOCAB}
 ),
+leads AS MATERIALIZED (
+    SELECT {lead_cols},
+           tok
+    FROM toks
+),
+lpairs AS (
+    {lead_union}
+),
 cooc AS MATERIALIZED (
-    SELECT CASE WHEN a.tok < b.tok THEN a.tok ELSE b.tok END AS ta,
-           CASE WHEN a.tok < b.tok THEN b.tok ELSE a.tok END AS tb,
+    SELECT CASE WHEN pa < pb THEN pa ELSE pb END AS ta,
+           CASE WHEN pa < pb THEN pb ELSE pa END AS tb,
            CAST(count(*) AS DOUBLE) AS w
-    FROM toks a JOIN toks b
-      ON b.doc_id = a.doc_id
-     AND b.pos > a.pos AND b.pos <= a.pos + {_TR_WIN}
-    JOIN vocab va ON va.token = a.tok
-    JOIN vocab vb ON vb.token = b.tok
-    WHERE a.tok <> b.tok
+    FROM lpairs
+    JOIN vocab va ON va.token = pa
+    JOIN vocab vb ON vb.token = pb
+    WHERE pa <> pb
     GROUP BY 1, 2
 ),
 dedges AS MATERIALIZED (
@@ -2612,33 +2630,43 @@ FROM (
 """
 
 
-@register("textrank_keywords", lambda: _textrank_oracle())
-def textrank_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TextRank keyword scores over the top-50-token co-occurrence
-    graph (window 2, damping 0.85, 5 iterations), top-15."""
-    from travel_data_pipeline_spark.operators import text
+def textrank_from_arrays(spark: SparkSession, arrs: DataFrame,
+                         *, vocab_n: int = _TR_VOCAB,
+                         win: int = _TR_WIN, iters: int = _TR_ITER,
+                         topk: int = _TR_TOPK) -> DataFrame:
+    """TextRank over per-document token arrays (column ``t``,
+    array<string>) — the hits_from_edges-style stress seam.
 
-    docs = load_table(spark, sf_dir, "documents")
-    toks = (docs.select(
-        "doc_id",
-        F.posexplode(text.token_array(F.col("text")))
-        .alias("pos0", "tok"))
-        .select("doc_id", (F.col("pos0") + 1).alias("pos"), "tok"))
-    wv = Window.orderBy(F.col("cnt").desc(), F.col("tok").asc())
-    vocab = (toks.groupBy("tok").agg(F.count("*").alias("cnt"))
-             .withColumn("rn", F.row_number().over(wv))
-             .filter(F.col("rn") <= _TR_VOCAB)
+    Pair generation is LINEAR (zip-with-tail): token (i, i+k) pairs
+    for k = 1..win via ``zip_with(slice(t, 1, n-k), slice(t, 1+k,
+    n-k))`` — one corpus scan, no self-join, no per-doc quadratic
+    blowup (the r12 `weak`). The vocab top-N is an orderBy().limit()
+    (TakeOrderedAndProject — never a partitionless row_number over
+    the data-scaled distinct-token relation). Contribution sums in
+    the power iteration stay order-pinned by source token.
+    """
+    arrs = arrs.select("t")
+
+    def zw(k: int):
+        ln = F.greatest(F.size("t") - k, F.lit(0))
+        return F.zip_with(
+            F.slice("t", F.lit(1), ln),
+            F.slice("t", F.lit(1 + k), ln),
+            lambda x, y: F.struct(x.alias("a"), y.alias("b")))
+
+    vocab = (arrs.select(F.explode("t").alias("tok"))
+             .groupBy("tok").agg(F.count("*").alias("cnt"))
+             .orderBy(F.col("cnt").desc(), F.col("tok").asc())
+             .limit(vocab_n)
              .select(F.col("tok").alias("token"))
              .localCheckpoint(eager=False))
-    a = toks.select("doc_id", F.col("pos").alias("pa"),
-                    F.col("tok").alias("ta0"))
-    b = toks.select(F.col("doc_id").alias("doc_b"),
-                    F.col("pos").alias("pb"),
-                    F.col("tok").alias("tb0"))
-    cooc = (a.join(b, (F.col("doc_b") == F.col("doc_id"))
-                   & (F.col("pb") > F.col("pa"))
-                   & (F.col("pb") <= F.col("pa") + _TR_WIN))
-            .filter(F.col("ta0") != F.col("tb0"))
+    pairs = (arrs.select(F.explode(
+                 F.concat(*[zw(k) for k in range(1, win + 1)]))
+                 .alias("p"))
+             .select(F.col("p.a").alias("ta0"),
+                     F.col("p.b").alias("tb0"))
+             .filter(F.col("ta0") != F.col("tb0")))
+    cooc = (pairs
             .join(F.broadcast(vocab.select(
                 F.col("token").alias("ta0"))), "ta0")
             .join(F.broadcast(vocab.select(
@@ -2657,7 +2685,7 @@ def textrank_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
             .localCheckpoint(eager=True))
     ws = vocab.select(F.col("token").alias("node"),
                       F.lit(1.0).alias("v"))
-    for _ in range(_TR_ITER):
+    for _ in range(iters):
         contrib = (dedges.join(sumw, "src")
                    .join(ws.select(F.col("node").alias("src"),
                                    F.col("v")), "src")
@@ -2678,10 +2706,22 @@ def textrank_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
               .localCheckpoint(eager=True))
     wr = Window.orderBy(F.col("v").desc(), F.col("node").asc())
     return (ws.withColumn("rnk", F.row_number().over(wr))
-            .filter(F.col("rnk") <= _TR_TOPK)
+            .filter(F.col("rnk") <= topk)
             .select(F.col("node").alias("token"),
                     F.round("v", 6).alias("score"),
                     F.col("rnk").cast("int")))
+
+
+@register("textrank_keywords", lambda: _textrank_oracle())
+def textrank_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TextRank keyword scores over the top-50-token co-occurrence
+    graph (window 2, damping 0.85, 5 iterations), top-15. Pairing is
+    the linear zip-with-tail form (see textrank_from_arrays)."""
+    from travel_data_pipeline_spark.operators import text
+
+    docs = load_table(spark, sf_dir, "documents")
+    arrs = docs.select(text.token_array(F.col("text")).alias("t"))
+    return textrank_from_arrays(spark, arrs)
 
 
 # ---------------------------------------------------------------------------
