@@ -796,3 +796,719 @@ def runs_up_down_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(16 * nobs - 29 <= 0, F.lit(None).cast("double"))
         .otherwise(F.round((F.col("r").cast("double") - e)
                            / F.sqrt(v), 6) + 0.0).alias("z"))
+
+
+# ---------------------------------------------------------------------------
+# Batch C — forecast evaluation over the daily grid.
+#
+# MASE and max-drawdown are INTEGER arithmetic until the final
+# division (lag diffs, prefix sums, running maxes of n*P_i - i*S);
+# the theta method's SES is the one inherent recurrence — an
+# order-pinned fold with the identical IEEE op sequence on both
+# engines (the ewma_values_per_user discipline, incl. its oracle
+# rounding spelling).
+# ---------------------------------------------------------------------------
+
+_THETA_ALPHA = 0.3
+_THETA_H = 7
+
+
+@register("theta_method_forecast", f"""
+WITH daily AS ({_DAILY_SQL.format(where="")}),
+mom AS (
+    SELECT CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(t) AS BIGINT) AS st,
+           CAST(sum(cnt) AS BIGINT) AS sy,
+           CAST(sum(t * cnt) AS BIGINT) AS sty,
+           CAST(sum(t * t) AS BIGINT) AS stt,
+           CAST(max(t) AS BIGINT) AS tmax
+    FROM daily
+),
+fit AS (
+    SELECT n, tmax,
+           CAST(n * sty - st * sy AS DOUBLE)
+             / CAST(n * stt - st * st AS DOUBLE) AS b,
+           (CAST(sy AS DOUBLE)
+            - CAST(n * sty - st * sy AS DOUBLE)
+              / CAST(n * stt - st * st AS DOUBLE) * st) / n AS a
+    FROM mom
+),
+lvl AS (
+    SELECT list_reduce(
+               list(2.0 * d.cnt - (f.a + f.b * d.t) ORDER BY d.t),
+               (acc, x) -> {_THETA_ALPHA} * x
+                           + {1.0 - _THETA_ALPHA} * acc) AS l,
+           f.n, f.tmax, f.a, f.b
+    FROM daily d CROSS JOIN fit f
+    GROUP BY f.n, f.tmax, f.a, f.b
+)
+SELECT CAST(h.h AS INT) AS h, n AS n_days,
+       {round_sql('0.5 * l + 0.5 * (a + b * (tmax + h.h))')}
+         + 0.0 AS forecast
+FROM lvl CROSS JOIN (SELECT unnest(generate_series(1, {_THETA_H}))
+                     AS h) h
+ORDER BY h
+""")
+def theta_method_forecast(spark: SparkSession,
+                          sf_dir: str) -> DataFrame:
+    """Theta-method forecast (theta=2) of daily counts, h=1..7:
+    0.5 * SES(theta line, alpha=0.3) + 0.5 * trend extrapolation.
+    Trend from exact integer moments; the SES fold is order-pinned
+    by day with the identical recurrence on both engines."""
+    ev = load_table(spark, sf_dir, "events")
+    daily = _daily_counts(ev).localCheckpoint(eager=False)
+    mom = daily.agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("t").cast("long").alias("st"),
+        F.sum("cnt").cast("long").alias("sy"),
+        F.sum(F.col("t") * F.col("cnt")).cast("long").alias("sty"),
+        F.sum(F.col("t") * F.col("t")).cast("long").alias("stt"),
+        F.max("t").cast("long").alias("tmax"))
+    bnum = (F.col("n") * F.col("sty") - F.col("st") * F.col("sy"))
+    bden = (F.col("n") * F.col("stt") - F.col("st") * F.col("st"))
+    b = bnum.cast("double") / bden.cast("double")
+    fit = mom.select(
+        "n", "tmax", b.alias("b"),
+        ((F.col("sy").cast("double") - b * F.col("st")) / F.col("n"))
+        .alias("a"))
+    v = (2.0 * F.col("cnt")
+         - (F.col("a") + F.col("b") * F.col("t")))
+    lvl = (daily.crossJoin(F.broadcast(fit))
+           .groupBy("n", "tmax", "a", "b")
+           .agg(F.aggregate(
+               F.slice(F.array_sort(F.collect_list(
+                   F.struct("t", v.alias("v")))), 2, 1_000_000),
+               F.element_at(F.array_sort(F.collect_list(
+                   F.struct("t", v.alias("v")))), 1)["v"],
+               lambda acc, x: F.lit(_THETA_ALPHA) * x["v"]
+               + F.lit(1.0 - _THETA_ALPHA) * acc).alias("l")))
+    hs = lvl.select(
+        "n", "tmax", "a", "b", "l",
+        F.explode(F.sequence(F.lit(1), F.lit(_THETA_H))).alias("h"))
+    return (hs.select(
+        F.col("h").cast("int").alias("h"),
+        F.col("n").alias("n_days"),
+        (F.round(0.5 * F.col("l")
+                 + 0.5 * (F.col("a")
+                          + F.col("b") * (F.col("tmax") + F.col("h"))),
+                 6) + 0.0).alias("forecast"))
+        .orderBy("h"))
+
+
+@register("mase_seasonal_naive", f"""
+WITH daily AS ({_DAILY_SQL.format(where="")}),
+l7 AS (
+    SELECT CAST(count(*) AS BIGINT) AS m7,
+           CAST(sum(abs(a.cnt - b.cnt)) AS BIGINT) AS e7
+    FROM daily a JOIN daily b ON a.t = b.t + 7
+),
+l1 AS (
+    SELECT CAST(count(*) AS BIGINT) AS m1,
+           CAST(sum(abs(a.cnt - b.cnt)) AS BIGINT) AS e1
+    FROM daily a JOIN daily b ON a.t = b.t + 1
+)
+SELECT m7, m1,
+       {round_sql('CAST(e7 AS DOUBLE) / m7')} + 0.0 AS mae_seasonal,
+       {round_sql('CAST(e1 AS DOUBLE) / m1')} + 0.0 AS mae_naive,
+       CASE WHEN e1 = 0 THEN NULL
+            ELSE {round_sql('(CAST(e7 AS DOUBLE) / m7)'
+                            ' / (CAST(e1 AS DOUBLE) / m1)')} + 0.0
+       END AS mase
+FROM l7 CROSS JOIN l1
+""")
+def mase_seasonal_naive(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MASE of the seasonal-naive (lag-7) forecast against the lag-1
+    naive baseline on daily counts — pure integer absolute-error
+    sums via equi-joins on the bounded grid; one double expression."""
+    ev = load_table(spark, sf_dir, "events")
+    daily = _daily_counts(ev).localCheckpoint(eager=False)
+
+    def lagged(k: int, mcol: str, ecol: str):
+        a = daily.select(F.col("t").alias("ta"),
+                         F.col("cnt").alias("ca"))
+        b = daily.select(F.col("t").alias("tb"),
+                         F.col("cnt").alias("cb"))
+        return (a.join(b, F.col("ta") == F.col("tb") + k)
+                .agg(F.count("*").cast("long").alias(mcol),
+                     F.sum(F.abs(F.col("ca") - F.col("cb")))
+                     .cast("long").alias(ecol)))
+
+    j = lagged(7, "m7", "e7").crossJoin(F.broadcast(lagged(1, "m1", "e1")))
+    mae7 = F.col("e7").cast("double") / F.col("m7")
+    mae1 = F.col("e1").cast("double") / F.col("m1")
+    return j.select(
+        "m7", "m1",
+        (F.round(mae7, 6) + 0.0).alias("mae_seasonal"),
+        (F.round(mae1, 6) + 0.0).alias("mae_naive"),
+        F.when(F.col("e1") == 0, F.lit(None).cast("double"))
+        .otherwise(F.round(mae7 / mae1, 6) + 0.0).alias("mase"))
+
+
+@register("ma7_decomposition_daily", f"""
+WITH daily AS ({_DAILY_SQL.format(where="")}),
+win AS (
+    SELECT t, cnt,
+           CAST(sum(cnt) OVER (ORDER BY t
+               ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING) AS BIGINT)
+             AS wsum,
+           CAST(count(*) OVER (ORDER BY t
+               ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING) AS BIGINT)
+             AS wcnt
+    FROM daily
+)
+SELECT ((t % 7) + 7) % 7 AS dow,
+       CAST(count(*) AS BIGINT) AS n_days,
+       {round_sql('CAST(sum(7 * cnt - wsum) AS DOUBLE)'
+                  ' / (7.0 * count(*))')} + 0.0 AS seasonal_idx
+FROM win WHERE wcnt = 7
+GROUP BY 1 ORDER BY 1
+""")
+def ma7_decomposition_daily(spark: SparkSession,
+                            sf_dir: str) -> DataFrame:
+    """Centered MA(7) decomposition of daily counts: per-day-of-week
+    seasonal index = mean of (y - MA7) over full windows. The
+    detrended numerator 7y - window_sum stays INTEGER; one double
+    division per dow row."""
+    ev = load_table(spark, sf_dir, "events")
+    daily = _daily_counts(ev)
+    w = Window.orderBy("t").rowsBetween(-3, 3)
+    win = daily.select(
+        "t", "cnt",
+        F.sum("cnt").over(w).cast("long").alias("wsum"),
+        F.count("*").over(w).cast("long").alias("wcnt"))
+    return (win.filter(F.col("wcnt") == 7)
+            .groupBy(F.pmod(F.col("t"), F.lit(7)).alias("dow"))
+            .agg(F.count("*").cast("long").alias("n_days"),
+                 (F.round(F.sum(7 * F.col("cnt") - F.col("wsum"))
+                          .cast("double") / (7.0 * F.count("*")), 6)
+                  + 0.0).alias("seasonal_idx"))
+            .orderBy("dow"))
+
+
+@register("max_drawdown_daily", f"""
+WITH daily AS ({_DAILY_SQL.format(where="")}),
+mom AS (
+    SELECT CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(cnt) AS BIGINT) AS s
+    FROM daily
+),
+pre AS (
+    SELECT t, row_number() OVER (ORDER BY t) AS i,
+           CAST(sum(cnt) OVER (ORDER BY t) AS BIGINT) AS p
+    FROM daily
+),
+dev AS (
+    SELECT t, m.n, m.s, m.n * p - i * m.s AS a
+    FROM pre CROSS JOIN mom m
+),
+dd AS (
+    SELECT t, n,
+           CAST(max(a) OVER (ORDER BY t) - a AS BIGINT) AS d
+    FROM dev
+),
+mx AS (SELECT CAST(max(d) AS BIGINT) AS dmax FROM dd)
+SELECT d0.n AS n_days,
+       {round_sql('CAST(mx.dmax AS DOUBLE) / d0.n')}
+         + 0.0 AS max_drawdown,
+       CAST(min(d0.t) AS BIGINT) AS trough_day
+FROM dd d0 CROSS JOIN mx WHERE d0.d = mx.dmax
+GROUP BY d0.n, mx.dmax
+""")
+def max_drawdown_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maximum drawdown of the mean-centered cumulative daily count
+    path: A_i = n*P_i - i*S (INTEGER — the centered cumsum scaled by
+    n), drawdown = running_max(A) - A, all exact; the only double is
+    the final /n. Trough day reported with a min-t tie-break."""
+    ev = load_table(spark, sf_dir, "events")
+    daily = _daily_counts(ev).localCheckpoint(eager=False)
+    mom = daily.agg(F.count("*").cast("long").alias("n"),
+                    F.sum("cnt").cast("long").alias("s"))
+    wt = Window.orderBy("t").rowsBetween(Window.unboundedPreceding, 0)
+    pre = daily.select(
+        "t", F.row_number().over(Window.orderBy("t")).alias("i"),
+        F.sum("cnt").over(wt).cast("long").alias("p"))
+    dev = (pre.crossJoin(F.broadcast(mom))
+           .select("t", "n",
+                   (F.col("n") * F.col("p")
+                    - F.col("i") * F.col("s")).alias("a")))
+    dd = dev.select(
+        "t", "n",
+        (F.max("a").over(wt) - F.col("a")).cast("long").alias("d"))
+    mx = dd.agg(F.max("d").cast("long").alias("dmax"))
+    return (dd.crossJoin(F.broadcast(mx))
+            .filter(F.col("d") == F.col("dmax"))
+            .groupBy("n", "dmax")
+            .agg(F.min("t").cast("long").alias("trough_day"))
+            .select(F.col("n").alias("n_days"),
+                    (F.round(F.col("dmax").cast("double")
+                             / F.col("n"), 6) + 0.0)
+                    .alias("max_drawdown"),
+                    "trough_day"))
+
+
+# ---------------------------------------------------------------------------
+# Batch D — IR / ranking metrics + DDSketch mergeable quantiles.
+# ---------------------------------------------------------------------------
+
+_RBP_K = 50
+_RBP_PS = (0.5, 0.8, 0.95)
+
+
+def _rbp_oracle() -> str:
+    ps = ", ".join(str(p) for p in _RBP_PS)
+    return f"""
+WITH top AS (
+    SELECT lang, row_number() OVER (ORDER BY n_chars DESC, doc_id)
+             AS rnk
+    FROM documents
+    ORDER BY n_chars DESC, doc_id LIMIT {_RBP_K}
+),
+ps AS (SELECT unnest([{ps}]) AS p)
+SELECT ps.p AS p,
+       CAST(sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_rel,
+       {round_sql("(1.0 - ps.p) * list_reduce(list_prepend(0.0, "
+                  "list(CASE WHEN lang = 'en' "
+                  "THEN pow(ps.p, rnk - 1) ELSE 0.0 END "
+                  "ORDER BY rnk)), (x, y) -> x + y)")}
+         + 0.0 AS rbp
+FROM top CROSS JOIN ps GROUP BY ps.p ORDER BY ps.p
+"""
+
+
+@register("rbp_relevance_curve", lambda: _rbp_oracle())
+def rbp_relevance_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rank-biased precision (Moffat & Zobel 2008) of the
+    length-ranked top-50 docs with lang='en' as relevance, at
+    persistence p in {0.5, 0.8, 0.95}. Top-k is TakeOrdered; the
+    50-term geometric sum folds in rank order."""
+    docs = load_table(spark, sf_dir, "documents")
+    top = (docs.orderBy(F.col("n_chars").desc(), F.col("doc_id").asc())
+           .limit(_RBP_K)
+           .withColumn("rnk", F.row_number().over(
+               Window.orderBy(F.col("n_chars").desc(),
+                              F.col("doc_id").asc()))))
+    ps = spark.range(len(_RBP_PS)).select(
+        F.element_at(F.array(*[F.lit(p) for p in _RBP_PS]),
+                     (F.col("id") + 1).cast("int")).alias("p"))
+    term = F.when(F.col("lang") == "en",
+                  F.pow(F.col("p"), F.col("rnk") - 1)).otherwise(0.0)
+    return (top.crossJoin(F.broadcast(ps))
+            .groupBy("p")
+            .agg(F.sum(F.when(F.col("lang") == "en", 1).otherwise(0))
+                 .cast("long").alias("n_rel"),
+                 F.aggregate(
+                     F.array_sort(F.collect_list(
+                         F.struct("rnk", term.alias("v")))),
+                     F.lit(0.0),
+                     lambda a, x: a + x["v"]).alias("s"))
+            .select("p", "n_rel",
+                    (F.round((1.0 - F.col("p")) * F.col("s"), 6) + 0.0)
+                    .alias("rbp"))
+            .orderBy("p"))
+
+
+@register("spearman_footrule_nations", f"""
+WITH r1 AS (
+    SELECT n.n_name,
+           row_number() OVER (
+               ORDER BY CAST(SUM(CAST(s.s_acctbal AS DECIMAL(18,2)))
+                             AS DECIMAL(28,2)) DESC, n.n_name) AS ra
+    FROM nation n JOIN supplier s ON s.s_nationkey = n.n_nationkey
+    GROUP BY n.n_name
+),
+r2 AS (
+    SELECT n.n_name,
+           row_number() OVER (ORDER BY count(*) DESC, n.n_name) AS rb
+    FROM nation n JOIN customer c ON c.c_nationkey = n.n_nationkey
+    GROUP BY n.n_name
+)
+SELECT CAST(count(*) AS BIGINT) AS n_nations,
+       CAST(sum(abs(ra - rb)) AS BIGINT) AS footrule,
+       {round_sql('CAST(sum(abs(ra - rb)) AS DOUBLE)'
+                  ' / ((count(*) * count(*)) // 2)')}
+         + 0.0 AS footrule_norm
+FROM r1 JOIN r2 USING (n_name)
+""")
+def spearman_footrule_nations(spark: SparkSession,
+                              sf_dir: str) -> DataFrame:
+    """Spearman footrule distance between two 25-nation rankings
+    (by supplier balance vs by customer count): sum |r1 - r2|,
+    normalized by the max floor(n^2/2). Money ranks on DECIMAL sums;
+    integer throughout."""
+    nation = load_table(spark, sf_dir, "nation")
+    supp = load_table(spark, sf_dir, "supplier")
+    cust = load_table(spark, sf_dir, "customer")
+    r1 = (nation.join(supp, supp.s_nationkey == nation.n_nationkey)
+          .groupBy("n_name")
+          .agg(F.sum(F.col("s_acctbal").cast("decimal(18,2)"))
+               .cast("decimal(28,2)").alias("bal"))
+          .withColumn("ra", F.row_number().over(
+              Window.orderBy(F.col("bal").desc(), F.col("n_name"))))
+          .select("n_name", "ra"))
+    r2 = (nation.join(cust, cust.c_nationkey == nation.n_nationkey)
+          .groupBy("n_name").agg(F.count("*").alias("nc"))
+          .withColumn("rb", F.row_number().over(
+              Window.orderBy(F.col("nc").desc(), F.col("n_name"))))
+          .select("n_name", "rb"))
+    j = r1.join(r2, "n_name")
+    return j.agg(
+        F.count("*").cast("long").alias("n_nations"),
+        F.sum(F.abs(F.col("ra") - F.col("rb"))).cast("long")
+        .alias("footrule"),
+        (F.round(F.sum(F.abs(F.col("ra") - F.col("rb")))
+                 .cast("double")
+                 / F.expr("(count(*) * count(*)) DIV 2"), 6) + 0.0)
+        .alias("footrule_norm"))
+
+
+_DDS_GAMMA = 1.02
+_DDS_SHARDS = 32
+_DDS_QS = (0.5, 0.95, 0.99)
+
+
+def _dds_oracle() -> str:
+    qs = ", ".join(str(q) for q in _DDS_QS)
+    return f"""
+WITH pts AS (
+    SELECT {md5_long_sql('CAST(o_orderkey AS VARCHAR)')}
+             % {_DDS_SHARDS} AS shard,
+           CAST(ceil(ln(o_totalprice) / ln({_DDS_GAMMA})) AS BIGINT)
+             AS b
+    FROM orders WHERE o_totalprice > 0
+),
+shardsum AS (
+    SELECT shard, b, CAST(count(*) AS BIGINT) AS c
+    FROM pts GROUP BY shard, b
+),
+merged AS (
+    SELECT b, CAST(sum(c) AS BIGINT) AS c FROM shardsum GROUP BY b
+),
+cum AS (
+    SELECT b, c, CAST(sum(c) OVER (ORDER BY b) AS BIGINT) AS cb,
+           CAST(sum(c) OVER () AS BIGINT) AS n
+    FROM merged
+),
+qs AS (SELECT unnest([{qs}]) AS q)
+SELECT qs.q AS q,
+       CAST(min(CASE WHEN cb >= greatest(
+                CAST(ceil(qs.q * n) AS BIGINT), 1) THEN b END)
+            AS BIGINT) AS bucket,
+       {round_sql('2.0 * pow(' + str(_DDS_GAMMA) + ', '
+                  'min(CASE WHEN cb >= greatest('
+                  'CAST(ceil(qs.q * n) AS BIGINT), 1) THEN b END))'
+                  ' / (1.0 + ' + str(_DDS_GAMMA) + ')')}
+         + 0.0 AS est,
+       {round_sql(f'({_DDS_GAMMA} - 1.0) / ({_DDS_GAMMA} + 1.0)')}
+         + 0.0 AS rel_err_bound,
+       CAST(max(n) AS BIGINT) AS n
+FROM cum CROSS JOIN qs GROUP BY qs.q ORDER BY qs.q
+"""
+
+
+@register("ddsketch_quantiles", lambda: _dds_oracle())
+def ddsketch_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DDSketch quantiles (Masson et al. 2019, public) of order
+    totals at gamma=1.02: log buckets with CONSTANT per-shard state,
+    associative merge (32 md5 shards -> global bucket sum), and the
+    guaranteed (gamma-1)/(gamma+1) relative-error bound reported per
+    readout. The mergeable-summary shape — SpaceSaving's quantile
+    sibling."""
+    orders = load_table(spark, sf_dir, "orders")
+    lg = F.lit(float(_DDS_GAMMA))
+    pts = (orders.filter(F.col("o_totalprice") > 0)
+           .select(F.pmod(md5_long(F.col("o_orderkey").cast("string")),
+                          F.lit(_DDS_SHARDS)).alias("shard"),
+                   F.ceil(F.log(F.col("o_totalprice"))
+                          / F.log(lg)).cast("long").alias("b")))
+    shardsum = (pts.groupBy("shard", "b")
+                .agg(F.count("*").cast("long").alias("c")))
+    merged = shardsum.groupBy("b").agg(F.sum("c").cast("long").alias("c"))
+    wb = Window.orderBy("b").rowsBetween(Window.unboundedPreceding, 0)
+    wall = Window.orderBy("b").rowsBetween(Window.unboundedPreceding,
+                                           Window.unboundedFollowing)
+    cum = merged.select(
+        "b", "c",
+        F.sum("c").over(wb).cast("long").alias("cb"),
+        F.sum("c").over(wall).cast("long").alias("n"))
+    qs = spark.range(len(_DDS_QS)).select(
+        F.element_at(F.array(*[F.lit(q) for q in _DDS_QS]),
+                     (F.col("id") + 1).cast("int")).alias("q"))
+    rank = F.greatest(F.ceil(F.col("q") * F.col("n")).cast("long"),
+                      F.lit(1))
+    sel_b = F.min(F.when(F.col("cb") >= rank, F.col("b")))
+    return (cum.crossJoin(F.broadcast(qs))
+            .groupBy("q")
+            .agg(sel_b.cast("long").alias("bucket"),
+                 F.max("n").cast("long").alias("n"))
+            .select("q", "bucket",
+                    (F.round(2.0 * F.pow(lg, F.col("bucket"))
+                             / (1.0 + lg), 6) + 0.0).alias("est"),
+                    (F.round((lg - 1.0) / (lg + 1.0), 6) + 0.0)
+                    .alias("rel_err_bound"),
+                    "n")
+            .orderBy("q"))
+
+
+# ---------------------------------------------------------------------------
+# Batch E — SQL-surface parity suites: each pins a Spark API surface
+# (map HOFs, table-valued generators, bitwise/boolean aggregates,
+# regexp surface, date-edge arithmetic) to the equivalent ANSI
+# semantics the DuckDB oracle reproduces relationally.
+# ---------------------------------------------------------------------------
+
+@register("map_hof_suite", """
+WITH counts AS (
+    SELECT user_id, event_type, CAST(count(*) AS BIGINT) AS c
+    FROM events WHERE user_id < 20
+    GROUP BY user_id, event_type
+)
+SELECT user_id, upper(event_type) AS etype, c AS cnt,
+       c * 10 AS cnt_scaled
+FROM counts WHERE c >= 2
+ORDER BY user_id, etype
+""")
+def map_hof_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Map higher-order-function suite: per low-id user, build the
+    event_type->count map (map_from_entries), map_filter(v >= 2),
+    transform_keys(upper), transform_values(*10), then explode
+    map_entries back to rows. The oracle reproduces the same result
+    relationally — the suite pins the map surface's semantics."""
+    ev = load_table(spark, sf_dir, "events")
+    counts = (ev.filter(F.col("user_id") < 20)
+              .groupBy("user_id", "event_type")
+              .agg(F.count("*").cast("long").alias("c")))
+    mapped = (counts.groupBy("user_id")
+              .agg(F.map_from_entries(
+                  F.array_sort(F.collect_list(
+                      F.struct("event_type", "c")))).alias("m")))
+    filt = F.map_filter(F.col("m"), lambda k, v: v >= 2)
+    keyed = F.transform_keys(filt, lambda k, v: F.upper(k))
+    scaled = F.transform_values(keyed, lambda k, v: v * 10)
+    # zip the filtered (original counts) with the scaled map to carry
+    # both readouts through one explode
+    zipped = F.map_zip_with(
+        F.transform_keys(filt, lambda k, v: F.upper(k)), scaled,
+        lambda k, v1, v2: F.struct(v1.alias("cnt"),
+                                   v2.alias("cnt_scaled")))
+    return (mapped.select("user_id",
+                          F.explode(F.map_entries(zipped)).alias("e"))
+            .select("user_id", F.col("e.key").alias("etype"),
+                    F.col("e.value.cnt").alias("cnt"),
+                    F.col("e.value.cnt_scaled").alias("cnt_scaled"))
+            .orderBy("user_id", "etype"))
+
+
+@register("tvf_explode_suite", """
+WITH nat AS (
+    SELECT n.n_nationkey, n.n_name,
+           (SELECT count(*) FROM supplier s
+            WHERE s.s_nationkey = n.n_nationkey) AS ns,
+           (SELECT count(*) FROM customer c
+            WHERE c.c_nationkey = n.n_nationkey) AS nc
+    FROM nation n WHERE n.n_nationkey < 5
+),
+stacked AS (
+    SELECT n_name, 'stack' AS src, 'suppliers' AS k,
+           CAST(ns AS BIGINT) AS v FROM nat
+    UNION ALL
+    SELECT n_name, 'stack', 'customers', CAST(nc AS BIGINT) FROM nat
+),
+pexp AS (
+    SELECT n.n_name, 'posexplode_outer' AS src,
+           'pos' || CAST(s.i - 1 AS VARCHAR) AS k,
+           CAST(s.i AS BIGINT) AS v
+    FROM nat n, unnest(generate_series(1, least(n.ns, 3))) AS s(i)
+    WHERE n.ns > 0
+    UNION ALL
+    SELECT n_name, 'posexplode_outer', NULL, NULL
+    FROM nat WHERE ns = 0
+),
+inl AS (
+    SELECT n_name, 'inline' AS src, 'ns_plus_nc' AS k,
+           CAST(ns + nc AS BIGINT) AS v FROM nat
+    UNION ALL
+    SELECT n_name, 'inline', 'ns_times_2', CAST(ns * 2 AS BIGINT)
+    FROM nat
+)
+SELECT * FROM stacked
+UNION ALL SELECT * FROM pexp
+UNION ALL SELECT * FROM inl
+ORDER BY n_name, src, k
+""")
+def tvf_explode_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Table-valued generator suite: stack(), posexplode_outer()
+    (with a NULL row for the empty-array case), and inline() over
+    arrays of structs — unioned into one (name, src, k, v) relation
+    the oracle reproduces with UNION ALL + unnest."""
+    nation = load_table(spark, sf_dir, "nation")
+    supp = load_table(spark, sf_dir, "supplier")
+    cust = load_table(spark, sf_dir, "customer")
+    ns = (supp.groupBy(F.col("s_nationkey").alias("nk"))
+          .agg(F.count("*").alias("ns")))
+    nc = (cust.groupBy(F.col("c_nationkey").alias("nk"))
+          .agg(F.count("*").alias("nc")))
+    nat = (nation.filter(F.col("n_nationkey") < 5)
+           .join(ns, nation.n_nationkey == ns.nk, "left")
+           .join(nc, nation.n_nationkey == nc.nk, "left")
+           .select("n_name",
+                   F.coalesce("ns", F.lit(0)).cast("long").alias("ns"),
+                   F.coalesce("nc", F.lit(0)).cast("long")
+                   .alias("nc")))
+    stacked = nat.select(
+        "n_name",
+        F.expr("stack(2, 'suppliers', ns, 'customers', nc)")
+        .alias("k", "v")).select(
+        "n_name", F.lit("stack").alias("src"), "k",
+        F.col("v").cast("long").alias("v"))
+    arr = F.when(F.col("ns") > 0,
+                 F.sequence(F.lit(1).cast("long"),
+                            F.least(F.col("ns"), F.lit(3).cast("long"))))
+    pexp = (nat.select("n_name",
+                       F.posexplode_outer(arr).alias("pos", "el"))
+            .select("n_name", F.lit("posexplode_outer").alias("src"),
+                    F.when(F.col("pos").isNotNull(),
+                           F.concat(F.lit("pos"),
+                                    F.col("pos").cast("string")))
+                    .alias("k"),
+                    F.col("el").cast("long").alias("v")))
+    inl = (nat.select("n_name", F.inline(F.array(
+        F.struct(F.lit("ns_plus_nc").alias("k"),
+                 (F.col("ns") + F.col("nc")).cast("long").alias("v")),
+        F.struct(F.lit("ns_times_2").alias("k"),
+                 (F.col("ns") * 2).cast("long").alias("v")))))
+        .select("n_name", F.lit("inline").alias("src"), "k", "v"))
+    return (stacked.unionAll(pexp).unionAll(inl)
+            .orderBy("n_name", "src", "k"))
+
+
+@register("bitwise_agg_suite", """
+SELECT c_nationkey AS nk,
+       CAST(bit_and(c_custkey) AS BIGINT) AS band,
+       CAST(bit_or(c_custkey) AS BIGINT) AS bor,
+       CAST(bit_xor(c_custkey) AS BIGINT) AS bxor,
+       CAST(sum(bit_count(CAST(c_custkey AS BIGINT))) AS BIGINT)
+         AS popcount_sum,
+       CAST(count(*) AS BIGINT) AS n
+FROM customer GROUP BY c_nationkey ORDER BY nk
+""")
+def bitwise_agg_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bitwise aggregate suite: bit_and / bit_or / bit_xor of
+    customer keys per nation plus the summed population count —
+    integer-exact on both engines."""
+    cust = load_table(spark, sf_dir, "customer")
+    return (cust.groupBy(F.col("c_nationkey").alias("nk"))
+            .agg(F.bit_and("c_custkey").cast("long").alias("band"),
+                 F.bit_or("c_custkey").cast("long").alias("bor"),
+                 F.bit_xor("c_custkey").cast("long").alias("bxor"),
+                 F.sum(F.bit_count(F.col("c_custkey"))).cast("long")
+                 .alias("popcount_sum"),
+                 F.count("*").cast("long").alias("n"))
+            .orderBy("nk"))
+
+
+@register("regexp_surface_suite", r"""
+SELECT source,
+       CAST(count(*) AS BIGINT) AS docs,
+       CAST(sum(len(regexp_extract_all(text, '[0-9]+'))) AS BIGINT)
+         AS digit_runs,
+       CAST(sum(len(regexp_extract_all(lower(text), '\bthe\b')))
+            AS BIGINT) AS the_count,
+       CAST(sum(length(text)
+                - length(regexp_replace(text, '[aeiouAEIOU]', '',
+                                        'g'))) AS BIGINT) AS vowels
+FROM documents GROUP BY source ORDER BY source
+""")
+def regexp_surface_suite(spark: SparkSession,
+                         sf_dir: str) -> DataFrame:
+    """Regexp surface suite per source: regexp_count (digit runs and
+    \\bthe\\b word hits) and global regexp_replace deletion length —
+    integer counts pinning Spark's Java-regex surface to DuckDB RE2
+    on patterns where the dialects agree."""
+    docs = load_table(spark, sf_dir, "documents")
+    return (docs.groupBy("source")
+            .agg(F.count("*").cast("long").alias("docs"),
+                 F.sum(F.regexp_count("text", F.lit("[0-9]+")))
+                 .cast("long").alias("digit_runs"),
+                 F.sum(F.regexp_count(F.lower("text"),
+                                      F.lit(r"\bthe\b")))
+                 .cast("long").alias("the_count"),
+                 F.sum(F.length("text")
+                       - F.length(F.regexp_replace(
+                           "text", "[aeiouAEIOU]", "")))
+                 .cast("long").alias("vowels"))
+            .orderBy("source"))
+
+
+@register("date_edge_suite", """
+WITH d AS (SELECT o_orderdate AS dt FROM orders)
+SELECT 'month_end_clamp' AS chk,
+       CAST(sum(CASE WHEN day(dt + INTERVAL 1 MONTH) <> day(dt)
+                     THEN 1 ELSE 0 END) AS BIGINT) AS v
+FROM d
+UNION ALL
+SELECT 'last_day_hits',
+       CAST(sum(CASE WHEN CAST(dt AS DATE) = last_day(CAST(dt AS DATE))
+                     THEN 1 ELSE 0 END) AS BIGINT)
+FROM d
+UNION ALL
+SELECT 'distinct_weeks',
+       CAST(count(DISTINCT date_trunc('week', dt)) AS BIGINT) FROM d
+UNION ALL
+SELECT 'quarter_starts',
+       CAST(sum(CASE WHEN CAST(dt AS DATE)
+                          = CAST(date_trunc('quarter', dt) AS DATE)
+                     THEN 1 ELSE 0 END) AS BIGINT)
+FROM d
+ORDER BY chk
+""")
+def date_edge_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Date-edge arithmetic suite over order dates: add-month
+    month-end clamping, last_day hits, distinct ISO weeks
+    (date_trunc 'week' = Monday on both engines), and
+    quarter-start days — all integer counts."""
+    orders = load_table(spark, sf_dir, "orders")
+    d = orders.select(F.col("o_orderdate").alias("dt"))
+    clamp = d.agg(F.sum(
+        F.when(F.dayofmonth(F.add_months("dt", 1))
+               != F.dayofmonth("dt"), 1).otherwise(0))
+        .cast("long").alias("v")).select(
+        F.lit("month_end_clamp").alias("chk"), "v")
+    lday = d.agg(F.sum(
+        F.when(F.col("dt").cast("date") == F.last_day("dt"), 1)
+        .otherwise(0)).cast("long").alias("v")).select(
+        F.lit("last_day_hits").alias("chk"), "v")
+    weeks = d.agg(F.countDistinct(F.date_trunc("week", "dt"))
+                  .cast("long").alias("v")).select(
+        F.lit("distinct_weeks").alias("chk"), "v")
+    qstart = d.agg(F.sum(
+        F.when(F.col("dt").cast("date")
+               == F.date_trunc("quarter", "dt").cast("date"), 1)
+        .otherwise(0)).cast("long").alias("v")).select(
+        F.lit("quarter_starts").alias("chk"), "v")
+    return (clamp.unionAll(lday).unionAll(weeks).unionAll(qstart)
+            .orderBy("chk"))
+
+
+@register("boolean_agg_suite", """
+SELECT c_mktsegment AS segment,
+       bool_and(c_acctbal > 0) AS all_positive,
+       bool_or(c_acctbal < -900) AS any_deep_negative,
+       CAST(count(*) FILTER (WHERE c_acctbal > 0) AS BIGINT)
+         AS n_positive,
+       CAST(count(*) AS BIGINT) AS n
+FROM customer GROUP BY c_mktsegment ORDER BY segment
+""")
+def boolean_agg_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Boolean aggregate suite per market segment: bool_and /
+    bool_or / count_if — the predicate-aggregate surface."""
+    cust = load_table(spark, sf_dir, "customer")
+    return (cust.groupBy(F.col("c_mktsegment").alias("segment"))
+            .agg(F.bool_and(F.col("c_acctbal") > 0)
+                 .alias("all_positive"),
+                 F.bool_or(F.col("c_acctbal") < -900)
+                 .alias("any_deep_negative"),
+                 F.count_if(F.col("c_acctbal") > 0).cast("long")
+                 .alias("n_positive"),
+                 F.count("*").cast("long").alias("n"))
+            .orderBy("segment"))
