@@ -1512,3 +1512,374 @@ def boolean_agg_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
                  .alias("n_positive"),
                  F.count("*").cast("long").alias("n"))
             .orderBy("segment"))
+
+
+# ---------------------------------------------------------------------------
+# Batch F — LLM-curation text operators.
+#
+# Every pairing over token positions is LINEAR (the textrank lesson:
+# zip-with-tail on the Spark side, lead() on the oracle side); the
+# corpus pass is always the one token/char explode; per-doc float
+# sums are order-pinned by position; top-k readouts are TakeOrdered.
+# ---------------------------------------------------------------------------
+
+_TOK18_SQL = ("list_filter(string_split(trim(regexp_replace(lower(text),"
+              " '\\s+', ' ', 'g')), ' '), t -> t <> '')")
+_TRI_TOPK = 20
+
+
+def _trigram_oracle() -> str:
+    return f"""
+WITH toks AS MATERIALIZED (
+    SELECT d.doc_id, d.toks[s.i] AS tok, s.i AS pos
+    FROM (SELECT doc_id, {_TOK18_SQL} AS toks FROM documents) d,
+         unnest(generate_series(1, len(d.toks))) AS s(i)
+),
+tri AS MATERIALIZED (
+    SELECT doc_id, pos, tok AS w1,
+           lead(tok, 1) OVER (PARTITION BY doc_id ORDER BY pos) AS w2,
+           lead(tok, 2) OVER (PARTITION BY doc_id ORDER BY pos) AS w3
+    FROM toks
+    QUALIFY w2 IS NOT NULL AND w3 IS NOT NULL
+),
+c3 AS (
+    SELECT w1, w2, w3, CAST(count(*) AS BIGINT) AS c FROM tri
+    GROUP BY 1, 2, 3
+),
+c2 AS (
+    SELECT w1, w2, CAST(count(*) AS BIGINT) AS c FROM tri
+    GROUP BY 1, 2
+),
+vocab AS (SELECT CAST(count(DISTINCT tok) AS BIGINT) AS v FROM toks),
+scored AS (
+    SELECT t.doc_id, CAST(count(*) AS BIGINT) AS n_tri,
+           list_reduce(list_prepend(0.0,
+               list(ln((c3.c + 1.0) / (c2.c + vb.v)) ORDER BY t.pos)),
+               (x, y) -> x + y) AS lp
+    FROM tri t
+    JOIN c3 ON c3.w1 = t.w1 AND c3.w2 = t.w2 AND c3.w3 = t.w3
+    JOIN c2 ON c2.w1 = t.w1 AND c2.w2 = t.w2
+    CROSS JOIN vocab vb
+    GROUP BY t.doc_id
+)
+SELECT doc_id, n_tri,
+       {round_sql('lp')} + 0.0 AS ln_prob,
+       {round_sql('exp(-lp / n_tri)')} + 0.0 AS perplexity,
+       CAST(row_number() OVER (
+           ORDER BY exp(-lp / n_tri) DESC, doc_id) AS INT) AS rnk
+FROM scored
+ORDER BY perplexity DESC, doc_id LIMIT {_TRI_TOPK}
+"""
+
+
+@register("trigram_lm_perplexity", lambda: _trigram_oracle())
+def trigram_lm_perplexity(spark: SparkSession,
+                          sf_dir: str) -> DataFrame:
+    """Add-1-smoothed trigram LM perplexity per document, top-20
+    hardest docs. Trigrams via the LINEAR two-lead zip-with-tail
+    pairing; counts are corpus groupBys; the per-doc ln-probability
+    folds in position order."""
+    from travel_data_pipeline_spark.operators import text
+
+    docs = load_table(spark, sf_dir, "documents")
+    arrs = docs.select("doc_id",
+                       text.token_array(F.col("text")).alias("t"))
+    ln3 = F.greatest(F.size("t") - 2, F.lit(0))
+    tri = (arrs.select(
+        "doc_id",
+        F.posexplode(F.zip_with(
+            F.slice("t", F.lit(1), ln3),
+            F.zip_with(F.slice("t", F.lit(2), ln3),
+                       F.slice("t", F.lit(3), ln3),
+                       lambda b, c: F.struct(b.alias("w2"),
+                                             c.alias("w3"))),
+            lambda a, bc: F.struct(a.alias("w1"),
+                                   bc["w2"].alias("w2"),
+                                   bc["w3"].alias("w3"))))
+        .alias("pos0", "g"))
+        .select("doc_id", (F.col("pos0") + 1).alias("pos"),
+                F.col("g.w1").alias("w1"), F.col("g.w2").alias("w2"),
+                F.col("g.w3").alias("w3"))
+        .localCheckpoint(eager=False))
+    c3 = tri.groupBy("w1", "w2", "w3").agg(
+        F.count("*").cast("long").alias("c3"))
+    c2 = tri.groupBy("w1", "w2").agg(
+        F.count("*").cast("long").alias("c2"))
+    vocab = (arrs.select(F.explode("t").alias("tok"))
+             .agg(F.countDistinct("tok").cast("long").alias("v")))
+    term = F.log((F.col("c3") + 1.0) / (F.col("c2") + F.col("v")))
+    scored = (tri.join(c3, ["w1", "w2", "w3"])
+              .join(c2, ["w1", "w2"])
+              .crossJoin(F.broadcast(vocab))
+              .groupBy("doc_id")
+              .agg(F.count("*").cast("long").alias("n_tri"),
+                   F.aggregate(
+                       F.array_sort(F.collect_list(
+                           F.struct("pos", term.alias("x")))),
+                       F.lit(0.0), lambda a, x: a + x["x"])
+                   .alias("lp")))
+    perp = F.exp(-F.col("lp") / F.col("n_tri"))
+    return (scored
+            .orderBy(perp.desc(), F.col("doc_id").asc())
+            .limit(_TRI_TOPK)
+            .withColumn("rnk", F.row_number().over(
+                Window.orderBy(perp.desc(), F.col("doc_id").asc())))
+            .select("doc_id", "n_tri",
+                    (F.round("lp", 6) + 0.0).alias("ln_prob"),
+                    (F.round(perp, 6) + 0.0).alias("perplexity"),
+                    F.col("rnk").cast("int")))
+
+
+@register("truncation_loss_at_caps", f"""
+WITH lens AS (
+    SELECT len({_TOK18_SQL}) AS n FROM documents
+),
+caps AS (SELECT unnest([64, 128, 256]) AS cap)
+SELECT CAST(caps.cap AS INT) AS cap,
+       CAST(count(*) AS BIGINT) AS docs,
+       CAST(sum(CASE WHEN n > caps.cap THEN 1 ELSE 0 END) AS BIGINT)
+         AS docs_truncated,
+       CAST(sum(greatest(n - caps.cap, 0)) AS BIGINT) AS tokens_lost,
+       {round_sql('CAST(sum(greatest(n - caps.cap, 0)) AS DOUBLE)'
+                  ' / sum(n)')} + 0.0 AS pct_lost
+FROM lens CROSS JOIN caps GROUP BY caps.cap ORDER BY cap
+""")
+def truncation_loss_at_caps(spark: SparkSession,
+                            sf_dir: str) -> DataFrame:
+    """Context-length truncation loss: docs affected and tokens lost
+    if every document is truncated at 64/128/256 tokens — the
+    packing-planner readout. Pure integer sums."""
+    from travel_data_pipeline_spark.operators import text
+
+    docs = load_table(spark, sf_dir, "documents")
+    lens = docs.select(F.size(text.token_array(F.col("text")))
+                       .alias("n"))
+    caps = spark.range(3).select(
+        F.element_at(F.array(F.lit(64), F.lit(128), F.lit(256)),
+                     (F.col("id") + 1).cast("int")).alias("cap"))
+    lost = F.greatest(F.col("n") - F.col("cap"), F.lit(0))
+    return (lens.crossJoin(F.broadcast(caps))
+            .groupBy("cap")
+            .agg(F.count("*").cast("long").alias("docs"),
+                 F.sum(F.when(F.col("n") > F.col("cap"), 1)
+                       .otherwise(0)).cast("long")
+                 .alias("docs_truncated"),
+                 F.sum(lost).cast("long").alias("tokens_lost"),
+                 (F.round(F.sum(lost).cast("double")
+                          / F.sum("n"), 6) + 0.0).alias("pct_lost"))
+            .select(F.col("cap").cast("int"), "docs",
+                    "docs_truncated", "tokens_lost", "pct_lost")
+            .orderBy("cap"))
+
+
+_PII_EMAIL = "[A-Za-z0-9._]+@[A-Za-z0-9.]+"
+_PII_PHONE = "[0-9]{3}[-.][0-9]{3,4}"
+_PII_URL = "https?://[^ ]+"
+
+
+@register("pii_density_by_source", f"""
+WITH per AS (
+    SELECT source,
+           len({_TOK18_SQL}) AS toks,
+           len(regexp_extract_all(text, '{_PII_EMAIL}')) AS em,
+           len(regexp_extract_all(text, '{_PII_PHONE}')) AS ph,
+           len(regexp_extract_all(text, '{_PII_URL}')) AS ur
+    FROM documents
+)
+SELECT source, CAST(count(*) AS BIGINT) AS docs,
+       CAST(sum(toks) AS BIGINT) AS tokens,
+       CAST(sum(em) AS BIGINT) AS emails,
+       CAST(sum(ph) AS BIGINT) AS phones,
+       CAST(sum(ur) AS BIGINT) AS urls,
+       {round_sql('1000.0 * (sum(em) + sum(ph) + sum(ur)) / sum(toks)')}
+         + 0.0 AS pii_per_1k_tokens
+FROM per GROUP BY source ORDER BY source
+""")
+def pii_density_by_source(spark: SparkSession,
+                          sf_dir: str) -> DataFrame:
+    """PII-pattern density per source: email / phone / URL regex
+    hits per 1k tokens — the redaction-planning readout (the
+    pii_redaction query rewrites; this one measures)."""
+    from travel_data_pipeline_spark.operators import text
+
+    docs = load_table(spark, sf_dir, "documents")
+    per = docs.select(
+        "source",
+        F.size(text.token_array(F.col("text"))).alias("toks"),
+        F.regexp_count("text", F.lit(_PII_EMAIL)).alias("em"),
+        F.regexp_count("text", F.lit(_PII_PHONE)).alias("ph"),
+        F.regexp_count("text", F.lit(_PII_URL)).alias("ur"))
+    tot = F.sum("em") + F.sum("ph") + F.sum("ur")
+    return (per.groupBy("source")
+            .agg(F.count("*").cast("long").alias("docs"),
+                 F.sum("toks").cast("long").alias("tokens"),
+                 F.sum("em").cast("long").alias("emails"),
+                 F.sum("ph").cast("long").alias("phones"),
+                 F.sum("ur").cast("long").alias("urls"),
+                 (F.round(1000.0 * tot / F.sum("toks"), 6) + 0.0)
+                 .alias("pii_per_1k_tokens"))
+            .orderBy("source"))
+
+
+@register("intra_doc_dup_sentences", """
+WITH sents AS (
+    SELECT source,
+           list_filter(list_transform(string_split(text, '.'),
+                                      x -> trim(x)), x -> x <> '')
+             AS ss
+    FROM documents
+),
+per AS (
+    SELECT source, len(ss) AS n_sent,
+           len(list_distinct(ss)) AS n_uniq
+    FROM sents
+)
+SELECT source, CAST(count(*) AS BIGINT) AS docs,
+       CAST(sum(n_sent) AS BIGINT) AS sentences,
+       CAST(sum(n_sent - n_uniq) AS BIGINT) AS dup_sentences,
+       CASE WHEN sum(n_sent) = 0 THEN NULL
+            ELSE {R} END AS dup_ratio
+FROM per GROUP BY source ORDER BY source
+""".replace("{R}", round_sql(
+    'CAST(sum(n_sent - n_uniq) AS DOUBLE) / sum(n_sent)') + " + 0.0"))
+def intra_doc_dup_sentences(spark: SparkSession,
+                            sf_dir: str) -> DataFrame:
+    """Within-document duplicate sentences per source: split on '.',
+    trim, count exact repeats (n_sent - n_distinct) — the intra-doc
+    repetition screen. Integer sums; one ratio per source."""
+    docs = load_table(spark, sf_dir, "documents")
+    ss = F.filter(F.transform(F.split("text", "\\."),
+                              lambda x: F.trim(x)),
+                  lambda x: x != "")
+    per = docs.select("source", F.size(ss).alias("n_sent"),
+                      F.size(F.array_distinct(ss)).alias("n_uniq"))
+    dups = F.sum(F.col("n_sent") - F.col("n_uniq"))
+    return (per.groupBy("source")
+            .agg(F.count("*").cast("long").alias("docs"),
+                 F.sum("n_sent").cast("long").alias("sentences"),
+                 dups.cast("long").alias("dup_sentences"),
+                 F.when(F.sum("n_sent") == 0,
+                        F.lit(None).cast("double"))
+                 .otherwise(F.round(dups.cast("double")
+                                    / F.sum("n_sent"), 6) + 0.0)
+                 .alias("dup_ratio"))
+            .orderBy("source"))
+
+
+_CTRI_BUCKETS = 64
+_CTRI_TOP = 3
+_NORM18 = "trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))"
+
+
+@register("char_trigram_lang_signature", f"""
+WITH tris AS (
+    SELECT lang,
+           {md5_long_sql("substring(d.norm, s.i, 3)")}
+             % {_CTRI_BUCKETS} AS bucket
+    FROM (SELECT lang, {_NORM18} AS norm FROM documents) d,
+         unnest(generate_series(1, length(d.norm) - 2)) AS s(i)
+    WHERE length(d.norm) >= 3
+),
+counts AS (
+    SELECT lang, bucket, CAST(count(*) AS BIGINT) AS cnt
+    FROM tris GROUP BY lang, bucket
+),
+ranked AS (
+    SELECT lang, bucket, cnt,
+           row_number() OVER (PARTITION BY lang
+                              ORDER BY cnt DESC, bucket) AS rnk
+    FROM counts
+)
+SELECT lang, CAST(rnk AS INT) AS rnk, bucket, cnt
+FROM ranked WHERE rnk <= {_CTRI_TOP}
+ORDER BY lang, rnk
+""")
+def char_trigram_lang_signature(spark: SparkSession,
+                                sf_dir: str) -> DataFrame:
+    """FastText-style hashed char-trigram signature per language:
+    every char 3-gram of the normalized text hashes into 64 buckets;
+    the top-3 buckets per lang are its signature. ONE char explode
+    is the corpus pass; the rank window runs over <=64 rows/lang."""
+    from travel_data_pipeline_spark.operators.dedup import (
+        normalize_text)
+
+    docs = load_table(spark, sf_dir, "documents")
+    norm = normalize_text(F.col("text"))
+    base = (docs.select("lang", norm.alias("norm"))
+            .filter(F.length("norm") >= 3))
+    tri = base.select(
+        "lang",
+        F.explode(F.transform(
+            F.sequence(F.lit(1), F.length("norm") - 2),
+            lambda i: F.col("norm").substr(i, F.lit(3))))
+        .alias("g"))
+    counts = (tri.select(
+        "lang", F.pmod(md5_long(F.col("g")),
+                       F.lit(_CTRI_BUCKETS)).alias("bucket"))
+        .groupBy("lang", "bucket")
+        .agg(F.count("*").cast("long").alias("cnt")))
+    wr = Window.partitionBy("lang").orderBy(F.col("cnt").desc(),
+                                            F.col("bucket").asc())
+    return (counts.withColumn("rnk", F.row_number().over(wr))
+            .filter(F.col("rnk") <= _CTRI_TOP)
+            .select("lang", F.col("rnk").cast("int"), "bucket", "cnt")
+            .orderBy("lang", "rnk"))
+
+
+def _stopword_oracle() -> str:
+    from travel_data_pipeline_spark.operators.text import STOPWORDS
+
+    arms = []
+    for lst_lang in sorted(STOPWORDS):
+        words = ", ".join(f"'{w}'" for w in STOPWORDS[lst_lang])
+        arms.append(
+            f"SELECT lang AS doc_lang, '{lst_lang}' AS list_lang,\n"
+            f"       CAST(sum(CASE WHEN tok IN ({words}) THEN 1"
+            f" ELSE 0 END) AS BIGINT) AS hits,\n"
+            f"       CAST(count(*) AS BIGINT) AS tokens\n"
+            f"FROM toks GROUP BY lang")
+    body = "\nUNION ALL\n".join(arms)
+    return f"""
+WITH toks AS MATERIALIZED (
+    SELECT lang, unnest({_TOK18_SQL}) AS tok FROM documents
+)
+SELECT doc_lang, list_lang, hits, tokens,
+       {round_sql('CAST(hits AS DOUBLE) / tokens')} + 0.0 AS hit_ratio
+FROM ({body})
+ORDER BY doc_lang, list_lang
+"""
+
+
+@register("stopword_profile_matrix", lambda: _stopword_oracle())
+def stopword_profile_matrix(spark: SparkSession,
+                            sf_dir: str) -> DataFrame:
+    """Language-confusion stopword matrix: for every (document lang,
+    stopword list lang) pair, the fraction of corpus tokens hitting
+    that list — the lang-id diagnostic. One token explode; 5
+    conditional sums unpivoted to 25 rows. The lists come from
+    operators.text.STOPWORDS (single source, oracle rendered from
+    the same dict)."""
+    from travel_data_pipeline_spark.operators import text
+    from travel_data_pipeline_spark.operators.text import STOPWORDS
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select("lang",
+                       F.explode(text.token_array(F.col("text")))
+                       .alias("tok"))
+    aggs = [F.count("*").cast("long").alias("tokens")]
+    for lst_lang in sorted(STOPWORDS):
+        arr = F.array(*[F.lit(w) for w in STOPWORDS[lst_lang]])
+        aggs.append(F.sum(F.when(F.array_contains(arr, F.col("tok")),
+                                 1).otherwise(0))
+                    .cast("long").alias(f"h_{lst_lang}"))
+    wide = toks.groupBy(F.col("lang").alias("doc_lang")).agg(*aggs)
+    stack_args = ", ".join(f"'{l}', h_{l}" for l in sorted(STOPWORDS))
+    return (wide.select(
+        "doc_lang", "tokens",
+        F.expr(f"stack({len(STOPWORDS)}, {stack_args})")
+        .alias("list_lang", "hits"))
+        .select("doc_lang", "list_lang", "hits", "tokens",
+                (F.round(F.col("hits").cast("double")
+                         / F.col("tokens"), 6) + 0.0)
+                .alias("hit_ratio"))
+        .orderBy("doc_lang", "list_lang"))
