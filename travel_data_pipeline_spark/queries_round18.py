@@ -1883,3 +1883,470 @@ def stopword_profile_matrix(spark: SparkSession,
                          / F.col("tokens"), 6) + 0.0)
                 .alias("hit_ratio"))
         .orderBy("doc_lang", "list_lang"))
+
+
+# ---------------------------------------------------------------------------
+# Batch G — A/B extras, geo bucketing, control charts, forensics.
+# ---------------------------------------------------------------------------
+
+@register("post_stratified_mean", f"""
+WITH base AS (
+    SELECT {md5_long_sql("CAST(user_id AS VARCHAR)")} % 2 AS arm,
+           user_id % 4 AS stratum,
+           CAST(floor(value * 100) AS BIGINT) AS vc
+    FROM events
+),
+cell AS (
+    SELECT arm, stratum, CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(vc) AS BIGINT) AS s
+    FROM base GROUP BY arm, stratum
+),
+strw AS (
+    SELECT stratum, CAST(sum(n) AS BIGINT) AS ns,
+           (SELECT CAST(count(*) AS BIGINT) FROM base) AS ntot
+    FROM cell GROUP BY stratum
+)
+SELECT c.arm, CAST(sum(c.n) AS BIGINT) AS n,
+       {round_sql('CAST(sum(c.s) AS DOUBLE) / sum(c.n)')}
+         + 0.0 AS raw_mean,
+       {round_sql('list_reduce(list_prepend(0.0, '
+                  'list((CAST(w.ns AS DOUBLE) / w.ntot) '
+                  '* (CAST(c.s AS DOUBLE) / c.n) '
+                  'ORDER BY c.stratum)), (x, y) -> x + y)')}
+         + 0.0 AS post_strat_mean
+FROM cell c JOIN strw w ON w.stratum = c.stratum
+GROUP BY c.arm ORDER BY c.arm
+""")
+def post_stratified_mean(spark: SparkSession,
+                         sf_dir: str) -> DataFrame:
+    """Post-stratified arm means of the floor(value*100) integer
+    metric: strata = user_id % 4, weights = global stratum shares.
+    Cell moments are exact integers; the 4-term weighted sum folds
+    in stratum order."""
+    ev = load_table(spark, sf_dir, "events")
+    base = ev.select(
+        F.pmod(md5_long(F.col("user_id").cast("string")),
+               F.lit(2)).alias("arm"),
+        (F.col("user_id") % 4).alias("stratum"),
+        F.floor(F.col("value") * 100).cast("long").alias("vc"))
+    cell = (base.groupBy("arm", "stratum")
+            .agg(F.count("*").cast("long").alias("n"),
+                 F.sum("vc").cast("long").alias("s")))
+    ntot = base.agg(F.count("*").cast("long").alias("ntot"))
+    strw = (cell.groupBy("stratum")
+            .agg(F.sum("n").cast("long").alias("ns"))
+            .crossJoin(F.broadcast(ntot)))
+    term = ((F.col("ns").cast("double") / F.col("ntot"))
+            * (F.col("s").cast("double") / F.col("n")))
+    return (cell.join(F.broadcast(strw), "stratum")
+            .groupBy("arm")
+            .agg(F.sum("n").cast("long").alias("n"),
+                 (F.round(F.sum("s").cast("double")
+                          / F.sum("n"), 6) + 0.0).alias("raw_mean"),
+                 (F.round(F.aggregate(
+                     F.array_sort(F.collect_list(
+                         F.struct("stratum", term.alias("x")))),
+                     F.lit(0.0), lambda a, x: a + x["x"]), 6) + 0.0)
+                 .alias("post_strat_mean"))
+            .orderBy("arm"))
+
+
+@register("wilson_ci_arms", f"""
+WITH base AS (
+    SELECT {md5_long_sql("CAST(user_id AS VARCHAR)")} % 2 AS arm,
+           CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS conv
+    FROM events
+),
+agg AS (
+    SELECT arm, CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(conv) AS BIGINT) AS k
+    FROM base GROUP BY arm
+)
+SELECT arm, k, n,
+       {round_sql('CAST(k AS DOUBLE) / n')} + 0.0 AS p_hat,
+       {round_sql('((CAST(k AS DOUBLE) / n + 1.96 * 1.96 / (2.0 * n))'
+                  ' - 1.96 * sqrt((CAST(k AS DOUBLE) / n)'
+                  ' * (1.0 - CAST(k AS DOUBLE) / n) / n'
+                  ' + 1.96 * 1.96 / (4.0 * n * n)))'
+                  ' / (1.0 + 1.96 * 1.96 / n)')} + 0.0 AS wilson_lo,
+       {round_sql('((CAST(k AS DOUBLE) / n + 1.96 * 1.96 / (2.0 * n))'
+                  ' + 1.96 * sqrt((CAST(k AS DOUBLE) / n)'
+                  ' * (1.0 - CAST(k AS DOUBLE) / n) / n'
+                  ' + 1.96 * 1.96 / (4.0 * n * n)))'
+                  ' / (1.0 + 1.96 * 1.96 / n)')} + 0.0 AS wilson_hi
+FROM agg ORDER BY arm
+""")
+def wilson_ci_arms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wilson score 95% CI for the purchase-conversion rate per md5
+    arm — exact integer (k, n), one closed-form double expression
+    per bound."""
+    ev = load_table(spark, sf_dir, "events")
+    agg = (ev.select(
+        F.pmod(md5_long(F.col("user_id").cast("string")),
+               F.lit(2)).alias("arm"),
+        F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+        .alias("conv"))
+        .groupBy("arm")
+        .agg(F.count("*").cast("long").alias("n"),
+             F.sum("conv").cast("long").alias("k")))
+    p = F.col("k").cast("double") / F.col("n")
+    n = F.col("n")
+    z2 = 1.96 * 1.96
+    center = p + z2 / (2.0 * n)
+    half = 1.96 * F.sqrt(p * (1.0 - p) / n + z2 / (4.0 * n * n))
+    den = 1.0 + z2 / n
+    return agg.select(
+        "arm", "k", "n",
+        (F.round(p, 6) + 0.0).alias("p_hat"),
+        (F.round((center - half) / den, 6) + 0.0).alias("wilson_lo"),
+        (F.round((center + half) / den, 6) + 0.0).alias("wilson_hi")
+    ).orderBy("arm")
+
+
+_GEO_TOPK = 10
+
+
+@register("haversine_nation_pairs", f"""
+WITH coords AS (
+    SELECT n_name,
+           ({md5_long_sql('n_name')} % 18000) / 100.0 - 90.0 AS lat,
+           ({md5_long_sql("n_name || ':lon'")} % 36000) / 100.0
+             - 180.0 AS lon
+    FROM nation
+),
+pairs AS (
+    SELECT a.n_name AS nation_a, b.n_name AS nation_b,
+           2.0 * 6371.0 * asin(sqrt(
+               pow(sin(radians(b.lat - a.lat) / 2.0), 2)
+               + cos(radians(a.lat)) * cos(radians(b.lat))
+                 * pow(sin(radians(b.lon - a.lon) / 2.0), 2)))
+             AS km
+    FROM coords a JOIN coords b ON a.n_name < b.n_name
+)
+SELECT nation_a, nation_b,
+       {round_sql('km', 3)} + 0.0 AS dist_km,
+       CAST(row_number() OVER (ORDER BY km, nation_a, nation_b)
+            AS INT) AS rnk
+FROM pairs
+ORDER BY km, nation_a, nation_b LIMIT {_GEO_TOPK}
+""")
+def haversine_nation_pairs(spark: SparkSession,
+                           sf_dir: str) -> DataFrame:
+    """Closest nation pairs by great-circle (haversine) distance
+    over deterministic hash-derived coordinates — the travel-domain
+    distance operator. 25x25 bounded pair enumeration; the trig is
+    the shared-spelling double expression."""
+    nation = load_table(spark, sf_dir, "nation")
+    coords = nation.select(
+        "n_name",
+        ((F.pmod(md5_long(F.col("n_name")), F.lit(18000)))
+         / 100.0 - 90.0).alias("lat"),
+        ((F.pmod(md5_long(F.concat(F.col("n_name"), F.lit(":lon"))),
+                 F.lit(36000))) / 100.0 - 180.0).alias("lon"))
+    a = coords.select(F.col("n_name").alias("nation_a"),
+                      F.col("lat").alias("la"),
+                      F.col("lon").alias("loa"))
+    b = coords.select(F.col("n_name").alias("nation_b"),
+                      F.col("lat").alias("lb"),
+                      F.col("lon").alias("lob"))
+    km = (2.0 * 6371.0 * F.asin(F.sqrt(
+        F.pow(F.sin(F.radians(F.col("lb") - F.col("la")) / 2.0), 2)
+        + F.cos(F.radians("la")) * F.cos(F.radians("lb"))
+        * F.pow(F.sin(F.radians(F.col("lob") - F.col("loa")) / 2.0),
+                2))))
+    pairs = (a.join(F.broadcast(b),
+                    F.col("nation_a") < F.col("nation_b"))
+             .select("nation_a", "nation_b", km.alias("km")))
+    wr = Window.orderBy("km", "nation_a", "nation_b")
+    return (pairs.orderBy("km", "nation_a", "nation_b")
+            .limit(_GEO_TOPK)
+            .withColumn("rnk", F.row_number().over(wr))
+            .select("nation_a", "nation_b",
+                    (F.round("km", 3) + 0.0).alias("dist_km"),
+                    F.col("rnk").cast("int")))
+
+
+@register("geo_grid_cell_join", f"""
+WITH cc AS (
+    SELECT {md5_long_sql("'lat:' || CAST(c_custkey AS VARCHAR)")}
+             % 180 - 90 AS cell_lat,
+           {md5_long_sql("'lon:' || CAST(c_custkey AS VARCHAR)")}
+             % 360 - 180 AS cell_lon
+    FROM customer
+),
+sc AS (
+    SELECT {md5_long_sql("'lat:' || CAST(s_suppkey AS VARCHAR)")}
+             % 180 - 90 AS cell_lat,
+           {md5_long_sql("'lon:' || CAST(s_suppkey AS VARCHAR)")}
+             % 360 - 180 AS cell_lon
+    FROM supplier
+),
+ccg AS (
+    SELECT cell_lat, cell_lon, CAST(count(*) AS BIGINT) AS n_cust
+    FROM cc GROUP BY 1, 2
+),
+scg AS (
+    SELECT cell_lat, cell_lon, CAST(count(*) AS BIGINT) AS n_supp
+    FROM sc GROUP BY 1, 2
+)
+SELECT c.cell_lat, c.cell_lon, c.n_cust, s.n_supp,
+       c.n_cust * s.n_supp AS n_pairs
+FROM ccg c JOIN scg s USING (cell_lat, cell_lon)
+ORDER BY n_pairs DESC, cell_lat, cell_lon LIMIT {_GEO_TOPK}
+""")
+def geo_grid_cell_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """1-degree grid-cell co-location of customers and suppliers
+    over hash-derived integer cells — the spatial-bucketing equi-join
+    shape (bucket first, join on the cell, never a distance
+    cross-join). Pure integer arithmetic."""
+    cust = load_table(spark, sf_dir, "customer")
+    supp = load_table(spark, sf_dir, "supplier")
+
+    def cells(df, key):
+        k = F.col(key).cast("string")
+        return df.select(
+            (F.pmod(md5_long(F.concat(F.lit("lat:"), k)),
+                    F.lit(180)) - 90).alias("cell_lat"),
+            (F.pmod(md5_long(F.concat(F.lit("lon:"), k)),
+                    F.lit(360)) - 180).alias("cell_lon"))
+
+    ccg = (cells(cust, "c_custkey").groupBy("cell_lat", "cell_lon")
+           .agg(F.count("*").cast("long").alias("n_cust")))
+    scg = (cells(supp, "s_suppkey").groupBy("cell_lat", "cell_lon")
+           .agg(F.count("*").cast("long").alias("n_supp")))
+    return (ccg.join(scg, ["cell_lat", "cell_lon"])
+            .select("cell_lat", "cell_lon", "n_cust", "n_supp",
+                    (F.col("n_cust") * F.col("n_supp"))
+                    .alias("n_pairs"))
+            .orderBy(F.col("n_pairs").desc(), "cell_lat", "cell_lon")
+            .limit(_GEO_TOPK))
+
+
+# Benford second-digit law: p(d) = sum_k log10(1 + 1/(10k+d)) —
+# computed ONCE in Python (math.log10) and inlined as the same
+# literal on both engines, so no cross-engine log ulp can bite.
+_BENFORD2_P = {
+    d: sum(math.log10(1.0 + 1.0 / (10 * k + d)) for k in range(1, 10))
+    for d in range(10)
+}
+
+
+def _benford2_oracle() -> str:
+    cases = " ".join(f"WHEN {d} THEN {p!r}"
+                     for d, p in _BENFORD2_P.items())
+    return f"""
+WITH digits AS (
+    SELECT CAST(substr(CAST(CAST(floor(o_totalprice) AS BIGINT)
+                            AS VARCHAR), 2, 1) AS INT) AS d
+    FROM orders WHERE o_totalprice >= 10
+),
+obs AS (SELECT d, CAST(count(*) AS BIGINT) AS n FROM digits GROUP BY d),
+tot AS (SELECT CAST(sum(n) AS BIGINT) AS total FROM obs),
+terms AS (
+    SELECT o.d, o.n, t.total,
+           CASE o.d {cases} END AS p
+    FROM obs o CROSS JOIN tot t
+)
+SELECT d, n,
+       {round_sql('CAST(n AS DOUBLE) / total')} + 0.0
+         AS observed_share,
+       {round_sql('p')} + 0.0 AS benford_share,
+       {round_sql('(CAST(n AS DOUBLE) - total * p)'
+                  ' * (CAST(n AS DOUBLE) - total * p) / (total * p)')}
+         + 0.0 AS chi2_term
+FROM terms ORDER BY d
+"""
+
+
+@register("benford_second_digit", lambda: _benford2_oracle())
+def benford_second_digit(spark: SparkSession,
+                         sf_dir: str) -> DataFrame:
+    """Second-significant-digit distribution of order values vs the
+    generalized Benford law — the standard forensic extension of
+    benford_first_digit (same string-extraction spelling, position
+    2; expected shares inlined as identical literals both sides)."""
+    orders = load_table(spark, sf_dir, "orders")
+    d = F.substring(F.floor("o_totalprice").cast("long")
+                    .cast("string"), 2, 1).cast("int")
+    obs = (orders.filter(F.col("o_totalprice") >= 10)
+           .select(d.alias("d")).groupBy("d")
+           .agg(F.count("*").cast("long").alias("n")))
+    tot = obs.agg(F.sum("n").cast("long").alias("total"))
+    p = F.element_at(
+        F.array(*[F.lit(_BENFORD2_P[i]) for i in range(10)]),
+        F.col("d") + 1)
+    nd, totd = F.col("n").cast("double"), F.col("total").cast("double")
+    return (obs.crossJoin(F.broadcast(tot))
+            .select("d", "n",
+                    (F.round(nd / totd, 6) + 0.0)
+                    .alias("observed_share"),
+                    (F.round(p, 6) + 0.0).alias("benford_share"),
+                    (F.round((nd - totd * p) * (nd - totd * p)
+                             / (totd * p), 6) + 0.0)
+                    .alias("chi2_term"))
+            .orderBy("d"))
+
+
+@register("sla_lag_percentiles", """
+WITH lags AS (
+    SELECT o.o_orderpriority AS priority,
+           date_diff('day', date_trunc('day', o.o_orderdate),
+                     date_trunc('day', l.l_shipdate)) AS lag
+    FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+),
+grid AS (
+    SELECT priority, lag, CAST(count(*) AS BIGINT) AS m,
+           CAST(sum(count(*)) OVER (PARTITION BY priority
+                                    ORDER BY lag) AS BIGINT) AS cum,
+           CAST(sum(count(*)) OVER (PARTITION BY priority)
+                AS BIGINT) AS n
+    FROM lags GROUP BY priority, lag
+)
+SELECT priority, CAST(max(n) AS BIGINT) AS n,
+       CAST(min(CASE WHEN cum >= (50 * n + 99) // 100 THEN lag END)
+            AS BIGINT) AS p50,
+       CAST(min(CASE WHEN cum >= (90 * n + 99) // 100 THEN lag END)
+            AS BIGINT) AS p90,
+       CAST(min(CASE WHEN cum >= (99 * n + 99) // 100 THEN lag END)
+            AS BIGINT) AS p99
+FROM grid GROUP BY priority ORDER BY priority
+""")
+def sla_lag_percentiles(spark: SparkSession,
+                        sf_dir: str) -> DataFrame:
+    """Exact order-to-ship lag percentiles (p50/p90/p99, type-1
+    ceil-rank) per order priority — cumulative counts over the
+    bounded lag-value grid per priority, all integer."""
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    lags = (orders.join(li, orders.o_orderkey == li.l_orderkey)
+            .select(F.col("o_orderpriority").alias("priority"),
+                    F.datediff(F.date_trunc("day", "l_shipdate"),
+                               F.date_trunc("day", "o_orderdate"))
+                    .alias("lag")))
+    wc = (Window.partitionBy("priority").orderBy("lag")
+          .rowsBetween(Window.unboundedPreceding, 0))
+    wn = (Window.partitionBy("priority")
+          .rowsBetween(Window.unboundedPreceding,
+                       Window.unboundedFollowing))
+    grid = (lags.groupBy("priority", "lag")
+            .agg(F.count("*").cast("long").alias("m"))
+            .withColumn("cum", F.sum("m").over(wc).cast("long"))
+            .withColumn("n", F.sum("m").over(wn).cast("long")))
+
+    def pq(k: int):
+        return F.min(F.when(
+            F.col("cum") >= F.expr(f"({k} * n + 99) DIV 100"),
+            F.col("lag"))).cast("long")
+
+    return (grid.groupBy("priority")
+            .agg(F.max("n").cast("long").alias("n"),
+                 pq(50).alias("p50"), pq(90).alias("p90"),
+                 pq(99).alias("p99"))
+            .orderBy("priority"))
+
+
+_EWMA_LAM = 0.2
+_EWMA_LAST = 14
+
+
+def _ewma_chart_oracle() -> str:
+    lam, lam1 = _EWMA_LAM, 1.0 - _EWMA_LAM
+    return f"""
+WITH daily AS ({_DAILY_SQL.format(where="")}),
+idx AS (
+    SELECT t, cnt, row_number() OVER (ORDER BY t) AS i
+    FROM daily
+),
+mom AS (
+    SELECT CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(cnt) AS BIGINT) AS s,
+           CAST(sum(cnt * cnt) AS BIGINT) AS q
+    FROM daily
+),
+ew AS (
+    SELECT a.t, a.i, a.cnt,
+           list_reduce(list_prepend(0.0,
+               list(CASE WHEN b.i = 1
+                         THEN pow({lam1}, a.i - 1) * b.cnt
+                         ELSE {lam} * pow({lam1}, a.i - b.i) * b.cnt
+                    END ORDER BY b.i)),
+               (x, y) -> x + y) AS l
+    FROM idx a JOIN idx b ON b.i <= a.i
+    GROUP BY a.t, a.i, a.cnt
+),
+lim AS (
+    SELECT n, CAST(s AS DOUBLE) / n AS mu,
+           sqrt(CAST(n * q - s * s AS DOUBLE)) / n AS sd
+    FROM mom
+)
+SELECT e.t, e.cnt, {round_sql('e.l')} + 0.0 AS ewma,
+       {round_sql('m.mu + 3.0 * m.sd * sqrt(' + repr(_EWMA_LAM) +
+                  ' / (2.0 - ' + repr(_EWMA_LAM) + ')'
+                  ' * (1.0 - pow(' + repr((1.0 - _EWMA_LAM) ** 2) +
+                  ', e.i)))')} + 0.0 AS ucl,
+       {round_sql('m.mu - 3.0 * m.sd * sqrt(' + repr(_EWMA_LAM) +
+                  ' / (2.0 - ' + repr(_EWMA_LAM) + ')'
+                  ' * (1.0 - pow(' + repr((1.0 - _EWMA_LAM) ** 2) +
+                  ', e.i)))')} + 0.0 AS lcl,
+       e.l > m.mu + 3.0 * m.sd * sqrt({_EWMA_LAM} / (2.0 - {_EWMA_LAM})
+           * (1.0 - pow({(1.0 - _EWMA_LAM) ** 2!r}, e.i)))
+       OR e.l < m.mu - 3.0 * m.sd * sqrt({_EWMA_LAM} / (2.0 - {_EWMA_LAM})
+           * (1.0 - pow({(1.0 - _EWMA_LAM) ** 2!r}, e.i))) AS breach
+FROM ew e CROSS JOIN lim m
+WHERE e.i > m.n - {_EWMA_LAST}
+ORDER BY e.t
+"""
+
+
+@register("ewma_control_chart_daily", lambda: _ewma_chart_oracle())
+def ewma_control_chart_daily(spark: SparkSession,
+                             sf_dir: str) -> DataFrame:
+    """EWMA control chart (lambda=0.2) on daily counts with
+    time-varying 3-sigma limits, last 14 days. The EWMA at row i is
+    the CLOSED-FORM weighted sum over rows j <= i, folded in j order
+    with the identical term spelling on both engines (a recurrence
+    and a closed form round differently — so both sides use the
+    closed form); limits from exact integer moments."""
+    lam, lam1 = _EWMA_LAM, 1.0 - _EWMA_LAM
+    ev = load_table(spark, sf_dir, "events")
+    daily = _daily_counts(ev).localCheckpoint(eager=False)
+    idx = daily.select(
+        "t", "cnt", F.row_number().over(Window.orderBy("t")).alias("i"))
+    mom = daily.agg(F.count("*").cast("long").alias("n"),
+                    F.sum("cnt").cast("long").alias("s"),
+                    F.sum(F.col("cnt") * F.col("cnt")).cast("long")
+                    .alias("q"))
+    a = idx.select(F.col("t").alias("ta"), F.col("i").alias("ia"),
+                   F.col("cnt").alias("cnta"))
+    b = idx.select(F.col("i").alias("ib"), F.col("cnt").alias("cntb"))
+    term = F.when(F.col("ib") == 1,
+                  F.pow(F.lit(lam1), F.col("ia") - 1) * F.col("cntb")) \
+        .otherwise(F.lit(lam)
+                   * F.pow(F.lit(lam1), F.col("ia") - F.col("ib"))
+                   * F.col("cntb"))
+    ew = (a.join(F.broadcast(b), F.col("ib") <= F.col("ia"))
+          .groupBy("ta", "ia", "cnta")
+          .agg(F.aggregate(
+              F.array_sort(F.collect_list(
+                  F.struct("ib", term.alias("x")))),
+              F.lit(0.0), lambda acc, x: acc + x["x"]).alias("l")))
+    nd = F.col("n").cast("double")
+    lim = mom.select(
+        "n", (F.col("s").cast("double") / nd).alias("mu"),
+        (F.sqrt((F.col("n") * F.col("q")
+                 - F.col("s") * F.col("s")).cast("double")) / nd)
+        .alias("sd"))
+    half = (3.0 * F.col("sd")
+            * F.sqrt(F.lit(lam) / (2.0 - lam)
+                     * (1.0 - F.pow(F.lit(lam1 * lam1), F.col("ia")))))
+    ucl, lcl = F.col("mu") + half, F.col("mu") - half
+    return (ew.crossJoin(F.broadcast(lim))
+            .filter(F.col("ia") > F.col("n") - _EWMA_LAST)
+            .select(F.col("ta").alias("t"),
+                    F.col("cnta").alias("cnt"),
+                    (F.round("l", 6) + 0.0).alias("ewma"),
+                    (F.round(ucl, 6) + 0.0).alias("ucl"),
+                    (F.round(lcl, 6) + 0.0).alias("lcl"),
+                    ((F.col("l") > ucl) | (F.col("l") < lcl))
+                    .alias("breach"))
+            .orderBy("t"))
