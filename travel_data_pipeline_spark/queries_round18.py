@@ -2350,3 +2350,206 @@ def ewma_control_chart_daily(spark: SparkSession,
                     ((F.col("l") > ucl) | (F.col("l") < lcl))
                     .alias("breach"))
             .orderBy("t"))
+
+
+# ---------------------------------------------------------------------------
+# Batch H — graph + shingle-rarity additions.
+# ---------------------------------------------------------------------------
+
+_LCC_TOP = 10
+_LCC_CAP = 128
+
+
+def _lcc_oracle() -> str:
+    from travel_data_pipeline_spark.queries_affinity import _PAIRS_SQL
+
+    return f"""
+WITH {_PAIRS_SQL},
+deg AS (
+    SELECT node, CAST(count(*) AS BIGINT) AS d
+    FROM (SELECT part_a AS node FROM pair_counts
+          UNION ALL SELECT part_b FROM pair_counts)
+    GROUP BY node
+),
+top AS (
+    SELECT node, d FROM deg
+    ORDER BY d DESC, node LIMIT {_LCC_TOP}
+),
+nb AS (
+    SELECT x.node, x.nb FROM (
+        SELECT t.node, CASE WHEN p.part_a = t.node THEN p.part_b
+                            ELSE p.part_a END AS nb,
+               row_number() OVER (
+                   PARTITION BY t.node
+                   ORDER BY CASE WHEN p.part_a = t.node THEN p.part_b
+                                 ELSE p.part_a END) AS rn
+        FROM top t JOIN pair_counts p
+          ON p.part_a = t.node OR p.part_b = t.node) x
+    WHERE x.rn <= {_LCC_CAP}
+),
+tri AS (
+    SELECT a.node, CAST(count(*) AS BIGINT) AS t
+    FROM nb a JOIN nb b ON b.node = a.node AND b.nb > a.nb
+    JOIN pair_counts e ON e.part_a = a.nb AND e.part_b = b.nb
+    GROUP BY a.node
+),
+dcap AS (
+    SELECT t.node, t.d, least(t.d, {_LCC_CAP}) AS dc,
+           COALESCE(tri.t, 0) AS tr
+    FROM top t LEFT JOIN tri ON tri.node = t.node
+)
+SELECT node, d AS degree, CAST(dc AS BIGINT) AS capped_degree,
+       CAST(tr AS BIGINT) AS triangles,
+       CASE WHEN dc < 2 THEN NULL
+            ELSE {round_sql('2.0 * tr / (CAST(dc AS DOUBLE)'
+                            ' * (dc - 1))')} + 0.0
+       END AS clustering_coeff
+FROM dcap ORDER BY degree DESC, node
+"""
+
+
+@register("local_clustering_topnodes", lambda: _lcc_oracle())
+def local_clustering_topnodes(spark: SparkSession,
+                              sf_dir: str) -> DataFrame:
+    """Local clustering coefficient of the top-10 copurchase nodes:
+    neighbors capped at 128 (deterministic by id — the adamic-adar
+    cap discipline), neighbor-pair closure tested with an EQUI-join
+    against the a<b edge list, cc = 2T/(d(d-1)) on the capped
+    degree. Top nodes broadcast; the expansion is top10 x cap^2
+    bounded."""
+    from travel_data_pipeline_spark.queries_affinity import (
+        _order_items,
+        _pair_counts,
+    )
+
+    edges = (_pair_counts(_order_items(spark, sf_dir))
+             .select("part_a", "part_b")
+             .localCheckpoint(eager=False))
+    deg = (edges.select(F.col("part_a").alias("node"))
+           .unionAll(edges.select(F.col("part_b").alias("node")))
+           .groupBy("node").agg(F.count("*").cast("long").alias("d")))
+    top = (deg.orderBy(F.col("d").desc(), F.col("node").asc())
+           .limit(_LCC_TOP).localCheckpoint(eager=False))
+    both = (edges.join(F.broadcast(top.select("node")),
+                       (edges.part_a == F.col("node"))
+                       | (edges.part_b == F.col("node")))
+            .select("node",
+                    F.when(F.col("part_a") == F.col("node"),
+                           F.col("part_b")).otherwise(F.col("part_a"))
+                    .alias("nb")))
+    wcap = Window.partitionBy("node").orderBy("nb")
+    nb = (both.withColumn("rn", F.row_number().over(wcap))
+          .filter(F.col("rn") <= _LCC_CAP).drop("rn")
+          .localCheckpoint(eager=False))
+    a = nb.select("node", F.col("nb").alias("u"))
+    b = nb.select(F.col("node").alias("node_b"),
+                  F.col("nb").alias("v"))
+    tri = (a.join(b, (F.col("node_b") == F.col("node"))
+                  & (F.col("v") > F.col("u")))
+           .join(edges, (edges.part_a == F.col("u"))
+                 & (edges.part_b == F.col("v")))
+           .groupBy("node").agg(F.count("*").cast("long").alias("tr")))
+    dc = F.least(F.col("d"), F.lit(_LCC_CAP))
+    out = (top.join(tri, "node", "left")
+           .select("node", F.col("d").alias("degree"),
+                   dc.cast("long").alias("capped_degree"),
+                   F.coalesce("tr", F.lit(0)).cast("long")
+                   .alias("triangles")))
+    dcd = F.col("capped_degree").cast("double")
+    return (out.select(
+        "node", "degree", "capped_degree", "triangles",
+        F.when(F.col("capped_degree") < 2,
+               F.lit(None).cast("double"))
+        .otherwise(F.round(2.0 * F.col("triangles")
+                           / (dcd * (F.col("capped_degree") - 1)), 6)
+                   + 0.0).alias("clustering_coeff"))
+        .orderBy(F.col("degree").desc(), F.col("node").asc()))
+
+
+_SHR_TOPK = 20
+
+
+def _shingle_rarity_oracle() -> str:
+    return f"""
+WITH toks AS MATERIALIZED (
+    SELECT d.doc_id, d.toks[s.i] AS tok, s.i AS pos
+    FROM (SELECT doc_id, {_TOK18_SQL} AS toks FROM documents) d,
+         unnest(generate_series(1, len(d.toks))) AS s(i)
+),
+sh AS MATERIALIZED (
+    SELECT doc_id, pos,
+           tok || ' ' ||
+           lead(tok, 1) OVER (PARTITION BY doc_id ORDER BY pos)
+           || ' ' ||
+           lead(tok, 2) OVER (PARTITION BY doc_id ORDER BY pos)
+             AS g
+    FROM toks
+    QUALIFY lead(tok, 2) OVER (PARTITION BY doc_id ORDER BY pos)
+            IS NOT NULL
+),
+df AS (
+    SELECT g, CAST(count(DISTINCT doc_id) AS BIGINT) AS df
+    FROM sh GROUP BY g
+),
+nd AS (SELECT CAST(count(*) AS BIGINT) AS n FROM documents),
+scored AS (
+    SELECT s.doc_id, CAST(count(*) AS BIGINT) AS n_shingles,
+           list_reduce(list_prepend(0.0,
+               list(ln(CAST(nd.n AS DOUBLE) / df.df) ORDER BY s.pos)),
+               (x, y) -> x + y) AS sidf
+    FROM sh s JOIN df ON df.g = s.g CROSS JOIN nd
+    GROUP BY s.doc_id
+)
+SELECT doc_id, n_shingles,
+       {round_sql('sidf / n_shingles')} + 0.0 AS mean_idf,
+       CAST(row_number() OVER (ORDER BY sidf / n_shingles DESC,
+                               doc_id) AS INT) AS rnk
+FROM scored
+ORDER BY mean_idf DESC, doc_id LIMIT {_SHR_TOPK}
+"""
+
+
+@register("shingle_rarity_scores", lambda: _shingle_rarity_oracle())
+def shingle_rarity_scores(spark: SparkSession,
+                          sf_dir: str) -> DataFrame:
+    """Mean shingle IDF per document (3-token shingles via the
+    LINEAR zip-with-tail pairing), top-20 rarest docs — the novelty
+    screen a dedup pipeline runs after near-dup removal. Per-doc ln
+    folds are position-pinned; top-k is TakeOrdered."""
+    from travel_data_pipeline_spark.operators import text
+
+    docs = load_table(spark, sf_dir, "documents")
+    arrs = docs.select("doc_id",
+                       text.token_array(F.col("text")).alias("t"))
+    ln3 = F.greatest(F.size("t") - 2, F.lit(0))
+    sh = (arrs.select(
+        "doc_id",
+        F.posexplode(F.zip_with(
+            F.slice("t", F.lit(1), ln3),
+            F.zip_with(F.slice("t", F.lit(2), ln3),
+                       F.slice("t", F.lit(3), ln3),
+                       lambda b, c: F.concat(b, F.lit(" "), c)),
+            lambda a, bc: F.concat(a, F.lit(" "), bc)))
+        .alias("pos0", "g"))
+        .select("doc_id", (F.col("pos0") + 1).alias("pos"), "g")
+        .localCheckpoint(eager=False))
+    df = sh.groupBy("g").agg(
+        F.countDistinct("doc_id").cast("long").alias("df"))
+    nd = docs.agg(F.count("*").cast("long").alias("n"))
+    term = F.log(F.col("n").cast("double") / F.col("df"))
+    scored = (sh.join(df, "g").crossJoin(F.broadcast(nd))
+              .groupBy("doc_id")
+              .agg(F.count("*").cast("long").alias("n_shingles"),
+                   F.aggregate(
+                       F.array_sort(F.collect_list(
+                           F.struct("pos", term.alias("x")))),
+                       F.lit(0.0), lambda a, x: a + x["x"])
+                   .alias("sidf")))
+    mi = F.col("sidf") / F.col("n_shingles")
+    return (scored.orderBy(mi.desc(), F.col("doc_id").asc())
+            .limit(_SHR_TOPK)
+            .withColumn("rnk", F.row_number().over(
+                Window.orderBy(mi.desc(), F.col("doc_id").asc())))
+            .select("doc_id", "n_shingles",
+                    (F.round(mi, 6) + 0.0).alias("mean_idf"),
+                    F.col("rnk").cast("int")))
