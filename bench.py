@@ -110,6 +110,14 @@ HEADLINE = [
     "dsir_importance_weights",
     "spacesaving_topk",
     "textrank_keywords",
+    # round-13 flagships: the rounded-decimal-term order-free float
+    # reduction over the two-phase-ranked customer relation, the
+    # DDSketch mergeable-quantile shape, the linear two-lead trigram
+    # corpus pass, and the capped triangle-closure equi-join
+    "theil_t_nation_decomposition",
+    "ddsketch_quantiles",
+    "trigram_lm_perplexity",
+    "local_clustering_topnodes",
 ]
 
 

@@ -40,6 +40,10 @@ def main(n_rows: int = 10_000_000) -> None:
 
     from pyspark.sql import functions as F
 
+    # registry first: queries_round17 imports round16's day-grid
+    # helpers, so importing round16 directly at top level would hit a
+    # partially-initialized module (circular via @register)
+    from travel_data_pipeline_spark import registry  # noqa: F401
     from travel_data_pipeline_spark.queries_round16 import (
         adamic_adar_from_edges,
         kcore_from_edges,
@@ -132,5 +136,61 @@ def main(n_rows: int = 10_000_000) -> None:
     }))
 
 
+def compare_bloom(n_rows: int = 10_000_000) -> None:
+    """VERDICT r12 #5 measurement: current anti-join vs the Bloom
+    prefiltered split (adamic_adar_from_edges(anti_join_bloom=True))
+    at the 10M-edge graph. Adopt-only-if->1.2x; output must be
+    bit-identical either way."""
+    os.environ.setdefault("SPARK_GRAFT_DRIVER_MEM", "48g")
+
+    from pyspark.sql import functions as F
+
+    from travel_data_pipeline_spark import registry  # noqa: F401
+    from travel_data_pipeline_spark.queries_round16 import (
+        adamic_adar_from_edges,
+    )
+    from travel_data_pipeline_spark.session import get_spark
+
+    spark = get_spark("stress-graph-bloom")
+    spark.sparkContext.setLogLevel("ERROR")
+    par = spark.sparkContext.defaultParallelism
+    raw = (spark.range(n_rows).repartition(par * 2)
+           .select((F.pmod(F.xxhash64("id"), F.lit(N_NODES))
+                    * F.pmod(F.xxhash64("id"), F.lit(N_NODES))
+                    % N_NODES).alias("x"),
+                   F.pmod(F.xxhash64("id", F.lit(1)),
+                          F.lit(N_NODES)).alias("y")))
+    edges = (raw.filter(F.col("x") != F.col("y"))
+             .select(F.least("x", "y").alias("part_a"),
+                     F.greatest("x", "y").alias("part_b"))
+             .distinct()
+             .localCheckpoint(eager=True))
+    n_edges = edges.count()
+
+    results = {}
+    rows = {}
+    # bloom first, then baseline: if anything leaks between runs it
+    # biases AGAINST the candidate, not for it
+    for label, flag in (("bloom", True), ("baseline", False)):
+        t0 = time.perf_counter()
+        aa = adamic_adar_from_edges(spark, edges,
+                                    anti_join_bloom=flag)
+        rows[label] = sorted(map(tuple, aa.collect()))
+        results[label] = round(time.perf_counter() - t0, 2)
+
+    print(json.dumps({
+        "n_edges": n_edges,
+        "baseline_sec": results["baseline"],
+        "bloom_sec": results["bloom"],
+        "speedup": round(results["baseline"] / results["bloom"], 3),
+        "bit_identical": rows["baseline"] == rows["bloom"],
+        "adopt_if_gt": 1.2,
+    }))
+
+
 if __name__ == "__main__":
-    main(int(sys.argv[1]) if len(sys.argv) > 1 else 10_000_000)
+    if "--compare-bloom" in sys.argv:
+        args = [a for a in sys.argv[1:] if a != "--compare-bloom"]
+        compare_bloom(int(args[0]) if args else 10_000_000)
+    else:
+        main(int(sys.argv[1]) if len(sys.argv) > 1 else 10_000_000)

@@ -1569,12 +1569,23 @@ def adamic_adar_links(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def adamic_adar_from_edges(spark: SparkSession,
-                           edges_in: DataFrame) -> DataFrame:
+                           edges_in: DataFrame,
+                           anti_join_bloom: bool = False) -> DataFrame:
     """The capped two-hop link-prediction body over a distinct
     undirected (part_a < part_b) edge relation — factored out so
     tools/stress_graph.py can drive the REGISTERED code path at a
     synthetic 10M-edge graph (VERDICT r11 #4), the hits_from_edges
-    seam pattern."""
+    seam pattern.
+
+    ``anti_join_bloom`` (VERDICT r12 #5 measurement arm): split the
+    candidate aggregate with a broadcast Bloom bitmap of the edge
+    keys before the anti-join — rows failing any bit are DEFINITE
+    non-edges and bypass the join entirely; only the ~|edges| + fp
+    rows that pass all bits pay the real anti-join shuffle. No false
+    negatives, so the union is exactly the anti-join's output.
+    Measured at the 10M-edge harness (tools/stress_graph.py
+    --compare-bloom); kept off by default per the adopt-only-if->1.2x
+    rule (see ROADMAP round-13 numbers)."""
     # edges / adj / deg are each referenced several times below (the
     # two-hop expansion, the anti-join, three degree lookups) — lazy
     # localCheckpoints make the plan derive each ONCE (144 -> ~10
@@ -1598,10 +1609,54 @@ def adamic_adar_from_edges(spark: SparkSession,
     # full capped expansion (measured 962M rows at 10M edges)
     cn_all = cand.groupBy("a", "b").agg(
         F.count("*").alias("common_neighbors"))
-    cn = cn_all.join(
-        edges,
-        (cn_all.a == edges.part_a) & (cn_all.b == edges.part_b),
-        "left_anti")
+    if anti_join_bloom:
+        # 2^27 bits / 60-bit words ~ 2.2M bitmap rows: ~13 bits per
+        # key at 10M edges (fp ~ 1-2% with k=3) — broadcastable.
+        m_bits = 1 << 27
+        word = 60
+        k_hashes = 3
+
+        def pos(a, b, s):
+            return F.pmod(F.xxhash64(F.lit(s), a, b), F.lit(m_bits))
+
+        positions = F.array(*[pos(F.col("part_a"), F.col("part_b"), s)
+                              for s in range(k_hashes)])
+        bloom = (edges.select(F.explode(positions).alias("pos"))
+                 .select((F.col("pos") / word).cast("int")
+                         .alias("word_idx"),
+                         F.expr(f"shiftleft(CAST(1 AS BIGINT), "
+                                f"CAST(pos % {word} AS INT))")
+                         .alias("mask"))
+                 .groupBy("word_idx").agg(F.bit_or("mask").alias("w")))
+        probe = cn_all
+        passed = F.lit(True)
+        for s in range(k_hashes):
+            ps = pos(F.col("a"), F.col("b"), s)
+            bw = bloom.select(F.col("word_idx").alias(f"wi{s}"),
+                              F.col("w").alias(f"w{s}"))
+            probe = (probe.withColumn(f"p{s}", ps)
+                     .join(F.broadcast(bw),
+                           (F.col(f"p{s}") / word).cast("int")
+                           == F.col(f"wi{s}"), "left"))
+            passed = passed & F.col(f"w{s}").isNotNull() & (
+                F.col(f"w{s}").bitwiseAND(F.expr(
+                    f"shiftleft(CAST(1 AS BIGINT), "
+                    f"CAST(p{s} % {word} AS INT))")) != 0)
+        probe = (probe.withColumn("_inbloom", passed)
+                 .select("a", "b", "common_neighbors", "_inbloom")
+                 .localCheckpoint(eager=False))
+        definite = (probe.filter(~F.col("_inbloom"))
+                    .drop("_inbloom"))
+        maybe = probe.filter(F.col("_inbloom")).drop("_inbloom")
+        cn = definite.unionAll(maybe.join(
+            edges,
+            (maybe.a == edges.part_a) & (maybe.b == edges.part_b),
+            "left_anti"))
+    else:
+        cn = cn_all.join(
+            edges,
+            (cn_all.a == edges.part_a) & (cn_all.b == edges.part_b),
+            "left_anti")
     # NOTE (ADVICE r12): this eager checkpoint means merely
     # CONSTRUCTING the query materializes the full two-hop expansion
     # + anti-join — intentional: `top` is consumed three times below
