@@ -729,3 +729,25 @@ def test_shingle_rarity_matches_python(spark, docs_pdf):
     assert list(out["doc_id"]) == [d for d, _ in want]
     for i, (_, mi) in enumerate(want):
         assert out.iloc[i]["mean_idf"] == pytest.approx(mi, rel=1e-6)
+
+
+def test_adamic_adar_bloom_arm_bit_equal(spark):
+    """VERDICT r12 #5: the Bloom-prefiltered anti-join must be
+    row-identical to the plain anti-join (no false negatives by
+    construction; false positives drop in the real anti-join)."""
+    from travel_data_pipeline_spark.queries_affinity import (
+        _order_items,
+        _pair_counts,
+    )
+    from travel_data_pipeline_spark.queries_round16 import (
+        adamic_adar_from_edges,
+    )
+
+    edges = (_pair_counts(_order_items(spark, SF))
+             .select("part_a", "part_b"))
+    plain = sorted(map(tuple, adamic_adar_from_edges(
+        spark, edges, anti_join_bloom=False).collect()))
+    bloom = sorted(map(tuple, adamic_adar_from_edges(
+        spark, edges, anti_join_bloom=True).collect()))
+    assert plain == bloom
+    assert len(plain) > 0

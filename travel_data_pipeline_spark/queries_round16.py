@@ -1491,6 +1491,14 @@ def degree_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _AA_TOPK = 20
 _AA_MAX_NEIGH = 256
+# Bloom-prefiltered anti-join routing threshold (VERDICT r12 #5,
+# measured round 13 at tools/stress_graph.py --compare-bloom):
+# 10M edges -> 370.1 s plain vs 199.9 s bloom (1.85x, bit-identical);
+# 200k edges -> 2.7 s plain vs 5.4 s bloom (fixed bitmap-build +
+# probe-join overhead dominates small graphs). Route on edge count;
+# a routing miss costs seconds never correctness (both arms are
+# exactly the anti-join's output).
+_AA_BLOOM_MIN_EDGES = 2_000_000
 
 
 def _aa_oracle() -> str:
@@ -1570,22 +1578,25 @@ def adamic_adar_links(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def adamic_adar_from_edges(spark: SparkSession,
                            edges_in: DataFrame,
-                           anti_join_bloom: bool = False) -> DataFrame:
+                           anti_join_bloom: bool | str = "auto"
+                           ) -> DataFrame:
     """The capped two-hop link-prediction body over a distinct
     undirected (part_a < part_b) edge relation — factored out so
     tools/stress_graph.py can drive the REGISTERED code path at a
     synthetic 10M-edge graph (VERDICT r11 #4), the hits_from_edges
     seam pattern.
 
-    ``anti_join_bloom`` (VERDICT r12 #5 measurement arm): split the
-    candidate aggregate with a broadcast Bloom bitmap of the edge
-    keys before the anti-join — rows failing any bit are DEFINITE
-    non-edges and bypass the join entirely; only the ~|edges| + fp
-    rows that pass all bits pay the real anti-join shuffle. No false
-    negatives, so the union is exactly the anti-join's output.
-    Measured at the 10M-edge harness (tools/stress_graph.py
-    --compare-bloom); kept off by default per the adopt-only-if->1.2x
-    rule (see ROADMAP round-13 numbers)."""
+    ``anti_join_bloom`` (VERDICT r12 #5): split the candidate
+    aggregate with a broadcast Bloom bitmap of the edge keys before
+    the anti-join — rows failing any bit are DEFINITE non-edges and
+    bypass the join entirely; only the ~|edges| + fp rows that pass
+    all bits pay the real anti-join shuffle. No false negatives, so
+    the union is exactly the anti-join's output. Measured 1.85x at
+    the 10M-edge harness (tools/stress_graph.py --compare-bloom,
+    bit-identical) but 0.5x at 200k edges, so the default ``"auto"``
+    routes on edge count (>= _AA_BLOOM_MIN_EDGES) — which makes
+    construction run ONE eager count action on that path (on top of
+    the documented eager `top` checkpoint)."""
     # edges / adj / deg are each referenced several times below (the
     # two-hop expansion, the anti-join, three degree lookups) — lazy
     # localCheckpoints make the plan derive each ONCE (144 -> ~10
@@ -1609,6 +1620,8 @@ def adamic_adar_from_edges(spark: SparkSession,
     # full capped expansion (measured 962M rows at 10M edges)
     cn_all = cand.groupBy("a", "b").agg(
         F.count("*").alias("common_neighbors"))
+    if anti_join_bloom == "auto":
+        anti_join_bloom = edges.count() >= _AA_BLOOM_MIN_EDGES
     if anti_join_bloom:
         # 2^27 bits / 60-bit words ~ 2.2M bitmap rows: ~13 bits per
         # key at 10M edges (fp ~ 1-2% with k=3) — broadcastable.
@@ -1642,9 +1655,16 @@ def adamic_adar_from_edges(spark: SparkSession,
                 F.col(f"w{s}").bitwiseAND(F.expr(
                     f"shiftleft(CAST(1 AS BIGINT), "
                     f"CAST(p{s} % {word} AS INT))")) != 0)
+        # persist, NOT localCheckpoint: the probed aggregate is
+        # candidate-pair-sized (~500M rows at the 10M-edge cert) and
+        # consumed twice (definite/maybe split) — a checkpoint block
+        # evicted under heap pressure is unrecoverable (lineage cut,
+        # 'Block rdd_N does not exist'), while persist keeps lineage
+        # and recomputes evicted partitions
+        from pyspark import StorageLevel
         probe = (probe.withColumn("_inbloom", passed)
                  .select("a", "b", "common_neighbors", "_inbloom")
-                 .localCheckpoint(eager=False))
+                 .persist(StorageLevel.MEMORY_AND_DISK))
         definite = (probe.filter(~F.col("_inbloom"))
                     .drop("_inbloom"))
         maybe = probe.filter(F.col("_inbloom")).drop("_inbloom")

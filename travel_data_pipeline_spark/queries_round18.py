@@ -2430,13 +2430,17 @@ def local_clustering_topnodes(spark: SparkSession,
            .groupBy("node").agg(F.count("*").cast("long").alias("d")))
     top = (deg.orderBy(F.col("d").desc(), F.col("node").asc())
            .limit(_LCC_TOP).localCheckpoint(eager=False))
-    both = (edges.join(F.broadcast(top.select("node")),
-                       (edges.part_a == F.col("node"))
-                       | (edges.part_b == F.col("node")))
-            .select("node",
-                    F.when(F.col("part_a") == F.col("node"),
-                           F.col("part_b")).otherwise(F.col("part_a"))
-                    .alias("nb")))
+    # two broadcast EQUI-joins unioned, not one OR-condition join —
+    # the OR compiles to a BroadcastNestedLoopJoin; this stays on
+    # hash joins (an edge with both endpoints in the top set rightly
+    # contributes one row per endpoint in either spelling)
+    ta = (edges.join(F.broadcast(top.select("node")),
+                     edges.part_a == F.col("node"))
+          .select("node", F.col("part_b").alias("nb")))
+    tb = (edges.join(F.broadcast(top.select("node")),
+                     edges.part_b == F.col("node"))
+          .select("node", F.col("part_a").alias("nb")))
+    both = ta.unionAll(tb)
     wcap = Window.partitionBy("node").orderBy("nb")
     nb = (both.withColumn("rn", F.row_number().over(wcap))
           .filter(F.col("rn") <= _LCC_CAP).drop("rn")
