@@ -751,3 +751,43 @@ def test_adamic_adar_bloom_arm_bit_equal(spark):
         spark, edges, anti_join_bloom=True).collect()))
     assert plain == bloom
     assert len(plain) > 0
+
+
+def test_odds_ratio_matches_python(spark, events_pdf):
+    out = _run(spark, "odds_ratio_arms").iloc[0]
+    conv = (events_pdf.assign(
+        arm=events_pdf["user_id"].map(lambda u: _md5_long(str(u)) % 2),
+        c=(events_pdf["event_type"] == "purchase").astype(int))
+        .groupby(["arm", "user_id"])["c"].max())
+    a = int(((conv.index.get_level_values(0) == 1) & (conv == 1)).sum())
+    b = int(((conv.index.get_level_values(0) == 1) & (conv == 0)).sum())
+    c = int(((conv.index.get_level_values(0) == 0) & (conv == 1)).sum())
+    d = int(((conv.index.get_level_values(0) == 0) & (conv == 0)).sum())
+    assert (out["a"], out["b"], out["c"], out["d"]) == (a, b, c, d)
+    orr = ((a + .5) * (d + .5)) / ((b + .5) * (c + .5))
+    se = math.sqrt(1 / (a + .5) + 1 / (b + .5)
+                   + 1 / (c + .5) + 1 / (d + .5))
+    assert out["odds_ratio"] == pytest.approx(orr, rel=1e-6)
+    assert out["or_lo"] == pytest.approx(orr * math.exp(-1.96 * se),
+                                         abs=1e-6)
+    assert out["or_hi"] == pytest.approx(orr * math.exp(1.96 * se),
+                                         abs=1e-6)
+
+
+def test_tail_dependence_matches_numpy(spark, events_pdf):
+    out = _run(spark, "tail_dependence_daily").iloc[0]
+    daily = _daily(events_pdf)
+    x = np.sort(daily.to_numpy())
+    n = len(x)
+    thr = x[(90 * n + 99) // 100 - 1]
+    assert out["q90_threshold"] == thr
+    pairs = [(daily[t], daily[t + 1]) for t in daily.index
+             if t + 1 in daily.index]
+    n_x_hi = sum(1 for a, _ in pairs if a > thr)
+    n_both = sum(1 for a, b in pairs if a > thr and b > thr)
+    assert out["n_pairs"] == len(pairs)
+    assert out["n_x_hi"] == n_x_hi
+    assert out["n_both_hi"] == n_both
+    if n_x_hi:
+        assert out["lambda_upper"] == pytest.approx(
+            n_both / n_x_hi, abs=1e-6)

@@ -1665,6 +1665,7 @@ def adamic_adar_from_edges(spark: SparkSession,
         probe = (probe.withColumn("_inbloom", passed)
                  .select("a", "b", "common_neighbors", "_inbloom")
                  .persist(StorageLevel.MEMORY_AND_DISK))
+        probe_cache = probe
         definite = (probe.filter(~F.col("_inbloom"))
                     .drop("_inbloom"))
         maybe = probe.filter(F.col("_inbloom")).drop("_inbloom")
@@ -1673,6 +1674,7 @@ def adamic_adar_from_edges(spark: SparkSession,
             (maybe.a == edges.part_a) & (maybe.b == edges.part_b),
             "left_anti"))
     else:
+        probe_cache = None
         cn = cn_all.join(
             edges,
             (cn_all.a == edges.part_a) & (cn_all.b == edges.part_b),
@@ -1689,6 +1691,13 @@ def adamic_adar_from_edges(spark: SparkSession,
                Window.orderBy(F.col("common_neighbors").desc(),
                               "a", "b")))
            .localCheckpoint(eager=True))
+    if probe_cache is not None:
+        # the eager `top` checkpoint above was probe's LAST consumer —
+        # release the candidate-pair-sized cache now, or it squeezes
+        # whatever runs next in the same JVM (measured: the 10M-edge
+        # k-core cert's first peel rounds slowed 3-4x behind the
+        # leaked ~500M-row block store)
+        probe_cache.unpersist()
     # the Adamic-Adar fold needs the common-neighbor LIST for the
     # _AA_TOPK winners only — REBUILD those pairs' z-sets from the
     # (broadcast) top node sets instead of re-deriving the full

@@ -2557,3 +2557,146 @@ def shingle_rarity_scores(spark: SparkSession,
             .select("doc_id", "n_shingles",
                     (F.round(mi, 6) + 0.0).alias("mean_idf"),
                     F.col("rnk").cast("int")))
+
+
+# ---------------------------------------------------------------------------
+# Batch I — extreme-value + epidemiology-style readouts.
+# ---------------------------------------------------------------------------
+
+@register("odds_ratio_arms", f"""
+WITH base AS (
+    SELECT {md5_long_sql("CAST(user_id AS VARCHAR)")} % 2 AS arm,
+           user_id,
+           max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+             AS conv
+    FROM events GROUP BY 1, 2
+),
+cells AS (
+    SELECT CAST(sum(CASE WHEN arm = 1 AND conv = 1 THEN 1 ELSE 0 END)
+                AS BIGINT) AS a,
+           CAST(sum(CASE WHEN arm = 1 AND conv = 0 THEN 1 ELSE 0 END)
+                AS BIGINT) AS b,
+           CAST(sum(CASE WHEN arm = 0 AND conv = 1 THEN 1 ELSE 0 END)
+                AS BIGINT) AS c,
+           CAST(sum(CASE WHEN arm = 0 AND conv = 0 THEN 1 ELSE 0 END)
+                AS BIGINT) AS d
+    FROM base
+)
+SELECT a, b, c, d,
+       {round_sql('((a + 0.5) * (d + 0.5)) / ((b + 0.5) * (c + 0.5))')}
+         + 0.0 AS odds_ratio,
+       {round_sql('exp(ln(((a + 0.5) * (d + 0.5))'
+                  ' / ((b + 0.5) * (c + 0.5)))'
+                  ' - 1.96 * sqrt(1.0/(a + 0.5) + 1.0/(b + 0.5)'
+                  ' + 1.0/(c + 0.5) + 1.0/(d + 0.5)))')}
+         + 0.0 AS or_lo,
+       {round_sql('exp(ln(((a + 0.5) * (d + 0.5))'
+                  ' / ((b + 0.5) * (c + 0.5)))'
+                  ' + 1.96 * sqrt(1.0/(a + 0.5) + 1.0/(b + 0.5)'
+                  ' + 1.0/(c + 0.5) + 1.0/(d + 0.5)))')}
+         + 0.0 AS or_hi
+FROM cells
+""")
+def odds_ratio_arms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user purchase odds ratio between the md5 arms with the
+    Woolf 95% CI, Haldane-Anscombe 0.5-corrected in EVERY cell
+    (non-converter cells are legitimately zero when nearly all users
+    purchase — the correction keeps OR/CI finite and is applied
+    unconditionally so both engines always share one spelling). The
+    2x2 cells are exact integer per-user aggregates."""
+    ev = load_table(spark, sf_dir, "events")
+    base = (ev.groupBy(
+        F.pmod(md5_long(F.col("user_id").cast("string")),
+               F.lit(2)).alias("arm"), "user_id")
+        .agg(F.max(F.when(F.col("event_type") == "purchase", 1)
+                   .otherwise(0)).alias("conv")))
+
+    def cell(arm, conv, name):
+        return F.sum(F.when((F.col("arm") == arm)
+                            & (F.col("conv") == conv), 1)
+                     .otherwise(0)).cast("long").alias(name)
+
+    cells = base.agg(cell(1, 1, "a"), cell(1, 0, "b"),
+                     cell(0, 1, "c"), cell(0, 0, "d"))
+    ac, bc2, cc, dc = [(F.col(x) + 0.5) for x in ("a", "b", "c", "d")]
+    orr = (ac * dc) / (bc2 * cc)
+    se = F.sqrt(1.0 / ac + 1.0 / bc2 + 1.0 / cc + 1.0 / dc)
+    return cells.select(
+        "a", "b", "c", "d",
+        (F.round(orr, 6) + 0.0).alias("odds_ratio"),
+        (F.round(F.exp(F.log(orr) - 1.96 * se), 6) + 0.0)
+        .alias("or_lo"),
+        (F.round(F.exp(F.log(orr) + 1.96 * se), 6) + 0.0)
+        .alias("or_hi"))
+
+
+@register("tail_dependence_daily", f"""
+WITH daily AS ({_DAILY_SQL.format(where="")}),
+grid AS (
+    SELECT cnt AS v, CAST(count(*) AS BIGINT) AS m,
+           CAST(sum(count(*)) OVER (ORDER BY cnt) AS BIGINT) AS cum
+    FROM daily GROUP BY cnt
+),
+n1 AS (SELECT CAST(sum(m) AS BIGINT) AS n FROM grid),
+q90 AS (
+    SELECT min(CASE WHEN cum >= (90 * n1.n + 99) // 100 THEN v END)
+             AS thr
+    FROM grid CROSS JOIN n1 GROUP BY n1.n
+),
+pairs AS (
+    SELECT a.cnt AS x, b.cnt AS y
+    FROM daily a JOIN daily b ON b.t = a.t + 1
+),
+agg AS (
+    SELECT CAST(count(*) AS BIGINT) AS n_pairs,
+           CAST(sum(CASE WHEN x > q90.thr THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_x_hi,
+           CAST(sum(CASE WHEN x > q90.thr AND y > q90.thr
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_both_hi
+    FROM pairs CROSS JOIN q90
+)
+SELECT n_pairs, (SELECT thr FROM q90) AS q90_threshold,
+       n_x_hi, n_both_hi,
+       CASE WHEN n_x_hi = 0 THEN NULL
+            ELSE {round_sql('CAST(n_both_hi AS DOUBLE) / n_x_hi')}
+                 + 0.0
+       END AS lambda_upper
+FROM agg
+""")
+def tail_dependence_daily(spark: SparkSession,
+                          sf_dir: str) -> DataFrame:
+    """Empirical lag-1 upper tail dependence of the daily count
+    series: P(y_{{t+1}} > q90 | y_t > q90) — the burst-persistence
+    readout (a copula-flavored statistic). The q90 threshold is an
+    exact ceil-rank selection over the bounded value grid; pairs
+    come from the t = t+1 equi-join; everything is integer until
+    the one conditional-probability division."""
+    ev = load_table(spark, sf_dir, "events")
+    daily = _daily_counts(ev).localCheckpoint(eager=False)
+    wv = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, 0)
+    grid = (daily.groupBy(F.col("cnt").alias("v"))
+            .agg(F.count("*").cast("long").alias("m"))
+            .withColumn("cum", F.sum("m").over(wv).cast("long")))
+    n1 = grid.agg(F.sum("m").cast("long").alias("n"))
+    q90 = (grid.crossJoin(F.broadcast(n1)).groupBy("n")
+           .agg(F.min(F.when(
+               F.col("cum") >= F.expr("(90 * n + 99) DIV 100"),
+               F.col("v"))).alias("thr"))
+           .select("thr"))
+    a = daily.select(F.col("t").alias("ta"), F.col("cnt").alias("x"))
+    b = daily.select(F.col("t").alias("tb"), F.col("cnt").alias("y"))
+    pairs = a.join(b, F.col("tb") == F.col("ta") + 1)
+    agg = (pairs.crossJoin(F.broadcast(q90))
+           .agg(F.count("*").cast("long").alias("n_pairs"),
+                F.max("thr").cast("long").alias("q90_threshold"),
+                F.sum(F.when(F.col("x") > F.col("thr"), 1)
+                      .otherwise(0)).cast("long").alias("n_x_hi"),
+                F.sum(F.when((F.col("x") > F.col("thr"))
+                             & (F.col("y") > F.col("thr")), 1)
+                      .otherwise(0)).cast("long").alias("n_both_hi")))
+    return agg.select(
+        "n_pairs", "q90_threshold", "n_x_hi", "n_both_hi",
+        F.when(F.col("n_x_hi") == 0, F.lit(None).cast("double"))
+        .otherwise(F.round(F.col("n_both_hi").cast("double")
+                           / F.col("n_x_hi"), 6) + 0.0)
+        .alias("lambda_upper"))
