@@ -791,3 +791,65 @@ def test_tail_dependence_matches_numpy(spark, events_pdf):
     if n_x_hi:
         assert out["lambda_upper"] == pytest.approx(
             n_both / n_x_hi, abs=1e-6)
+
+
+def test_ntile_cume_dist_matches_pandas(spark, orders_pdf):
+    out = _run(spark, "ntile_cume_dist_suite")
+    sub = orders_pdf[orders_pdf["o_custkey"] < 20]
+    for ck, grp in sub.groupby("o_custkey"):
+        g = grp.sort_values(["o_totalprice", "o_orderkey"]).reset_index()
+        n = len(g)
+        for i, row in g.iterrows():
+            r = out[(out["o_custkey"] == ck)
+                    & (out["o_orderkey"] == row["o_orderkey"])].iloc[0]
+            # ntile: first n % 4 buckets get ceil(n/4) rows
+            q, rem = divmod(n, 4)
+            bucket = (i // (q + 1) + 1 if i < (q + 1) * rem
+                      else rem + (i - (q + 1) * rem) // q + 1) \
+                if q else i + 1
+            assert r["price_quartile"] == bucket
+            assert r["cume_dist_v"] == pytest.approx((i + 1) / n,
+                                                     abs=1e-6)
+            if n > 1:
+                assert r["percent_rank_v"] == pytest.approx(
+                    i / (n - 1), abs=1e-6)
+
+
+def test_decimal_suite_matches_pandas(spark, orders_pdf):
+    out = _run(spark, "decimal_arithmetic_suite")
+    cents = (orders_pdf["o_totalprice"] * 100).round().astype("int64")
+    df = orders_pdf.assign(cents=cents)
+    for _, r in out.iterrows():
+        g = df[df["o_orderpriority"] == r["priority"]]
+        s = int(g["cents"].sum())
+        assert r["sum_price"] == s / 100.0
+        assert r["sum_doubled"] == 2 * s / 100.0
+        # 7% tax at 4dp: each term is cents*7 integer in 1e-4 units
+        assert r["sum_tax"] == int((g["cents"] * 7).sum()) / 10000.0
+        assert r["n"] == len(g)
+
+
+def test_string_agg_matches_pandas(spark):
+    out = _run(spark, "string_agg_ordered_suite")
+    nation = pd.read_parquet(f"{SF}/nation.parquet")
+    supp = pd.read_parquet(f"{SF}/supplier.parquet")
+    j = supp.merge(nation, left_on="s_nationkey",
+                   right_on="n_nationkey")
+    for name, grp in j.groupby("n_name"):
+        want = ",".join(sorted(grp["s_name"]))
+        r = out[out["n_name"] == name].iloc[0]
+        assert r["suppliers_csv"] == want
+        assert r["csv_len"] == len(want)
+        assert r["n_suppliers"] == len(grp)
+
+
+def test_lognormal_fit_matches_numpy(spark, docs_pdf):
+    out = _run(spark, "lognormal_doclen_fit").iloc[0]
+    lens = docs_pdf["text"].map(lambda t: len(_tokens(t)))
+    ln = np.log(lens[lens > 0].to_numpy(dtype=float))
+    mu = ln.mean()
+    sigma = math.sqrt(((ln - mu) ** 2).sum() / len(ln))
+    assert out["n_docs"] == len(ln)
+    assert out["mu_log"] == pytest.approx(mu, abs=1e-5)
+    assert out["sigma_log"] == pytest.approx(sigma, abs=1e-5)
+    assert out["median_len"] == pytest.approx(math.exp(mu), abs=1e-3)

@@ -2700,3 +2700,176 @@ def tail_dependence_daily(spark: SparkSession,
         .otherwise(F.round(F.col("n_both_hi").cast("double")
                            / F.col("n_x_hi"), 6) + 0.0)
         .alias("lambda_upper"))
+
+
+# ---------------------------------------------------------------------------
+# Batch J — late round-13 additions: distribution-rank window suite,
+# decimal-arithmetic propagation suite, ordered string aggregation,
+# and a lognormal doc-length fit (the rounded-decimal-sum pattern).
+# ---------------------------------------------------------------------------
+
+@register("ntile_cume_dist_suite", """
+SELECT o_custkey, o_orderkey,
+       ntile(4) OVER w AS price_quartile,
+       {R1} + 0.0 AS cume_dist_v,
+       {R2} + 0.0 AS percent_rank_v
+FROM orders WHERE o_custkey < 20
+WINDOW w AS (PARTITION BY o_custkey
+             ORDER BY o_totalprice, o_orderkey)
+ORDER BY o_custkey, o_orderkey
+""".replace("{R1}", round_sql("cume_dist() OVER w"))
+   .replace("{R2}", round_sql("percent_rank() OVER w")))
+def ntile_cume_dist_suite(spark: SparkSession,
+                          sf_dir: str) -> DataFrame:
+    """Distribution-rank window suite: ntile(4) / cume_dist /
+    percent_rank over per-customer price order — pins the
+    distribution-rank surface (w_rank_lag_lead covers
+    rank/lag/lead). Total order inside each partition (price,
+    orderkey) so every readout is deterministic."""
+    orders = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_totalprice",
+                                                "o_orderkey")
+    return (orders.filter(F.col("o_custkey") < 20)
+            .select("o_custkey", "o_orderkey",
+                    F.ntile(4).over(w).alias("price_quartile"),
+                    (F.round(F.cume_dist().over(w), 6) + 0.0)
+                    .alias("cume_dist_v"),
+                    (F.round(F.percent_rank().over(w), 6) + 0.0)
+                    .alias("percent_rank_v"))
+            .orderBy("o_custkey", "o_orderkey"))
+
+
+@register("decimal_arithmetic_suite", """
+SELECT o_orderpriority AS priority,
+       CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)))
+            AS DECIMAL(28,2)) AS DOUBLE) AS sum_price,
+       CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))
+                * CAST(2 AS DECIMAL(3,0))) AS DECIMAL(28,2))
+            AS DOUBLE) AS sum_doubled,
+       CAST(CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(18,2))
+                     * CAST(0.07 AS DECIMAL(4,2)) AS DECIMAL(28,4)))
+            AS DECIMAL(28,4)) AS DOUBLE) AS sum_tax,
+       CAST(CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)))
+                 AS DECIMAL(28,6)) / CAST(count(*) AS DECIMAL(18,0))
+            AS DECIMAL(28,6)) AS DOUBLE) AS avg_price_dec,
+       CAST(count(*) AS BIGINT) AS n
+FROM orders GROUP BY o_orderpriority ORDER BY priority
+""")
+def decimal_arithmetic_suite(spark: SparkSession,
+                             sf_dir: str) -> DataFrame:
+    """DECIMAL propagation suite: exact decimal sums, integer and
+    fractional decimal products, and decimal division — every
+    result explicitly cast to a pinned (precision, scale) on BOTH
+    engines (the two dialects' implicit propagation rules differ;
+    explicit casts are the engine-portable spelling) and bridged to
+    DOUBLE for the readout — DuckDB's pandas bridge floats
+    DECIMAL(>18,*) anyway, and every value here is exact in a double
+    (< 2^53 scaled units)."""
+    orders = load_table(spark, sf_dir, "orders")
+    p = F.col("o_totalprice").cast("decimal(18,2)")
+    return (orders.groupBy(F.col("o_orderpriority").alias("priority"))
+            .agg(F.sum(p).cast("decimal(28,2)").cast("double")
+                 .alias("sum_price"),
+                 F.sum(p * F.lit(2).cast("decimal(3,0)"))
+                 .cast("decimal(28,2)").cast("double")
+                 .alias("sum_doubled"),
+                 F.sum((p * F.lit(0.07).cast("decimal(4,2)"))
+                       .cast("decimal(28,4)"))
+                 .cast("decimal(28,4)").cast("double")
+                 .alias("sum_tax"),
+                 (F.sum(p).cast("decimal(28,6)")
+                  / F.count("*").cast("decimal(18,0)"))
+                 .cast("decimal(28,6)").cast("double")
+                 .alias("avg_price_dec"),
+                 F.count("*").cast("long").alias("n"))
+            .orderBy("priority"))
+
+
+@register("string_agg_ordered_suite", """
+SELECT n.n_name,
+       string_agg(s.s_name, ',' ORDER BY s.s_name) AS suppliers_csv,
+       CAST(count(*) AS BIGINT) AS n_suppliers,
+       CAST(length(string_agg(s.s_name, ',' ORDER BY s.s_name))
+            AS BIGINT) AS csv_len
+FROM nation n JOIN supplier s ON s.s_nationkey = n.n_nationkey
+GROUP BY n.n_name ORDER BY n.n_name
+""")
+def string_agg_ordered_suite(spark: SparkSession,
+                             sf_dir: str) -> DataFrame:
+    """Ordered string aggregation: DuckDB string_agg(... ORDER BY)
+    == Spark array_join(array_sort(collect_list(...))) — the
+    deterministic LISTAGG spelling (collect_list alone is
+    partition-order-dependent; the sort pins it)."""
+    nation = load_table(spark, sf_dir, "nation")
+    supp = load_table(spark, sf_dir, "supplier")
+    csv = F.array_join(F.array_sort(F.collect_list("s_name")), ",")
+    return (nation.join(supp, supp.s_nationkey == nation.n_nationkey)
+            .groupBy("n_name")
+            .agg(csv.alias("suppliers_csv"),
+                 F.count("*").cast("long").alias("n_suppliers"),
+                 F.length(csv).cast("long").alias("csv_len"))
+            .orderBy("n_name"))
+
+
+@register("lognormal_doclen_fit", f"""
+WITH lens AS (
+    SELECT len({_TOK18_SQL}) AS n FROM documents
+),
+terms AS (
+    SELECT n, {_rd_sql('ln(CAST(n AS DOUBLE))')} AS l1,
+           {_rd_sql('ln(CAST(n AS DOUBLE)) * ln(CAST(n AS DOUBLE))')}
+             AS l2
+    FROM lens WHERE n > 0
+),
+mom AS (
+    SELECT CAST(count(*) AS BIGINT) AS m,
+           CAST(sum(l1) AS DOUBLE) AS s1,
+           CAST(sum(l2) AS DOUBLE) AS s2
+    FROM terms
+),
+fit AS (
+    SELECT m, s1 / m AS mu,
+           CASE WHEN m * s2 - s1 * s1 <= 0 THEN NULL
+                ELSE sqrt((s2 - s1 * s1 / m) / m) END AS sigma
+    FROM mom
+)
+SELECT m AS n_docs, {round_sql('mu')} + 0.0 AS mu_log,
+       {round_sql('sigma')} + 0.0 AS sigma_log,
+       {round_sql('exp(mu)')} + 0.0 AS median_len,
+       {round_sql('exp(mu + sigma * sigma / 2.0)')}
+         + 0.0 AS mean_len_fit
+FROM fit
+""")
+def lognormal_doclen_fit(spark: SparkSession,
+                         sf_dir: str) -> DataFrame:
+    """Lognormal fit of document token lengths (method of moments on
+    ln n): mu/sigma of the log lengths via ROUNDED-DECIMAL-TERM sums
+    (order-free — ln terms have no integer spelling), plus the
+    implied median and mean — the corpus-shape readout a packing
+    planner starts from."""
+    from travel_data_pipeline_spark.operators import text
+
+    docs = load_table(spark, sf_dir, "documents")
+    lens = (docs.select(F.size(text.token_array(F.col("text")))
+                        .alias("n"))
+            .filter(F.col("n") > 0))
+    l1 = F.log(F.col("n").cast("double"))
+    terms = lens.select(_rd(l1).alias("l1"), _rd(l1 * l1).alias("l2"))
+    mom = terms.agg(F.count("*").cast("long").alias("m"),
+                    F.sum("l1").cast("double").alias("s1"),
+                    F.sum("l2").cast("double").alias("s2"))
+    md = F.col("m").cast("double")
+    mu = F.col("s1") / md
+    varn = F.col("m") * F.col("s2") - F.col("s1") * F.col("s1")
+    sigma = F.when(varn <= 0, F.lit(None).cast("double")) \
+        .otherwise(F.sqrt((F.col("s2")
+                           - F.col("s1") * F.col("s1") / md) / md))
+    fit = mom.select("m", mu.alias("mu"), sigma.alias("sigma"))
+    return fit.select(
+        F.col("m").alias("n_docs"),
+        (F.round("mu", 6) + 0.0).alias("mu_log"),
+        (F.round("sigma", 6) + 0.0).alias("sigma_log"),
+        (F.round(F.exp(F.col("mu")), 6) + 0.0).alias("median_len"),
+        (F.round(F.exp(F.col("mu")
+                       + F.col("sigma") * F.col("sigma") / 2.0), 6)
+         + 0.0).alias("mean_len_fit"))
