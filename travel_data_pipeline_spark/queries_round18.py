@@ -1215,12 +1215,23 @@ def ddsketch_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     readout. The mergeable-summary shape — SpaceSaving's quantile
     sibling."""
     orders = load_table(spark, sf_dir, "orders")
-    lg = F.lit(float(_DDS_GAMMA))
     pts = (orders.filter(F.col("o_totalprice") > 0)
            .select(F.pmod(md5_long(F.col("o_orderkey").cast("string")),
                           F.lit(_DDS_SHARDS)).alias("shard"),
-                   F.ceil(F.log(F.col("o_totalprice"))
-                          / F.log(lg)).cast("long").alias("b")))
+                   F.col("o_totalprice").alias("v")))
+    return ddsketch_from_values(spark, pts)
+
+
+def ddsketch_from_values(spark: SparkSession,
+                         pts: DataFrame) -> DataFrame:
+    """DDSketch body over (shard, v) rows — the
+    spacesaving_from_keys-style stress seam (v > 0 required; shard
+    is the mergeable-summary partition key). Per-shard bucket counts
+    are CONSTANT-size state; the merge is one associative sum."""
+    lg = F.lit(float(_DDS_GAMMA))
+    pts = pts.select("shard",
+                     F.ceil(F.log(F.col("v")) / F.log(lg))
+                     .cast("long").alias("b"))
     shardsum = (pts.groupBy("shard", "b")
                 .agg(F.count("*").cast("long").alias("c")))
     merged = shardsum.groupBy("b").agg(F.sum("c").cast("long").alias("c"))
