@@ -547,22 +547,6 @@ def test_post_stratified_matches_python(spark, events_pdf):
         assert r["post_strat_mean"] == pytest.approx(ps, abs=1e-5)
 
 
-def test_wilson_ci_closed_form(spark):
-    out = _run(spark, "wilson_ci_arms")
-    for _, r in out.iterrows():
-        k, n = r["k"], r["n"]
-        p = k / n
-        z2 = 1.96 ** 2
-        den = 1 + z2 / n
-        center = p + z2 / (2 * n)
-        half = 1.96 * math.sqrt(p * (1 - p) / n + z2 / (4 * n * n))
-        assert r["wilson_lo"] == pytest.approx((center - half) / den,
-                                               abs=1e-6)
-        assert r["wilson_hi"] == pytest.approx((center + half) / den,
-                                               abs=1e-6)
-        assert r["wilson_lo"] <= r["p_hat"] <= r["wilson_hi"]
-
-
 def test_haversine_matches_python(spark):
     out = _run(spark, "haversine_nation_pairs")
     nation = pd.read_parquet(f"{SF}/nation.parquet")

@@ -48,7 +48,8 @@ Families this batch adds (all oracle-paired, all scale-shaped):
   profile matrix).
 
 - **A/B extras** (post-stratified arm means on the floor(value*100)
-  integer metric; Wilson score CIs) and **geo bucketing** (haversine
+  integer metric; Haldane-corrected odds ratios) and **geo
+  bucketing** (haversine
   nation pairs over hash-derived coordinates; 1-degree grid-cell
   co-location join — the spatial equi-join shape).
 
@@ -1960,58 +1961,6 @@ def post_stratified_mean(spark: SparkSession,
                      F.lit(0.0), lambda a, x: a + x["x"]), 6) + 0.0)
                  .alias("post_strat_mean"))
             .orderBy("arm"))
-
-
-@register("wilson_ci_arms", f"""
-WITH base AS (
-    SELECT {md5_long_sql("CAST(user_id AS VARCHAR)")} % 2 AS arm,
-           CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS conv
-    FROM events
-),
-agg AS (
-    SELECT arm, CAST(count(*) AS BIGINT) AS n,
-           CAST(sum(conv) AS BIGINT) AS k
-    FROM base GROUP BY arm
-)
-SELECT arm, k, n,
-       {round_sql('CAST(k AS DOUBLE) / n')} + 0.0 AS p_hat,
-       {round_sql('((CAST(k AS DOUBLE) / n + 1.96 * 1.96 / (2.0 * n))'
-                  ' - 1.96 * sqrt((CAST(k AS DOUBLE) / n)'
-                  ' * (1.0 - CAST(k AS DOUBLE) / n) / n'
-                  ' + 1.96 * 1.96 / (4.0 * n * n)))'
-                  ' / (1.0 + 1.96 * 1.96 / n)')} + 0.0 AS wilson_lo,
-       {round_sql('((CAST(k AS DOUBLE) / n + 1.96 * 1.96 / (2.0 * n))'
-                  ' + 1.96 * sqrt((CAST(k AS DOUBLE) / n)'
-                  ' * (1.0 - CAST(k AS DOUBLE) / n) / n'
-                  ' + 1.96 * 1.96 / (4.0 * n * n)))'
-                  ' / (1.0 + 1.96 * 1.96 / n)')} + 0.0 AS wilson_hi
-FROM agg ORDER BY arm
-""")
-def wilson_ci_arms(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Wilson score 95% CI for the purchase-conversion rate per md5
-    arm — exact integer (k, n), one closed-form double expression
-    per bound."""
-    ev = load_table(spark, sf_dir, "events")
-    agg = (ev.select(
-        F.pmod(md5_long(F.col("user_id").cast("string")),
-               F.lit(2)).alias("arm"),
-        F.when(F.col("event_type") == "purchase", 1).otherwise(0)
-        .alias("conv"))
-        .groupBy("arm")
-        .agg(F.count("*").cast("long").alias("n"),
-             F.sum("conv").cast("long").alias("k")))
-    p = F.col("k").cast("double") / F.col("n")
-    n = F.col("n")
-    z2 = 1.96 * 1.96
-    center = p + z2 / (2.0 * n)
-    half = 1.96 * F.sqrt(p * (1.0 - p) / n + z2 / (4.0 * n * n))
-    den = 1.0 + z2 / n
-    return agg.select(
-        "arm", "k", "n",
-        (F.round(p, 6) + 0.0).alias("p_hat"),
-        (F.round((center - half) / den, 6) + 0.0).alias("wilson_lo"),
-        (F.round((center + half) / den, 6) + 0.0).alias("wilson_hi")
-    ).orderBy("arm")
 
 
 _GEO_TOPK = 10
