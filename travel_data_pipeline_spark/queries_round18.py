@@ -773,8 +773,11 @@ FROM agg
 """)
 def runs_up_down_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Wald-Wolfowitz up/down runs test on the daily count series:
-    maximal blocks of equal difference sign (ties dropped) vs the
-    exact randomness moments E = (2n-1)/3, V = (16n-29)/90."""
+    maximal blocks of equal DIFFERENCE sign (ties dropped) vs the
+    exact randomness moments E = (2n-1)/3, V = (16n-29)/90 — the
+    trend-sensitive sibling of runs_test_daily (which tests runs
+    around the median; the two tests have different null moments
+    and catch different departures)."""
     ev = load_table(spark, sf_dir, "events")
     daily = _daily_counts(ev)
     wt = Window.orderBy("t")
@@ -2376,7 +2379,10 @@ def local_clustering_topnodes(spark: SparkSession,
     cap discipline), neighbor-pair closure tested with an EQUI-join
     against the a<b edge list, cc = 2T/(d(d-1)) on the capped
     degree. Top nodes broadcast; the expansion is top10 x cap^2
-    bounded."""
+    bounded. (copurchase_triangles counts UNCAPPED per-node
+    triangles over the whole graph; this normalizes to the
+    coefficient for the hubs, where the cap is what keeps a 19k-hub
+    from exploding the wedge join.)"""
     from travel_data_pipeline_spark.queries_affinity import (
         _order_items,
         _pair_counts,
@@ -2685,7 +2691,10 @@ def ntile_cume_dist_suite(spark: SparkSession,
     percent_rank over per-customer price order — pins the
     distribution-rank surface (w_rank_lag_lead covers
     rank/lag/lead). Total order inside each partition (price,
-    orderkey) so every readout is deterministic."""
+    orderkey) so every readout is deterministic. ntile here runs
+    inside key-bounded partitions (the scale-fine use);
+    decile_bins_order_value documents the cut-point spelling that
+    replaces a GLOBAL ntile."""
     orders = load_table(spark, sf_dir, "orders")
     w = Window.partitionBy("o_custkey").orderBy("o_totalprice",
                                                 "o_orderkey")
