@@ -1606,3 +1606,121 @@ def test_stateful_spc_matches_batch_and_drops_replays(
                    spark.read.parquet(str(tmp_path / "spc_out"))
                    .collect())
     assert after == before
+
+
+def test_stateful_ewma_chart_matches_folds_and_drops_replays(
+        spark, sf_smoke, tmp_path):
+    """Streaming EWMA monitor: (a) bit-equal to the identically-
+    spelled Spark-side recurrence fold, (b) ~1e-6 agreement with the
+    registered closed-form batch query (a recurrence and a closed
+    form are different IEEE sequences — the round-13 gotcha), and
+    (c) a duplicate batch redelivered into the EXISTING checkpoint
+    is a strict zero-row no-op."""
+    import math
+    import os
+
+    # registry first — a direct queries_round16 import mid-init hits
+    # the round17 day-grid circular import (round-13 gotcha)
+    from travel_data_pipeline_spark import registry  # noqa: F401
+    from travel_data_pipeline_spark.queries_round16 import (
+        _daily_counts,
+    )
+    from travel_data_pipeline_spark.queries_round18 import (
+        ewma_control_chart_daily,
+    )
+
+    ev = load_table(spark, sf_smoke, "events")
+    daily = _daily_counts(ev).select(
+        F.col("t").cast("long").alias("t"),
+        F.col("cnt").cast("long").alias("cnt"))
+    pdf = daily.toPandas().sort_values("t")
+    n = len(pdf)
+    sx = int(pdf["cnt"].sum())
+    sxx = int((pdf["cnt"].astype(object) ** 2).sum())
+    mu = sx / n
+    sd = math.sqrt(n * float(sxx) - float(sx) * sx) / n
+
+    cut = pdf["t"].iloc[n // 2]
+    b1 = daily.filter(F.col("t") <= int(cut))
+    b2 = daily.filter(F.col("t") > int(cut))
+    feed = tmp_path / "ewmafeed"
+    feed.mkdir()
+    for i, part_df in enumerate([b1, b2]):
+        p = str(feed / f"b{i}.parquet")
+        part_df.toPandas().to_parquet(p)
+        os.utime(p, (1700000000 + i * 60, 1700000000 + i * 60))
+
+    def run(outdir, ckpt):
+        stream = (spark.readStream.schema("t long, cnt long")
+                  .option("maxFilesPerTrigger", 1).parquet(str(feed)))
+        out = jobs.ewma_chart_stateful(stream, mu, sd)
+        q = (out.writeStream.format("parquet")
+             .option("path", str(tmp_path / outdir))
+             .outputMode("append")
+             .option("checkpointLocation", str(tmp_path / ckpt))
+             .trigger(availableNow=True).start())
+        q.awaitTermination(180)
+
+    run("ewma_out", "ewmack1")
+    got = {r.t: r for r in
+           spark.read.parquet(str(tmp_path / "ewma_out")).collect()}
+    assert set(got) == set(pdf["t"])
+
+    # (a) bit-equality against the identically-spelled Spark fold:
+    # running recurrence + running (1-lam)^2 product, rounded r6
+    lam = 0.2
+    srt = F.array_sort(F.collect_list(F.struct("t", "cnt")))
+    folded = daily.groupBy().agg(srt.alias("xs")).select(
+        F.aggregate(
+            F.expr("slice(xs, 2, 1000000)"),
+            F.struct(
+                F.element_at(F.col("xs"), 1)["cnt"].cast("double")
+                .alias("l"),
+                F.lit((1.0 - lam) * (1.0 - lam)).alias("p"),
+                F.array(F.struct(
+                    F.element_at(F.col("xs"), 1)["t"].alias("t"),
+                    F.element_at(F.col("xs"), 1)["cnt"]
+                    .cast("double").alias("l"),
+                    F.lit((1.0 - lam) * (1.0 - lam)).alias("p")))
+                .alias("walk")),
+            lambda acc, x: F.struct(
+                (F.lit(lam) * x["cnt"] + F.lit(1.0 - lam)
+                 * acc["l"]).alias("l"),
+                (acc["p"] * F.lit((1.0 - lam) * (1.0 - lam)))
+                .alias("p"),
+                F.array_append(
+                    acc["walk"],
+                    F.struct(
+                        x["t"].alias("t"),
+                        (F.lit(lam) * x["cnt"] + F.lit(1.0 - lam)
+                         * acc["l"]).alias("l"),
+                        (acc["p"] * F.lit((1.0 - lam) * (1.0 - lam)))
+                        .alias("p"))).alias("walk"))).alias("st")
+    ).select(F.explode(F.col("st")["walk"]).alias("e")).select(
+        F.col("e.t").alias("t"),
+        F.round(F.col("e.l"), 6).alias("l6"),
+        (F.round(mu + 3.0 * sd * F.sqrt(
+            F.lit(lam / (2.0 - lam))
+            * (1.0 - F.col("e.p"))), 6) + 0.0).alias("ucl6"))
+    for r in folded.collect():
+        g = got[r.t]
+        assert repr(g.ewma) == repr(r.l6), (r.t, g.ewma, r.l6)
+        assert repr(g.ucl) == repr(r.ucl6), (r.t, g.ucl, r.ucl6)
+
+    # (b) closed-form batch query agreement (last 14 days, ~1e-6)
+    for b in ewma_control_chart_daily(spark, sf_smoke).collect():
+        g = got[b.t]
+        assert abs(g.ewma - b.ewma) < 2e-6 * max(1.0, abs(b.ewma))
+        assert abs(g.ucl - b.ucl) < 2e-6 * max(1.0, abs(b.ucl))
+        assert abs(g.lcl - b.lcl) < 2e-6 * max(1.0, abs(b.lcl))
+
+    # (c) duplicate redelivery into the existing checkpoint: no-op
+    before = sorted(got)
+    dup = str(feed / "b0_redelivered.parquet")
+    b1.toPandas().to_parquet(dup)
+    os.utime(dup, (1700000300, 1700000300))
+    run("ewma_out", "ewmack1")
+    after = sorted(r.t for r in
+                   spark.read.parquet(str(tmp_path / "ewma_out"))
+                   .collect())
+    assert after == before

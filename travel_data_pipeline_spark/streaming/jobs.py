@@ -1808,3 +1808,106 @@ def group_sequential_readout(spark: SparkSession,
     peru = versioned.read_table(spark, state_path).select(
         "user_id", "arm", "first_day", "first_purchase_day")
     return gs_looks_from_firsts(spark, peru)
+
+
+def ewma_chart_stateful(daily_rows: DataFrame, mu: float, sd: float,
+                        lam: float = 0.2) -> DataFrame:
+    """Streaming EWMA control monitor — the Phase-II twin of
+    queries_round18.ewma_control_chart_daily (round-13 policy: a new
+    sequential family gets its twin). Limits (mu, sd) are FIXED
+    inputs (the batch query fits them Phase-I from the whole
+    series); state = (level, (1-lam)^(2i) running product, i,
+    last_t).
+
+    The recurrence l = lam*y + (1-lam)*l (seed l_1 = y_1) and the
+    limit product p *= (1-lam)^2 use only IEEE *, +, /, sqrt — all
+    correctly rounded and therefore bit-identical between the Python
+    worker and a JVM-side fold with the SAME spelling; the test pins
+    bit-equality against that identically-spelled Spark aggregate.
+    The REGISTERED batch query deliberately evaluates the
+    closed-form weighted sum instead (its oracle needs one
+    rendering), which is the same real number through a different
+    IEEE sequence — so the batch comparison asserts ~1e-6 agreement,
+    never bits (the module's closed-form-vs-recurrence gotcha).
+
+    Input: daily count rows (t long, cnt long) — one row per day,
+    ENFORCED (ValueError on in-batch duplicates); cross-batch days
+    at or before last_t drop (replay no-op, the page_hinkley
+    contract); constant-key single state partition by design
+    (pre-aggregate to the daily grain first).
+    """
+    import pandas as pd  # noqa: F401
+
+    out_schema = T.StructType([
+        T.StructField("t", T.LongType()),
+        T.StructField("cnt", T.LongType()),
+        T.StructField("n_days", T.LongType()),
+        T.StructField("ewma", T.DoubleType()),
+        T.StructField("ucl", T.DoubleType()),
+        T.StructField("lcl", T.DoubleType()),
+        T.StructField("breach", T.BooleanType()),
+    ])
+    state_schema = T.StructType([
+        T.StructField("l", T.DoubleType()),
+        T.StructField("p", T.DoubleType()),
+        T.StructField("i", T.LongType()),
+        T.StructField("last_t", T.LongType()),
+    ])
+
+    mu_l, sd_l, lam_l = float(mu), float(sd), float(lam)
+    lam1sq = (1.0 - lam_l) * (1.0 - lam_l)
+
+    def update(key, pdfs, state):
+        import math
+        from decimal import ROUND_HALF_UP, Decimal
+
+        import pandas as pd
+
+        def r6(x):
+            return float(Decimal(repr(float(x))).quantize(
+                Decimal("0.000001"), rounding=ROUND_HALF_UP)) + 0.0
+
+        if state.exists:
+            l, p, i, last_t = state.get
+        else:
+            l, p, i, last_t = 0.0, 1.0, 0, None
+
+        out = {"t": [], "cnt": [], "n_days": [], "ewma": [],
+               "ucl": [], "lcl": [], "breach": []}
+        chunks = [pdf for pdf in pdfs if len(pdf)]
+        if chunks:
+            batch = pd.concat(chunks).sort_values("t")
+            if batch["t"].duplicated().any():  # grain guard
+                raise ValueError(
+                    "ewma_chart_stateful: duplicate day index in a "
+                    "micro-batch — input must be the daily grain "
+                    "(one row per day), not raw events")
+            rows_iter = zip(batch["t"], batch["cnt"])
+        else:
+            rows_iter = []
+        for t, cnt in rows_iter:
+            t, cnt = int(t), int(cnt)
+            if last_t is not None and t <= last_t:
+                continue  # late cross-batch arrival / replay: drop
+            i += 1
+            l = float(cnt) if i == 1 \
+                else lam_l * float(cnt) + (1.0 - lam_l) * l
+            p = p * lam1sq
+            half = 3.0 * sd_l * math.sqrt(
+                lam_l / (2.0 - lam_l) * (1.0 - p))
+            ucl, lcl = mu_l + half, mu_l - half
+            last_t = t
+            out["t"].append(t)
+            out["cnt"].append(cnt)
+            out["n_days"].append(i)
+            out["ewma"].append(r6(l))
+            out["ucl"].append(r6(ucl))
+            out["lcl"].append(r6(lcl))
+            out["breach"].append(l > ucl or l < lcl)
+
+        state.update((l, p, i, last_t))
+        yield pd.DataFrame(out)
+
+    return (daily_rows.withColumn("g", F.lit(0)).groupBy("g")
+            .applyInPandasWithState(update, out_schema, state_schema,
+                                    "append", "NoTimeout"))
