@@ -5,6 +5,8 @@ at a ~5M-doc synthetic corpus through their seams:
 - queries_round17.dsir_from_tokens  (the dsir_importance_weights path)
 - queries_round17.mtld_from_arrays  (the mtld_lexical_diversity path)
 - queries_round17.textrank_from_arrays (the textrank_keywords path)
+- queries_round18.trigram_lm_from_arrays (the trigram_lm_perplexity
+  path; its c3/c2 corpus joins dominate the other three)
 
 All three are linear by construction — DSIR is one exploded-token
 pass onto a 64-bucket grid, MTLD a bounded per-row prefix fold,
@@ -49,6 +51,9 @@ def main(n_docs: int = 5_000_000) -> None:
         dsir_from_tokens,
         mtld_from_arrays,
         textrank_from_arrays,
+    )
+    from travel_data_pipeline_spark.queries_round18 import (
+        trigram_lm_from_arrays,
     )
     from travel_data_pipeline_spark.session import get_spark
 
@@ -115,6 +120,23 @@ def main(n_docs: int = 5_000_000) -> None:
                        round(agg["max_mtld"], 3)],
         "wall_sec": round(wall, 2),
         "docs_per_sec": int(n_docs / wall),
+    }
+
+    t0 = time.perf_counter()
+    tlm = trigram_lm_from_arrays(
+        spark, arrs.select("doc_id",
+                           F.col("toks").alias("t"))).collect()
+    wall = time.perf_counter() - t0
+    report["trigram_lm"] = {
+        "out_rows": len(tlm),
+        "ranks_contiguous": [r.rnk for r in tlm]
+        == list(range(1, len(tlm) + 1)),
+        "perplexity_descending": all(
+            tlm[i].perplexity >= tlm[i + 1].perplexity
+            for i in range(len(tlm) - 1)),
+        "n_trigrams": n_docs * (TOKS_PER_DOC - 2),
+        "wall_sec": round(wall, 2),
+        "trigrams_per_sec": int(n_docs * (TOKS_PER_DOC - 2) / wall),
     }
 
     t0 = time.perf_counter()

@@ -1599,6 +1599,16 @@ def trigram_lm_perplexity(spark: SparkSession,
     docs = load_table(spark, sf_dir, "documents")
     arrs = docs.select("doc_id",
                        text.token_array(F.col("text")).alias("t"))
+    return trigram_lm_from_arrays(spark, arrs)
+
+
+def trigram_lm_from_arrays(spark: SparkSession, arrs: DataFrame,
+                           topk: int = _TRI_TOPK) -> DataFrame:
+    """Trigram-LM body over (doc_id, t array<string>) rows — the
+    stress seam (stress_textops drives it at a 5M-doc corpus). One
+    linear pair pass, two corpus groupBys (c3/c2 keyed on trigram /
+    bigram prefixes), position-pinned per-doc folds, TakeOrdered
+    top-k."""
     ln3 = F.greatest(F.size("t") - 2, F.lit(0))
     tri = (arrs.select(
         "doc_id",
@@ -1636,7 +1646,7 @@ def trigram_lm_perplexity(spark: SparkSession,
     perp = F.exp(-F.col("lp") / F.col("n_tri"))
     return (scored
             .orderBy(perp.desc(), F.col("doc_id").asc())
-            .limit(_TRI_TOPK)
+            .limit(topk)
             .withColumn("rnk", F.row_number().over(
                 Window.orderBy(perp.desc(), F.col("doc_id").asc())))
             .select("doc_id", "n_tri",
