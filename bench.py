@@ -203,6 +203,14 @@ def main() -> None:
         "unit": "sec",
         "queries": timings,
         "build_sec": builds,
+        # True suite cost companion (VERDICT r13 #4): the headline
+        # `value` stays execute-only for r01-series comparability, but
+        # the eager-built queries (cluster-components / HITS /
+        # textrank / adamic-adar) do ~all their work at construction —
+        # build_total_sec surfaces that so a construction-side
+        # regression can't hide behind a flat exec headline.
+        # r13 baseline at sf0.1 loaded: ~30.4 s build total.
+        "build_total_sec": round(sum(builds.values()), 3),
         "sf": sf_val,
         "load_1min": load_1min,
         "calib_sec": calib_sec,
@@ -275,11 +283,19 @@ def main() -> None:
                     and calib_sec > prev_calib * 1.25)
     divert = not errors and (load_divert or calib_divert)
     if divert:
-        reason = (f"load_1min={load_1min} > 2.0" if load_divert
-                  else f"calib_sec={calib_sec} > 1.25x record "
-                       f"{prev_calib}")
+        # The message names the signal that actually fired (ADVICE
+        # r13): a calib-triggered divert prints the probe comparison
+        # (prev_load may be None/irrelevant there), a load-triggered
+        # one prints the load comparison.
+        if load_divert:
+            reason = f"load_1min={load_1min} > 2.0"
+            record = f"prev load {prev_load}"
+        else:
+            reason = (f"calib_sec={calib_sec} > 1.25x record "
+                      f"{prev_calib}")
+            record = f"record calib {prev_calib}, this calib {calib_sec}"
         print(f"bench: {reason} — keeping the calmer record in "
-              f"{', '.join(sidecars)} (prev load {prev_load}); this "
+              f"{', '.join(sidecars)} ({record}); this "
               f"run -> BENCH_LAST_LOADED_sf{sf}.json", file=sys.stderr)
         # SF-suffixed so loaded runs at different scales don't
         # clobber each other's preserved record (review r11)
@@ -308,6 +324,7 @@ def main() -> None:
         "unit": "sec",
         "queries": {k: round(v, 3) for k, v in common13.items()},
         "common13_sec": round(sum(common13.values()), 3),
+        "build_total_sec": round(sum(builds.values()), 3),
         "n_queries": len(timings),
         "sf": sf_val,
         "load_1min": load_1min,

@@ -1167,6 +1167,12 @@ def spearman_footrule_nations(spark: SparkSession,
 
 
 _DDS_GAMMA = 1.02
+# 1/ln(gamma) as a Python-computed double literal, inlined on BOTH
+# engines (multiply, never divide by a runtime ln(gamma)): DuckDB's
+# libm and the JVM's Math.log can disagree by 1 ulp on ln(1.02), and
+# at a bucket boundary that flips ceil() and shifts a count between
+# adjacent buckets — the _BENFORD2_P discipline (ADVICE r13).
+_DDS_INV_LN_GAMMA = 1.0 / math.log(_DDS_GAMMA)
 _DDS_SHARDS = 32
 _DDS_QS = (0.5, 0.95, 0.99)
 
@@ -1177,8 +1183,8 @@ def _dds_oracle() -> str:
 WITH pts AS (
     SELECT {md5_long_sql('CAST(o_orderkey AS VARCHAR)')}
              % {_DDS_SHARDS} AS shard,
-           CAST(ceil(ln(o_totalprice) / ln({_DDS_GAMMA})) AS BIGINT)
-             AS b
+           CAST(ceil(ln(o_totalprice) * {_DDS_INV_LN_GAMMA!r})
+                AS BIGINT) AS b
     FROM orders WHERE o_totalprice > 0
 ),
 shardsum AS (
@@ -1234,7 +1240,8 @@ def ddsketch_from_values(spark: SparkSession,
     are CONSTANT-size state; the merge is one associative sum."""
     lg = F.lit(float(_DDS_GAMMA))
     pts = pts.select("shard",
-                     F.ceil(F.log(F.col("v")) / F.log(lg))
+                     F.ceil(F.log(F.col("v"))
+                            * F.lit(_DDS_INV_LN_GAMMA))
                      .cast("long").alias("b"))
     shardsum = (pts.groupBy("shard", "b")
                 .agg(F.count("*").cast("long").alias("c")))
@@ -1583,7 +1590,11 @@ SELECT doc_id, n_tri,
        CAST(row_number() OVER (
            ORDER BY exp(-lp / n_tri) DESC, doc_id) AS INT) AS rnk
 FROM scored
-ORDER BY perplexity DESC, doc_id LIMIT {_TRI_TOPK}
+-- LIMIT membership must rank on the UNROUNDED perplexity (DuckDB
+-- binds output aliases in ORDER BY, which would rank on the rounded
+-- value while the Spark side ranks unrounded — ADVICE r13): order by
+-- the same key rnk uses.
+ORDER BY exp(-lp / n_tri) DESC, doc_id LIMIT {_TRI_TOPK}
 """
 
 
