@@ -15,6 +15,13 @@ undirected (lo < hi) edges.
 
 Run: python tools/stress_graph.py [n_rows]   (default 10_000_000)
 Prints one JSON line.
+
+Fresh-session mode (VERDICT r13 #2): the combined run puts the
+adamic-adar arm BEFORE the peel in one JVM, and its residue (GC
+pressure + still-cached shuffle blocks) inflated the k=3 first peel
+round ~3x in the r13 cert, polluting the flatness metric. Pass
+``--kcore-only`` or ``--aa-only`` to certify one arm per process so
+flatness measures lineage behavior, not co-resident JVM state.
 """
 
 from __future__ import annotations
@@ -30,7 +37,7 @@ sys.path.insert(0, REPO)
 N_NODES = 500_000
 
 
-def main(n_rows: int = 10_000_000) -> None:
+def main(n_rows: int = 10_000_000, only: str | None = None) -> None:
     # local[32] puts every executor thread in ONE JVM heap; the default
     # 8g that fits the sf0.1 bench would OOM on the ~400M-row capped
     # candidate relation this certification deliberately produces
@@ -70,70 +77,83 @@ def main(n_rows: int = 10_000_000) -> None:
              .localCheckpoint(eager=True))
     n_edges = edges.count()
 
-    # --- quantify what the _AA_MAX_NEIGH cap buys --------------------
-    from travel_data_pipeline_spark.queries_round16 import _AA_MAX_NEIGH
+    payload: dict = {"n_raw_rows": n_rows, "n_nodes": N_NODES,
+                     "n_edges": n_edges,
+                     "mode": only or "combined"}
 
-    deg = (edges.select(F.col("part_a").alias("s"))
-           .unionAll(edges.select(F.col("part_b").alias("s")))
-           .groupBy("s").agg(F.count("*").alias("d")))
-    cap = F.least(F.col("d"), F.lit(_AA_MAX_NEIGH)).cast("double")
-    dd = F.col("d").cast("double")
-    bounds = deg.agg(
-        F.sum(cap * (cap - 1) / 2).alias("capped"),
-        F.sum(dd * (dd - 1) / 2).alias("uncapped"),
-        F.max("d").alias("max_deg")).first()
+    if only in (None, "aa"):
+        # --- quantify what the _AA_MAX_NEIGH cap buys ----------------
+        from travel_data_pipeline_spark.queries_round16 import (
+            _AA_MAX_NEIGH,
+        )
 
-    # --- adamic-adar through the registered path ---------------------
-    t0 = time.perf_counter()
-    aa = adamic_adar_from_edges(spark, edges)
-    aa_rows = aa.collect()
-    t_aa = time.perf_counter() - t0
-    aa_plan = aa._jdf.queryExecution().executedPlan().toString()
+        deg = (edges.select(F.col("part_a").alias("s"))
+               .unionAll(edges.select(F.col("part_b").alias("s")))
+               .groupBy("s").agg(F.count("*").alias("d")))
+        cap = F.least(F.col("d"), F.lit(_AA_MAX_NEIGH)).cast("double")
+        dd = F.col("d").cast("double")
+        bounds = deg.agg(
+            F.sum(cap * (cap - 1) / 2).alias("capped"),
+            F.sum(dd * (dd - 1) / 2).alias("uncapped"),
+            F.max("d").alias("max_deg")).first()
 
-    # --- k-core through the registered path, instrumented ------------
-    kc_edges = edges.select(F.col("part_a").alias("u"),
-                            F.col("part_b").alias("v"))
-    round_secs: list[float] = []
-    t0 = time.perf_counter()
-    kc = kcore_from_edges(spark, kc_edges, round_seconds=round_secs)
-    kc_rows = kc.collect()
-    t_kc = time.perf_counter() - t0
+        # --- adamic-adar through the registered path -----------------
+        t0 = time.perf_counter()
+        aa = adamic_adar_from_edges(spark, edges)
+        aa_rows = aa.collect()
+        t_aa = time.perf_counter() - t0
+        aa_plan = aa._jdf.queryExecution().executedPlan().toString()
+        payload.update({
+            "max_degree": bounds["max_deg"],
+            "aa_capped_pair_bound": int(bounds["capped"]),
+            "aa_uncapped_pair_bound": int(bounds["uncapped"]),
+            "aa_out_rows": len(aa_rows),
+            "aa_wall_sec": round(t_aa, 2),
+            "aa_edges_per_sec": int(n_edges / t_aa),
+            "aa_exchanges": aa_plan.count("Exchange"),
+        })
 
-    from travel_data_pipeline_spark.queries_round16 import _N_PEEL
+    if only in (None, "kcore"):
+        # --- k-core through the registered path, instrumented --------
+        kc_edges = edges.select(F.col("part_a").alias("u"),
+                                F.col("part_b").alias("v"))
+        round_secs: list[float] = []
+        t0 = time.perf_counter()
+        kc = kcore_from_edges(spark, kc_edges, round_seconds=round_secs)
+        kc_rows = kc.collect()
+        t_kc = time.perf_counter() - t0
 
-    # round_secs concatenates one _N_PEEL-long run PER k — flatness
-    # is only meaningful within a k (the k=3 peel starts from the
-    # full node set again); round 1 of the first k is codegen warmup
-    per_k = [round_secs[i:i + _N_PEEL]
-             for i in range(0, len(round_secs), _N_PEEL)]
+        from travel_data_pipeline_spark.queries_round16 import _N_PEEL
 
-    def flat(rs, first_k):
-        # only round 1 of the FIRST k is codegen warmup; later ks
-        # must certify ALL their rounds (review r12 — silently
-        # dropping their first round could hide real lineage growth)
-        if first_k and len(rs) > 2:
-            rs = rs[1:]
-        return round(max(rs) / min(rs), 2) if rs else None
+        # round_secs concatenates one _N_PEEL-long run PER k —
+        # flatness is only meaningful within a k (the k=3 peel starts
+        # from the full node set again); round 1 of the first k is
+        # codegen warmup
+        per_k = [round_secs[i:i + _N_PEEL]
+                 for i in range(0, len(round_secs), _N_PEEL)]
 
-    print(json.dumps({
-        "n_raw_rows": n_rows, "n_nodes": N_NODES, "n_edges": n_edges,
-        "max_degree": bounds["max_deg"],
-        "aa_capped_pair_bound": int(bounds["capped"]),
-        "aa_uncapped_pair_bound": int(bounds["uncapped"]),
-        "aa_out_rows": len(aa_rows),
-        "aa_wall_sec": round(t_aa, 2),
-        "aa_edges_per_sec": int(n_edges / t_aa),
-        "aa_exchanges": aa_plan.count("Exchange"),
-        "kcore_out_rows": len(kc_rows),
-        "kcore_wall_sec": round(t_kc, 2),
-        "kcore_edges_per_sec": int(n_edges / t_kc),
-        "kcore_round_secs_per_k": [[round(t, 2) for t in rs]
-                                   for rs in per_k],
-        "kcore_round_flatness_per_k": [flat(rs, i == 0)
-                                       for i, rs in enumerate(per_k)],
-        "kcore_results": sorted((r.k, r.n_core_nodes, r.converged)
-                                for r in kc_rows),
-    }))
+        def flat(rs, first_k):
+            # only round 1 of the FIRST k is codegen warmup; later ks
+            # must certify ALL their rounds (review r12 — silently
+            # dropping their first round could hide real lineage
+            # growth)
+            if first_k and len(rs) > 2:
+                rs = rs[1:]
+            return round(max(rs) / min(rs), 2) if rs else None
+
+        payload.update({
+            "kcore_out_rows": len(kc_rows),
+            "kcore_wall_sec": round(t_kc, 2),
+            "kcore_edges_per_sec": int(n_edges / t_kc),
+            "kcore_round_secs_per_k": [[round(t, 2) for t in rs]
+                                       for rs in per_k],
+            "kcore_round_flatness_per_k": [flat(rs, i == 0)
+                                           for i, rs in enumerate(per_k)],
+            "kcore_results": sorted((r.k, r.n_core_nodes, r.converged)
+                                    for r in kc_rows),
+        })
+
+    print(json.dumps(payload))
 
 
 def compare_bloom(n_rows: int = 10_000_000) -> None:
@@ -189,8 +209,14 @@ def compare_bloom(n_rows: int = 10_000_000) -> None:
 
 
 if __name__ == "__main__":
-    if "--compare-bloom" in sys.argv:
-        args = [a for a in sys.argv[1:] if a != "--compare-bloom"]
-        compare_bloom(int(args[0]) if args else 10_000_000)
+    flags = {a for a in sys.argv[1:] if a.startswith("--")}
+    args = [a for a in sys.argv[1:] if not a.startswith("--")]
+    n = int(args[0]) if args else 10_000_000
+    if "--compare-bloom" in flags:
+        compare_bloom(n)
+    elif "--kcore-only" in flags:
+        main(n, only="kcore")
+    elif "--aa-only" in flags:
+        main(n, only="aa")
     else:
-        main(int(sys.argv[1]) if len(sys.argv) > 1 else 10_000_000)
+        main(n)

@@ -3268,7 +3268,14 @@ def kcore_from_edges(spark: SparkSession, edges_in: DataFrame,
                                        F.col("u").alias("other"))))
     if eager:
         directed = directed.localCheckpoint(eager=True)
-    nodes = directed.select("node").distinct()
+    # Checkpoint the node set: round 1 of EVERY k joins against
+    # ``surv = nodes``, and an unmaterialized ``nodes`` re-runs the
+    # full |2E|-row distinct shuffle once per k (the "first-round-of-k
+    # spike" the r13 10M-edge cert surfaced — a fresh-session rerun
+    # reproduced it, refuting the co-resident-JVM theory; the real
+    # cause was this recomputation). One materialization makes every
+    # round join a bounded survivor set.
+    nodes = directed.select("node").distinct().localCheckpoint(eager=eager)
     n_nodes = nodes.agg(F.count("*").cast("long").alias("n_nodes"))
     out = None
     for k in _KCORE_KS:
