@@ -75,6 +75,55 @@ def test_salted_join_equals_plain_join(spark, restore_confs):
     assert "_salt" in plan
 
 
+def test_skew_routed_join_salts_on_zipf_head(spark, restore_confs):
+    """The probe routes a zipf-headed key to the salted arm (plan
+    carries _salt), a uniform key to the plain arm, and a sub-minimum
+    probe sample refuses to salt; result rows match the plain join on
+    every route (the adoption measurement is tools/stress_skew.py)."""
+    from travel_data_pipeline_spark.operators.joins import (
+        skew_routed_join,
+    )
+
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    # ~90% of rows on key 3 — far above the 5% head-share threshold
+    left = spark.range(500_000).select(
+        F.when(F.col("id") % 10 < 9, F.lit(3)).otherwise(F.col("id"))
+         .alias("key"),
+        F.col("id").alias("payload"))
+    right = spark.range(500).select(
+        F.col("id").alias("key"), (F.col("id") * 7).alias("rv"))
+
+    route: dict = {}
+    routed = skew_routed_join(left, right, "key", salt_buckets=8,
+                              route_out=route)
+    assert route["route"] == "salted", route
+    assert route["head_share_est"] > 0.5
+    plain = left.join(right, "key")
+    assert routed.count() == plain.count()
+    assert (tuple(routed.agg(F.sum("payload"), F.sum("rv")).first())
+            == tuple(plain.agg(F.sum("payload"), F.sum("rv")).first()))
+    plan = routed._jdf.queryExecution().executedPlan().toString()
+    assert "_salt" in plan
+
+    # uniform key -> plain route, no _salt in the plan
+    uleft = spark.range(500_000).select(
+        (F.col("id") % 500).alias("key"), F.col("id").alias("payload"))
+    route = {}
+    uplain = skew_routed_join(uleft, right, "key", route_out=route)
+    assert route["route"] == "plain", route
+    assert route["head_share_est"] < 0.05
+    assert "_salt" not in (
+        uplain._jdf.queryExecution().executedPlan().toString())
+
+    # tiny input: the 0.1% probe sees < min_probe_rows -> plain even
+    # though every sampled row may share one key
+    tiny = spark.range(2_000).select(
+        F.lit(1).alias("key"), F.col("id").alias("payload"))
+    route = {}
+    skew_routed_join(tiny, right, "key", route_out=route)
+    assert route["route"] == "plain", route
+
+
 def test_python_udtf_surface(spark):
     """Spark 4 Python UDTF — the row-expanding shape the reference's
     extract_flight_info has (_archive/flight_price_preprocessing.py:3-49).

@@ -86,12 +86,20 @@ def main(n_rows: int = 200_000_000) -> None:
     chk = F.sum(F.col("v").cast("decimal(10,3)") * F.col("c"))
 
     def measure(df_fact, df_counts, join_fn) -> tuple[float, tuple]:
-        t0 = time.perf_counter()
-        row = (join_fn(df_fact, df_counts)
-               .agg(F.count("*").cast("long").alias("n"),
-                    chk.cast("decimal(38,3)").alias("checksum"))
-               .first())
-        return time.perf_counter() - t0, (row["n"], str(row["checksum"]))
+        # best-of-2 so arm order (page-cache / codegen warmth) can't
+        # decide the comparison — the checksum must agree across runs
+        best, out = float("inf"), None
+        for _ in range(2):
+            t0 = time.perf_counter()
+            row = (join_fn(df_fact, df_counts)
+                   .agg(F.count("*").cast("long").alias("n"),
+                        chk.cast("decimal(38,3)").alias("checksum"))
+                   .first())
+            best = min(best, time.perf_counter() - t0)
+            got = (row["n"], str(row["checksum"]))
+            assert out is None or out == got, (out, got)
+            out = got
+        return best, out
 
     # pin the shuffle path: at 100 TB the counts side won't broadcast
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")

@@ -38,3 +38,20 @@ def round_sql(expr: str, n: int = 6) -> str:
     """Spark-parity ROUND(expr, n) for DuckDB oracle SQL."""
     return (f"CAST(round(CAST(format('{{}}', {expr}) AS DECIMAL(38,18)), "
             f"{n}) AS DOUBLE)")
+
+
+def rd_term_sql(expr: str, n: int = 12) -> str:
+    """Rounded-decimal term for ORDER-FREE float sums (DuckDB side):
+    Spark-parity round to ``n`` dp, then DECIMAL(38,n) so the SUM is
+    exact and associative on any partitioning / executor count — the
+    100 TB float-reduction pattern, determinism-certified at 200M rows
+    (tools/stress_decsum.py). Lossless round-trip for |expr| <= ~4e3
+    at n=12."""
+    return f"CAST({round_sql(expr, n)} AS DECIMAL(38,{n}))"
+
+
+def rd_term(col, n: int = 12):
+    """Spark twin of :func:`rd_term_sql`."""
+    from pyspark.sql import functions as F
+
+    return F.round(col, n).cast(f"decimal(38,{n})")

@@ -82,17 +82,14 @@ from travel_data_pipeline_spark.queries_round16 import (  # noqa: E402
 )
 
 
-def _rd_sql(expr: str, n: int = 12) -> str:
-    """Rounded-decimal term for ORDER-FREE float sums (DuckDB side):
-    Spark-parity round to ``n`` dp, then DECIMAL(38,n) so the SUM is
-    exact and associative. Lossless round-trip for |expr| <= ~4e3 at
-    n=12 (see module docstring)."""
-    return f"CAST({round_sql(expr, n)} AS DECIMAL(38,{n}))"
-
-
-def _rd(col, n: int = 12):
-    """Spark twin of _rd_sql."""
-    return F.round(col, n).cast(f"decimal(38,{n})")
+# The rounded-decimal-term helpers moved to functions/parity.py
+# (rd_term / rd_term_sql) when round 14 adopted the pattern inside
+# hits_from_edges too; these aliases keep this module's 40+ call
+# sites unchanged.
+from travel_data_pipeline_spark.functions.parity import (  # noqa: E402
+    rd_term as _rd,
+    rd_term_sql as _rd_sql,
+)
 
 
 # ---------------------------------------------------------------------------

@@ -16,6 +16,7 @@ from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from travel_data_pipeline_spark.functions.parity import round_sql
+from travel_data_pipeline_spark.operators import joins
 from travel_data_pipeline_spark.registry import register
 from travel_data_pipeline_spark.sources.readers import load_table
 
@@ -250,10 +251,9 @@ def ewma_values_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# Skew-salted join — the salting pattern with a semantics-equality oracle.
+# Skew-probe-routed join — the salting pattern behind auto-routing,
+# with a semantics-equality oracle.
 # ---------------------------------------------------------------------------
-
-_SALT = 8
 
 
 @register("salted_join_orders_customers", """
@@ -261,22 +261,23 @@ SELECT o.o_orderkey, c.c_custkey, c.c_name, o.o_totalprice
 FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
 """)
 def salted_join_orders_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Skew-salted shuffle join, proven semantics-preserving: the fact
-    side gets a deterministic salt in [0, 8), the build side is
-    replicated once per salt value, and the join key becomes
-    (custkey, salt) — a hot customer's rows now spread over 8 reducer
-    partitions instead of one. The oracle is the PLAIN join: salting
-    must not change the result, only the partition histogram.
-    shuffle_hash hint keeps the demo on the shuffled path (a broadcast
-    would hide the skew problem salting solves)."""
-    o = load_table(spark, sf_dir, "orders").withColumn(
-        "salt", (F.col("o_orderkey") % _SALT).cast("int"))
-    c = (load_table(spark, sf_dir, "customer")
-         .select("c_custkey", "c_name")
-         .withColumn("salt", F.explode(F.sequence(
-             F.lit(0), F.lit(_SALT - 1)).cast("array<int>"))))
-    return (o.join(c.hint("shuffle_hash"),
-                   (o.o_custkey == c.c_custkey) & (o.salt == c.salt))
+    """Skew-PROBE-routed join (re-pointed at
+    operators.joins.skew_routed_join when round 14's 200M-row
+    measurement adopted the salted pattern behind auto-routing —
+    salted 1.45x over AQE skew-join at a 29%-head zipf(1.5) key;
+    tools/stress_skew.py): a seeded 0.1% sample estimates the head
+    key's share at CONSTRUCTION and routes to salt-and-replicate at
+    >=5%, plain join below. TPC-H custkey is uniform (~0.2% head), so
+    this registered plan takes — and certifies — the PLAIN route; the
+    salted route is pinned by tests/test_scale_patterns.py on a
+    zipf-headed input. The oracle is the plain join: routing must
+    never change the result, only the partition histogram."""
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", F.col("o_custkey").alias("c_custkey"),
+        "o_totalprice")
+    c = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_name")
+    return (joins.skew_routed_join(o, c, "c_custkey")
             .select("o_orderkey", "c_custkey", "c_name", "o_totalprice"))
 
 
