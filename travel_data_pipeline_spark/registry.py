@@ -102,3 +102,4 @@ from travel_data_pipeline_spark import queries_round15  # noqa: E402,F401
 from travel_data_pipeline_spark import queries_round16  # noqa: E402,F401
 from travel_data_pipeline_spark import queries_round17  # noqa: E402,F401
 from travel_data_pipeline_spark import queries_round18  # noqa: E402,F401
+from travel_data_pipeline_spark import queries_round19  # noqa: E402,F401
