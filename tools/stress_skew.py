@@ -135,5 +135,75 @@ def main(n_rows: int = 200_000_000) -> None:
     }))
 
 
+def main_agg(n_rows: int = 200_000_000) -> None:
+    """The AGGREGATION half of the SURVEY §4 skew claim: zipf-headed
+    groupBy-SUM, plain vs operators.aggregates.salted_sum (two-stage
+    (key, salt) partials). Hash aggregation already does map-side
+    partial combine, so the expectation is a NEGATIVE (salting buys
+    little for an associative agg) — measured, not assumed. Both arms
+    reduce to one deterministic checksum row (DECIMAL(18,2) per-key
+    sums re-summed as DECIMAL(38,2): order-free exact)."""
+    os.environ.setdefault("SPARK_GRAFT_DRIVER_MEM", "48g")
+
+    from pyspark.sql import functions as F
+
+    from travel_data_pipeline_spark import registry  # noqa: F401
+    from travel_data_pipeline_spark.operators.aggregates import salted_sum
+    from travel_data_pipeline_spark.session import get_spark
+
+    spark = get_spark("stress-skew-agg")
+    spark.sparkContext.setLogLevel("ERROR")
+    par = spark.sparkContext.defaultParallelism
+
+    u = ((F.pmod(F.xxhash64("id"), F.lit(U_DENOM)) + 1)
+         / float(U_DENOM))
+    fact = (spark.range(n_rows).repartition(par * 2)
+            .select(F.floor(F.pow(u, F.lit(-1.0 / (ZIPF_S - 1.0))))
+                    .alias("k"),
+                    (F.pmod(F.xxhash64("id", F.lit(7)), F.lit(10000))
+                     / 100.0).alias("v"))
+            .localCheckpoint(eager=True))
+
+    def digest(per_key) -> tuple[float, tuple]:
+        # per_key: (k, s DOUBLE from an exact DECIMAL(18,2) fold);
+        # re-round to 2 dp and re-sum as DECIMAL so the global
+        # checksum is order-free exact
+        best, out = float("inf"), None
+        for _ in range(2):
+            t0 = time.perf_counter()
+            row = (per_key()
+                   .agg(F.count("*").cast("long").alias("n_keys"),
+                        F.sum(F.round(F.col("s"), 2)
+                              .cast("decimal(38,2)")).alias("chk"))
+                   .first())
+            best = min(best, time.perf_counter() - t0)
+            got = (row["n_keys"], str(row["chk"]))
+            assert out is None or out == got, (out, got)
+            out = got
+        return best, out
+
+    walls, results = {}, {}
+    walls["salted"], results["salted"] = digest(
+        lambda: salted_sum(fact, ["k"], "v", "s", salt_buckets=64))
+    walls["plain"], results["plain"] = digest(
+        lambda: fact.groupBy("k")
+        .agg(F.sum(F.col("v").cast("decimal(18,2)"))
+             .cast("double").alias("s")))
+
+    print(json.dumps({
+        "mode": "agg", "n_rows": n_rows, "zipf_s": ZIPF_S,
+        "walls_sec": {k: round(v, 2) for k, v in walls.items()},
+        "salted_vs_plain": round(walls["plain"] / walls["salted"], 3),
+        "bit_identical": results["salted"] == results["plain"],
+        "results": {k: list(v) for k, v in results.items()},
+    }))
+
+
 if __name__ == "__main__":
-    main(int(sys.argv[1]) if len(sys.argv) > 1 else 200_000_000)
+    flags = {a for a in sys.argv[1:] if a.startswith("--")}
+    args = [a for a in sys.argv[1:] if not a.startswith("--")]
+    n = int(args[0]) if args else 200_000_000
+    if "--agg" in flags:
+        main_agg(n)
+    else:
+        main(n)
