@@ -127,3 +127,121 @@ def test_interval_arith_suite(spark, events_pdf):
         assert r["diff_min"] == mins
         assert r["diff_hour"] == 3
         assert r["diff_day"] == 7 * weeks
+
+
+# --- batch 2: codec/url/xml/map-null/tz/bitmap surfaces --------------------
+
+
+def test_codec_hash_suite(spark):
+    import base64
+    import hashlib
+    import zlib
+
+    out = _run(spark, "codec_hash_suite").set_index("doc_id")
+    docs = pd.read_parquet(f"{SF}/documents.parquet")
+    docs = docs[docs.doc_id < 25].set_index("doc_id")
+    assert len(out) == len(docs)
+    for did, r in out.iterrows():
+        s = docs.loc[did, "text"][:16]
+        b = s.encode("utf-8")
+        assert r["b64"] == base64.b64encode(b).decode()
+        assert r["rt_b64"] == s
+        assert r["hx"] == b.hex()
+        assert r["rt_hex"] == s
+        assert r["md5_s"] == hashlib.md5(b).hexdigest()
+        assert r["sha256_s"] == hashlib.sha256(b).hexdigest()
+        assert r["bl"] == 8 * len(b)
+        assert r["ol"] == len(b)
+        assert r["sha1_lit"] == hashlib.sha1(b"travel-data").hexdigest()
+        assert r["crc32_lit"] == zlib.crc32(b"travel-data")
+
+
+def test_url_parse_codec_suite(spark, events_pdf):
+    from urllib.parse import quote_plus, unquote_plus
+
+    out = _run(spark, "url_parse_codec_suite").set_index("event_id")
+    ev = events_pdf[events_pdf.event_id < 60].set_index("event_id")
+    assert len(out) == len(ev)
+    for eid, r in out.iterrows():
+        et, uid = ev.loc[eid, "event_type"], ev.loc[eid, "user_id"]
+        assert r["proto"] == "https"
+        assert r["host"] == "api.example.com"
+        assert r["path"] == f"/v1/{et}/{uid}"
+        assert r["qy"] == f"uid={uid}&etype={et}"
+        assert r["frag"] == f"s{eid % 3}"
+        assert r["uid_parm"] == str(uid)
+        raw = f"q={et} {uid}"
+        assert r["enc"] == quote_plus(raw)  # Java URLEncoder == urllib
+        assert r["dec_rt"] == unquote_plus(r["enc"]) == raw
+
+
+def test_xml_extract_suite(spark):
+    out = _run(spark, "xml_extract_suite").set_index("o_orderkey")
+    orders = pd.read_parquet(f"{SF}/orders.parquet")
+    orders = orders[orders.o_orderkey < 40].set_index("o_orderkey")
+    assert len(out) == len(orders)
+    for k, r in out.iterrows():
+        assert r["xf_flag"] == r["xp_flag"] == orders.loc[k, "o_orderstatus"]
+        assert r["xf_id"] == r["xp_id"] == k
+        assert r["xf_pr"] == r["xp_pr"] == orders.loc[k, "o_orderpriority"]
+        assert r["qs"] == f"{k % 5},{k % 7}"
+
+
+def test_str_to_map_null_suite(spark, events_pdf):
+    out = _run(spark, "str_to_map_null_suite").set_index("event_id")
+    ev = events_pdf[events_pdf.event_id < 80].set_index("event_id")
+    assert len(out) == len(ev)
+    for eid, r in out.iterrows():
+        et = ev.loc[eid, "event_type"]
+        assert r["ma"] == str(eid % 7)
+        assert r["mb"] == eid % 5
+        assert r["mc"] == et
+        assert pd.isna(r["miss"])
+        assert r["n_keys"] == 3 and r["ks"] == "a|b|c"
+        if et == "click":
+            assert pd.isna(r["nullif_ct"])
+            assert r["nvl2_ct"] == "click" and r["eqn"]
+        else:
+            assert r["nullif_ct"] == et
+            assert r["nvl2_ct"] == "other" and not r["eqn"]
+        if eid % 2 == 0:
+            assert r["nanvl_v"] == -1.0  # injected NaN replaced
+        else:
+            assert r["nanvl_v"] == ev.loc[eid, "value"]
+
+
+def test_tz_convert_suite(spark):
+    from datetime import datetime, timedelta
+    from zoneinfo import ZoneInfo
+
+    out = _run(spark, "tz_convert_suite").set_index("event_id")
+    assert len(out) == 8
+    utc, ny = ZoneInfo("UTC"), ZoneInfo("America/New_York")
+    tokyo = ZoneInfo("Asia/Tokyo")
+    spr0 = datetime(2024, 3, 10, 4, 30, tzinfo=utc)
+    fal0 = datetime(2024, 11, 3, 3, 30, tzinfo=utc)
+    fmt = "%Y-%m-%d %H:%M:%S"
+    for eid, r in out.iterrows():
+        spr = spr0 + timedelta(hours=int(eid))
+        fal = fal0 + timedelta(hours=int(eid))
+        assert r["ny_spring"] == spr.astimezone(ny).strftime(fmt)
+        assert r["ny_fall"] == fal.astimezone(ny).strftime(fmt)
+        assert r["tokyo"] == spr.astimezone(tokyo).strftime(fmt)
+        assert r["back_utc"] == spr.strftime(fmt)
+        off = spr.astimezone(ny).utcoffset()
+        assert r["off_min_spring"] == off.total_seconds() / 60
+        assert r["off_min_fall"] == (
+            fal.astimezone(ny).utcoffset().total_seconds() / 60)
+    # the suite genuinely spans both DST edges
+    assert set(out["off_min_spring"]) == {-300, -240}
+    assert set(out["off_min_fall"]) == {-240, -300}
+
+
+def test_bitmap_exact_distinct(spark, events_pdf):
+    out = _run(spark, "bitmap_exact_distinct")
+    ref = events_pdf.groupby("event_type")["user_id"].nunique()
+    got = out.set_index("event_type")
+    assert got["n_exact"].to_dict() == ref.to_dict()
+    # bitmaps are exact bitsets: both paths EQUAL the exact count
+    assert (got["n_bitmap"] == got["n_exact"]).all()
+    assert (got["n_merged"] == got["n_exact"]).all()

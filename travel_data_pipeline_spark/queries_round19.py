@@ -26,6 +26,9 @@ google_trends_*.py) has no analogue surface; this layer exists for the
 
 from __future__ import annotations
 
+import hashlib
+import zlib
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -413,3 +416,360 @@ def interval_arith_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
                "timestampadd(DAY, 7 * weeks, ts))").cast("long")
         .alias("diff_day"))
         .orderBy("event_id"))
+
+
+# ---------------------------------------------------------------------------
+# Batch 2 (same registry-discipline greps before drafting): binary
+# codec + hash scalars, URL parsing/encoding, XML extraction
+# (from_xml + xpath), str_to_map + the null-surface scalars, timezone
+# conversion across DST edges, and the bitmap exact-distinct
+# aggregates. Each family had ZERO prior call sites (hex/base64/md5/
+# sha/crc32/parse_url/url_encode/from_xml/xpath/str_to_map/
+# convert_timezone/bitmap_*); nearest kin checked: x_date_suite and
+# interval_arith_suite cover date ARITHMETIC (not zone conversion),
+# x19_json_extract/variant_get_suite cover JSON (not XML),
+# hll_sketch_builtin_audit covers APPROXIMATE distinct (bitmap is the
+# exact-bitset path a 100 TB rollup would persist per partition).
+# ---------------------------------------------------------------------------
+
+# Independent-implementation literals (the _BENFORD2_P discipline):
+# the oracle pins hashlib/zlib's answer for a fixed input, the Spark
+# side runs the engine's sha1()/crc32() — two unrelated
+# implementations agreeing IS the test.
+_SHA1_LIT = hashlib.sha1(b"travel-data").hexdigest()
+_CRC32_LIT = zlib.crc32(b"travel-data")
+
+
+@register("codec_hash_suite", f"""
+WITH d AS (
+    SELECT doc_id, substr(text, 1, 16) AS s
+    FROM documents WHERE doc_id < 25
+)
+SELECT doc_id,
+       base64(CAST(s AS BLOB))                              AS b64,
+       decode(from_base64(base64(CAST(s AS BLOB))))         AS rt_b64,
+       lower(hex(CAST(s AS BLOB)))                          AS hx,
+       decode(unhex(lower(hex(CAST(s AS BLOB)))))           AS rt_hex,
+       md5(s)                                               AS md5_s,
+       sha256(s)                                            AS sha256_s,
+       CAST(bit_length(s) AS BIGINT)                        AS bl,
+       CAST(octet_length(CAST(s AS BLOB)) AS BIGINT)        AS ol,
+       '{_SHA1_LIT}'                                        AS sha1_lit,
+       CAST({_CRC32_LIT} AS BIGINT)                         AS crc32_lit
+FROM d ORDER BY doc_id
+""")
+def codec_hash_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary codec + hash scalar surface: base64/unbase64 and
+    hex/unhex round trips (binary bridges as its decoded text — the
+    corpus is ASCII by construction), md5 and sha2-256 digests of
+    data-derived strings (DuckDB computes its own), and sha1/crc32
+    against Python hashlib/zlib literals (DuckDB 1.0 lacks both
+    functions, so the oracle pins the INDEPENDENT implementation's
+    answer). bit_length/octet_length pin the byte-vs-bit accounting.
+    Pure per-row codegen scalars — no shuffle, scan-bound at any SF."""
+    d = (load_table(spark, sf_dir, "documents")
+         .filter(F.col("doc_id") < 25)
+         .select("doc_id", F.substring("text", 1, 16).alias("s")))
+    return (d.select(
+        "doc_id",
+        F.base64(F.col("s").cast("binary")).alias("b64"),
+        F.unbase64(F.base64(F.col("s").cast("binary")))
+        .cast("string").alias("rt_b64"),
+        F.lower(F.hex(F.col("s"))).alias("hx"),
+        F.unhex(F.lower(F.hex(F.col("s")))).cast("string")
+        .alias("rt_hex"),
+        F.md5("s").alias("md5_s"),
+        F.sha2(F.col("s"), 256).alias("sha256_s"),
+        F.bit_length("s").cast("long").alias("bl"),
+        F.octet_length("s").cast("long").alias("ol"),
+        F.sha1(F.lit("travel-data")).alias("sha1_lit"),
+        F.crc32(F.lit("travel-data").cast("binary")).cast("long")
+        .alias("crc32_lit"))
+        .orderBy("doc_id"))
+
+
+@register("url_parse_codec_suite", """
+WITH u AS (
+    SELECT event_id,
+           'https://api.example.com:8443/v1/' || event_type || '/'
+             || CAST(user_id AS VARCHAR)
+             || '?uid=' || CAST(user_id AS VARCHAR)
+             || '&etype=' || event_type
+             || '#s' || CAST(event_id % 3 AS VARCHAR) AS url,
+           'q=' || event_type || ' ' || CAST(user_id AS VARCHAR) AS raw
+    FROM events WHERE event_id < 60
+)
+SELECT event_id,
+       regexp_extract(url, '^([a-z]+)://', 1)            AS proto,
+       regexp_extract(url, '://([^/:?#]+)', 1)           AS host,
+       regexp_extract(url, '://[^/?#]+(/[^?#]*)', 1)     AS path,
+       regexp_extract(url, '\\?([^#]*)', 1)              AS qy,
+       regexp_extract(url, '#(.*)$', 1)                  AS frag,
+       regexp_extract(url, '[?&]uid=([^&#]*)', 1)        AS uid_parm,
+       replace(replace(raw, '=', '%3D'), ' ', '+')       AS enc,
+       raw                                               AS dec_rt
+FROM u ORDER BY event_id
+""")
+def url_parse_codec_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """parse_url component extraction (PROTOCOL/HOST/PATH/QUERY/REF +
+    named query parameter — HOST excludes the port) over URLs built
+    in-engine from event columns, plus url_encode (form-encoding:
+    space->'+', '='->'%3D'; the input alphabet is constrained to
+    [a-z0-9 =_] so the oracle's replace-chain is total) and the
+    url_decode(url_encode(x)) == x round trip. DuckDB 1.0 has no URL
+    functions — the oracle spells the same components as anchored
+    regexp_extract over the identically-constructed string. Per-row
+    scalars, scan-bound."""
+    ev = (load_table(spark, sf_dir, "events")
+          .filter(F.col("event_id") < 60)
+          .select("event_id", "event_type", "user_id"))
+    url = F.concat(
+        F.lit("https://api.example.com:8443/v1/"), F.col("event_type"),
+        F.lit("/"), F.col("user_id").cast("string"),
+        F.lit("?uid="), F.col("user_id").cast("string"),
+        F.lit("&etype="), F.col("event_type"),
+        F.lit("#s"), (F.col("event_id") % 3).cast("string"))
+    raw = F.concat(F.lit("q="), F.col("event_type"), F.lit(" "),
+                   F.col("user_id").cast("string"))
+    return (ev.select(
+        "event_id",
+        F.parse_url(url, F.lit("PROTOCOL")).alias("proto"),
+        F.parse_url(url, F.lit("HOST")).alias("host"),
+        F.parse_url(url, F.lit("PATH")).alias("path"),
+        F.parse_url(url, F.lit("QUERY")).alias("qy"),
+        F.parse_url(url, F.lit("REF")).alias("frag"),
+        F.parse_url(url, F.lit("QUERY"), F.lit("uid")).alias("uid_parm"),
+        F.url_encode(raw).alias("enc"),
+        F.url_decode(F.url_encode(raw)).alias("dec_rt"))
+        .orderBy("event_id"))
+
+
+@register("xml_extract_suite", """
+WITH x AS (
+    SELECT o_orderkey AS k, o_orderstatus AS st, o_orderpriority AS pr,
+           CAST(o_orderkey % 5 AS VARCHAR) AS q0,
+           CAST(o_orderkey % 7 AS VARCHAR) AS q1
+    FROM orders WHERE o_orderkey < 40
+)
+SELECT k AS o_orderkey,
+       st AS xf_flag, k AS xf_id, pr AS xf_pr,
+       k AS xp_id, st AS xp_flag, pr AS xp_pr,
+       q0 || ',' || q1 AS qs
+FROM x ORDER BY o_orderkey
+""")
+def xml_extract_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """XML surface: an order document built in-engine
+    ('<ord flag=...><id>..</id><pr>..</pr><it><q>..</q></it>...'),
+    then (a) from_xml with a typed schema — attribute field `_flag`,
+    scalar fields, ARRAY<STRUCT> for the repeated <it> element — and
+    (b) the xpath_* scalar family (xpath_int, attribute xpath
+    '/ord/@flag', and the node-list xpath() joined to a CSV). DuckDB
+    has no XML type — the oracle recomputes every extracted value
+    from the SAME source columns the document was built from, so a
+    wrong extraction cannot hash-match. Per-row scalars,
+    scan-bound."""
+    o = (load_table(spark, sf_dir, "orders")
+         .filter(F.col("o_orderkey") < 40))
+    doc = F.concat(
+        F.lit('<ord flag="'), F.col("o_orderstatus"),
+        F.lit('"><id>'), F.col("o_orderkey").cast("string"),
+        F.lit("</id><pr>"), F.col("o_orderpriority"),
+        F.lit("</pr><it><q>"), (F.col("o_orderkey") % 5).cast("string"),
+        F.lit("</q></it><it><q>"), (F.col("o_orderkey") % 7).cast("string"),
+        F.lit("</q></it></ord>"))
+    xf = F.from_xml(doc, "_flag STRING, id BIGINT, pr STRING, "
+                         "it ARRAY<STRUCT<q: BIGINT>>")
+    return (o.select(
+        "o_orderkey",
+        xf.getField("_flag").alias("xf_flag"),
+        xf.getField("id").alias("xf_id"),
+        xf.getField("pr").alias("xf_pr"),
+        F.xpath_int(doc, F.lit("/ord/id")).cast("long").alias("xp_id"),
+        F.xpath_string(doc, F.lit("/ord/@flag")).alias("xp_flag"),
+        F.xpath_string(doc, F.lit("/ord/pr")).alias("xp_pr"),
+        F.array_join(F.xpath(doc, F.lit("/ord/it/q/text()")), ",")
+        .alias("qs"))
+        .orderBy("o_orderkey"))
+
+
+@register("str_to_map_null_suite", """
+WITH e AS (
+    SELECT event_id, event_type, value,
+           CAST(event_id % 7 AS VARCHAR) AS va,
+           CAST(event_id % 5 AS INT) AS vb
+    FROM events WHERE event_id < 80
+)
+SELECT event_id,
+       va                                                  AS ma,
+       vb                                                  AS mb,
+       event_type                                          AS mc,
+       CAST(NULL AS VARCHAR)                               AS miss,
+       CAST(3 AS INT)                                      AS n_keys,
+       'a|b|c'                                             AS ks,
+       nullif(event_type, 'click')                         AS nullif_ct,
+       CASE WHEN nullif(event_type, 'click') IS NOT NULL
+            THEN 'other' ELSE 'click' END                  AS nvl2_ct,
+       (nullif(event_type, 'click')
+          IS NOT DISTINCT FROM CAST(NULL AS VARCHAR))      AS eqn,
+       CASE WHEN event_id % 2 = 0 THEN -1.0 ELSE value END AS nanvl_v
+FROM e ORDER BY event_id
+""")
+def str_to_map_null_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """str_to_map over an in-engine 'a:<x>,b:<y>,c:<type>' string —
+    typed element_at extraction, try_element_at on a missing key
+    (NULL under ANSI, no error), key-order determinism
+    (map_keys preserves first-appearance order), size() — plus the
+    null-surface scalars: nullif, nvl2, equal_null (null-safe
+    equality as a value), and nanvl over a deterministically injected
+    NaN (even event_ids; the odd rows pass `value` through
+    untouched — bit-equal by the passthrough rule). The oracle
+    recomputes the map values from the same mods and spells
+    equal_null as IS NOT DISTINCT FROM. Per-row scalars."""
+    ev = (load_table(spark, sf_dir, "events")
+          .filter(F.col("event_id") < 80)
+          .select("event_id", "event_type", "value"))
+    kv = F.concat(F.lit("a:"), (F.col("event_id") % 7).cast("string"),
+                  F.lit(",b:"), (F.col("event_id") % 5).cast("string"),
+                  F.lit(",c:"), F.col("event_type"))
+    m = F.str_to_map(kv, F.lit(","), F.lit(":"))
+    nan_or_val = (F.when(F.col("event_id") % 2 == 0,
+                         F.lit("NaN").cast("double"))
+                  .otherwise(F.col("value")))
+    return (ev.select(
+        "event_id",
+        F.element_at(m, "a").alias("ma"),
+        F.element_at(m, "b").cast("int").alias("mb"),
+        F.element_at(m, "c").alias("mc"),
+        F.try_element_at(m, F.lit("zz")).alias("miss"),
+        F.size(F.map_keys(m)).alias("n_keys"),
+        F.array_join(F.map_keys(m), "|").alias("ks"),
+        F.nullif(F.col("event_type"), F.lit("click")).alias("nullif_ct"),
+        F.nvl2(F.nullif(F.col("event_type"), F.lit("click")),
+               F.lit("other"), F.lit("click")).alias("nvl2_ct"),
+        F.equal_null(F.nullif(F.col("event_type"), F.lit("click")),
+                     F.lit(None).cast("string")).alias("eqn"),
+        F.nanvl(nan_or_val, F.lit(-1.0)).alias("nanvl_v"))
+        .orderBy("event_id"))
+
+
+@register("tz_convert_suite", """
+WITH t AS (
+    SELECT event_id,
+           timestamp '2024-03-10 04:30:00'
+             + to_hours(event_id) AS spr,
+           timestamp '2024-11-03 03:30:00'
+             + to_hours(event_id) AS fal
+    FROM events WHERE event_id < 8
+)
+SELECT event_id,
+       strftime(timezone('America/New_York', timezone('UTC', spr)),
+                '%Y-%m-%d %H:%M:%S')                    AS ny_spring,
+       strftime(timezone('America/New_York', timezone('UTC', fal)),
+                '%Y-%m-%d %H:%M:%S')                    AS ny_fall,
+       strftime(timezone('Asia/Tokyo', timezone('UTC', spr)),
+                '%Y-%m-%d %H:%M:%S')                    AS tokyo,
+       strftime(spr, '%Y-%m-%d %H:%M:%S')               AS back_utc,
+       CAST(date_diff('minute', spr,
+            timezone('America/New_York', timezone('UTC', spr)))
+            AS BIGINT)                                  AS off_min_spring,
+       CAST(date_diff('minute', fal,
+            timezone('America/New_York', timezone('UTC', fal)))
+            AS BIGINT)                                  AS off_min_fall
+FROM t ORDER BY event_id
+""")
+def tz_convert_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """convert_timezone across BOTH 2024 US DST edges: eight hourly
+    UTC instants spanning the spring-forward (2024-03-10 07:00 UTC —
+    the 02:30 NY wall time never exists) and fall-back (2024-11-03
+    06:00 UTC — 01:30 exists twice) transitions, a no-DST zone
+    (Asia/Tokyo), the Tokyo round trip back to UTC (Tokyo has no
+    ambiguous wall times, so the round trip is total), and the
+    wall-clock offset in minutes (timestampdiff vs date_diff agree
+    here: whole-hour offsets at :30 — the crossings-vs-elapsed
+    agreement zone, see interval_arith_suite). Everything is spelled
+    session-timezone-independent on both engines: Spark works in
+    TIMESTAMP_NTZ with explicit source/target zones; DuckDB composes
+    timezone('UTC', ts) [naive->instant] with timezone(tz, tstz)
+    [instant->naive]."""
+    ev = (load_table(spark, sf_dir, "events")
+          .filter(F.col("event_id") < 8).select("event_id"))
+    spr = F.expr("timestampadd(HOUR, event_id, "
+                 "timestamp_ntz'2024-03-10 04:30:00')")
+    fal = F.expr("timestampadd(HOUR, event_id, "
+                 "timestamp_ntz'2024-11-03 03:30:00')")
+    ny = "America/New_York"
+    def conv(src, tz):
+        return F.convert_timezone(F.lit("UTC"), F.lit(tz), src)
+    return (ev.select(
+        "event_id",
+        conv(spr, ny).cast("string").alias("ny_spring"),
+        conv(fal, ny).cast("string").alias("ny_fall"),
+        conv(spr, "Asia/Tokyo").cast("string").alias("tokyo"),
+        F.convert_timezone(F.lit("Asia/Tokyo"), F.lit("UTC"),
+                           conv(spr, "Asia/Tokyo"))
+        .cast("string").alias("back_utc"),
+        F.expr("timestampdiff(MINUTE, "
+               "timestampadd(HOUR, event_id, "
+               "timestamp_ntz'2024-03-10 04:30:00'), "
+               "convert_timezone('UTC', 'America/New_York', "
+               "timestampadd(HOUR, event_id, "
+               "timestamp_ntz'2024-03-10 04:30:00')))").cast("long")
+        .alias("off_min_spring"),
+        F.expr("timestampdiff(MINUTE, "
+               "timestampadd(HOUR, event_id, "
+               "timestamp_ntz'2024-11-03 03:30:00'), "
+               "convert_timezone('UTC', 'America/New_York', "
+               "timestampadd(HOUR, event_id, "
+               "timestamp_ntz'2024-11-03 03:30:00')))").cast("long")
+        .alias("off_min_fall"))
+        .orderBy("event_id"))
+
+
+@register("bitmap_exact_distinct", """
+SELECT event_type,
+       CAST(count(DISTINCT user_id) AS BIGINT) AS n_exact,
+       CAST(count(DISTINCT user_id) AS BIGINT) AS n_bitmap,
+       CAST(count(DISTINCT user_id) AS BIGINT) AS n_merged
+FROM events GROUP BY event_type ORDER BY event_type
+""")
+def bitmap_exact_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The bitmap EXACT-distinct aggregate family (the exact
+    counterpart of hll_sketch_builtin_audit's approximate path):
+    per event type, (a) bitmap_construct_agg over
+    bitmap_bit_position(user_id+1) grouped by
+    bitmap_bucket_number(user_id+1) — the +1 keeps id 0 inside the
+    32768-slot bucket 1 (position is (v-1) mod 32768) — summed with
+    bitmap_count per bucket, and (b) the same bitmaps built on 4
+    user-shards then OR-merged with bitmap_or_agg before counting
+    (the mergeable-summary path a 100 TB rollup persists per
+    partition and unions at read). Both must EQUAL the exact
+    count(DISTINCT) — bitmaps are exact bitsets, so the oracle pins
+    all three columns to the same count. Scale shape: two-level
+    aggregation — the shuffle key is (event_type, bucket), 32768
+    ids per bucket, so state is bounded per key and map-side partial
+    aggregation combines before the exchange."""
+    ev = (load_table(spark, sf_dir, "events")
+          .select("event_type", (F.col("user_id") + 1).alias("pos"),
+                  (F.col("user_id") % 4).alias("shard")))
+    buckets = (ev.groupBy("event_type",
+                          F.expr("bitmap_bucket_number(pos)").alias("bkt"))
+               .agg(F.expr("bitmap_construct_agg(bitmap_bit_position(pos))")
+                    .alias("bm")))
+    direct = (buckets.groupBy("event_type")
+              .agg(F.sum(F.expr("bitmap_count(bm)")).cast("long")
+                   .alias("n_bitmap")))
+    shard_buckets = (ev.groupBy("event_type",
+                                F.expr("bitmap_bucket_number(pos)")
+                                .alias("bkt"), "shard")
+                     .agg(F.expr(
+                         "bitmap_construct_agg(bitmap_bit_position(pos))")
+                         .alias("bm")))
+    merged = (shard_buckets.groupBy("event_type", "bkt")
+              .agg(F.expr("bitmap_count(bitmap_or_agg(bm))").alias("c"))
+              .groupBy("event_type")
+              .agg(F.sum("c").cast("long").alias("n_merged")))
+    exact = (ev.groupBy("event_type")
+             .agg(F.countDistinct("pos").cast("long").alias("n_exact")))
+    return (exact.join(direct, "event_type").join(merged, "event_type")
+            .select("event_type", "n_exact", "n_bitmap", "n_merged")
+            .orderBy("event_type"))
