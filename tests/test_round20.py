@@ -245,3 +245,27 @@ def test_bitmap_exact_distinct(spark, events_pdf):
     # bitmaps are exact bitsets: both paths EQUAL the exact count
     assert (got["n_bitmap"] == got["n_exact"]).all()
     assert (got["n_merged"] == got["n_exact"]).all()
+
+
+def test_observe_metrics_audit(spark):
+    out = _run(spark, "observe_metrics_audit")
+    orders = pd.read_parquet(f"{SF}/orders.parquet")
+    assert len(out) == 1
+    r = out.iloc[0]
+    assert r["n_rows"] == len(orders)
+    assert r["sum_price"] == float(
+        round(orders["o_totalprice"].round(2).sum(), 2))
+    assert r["min_price"] == orders["o_totalprice"].min()
+    assert r["max_price"] == orders["o_totalprice"].max()
+    assert r["n_open"] == (orders["o_orderstatus"] == "O").sum()
+
+
+def test_stratified_sample_audit(spark, events_pdf):
+    out = _run(spark, "stratified_sample_audit")
+    ref = events_pdf.groupby("event_type").size()
+    got = out.set_index("event_type")
+    assert got["n_stratum"].to_dict() == ref.to_dict()
+    assert got["frac_within_6sigma"].all()
+    fr = {"click": 0.5, "view": 0.25, "purchase": 0.75,
+          "signup": 0.1, "error": 0.9}
+    assert got["target_frac"].to_dict() == fr

@@ -773,3 +773,108 @@ def bitmap_exact_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (exact.join(direct, "event_type").join(merged, "event_type")
             .select("event_type", "n_exact", "n_bitmap", "n_merged")
             .orderBy("event_type"))
+
+
+# ---------------------------------------------------------------------------
+# DataFrame.observe / Observation — the zero-extra-pass metrics channel
+# (a 100 TB pipeline attaches these to production writes to get row
+# counts / sums / bounds for free off the same action). No prior call
+# site in the package (grepped). The observation needs an ACTION to
+# materialize, so this query does bounded eager work at construction —
+# the adamic_adar_from_edges precedent, documented here and accounted
+# under bench build_sec.
+# ---------------------------------------------------------------------------
+
+
+@register("observe_metrics_audit", """
+SELECT CAST(count(*) AS BIGINT)                          AS n_rows,
+       CAST(CAST(sum(CAST(o_totalprice AS DECIMAL(18,2)))
+            AS DECIMAL(18,2)) AS DOUBLE)                 AS sum_price,
+       min(o_totalprice)                                 AS min_price,
+       max(o_totalprice)                                 AS max_price,
+       CAST(count(CASE WHEN o_orderstatus = 'O' THEN 1 END)
+            AS BIGINT)                                   AS n_open
+FROM orders
+""")
+def observe_metrics_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DataFrame.observe(Observation, ...) metrics collected off ONE
+    pass over orders (count, DECIMAL(18,2) order-free sum bridged to
+    double, min/max, a conditional count) — the action is a count()
+    at construction; obs.get then carries the metrics back to the
+    driver and the query returns them as a 1-row frame. The sum goes
+    through DECIMAL so the observed value is order-independent (the
+    registry money rule); min/max/counts are order-free by nature.
+    The oracle computes the same aggregates relationally — a wrong
+    observed metric cannot hash-match."""
+    from pyspark.sql import Observation
+
+    orders = load_table(spark, sf_dir, "orders")
+    obs = Observation("orders_audit")
+    observed = orders.observe(
+        obs,
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+        .cast("decimal(18,2)").alias("sum_price"),
+        F.min("o_totalprice").alias("min_price"),
+        F.max("o_totalprice").alias("max_price"),
+        F.count(F.when(F.col("o_orderstatus") == "O", 1)).alias("n_open"))
+    observed.count()  # the action that materializes the metrics
+    m = obs.get
+    return spark.createDataFrame(
+        [(int(m["n_rows"]), float(m["sum_price"]),
+          float(m["min_price"]), float(m["max_price"]),
+          int(m["n_open"]))],
+        "n_rows BIGINT, sum_price DOUBLE, min_price DOUBLE, "
+        "max_price DOUBLE, n_open BIGINT")
+
+
+# ---------------------------------------------------------------------------
+# DataFrame.sampleBy — seeded per-stratum Bernoulli sampling. The
+# sampled SET depends on partition layout (rand(seed) is a function of
+# partition index), so the portable facts are the exact stratum sizes
+# and the sampled fraction landing inside a 6-sigma binomial band —
+# the hll_sketch_builtin_audit assertion idiom.
+# ---------------------------------------------------------------------------
+
+_SAMPLE_FRACS = {"click": 0.5, "view": 0.25, "purchase": 0.75,
+                 "signup": 0.1, "error": 0.9}
+
+
+@register("stratified_sample_audit", f"""
+SELECT event_type,
+       CAST(count(*) AS BIGINT) AS n_stratum,
+       CASE event_type
+         {' '.join(f"WHEN '{k}' THEN CAST({v} AS DOUBLE)"
+                   for k, v in sorted(_SAMPLE_FRACS.items()))}
+       END AS target_frac,
+       TRUE AS frac_within_6sigma
+FROM events GROUP BY event_type ORDER BY event_type
+""")
+def stratified_sample_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """df.sampleBy('event_type', fractions, seed=41): per-stratum
+    counts of the seeded Bernoulli sample must land within 6 binomial
+    standard deviations of target_frac * n_stratum (flake odds ~1e-9
+    per stratum). n_stratum and target_frac are exact/hashed; the
+    band membership is the portable boolean — the sampled row SET
+    itself is partition-layout-dependent by design, so asserting it
+    would pin an implementation detail, not a semantic. Scale shape:
+    sampleBy is a per-row filter (no shuffle); the audit adds one
+    groupBy over the 5 strata."""
+    ev = load_table(spark, sf_dir, "events").select("event_type")
+    sampled = (ev.sampleBy("event_type", _SAMPLE_FRACS, seed=41)
+               .groupBy("event_type")
+               .agg(F.count("*").alias("n_sampled")))
+    frac = F.create_map(
+        *[x for k, v in sorted(_SAMPLE_FRACS.items())
+          for x in (F.lit(k), F.lit(v))])[F.col("event_type")]
+    return (ev.groupBy("event_type")
+            .agg(F.count("*").cast("long").alias("n_stratum"))
+            .join(sampled, "event_type")
+            .select("event_type", "n_stratum",
+                    frac.cast("double").alias("target_frac"),
+                    (F.abs(F.col("n_sampled")
+                           - frac * F.col("n_stratum"))
+                     <= 6.0 * F.sqrt(frac * (1.0 - frac)
+                                     * F.col("n_stratum")))
+                    .alias("frac_within_6sigma"))
+            .orderBy("event_type"))
