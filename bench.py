@@ -118,6 +118,11 @@ HEADLINE = [
     "ddsketch_quantiles",
     "trigram_lm_perplexity",
     "local_clustering_topnodes",
+    # round-14 flagship: the bitmap exact-distinct two-level
+    # aggregation (bucketed construct + shard OR-merge + exact
+    # countDistinct in one plan) — 200M-row certified via
+    # tools/stress_bitmap.py
+    "bitmap_exact_distinct",
 ]
 
 

@@ -725,6 +725,45 @@ def tz_convert_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("event_id"))
 
 
+def bitmap_distinct_from_keys(df: DataFrame, group_col: str,
+                              pos_col: str,
+                              n_shards: int = 4) -> DataFrame:
+    """The bitmap exact-distinct pipeline over (group, position>=1)
+    rows — the registered seam ``bitmap_exact_distinct`` wraps and
+    ``tools/stress_bitmap.py`` drives at 200M rows. Three paths per
+    group: exact countDistinct, the direct bucketed bitmap sum, and
+    the shard-then-OR-merge path (the mergeable-summary shape a
+    100 TB rollup persists per partition and unions at read). Scale
+    shape: the shuffle key is (group, bucket) — 32768 positions per
+    bucket bound each bitmap at 4 KiB of agg state, and map-side
+    partial aggregation combines before every exchange."""
+    ev = df.select(
+        F.col(group_col).alias("g"), F.col(pos_col).alias("pos"),
+        F.pmod(F.col(pos_col), F.lit(n_shards)).alias("shard"))
+    buckets = (ev.groupBy("g",
+                          F.expr("bitmap_bucket_number(pos)").alias("bkt"))
+               .agg(F.expr("bitmap_construct_agg(bitmap_bit_position(pos))")
+                    .alias("bm")))
+    direct = (buckets.groupBy("g")
+              .agg(F.sum(F.expr("bitmap_count(bm)")).cast("long")
+                   .alias("n_bitmap")))
+    shard_buckets = (ev.groupBy("g",
+                                F.expr("bitmap_bucket_number(pos)")
+                                .alias("bkt"), "shard")
+                     .agg(F.expr(
+                         "bitmap_construct_agg(bitmap_bit_position(pos))")
+                         .alias("bm")))
+    merged = (shard_buckets.groupBy("g", "bkt")
+              .agg(F.expr("bitmap_count(bitmap_or_agg(bm))").alias("c"))
+              .groupBy("g")
+              .agg(F.sum("c").cast("long").alias("n_merged")))
+    exact = (ev.groupBy("g")
+             .agg(F.countDistinct("pos").cast("long").alias("n_exact")))
+    return (exact.join(direct, "g").join(merged, "g")
+            .select(F.col("g").alias(group_col),
+                    "n_exact", "n_bitmap", "n_merged"))
+
+
 @register("bitmap_exact_distinct", """
 SELECT event_type,
        CAST(count(DISTINCT user_id) AS BIGINT) AS n_exact,
@@ -739,39 +778,15 @@ def bitmap_exact_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     bitmap_bit_position(user_id+1) grouped by
     bitmap_bucket_number(user_id+1) — the +1 keeps id 0 inside the
     32768-slot bucket 1 (position is (v-1) mod 32768) — summed with
-    bitmap_count per bucket, and (b) the same bitmaps built on 4
-    user-shards then OR-merged with bitmap_or_agg before counting
-    (the mergeable-summary path a 100 TB rollup persists per
-    partition and unions at read). Both must EQUAL the exact
-    count(DISTINCT) — bitmaps are exact bitsets, so the oracle pins
-    all three columns to the same count. Scale shape: two-level
-    aggregation — the shuffle key is (event_type, bucket), 32768
-    ids per bucket, so state is bounded per key and map-side partial
-    aggregation combines before the exchange."""
+    bitmap_count per bucket, and (b) the same bitmaps built on
+    position-shards then OR-merged with bitmap_or_agg before
+    counting. Both must EQUAL the exact count(DISTINCT) — bitmaps
+    are exact bitsets, so the oracle pins all three columns to the
+    same count. Pipeline + scale notes: bitmap_distinct_from_keys
+    (the seam stress_bitmap certifies at 200M rows / 50M ids)."""
     ev = (load_table(spark, sf_dir, "events")
-          .select("event_type", (F.col("user_id") + 1).alias("pos"),
-                  (F.col("user_id") % 4).alias("shard")))
-    buckets = (ev.groupBy("event_type",
-                          F.expr("bitmap_bucket_number(pos)").alias("bkt"))
-               .agg(F.expr("bitmap_construct_agg(bitmap_bit_position(pos))")
-                    .alias("bm")))
-    direct = (buckets.groupBy("event_type")
-              .agg(F.sum(F.expr("bitmap_count(bm)")).cast("long")
-                   .alias("n_bitmap")))
-    shard_buckets = (ev.groupBy("event_type",
-                                F.expr("bitmap_bucket_number(pos)")
-                                .alias("bkt"), "shard")
-                     .agg(F.expr(
-                         "bitmap_construct_agg(bitmap_bit_position(pos))")
-                         .alias("bm")))
-    merged = (shard_buckets.groupBy("event_type", "bkt")
-              .agg(F.expr("bitmap_count(bitmap_or_agg(bm))").alias("c"))
-              .groupBy("event_type")
-              .agg(F.sum("c").cast("long").alias("n_merged")))
-    exact = (ev.groupBy("event_type")
-             .agg(F.countDistinct("pos").cast("long").alias("n_exact")))
-    return (exact.join(direct, "event_type").join(merged, "event_type")
-            .select("event_type", "n_exact", "n_bitmap", "n_merged")
+          .select("event_type", (F.col("user_id") + 1).alias("pos")))
+    return (bitmap_distinct_from_keys(ev, "event_type", "pos")
             .orderBy("event_type"))
 
 
