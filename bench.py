@@ -265,8 +265,18 @@ def main() -> None:
     prev_loads = [r.get("load_1min") for r in prev_recs
                   if r.get("load_1min") is not None]
     prev_load = max(prev_loads) if prev_loads else None
-    prev_calibs = [r.get("calib_sec") for r in prev_recs
-                   if r.get("calib_sec") is not None]
+    # The divert baseline is the MONOTONE calibration floor — the
+    # fastest probe any record at this SF has ever seen (carried as
+    # calib_floor in the record, min'd forward on every write). Using
+    # only the CURRENT record's calib ratchets: on a slowly-warming
+    # box each overwrite raises the baseline, so successive
+    # 12%-slower runs each pass the 25% gate and the record inflates
+    # step by step (observed round 14: 0.241 -> 0.269 -> 0.294 across
+    # one evening). The floor makes the gate absolute: once a 0.241
+    # probe exists, any run probing >0.301 diverts, forever.
+    prev_calibs = [c for r in prev_recs
+                   for c in (r.get("calib_floor"), r.get("calib_sec"))
+                   if c is not None]
     prev_calib = min(prev_calibs) if prev_calibs else None
     # A loaded run (load > 2) normally diverts to the LOADED
     # sidecar — EXCEPT when the standing record was itself taken
@@ -308,6 +318,13 @@ def main() -> None:
                                 f"BENCH_LAST_LOADED_sf{sf}.json")]
     else:
         targets = [os.path.join(REPO_ROOT, s) for s in sidecars]
+    # Persist the monotone floor into whatever gets written so the
+    # next run's gate sees it (LOADED sidecars carry it too — a later
+    # record refresh must not lose the historical floor).
+    payload["calib_floor"] = round(
+        min([prev_calib, calib_sec]) if prev_calib is not None
+        else calib_sec, 3)
+    line = json.dumps(payload)
     for path in targets:
         try:
             with open(path, "w") as fh:
