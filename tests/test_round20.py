@@ -269,3 +269,22 @@ def test_stratified_sample_audit(spark, events_pdf):
     fr = {"click": 0.5, "view": 0.25, "purchase": 0.75,
           "signup": 0.1, "error": 0.9}
     assert got["target_frac"].to_dict() == fr
+
+
+def test_approx_percentile_certified_rank_band(spark):
+    # round-14 fix: at sf0.001 the 2-HIGH group's approx p50 is a
+    # data value whose neighbors straddle >1% of the interpolated
+    # exact — the rank-band arm of the certification must admit it
+    # (the sketch is rank-exact at n << accuracy).
+    out = _run(spark, "approx_percentile_certified")
+    assert len(out) == 5
+    assert out["p50_within_1pct"].all()
+    assert out["p95_within_1pct"].all()
+    orders = pd.read_parquet(f"{SF}/orders.parquet")
+    import numpy as np
+    for pri, grp in orders.groupby("o_orderpriority"):
+        row = out[out.o_orderpriority == pri].iloc[0]
+        assert abs(row["exact_p50"]
+                   - round(np.percentile(grp.o_totalprice, 50), 4)) < 1e-6
+        assert abs(row["exact_p95"]
+                   - round(np.percentile(grp.o_totalprice, 95), 4)) < 1e-6

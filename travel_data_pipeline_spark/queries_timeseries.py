@@ -154,22 +154,60 @@ SELECT o_orderpriority,
 FROM orders GROUP BY o_orderpriority
 """)
 def approx_percentile_certified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Certification band = the sketch's ACTUAL contract. The first
+    full sf0.001 sweep (round 14) caught the original 1%-of-value
+    band mis-certifying at tiny n: percentile_approx returns a real
+    data value, and with ~300 rows per group the two order statistics
+    adjacent to the interpolation midpoint can sit >1% apart in VALUE
+    while the sketch is rank-EXACT (n << accuracy). The honest
+    assertion is therefore: within 1% of the interpolated exact
+    value (the meaningful band at scale, where neighbor gaps vanish)
+    OR inside the rank band [t - slack, t + slack] around the target
+    continuous rank t = p*(n-1)+1 with slack = max(2, ceil(n/acc)+1)
+    ranks — the GK guarantee (rank error <= n/accuracy) plus one rank
+    of target-definition play. The rank band is computed with one
+    row_number window per group — no collect, scales as a sort."""
+    from pyspark.sql import Window
+
+    acc = 10000
     o = load_table(spark, sf_dir, "orders")
     agg = (o.groupBy("o_orderpriority")
            .agg(F.percentile("o_totalprice", F.lit(0.5)).alias("_ex50"),
                 F.percentile("o_totalprice", F.lit(0.95)).alias("_ex95"),
-                F.percentile_approx("o_totalprice", F.lit(0.5), F.lit(10000))
+                F.percentile_approx("o_totalprice", F.lit(0.5), F.lit(acc))
                  .alias("_ap50"),
-                F.percentile_approx("o_totalprice", F.lit(0.95), F.lit(10000))
+                F.percentile_approx("o_totalprice", F.lit(0.95), F.lit(acc))
                  .alias("_ap95")))
+    w = Window.partitionBy("o_orderpriority").orderBy("o_totalprice")
+    ranked = (o.select("o_orderpriority", "o_totalprice")
+              .withColumn("_r", F.row_number().over(w))
+              .withColumn("_n", F.count("*").over(
+                  Window.partitionBy("o_orderpriority"))))
+    slack = F.greatest(F.lit(2.0), F.ceil(F.col("_n") / acc) + 1.0)
+
+    def band(p: float, tag: str) -> DataFrame:
+        t = F.lit(p) * (F.col("_n") - 1) + 1
+        in_band = (F.col("_r") >= F.floor(t) - slack) & \
+                  (F.col("_r") <= F.ceil(t) + slack)
+        return (ranked.filter(in_band)
+                .groupBy("o_orderpriority")
+                .agg(F.min("o_totalprice").alias(f"_lo{tag}"),
+                     F.max("o_totalprice").alias(f"_hi{tag}")))
+
+    agg = (agg.join(band(0.5, "50"), "o_orderpriority")
+           .join(band(0.95, "95"), "o_orderpriority"))
+
+    def ok(tag: str):
+        ap, ex = F.col(f"_ap{tag}"), F.col(f"_ex{tag}")
+        return (F.abs(ap - ex) / ex <= 0.01) | \
+               ((ap >= F.col(f"_lo{tag}")) & (ap <= F.col(f"_hi{tag}")))
+
     return agg.select(
         "o_orderpriority",
         F.round("_ex50", 4).alias("exact_p50"),
         F.round("_ex95", 4).alias("exact_p95"),
-        (F.abs(F.col("_ap50") - F.col("_ex50")) / F.col("_ex50") <= 0.01)
-         .alias("p50_within_1pct"),
-        (F.abs(F.col("_ap95") - F.col("_ex95")) / F.col("_ex95") <= 0.01)
-         .alias("p95_within_1pct"))
+        ok("50").alias("p50_within_1pct"),
+        ok("95").alias("p95_within_1pct"))
 
 
 # ---------------------------------------------------------------------------
