@@ -427,3 +427,98 @@ def test_two_phase_ordered_cummax_matches_global_window(spark):
     g = {r.id: r.rmax for r in got.collect()}
     t = {r.id: r.rmax for r in truth.collect()}
     assert g == t
+
+
+# ---------------------------------------------------------------------------
+# two_phase_kth (r14) — exact global order statistic; must agree with
+# the naive global sort for every k, both materialize modes, and the
+# callable-k (rank defined on COUNT(*)) form used by conformal.
+# ---------------------------------------------------------------------------
+
+def test_two_phase_kth_matches_global_sort(spark):
+    from travel_data_pipeline_spark.operators import windows as W
+
+    rows = [(i, float((i * 53) % 97) + ((i * 37) % 11))
+            for i in range(500)]
+    df = spark.createDataFrame(rows, "id long, v double")
+    order = [F.col("v").asc(), F.col("id").asc()]
+    truth = sorted(rows, key=lambda r: (r[1], r[0]))
+    for k in (1, 2, 250, 499, 500):
+        got = W.two_phase_kth(
+            df, order, F.col("v"), k, num_buckets=8).collect()
+        assert len(got) == 1, k
+        assert (got[0]["id"], got[0]["v"]) == truth[k - 1], k
+
+
+def test_two_phase_kth_out_of_range_and_callable(spark):
+    from travel_data_pipeline_spark.operators import windows as W
+
+    rows = [(i, float(i % 7)) for i in range(100)]
+    df = spark.createDataFrame(rows, "id long, v double")
+    order = [F.col("v").asc(), F.col("id").asc()]
+    # out of range -> empty, like a rank-filter miss
+    assert W.two_phase_kth(df, order, F.col("v"), 0,
+                           num_buckets=4).count() == 0
+    assert W.two_phase_kth(df, order, F.col("v"), 101,
+                           num_buckets=4).count() == 0
+    # callable k on the phase-1 count: conformal's ceil(9(n+1)/10)
+    k_fn = lambda n: (9 * (n + 1) + 9) // 10  # noqa: E731
+    got = W.two_phase_kth(df, order, F.col("v"), k_fn,
+                          num_buckets=4).collect()
+    truth = sorted(rows, key=lambda r: (r[1], r[0]))[k_fn(100) - 1]
+    assert len(got) == 1 and (got[0]["id"], got[0]["v"]) == truth
+
+
+def test_two_phase_kth_ties_straddle_and_materialize_off(spark):
+    """All-equal bucket keys (bounds collapse to one bucket) and
+    materialize=False must both stay exact."""
+    from travel_data_pipeline_spark.operators import windows as W
+
+    rows = [(i, 1.0) for i in range(50)]
+    df = spark.createDataFrame(rows, "id long, v double")
+    order = [F.col("v").asc(), F.col("id").asc()]
+    got = W.two_phase_kth(df, order, F.col("v"), 17,
+                          num_buckets=8, materialize=False).collect()
+    assert len(got) == 1 and got[0]["id"] == 16
+
+
+def test_two_phase_ordered_materialize_off_matches(spark):
+    """materialize=False (caller already persists/checkpoints) must be
+    result-identical to the default path."""
+    from travel_data_pipeline_spark.operators import windows as W
+
+    rows = [(i, (i * 37) % 11, float((i * 53) % 7)) for i in range(300)]
+    df = spark.createDataFrame(rows, "id long, grp int, v double")
+    order = [F.col("grp").asc(), F.col("id").asc()]
+    kw = dict(rank_col="rk", cumsum_cols={"v": "cum"}, num_buckets=8)
+    on = W.two_phase_ordered(
+        df, order, F.col("grp") + F.col("id") / 1e9, **kw)
+    off = W.two_phase_ordered(
+        df, order, F.col("grp") + F.col("id") / 1e9,
+        materialize=False, **kw)
+    assert ({(r.id, r.rk, r.cum) for r in on.collect()}
+            == {(r.id, r.rk, r.cum) for r in off.collect()})
+
+
+def test_large_star_orient_duplicates_are_benign(spark):
+    """r14: _large_star emits oriented-but-undeduped edges. The star
+    round (small(large(x))) must still produce a DISTINCT canonical
+    edge set equal to the old fully-canonical round, even when the
+    input itself carries duplicate/reversed edges."""
+    from travel_data_pipeline_spark.operators import graph as G
+
+    raw = [(2, 1), (1, 2), (3, 2), (2, 3), (4, 3), (5, 1), (5, 1),
+           (7, 6), (6, 7), (8, 6)]
+    edges = spark.createDataFrame(raw, "u long, v long")
+    work = G._canon(edges)
+    stepped = G._small_star(G._large_star(work)).collect()
+    got = sorted((r["u"], r["v"]) for r in stepped)
+    # output is a set (no duplicates) and stays lo<hi oriented
+    assert got == sorted(set(got))
+    assert all(u < v for u, v in got)
+    # and the full fixpoint labeling is still the exact min-reachable
+    labels = {r["doc_id"]: r["component"]
+              for r in G.connected_components_star(
+                  edges.select(F.col("u").alias("doc_a"),
+                               F.col("v").alias("doc_b"))).collect()}
+    assert labels == {1: 1, 2: 1, 3: 1, 4: 1, 5: 1, 6: 6, 7: 6, 8: 6}

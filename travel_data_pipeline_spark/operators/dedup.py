@@ -449,7 +449,10 @@ def ppjoin_routed_pairs(docs: DataFrame, text_col: str = "text",
         srank = two_phase_ordered(
             sdf, [F.col("dfreq").asc(), F.col("shingle").asc()],
             F.col("dfreq") + prefix_code(F.col("shingle"), 2),
-            rank_col="srk")
+            rank_col="srk",
+            # sdf is persisted above when we own the lifecycle — the
+            # cache already de-duplicates the three passes
+            materialize=not owns_ss)
         sets = (ss.join(srank.select("shingle", "srk"), "shingle")
                 .groupBy(id_col)
                 .agg(F.sort_array(F.collect_list("srk")).alias("toks"),

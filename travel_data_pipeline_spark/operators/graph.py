@@ -40,10 +40,17 @@ STAR_EDGE_THRESHOLD = 100_000
 
 def _canon(edges: DataFrame) -> DataFrame:
     """Orient every edge (lo, hi) with lo < hi, drop self-loops, dedup."""
+    return _orient(edges).distinct()
+
+
+def _orient(edges: DataFrame) -> DataFrame:
+    """Orientation half of ``_canon`` — no dedup shuffle. Safe wherever
+    the consumer is duplicate-insensitive (min aggregates) and a later
+    ``_canon`` restores set semantics (r14: drops one Exchange per
+    star round)."""
     return (edges.select(F.least("u", "v").alias("u"),
                          F.greatest("u", "v").alias("v"))
-            .filter(F.col("u") != F.col("v"))
-            .distinct())
+            .filter(F.col("u") != F.col("v")))
 
 
 def _symmetric(edges: DataFrame) -> DataFrame:
@@ -58,9 +65,12 @@ def _large_star(edges: DataFrame) -> DataFrame:
     sym = _symmetric(edges)
     mins = (sym.groupBy("u").agg(F.min("v").alias("mn"))
             .select("u", F.least("u", "mn").alias("m")))
-    return _canon(sym.filter(F.col("v") > F.col("u"))
-                  .join(mins, "u")
-                  .select(F.col("v").alias("u"), F.col("m").alias("v")))
+    # _orient, not _canon (r14): _small_star's min aggregates are
+    # duplicate-insensitive and its round-end _canon restores set
+    # semantics, so the mid-round dedup Exchange is pure overhead.
+    return _orient(sym.filter(F.col("v") > F.col("u"))
+                   .join(mins, "u")
+                   .select(F.col("v").alias("u"), F.col("m").alias("v")))
 
 
 def _small_star(edges: DataFrame) -> DataFrame:
@@ -104,13 +114,18 @@ def connected_components_star(edges: DataFrame, src: str = "doc_a",
     detector is a (count, checksum) aggregate of the contracted edge
     relation, which shrinks toward one-edge-per-non-center-vertex.
     """
+    # checkpoint the canonical edge relation FIRST, then derive the
+    # vertex set from the materialized leaf: the old order computed the
+    # full upstream lineage (for the dedup queries: the whole
+    # LSH+Jaccard-verify pipeline) TWICE — once into the vertices
+    # checkpoint, once into the work checkpoint (r14 measured fix).
     work = _canon(edges.select(F.col(src).alias("u"),
                                F.col(dst).alias("v")))
+    work = work.localCheckpoint(eager=True)
     vertices = (work.select(F.col("u").alias("id"))
                 .unionByName(work.select(F.col("v").alias("id")))
                 .distinct()
                 .localCheckpoint(eager=True))
-    work = work.localCheckpoint(eager=True)
     sig = _edge_signature(work)
     for _ in range(max_iter):
         work = _small_star(_large_star(work)).localCheckpoint(eager=True)

@@ -176,7 +176,8 @@ def two_phase_ordered(df: DataFrame, order_cols: Sequence[Column | str],
                       cumsum_cols: dict[str, str] | None = None,
                       cummax_cols: dict[str, str] | None = None,
                       num_buckets: int = 64,
-                      rel_err: float = 0.001) -> DataFrame:
+                      rel_err: float = 0.001,
+                      materialize: bool = True) -> DataFrame:
     """Global ``row_number()`` and/or inclusive running ``sum()`` over
     ``ORDER BY order_cols`` without a single-partition sort.
 
@@ -217,6 +218,13 @@ def two_phase_ordered(df: DataFrame, order_cols: Sequence[Column | str],
     """
     cumsum_cols = dict(cumsum_cols or {})
     cummax_cols = dict(cummax_cols or {})
+    if materialize:
+        # r14: the input is consumed three times (quantile probe,
+        # per-bucket stats, the tagged windowed pass) — every caller
+        # was paying its full upstream lineage per pass. One eager
+        # materialization replaces two recomputations; pass
+        # materialize=False when the caller already checkpoints.
+        df = df.localCheckpoint(eager=True)
     probs = [i / num_buckets for i in range(1, num_buckets)]
     probe = df.select(bucket_on.cast("double").alias("_tpk"))
     bounds = sorted(set(probe.approxQuantile("_tpk", probs, rel_err)))
@@ -268,6 +276,72 @@ def two_phase_ordered(df: DataFrame, order_cols: Sequence[Column | str],
     drop = ["_tpb", "_tpoff_n"] + [f"_tpoff_{src}" for src in cumsum_cols] \
         + [f"_tpoffm_{src}" for src in cummax_cols]
     return out.drop(*drop)
+
+
+def two_phase_kth(df: DataFrame, order_cols: Sequence[Column | str],
+                  bucket_on: Column, k, *,
+                  num_buckets: int = 64,
+                  rel_err: float = 0.001,
+                  materialize: bool = True) -> DataFrame:
+    """The k-th row (1-based) of ``df`` under ``ORDER BY order_cols``
+    without a global sort OR a full two-phase rank — the exact
+    order-statistic sibling of ``two_phase_ordered`` (r14).
+
+    ``k`` may be an int, or a callable ``n_rows -> k`` evaluated on the
+    phase-1 total so rank indices defined relative to COUNT(*) (the
+    conformal ceil((n+1)(1-alpha)) form) need no extra counting pass.
+
+    Same contract: ``order_cols`` must be a total order and
+    ``bucket_on`` numeric, null-free, non-decreasing along it. Phase 1
+    buckets rows by approxQuantile literals and collects the per-bucket
+    counts (a BOUNDED <= num_buckets-row planning collect, the
+    ppjoin_candidate_bound discipline); phase 2 ranks ONLY inside the
+    single bucket that contains global rank k — ~1/num_buckets of the
+    rows — where ``two_phase_ordered`` windowed every bucket and paid
+    an extra broadcast-offsets join. Ties on ``bucket_on`` share a
+    bucket (the binary search compares ``>= bound`` only), so the
+    bucket-local (order_cols) rank k - offset is exactly the global
+    rank k. Returns zero rows when k is out of range.
+    """
+    if materialize:
+        # probe + bucket counts + the final bucket-local rank are three
+        # passes over df — same discipline as two_phase_ordered
+        df = df.localCheckpoint(eager=True)
+    probs = [i / num_buckets for i in range(1, num_buckets)]
+    probe = df.select(bucket_on.cast("double").alias("_tpk"))
+    bounds = sorted(set(probe.approxQuantile("_tpk", probs, rel_err)))
+    key = bucket_on.cast("double")
+
+    def _bsearch(lo: int, hi: int) -> Column:
+        if lo == hi:
+            return F.lit(lo)
+        mid = (lo + hi) // 2
+        return (F.when(key >= F.lit(float(bounds[mid])),
+                       _bsearch(mid + 1, hi))
+                .otherwise(_bsearch(lo, mid)))
+
+    tagged = df.withColumn("_tpb", _bsearch(0, len(bounds)).cast("int"))
+    counts = sorted((r["_tpb"], r["c"]) for r in
+                    tagged.groupBy("_tpb").agg(F.count("*").alias("c"))
+                    .collect())
+    if callable(k):
+        k = int(k(sum(c for _, c in counts)))
+    off = 0
+    target = None
+    local_k = None
+    for b, c in counts:
+        if off < k <= off + c:
+            target = b
+            local_k = k - off
+            break
+        off += c
+    if target is None:  # k out of range -> empty, like a rank miss
+        return df.filter(F.lit(False))
+    w = Window.partitionBy("_tpb").orderBy(*order_cols)
+    return (tagged.filter(F.col("_tpb") == F.lit(target))
+            .withColumn("_tpr", F.row_number().over(w))
+            .filter(F.col("_tpr") == F.lit(int(local_k)))
+            .drop("_tpb", "_tpr"))
 
 
 def prefix_code(col: Column, chars: int = 2) -> Column:

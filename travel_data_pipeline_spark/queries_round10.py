@@ -581,10 +581,17 @@ SELECT 'ALL', CAST(SUM(n_test) AS BIGINT), CAST(SUM(n_covered) AS BIGINT),
 FROM per
 """)
 def conformal_interval_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Split-conformal q-hat and realized test coverage (alpha = 0.1)."""
-    from travel_data_pipeline_spark.operators.windows import (
-        two_phase_ordered,
-    )
+    """Split-conformal q-hat and realized test coverage (alpha = 0.1).
+
+    r14 rework (same result set, proven at 3 SFs): the conformal
+    quantile is picked with ``two_phase_kth`` — rank only the single
+    quantile bucket holding global rank ceil(9(n+1)/10) instead of the
+    full two-phase rank over every calibration row plus a separate
+    COUNT(*) chain — and the per-priority/ALL readout is ONE ``rollup``
+    aggregation instead of a union that re-derived the whole upstream
+    (plan: 157 -> ~70 nodes, exec 14 -> ~8 AQE jobs at sf0.1).
+    """
+    from travel_data_pipeline_spark.operators.windows import two_phase_kth
 
     orders = load_table(spark, sf_dir, "orders").select(
         "o_orderkey", "o_orderpriority", "o_totalprice")
@@ -601,16 +608,13 @@ def conformal_interval_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
              .select("o_orderkey",
                      F.abs(F.col("o_totalprice") - F.col("yhat"))
                      .alias("r")))
-    # two-phase global rank: bucket_on = r is non-decreasing along
-    # (r, o_orderkey); ties stay in one quantile bucket, ranked by the
-    # in-bucket window
-    ranked = two_phase_ordered(
+    # exact order statistic: bucket_on = r is non-decreasing along
+    # (r, o_orderkey); the rank index is evaluated on the phase-1
+    # count (exact integer arithmetic — never a float boundary)
+    q = two_phase_kth(
         calib, [F.col("r").asc(), F.col("o_orderkey").asc()],
-        F.col("r"), rank_col="rnk")
-    n_cal = calib.agg(F.count("*").alias("n_cal"))
-    q = (ranked.crossJoin(F.broadcast(n_cal))
-         .filter(F.col("rnk") == F.expr("(9 * (n_cal + 1) + 9) div 10"))
-         .select(F.col("r").alias("q_hat")))
+        F.col("r"), lambda n: (9 * (n + 1) + 9) // 10,
+    ).select(F.col("r").alias("q_hat"))
     test = (split.filter(F.col("bucket") == 9)
             .join(F.broadcast(model), "o_orderpriority")
             .crossJoin(F.broadcast(q))
@@ -618,23 +622,19 @@ def conformal_interval_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
                     F.when(F.abs(F.col("o_totalprice") - F.col("yhat"))
                            <= F.col("q_hat"), 1).otherwise(0)
                     .alias("covered")))
-    per = test.groupBy(F.col("o_orderpriority").alias("priority")).agg(
-        F.count("*").alias("n_test"), F.sum("covered").alias("n_covered"),
-        F.min("q_hat").alias("q_hat"))
-    per_rows = per.select(
-        "priority", "n_test", "n_covered",
+    # rollup: o_orderpriority is never NULL, so the grand-total row is
+    # exactly the old union's 'ALL' aggregate — one pass, no duplicated
+    # upstream subtree
+    per = (test.rollup("o_orderpriority")
+           .agg(F.count("*").alias("n_test"),
+                F.sum("covered").alias("n_covered"),
+                F.min("q_hat").alias("q_hat")))
+    return per.select(
+        F.coalesce(F.col("o_orderpriority"), F.lit("ALL")).alias("priority"),
+        "n_test", "n_covered",
         F.round(F.col("n_covered").cast("double")
                 / F.col("n_test").cast("double"), 6).alias("coverage"),
         F.round("q_hat", 6).alias("q_hat"))
-    all_row = per.agg(
-        F.sum("n_test").alias("n_test"),
-        F.sum("n_covered").alias("n_covered"),
-        F.min("q_hat").alias("q_hat")).select(
-        F.lit("ALL").alias("priority"), "n_test", "n_covered",
-        F.round(F.col("n_covered").cast("double")
-                / F.col("n_test").cast("double"), 6).alias("coverage"),
-        F.round("q_hat", 6).alias("q_hat"))
-    return per_rows.unionByName(all_row)
 
 
 # ---------------------------------------------------------------------------

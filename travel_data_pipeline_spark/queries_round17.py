@@ -2695,35 +2695,40 @@ def textrank_from_arrays(spark: SparkSession, arrs: DataFrame,
                     F.greatest("ta0", "tb0").alias("tb"))
             .groupBy("ta", "tb")
             .agg(F.count("*").cast("double").alias("w")))
-    dedges = (cooc.select(F.col("ta").alias("src"),
-                          F.col("tb").alias("dst"), "w")
-              .unionAll(cooc.select(F.col("tb").alias("src"),
-                                    F.col("ta").alias("dst"), "w"))
-              .localCheckpoint(eager=True))
-    sumw = (dedges.groupBy("src")
-            .agg(F.sum("w").cast("double").alias("s"))
-            .localCheckpoint(eager=True))
-    ws = vocab.select(F.col("token").alias("node"),
-                      F.lit(1.0).alias("v"))
+    # r14: the power iteration runs DRIVER-SIDE over the vocab-bounded
+    # graph. The corpus-scaled work (tokenize -> linear pairs -> cooc
+    # groupBy) stays in Spark; what comes back is <= C(vocab_n, 2)
+    # weighted edges + vocab_n tokens — a CONSTANT independent of
+    # corpus size (the _bpe_train argmax / IVF centroid-collect
+    # discipline). The old in-Spark loop spent ~1.4 s/query at sf0.1
+    # on 5 iterations x (2 joins + grouped fold + eager checkpoint)
+    # over a 50-node relation — pure job/planning overhead. The fold
+    # below spells the SAME arithmetic the oracle pins: per dst,
+    # contributions (w/s)*v summed in ascending-src order (Python
+    # floats are IEEE doubles — bit-identical to the JVM fold), then
+    # 0.15 + 0.85 * contrib. Rounding/ranking stay in Spark so the
+    # round-half-up parity discipline is untouched.
+    vocab_toks = [r["token"] for r in vocab.collect()]
+    edge_rows = cooc.collect()
+    adj: dict[str, list] = {}
+    sw: dict[str, float] = {}
+    for r in edge_rows:
+        ta, tb, w = r["ta"], r["tb"], r["w"]
+        adj.setdefault(tb, []).append((ta, w))
+        adj.setdefault(ta, []).append((tb, w))
+        sw[ta] = sw.get(ta, 0.0) + w  # integer-valued doubles: exact
+        sw[tb] = sw.get(tb, 0.0) + w
+    v = {t: 1.0 for t in vocab_toks}
     for _ in range(iters):
-        contrib = (dedges.join(sumw, "src")
-                   .join(ws.select(F.col("node").alias("src"),
-                                   F.col("v")), "src")
-                   .groupBy("dst")
-                   .agg(F.aggregate(
-                       F.array_sort(F.collect_list(F.struct(
-                           "src",
-                           ((F.col("w") / F.col("s")) * F.col("v"))
-                           .alias("t")))),
-                       F.lit(0.0),
-                       lambda acc, x: acc + x["t"]).alias("contrib")))
-        ws = (vocab.join(contrib,
-                         vocab.token == contrib.dst, "left")
-              .select(F.col("token").alias("node"),
-                      (F.lit(0.15) + 0.85
-                       * F.coalesce(F.col("contrib"), F.lit(0.0)))
-                      .alias("v"))
-              .localCheckpoint(eager=True))
+        nv = {}
+        for node in vocab_toks:
+            contrib = 0.0
+            for src, w in sorted(adj.get(node, ())):
+                contrib += (w / sw[src]) * v[src]
+            nv[node] = 0.15 + 0.85 * contrib
+        v = nv
+    ws = spark.createDataFrame(
+        [(t, v[t]) for t in vocab_toks], schema="node string, v double")
     wr = Window.orderBy(F.col("v").desc(), F.col("node").asc())
     return (ws.withColumn("rnk", F.row_number().over(wr))
             .filter(F.col("rnk") <= topk)

@@ -1636,19 +1636,28 @@ def trigram_lm_from_arrays(spark: SparkSession, arrs: DataFrame,
         .localCheckpoint(eager=False))
     c3 = tri.groupBy("w1", "w2", "w3").agg(
         F.count("*").cast("long").alias("c3"))
-    c2 = tri.groupBy("w1", "w2").agg(
-        F.count("*").cast("long").alias("c2"))
+    # r14 (guide §2.3/§3.3): fold the bigram count INTO the
+    # distinct-trigram relation, so the corpus-scaled `tri` is
+    # shuffled ONCE (on the trigram key) instead of twice. c2 is a
+    # window-style sum of c3 over the (w1, w2) prefix — same integer
+    # counts, computed from the already-aggregated relation — and the
+    # smoothed per-trigram term is attached there, a
+    # distinct-trigram-sized join build side instead of a second
+    # full-corpus shuffle on (w1, w2).
+    c2w = Window.partitionBy("w1", "w2")
     vocab = (arrs.select(F.explode("t").alias("tok"))
              .agg(F.countDistinct("tok").cast("long").alias("v")))
-    term = F.log((F.col("c3") + 1.0) / (F.col("c2") + F.col("v")))
-    scored = (tri.join(c3, ["w1", "w2", "w3"])
-              .join(c2, ["w1", "w2"])
-              .crossJoin(F.broadcast(vocab))
+    terms = (c3.withColumn("c2", F.sum("c3").over(c2w))
+             .crossJoin(F.broadcast(vocab))
+             .select("w1", "w2", "w3",
+                     F.log((F.col("c3") + 1.0)
+                           / (F.col("c2") + F.col("v"))).alias("x")))
+    scored = (tri.join(terms, ["w1", "w2", "w3"])
               .groupBy("doc_id")
               .agg(F.count("*").cast("long").alias("n_tri"),
                    F.aggregate(
                        F.array_sort(F.collect_list(
-                           F.struct("pos", term.alias("x")))),
+                           F.struct("pos", F.col("x").alias("x")))),
                        F.lit(0.0), lambda a, x: a + x["x"])
                    .alias("lp")))
     perp = F.exp(-F.col("lp") / F.col("n_tri"))

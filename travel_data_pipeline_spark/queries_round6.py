@@ -151,15 +151,20 @@ def abc_pareto_classes(spark: SparkSession, sf_dir: str) -> DataFrame:
         two_phase_ordered)
 
     li = load_table(spark, sf_dir, "lineitem")
+    # r14: the part-grain decimal aggregation feeds FOUR passes (the
+    # two-phase quantile probe, per-bucket stats, the tagged cumsum
+    # pass, and the grand total) — materialize it once instead of
+    # re-running the lineitem groupBy per consumer
     rev = (li.groupBy("l_partkey")
            .agg(F.sum(F.col("l_extendedprice").cast("decimal(18,2)")
                       * (1 - F.col("l_discount").cast("decimal(18,2)")))
-                .alias("revenue")))
+                .alias("revenue"))
+           .localCheckpoint(eager=True))
     tot = rev.agg(F.sum("revenue").alias("total"))
     cum = two_phase_ordered(
         rev, [F.col("revenue").desc(), F.col("l_partkey").asc()],
         -F.col("revenue").cast("double") + F.col("l_partkey") / F.lit(1e18),
-        cumsum_cols={"revenue": "cum"})
+        cumsum_cols={"revenue": "cum"}, materialize=False)
     share = F.col("cum").cast("double") / F.col("total").cast("double")
     classed = (cum.crossJoin(F.broadcast(tot))
                .select("l_partkey", "revenue",

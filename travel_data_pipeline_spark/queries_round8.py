@@ -202,9 +202,13 @@ def ivf_recall_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
     queries = (emb.filter(F.col("vec_id") < 5)
                .select(F.col("vec_id").alias("query_id"), "embedding"))
 
+    # r14: bounded (n_queries x k) relation consumed by BOTH recall
+    # branches — checkpoint so the brute-force corpus pass runs once,
+    # not once per branch (the pairs-materialization idiom)
     truth = (similarity.brute_force_topk(emb, queries, k=max(_RECALL_KS))
              .select("query_id", "neighbor_id",
-                     F.col("rnk").alias("truth_rnk")))
+                     F.col("rnk").alias("truth_rnk"))
+             .localCheckpoint(eager=False))
 
     assigned = similarity.assign_clusters(emb, cent)
     qv = quant.filter(F.col("vec_id") < 5).select(
@@ -239,7 +243,15 @@ def ivf_recall_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
                       .alias("cosine_sim"),
                       F.round(int_dot.cast("double")
                               * F.col("scale_a") * F.col("scale_b"), 6)
-                      .alias("approx_dot")))
+                      .alias("approx_dot"))
+              # r14: ONE candidate relation feeds three rank passes
+              # (ivf_rows + kept -> rr_rows); without materialization
+              # the quantize/assign/probe chain re-derived per consumer
+              # (plan audit: 36 parquet scans -> 4). LAZY checkpoint:
+              # the first exec action materializes it once and all
+              # three consumers read the persisted copy — nothing
+              # moves to construction time.
+              .localCheckpoint(eager=False))
 
     combos = (spark.range(1).select(F.explode(F.array(*[
         F.struct(F.lit(k).alias("k"), F.lit(p).alias("n_probe"))
