@@ -320,9 +320,13 @@ def simhash_near_pairs(fingerprints: DataFrame, id_col: str = "doc_id",
     from pyspark.sql import Window
 
     wb = Window.partitionBy("band_idx", "band_key")
+    # persist, not eager localCheckpoint (r14): the materialization
+    # moves into the first action (where the self-join's two branches
+    # share it) instead of running a separate construction-time job —
+    # measured 2.63 -> 1.70 s build+exec at sf0.1, identical pairs.
     capped = (banded.withColumn("_bsz", F.count("*").over(wb))
               .filter(F.col("_bsz") <= max_bucket).drop("_bsz")
-              .localCheckpoint(eager=True))
+              .persist())
     a = capped.select(F.col(id_col).alias("doc_a"),
                       F.col("simhash").alias("sa"),
                       "band_idx", "band_key")

@@ -1598,10 +1598,15 @@ def adamic_adar_from_edges(spark: SparkSession,
     construction run ONE eager count action on that path (on top of
     the documented eager `top` checkpoint)."""
     # edges / adj / deg are each referenced several times below (the
-    # two-hop expansion, the anti-join, three degree lookups) — lazy
-    # localCheckpoints make the plan derive each ONCE (144 -> ~10
-    # exchanges in the audit); all three are edge-/node-sized
-    edges = edges_in.localCheckpoint(eager=False)
+    # two-hop expansion, the anti-join, three degree lookups) —
+    # persist() makes the plan derive each ONCE (144 -> ~10 exchanges
+    # in the audit); all three are edge-/node-sized. persist, not a
+    # LAZY localCheckpoint (r14): lazy checkpoints still pay physical
+    # planning + AQE stage kickoff at construction (toRdd), measured
+    # build 3.12 -> 1.23 s at sf0.1 with identical results; persist
+    # also keeps lineage, so an evicted block recomputes instead of
+    # failing (the 'Block rdd_N does not exist' lesson).
+    edges = edges_in.persist()
     adj0 = (edges.select(F.col("part_a").alias("s"),
                          F.col("part_b").alias("t"))
             .unionAll(edges.select(F.col("part_b").alias("s"),
@@ -1609,9 +1614,9 @@ def adamic_adar_from_edges(spark: SparkSession,
     w = Window.partitionBy("s").orderBy("t")
     adj = (adj0.withColumn("rn", F.row_number().over(w))
            .filter(F.col("rn") <= _AA_MAX_NEIGH).drop("rn")
-           .localCheckpoint(eager=False))
+           .persist())
     deg = (adj.groupBy(F.col("s").alias("node"))
-           .agg(F.count("*").alias("d")).localCheckpoint(eager=False))
+           .agg(F.count("*").alias("d")).persist())
     n1 = adj.select(F.col("s").alias("z"), F.col("t").alias("a"))
     n2 = adj.select(F.col("s").alias("z"), F.col("t").alias("b"))
     cand = n1.join(n2, "z").filter(F.col("a") < F.col("b"))

@@ -1633,7 +1633,12 @@ def trigram_lm_from_arrays(spark: SparkSession, arrs: DataFrame,
         .select("doc_id", (F.col("pos0") + 1).alias("pos"),
                 F.col("g.w1").alias("w1"), F.col("g.w2").alias("w2"),
                 F.col("g.w3").alias("w3"))
-        .localCheckpoint(eager=False))
+        # persist, not localCheckpoint (r14): even a LAZY local
+        # checkpoint pays physical planning + AQE stage kickoff at
+        # CONSTRUCTION (toRdd), while persist defers everything to the
+        # action and still computes the explode once for the c3
+        # aggregate and the per-doc join (A/B: 1.80 -> 1.39 s).
+        .persist())
     c3 = tri.groupBy("w1", "w2", "w3").agg(
         F.count("*").cast("long").alias("c3"))
     # r14 (guide §2.3/§3.3): fold the bigram count INTO the
@@ -2415,14 +2420,18 @@ def local_clustering_topnodes(spark: SparkSession,
         _pair_counts,
     )
 
+    # persist, not lazy localCheckpoint, throughout (r14): the three
+    # shared relations are consumed 2-4x each; lazy checkpoints ran
+    # ~8 AQE stage jobs at construction (build 2.6-2.9 s), persist
+    # runs none (A/B total 2.87 -> 1.15 s, same result set).
     edges = (_pair_counts(_order_items(spark, sf_dir))
              .select("part_a", "part_b")
-             .localCheckpoint(eager=False))
+             .persist())
     deg = (edges.select(F.col("part_a").alias("node"))
            .unionAll(edges.select(F.col("part_b").alias("node")))
            .groupBy("node").agg(F.count("*").cast("long").alias("d")))
     top = (deg.orderBy(F.col("d").desc(), F.col("node").asc())
-           .limit(_LCC_TOP).localCheckpoint(eager=False))
+           .limit(_LCC_TOP).persist())
     # two broadcast EQUI-joins unioned, not one OR-condition join —
     # the OR compiles to a BroadcastNestedLoopJoin; this stays on
     # hash joins (an edge with both endpoints in the top set rightly
@@ -2437,7 +2446,7 @@ def local_clustering_topnodes(spark: SparkSession,
     wcap = Window.partitionBy("node").orderBy("nb")
     nb = (both.withColumn("rn", F.row_number().over(wcap))
           .filter(F.col("rn") <= _LCC_CAP).drop("rn")
-          .localCheckpoint(eager=False))
+          .persist())
     a = nb.select("node", F.col("nb").alias("u"))
     b = nb.select(F.col("node").alias("node_b"),
                   F.col("nb").alias("v"))

@@ -203,12 +203,17 @@ def ivf_recall_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
                .select(F.col("vec_id").alias("query_id"), "embedding"))
 
     # r14: bounded (n_queries x k) relation consumed by BOTH recall
-    # branches — checkpoint so the brute-force corpus pass runs once,
-    # not once per branch (the pairs-materialization idiom)
+    # branches — persist() so the brute-force corpus pass runs once,
+    # not once per branch. Measured against the alternatives in an
+    # alternating same-box A/B (build+exec mins of 3 process runs):
+    # persist 2.28 s total vs lazy localCheckpoint 3.86 (even a LAZY
+    # checkpoint pays physical planning + RDD construction at build),
+    # eager checkpoint 3.09 (two serial jobs lose to the single-action
+    # overlap), no reuse 2.73 (per-branch re-derivation).
     truth = (similarity.brute_force_topk(emb, queries, k=max(_RECALL_KS))
              .select("query_id", "neighbor_id",
                      F.col("rnk").alias("truth_rnk"))
-             .localCheckpoint(eager=False))
+             .persist())
 
     assigned = similarity.assign_clusters(emb, cent)
     qv = quant.filter(F.col("vec_id") < 5).select(
@@ -247,11 +252,10 @@ def ivf_recall_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
               # r14: ONE candidate relation feeds three rank passes
               # (ivf_rows + kept -> rr_rows); without materialization
               # the quantize/assign/probe chain re-derived per consumer
-              # (plan audit: 36 parquet scans -> 4). LAZY checkpoint:
-              # the first exec action materializes it once and all
-              # three consumers read the persisted copy — nothing
-              # moves to construction time.
-              .localCheckpoint(eager=False))
+              # (plan audit: 36 parquet scans -> 4). persist(), not
+              # localCheckpoint — see the truth comment above for the
+              # measured ranking of the four variants.
+              .persist())
 
     combos = (spark.range(1).select(F.explode(F.array(*[
         F.struct(F.lit(k).alias("k"), F.lit(p).alias("n_probe"))
