@@ -838,3 +838,36 @@ def test_lru_cache_hit_audit_matches_python(spark, sf_smoke):
         assert abs(row.hit_rate - hits / len(xs)) < 1e-6
         # 5 event types, capacity 2: hit rate bounded away from 1
         assert row.hit_rate < 1.0
+
+
+def test_hits_persist_mode_bit_equals_checkpoint_mode(spark, sf_smoke):
+    """Optimization r14: hits_from_edges grew a ``materialize`` knob
+    (the persist variant was A/B'd and measured NEGATIVE — the
+    iterative self-join's relation dedup defeats cache matching — so
+    eager checkpoint stays the default). The two modes are
+    materialization-only variants of the SAME dataflow, so their
+    outputs must be bit-identical — and iter_seconds must keep
+    receiving one wall per iteration in the (forced) checkpoint
+    mode."""
+    from pyspark.sql import functions as F
+
+    from travel_data_pipeline_spark.queries_round15 import (
+        _HITS_ITER,
+        hits_from_edges,
+    )
+    from travel_data_pipeline_spark.sources.readers import load_table
+
+    li = load_table(spark, sf_smoke, "lineitem")
+    edges = (li.groupBy(F.col("l_suppkey").alias("s"),
+                        F.col("l_partkey").alias("p"))
+             .agg(F.count("*").cast("double").alias("w")))
+
+    got_persist = {(r.role, r.node_id): r.score
+                   for r in hits_from_edges(
+                       spark, edges, materialize="persist").collect()}
+    walls: list = []
+    got_ckpt = {(r.role, r.node_id): r.score
+                for r in hits_from_edges(spark, edges,
+                                         iter_seconds=walls).collect()}
+    assert len(walls) == _HITS_ITER and all(w > 0 for w in walls)
+    assert got_persist == got_ckpt  # bit-identical, not approx

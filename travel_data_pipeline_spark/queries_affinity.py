@@ -254,6 +254,14 @@ def copurchase_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     # whole items->cap->pair pipeline (plan audit showed 64 shuffle
     # exchanges; with it the pair build runs once — same reasoning as
     # pagerank's checkpointed graph load)
+    # eager checkpoint KEPT (optimization r14, measured): the
+    # single-action persist variant looked like a wash in the suite
+    # A/B but regressed in isolated cold runs (first-computation 7.67
+    # -> 8.58 s min-of-3, worst sample 10.8 s) — the THREE-way
+    # self-join forces analyzer relation-dedup rewrites after which
+    # the legs no longer reliably match the cached plan, and a missed
+    # leg replays the whole items->cap->pair pipeline (the
+    # hits_from_edges lesson). A checkpoint leaf cannot be un-matched.
     e = (_pair_counts(items).select(F.col("part_a").alias("a"),
                                     F.col("part_b").alias("b"))
          .localCheckpoint(eager=True))

@@ -202,10 +202,15 @@ def dedup_minhash_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
                                     shingles=shingles)
     # the candidate-pair set is consumed three times downstream
     # (id semi-join, intersection join, final select) — materialize it
-    # once; post-LSH it is tiny relative to the corpus
+    # once; post-LSH it is tiny relative to the corpus. persist, not
+    # eager localCheckpoint (optimization r14): all three consumers
+    # live inside the query's one final action, so the cache fills
+    # there instead of a separate serial construction-time job —
+    # measured 3.30 -> 2.58 s build+exec / 3.86 -> 3.75 s
+    # first-computation in the interleaved A/B at sf0.1.
     pairs = dedup.lsh_candidate_pairs(
         sigs, num_hashes=NUM_HASHES, bands=BANDS,
-        max_bucket=MAX_BUCKET).localCheckpoint(eager=True)
+        max_bucket=MAX_BUCKET).persist()
     return dedup.jaccard_pairs(docs, pairs, threshold=0.5,
                                shingles=shingles)
 
@@ -262,6 +267,12 @@ def containment_pairs(spark: SparkSession, sf_dir: str,
     if pairs is None:
         sigs = dedup.minhash_signatures(docs, num_hashes=NUM_HASHES,
                                         shingles=shingles)
+        # eager localCheckpoint, NOT persist (optimization r14): the
+        # single-action persist variant measured WORSE here
+        # (1.97 -> 2.67 s first-computation in the interleaved A/B) —
+        # unlike dedup_minhash_jaccard, the containment readout's
+        # extra greatest()-filter consumer pattern loses more to the
+        # un-materialized LSH lineage than the saved serial job returns
         pairs = dedup.lsh_candidate_pairs(
             sigs, num_hashes=NUM_HASHES, bands=BANDS,
             max_bucket=MAX_BUCKET).localCheckpoint(eager=True)
@@ -820,7 +831,12 @@ def pipeline_training_data(spark: SparkSession, sf_dir: str) -> DataFrame:
     sigs = dedup.minhash_signatures(docs, num_hashes=NUM_HASHES,
                                     shingles=shingles)
     # materialized once — consumed three times by the Jaccard stage
-    # (measured 16% off the whole pipeline at sf0.1)
+    # (measured 16% off the whole pipeline at sf0.1). KEPT as an eager
+    # checkpoint: the r14-optimization persist variant measured worse
+    # on the honest first-computation metric (3.00 -> 4.67 s in the
+    # interleaved A/B) — this pipeline's quality-gate + accounting
+    # consumers fan out wider than the plain verify, and the
+    # un-materialized LSH lineage bloats that action's stage graph
     pairs = dedup.lsh_candidate_pairs(
         sigs, num_hashes=NUM_HASHES, bands=BANDS,
         max_bucket=MAX_BUCKET).localCheckpoint(eager=True)
@@ -1066,6 +1082,13 @@ def minhash_estimate_error(spark: SparkSession, sf_dir: str) -> DataFrame:
     side reuses overlap_pairs' semi-joined shingle counting."""
     docs = _augmented_docs(spark, sf_dir)
     sigs = dedup.minhash_signatures(docs, num_hashes=NUM_HASHES)
+    # eager checkpoint KEPT (optimization r14): the single-action
+    # persist variant measured worse on both accounting views
+    # (2.46 -> 2.90 s build+exec, 2.67 -> 3.00 s first-computation in
+    # the interleaved A/B) — the signature-agreement legs re-join the
+    # same sigs relation the pair lineage embeds, and the analyzer's
+    # self-join dedup defeats cache matching (the hits_from_edges
+    # lesson)
     pairs = dedup.lsh_candidate_pairs(
         sigs, num_hashes=NUM_HASHES, bands=BANDS,
         max_bucket=MAX_BUCKET).localCheckpoint(eager=True)
@@ -1354,6 +1377,9 @@ def dedup_incremental_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     # intersection join, final join) — materialize the tiny post-LSH
     # relation once instead of replaying the signature build per
     # consumer (same measured pattern as dedup_minhash_jaccard).
+    # eager checkpoint KEPT (optimization r14): the single-action
+    # persist variant measured 2.88 -> 3.28 s on the honest
+    # first-computation metric in the interleaved A/B.
     pairs = (existing.join(F.broadcast(incoming),
                            ["band_idx", "band_key"])
              .select("doc_a", "doc_b").distinct()

@@ -857,7 +857,10 @@ def vocab_jaccard_source_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     # instead of four times. Local timing is noise-equal (1.54 vs
     # 1.58 s best-of-3 at sf0.1 — parallel redundant scans are cheap
     # on local[32]); the win is the scan-count at scale, where the
-    # corpus read dominates and the checkpoint is ~10k rows
+    # corpus read dominates and the checkpoint is ~10k rows. Eager
+    # checkpoint KEPT (optimization r14): the single-action persist
+    # variant measured 1.24 -> 1.84 s on the first-computation metric
+    # in the interleaved A/B.
     presence = (toks.join(F.broadcast(vocab), "token")
                 .select("source", "token").distinct()
                 .localCheckpoint(eager=True))
@@ -1195,6 +1198,15 @@ def neardup_chain_inflation(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = _augmented_docs(spark, sf_dir)
     sigs = dedup.minhash_signatures(docs, num_hashes=NUM_HASHES)
+    # eager localCheckpoint, NOT persist (optimization r14, measured):
+    # although the pair set's three consumers all live inside the one
+    # `edges` checkpoint action (the single-action persist rule), the
+    # interleaved A/B read the persist variant 9.0 -> 12.2 s total
+    # (41 -> 75 jobs) — the un-materialized LSH lineage bloats the
+    # edges action's AQE stage graph more than the saved serial job
+    # returns. Both feeds of the star-CC loop keep their checkpoints
+    # (the pairs/edges persist swap measured 4.64 -> 9.68 s in the
+    # earlier r14 pass).
     pairs = dedup.lsh_candidate_pairs(
         sigs, num_hashes=NUM_HASHES, bands=BANDS,
         max_bucket=MAX_BUCKET).localCheckpoint(eager=True)
@@ -1470,7 +1482,10 @@ def bm25_ndcg_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
               # graded is query-hit-sized (tiny) but its lineage is the
               # full bm25 token pipeline, and ranking/ideal/grid all
               # consume it — pin it so the corpus scans once (measured
-              # 1.64 -> 1.37 s best-of-3 at sf0.1)
+              # 1.64 -> 1.37 s best-of-3 at sf0.1). Eager checkpoint
+              # KEPT (optimization r14): the single-action persist
+              # variant measured 1.36 -> 1.81 s on the
+              # first-computation metric in the interleaved A/B.
               .localCheckpoint(eager=True))
     disc = F.create_map(*[x for i, d in _NDCG_DISC.items()
                           for x in (F.lit(i), F.lit(d))])
@@ -2299,8 +2314,11 @@ def eval_scorecard(spark: SparkSession, sf_dir: str) -> DataFrame:
            .select(F.lit("auc").alias("metric"),
                    F.col("auc").cast("double").alias("value")))
     # 1-row result, corpus-sized lineage, TWO consumers — pin it
-    # (the oracle materializes brier_q once)
-    bd = brier_decomposition(spark, sf_dir).localCheckpoint(eager=True)
+    # (the oracle materializes brier_q once); persist, not eager
+    # localCheckpoint (optimization r14): both consumers live inside
+    # the one final action — measured 5.67 -> 4.41 s build+exec /
+    # 5.89 -> 5.59 s first-computation in the interleaved A/B at sf0.1
+    bd = brier_decomposition(spark, sf_dir).persist()
     brier = bd.select(F.lit("brier").alias("metric"),
                       F.col("brier").alias("value"))
     rel = bd.select(F.lit("reliability").alias("metric"),

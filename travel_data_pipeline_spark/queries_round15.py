@@ -333,7 +333,8 @@ SELECT 'authority' AS role, node AS node_id,
 
 def hits_from_edges(spark: SparkSession, edges: DataFrame,
                     n_iter: int = _HITS_ITER,
-                    iter_seconds: list | None = None) -> DataFrame:
+                    iter_seconds: list | None = None,
+                    materialize: str | None = None) -> DataFrame:
     """The HITS power-iteration body over an (s, p, w) edge relation —
     factored out so tools/stress_hits.py can drive the REGISTERED code
     path at a synthetic 10M-edge graph (VERDICT r10 #5).
@@ -341,43 +342,69 @@ def hits_from_edges(spark: SparkSession, edges: DataFrame,
     ``iter_seconds``, when a list, receives one wall-clock float per
     iteration (each iteration ends on its eager hub-side checkpoint,
     so the measurement brackets real work, not lazy plan building) —
-    flat values certify the lag-1 localCheckpoint pattern keeps
+    flat values certify the lag-1 materialization pattern keeps
     lineage from re-growing across iterations.
+
+    ``materialize`` (optimization r14, guide §5): ``"persist"`` pins
+    each double-referenced relation (edges; per-iteration raw scores,
+    consumed by the max normalizer AND the normalized output) with
+    ``persist()`` so the whole 3-iteration recursion becomes ONE
+    action. MEASURED NEGATIVE as the default (interleaved A/B at
+    sf0.1): the first full computation ran 12.6 -> 20.9 s because the
+    iterative self-join (edges joins a hub/auth whose lineage embeds
+    edges) forces analyzer-side relation deduplication, after which
+    the rewritten subtrees no longer canonically match the cache and
+    the 2^k re-derivation the per-iteration pins exist to prevent
+    comes back. The eager-checkpoint default stands — each iteration
+    plans against a materialized LEAF, which no dedup rewrite can
+    un-match. Outputs of the two modes are bit-identical
+    (test_hits_persist_mode_bit_equals_checkpoint_mode); a list in
+    ``iter_seconds`` also forces checkpoint mode because only eager
+    per-iteration actions give the stress harness real per-round
+    walls.
     """
     import time as _time
 
+    if materialize is None:
+        materialize = "checkpoint"
+
+    if iter_seconds is not None:
+        materialize = "checkpoint"
+
+    def _pin(df: DataFrame) -> DataFrame:
+        if materialize == "persist":
+            return df.persist()
+        return df.localCheckpoint(eager=True)
+
     n_part = spark.sparkContext.defaultParallelism
-    edges = (edges.repartition(n_part, "p")
-             .localCheckpoint(eager=True))
+    edges = _pin(edges.repartition(n_part, "p"))
     hub = edges.select("s").distinct().select(
         F.col("s").alias("node"), F.lit(1.0).alias("v"))
     auth = None
     for _ in range(n_iter):
         t0 = _time.perf_counter()
         # each raw-score relation feeds BOTH its max normalizer and
-        # the normalized output — without a checkpoint the plan
+        # the normalized output — without a pin the plan
         # doubles per normalization (2^6 re-derivations; the same
         # value+max double-reference the oracle needed MATERIALIZED
         # for; plan audit read 660 exchanges before this)
-        ar = (edges.join(hub, edges.s == hub.node)
-              .groupBy(edges.p.alias("node"))
-              .agg(F.aggregate(
-                  F.array_sort(F.collect_list(
-                      F.struct(edges.s.alias("s"),
-                               (edges.w * F.col("v")).alias("c")))),
-                  F.lit(0.0), lambda x, y: x + y["c"]).alias("r"))
-              .localCheckpoint(eager=True))
+        ar = _pin(edges.join(hub, edges.s == hub.node)
+                  .groupBy(edges.p.alias("node"))
+                  .agg(F.aggregate(
+                      F.array_sort(F.collect_list(
+                          F.struct(edges.s.alias("s"),
+                                   (edges.w * F.col("v")).alias("c")))),
+                      F.lit(0.0), lambda x, y: x + y["c"]).alias("r")))
         am = ar.agg(F.max("r").alias("m"))
         auth = (ar.crossJoin(F.broadcast(am))
                 .select("node", (F.col("r") / F.col("m")).alias("v")))
-        hr = (edges.join(auth, edges.p == auth.node)
-              .groupBy(edges.s.alias("node"))
-              .agg(F.aggregate(
-                  F.array_sort(F.collect_list(
-                      F.struct(edges.p.alias("p"),
-                               (edges.w * F.col("v")).alias("c")))),
-                  F.lit(0.0), lambda x, y: x + y["c"]).alias("r"))
-              .localCheckpoint(eager=True))
+        hr = _pin(edges.join(auth, edges.p == auth.node)
+                  .groupBy(edges.s.alias("node"))
+                  .agg(F.aggregate(
+                      F.array_sort(F.collect_list(
+                          F.struct(edges.p.alias("p"),
+                                   (edges.w * F.col("v")).alias("c")))),
+                      F.lit(0.0), lambda x, y: x + y["c"]).alias("r")))
         hm = hr.agg(F.max("r").alias("m"))
         hub = (hr.crossJoin(F.broadcast(hm))
                .select("node", (F.col("r") / F.col("m")).alias("v")))
