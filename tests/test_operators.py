@@ -469,6 +469,37 @@ def test_two_phase_kth_out_of_range_and_callable(spark):
     assert len(got) == 1 and (got[0]["id"], got[0]["v"]) == truth
 
 
+def test_two_phase_kth_multi_k_rank_and_n_cols(spark):
+    """Multi-k form (r15, the QTE quartile grid): a bounded list of
+    ranks picked in one pass, with the global rank and phase-1 total
+    emitted as columns; duplicates and out-of-range ks are benign."""
+    from travel_data_pipeline_spark.operators import windows as W
+
+    rows = [(i, float((i * 53) % 97) + ((i * 37) % 11))
+            for i in range(500)]
+    df = spark.createDataFrame(rows, "id long, v double")
+    order = [F.col("v").asc(), F.col("id").asc()]
+    truth = sorted(rows, key=lambda r: (r[1], r[0]))
+    got = W.two_phase_kth(
+        df, order, F.col("v"), [125, 250, 375], num_buckets=8,
+        rank_col="rk", n_col="n").collect()
+    assert sorted(r["rk"] for r in got) == [125, 250, 375]
+    assert all(r["n"] == 500 for r in got)
+    for r in got:
+        assert (r["id"], r["v"]) == truth[r["rk"] - 1]
+    # callable returning a list, with a duplicate and an out-of-range
+    # entry: dedup'd, the invalid k contributes nothing
+    got2 = W.two_phase_kth(
+        df, order, F.col("v"), lambda n: [1, 1, n, n + 7],
+        num_buckets=8, rank_col="rk").collect()
+    assert sorted(r["rk"] for r in got2) == [1, 500]
+    # every k out of range -> empty, schema still carries the columns
+    empty = W.two_phase_kth(df, order, F.col("v"), [0, 501],
+                            num_buckets=8, rank_col="rk", n_col="n")
+    assert empty.count() == 0
+    assert {"rk", "n"} <= set(empty.columns)
+
+
 def test_two_phase_kth_ties_straddle_and_materialize_off(spark):
     """All-equal bucket keys (bounds collapse to one bucket) and
     materialize=False must both stay exact."""

@@ -126,9 +126,10 @@ def test_simhash_pair_join_reads_only_the_checkpoint(spark, sf_smoke):
     MATERIALIZED band relation: both join inputs must read the shared
     materialization — i.e. the fingerprint build runs once and is
     never recomputed by the pair step (the failure mode bucket_pairs
-    existed to prevent). r14: the materialization is persist()
-    (InMemoryTableScan inputs) rather than an eager localCheckpoint
-    (Scan ExistingRDD inputs) — accept either. explain renders the
+    existed to prevent). r14 made the materialization persist()
+    (InMemoryTableScan inputs); r15 reverted to the eager
+    localCheckpoint (Scan ExistingRDD inputs) on the measured
+    self-join rule — accept either mode. explain renders the
     cached relation's subtree (incl. its explode) inline at each
     reference, so the no-recompute assertion is on the join INPUT
     nodes, not on a text-wide explode ban."""

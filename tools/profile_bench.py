@@ -8,8 +8,8 @@ and dump `.explain("formatted")` with plan-node counts.
 Usage:
   python tools/profile_bench.py [query ...]          # default: top set
   SPARK_GRAFT_SF_DIR=/root/testdata/sf0.1 python tools/profile_bench.py
-Writes JSON lines to stdout and plan files to plans/r14/ when
---plans is passed.
+Writes JSON lines to stdout and plan files to plans/<--plans-dir>/
+(default r15) when --plans is passed.
 """
 
 from __future__ import annotations
@@ -55,9 +55,12 @@ def main() -> None:
     reps = int(os.environ.get("PROFILE_REPS", "3"))
     write_plans = "--plans" in sys.argv
     suffix = "before"
+    plans_dir = "r15"  # optimization r15; was r14
     for a in sys.argv:
         if a.startswith("--suffix="):
             suffix = a.split("=", 1)[1]
+        if a.startswith("--plans-dir="):
+            plans_dir = a.split("=", 1)[1]
     names = [a for a in sys.argv[1:] if not a.startswith("--")]
 
     from travel_data_pipeline_spark import registry
@@ -99,7 +102,7 @@ def main() -> None:
                     n_tasks += si.numTasks
         return {"jobs": len(jobs), "stages": n_stages, "tasks": n_tasks}
 
-    os.makedirs(os.path.join(REPO_ROOT, "plans", "r14"), exist_ok=True)
+    os.makedirs(os.path.join(REPO_ROOT, "plans", plans_dir), exist_ok=True)
     for name in names:
         fn = registry.QUERIES[name]
         rec = {"query": name}
@@ -115,7 +118,7 @@ def main() -> None:
                 .fromString("formatted"))
             rec["plan"] = plan_counts(plan)
             if write_plans:
-                with open(os.path.join(REPO_ROOT, "plans", "r14",
+                with open(os.path.join(REPO_ROOT, "plans", plans_dir,
                                        f"{name}_{suffix}.txt"), "w") as fh:
                     fh.write(plan)
             execs = []

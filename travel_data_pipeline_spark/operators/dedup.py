@@ -285,7 +285,8 @@ def simhash_fingerprints(docs: DataFrame, text_col: str = "text",
 def simhash_near_pairs(fingerprints: DataFrame, id_col: str = "doc_id",
                        bits: int = 32, bands: int = 4,
                        max_hamming: int = 3,
-                       max_bucket: int = 1000) -> DataFrame:
+                       max_bucket: int = 1000,
+                       materialize: str = "checkpoint") -> DataFrame:
     """Banded near-pair search: split the fingerprint into ``bands``
     chunks; any pair within ``max_hamming`` (< bands) shares at least
     one exact band (pigeonhole). Bucket-local pair generation (no
@@ -293,7 +294,15 @@ def simhash_near_pairs(fingerprints: DataFrame, id_col: str = "doc_id",
 
     Band width = bits/bands controls bucket sizes: 8-bit bands over a
     32-bit fingerprint keep random collisions ~1/256 per band — the
-    knob that prevents quadratic bucket blowup at scale."""
+    knob that prevents quadratic bucket blowup at scale.
+
+    ``materialize`` pins the capped band relation that both self-join
+    branches consume: ``"checkpoint"`` (default) is an eager
+    localCheckpoint; ``"persist"`` defers to the first action."""
+    if materialize not in ("checkpoint", "persist"):
+        raise ValueError(
+            f"materialize must be 'checkpoint' or 'persist', "
+            f"got {materialize!r}")
     band_bits = bits // bands
     mask = (1 << band_bits) - 1
     banded = fingerprints.select(
@@ -320,13 +329,26 @@ def simhash_near_pairs(fingerprints: DataFrame, id_col: str = "doc_id",
     from pyspark.sql import Window
 
     wb = Window.partitionBy("band_idx", "band_key")
-    # persist, not eager localCheckpoint (r14): the materialization
-    # moves into the first action (where the self-join's two branches
-    # share it) instead of running a separate construction-time job —
-    # measured 2.63 -> 1.70 s build+exec at sf0.1, identical pairs.
+    # eager localCheckpoint, not persist (optimization r15, reverting
+    # the r14 persist experiment): `capped` is consumed by BOTH sides
+    # of the a<->b equality self-join below — exactly the
+    # self-join-consumed shape the r14 audit ruled AGAINST persisting
+    # (hits_from_edges, copurchase_triangles, minhash_estimate_error):
+    # analyzer-side relation dedup rewrites the repeated subtree's
+    # expression IDs, after which CacheManager's canonicalized lookup
+    # misses per-run and the banded lineage recomputes inside the
+    # action. The driver's cold exec ground truth agreed (r13
+    # checkpoint 0.41 s -> r14 persist 0.92 s raw / ~1.4x
+    # load-normalized); the r15 A/B (3 alternating cold processes per
+    # arm, sf0.1) confirmed on BOTH honest metrics: first-computation
+    # min 9.71 s checkpoint vs 10.36 s persist, steady-state noop
+    # exec 0.62-0.69 s vs 0.87-0.94 s (persist's first exec pays
+    # 6.5-7.9 s and runs 7 jobs vs 3 — the deferred materialization
+    # plus the re-derived self-join branch).
     capped = (banded.withColumn("_bsz", F.count("*").over(wb))
-              .filter(F.col("_bsz") <= max_bucket).drop("_bsz")
-              .persist())
+              .filter(F.col("_bsz") <= max_bucket).drop("_bsz"))
+    capped = (capped.persist() if materialize == "persist"
+              else capped.localCheckpoint(eager=True))
     a = capped.select(F.col(id_col).alias("doc_a"),
                       F.col("simhash").alias("sa"),
                       "band_idx", "band_key")

@@ -287,26 +287,37 @@ def two_phase_kth(df: DataFrame, order_cols: Sequence[Column | str],
                   bucket_on: Column, k, *,
                   num_buckets: int = 64,
                   rel_err: float = 0.001,
-                  materialize: bool = True) -> DataFrame:
-    """The k-th row (1-based) of ``df`` under ``ORDER BY order_cols``
+                  materialize: bool = True,
+                  rank_col: str | None = None,
+                  n_col: str | None = None) -> DataFrame:
+    """The k-th row(s) (1-based) of ``df`` under ``ORDER BY order_cols``
     without a global sort OR a full two-phase rank — the exact
     order-statistic sibling of ``two_phase_ordered`` (r14).
 
-    ``k`` may be an int, or a callable ``n_rows -> k`` evaluated on the
-    phase-1 total so rank indices defined relative to COUNT(*) (the
-    conformal ceil((n+1)(1-alpha)) form) need no extra counting pass.
+    ``k`` may be an int, a list/tuple of ints (optimization r15: a
+    bounded set of order statistics — quartile grids — picked in ONE
+    pass instead of one full rank per statistic), or a callable
+    ``n_rows -> k`` / ``n_rows -> [k, ...]`` evaluated on the phase-1
+    total so rank indices defined relative to COUNT(*) (the conformal
+    ceil((n+1)(1-alpha)) form, the QTE (q*n+3)//4 grid) need no extra
+    counting pass.
+
+    ``rank_col`` (optional) emits each picked row's GLOBAL rank — the
+    multi-k caller's key for mapping rows back to their quantile.
+    ``n_col`` (optional) emits the phase-1 row total as a literal
+    column, replacing a separate COUNT(*) pass at the call site.
 
     Same contract: ``order_cols`` must be a total order and
     ``bucket_on`` numeric, null-free, non-decreasing along it. Phase 1
     buckets rows by approxQuantile literals and collects the per-bucket
     counts (a BOUNDED <= num_buckets-row planning collect, the
     ppjoin_candidate_bound discipline); phase 2 ranks ONLY inside the
-    single bucket that contains global rank k — ~1/num_buckets of the
-    rows — where ``two_phase_ordered`` windowed every bucket and paid
-    an extra broadcast-offsets join. Ties on ``bucket_on`` share a
-    bucket (the binary search compares ``>= bound`` only), so the
-    bucket-local (order_cols) rank k - offset is exactly the global
-    rank k. Returns zero rows when k is out of range.
+    buckets that contain a requested global rank — ~|ks|/num_buckets
+    of the rows — where ``two_phase_ordered`` windowed every bucket
+    and paid an extra broadcast-offsets join. Ties on ``bucket_on``
+    share a bucket (the binary search compares ``>= bound`` only), so
+    the bucket-local (order_cols) rank k - offset is exactly the
+    global rank k. Out-of-range ks contribute zero rows.
     """
     if materialize:
         # probe + bucket counts + the final bucket-local rank are three
@@ -330,24 +341,48 @@ def two_phase_kth(df: DataFrame, order_cols: Sequence[Column | str],
     counts = sorted((r["_tpb"], r["c"]) for r in
                     tagged.groupBy("_tpb").agg(F.count("*").alias("c"))
                     .collect())
+    n_rows = sum(c for _, c in counts)
     if callable(k):
-        k = int(k(sum(c for _, c in counts)))
-    off = 0
-    target = None
-    local_k = None
-    for b, c in counts:
-        if off < k <= off + c:
-            target = b
-            local_k = k - off
-            break
-        off += c
-    if target is None:  # k out of range -> empty, like a rank miss
-        return df.filter(F.lit(False))
+        k = k(n_rows)
+    ks = sorted({int(x) for x in k}) if isinstance(k, (list, tuple, set)) \
+        else [int(k)]
+    # (bucket, local_k, global_k) for every in-range requested rank
+    hits: list[tuple[int, int, int]] = []
+    for kv in ks:
+        off = 0
+        for b, c in counts:
+            if off < kv <= off + c:
+                hits.append((b, kv - off, kv))
+                break
+            off += c
+    if not hits:  # every k out of range -> empty, like a rank miss
+        out = df.filter(F.lit(False))
+        if rank_col is not None:
+            out = out.withColumn(rank_col, F.lit(None).cast("long"))
+        if n_col is not None:
+            out = out.withColumn(n_col, F.lit(None).cast("long"))
+        return out
+    targets = sorted({b for b, _, _ in hits})
     w = Window.partitionBy("_tpb").orderBy(*order_cols)
-    return (tagged.filter(F.col("_tpb") == F.lit(target))
-            .withColumn("_tpr", F.row_number().over(w))
-            .filter(F.col("_tpr") == F.lit(int(local_k)))
-            .drop("_tpb", "_tpr"))
+    picked = (tagged.filter(F.col("_tpb").isin(targets))
+              .withColumn("_tpr", F.row_number().over(w)))
+    cond = F.lit(False)
+    for b, lk, _ in hits:
+        cond = cond | ((F.col("_tpb") == F.lit(b))
+                       & (F.col("_tpr") == F.lit(int(lk))))
+    out = picked.filter(cond)
+    if rank_col is not None:
+        # each picked row's global rank: the (bucket, local) pair maps
+        # to exactly one requested k (total order => unique ranks)
+        gr = F.lit(None).cast("long")
+        for b, lk, gk in hits:
+            gr = F.when((F.col("_tpb") == F.lit(b))
+                        & (F.col("_tpr") == F.lit(int(lk))),
+                        F.lit(int(gk)).cast("long")).otherwise(gr)
+        out = out.withColumn(rank_col, gr)
+    if n_col is not None:
+        out = out.withColumn(n_col, F.lit(int(n_rows)).cast("long"))
+    return out.drop("_tpb", "_tpr")
 
 
 def prefix_code(col: Column, chars: int = 2) -> Column:

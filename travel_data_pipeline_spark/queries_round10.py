@@ -1061,8 +1061,18 @@ WHERE bit_count(xor(fa.band0, fb.band0))
 
 
 @register("image_ahash_neardup", _ahash_oracle)
-def image_ahash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """aHash near-dup pairs over the synthesized media table."""
+def image_ahash_neardup(spark: SparkSession, sf_dir: str,
+                        materialize: str = "checkpoint") -> DataFrame:
+    """aHash near-dup pairs over the synthesized media table.
+
+    ``materialize`` pins the fingerprint relation consumed by THREE
+    join legs (cand via the banding, fa, fb): ``"checkpoint"``
+    (default) is an eager localCheckpoint, ``"persist"`` the r14
+    experiment — see the site comment for the r15 A/B verdict."""
+    if materialize not in ("checkpoint", "persist"):
+        raise ValueError(
+            f"materialize must be 'checkpoint' or 'persist', "
+            f"got {materialize!r}")
     from travel_data_pipeline_spark.operators import dedup
     from travel_data_pipeline_spark.operators.multimodal import (
         ahash_bands,
@@ -1083,10 +1093,17 @@ def image_ahash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     # once across banding and verification
     media = media.repartition(spark.sparkContext.defaultParallelism,
                               "media_id")
-    # persist, not eager localCheckpoint (r14): measured 1.61 ->
-    # 0.98 s build+exec at sf0.1 — the fingerprint pass runs once
-    # inside the action, shared by both self-join branches.
-    fps = ahash_fingerprints(media).persist()
+    # eager localCheckpoint, not persist (optimization r15): `fps`
+    # feeds a 3-leg self-join (cand embeds the banding lineage, then
+    # joins fa and fb — the copurchase_triangles shape the r14 audit
+    # reverted): relation dedup can rewrite the repeated subtrees past
+    # CacheManager's canonical match and the Arrow fingerprint pass
+    # re-runs inside the action. The r14 persist A/B (1.61 -> 0.98 s)
+    # ran on a contended box; the r15 idle A/B reversed it — see the
+    # A/B table in OPTIMIZATION_r15.md.
+    fps = ahash_fingerprints(media)
+    fps = (fps.persist() if materialize == "persist"
+           else fps.localCheckpoint(eager=True))
     banded = ahash_bands(fps)
     cand = (dedup.bucket_pairs(banded, ["band_idx", "band_val"],
                                F.struct(F.col("media_id").alias("id")),

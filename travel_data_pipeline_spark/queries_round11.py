@@ -1467,7 +1467,7 @@ def quantile_treatment_effects(spark: SparkSession, sf_dir: str,
     with a synthetic 20M-row arm; default is the registered
     ipw_units split."""
     from travel_data_pipeline_spark.operators.windows import (
-        two_phase_ordered,
+        two_phase_kth,
     )
     from travel_data_pipeline_spark.queries_round10 import ipw_units
 
@@ -1478,11 +1478,20 @@ def quantile_treatment_effects(spark: SparkSession, sf_dir: str,
     picked = []
     for arm_v in (0, 1):
         side = units.filter(F.col("arm") == arm_v)
-        n_agg = side.agg(F.count("*").alias("n"))
-        ranked = two_phase_ordered(
+        # optimization r15 (conformal's two_phase_kth, multi-k): only
+        # the 3 quartile rows are read out, so rank ONLY the buckets
+        # holding ranks (q*n+3)//4 — two_phase_ordered windowed every
+        # bucket and joined broadcast offsets for ranks nobody reads;
+        # n_col replaces the separate COUNT(*) pass (the phase-1
+        # bucket-count collect already knows the total). The join
+        # keeps the oracle's exact semantics: a rank collision
+        # between two q values replicates the row per q.
+        ranked = two_phase_kth(
             side, [F.col("y").asc(), F.col("c_custkey").asc()],
-            bucket_on=F.col("y").cast("double"), rank_col="rk")
-        hit = (ranked.crossJoin(F.broadcast(n_agg))
+            bucket_on=F.col("y").cast("double"),
+            k=lambda n: [(q * n + 3) // 4 for q in _QTE_QS],
+            rank_col="rk", n_col="n")
+        hit = (ranked
                .join(F.broadcast(grid),
                      F.col("rk") == F.floor((F.col("q") * F.col("n") + 3)
                                             / 4))
