@@ -123,6 +123,11 @@ HEADLINE = [
     # countDistinct in one plan) — 200M-row certified via
     # tools/stress_bitmap.py
     "bitmap_exact_distinct",
+    # optimization r15 (VERDICT r14 #2, additions-only): the most
+    # expensive registered query (~4.9 s build + 3.3 s exec at r14,
+    # five composed dedup audits sharing one pinned LSH candidate
+    # relation) finally gets a timed record the driver sees.
+    "dedup_scorecard",
 ]
 
 

@@ -871,3 +871,12 @@ def test_hits_persist_mode_bit_equals_checkpoint_mode(spark, sf_smoke):
                                          iter_seconds=walls).collect()}
     assert len(walls) == _HITS_ITER and all(w > 0 for w in walls)
     assert got_persist == got_ckpt  # bit-identical, not approx
+    # ADVICE r14 validation: typo'd modes and the conflicting
+    # persist+iter_seconds combination must fail loudly
+    import pytest
+
+    with pytest.raises(ValueError, match="materialize"):
+        hits_from_edges(spark, edges, materialize="cache")
+    with pytest.raises(ValueError, match="iter_seconds"):
+        hits_from_edges(spark, edges, materialize="persist",
+                        iter_seconds=[])

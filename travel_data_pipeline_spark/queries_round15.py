@@ -367,8 +367,19 @@ def hits_from_edges(spark: SparkSession, edges: DataFrame,
 
     if materialize is None:
         materialize = "checkpoint"
-
+    # ADVICE r14: a typo'd mode must fail loudly, and an explicit
+    # persist request cannot silently coexist with iter_seconds
+    # (which REQUIRES eager per-iteration actions to mean anything)
+    if materialize not in ("checkpoint", "persist"):
+        raise ValueError(
+            f"materialize must be 'checkpoint' or 'persist', "
+            f"got {materialize!r}")
     if iter_seconds is not None:
+        if materialize == "persist":
+            raise ValueError(
+                "iter_seconds requires materialize='checkpoint': "
+                "per-iteration walls only bracket real work when each "
+                "iteration ends on an eager action")
         materialize = "checkpoint"
 
     def _pin(df: DataFrame) -> DataFrame:

@@ -614,7 +614,7 @@ def theil_sen_daily_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
     (tools/stress_ops.py stresses exactly that: 2k synthetic days,
     ~2M pairs, two-phase median == sequential python median)."""
     from travel_data_pipeline_spark.operators.windows import (
-        two_phase_ordered,
+        two_phase_kth,
     )
 
     ev = load_table(spark, sf_dir, "events")
@@ -630,26 +630,17 @@ def theil_sen_daily_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
                         - F.col("ca").cast("double"))
                        / (F.col("j").cast("double")
                           - F.col("i").cast("double"))).alias("sl")))
-    # The O(days^2) pair relation has FOUR consumers (the n_pairs agg,
-    # two_phase_ordered's quantile probe, its per-bucket stats pass,
-    # and its windowed pass) — materialize once so the multi-year ~2M-
-    # pair shape never recomputes the cross join per consumer
-    # (ADVICE r07). LAZY persist, not localCheckpoint(eager=True)
-    # (ADVICE r08): eager checkpointing executed the O(days^2) join at
-    # DataFrame-CONSTRUCTION time (plan audits / explain tooling paid
-    # full execution), and localCheckpoint blocks are unreplicated —
-    # executor loss kills the query instead of recomputing lineage.
-    # persist() materializes at the first action and is shared by all
-    # four consumers within the job. Measured at sf0.1 best-of-3
-    # (build+exec): eager-localCheckpoint 1.32+0.41=1.73s vs persist
-    # 1.10+0.52=1.62s — the eager shape only LOOKED faster on exec
-    # because it smuggled the pair join into build time; end-to-end
-    # the lazy/replicated shape is also slightly faster.
-    slopes = slopes.persist()
-    np_agg = slopes.agg(F.count("*").alias("np"))
-    ranked = two_phase_ordered(slopes, ["sl", "i", "j"],
-                               bucket_on=F.col("sl"), rank_col="rn")
-    return (ranked.crossJoin(F.broadcast(np_agg))
-            .filter(F.col("rn") == F.floor((F.col("np") + 1) / 2))
-            .select(F.col("np").cast("long").alias("n_pairs"),
-                    (F.round("sl", 6) + 0.0).alias("theil_sen_slope")))
+    # optimization r15 (conformal's / QTE's two_phase_kth): only ONE
+    # rank is read out — the lower median (n+1)//2 — so rank only the
+    # bucket holding it instead of two_phase_ordered's every-bucket
+    # window + broadcast-offsets join + a separate COUNT(*) pass.
+    # two_phase_kth's internal persist keeps the ADVICE r07 guarantee
+    # (the O(days^2) pair join materializes once across its probe /
+    # bucket-count / final passes); n_col replaces np_agg and its
+    # crossJoin. (n+1)//2 in the driver == floor((np+1)/2): the
+    # phase-1 total is the exact COUNT(*).
+    med = two_phase_kth(slopes, ["sl", "i", "j"],
+                        bucket_on=F.col("sl"),
+                        k=lambda n: (n + 1) // 2, n_col="np")
+    return med.select(F.col("np").cast("long").alias("n_pairs"),
+                      (F.round("sl", 6) + 0.0).alias("theil_sen_slope"))
